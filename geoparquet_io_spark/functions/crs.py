@@ -1,0 +1,73 @@
+"""CRS handling + coordinate transforms (no pyproj in this container).
+
+The reference transforms via DuckDB ST_Transform with PROJ strings
+(core/reproject.py:94-160) and classifies CRSs as geographic/projected
+(core/extract.py:111-145).  We support the transform pair its benchmark
+corpus actually uses (EPSG:4326 <-> EPSG:3857, closed-form spherical
+Mercator) natively; any other pair raises with a clear message and can be
+routed through a user-supplied transformer UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+EARTH_RADIUS = 6378137.0
+ORIGIN_SHIFT = math.pi * EARTH_RADIUS
+
+GEOGRAPHIC_CRS = {"EPSG:4326", "OGC:CRS84", "CRS84", "EPSG:4269"}
+DEFAULT_CRS = "OGC:CRS84"
+
+
+def normalize_crs(crs) -> str:
+    """Accept 'EPSG:4326' strings or PROJJSON dicts -> 'AUTH:CODE'."""
+    if crs is None:
+        return DEFAULT_CRS
+    if isinstance(crs, str):
+        return crs.upper()
+    if isinstance(crs, dict):
+        ident = crs.get("id") or {}
+        auth, code = ident.get("authority"), ident.get("code")
+        if auth and code is not None:
+            return f"{auth}:{code}".upper()
+        raise ValueError("PROJJSON without id.authority/id.code not supported")
+    raise TypeError(f"unsupported CRS spec: {type(crs)}")
+
+
+def is_geographic(crs) -> bool:
+    return normalize_crs(crs) in GEOGRAPHIC_CRS
+
+
+def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]:
+    """Vectorized (x, y) -> (x', y') for a supported CRS pair."""
+    s, d = normalize_crs(src), normalize_crs(dst)
+    if s in GEOGRAPHIC_CRS:
+        s = "EPSG:4326"
+    if d in GEOGRAPHIC_CRS:
+        d = "EPSG:4326"
+    if s == d:
+        return lambda x, y: (x, y)
+    if (s, d) == ("EPSG:4326", "EPSG:3857"):
+        return _lonlat_to_mercator
+    if (s, d) == ("EPSG:3857", "EPSG:4326"):
+        return _mercator_to_lonlat
+    raise ValueError(
+        f"transform {s} -> {d} not supported without pyproj; "
+        "pass a custom transformer to reproject(transformer=...)"
+    )
+
+
+def _lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
+    x = lon * ORIGIN_SHIFT / 180.0
+    lat_c = np.clip(lat, -89.9999, 89.9999)
+    y = np.log(np.tan((90.0 + lat_c) * math.pi / 360.0)) * EARTH_RADIUS
+    return x, y
+
+
+def _mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    lon = x / ORIGIN_SHIFT * 180.0
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / EARTH_RADIUS)) - math.pi / 2.0)
+    return lon, lat

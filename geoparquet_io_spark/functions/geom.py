@@ -1,0 +1,235 @@
+"""Spark column functions over WKB geometry.
+
+Naming mirrors the DuckDB-spatial surface the reference uses
+(SURVEY.md section 2.11; e.g. core/add_bbox_column.py:24-31).  Hot-path
+rule: anything expressible natively (bbox struct comparisons, quadkey)
+is native; per-geometry WKB work is Arrow-batched pandas UDFs, never
+row-at-a-time python UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+_BBOX_T = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+])
+_XY_T = T.StructType([
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+])
+
+from geoparquet_io_spark.functions import wkb as _wkb
+from geoparquet_io_spark.functions import wkt as _wkt
+from geoparquet_io_spark.functions import crs as _crs
+from geoparquet_io_spark.functions import hilbert as _hilbert
+
+BBOX_SCHEMA = "xmin double, ymin double, xmax double, ymax double"
+
+
+# --- constructors -----------------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    xs = x.to_numpy(dtype="f8", na_value=np.nan)
+    ys = y.to_numpy(dtype="f8", na_value=np.nan)
+    # vectorized little-endian point encoding: 5-byte header + 16 bytes coords
+    n = len(xs)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1] = 1
+    buf[:, 2:5] = 0
+    buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
+    out = [None if (np.isnan(xs[i]) or np.isnan(ys[i])) else buf[i].tobytes() for i in range(n)]
+    return pd.Series(out)
+
+
+@pandas_udf(T.BinaryType())
+def st_geomfromtext(t: pd.Series) -> pd.Series:
+    return t.map(lambda s: None if s is None else _wkt.from_wkt(s))
+
+
+@pandas_udf(T.BinaryType())
+def st_try_geomfromtext(t: pd.Series) -> pd.Series:
+    """TRY_CAST(... AS GEOMETRY) equivalent — invalid WKT -> NULL
+    (reference skip_invalid path, core/convert.py:404-423)."""
+    def conv(s):
+        if s is None:
+            return None
+        try:
+            return _wkt.from_wkt(s)
+        except (ValueError, IndexError):
+            return None
+    return t.map(conv)
+
+
+# --- accessors --------------------------------------------------------------
+
+@pandas_udf(T.StringType())
+def st_astext(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: None if b is None else _wkt.to_wkt(bytes(b)))
+
+
+@pandas_udf(T.DoubleType())
+def st_x(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: None if b is None else _wkb.point_xy(bytes(b))[0])
+
+
+@pandas_udf(T.DoubleType())
+def st_y(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: None if b is None else _wkb.point_xy(bytes(b))[1])
+
+
+@pandas_udf(_BBOX_T)
+def st_envelope_struct(g: pd.Series) -> pd.DataFrame:
+    """One parse -> all four bounds (vs four ST_XMin/... calls)."""
+    vals = np.full((len(g), 4), np.nan)
+    for i, b in enumerate(g):
+        if b is not None:
+            vals[i] = _wkb.envelope(bytes(b))
+    return pd.DataFrame(vals, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@pandas_udf(_XY_T)
+def st_centroid_xy(g: pd.Series) -> pd.DataFrame:
+    vals = np.full((len(g), 2), np.nan)
+    for i, b in enumerate(g):
+        if b is not None:
+            vals[i] = _wkb.centroid(bytes(b))
+    return pd.DataFrame(vals, columns=["x", "y"])
+
+
+@pandas_udf(T.StringType())
+def st_geometrytype(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: None if b is None else _wkb.geometry_type(bytes(b)))
+
+
+# --- predicates / measures --------------------------------------------------
+
+@pandas_udf(T.BooleanType())
+def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        out.append(None if ba is None or bb is None else _wkb.intersects(bytes(ba), bytes(bb)))
+    return pd.Series(out, dtype="object")
+
+
+def st_intersects_wkt(g: Column, wkt_text: str) -> Column:
+    """ST_Intersects(g, ST_GeomFromText('...')) with the literal parsed once
+    on the driver and shipped in the UDF closure (cheap broadcast)."""
+    other = _wkt.from_wkt(wkt_text)
+    geom = _wkb.parse(other)
+    env = _wkb.envelope(other)
+
+    @pandas_udf(T.BooleanType())
+    def _isects(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            if b is None:
+                out.append(None)
+                continue
+            bb = bytes(b)
+            e = _wkb.envelope(bb)
+            if e[0] > env[2] or env[0] > e[2] or e[1] > env[3] or env[1] > e[3]:
+                out.append(False)
+            else:
+                out.append(_wkb._geom_intersects(_wkb.parse(bb), geom))
+        return pd.Series(out, dtype="object")
+
+    return _isects(g)
+
+
+@pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        out.append(None if ba is None or bb is None else _wkb.distance(bytes(ba), bytes(bb)))
+    return pd.Series(out, dtype="float64")
+
+
+# --- transforms -------------------------------------------------------------
+
+def st_transform(g: Column, src, dst, transformer=None) -> Column:
+    """Reproject WKB geometry (reference: core/reproject.py:94-160)."""
+    fn = transformer or _crs.get_transformer(src, dst)
+
+    @pandas_udf(T.BinaryType())
+    def _tf(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            if b is None:
+                out.append(None)
+                continue
+            geom = _wkb.parse(bytes(b))
+            out.append(_reencode_transformed(geom, fn))
+        return pd.Series(out)
+
+    return _tf(g)
+
+
+def _reencode_transformed(geom: "_wkb.Geom", fn) -> bytes:
+    def tf_arr(arr):
+        x, y = fn(arr[:, 0], arr[:, 1])
+        return np.column_stack([x, y])
+
+    t = geom.gtype
+    if t == _wkb.POINT:
+        c = tf_arr(geom.parts[0])
+        return _wkb.encode_point(float(c[0, 0]), float(c[0, 1]))
+    if t == _wkb.LINESTRING:
+        return _wkb.encode_linestring(tf_arr(geom.parts[0]))
+    if t == _wkb.POLYGON:
+        return _wkb.encode_polygon([tf_arr(r) for r in geom.parts])
+    if t in (_wkb.MULTIPOINT, _wkb.MULTILINESTRING, _wkb.MULTIPOLYGON, _wkb.GEOMETRYCOLLECTION):
+        parts = [_reencode_transformed(c, fn) for c in geom.children]
+        hdr = bytes([1]) + t.to_bytes(4, "little") + len(parts).to_bytes(4, "little")
+        return hdr + b"".join(parts)
+    raise ValueError(f"unsupported geometry type {t}")
+
+
+# --- ordering keys ----------------------------------------------------------
+
+def st_hilbert(x: Column, y: Column, bounds: tuple[float, float, float, float]) -> Column:
+    """Hilbert distance of (x, y) scaled to ``bounds`` — mirrors DuckDB
+    ST_Hilbert(geom, envelope) (reference: core/hilbert_order.py:98-113)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bounds)
+
+    @pandas_udf(T.LongType())
+    def _hk(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xv = xs.to_numpy(dtype="f8", na_value=np.nan)
+        yv = ys.to_numpy(dtype="f8", na_value=np.nan)
+        keys = _hilbert.hilbert_key(np.nan_to_num(xv), np.nan_to_num(yv), xmin, ymin, xmax, ymax)
+        return pd.Series(keys)
+
+    return _hk(x, y)
+
+
+# --- native bbox helpers (no UDF — these MUST stay in codegen) --------------
+
+def bbox_struct(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    """STRUCT_PACK(xmin := ..., ...) equivalent
+    (reference: core/add_bbox_column.py:24-31)."""
+    return F.struct(
+        xmin.alias("xmin"), ymin.alias("ymin"), xmax.alias("xmax"), ymax.alias("ymax")
+    )
+
+
+def bbox_intersects(bbox: Column, xmin: float, ymin: float, xmax: float, ymax: float) -> Column:
+    """Covering-column fast path: pure min/max comparisons that Catalyst
+    pushes to Parquet row-group stats (reference: core/extract.py:554-585)."""
+    return (
+        (bbox["xmax"] >= F.lit(xmin))
+        & (bbox["xmin"] <= F.lit(xmax))
+        & (bbox["ymax"] >= F.lit(ymin))
+        & (bbox["ymin"] <= F.lit(ymax))
+    )

@@ -1,0 +1,465 @@
+"""Pure-python/numpy WKB (well-known binary) kernel.
+
+The reference keeps geometry as WKB bytes in a binary Arrow column and
+upcasts/downcasts via DuckDB-spatial (reference: core/stream_io.py:95-97,
+core/add_bbox_column.py:70-76).  This container has no shapely/GEOS, so
+the kernel here implements the subset of OGC WKB the reference exercises:
+2-D Point / LineString / Polygon / MultiPoint / MultiLineString /
+MultiPolygon, both byte orders on read, little-endian on write.
+
+Everything is written to be called from Arrow-batched pandas UDFs —
+per-batch python loops over rows, numpy for per-coordinate math.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterable
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
+GEOMETRYCOLLECTION = 7
+
+TYPE_NAMES = {
+    POINT: "POINT",
+    LINESTRING: "LINESTRING",
+    POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT",
+    MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON",
+    GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+_HDR = struct.Struct("<BI")
+_PT_LE = struct.Struct("<2d")
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+def encode_point(x: float, y: float) -> bytes:
+    return b"\x01\x01\x00\x00\x00" + _PT_LE.pack(x, y)
+
+
+def encode_linestring(coords: np.ndarray) -> bytes:
+    coords = np.asarray(coords, dtype="<f8").reshape(-1, 2)
+    return (
+        b"\x01\x02\x00\x00\x00"
+        + struct.pack("<I", len(coords))
+        + coords.tobytes()
+    )
+
+
+def encode_polygon(rings: Iterable[np.ndarray]) -> bytes:
+    rings = [np.asarray(r, dtype="<f8").reshape(-1, 2) for r in rings]
+    out = [b"\x01\x03\x00\x00\x00", struct.pack("<I", len(rings))]
+    for r in rings:
+        out.append(struct.pack("<I", len(r)))
+        out.append(r.tobytes())
+    return b"".join(out)
+
+
+def encode_box_polygon(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
+    ring = np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]],
+        dtype="<f8",
+    )
+    return encode_polygon([ring])
+
+
+def encode_multipolygon(polys: Iterable[Iterable[np.ndarray]]) -> bytes:
+    polys = list(polys)
+    out = [b"\x01\x06\x00\x00\x00", struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(encode_polygon(rings))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoding
+# ---------------------------------------------------------------------------
+
+class Geom:
+    """Parsed geometry: ``gtype`` plus parts.
+
+    parts layout:
+      POINT            -> [array (1,2)]
+      LINESTRING       -> [array (n,2)]
+      POLYGON          -> [array (n,2), ...]     one per ring (first = shell)
+      MULTI*/COLLECTION-> flattened children in ``children`` instead
+    """
+
+    __slots__ = ("gtype", "parts", "children")
+
+    def __init__(self, gtype: int, parts=None, children=None):
+        self.gtype = gtype
+        self.parts = parts or []
+        self.children = children or []
+
+    @property
+    def type_name(self) -> str:
+        return TYPE_NAMES[self.gtype]
+
+    def rings(self):
+        """All coordinate arrays of this geometry (flattened)."""
+        if self.children:
+            for c in self.children:
+                yield from c.rings()
+        else:
+            yield from self.parts
+
+    def shells(self):
+        """Outer rings only (for polygon containment tests)."""
+        if self.children:
+            for c in self.children:
+                yield from c.shells()
+        elif self.gtype == POLYGON and self.parts:
+            yield self.parts[0]
+
+    def holes(self):
+        if self.children:
+            for c in self.children:
+                yield from c.holes()
+        elif self.gtype == POLYGON:
+            yield from self.parts[1:]
+
+
+def parse(buf: bytes) -> Geom:
+    geom, _ = _parse_at(memoryview(buf), 0)
+    return geom
+
+
+def _parse_at(mv: memoryview, off: int):
+    byte_order = mv[off]
+    fmt = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(fmt + "I", mv, off + 1)
+    # Strip common Z/M/SRID flags (EWKB / ISO): keep base type, 2-D coords only.
+    base = gtype & 0xFF
+    has_srid = bool(gtype & 0x20000000)
+    iso_dims = (gtype % 1000, gtype // 1000)
+    if gtype > 1000 and gtype < 0x20000000:
+        base = iso_dims[0]
+        if iso_dims[1] != 0:
+            raise ValueError("only 2-D WKB supported")
+    off += 5
+    if has_srid:
+        off += 4
+    dt = np.dtype(fmt + "f8")
+    if base == POINT:
+        arr = np.frombuffer(mv, dtype=dt, count=2, offset=off).reshape(1, 2)
+        return Geom(POINT, [arr.astype("f8")]), off + 16
+    if base == LINESTRING:
+        (n,) = struct.unpack_from(fmt + "I", mv, off)
+        off += 4
+        arr = np.frombuffer(mv, dtype=dt, count=2 * n, offset=off).reshape(n, 2)
+        return Geom(LINESTRING, [arr.astype("f8")]), off + 16 * n
+    if base == POLYGON:
+        (nr,) = struct.unpack_from(fmt + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(fmt + "I", mv, off)
+            off += 4
+            arr = np.frombuffer(mv, dtype=dt, count=2 * n, offset=off).reshape(n, 2)
+            rings.append(arr.astype("f8"))
+            off += 16 * n
+        return Geom(POLYGON, rings), off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from(fmt + "I", mv, off)
+        off += 4
+        children = []
+        for _ in range(n):
+            child, off = _parse_at(mv, off)
+            children.append(child)
+        return Geom(base, children=children), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# Per-geometry computations (the function layer batches these)
+# ---------------------------------------------------------------------------
+
+def envelope(buf: bytes):
+    """(xmin, ymin, xmax, ymax) of a WKB geometry."""
+    g = parse(buf)
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    for arr in g.rings():
+        if len(arr) == 0:
+            continue
+        xmin = min(xmin, float(arr[:, 0].min()))
+        xmax = max(xmax, float(arr[:, 0].max()))
+        ymin = min(ymin, float(arr[:, 1].min()))
+        ymax = max(ymax, float(arr[:, 1].max()))
+    if xmin is math.inf:
+        return (math.nan, math.nan, math.nan, math.nan)
+    return (xmin, ymin, xmax, ymax)
+
+
+def point_xy(buf: bytes):
+    g = parse(buf)
+    if g.gtype != POINT:
+        raise ValueError(f"ST_X/ST_Y expects POINT, got {g.type_name}")
+    return float(g.parts[0][0, 0]), float(g.parts[0][0, 1])
+
+
+def _ring_area_centroid(ring: np.ndarray):
+    """Signed area and area-weighted centroid of one ring (shoelace)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return 0.0, ring[:, 0].mean(), ring[:, 1].mean()
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return a, cx, cy
+
+
+def centroid(buf: bytes):
+    """(x, y) centroid: area centroid for polygons, length-weighted for
+    lines, mean for points — matching PostGIS/DuckDB ST_Centroid semantics
+    closely enough for bbox-midpoint / ordering purposes."""
+    g = parse(buf)
+    if g.gtype == POINT:
+        return float(g.parts[0][0, 0]), float(g.parts[0][0, 1])
+    if g.gtype in (POLYGON, MULTIPOLYGON):
+        tot_a = 0.0
+        sx = sy = 0.0
+        shells_holes = []
+        if g.gtype == POLYGON:
+            polys = [g]
+        else:
+            polys = g.children
+        for poly in polys:
+            for i, ring in enumerate(poly.parts):
+                a, cx, cy = _ring_area_centroid(ring)
+                a = abs(a) if i == 0 else -abs(a)
+                tot_a += a
+                sx += cx * a
+                sy += cy * a
+        if tot_a != 0:
+            return sx / tot_a, sy / tot_a
+    # lines / degenerate: length-weighted midpoint
+    tot_l = 0.0
+    sx = sy = 0.0
+    for arr in g.rings():
+        if len(arr) < 2:
+            if len(arr) == 1:
+                sx += arr[0, 0]
+                sy += arr[0, 1]
+                tot_l += 1e-300
+            continue
+        seg = np.diff(arr, axis=0)
+        lengths = np.hypot(seg[:, 0], seg[:, 1])
+        mids = (arr[:-1] + arr[1:]) / 2.0
+        tot_l += lengths.sum()
+        sx += (mids[:, 0] * lengths).sum()
+        sy += (mids[:, 1] * lengths).sum()
+    if tot_l == 0:
+        arrs = list(g.rings())
+        all_pts = np.vstack(arrs) if arrs else np.zeros((1, 2))
+        return float(all_pts[:, 0].mean()), float(all_pts[:, 1].mean())
+    return float(sx / tot_l), float(sy / tot_l)
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Ray casting; boundary counts as inside (sufficient for intersects)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    # boundary check: point on a NON-degenerate segment (the closing
+    # roll segment last->first has zero length when the ring is closed)
+    dx, dy = x1 - x, y1 - y
+    cross = (px - x) * dy - (py - y) * dx
+    dot = (px - x) * dx + (py - y) * dy
+    seg_len2 = dx * dx + dy * dy
+    on = (seg_len2 > 0) & (np.abs(cross) < 1e-12) & (dot >= 0) & (dot <= seg_len2)
+    if on.any():
+        return True
+    if ((px - x) ** 2 + (py - y) ** 2 == 0).any():  # exactly on a vertex
+        return True
+    cond = ((y > py) != (y1 > py))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = np.where(cond, (py - y) * (x1 - x) / np.where(y1 - y == 0, 1, y1 - y) + x, np.nan)
+    return bool((cond & (px < xints)).sum() % 2 == 1)
+
+
+def _point_in_polygon(px: float, py: float, poly: Geom) -> bool:
+    if not poly.parts:
+        return False
+    if not _point_in_ring(px, py, poly.parts[0]):
+        return False
+    for hole in poly.parts[1:]:
+        # strictly inside a hole -> outside (on hole boundary still inside)
+        if _point_in_ring(px, py, hole) and not _on_ring_boundary(px, py, hole):
+            return False
+    return True
+
+
+def _on_ring_boundary(px: float, py: float, ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    dx, dy = x1 - x, y1 - y
+    cross = (px - x) * dy - (py - y) * dx
+    dot = (px - x) * dx + (py - y) * dy
+    seg_len2 = dx * dx + dy * dy
+    on_vertex = ((px - x) ** 2 + (py - y) ** 2 == 0).any()
+    return bool(on_vertex) or bool(
+        ((seg_len2 > 0) & (np.abs(cross) < 1e-12) & (dot >= 0) & (dot <= seg_len2)).any()
+    )
+
+
+def _segments(arr: np.ndarray):
+    return arr[:-1], arr[1:]
+
+
+def _segments_intersect(a0, a1, b0, b1) -> bool:
+    """Any segment of polyline A (a0->a1 pairs) intersects any of B."""
+    # vectorized orientation tests over the cartesian product
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    a0x, a0y = a0[:, 0][:, None], a0[:, 1][:, None]
+    a1x, a1y = a1[:, 0][:, None], a1[:, 1][:, None]
+    b0x, b0y = b0[:, 0][None, :], b0[:, 1][None, :]
+    b1x, b1y = b1[:, 0][None, :], b1[:, 1][None, :]
+    d1 = cross(a0x, a0y, a1x, a1y, b0x, b0y)
+    d2 = cross(a0x, a0y, a1x, a1y, b1x, b1y)
+    d3 = cross(b0x, b0y, b1x, b1y, a0x, a0y)
+    d4 = cross(b0x, b0y, b1x, b1y, a1x, a1y)
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    if proper.any():
+        return True
+    # collinear / endpoint touches
+    eps = 1e-12
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (np.minimum(px, qx) - eps <= rx)
+            & (rx <= np.maximum(px, qx) + eps)
+            & (np.minimum(py, qy) - eps <= ry)
+            & (ry <= np.maximum(py, qy) + eps)
+        )
+
+    t = ((np.abs(d1) < eps) & on_seg(a0x, a0y, a1x, a1y, b0x, b0y)) | (
+        (np.abs(d2) < eps) & on_seg(a0x, a0y, a1x, a1y, b1x, b1y)
+    ) | ((np.abs(d3) < eps) & on_seg(b0x, b0y, b1x, b1y, a0x, a0y)) | (
+        (np.abs(d4) < eps) & on_seg(b0x, b0y, b1x, b1y, a1x, a1y)
+    )
+    return bool(t.any())
+
+
+def intersects(buf_a: bytes, buf_b: bytes) -> bool:
+    """Exact ST_Intersects for the supported type matrix.
+
+    Strategy (same tiering the reference gets from GEOS): bbox reject,
+    then point-in-polygon / segment-intersection tests.
+    """
+    ea, eb = envelope(buf_a), envelope(buf_b)
+    if ea[0] > eb[2] or eb[0] > ea[2] or ea[1] > eb[3] or eb[1] > ea[3]:
+        return False
+    ga, gb = parse(buf_a), parse(buf_b)
+    return _geom_intersects(ga, gb)
+
+
+def _flatten(g: Geom):
+    if g.children:
+        for c in g.children:
+            yield from _flatten(c)
+    else:
+        yield g
+
+
+def _geom_intersects(ga: Geom, gb: Geom) -> bool:
+    for a in _flatten(ga):
+        for b in _flatten(gb):
+            if _simple_intersects(a, b):
+                return True
+    return False
+
+
+def _simple_intersects(a: Geom, b: Geom) -> bool:
+    if a.gtype == POINT and b.gtype == POINT:
+        return bool(np.allclose(a.parts[0][0], b.parts[0][0], atol=0.0))
+    if a.gtype == POINT:
+        return _point_vs(a.parts[0][0], b)
+    if b.gtype == POINT:
+        return _point_vs(b.parts[0][0], a)
+    # line/polygon combinations: boundary-segment intersection first
+    for ra in a.parts:
+        sa0, sa1 = _segments(ra)
+        if len(sa0) == 0:
+            continue
+        for rb in b.parts:
+            sb0, sb1 = _segments(rb)
+            if len(sb0) == 0:
+                continue
+            if _segments_intersect(sa0, sa1, sb0, sb1):
+                return True
+    # containment: a fully inside b or b fully inside a
+    if b.gtype == POLYGON and a.parts and len(a.parts[0]) > 0:
+        p = a.parts[0][0]
+        if _point_in_polygon(float(p[0]), float(p[1]), b):
+            return True
+    if a.gtype == POLYGON and b.parts and len(b.parts[0]) > 0:
+        p = b.parts[0][0]
+        if _point_in_polygon(float(p[0]), float(p[1]), a):
+            return True
+    return False
+
+
+def _point_vs(pt: np.ndarray, g: Geom) -> bool:
+    px, py = float(pt[0]), float(pt[1])
+    if g.gtype == POLYGON:
+        return _point_in_polygon(px, py, g)
+    if g.gtype == LINESTRING:
+        return _on_ring_boundary(px, py, g.parts[0])
+    if g.gtype == POINT:
+        return px == g.parts[0][0, 0] and py == g.parts[0][0, 1]
+    return False
+
+
+def distance(buf_a: bytes, buf_b: bytes) -> float:
+    """Euclidean ST_Distance. Exact for point/point, point/line,
+    point/polygon-boundary, line/line; 0 when geometries intersect."""
+    if intersects(buf_a, buf_b):
+        return 0.0
+    ga, gb = parse(buf_a), parse(buf_b)
+    best = math.inf
+    arrs_a = list(ga.rings())
+    arrs_b = list(gb.rings())
+    for ra in arrs_a:
+        for rb in arrs_b:
+            best = min(best, _min_dist_arrays(ra, rb))
+    return best
+
+
+def _min_dist_arrays(a: np.ndarray, b: np.ndarray) -> float:
+    best = min(_pts_to_polyline(a, b), _pts_to_polyline(b, a))
+    return best
+
+
+def _pts_to_polyline(pts: np.ndarray, line: np.ndarray) -> float:
+    if len(line) == 1:
+        d = np.hypot(pts[:, 0] - line[0, 0], pts[:, 1] - line[0, 1])
+        return float(d.min())
+    p0, p1 = line[:-1], line[1:]
+    d = p1 - p0
+    seg_len2 = (d * d).sum(axis=1)
+    seg_len2 = np.where(seg_len2 == 0, 1e-300, seg_len2)
+    best = math.inf
+    for p in pts:
+        t = ((p - p0) * d).sum(axis=1) / seg_len2
+        t = np.clip(t, 0.0, 1.0)
+        proj = p0 + t[:, None] * d
+        dist = np.hypot(proj[:, 0] - p[0], proj[:, 1] - p[1])
+        best = min(best, float(dist.min()))
+    return best
+
+
+def geometry_type(buf: bytes) -> str:
+    return parse(buf).type_name

@@ -1,0 +1,240 @@
+"""GeoTable — fluent, LAZY wrapper over DataFrame + geo metadata.
+
+Mirror of the reference's ``Table`` (api/table.py:377-404) with one
+architectural difference: the reference materializes an Arrow table per
+method call; here every method just extends the Spark logical plan and
+metadata sidecar — nothing runs until ``write()``/``collect()`` (this is
+the reference's own "Python API keeps data in memory" lesson, README.md:87,
+taken to its lazy conclusion).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.meta import GeoMeta, GeoColumnMeta
+from geoparquet_io_spark.functions import crs as _crs
+from geoparquet_io_spark.functions import geom as G
+
+
+class GeoTable:
+    """Immutable fluent wrapper: every method returns a new GeoTable."""
+
+    def __init__(self, df: DataFrame, geo: GeoMeta | None = None,
+                 bbox_column: str | None = None):
+        self._df = df
+        self._geo = geo
+        if bbox_column is None and geo is not None:
+            cov = geo.primary.covering or {}
+            b = cov.get("bbox", {})
+            if b:
+                bbox_column = b.get("xmin", [None])[0]
+        if bbox_column is None and "bbox" in df.columns:
+            bbox_column = "bbox"
+        self._bbox_column = bbox_column if bbox_column in df.columns else None
+
+    # -- plumbing -------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def geo(self) -> GeoMeta | None:
+        return self._geo
+
+    @property
+    def geometry_column(self) -> str | None:
+        if self._geo is None:
+            return "geometry" if "geometry" in self._df.columns else None
+        return self._geo.primary_column if self._geo.primary_column in self._df.columns else None
+
+    @property
+    def bbox_column(self) -> str | None:
+        return self._bbox_column
+
+    @property
+    def crs(self):
+        return self._geo.primary.crs if self._geo else None
+
+    def _wrap(self, df: DataFrame, geo: GeoMeta | None = None,
+              bbox_column: str | None = None) -> "GeoTable":
+        return GeoTable(df, geo if geo is not None else self._geo,
+                        bbox_column if bbox_column is not None else self._bbox_column)
+
+    def pipe(self, *ops: Callable[["GeoTable"], "GeoTable"]) -> "GeoTable":
+        """Function composition (reference: api/pipeline.py:31-72)."""
+        out = self
+        for op in ops:
+            out = op(out)
+        return out
+
+    # -- extract (SURVEY 2.3) ---------------------------------------------------
+
+    def extract(self, columns=None, exclude_columns=None, bbox=None,
+                geometry=None, where=None, limit=None) -> "GeoTable":
+        from geoparquet_io_spark.operators.extract import extract as _extract
+
+        df = _extract(
+            self._df,
+            geometry_column=self.geometry_column,
+            bbox_column=self._bbox_column,
+            columns=columns,
+            exclude_columns=exclude_columns,
+            bbox=bbox,
+            geometry_wkt=geometry,
+            where=where,
+            limit=limit,
+        )
+        return self._wrap(df)
+
+    def head(self, n: int = 10) -> "GeoTable":
+        return self._wrap(self._df.limit(n))
+
+    def tail(self, n: int = 10) -> "GeoTable":
+        rows = self._df.tail(n)
+        return self._wrap(self._df.sparkSession.createDataFrame(rows, self._df.schema))
+
+    # -- add columns (SURVEY 2.9) ------------------------------------------------
+
+    def add_bbox(self, force: bool = False, column: str = "bbox") -> "GeoTable":
+        from geoparquet_io_spark.operators.add_columns import add_bbox
+
+        df = add_bbox(self._df, self.geometry_column, column, force)
+        geo = self._geo
+        if geo is not None:
+            import copy
+
+            geo = GeoMeta.from_json(geo.to_json())
+            geo.set_covering(column)
+        return GeoTable(df, geo, bbox_column=column)
+
+    def add_bbox_metadata(self, column: str = "bbox") -> "GeoTable":
+        """Metadata-only covering registration (core/add_bbox_metadata.py)."""
+        if column not in self._df.columns:
+            raise ValueError(f"bbox column {column!r} not present")
+        geo = GeoMeta.from_json(self._geo.to_json()) if self._geo else GeoMeta()
+        geo.set_covering(column)
+        return GeoTable(self._df, geo, bbox_column=column)
+
+    def add_quadkey(self, zoom: int = 13, column: str = "quadkey") -> "GeoTable":
+        from geoparquet_io_spark.operators.add_columns import add_quadkey
+
+        df = add_quadkey(self._df, self.geometry_column, self._bbox_column,
+                         zoom, column, crs=self.crs)
+        return self._wrap(df)
+
+    def add_h3(self, resolution: int = 8, column: str = "h3") -> "GeoTable":
+        from geoparquet_io_spark.operators.add_columns import add_h3
+
+        df = add_h3(self._df, self.geometry_column, self._bbox_column,
+                    resolution, column, crs=self.crs)
+        return self._wrap(df)
+
+    def add_kdtree(self, iterations: int = 4, column: str = "kdtree_cell",
+                   **kw) -> "GeoTable":
+        from geoparquet_io_spark.operators.add_columns import add_kdtree
+
+        df = add_kdtree(self._df, self.geometry_column, self._bbox_column,
+                        iterations=iterations, column=column, **kw)
+        return self._wrap(df)
+
+    def add_admin_divisions(self, admin: "GeoTable", levels=("country",),
+                            prefix: str = "admin:") -> "GeoTable":
+        from geoparquet_io_spark.operators.joins import add_admin_divisions
+
+        df = add_admin_divisions(
+            self._df, self.geometry_column, self._bbox_column,
+            admin._df, admin.geometry_column, admin._bbox_column,
+            levels=list(levels), prefix=prefix,
+        )
+        return self._wrap(df)
+
+    def reproject(self, dst, src=None, transformer=None) -> "GeoTable":
+        from geoparquet_io_spark.operators.add_columns import reproject
+
+        src = src if src is not None else (self.crs or "EPSG:4326")
+        df = reproject(self._df, self.geometry_column, src, dst, transformer)
+        geo = GeoMeta.from_json(self._geo.to_json()) if self._geo else GeoMeta(
+            primary_column=self.geometry_column or "geometry",
+            columns={self.geometry_column or "geometry": GeoColumnMeta()},
+        )
+        geo.primary.crs = _crs.normalize_crs(dst)
+        geo.primary.bbox = None  # stale after transform
+        return GeoTable(df, geo, bbox_column=self._bbox_column)
+
+    # -- sorts (SURVEY 2.7) --------------------------------------------------------
+
+    def sort_hilbert(self, keep_key: bool = False) -> "GeoTable":
+        from geoparquet_io_spark.operators.sorts import sort_hilbert
+
+        return self._wrap(sort_hilbert(self._df, self.geometry_column,
+                                       self._bbox_column, keep_key=keep_key))
+
+    def sort_column(self, columns, descending=None) -> "GeoTable":
+        from geoparquet_io_spark.operators.sorts import sort_column
+
+        return self._wrap(sort_column(self._df, columns, descending))
+
+    def sort_quadkey(self, zoom: int = 13, keep_column: bool = False) -> "GeoTable":
+        from geoparquet_io_spark.operators.sorts import sort_quadkey
+
+        return self._wrap(sort_quadkey(self._df, self.geometry_column,
+                                       self._bbox_column, zoom, keep_column))
+
+    # -- aggregates / checks (SURVEY 2.5, 2.14) --------------------------------------
+
+    def bounds(self) -> tuple[float, float, float, float]:
+        from geoparquet_io_spark.operators.stats import bounds
+
+        return bounds(self._df, self.geometry_column, self._bbox_column)
+
+    def stats(self, approx: bool = True) -> DataFrame:
+        from geoparquet_io_spark.operators.stats import stats
+
+        geo_cols = set(self._geo.columns) if self._geo else set()
+        return stats(self._df, geo_cols, approx)
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def check_spatial_order(self, **kw) -> dict:
+        from geoparquet_io_spark.operators.stats import check_spatial_order
+
+        return check_spatial_order(self._df, self.geometry_column,
+                                   self._bbox_column, **kw)
+
+    # -- write (SURVEY 2.2, 2.10) -----------------------------------------------------
+
+    def _write_geo(self) -> GeoMeta | None:
+        return self._geo
+
+    def write(self, path: str, partition_by=None, **kw) -> list[str]:
+        from geoparquet_io_spark.sources.geoparquet import write
+
+        return write(self._df, path, self._geo, partition_by=partition_by, **kw)
+
+    def partition_by_string(self, column: str, path: str, chars: int | None = None,
+                            skip_analysis: bool = False, **kw) -> list[str]:
+        from geoparquet_io_spark.operators.partition import partition_by_string
+
+        return partition_by_string(self, column, path, chars, skip_analysis, **kw)
+
+    def partition_by_quadkey(self, path: str, partition_resolution: int = 9,
+                             **kw) -> list[str]:
+        from geoparquet_io_spark.operators.partition import partition_by_quadkey
+
+        return partition_by_quadkey(self, path, partition_resolution, **kw)
+
+    def partition_by_h3(self, path: str, resolution: int = 8, **kw) -> list[str]:
+        from geoparquet_io_spark.operators.partition import partition_by_h3
+
+        return partition_by_h3(self, path, resolution, **kw)
+
+    def partition_by_kdtree(self, path: str, iterations: int = 4, **kw) -> list[str]:
+        from geoparquet_io_spark.operators.partition import partition_by_kdtree
+
+        return partition_by_kdtree(self, path, iterations, **kw)

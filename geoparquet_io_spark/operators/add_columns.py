@@ -1,0 +1,184 @@
+"""Computed-column operators (reference section "add", SURVEY.md 2.9).
+
+add_bbox            -> core/add_bbox_column.py:24-139
+add_quadkey         -> core/add_quadkey_column.py (CRS gate :78-130)
+add_h3              -> core/add_h3_column.py:57-84  (import-try h3)
+add_kdtree          -> core/add_kdtree_column.py:61-207 (2-phase sampled)
+reproject           -> core/reproject.py:94-160
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.functions import crs as _crs
+from geoparquet_io_spark.functions import geom as G
+from geoparquet_io_spark.functions import quadkey as _qk
+
+
+def add_bbox(df: DataFrame, geometry_column: str, bbox_column: str = "bbox",
+             force: bool = False) -> DataFrame:
+    """Per-row bbox struct (reference: core/add_bbox_column.py:24-31,122-139)."""
+    if bbox_column in df.columns:
+        if not force:
+            raise ValueError(
+                f"column {bbox_column!r} already exists (use force=True to replace)"
+            )
+        df = df.drop(bbox_column)
+    env = G.st_envelope_struct(F.col(geometry_column))
+    return df.withColumn(bbox_column, env)
+
+
+def _centroid_lonlat(df: DataFrame, geometry_column: str | None,
+                     bbox_column: str | None) -> tuple[Column, Column]:
+    """Point for cell indexing: bbox midpoint if covering column exists,
+    else geometry centroid (reference: core/add_quadkey_column.py:171-174)."""
+    if bbox_column and bbox_column in df.columns:
+        b = F.col(bbox_column)
+        return (b["xmin"] + b["xmax"]) / 2, (b["ymin"] + b["ymax"]) / 2
+    if geometry_column is None:
+        raise ValueError("need geometry or bbox column")
+    c = G.st_centroid_xy(F.col(geometry_column))
+    return c["x"], c["y"]
+
+
+def _require_geographic(crs, op: str) -> None:
+    """Hard error on projected CRS (reference: core/add_quadkey_column.py:118-127)."""
+    if crs is not None and not _crs.is_geographic(crs):
+        raise ValueError(
+            f"{op} requires geographic coordinates (lat/lon); file CRS is "
+            f"{_crs.normalize_crs(crs)!r} — reproject to EPSG:4326 first"
+        )
+
+
+def add_quadkey(df: DataFrame, geometry_column: str | None = None,
+                bbox_column: str | None = None, zoom: int = 13,
+                column: str = "quadkey", crs=None) -> DataFrame:
+    _require_geographic(crs, "add_quadkey")
+    lon, lat = _centroid_lonlat(df, geometry_column, bbox_column)
+    return df.withColumn(column, _qk.quadkey(lon, lat, zoom))
+
+
+def add_h3(df: DataFrame, geometry_column: str | None = None,
+           bbox_column: str | None = None, resolution: int = 8,
+           column: str = "h3", crs=None) -> DataFrame:
+    """H3 cell id of the centroid (reference: core/add_h3_column.py:57-84).
+
+    The real H3 indexing needs the ``h3`` library (not in this container);
+    when absent we fall back to a clearly-named lat/lon grid cell id with
+    h3-like resolution scaling. The fallback is DETERMINISTIC but NOT
+    H3-compatible — it exists so partition_by_h3 plumbing stays testable.
+    """
+    if not (0 <= resolution <= 15):
+        raise ValueError(f"h3 resolution must be in [0,15], got {resolution}")
+    _require_geographic(crs, "add_h3")
+    lon, lat = _centroid_lonlat(df, geometry_column, bbox_column)
+    try:
+        import h3  # noqa: F401
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(__import__("pyspark.sql.types", fromlist=["StringType"]).StringType())
+        def _h3(lats: "pd.Series", lons: "pd.Series") -> "pd.Series":
+            import h3 as _h3mod
+
+            return pd.Series(
+                [
+                    None if (la is None or lo is None)
+                    else _h3mod.latlng_to_cell(float(la), float(lo), resolution)
+                    for la, lo in zip(lats, lons)
+                ]
+            )
+
+        return df.withColumn(column, _h3(lat, lon))
+    except ImportError:
+        # fallback grid: cell side halves per resolution step, id is
+        # "gridN_<xcell>_<ycell>" — native exprs, no UDF.
+        cells = 2 ** (resolution + 2)
+        xc = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(cells)).cast("long")
+        yc = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(cells)).cast("long")
+        cell = F.concat(F.lit(f"grid{resolution}_"), xc.cast("string"),
+                        F.lit("_"), yc.cast("string"))
+        return df.withColumn(column, cell)
+
+
+def add_kdtree(
+    df: DataFrame,
+    geometry_column: str | None = None,
+    bbox_column: str | None = None,
+    x_column: str | None = None,
+    y_column: str | None = None,
+    iterations: int = 4,
+    column: str = "kdtree_cell",
+    sample_rows: int = 100_000,
+    exact: bool = False,
+) -> DataFrame:
+    """Balanced KD-tree cell ids as a binary string of length ``iterations``.
+
+    Two-phase like the reference (core/add_kdtree_column.py:61-207):
+    (1) learn split boundaries on a sample with per-cell medians,
+    (2) apply the boundary tree to the full data in one pass.
+    Phase 2 is a nested native CASE cascade — no UDF, no extra shuffle.
+    At 100 TB the sample is a tiny fraction and phase 2 is map-only.
+    """
+    if not (1 <= iterations <= 20):
+        raise ValueError("iterations must be in [1,20]")
+    if x_column and y_column:
+        x, y = F.col(x_column), F.col(y_column)
+    else:
+        x, y = _centroid_lonlat(df, geometry_column, bbox_column)
+    work = df.withColumn("__kd_x", x).withColumn("__kd_y", y)
+
+    # phase 1: boundaries from sample (exact median per cell at each level)
+    total = work.count()
+    if exact or total <= sample_rows:
+        sample = work.select("__kd_x", "__kd_y")
+    else:
+        sample = work.select("__kd_x", "__kd_y").sample(
+            fraction=min(1.0, sample_rows / max(total, 1)), seed=42
+        )
+    sample = sample.withColumn("__cell", F.lit(""))
+    boundaries: dict[str, float] = {}
+    for level in range(iterations):
+        dim = "__kd_x" if level % 2 == 0 else "__kd_y"
+        med = (
+            sample.groupBy("__cell")
+            .agg(F.expr(f"percentile({dim}, 0.5)").alias("m"))
+            .collect()
+        )
+        for r in med:
+            boundaries[r["__cell"]] = float(r["m"])
+        mcol = F.create_map(
+            *[x for r in med for x in (F.lit(r["__cell"]), F.lit(float(r["m"])))]
+        )
+        sample = sample.withColumn(
+            "__cell",
+            F.concat(
+                F.col("__cell"),
+                F.when(F.col(dim) < mcol[F.col("__cell")], F.lit("0")).otherwise(F.lit("1")),
+            ),
+        )
+
+    # phase 2: apply boundary tree as a chained native expression
+    cell = F.lit("")
+    for level in range(iterations):
+        dim = F.col("__kd_x") if level % 2 == 0 else F.col("__kd_y")
+        prefixes = [p for p in boundaries if len(p) == level]
+        expr = None
+        for p in sorted(prefixes):
+            cond = cell == F.lit(p)
+            branch = F.when(dim < F.lit(boundaries[p]), F.lit("0")).otherwise(F.lit("1"))
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        cell = F.concat(cell, expr)
+    out = work.withColumn(column, cell).drop("__kd_x", "__kd_y")
+    return out
+
+
+def reproject(df: DataFrame, geometry_column: str, src, dst,
+              transformer=None) -> DataFrame:
+    """ST_Transform the geometry column (reference: core/reproject.py:94-160).
+    CRS metadata update happens in the GeoTable wrapper."""
+    return df.withColumn(
+        geometry_column, G.st_transform(F.col(geometry_column), src, dst, transformer)
+    )

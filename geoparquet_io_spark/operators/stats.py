@@ -1,0 +1,213 @@
+"""Aggregation operators (SURVEY.md 2.5) + spatial-order check (2.14).
+
+bounds                  -> core/hilbert_order.py:80-92, api/table.py:113-163
+stats                   -> api/table.py:1473-1616 (single batched agg)
+analyze_partition       -> core/partition_common.py:167-330
+preview_partition       -> core/partition_common.py:478
+check_spatial_order     -> core/check_spatial_order.py:13-51
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoparquet_io_spark.functions import geom as G
+
+
+def bounds(
+    df: DataFrame,
+    geometry_column: str | None = None,
+    bbox_column: str | None = None,
+) -> tuple[float, float, float, float]:
+    """Dataset envelope in ONE aggregate pass.  Uses the bbox covering
+    column when present (native min/max — pushdown-friendly), else one
+    envelope-UDF pass over the geometry."""
+    if bbox_column and bbox_column in df.columns:
+        b = F.col(bbox_column)
+        row = df.agg(
+            F.min(b["xmin"]).alias("xmin"),
+            F.min(b["ymin"]).alias("ymin"),
+            F.max(b["xmax"]).alias("xmax"),
+            F.max(b["ymax"]).alias("ymax"),
+        ).collect()[0]
+    elif geometry_column:
+        env = G.st_envelope_struct(F.col(geometry_column)).alias("e")
+        row = (
+            df.select(env)
+            .agg(
+                F.min("e.xmin").alias("xmin"),
+                F.min("e.ymin").alias("ymin"),
+                F.max("e.xmax").alias("xmax"),
+                F.max("e.ymax").alias("ymax"),
+            )
+            .collect()[0]
+        )
+    else:
+        raise ValueError("bounds needs a geometry or bbox column")
+    return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_ORDERED = _NUMERIC + (T.StringType, T.DateType, T.TimestampType, T.BooleanType)
+
+
+def stats(df: DataFrame, geometry_columns: set[str] | None = None,
+          approx: bool = True) -> DataFrame:
+    """Per-column null count / min / max / distinct count, batched into a
+    single SELECT like the reference (api/table.py:1473-1616).
+    Geometry/binary columns report nulls only."""
+    geometry_columns = geometry_columns or set()
+    aggs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"{f.name}__nulls"))
+        orderable = isinstance(f.dataType, _ORDERED) and f.name not in geometry_columns
+        if orderable:
+            aggs.append(F.min(c).cast("string").alias(f"{f.name}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{f.name}__max"))
+            d = F.approx_count_distinct(c) if approx else F.count_distinct(c)
+            aggs.append(d.alias(f"{f.name}__distinct"))
+    wide = df.agg(*aggs)
+    # unpivot to (column, nulls, min, max, approx_distinct)
+    rows = wide.collect()[0].asDict()
+    spark = df.sparkSession
+    out = []
+    for f in df.schema.fields:
+        out.append(
+            (
+                f.name,
+                f.dataType.simpleString(),
+                rows.get(f"{f.name}__nulls"),
+                rows.get(f"{f.name}__min"),
+                rows.get(f"{f.name}__max"),
+                rows.get(f"{f.name}__distinct"),
+            )
+        )
+    return spark.createDataFrame(
+        out, "column string, type string, nulls long, min string, max string, distinct long"
+    )
+
+
+@dataclass
+class PartitionAnalysis:
+    """Reference thresholds: core/partition_common.py:171-178."""
+
+    num_partitions: int
+    total_rows: int
+    min_rows: int
+    max_rows: int
+    avg_rows: float
+    median_rows: float
+    imbalance: float
+    errors: list[str]
+    warnings: list[str]
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+
+MAX_PARTITIONS = 10_000
+MIN_AVG_ROWS = 100
+MAX_IMBALANCE = 1000.0
+
+
+def analyze_partition_strategy(df: DataFrame, key) -> PartitionAnalysis:
+    """Preflight guardrails before a partitioned write
+    (reference: core/partition_common.py:167-330)."""
+    counts = df.groupBy(F.expr(key) if isinstance(key, str) else key).count()
+    row = counts.agg(
+        F.count("*").alias("n"),
+        F.sum("count").alias("total"),
+        F.min("count").alias("mn"),
+        F.max("count").alias("mx"),
+        F.avg("count").alias("avg"),
+        F.expr("percentile(count, 0.5)").alias("med"),
+    ).collect()[0]
+    n = row["n"] or 0
+    med = float(row["med"] or 0)
+    imb = (float(row["mx"]) / med) if med else float("inf") if n else 0.0
+    errors, warnings = [], []
+    if n > MAX_PARTITIONS:
+        errors.append(f"{n} partitions exceeds {MAX_PARTITIONS}")
+    if n and float(row["avg"]) < MIN_AVG_ROWS:
+        errors.append(f"average rows/partition {row['avg']:.1f} < {MIN_AVG_ROWS}")
+    if imb > MAX_IMBALANCE:
+        errors.append(f"imbalance {imb:.0f}x exceeds {MAX_IMBALANCE}x")
+    elif imb > 100:
+        warnings.append(f"imbalance {imb:.0f}x")
+    return PartitionAnalysis(
+        num_partitions=int(n),
+        total_rows=int(row["total"] or 0),
+        min_rows=int(row["mn"] or 0),
+        max_rows=int(row["mx"] or 0),
+        avg_rows=float(row["avg"] or 0),
+        median_rows=med,
+        imbalance=imb,
+        errors=errors,
+        warnings=warnings,
+    )
+
+
+def preview_partition(df: DataFrame, key, n: int = 10) -> DataFrame:
+    """Top-n partition values by count (core/partition_common.py:478).
+    Deterministic tiebreak on the value itself."""
+    kcol = F.expr(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(kcol.alias("value"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(n)
+    )
+
+
+def check_spatial_order(
+    df: DataFrame,
+    geometry_column: str | None = None,
+    bbox_column: str | None = None,
+    sample_size: int = 100,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> dict:
+    """Consecutive-vs-random average distance ratio
+    (reference: core/check_spatial_order.py:13-51,98-138).
+
+    ratio = avg(dist(row_i, row_{i+1})) / avg(dist(random pair));
+    ratio < threshold => data is spatially clustered.
+    """
+    from geoparquet_io_spark.operators.add_columns import _centroid_lonlat
+
+    x, y = _centroid_lonlat(df, geometry_column, bbox_column)
+    pts = df.select(x.alias("x"), y.alias("y"))
+
+    # consecutive distances via lag window over the file order
+    w = Window.orderBy(F.monotonically_increasing_id())
+    consec = (
+        pts.withColumn("px", F.lag("x").over(w))
+        .withColumn("py", F.lag("y").over(w))
+        .filter(F.col("px").isNotNull())
+        .select(F.hypot(F.col("x") - F.col("px"), F.col("y") - F.col("py")).alias("d"))
+        .agg(F.avg("d").alias("avg"))
+        .collect()[0]["avg"]
+    )
+    a = pts.orderBy(F.rand(seed)).limit(sample_size).alias("a")
+    b = pts.orderBy(F.rand(seed + 1)).limit(sample_size).alias("b")
+    rand_avg = (
+        a.crossJoin(b)
+        .filter((F.col("a.x") != F.col("b.x")) | (F.col("a.y") != F.col("b.y")))
+        .select(F.hypot(F.col("a.x") - F.col("b.x"), F.col("a.y") - F.col("b.y")).alias("d"))
+        .agg(F.avg("d").alias("avg"))
+        .collect()[0]["avg"]
+    )
+    ratio = float(consec) / float(rand_avg) if rand_avg else float("nan")
+    return {
+        "consecutive_avg_distance": float(consec) if consec is not None else None,
+        "random_avg_distance": float(rand_avg) if rand_avg is not None else None,
+        "ratio": ratio,
+        "ordered": ratio < threshold,
+    }
