@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline; ``queries()`` /
+``oracle_sql()`` expose the operator registry in
+``geoparquet_io_spark/queries.py`` (one entry per implemented operator
+from SURVEY.md section 2, each with a DuckDB-oracle SQL mirror).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001: synthesize WKB points from events,
+    add bbox covering column, bbox-extract, hilbert-sort, project."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, "/root/testdata/sf0.001")
+    out = gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert(keep_key=True)
+    from geoparquet_io_spark.functions import geom as G
+
+    return out.df.select(
+        "event_id",
+        F.col("__hilbert").alias("hilbert_key"),
+        G.st_x(F.col("geometry")).alias("x"),
+        G.st_y(F.col("geometry")).alias("y"),
+        "event_type",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from geoparquet_io_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geoparquet_io_spark.queries import all_oracles
+
+    return all_oracles()

@@ -3,6 +3,7 @@
 from geoparquet_io_spark.functions import wkb, wkt, crs, hilbert, quadkey  # noqa: F401
 from geoparquet_io_spark.functions.geom import (  # noqa: F401
     st_point,
+    st_box,
     st_geomfromtext,
     st_try_geomfromtext,
     st_astext,

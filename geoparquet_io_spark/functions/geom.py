@@ -55,6 +55,19 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.BinaryType())
+def st_box(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """Axis-aligned box polygon (ST_MakeEnvelope equivalent,
+    reference: core/extract.py:577-579)."""
+    out = []
+    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
+        if a is None or b is None or c is None or d is None:
+            out.append(None)
+        else:
+            out.append(_wkb.encode_box_polygon(float(a), float(b), float(c), float(d)))
+    return pd.Series(out)
+
+
+@pandas_udf(T.BinaryType())
 def st_geomfromtext(t: pd.Series) -> pd.Series:
     return t.map(lambda s: None if s is None else _wkt.from_wkt(s))
 

@@ -1,0 +1,151 @@
+"""Join operators (SURVEY.md 2.4).
+
+add_admin_divisions -> spatial enrichment LEFT JOIN
+  (reference: _build_spatial_join_query, core/add_admin_divisions_multi.py:72-108;
+   extent pre-filter _add_extent_filter :111-150)
+
+Scale design: admin tables are small (countries ~200 rows), so the right
+side is extent-pruned, COLLECTED, and shipped in a ``mapInPandas`` closure
+— the join is a map-only pass over the big side (bbox candidate prefilter
+via vectorized numpy compares, then the exact intersects kernel), with
+true LEFT semantics and zero shuffle.  Spark cannot express this plan
+declaratively (python UDFs are banned in outer-join ON clauses), and a
+broadcast-hash-join + post-filter loses unmatched rows; this is the same
+"broadcast the dimension" strategy, one level lower.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoparquet_io_spark.functions import geom as G
+from geoparquet_io_spark.functions import wkb as _wkb
+
+# right side larger than this is refused (the closure ships to every task;
+# use a shuffle join strategy instead)
+MAX_BROADCAST_ROWS = 1_000_000
+
+
+def spatial_join(
+    left: DataFrame,
+    left_geometry: str,
+    left_bbox: str | None,
+    right: DataFrame,
+    right_geometry: str | None,
+    right_bbox: str | None,
+    right_columns: list[str],
+    how: str = "left",
+    prune_right_by_extent: bool = True,
+) -> DataFrame:
+    """bbox-prefiltered exact-intersects join; right side broadcast via closure."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    from geoparquet_io_spark.operators.stats import bounds as _bounds
+
+    r = right
+    if prune_right_by_extent:
+        # aggregate input extent, pre-filter the admin table before the join
+        # (reference: core/add_admin_divisions_multi.py:111-150)
+        ext = _bounds(left, geometry_column=left_geometry, bbox_column=left_bbox)
+        if right_bbox and right_bbox in right.columns:
+            r = r.filter(G.bbox_intersects(F.col(right_bbox), *ext))
+        elif right_geometry:
+            env = G.st_envelope_struct(F.col(right_geometry))
+            r = (
+                r.withColumn("__renv", env)
+                .filter(G.bbox_intersects(F.col("__renv"), *ext))
+                .drop("__renv")
+            )
+
+    if right_geometry is None:
+        raise ValueError("spatial_join needs a right geometry column")
+
+    r_local = r.select(right_geometry, *right_columns).collect()
+    if len(r_local) > MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"right side has {len(r_local)} rows — too large for the broadcast "
+            "spatial join; pre-partition both sides by a space-filling key instead"
+        )
+
+    # driver-side candidate index: right envelopes as numpy arrays
+    r_geoms = [bytes(row[right_geometry]) for row in r_local]
+    r_envs = np.array([_wkb.envelope(g) for g in r_geoms]) if r_geoms else np.zeros((0, 4))
+    r_attrs = [[row[c] for c in right_columns] for row in r_local]
+    right_schema = [right.schema[c] for c in right_columns]
+
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f.name, f.dataType, True) for f in right_schema]
+    )
+    n_right_cols = len(right_columns)
+    left_cols = [f.name for f in left.schema.fields]
+    geom_idx = left_cols.index(left_geometry)
+
+    def join_batches(batches):
+        parsed_right = [_wkb.parse(g) for g in r_geoms]
+        for pdf in batches:
+            geoms = pdf.iloc[:, geom_idx]
+            match_rows: list[int] = []
+            match_attrs: list[list] = []
+            for i, gb in enumerate(geoms):
+                emitted = False
+                if gb is not None and len(r_geoms):
+                    e = _wkb.envelope(bytes(gb))
+                    cand = np.nonzero(
+                        (r_envs[:, 0] <= e[2]) & (r_envs[:, 2] >= e[0])
+                        & (r_envs[:, 1] <= e[3]) & (r_envs[:, 3] >= e[1])
+                    )[0]
+                    if len(cand):
+                        gp = _wkb.parse(bytes(gb))
+                        for j in cand:
+                            if _wkb._geom_intersects(gp, parsed_right[j]):
+                                match_rows.append(i)
+                                match_attrs.append(r_attrs[j])
+                                emitted = True
+                if not emitted and how == "left":
+                    match_rows.append(i)
+                    match_attrs.append([None] * n_right_cols)
+            out = pdf.iloc[match_rows].reset_index(drop=True)
+            for k, c in enumerate(right_columns):
+                out[c] = pd.Series([a[k] for a in match_attrs], dtype="object")
+            yield out
+
+    return left.mapInPandas(join_batches, schema=out_schema)
+
+
+def add_admin_divisions(
+    df: DataFrame,
+    geometry_column: str,
+    bbox_column: str | None,
+    admin: DataFrame,
+    admin_geometry: str | None,
+    admin_bbox: str | None,
+    levels: list[str],
+    prefix: str = "admin:",
+) -> DataFrame:
+    """Enrich with admin columns named ``{prefix}{level}``
+    (reference: core/add_admin_divisions_multi.py, core/add_country_codes.py)."""
+    out = spatial_join(
+        df, geometry_column, bbox_column,
+        admin, admin_geometry, admin_bbox,
+        right_columns=levels, how="left",
+    )
+    for lv in levels:
+        out = out.withColumnRenamed(lv, f"{prefix}{lv}")
+    return out
+
+
+def match_rate(df: DataFrame, column: str) -> dict:
+    """COUNT(*) vs COUNT(matched) (reference: partition_admin_hierarchical.py:247-262)."""
+    row = df.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col(column).isNotNull(), 1)).alias("matched"),
+    ).collect()[0]
+    total, matched = row["total"], row["matched"]
+    return {"total": total, "matched": matched,
+            "rate": (matched / total) if total else 0.0}

@@ -1,0 +1,98 @@
+"""Partition writers (SURVEY.md 2.10).
+
+The reference's partitioning is a per-value loop of full-scan COPYs
+(core/partition_common.py:708-778) — O(distinct values) scans.  Here every
+strategy funnels into ONE hive-partitioned write: derive the key column,
+preflight-analyze it, shuffle once on the key, and let the executor-side
+pyarrow writers emit `col=value/` files with per-file footer metadata.
+Semantics preserved (file-per-value, hive naming, preflight guardrails,
+covering metadata); the loop is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.operators.stats import analyze_partition_strategy
+
+DEFAULT_QUADKEY_COLUMN_RESOLUTION = 13  # reference: core/constants.py:12-18
+DEFAULT_QUADKEY_PARTITION_RESOLUTION = 9
+
+
+def _checked_write(gt, key_column: str, path: str, skip_analysis: bool,
+                   force: bool, **kw) -> list[str]:
+    if not skip_analysis:
+        analysis = analyze_partition_strategy(gt.df, key_column)
+        if analysis.errors and not force:
+            raise ValueError(
+                "pathological partition strategy: "
+                + "; ".join(analysis.errors)
+                + " (pass force=True or skip_analysis=True)"
+            )
+    return gt.write(path, partition_by=[key_column], **kw)
+
+
+def partition_by_string(gt, column: str, path: str, chars: int | None = None,
+                        skip_analysis: bool = False, force: bool = False,
+                        **kw) -> list[str]:
+    """Partition on a column value or its LEFT(col, chars) prefix
+    (reference: core/partition_by_string.py:46)."""
+    work = gt
+    key = column
+    if chars is not None:
+        key = f"{column}_prefix"
+        work = gt._wrap(gt.df.withColumn(key, F.substring(F.col(column), 1, chars)))
+    return _checked_write(work, key, path, skip_analysis, force, **kw)
+
+
+def partition_by_quadkey(
+    gt, path: str,
+    partition_resolution: int = DEFAULT_QUADKEY_PARTITION_RESOLUTION,
+    column_resolution: int = DEFAULT_QUADKEY_COLUMN_RESOLUTION,
+    skip_analysis: bool = False, force: bool = False, **kw,
+) -> list[str]:
+    """Quadkey-prefix partitioning (reference: core/partition_by_quadkey.py:123).
+    Adds the quadkey column (res ``column_resolution``) when missing, then
+    partitions on its ``partition_resolution``-char prefix."""
+    work = gt
+    if "quadkey" not in work.df.columns:
+        work = work.add_quadkey(zoom=column_resolution)
+    key = f"quadkey_{partition_resolution}"
+    work = work._wrap(work.df.withColumn(
+        key, F.substring(F.col("quadkey"), 1, partition_resolution)))
+    return _checked_write(work, key, path, skip_analysis, force, **kw)
+
+
+def partition_by_h3(gt, path: str, resolution: int = 8,
+                    skip_analysis: bool = False, force: bool = False,
+                    **kw) -> list[str]:
+    """One directory per H3 cell (reference: core/partition_by_h3.py:97)."""
+    work = gt if "h3" in gt.df.columns else gt.add_h3(resolution=resolution)
+    return _checked_write(work, "h3", path, skip_analysis, force, **kw)
+
+
+def partition_by_kdtree(gt, path: str, iterations: int = 4,
+                        skip_analysis: bool = False, force: bool = False,
+                        **kw) -> list[str]:
+    """2^iterations balanced cells (reference: core/partition_by_kdtree.py:112)."""
+    work = gt if "kdtree_cell" in gt.df.columns else gt.add_kdtree(iterations=iterations)
+    return _checked_write(work, "kdtree_cell", path, skip_analysis, force, **kw)
+
+
+def partition_by_admin(gt, admin, levels: list[str], path: str,
+                       prefix: str = "admin:", skip_analysis: bool = False,
+                       force: bool = False, **kw) -> list[str]:
+    """Hierarchical admin partitioning: spatial-join enrich then one
+    multi-level hive write (reference: core/partition_admin_hierarchical.py:422)."""
+    enriched = gt.add_admin_divisions(admin, levels=levels, prefix=prefix)
+    cols = [f"{prefix}{lv}" for lv in levels]
+    # hive dir names cannot hold ':'; rename to plain level names
+    df = enriched.df
+    for c, lv in zip(cols, levels):
+        df = df.withColumnRenamed(c, lv)
+    work = gt._wrap(df)
+    if not skip_analysis:
+        analysis = analyze_partition_strategy(work.df, levels[0])
+        if analysis.errors and not force:
+            raise ValueError("pathological partition strategy: " + "; ".join(analysis.errors))
+    return work.write(path, partition_by=levels, **kw)

@@ -59,7 +59,7 @@ def nation_boxes(df: DataFrame) -> DataFrame:
     Gaps of 1 degree between tiles keep them strictly disjoint so a point
     matches at most one box."""
     col = F.col("n_nationkey") % 5
-    row = (F.col("n_nationkey") / 5).cast("int") % 5
+    row = F.floor(F.col("n_nationkey") / 5).cast("int") % 5
     xmin = (col * 72 - 180).cast("double") + 0.5
     ymin = (row * 34 - 85).cast("double") + 0.5
     return (
@@ -72,7 +72,7 @@ def nation_boxes(df: DataFrame) -> DataFrame:
 
 NATION_BOX_SQL = {
     "xmin": "(CAST((n_nationkey % 5) * 72 - 180 AS DOUBLE) + 0.5)",
-    "ymin": "(CAST((CAST(n_nationkey / 5 AS INT) % 5) * 34 - 85 AS DOUBLE) + 0.5)",
+    "ymin": "(CAST((CAST(floor(n_nationkey / 5) AS INT) % 5) * 34 - 85 AS DOUBLE) + 0.5)",
     "xmax": "(CAST((n_nationkey % 5) * 72 - 180 AS DOUBLE) + 0.5 + 71.0)",
-    "ymax": "(CAST((CAST(n_nationkey / 5 AS INT) % 5) * 34 - 85 AS DOUBLE) + 0.5 + 33.0)",
+    "ymax": "(CAST((CAST(floor(n_nationkey / 5) AS INT) % 5) * 34 - 85 AS DOUBLE) + 0.5 + 33.0)",
 }

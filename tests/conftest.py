@@ -1,0 +1,55 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from geoparquet_io_spark.session import get_spark
+
+    s = get_spark("tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize_rows(rows):
+    """Order-insensitive, type-tolerant row comparison (mirrors the
+    driver's sorted value-hash)."""
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            if v != v:
+                return "NaN"
+            return f"{v:.6g}" if abs(v) > 1e-12 else "0"
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return f"{float(v):.6g}"
+        except ImportError:
+            pass
+        return str(v)
+
+    return sorted(tuple(norm(v) for v in r) for r in rows)
