@@ -1,0 +1,69 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Every query is forced through the noop sink so projections and UDF
+columns are fully evaluated (a bare count() would let Spark prune them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: relational aggs/joins + geometry pipeline + scale ops
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "extract_where_columns",
+    "geo_bbox_fast_path",
+    "geo_hilbert_key",
+    "geo_quadkey_z6",
+    "geo_spatial_join",
+    "geo_reproject_mercator",
+    "geo_kdtree_cells",
+]
+
+
+def main() -> None:
+    from geoparquet_io_spark.session import get_spark
+    from geoparquet_io_spark.queries import REGISTRY
+
+    spark = get_spark("bench")
+    # one warm-up action so JVM/Arrow init doesn't pollute the first query
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        fn = REGISTRY[name][0]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
