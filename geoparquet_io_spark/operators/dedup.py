@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — all built from
+NATIVE Spark expressions (md5 + array functions inside codegen; shuffles
+only on the grouping keys).  At 100 TB: shingling/minhashing is map-only;
+the only shuffles are the band-bucket groupBys whose keys are short
+hashes (well distributed, no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- exact -------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, columns: list[str] | None = None,
+                key_column: str | None = None) -> DataFrame:
+    """Drop exact duplicates on ``columns`` (default all); when
+    ``key_column`` is given, keep the row with the smallest key
+    (deterministic survivor) instead of an arbitrary one."""
+    cols = columns or df.columns
+    if key_column is None:
+        return df.dropDuplicates(cols)
+    w_cols = [F.col(c) for c in cols]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*w_cols).orderBy(F.col(key_column).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, columns: list[str],
+                     key_column: str) -> DataFrame:
+    """(group value, survivor key, group size) — the inspection companion."""
+    return df.groupBy(*columns).agg(
+        F.min(key_column).alias("survivor"),
+        F.count("*").alias("group_size"),
+    )
+
+
+# --- shingling ---------------------------------------------------------------
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """All k-character shingles (array<string>; empty when len(text) < k).
+    Pure native expr: sequence + transform + substring.  NB: sequence(1, 0)
+    yields a DESCENDING [1, 0] — the when() guard is load-bearing."""
+    n = F.length(text) - F.lit(k - 1)
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(seq, lambda i: F.substring(text, i, k))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams joined by single spaces."""
+    toks = F.split(F.trim(text), r"\s+")
+    cnt = F.size(toks) - F.lit(n - 1)
+    seq = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 5) -> Column:
+    """Array of ``num_hashes`` minhashes: min over shingles of
+    md5(seed || shingle).  md5 keeps Spark and any SQL oracle identical."""
+    sh = shingles(text, k)
+
+    def hasher(seed: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # passes (element, index) to two-parameter callables.
+        return lambda s: F.md5(F.concat(F.lit(str(seed)), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_bands(df: DataFrame, text_column: str = "text",
+                  num_hashes: int = 8, bands: int = 4, k: int = 5,
+                  signature_column: str = "minhash") -> DataFrame:
+    """Add the signature and one band-hash column per band; rows sharing a
+    band hash are LSH candidates (banding per Broder/MMDS)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    out = df.withColumn(signature_column, minhash_signature(F.col(text_column), num_hashes, k))
+    for b in range(bands):
+        parts = [F.col(signature_column)[b * rows + r] for r in range(rows)]
+        out = out.withColumn(f"band_{b}", F.md5(F.concat(*parts)))
+    return out
+
+
+def minhash_candidate_pairs(df: DataFrame, id_column: str,
+                            text_column: str = "text", num_hashes: int = 8,
+                            bands: int = 4, k: int = 5) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that collide in >=1 band.
+    Shuffle keys are the band hashes — short, uniform, no skew."""
+    banded = minhash_bands(df, text_column, num_hashes, bands, k)
+    pair_frames = []
+    for b in range(bands):
+        side = banded.select(F.col(id_column).alias("id"), F.col(f"band_{b}").alias("bh"))
+        a = side.alias("a")
+        bb = side.alias("b")
+        pair_frames.append(
+            a.join(bb, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
+                  num_hashes: int = 8, bands: int = 4, k: int = 5,
+                  jaccard_threshold: float | None = None) -> DataFrame:
+    """Remove near-duplicates: among rows colliding in any band (optionally
+    confirmed by shingle Jaccard >= threshold), keep the smallest id.
+
+    Survivor rule matches 'first document wins' with ids as arrival order.
+    """
+    pairs = minhash_candidate_pairs(df, id_column, text_column, num_hashes, bands, k)
+    if jaccard_threshold is not None:
+        sh = df.select(F.col(id_column).alias("id"),
+                       F.array_distinct(shingles(F.col(text_column), k)).alias("sh"))
+        pairs = (
+            pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+            .filter(F.col("inter") / F.greatest(F.col("uni"), F.lit(1)) >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+    # a row is dropped iff it collides with ANY smaller id (transitive
+    # star-shaped dedup, same policy as ml.feature MinHashLSH examples)
+    losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(losers, id_column, "left_anti")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash16(text: Column, k: int = 5) -> Column:
+    """16-bit SimHash over k-shingles.  Bits come from the first 4 hex chars
+    of md5(shingle); each bit votes +-1 weighted by occurrence.
+
+    Native-only: explode-free via transform + aggregate over the shingle
+    array; 16 bits keeps the expression tree (and any SQL oracle) tractable.
+    """
+    sh = shingles(text, k)
+    hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 4))
+    bit_sums = []
+    for bit in range(16):
+        ch = bit // 4 + 1
+        shift = 3 - bit % 4
+        # hex char -> 4-bit value via strpos in '0123456789abcdef'
+        val = F.transform(
+            hexes,
+            lambda h: (
+                F.when(
+                    F.shiftright(
+                        F.position(F.substring(h, ch, 1), F.lit("0123456789abcdef")) - 1,
+                        shift,
+                    ) % 2 == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ),
+        )
+        bit_sums.append(
+            F.aggregate(val, F.lit(0), lambda acc, v: acc + v)
+        )
+    sim = F.lit(0).cast("long")
+    for bit, s in enumerate(bit_sums):
+        sim = sim + F.when(s > 0, F.lit(1 << (15 - bit)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def add_simhash(df: DataFrame, text_column: str = "text",
+                column: str = "simhash", k: int = 5) -> DataFrame:
+    return df.withColumn(column, simhash16(F.col(text_column), k))
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, id_column: str, pairs: DataFrame,
+                  text_column: str = "text", k: int = 5,
+                  use_words: bool = False, n: int = 3) -> DataFrame:
+    """Jaccard similarity of shingle sets for given (id_a, id_b) pairs."""
+    gram = word_ngrams(F.col(text_column), n) if use_words else shingles(F.col(text_column), k)
+    sh = df.select(F.col(id_column).alias("id"), F.array_distinct(gram).alias("sh"))
+    return (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a
+random-hyperplane-LSH bucketed variant as the 100 TB scale path
+(candidates only meet inside buckets — the cross product never
+materializes globally).
+
+All vector math is native (zip_with/aggregate stay in codegen); the
+brute-force path broadcasts the (small) query set.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    query_id_column: str | None = None,
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbours per query vector.
+
+    The query set is broadcast; the big side streams map-only through the
+    crossJoin + windowed top-k (the window shuffles only (query, candidate
+    score) pairs — k rows per query survive).
+    """
+    qid = query_id_column or id_column
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    )
+    sim = cosine(F.col("__qv"), F.col("__dv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG, no numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 33) / float(1 << 31)) - 1.0)
+        length = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / length for x in v])
+    return planes
+
+
+def lsh_bucket(vector: Column, planes: list[list[float]]) -> Column:
+    """Sign-concatenation bucket id for random-hyperplane LSH."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vector, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale the bucket column becomes the shuffle/partition key; each
+    bucket's cross product is tiny (2^n_planes buckets).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    ).withColumn("bucket", lsh_bucket(F.col("__dv"), planes))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("__qv"), planes))
+    sim = cosine(F.col("__qv"), F.col("__dv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        d.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, bucketed by
+    LSH so only same-bucket pairs are compared (id_a < id_b)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = df.select(
+        F.col(id_column).alias("id"),
+        as_double_array(F.col(vector_column)).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -546,3 +546,8 @@ def all_queries():
 
 def all_oracles():
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# training-data operator queries register themselves on import (kept in a
+# separate module for size; shares this REGISTRY)
+from geoparquet_io_spark import queries_data  # noqa: E402,F401

@@ -1,0 +1,380 @@
+"""Oracle-backed queries for the training-data operators (dedup /
+similarity / text / multimodal / streaming-parity).
+
+Imported by queries.py for registration.  The oracle SQL for
+minhash/simhash/cosine is machine-generated so the hash-seed layout and
+fold order match the Spark expressions exactly (md5-based hashing keeps
+both engines bit-identical; folds start from the left so
+0.0+v1+v2... == v1+v2...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.queries import register
+from geoparquet_io_spark.testsupport.tables import load_table
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "string_split_regex(trim({t}), '\\s+')"
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, len({_TOKENS_SQL.format(t='text')}) AS n_tokens
+    FROM documents WHERE len(trim(text)) > 0
+    """,
+)
+def q_token_count(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(text) AS n_chars,
+             len({_TOKENS_SQL.format(t='text')}) AS n_tokens,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             len(text) - len(regexp_replace(text, '[^\\w \\t\\n]', '', 'g')) AS punct,
+             len(list_filter({_TOKENS_SQL.format(t='lower(text)')},
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS sw
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT doc_id,
+           ROUND(alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+           ROUND(sw / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           ROUND(0.4 * (alpha / greatest(n_chars, 1))
+               + 0.3 * least(sw / greatest(n_tokens, 1) * 4, 1.0)
+               + 0.2 * (1.0 - least((punct / greatest(n_chars, 1)) * 5, 1.0))
+               + 0.1 * (1.0 - least((digits / greatest(n_chars, 1)) * 5, 1.0)), 6) AS quality_score
+    FROM f
+    """,
+)
+def q_quality(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    out = quality_features(d)
+    return out.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def _langid_oracle() -> str:
+    from geoparquet_io_spark.operators.text import LANG_STOPWORDS
+
+    toks = _TOKENS_SQL.format(t="lower(text)")
+    scores = []
+    for lang, sws in sorted(LANG_STOPWORDS.items()):
+        lst = "[" + ",".join(f"'{w}'" for w in sws) + "]"
+        scores.append(f"len(list_filter({toks}, w -> list_contains({lst}, w))) AS s_{lang}")
+    langs = sorted(LANG_STOPWORDS)
+    # alphabetically-first language wins ties
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:]) or "TRUE"
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents)
+    SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+@register("text_langid", _langid_oracle())
+def q_langid(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+@register(
+    "dedup_exact_fingerprint",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS survivor, COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def q_fingerprint_groups(spark, sf_dir):
+    from geoparquet_io_spark.operators.dedup import duplicate_groups
+    from geoparquet_io_spark.operators.text import fingerprint
+
+    d = fingerprint(load_table(spark, sf_dir, "documents"))
+    return duplicate_groups(d, ["fingerprint"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash / jaccard
+# ---------------------------------------------------------------------------
+
+def _shingles_sql(text: str, k: int) -> str:
+    return f"[substr({text}, i, {k}) FOR i IN range(1, greatest(len({text}) - {k - 1}, 0) + 1)]"
+
+
+def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
+    rows = num_hashes // bands
+    mh = ", ".join(
+        f"list_min([md5('{i}' || s) FOR s IN sh]) AS mh{i}" for i in range(num_hashes)
+    )
+    band_cols = ", ".join(
+        "md5(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {b} AS band, doc_id, band_{b} AS bh FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_shingles_sql('text', k)} AS sh
+               FROM documents WHERE len(text) >= {k}),
+    sigs AS (SELECT doc_id, {mh} FROM d),
+    banded AS (SELECT doc_id, {band_cols} FROM sigs),
+    u AS ({union})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM u a JOIN u b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_pairs", _minhash_pairs_oracle())
+def q_minhash_pairs(spark, sf_dir):
+    from geoparquet_io_spark.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4, k=5)
+
+
+def _simhash_oracle(k: int = 5) -> str:
+    hexes = f"[substr(md5(s), 1, 4) FOR s IN {_shingles_sql('text', k)}]"
+    bit_terms = []
+    for bit in range(16):
+        ch = bit // 4 + 1
+        shift = 3 - bit % 4
+        vote = (
+            f"CASE WHEN ((strpos('0123456789abcdef', substr(h, {ch}, 1)) - 1) >> {shift}) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        )
+        s = f"list_reduce([{vote} FOR h IN hx], (x, y) -> x + y)"
+        bit_terms.append(f"(CASE WHEN {s} > 0 THEN {1 << (15 - bit)} ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return f"""
+    WITH d AS (SELECT doc_id, {hexes} AS hx FROM documents WHERE len(text) >= {k})
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM d
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_simhash(spark, sf_dir):
+    from geoparquet_io_spark.operators.dedup import add_simhash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return add_simhash(d).select("doc_id", "simhash")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct({_shingles_sql('text', 3)}) AS sh
+               FROM documents WHERE doc_id % 7 = 0 AND len(text) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE)
+                 / greatest(len(a.sh) + len(b.sh)
+                            - len(list_filter(a.sh, s -> list_contains(b.sh, s))), 1),
+                 6) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    from geoparquet_io_spark.operators.dedup import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 3)
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    pairs = a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b"))) \
+             .select("id_a", "id_b")
+    out = jaccard_pairs(d, "doc_id", pairs, "text", k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_V64 = "[CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_reduce([{a}[i] * {b}[i] FOR i IN range(1, 65)], (x, y) -> x + y)"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_cosine_sql('qv', 'v')}, 6) AS cosine
+          FROM e, q WHERE e.vec_id != q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_topk(spark, sf_dir):
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return brute_force_topk(e, q, "vec_id", "embedding", k=3, round_digits=6)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings WHERE vec_id % 3 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.v', 'b.v')} >= 0.3
+    """,
+)
+def q_near_dup(spark, sf_dir):
+    from geoparquet_io_spark.operators.similarity import as_double_array, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing + streaming parity
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, 'image' AS media_type,
+           CAST(octet_length(encode(substr(text, 1, 100))) AS BIGINT) AS byte_size,
+           md5(substr(text, 1, 100)) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    from geoparquet_io_spark.operators.multimodal import media_metadata
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("data", F.encode(F.substring("text", 1, 100), "utf-8"))
+    m = d.withColumn("meta", media_metadata(F.col("data"), "image"))
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.byte_size").alias("byte_size"),
+        F.col("meta.digest").alias("digest"),
+    )
+
+
+@register("multimodal_image_features", None)  # decode is stubbed: rows-only check
+def q_multimodal_features(spark, sf_dir):
+    from geoparquet_io_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.substring("text", 1, 64), "utf-8").alias("data")
+    )
+    out = extract_image_features(d, "data", deterministic_fake=True)
+    return out.select(
+        "doc_id",
+        F.col("image_features.width").alias("width"),
+        F.col("image_features.height").alias("height"),
+        F.round(F.col("image_features.mean_luma"), 4).alias("mean_luma"),
+    )
+
+
+@register(
+    "stream_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windows(spark, sf_dir):
+    """Batch-mode parity for the streaming windowed aggregation — the SAME
+    transformation runs under readStream (tested in tests/test_streaming.py)."""
+    from geoparquet_io_spark.streaming.events import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    from geoparquet_io_spark.streaming.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, "30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events", "sum_value",
+    )

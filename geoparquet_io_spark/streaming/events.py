@@ -1,0 +1,77 @@
+"""Structured Streaming surface.
+
+The reference's "streaming" is Arrow-IPC pipe transport, not continuous
+processing (core/streaming.py; SURVEY.md 2.12) — lazy DataFrame chaining
+covers that.  This module adds the real streaming counterpart a Spark
+engine should have: file-source streams over the same tables, windowed
+aggregation with watermarks, and streaming dedup — each transformation is
+batch/stream agnostic so the batch oracle can validate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_column: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type; watermark bounds
+    state for late data.  Works identically on batch DataFrames (pass a
+    batch df -> the same plan without watermark state)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_column, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_column), window_duration), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, key_columns: list[str],
+                 watermark: str = "2 hours", ts_column: str = "ts") -> DataFrame:
+    """Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_column, watermark) \
+            .dropDuplicatesWithinWatermark(key_columns)
+    return events.dropDuplicates(key_columns)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_column: str = "ts",
+    user_column: str = "user_id",
+) -> DataFrame:
+    """Session windows per user (session_window — native stateful op)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_column, gap)
+    return (
+        df.groupBy(F.session_window(F.col(ts_column), gap), F.col(user_column))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            user_column, "n_events", "sum_value",
+        )
+    )

@@ -1,0 +1,110 @@
+"""GeoTable fluent API + GeoParquet IO integration tests."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    from geoparquet_io_spark.queries import _events_points
+
+    return _events_points(spark, SF_SMOKE)
+
+
+def test_write_read_roundtrip_single_file(points, spark, tmp_path):
+    import geoparquet_io_spark as gps
+
+    out = str(tmp_path / "pts.parquet")
+    files = points.write(out)
+    assert files == [out]
+    meta = pq.read_schema(out).metadata
+    assert b"geo" in meta
+    back = gps.read(spark, out)
+    assert back.count() == points.count()
+    assert back.geometry_column == "geometry"
+    assert back.bbox_column == "bbox"
+    assert back.crs == "EPSG:4326"
+
+
+def test_distributed_write_and_partition_read(points, spark, tmp_path):
+    import geoparquet_io_spark as gps
+
+    out = str(tmp_path / "pts_dir")
+    files = points.write(out, partition_by=["event_type"])
+    assert all("event_type=" in f for f in files)
+    assert all(b"geo" in pq.read_schema(f).metadata for f in files)
+    back = gps.read_partition(spark, out)
+    assert back.count() == points.count()
+    assert "event_type" in back.df.columns  # hive partition column recovered
+
+
+def test_partition_by_string_with_preflight(points, tmp_path):
+    out = str(tmp_path / "by_type")
+    files = points.partition_by_string("event_type", out)
+    assert len(files) >= 3
+    # pathological key -> preflight error (event_id is unique: avg rows < 100)
+    with pytest.raises(ValueError, match="pathological"):
+        points.partition_by_string("event_id", str(tmp_path / "bad"))
+
+
+def test_partition_by_kdtree(points, tmp_path):
+    out = str(tmp_path / "kdtree")
+    files = points.partition_by_kdtree(out, iterations=2, skip_analysis=True)
+    # 2^2 = 4 balanced cells
+    cells = {f.split("kdtree_cell=")[1].split("/")[0] for f in files}
+    assert cells == {"00", "01", "10", "11"}
+
+
+def test_extract_fast_slow_paths_agree(points):
+    from geoparquet_io_spark.geotable import GeoTable
+
+    bbox = (-60, -40, 40, 60)
+    fast = points.extract(bbox=bbox).df.select("event_id")
+    slow = GeoTable(points.df.drop("bbox"), points.geo).extract(bbox=bbox).df.select("event_id")
+    a = {r[0] for r in fast.collect()}
+    b = {r[0] for r in slow.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sort_hilbert_improves_spatial_order(points):
+    before = points.check_spatial_order(sample_size=60)
+    after = points.sort_hilbert().check_spatial_order(sample_size=60)
+    assert after["ratio"] < before["ratio"]
+    assert after["ordered"]
+
+
+def test_spatial_join_left_semantics(spark, points):
+    from geoparquet_io_spark.operators.joins import match_rate
+    from geoparquet_io_spark.testsupport.tables import load_table, nation_boxes
+    from geoparquet_io_spark.functions import geom as G
+
+    n = nation_boxes(load_table(spark, SF_SMOKE, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    n = n.withColumn("bbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_nationkey", "n_name", "geometry", "bbox")
+    from geoparquet_io_spark.geotable import GeoTable
+
+    joined = points.add_admin_divisions(GeoTable(n, points.geo), levels=("n_name",))
+    total = points.count()
+    assert joined.count() == total  # left join keeps every point (disjoint boxes)
+    rate = match_rate(joined.df, "admin:n_name")
+    assert 0 < rate["rate"] <= 1
+
+
+def test_reproject_updates_metadata(points):
+    rp = points.reproject("EPSG:3857")
+    assert rp.crs == "EPSG:3857"
+    with pytest.raises(ValueError, match="geographic"):
+        rp.add_quadkey()
+
+
+def test_stats_and_bounds(points):
+    b = points.bounds()
+    assert b[0] < b[2] and b[1] < b[3]
+    s = {r["column"]: r for r in points.stats().collect()}
+    assert s["event_id"]["nulls"] == 0
+    assert s["geometry"]["min"] is None  # geometry: nulls-only stats

@@ -1,0 +1,136 @@
+"""Pure-kernel unit + property tests (no Spark session needed)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparquet_io_spark.functions import hilbert, wkb, wkt
+
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+
+
+@given(finite, finite)
+@settings(max_examples=200, deadline=None)
+def test_point_roundtrip(x, y):
+    b = wkb.encode_point(x, y)
+    px, py = wkb.point_xy(b)
+    assert (px, py) == (x, y)
+    assert wkb.envelope(b) == (x, y, x, y)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_linestring_envelope(coords):
+    b = wkb.encode_linestring(np.array(coords))
+    e = wkb.envelope(b)
+    xs = [c[0] for c in coords]
+    ys = [c[1] for c in coords]
+    assert e == (min(xs), min(ys), max(xs), max(ys))
+
+
+def test_wkt_roundtrip():
+    cases = [
+        "POINT (1.5 -2.5)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    ]
+    for w in cases:
+        assert wkt.to_wkt(wkt.from_wkt(w)) == w
+
+
+def test_big_endian_parse():
+    import struct
+
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">2d", 3.0, 4.0)
+    assert wkb.point_xy(be) == (3.0, 4.0)
+
+
+def test_point_in_polygon_boundary_cases():
+    tri = wkt.from_wkt("POLYGON ((-60 -60, 60 -60, 0 60, -60 -60))")
+    inside = [(0, 0), (59, -59), (0, 59), (-60, -60), (0, 60), (0, -60)]
+    outside = [(-100, 0), (-59, 59), (30, 30), (60, 60), (-50, -70)]
+    for x, y in inside:
+        assert wkb.intersects(wkb.encode_point(x, y), tri), (x, y)
+    for x, y in outside:
+        assert not wkb.intersects(wkb.encode_point(x, y), tri), (x, y)
+
+
+def test_polygon_hole():
+    holed = wkt.from_wkt(
+        "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), (40 40, 60 40, 60 60, 40 60, 40 40))"
+    )
+    assert not wkb.intersects(wkb.encode_point(50, 50), holed)
+    assert wkb.intersects(wkb.encode_point(10, 10), holed)
+    assert wkb.intersects(wkb.encode_point(40, 50), holed)  # hole boundary
+
+
+def test_polygon_polygon():
+    a = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    overlap = wkt.from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    disjoint = wkt.from_wkt("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+    contained = wkt.from_wkt("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")
+    assert wkb.intersects(a, overlap)
+    assert not wkb.intersects(a, disjoint)
+    assert wkb.intersects(a, contained)
+    assert wkb.intersects(contained, a)
+
+
+def test_distance():
+    poly = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert wkb.distance(wkb.encode_point(20, 10), poly) == 10.0
+    assert wkb.distance(wkb.encode_point(5, 5), poly) == 0.0
+    assert wkb.distance(wkb.encode_point(13, 14), poly) == 5.0  # corner 3-4-5
+
+
+def test_centroid_polygon():
+    sq = wkt.from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert wkb.centroid(sq) == (1.0, 1.0)
+
+
+def test_hilbert_locality_and_bijection():
+    # order-4 grid: all 256 cells map to unique d in [0, 256)
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    d = hilbert.xy_to_hilbert(xs.ravel(), ys.ravel(), 4)
+    assert sorted(d.tolist()) == list(range(256))
+    # consecutive d are adjacent cells (the defining Hilbert property)
+    order = np.argsort(d)
+    gx, gy = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(gx)) + np.abs(np.diff(gy))
+    assert (steps == 1).all()
+
+
+def test_transform_roundtrip():
+    from geoparquet_io_spark.functions import crs
+
+    f = crs.get_transformer("EPSG:4326", "EPSG:3857")
+    g = crs.get_transformer("EPSG:3857", "EPSG:4326")
+    lon = np.array([-170.0, 0.0, 12.5, 179.9])
+    lat = np.array([-80.0, 0.0, 45.0, 80.0])
+    x, y = f(lon, lat)
+    lon2, lat2 = g(x, y)
+    assert np.allclose(lon, lon2) and np.allclose(lat, lat2)
+    with pytest.raises(ValueError):
+        crs.get_transformer("EPSG:4326", "EPSG:5070")
+
+
+def test_geo_meta_roundtrip():
+    from geoparquet_io_spark.meta import GeoMeta
+
+    g = GeoMeta()
+    g.primary.geometry_types = ["Point"]
+    g.primary.crs = "EPSG:4326"
+    g.set_covering("bbox")
+    g2 = GeoMeta.from_json(g.to_json())
+    assert g2.primary_column == "geometry"
+    assert g2.primary.covering["bbox"]["xmin"] == ["bbox", "xmin"]
+    assert g2.validate() == []
+    g2.primary.encoding = "nope"
+    assert g2.validate()
