@@ -1,0 +1,169 @@
+"""CSV/GeoJSON converters + inspect/validate/check operators."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+CSV_WKT = """id,name,wkt,population
+1,alpha,POINT (1 2),100
+2,beta,"POINT (3 4)",200
+3,gamma,POINT (5 6),300
+"""
+
+CSV_LATLON = """id,name,latitude,longitude,population
+1,alpha,10.5,20.5,100
+2,beta,-33.9,151.2,200
+"""
+
+TSV_WKT = "id\tname\twkt\n1\ta\tPOINT (7 8)\n2\tb\tPOINT (9 10)\n"
+
+CSV_SEMICOLON = "id;name;wkt\n1;a;POINT (1 1)\n2;b;POINT (2 2)\n"
+
+CSV_INVALID_WKT = """id,wkt
+1,POINT (1 2)
+2,NOT A GEOMETRY
+3,POINT (5 6)
+"""
+
+CSV_BAD_LATLON = """id,lat,lon
+1,10.0,20.0
+2,95.0,20.0
+"""
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def test_csv_wkt_autodetect(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+    from geoparquet_io_spark.functions import geom as G
+
+    gt = read_csv(spark, _write(tmp_path, "pts.csv", CSV_WKT))
+    assert gt.geometry_column == "geometry"
+    assert "wkt" not in gt.df.columns
+    rows = gt.df.select("id", G.st_astext(F.col("geometry")).alias("w")).collect()
+    assert {r["w"] for r in rows} == {"POINT (1 2)", "POINT (3 4)", "POINT (5 6)"}
+
+
+def test_csv_latlon_autodetect(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+    from geoparquet_io_spark.functions import geom as G
+
+    gt = read_csv(spark, _write(tmp_path, "ll.csv", CSV_LATLON))
+    assert "latitude" not in gt.df.columns and "longitude" not in gt.df.columns
+    rows = gt.df.select(G.st_x(F.col("geometry")).alias("x"),
+                        G.st_y(F.col("geometry")).alias("y")).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {(20.5, 10.5), (151.2, -33.9)}
+
+
+def test_tsv_and_semicolon_sniffing(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+
+    assert read_csv(spark, _write(tmp_path, "t.tsv", TSV_WKT)).count() == 2
+    assert read_csv(spark, _write(tmp_path, "s.txt", CSV_SEMICOLON)).count() == 2
+
+
+def test_invalid_wkt_paths(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+
+    p = _write(tmp_path, "bad.csv", CSV_INVALID_WKT)
+    assert read_csv(spark, p, skip_invalid=True).count() == 2
+    with pytest.raises(Exception):
+        read_csv(spark, p, skip_invalid=False).df.collect()
+
+
+def test_latlon_range_validation(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+
+    p = _write(tmp_path, "rng.csv", CSV_BAD_LATLON)
+    assert read_csv(spark, p, lat_column="lat", lon_column="lon",
+                    skip_invalid=True).count() == 1
+    with pytest.raises(Exception):
+        read_csv(spark, p, lat_column="lat", lon_column="lon").df.collect()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv, write_csv
+
+    gt = read_csv(spark, _write(tmp_path, "in.csv", CSV_WKT))
+    out = str(tmp_path / "out.csv")
+    write_csv(gt, out)
+    gt2 = read_csv(spark, out)
+    assert gt2.count() == 3
+    assert set(gt2.df.columns) >= {"id", "name", "population", "geometry"}
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.sources.geojson import read_geojson, write_geojson
+
+    gt = _events_points(spark, SF_SMOKE).head(50)
+    out = str(tmp_path / "pts.geojson")
+    write_geojson(gt, out)
+    doc = json.loads(open(out).read())
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 50
+    f0 = doc["features"][0]
+    assert f0["geometry"]["type"] == "Point"
+    assert "event_type" in f0["properties"]
+    back = read_geojson(spark, out)
+    assert back.count() == 50
+
+
+def test_structure_and_validate(spark, tmp_path):
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.operators.inspect_check import (
+        check_structure, inspect_head, inspect_summary, validate,
+    )
+
+    gt = _events_points(spark, SF_SMOKE)
+    out = str(tmp_path / "v.parquet")
+    gt.write(out)
+    rep = check_structure(out)
+    assert rep.has_geo_metadata and rep.has_bbox_covering
+    assert rep.ok, rep.issues
+    assert validate(spark, out) == []
+    s = inspect_summary(out)
+    assert s["rows"] == gt.count() and s["geo"]["primary_column"] == "geometry"
+    head = inspect_head(spark, out, 5)
+    assert head.count() == 5
+    assert head.collect()[0]["geometry"].startswith("POINT")
+
+
+def test_validate_catches_bad_declared_types(spark, tmp_path):
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    gt = _events_points(spark, SF_SMOKE)
+    gt.geo.primary.geometry_types = ["Polygon"]  # data is points
+    out = str(tmp_path / "bad.parquet")
+    gt.write(out)
+    errs = validate(spark, out)
+    assert any("undeclared" in e for e in errs)
+
+
+def test_check_fixes(spark, tmp_path):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.inspect_check import check_fixes, check_structure
+    from geoparquet_io_spark.testsupport.tables import event_lonlat, load_table
+
+    # a file with NO bbox column
+    ev = event_lonlat(load_table(spark, SF_SMOKE, "events"))
+    df = ev.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    gt = GeoTable(df, GeoMeta(columns={"geometry": GeoColumnMeta()}))
+    src = str(tmp_path / "nofix.parquet")
+    gt.write(src)
+    dst = str(tmp_path / "fixed.parquet")
+    applied = check_fixes(spark, src, dst, hilbert=True)
+    assert any("bbox" in a for a in applied)
+    rep = check_structure(dst)
+    assert rep.has_bbox_covering and rep.ok
