@@ -36,22 +36,60 @@ from geoparquet_io_spark.functions import hilbert as _hilbert
 BBOX_SCHEMA = "xmin double, ymin double, xmax double, ymax double"
 
 
+# --- vectorized point fast path ---------------------------------------------
+# little-endian 2-D WKB points are fixed-width (21 bytes); when a batch is
+# all points, decode with ONE numpy frombuffer instead of per-row parsing.
+
+_PT_HDR = b"\x01\x01\x00\x00\x00"
+
+
+def _try_bulk_point_decode(g: pd.Series):
+    """(xs, ys, null_mask) when every non-null value is a LE WKB point."""
+    vals = g.tolist()
+    bufs = []
+    nulls = np.zeros(len(vals), dtype=bool)
+    for i, b in enumerate(vals):
+        if b is None:
+            nulls[i] = True
+            continue
+        bb = bytes(b)
+        if len(bb) != 21 or not bb.startswith(_PT_HDR):
+            return None
+        bufs.append(bb)
+    if not bufs:
+        return None
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(-1, 21)
+    xs_all = flat[:, 5:13].copy().view("<f8").ravel()
+    ys_all = flat[:, 13:21].copy().view("<f8").ravel()
+    xs = np.full(len(vals), np.nan)
+    ys = np.full(len(vals), np.nan)
+    xs[~nulls] = xs_all
+    ys[~nulls] = ys_all
+    return xs, ys, nulls
+
+
 # --- constructors -----------------------------------------------------------
 
-@pandas_udf(T.BinaryType())
-def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
-    xs = x.to_numpy(dtype="f8", na_value=np.nan)
-    ys = y.to_numpy(dtype="f8", na_value=np.nan)
-    # vectorized little-endian point encoding: 5-byte header + 16 bytes coords
+def _bulk_point_encode(xs: np.ndarray, ys: np.ndarray, nulls: np.ndarray) -> pd.Series:
+    """Vectorized little-endian point encoding: header + 16 coord bytes."""
     n = len(xs)
     buf = np.empty((n, 21), dtype=np.uint8)
     buf[:, 0] = 1
     buf[:, 1] = 1
     buf[:, 2:5] = 0
-    buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
-    buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
-    out = [None if (np.isnan(xs[i]) or np.isnan(ys[i])) else buf[i].tobytes() for i in range(n)]
-    return pd.Series(out)
+    buf[:, 5:13] = np.ascontiguousarray(xs, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.ascontiguousarray(ys, dtype="<f8").view(np.uint8).reshape(n, 8)
+    raw = buf.tobytes()
+    return pd.Series(
+        [None if nulls[i] else raw[i * 21:(i + 1) * 21] for i in range(n)]
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    xs = x.to_numpy(dtype="f8", na_value=np.nan)
+    ys = y.to_numpy(dtype="f8", na_value=np.nan)
+    return _bulk_point_encode(xs, ys, np.isnan(xs) | np.isnan(ys))
 
 
 @pandas_udf(T.BinaryType())
@@ -95,17 +133,29 @@ def st_astext(g: pd.Series) -> pd.Series:
 
 @pandas_udf(T.DoubleType())
 def st_x(g: pd.Series) -> pd.Series:
+    fast = _try_bulk_point_decode(g)
+    if fast is not None:
+        xs, _, nulls = fast
+        return pd.Series(np.where(nulls, np.nan, xs)).where(~nulls, None)
     return g.map(lambda b: None if b is None else _wkb.point_xy(bytes(b))[0])
 
 
 @pandas_udf(T.DoubleType())
 def st_y(g: pd.Series) -> pd.Series:
+    fast = _try_bulk_point_decode(g)
+    if fast is not None:
+        _, ys, nulls = fast
+        return pd.Series(np.where(nulls, np.nan, ys)).where(~nulls, None)
     return g.map(lambda b: None if b is None else _wkb.point_xy(bytes(b))[1])
 
 
 @pandas_udf(_BBOX_T)
 def st_envelope_struct(g: pd.Series) -> pd.DataFrame:
     """One parse -> all four bounds (vs four ST_XMin/... calls)."""
+    fast = _try_bulk_point_decode(g)
+    if fast is not None:
+        xs, ys, _ = fast
+        return pd.DataFrame({"xmin": xs, "ymin": ys, "xmax": xs, "ymax": ys})
     vals = np.full((len(g), 4), np.nan)
     for i, b in enumerate(g):
         if b is not None:
@@ -115,6 +165,10 @@ def st_envelope_struct(g: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(_XY_T)
 def st_centroid_xy(g: pd.Series) -> pd.DataFrame:
+    fast = _try_bulk_point_decode(g)
+    if fast is not None:
+        xs, ys, _ = fast
+        return pd.DataFrame({"x": xs, "y": ys})
     vals = np.full((len(g), 2), np.nan)
     for i, b in enumerate(g):
         if b is not None:
@@ -178,6 +232,11 @@ def st_transform(g: Column, src, dst, transformer=None) -> Column:
 
     @pandas_udf(T.BinaryType())
     def _tf(col: pd.Series) -> pd.Series:
+        fast = _try_bulk_point_decode(col)
+        if fast is not None:
+            xs, ys, nulls = fast
+            tx, ty = fn(xs, ys)
+            return _bulk_point_encode(tx, ty, nulls)
         out = []
         for b in col:
             if b is None:

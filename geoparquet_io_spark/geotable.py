@@ -238,3 +238,36 @@ class GeoTable:
         from geoparquet_io_spark.operators.partition import partition_by_kdtree
 
         return partition_by_kdtree(self, path, iterations, **kw)
+
+    # -- training-data operators (BASELINE.json north star) ------------------------
+
+    def dedup_exact(self, columns=None, key_column=None) -> "GeoTable":
+        from geoparquet_io_spark.operators.dedup import dedup_exact
+
+        return self._wrap(dedup_exact(self._df, columns, key_column))
+
+    def dedup_minhash(self, id_column: str, text_column: str = "text",
+                      **kw) -> "GeoTable":
+        from geoparquet_io_spark.operators.dedup import dedup_minhash
+
+        return self._wrap(dedup_minhash(self._df, id_column, text_column, **kw))
+
+    def add_simhash(self, text_column: str = "text", **kw) -> "GeoTable":
+        from geoparquet_io_spark.operators.dedup import add_simhash
+
+        return self._wrap(add_simhash(self._df, text_column, **kw))
+
+    def quality_features(self, text_column: str = "text") -> "GeoTable":
+        from geoparquet_io_spark.operators.text import quality_features
+
+        return self._wrap(quality_features(self._df, text_column))
+
+    def language_id(self, text_column: str = "text", **kw) -> "GeoTable":
+        from geoparquet_io_spark.operators.text import language_id
+
+        return self._wrap(language_id(self._df, text_column, **kw))
+
+    def fingerprint(self, text_column: str = "text", **kw) -> "GeoTable":
+        from geoparquet_io_spark.operators.text import fingerprint
+
+        return self._wrap(fingerprint(self._df, text_column, **kw))

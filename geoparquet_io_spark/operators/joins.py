@@ -87,29 +87,59 @@ def spatial_join(
     geom_idx = left_cols.index(left_geometry)
 
     def join_batches(batches):
+        from geoparquet_io_spark.functions.geom import _try_bulk_point_decode
+
         parsed_right = [_wkb.parse(g) for g in r_geoms]
         for pdf in batches:
             geoms = pdf.iloc[:, geom_idx]
+            n = len(geoms)
             match_rows: list[int] = []
             match_attrs: list[list] = []
-            for i, gb in enumerate(geoms):
-                emitted = False
-                if gb is not None and len(r_geoms):
-                    e = _wkb.envelope(bytes(gb))
-                    cand = np.nonzero(
-                        (r_envs[:, 0] <= e[2]) & (r_envs[:, 2] >= e[0])
-                        & (r_envs[:, 1] <= e[3]) & (r_envs[:, 3] >= e[1])
+            fast = _try_bulk_point_decode(geoms) if len(r_geoms) else None
+            if fast is not None:
+                # vectorized candidate phase: loop over the FEW right rows,
+                # numpy-compare against the whole batch of points at once
+                xs, ys, nulls = fast
+                cand_lists: list[list[int]] = [[] for _ in range(n)]
+                for j in range(len(r_geoms)):
+                    e = r_envs[j]
+                    hit = np.nonzero(
+                        ~nulls & (xs >= e[0]) & (xs <= e[2])
+                        & (ys >= e[1]) & (ys <= e[3])
                     )[0]
-                    if len(cand):
-                        gp = _wkb.parse(bytes(gb))
-                        for j in cand:
-                            if _wkb._geom_intersects(gp, parsed_right[j]):
-                                match_rows.append(i)
-                                match_attrs.append(r_attrs[j])
-                                emitted = True
-                if not emitted and how == "left":
-                    match_rows.append(i)
-                    match_attrs.append([None] * n_right_cols)
+                    for i in hit:
+                        cand_lists[i].append(j)
+                for i in range(n):
+                    emitted = False
+                    for j in cand_lists[i]:
+                        if _wkb._point_vs(np.array([xs[i], ys[i]]), parsed_right[j]) \
+                           if parsed_right[j].gtype != _wkb.POLYGON \
+                           else _wkb._point_in_polygon(xs[i], ys[i], parsed_right[j]):
+                            match_rows.append(i)
+                            match_attrs.append(r_attrs[j])
+                            emitted = True
+                    if not emitted and how == "left":
+                        match_rows.append(i)
+                        match_attrs.append([None] * n_right_cols)
+            else:
+                for i, gb in enumerate(geoms):
+                    emitted = False
+                    if gb is not None and len(r_geoms):
+                        e = _wkb.envelope(bytes(gb))
+                        cand = np.nonzero(
+                            (r_envs[:, 0] <= e[2]) & (r_envs[:, 2] >= e[0])
+                            & (r_envs[:, 1] <= e[3]) & (r_envs[:, 3] >= e[1])
+                        )[0]
+                        if len(cand):
+                            gp = _wkb.parse(bytes(gb))
+                            for j in cand:
+                                if _wkb._geom_intersects(gp, parsed_right[j]):
+                                    match_rows.append(i)
+                                    match_attrs.append(r_attrs[j])
+                                    emitted = True
+                    if not emitted and how == "left":
+                        match_rows.append(i)
+                        match_attrs.append([None] * n_right_cols)
             out = pdf.iloc[match_rows].reset_index(drop=True)
             for k, c in enumerate(right_columns):
                 out[c] = pd.Series([a[k] for a in match_attrs], dtype="object")

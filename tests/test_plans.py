@@ -1,0 +1,68 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast.
+These are the 100 TB guarantees — if a refactor breaks one, the engine
+still returns right answers but stops scaling."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def written_points(spark, tmp_path_factory):
+    from geoparquet_io_spark.queries import _events_points
+
+    out = str(tmp_path_factory.mktemp("plans") / "pts.parquet")
+    _events_points(spark, SF_SMOKE).write(out)
+    return out
+
+
+def test_bbox_covering_predicates_push_to_parquet(spark, written_points):
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.plans import pushed_filters
+
+    back = gps.read(spark, written_points)
+    ex = back.extract(bbox=(-60, -40, 40, 60))
+    pushed = " ".join(pushed_filters(ex.df))
+    # struct-field min/max comparisons must reach the scan (row-group pruning)
+    assert "bbox.xmax" in pushed and "bbox.ymin" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    from geoparquet_io_spark.plans import read_schema_columns
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    q = li.filter("l_quantity >= 45").select("l_orderkey", "l_quantity")
+    assert set(read_schema_columns(q)) == {"l_orderkey", "l_quantity"}
+
+
+def test_where_pushdown(spark):
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.plans import pushed_filters
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = GeoTable(li, None).extract(where="l_quantity >= 45", columns=["l_orderkey"])
+    assert any("l_quantity" in f for f in pushed_filters(out.df))
+
+
+def test_q5_joins_are_broadcast(spark):
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.queries import REGISTRY
+
+    q5 = REGISTRY["tpch_q5_region_revenue"][0](spark, SF_SMOKE)
+    s = plan_summary(q5)
+    assert s["broadcast_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+
+
+def test_native_ops_have_no_python_eval(spark):
+    """Quadkey, dedup shingling, text analysis: zero python evals in plan."""
+    from geoparquet_io_spark.operators.dedup import minhash_bands
+    from geoparquet_io_spark.operators.text import quality_features
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert plan_summary(minhash_bands(d))["python_evals"] == 0
+    assert plan_summary(quality_features(d))["python_evals"] == 0
