@@ -551,3 +551,4 @@ def all_oracles():
 # training-data operator queries register themselves on import (kept in a
 # separate module for size; shares this REGISTRY)
 from geoparquet_io_spark import queries_data  # noqa: E402,F401
+from geoparquet_io_spark import queries_geo2  # noqa: E402,F401

@@ -1,0 +1,204 @@
+"""Second wave of oracle-backed queries: remaining SURVEY section-2 rows
+(bounds agg, geometry-type agg, match-rate, union-by-name, sampled
+cross-join distance, h3-cell fallback grid, quadkey-prefix partition
+preview, head/tail slicing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.queries import register, _events_points, _customer_points
+from geoparquet_io_spark.testsupport.tables import (
+    load_table,
+    nation_boxes,
+    EVENT_LON_SQL,
+    EVENT_LAT_SQL,
+    CUSTOMER_LON_SQL,
+    CUSTOMER_LAT_SQL,
+    NATION_BOX_SQL,
+)
+
+_EVT = f"SELECT event_id, {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat FROM events"
+_CUST = f"SELECT c_custkey, {CUSTOMER_LON_SQL} AS lon, {CUSTOMER_LAT_SQL} AS lat FROM customer"
+
+
+@register(
+    "geo_bounds",
+    f"""
+    WITH pts AS ({_EVT})
+    SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax
+    FROM pts
+    """,
+)
+def q_bounds(spark, sf_dir):
+    gt = _events_points(spark, sf_dir)
+    xmin, ymin, xmax, ymax = gt.bounds()
+    return spark.createDataFrame(
+        [(xmin, ymin, xmax, ymax)], "xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+@register(
+    "geo_geometry_types",
+    """
+    SELECT 'POINT' AS gtype, COUNT(*) AS n FROM events
+    """,
+)
+def q_geometry_types(spark, sf_dir):
+    """DISTINCT ST_GeometryType agg (reference: core/common.py:1989-2042)."""
+    from geoparquet_io_spark.functions import geom as G
+
+    gt = _events_points(spark, sf_dir)
+    return gt.df.groupBy(
+        G.st_geometrytype(F.col("geometry")).alias("gtype")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "geo_join_match_rate",
+    f"""
+    WITH pts AS ({_CUST}),
+    boxes AS (
+      SELECT {NATION_BOX_SQL['xmin']} AS xmin, {NATION_BOX_SQL['ymin']} AS ymin,
+             {NATION_BOX_SQL['xmax']} AS xmax, {NATION_BOX_SQL['ymax']} AS ymax,
+             n_name
+      FROM nation
+    ),
+    j AS (
+      SELECT p.c_custkey, b.n_name
+      FROM pts p LEFT JOIN boxes b
+        ON p.lon >= b.xmin AND p.lon <= b.xmax AND p.lat >= b.ymin AND p.lat <= b.ymax
+    )
+    SELECT COUNT(*) AS total, COUNT(n_name) AS matched,
+           ROUND(COUNT(n_name) * 1.0 / COUNT(*), 6) AS rate
+    FROM j
+    """,
+)
+def q_match_rate(spark, sf_dir):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.operators.joins import match_rate
+
+    pts = _customer_points(spark, sf_dir)
+    n = nation_boxes(load_table(spark, sf_dir, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    n = n.withColumn("bbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_name", "geometry", "bbox")
+    joined = pts.add_admin_divisions(GeoTable(n, pts.geo), levels=("n_name",))
+    r = match_rate(joined.df, "admin:n_name")
+    return spark.createDataFrame(
+        [(r["total"], r["matched"], round(r["rate"], 6))],
+        "total long, matched long, rate double",
+    )
+
+
+@register(
+    "setop_union_by_name",
+    """
+    WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+               WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM a
+    UNION ALL
+    SELECT o_orderkey, NULL AS o_totalprice, o_orderstatus FROM b
+    """,
+)
+def q_union_by_name(spark, sf_dir):
+    """union_by_name schema merge (reference: core/partition_reader.py:69-71)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "geo_sample_cross_distance",
+    f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT * FROM pts WHERE event_id % 50 = 0)
+    SELECT ROUND(AVG(sqrt((a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat))), 4)
+             AS avg_rand_dist,
+           COUNT(*) AS n_pairs
+    FROM s a, s b WHERE a.event_id != b.event_id
+    """,
+)
+def q_sample_cross_distance(spark, sf_dir):
+    """Random-pair average distance (check_spatial denominator,
+    core/check_spatial_order.py:32-51) — deterministic every-kth sample."""
+    from geoparquet_io_spark.functions import geom as G
+
+    gt = _events_points(spark, sf_dir)
+    s = gt.df.filter(F.col("event_id") % 50 == 0).select("event_id", "geometry")
+    a = s.select(F.col("event_id").alias("ida"), F.col("geometry").alias("ga"))
+    b = s.select(F.col("event_id").alias("idb"), F.col("geometry").alias("gb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ida") != F.col("idb"))
+    d = pairs.select(G.st_distance(F.col("ga"), F.col("gb")).alias("d"))
+    return d.agg(F.round(F.avg("d"), 4).alias("avg_rand_dist"),
+                 F.count("*").alias("n_pairs"))
+
+
+def _h3_fallback_oracle(res: int = 5) -> str:
+    cells = 2 ** (res + 2)
+    return f"""
+    WITH pts AS ({_EVT})
+    SELECT 'grid{res}_' ||
+           CAST(CAST(floor((lon + 180.0) / 360.0 * {cells}) AS BIGINT) AS VARCHAR) ||
+           '_' ||
+           CAST(CAST(floor((lat + 90.0) / 180.0 * {cells}) AS BIGINT) AS VARCHAR) AS h3,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1
+    """
+
+
+@register("geo_h3_cells", _h3_fallback_oracle())
+def q_h3_cells(spark, sf_dir):
+    """H3 cell counts.  NB: this container has no h3 lib, so add_h3 uses its
+    documented deterministic grid fallback — the oracle mirrors THAT; with a
+    real h3 present the operator (and this oracle) would use true cell ids."""
+    gt = _events_points(spark, sf_dir)
+    out = gt.add_h3(resolution=5)
+    return out.df.groupBy("h3").agg(F.count("*").alias("n"))
+
+
+def _quadkey_prefix_oracle() -> str:
+    from geoparquet_io_spark.functions.quadkey import tile_xy_sql
+
+    tx, ty = tile_xy_sql("lon", "lat", 6)
+    digits = "||".join(
+        f"CAST((((ty >> {6 - 1 - i}) & 1) * 2 + ((tx >> {6 - 1 - i}) & 1)) AS VARCHAR)"
+        for i in range(6)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    tiles AS (SELECT event_id, {tx} AS tx, {ty} AS ty FROM pts),
+    qk AS (SELECT event_id, {digits} AS quadkey FROM tiles)
+    SELECT substr(quadkey, 1, 3) AS qk_prefix, COUNT(*) AS n
+    FROM qk GROUP BY 1
+    """
+
+
+@register("partition_quadkey_prefix", _quadkey_prefix_oracle())
+def q_quadkey_prefix(spark, sf_dir):
+    """Quadkey-prefix partition key distribution (the groupBy that
+    partition_by_quadkey's preflight runs; core/partition_by_quadkey.py:123)."""
+    gt = _events_points(spark, sf_dir).add_quadkey(zoom=6)
+    return gt.df.groupBy(
+        F.substring("quadkey", 1, 3).alias("qk_prefix")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "slice_head",
+    """
+    SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20
+    """,
+)
+def q_head(spark, sf_dir):
+    """head slicing (reference: api/table.py:1426-1471) — made deterministic
+    by pre-sorting on the key."""
+    from geoparquet_io_spark.geotable import GeoTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return GeoTable(c, None).sort_column("c_custkey").head(20).df

@@ -1,0 +1,161 @@
+"""Remote extraction sources.
+
+arcgis  -> REST pagination with server-side pushdown
+           (reference: core/arcgis.py:335-712).  The fetch itself is
+           injectable so tests run without network; page ranges are
+           distributed with mapInPandas — each executor task pulls its own
+           offset windows in parallel (the scalable form of the
+           reference's sequential resultOffset loop).
+bigquery-> import-try gate for the spark-bigquery-connector
+           (reference: core/extract_bigquery.py:343).
+upload  -> object-store note: with Hadoop s3a/gs/abfs connectors the
+           distributed writer works on remote URIs unchanged
+           (reference: core/upload.py — obstore multipart).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+FetchPage = Callable[[int, int], list[dict]]
+# (offset, count) -> list of {attr: value, "__x": lon, "__y": lat} records
+
+
+def _default_arcgis_fetcher(url: str, where: str, out_fields: str,
+                            bbox=None, token: str | None = None) -> FetchPage:
+    """Real HTTP fetcher (urllib; only used when a live service is given)."""
+
+    def fetch(offset: int, count: int) -> list[dict]:  # pragma: no cover
+        from urllib.parse import urlencode
+        from urllib.request import urlopen
+
+        params = {
+            "f": "json",
+            "where": where or "1=1",
+            "outFields": out_fields or "*",
+            "resultOffset": offset,
+            "resultRecordCount": count,
+            "returnGeometry": "true",
+            "outSR": 4326,
+        }
+        if bbox is not None:
+            params.update({
+                "geometry": json.dumps({
+                    "xmin": bbox[0], "ymin": bbox[1],
+                    "xmax": bbox[2], "ymax": bbox[3],
+                    "spatialReference": {"wkid": 4326},
+                }),
+                "geometryType": "esriGeometryEnvelope",
+                "spatialRel": "esriSpatialRelIntersects",
+            })
+        if token:
+            params["token"] = token
+        with urlopen(f"{url}/query?{urlencode(params)}") as resp:
+            doc = json.load(resp)
+        out = []
+        for feat in doc.get("features", []):
+            rec = dict(feat.get("attributes") or {})
+            geom = feat.get("geometry") or {}
+            rec["__x"] = geom.get("x")
+            rec["__y"] = geom.get("y")
+            out.append(rec)
+        return out
+
+    return fetch
+
+
+def arcgis_to_geotable(
+    spark: SparkSession,
+    total_count: int,
+    attr_schema: T.StructType,
+    fetch_page: FetchPage,
+    page_size: int = 1000,
+    geometry_column: str = "geometry",
+):
+    """Paginated feature service -> GeoTable.
+
+    ``total_count`` comes from the service's returnCountOnly probe (driver
+    side, like the reference's layer-info call, core/arcgis.py:335-375).
+    Offset windows are sharded across executors; where/bbox/field pushdown
+    already happened inside ``fetch_page``'s request parameters.
+    """
+    from geoparquet_io_spark.functions.geom import _bulk_point_encode
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    import numpy as np
+
+    n_pages = max(1, math.ceil(total_count / page_size))
+    pages = spark.range(n_pages).toDF("page")
+    attr_names = [f.name for f in attr_schema.fields]
+    out_schema = T.StructType(
+        list(attr_schema.fields) + [T.StructField(geometry_column, T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for page in pdf["page"]:
+                recs = fetch_page(int(page) * page_size, page_size)
+                if not recs:
+                    continue
+                out = pd.DataFrame.from_records(recs)
+                for c in attr_names:
+                    if c not in out.columns:
+                        out[c] = None
+                xs = out.pop("__x").to_numpy(dtype="f8", na_value=np.nan) \
+                    if "__x" in out.columns else np.full(len(out), np.nan)
+                ys = out.pop("__y").to_numpy(dtype="f8", na_value=np.nan) \
+                    if "__y" in out.columns else np.full(len(out), np.nan)
+                out[geometry_column] = _bulk_point_encode(xs, ys, np.isnan(xs) | np.isnan(ys))
+                yield out[attr_names + [geometry_column]]
+
+    df = pages.mapInPandas(run, schema=out_schema)
+    geo = GeoMeta(primary_column=geometry_column,
+                  columns={geometry_column: GeoColumnMeta(
+                      geometry_types=["Point"], crs="EPSG:4326")})
+    return GeoTable(df, geo)
+
+
+def read_bigquery(spark: SparkSession, table: str, where: str | None = None,
+                  columns: list[str] | None = None) -> DataFrame:
+    """BigQuery extraction via the spark-bigquery-connector — requires the
+    connector jar on the cluster (not in this container).
+    Reference: bigquery_scan with filter pushdown, core/extract_bigquery.py:416."""
+    try:
+        reader = spark.read.format("bigquery").option("table", table)
+        if where:
+            reader = reader.option("filter", where)
+        df = reader.load()
+    except Exception as e:  # pragma: no cover - no connector here
+        raise NotImplementedError(
+            "spark-bigquery-connector not available in this environment; on a "
+            "cluster add the connector jar (--packages "
+            "com.google.cloud.spark:spark-bigquery-with-dependencies)"
+        ) from e
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+REMOTE_SCHEMES = ("s3a://", "s3://", "gs://", "abfs://", "abfss://", "wasbs://")
+
+
+def is_remote_path(path: str) -> bool:
+    return path.startswith(REMOTE_SCHEMES)
+
+
+def normalize_remote_path(path: str) -> str:
+    """s3:// -> s3a:// (the Hadoop connector scheme); others pass through.
+    With the connectors on the classpath, every reader/writer in this
+    package works on remote URIs unchanged — upload is not a separate step
+    (vs the reference's obstore multipart upload, core/upload.py:268-430)."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
