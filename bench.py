@@ -32,6 +32,11 @@ HEADLINE = [
     "geo_spatial_join",
     "geo_reproject_mercator",
     "geo_kdtree_cells",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "text_quality",
+    "stream_window_counts",
 ]
 
 

@@ -1,0 +1,239 @@
+"""Thin CLI mirroring the reference's command surface (cli/main.py:72)
+on top of the Spark engine.  argparse (no click in this container).
+
+Usage examples (mirror `gpio ...`):
+  python -m geoparquet_io_spark.cli extract in.parquet out.parquet \\
+      --bbox -60,-40,40,60 --columns event_id --where "x > 0" --limit 100
+  python -m geoparquet_io_spark.cli add bbox in.parquet out.parquet
+  python -m geoparquet_io_spark.cli sort hilbert in.parquet out.parquet
+  python -m geoparquet_io_spark.cli partition string in.parquet outdir/ --column event_type
+  python -m geoparquet_io_spark.cli inspect summary in.parquet
+  python -m geoparquet_io_spark.cli check all in.parquet
+  python -m geoparquet_io_spark.cli convert in.csv out.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from geoparquet_io_spark.session import get_spark
+
+    return get_spark("gpio-spark-cli")
+
+
+def _read(spark, path: str):
+    import geoparquet_io_spark as gps
+
+    if path.endswith((".csv", ".tsv", ".txt")):
+        from geoparquet_io_spark.sources.csv_geo import read_csv
+
+        return read_csv(spark, path)
+    if path.endswith((".geojson", ".json")):
+        from geoparquet_io_spark.sources.geojson import read_geojson
+
+        return read_geojson(spark, path)
+    return gps.read(spark, path)
+
+
+def _write(gt, path: str, args) -> None:
+    if path.endswith(".csv"):
+        from geoparquet_io_spark.sources.csv_geo import write_csv
+
+        write_csv(gt, path)
+    elif path.endswith(".geojson"):
+        from geoparquet_io_spark.sources.geojson import write_geojson
+
+        write_geojson(gt, path)
+    else:
+        gt.write(path)
+
+
+def cmd_extract(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    bbox = tuple(float(v) for v in args.bbox.split(",")) if args.bbox else None
+    cols = args.columns.split(",") if args.columns else None
+    excl = args.exclude_columns.split(",") if args.exclude_columns else None
+    out = gt.extract(columns=cols, exclude_columns=excl, bbox=bbox,
+                     geometry=args.geometry, where=args.where, limit=args.limit)
+    _write(out, args.output, args)
+    return 0
+
+
+def cmd_add(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    if args.what == "bbox":
+        gt = gt.add_bbox(force=args.force)
+    elif args.what == "quadkey":
+        gt = gt.add_quadkey(zoom=args.zoom)
+    elif args.what == "h3":
+        gt = gt.add_h3(resolution=args.resolution)
+    elif args.what == "kdtree":
+        gt = gt.add_kdtree(iterations=args.iterations)
+    elif args.what == "bbox-metadata":
+        gt = gt.add_bbox_metadata()
+    _write(gt, args.output, args)
+    return 0
+
+
+def cmd_sort(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    if args.how == "hilbert":
+        gt = gt.sort_hilbert()
+    elif args.how == "quadkey":
+        gt = gt.sort_quadkey(zoom=args.zoom)
+    elif args.how == "column":
+        gt = gt.sort_column(args.column.split(","), args.desc)
+    _write(gt, args.output, args)
+    return 0
+
+
+def cmd_partition(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    kw = dict(skip_analysis=args.skip_analysis, force=args.force)
+    if args.how == "string":
+        files = gt.partition_by_string(args.column, args.output,
+                                       chars=args.chars, **kw)
+    elif args.how == "quadkey":
+        files = gt.partition_by_quadkey(args.output,
+                                        partition_resolution=args.resolution or 9, **kw)
+    elif args.how == "h3":
+        files = gt.partition_by_h3(args.output, resolution=args.resolution or 8, **kw)
+    elif args.how == "kdtree":
+        files = gt.partition_by_kdtree(args.output, iterations=args.iterations, **kw)
+    print(json.dumps({"files": len(files)}))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from geoparquet_io_spark.operators.inspect_check import inspect_head, inspect_summary
+
+    if args.what == "summary" or args.what == "meta":
+        print(json.dumps(inspect_summary(args.input), indent=2, default=str))
+        return 0
+    spark = _spark()
+    n = args.n or 10
+    df = inspect_head(spark, args.input, n)
+    if args.what == "stats":
+        import geoparquet_io_spark as gps
+
+        gps.read(spark, args.input).stats().show(truncate=False)
+        return 0
+    df.show(n, truncate=False)
+    return 0
+
+
+def cmd_check(args) -> int:
+    from geoparquet_io_spark.operators.inspect_check import check_structure, validate
+
+    rep = check_structure(args.input)
+    result = {
+        "files": rep.num_files,
+        "rows": rep.total_rows,
+        "row_groups": rep.num_row_groups,
+        "bbox_covering": rep.has_bbox_covering,
+        "issues": rep.issues,
+    }
+    if args.what in ("all", "spec"):
+        result["spec_errors"] = validate(_spark(), args.input)
+    if args.what == "spatial":
+        import geoparquet_io_spark as gps
+
+        result["spatial_order"] = gps.read(_spark(), args.input).check_spatial_order()
+    print(json.dumps(result, indent=2, default=str))
+    ok = not result["issues"] and not result.get("spec_errors")
+    return 0 if ok else 1
+
+
+def cmd_convert(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    if not args.no_sort:
+        # convert defaults to hilbert ordering like the reference
+        # (core/convert.py:452-460)
+        gt = gt.add_bbox(force=True) if gt.bbox_column is None else gt
+        gt = gt.sort_hilbert()
+    _write(gt, args.output, args)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gpio-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("extract")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--bbox")
+    e.add_argument("--columns")
+    e.add_argument("--exclude-columns", dest="exclude_columns")
+    e.add_argument("--geometry")
+    e.add_argument("--where")
+    e.add_argument("--limit", type=int)
+    e.set_defaults(fn=cmd_extract)
+
+    a = sub.add_parser("add")
+    a.add_argument("what", choices=["bbox", "quadkey", "h3", "kdtree", "bbox-metadata"])
+    a.add_argument("input")
+    a.add_argument("output")
+    a.add_argument("--force", action="store_true")
+    a.add_argument("--zoom", type=int, default=13)
+    a.add_argument("--resolution", type=int, default=8)
+    a.add_argument("--iterations", type=int, default=4)
+    a.set_defaults(fn=cmd_add)
+
+    s = sub.add_parser("sort")
+    s.add_argument("how", choices=["hilbert", "quadkey", "column"])
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--column")
+    s.add_argument("--desc", action="store_true")
+    s.add_argument("--zoom", type=int, default=13)
+    s.set_defaults(fn=cmd_sort)
+
+    pt = sub.add_parser("partition")
+    pt.add_argument("how", choices=["string", "quadkey", "h3", "kdtree"])
+    pt.add_argument("input")
+    pt.add_argument("output")
+    pt.add_argument("--column")
+    pt.add_argument("--chars", type=int)
+    pt.add_argument("--resolution", type=int)
+    pt.add_argument("--iterations", type=int, default=4)
+    pt.add_argument("--skip-analysis", dest="skip_analysis", action="store_true")
+    pt.add_argument("--force", action="store_true")
+    pt.set_defaults(fn=cmd_partition)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("what", choices=["summary", "head", "tail", "stats", "meta"])
+    i.add_argument("input")
+    i.add_argument("-n", type=int)
+    i.set_defaults(fn=cmd_inspect)
+
+    c = sub.add_parser("check")
+    c.add_argument("what", choices=["all", "spec", "spatial", "compression"])
+    c.add_argument("input")
+    c.set_defaults(fn=cmd_check)
+
+    cv = sub.add_parser("convert")
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("--no-sort", dest="no_sort", action="store_true")
+    cv.set_defaults(fn=cmd_convert)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,18 +83,47 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 5) -> Column:
     )
 
 
+def minhash_signatures_agg(df: DataFrame, id_column: str,
+                           text_column: str = "text", num_hashes: int = 8,
+                           k: int = 5) -> DataFrame:
+    """(id, mh0..mhN-1) via the SCALABLE shape: explode shingles, hash each
+    ONCE, partial-aggregate mins map-side.  The pure-expression form
+    (minhash_signature) duplicates the shingle+md5 subtree per hash branch
+    — fine for one signature, ruinous for banding pipelines."""
+    sh = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(shingles(F.col(text_column), k)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_bands(df: DataFrame, text_column: str = "text",
                   num_hashes: int = 8, bands: int = 4, k: int = 5,
-                  signature_column: str = "minhash") -> DataFrame:
+                  signature_column: str = "minhash",
+                  id_column: str | None = None) -> DataFrame:
     """Add the signature and one band-hash column per band; rows sharing a
-    band hash are LSH candidates (banding per Broder/MMDS)."""
+    band hash are LSH candidates (banding per Broder/MMDS).
+    Rows whose text has no shingles (len < k) are dropped."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    out = df.withColumn(signature_column, minhash_signature(F.col(text_column), num_hashes, k))
+    join_key = id_column or "__mh_rid"
+    work = df if id_column else df.withColumn(join_key, F.monotonically_increasing_id())
+    sigs = minhash_signatures_agg(work, join_key, text_column, num_hashes, k)
+    out = work.join(sigs.withColumnRenamed("id", join_key), join_key, "inner")
+    out = out.withColumn(
+        signature_column, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    )
     for b in range(bands):
-        parts = [F.col(signature_column)[b * rows + r] for r in range(rows)]
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         out = out.withColumn(f"band_{b}", F.md5(F.concat(*parts)))
+    out = out.drop(*[f"mh{i}" for i in range(num_hashes)])
+    if not id_column:
+        out = out.drop(join_key)
     return out
 
 
@@ -102,21 +131,31 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
                             text_column: str = "text", num_hashes: int = 8,
                             bands: int = 4, k: int = 5) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that collide in >=1 band.
-    Shuffle keys are the band hashes — short, uniform, no skew."""
-    banded = minhash_bands(df, text_column, num_hashes, bands, k)
-    pair_frames = []
-    for b in range(bands):
-        side = banded.select(F.col(id_column).alias("id"), F.col(f"band_{b}").alias("bh"))
-        a = side.alias("a")
-        bb = side.alias("b")
-        pair_frames.append(
-            a.join(bb, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-    pairs = pair_frames[0]
-    for p in pair_frames[1:]:
-        pairs = pairs.unionByName(p)
-    return pairs.distinct()
+
+    One signature computation (explode+agg), then ONE self-join on the
+    exploded (band_index, band_hash) key — short uniform hashes, no skew.
+    The small banded table is persisted so the self-join's two sides don't
+    recompute the signature pipeline."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_agg(df.select(F.col(id_column), F.col(text_column)),
+                                  id_column, text_column, num_hashes, k)
+    band_arr = F.array(*[
+        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ])
+    exploded = sigs.select(
+        F.col("id"), F.posexplode(band_arr).alias("band", "bh")
+    ).persist()
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
 
 
 def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
@@ -147,44 +186,40 @@ def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash16(text: Column, k: int = 5) -> Column:
-    """16-bit SimHash over k-shingles.  Bits come from the first 4 hex chars
-    of md5(shingle); each bit votes +-1 weighted by occurrence.
+def add_simhash(df: DataFrame, text_column: str = "text",
+                column: str = "simhash", k: int = 5,
+                id_column: str | None = None) -> DataFrame:
+    """16-bit SimHash over k-shingles.  Bits come from the first 4 hex
+    chars of md5(shingle); each bit votes +-1 weighted by occurrence.
 
-    Native-only: explode-free via transform + aggregate over the shingle
-    array; 16 bits keeps the expression tree (and any SQL oracle) tractable.
-    """
-    sh = shingles(text, k)
-    hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 4))
-    bit_sums = []
+    Scalable shape: explode shingles, md5 ONCE per shingle, 16 partial-agg
+    bit sums map-side, reassemble the hash after the groupBy.  (A pure
+    expression tree re-hashes every shingle 16x — measured 20x slower.)
+    Rows whose text has no shingles (len < k) are dropped."""
+    join_key = id_column or "__sh_rid"
+    work = df if id_column else df.withColumn(join_key, F.monotonically_increasing_id())
+    sh = work.select(
+        F.col(join_key).alias("id"),
+        F.explode(shingles(F.col(text_column), k)).alias("s"),
+    ).select("id", F.substring(F.md5(F.col("s")), 1, 4).alias("hx"))
+    aggs = []
     for bit in range(16):
         ch = bit // 4 + 1
         shift = 3 - bit % 4
-        # hex char -> 4-bit value via strpos in '0123456789abcdef'
-        val = F.transform(
-            hexes,
-            lambda h: (
-                F.when(
-                    F.shiftright(
-                        F.position(F.substring(h, ch, 1), F.lit("0123456789abcdef")) - 1,
-                        shift,
-                    ) % 2 == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ),
-        )
-        bit_sums.append(
-            F.aggregate(val, F.lit(0), lambda acc, v: acc + v)
-        )
+        hexval = F.position(F.substring(F.col("hx"), ch, 1),
+                            F.lit("0123456789abcdef")) - 1
+        vote = F.when(F.shiftright(hexval, shift) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(vote).alias(f"b{bit}"))
+    sums = sh.groupBy("id").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for bit, s in enumerate(bit_sums):
-        sim = sim + F.when(s > 0, F.lit(1 << (15 - bit)).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sim
-
-
-def add_simhash(df: DataFrame, text_column: str = "text",
-                column: str = "simhash", k: int = 5) -> DataFrame:
-    return df.withColumn(column, simhash16(F.col(text_column), k))
+    for bit in range(16):
+        sim = sim + F.when(F.col(f"b{bit}") > 0,
+                           F.lit(1 << (15 - bit)).cast("long")).otherwise(F.lit(0).cast("long"))
+    sums = sums.select(F.col("id").alias(join_key), sim.alias(column))
+    out = work.join(sums, join_key, "inner")
+    if not id_column:
+        out = out.drop(join_key)
+    return out
 
 
 # --- n-gram Jaccard ----------------------------------------------------------

@@ -182,7 +182,7 @@ def q_simhash(spark, sf_dir):
     from geoparquet_io_spark.operators.dedup import add_simhash
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    return add_simhash(d).select("doc_id", "simhash")
+    return add_simhash(d, id_column="doc_id").select("doc_id", "simhash")
 
 
 @register(
@@ -378,3 +378,23 @@ def q_sessionize(spark, sf_dir):
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events", "sum_value",
     )
+
+
+def _minhash_survivors_oracle() -> str:
+    pairs = _minhash_pairs_oracle()
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT d.doc_id FROM documents d
+    WHERE len(d.text) >= 5
+      AND d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@register("dedup_minhash_survivors", _minhash_survivors_oracle())
+def q_minhash_survivors(spark, sf_dir):
+    """Full near-dup dedup: drop every doc colliding with a smaller id."""
+    from geoparquet_io_spark.operators.dedup import dedup_minhash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    out = dedup_minhash(d, "doc_id", "text", num_hashes=8, bands=4, k=5)
+    return out.select("doc_id")

@@ -1,0 +1,66 @@
+"""CLI surface: each command drives the engine end-to-end."""
+
+import json
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    from geoparquet_io_spark.queries import _events_points
+
+    p = str(tmp_path_factory.mktemp("cli") / "src.parquet")
+    _events_points(spark, SF_SMOKE).write(p)
+    return p
+
+
+def _run(argv):
+    from geoparquet_io_spark.cli import main
+
+    return main(argv)
+
+
+def test_extract(src, tmp_path, capsys):
+    out = str(tmp_path / "ex.parquet")
+    assert _run(["extract", src, out, "--bbox=-60,-40,40,60",
+                 "--columns", "event_id"]) == 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"event_id", "geometry", "bbox"}
+    assert 0 < t.num_rows < 1000
+
+
+def test_add_and_sort_and_check(src, tmp_path, capsys):
+    mid = str(tmp_path / "qk.parquet")
+    assert _run(["add", "quadkey", src, mid, "--zoom", "6"]) == 0
+    out = str(tmp_path / "sorted.parquet")
+    assert _run(["sort", "hilbert", mid, out]) == 0
+    assert _run(["check", "all", out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["issues"] == [] and rep["spec_errors"] == []
+
+
+def test_partition_cli(src, tmp_path, capsys):
+    out = str(tmp_path / "parts")
+    assert _run(["partition", "string", src, out, "--column", "event_type"]) == 0
+    assert json.loads(capsys.readouterr().out)["files"] >= 3
+
+
+def test_inspect_summary(src, capsys):
+    assert _run(["inspect", "summary", src]) == 0
+    s = json.loads(capsys.readouterr().out)
+    assert s["rows"] == 1000 and s["geo"]["primary_column"] == "geometry"
+
+
+def test_convert_csv(tmp_path, capsys):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,wkt\n1,POINT (1 2)\n2,POINT (3 4)\n3,POINT (5 6)\n")
+    out = str(tmp_path / "conv.parquet")
+    assert _run(["convert", str(csv), out]) == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_metadata(out).num_rows == 3
+    assert b"geo" in pq.read_schema(out).metadata
