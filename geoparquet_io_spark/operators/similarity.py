@@ -158,3 +158,87 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- IVF (inverted-file) index ----------------------------------------------
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random centroids (LCG — data-independent so a
+    SQL oracle can embed them as literals).  A production IVF would k-means
+    them on a sample; the assignment/probe mechanics are identical."""
+    return _hyperplanes(dim, n_centroids, seed)
+
+
+def _nearest_centroid(vector: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance to each centroid (native exprs);
+    deterministic tie-break on the lower centroid index."""
+    best_idx = F.lit(0)
+    best_d = _sq_dist(vector, centroids[0])
+    for i in range(1, len(centroids)):
+        d = _sq_dist(vector, centroids[i])
+        better = d < best_d
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(better, d).otherwise(best_d)
+    return best_idx
+
+
+def _sq_dist(vector: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vector, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(df: DataFrame, dim: int, n_centroids: int = 16,
+               id_column: str = "vec_id", vector_column: str = "embedding",
+               seed: int = 7, list_column: str = "ivf_list") -> DataFrame:
+    """Assign every vector to its inverted list.  At scale this column is
+    the partition key — `df.write.partitionBy(list_column)` gives physical
+    locality so a probe reads only nprobe/n_centroids of the data."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    v = as_double_array(F.col(vector_column))
+    return df.withColumn(list_column, _nearest_centroid(v, cents))
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    seed: int = 7,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe`` nearest inverted
+    lists; candidates meet only inside probed lists (bucket equi-join —
+    the cross product never materializes)."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    )
+    d = d.withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    # nprobe nearest lists per query: rank centroid distances natively
+    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
+    sim = cosine(F.col("__qv"), F.col("__dv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        d.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -552,3 +552,4 @@ def all_oracles():
 # separate module for size; shares this REGISTRY)
 from geoparquet_io_spark import queries_data  # noqa: E402,F401
 from geoparquet_io_spark import queries_geo2  # noqa: E402,F401
+from geoparquet_io_spark import queries_ann  # noqa: E402,F401
