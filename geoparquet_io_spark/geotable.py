@@ -88,6 +88,7 @@ class GeoTable:
             geometry_wkt=geometry,
             where=where,
             limit=limit,
+            crs=self.crs,
         )
         return self._wrap(df)
 
@@ -271,3 +272,20 @@ class GeoTable:
         from geoparquet_io_spark.operators.text import fingerprint
 
         return self._wrap(fingerprint(self._df, text_column, **kw))
+
+    # -- format sinks (SURVEY 2.2) -------------------------------------------------
+
+    def write_csv(self, path: str, **kw) -> None:
+        from geoparquet_io_spark.sources.csv_geo import write_csv
+
+        write_csv(self, path, **kw)
+
+    def write_geojson(self, path: str, **kw) -> None:
+        from geoparquet_io_spark.sources.geojson import write_geojson
+
+        write_geojson(self, path, **kw)
+
+    def to_stac_item(self, path: str, **kw) -> dict:
+        from geoparquet_io_spark.sources.stac import generate_stac_item
+
+        return generate_stac_item(path, **kw)

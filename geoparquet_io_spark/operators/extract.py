@@ -14,6 +14,7 @@ cheap envelope prefilter so the UDF only sees candidate rows.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,6 +66,29 @@ def build_column_selection(
     return [c for c in existing if c in keep]
 
 
+def check_crs_bbox_mismatch(bbox, crs) -> None:
+    """Warn when the filter bbox looks geographic but the data CRS is
+    projected (reference: core/extract.py:104-247)."""
+    from geoparquet_io_spark.functions import crs as _crs
+
+    if bbox is None or crs is None:
+        return
+    xmin, ymin, xmax, ymax = bbox
+    looks_geographic = (-180 <= xmin <= 180 and -180 <= xmax <= 180
+                        and -90 <= ymin <= 90 and -90 <= ymax <= 90)
+    try:
+        projected = not _crs.is_geographic(crs)
+    except (ValueError, TypeError):
+        return
+    if looks_geographic and projected:
+        warnings.warn(
+            f"bbox {bbox} looks like lon/lat degrees but the data CRS is "
+            f"{_crs.normalize_crs(crs)!r} (projected) — the filter will "
+            "likely match nothing; reproject or pass projected coordinates",
+            stacklevel=3,
+        )
+
+
 def extract(
     df: DataFrame,
     geometry_column: str | None = None,
@@ -75,8 +99,10 @@ def extract(
     geometry_wkt: str | None = None,
     where: str | None = None,
     limit: int | None = None,
+    crs=None,
 ) -> DataFrame:
     out = df
+    check_crs_bbox_mismatch(bbox, crs)
 
     if bbox is not None:
         xmin, ymin, xmax, ymax = (float(v) for v in bbox)

@@ -167,3 +167,41 @@ def test_check_fixes(spark, tmp_path):
     assert any("bbox" in a for a in applied)
     rep = check_structure(dst)
     assert rep.has_bbox_covering and rep.ok
+
+
+def test_crs_mismatch_warning(spark):
+    """Geographic-looking bbox against projected CRS -> warning
+    (reference: core/extract.py:104-247)."""
+    import warnings
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE).reproject("EPSG:3857")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gt.extract(bbox=(-60, -40, 40, 60))
+        assert any("projected" in str(x.message) for x in w)
+    # projected-looking bbox: no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gt.extract(bbox=(-6e6, -4e6, 4e6, 6e6))
+        assert not w
+
+
+def test_read_partition_merge_schema(spark, tmp_path):
+    """union_by_name / mergeSchema across partition files with a dropped
+    column (FIXTURES.md F3 requirement)."""
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    d = str(tmp_path / "mixed")
+    a = gt.df.filter("event_type = 'click'")
+    b = gt.df.filter("event_type <> 'click'").drop("props")
+    gt._wrap(a).write(d + "/part_a")
+    gt._wrap(b).write(d + "/part_b")
+    merged = gps.read_partition(spark, d, hive_partitioning=False, allow_schema_diff=True)
+    assert merged.count() == gt.count()
+    assert "props" in merged.df.columns
+    nulls = merged.df.filter("props IS NULL").count()
+    assert nulls == b.count()
