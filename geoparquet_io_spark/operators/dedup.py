@@ -86,16 +86,20 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 5) -> Column:
 def minhash_signatures_agg(df: DataFrame, id_column: str,
                            text_column: str = "text", num_hashes: int = 8,
                            k: int = 5) -> DataFrame:
-    """(id, mh0..mhN-1) via the SCALABLE shape: explode shingles, hash each
-    ONCE, partial-aggregate mins map-side.  The pure-expression form
-    (minhash_signature) duplicates the shingle+md5 subtree per hash branch
-    — fine for one signature, ruinous for banding pipelines."""
+    """(id, mh0..mhN-1 as BIGINT) via the SCALABLE shape: explode shingles,
+    md5 each ONCE, derive the N hash functions as h1 + i*h2 from the md5's
+    two 32-bit halves (Kirsch-Mitzenmacher double hashing), then
+    partial-aggregate mins map-side.  One md5 per shingle total — the
+    naive N-seeded form costs N md5s per shingle."""
     sh = df.select(
         F.col(id_column).alias("id"),
         F.explode(shingles(F.col(text_column), k)).alias("s"),
-    )
+    ).select("id", F.md5(F.col("s")).alias("h"))
+    h1 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+    sh = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"mh{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -119,8 +123,8 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
         signature_column, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
     )
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        out = out.withColumn(f"band_{b}", F.md5(F.concat(*parts)))
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        out = out.withColumn(f"band_{b}", F.md5(F.concat_ws(",", *parts)))
     out = out.drop(*[f"mh{i}" for i in range(num_hashes)])
     if not id_column:
         out = out.drop(join_key)
@@ -140,7 +144,8 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
     sigs = minhash_signatures_agg(df.select(F.col(id_column), F.col(text_column)),
                                   id_column, text_column, num_hashes, k)
     band_arr = F.array(*[
-        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
+                                 for r in range(rows)]))
         for b in range(bands)
     ])
     exploded = sigs.select(
@@ -201,14 +206,16 @@ def add_simhash(df: DataFrame, text_column: str = "text",
     sh = work.select(
         F.col(join_key).alias("id"),
         F.explode(shingles(F.col(text_column), k)).alias("s"),
-    ).select("id", F.substring(F.md5(F.col("s")), 1, 4).alias("hx"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 4), 16, 10).cast("long").alias("hv"),
+    )
     aggs = []
     for bit in range(16):
-        ch = bit // 4 + 1
-        shift = 3 - bit % 4
-        hexval = F.position(F.substring(F.col("hx"), ch, 1),
-                            F.lit("0123456789abcdef")) - 1
-        vote = F.when(F.shiftright(hexval, shift) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        # bit index from the most-significant nibble down (hex char bit//4,
+        # in-char shift 3-bit%4) == integer bit 15-bit
+        vote = F.when(F.shiftright(F.col("hv"), 15 - bit) % 2 == 1,
+                      F.lit(1)).otherwise(F.lit(-1))
         aggs.append(F.sum(vote).alias(f"b{bit}"))
     sums = sh.groupBy("id").agg(*aggs)
     sim = F.lit(0).cast("long")

@@ -130,19 +130,24 @@ def _shingles_sql(text: str, k: int) -> str:
 def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
     rows = num_hashes // bands
     mh = ", ".join(
-        f"list_min([md5('{i}' || s) FOR s IN sh]) AS mh{i}" for i in range(num_hashes)
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes)
     )
     band_cols = ", ".join(
-        "md5(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band_{b}"
+        "md5(" + " || ',' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
         for b in range(bands)
     )
     union = " UNION ALL ".join(
         f"SELECT {b} AS band, doc_id, band_{b} AS bh FROM banded" for b in range(bands)
     )
     return f"""
-    WITH d AS (SELECT doc_id, {_shingles_sql('text', k)} AS sh
-               FROM documents WHERE len(text) >= {k}),
-    sigs AS (SELECT doc_id, {mh} FROM d),
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql('text', k)}) AS s
+                FROM documents WHERE len(text) >= {k}),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h2
+          FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
     banded AS (SELECT doc_id, {band_cols} FROM sigs),
     u AS ({union})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -150,30 +155,28 @@ def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5) -> st
     """
 
 
-@register("dedup_minhash_pairs", _minhash_pairs_oracle())
+@register("dedup_minhash_pairs", _minhash_pairs_oracle(8, 2, 5))
 def q_minhash_pairs(spark, sf_dir):
     from geoparquet_io_spark.operators.dedup import minhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4, k=5)
+    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=2, k=5)
 
 
 def _simhash_oracle(k: int = 5) -> str:
-    hexes = f"[substr(md5(s), 1, 4) FOR s IN {_shingles_sql('text', k)}]"
-    bit_terms = []
-    for bit in range(16):
-        ch = bit // 4 + 1
-        shift = 3 - bit % 4
-        vote = (
-            f"CASE WHEN ((strpos('0123456789abcdef', substr(h, {ch}, 1)) - 1) >> {shift}) % 2 = 1 "
-            "THEN 1 ELSE -1 END"
-        )
-        s = f"list_reduce([{vote} FOR h IN hx], (x, y) -> x + y)"
-        bit_terms.append(f"(CASE WHEN {s} > 0 THEN {1 << (15 - bit)} ELSE 0 END)")
-    total = " + ".join(bit_terms)
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {15 - bit}) % 2 = 1 THEN 1 ELSE -1 END) AS b{bit}"
+        for bit in range(16)
+    )
+    total = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN {1 << (15 - bit)} ELSE 0 END)" for bit in range(16)
+    )
     return f"""
-    WITH d AS (SELECT doc_id, {hexes} AS hx FROM documents WHERE len(text) >= {k})
-    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM d
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql('text', k)}) AS s
+                FROM documents WHERE len(text) >= {k}),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 4)) AS BIGINT) AS hv FROM sh),
+    sums AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM sums
     """
 
 
@@ -381,7 +384,7 @@ def q_sessionize(spark, sf_dir):
 
 
 def _minhash_survivors_oracle() -> str:
-    pairs = _minhash_pairs_oracle()
+    pairs = _minhash_pairs_oracle(8, 2, 5)
     return f"""
     WITH pairs AS ({pairs})
     SELECT d.doc_id FROM documents d
@@ -396,5 +399,5 @@ def q_minhash_survivors(spark, sf_dir):
     from geoparquet_io_spark.operators.dedup import dedup_minhash
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    out = dedup_minhash(d, "doc_id", "text", num_hashes=8, bands=4, k=5)
+    out = dedup_minhash(d, "doc_id", "text", num_hashes=8, bands=2, k=5)
     return out.select("doc_id")

@@ -108,3 +108,34 @@ def test_stats_and_bounds(points):
     s = {r["column"]: r for r in points.stats().collect()}
     assert s["event_id"]["nulls"] == 0
     assert s["geometry"]["min"] is None  # geometry: nulls-only stats
+
+
+def test_partition_by_admin(spark, points, tmp_path):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.operators.partition import partition_by_admin
+    from geoparquet_io_spark.testsupport.tables import load_table, nation_boxes
+
+    n = nation_boxes(load_table(spark, SF_SMOKE, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    n = n.withColumn("bbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_name", "geometry", "bbox")
+    out = str(tmp_path / "by_admin")
+    files = partition_by_admin(points, GeoTable(n, points.geo), ["n_name"],
+                               out, skip_analysis=True)
+    assert files and all("n_name=" in f for f in files)
+    back = spark.read.parquet(out)
+    assert back.count() == points.count()
+    assert "n_name" in back.columns
+
+
+def test_gdal_formats_gated(spark, points, tmp_path):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.sources.gdal_formats import read_gdal, write_gdal
+
+    with _pytest.raises(NotImplementedError, match="pyogrio"):
+        read_gdal(spark, str(tmp_path / "x.gpkg"))
+    with _pytest.raises(NotImplementedError, match="pyogrio"):
+        write_gdal(points, str(tmp_path / "x.gpkg"))
