@@ -58,6 +58,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the reference's published 3-op pipeline (extract -> add bbox ->
+    # hilbert sort -> write), BASELINE.md: 34s CLI / 16s piped / 7s API at
+    # 400k rows.  Ours runs it lazily end-to-end including the write.
+    import tempfile
+
+    from geoparquet_io_spark.queries import _events_points
+
+    t0 = time.perf_counter()
+    gt = _events_points(spark, SF_DIR)
+    out_path = tempfile.mkdtemp(prefix="bench_3op_") + "/out.parquet"
+    gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert().write(out_path)
+    timings["pipeline_3op_write"] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",

@@ -298,12 +298,10 @@ _CUST_PTS_SQL = f"""
 def q_bbox_fast(spark, sf_dir):
     gt = _events_points(spark, sf_dir)
     out = gt.extract(bbox=(-60, -40, 40, 60))
-    # x/y read back THROUGH the WKB column — proves the binary roundtrip
-    return out.df.select(
-        "event_id",
-        G.st_x(F.col("geometry")).alias("x"),
-        G.st_y(F.col("geometry")).alias("y"),
-    )
+    # x/y read back THROUGH the WKB column (one fused UDF call) — proves
+    # the binary roundtrip
+    c = G.st_centroid_xy(F.col("geometry"))
+    return out.df.select("event_id", c["x"].alias("x"), c["y"].alias("y"))
 
 
 @register(
@@ -318,11 +316,8 @@ def q_bbox_slow(spark, sf_dir):
     gt = _events_points(spark, sf_dir)
     no_bbox = GeoTable(gt.df.drop("bbox"), gt.geo)  # force exact-intersects path
     out = no_bbox.extract(bbox=(-60, -40, 40, 60))
-    return out.df.select(
-        "event_id",
-        G.st_x(F.col("geometry")).alias("x"),
-        G.st_y(F.col("geometry")).alias("y"),
-    )
+    c = G.st_centroid_xy(F.col("geometry"))
+    return out.df.select("event_id", c["x"].alias("x"), c["y"].alias("y"))
 
 
 @register(

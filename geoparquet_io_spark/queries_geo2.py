@@ -202,3 +202,37 @@ def q_head(spark, sf_dir):
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return GeoTable(c, None).sort_column("c_custkey").head(20).df
+
+
+@register(
+    "geoparquet_roundtrip",
+    f"""
+    WITH pts AS ({_EVT})
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(lon), 3) AS sum_x,
+           ROUND(SUM(lat), 3) AS sum_y
+    FROM pts
+    WHERE lon >= -100 AND lon <= 100
+    """,
+)
+def q_roundtrip(spark, sf_dir):
+    """Write GeoParquet (executor-side footer writers) -> read back ->
+    aggregate: puts the IO path itself inside the correctness gate."""
+    import tempfile
+
+    from geoparquet_io_spark.functions import geom as G
+    import geoparquet_io_spark as gps
+
+    gt = _events_points(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gpq_rt_") + "/rt.parquet"
+    gt.write(out)
+    back = gps.read(spark, out)
+    sub = back.extract(bbox=(-100, -1000, 100, 1000))
+    return sub.df.select(
+        G.st_x(F.col("geometry")).alias("x"),
+        G.st_y(F.col("geometry")).alias("y"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 3).alias("sum_x"),
+        F.round(F.sum("y"), 3).alias("sum_y"),
+    )
