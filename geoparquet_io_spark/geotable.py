@@ -107,8 +107,6 @@ class GeoTable:
         df = add_bbox(self._df, self.geometry_column, column, force)
         geo = self._geo
         if geo is not None:
-            import copy
-
             geo = GeoMeta.from_json(geo.to_json())
             geo.set_covering(column)
         return GeoTable(df, geo, bbox_column=column)

@@ -68,21 +68,6 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signature(text: Column, num_hashes: int = 8, k: int = 5) -> Column:
-    """Array of ``num_hashes`` minhashes: min over shingles of
-    md5(seed || shingle).  md5 keeps Spark and any SQL oracle identical."""
-    sh = shingles(text, k)
-
-    def hasher(seed: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # passes (element, index) to two-parameter callables.
-        return lambda s: F.md5(F.concat(F.lit(str(seed)), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
-    )
-
-
 def minhash_signatures_agg(df: DataFrame, id_column: str,
                            text_column: str = "text", num_hashes: int = 8,
                            k: int = 5) -> DataFrame:

@@ -12,7 +12,7 @@ Determinism rules (both sides MUST follow):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_io_spark.geotable import GeoTable

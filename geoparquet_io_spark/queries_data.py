@@ -10,7 +10,6 @@ both engines bit-identical; folds start from the left so
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from geoparquet_io_spark.queries import register

@@ -10,7 +10,6 @@ reference's chunked stdout writer.
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import pandas as pd
 
@@ -121,7 +120,6 @@ def read_geojson(spark, path: str, geometry_column: str = "geometry"):
     GDAL path, core/convert.py:995-1132)."""
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
-    from geoparquet_io_spark.functions import wkt as _wkt
 
     with open(path) as f:
         doc = json.load(f)

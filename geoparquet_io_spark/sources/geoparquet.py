@@ -11,7 +11,6 @@ metadata stamped on every file (SURVEY.md section 7 milestone 2).
 from __future__ import annotations
 
 import glob as _glob
-import json
 import os
 import uuid
 from typing import Iterator
@@ -178,8 +177,6 @@ def _write_distributed(
             for batch in batches:
                 tbl = pa.Table.from_batches([batch]).cast(full_schema)
                 if part_cols:
-                    import pyarrow.compute as pc
-
                     keys = list(
                         zip(*[tbl.column(c).to_pylist() for c in part_cols])
                     )
