@@ -1,0 +1,56 @@
+"""Skew-mitigation utilities for 100 TB workloads.
+
+AQE's skew-join handling (on by default in session.py) covers sort-merge
+joins; these helpers cover the cases AQE can't re-plan:
+
+- ``salted_distinct_count``: COUNT(DISTINCT x) per heavily-skewed key —
+  two-phase aggregation over a salted composite key.
+- ``salted_join``: broadcast-infeasible join against a skewed key —
+  explode the small side over N salts, salt the big side randomly.
+- ``bucketed_write`` / co-located joins live in sources/bucketed.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_distinct_count(df: DataFrame, key: str, value: str,
+                          salt: int = 32) -> DataFrame:
+    """COUNT(DISTINCT value) GROUP BY key, skew-safe.
+
+    Phase 1 shuffles on (key, salt(value)) — hot keys spread across
+    ``salt`` reducers; phase 2 sums the per-salt distinct counts (disjoint
+    by construction since the salt is derived from the value)."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt)))
+    phase1 = salted.groupBy(key, "__salt").agg(
+        F.count_distinct(F.col(value)).alias("__partial")
+    )
+    return phase1.groupBy(key).agg(F.sum("__partial").alias("distinct_count"))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Join a huge skewed table against a small-but-too-big-to-broadcast
+    table: replicate ``small`` across ``salt`` copies, randomize the salt
+    on ``big`` — each hot key's rows spread over ``salt`` reducers."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.rand(seed=42) * 1e9), F.lit(salt))
+    )
+    out = big_salted.join(small_rep, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Top-N keys by row count with their share of the table — the
+    diagnosis step before choosing salting / AQE / broadcast."""
+    total = df.count()
+    return (
+        df.groupBy(key).count()
+        .withColumn("share", F.round(F.col("count") / F.lit(total), 6))
+        .orderBy(F.desc("count"), F.asc(key))
+        .limit(top)
+    )

@@ -1,0 +1,73 @@
+"""Skew utilities + bucketed co-located joins (the 100 TB toolbox)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_distinct_count_matches_plain(spark):
+    from geoparquet_io_spark.operators.skew import salted_distinct_count
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["distinct_count"]
+        for r in salted_distinct_count(li, "l_returnflag", "l_partkey").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from geoparquet_io_spark.operators.skew import salted_join
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    plain = li.join(part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+    salted = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", salt=8
+    )
+    assert salted.count() == plain.count()
+    a = salted.agg(F.sum("l_quantity")).collect()[0][0]
+    b = plain.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_key_skew_report(spark):
+    from geoparquet_io_spark.operators.skew import key_skew_report
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rep = key_skew_report(ev, "event_type", top=3).collect()
+    assert len(rep) == 3
+    assert rep[0]["count"] >= rep[1]["count"]
+    assert 0 < rep[0]["share"] <= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from geoparquet_io_spark.plans import formatted_plan
+    from geoparquet_io_spark.sources.bucketed import bucketed_join, write_bucketed
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey")
+        write_bucketed(li, "li_b", "l_orderkey", num_buckets=8, sort_by="l_orderkey")
+        write_bucketed(o, "o_b", "l_orderkey", num_buckets=8, sort_by="l_orderkey")
+        joined = bucketed_join(spark, "li_b", "o_b", "l_orderkey")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == li.join(
+            o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
