@@ -45,27 +45,10 @@ def spatial_join(
     """bbox-prefiltered exact-intersects join; right side broadcast via closure."""
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    from geoparquet_io_spark.operators.stats import bounds as _bounds
-
-    r = right
-    if prune_right_by_extent:
-        # aggregate input extent, pre-filter the admin table before the join
-        # (reference: core/add_admin_divisions_multi.py:111-150)
-        ext = _bounds(left, geometry_column=left_geometry, bbox_column=left_bbox)
-        if right_bbox and right_bbox in right.columns:
-            r = r.filter(G.bbox_intersects(F.col(right_bbox), *ext))
-        elif right_geometry:
-            env = G.st_envelope_struct(F.col(right_geometry))
-            r = (
-                r.withColumn("__renv", env)
-                .filter(G.bbox_intersects(F.col("__renv"), *ext))
-                .drop("__renv")
-            )
-
     if right_geometry is None:
         raise ValueError("spatial_join needs a right geometry column")
 
-    r_local = r.select(right_geometry, *right_columns).collect()
+    r_local = right.select(right_geometry, *right_columns).collect()
     if len(r_local) > MAX_BROADCAST_ROWS:
         raise ValueError(
             f"right side has {len(r_local)} rows — too large for the broadcast "
@@ -76,6 +59,23 @@ def spatial_join(
     r_geoms = [bytes(row[right_geometry]) for row in r_local]
     r_envs = np.array([_wkb.envelope(g) for g in r_geoms]) if r_geoms else np.zeros((0, 4))
     r_attrs = [[row[c] for c in right_columns] for row in r_local]
+
+    # extent pruning (reference: core/add_admin_divisions_multi.py:111-150)
+    # ONLY pays when the collected right side is big enough that shipping it
+    # matters — for small admin tables the extra full pass over the left
+    # side to compute bounds costs more than it saves.
+    if prune_right_by_extent and len(r_local) > 10_000:
+        from geoparquet_io_spark.operators.stats import bounds as _bounds
+
+        ext = _bounds(left, geometry_column=left_geometry, bbox_column=left_bbox)
+        keep = [
+            i for i in range(len(r_geoms))
+            if not (r_envs[i, 0] > ext[2] or r_envs[i, 2] < ext[0]
+                    or r_envs[i, 1] > ext[3] or r_envs[i, 3] < ext[1])
+        ]
+        r_geoms = [r_geoms[i] for i in keep]
+        r_envs = r_envs[keep] if keep else np.zeros((0, 4))
+        r_attrs = [r_attrs[i] for i in keep]
     right_schema = [right.schema[c] for c in right_columns]
 
     out_schema = T.StructType(
