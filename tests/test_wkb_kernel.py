@@ -134,3 +134,71 @@ def test_geo_meta_roundtrip():
     assert g2.validate() == []
     g2.primary.encoding = "nope"
     assert g2.validate()
+
+
+# --- property tests: predicate laws -----------------------------------------
+
+coord = st.floats(min_value=-100, max_value=100, allow_nan=False)
+
+
+def _rand_box(x, y, w, h):
+    return wkb.encode_box_polygon(x, y, x + abs(w) + 0.001, y + abs(h) + 0.001)
+
+
+@given(coord, coord, coord, coord, st.floats(0.1, 50), st.floats(0.1, 50),
+       st.floats(0.1, 50), st.floats(0.1, 50))
+@settings(max_examples=100, deadline=None)
+def test_intersects_symmetric_boxes(x1, y1, x2, y2, w1, h1, w2, h2):
+    a = _rand_box(x1, y1, w1, h1)
+    b = _rand_box(x2, y2, w2, h2)
+    assert wkb.intersects(a, b) == wkb.intersects(b, a)
+    # boxes intersect iff envelopes overlap (axis-aligned rectangles)
+    ea, eb = wkb.envelope(a), wkb.envelope(b)
+    env_overlap = not (ea[0] > eb[2] or eb[0] > ea[2] or ea[1] > eb[3] or eb[1] > ea[3])
+    assert wkb.intersects(a, b) == env_overlap
+
+
+@given(coord, coord, coord, coord, st.floats(0.1, 50), st.floats(0.1, 50))
+@settings(max_examples=100, deadline=None)
+def test_point_box_membership(px, py, bx, by, w, h):
+    box = _rand_box(bx, by, w, h)
+    e = wkb.envelope(box)
+    inside = e[0] <= px <= e[2] and e[1] <= py <= e[3]
+    assert wkb.intersects(wkb.encode_point(px, py), box) == inside
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_wkt_roundtrip_polygons(pts):
+    ring = pts + [pts[0]]
+    try:
+        poly = wkb.encode_polygon([np.array(ring)])
+    except Exception:
+        return
+    w = wkt.to_wkt(poly)
+    assert wkb.envelope(wkt.from_wkt(w)) == wkb.envelope(poly)
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_hilbert_matches_scalar_reference(x, y):
+    """Vectorized kernel vs straightforward per-point transcription of the
+    public xy2d algorithm."""
+    def xy2d(order, x, y):
+        rx = ry = 0
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    got = hilbert.xy_to_hilbert(np.array([x]), np.array([y]), 16)[0]
+    assert int(got) == xy2d(1 << 16, x, y)
