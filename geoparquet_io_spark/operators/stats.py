@@ -185,8 +185,13 @@ def check_spatial_order(
     x, y = _centroid_lonlat(df, geometry_column, bbox_column)
     pts = df.select(x.alias("x"), y.alias("y"))
 
-    # consecutive distances via lag window over the file order
-    w = Window.orderBy(F.monotonically_increasing_id())
+    # consecutive distances via PARTITION-LOCAL lag: a global-order window
+    # would funnel everything through one reducer; within-partition order
+    # is file order, and only the n_partitions-1 boundary pairs are lost —
+    # statistically irrelevant to the ratio at any scale.
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.monotonically_increasing_id()
+    )
     consec = (
         pts.withColumn("px", F.lag("x").over(w))
         .withColumn("py", F.lag("y").over(w))
