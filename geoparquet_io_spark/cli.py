@@ -113,20 +113,24 @@ def cmd_partition(args) -> int:
 
 
 def cmd_inspect(args) -> int:
-    from geoparquet_io_spark.operators.inspect_check import inspect_head, inspect_summary
+    from geoparquet_io_spark.operators.inspect_check import (
+        inspect_head,
+        inspect_summary,
+        inspect_tail,
+    )
 
     if args.what == "summary" or args.what == "meta":
         print(json.dumps(inspect_summary(args.input), indent=2, default=str))
         return 0
     spark = _spark()
     n = args.n or 10
-    df = inspect_head(spark, args.input, n)
     if args.what == "stats":
         import geoparquet_io_spark as gps
 
         gps.read(spark, args.input).stats().show(truncate=False)
         return 0
-    df.show(n, truncate=False)
+    fn = inspect_tail if args.what == "tail" else inspect_head
+    fn(spark, args.input, n).show(n, truncate=False)
     return 0
 
 

@@ -201,14 +201,9 @@ def inspect_summary(path: str) -> dict:
     }
 
 
-def inspect_head(spark, path: str, n: int = 10, max_wkt_chars: int = 60):
-    """Preview rows with WKT-truncated geometry display
-    (reference: core/inspect_utils.py:473-517)."""
-    import geoparquet_io_spark as gps
+def _wkt_preview(gt, df, max_wkt_chars: int):
     from geoparquet_io_spark.functions import geom as G
 
-    gt = gps.read(spark, path)
-    df = gt.df.limit(n)
     g = gt.geometry_column
     if g:
         df = df.withColumn(
@@ -216,3 +211,21 @@ def inspect_head(spark, path: str, n: int = 10, max_wkt_chars: int = 60):
             F.substring(G.st_astext(F.col(g)), 1, max_wkt_chars),
         )
     return df
+
+
+def inspect_head(spark, path: str, n: int = 10, max_wkt_chars: int = 60):
+    """Preview rows with WKT-truncated geometry display
+    (reference: core/inspect_utils.py:473-517)."""
+    import geoparquet_io_spark as gps
+
+    gt = gps.read(spark, path)
+    return _wkt_preview(gt, gt.df.limit(n), max_wkt_chars)
+
+
+def inspect_tail(spark, path: str, n: int = 10, max_wkt_chars: int = 60):
+    """Last n rows (reference: api/table.py:1426-1471 tail slice)."""
+    import geoparquet_io_spark as gps
+
+    gt = gps.read(spark, path)
+    tail_gt = gt.tail(n)
+    return _wkt_preview(gt, tail_gt.df, max_wkt_chars)

@@ -64,3 +64,12 @@ def test_convert_csv(tmp_path, capsys):
 
     assert pq.read_metadata(out).num_rows == 3
     assert b"geo" in pq.read_schema(out).metadata
+
+
+def test_inspect_head_tail(src, capsys):
+    assert _run(["inspect", "head", src, "-n", "3"]) == 0
+    out_head = capsys.readouterr().out
+    assert "POINT" in out_head
+    assert _run(["inspect", "tail", src, "-n", "3"]) == 0
+    out_tail = capsys.readouterr().out
+    assert "POINT" in out_tail and out_tail != out_head
