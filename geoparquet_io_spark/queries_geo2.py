@@ -363,3 +363,24 @@ def q_anti(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column handling: JSON field extraction + agg
+    (native get_json_object — no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
