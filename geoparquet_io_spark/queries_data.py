@@ -400,3 +400,45 @@ def q_minhash_survivors(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
     out = dedup_minhash(d, "doc_id", "text", num_hashes=8, bands=2, k=5)
     return out.select("doc_id")
+
+
+@register(
+    "text_word_tokens",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> len(w) > 0))
+           + (len(text) - len(regexp_replace(text, '[^\\w \\t\\n]', '', 'g')))
+             AS n_word_tokens
+    FROM documents WHERE len(trim(text)) > 0
+    """,
+)
+def q_word_tokens(spark, sf_dir):
+    """BPE-ish sub-word token estimate (words + punctuation marks)."""
+    from geoparquet_io_spark.operators.text import word_token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select("doc_id",
+                    word_token_count(F.col("text")).alias("n_word_tokens"))
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce([CAST(0 AS BIGINT)] || [CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')],
+                       (h, c) -> (h * 131 + c) % 2147483647) AS rhash
+    FROM documents WHERE len(text) > 0
+    """,
+)
+def q_rolling_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint — fully native fold
+    over the character array, identical arithmetic in the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    rhash = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 131 + c) % F.lit(2147483647).cast("long"),
+    )
+    return d.select("doc_id", rhash.alias("rhash"))
