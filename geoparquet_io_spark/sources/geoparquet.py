@@ -104,6 +104,7 @@ def write(
     compression: str = DEFAULT_COMPRESSION,
     compression_level: int = DEFAULT_COMPRESSION_LEVEL,
     row_group_rows: int = DEFAULT_ROW_GROUP_ROWS,
+    max_rows_per_file: int | None = None,
     overwrite: bool = True,
 ) -> list[str]:
     """Write GeoParquet with footer ``geo`` metadata.  Returns written files.
@@ -120,7 +121,8 @@ def write(
     if single_file:
         return _write_single_file(df, path, geo, compression, compression_level, row_group_rows)
     return _write_distributed(
-        df, path, geo, partition_by, compression, compression_level, row_group_rows, overwrite
+        df, path, geo, partition_by, compression, compression_level, row_group_rows,
+        max_rows_per_file, overwrite,
     )
 
 
@@ -143,7 +145,8 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
 
 
 def _write_distributed(
-    df, path, geo, partition_by, compression, compression_level, row_group_rows, overwrite
+    df, path, geo, partition_by, compression, compression_level, row_group_rows,
+    max_rows_per_file, overwrite,
 ):
     schema = _arrow_schema_with_geo(df, geo)
     schema_ser = schema.serialize().to_pybytes()
@@ -166,65 +169,66 @@ def _write_distributed(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        writers: dict[tuple, pq.ParquetWriter] = {}
-        counts: dict[tuple, int] = {}
-        files: dict[tuple, str] = {}
         full_schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
         dschema = pa.schema(
             [full_schema.field(n) for n in data_cols], metadata=full_schema.metadata
         )
+        # per-key open writer: key -> [writer, file, rows_in_file]
+        open_w: dict[tuple, list] = {}
+        emitted: list[tuple[str, int]] = []
+
+        def _open(k: tuple):
+            d = path
+            if part_cols:
+                d = os.path.join(
+                    path, *[f"{c}={_hive_escape(v)}" for c, v in zip(part_cols, k)]
+                )
+                os.makedirs(d, exist_ok=True)
+            f = os.path.join(d, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+            w = pq.ParquetWriter(
+                f, dschema, compression=compression,
+                compression_level=compression_level,
+            )
+            open_w[k] = [w, f, 0]
+            return open_w[k]
+
+        def _append(k: tuple, sub: "pa.Table"):
+            sub = sub.cast(dschema)
+            while sub.num_rows:
+                slot = open_w.get(k) or _open(k)
+                take = sub.num_rows
+                if max_rows_per_file:
+                    take = min(take, max_rows_per_file - slot[2])
+                slot[0].write_table(sub.slice(0, take))
+                slot[2] += take
+                sub = sub.slice(take)
+                if max_rows_per_file and slot[2] >= max_rows_per_file:
+                    slot[0].close()
+                    emitted.append((slot[1], slot[2]))
+                    del open_w[k]
+
         try:
             for batch in batches:
                 tbl = pa.Table.from_batches([batch]).cast(full_schema)
                 if part_cols:
-                    keys = list(
-                        zip(*[tbl.column(c).to_pylist() for c in part_cols])
-                    )
-                    # group rows of this batch by partition key
+                    keys = list(zip(*[tbl.column(c).to_pylist() for c in part_cols]))
                     by_key: dict[tuple, list[int]] = {}
                     for i, k in enumerate(keys):
                         by_key.setdefault(k, []).append(i)
                     for k, idxs in by_key.items():
-                        sub = tbl.take(idxs).select(data_cols)
-                        w = writers.get(k)
-                        if w is None:
-                            d = os.path.join(
-                                path,
-                                *[f"{c}={_hive_escape(v)}" for c, v in zip(part_cols, k)],
-                            )
-                            os.makedirs(d, exist_ok=True)
-                            f = os.path.join(d, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-                            w = pq.ParquetWriter(
-                                f, dschema, compression=compression,
-                                compression_level=compression_level,
-                            )
-                            writers[k] = w
-                            files[k] = f
-                            counts[k] = 0
-                        w.write_table(sub.cast(dschema))
-                        counts[k] += sub.num_rows
+                        _append(k, tbl.take(idxs).select(data_cols))
                 else:
-                    k = ()
-                    w = writers.get(k)
-                    if w is None:
-                        f = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-                        w = pq.ParquetWriter(
-                            f, dschema, compression=compression,
-                            compression_level=compression_level,
-                        )
-                        writers[k] = w
-                        files[k] = f
-                        counts[k] = 0
-                    w.write_table(tbl.select(data_cols))
-                    counts[k] += tbl.num_rows
+                    _append((), tbl.select(data_cols))
         finally:
-            for w in writers.values():
+            for w, f, n in open_w.values():
                 w.close()
+                emitted.append((f, n))
         out = pa.table(
             {
-                "file": [files[k] for k in files],
-                "rows": [counts[k] for k in files],
-            }
+                "file": [f for f, _ in emitted],
+                "rows": [n for _, n in emitted],
+            },
+            schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
         )
         yield from out.to_batches()
 

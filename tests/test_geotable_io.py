@@ -139,3 +139,15 @@ def test_gdal_formats_gated(spark, points, tmp_path):
         read_gdal(spark, str(tmp_path / "x.gpkg"))
     with _pytest.raises(NotImplementedError, match="pyogrio"):
         write_gdal(points, str(tmp_path / "x.gpkg"))
+
+
+def test_max_rows_per_file_rolls(points, spark, tmp_path):
+    out = str(tmp_path / "rolled")
+    files = points.write(out, max_rows_per_file=300)
+    import pyarrow.parquet as pq
+
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert sum(sizes) == points.count()
+    assert all(s <= 300 for s in sizes)
+    assert len(files) >= points.count() // 300
+    assert spark.read.parquet(out).count() == points.count()
