@@ -179,3 +179,98 @@ def match_rate(df: DataFrame, column: str) -> dict:
     total, matched = row["total"], row["matched"]
     return {"total": total, "matched": matched,
             "rate": (matched / total) if total else 0.0}
+
+
+# ---------------------------------------------------------------------------
+# Grid-partitioned spatial join (big-big case)
+# ---------------------------------------------------------------------------
+
+def _grid_cells(env: Column, cell_size: float) -> Column:
+    """All grid cells an envelope overlaps, as packed long ids
+    (cx * 2^21 + cy with offset — native exprs only)."""
+    c = float(cell_size)
+    cx0 = F.floor(env["xmin"] / c).cast("long")
+    cx1 = F.floor(env["xmax"] / c).cast("long")
+    cy0 = F.floor(env["ymin"] / c).cast("long")
+    cy1 = F.floor(env["ymax"] / c).cast("long")
+    xs = F.sequence(cx0, cx1)
+    ys = F.sequence(cy0, cy1)
+    return F.flatten(
+        F.transform(xs, lambda cx: F.transform(ys, lambda cy: _pack_cell(cx, cy)))
+    )
+
+
+def _pack_cell(cx: Column, cy: Column) -> Column:
+    # +2^20 offset keeps both positive; 21 bits each side is plenty for
+    # cell sizes down to ~1e-4 degrees
+    return (cx + F.lit(1 << 20)) * F.lit(1 << 21) + (cy + F.lit(1 << 20))
+
+
+def grid_spatial_join(
+    left: DataFrame,
+    left_geometry: str,
+    right: DataFrame,
+    right_geometry: str,
+    right_columns: list[str],
+    cell_size: float = 1.0,
+    how: str = "inner",
+    left_id: str | None = None,
+    left_bbox: str | None = None,
+    right_bbox: str | None = None,
+) -> DataFrame:
+    """Spatial join for two LARGE sides (neither broadcastable): PBSM-style
+    grid partitioning.
+
+    Each geometry replicates to every grid cell its envelope overlaps; the
+    join is a plain equi-join on the cell key (shuffle both sides once,
+    co-partitioned); duplicate candidate pairs are eliminated with the
+    REFERENCE-POINT rule (a pair is emitted only from the cell containing
+    the top-left corner of the envelope intersection) — no distinct needed.
+    Exact ST_Intersects runs after the cheap envelope test.
+
+    ``how='left'`` needs ``left_id`` (unique) to restore unmatched rows
+    via an anti join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if how == "left" and not left_id:
+        raise ValueError("left outer grid join needs left_id")
+    c = float(cell_size)
+
+    def with_env(df: DataFrame, geom: str, bbox: str | None, prefix: str) -> DataFrame:
+        env = F.col(bbox) if bbox and bbox in df.columns else G.st_envelope_struct(F.col(geom))
+        return df.withColumn(f"{prefix}env", env)
+
+    l = with_env(left, left_geometry, left_bbox, "l_")
+    r = with_env(right, right_geometry, right_bbox, "r_")
+    l = l.withColumn("__cell", F.explode(_grid_cells(F.col("l_env"), c)))
+    r_sel = r.select(
+        F.col(right_geometry).alias("__rgeom"),
+        F.col("r_env"),
+        F.explode(_grid_cells(F.col("r_env"), c)).alias("__cell"),
+        *[F.col(col).alias(f"__r_{col}") for col in right_columns],
+    )
+    joined = l.join(r_sel, "__cell")
+    le, re_ = F.col("l_env"), F.col("r_env")
+    env_overlap = (
+        (le["xmax"] >= re_["xmin"]) & (le["xmin"] <= re_["xmax"])
+        & (le["ymax"] >= re_["ymin"]) & (le["ymin"] <= re_["ymax"])
+    )
+    ref_cell = _pack_cell(
+        F.floor(F.greatest(le["xmin"], re_["xmin"]) / c).cast("long"),
+        F.floor(F.greatest(le["ymin"], re_["ymin"]) / c).cast("long"),
+    )
+    joined = joined.filter(env_overlap & (F.col("__cell") == ref_cell))
+    joined = joined.filter(
+        G.st_intersects(F.col(left_geometry), F.col("__rgeom"))
+    )
+    out_cols = [F.col(col) for col in left.columns] + [
+        F.col(f"__r_{col}").alias(col) for col in right_columns
+    ]
+    matched = joined.select(*out_cols)
+    if how == "inner":
+        return matched
+    missing = left.join(matched.select(left_id), left_id, "left_anti")
+    for col in right_columns:
+        missing = missing.withColumn(col, F.lit(None))
+    return matched.unionByName(missing)

@@ -106,6 +106,7 @@ def write(
     row_group_rows: int = DEFAULT_ROW_GROUP_ROWS,
     max_rows_per_file: int | None = None,
     overwrite: bool = True,
+    per_file_bbox: str | None = None,
 ) -> list[str]:
     """Write GeoParquet with footer ``geo`` metadata.  Returns written files.
 
@@ -114,6 +115,10 @@ def write(
       its arrow_streaming strategy, write_strategies/arrow_streaming.py:81-341).
     - directory mode (default)   -> one file per task via executor-side
       pyarrow writers; with ``partition_by`` -> hive ``col=value/`` dirs.
+    - ``per_file_bbox=<bbox column>`` -> each file's footer ``geo`` metadata
+      carries THAT file's bbox (the reference invariant for partitioned
+      outputs, core/partition_common.py:657-705).  Costs one executor-local
+      rewrite per file (the reference's disk-rewrite strategy).
     """
     if single_file is None:
         single_file = path.endswith(".parquet") and partition_by is None
@@ -122,7 +127,7 @@ def write(
         return _write_single_file(df, path, geo, compression, compression_level, row_group_rows)
     return _write_distributed(
         df, path, geo, partition_by, compression, compression_level, row_group_rows,
-        max_rows_per_file, overwrite,
+        max_rows_per_file, overwrite, per_file_bbox,
     )
 
 
@@ -146,8 +151,11 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
 
 def _write_distributed(
     df, path, geo, partition_by, compression, compression_level, row_group_rows,
-    max_rows_per_file, overwrite,
+    max_rows_per_file, overwrite, per_file_bbox=None,
 ):
+    if per_file_bbox is not None and per_file_bbox not in df.columns:
+        raise ValueError(f"per_file_bbox column {per_file_bbox!r} not in schema")
+    geo_json = geo.to_json() if geo is not None else None
     schema = _arrow_schema_with_geo(df, geo)
     schema_ser = schema.serialize().to_pybytes()
     if overwrite and os.path.isdir(path):
@@ -192,6 +200,42 @@ def _write_distributed(
             open_w[k] = [w, f, 0]
             return open_w[k]
 
+        file_bbox: dict[str, list] = {}
+
+        def _track_bbox(f: str, sub: "pa.Table"):
+            if per_file_bbox is None:
+                return
+            import pyarrow.compute as pc
+
+            col = sub.column(per_file_bbox).combine_chunks()
+            vals = [
+                pc.min(col.field("xmin")).as_py(), pc.min(col.field("ymin")).as_py(),
+                pc.max(col.field("xmax")).as_py(), pc.max(col.field("ymax")).as_py(),
+            ]
+            cur = file_bbox.get(f)
+            if cur is None:
+                file_bbox[f] = vals
+            else:
+                file_bbox[f] = [min(cur[0], vals[0]), min(cur[1], vals[1]),
+                                max(cur[2], vals[2]), max(cur[3], vals[3])]
+
+        def _finish_file(f: str):
+            """Stamp this file's own bbox into its geo footer metadata
+            (executor-local rewrite — the reference's disk-rewrite strategy)."""
+            if per_file_bbox is None or geo_json is None or f not in file_bbox:
+                return
+            from geoparquet_io_spark.meta import GeoMeta as _GM
+
+            g = _GM.from_json(geo_json)
+            g.primary.bbox = [float(v) for v in file_bbox[f]]
+            tbl = pq.read_table(f)
+            tbl = tbl.replace_schema_metadata(
+                {**(tbl.schema.metadata or {}), b"geo": g.to_json().encode()}
+            )
+            pq.write_table(tbl, f, compression=compression,
+                           compression_level=compression_level,
+                           row_group_size=row_group_rows)
+
         def _append(k: tuple, sub: "pa.Table"):
             sub = sub.cast(dschema)
             while sub.num_rows:
@@ -200,10 +244,12 @@ def _write_distributed(
                 if max_rows_per_file:
                     take = min(take, max_rows_per_file - slot[2])
                 slot[0].write_table(sub.slice(0, take))
+                _track_bbox(slot[1], sub.slice(0, take))
                 slot[2] += take
                 sub = sub.slice(take)
                 if max_rows_per_file and slot[2] >= max_rows_per_file:
                     slot[0].close()
+                    _finish_file(slot[1])
                     emitted.append((slot[1], slot[2]))
                     del open_w[k]
 
@@ -222,6 +268,7 @@ def _write_distributed(
         finally:
             for w, f, n in open_w.values():
                 w.close()
+                _finish_file(f)
                 emitted.append((f, n))
         out = pa.table(
             {

@@ -151,3 +151,27 @@ def test_max_rows_per_file_rolls(points, spark, tmp_path):
     assert all(s <= 300 for s in sizes)
     assert len(files) >= points.count() // 300
     assert spark.read.parquet(out).count() == points.count()
+
+
+def test_per_file_bbox_metadata(points, tmp_path):
+    """Each partition file's geo footer carries its OWN bbox
+    (reference invariant, core/partition_common.py:657-705)."""
+    import json
+
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.meta import GeoMeta
+
+    out = str(tmp_path / "pfb")
+    files = points.partition_by_string("event_type", out)
+    boxes = []
+    for f in files:
+        g = GeoMeta.from_footer(pq.read_schema(f).metadata)
+        assert g is not None and g.primary.bbox is not None, f
+        # verify the bbox actually bounds the file's own rows
+        t = pq.read_table(f, columns=["bbox"]).to_pandas()
+        xs_min = min(b["xmin"] for b in t["bbox"])
+        xs_max = max(b["xmax"] for b in t["bbox"])
+        assert g.primary.bbox[0] <= xs_min and g.primary.bbox[2] >= xs_max
+        boxes.append(tuple(g.primary.bbox))
+    # different partitions generally have different extents
+    assert len(set(boxes)) > 1

@@ -71,3 +71,62 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def _nation_boxes_df(spark):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.testsupport.tables import load_table, nation_boxes
+
+    n = nation_boxes(load_table(spark, SF_SMOKE, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    return n.withColumn("bbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_nationkey", "n_name", "geometry", "bbox")
+
+
+def test_grid_join_matches_broadcast_join(spark):
+    """PBSM grid join (big-big path) must produce exactly the broadcast
+    closure join's result, for both inner and left."""
+    from geoparquet_io_spark.operators.joins import grid_spatial_join, spatial_join
+    from geoparquet_io_spark.queries import _customer_points
+
+    pts = _customer_points(spark, SF_SMOKE)
+    boxes = _nation_boxes_df(spark)
+
+    bc = spatial_join(pts.df, "geometry", "bbox", boxes, "geometry", "bbox",
+                      ["n_name"], how="left")
+    expected = {(r["c_custkey"], r["n_name"]) for r in bc.collect()}
+
+    grid_left = grid_spatial_join(
+        pts.df, "geometry", boxes.withColumnRenamed("bbox", "rbox"), "geometry",
+        ["n_name"], cell_size=25.0, how="left", left_id="c_custkey",
+        left_bbox="bbox", right_bbox="rbox",
+    )
+    got = {(r["c_custkey"], r["n_name"]) for r in grid_left.collect()}
+    assert got == expected
+
+    inner_expected = {p for p in expected if p[1] is not None}
+    grid_inner = grid_spatial_join(
+        pts.df, "geometry", boxes.withColumnRenamed("bbox", "rbox"), "geometry",
+        ["n_name"], cell_size=25.0, how="inner",
+        left_bbox="bbox", right_bbox="rbox",
+    )
+    got_inner = {(r["c_custkey"], r["n_name"]) for r in grid_inner.collect()}
+    assert got_inner == inner_expected
+
+
+def test_grid_join_no_duplicate_pairs(spark):
+    """Reference-point dedup: envelopes spanning many cells must still
+    emit each matching pair exactly once."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.joins import grid_spatial_join
+
+    # two big overlapping boxes spanning multiple 10-degree cells
+    a = spark.createDataFrame([(1,)], "id long").withColumn(
+        "geometry", G.st_box(F.lit(-30.0), F.lit(-30.0), F.lit(30.0), F.lit(30.0)))
+    b = spark.createDataFrame([(9,)], "rid long").withColumn(
+        "geometry", G.st_box(F.lit(-25.0), F.lit(-25.0), F.lit(35.0), F.lit(35.0)))
+    out = grid_spatial_join(a, "geometry", b, "geometry", ["rid"],
+                            cell_size=10.0, how="inner")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["rid"] == 9
