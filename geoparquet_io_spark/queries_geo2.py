@@ -384,3 +384,70 @@ def q_json_extract(spark, sf_dir):
         ev.groupBy((k % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+@register(
+    "geo_grid_join",
+    f"""
+    WITH pts AS ({_CUST}),
+    boxes AS (
+      SELECT n_name,
+             {NATION_BOX_SQL['xmin']} AS xmin, {NATION_BOX_SQL['ymin']} AS ymin,
+             {NATION_BOX_SQL['xmax']} AS xmax, {NATION_BOX_SQL['ymax']} AS ymax
+      FROM nation
+    )
+    SELECT p.c_custkey, b.n_name AS nation_name
+    FROM pts p JOIN boxes b
+      ON p.lon >= b.xmin AND p.lon <= b.xmax AND p.lat >= b.ymin AND p.lat <= b.ymax
+    """,
+)
+def q_grid_join(spark, sf_dir):
+    """The big-big PBSM grid join strategy over the same data as
+    geo_spatial_join (inner form)."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.joins import grid_spatial_join
+
+    pts = _customer_points(spark, sf_dir)
+    n = nation_boxes(load_table(spark, sf_dir, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    n = n.withColumn("rbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_name", "geometry", "rbox")
+    out = grid_spatial_join(
+        pts.df, "geometry", n, "geometry", ["n_name"],
+        cell_size=25.0, how="inner", left_bbox="bbox", right_bbox="rbox",
+    )
+    return out.select("c_custkey", F.col("n_name").alias("nation_name"))
+
+
+@register(
+    "geo_polygon_intersects",
+    f"""
+    WITH quads AS (
+      SELECT c_custkey,
+             {CUSTOMER_LON_SQL} - 0.05 AS xmin, {CUSTOMER_LAT_SQL} - 0.05 AS ymin,
+             {CUSTOMER_LON_SQL} + 0.05 AS xmax, {CUSTOMER_LAT_SQL} + 0.05 AS ymax
+      FROM customer
+    )
+    SELECT c_custkey FROM quads
+    WHERE xmax >= -60 AND xmin <= 40 AND ymax >= -40 AND ymin <= 60
+    """,
+)
+def q_polygon_intersects(spark, sf_dir):
+    """Polygon-vs-polygon exact intersects (quads against an envelope) —
+    exercises the segment/containment kernel, not just points."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.testsupport.tables import customer_lonlat
+
+    c = customer_lonlat(load_table(spark, sf_dir, "customer"))
+    df = c.withColumn(
+        "geometry",
+        G.st_box(F.col("lon") - 0.05, F.col("lat") - 0.05,
+                 F.col("lon") + 0.05, F.col("lat") + 0.05),
+    )
+    gt = GeoTable(df, GeoMeta(columns={"geometry": GeoColumnMeta()}))
+    # no bbox column -> slow path: exact ST_Intersects against the envelope
+    out = gt.extract(bbox=(-60, -40, 40, 60))
+    return out.df.select("c_custkey")

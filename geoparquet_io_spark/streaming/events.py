@@ -75,3 +75,31 @@ def sessionize(
             user_column, "n_events", "sum_value",
         )
     )
+
+
+def write_geoparquet_stream(
+    stream_df,
+    path: str,
+    geo,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    **write_kwargs,
+):
+    """Streaming sink producing GeoParquet with footer metadata: each
+    micro-batch goes through the executor-side footer writer via
+    foreachBatch (Spark's parquet streaming sink cannot stamp custom
+    footer metadata, same gap as the batch writer)."""
+    from geoparquet_io_spark.sources.geoparquet import write as _write
+
+    batch_no = {"n": 0}
+
+    def sink(batch_df, epoch_id):
+        _write(batch_df, f"{path}/epoch={epoch_id}", geo,
+               overwrite=False, **write_kwargs)
+        batch_no["n"] += 1
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -115,3 +115,29 @@ def test_ivf_recall_vs_brute_force(spark):
               for r in ivf_topk(e, q, dim=64, k=3, n_centroids=8, nprobe=8).collect()}
     # nprobe == n_centroids probes everything -> recall must be 1.0
     assert approx == exact
+
+
+def test_streaming_geoparquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch sink writes GeoParquet WITH footer geo metadata from a
+    stream; read back equals the batch input."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.streaming.events import (
+        read_events_stream, write_geoparquet_stream,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir, schema=batch_df.schema)
+    geo = GeoMeta(columns={"geometry": GeoColumnMeta()})
+    out = str(tmp_path / "stream_out")
+    q = write_geoparquet_stream(
+        stream, out, geo, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    import glob
+
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert files
+    assert all(b"geo" in pq.read_schema(f).metadata for f in files)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert back.count() == batch_df.count()
