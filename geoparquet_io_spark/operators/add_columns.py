@@ -109,10 +109,11 @@ def add_kdtree(
     bbox_column: str | None = None,
     x_column: str | None = None,
     y_column: str | None = None,
-    iterations: int = 4,
+    iterations: int | None = 4,
     column: str = "kdtree_cell",
     sample_rows: int = 100_000,
     exact: bool = False,
+    target_rows_per_cell: int = 100_000,
 ) -> DataFrame:
     """Balanced KD-tree cell ids as a binary string of length ``iterations``.
 
@@ -122,8 +123,6 @@ def add_kdtree(
     Phase 2 is a nested native CASE cascade — no UDF, no extra shuffle.
     At 100 TB the sample is a tiny fraction and phase 2 is map-only.
     """
-    if not (1 <= iterations <= 20):
-        raise ValueError("iterations must be in [1,20]")
     if x_column and y_column:
         x, y = F.col(x_column), F.col(y_column)
     else:
@@ -132,6 +131,14 @@ def add_kdtree(
 
     # phase 1: boundaries from sample (exact median per cell at each level)
     total = work.count()
+    if iterations is None:
+        # auto: halvings until cells hold ~target_rows_per_cell
+        # (reference: core/add_kdtree_column.py:36-58)
+        import math
+
+        iterations = max(1, math.ceil(math.log2(max(total / target_rows_per_cell, 2))))
+    if not (1 <= iterations <= 20):
+        raise ValueError("iterations must be in [1,20]")
     if exact or total <= sample_rows:
         sample = work.select("__kd_x", "__kd_y")
     else:

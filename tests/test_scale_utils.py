@@ -130,3 +130,48 @@ def test_grid_join_no_duplicate_pairs(spark):
                             cell_size=10.0, how="inner")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["rid"] == 9
+
+
+def test_lsh_topk_subset_of_brute_force(spark):
+    from geoparquet_io_spark.operators.similarity import brute_force_topk, lsh_topk
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in brute_force_topk(e, q, k=10).collect()}
+    approx = lsh_topk(e, q, dim=64, k=3, n_planes=4).collect()
+    assert len(approx) > 0
+    # every LSH result's cosine equals the exact computation for that pair
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cosine"] == exact[key]
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert 1 <= r["rank"] <= 3
+
+
+def test_embedding_near_duplicates_lsh(spark):
+    from geoparquet_io_spark.operators.similarity import embedding_near_duplicates
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = embedding_near_duplicates(e, threshold=0.3, n_planes=2, dim=64).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["cosine"] >= 0.3
+        assert r["id_a"] < r["id_b"]
+
+
+def test_kdtree_auto_iterations(spark):
+    from geoparquet_io_spark.operators.add_columns import add_kdtree
+    from geoparquet_io_spark.testsupport.tables import event_lonlat, load_table
+
+    ev = event_lonlat(load_table(spark, SF_SMOKE, "events"))  # 1000 rows
+    out = add_kdtree(ev, x_column="lon", y_column="lat",
+                     iterations=None, target_rows_per_cell=250)
+    cells = out.groupBy("kdtree_cell").count().collect()
+    # 1000/250 -> 2 iterations -> 4 cells, balanced within 2x
+    assert len(cells) == 4
+    counts = [r["count"] for r in cells]
+    assert max(counts) <= 2 * min(counts)
