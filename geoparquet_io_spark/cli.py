@@ -168,6 +168,14 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_benchmark(args) -> int:
+    """Run the headline-query benchmark (reference: gpio benchmark run)."""
+    import bench
+
+    bench.main()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gpio-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("output")
     cv.add_argument("--no-sort", dest="no_sort", action="store_true")
     cv.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("benchmark")
+    b.set_defaults(fn=cmd_benchmark)
 
     return p
 

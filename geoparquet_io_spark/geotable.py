@@ -208,13 +208,42 @@ class GeoTable:
 
     # -- write (SURVEY 2.2, 2.10) -----------------------------------------------------
 
-    def _write_geo(self) -> GeoMeta | None:
-        return self._geo
+    def _write_geo(self, update_metadata: bool) -> GeoMeta | None:
+        """Fill in missing geometry_types / bbox before writing
+        (reference: write_strategies/duckdb_kv.py:386-431)."""
+        geo = self._geo
+        g = self.geometry_column
+        if not update_metadata or geo is None or g is None:
+            return geo
+        need_types = not geo.primary.geometry_types
+        need_bbox = geo.primary.bbox is None and self._bbox_column is not None
+        if not (need_types or need_bbox):
+            return geo
+        geo = GeoMeta.from_json(geo.to_json())
+        if need_types:
+            rows = (
+                self._df.select(G.st_geometrytype(F.col(g)).alias("t"))
+                .limit(100_000).distinct().collect()
+            )
+            mapped = {
+                "POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",
+                "MULTIPOINT": "MultiPoint", "MULTILINESTRING": "MultiLineString",
+                "MULTIPOLYGON": "MultiPolygon",
+                "GEOMETRYCOLLECTION": "GeometryCollection",
+            }
+            geo.primary.geometry_types = sorted(
+                {mapped.get(r["t"], r["t"]) for r in rows if r["t"]}
+            )
+        if need_bbox:
+            geo.primary.bbox = list(self.bounds())
+        return geo
 
-    def write(self, path: str, partition_by=None, **kw) -> list[str]:
+    def write(self, path: str, partition_by=None, update_metadata: bool = True,
+              **kw) -> list[str]:
         from geoparquet_io_spark.sources.geoparquet import write
 
-        return write(self._df, path, self._geo, partition_by=partition_by, **kw)
+        return write(self._df, path, self._write_geo(update_metadata),
+                     partition_by=partition_by, **kw)
 
     def partition_by_string(self, column: str, path: str, chars: int | None = None,
                             skip_analysis: bool = False, **kw) -> list[str]:
