@@ -66,3 +66,30 @@ def test_native_ops_have_no_python_eval(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     assert plan_summary(minhash_bands(d))["python_evals"] == 0
     assert plan_summary(quality_features(d))["python_evals"] == 0
+
+
+def test_topk_uses_broadcast_and_partitioned_window(spark):
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+    from geoparquet_io_spark.plans import formatted_plan
+    from geoparquet_io_spark.testsupport.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    plan = formatted_plan(brute_force_topk(e, q, k=3))
+    assert "Broadcast" in plan  # query side broadcast, big side streams
+    # the top-k window partitions by query_id (no global single-partition sort)
+    assert "row_number" in plan
+
+
+def test_minhash_shuffle_count(spark):
+    """Signature pipeline: explode+agg is ONE shuffle (partial aggregation
+    map-side); more exchanges means the plan regressed."""
+    from geoparquet_io_spark.operators.dedup import minhash_signatures_agg
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    s = plan_summary(minhash_signatures_agg(d, "doc_id"))
+    assert s["exchanges"] <= 1, s
+    assert s["python_evals"] == 0
