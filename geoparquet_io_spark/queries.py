@@ -42,21 +42,29 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def _points_table(df, geo_types=("Point",)) -> GeoTable:
+    """lon/lat table -> GeoTable with WKB geometry + bbox covering column.
+    The bbox is built NATIVELY from the known lon/lat (a point's envelope
+    is itself) — one less UDF pass than add_bbox() re-deriving it from the
+    WKB; add_bbox proper is exercised by the polygon queries/tests."""
+    df = df.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    df = df.withColumn(
+        "bbox",
+        G.bbox_struct(F.col("lon"), F.col("lat"), F.col("lon"), F.col("lat")),
+    )
+    geo = GeoMeta(columns={"geometry": GeoColumnMeta(geometry_types=list(geo_types),
+                                                     crs="EPSG:4326")})
+    geo.set_covering("bbox")
+    return GeoTable(df, geo)
+
+
 def _events_points(spark: SparkSession, sf_dir: str) -> GeoTable:
     """events -> GeoTable of WKB points with bbox covering column."""
-    ev = event_lonlat(load_table(spark, sf_dir, "events"))
-    df = ev.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
-    geo = GeoMeta(columns={"geometry": GeoColumnMeta(geometry_types=["Point"],
-                                                     crs="EPSG:4326")})
-    return GeoTable(df, geo).add_bbox()
+    return _points_table(event_lonlat(load_table(spark, sf_dir, "events")))
 
 
 def _customer_points(spark: SparkSession, sf_dir: str) -> GeoTable:
-    c = customer_lonlat(load_table(spark, sf_dir, "customer"))
-    df = c.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
-    geo = GeoMeta(columns={"geometry": GeoColumnMeta(geometry_types=["Point"],
-                                                     crs="EPSG:4326")})
-    return GeoTable(df, geo).add_bbox()
+    return _points_table(customer_lonlat(load_table(spark, sf_dir, "customer")))
 
 
 # ===========================================================================
