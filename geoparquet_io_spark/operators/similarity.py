@@ -242,3 +242,78 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vector_column: str = "embedding",
+    sample_rows: int = 10_000,
+    iterations: int = 5,
+    seed: int = 7,
+) -> list[list[float]]:
+    """K-means (Lloyd) centroids trained on a driver-side sample —
+    data-adapted inverted lists for better probe recall than the
+    deterministic-random centroids.  Returns plain python lists so they
+    embed in closures (and, at test scale, in generated SQL)."""
+    import numpy as np
+
+    total = df.count()
+    s = df.select(as_double_array(F.col(vector_column)).alias("v"))
+    if total > sample_rows:
+        s = s.sample(fraction=min(1.0, sample_rows / total), seed=seed)
+    x = np.array(s.toPandas()["v"].tolist(), dtype="f8")
+    if len(x) < n_centroids:
+        raise ValueError("sample smaller than n_centroids")
+    # deterministic init: evenly spaced sample rows (sorted for stability)
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    cents = x[idx].copy()
+    for _ in range(iterations):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_topk_trained(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    round_digits: int | None = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ivf_topk with k-means-trained centroids (trains on ``data`` when
+    ``centroids`` not given)."""
+    cents = centroids or ivf_train_centroids(data, dim, n_centroids, vector_column)
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    ).withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
+    sim = cosine(F.col("__qv"), F.col("__dv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        d.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

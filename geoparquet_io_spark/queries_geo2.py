@@ -451,3 +451,24 @@ def q_polygon_intersects(spark, sf_dir):
     # no bbox column -> slow path: exact ST_Intersects against the envelope
     out = gt.extract(bbox=(-60, -40, 40, 60))
     return out.df.select("c_custkey")
+
+
+@register(
+    "sql_correlated_max",
+    """
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_orderpriority = o.o_orderpriority)
+    """,
+)
+def q_correlated(spark, sf_dir):
+    """Correlated scalar subquery through spark.sql (the raw SQL surface
+    the engine also exposes; Catalyst rewrites it to an aggregate join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_orderpriority = o.o_orderpriority)
+    """)

@@ -175,3 +175,46 @@ def test_kdtree_auto_iterations(spark):
     assert len(cells) == 4
     counts = [r["count"] for r in cells]
     assert max(counts) <= 2 * min(counts)
+
+
+def test_ivf_trained_recall(spark):
+    """K-means-trained IVF should recover a solid share of true top-3
+    neighbours with nprobe=n/2, and all of them when probing everything."""
+    from geoparquet_io_spark.operators.similarity import (
+        brute_force_topk, ivf_topk_trained,
+    )
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(e, q, k=3).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_trained(e, q, dim=64, k=3, n_centroids=8,
+                                      nprobe=8).collect()}
+    assert full == exact
+    half = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_trained(e, q, dim=64, k=3, n_centroids=8,
+                                      nprobe=4).collect()}
+    recall = len(half & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_cli_subprocess_entrypoint(tmp_path):
+    """python -m geoparquet_io_spark.cli works as a real process."""
+    import subprocess, sys, os
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,wkt\n1,POINT (1 2)\n2,POINT (3 4)\n3,POINT (5 6)\n")
+    out = str(tmp_path / "out.parquet")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "geoparquet_io_spark.cli", "convert",
+         str(csv), out],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    import pyarrow.parquet as pq
+
+    assert pq.read_metadata(out).num_rows == 3
