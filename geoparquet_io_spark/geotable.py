@@ -316,3 +316,12 @@ class GeoTable:
         from geoparquet_io_spark.sources.stac import generate_stac_item
 
         return generate_stac_item(path, **kw)
+
+    # -- plan inspection -----------------------------------------------------------
+
+    def explain_summary(self) -> dict:
+        """Pushdown/pruning/join/codegen summary of the current plan
+        (see geoparquet_io_spark.plans)."""
+        from geoparquet_io_spark.plans import plan_summary
+
+        return plan_summary(self._df)

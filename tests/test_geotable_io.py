@@ -175,3 +175,16 @@ def test_per_file_bbox_metadata(points, tmp_path):
         boxes.append(tuple(g.primary.bbox))
     # different partitions generally have different extents
     assert len(set(boxes)) > 1
+
+
+def test_pipe_composition_and_explain(points):
+    """pipe() (reference: api/pipeline.py:31-72) + plan summary surface."""
+    out = points.pipe(
+        lambda t: t.extract(bbox=(-60, -40, 40, 60)),
+        lambda t: t.add_quadkey(zoom=5),
+        lambda t: t.sort_column("quadkey"),
+    )
+    assert "quadkey" in out.df.columns
+    assert 0 < out.count() < points.count()
+    s = out.explain_summary()
+    assert s["pushed_filters"] or s["codegen_stages"] >= 0
