@@ -168,6 +168,48 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_reproject(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    gt = gt.reproject(args.to_crs, src=args.from_crs)
+    _write(gt, args.output, args)
+    return 0
+
+
+def cmd_add_admin(args) -> int:
+    spark = _spark()
+    gt = _read(spark, args.input)
+    admin = _read(spark, args.admin)
+    gt = gt.add_admin_divisions(admin, levels=tuple(args.levels.split(",")))
+    _write(gt, args.output, args)
+    return 0
+
+
+def cmd_partition_admin(args) -> int:
+    from geoparquet_io_spark.operators.partition import partition_by_admin
+
+    spark = _spark()
+    gt = _read(spark, args.input)
+    admin = _read(spark, args.admin)
+    files = partition_by_admin(gt, admin, args.levels.split(","), args.output,
+                               skip_analysis=args.skip_analysis, force=args.force)
+    print(json.dumps({"files": len(files)}))
+    return 0
+
+
+def cmd_publish_stac(args) -> int:
+    from geoparquet_io_spark.sources.stac import validate_stac_item, write_stac_item
+
+    item = write_stac_item(args.input, args.output,
+                           item_id=args.item_id, asset_href=args.asset_href)
+    errs = validate_stac_item(item)
+    if errs:
+        print(json.dumps({"errors": errs}))
+        return 1
+    print(json.dumps({"id": item["id"], "bbox": item["bbox"]}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Run the headline-query benchmark (reference: gpio benchmark run)."""
     import bench
@@ -238,6 +280,36 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("output")
     cv.add_argument("--no-sort", dest="no_sort", action="store_true")
     cv.set_defaults(fn=cmd_convert)
+
+    rp = sub.add_parser("reproject")
+    rp.add_argument("input")
+    rp.add_argument("output")
+    rp.add_argument("--to-crs", dest="to_crs", required=True)
+    rp.add_argument("--from-crs", dest="from_crs")
+    rp.set_defaults(fn=cmd_reproject)
+
+    aa = sub.add_parser("add-admin-divisions")
+    aa.add_argument("input")
+    aa.add_argument("output")
+    aa.add_argument("--admin", required=True)
+    aa.add_argument("--levels", default="country")
+    aa.set_defaults(fn=cmd_add_admin)
+
+    pa = sub.add_parser("partition-admin")
+    pa.add_argument("input")
+    pa.add_argument("output")
+    pa.add_argument("--admin", required=True)
+    pa.add_argument("--levels", default="country")
+    pa.add_argument("--skip-analysis", dest="skip_analysis", action="store_true")
+    pa.add_argument("--force", action="store_true")
+    pa.set_defaults(fn=cmd_partition_admin)
+
+    ps = sub.add_parser("publish-stac")
+    ps.add_argument("input")
+    ps.add_argument("output")
+    ps.add_argument("--item-id", dest="item_id")
+    ps.add_argument("--asset-href", dest="asset_href")
+    ps.set_defaults(fn=cmd_publish_stac)
 
     b = sub.add_parser("benchmark")
     b.set_defaults(fn=cmd_benchmark)

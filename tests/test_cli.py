@@ -73,3 +73,42 @@ def test_inspect_head_tail(src, capsys):
     assert _run(["inspect", "tail", src, "-n", "3"]) == 0
     out_tail = capsys.readouterr().out
     assert "POINT" in out_tail and out_tail != out_head
+
+
+def test_reproject_cli(src, tmp_path):
+    out = str(tmp_path / "merc.parquet")
+    assert _run(["reproject", src, out, "--to-crs", "EPSG:3857"]) == 0
+    import pyarrow.parquet as pq
+    import json as _json
+
+    geo = _json.loads(pq.read_schema(out).metadata[b"geo"])
+    assert geo["columns"]["geometry"]["crs"] == "EPSG:3857"
+
+
+def test_admin_cli_and_publish_stac(src, tmp_path, spark, capsys):
+    # build an admin file
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.testsupport.tables import load_table, nation_boxes
+    from pyspark.sql import functions as F
+
+    n = nation_boxes(load_table(spark, SF_SMOKE, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax"))
+    n = n.withColumn("bbox", G.bbox_struct(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("n_name", "geometry", "bbox")
+    admin_path = str(tmp_path / "admin.parquet")
+    GeoTable(n, GeoMeta(columns={"geometry": GeoColumnMeta()})).write(admin_path)
+
+    out = str(tmp_path / "enriched.parquet")
+    assert _run(["add-admin-divisions", src, out, "--admin", admin_path,
+                 "--levels", "n_name"]) == 0
+    import pyarrow.parquet as pq
+
+    assert "admin:n_name" in pq.read_schema(out).names
+
+    stac_out = str(tmp_path / "item.json")
+    assert _run(["publish-stac", out, stac_out]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert "bbox" in got
