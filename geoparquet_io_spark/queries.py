@@ -247,10 +247,11 @@ def q_stats(spark, sf_dir):
     WITH counts AS (
       SELECT o_orderpriority AS k, COUNT(*) AS c FROM orders GROUP BY 1
     )
-    SELECT COUNT(*) AS num_partitions, SUM(c) AS total_rows,
-           MIN(c) AS min_rows, MAX(c) AS max_rows,
-           ROUND(AVG(c), 4) AS avg_rows,
-           ROUND(CAST(median(c) AS DOUBLE), 4) AS median_rows
+    SELECT CAST(COUNT(*) AS BIGINT) AS num_partitions,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(MIN(c) AS BIGINT) AS min_rows, CAST(MAX(c) AS BIGINT) AS max_rows,
+           CAST(ROUND(AVG(c), 4) AS DOUBLE) AS avg_rows,
+           CAST(ROUND(CAST(median(c) AS DOUBLE), 4) AS DOUBLE) AS median_rows
     FROM counts
     """,
 )
@@ -478,18 +479,21 @@ REGISTRY["geo_hilbert_key"] = (REGISTRY["geo_hilbert_key"][0], _hilbert_oracle()
     f"""
     WITH pts AS ({_EVT_PTS_SQL})
     SELECT event_id,
-           ROUND(lon * 20037508.342789244 / 180.0, 4) AS mx,
-           ROUND(ln(tan((90.0 + LEAST(GREATEST(lat, -89.9999), 89.9999)) * pi() / 360.0)) * 6378137.0, 4) AS my
+           ROUND(lon * 20037508.342789244 / 180.0, 4) + 0.0 AS mx,
+           ROUND(ln(tan((90.0 + LEAST(GREATEST(lat, -89.9999), 89.9999)) * pi() / 360.0)) * 6378137.0, 4) + 0.0 AS my
     FROM pts
     """,
 )
 def q_reproject(spark, sf_dir):
+    # + 0.0 on both sides normalizes IEEE signed zero: at lat=0 the mercator-y
+    # rounds to -0.0 in DuckDB but +0.0 in Spark; they compare equal as floats
+    # but hash differently as bytes.
     gt = _events_points(spark, sf_dir)
     out = gt.reproject("EPSG:3857")
     return out.df.select(
         "event_id",
-        F.round(G.st_x(F.col("geometry")), 4).alias("mx"),
-        F.round(G.st_y(F.col("geometry")), 4).alias("my"),
+        (F.round(G.st_x(F.col("geometry")), 4) + F.lit(0.0)).alias("mx"),
+        (F.round(G.st_y(F.col("geometry")), 4) + F.lit(0.0)).alias("my"),
     )
 
 
