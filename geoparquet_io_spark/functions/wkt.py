@@ -105,35 +105,40 @@ def _fmt(v: float) -> str:
     return repr(v)
 
 
-def _coords_str(arr: np.ndarray) -> str:
+def _coords_str(arr: np.ndarray, max_coords: int | None = None) -> str:
+    if max_coords is not None and len(arr) > max_coords:
+        shown = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in arr[:max_coords])
+        return f"{shown}, ... ({len(arr)} points)"
     return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in arr)
 
 
 def to_wkt(buf: bytes, max_coords: int | None = None) -> str:
-    """WKB -> WKT (ST_AsText). ``max_coords`` truncates for display
+    """WKB -> WKT (ST_AsText). ``max_coords`` truncates each ring to that
+    many coordinates with an ellipsis marker, for inspect display
     (reference: inspect_utils.py:473-517)."""
     g = wkb.parse(buf)
-    return _geom_to_wkt(g)
+    return _geom_to_wkt(g, max_coords)
 
 
-def _geom_to_wkt(g: "wkb.Geom") -> str:
+def _geom_to_wkt(g: "wkb.Geom", max_coords: int | None = None) -> str:
     t = g.gtype
+    mc = max_coords
     if t == wkb.POINT:
         return f"POINT ({_coords_str(g.parts[0])})"
     if t == wkb.LINESTRING:
-        return f"LINESTRING ({_coords_str(g.parts[0])})"
+        return f"LINESTRING ({_coords_str(g.parts[0], mc)})"
     if t == wkb.POLYGON:
-        rings = ", ".join(f"({_coords_str(r)})" for r in g.parts)
+        rings = ", ".join(f"({_coords_str(r, mc)})" for r in g.parts)
         return f"POLYGON ({rings})"
     if t == wkb.MULTIPOINT:
         pts = ", ".join(f"({_coords_str(c.parts[0])})" for c in g.children)
         return f"MULTIPOINT ({pts})"
     if t == wkb.MULTILINESTRING:
-        lines = ", ".join(f"({_coords_str(c.parts[0])})" for c in g.children)
+        lines = ", ".join(f"({_coords_str(c.parts[0], mc)})" for c in g.children)
         return f"MULTILINESTRING ({lines})"
     if t == wkb.MULTIPOLYGON:
         polys = ", ".join(
-            "(" + ", ".join(f"({_coords_str(r)})" for r in c.parts) + ")"
+            "(" + ", ".join(f"({_coords_str(r, mc)})" for r in c.parts) + ")"
             for c in g.children
         )
         return f"MULTIPOLYGON ({polys})"

@@ -221,9 +221,13 @@ class GeoTable:
             return geo
         geo = GeoMeta.from_json(geo.to_json())
         if need_types:
+            # full-column distinct, not a sample: the spec requires
+            # geometry_types to list ALL types present (a type occurring only
+            # outside a sample would make the footer lie); distinct over one
+            # derived column is a cheap map-side-combined aggregate
             rows = (
                 self._df.select(G.st_geometrytype(F.col(g)).alias("t"))
-                .limit(100_000).distinct().collect()
+                .distinct().collect()
             )
             mapped = {
                 "POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",

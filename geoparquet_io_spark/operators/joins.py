@@ -26,9 +26,10 @@ from pyspark.sql import types as T
 from geoparquet_io_spark.functions import geom as G
 from geoparquet_io_spark.functions import wkb as _wkb
 
-# right side larger than this is refused (the closure ships to every task;
-# use a shuffle join strategy instead)
-MAX_BROADCAST_ROWS = 1_000_000
+# right side larger than this is routed to the shuffle-based grid join
+# instead of the closure broadcast (the closure ships parsed geometries to
+# every task — ~50k admin polygons is the most that stays cheap)
+MAX_BROADCAST_ROWS = 50_000
 
 
 def spatial_join(
@@ -41,19 +42,28 @@ def spatial_join(
     right_columns: list[str],
     how: str = "left",
     prune_right_by_extent: bool = True,
+    broadcast_threshold: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
-    """bbox-prefiltered exact-intersects join; right side broadcast via closure."""
+    """bbox-prefiltered exact-intersects join.
+
+    Right sides up to ``broadcast_threshold`` rows are broadcast via closure
+    (map-only, zero shuffle — the admin-table case); larger right sides
+    auto-route to :func:`grid_spatial_join` (both sides shuffled once on a
+    grid key — the big-big case), so the operator works at any right size.
+    """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if right_geometry is None:
         raise ValueError("spatial_join needs a right geometry column")
 
-    r_local = right.select(right_geometry, *right_columns).collect()
-    if len(r_local) > MAX_BROADCAST_ROWS:
-        raise ValueError(
-            f"right side has {len(r_local)} rows — too large for the broadcast "
-            "spatial join; pre-partition both sides by a space-filling key instead"
+    # cheap count-only pass decides the strategy before anything is collected
+    if right.count() > broadcast_threshold:
+        return _route_to_grid_join(
+            left, left_geometry, left_bbox, right, right_geometry,
+            right_columns, how,
         )
+
+    r_local = right.select(right_geometry, *right_columns).collect()
 
     # driver-side candidate index: right envelopes as numpy arrays
     r_geoms = [bytes(row[right_geometry]) for row in r_local]
@@ -90,6 +100,10 @@ def spatial_join(
         from geoparquet_io_spark.functions.geom import _try_bulk_point_decode
 
         parsed_right = [_wkb.parse(g) for g in r_geoms]
+        # flattened simple parts per right geometry: MultiPolygon admin
+        # boundaries must match in the point fast path, and _point_vs only
+        # understands simple POINT/LINESTRING/POLYGON
+        flat_right = [list(_wkb._flatten(g)) for g in parsed_right]
         for pdf in batches:
             geoms = pdf.iloc[:, geom_idx]
             n = len(geoms)
@@ -111,10 +125,14 @@ def spatial_join(
                         cand_lists[i].append(j)
                 for i in range(n):
                     emitted = False
+                    pt = np.array([xs[i], ys[i]])
                     for j in cand_lists[i]:
-                        if _wkb._point_vs(np.array([xs[i], ys[i]]), parsed_right[j]) \
-                           if parsed_right[j].gtype != _wkb.POLYGON \
-                           else _wkb._point_in_polygon(xs[i], ys[i], parsed_right[j]):
+                        if any(
+                            _wkb._point_in_polygon(xs[i], ys[i], s)
+                            if s.gtype == _wkb.POLYGON
+                            else _wkb._point_vs(pt, s)
+                            for s in flat_right[j]
+                        ):
                             match_rows.append(i)
                             match_attrs.append(r_attrs[j])
                             emitted = True
@@ -146,6 +164,35 @@ def spatial_join(
             yield out
 
     return left.mapInPandas(join_batches, schema=out_schema)
+
+
+def _route_to_grid_join(
+    left: DataFrame,
+    left_geometry: str,
+    left_bbox: str | None,
+    right: DataFrame,
+    right_geometry: str,
+    right_columns: list[str],
+    how: str,
+) -> DataFrame:
+    """Big right side: same join via grid partitioning.
+
+    ``grid_spatial_join(how='left')`` needs a unique left id for the
+    anti-join restore; synthesize one and persist so the id column is
+    stable across the matched/missing branches, then drop it.
+    """
+    if how == "inner":
+        return grid_spatial_join(
+            left, left_geometry, right, right_geometry, right_columns,
+            how="inner", left_bbox=left_bbox,
+        )
+    # persist: the anti-join branch re-reads the left side, and the
+    # synthesized ids must be identical in both branches
+    tagged = left.withColumn("__sj_id", F.monotonically_increasing_id()).persist()
+    return grid_spatial_join(
+        tagged, left_geometry, right, right_geometry, right_columns,
+        how="left", left_id="__sj_id", left_bbox=left_bbox,
+    ).drop("__sj_id")
 
 
 def add_admin_divisions(

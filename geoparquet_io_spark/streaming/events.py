@@ -94,8 +94,12 @@ def write_geoparquet_stream(
     batch_no = {"n": 0}
 
     def sink(batch_df, epoch_id):
+        # overwrite=True makes the epoch write idempotent: a retried epoch
+        # (same epoch_id after a failure) replaces its own directory instead
+        # of appending duplicate uuid-named files — preserving the
+        # exactly-once guarantee of checkpointed foreachBatch
         _write(batch_df, f"{path}/epoch={epoch_id}", geo,
-               overwrite=False, **write_kwargs)
+               overwrite=True, **write_kwargs)
         batch_no["n"] += 1
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

@@ -218,3 +218,46 @@ def test_cli_subprocess_entrypoint(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_metadata(out).num_rows == 3
+
+
+def test_spatial_join_multipolygon_right_side(spark):
+    """Point fast path must match MultiPolygon right geometries (real admin
+    boundaries are almost always MultiPolygons)."""
+    import numpy as np
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators.joins import spatial_join
+
+    sq = lambda x0, y0: [np.array(
+        [[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 10], [x0, y0 + 10], [x0, y0]],
+        dtype=np.float64)]
+    mp = _wkb.encode_multipolygon([sq(0.0, 0.0), sq(40.0, 40.0)])
+    right = spark.createDataFrame([("both", bytearray(mp))],
+                                  "name string, geometry binary")
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 45.0, 45.0), (3, 25.0, 25.0)],
+        "id long, x double, y double")
+    from geoparquet_io_spark.functions import geom as G
+    pts = pts.withColumn("geometry", G.st_point(F.col("x"), F.col("y"))) \
+             .select("id", "geometry")
+    out = spatial_join(pts, "geometry", None, right, "geometry", None,
+                       ["name"], how="left")
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "both", 2: "both", 3: None}
+
+
+def test_spatial_join_autoroutes_large_right(spark):
+    """Right sides above the broadcast threshold route to the grid join and
+    return identical rows."""
+    from geoparquet_io_spark.operators.joins import spatial_join
+    from geoparquet_io_spark.queries import _customer_points
+
+    pts = _customer_points(spark, SF_SMOKE)
+    boxes = _nation_boxes_df(spark).drop("bbox")
+
+    bc = spatial_join(pts.df, "geometry", "bbox", boxes, "geometry", None,
+                      ["n_name"], how="left")
+    expected = {(r["c_custkey"], r["n_name"]) for r in bc.collect()}
+    routed = spatial_join(pts.df, "geometry", "bbox", boxes, "geometry", None,
+                          ["n_name"], how="left", broadcast_threshold=5)
+    got = {(r["c_custkey"], r["n_name"]) for r in routed.collect()}
+    assert got == expected
