@@ -41,8 +41,36 @@ def is_geographic(crs) -> bool:
     return normalize_crs(crs) in GEOGRAPHIC_CRS
 
 
+def _pipeline_step(crs: str):
+    """(to_4326, from_4326) numpy transforms for one CRS, or None."""
+    if crs == "EPSG:4326":
+        ident = lambda x, y: (x, y)
+        return ident, ident
+    if crs == "EPSG:3857":
+        return _mercator_to_lonlat, _lonlat_to_mercator
+    if crs.startswith("EPSG:"):
+        from geoparquet_io_spark.functions import projections as _proj
+
+        try:
+            code = int(crs.split(":", 1)[1])
+        except ValueError:
+            return None
+        pair = _proj._proj_for_epsg(code)
+        if pair is not None:
+            fwd, inv = pair
+            return inv, fwd
+    return None
+
+
 def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]:
-    """Vectorized (x, y) -> (x', y') for a supported CRS pair."""
+    """Vectorized (x, y) -> (x', y') for a supported CRS pair.
+
+    Any supported pair composes through EPSG:4326 (src inverse -> dst
+    forward); supported projections are spherical Mercator (closed form)
+    plus the ellipsoidal families in :mod:`projections` (UTM / TM, LCC,
+    Albers, LAEA — the reference's own fixture CRSs 3794/5070/32633 among
+    them; reference: core/reproject.py:94-160).
+    """
     s, d = normalize_crs(src), normalize_crs(dst)
     if s in GEOGRAPHIC_CRS:
         s = "EPSG:4326"
@@ -50,14 +78,27 @@ def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.nda
         d = "EPSG:4326"
     if s == d:
         return lambda x, y: (x, y)
-    if (s, d) == ("EPSG:4326", "EPSG:3857"):
-        return _lonlat_to_mercator
-    if (s, d) == ("EPSG:3857", "EPSG:4326"):
-        return _mercator_to_lonlat
-    raise ValueError(
-        f"transform {s} -> {d} not supported without pyproj; "
-        "pass a custom transformer to reproject(transformer=...)"
-    )
+    step_s, step_d = _pipeline_step(s), _pipeline_step(d)
+    if step_s is None or step_d is None:
+        missing = s if step_s is None else d
+        raise ValueError(
+            f"transform {s} -> {d} not supported without pyproj "
+            f"({missing} is not in the built-in projection registry); "
+            "pass a custom transformer to reproject(transformer=...)"
+        )
+    to_4326, _ = step_s
+    _, from_4326 = step_d
+    if s == "EPSG:4326":
+        return from_4326
+    if d == "EPSG:4326":
+        return to_4326
+
+    def _composite(x, y):
+        lon, lat = to_4326(np.asarray(x, dtype=np.float64),
+                           np.asarray(y, dtype=np.float64))
+        return from_4326(lon, lat)
+
+    return _composite
 
 
 def _lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):

@@ -1,0 +1,420 @@
+"""Ellipsoidal map projections, numpy-vectorized (no pyproj in this
+container — these are the public closed-form formulas).
+
+Covers the projection families the reference's own benchmark corpus uses
+(reference: core/reproject.py:94-160, fixtures tests/data/crs-*.parquet):
+
+- Transverse Mercator (Krueger series, order n^6 — Karney 2011
+  "Transverse Mercator with an accuracy of a few nanometers"): all UTM
+  zones (EPSG:326xx / 327xx / 258xx), EPSG:3794 (Slovene national grid).
+- Lambert Conformal Conic 2SP (Snyder 1987, pp. 107-109): EPSG:2154
+  (Lambert-93), US state planes on request.
+- Albers Equal Area 2SP (Snyder, pp. 101-102): EPSG:5070 (CONUS Albers).
+- Lambert Azimuthal Equal Area (Snyder, pp. 187-190): EPSG:3035
+  (ETRS89 LAEA Europe).
+
+All functions take/return degrees lon/lat on the geographic side and
+meters on the projected side, operating on numpy arrays (the reproject
+pandas UDF feeds whole Arrow batches through, so the per-row cost is a
+handful of vector ops).
+
+Datum note: WGS84 vs GRS80-family datums (ETRS89 / NAD83 / RGF93 /
+Slovenia 1996) differ by centimeters; like most non-grid-shift software
+we treat the geographic coordinates as interchangeable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+# ellipsoids: (semi-major axis a, flattening f)
+WGS84 = (6378137.0, 1.0 / 298.257223563)
+GRS80 = (6378137.0, 1.0 / 298.257222101)
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Krueger series)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _TMConsts:
+    a: float
+    f: float
+    k0: float
+    lon0: float
+    fe: float
+    fn: float
+    e: float
+    n: float
+    A: float           # rectifying radius
+    alpha: tuple       # forward series coefficients
+    beta: tuple        # inverse series coefficients
+    m0: float          # meridian arc at lat_0 (scaled by k0 at use site)
+
+
+def _tm_series(n: float):
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    alpha = (
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 76204800,
+    )
+    beta = (
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    )
+    return alpha, beta
+
+
+def _tm_xi_eta(lat_rad, lon_rad, c: "_TMConsts"):
+    """Gauss-Schreiber coordinates (xi', eta') for arrays of radians."""
+    e = c.e
+    sphi = np.sin(lat_rad)
+    # conformal latitude via tau -> tau' (Karney eq. 7-9)
+    t = np.tan(lat_rad)
+    sig = np.sinh(e * np.arctanh(e * t / np.hypot(1.0, t)))
+    tp = t * np.hypot(1.0, sig) - sig * np.hypot(1.0, t)
+    dlon = lon_rad - math.radians(c.lon0)
+    # wrap to [-pi, pi] so zone-adjacent points stay finite
+    dlon = (dlon + math.pi) % (2 * math.pi) - math.pi
+    xi_p = np.arctan2(tp, np.cos(dlon))
+    eta_p = np.arcsinh(np.sin(dlon) / np.hypot(tp, np.cos(dlon)))
+    return xi_p, eta_p, sphi
+
+
+def _tm_meridian_arc(lat_deg: float, c: "_TMConsts") -> float:
+    """Meridian distance from the equator (A * xi at the central meridian)."""
+    if lat_deg == 0.0:
+        return 0.0
+    xi_p, _, _ = _tm_xi_eta(np.array([math.radians(lat_deg)]),
+                            np.array([math.radians(c.lon0)]), c)
+    xi = xi_p.copy()
+    for j, a in enumerate(c.alpha, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p)  # eta'=0 -> cosh term = 1
+    return float(c.A * xi[0])
+
+
+def make_tm(a: float, f: float, lat0: float, lon0: float, k0: float,
+            fe: float, fn: float) -> "_TMConsts":
+    n = f / (2.0 - f)
+    A = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+    alpha, beta = _tm_series(n)
+    c = _TMConsts(a=a, f=f, k0=k0, lon0=lon0, fe=fe, fn=fn,
+                  e=math.sqrt(f * (2 - f)), n=n, A=A,
+                  alpha=alpha, beta=beta, m0=0.0)
+    if lat0 != 0.0:
+        object.__setattr__(c, "m0", _tm_meridian_arc(lat0, c))
+    return c
+
+
+def tm_forward(lon: np.ndarray, lat: np.ndarray, c: _TMConsts):
+    lat_r, lon_r = np.radians(lat), np.radians(lon)
+    xi_p, eta_p, _ = _tm_xi_eta(lat_r, lon_r, c)
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, al in enumerate(c.alpha, start=1):
+        xi = xi + al * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + al * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = c.fe + c.k0 * c.A * eta
+    y = c.fn + c.k0 * (c.A * xi - c.m0)
+    return x, y
+
+
+def tm_inverse(x: np.ndarray, y: np.ndarray, c: _TMConsts):
+    xi = (y - c.fn + c.k0 * c.m0) / (c.k0 * c.A)
+    eta = (x - c.fe) / (c.k0 * c.A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, be in enumerate(c.beta, start=1):
+        xi_p = xi_p - be * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - be * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    tp = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    dlon = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon = c.lon0 + np.degrees(dlon)
+    lat = np.degrees(np.arctan(_tau_newton(tp, c.e)))
+    return lon, lat
+
+
+def _tau_newton(tp: np.ndarray, e: float) -> np.ndarray:
+    """Solve tau (tan of geodetic lat) from tau' (tan of conformal lat)
+    by Newton iteration (Karney 2011, eq. 19-21). Converges in <=3 steps."""
+    e2 = e * e
+    tau = tp / (1.0 - e2)  # first guess
+    for _ in range(4):
+        sig = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+        f_val = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau) - tp
+        dtau = ((np.hypot(1.0, sig) * np.hypot(1.0, tau) - sig * tau)
+                * (1.0 - e2) * np.hypot(1.0, tau) / (1.0 + (1.0 - e2) * tau * tau))
+        tau = tau - f_val / dtau
+    return tau
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (Snyder pp. 107-109)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _LCCConsts:
+    a: float
+    e: float
+    n: float
+    F: float
+    rho0: float
+    lon0: float
+    fe: float
+    fn: float
+
+
+def _snyder_m(phi, e):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _snyder_t(phi, e):
+    s = np.sin(phi)
+    return (np.tan(math.pi / 4.0 - phi / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def make_lcc(a: float, f: float, lat1: float, lat2: float, lat0: float,
+             lon0: float, fe: float, fn: float) -> _LCCConsts:
+    e = math.sqrt(f * (2 - f))
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = (float(_snyder_m(np.array([p]), e)[0]) for p in (p1, p2))
+    t1, t2, t0 = (float(_snyder_t(np.array([p]), e)[0]) for p in (p1, p2, p0))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F = m1 / (n * t1 ** n)
+    rho0 = a * F * t0 ** n
+    return _LCCConsts(a=a, e=e, n=n, F=F, rho0=rho0, lon0=lon0, fe=fe, fn=fn)
+
+
+def lcc_forward(lon: np.ndarray, lat: np.ndarray, c: _LCCConsts):
+    phi = np.radians(lat)
+    t = _snyder_t(phi, c.e)
+    rho = c.a * c.F * np.power(t, c.n)
+    theta = c.n * np.radians(lon - c.lon0)
+    x = c.fe + rho * np.sin(theta)
+    y = c.fn + c.rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def lcc_inverse(x: np.ndarray, y: np.ndarray, c: _LCCConsts):
+    dx = x - c.fe
+    dy = c.rho0 - (y - c.fn)
+    rho = np.sign(c.n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(c.n) * dx, np.sign(c.n) * dy)
+    t = np.power(rho / (c.a * c.F), 1.0 / c.n)
+    lon = c.lon0 + np.degrees(theta / c.n)
+    # phi = pi/2 - 2 atan(t * ((1 - e sin phi)/(1 + e sin phi))^(e/2)), iterate
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - c.e * s) / (1.0 + c.e * s)) ** (c.e / 2.0))
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal Area 2SP (Snyder pp. 101-102)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _AlbersConsts:
+    a: float
+    e: float
+    n: float
+    C: float
+    rho0: float
+    lon0: float
+    fe: float
+    fn: float
+
+
+def _snyder_q(phi, e):
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - e * e * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def make_albers(a: float, f: float, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float, fn: float) -> _AlbersConsts:
+    e = math.sqrt(f * (2 - f))
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1 = float(_snyder_m(np.array([p1]), e)[0])
+    m2 = float(_snyder_m(np.array([p2]), e)[0])
+    q1 = float(_snyder_q(np.array([p1]), e)[0])
+    q2 = float(_snyder_q(np.array([p2]), e)[0])
+    q0 = float(_snyder_q(np.array([p0]), e)[0])
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    return _AlbersConsts(a=a, e=e, n=n, C=C, rho0=rho0, lon0=lon0, fe=fe, fn=fn)
+
+
+def albers_forward(lon: np.ndarray, lat: np.ndarray, c: _AlbersConsts):
+    q = _snyder_q(np.radians(lat), c.e)
+    rho = c.a * np.sqrt(c.C - c.n * q) / c.n
+    theta = c.n * np.radians(lon - c.lon0)
+    x = c.fe + rho * np.sin(theta)
+    y = c.fn + c.rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def albers_inverse(x: np.ndarray, y: np.ndarray, c: _AlbersConsts):
+    dx = x - c.fe
+    dy = c.rho0 - (y - c.fn)
+    rho = np.hypot(dx, dy)
+    q = (c.C - (rho * c.n / c.a) ** 2) / c.n
+    theta = np.arctan2(np.sign(c.n) * dx, np.sign(c.n) * dy)
+    lon = c.lon0 + np.degrees(theta / c.n)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    e, e2 = c.e, c.e * c.e
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area, oblique (Snyder pp. 187-190)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _LAEAConsts:
+    a: float
+    e: float
+    qp: float
+    beta1: float
+    Rq: float
+    D: float
+    lon0: float
+    fe: float
+    fn: float
+
+
+def make_laea(a: float, f: float, lat0: float, lon0: float,
+              fe: float, fn: float) -> _LAEAConsts:
+    e = math.sqrt(f * (2 - f))
+    qp = float(_snyder_q(np.array([math.pi / 2.0]), e)[0])
+    q1 = float(_snyder_q(np.array([math.radians(lat0)]), e)[0])
+    beta1 = math.asin(q1 / qp)
+    Rq = a * math.sqrt(qp / 2.0)
+    m1 = float(_snyder_m(np.array([math.radians(lat0)]), e)[0])
+    D = a * m1 / (Rq * math.cos(beta1))
+    return _LAEAConsts(a=a, e=e, qp=qp, beta1=beta1, Rq=Rq, D=D,
+                       lon0=lon0, fe=fe, fn=fn)
+
+
+def laea_forward(lon: np.ndarray, lat: np.ndarray, c: _LAEAConsts):
+    q = _snyder_q(np.radians(lat), c.e)
+    beta = np.arcsin(np.clip(q / c.qp, -1.0, 1.0))
+    dlam = np.radians(lon - c.lon0)
+    sb1, cb1 = math.sin(c.beta1), math.cos(c.beta1)
+    B = c.Rq * np.sqrt(2.0 / (1.0 + sb1 * np.sin(beta)
+                              + cb1 * np.cos(beta) * np.cos(dlam)))
+    x = c.fe + B * c.D * np.cos(beta) * np.sin(dlam)
+    y = c.fn + (B / c.D) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(dlam))
+    return x, y
+
+
+def laea_inverse(x: np.ndarray, y: np.ndarray, c: _LAEAConsts):
+    dx = (x - c.fe) / c.D
+    dy = c.D * (y - c.fn)
+    rho = np.hypot(dx, dy)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * c.Rq), -1.0, 1.0))
+    sb1, cb1 = math.sin(c.beta1), math.cos(c.beta1)
+    with np.errstate(invalid="ignore"):
+        beta = np.where(
+            rho == 0.0, c.beta1,
+            np.arcsin(np.clip(np.cos(ce) * sb1 + (dy * np.sin(ce) * cb1 /
+                                                  np.where(rho == 0, 1.0, rho)),
+                              -1.0, 1.0)))
+        dlam = np.arctan2(dx * np.sin(ce),
+                          rho * cb1 * np.cos(ce) - dy * sb1 * np.sin(ce))
+    lon = c.lon0 + np.degrees(dlam)
+    # geodetic lat from authalic lat beta (Snyder eq. 3-18), iterate on q
+    q = c.qp * np.sin(beta)
+    e, e2 = c.e, c.e * c.e
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry (parameters from the public EPSG dataset)
+# ---------------------------------------------------------------------------
+
+def _proj_for_epsg(code: int):
+    """(forward, inverse) numpy transforms for a supported EPSG code."""
+    # WGS84 UTM: 32601-32660 north, 32701-32760 south
+    if 32601 <= code <= 32660:
+        zone = code - 32600
+        c = make_tm(*WGS84, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=0.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    if 32701 <= code <= 32760:
+        zone = code - 32700
+        c = make_tm(*WGS84, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=10000000.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    # ETRS89 UTM zones 28-38 (GRS80)
+    if 25828 <= code <= 25838:
+        zone = code - 25800
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=0.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    if code == 3794:  # Slovenia 1996 / Slovene National Grid (D96/TM)
+        c = make_tm(*GRS80, lat0=0.0, lon0=15.0, k0=0.9999,
+                    fe=500000.0, fn=-5000000.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    if code == 5070:  # NAD83 / Conus Albers
+        c = make_albers(*GRS80, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                        fe=0.0, fn=0.0)
+        return (lambda lo, la: albers_forward(lo, la, c),
+                lambda x, y: albers_inverse(x, y, c))
+    if code == 2154:  # RGF93 / Lambert-93
+        c = make_lcc(*GRS80, lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
+                     fe=700000.0, fn=6600000.0)
+        return (lambda lo, la: lcc_forward(lo, la, c),
+                lambda x, y: lcc_inverse(x, y, c))
+    if code == 3035:  # ETRS89-extended / LAEA Europe
+        c = make_laea(*GRS80, lat0=52.0, lon0=10.0,
+                      fe=4321000.0, fn=3210000.0)
+        return (lambda lo, la: laea_forward(lo, la, c),
+                lambda x, y: laea_inverse(x, y, c))
+    return None

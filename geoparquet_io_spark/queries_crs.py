@@ -1,0 +1,155 @@
+"""Oracle-backed reprojection queries for the ellipsoidal projections
+(functions/projections.py): Albers 5070, UTM 33N, Lambert-93.
+
+The Spark side runs the REAL operator path (GeoTable.reproject -> WKB
+re-encode -> st_x/st_y); the DuckDB oracle mirrors the same public
+closed-form formulas with the projection constants embedded as literals
+(same trick as the hilbert/quadkey oracles).  Coordinates are rounded to
+0.1 m on both sides: numpy and DuckDB libm differ by ulps (~1e-8 m at
+this coordinate scale), far below the rounding quantum.
+
+Reference for semantics: core/reproject.py:94-160 and the crs-* fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.functions import geom as G
+from geoparquet_io_spark.functions import projections as P
+from geoparquet_io_spark.queries import register, _events_points
+from geoparquet_io_spark.testsupport.tables import EVENT_LON_SQL, EVENT_LAT_SQL
+
+_EVT = f"SELECT event_id, {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat FROM events"
+
+
+def _spark_reproject(spark, sf_dir, epsg: str, lon_range=None):
+    gt = _events_points(spark, sf_dir)
+    df = gt.df
+    if lon_range is not None:
+        df = df.filter(F.col("lon").between(*lon_range))
+        gt = type(gt)(df, gt.geo)
+    out = gt.reproject(epsg)
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+# --- Albers Equal Area (EPSG:5070, CONUS Albers) ---------------------------
+
+_AC = P.make_albers(*P.GRS80, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                    fe=0.0, fn=0.0)
+
+
+def _albers_sql() -> str:
+    e, e2 = _AC.e, _AC.e * _AC.e
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, lon, sin(radians(lat)) AS sp FROM pts),
+    q AS (SELECT event_id, lon,
+      {1.0 - e2!r} * (sp / (1.0 - {e2!r} * sp * sp)
+        - {1.0 / (2.0 * e)!r} * ln((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp))) AS qv
+      FROM s),
+    r AS (SELECT event_id,
+      {_AC.a!r} * sqrt({_AC.C!r} - {_AC.n!r} * qv) / {_AC.n!r} AS rho,
+      {_AC.n!r} * radians(lon - {_AC.lon0!r}) AS theta
+      FROM q)
+    SELECT event_id,
+      ROUND(rho * sin(theta), 1) + 0.0 AS px,
+      ROUND({_AC.rho0!r} - rho * cos(theta), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+@register("geo_reproject_albers", _albers_sql())
+def q_reproject_albers(spark, sf_dir):
+    return _spark_reproject(spark, sf_dir, "EPSG:5070")
+
+
+# --- Lambert Conformal Conic (EPSG:2154, Lambert-93) -----------------------
+
+_LC = P.make_lcc(*P.GRS80, lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
+                 fe=700000.0, fn=6600000.0)
+
+
+def _lcc_sql() -> str:
+    e = _LC.e
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, lon, radians(lat) AS phi, sin(radians(lat)) AS sp
+          FROM pts),
+    t AS (SELECT event_id, lon,
+      tan({math.pi / 4.0!r} - phi / 2.0)
+        / pow((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e / 2.0!r}) AS tv
+      FROM s),
+    r AS (SELECT event_id,
+      {_LC.a * _LC.F!r} * pow(tv, {_LC.n!r}) AS rho,
+      {_LC.n!r} * radians(lon - {_LC.lon0!r}) AS theta
+      FROM t)
+    SELECT event_id,
+      ROUND({_LC.fe!r} + rho * sin(theta), 1) + 0.0 AS px,
+      ROUND({_LC.fn!r} + {_LC.rho0!r} - rho * cos(theta), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+@register("geo_reproject_lcc", _lcc_sql())
+def q_reproject_lcc(spark, sf_dir):
+    return _spark_reproject(spark, sf_dir, "EPSG:2154")
+
+
+# --- Transverse Mercator (EPSG:32633, UTM zone 33N) ------------------------
+# restricted to the zone's own longitude band (the Krueger series is a
+# near-zone expansion; both sides would agree anywhere, but values far
+# outside the band are not meaningful UTM coordinates)
+
+_TC = P.make_tm(*P.WGS84, lat0=0.0, lon0=15.0, k0=0.9996,
+                fe=500000.0, fn=0.0)
+
+
+def _tm_sql() -> str:
+    e = _TC.e
+    kA = _TC.k0 * _TC.A
+    # xi/eta series: sinh/cosh/atanh/asinh spelled via exp/ln (DuckDB has no
+    # hyperbolics); ulp-level differences vs numpy are absorbed by ROUND(.,1)
+    xi_terms = " + ".join(
+        f"{a!r} * sin({2 * j} * xip) * ((exp({2 * j} * etap) + exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(_TC.alpha, start=1)
+    )
+    eta_terms = " + ".join(
+        f"{a!r} * cos({2 * j} * xip) * ((exp({2 * j} * etap) - exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(_TC.alpha, start=1)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    zone AS (SELECT * FROM pts WHERE lon BETWEEN 9.0 AND 21.0),
+    a1 AS (SELECT event_id, lon, tan(radians(lat)) AS t FROM zone),
+    a2 AS (SELECT event_id, lon, t,
+      (exp({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                          / (1.0 - {e!r} * t / sqrt(1.0 + t * t))))
+       - exp(-({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                              / (1.0 - {e!r} * t / sqrt(1.0 + t * t)))))) / 2.0 AS sig
+      FROM a1),
+    a3 AS (SELECT event_id, t, sig,
+      t * sqrt(1.0 + sig * sig) - sig * sqrt(1.0 + t * t) AS tp,
+      radians(lon - {_TC.lon0!r}) AS dlon
+      FROM a2),
+    a4 AS (SELECT event_id,
+      atan2(tp, cos(dlon)) AS xip,
+      ln(sin(dlon) / sqrt(tp * tp + cos(dlon) * cos(dlon))
+         + sqrt(sin(dlon) * sin(dlon) / (tp * tp + cos(dlon) * cos(dlon)) + 1.0)) AS etap
+      FROM a3)
+    SELECT event_id,
+      ROUND({_TC.fe!r} + {kA!r} * (etap + {eta_terms}), 1) + 0.0 AS px,
+      ROUND({kA!r} * (xip + {xi_terms}), 1) + 0.0 AS py
+    FROM a4
+    """
+
+
+@register("geo_reproject_utm33", _tm_sql())
+def q_reproject_utm33(spark, sf_dir):
+    return _spark_reproject(spark, sf_dir, "EPSG:32633", lon_range=(9.0, 21.0))
