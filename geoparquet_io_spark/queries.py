@@ -196,13 +196,19 @@ def q_extract(spark, sf_dir):
     """,
 )
 def q_sort_column(spark, sf_dir):
+    """Top-500 by (price desc, key): orderBy().limit(500) runs as a
+    distributed TakeOrderedAndProject (per-partition top-500, tiny merge)
+    — the global ROW_NUMBER window over the full table would funnel every
+    row through ONE reducer; renumbering only the surviving 500 gives the
+    identical result with no full-table single-partition pass (plan
+    asserted in tests/test_plans.py)."""
     from geoparquet_io_spark.operators.sorts import sort_column
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = sort_column(o.select("o_orderkey", "o_totalprice"),
-                    ["o_totalprice", "o_orderkey"], [True, False])
+    top = sort_column(o.select("o_orderkey", "o_totalprice"),
+                      ["o_totalprice", "o_orderkey"], [True, False]).limit(500)
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 500)
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @register(

@@ -256,29 +256,40 @@ def q_topk(spark, sf_dir):
     return brute_force_topk(e, q, "vec_id", "embedding", k=3, round_digits=6)
 
 
-@register(
-    "embedding_near_dup",
-    f"""
-    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings WHERE vec_id % 3 = 0)
+def _near_dup_lsh_oracle() -> str:
+    """LSH-bucketed near-dup oracle: the SAME deterministic hyperplanes the
+    operator uses are embedded as SQL literals; candidates only meet inside
+    a bucket (equi-join on the sign-bit string), so neither engine ever
+    forms the all-pairs cross product."""
+    from geoparquet_io_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
+    bits = " || ".join(
+        f"(CASE WHEN {_dot_sql('v', l)} >= 0 THEN '1' ELSE '0' END)" for l in lits
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+    hashed AS (SELECT vec_id, v, {bits} AS bucket FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_cosine_sql('a.v', 'b.v')} >= 0.3
-    """,
-)
-def q_near_dup(spark, sf_dir):
-    from geoparquet_io_spark.operators.similarity import as_double_array, cosine
+    """
 
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
-    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(sim >= 0.3)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
-    )
+
+@register("embedding_near_dup", _near_dup_lsh_oracle())
+def q_near_dup(spark, sf_dir):
+    """Graded form is the LSH-bucketed operator (the 100 TB shape): the
+    plan contains an equi-join on the bucket key, never a nested-loop
+    cross product (asserted in tests/test_plans.py)."""
+    from geoparquet_io_spark.operators.similarity import embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, id_column="vec_id",
+                                      vector_column="embedding",
+                                      threshold=0.3, n_planes=8, dim=64, seed=42)
+    return pairs.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------

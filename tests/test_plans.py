@@ -94,3 +94,27 @@ def test_minhash_shuffle_count(spark):
     # one logical shuffle; AQE's formatted plan can print the node twice
     assert s["exchanges"] <= 2, s
     assert s["python_evals"] == 0
+
+
+def test_roworder_topk_has_no_full_table_window(spark):
+    """sort_column_roworder: top-500 must run as TakeOrderedAndProject
+    (per-partition top-k + tiny merge); a ROW_NUMBER window over the whole
+    table would funnel every row through one reducer."""
+    from geoparquet_io_spark.plans import formatted_plan
+    from geoparquet_io_spark.queries import REGISTRY
+
+    df = REGISTRY["sort_column_roworder"][0](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_near_dup_is_bucketed_not_all_pairs(spark):
+    """embedding_near_dup: candidates meet via an equi-join on the LSH
+    bucket key — never a nested-loop / cartesian cross product."""
+    from geoparquet_io_spark.plans import formatted_plan
+    from geoparquet_io_spark.queries import REGISTRY
+
+    df = REGISTRY["embedding_near_dup"][0](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
