@@ -101,16 +101,171 @@ def check_structure(path: str) -> StructureReport:
     )
 
 
+def _check_covering(geo: GeoMeta, schema) -> list[str]:
+    """Covering metadata verification (reference: core/validate.py:819-1058):
+    object shape, [column, field] paths, referenced column exists, struct
+    layout, float/double field types."""
+    import pyarrow as pa
+
+    errors: list[str] = []
+    for name, col in geo.columns.items():
+        cov = col.covering
+        if cov is None:
+            continue
+        if not isinstance(cov, dict) or "bbox" not in cov:
+            errors.append(f"column {name}: covering must be an object with 'bbox'")
+            continue
+        bbox_paths = cov["bbox"]
+        if not isinstance(bbox_paths, dict):
+            errors.append(f"column {name}: covering.bbox must be an object")
+            continue
+        missing = {"xmin", "ymin", "xmax", "ymax"} - set(bbox_paths)
+        if missing:
+            errors.append(f"column {name}: covering.bbox missing keys {sorted(missing)}")
+            continue
+        ref_cols = set()
+        bad_path = False
+        for key, p in bbox_paths.items():
+            if (not isinstance(p, (list, tuple)) or len(p) != 2
+                    or not all(isinstance(x, str) for x in p)):
+                errors.append(
+                    f"column {name}: covering.bbox.{key} must be a "
+                    f"[column, field] pair, got {p!r}")
+                bad_path = True
+                continue
+            if p[1] != key:
+                errors.append(
+                    f"column {name}: covering.bbox.{key} points at field "
+                    f"{p[1]!r} (expected {key!r})")
+            ref_cols.add(p[0])
+        if bad_path:
+            continue
+        for rc in ref_cols:
+            if rc not in schema.names:
+                errors.append(
+                    f"column {name}: covering references missing column {rc!r}")
+                continue
+            f = schema.field(rc)
+            if not pa.types.is_struct(f.type):
+                errors.append(
+                    f"column {name}: covering column {rc!r} is {f.type}, "
+                    "expected struct<xmin,ymin,xmax,ymax>")
+                continue
+            fields = {f.type.field(i).name: f.type.field(i).type
+                      for i in range(f.type.num_fields)}
+            for key in ("xmin", "ymin", "xmax", "ymax"):
+                if key not in fields:
+                    errors.append(
+                        f"column {name}: covering column {rc!r} lacks field {key!r}")
+                elif not (pa.types.is_float64(fields[key])
+                          or pa.types.is_float32(fields[key])):
+                    errors.append(
+                        f"column {name}: covering field {rc}.{key} is "
+                        f"{fields[key]}, expected float/double")
+    return errors
+
+
+def _check_wkb_encoding_sample(files: list[str], gcol: str,
+                               sample_rows: int) -> list[str]:
+    """Sampled WKB well-formedness: byte-order marker + known geometry type
+    code (reference: core/validate.py:507-584) — driver-side pyarrow, no
+    Spark job."""
+    taken = 0
+    for f in files:
+        if taken >= sample_rows:
+            break
+        pf = pq.ParquetFile(f)
+        if gcol not in pf.schema_arrow.names:
+            continue
+        batch = next(pf.iter_batches(batch_size=min(sample_rows - taken, 8192),
+                                     columns=[gcol]), None)
+        if batch is None:
+            continue
+        for blob in batch.column(0):
+            b = blob.as_py()
+            if b is None:
+                continue
+            taken += 1
+            if len(b) < 5:
+                return [f"column {gcol}: WKB blob shorter than 5 bytes"]
+            order = b[0]
+            if order not in (0, 1):
+                return [f"column {gcol}: invalid WKB byte-order marker {order}"]
+            code = int.from_bytes(b[1:5], "little" if order == 1 else "big")
+            # strip EWKB dimension/SRID flags, then ISO thousands (Z/M/ZM)
+            plain = code & 0x0FFFFFFF
+            if not (1 <= plain % 1000 <= 7 and plain // 1000 in (0, 1, 2, 3)):
+                return [f"column {gcol}: unknown WKB geometry type code {code}"]
+    return []
+
+
+def _check_per_file_bboxes(files: list[str], geo: GeoMeta) -> list[str]:
+    """EVERY file whose footer declares a bbox must actually contain its
+    data (reference: core/validate.py:778-819 runs per file; checking only
+    the first file misses corrupt partitions).  Uses the covering column's
+    row-group statistics — footer-only, no data read."""
+    errors: list[str] = []
+    cov = geo.primary.covering or {}
+    paths = cov.get("bbox") if isinstance(cov, dict) else None
+    if not paths:
+        return errors
+    cov_col = paths["xmin"][0]
+    for f in files:
+        g = GeoMeta.from_footer(pq.read_schema(f).metadata)
+        if g is None or g.primary.bbox is None:
+            continue
+        bx = g.primary.bbox
+        md = pq.read_metadata(f)
+        lo_x = lo_y = float("inf")
+        hi_x = hi_y = float("-inf")
+        have = False
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            # column-chunk paths are dotted leaf paths ('bbox.xmin')
+            idx = {group.column(i).path_in_schema: i
+                   for i in range(group.num_columns)}
+
+            def stat(field, want_min):
+                i = idx.get(f"{cov_col}.{field}")
+                if i is None:
+                    return None
+                s = group.column(i).statistics
+                if s is None or not s.has_min_max:
+                    return None
+                return s.min if want_min else s.max
+
+            vals = (stat("xmin", True), stat("ymin", True),
+                    stat("xmax", False), stat("ymax", False))
+            if any(v is None for v in vals):
+                continue
+            have = True
+            lo_x, lo_y = min(lo_x, vals[0]), min(lo_y, vals[1])
+            hi_x, hi_y = max(hi_x, vals[2]), max(hi_y, vals[3])
+        if have and (lo_x < bx[0] or lo_y < bx[1] or hi_x > bx[2] or hi_y > bx[3]):
+            errors.append(
+                f"file {os.path.basename(f)}: footer bbox {bx} does not "
+                f"contain its data extent [{lo_x}, {lo_y}, {hi_x}, {hi_y}]")
+    return errors
+
+
 def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
     """GeoParquet spec checks on a written file: metadata shape, physical
-    schema, data-vs-metadata (subset of core/validate.py that applies to
-    files this engine writes)."""
+    schema, covering verification, WKB well-formedness, per-file bbox
+    containment, orientation, CRS bounds, data-vs-metadata
+    (core/validate.py ported to this engine's data model)."""
     files = _files(path)
     if not files:
         return [f"no parquet files at {path}"]
     errors: list[str] = []
+    bad_ext = [f for f in files if not f.endswith(".parquet")]
+    if bad_ext:
+        errors.append(f"{len(bad_ext)} data files lack the .parquet extension")
     schema = pq.read_schema(files[0])
-    geo = GeoMeta.from_footer(schema.metadata)
+    # dataset-level geo: per-file bboxes UNIONED (a single file's footer
+    # understates a multi-file dataset's extent)
+    from geoparquet_io_spark.sources.geoparquet import read_footer_geo
+
+    geo = read_footer_geo(path)
     if geo is None:
         return ["missing 'geo' footer metadata"]
     errors.extend(geo.validate())
@@ -124,8 +279,13 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
         f = schema.field(name)
         if not pa.types.is_binary(f.type) and not pa.types.is_large_binary(f.type):
             errors.append(f"geometry column {name!r} is {f.type}, expected binary")
+    errors.extend(_check_covering(geo, schema))
     if errors:
         return errors
+    errors.extend(_check_wkb_encoding_sample(files, geo.primary_column, sample_rows))
+    if errors:
+        return errors  # unparseable WKB: downstream data checks can't run
+    errors.extend(_check_per_file_bboxes(files, geo))
     # data-vs-metadata on a sample: geometry parses, types match, bbox contains data
     from geoparquet_io_spark.functions import geom as G
 
@@ -145,17 +305,60 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
         undeclared = {mapped.get(t, t) for t in seen} - declared
         if undeclared:
             errors.append(f"data contains undeclared geometry types: {sorted(undeclared)}")
-    if geo.primary.bbox:
+    from geoparquet_io_spark.functions import crs as _crs
+
+    need_env = bool(geo.primary.bbox) or _crs.is_geographic(
+        geo.primary.crs or _crs.DEFAULT_CRS)
+    env = None
+    if need_env:
         env = df.select(G.st_envelope_struct(F.col(gcol)).alias("e")).agg(
             F.min("e.xmin").alias("xmin"), F.min("e.ymin").alias("ymin"),
             F.max("e.xmax").alias("xmax"), F.max("e.ymax").alias("ymax"),
         ).collect()[0]
+    if geo.primary.bbox and env is not None:
         bx = geo.primary.bbox
         if env["xmin"] is not None and (
             env["xmin"] < bx[0] or env["ymin"] < bx[1]
             or env["xmax"] > bx[2] or env["ymax"] > bx[3]
         ):
             errors.append("metadata bbox does not contain the data extent")
+    # geographic CRS -> coordinates must stay in lon/lat range
+    # (reference: core/validate.py:2093-2120)
+    if env is not None and _crs.is_geographic(geo.primary.crs or _crs.DEFAULT_CRS):
+        if env["xmin"] is not None and (
+            env["xmin"] < -180.0 or env["xmax"] > 180.0
+            or env["ymin"] < -90.0 or env["ymax"] > 90.0
+        ):
+            errors.append(
+                "coordinates exceed geographic CRS bounds "
+                f"([{env['xmin']}, {env['ymin']}, {env['xmax']}, {env['ymax']}] "
+                "outside [-180, -90, 180, 90])")
+    # declared orientation must match the data: counterclockwise exterior
+    # rings have positive shoelace area (reference: core/validate.py:682-778)
+    if geo.primary.orientation == "counterclockwise":
+        from geoparquet_io_spark.functions import wkb as _wkb
+
+        bad = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            batch = next(pf.iter_batches(batch_size=2048, columns=[gcol]), None)
+            if batch is None:
+                continue
+            for blob in batch.column(0):
+                b = blob.as_py()
+                if b is None:
+                    continue
+                g = _wkb.parse(bytes(b))
+                polys = ([g] if g.gtype == _wkb.POLYGON
+                         else (g.children if g.gtype == _wkb.MULTIPOLYGON else []))
+                for p in polys:
+                    a, _, _ = _wkb._ring_area_centroid(p.parts[0])
+                    if a < 0:
+                        bad += 1
+        if bad:
+            errors.append(
+                f"orientation declared counterclockwise but {bad} sampled "
+                "exterior rings wind clockwise")
     return errors
 
 

@@ -51,12 +51,15 @@ def read_gdal(spark, path: str, geometry_column: str = "geometry"):
     return GeoTable(df, geo)
 
 
-def write_gdal(gt, path: str, driver: str | None = None) -> None:
-    """GeoTable -> GDAL single file (collect-to-driver, like the
-    reference's COPY FORMAT GDAL).  Nested columns are dropped with the
-    same rule as the reference."""
+def write_gdal(gt, path: str, driver: str | None = None,
+               layer: str | None = None) -> None:
+    """GeoTable -> GDAL single file via ``pyogrio.raw.write_arrow``
+    (collect-to-driver, like the reference's COPY FORMAT GDAL; no
+    geopandas needed — GDAL consumes the Arrow stream with the geometry
+    as a WKB binary column).  Nested columns are dropped with the same
+    rule as the reference (core/format_writers.py:99-243)."""
     pyogrio = _require_pyogrio()
-    import os  # pragma: no cover
+    import os
 
     if driver is None:
         driver = GDAL_DRIVERS.get(os.path.splitext(path)[1].lower())
@@ -73,10 +76,22 @@ def write_gdal(gt, path: str, driver: str | None = None) -> None:
         import warnings
 
         warnings.warn(f"dropping nested columns unsupported by GDAL: {dropped}")
-    pdf = df.select(*keep).toPandas()
-    geom = pdf.pop(gt.geometry_column)
-    pyogrio.write_dataframe  # placeholder guard; full impl needs geopandas
-    raise NotImplementedError(
-        "write_gdal needs geopandas to build the GeoDataFrame; install "
-        "geopandas+pyogrio to enable"
+    table = df.select(*keep).toArrow()
+
+    # single declared type -> pass it through; else let GDAL promote
+    declared = list(gt.geo.primary.geometry_types) if gt.geo is not None else []
+    geometry_type = declared[0] if len(declared) == 1 else "Unknown"
+    crs = gt.crs or "EPSG:4326"
+    if isinstance(crs, dict):  # PROJJSON -> AUTH:CODE if identifiable
+        from geoparquet_io_spark.functions.crs import normalize_crs
+
+        crs = normalize_crs(crs)
+    pyogrio.raw.write_arrow(
+        table,
+        path,
+        layer=layer or os.path.splitext(os.path.basename(path))[0],
+        driver=driver,
+        geometry_name=gt.geometry_column,
+        geometry_type=geometry_type,
+        crs=crs,
     )

@@ -37,21 +37,84 @@ def _first_parquet_file(path: str) -> str | None:
 
 
 def read_footer_geo(path: str) -> GeoMeta | None:
-    """Driver-side footer metadata read — O(1), no Spark job
-    (reference reads footers the same way, core/duckdb_metadata.py:61-240)."""
-    f = _first_parquet_file(path)
-    if f is None:
+    """Driver-side footer metadata read — no Spark job
+    (reference reads footers the same way, core/duckdb_metadata.py:61-240).
+
+    After a distributed write with ``per_file_bbox`` each footer carries
+    only its own file's bbox, so for multi-file datasets the per-file
+    bboxes are UNIONED (O(files) footer-only reads); if any file lacks a
+    bbox the dataset bbox is cleared rather than understated."""
+    if os.path.isfile(path):
+        return GeoMeta.from_footer(pq.read_schema(path).metadata)
+    files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not files:
         return None
-    schema = pq.read_schema(f)
-    return GeoMeta.from_footer(schema.metadata)
+    geo = GeoMeta.from_footer(pq.read_schema(files[0]).metadata)
+    if geo is None or len(files) == 1 or geo.primary is None:
+        return geo
+    union = geo.primary.bbox
+    for f in files[1:]:
+        g = GeoMeta.from_footer(pq.read_schema(f).metadata)
+        b = g.primary.bbox if g is not None and g.primary is not None else None
+        if union is None or b is None:
+            union = None
+            break
+        union = [min(union[0], b[0]), min(union[1], b[1]),
+                 max(union[2], b[2]), max(union[3], b[3])]
+    geo.primary.bbox = union
+    return geo
+
+
+def _geo_from_arrow_extensions(schema: "pa.Schema") -> GeoMeta | None:
+    """GeoParquet 2.0 / geo-native files carry typed geometry columns
+    instead of (or alongside) the 1.x ``geo`` footer JSON.  The reference
+    recognizes Parquet-native GeometryType logical types
+    (core/extract.py:175-191, core/metadata_utils.py:48); on this pyarrow
+    (16.x, no Parquet GEOMETRY logical type support) the readable
+    equivalent is the GeoArrow extension convention those files use at the
+    Arrow layer: ``ARROW:extension:name`` in {geoarrow.wkb, geoarrow.*}
+    with optional extension metadata ``{"crs": ...}``.  Synthesize the
+    same GeoMeta either way so downstream operators see one data model."""
+    import json
+
+    cols: dict[str, GeoColumnMeta] = {}
+    for fld in schema:
+        md = fld.metadata or {}
+        ext = md.get(b"ARROW:extension:name", b"").decode()
+        if not ext.startswith("geoarrow."):
+            continue
+        crs = None
+        raw = md.get(b"ARROW:extension:metadata")
+        if raw:
+            try:
+                ext_meta = json.loads(raw)
+                crs = ext_meta.get("crs")
+                if isinstance(crs, dict):
+                    ident = crs.get("id") or {}
+                    if ident.get("authority") and ident.get("code") is not None:
+                        crs = f"{ident['authority']}:{ident['code']}"
+            except (ValueError, AttributeError):
+                pass
+        encoding = "WKB" if ext == "geoarrow.wkb" else ext.split(".", 1)[1]
+        cols[fld.name] = GeoColumnMeta(encoding=encoding, crs=crs)
+    if not cols:
+        return None
+    primary = "geometry" if "geometry" in cols else sorted(cols)[0]
+    return GeoMeta(primary_column=primary, columns=cols)
 
 
 def read(spark: SparkSession, path: str, geometry_column: str | None = None):
-    """Read GeoParquet -> GeoTable (reference: api/table.py:166-185)."""
+    """Read GeoParquet -> GeoTable (reference: api/table.py:166-185).
+    Falls back to GeoArrow extension-typed columns (the GeoParquet 2.0
+    arrow mapping) when the 1.x ``geo`` footer JSON is absent."""
     from geoparquet_io_spark.geotable import GeoTable
 
     df = spark.read.parquet(path)
     geo = read_footer_geo(path)
+    if geo is None:
+        f = _first_parquet_file(path)
+        if f is not None:
+            geo = _geo_from_arrow_extensions(pq.read_schema(f))
     if geo is None and geometry_column:
         geo = GeoMeta(primary_column=geometry_column,
                       columns={geometry_column: GeoColumnMeta()})
@@ -173,6 +236,15 @@ def _write_distributed(
         [schema.field(n) for n in data_cols], metadata=schema.metadata
     )
 
+    # per-file-bbox files buffer batches in memory up to this many rows so
+    # the footer can be stamped with the EXACT bbox in a single parquet
+    # encode (no read-modify-rewrite).  Memory is comparable to what the
+    # parquet writer's own row-group buffer would hold; files that outgrow
+    # the cap fall back to streaming + one footer rewrite.  (pyarrow >= 18
+    # makes the fallback unnecessary via ParquetWriter.add_key_value_metadata
+    # — stamp at close; not available on this pyarrow.)
+    buffer_cap = max_rows_per_file or (4 * row_group_rows)
+
     def write_partition(batches: Iterator["pa.RecordBatch"]):
         from pyspark import TaskContext
 
@@ -181,60 +253,101 @@ def _write_distributed(
         dschema = pa.schema(
             [full_schema.field(n) for n in data_cols], metadata=full_schema.metadata
         )
-        # per-key open writer: key -> [writer, file, rows_in_file]
+        buffered = per_file_bbox is not None and geo_json is not None
+        # key -> state; streaming: [writer, file, rows]
+        #              buffered:  [None, file, rows, parts(list of tables), bbox]
         open_w: dict[tuple, list] = {}
         emitted: list[tuple[str, int]] = []
 
-        def _open(k: tuple):
+        def _new_file(k: tuple) -> str:
             d = path
             if part_cols:
                 d = os.path.join(
                     path, *[f"{c}={_hive_escape(v)}" for c, v in zip(part_cols, k)]
                 )
                 os.makedirs(d, exist_ok=True)
-            f = os.path.join(d, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-            w = pq.ParquetWriter(
-                f, dschema, compression=compression,
-                compression_level=compression_level,
-            )
-            open_w[k] = [w, f, 0]
+            return os.path.join(d, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+
+        def _open(k: tuple):
+            f = _new_file(k)
+            if buffered:
+                open_w[k] = [None, f, 0, [], None]
+            else:
+                w = pq.ParquetWriter(
+                    f, dschema, compression=compression,
+                    compression_level=compression_level,
+                )
+                open_w[k] = [w, f, 0]
             return open_w[k]
 
-        file_bbox: dict[str, list] = {}
-
-        def _track_bbox(f: str, sub: "pa.Table"):
-            if per_file_bbox is None:
-                return
+        def _bbox_of(sub: "pa.Table"):
             import pyarrow.compute as pc
 
             col = sub.column(per_file_bbox).combine_chunks()
-            vals = [
+            return [
                 pc.min(col.field("xmin")).as_py(), pc.min(col.field("ymin")).as_py(),
                 pc.max(col.field("xmax")).as_py(), pc.max(col.field("ymax")).as_py(),
             ]
-            cur = file_bbox.get(f)
-            if cur is None:
-                file_bbox[f] = vals
-            else:
-                file_bbox[f] = [min(cur[0], vals[0]), min(cur[1], vals[1]),
-                                max(cur[2], vals[2]), max(cur[3], vals[3])]
 
-        def _finish_file(f: str):
-            """Stamp this file's own bbox into its geo footer metadata
-            (executor-local rewrite — the reference's disk-rewrite strategy)."""
-            if per_file_bbox is None or geo_json is None or f not in file_bbox:
-                return
+        def _track_bbox(slot: list, sub: "pa.Table"):
+            vals = _bbox_of(sub)
+            cur = slot[4]
+            slot[4] = vals if cur is None else [
+                min(cur[0], vals[0]), min(cur[1], vals[1]),
+                max(cur[2], vals[2]), max(cur[3], vals[3]),
+            ]
+
+        def _geo_with_bbox(bbox) -> bytes:
             from geoparquet_io_spark.meta import GeoMeta as _GM
 
             g = _GM.from_json(geo_json)
-            g.primary.bbox = [float(v) for v in file_bbox[f]]
-            tbl = pq.read_table(f)
-            tbl = tbl.replace_schema_metadata(
-                {**(tbl.schema.metadata or {}), b"geo": g.to_json().encode()}
+            if bbox is not None:
+                g.primary.bbox = [float(v) for v in bbox]
+            return g.to_json().encode()
+
+        def _spill_to_writer(slot: list):
+            """Buffered file outgrew the cap: switch to a streaming writer
+            (dataset-level geo in the schema); footer gets a single rewrite
+            at close to stamp the exact bbox."""
+            w = pq.ParquetWriter(
+                slot[1], dschema, compression=compression,
+                compression_level=compression_level,
             )
-            pq.write_table(tbl, f, compression=compression,
-                           compression_level=compression_level,
-                           row_group_size=row_group_rows)
+            for part in slot[3]:
+                w.write_table(part)
+            slot[0], slot[3] = w, []
+
+        def _close_slot(slot: list):
+            if not buffered:
+                slot[0].close()
+                return
+            if slot[0] is not None:  # spilled: streaming writer + footer rewrite
+                slot[0].close()
+                tbl = pq.read_table(slot[1])
+                tbl = tbl.replace_schema_metadata(
+                    {**(tbl.schema.metadata or {}), b"geo": _geo_with_bbox(slot[4])}
+                )
+                pq.write_table(tbl, slot[1], compression=compression,
+                               compression_level=compression_level,
+                               row_group_size=row_group_rows)
+                return
+            # common case: whole file buffered -> ONE encode, exact footer
+            fschema = dschema.with_metadata(
+                {**(dschema.metadata or {}), b"geo": _geo_with_bbox(slot[4])}
+            )
+            w = pq.ParquetWriter(
+                slot[1], fschema, compression=compression,
+                compression_level=compression_level,
+            )
+            try:
+                tbl = pa.concat_tables(slot[3]).cast(fschema) if slot[3] else \
+                    pa.Table.from_batches([], schema=fschema)
+                if tbl.num_rows == 0:
+                    w.write_table(tbl)
+                for start in range(0, tbl.num_rows, row_group_rows):
+                    w.write_table(tbl.slice(start, row_group_rows))
+            finally:
+                w.close()
 
         def _append(k: tuple, sub: "pa.Table"):
             sub = sub.cast(dschema)
@@ -243,13 +356,21 @@ def _write_distributed(
                 take = sub.num_rows
                 if max_rows_per_file:
                     take = min(take, max_rows_per_file - slot[2])
-                slot[0].write_table(sub.slice(0, take))
-                _track_bbox(slot[1], sub.slice(0, take))
+                chunk = sub.slice(0, take)
+                if buffered:
+                    _track_bbox(slot, chunk)
+                    if slot[0] is not None:
+                        slot[0].write_table(chunk)
+                    else:
+                        slot[3].append(chunk)
+                        if slot[2] + take > buffer_cap:
+                            _spill_to_writer(slot)
+                else:
+                    slot[0].write_table(chunk)
                 slot[2] += take
                 sub = sub.slice(take)
                 if max_rows_per_file and slot[2] >= max_rows_per_file:
-                    slot[0].close()
-                    _finish_file(slot[1])
+                    _close_slot(slot)
                     emitted.append((slot[1], slot[2]))
                     del open_w[k]
 
@@ -266,10 +387,9 @@ def _write_distributed(
                 else:
                     _append((), tbl.select(data_cols))
         finally:
-            for w, f, n in open_w.values():
-                w.close()
-                _finish_file(f)
-                emitted.append((f, n))
+            for slot in open_w.values():
+                _close_slot(slot)
+                emitted.append((slot[1], slot[2]))
         out = pa.table(
             {
                 "file": [f for f, _ in emitted],

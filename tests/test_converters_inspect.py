@@ -205,3 +205,140 @@ def test_read_partition_merge_schema(spark, tmp_path):
     assert "props" in merged.df.columns
     nulls = merged.df.filter("props IS NULL").count()
     assert nulls == b.count()
+
+
+def _valid_points_file(spark, tmp_path, name="v.parquet"):
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    out = str(tmp_path / name)
+    gt.write(out)
+    return gt, out
+
+
+def _rewrite_with_geo(path, mutate):
+    """Rewrite a single parquet file with a mutated geo footer JSON."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    g = json.loads(tbl.schema.metadata[b"geo"])
+    mutate(g)
+    tbl = tbl.replace_schema_metadata(
+        {**tbl.schema.metadata, b"geo": json.dumps(g).encode()})
+    pq.write_table(tbl, path)
+
+
+def test_validate_catches_broken_covering_path(spark, tmp_path):
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    _, out = _valid_points_file(spark, tmp_path)
+
+    def mutate(g):
+        g["columns"]["geometry"]["covering"]["bbox"]["xmin"] = ["nope", "xmin"]
+    _rewrite_with_geo(out, mutate)
+    errs = validate(spark, out)
+    assert any("missing column 'nope'" in e for e in errs), errs
+
+
+def test_validate_catches_covering_wrong_field(spark, tmp_path):
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    _, out = _valid_points_file(spark, tmp_path)
+
+    def mutate(g):
+        g["columns"]["geometry"]["covering"]["bbox"]["ymax"] = ["bbox", "xmin"]
+    _rewrite_with_geo(out, mutate)
+    errs = validate(spark, out)
+    assert any("points at field" in e for e in errs), errs
+
+
+def test_validate_catches_malformed_wkb(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    _, out = _valid_points_file(spark, tmp_path)
+    tbl = pq.read_table(out)
+    # corrupt every geometry blob's byte-order marker
+    bad = pa.array([b"\x07garbagegarbage" for _ in range(tbl.num_rows)],
+                   pa.binary())
+    tbl = tbl.set_column(tbl.schema.get_field_index("geometry"), "geometry", bad)
+    tbl = tbl.replace_schema_metadata(tbl.schema.metadata)
+    pq.write_table(tbl, out)
+    errs = validate(spark, out)
+    assert any("byte-order marker" in e for e in errs), errs
+
+
+def test_validate_catches_per_file_bbox_lie(spark, tmp_path):
+    """A multi-file dataset where ONE file's footer bbox doesn't contain
+    its data must fail validation (first-file-only checks miss this)."""
+    import json
+
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.operators.inspect_check import validate
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    out = str(tmp_path / "pf")
+    files = gt.partition_by_string("event_type", out)
+    assert len(files) > 1
+    assert validate(spark, out) == []
+    # shrink the LAST file's declared bbox to a lie
+    f = files[-1]
+    tbl = pq.read_table(f)
+    g = json.loads(tbl.schema.metadata[b"geo"])
+    g["columns"]["geometry"]["bbox"] = [0.0, 0.0, 0.5, 0.5]
+    tbl = tbl.replace_schema_metadata(
+        {**tbl.schema.metadata, b"geo": json.dumps(g).encode()})
+    pq.write_table(tbl, f)
+    errs = validate(spark, out)
+    assert any("does not contain its data extent" in e for e in errs), errs
+
+
+def test_validate_catches_clockwise_orientation(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json
+
+    import numpy as np
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    # clockwise square (negative shoelace area)
+    cw = _wkb.encode_polygon([np.array(
+        [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]])])
+    geo = {"version": "1.1.0", "primary_column": "geometry",
+           "columns": {"geometry": {"encoding": "WKB",
+                                    "geometry_types": ["Polygon"],
+                                    "orientation": "counterclockwise"}}}
+    tbl = pa.table({"id": pa.array([1], pa.int64()),
+                    "geometry": pa.array([cw], pa.binary())})
+    tbl = tbl.replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    f = str(tmp_path / "cw.parquet")
+    pq.write_table(tbl, f)
+    errs = validate(spark, f)
+    assert any("wind clockwise" in e for e in errs), errs
+
+
+def test_validate_catches_out_of_range_lonlat(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json
+
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    pt = _wkb.encode_point(512.0, 23.0)  # lon out of range for EPSG:4326
+    geo = {"version": "1.1.0", "primary_column": "geometry",
+           "columns": {"geometry": {"encoding": "WKB",
+                                    "geometry_types": ["Point"],
+                                    "crs": "EPSG:4326"}}}
+    tbl = pa.table({"id": pa.array([1], pa.int64()),
+                    "geometry": pa.array([pt], pa.binary())})
+    tbl = tbl.replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    f = str(tmp_path / "oob.parquet")
+    pq.write_table(tbl, f)
+    errs = validate(spark, f)
+    assert any("geographic CRS bounds" in e for e in errs), errs

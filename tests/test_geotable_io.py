@@ -188,3 +188,91 @@ def test_pipe_composition_and_explain(points):
     assert 0 < out.count() < points.count()
     s = out.explain_summary()
     assert s["pushed_filters"] or s["codegen_stages"] >= 0
+
+
+def test_per_file_bbox_spill_path(points, tmp_path):
+    """Files that outgrow the in-memory buffer cap spill to a streaming
+    writer and still end with their exact bbox in the footer."""
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.meta import GeoMeta
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    out = str(tmp_path / "spill")
+    # row_group_rows=50 -> buffer cap 200 rows; 1000 points in one
+    # partition forces the spill branch
+    files = write(points.df.coalesce(1), out, geo=points.geo,
+                  per_file_bbox="bbox", row_group_rows=50)
+    assert files
+    for f in files:
+        g = GeoMeta.from_footer(pq.read_schema(f).metadata)
+        assert g is not None and g.primary.bbox is not None
+        t = pq.read_table(f, columns=["bbox"]).to_pandas()
+        assert g.primary.bbox[0] <= min(b["xmin"] for b in t["bbox"])
+        assert g.primary.bbox[3] >= max(b["ymax"] for b in t["bbox"])
+
+
+def test_multi_file_bbox_union_on_read(points, tmp_path):
+    """read_footer_geo over a multi-file dataset unions per-file bboxes;
+    the dataset bbox must cover every file's extent."""
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.meta import GeoMeta
+    from geoparquet_io_spark.sources.geoparquet import read_footer_geo
+
+    out = str(tmp_path / "union")
+    files = points.partition_by_string("event_type", out)
+    assert len(files) > 1
+    geo = read_footer_geo(out)
+    assert geo is not None and geo.primary.bbox is not None
+    per_file = [GeoMeta.from_footer(pq.read_schema(f).metadata).primary.bbox
+                for f in files]
+    assert geo.primary.bbox[0] == min(b[0] for b in per_file)
+    assert geo.primary.bbox[1] == min(b[1] for b in per_file)
+    assert geo.primary.bbox[2] == max(b[2] for b in per_file)
+    assert geo.primary.bbox[3] == max(b[3] for b in per_file)
+
+
+def test_geoarrow_extension_typed_read(spark, points, tmp_path):
+    """A GeoParquet-2.0-style file (typed geometry column via the GeoArrow
+    extension convention, NO 1.x geo footer JSON) reads into the same
+    GeoMeta model, and spatial extract works over it."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from geoparquet_io_spark.sources.geoparquet import read as gp_read
+
+    pdf = points.df.select("event_id", "geometry").toPandas()
+    geom_field = pa.field(
+        "geometry", pa.binary(),
+        metadata={
+            b"ARROW:extension:name": b"geoarrow.wkb",
+            b"ARROW:extension:metadata": json.dumps(
+                {"crs": {"id": {"authority": "EPSG", "code": 4326}}}).encode(),
+        })
+    tbl = pa.table(
+        {"event_id": pa.array(pdf["event_id"], pa.int64()),
+         "geometry": pa.array([bytes(b) for b in pdf["geometry"]], pa.binary())},
+        schema=pa.schema([pa.field("event_id", pa.int64()), geom_field]))
+    f = str(tmp_path / "gp2.parquet")
+    pq.write_table(tbl, f)
+    assert pq.read_schema(f).metadata is None or \
+        b"geo" not in (pq.read_schema(f).metadata or {})
+
+    gt = gp_read(spark, f)
+    assert gt.geo is not None
+    assert gt.geo.primary_column == "geometry"
+    assert gt.crs == "EPSG:4326"
+    sub = gt.extract(bbox=(-60, -40, 40, 60))
+    assert 0 < sub.count() < points.count()
+
+
+def test_write_gdal_real_path_when_pyogrio_present(spark, points, tmp_path):
+    """With pyogrio installed the write path is real (write_arrow roundtrip);
+    without it the NotImplementedError gate is the ONLY limit."""
+    pyogrio = pytest.importorskip("pyogrio")
+    from geoparquet_io_spark.sources.gdal_formats import read_gdal, write_gdal
+
+    out = str(tmp_path / "pts.fgb")
+    write_gdal(points, out)
+    back = read_gdal(spark, out)
+    assert back.count() == points.count()

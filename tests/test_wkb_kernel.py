@@ -117,8 +117,13 @@ def test_transform_roundtrip():
     x, y = f(lon, lat)
     lon2, lat2 = g(x, y)
     assert np.allclose(lon, lon2) and np.allclose(lat, lat2)
-    with pytest.raises(ValueError):
-        crs.get_transformer("EPSG:4326", "EPSG:5070")
+    # EPSG:5070 joined the built-in registry (functions/projections.py);
+    # a code outside the registry still raises with guidance
+    x5, y5 = crs.get_transformer("EPSG:4326", "EPSG:5070")(
+        np.array([-96.0]), np.array([23.0]))
+    assert abs(x5[0]) < 1e-6 and abs(y5[0]) < 1e-6
+    with pytest.raises(ValueError, match="projection registry"):
+        crs.get_transformer("EPSG:4326", "EPSG:99999")
 
 
 def test_geo_meta_roundtrip():
