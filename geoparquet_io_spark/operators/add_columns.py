@@ -65,10 +65,14 @@ def add_h3(df: DataFrame, geometry_column: str | None = None,
            column: str = "h3", crs=None) -> DataFrame:
     """H3 cell id of the centroid (reference: core/add_h3_column.py:57-84).
 
-    The real H3 indexing needs the ``h3`` library (not in this container);
-    when absent we fall back to a clearly-named lat/lon grid cell id with
-    h3-like resolution scaling. The fallback is DETERMINISTIC but NOT
-    H3-compatible — it exists so partition_by_h3 plumbing stays testable.
+    Resolution ladder without the ``h3`` wheel:
+    - ``h3`` importable -> true cells at any resolution;
+    - resolution 0     -> true H3 base cells from the derivation-validated
+      kernel in functions/h3.py (H3-compatible ids like
+      '8029fffffffffff', exchangeable with other H3 tooling);
+    - resolution > 0   -> clearly-named deterministic lat/lon grid
+      fallback (NOT H3-compatible; finer digits need the published
+      base-cell orientation tables only the h3 wheel carries).
     """
     if not (0 <= resolution <= 15):
         raise ValueError(f"h3 resolution must be in [0,15], got {resolution}")
@@ -93,6 +97,27 @@ def add_h3(df: DataFrame, geometry_column: str | None = None,
 
         return df.withColumn(column, _h3(lat, lon))
     except ImportError:
+        if resolution == 0:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+            from pyspark.sql.types import StringType
+
+            # no hints: future-annotations stringification breaks inference
+            @pandas_udf(StringType())
+            def _h3_res0(lats, lons):
+                import numpy as np
+
+                from geoparquet_io_spark.functions import h3 as _hk
+
+                la = lats.to_numpy(dtype=np.float64, na_value=np.nan)
+                lo = lons.to_numpy(dtype=np.float64, na_value=np.nan)
+                ok = ~(np.isnan(la) | np.isnan(lo))
+                out = np.full(len(la), None, dtype=object)
+                if ok.any():
+                    out[ok] = _hk.latlng_to_res0_string(la[ok], lo[ok])
+                return pd.Series(out)
+
+            return df.withColumn(column, _h3_res0(lat, lon))
         # fallback grid: cell side halves per resolution step, id is
         # "gridN_<xcell>_<ycell>" — native exprs, no UDF.
         cells = 2 ** (resolution + 2)

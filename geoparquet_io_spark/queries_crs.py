@@ -153,3 +153,49 @@ def _tm_sql() -> str:
 @register("geo_reproject_utm33", _tm_sql())
 def q_reproject_utm33(spark, sf_dir):
     return _spark_reproject(spark, sf_dir, "EPSG:32633", lon_range=(9.0, 21.0))
+
+
+# --- H3 res-0 base cells (derivation-validated kernel) ----------------------
+
+def _h3_res0_oracle() -> str:
+    """The SQL mirrors functions/h3.py op-for-op: containing-face argmax,
+    gnomonic projection with embedded face frames, deterministic cube
+    rounding, and the derived (face, slot) -> base-cell LUT as literals."""
+    from geoparquet_io_spark.functions import h3 as _hk
+
+    o = _hk.res0_oracle_sql("lat", "lng")
+    return f"""
+    WITH __src__ AS (SELECT event_id, {EVENT_LAT_SQL} AS lat,
+                            {EVENT_LON_SQL} AS lng FROM events),
+    {o['ctes']}
+    SELECT cell AS h3_res0, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ijk {o['join']}
+    GROUP BY 1
+    """
+
+
+@register("geo_h3_res0", _h3_res0_oracle())
+def q_h3_res0(spark, sf_dir):
+    """True H3 base-cell counts over the events points — H3-compatible ids
+    (validated: pentagon set + published SF base cell; functions/h3.py).
+    Reference: core/add_h3_column.py:57-84 at resolution 0."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # beyond what pandas_udf's inference accepts; legacy SCALAR inference
+    # from the decorator argument is what we want anyway
+    @pandas_udf(LongType())
+    def _cell(lats, lons):
+        import numpy as np
+
+        from geoparquet_io_spark.functions import h3 as _hk
+
+        la = lats.to_numpy(dtype=np.float64)
+        lo = lons.to_numpy(dtype=np.float64)
+        return pd.Series(_hk.latlng_to_res0_cell(la, lo))
+
+    gt = _events_points(spark, sf_dir)
+    return (gt.df.select(_cell(F.col("lat"), F.col("lon")).alias("h3_res0"))
+            .groupBy("h3_res0").agg(F.count("*").alias("n")))
