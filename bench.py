@@ -37,7 +37,41 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_quality",
     "stream_window_counts",
+    "geo_h3_res0",
+    "geo_reproject_albers",
 ]
+
+# regression thresholds vs the committed bench_baseline.json
+# (reference: benchmarks/config.py:9-19 — warn >10%, fail >25%)
+WARN_PCT = 10.0
+FAIL_PCT = 25.0
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def check_regressions(timings: dict[str, float]) -> dict:
+    """Compare a run against the committed baseline.  Returns
+    {"warn": {...}, "fail": {...}} of per-query slowdown percentages."""
+    if not os.path.exists(BASELINE_FILE):
+        return {"warn": {}, "fail": {}}
+    doc = json.load(open(BASELINE_FILE))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(doc.get("sf")) != sf:
+        # baseline recorded at a different scale factor: not comparable
+        return {"warn": {}, "fail": {}, "skipped": f"baseline sf={doc.get('sf')}"}
+    base = doc.get("queries", {})
+    warn: dict[str, float] = {}
+    fail: dict[str, float] = {}
+    for name, sec in timings.items():
+        b = base.get(name)
+        if not b:
+            continue
+        pct = (sec - b) / b * 100.0
+        if pct > FAIL_PCT:
+            fail[name] = round(pct, 1)
+        elif pct > WARN_PCT:
+            warn[name] = round(pct, 1)
+    return {"warn": warn, "fail": fail}
 
 
 def main() -> None:
@@ -79,6 +113,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if "--check" in sys.argv:
+        reg = check_regressions(timings)
+        out["regressions"] = reg
+        for name, pct in reg["warn"].items():
+            print(f"WARN {name} {pct:+.1f}% vs baseline", file=sys.stderr)
+        for name, pct in reg["fail"].items():
+            print(f"FAIL {name} {pct:+.1f}% vs baseline", file=sys.stderr)
+        print(json.dumps(out))
+        spark.stop()
+        sys.exit(1 if reg["fail"] else 0)
     print(json.dumps(out))
     spark.stop()
 

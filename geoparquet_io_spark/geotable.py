@@ -141,10 +141,16 @@ class GeoTable:
                         iterations=iterations, column=column, **kw)
         return self._wrap(df)
 
-    def add_admin_divisions(self, admin: "GeoTable", levels=("country",),
-                            prefix: str = "admin:") -> "GeoTable":
+    def add_admin_divisions(self, admin="countries", levels=("country",),
+                            prefix: str = "admin:",
+                            admin_source: str | None = None) -> "GeoTable":
+        """``admin`` is a GeoTable, or a catalog name ('countries', 'gaul',
+        'overture-divisions') resolved via sources/admin_catalog.py
+        (reference: core/admin_datasets.py factory)."""
         from geoparquet_io_spark.operators.joins import add_admin_divisions
+        from geoparquet_io_spark.sources.admin_catalog import resolve_admin
 
+        admin = resolve_admin(self._df.sparkSession, admin, source=admin_source)
         df = add_admin_divisions(
             self._df, self.geometry_column, self._bbox_column,
             admin._df, admin.geometry_column, admin._bbox_column,

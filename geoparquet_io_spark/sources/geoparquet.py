@@ -148,14 +148,36 @@ def read_partition(
 # ---------------------------------------------------------------------------
 
 def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
+    """Dataset arrow schema carrying BOTH geo conventions: the 1.x ``geo``
+    footer JSON and GeoArrow extension metadata on each geometry field
+    (the GeoParquet 2.0 arrow mapping) — typed readers see typed columns,
+    1.x readers see the footer, neither interferes with the other."""
+    import json as _json
+
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = to_arrow_schema(df.schema)
-    if geo is not None:
-        schema = schema.with_metadata(
-            {**(schema.metadata or {}), b"geo": geo.to_json().encode()}
-        )
-    return schema
+    if geo is None:
+        return schema
+    for name, col in geo.columns.items():
+        idx = schema.get_field_index(name)
+        if idx < 0:
+            continue
+        fld = schema.field(idx)
+        if not (pa.types.is_binary(fld.type) or pa.types.is_large_binary(fld.type)):
+            continue
+        ext_meta: dict = {}
+        if col.crs is not None:
+            ext_meta["crs"] = col.crs
+        fld = fld.with_metadata({
+            **(fld.metadata or {}),
+            b"ARROW:extension:name": b"geoarrow.wkb",
+            b"ARROW:extension:metadata": _json.dumps(ext_meta).encode(),
+        })
+        schema = schema.set(idx, fld)
+    return schema.with_metadata(
+        {**(schema.metadata or {}), b"geo": geo.to_json().encode()}
+    )
 
 
 def write(

@@ -276,3 +276,60 @@ def test_write_gdal_real_path_when_pyogrio_present(spark, points, tmp_path):
     write_gdal(points, out)
     back = read_gdal(spark, out)
     assert back.count() == points.count()
+
+
+def test_written_files_carry_geoarrow_extension(points, tmp_path):
+    """Writes emit BOTH conventions: 1.x geo footer + GeoArrow extension
+    field metadata (the GeoParquet 2.0 arrow mapping)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "both.parquet")
+    points.write(out)
+    sch = pq.read_schema(out)
+    assert b"geo" in sch.metadata
+    fld = sch.field("geometry")
+    assert (fld.metadata or {}).get(b"ARROW:extension:name") == b"geoarrow.wkb"
+
+
+def test_admin_catalog_surface_and_local_source(spark, points, tmp_path):
+    """Catalog names resolve; a local source override exercises the real
+    load path (remote default is network-gated in this container)."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.sources.admin_catalog import (
+        CATALOG, list_admin_datasets, load_admin_dataset,
+    )
+    from geoparquet_io_spark.testsupport.tables import load_table, nation_boxes
+
+    assert set(list_admin_datasets()) == {"countries", "gaul",
+                                          "overture-divisions"}
+    CATALOG["countries"].validate_levels(["country"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown"):
+        CATALOG["countries"].validate_levels(["planet"])
+
+    # stand-in countries file: nation boxes written as geoparquet
+    n = nation_boxes(load_table(spark, SF_SMOKE, "nation"))
+    n = n.withColumn("geometry", G.st_box("xmin", "ymin", "xmax", "ymax")) \
+         .withColumnRenamed("n_name", "country").select("country", "geometry")
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    src = str(tmp_path / "countries.parquet")
+    GeoTable(n, GeoMeta(columns={"geometry": GeoColumnMeta()})).write(src)
+
+    gt = load_admin_dataset(spark, "countries", source=src)
+    assert gt.count() == 25 and gt.geometry_column == "geometry"
+
+    enriched = points.add_admin_divisions("countries", levels=("country",),
+                                          admin_source=src)
+    got = enriched.df.filter(F.col("admin:country").isNotNull()).count()
+    assert 0 < got <= points.count()
+
+
+def test_admin_catalog_unknown_name(spark):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.sources.admin_catalog import load_admin_dataset
+
+    with _pytest.raises(ValueError, match="unknown admin dataset"):
+        load_admin_dataset(spark, "nope")
