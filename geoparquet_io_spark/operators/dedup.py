@@ -233,3 +233,75 @@ def jaccard_pairs(df: DataFrame, id_column: str, pairs: DataFrame,
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive duplicate groups (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iterations: int = 20,
+                         id_column: str = "id",
+                         component_column: str = "component") -> DataFrame:
+    """Connected components over a duplicate-pair edge list: every node
+    gets the MINIMUM id reachable through any chain of pairs (a~b, b~c =>
+    a, b, c share one group) — the transitive closure a dedup pipeline
+    needs after pairwise candidates (minhash/LSH emit PAIRS, and keeping
+    one survivor per PAIR over-deletes chains).
+
+    Scale design: iterative min-label propagation (the standard
+    large-graph approach — each round is one shuffle: edges joined to
+    current labels, min over neighbors, map-side combined).  Converges in
+    O(component diameter) rounds; duplicate chains are short in practice,
+    and ``max_iterations`` bounds the worst case.  Each round's result is
+    localCheckpoint()ed so the plan does not grow exponentially.
+
+    Beyond-reference operator (the reference dedups exact keys only);
+    semantics follow the classic iterative min-propagation algorithm.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    # label(node) = min(node, min over neighbors' labels), iterate to fixpoint
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_column),
+                         F.col("label").alias(component_column))
+
+
+def dedup_transitive(df: DataFrame, pairs: DataFrame, id_column: str,
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep ONE survivor (the minimum id) per transitive duplicate group;
+    rows in no pair survive untouched.  Anti-join shape — scales."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b,
+                                id_column="__node", component_column="__comp")
+    losers = comp.filter(F.col("__node") != F.col("__comp")).select("__node")
+    return df.join(losers, df[id_column] == losers["__node"], "left_anti")

@@ -453,3 +453,67 @@ def q_rolling_fingerprint(spark, sf_dir):
         lambda h, c: (h * 131 + c) % F.lit(2147483647).cast("long"),
     )
     return d.select("doc_id", rhash.alias("rhash"))
+
+
+def _transitive_groups_oracle() -> str:
+    """Transitive duplicate groups: the near-dup LSH pair oracle feeds a
+    recursive CTE computing min-reachable-id per node — the SQL statement
+    of the fixpoint the iterative Spark operator converges to."""
+    pair_sql = _near_dup_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS id, MIN(r) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_transitive_groups", _transitive_groups_oracle())
+def q_transitive_groups(spark, sf_dir):
+    """Connected components over LSH near-dup pairs (a~b, b~c => one
+    group): iterative min-label propagation, one shuffle per round
+    (operators/dedup.py:connected_components)."""
+    from geoparquet_io_spark.operators.dedup import connected_components
+    from geoparquet_io_spark.operators.similarity import embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, id_column="vec_id",
+                                      vector_column="embedding",
+                                      threshold=0.3, n_planes=8, dim=64, seed=42)
+    return connected_components(pairs, id_a="id_a", id_b="id_b")
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+    WHERE a.user_id % 17 = 0
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Batch-mode parity for the watermarked stream-stream interval join —
+    the SAME transformation runs under readStream with bounded state
+    (tests/test_streaming.py:test_stream_stream_join_equals_batch)."""
+    from geoparquet_io_spark.streaming.events import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    la = ev.select("user_id", "ts", "event_id")
+    rb = ev.select("user_id", "ts", "event_id")
+    out = stream_stream_join(la, rb, key="user_id", interval="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("r_event_id").alias("id_b"),
+    )

@@ -107,3 +107,52 @@ def write_geoparquet_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    interval: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join of two streams on ``key``: rows pair when
+    the right event lands within [left_ts, left_ts + interval).
+
+    Streaming semantics: BOTH sides are watermarked, and the event-time
+    range condition lets Spark expire join state once the watermark
+    passes a row's interval — bounded state at any input rate (the
+    documented requirement for stream-stream joins).  On batch inputs
+    the identical plan runs stateless, which is what the parity test and
+    the batch oracle validate.
+    """
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__lts"),
+        *[c for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, right_ts)],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("__lts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("__rts", watermark)
+    cond = (
+        (l["__k"] == r["__k"])
+        & (r["__rts"] >= l["__lts"])
+        & (r["__rts"] < l["__lts"] + F.expr(f"INTERVAL {interval}"))
+    )
+    joined = l.join(r, cond, how)
+    return joined.select(
+        l["__k"].alias(key),
+        F.col("__lts").alias(left_ts),
+        F.col("__rts").alias(f"r_{right_ts}"),
+        *[c for c in joined.columns if c not in ("__k", "__lts", "__rts")],
+    )

@@ -261,3 +261,35 @@ def test_spatial_join_autoroutes_large_right(spark):
                           ["n_name"], how="left", broadcast_threshold=5)
     got = {(r["c_custkey"], r["n_name"]) for r in routed.collect()}
     assert got == expected
+
+
+def test_connected_components_chains(spark):
+    """a~b, b~c, and a separate d~e: two components, min-id labels."""
+    from geoparquet_io_spark.operators.dedup import (
+        connected_components, dedup_transitive,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+    df = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 10, 11, 99)],
+                               "doc long")
+    kept = sorted(r["doc"] for r in
+                  dedup_transitive(df, pairs, "doc").collect())
+    # one survivor per chain (min id) + untouched singleton
+    assert kept == [1, 10, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    from geoparquet_io_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-12: one component labeled 0; needs several
+    # propagation rounds (diameter > 1)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a long, id_b long")
+    comp = connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 13

@@ -141,3 +141,39 @@ def test_streaming_geoparquet_sink(spark, events_dir, tmp_path):
     assert all(b"geo" in pq.read_schema(f).metadata for f in files)
     back = spark.read.option("recursiveFileLookup", "true").parquet(out)
     assert back.count() == batch_df.count()
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Watermarked interval join: stream-stream result == the identical
+    stateless batch join."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.streaming.events import (
+        read_events_stream,
+        stream_stream_join,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    la = batch.select("user_id", "ts", "event_id")
+    rb = batch.select("user_id", "ts", F.col("event_id").alias("other_id"))
+
+    expected = {
+        (r["user_id"], r["event_id"], r["r_other_id"])
+        for r in stream_stream_join(
+            la, rb, key="user_id", interval="30 minutes").collect()
+    }
+    assert expected  # nonzero evidence
+
+    sa = read_events_stream(spark, events_dir, schema=batch.schema) \
+        .select("user_id", "ts", "event_id")
+    sb = read_events_stream(spark, events_dir, schema=batch.schema) \
+        .select("user_id", "ts", F.col("event_id").alias("other_id"))
+    out = stream_stream_join(sa, sb, key="user_id", interval="30 minutes")
+    q = (out.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"], r["r_other_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == expected
