@@ -1,0 +1,77 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+RNG-based sampling (``df.sample``/``rand()``) is neither stable across
+retries/partitionings nor mirrorable in a SQL oracle.  These operators
+sample by HASHING A KEY: the same row always makes the same decision, on
+any cluster, in any engine — the property a 100 TB curation pipeline
+needs for resumable, auditable subsets (and what makes an exact DuckDB
+oracle possible).
+
+Beyond-reference operators (the reference's only sampler is ORDER BY
+random() LIMIT k, core/check_spatial_order.py:38-39).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 is bit-identical across Spark and DuckDB (same reason the minhash
+# oracle works); use the first 8 hex chars as a uniform 32-bit draw
+_BUCKETS = 1 << 32
+
+
+def _hash_draw(key: Column, salt: str) -> Column:
+    """Uniform integer in [0, 2^32) from (salt, key) — deterministic."""
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def sample_by_hash(df: DataFrame, key_column: str, fraction: float,
+                   salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by md5(salt:key) — stable under
+    retries, repartitioning, and engine changes.  Map-only (no shuffle,
+    no RNG state); the filter stays in whole-stage codegen."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _BUCKETS)
+    return df.filter(_hash_draw(F.col(key_column), salt) < F.lit(threshold))
+
+
+def mixture_sample(df: DataFrame, key_column: str, group_column: str,
+                   fractions: dict, salt: str = "mix",
+                   default_fraction: float = 0.0) -> DataFrame:
+    """Per-group sampling rates (training-data mixture weighting): e.g.
+    ``{"web": 0.1, "wiki": 1.0, "code": 0.5}``.  One map-only pass; the
+    per-group threshold is a CASE cascade in codegen, so the plan is a
+    single filtered scan — no per-group jobs, no shuffle."""
+    for g, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    thr = F.lit(int(default_fraction * _BUCKETS))
+    for g, frac in sorted(fractions.items()):
+        thr = F.when(F.col(group_column) == g,
+                     F.lit(int(frac * _BUCKETS))).otherwise(thr)
+    return df.filter(_hash_draw(F.col(key_column), salt) < thr)
+
+
+def split_by_hash(df: DataFrame, key_column: str, weights: dict,
+                  salt: str = "split", split_column: str = "split") -> DataFrame:
+    """Disjoint, exhaustive train/valid/test-style assignment: weights
+    like ``{"train": 0.98, "valid": 0.01, "test": 0.01}`` map each key
+    into one split by its hash position — stable, leakage-free (a key
+    always lands in the same split), map-only."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    draw = _hash_draw(F.col(key_column), salt)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = draw < F.lit(int(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_column, expr)

@@ -517,3 +517,68 @@ def q_stream_interval_join(spark, sf_dir):
         F.col("event_id").alias("id_a"),
         F.col("r_event_id").alias("id_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_DRAW = ("CAST(concat('0x', substr(md5(concat('{salt}', ':', "
+         "CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT)")
+
+
+@register(
+    "sample_mixture_sources",
+    f"""
+    WITH drawn AS (
+      SELECT source, {_DRAW.format(salt='mix', key='doc_id')} AS draw
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n
+    FROM drawn
+    WHERE draw < CASE source
+                   WHEN 'src1' THEN {int(0.25 * (1 << 32))}
+                   WHEN 'src2' THEN {int(1.0 * (1 << 32))}
+                   WHEN 'src3' THEN {int(0.5 * (1 << 32))}
+                   ELSE {int(0.05 * (1 << 32))} END
+    GROUP BY source
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Per-source mixture sampling by key hash — stable across retries /
+    engines, one map-only filtered scan (operators/sampling.py)."""
+    from geoparquet_io_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(d, "doc_id", "source",
+                         {"src1": 0.25, "src2": 1.0, "src3": 0.5},
+                         salt="mix", default_fraction=0.05)
+    return out.groupBy("source").agg(F.count("*").alias("n"))
+
+
+@register(
+    "sample_split_assignment",
+    f"""
+    WITH drawn AS (
+      SELECT doc_id, {_DRAW.format(salt='split', key='doc_id')} AS draw
+      FROM documents
+    )
+    SELECT CASE
+             WHEN draw < {int(0.01 * (1 << 32))} THEN 'test'
+             WHEN draw < {int(0.02 * (1 << 32))} THEN 'train'
+             ELSE 'valid' END AS split,
+           COUNT(*) AS n
+    FROM drawn GROUP BY 1
+    """,
+)
+def q_split_assignment(spark, sf_dir):
+    """Leakage-free train/valid/test assignment by key hash: a key always
+    lands in the same split (operators/sampling.py:split_by_hash).
+    NB oracle thresholds follow the operator's sorted-name cumulative
+    order: test(0.01) then train(0.01) then valid(0.98)."""
+    from geoparquet_io_spark.operators.sampling import split_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_by_hash(d, "doc_id",
+                        {"train": 0.01, "valid": 0.98, "test": 0.01})
+    return out.groupBy("split").agg(F.count("*").alias("n"))

@@ -293,3 +293,39 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_hash_sampling_deterministic_and_map_only(spark):
+    from geoparquet_io_spark.operators.sampling import (
+        mixture_sample, sample_by_hash, split_by_hash,
+    )
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    a = {r["doc_id"] for r in sample_by_hash(d, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in
+         sample_by_hash(d.repartition(7), "doc_id", 0.3).collect()}
+    assert a == b and 0 < len(a) < d.count()  # stable under repartitioning
+    # rate subset property: smaller fraction is a subset of larger
+    c = {r["doc_id"] for r in sample_by_hash(d, "doc_id", 0.1).collect()}
+    assert c <= a
+    # plan: no shuffle, no python
+    s = plan_summary(sample_by_hash(d, "doc_id", 0.3))
+    assert s["exchanges"] == 0 and s["python_evals"] == 0
+
+    # splits: disjoint + exhaustive + leakage-free keys
+    out = split_by_hash(d, "doc_id",
+                        {"train": 0.8, "valid": 0.1, "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == d.count()
+    assert {r["split"] for r in rows} == {"train", "valid", "test"}
+    again = {r["doc_id"]: r["split"] for r in
+             split_by_hash(d.repartition(5), "doc_id",
+                           {"train": 0.8, "valid": 0.1, "test": 0.1})
+             .select("doc_id", "split").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+    mixed = mixture_sample(d, "doc_id", "source", {"src1": 1.0}, salt="m")
+    srcs = {r["source"] for r in mixed.select("source").distinct().collect()}
+    assert srcs == {"src1"}  # default fraction 0 drops the rest
