@@ -56,7 +56,14 @@ def check_regressions(timings: dict[str, float]) -> dict:
         return {"warn": {}, "fail": {}}
     doc = json.load(open(BASELINE_FILE))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    if str(doc.get("sf")) != sf:
+
+    def _norm(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return str(v)
+
+    if _norm(doc.get("sf")) != _norm(sf):
         # baseline recorded at a different scale factor: not comparable
         return {"warn": {}, "fail": {}, "skipped": f"baseline sf={doc.get('sf')}"}
     base = doc.get("queries", {})

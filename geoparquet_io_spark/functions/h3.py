@@ -133,7 +133,11 @@ def _derive():
 
     # slot LUT: every slot a containing-face hex-round can produce
     # (including fold overage) -> base cell, via nearest true center to
-    # the slot's OWN lattice position (fold distortion << half-spacing)
+    # the slot's OWN lattice position (fold distortion << half-spacing).
+    # TOTAL over [0..4]^3 so the SQL oracle's join mirrors the kernel
+    # exactly (reachable slots are the near ones; far slots are
+    # unreachable from in-face points — mapped anyway, identically on
+    # both sides, so neither engine can drop a row the other keeps)
     LUT = np.full((20, 5, 5, 5), -1, dtype=np.int16)
     for f in range(20):
         for i in range(5):
@@ -141,16 +145,8 @@ def _derive():
                 for k in range(5):
                     m = min(i, j, k)
                     ii, jj, kk = i - m, j - m, k - m
-                    if max(ii, jj, kk) > 4:
-                        continue
                     p = slot_center(f, ii, jj, kk)
-                    d = CELLS @ p
-                    b = int(np.argmax(d))
-                    # only map slots that sit essentially ON a cell center
-                    # footprint (true slots are exact; overage slots are
-                    # within ~2 deg of the relabeled cell's center)
-                    if math.degrees(math.acos(min(1.0, float(d[b])))) < 12.0:
-                        LUT[f, i, j, k] = b
+                    LUT[f, i, j, k] = int(np.argmax(CELLS @ p))
     pent = sorted(int(np.argmax(CELLS @ v)) for v in V)
     return C, E1, E2, CELLS, LUT, tuple(pent)
 

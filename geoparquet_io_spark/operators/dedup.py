@@ -271,6 +271,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -283,6 +284,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
                 .alias("label"),
             )
+        )
+        # pointer jumping: also adopt the label OF my label, doubling the
+        # propagated distance per round -> convergence in O(log diameter)
+        # rounds instead of O(diameter); fixpoint is identical
+        hop = new_labels.select(F.col("node").alias("lnode"),
+                                F.col("label").alias("llabel"))
+        new_labels = (
+            new_labels.join(hop, new_labels["label"] == hop["lnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("llabel"), F.col("label")))
+                .alias("label"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -292,7 +306,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds 2^iterations) — raise "
+            "max_iterations; returning partial labels would silently "
+            "under-deduplicate")
     return labels.select(F.col("node").alias(id_column),
                          F.col("label").alias(component_column))
 

@@ -257,9 +257,23 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
     if not files:
         return [f"no parquet files at {path}"]
     errors: list[str] = []
-    bad_ext = [f for f in files if not f.endswith(".parquet")]
-    if bad_ext:
-        errors.append(f"{len(bad_ext)} data files lack the .parquet extension")
+    # _files() only globs *.parquet, so sweep the directory separately for
+    # data-looking files the validators would otherwise silently skip
+    # (underscore/dot names are parquet-convention markers, not data)
+    if os.path.isdir(path):
+        stray = [
+            os.path.join(r, fn)
+            for r, _, fns in os.walk(path) for fn in fns
+            if not fn.endswith(".parquet")
+            and not fn.startswith(("_", "."))
+        ]
+        if stray:
+            errors.append(
+                f"{len(stray)} non-.parquet files in the dataset directory "
+                f"are excluded from validation (e.g. "
+                f"{os.path.basename(stray[0])!r})")
+    elif not path.endswith(".parquet"):
+        errors.append("data file lacks the .parquet extension")
     schema = pq.read_schema(files[0])
     # dataset-level geo: per-file bboxes UNIONED (a single file's footer
     # understates a multi-file dataset's extent)

@@ -43,6 +43,7 @@ def spatial_join(
     how: str = "left",
     prune_right_by_extent: bool = True,
     broadcast_threshold: int = MAX_BROADCAST_ROWS,
+    grid_cell_size: float = 1.0,
 ) -> DataFrame:
     """bbox-prefiltered exact-intersects join.
 
@@ -50,6 +51,10 @@ def spatial_join(
     (map-only, zero shuffle — the admin-table case); larger right sides
     auto-route to :func:`grid_spatial_join` (both sides shuffled once on a
     grid key — the big-big case), so the operator works at any right size.
+    ``grid_cell_size`` is in COORDINATE UNITS (default 1.0 = ~1 degree for
+    lon/lat data) — set it to a sensible cell size (e.g. 10_000 for
+    meter-based projected CRS) when the routed path can trigger, or each
+    geometry replicates to every tiny cell its envelope overlaps.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -60,7 +65,7 @@ def spatial_join(
     if right.count() > broadcast_threshold:
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
-            right_columns, how,
+            right_columns, how, grid_cell_size,
         )
 
     r_local = right.select(right_geometry, *right_columns).collect()
@@ -174,24 +179,29 @@ def _route_to_grid_join(
     right_geometry: str,
     right_columns: list[str],
     how: str,
+    cell_size: float,
 ) -> DataFrame:
     """Big right side: same join via grid partitioning.
 
     ``grid_spatial_join(how='left')`` needs a unique left id for the
-    anti-join restore; synthesize one and persist so the id column is
-    stable across the matched/missing branches, then drop it.
+    anti-join restore; synthesize one and localCheckpoint so the id
+    column is MATERIALIZED before both branches read it
+    (monotonically_increasing_id is nondeterministic — a lazy persist
+    could be evicted and recomputed with different ids per branch,
+    duplicating or dropping unmatched rows).
     """
     if how == "inner":
         return grid_spatial_join(
             left, left_geometry, right, right_geometry, right_columns,
-            how="inner", left_bbox=left_bbox,
+            how="inner", left_bbox=left_bbox, cell_size=cell_size,
         )
-    # persist: the anti-join branch re-reads the left side, and the
-    # synthesized ids must be identical in both branches
-    tagged = left.withColumn("__sj_id", F.monotonically_increasing_id()).persist()
+    tagged = left.withColumn(
+        "__sj_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     return grid_spatial_join(
         tagged, left_geometry, right, right_geometry, right_columns,
         how="left", left_id="__sj_id", left_bbox=left_bbox,
+        cell_size=cell_size,
     ).drop("__sj_id")
 
 

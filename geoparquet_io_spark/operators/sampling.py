@@ -22,8 +22,13 @@ _BUCKETS = 1 << 32
 
 
 def _hash_draw(key: Column, salt: str) -> Column:
-    """Uniform integer in [0, 2^32) from (salt, key) — deterministic."""
-    h = F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+    """Uniform integer in [0, 2^32) from (salt, key) — deterministic.
+    NULL keys hash a sentinel rather than propagating NULL (a NULL draw
+    would silently drop the row from every filter and concentrate nulls
+    into one split); all null-key rows share one draw, so they move as a
+    block — deterministic, never silently lost."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), k))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
@@ -48,6 +53,9 @@ def mixture_sample(df: DataFrame, key_column: str, group_column: str,
     for g, f in fractions.items():
         if not (0.0 <= f <= 1.0):
             raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}")
     thr = F.lit(int(default_fraction * _BUCKETS))
     for g, frac in sorted(fractions.items()):
         thr = F.when(F.col(group_column) == g,

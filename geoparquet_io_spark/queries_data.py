@@ -523,8 +523,11 @@ def q_stream_interval_join(spark, sf_dir):
 # deterministic sampling (operators/sampling.py)
 # ---------------------------------------------------------------------------
 
+# mirrors sampling._hash_draw incl. the null-key sentinel (DuckDB concat
+# would swallow NULLs where Spark's returns NULL — coalesce on both sides)
 _DRAW = ("CAST(concat('0x', substr(md5(concat('{salt}', ':', "
-         "CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT)")
+         "COALESCE(CAST({key} AS VARCHAR), concat(chr(0), '__null_key__'))"
+         ")), 1, 8)) AS BIGINT)")
 
 
 @register(

@@ -86,9 +86,14 @@ def _default_cache_dir() -> str:
 def _materialize_source(source: str, cache_dir: str | None) -> str:
     """Resolve a spec source to something spark.read.parquet accepts."""
     if source.startswith(("http://", "https://")):
+        import hashlib
+
         cache = cache_dir or _default_cache_dir()
         os.makedirs(cache, exist_ok=True)
-        local = os.path.join(cache, os.path.basename(source))
+        # key by full-URL hash + basename: two sources sharing a filename
+        # (e.g. a versioned override) must not collide into one cache entry
+        tag = hashlib.sha256(source.encode()).hexdigest()[:12]
+        local = os.path.join(cache, f"{tag}-{os.path.basename(source)}")
         if not os.path.exists(local):
             import urllib.request
 

@@ -42,8 +42,11 @@ def read_footer_geo(path: str) -> GeoMeta | None:
 
     After a distributed write with ``per_file_bbox`` each footer carries
     only its own file's bbox, so for multi-file datasets the per-file
-    bboxes are UNIONED (O(files) footer-only reads); if any file lacks a
-    bbox the dataset bbox is cleared rather than understated."""
+    bboxes are UNIONED — footer-only reads, fanned out on a thread pool
+    (metadata reads are I/O-bound).  Past ``max_union_files`` the bbox is
+    CLEARED instead of swept: at a 100 TB dataset's file count a driver
+    sweep is minutes of startup latency, and an absent bbox is honest
+    where an understated one (first file only) would be wrong."""
     if os.path.isfile(path):
         return GeoMeta.from_footer(pq.read_schema(path).metadata)
     files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
@@ -52,11 +55,23 @@ def read_footer_geo(path: str) -> GeoMeta | None:
     geo = GeoMeta.from_footer(pq.read_schema(files[0]).metadata)
     if geo is None or len(files) == 1 or geo.primary is None:
         return geo
-    union = geo.primary.bbox
-    for f in files[1:]:
+    max_union_files = 1024
+    if geo.primary.bbox is None:
+        return geo
+    if len(files) > max_union_files:
+        geo.primary.bbox = None
+        return geo
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bbox(f: str):
         g = GeoMeta.from_footer(pq.read_schema(f).metadata)
-        b = g.primary.bbox if g is not None and g.primary is not None else None
-        if union is None or b is None:
+        return g.primary.bbox if g is not None and g.primary is not None else None
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files) - 1)) as ex:
+        boxes = list(ex.map(_bbox, files[1:]))
+    union = geo.primary.bbox
+    for b in boxes:
+        if b is None:
             union = None
             break
         union = [min(union[0], b[0]), min(union[1], b[1]),
