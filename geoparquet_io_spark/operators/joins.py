@@ -61,8 +61,10 @@ def spatial_join(
     if right_geometry is None:
         raise ValueError("spatial_join needs a right geometry column")
 
-    # cheap count-only pass decides the strategy before anything is collected
-    if right.count() > broadcast_threshold:
+    # bounded probe decides the strategy: LIMIT threshold+1 stops the scan
+    # as soon as the answer is known (a full count() would pay a whole
+    # extra pass over a huge right side just to learn "it's big")
+    if right.limit(broadcast_threshold + 1).count() > broadcast_threshold:
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size,
