@@ -585,3 +585,31 @@ def q_split_assignment(spark, sf_dir):
     out = split_by_hash(d, "doc_id",
                         {"train": 0.01, "valid": 0.98, "test": 0.01})
     return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH markers AS (
+      SELECT user_id, ts, MAX(event_id) AS marker_id
+      FROM events WHERE event_id % 5 = 0
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, r.marker_id AS asof_marker_id
+    FROM events l ASOF LEFT JOIN markers r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join vs DuckDB's NATIVE ASOF LEFT JOIN — independent-engine
+    semantics check, not a mirrored formula (operators/asof.py)."""
+    from geoparquet_io_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    markers = (ev.filter(F.col("event_id") % 5 == 0)
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("marker_id")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), markers,
+                    key="user_id", left_ts="ts", right_ts="ts",
+                    right_columns=["marker_id"])
+    return out.select("event_id", "user_id", "asof_marker_id")

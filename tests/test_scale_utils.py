@@ -329,3 +329,33 @@ def test_hash_sampling_deterministic_and_map_only(spark):
     mixed = mixture_sample(d, "doc_id", "source", {"src1": 1.0}, salt="m")
     srcs = {r["source"] for r in mixed.select("source").distinct().collect()}
     assert srcs == {"src1"}  # default fraction 0 drops the rest
+
+
+def test_asof_join_semantics_and_plan(spark):
+    from geoparquet_io_spark.operators.asof import asof_join
+    from geoparquet_io_spark.plans import plan_summary
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 60, 600)],
+        "k long, t long, px long")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    right_columns=["px"])
+    got = {(r["k"], r["t"]): r["asof_px"] for r in out.collect()}
+    assert got == {
+        (1, 10): 100,   # inclusive: right at equal ts matches
+        (1, 20): 150,   # latest at-or-before
+        (1, 5): None,   # nothing at or before
+        (2, 50): None,  # right exists but only later
+    }
+    assert out.count() == left.count()  # LEFT semantics
+    s = plan_summary(out)
+    assert s["python_evals"] == 0
+    # ONE shuffle total: Union feeds a single Exchange on the key into the
+    # window (the executedPlan string is exact; plan_summary's formatted
+    # view double-counts under AQE)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    final = phys.split("== Initial Plan ==")[0]  # AQE prints both phases
+    assert final.count("Exchange") == 1, final
