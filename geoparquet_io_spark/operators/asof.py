@@ -67,3 +67,87 @@ def asof_join(
         *[F.col("__match").getField(c).alias(f"{prefix}{c}") for c in rcols],
     )
     return out
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_columns: list[str] | None = None,
+    prefix: str = "asof_",
+    max_broadcast_rows: int = 5_000_000,
+) -> DataFrame:
+    """Map-only as-of join for a SMALL right side (e.g. a marker/dimension
+    table): the right table is collected, sorted per key, and shipped in
+    a ``mapInPandas`` closure; each batch binary-searches
+    (``np.searchsorted``) its timestamps — the big left side never
+    shuffles, unlike the union-window encoding which shuffles
+    left+right on the key.  Same inclusive ``right_ts <= left_ts``
+    semantics (equivalence-tested against :func:`asof_join`)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rcols = right_columns or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    r_local = right.select(key, right_ts, *rcols).limit(
+        max_broadcast_rows + 1).collect()
+    if len(r_local) > max_broadcast_rows:
+        raise ValueError(
+            f"right side exceeds {max_broadcast_rows} rows — use the "
+            "shuffle-based asof_join")
+    import datetime as _dt
+
+    def _ts_key(t):
+        """Comparable int64: nanoseconds for datetimes, value otherwise."""
+        if isinstance(t, _dt.datetime):
+            return int(pd.Timestamp(t).value)
+        return int(t)
+
+    by_key: dict = {}
+    for row in r_local:
+        by_key.setdefault(row[key], []).append(
+            (_ts_key(row[right_ts]), tuple(row[c] for c in rcols)))
+    lookup = {
+        k: (np.array([t for t, _ in sorted(v)], dtype="int64"),
+            [p for _, p in sorted(v)])
+        for k, v in by_key.items()
+    }
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"{prefix}{c}", right.schema[c].dataType, True)
+           for c in rcols]
+    )
+    key_idx = left.columns.index(key)
+    ts_idx = left.columns.index(left_ts)
+
+    def join_batches(batches):
+        for pdf in batches:
+            keys = pdf.iloc[:, key_idx].to_numpy()
+            ts_series = pdf.iloc[:, ts_idx]
+            if pd.api.types.is_datetime64_any_dtype(ts_series):
+                tss = ts_series.to_numpy("datetime64[ns]").view("int64")
+            else:
+                tss = ts_series.to_numpy()
+            matches = []
+            for kv, tv in zip(keys, tss):
+                ent = lookup.get(kv)
+                if ent is None:
+                    matches.append(None)
+                    continue
+                ts_arr, payloads = ent
+                # rightmost position with ts <= tv (inclusive)
+                i = int(np.searchsorted(ts_arr, tv, side="right")) - 1
+                matches.append(payloads[i] if i >= 0 else None)
+            out = pdf.copy()
+            for j, c in enumerate(rcols):
+                out[f"{prefix}{c}"] = pd.Series(
+                    [None if m is None else m[j] for m in matches],
+                    dtype="object")
+            yield out
+
+    return left.mapInPandas(join_batches, schema=out_schema)

@@ -216,3 +216,38 @@ def check_spatial_order(
         "ratio": ratio,
         "ordered": ratio < threshold,
     }
+
+
+def column_quantiles(df: DataFrame, column: str,
+                     probabilities=(0.25, 0.5, 0.75),
+                     exact: bool = True) -> DataFrame:
+    """Quantiles of a numeric column.  ``exact=True`` uses SQL
+    ``percentile`` (sort-based, linear interpolation — matches DuckDB
+    quantile_cont for oracle parity); ``exact=False`` uses
+    ``percentile_approx`` (single-pass sketch — the 100 TB default, no
+    full sort).  One aggregate either way."""
+    fn = "percentile" if exact else "percentile_approx"
+    probs = ", ".join(repr(float(p)) for p in probabilities)
+    row = df.selectExpr(f"{fn}({column}, array({probs})) AS q")
+    return row.select(*[
+        F.round(F.col("q")[i], 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probabilities)
+    ])
+
+
+def top_k_per_group(df: DataFrame, group_column: str, order_column: str,
+                    k: int, descending: bool = True,
+                    rank_column: str = "rank",
+                    tiebreak_column: str | None = None) -> DataFrame:
+    """Top-k rows per group (e.g. k best-quality documents per source):
+    partitioned window — per-group state only, shuffles once on the group
+    key, never a global sort.  ``tiebreak_column`` makes ranking
+    deterministic when order values collide (required for oracle parity
+    and reproducible curation)."""
+    order = [F.col(order_column).desc() if descending
+             else F.col(order_column).asc()]
+    if tiebreak_column:
+        order.append(F.col(tiebreak_column).asc())
+    w = Window.partitionBy(group_column).orderBy(*order)
+    return (df.withColumn(rank_column, F.row_number().over(w))
+            .filter(F.col(rank_column) <= k))

@@ -613,3 +613,48 @@ def q_asof_join(spark, sf_dir):
                     key="user_id", left_ts="ts", right_ts="ts",
                     right_columns=["marker_id"])
     return out.select("event_id", "user_id", "asof_marker_id")
+
+
+@register(
+    "stats_quantiles_orders",
+    """
+    SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact quantiles (SQL percentile == DuckDB quantile_cont, linear
+    interpolation); approx sketch variant is the documented scale path
+    (operators/stats.py:column_quantiles)."""
+    from geoparquet_io_spark.operators.stats import column_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    return column_quantiles(o, "o_totalprice", (0.25, 0.5, 0.75, 0.99))
+
+
+@register(
+    "curate_top_docs_per_source",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, len(text) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY len(text) DESC, doc_id) AS rank
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_top_docs(spark, sf_dir):
+    """Per-group top-k curation (k best docs per source) — partitioned
+    window, one shuffle on the group key (operators/stats.py)."""
+    from geoparquet_io_spark.operators.stats import top_k_per_group
+
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", F.length("text").alias("n_chars"))
+    out = top_k_per_group(d, "source", "n_chars", k=3,
+                          tiebreak_column="doc_id")
+    return out.select("source", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))

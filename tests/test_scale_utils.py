@@ -359,3 +359,26 @@ def test_asof_join_semantics_and_plan(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     final = phys.split("== Initial Plan ==")[0]  # AQE prints both phases
     assert final.count("Exchange") == 1, final
+
+
+def test_asof_broadcast_equals_shuffle(spark):
+    """Map-only broadcast as-of == union-window as-of on real events."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.asof import asof_join, asof_join_broadcast
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    markers = (ev.filter(F.col("event_id") % 5 == 0)
+               .groupBy("user_id", "ts").agg(F.max("event_id").alias("mid")))
+    la = ev.select("event_id", "user_id", "ts")
+    a = {(r["event_id"], r["asof_mid"]) for r in
+         asof_join(la, markers, key="user_id", right_columns=["mid"]).collect()}
+    b = {(r["event_id"], r["asof_mid"]) for r in
+         asof_join_broadcast(la, markers, key="user_id",
+                             right_columns=["mid"]).collect()}
+    assert a == b and len(a) == ev.count()
+    # broadcast path: left side must not shuffle
+    out = asof_join_broadcast(la, markers, key="user_id", right_columns=["mid"])
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys.split("== Initial Plan ==")[0], phys
