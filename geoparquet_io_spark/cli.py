@@ -218,6 +218,52 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+
+
+def cmd_validate(args) -> int:
+    """Full spec validation (reference: gpio check spec)."""
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    spark = _spark()
+    errs = validate(spark, args.input)
+    print(json.dumps({"valid": not errs, "errors": errs}))
+    return 1 if errs else 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic hash sampling / split assignment."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.operators.sampling import sample_by_hash, split_by_hash
+
+    spark = _spark()
+    gt = _read(spark, args.input)
+    if args.splits:
+        weights = {}
+        for part in args.splits.split(","):
+            name, w = part.split("=")
+            weights[name] = float(w)
+        df = split_by_hash(gt.df, args.key, weights)
+    else:
+        df = sample_by_hash(gt.df, args.key, args.fraction)
+    _write(GeoTable(df, gt.geo), args.output, args)
+    return 0
+
+
+def cmd_asof_join(args) -> int:
+    """As-of join input with a right-side table on key + timestamp."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.operators.asof import asof_join, asof_join_broadcast
+
+    spark = _spark()
+    gt = _read(spark, args.input)
+    rt = _read(spark, args.right)
+    fn = asof_join_broadcast if args.broadcast else asof_join
+    df = fn(gt.df, rt.df, key=args.key, left_ts=args.left_ts,
+            right_ts=args.right_ts)
+    _write(GeoTable(df, gt.geo), args.output, args)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gpio-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -310,6 +356,29 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--item-id", dest="item_id")
     ps.add_argument("--asset-href", dest="asset_href")
     ps.set_defaults(fn=cmd_publish_stac)
+
+    v = sub.add_parser("validate")
+    v.add_argument("input")
+    v.set_defaults(fn=cmd_validate)
+
+    sm = sub.add_parser("sample")
+    sm.add_argument("input")
+    sm.add_argument("output")
+    sm.add_argument("--key", required=True)
+    sm.add_argument("--fraction", type=float, default=0.1)
+    sm.add_argument("--splits", default=None,
+                    help="name=weight,... for split assignment")
+    sm.set_defaults(fn=cmd_sample)
+
+    aj = sub.add_parser("asof-join")
+    aj.add_argument("input")
+    aj.add_argument("right")
+    aj.add_argument("output")
+    aj.add_argument("--key", required=True)
+    aj.add_argument("--left-ts", default="ts")
+    aj.add_argument("--right-ts", default="ts")
+    aj.add_argument("--broadcast", action="store_true")
+    aj.set_defaults(fn=cmd_asof_join)
 
     b = sub.add_parser("benchmark")
     b.set_defaults(fn=cmd_benchmark)

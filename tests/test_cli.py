@@ -112,3 +112,40 @@ def test_admin_cli_and_publish_stac(src, tmp_path, spark, capsys):
     assert _run(["publish-stac", out, stac_out]) == 0
     got = json.loads(capsys.readouterr().out)
     assert "bbox" in got
+
+
+def test_cli_validate_sample_asof(spark, tmp_path):
+    from geoparquet_io_spark.cli import main
+    from geoparquet_io_spark.queries import _events_points
+
+    from pyspark.sql import functions as F
+
+    gt = _events_points(spark, SF_SMOKE)
+    src = str(tmp_path / "in.parquet")
+    gt.write(src)
+
+    assert main(["validate", src]) == 0
+
+    out = str(tmp_path / "sampled")
+    assert main(["sample", src, out, "--key", "event_id",
+                 "--fraction", "0.3"]) == 0
+    n = spark.read.parquet(out).count()
+    assert 0 < n < gt.count()
+
+    out2 = str(tmp_path / "split")
+    assert main(["sample", src, out2, "--key", "event_id",
+                 "--splits", "train=0.8,valid=0.2"]) == 0
+    back = spark.read.parquet(out2)
+    assert set(r["split"] for r in back.select("split").distinct().collect()) \
+        == {"train", "valid"}
+
+    right = str(tmp_path / "right.parquet")
+    markers = gt.df.filter("event_id % 5 = 0") \
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("mid"))
+    from geoparquet_io_spark.geotable import GeoTable
+    GeoTable(markers, None).write(right)
+    out3 = str(tmp_path / "joined")
+    assert main(["asof-join", src, right, out3, "--key", "user_id",
+                 "--broadcast"]) == 0
+    j = spark.read.parquet(out3)
+    assert j.count() == gt.count() and "asof_mid" in j.columns

@@ -94,3 +94,57 @@ def test_null_geometry_rows(spark):
     ).collect()}
     assert rows[1]["gx"] == 1.0 and rows[1]["t"] == "POINT"
     assert rows[2]["gx"] is None and rows[2]["t"] is None
+
+
+def test_new_operators_empty_inputs(spark):
+    """Empty edges/right-sides/frames must flow through the round-2
+    operators without errors or phantom rows."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.asof import asof_join, asof_join_broadcast
+    from geoparquet_io_spark.operators.dedup import (
+        connected_components, dedup_transitive,
+    )
+    from geoparquet_io_spark.operators.sampling import sample_by_hash, split_by_hash
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+    df = spark.createDataFrame([(1,), (2,)], "doc long")
+    assert dedup_transitive(df, empty_pairs, "doc").count() == 2
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string")
+    empty_right = spark.createDataFrame([], "k long, t long, px long")
+    for fn in (asof_join, asof_join_broadcast):
+        out = fn(left, empty_right, key="k", left_ts="t", right_ts="t",
+                 right_columns=["px"]).collect()
+        assert len(out) == 1 and out[0]["asof_px"] is None
+
+    empty = spark.createDataFrame([], "doc_id long")
+    assert sample_by_hash(empty, "doc_id", 0.5).count() == 0
+    assert split_by_hash(empty, "doc_id", {"a": 0.5, "b": 0.5}).count() == 0
+
+
+def test_sampling_null_keys_not_dropped(spark):
+    """NULL keys hash the sentinel: never silently dropped at fraction
+    1.0, and they land in exactly one deterministic split."""
+    from geoparquet_io_spark.operators.sampling import sample_by_hash, split_by_hash
+
+    df = spark.createDataFrame([(1,), (None,), (None,)], "doc_id long")
+    assert sample_by_hash(df, "doc_id", 1.0).count() == 3
+    rows = split_by_hash(df, "doc_id",
+                         {"a": 0.5, "b": 0.5}).collect()
+    null_splits = {r["split"] for r in rows if r["doc_id"] is None}
+    assert len(null_splits) == 1  # all nulls share one deterministic split
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.dedup import connected_components
+
+    # path graph diameter 8 with pointer jumping converges in ~3 rounds;
+    # max_iterations=1 cannot, and must raise rather than return wrong labels
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
