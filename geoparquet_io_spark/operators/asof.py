@@ -151,3 +151,74 @@ def asof_join_broadcast(
             yield out
 
     return left.mapInPandas(join_batches, schema=out_schema)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_column: str,
+    lo_column: str,
+    hi_column: str,
+    interval_columns: list[str] | None = None,
+    bucket_size: float | None = None,
+    how: str = "inner",
+    point_id: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (``lo <= value < hi``) for two LARGE sides —
+    the 1-D analogue of the PBSM grid spatial join: each interval
+    replicates to every bucket it overlaps, points hash to one bucket,
+    and the join is a plain equi-join on the bucket id (one shuffle per
+    side, co-partitioned; Spark's naive plan for a range theta-join is a
+    nested-loop cross product).  ``bucket_size`` defaults to the average
+    interval width (sampled) — buckets much smaller than intervals
+    replicate too much, much larger ones lose pruning.
+
+    ``how='left'`` needs ``point_id`` (unique) to restore unmatched
+    points via an anti-join, mirroring grid_spatial_join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if how == "left" and not point_id:
+        raise ValueError("left range join needs point_id")
+    icols = interval_columns or [
+        c for c in intervals.columns if c not in (lo_column, hi_column)
+    ]
+    if bucket_size is None:
+        row = intervals.select(
+            F.avg(F.col(hi_column) - F.col(lo_column)).alias("w")).collect()[0]
+        bucket_size = float(row["w"]) if row["w"] else 1.0
+    b = float(bucket_size)
+    iv = intervals.select(
+        F.col(lo_column).alias("__lo"),
+        F.col(hi_column).alias("__hi"),
+        *[F.col(c).alias(f"__r_{c}") for c in icols],
+    )
+    # empty intervals (hi <= lo) can never match; drop before replication
+    iv = iv.filter(F.col("__hi") > F.col("__lo"))
+    hi_bucket = F.floor(F.col("__hi") / b).cast("long")
+    # hi is exclusive: an exactly boundary-aligned hi never reaches its
+    # own bucket (explicit case, not an epsilon hack)
+    hi_bucket = F.when(F.col("__hi") % F.lit(b) == 0, hi_bucket - 1) \
+        .otherwise(hi_bucket)
+    lo_bucket = F.floor(F.col("__lo") / b).cast("long")
+    iv = iv.withColumn(
+        "__bucket",
+        F.explode(F.sequence(lo_bucket, F.greatest(hi_bucket, lo_bucket))),
+    )
+    pt = points.withColumn("__bucket",
+                           F.floor(F.col(value_column) / b).cast("long"))
+    joined = (
+        pt.join(iv, "__bucket")
+        .filter((F.col(value_column) >= F.col("__lo"))
+                & (F.col(value_column) < F.col("__hi")))
+    )
+    matched = joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in icols],
+    )
+    if how == "inner":
+        return matched
+    missing = points.join(matched.select(point_id), point_id, "left_anti")
+    for c in icols:
+        missing = missing.withColumn(c, F.lit(None))
+    return matched.unionByName(missing)

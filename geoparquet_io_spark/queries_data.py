@@ -658,3 +658,37 @@ def q_top_docs(spark, sf_dir):
     out = top_k_per_group(d, "source", "n_chars", k=3,
                           tiebreak_column="doc_id")
     return out.select("source", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT 'band_' || CAST(b AS VARCHAR) AS band,
+             b * 50000.0 AS lo, (b + 1) * 50000.0 AS hi
+      FROM (SELECT unnest(range(0, 12)) AS b)
+    )
+    SELECT b.band, COUNT(*) AS n, CAST(MIN(o.o_orderkey) AS BIGINT) AS min_key
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join (the 1-D PBSM shape): equi-join on
+    bucket ids, never a nested-loop range cross product
+    (operators/asof.py:range_join; plan-asserted in tests)."""
+    from geoparquet_io_spark.operators.asof import range_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 12).select(
+        F.concat(F.lit("band_"), F.col("id").cast("string")).alias("band"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    out = range_join(o, bands, "o_totalprice", "lo", "hi",
+                     interval_columns=["band"], bucket_size=50000.0)
+    return out.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+    )

@@ -382,3 +382,31 @@ def test_asof_broadcast_equals_shuffle(spark):
     out = asof_join_broadcast(la, markers, key="user_id", right_columns=["mid"])
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys.split("== Initial Plan ==")[0], phys
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Bucketed point-in-interval join: inclusive lo / exclusive hi,
+    LEFT restore, overlapping intervals, equi-join plan (no nested loop)."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.asof import range_join
+    from geoparquet_io_spark.plans import formatted_plan
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 25.0), (4, 99.0)], "pid long, v double")
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 30.0), ("ov", 5.0, 26.0)],
+        "tag string, lo double, hi double")
+    got = {(r["pid"], r["tag"]) for r in
+           range_join(pts, iv, "v", "lo", "hi", bucket_size=10.0).collect()}
+    assert got == {(1, "a"),          # lo inclusive
+                   (2, "b"),          # hi exclusive for 'a', lo inclusive 'b'
+                   (2, "ov"),
+                   (3, "b"), (3, "ov")}
+    left = range_join(pts, iv, "v", "lo", "hi", bucket_size=10.0,
+                      how="left", point_id="pid")
+    assert left.count() == 5 + 1  # 5 matches + unmatched pid=4 with NULL tag
+    assert left.filter(F.col("pid") == 4).collect()[0]["tag"] is None
+    plan = formatted_plan(range_join(pts, iv, "v", "lo", "hi", bucket_size=10.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
