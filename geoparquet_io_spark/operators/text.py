@@ -8,7 +8,7 @@ whole pipeline stays inside whole-stage codegen and scales linearly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language -> characteristic stopwords (tiny n-gram-free heuristic; the
@@ -107,3 +107,35 @@ def fingerprint(df: DataFrame, text_column: str = "text",
     md5(lower(collapse_whitespace(text)))."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_column))), r"\s+", " ")
     return df.withColumn(column, F.md5(norm))
+
+
+def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
+                     text_column: str = "text", k: int = 3,
+                     round_digits: int = 6) -> DataFrame:
+    """Top-k terms per document by tf-idf (smoothed idf:
+    ln(1 + N/df)) — the classic relevance/keyword-extraction primitive a
+    text-curation pipeline runs at corpus scale.
+
+    Scale shape: explode tokens -> ONE groupBy (doc, term) with map-side
+    combine -> document frequencies as a second small agg broadcast back
+    -> partitioned window for the per-doc top-k.  No python, no driver
+    loops; both aggregations are plain shuffles on well-distributed keys.
+    Deterministic tie-break on the term string for oracle parity.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc", "term",
+        F.round(F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")),
+                round_digits).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("doc").alias(id_column), "term", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

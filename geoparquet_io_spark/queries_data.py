@@ -692,3 +692,34 @@ def q_range_join(spark, sf_dir):
         F.count("*").alias("n"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({_TOKENS_SQL.format(t='lower(text)')}) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE len(term) > 0 GROUP BY doc, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE len(trim(text)) > 0),
+    scored AS (
+      SELECT doc, term,
+             ROUND(tf * ln(1.0 + (SELECT CAST(n_docs AS DOUBLE) FROM n) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc AS doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Top-3 tf-idf terms per doc (operators/text.py:tf_idf_top_terms)."""
+    from geoparquet_io_spark.operators.text import tf_idf_top_terms
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tf_idf_top_terms(d, "doc_id", "text", k=3)
