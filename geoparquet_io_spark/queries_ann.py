@@ -105,3 +105,62 @@ def q_stateful_totals(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = running_user_totals(ev)
     return out.select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+
+
+def _lsh_topk_oracle() -> str:
+    """LSH bucket top-k: same hyperplane-literal trick as the near-dup
+    oracle — candidates meet only inside a sign-bit bucket."""
+    from geoparquet_io_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_DIM, 8, seed=42)
+    lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
+    def bits(v):
+        return " || ".join(
+            f"(CASE WHEN {_dot_sql(v, l)} >= 0 THEN '1' ELSE '0' END)"
+            for l in lits)
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE)
+                              FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings),
+    d AS (SELECT vec_id AS neighbor_id, v AS dv, {bits('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, {bits('v')} AS bucket
+          FROM e WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.query_id, d.neighbor_id,
+             ROUND({_cosine_sql('q.qv', 'd.dv')}, 6) AS cosine
+      FROM d JOIN q USING (bucket)
+      WHERE d.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+@register("similarity_lsh_topk", _lsh_topk_oracle())
+def q_lsh_topk(spark, sf_dir):
+    """Bucketed approximate top-k (operators/similarity.py:lsh_topk)."""
+    from geoparquet_io_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return lsh_topk(e, q, dim=_DIM, k=_K, n_planes=8, seed=42, round_digits=6)
+
+
+@register(
+    "skew_salted_distinct",
+    """
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_distinct(spark, sf_dir):
+    """Skew-safe two-phase COUNT DISTINCT (hot keys spread over salted
+    reducers; operators/skew.py:salted_distinct_count) — oracle is the
+    plain COUNT DISTINCT it must equal."""
+    from geoparquet_io_spark.operators.skew import salted_distinct_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, "l_returnflag", "l_partkey")
