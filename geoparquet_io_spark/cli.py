@@ -240,8 +240,16 @@ def cmd_sample(args) -> int:
     if args.splits:
         weights = {}
         for part in args.splits.split(","):
-            name, w = part.split("=")
-            weights[name] = float(w)
+            name, sep, w = part.strip().partition("=")
+            if not sep or not name.strip():
+                print(json.dumps({"error": f"bad --splits entry {part!r}; "
+                                  "expected name=weight,..."}))
+                return 2
+            try:
+                weights[name.strip()] = float(w)
+            except ValueError:
+                print(json.dumps({"error": f"bad weight in {part!r}"}))
+                return 2
         df = split_by_hash(gt.df, args.key, weights)
     else:
         df = sample_by_hash(gt.df, args.key, args.fraction)

@@ -37,7 +37,13 @@ def asof_join(
         c for c in right.columns if c not in (key, right_ts)
     ]
     payload = F.struct(*[F.col(c) for c in rcols])
-    r = right.select(
+    # SQL semantics: a NULL key never equals anything and a NULL ts never
+    # satisfies <=, so such right rows can never match — drop them, or the
+    # window would group NULL keys together and sort NULL ts first (a
+    # universal earliest match)
+    r = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         payload.alias("__payload"),
@@ -102,21 +108,31 @@ def asof_join_broadcast(
             "shuffle-based asof_join")
     import datetime as _dt
 
+    ts_is_datetime = isinstance(right.schema[right_ts].dataType,
+                                (T.TimestampType, T.TimestampNTZType, T.DateType))
+
     def _ts_key(t):
-        """Comparable int64: nanoseconds for datetimes, value otherwise."""
-        if isinstance(t, _dt.datetime):
+        """Comparable scalar: int64 nanoseconds for datetimes/dates (their
+        range exceeds float53), float otherwise (matches the float-domain
+        comparison the left side uses for numeric ts)."""
+        if isinstance(t, (_dt.datetime, _dt.date)):
             return int(pd.Timestamp(t).value)
-        return int(t)
+        return float(t)
 
     by_key: dict = {}
     for row in r_local:
+        if row[key] is None or row[right_ts] is None:
+            continue  # NULL key/ts can never match (SQL semantics)
         by_key.setdefault(row[key], []).append(
             (_ts_key(row[right_ts]), tuple(row[c] for c in rcols)))
-    lookup = {
-        k: (np.array([t for t, _ in sorted(v)], dtype="int64"),
-            [p for _, p in sorted(v)])
-        for k, v in by_key.items()
-    }
+    ts_dtype = "int64" if ts_is_datetime else "float64"
+    lookup = {}
+    for k, v in by_key.items():
+        # sort on ts only: payload tuples may hold Nones, which are not
+        # orderable (equal-ts duplicates keep no defined winner, as doc'd)
+        v.sort(key=lambda x: x[0])
+        lookup[k] = (np.array([t for t, _ in v], dtype=ts_dtype),
+                     [p for _, p in v])
     out_schema = T.StructType(
         list(left.schema.fields)
         + [T.StructField(f"{prefix}{c}", right.schema[c].dataType, True)
@@ -132,11 +148,11 @@ def asof_join_broadcast(
             if pd.api.types.is_datetime64_any_dtype(ts_series):
                 tss = ts_series.to_numpy("datetime64[ns]").view("int64")
             else:
-                tss = ts_series.to_numpy()
+                tss = ts_series.to_numpy(dtype="float64", na_value=np.nan)
             matches = []
             for kv, tv in zip(keys, tss):
                 ent = lookup.get(kv)
-                if ent is None:
+                if ent is None or tv != tv:  # unknown/NULL key or NaN ts
                     matches.append(None)
                     continue
                 ts_arr, payloads = ent
@@ -170,7 +186,7 @@ def range_join(
     and the join is a plain equi-join on the bucket id (one shuffle per
     side, co-partitioned; Spark's naive plan for a range theta-join is a
     nested-loop cross product).  ``bucket_size`` defaults to the average
-    interval width (sampled) — buckets much smaller than intervals
+    interval width (one small aggregate over the interval side) — buckets much smaller than intervals
     replicate too much, much larger ones lose pruning.
 
     ``how='left'`` needs ``point_id`` (unique) to restore unmatched
@@ -183,18 +199,27 @@ def range_join(
     icols = interval_columns or [
         c for c in intervals.columns if c not in (lo_column, hi_column)
     ]
-    if bucket_size is None:
-        row = intervals.select(
-            F.avg(F.col(hi_column) - F.col(lo_column)).alias("w")).collect()[0]
-        bucket_size = float(row["w"]) if row["w"] else 1.0
-    b = float(bucket_size)
+    clash = set(icols) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with point columns; "
+            "rename one side or pass interval_columns explicitly")
     iv = intervals.select(
         F.col(lo_column).alias("__lo"),
         F.col(hi_column).alias("__hi"),
         *[F.col(c).alias(f"__r_{c}") for c in icols],
     )
-    # empty intervals (hi <= lo) can never match; drop before replication
+    # empty/inverted intervals (hi <= lo) can never match; drop BEFORE the
+    # width average so malformed rows can't poison the bucket size
     iv = iv.filter(F.col("__hi") > F.col("__lo"))
+    if bucket_size is None:
+        row = iv.select(
+            F.avg(F.col("__hi") - F.col("__lo")).alias("w")).collect()[0]
+        w = row["w"]
+        bucket_size = float(w) if w is not None and w > 0 else 1.0
+    elif bucket_size <= 0:
+        raise ValueError(f"bucket_size must be positive, got {bucket_size}")
+    b = float(bucket_size)
     hi_bucket = F.floor(F.col("__hi") / b).cast("long")
     # hi is exclusive: an exactly boundary-aligned hi never reaches its
     # own bucket (explicit case, not an epsilon hack)

@@ -44,6 +44,7 @@ def spatial_join(
     prune_right_by_extent: bool = True,
     broadcast_threshold: int = MAX_BROADCAST_ROWS,
     grid_cell_size: float = 1.0,
+    left_id: str | None = None,
 ) -> DataFrame:
     """bbox-prefiltered exact-intersects join.
 
@@ -55,6 +56,10 @@ def spatial_join(
     lon/lat data) — set it to a sensible cell size (e.g. 10_000 for
     meter-based projected CRS) when the routed path can trigger, or each
     geometry replicates to every tiny cell its envelope overlaps.
+    ``left_id``: a naturally-unique left column; when provided, the
+    routed LEFT join uses it directly instead of synthesizing ids (which
+    requires materializing the left side once via localCheckpoint —
+    avoid that at 100 TB by passing your key).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -67,7 +72,7 @@ def spatial_join(
     if right.limit(broadcast_threshold + 1).count() > broadcast_threshold:
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
-            right_columns, how, grid_cell_size,
+            right_columns, how, grid_cell_size, left_id,
         )
 
     r_local = right.select(right_geometry, *right_columns).collect()
@@ -182,6 +187,7 @@ def _route_to_grid_join(
     right_columns: list[str],
     how: str,
     cell_size: float,
+    left_id: str | None = None,
 ) -> DataFrame:
     """Big right side: same join via grid partitioning.
 
@@ -196,6 +202,13 @@ def _route_to_grid_join(
         return grid_spatial_join(
             left, left_geometry, right, right_geometry, right_columns,
             how="inner", left_bbox=left_bbox, cell_size=cell_size,
+        )
+    if left_id is not None:
+        # natural unique key: no synthesized ids, no materialization
+        return grid_spatial_join(
+            left, left_geometry, right, right_geometry, right_columns,
+            how="left", left_id=left_id, left_bbox=left_bbox,
+            cell_size=cell_size,
         )
     tagged = left.withColumn(
         "__sj_id", F.monotonically_increasing_id()

@@ -220,19 +220,25 @@ def check_spatial_order(
 
 def column_quantiles(df: DataFrame, column: str,
                      probabilities=(0.25, 0.5, 0.75),
-                     exact: bool = True) -> DataFrame:
+                     exact: bool = True,
+                     round_digits: int | None = None) -> DataFrame:
     """Quantiles of a numeric column.  ``exact=True`` uses SQL
     ``percentile`` (sort-based, linear interpolation — matches DuckDB
-    quantile_cont for oracle parity); ``exact=False`` uses
-    ``percentile_approx`` (single-pass sketch — the 100 TB default, no
-    full sort).  One aggregate either way."""
+    quantile_cont); ``exact=False`` uses ``percentile_approx``
+    (single-pass sketch — the 100 TB default, no full sort).  One
+    aggregate either way.  ``round_digits`` is for callers that need
+    cross-engine comparable output (the oracle query passes 6); library
+    callers get full precision by default."""
     fn = "percentile" if exact else "percentile_approx"
     probs = ", ".join(repr(float(p)) for p in probabilities)
     row = df.selectExpr(f"{fn}({column}, array({probs})) AS q")
-    return row.select(*[
-        F.round(F.col("q")[i], 6).alias(f"p{int(p * 100)}")
-        for i, p in enumerate(probabilities)
-    ])
+    cols = []
+    for i, p in enumerate(probabilities):
+        c = F.col("q")[i]
+        if round_digits is not None:
+            c = F.round(c, round_digits)
+        cols.append(c.alias(f"p{int(p * 100)}"))
+    return row.select(*cols)
 
 
 def top_k_per_group(df: DataFrame, group_column: str, order_column: str,

@@ -632,7 +632,8 @@ def q_quantiles(spark, sf_dir):
     from geoparquet_io_spark.operators.stats import column_quantiles
 
     o = load_table(spark, sf_dir, "orders")
-    return column_quantiles(o, "o_totalprice", (0.25, 0.5, 0.75, 0.99))
+    return column_quantiles(o, "o_totalprice", (0.25, 0.5, 0.75, 0.99),
+                            round_digits=6)
 
 
 @register(

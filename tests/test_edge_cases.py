@@ -148,3 +148,56 @@ def test_connected_components_nonconvergence_raises(spark):
                                   "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_asof_null_keys_and_ts_sql_semantics(spark):
+    """NULL keys/timestamps follow SQL semantics in BOTH asof variants:
+    null-key rows never match each other; null-ts right rows never win;
+    null-ts left rows get NULL payload but survive (LEFT)."""
+    from geoparquet_io_spark.operators.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (None, 10, "b"), (1, None, "c")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 50), (None, 1, 99), (1, None, 77)],
+        "k long, t long, px long")
+    for fn in (asof_join, asof_join_broadcast):
+        rows = {r["tag"]: r["asof_px"] for r in
+                fn(left, right, key="k", left_ts="t", right_ts="t",
+                   right_columns=["px"]).collect()}
+        assert rows == {"a": 50, "b": None, "c": None}, (fn.__name__, rows)
+
+
+def test_asof_broadcast_float_ts_and_none_payload(spark):
+    """Float timestamps compare in float domain (no int truncation), and
+    equal-ts duplicates with None payloads must not crash the sort."""
+    from geoparquet_io_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame([(1, 10.5)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 10.7, 7), (1, 9.5, 9), (1, 9.5, None)],
+        "k long, t double, px long")
+    out = asof_join_broadcast(left, right, key="k", left_ts="t",
+                              right_ts="t", right_columns=["px"]).collect()
+    # 10.7 > 10.5 must NOT match; 9.5 does (either duplicate may win)
+    assert out[0]["asof_px"] in (9, None) and len(out) == 1
+
+
+def test_range_join_guards(spark):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    iv_clash = spark.createDataFrame([(0.0, 10.0, "x")],
+                                     "lo double, hi double, v string")
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(pts, iv_clash, "v", "lo", "hi")
+    with _pytest.raises(ValueError, match="positive"):
+        range_join(pts, iv_clash.withColumnRenamed("v", "tag"),
+                   "v", "lo", "hi", bucket_size=-1.0)
+    # all-inverted intervals: defaulted bucket size must not go negative
+    iv_bad = spark.createDataFrame([("a", 10.0, 0.0)],
+                                   "tag string, lo double, hi double")
+    assert range_join(pts, iv_bad, "v", "lo", "hi").count() == 0
