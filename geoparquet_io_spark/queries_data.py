@@ -319,7 +319,35 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@register("multimodal_image_features", None)  # decode is stubbed: rows-only check
+def _image_features_oracle() -> str:
+    """The deterministic fake decoder is pure byte arithmetic over the
+    payload (here: utf-8 of the first 64 chars, ASCII in this corpus), so
+    its (width, height, mean_luma) are exactly SQL-expressible: cycled-
+    byte mean = (full_cycles * sum + prefix_sum(remainder)) / n."""
+    return """
+    WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents),
+    dims AS (
+      SELECT doc_id, t, length(t) AS L,
+             8 + length(t) % 8 AS h,
+             8 + ascii(substr(t, 1, 1)) % 8 AS w
+      FROM d),
+    sums AS (
+      SELECT doc_id, L, h, w, h * w * 3 AS n,
+             list_reduce([ascii(substr(t, i, 1)) FOR i IN range(1, L + 1)],
+                         (a, b) -> a + b) AS s_all,
+             CASE WHEN (h * w * 3) % L = 0 THEN 0
+                  ELSE list_reduce(
+                    [ascii(substr(t, i, 1))
+                     FOR i IN range(1, (h * w * 3) % L + 1)],
+                    (a, b) -> a + b) END AS s_rem
+      FROM dims)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(((n // L) * s_all + s_rem) / CAST(n AS DOUBLE), 4) AS mean_luma
+    FROM sums
+    """
+
+
+@register("multimodal_image_features", _image_features_oracle())
 def q_multimodal_features(spark, sf_dir):
     from geoparquet_io_spark.operators.multimodal import extract_image_features
 
