@@ -109,6 +109,119 @@ def fingerprint(df: DataFrame, text_column: str = "text",
     return df.withColumn(column, F.md5(norm))
 
 
+def repetition_features(df: DataFrame, id_column: str = "doc_id",
+                        text_column: str = "text",
+                        round_digits: int = 6) -> DataFrame:
+    """Gopher-style repetition signals per document (public heuristics:
+    Rae et al. 2021 "Scaling Language Models", repetition filters):
+
+    - ``distinct_ratio``  — type/token ratio (low => degenerate text)
+    - ``top_token_frac``  — share of the single most frequent token
+    - ``top_bigram_frac`` — share of the most frequent word bigram
+
+    Scale shape: two explodes (tokens, bigrams) each feeding a
+    ``groupBy`` with map-side partial aggregation, re-aggregated per
+    document, then a co-partitioned equi-join on the document id.  All
+    expressions are native (codegen); no python, no window over the
+    whole corpus.  Documents with fewer than 2 tokens are excluded
+    (bigram metrics undefined).
+    """
+    doc = F.col(id_column).alias("doc")
+    toks = (
+        df.select(doc, tokens(F.lower(F.col(text_column))).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    tc = (
+        toks.select("doc", F.explode("t").alias("term"))
+        .groupBy("doc", "term").agg(F.count("*").alias("c"))
+    )
+    ta = tc.groupBy("doc").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(F.element_at(F.col("t"), i), F.lit(" "),
+                           F.element_at(F.col("t"), i + 1)),
+    )
+    bc = (
+        toks.select("doc", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc", "bigram").agg(F.count("*").alias("c"))
+    )
+    ba = bc.groupBy("doc").agg(F.max("c").alias("top_bigram_cnt"))
+    r = round_digits
+    return ta.join(ba, "doc").select(
+        F.col("doc").alias(id_column),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), r).alias("distinct_ratio"),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), r).alias("top_token_frac"),
+        F.round(F.col("top_bigram_cnt") / (F.col("n_tokens") - 1), r).alias("top_bigram_frac"),
+    )
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) from a token array.
+    Caller must guarantee ``size(tokens_col) >= n`` (Spark's ``sequence``
+    would otherwise run DESCENDING and fabricate indices)."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
+    )
+
+
+def _doc_shingles(df: DataFrame, id_column: str, text_column: str,
+                  n: int) -> DataFrame:
+    """Distinct md5-hashed word n-gram shingles per document."""
+    t = tokens(F.lower(F.col(text_column)))
+    return (
+        df.select(F.col(id_column).alias("doc"), t.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc", F.explode(word_ngrams(F.col("t"), n)).alias("sh"))
+        .select("doc", F.md5("sh").alias("h"))
+        .distinct()
+    )
+
+
+def ngram_contamination(corpus_df: DataFrame, eval_df: DataFrame,
+                        id_column: str = "doc_id", text_column: str = "text",
+                        n: int = 3, round_digits: int = 6,
+                        broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark-contamination check (public practice: the GPT-3 / Gopher
+    train-test decontamination procedure): for every corpus document,
+    the count and fraction of its distinct word n-grams that also occur
+    anywhere in the eval set.
+
+    Scale shape: corpus shingles are exploded + deduped per document
+    (one shuffle with map-side combine); the eval side collapses to one
+    DISTINCT hash set — eval benchmarks are tiny relative to a 100 TB
+    corpus, so it is BROADCAST and the probe is map-side.  Final per-doc
+    aggregation is the second (and last) shuffle.  Hashing shingles to
+    md5 keeps join keys fixed-width and engine-portable.
+    """
+    cs = _doc_shingles(corpus_df, id_column, text_column, n)
+    es = _doc_shingles(eval_df, id_column, text_column, n).select("h").distinct()
+    es = es.withColumn("hit", F.lit(1))
+    if broadcast_eval:
+        es = F.broadcast(es)
+    return (
+        cs.join(es, "h", "left")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("hits"))
+        .select(
+            F.col("doc").alias(id_column),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.col("n_shingles"),
+                    round_digits).alias("contamination_rate"),
+        )
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
                      text_column: str = "text", k: int = 3,
                      round_digits: int = 6) -> DataFrame:

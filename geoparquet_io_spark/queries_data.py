@@ -118,6 +118,121 @@ def q_fingerprint_groups(spark, sf_dir):
     return duplicate_groups(d, ["fingerprint"], "doc_id")
 
 
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+      WHERE len(trim(text)) > 0
+        AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+    ),
+    tc AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+    ),
+    ta AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_cnt
+      FROM tc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks) GROUP BY 1, 2
+    ),
+    ba AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY 1)
+    SELECT ta.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+           ROUND(top_cnt / n_tokens, 6) AS top_token_frac,
+           ROUND(top_bigram_cnt / (n_tokens - 1), 6) AS top_bigram_frac
+    FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+    """,
+)
+def q_repetition(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import repetition_features
+
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_greedy",
+    """
+    WITH RECURSIVE sized AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM sized
+    ),
+    r AS (
+      SELECT lang, rn, doc_id, n_tokens, n_tokens AS acc,
+             CAST(0 AS BIGINT) AS pack_id
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.lang, n.rn, n.doc_id, n.n_tokens,
+             CASE WHEN r.acc + n.n_tokens > 256 THEN n.n_tokens
+                  ELSE r.acc + n.n_tokens END,
+             CASE WHEN r.acc + n.n_tokens > 256 THEN r.pack_id + 1
+                  ELSE r.pack_id END
+      FROM numbered n JOIN r ON n.lang = r.lang AND n.rn = r.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, pack_id FROM r
+    """,
+)
+def q_pack_greedy(spark, sf_dir):
+    from geoparquet_io_spark.operators.packing import pack_sequences
+    from geoparquet_io_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    sized = d.select("lang", "doc_id",
+                     token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(sized, "lang", "doc_id", "n_tokens", 256)
+
+
+_NGRAM3_SQL = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+
+@register(
+    "text_contamination",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    corpus AS (SELECT * FROM tok WHERE doc_id % 29 <> 0 AND len(t) >= 3),
+    ev     AS (SELECT * FROM tok WHERE doc_id % 29 = 0 AND len(t) >= 3),
+    cs AS (
+      SELECT DISTINCT doc_id, md5(sh) AS h
+      FROM (SELECT doc_id, unnest({_NGRAM3_SQL}) AS sh FROM corpus)
+    ),
+    es AS (
+      SELECT DISTINCT md5(sh) AS h
+      FROM (SELECT unnest({_NGRAM3_SQL}) AS sh FROM ev)
+    )
+    SELECT cs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(es.h) AS BIGINT) AS hits,
+           ROUND(COUNT(es.h) / COUNT(*), 6) AS contamination_rate
+    FROM cs LEFT JOIN es ON cs.h = es.h
+    GROUP BY 1
+    """,
+)
+def q_contamination(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    ev = d.filter(F.col("doc_id") % 29 == 0)
+    return ngram_contamination(corpus, ev, n=3)
+
+
 # ---------------------------------------------------------------------------
 # minhash / simhash / jaccard
 # ---------------------------------------------------------------------------

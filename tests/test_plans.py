@@ -66,6 +66,27 @@ def test_native_ops_have_no_python_eval(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     assert plan_summary(minhash_bands(d))["python_evals"] == 0
     assert plan_summary(quality_features(d))["python_evals"] == 0
+    from geoparquet_io_spark.operators.text import repetition_features
+
+    assert plan_summary(repetition_features(d))["python_evals"] == 0
+
+
+def test_contamination_probe_is_broadcast(spark):
+    """Eval-set shingles broadcast; corpus side never sort-merge joins."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.text import ngram_contamination
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = ngram_contamination(
+        d.filter(F.col("doc_id") % 29 != 0), d.filter(F.col("doc_id") % 29 == 0)
+    )
+    s = plan_summary(out)
+    assert s["broadcast_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert s["python_evals"] == 0
 
 
 def test_topk_uses_broadcast_and_partitioned_window(spark):

@@ -410,3 +410,47 @@ def test_range_join_semantics_and_plan(spark):
     plan = formatted_plan(range_join(pts, iv, "v", "lo", "hi", bucket_size=10.0))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from geoparquet_io_spark.operators.packing import pack_sequences
+    from geoparquet_io_spark.operators.text import token_count
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    sized = d.select(
+        "lang", "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    budget = 256
+    out = pack_sequences(sized, "lang", "doc_id", "n_tokens", budget)
+    rows = out.collect()
+    assert len(rows) == sized.count()
+
+    # per (lang, pack): total within budget unless the pack is a single
+    # oversized row; pack ids contiguous from 0; order preserved
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        packs = {}
+        for r in rs:
+            packs.setdefault(r["pack_id"], []).append(r)
+        assert sorted(packs) == list(range(len(packs)))
+        for pid, members in packs.items():
+            total = sum(m["n_tokens"] for m in members)
+            assert total <= budget or len(members) == 1
+        # greedy: a new pack only opens because the previous could not fit
+        seen = [r["pack_id"] for r in rs]
+        assert seen == sorted(seen)
+
+    # deterministic under repartitioning
+    out2 = pack_sequences(sized.repartition(7), "lang", "doc_id", "n_tokens", budget)
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(tuple(r) for r in out2.collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        pack_sequences(sized, "lang", "doc_id", "n_tokens", 0)
