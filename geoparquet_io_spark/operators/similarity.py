@@ -317,3 +317,123 @@ def ivf_topk_trained(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- PQ (product quantization) ----------------------------------------------
+
+def pq_codebooks(dim: int, m: int, n_codes: int, seed: int = 11) -> list[list[list[float]]]:
+    """Deterministic per-subvector codebooks (LCG — data-independent so a
+    SQL oracle can embed them as literals, same trick as ivf_centroids).
+    Production path: pq_train_codebooks."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [_hyperplanes(sub, n_codes, seed + j) for j in range(m)]
+
+
+def pq_encode(df: DataFrame, dim: int, m: int = 4, n_codes: int = 8,
+              vector_column: str = "embedding", seed: int = 11,
+              code_column: str = "pq_code",
+              codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """Compress each vector to ``m`` one-byte codes (nearest codebook
+    centroid per subvector) — 64 floats become 4-16 small ints, the 16-64x
+    memory compression that makes billion-vector ANN fit a cluster.
+    Assignment is pure native expressions (argmin over per-subvector
+    squared L2), so encoding is map-only inside codegen: at 100 TB this
+    is a single scan writing a narrow codes column."""
+    cbs = codebooks or pq_codebooks(dim, m, n_codes, seed)
+    sub = dim // m
+    v = as_double_array(F.col(vector_column))
+    codes = F.array(*[
+        _nearest_centroid(F.slice(v, j * sub + 1, sub), cbs[j]) for j in range(m)
+    ])
+    return df.withColumn(code_column, codes)
+
+
+def pq_train_codebooks(df: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
+                       vector_column: str = "embedding",
+                       sample_rows: int = 10_000, iterations: int = 5,
+                       seed: int = 11) -> list[list[list[float]]]:
+    """Per-subvector Lloyd k-means on a driver-side sample (the standard
+    PQ training procedure — Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search")."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    total = df.count()
+    s = df.select(as_double_array(F.col(vector_column)).alias("v"))
+    if total > sample_rows:
+        s = s.sample(fraction=min(1.0, sample_rows / total), seed=seed)
+    x = np.array(s.toPandas()["v"].tolist(), dtype="f8")
+    if len(x) < n_codes:
+        raise ValueError("sample smaller than n_codes")
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        idx = np.linspace(0, len(xs) - 1, n_codes).astype(int)
+        cents = xs[idx].copy()
+        for _ in range(iterations):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
+                n_codes: int = 8, k: int = 10, id_column: str = "vec_id",
+                vector_column: str = "embedding", seed: int = 11,
+                round_digits: int | None = 6,
+                codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): data
+    vectors are scanned as PQ codes; each query precomputes an m x n_codes
+    lookup table of subvector distances, and a candidate's distance is m
+    table lookups + adds instead of ``dim`` multiplies.
+
+    Scale shape: the query side (with its LUT arrays) is BROADCAST; the
+    data side streams through map-side as codes only — the exhaustive
+    scan PQ compresses never shuffles.  Compose with ivf_assign to probe
+    only nprobe lists (IVF-PQ) when even the compressed scan is too much.
+    """
+    cbs = codebooks or pq_codebooks(dim, m, n_codes, seed)
+    sub = dim // m
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    )
+    codes = F.array(*[
+        _nearest_centroid(F.slice(F.col("__dv"), j * sub + 1, sub), cbs[j])
+        for j in range(m)
+    ])
+    d = d.select("neighbor_id", codes.alias("codes"))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    lut = F.array(*[
+        F.array(*[
+            _sq_dist(F.slice(F.col("__qv"), j * sub + 1, sub), cbs[j][c])
+            for c in range(n_codes)
+        ])
+        for j in range(m)
+    ])
+    q = q.select("query_id", lut.alias("lut"))
+    adc = F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c.cast("int") + 1)),
+        F.lit(0.0), lambda a, b: a + b,
+    )
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

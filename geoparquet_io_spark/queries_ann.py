@@ -164,3 +164,103 @@ def q_salted_distinct(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return salted_distinct_count(li, "l_returnflag", "l_partkey")
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v), 6) + 0.0 AS mean_v
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column — the class-prototype
+    aggregation (mean vector per label) used for nearest-class-mean
+    classification and cluster summarization.
+
+    Scale shape: posexplode to (label, dim) pairs -> ONE groupBy with
+    map-side partial aggregation over |labels| * dim keys.  No python,
+    no window; the +0.0 normalizes IEEE signed zero for hash parity
+    (means near zero round to -0.0 on one engine, +0.0 on the other).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean_v"),
+    ).select("label", F.col("pos").cast("int").alias("pos"),
+             F.col("n").cast("long").alias("n"), "mean_v")
+
+
+_PQ_M = 4
+_PQ_CODES = 8
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _sqdist_sub_sql(vec: str, cent_lit: str, offset: int, sub: int) -> str:
+    return (
+        f"list_reduce([({vec}[{offset} + i] - {cent_lit}[i]) * "
+        f"({vec}[{offset} + i] - {cent_lit}[i]) "
+        f"FOR i IN range(1, {sub + 1})], (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    """Mirrors pq_topk_adc op-for-op: same LCG codebooks as literals,
+    first-index argmin encoding, ADC = left-assoc sum of per-subvector
+    LUT lookups (identical doubles in both engines)."""
+    from geoparquet_io_spark.operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(_DIM, _PQ_M, _PQ_CODES, seed=11)
+    dv_cols, qd_cols, code_cols = [], [], []
+    for j in range(_PQ_M):
+        off = j * _PQ_SUB
+        for c in range(_PQ_CODES):
+            lit = _centroid_sql_literal(cbs[j][c])
+            dv_cols.append(f"{_sqdist_sub_sql('v', lit, off, _PQ_SUB)} AS cd{j}_{c}")
+            qd_cols.append(f"{_sqdist_sub_sql('qv', lit, off, _PQ_SUB)} AS qd{j}_{c}")
+        dlist = ", ".join(f"cd{j}_{c}" for c in range(_PQ_CODES))
+        argmin = "CASE " + " ".join(
+            f"WHEN cd{j}_{c} = least({dlist}) THEN {c}" for c in range(_PQ_CODES)
+        ) + " END"
+        code_cols.append(f"{argmin} AS c{j}")
+    adc = " + ".join(
+        "(CASE a.c%d %s END)" % (
+            j, " ".join(f"WHEN {c} THEN q.qd{j}_{c}" for c in range(_PQ_CODES)))
+        for j in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings),
+    dv AS (SELECT vec_id, {", ".join(dv_cols)} FROM e),
+    a AS (SELECT vec_id, {", ".join(code_cols)} FROM dv),
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+    q AS (SELECT query_id, {", ".join(qd_cols)} FROM q0),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, ROUND({adc}, 6) AS adc_dist
+      FROM a CROSS JOIN q
+      WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+@register("similarity_pq_topk", _pq_oracle())
+def q_pq_topk(spark, sf_dir):
+    from geoparquet_io_spark.operators.similarity import pq_topk_adc
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return pq_topk_adc(e, q, dim=_DIM, m=_PQ_M, n_codes=_PQ_CODES, k=_K,
+                       seed=11, round_digits=6)

@@ -454,3 +454,38 @@ def test_pack_sequences_invariants(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(sized, "lang", "doc_id", "n_tokens", 0)
+
+
+def test_pq_trained_cluster_consistency_and_encode_plan(spark):
+    """PQ encoding is map-only native codegen; on clustered data every
+    ADC top-3 neighbor lands in the query's true cluster.  (Recall@3
+    against exact neighbors is NOT asserted: quantization erases
+    sub-codebook-scale differences, so exact-rank recovery is the wrong
+    invariant for PQ — cluster consistency is what ADC guarantees.)"""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.similarity import (
+        pq_encode, pq_topk_adc, pq_train_codebooks,
+    )
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    enc = pq_encode(e, dim=64, m=4, n_codes=8)
+    assert plan_summary(enc)["python_evals"] == 0
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(10, 64) * 3
+    x = np.vstack([c + rng.randn(40, 64) * 0.3 for c in centers])
+    rows = [(int(i), [float(v) for v in x[i]], int(i // 40))
+            for i in range(len(x))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster long")
+    books = pq_train_codebooks(df, dim=64, m=4, n_codes=8)
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    top = pq_topk_adc(df, q, dim=64, m=4, n_codes=8, k=3,
+                      codebooks=books).collect()
+    assert len(top) == 30  # 10 queries x 3
+    cluster_of = {r["vec_id"]: r["cluster"] for r in df.collect()}
+    for r in top:
+        assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]], r
