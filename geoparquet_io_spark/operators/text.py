@@ -222,6 +222,109 @@ def ngram_contamination(corpus_df: DataFrame, eval_df: DataFrame,
     )
 
 
+# PII patterns chosen to be portable between Java regex (Spark) and RE2
+# (DuckDB): plain character classes, \d, \b, bounded repetition only.
+# Applied in THIS order, each on the output of the previous redaction, so
+# counts and redacted text are deterministic across engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_column: str = "text",
+              output_column: str | None = None) -> DataFrame:
+    """Detect + redact PII-shaped spans (emails, IPv4 addresses, phone
+    numbers) — the standard pre-training scrub pass (public practice; see
+    e.g. the C4/Dolma cleanup pipelines).
+
+    Adds ``n_<kind>`` match counts and a fully redacted text column.
+    Scale shape: pure native ``regexp_count`` / ``regexp_replace``
+    expressions — map-only, whole-stage codegen, zero shuffles; scales
+    linearly with input bytes.  Counts are taken on the progressively
+    redacted text (email first), so an IP inside an email counts once.
+    """
+    out = output_column or f"{text_column}_redacted"
+    cur = F.col(text_column)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out))
+
+
+def unigram_logprob(df: DataFrame, id_column: str = "doc_id",
+                    text_column: str = "text",
+                    round_digits: int = 6) -> DataFrame:
+    """Corpus-unigram-LM document scoring: mean per-token log-probability
+    under the corpus's own unigram distribution — the cheap perplexity
+    proxy quality filters use (public practice: CCNet's LM filtering,
+    simplified to unigrams so it is exactly SQL-expressible).
+
+    Scale shape: one explode -> groupBy (doc, term) with map-side combine;
+    vocabulary counts re-aggregated from that (second small shuffle); a
+    shuffle equi-join back on ``term`` (vocab << corpus; AQE may broadcast
+    it); final per-doc aggregation.  Per-term log-probs are quantized to
+    integer micro-nats BEFORE summation so the per-doc sum is
+    order-independent and engine-exact (float sums are not associative;
+    integer sums are).
+    """
+    toks = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c")).collect()[0][0]
+    lp_micro = F.round(
+        F.log(F.col("c") / F.lit(float(total))) * 1e6, 0
+    ).cast("long")
+    scored = tf.join(vocab.withColumn("lp_micro", lp_micro).drop("c"), "term")
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.sum(F.col("tf") * F.col("lp_micro")).alias("micro_sum"))
+        .select(
+            F.col("doc").alias(id_column),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("micro_sum") / F.col("n_tokens") / 1e6,
+                    round_digits).alias("avg_logprob"),
+        )
+    )
+
+
+def duplicated_ngram_stats(df: DataFrame, id_column: str = "doc_id",
+                           text_column: str = "text", n: int = 3,
+                           round_digits: int = 6) -> DataFrame:
+    """Within-corpus duplicated-text signal: for each document, the
+    fraction of its distinct word n-grams that also occur in at least one
+    OTHER document (the Dolma/RefinedWeb "duplicate n-gram fraction"
+    heuristic — catches boilerplate and near-copies that exact-hash dedup
+    misses).
+
+    Scale shape: explode + per-doc-distinct shingles (one shuffle with
+    map-side combine), shingle-frequency aggregation (second shuffle on
+    the md5 key — uniformly distributed, no skew), join back, per-doc
+    aggregation.  All-integer arithmetic until the final rounding.
+    """
+    sh = _doc_shingles(df, id_column, text_column, n)
+    freq = sh.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum((F.col("nd") >= 2).cast("long")).alias("dup_shingles"))
+        .select(
+            F.col("doc").alias(id_column),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("dup_shingles").cast("long").alias("dup_shingles"),
+            F.round(F.col("dup_shingles") / F.col("n_shingles"),
+                    round_digits).alias("dup_ngram_fraction"),
+        )
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
                      text_column: str = "text", k: int = 3,
                      round_digits: int = 6) -> DataFrame:

@@ -568,3 +568,4 @@ from geoparquet_io_spark import queries_geo2  # noqa: E402,F401
 from geoparquet_io_spark import queries_ann  # noqa: E402,F401
 from geoparquet_io_spark import queries_crs  # noqa: E402,F401
 from geoparquet_io_spark import queries_tpch  # noqa: E402,F401
+from geoparquet_io_spark import queries_curate  # noqa: E402,F401

@@ -1,0 +1,314 @@
+"""Oracle-backed queries: round-2 curation + relational-surface batch.
+
+PII scrubbing, corpus unigram-LM scoring, within-corpus duplicated
+n-grams, MERGE/upsert changelog application, pivot, ROLLUP, and windowed
+event analytics.  Shares REGISTRY with queries.py (imported from there).
+
+Float-parity strategy (same as the rest of the registry): quantize any
+value that feeds a cross-row SUM to integers first (micro-nats / cents),
+so summation order cannot change the result; round only at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.queries import register
+from geoparquet_io_spark.testsupport.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII scrub — the synthetic corpus contains no PII, so both engines append
+# the SAME deterministic PII-shaped suffix derived from doc_id; the query
+# then proves regex-dialect parity on real matches, not just zeros.
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX_SQL = (
+    "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(
+                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(
+                regexp_replace(
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                  '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g') AS text_redacted
+    FROM synth
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ).alias("t"),
+    )
+    return pii_scrub(synth, text_column="t", output_column="text_redacted").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram-LM log-prob scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE len(term) > 0 GROUP BY doc, term
+    ),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT tf.doc, tf.tf,
+             CAST(ROUND(ln(vocab.c / tot.n) * 1e6) AS BIGINT) AS lp_micro
+      FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN tot
+    )
+    SELECT doc AS doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(tf * lp_micro) AS BIGINT) / CAST(SUM(tf) AS BIGINT) / 1e6, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
+# ---------------------------------------------------------------------------
+# within-corpus duplicated n-gram fraction
+# ---------------------------------------------------------------------------
+
+_NGRAM3_SQL = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+
+@register(
+    "text_dup_ngrams",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, md5(sh) AS h
+      FROM (SELECT doc_id, unnest({_NGRAM3_SQL}) AS sh
+            FROM tok WHERE len(t) >= 3)
+    ),
+    freq AS (SELECT h, COUNT(*) AS nd FROM sh GROUP BY h)
+    SELECT sh.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+           ROUND(SUM(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS dup_ngram_fraction
+    FROM sh JOIN freq ON sh.h = freq.h
+    GROUP BY sh.doc
+    """,
+)
+def q_dup_ngrams(spark, sf_dir):
+    from geoparquet_io_spark.operators.text import duplicated_ngram_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(d, n=3)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert — changelog synthesized deterministically from orders:
+#   keys % 10 == 0 -> 'U' (bump cents by 1000), % 10 == 1 -> 'D' (delete),
+#   % 10 == 2 -> 'U' under a fresh negative key (pure insert).
+# ---------------------------------------------------------------------------
+
+_ORDER_CENTS_SQL = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, {_ORDER_CENTS_SQL} AS cents FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_orderstatus, cents + 1000 AS cents, 'U' AS op
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, cents, 'D' AS op
+      FROM base WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT -o_orderkey, 'N', cents, 'U' AS op
+      FROM base WHERE o_orderkey % 10 = 2
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    updates = (base.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("cents", F.col("cents") + 1000)
+               .withColumn("op", F.lit("U")))
+    deletes = (base.filter(F.col("o_orderkey") % 10 == 1)
+               .withColumn("op", F.lit("D")))
+    inserts = (base.filter(F.col("o_orderkey") % 10 == 2)
+               .withColumn("o_orderkey", -F.col("o_orderkey"))
+               .withColumn("o_orderstatus", F.lit("N"))
+               .withColumn("op", F.lit("U")))
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_upsert(base, changes, keys="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# pivot (conditional aggregation) — cents kept integral for exact sums
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_status_by_priority",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority, o_orderstatus, {_ORDER_CENTS_SQL} AS cents FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT) AS cents_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN cents END) AS BIGINT) AS cents_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN cents END) AS BIGINT) AS cents_p,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    # one shuffle: pivot with explicit values skips the distinct-scan pass
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")))
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_cents").alias("cents_f"),
+        F.col("O_cents").alias("cents_o"),
+        F.col("P_cents").alias("cents_p"),
+        (F.coalesce(F.col("F_n"), F.lit(0)) + F.coalesce(F.col("O_n"), F.lit(0))
+         + F.coalesce(F.col("P_n"), F.lit(0))).cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — region/nation account-balance subtotals with grouping flags
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_acctbal_region_nation",
+    """
+    WITH c AS (
+      SELECT r.r_name, n.n_name,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM c GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_acctbal(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name",
+                F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.sum("cents").alias("cents"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed event analytics — lag / rolling frame / row_number per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_user_event_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS vmicro, ts
+      FROM events WHERE user_id % 50 = 7
+    )
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           LAG(vmicro) OVER w AS prev_vmicro,
+           CAST(SUM(vmicro) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling3_vmicro
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_user_events(spark, sf_dir):
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id") % 50 == 7)
+         .select("user_id", "event_id",
+                 F.round(F.col("value") * 1e6, 0).cast("long").alias("vmicro"), "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("vmicro").over(w).alias("prev_vmicro"),
+        F.sum("vmicro").over(wf).alias("rolling3_vmicro"),
+    )

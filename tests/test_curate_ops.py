@@ -1,0 +1,109 @@
+"""Unit tests for the round-2 curation batch: PII scrub, unigram LM
+scoring, duplicated n-grams, MERGE/upsert — crafted fixtures with
+hand-computed expectations, plus plan assertions for the scale shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from geoparquet_io_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e-f.org, ip 10.0.0.1, call 555-123-4567"),
+        (2, "no pii here at all"),
+        (3, "9.9.9.9 999-999-9999 z@z.io"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1, 1)
+    assert out[1]["text_redacted"] == (
+        "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    )
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["text_redacted"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_scrub_is_map_only_native(spark):
+    from geoparquet_io_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from geoparquet_io_spark.operators.text import unigram_logprob
+
+    # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, N=5
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+
+    def lp_micro(c, n=5.0):
+        return round(math.log(c / n) * 1e6)
+
+    exp1 = round((2 * lp_micro(2) + lp_micro(2)) / 3 / 1e6, 6)
+    exp2 = round((lp_micro(2) + lp_micro(1)) / 2 / 1e6, 6)
+    assert out[1]["n_tokens"] == 3 and out[1]["avg_logprob"] == pytest.approx(exp1)
+    assert out[2]["n_tokens"] == 2 and out[2]["avg_logprob"] == pytest.approx(exp2)
+
+
+def test_duplicated_ngram_stats_hand_computed(spark):
+    from geoparquet_io_spark.operators.text import duplicated_ngram_stats
+
+    # docs 1 and 2 share exactly one trigram ("x y z"); doc 3 is disjoint
+    df = spark.createDataFrame(
+        [(1, "x y z q"), (2, "p x y z"), (3, "m n o")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_stats(df, n=3).collect()}
+    assert (out[1]["n_shingles"], out[1]["dup_shingles"]) == (2, 1)
+    assert out[1]["dup_ngram_fraction"] == 0.5
+    assert (out[2]["n_shingles"], out[2]["dup_shingles"]) == (2, 1)
+    assert (out[3]["n_shingles"], out[3]["dup_shingles"]) == (1, 0)
+
+
+def test_merge_upsert_semantics(spark):
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 25, "U"),   # update
+         (3, None, 0, "D"),    # delete
+         (9, "new", 99, "U")], # insert
+        ["k", "s", "v", "op"],
+    )
+    got = sorted(tuple(r) for r in merge_upsert(base, changes, keys="k").collect())
+    assert got == [(1, "a", 10), (2, "b2", 25), (9, "new", 99)]
+
+
+def test_merge_upsert_rejects_missing_columns(spark):
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, 2)], ["k", "v"])
+    changes = spark.createDataFrame([(1, "U")], ["k", "op"])
+    with pytest.raises(ValueError, match="missing base columns"):
+        merge_upsert(base, changes, keys="k")
+
+
+def test_merge_upsert_plan_has_no_nested_loop(spark):
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, 10)], ["k", "v"])
+    changes = spark.createDataFrame([(1, 11, "U")], ["k", "v", "op"])
+    plan = merge_upsert(base, changes, keys="k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_has_no_python_eval(spark):
+    from geoparquet_io_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"])
+    plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
