@@ -372,6 +372,67 @@ def laea_inverse(x: np.ndarray, y: np.ndarray, c: _LAEAConsts):
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant B (Snyder pp. 160-162, EPSG method 9829)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _PSConsts:
+    a: float
+    e: float
+    pole: int      # +1 north, -1 south
+    mc: float      # scale function at the standard parallel
+    tc: float      # t at the standard parallel
+    lon0: float
+    fe: float
+    fn: float
+
+
+def _ps_t(phi: np.ndarray, e: float, pole: int) -> np.ndarray:
+    s = pole * np.sin(phi)
+    return (np.tan(math.pi / 4.0 - pole * phi / 2.0)
+            * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0))
+
+
+def make_polar_stereo(a: float, f: float, lat_ts: float, lon0: float,
+                      fe: float, fn: float) -> _PSConsts:
+    e = math.sqrt(f * (2 - f))
+    pole = 1 if lat_ts >= 0 else -1
+    ts = math.radians(lat_ts)
+    mc = math.cos(ts) / math.sqrt(1.0 - e * e * math.sin(ts) ** 2)
+    tc = float(_ps_t(np.array([ts]), e, pole)[0])
+    return _PSConsts(a=a, e=e, pole=pole, mc=mc, tc=tc, lon0=lon0, fe=fe, fn=fn)
+
+
+def ps_forward(lon: np.ndarray, lat: np.ndarray, c: _PSConsts):
+    t = _ps_t(np.radians(lat), c.e, c.pole)
+    rho = c.a * c.mc * t / c.tc
+    dlam = np.radians(lon - c.lon0)
+    x = c.fe + rho * np.sin(dlam)
+    y = c.fn - c.pole * rho * np.cos(dlam)
+    return x, y
+
+
+def ps_inverse(x: np.ndarray, y: np.ndarray, c: _PSConsts):
+    dx, dy = x - c.fe, y - c.fn
+    rho = np.hypot(dx, dy)
+    t = rho * c.tc / (c.a * c.mc)
+    # iterate geodetic latitude in the north frame (Snyder 7-9)
+    phi_n = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = c.e * np.sin(phi_n)
+        phi_n = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (c.e / 2.0))
+    lat = np.degrees(c.pole * phi_n)
+    dlam = np.arctan2(dx, -c.pole * dy)
+    lon = c.lon0 + np.degrees(dlam)
+    # polar charts cover all longitudes: wrap to [-180, 180)
+    lon = np.mod(lon + 180.0, 360.0) - 180.0
+    # the pole itself (rho == 0) has arbitrary longitude; pin to lon0
+    lon = np.where(rho == 0.0, c.lon0, lon)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry (parameters from the public EPSG dataset)
 # ---------------------------------------------------------------------------
 
@@ -412,6 +473,14 @@ def _proj_for_epsg(code: int):
                      fe=700000.0, fn=6600000.0)
         return (lambda lo, la: lcc_forward(lo, la, c),
                 lambda x, y: lcc_inverse(x, y, c))
+    if code == 3413:  # WGS84 / NSIDC Sea Ice Polar Stereographic North
+        c = make_polar_stereo(*WGS84, lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)
+        return (lambda lo, la: ps_forward(lo, la, c),
+                lambda x, y: ps_inverse(x, y, c))
+    if code == 3031:  # WGS84 / Antarctic Polar Stereographic
+        c = make_polar_stereo(*WGS84, lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0)
+        return (lambda lo, la: ps_forward(lo, la, c),
+                lambda x, y: ps_inverse(x, y, c))
     if code == 3035:  # ETRS89-extended / LAEA Europe
         c = make_laea(*GRS80, lat0=52.0, lon0=10.0,
                       fe=4321000.0, fn=3210000.0)

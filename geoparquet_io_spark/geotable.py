@@ -179,6 +179,13 @@ class GeoTable:
         return self._wrap(sort_hilbert(self._df, self.geometry_column,
                                        self._bbox_column, keep_key=keep_key))
 
+    def sort_zorder(self, order: int = 16, keep_key: bool = False) -> "GeoTable":
+        from geoparquet_io_spark.operators.sorts import sort_zorder
+
+        return self._wrap(sort_zorder(self._df, self.geometry_column,
+                                      self._bbox_column, order=order,
+                                      keep_key=keep_key))
+
     def sort_column(self, columns, descending=None) -> "GeoTable":
         from geoparquet_io_spark.operators.sorts import sort_column
 

@@ -79,6 +79,31 @@ def sort_quadkey(
     return out
 
 
+def sort_zorder(
+    df: DataFrame,
+    geometry_column: str | None = None,
+    bbox_column: str | None = None,
+    order: int = 16,
+    key_column: str | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Order rows along a Morton (Z-order) curve over the dataset
+    envelope — the layout key Delta/Iceberg-style Z-ORDER compaction
+    uses.  Same two-pass shape as sort_hilbert (bounds agg, then
+    range-partitioned global sort); the key itself is ~10 integer ops
+    via magic-mask bit spreading (functions/geokeys.py), all codegen."""
+    from geoparquet_io_spark.functions.geokeys import morton_key
+
+    x, y = _centroid_lonlat(df, geometry_column, bbox_column)
+    env = _bounds(df, geometry_column=geometry_column, bbox_column=bbox_column)
+    key = key_column or "__zorder"
+    out = df.withColumn(key, morton_key(x, y, env, order=order))
+    out = out.orderBy(key)
+    if not keep_key:
+        out = out.drop(key)
+    return out
+
+
 def sample_rows(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """ORDER BY random() LIMIT k equivalent (core/check_spatial_order.py:38-39)."""
     return df.orderBy(F.rand(seed)).limit(n)

@@ -199,3 +199,36 @@ def q_h3_res0(spark, sf_dir):
     gt = _events_points(spark, sf_dir)
     return (gt.df.select(_cell(F.col("lat"), F.col("lon")).alias("h3_res0"))
             .groupBy("h3_res0").agg(F.count("*").alias("n")))
+
+
+# --- Polar Stereographic North (EPSG:3413, NSIDC sea ice grid) -------------
+
+_PS = P.make_polar_stereo(*P.WGS84, lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)
+
+
+def _ps_north_sql() -> str:
+    e = _PS.e
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, lon, radians(lat) AS phi, sin(radians(lat)) AS sp FROM pts),
+    t AS (SELECT event_id, lon,
+      tan(pi() / 4.0 - phi / 2.0)
+        * pow((1.0 + {e!r} * sp) / (1.0 - {e!r} * sp), {e / 2.0!r}) AS tv
+      FROM s),
+    r AS (SELECT event_id,
+      CAST({_PS.a!r} AS DOUBLE) * {_PS.mc!r} * tv / {_PS.tc!r} AS rho,
+      radians(lon - {_PS.lon0!r}) AS dlam
+      FROM t)
+    SELECT event_id,
+      ROUND(rho * sin(dlam), 1) + 0.0 AS px,
+      ROUND(-rho * cos(dlam), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+@register("geo_reproject_ps_north", _ps_north_sql())
+def q_reproject_ps_north(spark, sf_dir):
+    """Polar Stereographic variant B (Snyder pp. 160-162; EPSG method
+    9829) — the NSIDC sea-ice grid the polar EO community exchanges.
+    Reference semantics: core/reproject.py:94-160 (arbitrary PROJ pair)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:3413")

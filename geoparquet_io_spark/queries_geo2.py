@@ -472,3 +472,47 @@ def q_correlated(spark, sf_dir):
         WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_v o2
                               WHERE o2.o_orderpriority = o.o_orderpriority)
     """)
+
+
+def _morton_oracle(order: int = 16) -> str:
+    """Morton key oracle: same envelope, same grid scaling as the Hilbert
+    oracle, then the IDENTICAL magic-mask spread steps as
+    functions/geokeys.morton_key."""
+    from geoparquet_io_spark.functions.geokeys import morton_key_sql_ctes
+
+    n = (1 << order) - 1
+    gx = (f"LEAST({n}, GREATEST(0, CAST(floor((lon - bxmin) / (bxmax - bxmin)"
+          f" * {n} + 0.5) AS BIGINT)))")
+    gy = (f"LEAST({n}, GREATEST(0, CAST(floor((lat - bymin) / (bymax - bymin)"
+          f" * {n} + 0.5) AS BIGINT)))")
+    ctes = morton_key_sql_ctes(gx, gy, "pts, b", "event_id")
+    return (
+        f"WITH pts AS ({_EVT}), "
+        "b AS (SELECT MIN(lon) AS bxmin, MIN(lat) AS bymin, MAX(lon) AS bxmax,"
+        " MAX(lat) AS bymax FROM pts), "
+        f"{ctes} SELECT event_id, mkey AS zkey FROM mfinal"
+    )
+
+
+@register("geo_zorder_key", _morton_oracle())
+def q_zorder(spark, sf_dir):
+    gt = _events_points(spark, sf_dir)
+    out = gt.sort_zorder(keep_key=True)
+    return out.df.select("event_id", F.col("__zorder").alias("zkey"))
+
+
+def _geohash_oracle(precision: int = 7) -> str:
+    from geoparquet_io_spark.functions.geokeys import geohash_sql_ctes
+
+    ctes = geohash_sql_ctes("lon", "lat", "pts", "event_id", precision)
+    return (f"WITH pts AS ({_EVT}), {ctes} "
+            "SELECT event_id, geohash FROM gh")
+
+
+@register("geo_geohash", _geohash_oracle())
+def q_geohash(spark, sf_dir):
+    from geoparquet_io_spark.functions.geokeys import geohash
+    from geoparquet_io_spark.testsupport.tables import event_lonlat
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events"))
+    return ev.select("event_id", geohash(F.col("lon"), F.col("lat"), 7).alias("geohash"))

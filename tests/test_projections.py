@@ -45,6 +45,8 @@ CASES = [
     (5070, np.linspace(-120, -70, 7), np.linspace(24, 49, 7)),
     (2154, np.linspace(-4, 9, 7), np.linspace(41, 51, 7)),
     (3035, np.linspace(-10, 30, 7), np.linspace(35, 70, 7)),
+    (3413, np.linspace(-180, 175, 8), np.linspace(45, 89.9, 7)),
+    (3031, np.linspace(-180, 175, 8), np.linspace(-89.9, -50, 7)),
 ]
 
 
@@ -80,6 +82,7 @@ def test_utm_anchors_and_scale():
 
 @pytest.mark.parametrize("code,lon,lat", [
     (32633, 12.0, 47.0), (2154, 2.35, 48.86), (3794, 14.5, 46.05),
+    (3413, -30.0, 75.0), (3031, 120.0, -75.0),
 ])
 def test_conformal_isotropic_scale(code, lon, lat):
     fwd, _ = P._proj_for_epsg(code)
@@ -108,6 +111,38 @@ def test_false_origins():
     fwd, _ = P._proj_for_epsg(3035)
     x, y = fwd(np.array([10.0]), np.array([52.0]))
     assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+
+
+def test_polar_stereo_anchors():
+    """North (3413): the pole maps to the false origin; the standard
+    parallel has unit scale along the parallel; the central meridian
+    (lon0=-45) lands on x == 0 with y < 0."""
+    fwd, inv = P._proj_for_epsg(3413)
+    x, y = fwd(np.array([-45.0]), np.array([90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = fwd(np.array([-45.0]), np.array([70.0]))
+    assert abs(x[0]) < 1e-6 and y[0] < 0
+    # unit scale along the 70N standard parallel
+    d = 1e-6
+    x1, y1 = fwd(np.array([-30.0]), np.array([70.0]))
+    x2, y2 = fwd(np.array([-30.0 + d]), np.array([70.0]))
+    _, N = _mn(70.0)
+    k = math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / (
+        math.radians(d) * N * math.cos(math.radians(70.0)))
+    assert abs(k - 1.0) < 1e-7
+    # the pole inverse is pinned to lon0 (longitude is degenerate there)
+    lo, la = inv(np.array([0.0]), np.array([0.0]))
+    assert lo[0] == -45.0 and abs(la[0] - 90.0) < 1e-9
+    # south (3031): pole -> origin, unit scale at 71S
+    fwd_s, _ = P._proj_for_epsg(3031)
+    x, y = fwd_s(np.array([0.0]), np.array([-90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x1, y1 = fwd_s(np.array([60.0]), np.array([-71.0]))
+    x2, y2 = fwd_s(np.array([60.0 + d]), np.array([-71.0]))
+    _, N = _mn(-71.0)
+    k = math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / (
+        math.radians(d) * N * math.cos(math.radians(-71.0)))
+    assert abs(k - 1.0) < 1e-7
 
 
 def test_transformer_composition():
