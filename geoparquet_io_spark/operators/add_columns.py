@@ -199,9 +199,15 @@ def add_kdtree(
         prefixes = [p for p in boundaries if len(p) == level]
         expr = None
         for p in sorted(prefixes):
-            cond = cell == F.lit(p)
             branch = F.when(dim < F.lit(boundaries[p]), F.lit("0")).otherwise(F.lit("1"))
-            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+            if level == 0:
+                # single root prefix "" — emitting `'' == ''` would be a
+                # trivially-true literal compare (Spark WARNs); no branch
+                # dispatch is needed at the root
+                expr = branch
+            else:
+                cond = cell == F.lit(p)
+                expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
         cell = F.concat(cell, expr)
     out = work.withColumn(column, cell).drop("__kd_x", "__kd_y")
     return out

@@ -36,6 +36,10 @@ REGISTRY: dict[str, tuple] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered; pick a distinct name)")
         REGISTRY[name] = (fn, oracle)
         return fn
 

@@ -239,7 +239,7 @@ def q_roundtrip(spark, sf_dir):
 
 
 @register(
-    "tpch_q6_forecast_revenue",
+    "tpch_q6_discount_band_low",
     """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n

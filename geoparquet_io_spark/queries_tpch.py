@@ -324,7 +324,8 @@ def q7(spark, sf_dir):
 )
 def q8(spark, sf_dir):
     """TPC-H q8 (market share of one supplier nation inside a region's
-    market): 8-way join with every dimension broadcast; numerator and
+    market): 8-way join — small dimensions (part, supplier, nation,
+    region) broadcast, orders/customer shuffle-joined; numerator and
     denominator sums are rounded independently BEFORE the division so
     both engines divide identical doubles (sum order differs across
     engines, a quotient of raw sums would wobble in the last ulp)."""
@@ -469,13 +470,19 @@ def q12(spark, sf_dir):
 def q17(spark, sf_dir):
     """TPC-H q17 (small-quantity-order revenue): the correlated scalar
     AVG subquery becomes a per-part aggregate broadcast-joined back to
-    lineitem.  Quantities are integral doubles, so the per-part sums are
-    exact in IEEE double regardless of summation order — the 0.2*avg
-    threshold compare is deterministic across engines."""
+    lineitem.  The aggregate is computed only over lineitems of the
+    FILTERED part set (identical per-part averages, since grouping is per
+    partkey) — so the broadcast side is bounded by the part-filter
+    selectivity, not all of lineitem's distinct partkeys, and stays
+    driver-safe at any SF.  Quantities are integral doubles, so the
+    per-part sums are exact in IEEE double regardless of summation order
+    — the 0.2*avg threshold compare is deterministic across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
-    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    li_p = li.join(F.broadcast(p.select("p_partkey")),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    thr = li_p.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))

@@ -22,6 +22,17 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     return reader.parquet(path)
 
 
+def _watermarkable(df: DataFrame, ts_column: str) -> DataFrame:
+    """Spark 4 infers plain-microsecond parquet timestamps as TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects.  Cast to session-tz TIMESTAMP — the cast
+    keeps the wall-clock value (NTZ -> instant -> same wall clock on
+    collect), so stream results stay comparable with the un-cast batch
+    plan."""
+    if dict(df.dtypes).get(ts_column) == "timestamp_ntz":
+        df = df.withColumn(ts_column, F.col(ts_column).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -33,7 +44,7 @@ def windowed_event_counts(
     batch df -> the same plan without watermark state)."""
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_column, watermark)
+        df = _watermarkable(df, ts_column).withWatermark(ts_column, watermark)
     return (
         df.groupBy(F.window(F.col(ts_column), window_duration), F.col("event_type"))
         .agg(
@@ -51,7 +62,8 @@ def stream_dedup(events: DataFrame, key_columns: list[str],
                  watermark: str = "2 hours", ts_column: str = "ts") -> DataFrame:
     """Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)."""
     if events.isStreaming:
-        return events.withWatermark(ts_column, watermark) \
+        return _watermarkable(events, ts_column) \
+            .withWatermark(ts_column, watermark) \
             .dropDuplicatesWithinWatermark(key_columns)
     return events.dropDuplicates(key_columns)
 
@@ -65,7 +77,7 @@ def sessionize(
     """Session windows per user (session_window — native stateful op)."""
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_column, gap)
+        df = _watermarkable(df, ts_column).withWatermark(ts_column, gap)
     return (
         df.groupBy(F.session_window(F.col(ts_column), gap), F.col(user_column))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -141,9 +153,9 @@ def stream_stream_join(
           if c not in (key, right_ts)],
     )
     if left.isStreaming:
-        l = l.withWatermark("__lts", watermark)
+        l = _watermarkable(l, "__lts").withWatermark("__lts", watermark)
     if right.isStreaming:
-        r = r.withWatermark("__rts", watermark)
+        r = _watermarkable(r, "__rts").withWatermark("__rts", watermark)
     cond = (
         (l["__k"] == r["__k"])
         & (r["__rts"] >= l["__lts"])
