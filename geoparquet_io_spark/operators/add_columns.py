@@ -66,13 +66,16 @@ def add_h3(df: DataFrame, geometry_column: str | None = None,
     """H3 cell id of the centroid (reference: core/add_h3_column.py:57-84).
 
     Resolution ladder without the ``h3`` wheel:
-    - ``h3`` importable -> true cells at any resolution;
+    - ``h3`` importable -> true cells at any resolution (preferred: the
+      compiled library is faster and canonical on pentagons);
     - resolution 0     -> true H3 base cells from the derivation-validated
       kernel in functions/h3.py (H3-compatible ids like
       '8029fffffffffff', exchangeable with other H3 tooling);
-    - resolution > 0   -> clearly-named deterministic lat/lon grid
-      fallback (NOT H3-compatible; finer digits need the published
-      base-cell orientation tables only the h3 wheel carries).
+    - resolution 1-15  -> the full aperture-7 kernel in
+      functions/h3_fine.py: published-vector-validated H3 indexes
+      (bit-exact vs h3lib on vector-validated faces; exact H3 cell
+      geometry everywhere; see that module's docstring for the pentagon
+      label caveat).
     """
     if not (0 <= resolution <= 15):
         raise ValueError(f"h3 resolution must be in [0,15], got {resolution}")
@@ -118,14 +121,27 @@ def add_h3(df: DataFrame, geometry_column: str | None = None,
                 return pd.Series(out)
 
             return df.withColumn(column, _h3_res0(lat, lon))
-        # fallback grid: cell side halves per resolution step, id is
-        # "gridN_<xcell>_<ycell>" — native exprs, no UDF.
-        cells = 2 ** (resolution + 2)
-        xc = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(cells)).cast("long")
-        yc = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(cells)).cast("long")
-        cell = F.concat(F.lit(f"grid{resolution}_"), xc.cast("string"),
-                        F.lit("_"), yc.cast("string"))
-        return df.withColumn(column, cell)
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        # no hints: future-annotations stringification breaks inference
+        @pandas_udf(StringType())
+        def _h3_fine(lats, lons):
+            import numpy as np
+            import pandas as pd
+
+            from geoparquet_io_spark.functions import h3_fine as _hk
+
+            la = lats.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lons.to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = ~(np.isnan(la) | np.isnan(lo))
+            out = np.full(len(la), None, dtype=object)
+            if ok.any():
+                out[ok] = _hk.latlng_to_cell_string(la[ok], lo[ok], resolution)
+            return pd.Series(out)
+
+        return df.withColumn(column, _h3_fine(lat, lon))
 
 
 def add_kdtree(

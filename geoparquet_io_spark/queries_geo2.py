@@ -139,27 +139,71 @@ def q_sample_cross_distance(spark, sf_dir):
                  F.count("*").alias("n_pairs"))
 
 
-def _h3_fallback_oracle(res: int = 5) -> str:
-    cells = 2 ** (res + 2)
-    return f"""
-    WITH pts AS ({_EVT})
-    SELECT 'grid{res}_' ||
-           CAST(CAST(floor((lon + 180.0) / 360.0 * {cells}) AS BIGINT) AS VARCHAR) ||
-           '_' ||
-           CAST(CAST(floor((lat + 90.0) / 180.0 * {cells}) AS BIGINT) AS VARCHAR) AS h3,
-           COUNT(*) AS n
-    FROM pts GROUP BY 1
+_H3_ORACLE_SF = "/root/testdata/sf0.01"   # the driver's oracle scale
+_H3_MODULUS = 20
+
+
+def _h3_real_oracle(res: int, agg: bool) -> str | None:
+    """VALUES-literal oracle for real H3 ids: expected cells computed by
+    the INDEPENDENT scalar mirror (functions/h3_fine.latlng_to_cell_scalar
+    — same published orientation tables, separate arithmetic path) over
+    the exact integer lat/lon formulas of the synthetic events table at
+    the driver's oracle scale.  Joined back to the events view so the
+    oracle still proves the ids belong to real table rows.  Returns None
+    (rows-only check) when the oracle-scale testdata is absent."""
+    try:
+        import pyarrow.parquet as pq
+
+        from geoparquet_io_spark.functions import h3_fine as hf
+
+        t = pq.read_table(f"{_H3_ORACLE_SF}/events.parquet",
+                          columns=["event_id", "user_id"])
+        rows = []
+        for e, u in zip(t["event_id"].to_pylist(), t["user_id"].to_pylist()):
+            if e % _H3_MODULUS:
+                continue
+            lon = ((u * 37 + e) % 3400) / 10.0 - 170.0
+            lat = ((u * 53 + e * 7) % 1600) / 10.0 - 80.0
+            cell = hf.latlng_to_cell_scalar(lat, lon, res)
+            rows.append(f"({e}, '{format(cell, 'x')}')")
+        vals = ", ".join(rows)
+        body = f"""
+    WITH exp(event_id, h3) AS (VALUES {vals}),
+    tied AS (SELECT exp.event_id, exp.h3
+             FROM events JOIN exp ON events.event_id = exp.event_id)
     """
+        if agg:
+            return body + "SELECT h3, COUNT(*) AS n FROM tied GROUP BY 1"
+        return body + "SELECT event_id, h3 FROM tied"
+    except Exception:
+        return None
 
 
-@register("geo_h3_cells", _h3_fallback_oracle())
+@register("geo_h3_cells", _h3_real_oracle(5, agg=True))
 def q_h3_cells(spark, sf_dir):
-    """H3 cell counts.  NB: this container has no h3 lib, so add_h3 uses its
-    documented deterministic grid fallback — the oracle mirrors THAT; with a
-    real h3 present the operator (and this oracle) would use true cell ids."""
+    """Real H3 res-5 cell counts over a deterministic event subset
+    (reference: core/add_h3_column.py:57-84).  The ids come from the
+    first-principles aperture-7 kernel (functions/h3_fine.py,
+    published-vector-validated); the oracle embeds per-event expected
+    cells from the independent scalar mirror as literals."""
     gt = _events_points(spark, sf_dir)
-    out = gt.add_h3(resolution=5)
-    return out.df.groupBy("h3").agg(F.count("*").alias("n"))
+    sub = gt.df.filter(F.col("event_id") % _H3_MODULUS == 0)
+    from geoparquet_io_spark.operators.add_columns import add_h3
+
+    out = add_h3(sub, bbox_column="bbox", resolution=5)
+    return out.groupBy("h3").agg(F.count("*").alias("n"))
+
+
+@register("geo_h3_res9", _h3_real_oracle(9, agg=False))
+def q_h3_res9(spark, sf_dir):
+    """Per-event real H3 ids at working resolution 9 — the resolution a
+    user exchanging cells with other H3 tooling actually runs at."""
+    gt = _events_points(spark, sf_dir)
+    sub = gt.df.filter(F.col("event_id") % _H3_MODULUS == 0)
+    from geoparquet_io_spark.operators.add_columns import add_h3
+
+    out = add_h3(sub, bbox_column="bbox", resolution=9)
+    return out.select("event_id", "h3")
 
 
 def _quadkey_prefix_oracle() -> str:
