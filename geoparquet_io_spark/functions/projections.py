@@ -19,8 +19,13 @@ pandas UDF feeds whole Arrow batches through, so the per-row cost is a
 handful of vector ops).
 
 Datum note: WGS84 vs GRS80-family datums (ETRS89 / NAD83 / RGF93 /
-Slovenia 1996) differ by centimeters; like most non-grid-shift software
-we treat the geographic coordinates as interchangeable.
+Slovenia 1996 / GDA94) differ by centimeters; like most non-grid-shift
+software we treat those geographic coordinates as interchangeable.
+Classical datums (OSGB36, CH1903+, BD72, S-JTSK) go through the
+position-vector 7-parameter Helmert transforms below (catalogue accuracy
+~1-2 m — the same class PROJ uses without grid-shift files); the
+projection+datum chains are validated against published national worked
+examples in tests/test_projections_epsg.py.
 """
 
 from __future__ import annotations
@@ -486,4 +491,307 @@ def _proj_for_epsg(code: int):
                       fe=4321000.0, fn=3210000.0)
         return (lambda lo, la: laea_forward(lo, la, c),
                 lambda x, y: laea_inverse(x, y, c))
+    # NAD83 UTM zones 1-23 north (GRS80; NAD83 treated as WGS84-coincident)
+    if 26901 <= code <= 26923:
+        zone = code - 26900
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=0.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    # GDA94 / MGA zones 48-58 (GRS80 UTM south; GDA94 ~ WGS84)
+    if 28348 <= code <= 28358:
+        zone = code - 28300
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=10000000.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    if code == 27700:  # OSGB36 / British National Grid (Airy 1830 + Helmert)
+        c = make_tm(*AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                    fe=400000.0, fn=-100000.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           AIRY1830, _DATUM_OSGB36)
+    if code == 2056:  # CH1903+ / LV95 (Swiss oblique Mercator, Bessel)
+        c = make_swiss(*BESSEL1841,
+                       lat0=46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+                       lon0=7.0 + 26.0 / 60.0 + 22.50 / 3600.0,
+                       e0=2600000.0, n0=1200000.0)
+        return _with_datum(lambda lo, la: swiss_forward(lo, la, c),
+                           lambda x, y: swiss_inverse(x, y, c),
+                           BESSEL1841, _DATUM_CH1903P)
+    if code == 21781:  # CH1903 / LV03 (same projection, legacy offsets)
+        c = make_swiss(*BESSEL1841,
+                       lat0=46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+                       lon0=7.0 + 26.0 / 60.0 + 22.50 / 3600.0,
+                       e0=600000.0, n0=200000.0)
+        return _with_datum(lambda lo, la: swiss_forward(lo, la, c),
+                           lambda x, y: swiss_inverse(x, y, c),
+                           BESSEL1841, _DATUM_CH1903P)
+    if code == 31370:  # BD72 / Belgian Lambert 72 (Intl 1924 + Helmert)
+        c = make_lcc(*INTL1924,
+                     lat1=49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
+                     lat2=51.0 + 10.0 / 60.0 + 0.00204 / 3600.0,
+                     lat0=90.0, lon0=4.0 + 21.0 / 60.0 + 24.983 / 3600.0,
+                     fe=150000.013, fn=5400088.438)
+        return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
+                           lambda x, y: lcc_inverse(x, y, c),
+                           INTL1924, _DATUM_BD72)
+    if code == 5514:  # S-JTSK / Krovak East North (Bessel + Helmert)
+        c = make_krovak(*BESSEL1841, latc=49.5,
+                        lon0=24.0 + 50.0 / 60.0,
+                        alphac=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                        latp=78.5, kp=0.9999)
+        return _with_datum(lambda lo, la: krovak_forward(lo, la, c),
+                           lambda x, y: krovak_inverse(x, y, c),
+                           BESSEL1841, _DATUM_SJTSK)
+    if code == 32139:  # NAD83 / Texas Centric Lambert Conformal (meters)
+        c = make_lcc(*GRS80, lat1=27.5, lat2=35.0, lat0=18.0, lon0=-100.0,
+                     fe=1500000.0, fn=5000000.0)
+        return (lambda lo, la: lcc_forward(lo, la, c),
+                lambda x, y: lcc_inverse(x, y, c))
     return None
+
+
+# ---------------------------------------------------------------------------
+# additional ellipsoids + 7-parameter datum (Helmert) transforms
+# ---------------------------------------------------------------------------
+
+AIRY1830 = (6377563.396, 1.0 / 299.3249646)
+BESSEL1841 = (6377397.155, 1.0 / 299.1528128)
+INTL1924 = (6378388.0, 1.0 / 297.0)
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _geodetic_to_ecef(lon, lat, a, f):
+    """Degrees -> geocentric XYZ (h = 0 on the given ellipsoid)."""
+    e2 = 2.0 * f - f * f
+    la = np.radians(lat)
+    lo = np.radians(lon)
+    sl = np.sin(la)
+    N = a / np.sqrt(1.0 - e2 * sl * sl)
+    cl = np.cos(la)
+    return (N * cl * np.cos(lo), N * cl * np.sin(lo), N * (1.0 - e2) * sl)
+
+
+def _ecef_to_geodetic(X, Y, Z, a, f):
+    """Geocentric XYZ -> degrees lon/lat on the given ellipsoid (height
+    discarded — projections only need the surface coordinates)."""
+    e2 = 2.0 * f - f * f
+    lon = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    lat = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(5):
+        sl = np.sin(lat)
+        N = a / np.sqrt(1.0 - e2 * sl * sl)
+        h = p / np.cos(lat) - N
+        lat = np.arctan2(Z, p * (1.0 - e2 * N / (N + h)))
+    return np.degrees(lon), np.degrees(lat)
+
+
+def _helmert_apply(X, Y, Z, p, inverse: bool):
+    """Position-vector 7-parameter transform (EPSG method 9606):
+    X' = (1 + s*1e-6) * R * X + t, rotations in arcseconds.  The inverse
+    negates the (small) parameters — exact to well below the quoted
+    accuracy of any catalogue transform."""
+    tx, ty, tz, rx, ry, rz, s = p
+    if inverse:
+        tx, ty, tz, rx, ry, rz, s = -tx, -ty, -tz, -rx, -ry, -rz, -s
+    m = 1.0 + s * 1e-6
+    rx *= _ARCSEC
+    ry *= _ARCSEC
+    rz *= _ARCSEC
+    Xn = m * (X - rz * Y + ry * Z) + tx
+    Yn = m * (rz * X + Y - rx * Z) + ty
+    Zn = m * (-ry * X + rx * Y + Z) + tz
+    return Xn, Yn, Zn
+
+
+def _with_datum(proj_fwd, proj_inv, ell, to_wgs84):
+    """Wrap a local-datum projection pair so it consumes/produces WGS84
+    lon/lat.  ``to_wgs84``: position-vector params local -> WGS84, or
+    None for GRS80-family datums treated as coincident."""
+    if to_wgs84 is None:
+        return proj_fwd, proj_inv
+    a, f = ell
+
+    def fwd(lon, lat):
+        X, Y, Z = _geodetic_to_ecef(np.asarray(lon, dtype=np.float64),
+                                    np.asarray(lat, dtype=np.float64),
+                                    *WGS84)
+        X, Y, Z = _helmert_apply(X, Y, Z, to_wgs84, inverse=True)
+        lo, la = _ecef_to_geodetic(X, Y, Z, a, f)
+        return proj_fwd(lo, la)
+
+    def inv(x, y):
+        lo, la = proj_inv(x, y)
+        X, Y, Z = _geodetic_to_ecef(lo, la, a, f)
+        X, Y, Z = _helmert_apply(X, Y, Z, to_wgs84, inverse=False)
+        return _ecef_to_geodetic(X, Y, Z, *WGS84)
+
+    return fwd, inv
+
+
+# local datum -> WGS84, position-vector (tx, ty, tz [m], rx, ry, rz ["], s [ppm])
+# OSGB36: the OS guide's published ETRS89<->OSGB36 Helmert (~2 m vs OSTN15);
+# CH1903+: swisstopo's exact GRS80 translation; S-JTSK: the common ~1 m
+# national translation; BD72: the NGI national 7-parameter set (~1 m).
+_DATUM_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+_DATUM_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+_DATUM_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+_DATUM_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator (swisstopo "double projection", EPSG method 9815
+# as used by CH1903+/LV95) — published swisstopo formulas, validated by the
+# Rigi worked example to < 2 cm.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _SwissConsts:
+    a: float
+    e: float
+    alpha: float
+    R: float
+    b0: float
+    K: float
+    lam0: float
+    e0: float
+    n0: float
+
+
+def make_swiss(a: float, f: float, lat0: float, lon0: float,
+               e0: float, n0: float) -> _SwissConsts:
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.cos(phi0) ** 4)
+    R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phi0) ** 2)
+    b0 = math.asin(math.sin(phi0) / alpha)
+    K = (math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
+         - alpha * math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))
+         + alpha * e / 2.0
+         * math.log((1.0 + e * math.sin(phi0)) / (1.0 - e * math.sin(phi0))))
+    return _SwissConsts(a, e, alpha, R, b0, K, math.radians(lon0), e0, n0)
+
+
+def swiss_forward(lon, lat, c: _SwissConsts):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    e = c.e
+    S = (c.alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+         - c.alpha * e / 2.0
+         * np.log((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi))) + c.K)
+    b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+    l = c.alpha * (lam - c.lam0)
+    lbar = np.arctan2(np.sin(l),
+                      np.sin(c.b0) * np.tan(b) + np.cos(c.b0) * np.cos(l))
+    bbar = np.arcsin(np.cos(c.b0) * np.sin(b)
+                     - np.sin(c.b0) * np.cos(b) * np.cos(l))
+    return (c.R * lbar + c.e0,
+            c.R / 2.0 * np.log((1.0 + np.sin(bbar)) / (1.0 - np.sin(bbar)))
+            + c.n0)
+
+
+def swiss_inverse(x, y, c: _SwissConsts):
+    lbar = (np.asarray(x, dtype=np.float64) - c.e0) / c.R
+    bbar = 2.0 * (np.arctan(np.exp((np.asarray(y, dtype=np.float64) - c.n0)
+                                   / c.R)) - np.pi / 4.0)
+    b = np.arcsin(np.cos(c.b0) * np.sin(bbar)
+                  + np.sin(c.b0) * np.cos(bbar) * np.cos(lbar))
+    l = np.arctan2(np.sin(lbar),
+                   np.cos(c.b0) * np.cos(lbar) - np.sin(c.b0) * np.tan(bbar))
+    lam = c.lam0 + l / c.alpha
+    e = c.e
+    phi = b.copy()
+    for _ in range(8):
+        S = (np.log(np.tan(np.pi / 4.0 + b / 2.0)) - c.K) / c.alpha \
+            + e / 2.0 * np.log((1.0 + e * np.sin(phi))
+                               / (1.0 - e * np.sin(phi)))
+        phi = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Krovak oblique conformal conic (EPSG method 9819, S-JTSK) — public EPSG
+# Guidance Note 7-2 formulas, validated by its worked example to < 2 cm.
+# EPSG:5514 axes are east/north with negative values (E = -Y_west,
+# N = -X_south).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _KrovakConsts:
+    a: float
+    e: float
+    B: float
+    gamma0: float
+    t0: float
+    n: float
+    r0: float
+    alphac: float
+    phip: float
+    lam0: float
+
+
+def make_krovak(a: float, f: float, latc: float, lon0: float,
+                alphac: float, latp: float, kp: float) -> _KrovakConsts:
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    phic = math.radians(latc)
+    B = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+    A_ = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phic) ** 2)
+    gamma0 = math.asin(math.sin(phic) / B)
+    t0 = (math.tan(math.pi / 4.0 + gamma0 / 2.0)
+          * ((1.0 + e * math.sin(phic)) / (1.0 - e * math.sin(phic)))
+          ** (e * B / 2.0)
+          / math.tan(math.pi / 4.0 + phic / 2.0) ** B)
+    phip = math.radians(latp)
+    n = math.sin(phip)
+    r0 = kp * A_ / math.tan(phip)
+    return _KrovakConsts(a, e, B, gamma0, t0, n, r0,
+                         math.radians(alphac), phip, math.radians(lon0))
+
+
+def krovak_forward(lon, lat, c: _KrovakConsts):
+    """Returns EPSG:5514 east/north (negative in Czechia/Slovakia)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    e = c.e
+    U = 2.0 * (np.arctan(
+        c.t0 * np.tan(np.pi / 4.0 + phi / 2.0) ** c.B
+        / ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi)))
+        ** (e * c.B / 2.0)) - np.pi / 4.0)
+    V = c.B * (c.lam0 - lam)
+    T = np.arcsin(np.cos(c.alphac) * np.sin(U)
+                  + np.sin(c.alphac) * np.cos(U) * np.cos(V))
+    D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+    theta = c.n * D
+    r = c.r0 * np.tan(np.pi / 4.0 + c.phip / 2.0) ** c.n \
+        / np.tan(np.pi / 4.0 + T / 2.0) ** c.n
+    x_south = r * np.cos(theta)
+    y_west = r * np.sin(theta)
+    return -y_west, -x_south
+
+
+def krovak_inverse(x, y, c: _KrovakConsts):
+    y_west = -np.asarray(x, dtype=np.float64)
+    x_south = -np.asarray(y, dtype=np.float64)
+    r = np.hypot(x_south, y_west)
+    theta = np.arctan2(y_west, x_south)
+    D = theta / c.n
+    T = 2.0 * (np.arctan((c.r0 / r) ** (1.0 / c.n)
+                         * np.tan(np.pi / 4.0 + c.phip / 2.0)) - np.pi / 4.0)
+    U = np.arcsin(np.cos(c.alphac) * np.sin(T)
+                  - np.sin(c.alphac) * np.cos(T) * np.cos(D))
+    V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+    lam = c.lam0 - V / c.B
+    e = c.e
+    phi = U.copy()
+    for _ in range(8):
+        phi = 2.0 * (np.arctan(
+            c.t0 ** (-1.0 / c.B)
+            * np.tan(np.pi / 4.0 + U / 2.0) ** (1.0 / c.B)
+            * ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi)))
+            ** (e / 2.0)) - np.pi / 4.0)
+    return np.degrees(lam), np.degrees(phi)

@@ -232,3 +232,108 @@ def q_reproject_ps_north(spark, sf_dir):
     9829) — the NSIDC sea-ice grid the polar EO community exchanges.
     Reference semantics: core/reproject.py:94-160 (arbitrary PROJ pair)."""
     return _spark_reproject(spark, sf_dir, "EPSG:3413")
+
+
+# --- OSGB 27700: Helmert datum shift + Airy TM, full SQL mirror ------------
+
+_OSGB_TC = P.make_tm(*P.AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                     fe=400000.0, fn=-100000.0)
+
+
+def _osgb_sql() -> str:
+    """DuckDB mirror of the whole EPSG:27700 pipeline: WGS84 lon/lat ->
+    ECEF -> inverse position-vector Helmert (WGS84 -> OSGB36) -> geodetic
+    on Airy 1830 (5 unrolled lat iterations) -> Krueger-series TM.
+    Constants embedded as literals; 0.1 m rounding absorbs libm ulps."""
+    wa, wf = P.WGS84
+    we2 = 2.0 * wf - wf * wf
+    aa, af = P.AIRY1830
+    ae2 = 2.0 * af - af * af
+    tx, ty, tz, rx, ry, rz, s = P._DATUM_OSGB36
+    # inverse (WGS84 -> OSGB36): negate position-vector params
+    import math as _m
+    arc = _m.pi / (180.0 * 3600.0)
+    m = 1.0 - s * 1e-6
+    rxr, ryr, rzr = -rx * arc, -ry * arc, -rz * arc
+    c = _OSGB_TC
+    e = c.e
+    kA = c.k0 * c.A
+    xi_terms = " + ".join(
+        f"{a!r} * sin({2 * j} * xip) * ((exp({2 * j} * etap) + exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(c.alpha, start=1))
+    eta_terms = " + ".join(
+        f"{a!r} * cos({2 * j} * xip) * ((exp({2 * j} * etap) - exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(c.alpha, start=1))
+    lat_step = (
+        "atan2(Z, p * (1.0 - {ae2} * ({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i})))"
+        " / (({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i})))"
+        " + p / cos(la{i}) - ({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i}))))))"
+    )
+    lat_ctes = ",\n    ".join(
+        f"it{i + 1} AS (SELECT event_id, Z, p, lon2, "
+        + lat_step.format(ae2=repr(ae2), aa=repr(aa), i=i)
+        + f" AS la{i + 1} FROM it{i})"
+        for i in range(5)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    win AS (SELECT * FROM pts WHERE lon BETWEEN -14.0 AND 10.0
+                                AND lat BETWEEN 45.0 AND 75.0),
+    g AS (SELECT event_id,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * cos(radians(lon)) AS X0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * sin(radians(lon)) AS Y0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * (1.0 - {we2!r}) * sin(radians(lat)) AS Z0
+      FROM win),
+    h AS (SELECT event_id,
+      {m!r} * (X0 - ({rzr!r}) * Y0 + ({ryr!r}) * Z0) + ({-tx!r}) AS X,
+      {m!r} * (({rzr!r}) * X0 + Y0 - ({rxr!r}) * Z0) + ({-ty!r}) AS Y,
+      {m!r} * (-(({ryr!r})) * X0 + ({rxr!r}) * Y0 + Z0) + ({-tz!r}) AS Z
+      FROM g),
+    it0 AS (SELECT event_id, Z, sqrt(X * X + Y * Y) AS p,
+                   atan2(Y, X) AS lon2,
+                   atan2(Z, sqrt(X * X + Y * Y) * (1.0 - {ae2!r})) AS la0
+            FROM h),
+    {lat_ctes},
+    ll AS (SELECT event_id, degrees(lon2) AS lon, degrees(la5) AS lat FROM it5),
+    a1 AS (SELECT event_id, lon, tan(radians(lat)) AS t FROM ll),
+    a2 AS (SELECT event_id, lon, t,
+      (exp({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                          / (1.0 - {e!r} * t / sqrt(1.0 + t * t))))
+       - exp(-({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                              / (1.0 - {e!r} * t / sqrt(1.0 + t * t)))))) / 2.0 AS sig
+      FROM a1),
+    a3 AS (SELECT event_id, t, sig,
+      t * sqrt(1.0 + sig * sig) - sig * sqrt(1.0 + t * t) AS tp,
+      radians(lon - {c.lon0!r}) AS dlon
+      FROM a2),
+    a4 AS (SELECT event_id,
+      atan2(tp, cos(dlon)) AS xip,
+      ln(sin(dlon) / sqrt(tp * tp + cos(dlon) * cos(dlon))
+         + sqrt(sin(dlon) * sin(dlon) / (tp * tp + cos(dlon) * cos(dlon)) + 1.0)) AS etap
+      FROM a4src)
+    SELECT event_id,
+      ROUND({c.fe!r} + {kA!r} * (etap + {eta_terms}), 1) + 0.0 AS px,
+      ROUND({c.fn!r} - {c.k0 * c.m0!r} + {kA!r} * (xip + {xi_terms}), 1) + 0.0 AS py
+    FROM a4
+    """.replace("FROM a4src", "FROM a3")
+
+
+@register("geo_reproject_osgb", _osgb_sql())
+def q_reproject_osgb(spark, sf_dir):
+    """EPSG:27700 (British National Grid): the full datum-shifted path —
+    position-vector Helmert onto OSGB36, Airy 1830 Krueger TM.  Kernel
+    parameters are validated against the published OS worked example in
+    tests/test_projections_epsg.py; the oracle mirrors every step in SQL."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(-14.0, 10.0)
+                      & F.col("lat").between(45.0, 75.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:27700")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )

