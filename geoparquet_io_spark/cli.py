@@ -49,7 +49,11 @@ def _write(gt, path: str, args) -> None:
 
         write_geojson(gt, path)
     else:
-        gt.write(path)
+        kw = {}
+        mb = getattr(args, "row_group_mb", None)
+        if mb:
+            kw["target_row_group_mb"] = mb
+        gt.write(path, **kw)
 
 
 def cmd_extract(args) -> int:
@@ -119,8 +123,28 @@ def cmd_inspect(args) -> int:
         inspect_tail,
     )
 
-    if args.what == "summary" or args.what == "meta":
+    if args.what == "summary":
         print(json.dumps(inspect_summary(args.input), indent=2, default=str))
+        return 0
+    if args.what == "meta":
+        # raw footer metadata dump (reference: gpio inspect meta,
+        # cli/main.py:1902): geo JSON, other key-value pairs, schema
+        import pyarrow.parquet as _pq
+
+        from geoparquet_io_spark.operators.inspect_check import _files
+
+        f0 = _files(args.input)[0]
+        schema = _pq.read_schema(f0)
+        kv = {k.decode(): v.decode(errors="replace")
+              for k, v in (schema.metadata or {}).items()}
+        geo = kv.pop("geo", None)
+        print(json.dumps({
+            "file": f0,
+            "geo": json.loads(geo) if geo else None,
+            "key_value_metadata": kv,
+            "schema": [{"name": n, "type": str(schema.field(n).type)}
+                       for n in schema.names],
+        }, indent=2, default=str))
         return 0
     spark = _spark()
     n = args.n or 10
@@ -135,7 +159,28 @@ def cmd_inspect(args) -> int:
 
 
 def cmd_check(args) -> int:
-    from geoparquet_io_spark.operators.inspect_check import check_structure, validate
+    from geoparquet_io_spark.operators.inspect_check import (
+        check_bbox,
+        check_compression,
+        check_row_groups,
+        check_structure,
+        validate,
+    )
+
+    # granular single-aspect checks (reference: gpio check bbox|row-group|
+    # compression, cli/main.py:700,784,914)
+    if args.what == "bbox":
+        r = check_bbox(args.input)
+        print(json.dumps(r, indent=2, default=str))
+        return 0 if r["ok"] else 1
+    if args.what == "row-group":
+        r = check_row_groups(args.input)
+        print(json.dumps(r, indent=2, default=str))
+        return 0 if r["ok"] else 1
+    if args.what == "compression":
+        r = check_compression(args.input)
+        print(json.dumps(r, indent=2, default=str))
+        return 0 if r["ok"] else 1
 
     rep = check_structure(args.input)
     result = {
@@ -211,10 +256,62 @@ def cmd_publish_stac(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    """Run the headline-query benchmark (reference: gpio benchmark run)."""
-    import bench
+    """Benchmark verbs (reference: gpio benchmark run|suite|compare|report,
+    cli/main.py:4206,4464-4643)."""
+    action = getattr(args, "action", "run") or "run"
+    if action in ("run", "suite"):
+        import bench
 
-    bench.main()
+        old = sys.argv
+        try:
+            sys.argv = ["bench.py"] + (["--check"] if args.check else [])
+            bench.main()
+        finally:
+            sys.argv = old
+        return 0
+    if action == "compare":
+        a = json.loads(open(args.baseline).read().strip().splitlines()[-1])
+        b = json.loads(open(args.candidate).read().strip().splitlines()[-1])
+        qa, qb = a.get("queries", {}), b.get("queries", {})
+        rows = []
+        for name in sorted(set(qa) & set(qb)):
+            pct = (qb[name] - qa[name]) / qa[name] * 100.0 if qa[name] else 0.0
+            rows.append({"query": name, "baseline_s": qa[name],
+                         "candidate_s": qb[name], "delta_pct": round(pct, 1)})
+        only = {"baseline_only": sorted(set(qa) - set(qb)),
+                "candidate_only": sorted(set(qb) - set(qa))}
+        print(json.dumps({"total_baseline_s": a.get("value"),
+                          "total_candidate_s": b.get("value"),
+                          "queries": rows, **only}, indent=2))
+        worst = max((r["delta_pct"] for r in rows), default=0.0)
+        return 1 if worst > 25.0 else 0
+    if action == "report":
+        doc = json.loads(open(args.baseline).read().strip().splitlines()[-1])
+        qs = doc.get("queries", {})
+        width = max((len(k) for k in qs), default=5)
+        print(f"{'query'.ljust(width)}  seconds")
+        for name, sec in sorted(qs.items(), key=lambda kv: -kv[1]):
+            print(f"{name.ljust(width)}  {sec:8.3f}")
+        print(f"{'TOTAL'.ljust(width)}  {doc.get('value', 0):8.3f} "
+              f"(sf={doc.get('sf')})")
+        return 0
+    raise ValueError(f"unknown benchmark action {action!r}")
+
+
+def cmd_publish_upload(args) -> int:
+    """Copy/publish a local dataset to a (possibly remote) URI.  With the
+    Hadoop connectors on the classpath the same distributed writer streams
+    straight to s3a/gs/abfs; locally this is a read->write republish that
+    preserves footer metadata (reference: gpio publish upload,
+    core/upload.py — obstore multipart; here the connector IS the
+    transport)."""
+    from geoparquet_io_spark.sources.remote import normalize_remote_path
+
+    dest = normalize_remote_path(args.output)
+    spark = _spark()
+    gt = _read(spark, args.input)
+    files = gt.write(dest)
+    print(json.dumps({"destination": dest, "files": len(files)}))
     return 0
 
 
@@ -325,7 +422,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.set_defaults(fn=cmd_inspect)
 
     c = sub.add_parser("check")
-    c.add_argument("what", choices=["all", "spec", "spatial", "compression"])
+    c.add_argument("what", choices=["all", "spec", "spatial", "compression",
+                                    "bbox", "row-group"])
     c.add_argument("input")
     c.set_defaults(fn=cmd_check)
 
@@ -333,6 +431,8 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("input")
     cv.add_argument("output")
     cv.add_argument("--no-sort", dest="no_sort", action="store_true")
+    cv.add_argument("--row-group-mb", dest="row_group_mb", type=float,
+                    help="target compressed MB per row group (64-256 guidance)")
     cv.set_defaults(fn=cmd_convert)
 
     rp = sub.add_parser("reproject")
@@ -389,7 +489,20 @@ def build_parser() -> argparse.ArgumentParser:
     aj.set_defaults(fn=cmd_asof_join)
 
     b = sub.add_parser("benchmark")
+    b.add_argument("action", nargs="?", default="run",
+                   choices=["run", "suite", "compare", "report"])
+    b.add_argument("baseline", nargs="?",
+                   help="bench JSON file (compare/report)")
+    b.add_argument("candidate", nargs="?",
+                   help="bench JSON file (compare)")
+    b.add_argument("--check", action="store_true",
+                   help="enforce regression thresholds vs committed baseline")
     b.set_defaults(fn=cmd_benchmark)
+
+    pu = sub.add_parser("publish-upload")
+    pu.add_argument("input")
+    pu.add_argument("output")
+    pu.set_defaults(fn=cmd_publish_upload)
 
     return p
 

@@ -446,3 +446,135 @@ def inspect_tail(spark, path: str, n: int = 10, max_wkt_chars: int = 60):
     gt = gps.read(spark, path)
     tail_gt = gt.tail(n)
     return _wkt_preview(gt, tail_gt.df, max_wkt_chars)
+
+
+# ---------------------------------------------------------------------------
+# granular checks (reference: check row-group / compression / bbox,
+# core/check_parquet_structure.py:120,444, core/common.py:3346)
+# ---------------------------------------------------------------------------
+
+# the reference's row-group sizing guidance: 64-256 MB compressed per group
+ROW_GROUP_MIN_MB = 64
+ROW_GROUP_MAX_MB = 256
+
+
+def check_row_groups(path: str) -> dict:
+    """Per-file row-group sizing vs the 64-256 MB / 10k-200k-row guidance
+    (reference: core/check_parquet_structure.py:120-214)."""
+    files = _files(path)
+    if not files:
+        raise FileNotFoundError(path)
+    out_files = []
+    issues: list[str] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        groups = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            comp_bytes = sum(rg.column(c).total_compressed_size
+                             for c in range(rg.num_columns))
+            groups.append({"rows": rg.num_rows,
+                           "compressed_mb": round(comp_bytes / 2**20, 3)})
+        sizes = [g["compressed_mb"] for g in groups]
+        rows = [g["rows"] for g in groups]
+        rec = {
+            "file": f,
+            "num_row_groups": md.num_row_groups,
+            "rows": md.num_rows,
+            "groups": groups,
+        }
+        out_files.append(rec)
+        # last group may be a remainder — judge all but the last on size
+        body = sizes[:-1] if len(sizes) > 1 else sizes
+        if rows and max(rows) > ROW_GROUP_MAX_ROWS:
+            issues.append(f"{f}: row group has {max(rows)} rows "
+                          f"> {ROW_GROUP_MAX_ROWS}")
+        if body and max(body) > ROW_GROUP_MAX_MB:
+            issues.append(f"{f}: row group {max(body):.1f} MB "
+                          f"> {ROW_GROUP_MAX_MB} MB guidance")
+        if len(sizes) > 1 and body and min(body) < 1.0:
+            issues.append(f"{f}: many tiny row groups (min {min(body):.2f} MB)")
+    return {"files": out_files, "issues": issues,
+            "fix_available": bool(issues), "ok": not issues}
+
+
+def check_compression(path: str) -> dict:
+    """Per-column codec report; flags non-ZSTD geometry columns
+    (reference: core/check_parquet_structure.py:444-530)."""
+    files = _files(path)
+    if not files:
+        raise FileNotFoundError(path)
+    geo = GeoMeta.from_footer(pq.read_schema(files[0]).metadata)
+    geom_cols = set(geo.columns) if geo else set()
+    codecs: dict[str, set] = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                codecs.setdefault(col.path_in_schema, set()).add(col.compression)
+    issues = []
+    for col, cs in sorted(codecs.items()):
+        base = col.split(".", 1)[0]
+        if base in geom_cols and cs - {RECOMMENDED_CODEC}:
+            issues.append(
+                f"geometry column {col!r} uses {sorted(cs)} "
+                f"(recommended: {RECOMMENDED_CODEC})")
+    other = {c for col, cs in codecs.items()
+             for c in cs if col.split('.', 1)[0] not in geom_cols}
+    return {
+        "columns": {k: sorted(v) for k, v in codecs.items()},
+        "geometry_columns": sorted(geom_cols),
+        "other_codecs": sorted(other),
+        "issues": issues,
+        "fix_available": bool(issues),
+        "ok": not issues,
+    }
+
+
+def check_bbox(path: str) -> dict:
+    """Bbox covering assessment: covering metadata present, its struct
+    exists and is well-formed, and (spot check) struct values agree with
+    the geometry (reference: core/common.py:3346-3420)."""
+    files = _files(path)
+    if not files:
+        raise FileNotFoundError(path)
+    schema = pq.read_schema(files[0])
+    geo = GeoMeta.from_footer(schema.metadata)
+    if geo is None:
+        return {"has_geo": False, "has_covering": False,
+                "issues": ["no geo footer metadata"], "ok": False}
+    issues = _check_covering(geo, schema)
+    has_cov = bool(geo.primary.covering)
+    if not has_cov:
+        issues.append("no bbox covering metadata (fast-path scans disabled)")
+    return {"has_geo": True, "has_covering": has_cov,
+            "version": geo.version, "issues": issues, "ok": not issues}
+
+
+def estimate_row_group_rows(
+    df,
+    target_mb: float = 128.0,
+    sample_rows: int = 10_000,
+    compression: str = "zstd",
+    compression_level: int = 3,
+) -> int:
+    """MB -> rows estimation for row-group sizing: encode a bounded sample
+    with the real writer settings, measure compressed bytes/row, and size
+    groups to ``target_mb`` clamped into the 10k-200k-row guidance window
+    (reference: core/common.py:1705,2610 targets 64-256 MB per group the
+    same way).  Driver cost is one bounded sample."""
+    import io as _io
+
+    sample = df.limit(sample_rows).toArrow()
+    if sample.num_rows == 0:
+        from geoparquet_io_spark.sources.geoparquet import DEFAULT_ROW_GROUP_ROWS
+
+        return DEFAULT_ROW_GROUP_ROWS
+    buf = _io.BytesIO()
+    pq.write_table(sample, buf, compression=compression,
+                   compression_level=compression_level)
+    bytes_per_row = max(buf.getbuffer().nbytes / sample.num_rows, 1e-6)
+    rows = int(target_mb * 2**20 / bytes_per_row)
+    return max(ROW_GROUP_MIN_ROWS, min(ROW_GROUP_MAX_ROWS, rows))

@@ -207,6 +207,7 @@ def write(
     max_rows_per_file: int | None = None,
     overwrite: bool = True,
     per_file_bbox: str | None = None,
+    target_row_group_mb: float | None = None,
 ) -> list[str]:
     """Write GeoParquet with footer ``geo`` metadata.  Returns written files.
 
@@ -222,6 +223,17 @@ def write(
     """
     if single_file is None:
         single_file = path.endswith(".parquet") and partition_by is None
+
+    if target_row_group_mb is not None:
+        # size groups to the reference's 64-256 MB guidance from a bounded
+        # compressed sample (core/common.py:1705,2610)
+        from geoparquet_io_spark.operators.inspect_check import (
+            estimate_row_group_rows,
+        )
+
+        row_group_rows = estimate_row_group_rows(
+            df, target_mb=target_row_group_mb, compression=compression,
+            compression_level=compression_level)
 
     if single_file:
         return _write_single_file(df, path, geo, compression, compression_level, row_group_rows)

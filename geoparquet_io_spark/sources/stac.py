@@ -92,20 +92,167 @@ def generate_stac_collection(items: list[dict], collection_id: str,
     }
 
 
+_RFC3339 = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+
+
+def _check_datetime(value, where: str, errors: list[str]) -> None:
+    import re
+
+    if value is None:
+        return
+    if not isinstance(value, str) or not re.match(_RFC3339, value):
+        errors.append(f"{where} is not RFC 3339 UTC datetime: {value!r}")
+
+
+def _item_checks(d: dict, res: dict, stac_dir: str | None) -> None:
+    for field in ("id", "geometry", "bbox", "properties", "assets", "links"):
+        if field not in d:
+            res["errors"].append(f"missing required field: {field}")
+    props = d.get("properties") or {}
+    if "datetime" not in props:
+        if not ("start_datetime" in props and "end_datetime" in props):
+            res["errors"].append(
+                "properties.datetime missing (and no start/end_datetime pair)")
+    else:
+        _check_datetime(props.get("datetime"), "properties.datetime",
+                        res["errors"])
+    for k in ("start_datetime", "end_datetime", "created", "updated"):
+        if k in props:
+            _check_datetime(props[k], f"properties.{k}", res["errors"])
+    if not isinstance(d.get("id"), str) or not d.get("id"):
+        res["errors"].append("id must be a non-empty string")
+    # geometry/bbox consistency
+    geom, bbox = d.get("geometry"), d.get("bbox")
+    if bbox is not None:
+        if not isinstance(bbox, (list, tuple)) or len(bbox) not in (4, 6):
+            res["errors"].append(
+                f"invalid bbox length: {len(bbox) if hasattr(bbox, '__len__') else bbox}")
+        elif len(bbox) == 4 and (bbox[0] > bbox[2] or bbox[1] > bbox[3]):
+            res["errors"].append(f"invalid bbox ordering: {list(bbox)}")
+        elif isinstance(geom, dict) and geom.get("type") == "Polygon":
+            coords = [pt for ring in geom.get("coordinates", [])
+                      for pt in ring]
+            if coords:
+                eps = 1e-9
+                inside = all(
+                    bbox[0] - eps <= x <= bbox[2] + eps
+                    and bbox[1] - eps <= y <= bbox[3] + eps
+                    for x, y in (c[:2] for c in coords))
+                if not inside:
+                    res["errors"].append(
+                        "geometry coordinates fall outside bbox")
+    if isinstance(geom, dict):
+        if geom.get("type") not in (
+                "Point", "MultiPoint", "LineString", "MultiLineString",
+                "Polygon", "MultiPolygon", "GeometryCollection"):
+            res["errors"].append(f"invalid geometry type: {geom.get('type')}")
+        if geom.get("type") == "Polygon":
+            for ring in geom.get("coordinates", []):
+                if len(ring) < 4 or ring[0] != ring[-1]:
+                    res["errors"].append(
+                        "polygon ring not closed (first != last) or too short")
+    # assets
+    assets = d.get("assets") or {}
+    for key, asset in assets.items():
+        href = asset.get("href", "")
+        if not href:
+            res["errors"].append(f"asset {key!r} missing href")
+        elif stac_dir is not None and not href.startswith(
+                ("http://", "https://", "s3://", "gs://", "abfs://")):
+            p = href if os.path.isabs(href) else os.path.join(stac_dir, href)
+            if not os.path.exists(p):
+                res["warnings"].append(
+                    f"asset {key!r} href does not resolve locally: {href}")
+        if "type" not in asset:
+            res["warnings"].append(f"asset {key!r} missing media type")
+    if assets and not any("data" in (a.get("roles") or [])
+                          for a in assets.values()):
+        res["warnings"].append("no asset with 'data' role found")
+    res["info"]["asset_count"] = len(assets)
+    # links
+    links = d.get("links") or []
+    if not any(ln.get("rel") == "self" for ln in links):
+        res["warnings"].append("no 'self' link found (recommended)")
+    res["info"]["link_count"] = len(links)
+    # proj extension consistency
+    code = props.get("proj:code") or props.get("proj:epsg")
+    if code is not None:
+        s = f"EPSG:{code}" if isinstance(code, int) else str(code)
+        if ":" not in s or not s.split(":", 1)[1].isdigit():
+            res["errors"].append(f"malformed proj code: {code!r}")
+
+
+def _collection_checks(d: dict, res: dict) -> None:
+    for field in ("id", "description", "license", "extent", "links"):
+        if field not in d:
+            res["errors"].append(f"missing required field: {field}")
+    ext = d.get("extent") or {}
+    sp = (ext.get("spatial") or {}).get("bbox")
+    if not sp or not isinstance(sp, list):
+        res["errors"].append("extent.spatial.bbox missing or not a list")
+    else:
+        for b in sp:
+            if len(b) not in (4, 6) or (len(b) == 4 and
+                                        (b[0] > b[2] or b[1] > b[3])):
+                res["errors"].append(f"invalid collection bbox: {b}")
+    ti = (ext.get("temporal") or {}).get("interval")
+    if not ti or not isinstance(ti, list):
+        res["errors"].append("extent.temporal.interval missing or not a list")
+    else:
+        for iv in ti:
+            if len(iv) != 2:
+                res["errors"].append(f"temporal interval must be a pair: {iv}")
+                continue
+            for v in iv:
+                _check_datetime(v, "extent.temporal.interval", res["errors"])
+            if iv[0] and iv[1] and iv[0] > iv[1]:
+                res["errors"].append(f"temporal interval reversed: {iv}")
+
+
+def validate_stac_dict(d: dict, stac_dir: str | None = None) -> dict:
+    """Pure-python STAC 1.x validation (no pystac in this container):
+    required fields per type, RFC 3339 datetimes, geometry/bbox
+    consistency (including bbox containment and ring closure), asset
+    href resolution + media types + data role, self link, proj extension
+    code shape, and collection extent sanity — the reference's check set
+    re-expressed without jsonschema (core/stac_check.py:26-128).
+    Returns {"valid", "errors", "warnings", "info"}."""
+    res: dict = {"valid": True, "errors": [], "warnings": [], "info": {}}
+    t = d.get("type")
+    res["info"]["stac_type"] = t or "Unknown"
+    res["info"]["stac_version"] = d.get("stac_version", "Unknown")
+    if "stac_version" not in d:
+        res["errors"].append("missing required field: stac_version")
+    if t == "Feature":
+        _item_checks(d, res, stac_dir)
+    elif t == "Collection":
+        _collection_checks(d, res)
+    else:
+        res["errors"].append(f"type must be 'Feature' or 'Collection', got {t!r}")
+    res["valid"] = not res["errors"]
+    return res
+
+
+def validate_stac_file(path: str) -> dict:
+    """Load + validate a STAC JSON file (reference: validate_stac_file,
+    core/stac_check.py:131-171)."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except json.JSONDecodeError as e:
+        return {"valid": False, "errors": [f"invalid JSON: {e}"],
+                "warnings": [], "info": {}}
+    except FileNotFoundError:
+        return {"valid": False, "errors": [f"file not found: {path}"],
+                "warnings": [], "info": {}}
+    return validate_stac_dict(d, stac_dir=os.path.dirname(path) or ".")
+
+
 def validate_stac_item(item: dict) -> list[str]:
-    """Minimal structural validation (reference: core/stac_check.py)."""
-    errors = []
-    for key in ("type", "stac_version", "id", "geometry", "bbox", "properties", "assets"):
-        if key not in item:
-            errors.append(f"missing key: {key}")
-    if item.get("type") != "Feature":
-        errors.append("type must be 'Feature'")
-    if "properties" in item and "datetime" not in item["properties"]:
-        errors.append("properties.datetime missing")
-    b = item.get("bbox")
-    if b and not (len(b) in (4, 6) and b[0] <= b[2] and b[1] <= b[3]):
-        errors.append("invalid bbox")
-    return errors
+    """Back-compat shim: error list only (see validate_stac_dict)."""
+    return validate_stac_dict(item)["errors"]
 
 
 def write_stac_item(path: str, out_path: str, **kw) -> dict:

@@ -149,3 +149,113 @@ def test_cli_validate_sample_asof(spark, tmp_path):
                  "--broadcast"]) == 0
     j = spark.read.parquet(out3)
     assert j.count() == gt.count() and "asof_mid" in j.columns
+
+
+def test_check_granular_verbs(src, capsys):
+    """check bbox / row-group / compression (reference cli/main.py:700-998)."""
+    assert _run(["check", "bbox", src]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["has_geo"] and out["has_covering"] and out["ok"]
+
+    assert _run(["check", "row-group", src]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["files"][0]["num_row_groups"] >= 1
+
+    assert _run(["check", "compression", src]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and "geometry" in out["columns"]
+
+
+def test_check_compression_flags_bad_codec(spark, tmp_path, capsys):
+    """A snappy-compressed geometry column must fail check compression."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    good = str(tmp_path / "good.parquet")
+    gt.write(good)
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pq.read_table(good), bad, compression="snappy")
+    assert _run(["check", "compression", bad]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert any("SNAPPY" in i for i in out["issues"])
+
+
+def test_inspect_meta_dump(src, capsys):
+    assert _run(["inspect", "meta", src]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["geo"] is not None and "columns" in out["geo"]
+    assert any(f["name"] == "geometry" for f in out["schema"])
+
+
+def test_publish_upload_normalizes_and_writes(src, tmp_path, capsys):
+    out = str(tmp_path / "published")
+    assert _run(["publish-upload", src, out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files"] >= 1
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(out + "/**/*.parquet", recursive=True) or [out]
+    assert all(b"geo" in (pq.read_schema(f).metadata or {}) for f in files)
+
+
+def test_benchmark_compare_and_report(tmp_path, capsys):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"value": 10.0, "sf": 0.01,
+                             "queries": {"q1": 4.0, "q2": 6.0}}))
+    b.write_text(json.dumps({"value": 9.0, "sf": 0.01,
+                             "queries": {"q1": 3.0, "q2": 6.0, "q3": 1.0}}))
+    assert _run(["benchmark", "compare", str(a), str(b)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    q1 = next(r for r in rep["queries"] if r["query"] == "q1")
+    assert q1["delta_pct"] == -25.0
+    assert rep["candidate_only"] == ["q3"]
+
+    # a >25% regression fails the compare gate
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps({"value": 20.0, "sf": 0.01,
+                             "queries": {"q1": 8.0, "q2": 6.0}}))
+    assert _run(["benchmark", "compare", str(a), str(c)]) == 1
+    capsys.readouterr()
+
+    assert _run(["benchmark", "report", str(a)]) == 0
+    text = capsys.readouterr().out
+    assert "q2" in text and "TOTAL" in text
+
+
+def test_convert_row_group_mb_targeting(spark, tmp_path, capsys):
+    """--row-group-mb sizes written groups from a compressed sample: a
+    tiny target must produce multiple small row groups where the default
+    would write one."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    src2 = str(tmp_path / "src2.parquet")
+    gt.write(src2)
+    out = str(tmp_path / "sized.parquet")
+    # ~tiny target -> clamped to the 10k-row floor -> >= 1 group per 10k
+    assert _run(["convert", src2, out, "--no-sort",
+                 "--row-group-mb", "0.05"]) == 0
+    md = pq.read_metadata(out)
+    rows = md.num_rows
+    import math
+
+    expected = math.ceil(rows / 10_000)
+    assert md.num_row_groups == expected
+    sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    assert max(sizes) <= 10_000
+
+
+def test_row_group_estimator_clamps():
+    from geoparquet_io_spark.operators.inspect_check import (
+        ROW_GROUP_MAX_ROWS, ROW_GROUP_MIN_ROWS,
+    )
+
+    # pure function bounds (no Spark needed beyond the sample df above)
+    assert ROW_GROUP_MIN_ROWS == 10_000 and ROW_GROUP_MAX_ROWS == 200_000

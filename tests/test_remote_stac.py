@@ -67,3 +67,152 @@ def test_stac_item_roundtrip(spark, tmp_path):
     bad = dict(item)
     del bad["geometry"]
     assert validate_stac_item(bad)
+
+
+# --- STAC spec validation depth (corrupted-fixture per check class) --------
+
+def _good_item(tmp_path):
+    import json
+    data = tmp_path / "d.parquet"
+    data.write_bytes(b"PAR1")
+    return {
+        "type": "Feature",
+        "stac_version": "1.0.0",
+        "id": "it1",
+        "geometry": {"type": "Polygon", "coordinates": [[
+            [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]},
+        "bbox": [0.0, 0.0, 2.0, 2.0],
+        "properties": {"datetime": "2026-01-02T03:04:05Z",
+                       "proj:code": "EPSG:4326"},
+        "links": [{"rel": "self", "href": "it1.json"}],
+        "assets": {"data": {"href": str(data),
+                            "type": "application/vnd.apache.parquet",
+                            "roles": ["data"]}},
+    }
+
+
+def test_stac_validate_good_item(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    res = validate_stac_dict(_good_item(tmp_path), stac_dir=str(tmp_path))
+    assert res["valid"] and not res["errors"] and not res["warnings"]
+    assert res["info"]["asset_count"] == 1
+
+
+def test_stac_bad_datetime(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["properties"]["datetime"] = "02/01/2026 03:04"
+    res = validate_stac_dict(it)
+    assert not res["valid"]
+    assert any("RFC 3339" in e for e in res["errors"])
+
+
+def test_stac_geometry_outside_bbox(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["bbox"] = [0.0, 0.0, 1.0, 1.0]     # geometry spans to 2.0
+    res = validate_stac_dict(it)
+    assert any("outside bbox" in e for e in res["errors"])
+
+
+def test_stac_unclosed_ring(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["geometry"]["coordinates"][0][-1] = [9.0, 9.0]
+    res = validate_stac_dict(it)
+    assert any("not closed" in e for e in res["errors"])
+
+
+def test_stac_bbox_ordering(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["bbox"] = [2.0, 0.0, 0.0, 2.0]
+    res = validate_stac_dict(it)
+    assert any("ordering" in e for e in res["errors"])
+
+
+def test_stac_asset_href_and_roles(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["assets"] = {"data": {"href": "missing.parquet"}}
+    res = validate_stac_dict(it, stac_dir=str(tmp_path))
+    assert any("does not resolve" in w for w in res["warnings"])
+    assert any("media type" in w for w in res["warnings"])
+    assert any("'data' role" in w for w in res["warnings"])
+    assert res["valid"]  # warnings only
+
+
+def test_stac_missing_self_link(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["links"] = []
+    res = validate_stac_dict(it, stac_dir=str(tmp_path))
+    assert any("self" in w for w in res["warnings"])
+
+
+def test_stac_malformed_proj_code(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["properties"]["proj:code"] = "EPSG_4326"
+    res = validate_stac_dict(it)
+    assert any("proj code" in e for e in res["errors"])
+
+
+def test_stac_collection_checks(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    coll = {
+        "type": "Collection", "stac_version": "1.0.0", "id": "c",
+        "description": "d", "license": "proprietary",
+        "extent": {"spatial": {"bbox": [[0.0, 0.0, 1.0, 1.0]]},
+                   "temporal": {"interval": [["2026-01-01T00:00:00Z",
+                                              "2026-02-01T00:00:00Z"]]}},
+        "links": [{"rel": "self", "href": "c.json"}],
+    }
+    assert validate_stac_dict(coll)["valid"]
+    bad = dict(coll)
+    bad["extent"] = {"spatial": {"bbox": [[1.0, 0.0, 0.0, 1.0]]},
+                     "temporal": {"interval": [["2026-02-01T00:00:00Z",
+                                                "2026-01-01T00:00:00Z"]]}}
+    res = validate_stac_dict(bad)
+    assert any("invalid collection bbox" in e for e in res["errors"])
+    assert any("reversed" in e for e in res["errors"])
+
+
+def test_stac_validate_file_paths(tmp_path):
+    import json
+
+    from geoparquet_io_spark.sources.stac import validate_stac_file
+
+    p = tmp_path / "item.json"
+    p.write_text(json.dumps(_good_item(tmp_path)))
+    assert validate_stac_file(str(p))["valid"]
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert not validate_stac_file(str(bad))["valid"]
+    assert not validate_stac_file(str(tmp_path / "nope.json"))["valid"]
+
+
+def test_stac_generated_items_pass_validation(spark, tmp_path):
+    """Our own generator output must pass our own validator with no
+    errors (end-to-end coherence)."""
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.sources.stac import (
+        generate_stac_item, validate_stac_dict,
+    )
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    out = str(tmp_path / "pts.parquet")
+    gt.write(out)
+    item = generate_stac_item(out)
+    res = validate_stac_dict(item, stac_dir=str(tmp_path))
+    assert not res["errors"]
