@@ -158,5 +158,6 @@ def test_transformer_composition():
 
 
 def test_unsupported_crs_message():
+    # 29903 (TM75 / Irish Grid) is deliberately not wired
     with pytest.raises(ValueError, match="projection registry"):
-        get_transformer("EPSG:4326", "EPSG:27700")
+        get_transformer("EPSG:4326", "EPSG:29903")
