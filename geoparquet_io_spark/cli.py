@@ -175,12 +175,26 @@ def cmd_check(args) -> int:
         return 0 if r["ok"] else 1
     if args.what == "row-group":
         r = check_row_groups(args.input)
+        if getattr(args, "fix", False) and r["fix_available"]:
+            from geoparquet_io_spark.operators.inspect_check import (
+                fix_row_groups,
+            )
+
+            r["fixed"] = fix_row_groups(
+                args.input, args.fix_output or args.input + ".fixed.parquet")
         print(json.dumps(r, indent=2, default=str))
-        return 0 if r["ok"] else 1
+        return 0 if r["ok"] or "fixed" in r else 1
     if args.what == "compression":
         r = check_compression(args.input)
+        if getattr(args, "fix", False) and r["fix_available"]:
+            from geoparquet_io_spark.operators.inspect_check import (
+                fix_compression,
+            )
+
+            r["fixed"] = fix_compression(
+                args.input, args.fix_output or args.input + ".fixed.parquet")
         print(json.dumps(r, indent=2, default=str))
-        return 0 if r["ok"] else 1
+        return 0 if r["ok"] or "fixed" in r else 1
 
     rep = check_structure(args.input)
     result = {
@@ -425,6 +439,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("what", choices=["all", "spec", "spatial", "compression",
                                     "bbox", "row-group"])
     c.add_argument("input")
+    c.add_argument("--fix", action="store_true",
+                   help="rewrite the file applying the recommended fix "
+                        "(compression / row-group only)")
+    c.add_argument("--fix-output", dest="fix_output",
+                   help="output path for --fix (default: <input>.fixed.parquet)")
     c.set_defaults(fn=cmd_check)
 
     cv = sub.add_parser("convert")

@@ -578,3 +578,51 @@ def estimate_row_group_rows(
     bytes_per_row = max(buf.getbuffer().nbytes / sample.num_rows, 1e-6)
     rows = int(target_mb * 2**20 / bytes_per_row)
     return max(ROW_GROUP_MIN_ROWS, min(ROW_GROUP_MAX_ROWS, rows))
+
+
+def fix_compression(path: str, out_path: str,
+                    compression: str = "zstd",
+                    compression_level: int = 15) -> dict:
+    """Single-file recompress preserving ALL footer metadata (geo
+    included) — the fix behind ``check compression --fix`` (reference:
+    core/check_fixes.py fix_compression).  Driver-side pyarrow rewrite,
+    same as the reference's single-file path."""
+    files = _files(path)
+    if len(files) != 1:
+        raise ValueError("fix_compression operates on a single file")
+    t = pq.read_table(files[0])
+    md = pq.read_metadata(files[0])
+    groups = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    pq.write_table(t, out_path, compression=compression,
+                   compression_level=compression_level,
+                   row_group_size=max(groups) if groups else None)
+    return {"output": out_path, "compression": compression.upper(),
+            "rows": t.num_rows}
+
+
+def fix_row_groups(path: str, out_path: str,
+                   target_mb: float = 128.0) -> dict:
+    """Single-file row-group resize to the 64-256 MB guidance: bytes/row
+    measured from the EXISTING file's compressed size (no sampling
+    needed), clamped to the 10k-200k-row window (reference:
+    core/check_fixes.py fix_row_groups)."""
+    files = _files(path)
+    if len(files) != 1:
+        raise ValueError("fix_row_groups operates on a single file")
+    md = pq.read_metadata(files[0])
+    comp_bytes = sum(
+        md.row_group(g).column(c).total_compressed_size
+        for g in range(md.num_row_groups)
+        for c in range(md.row_group(g).num_columns))
+    bytes_per_row = max(comp_bytes / max(md.num_rows, 1), 1e-6)
+    rows = int(target_mb * 2**20 / bytes_per_row)
+    rows = max(ROW_GROUP_MIN_ROWS, min(ROW_GROUP_MAX_ROWS, rows))
+    t = pq.read_table(files[0])
+    # keep the original codec of the first column chunk
+    codec = md.row_group(0).column(0).compression.lower() \
+        if md.num_row_groups else "zstd"
+    if codec == "uncompressed":
+        codec = "none"
+    pq.write_table(t, out_path, compression=codec, row_group_size=rows)
+    return {"output": out_path, "row_group_rows": rows,
+            "rows": t.num_rows}

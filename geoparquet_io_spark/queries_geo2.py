@@ -560,3 +560,80 @@ def q_geohash(spark, sf_dir):
 
     ev = event_lonlat(load_table(spark, sf_dir, "events"))
     return ev.select("event_id", geohash(F.col("lon"), F.col("lat"), 7).alias("geohash"))
+
+
+def _h3_rollup_oracle(child_res: int = 9, parent_res: int = 5) -> str | None:
+    """Literal res-`child_res` ids (independent scalar mirror) + the SAME
+    native bit arithmetic the Spark side uses: parent = set the res
+    field, force every digit below parent_res to 7.  Pure integer ops on
+    both engines."""
+    try:
+        import pyarrow.parquet as pq
+
+        from geoparquet_io_spark.functions import h3_fine as hf
+
+        t = pq.read_table(f"{_H3_ORACLE_SF}/events.parquet",
+                          columns=["event_id", "user_id"])
+        rows = []
+        for e, u in zip(t["event_id"].to_pylist(), t["user_id"].to_pylist()):
+            if e % _H3_MODULUS:
+                continue
+            lon = ((u * 37 + e) % 3400) / 10.0 - 170.0
+            lat = ((u * 53 + e * 7) % 1600) / 10.0 - 80.0
+            rows.append(f"({e}, {hf.latlng_to_cell_scalar(lat, lon, child_res)})")
+        vals = ", ".join(rows)
+        fill = 0
+        for r in range(parent_res + 1, 16):
+            fill |= 7 << (45 - 3 * r)
+        res_clear = ~(15 << 52) & ((1 << 63) - 1)
+        return f"""
+    WITH exp(event_id, h3) AS (VALUES {vals}),
+    tied AS (SELECT exp.event_id, exp.h3
+             FROM events JOIN exp ON events.event_id = exp.event_id),
+    up AS (SELECT ((h3 & {res_clear}) | {parent_res << 52} | {fill})
+                  AS h3_parent FROM tied)
+    SELECT h3_parent, COUNT(*) AS n FROM up GROUP BY 1
+    """
+    except Exception:
+        return None
+
+
+@register("geo_h3_rollup", _h3_rollup_oracle())
+def q_h3_rollup(spark, sf_dir):
+    """Hierarchical H3 rollup: res-9 cells aggregated to their res-5
+    parents with PURE native bit arithmetic (digit truncation is the H3
+    parent relation) — the aggregation key never leaves whole-stage
+    codegen; only the initial indexing is an Arrow-batched kernel."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    gt = _events_points(spark, sf_dir)
+    sub = gt.df.filter(F.col("event_id") % _H3_MODULUS == 0)
+
+    @pandas_udf(LongType())
+    def _h3_long(lats, lons):
+        import numpy as np
+
+        from geoparquet_io_spark.functions import h3_fine as _hk
+
+        la = lats.to_numpy(dtype=np.float64)
+        lo = lons.to_numpy(dtype=np.float64)
+        return pd.Series(_hk.latlng_to_cell(la, lo, 9))
+
+    child_res, parent_res = 9, 5
+    fill = 0
+    for r in range(parent_res + 1, 16):
+        fill |= 7 << (45 - 3 * r)
+    res_clear = ~(15 << 52) & ((1 << 63) - 1)
+    b = F.col("bbox")
+    lat = (b["ymin"] + b["ymax"]) / 2
+    lon = (b["xmin"] + b["xmax"]) / 2
+    idx = _h3_long(lat, lon)
+    parent = (
+        idx.bitwiseAND(F.lit(res_clear).cast("long"))
+        .bitwiseOR(F.lit(parent_res << 52).cast("long"))
+        .bitwiseOR(F.lit(fill).cast("long"))
+    )
+    return (sub.select(parent.alias("h3_parent"))
+            .groupBy("h3_parent").agg(F.count("*").alias("n")))

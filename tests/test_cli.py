@@ -259,3 +259,50 @@ def test_row_group_estimator_clamps():
 
     # pure function bounds (no Spark needed beyond the sample df above)
     assert ROW_GROUP_MIN_ROWS == 10_000 and ROW_GROUP_MAX_ROWS == 200_000
+
+
+def test_check_compression_fix_rewrites(spark, tmp_path, capsys):
+    """check compression --fix recompresses a snappy file to ZSTD and the
+    fixed file passes."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    good = str(tmp_path / "good.parquet")
+    gt.write(good)
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pq.read_table(good), bad, compression="snappy")
+    fixed = str(tmp_path / "fixed.parquet")
+    assert _run(["check", "compression", bad, "--fix",
+                 "--fix-output", fixed]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["fixed"]["compression"] == "ZSTD"
+    assert _run(["check", "compression", fixed]) == 0
+    capsys.readouterr()
+    # footer geo metadata survived the rewrite
+    assert b"geo" in (pq.read_schema(fixed).metadata or {})
+
+
+def test_check_row_group_fix_resizes(spark, tmp_path, capsys):
+    """check row-group --fix merges pathological tiny groups."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    good = str(tmp_path / "good.parquet")
+    gt.write(good)
+    t = pq.read_table(good)
+    shredded = str(tmp_path / "shredded.parquet")
+    pq.write_table(t, shredded, compression="zstd", row_group_size=7)
+    assert _run(["check", "row-group", shredded]) == 1
+    capsys.readouterr()
+    fixed = str(tmp_path / "rg_fixed.parquet")
+    assert _run(["check", "row-group", shredded, "--fix",
+                 "--fix-output", fixed]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["fixed"]["row_group_rows"] >= 10_000
+    md = pq.read_metadata(fixed)
+    assert md.num_row_groups == 1   # 1k rows -> single >=10k-cap group
+    assert md.num_rows == t.num_rows
