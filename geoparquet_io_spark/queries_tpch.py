@@ -588,3 +588,207 @@ def q22(spark, sf_dir):
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+# --- the last four TPC-H shapes (q2 / q11 / q16 / q20) ----------------------
+# The synthetic schema has no partsupp table; the distinct
+# (l_partkey, l_suppkey) pairs of lineitem play its role, with
+# min(l_extendedprice) as the supply cost — the operator SHAPES
+# (correlated min subquery, group-vs-global HAVING fraction, grouped
+# distinct counts with exclusion, nested EXISTS chain) are the originals.
+
+_PS = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS}),
+    costed AS (
+      SELECT p_partkey, p_type, s_name, s_acctbal, n_name, ps_supplycost
+      FROM part
+      JOIN ps ON ps_partkey = p_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND r_name = 'EUROPE'
+    ),
+    best AS (SELECT p_partkey AS b_key, MIN(ps_supplycost) AS min_cost
+             FROM costed GROUP BY 1)
+    SELECT s_name, n_name, p_partkey,
+           ROUND(s_acctbal, 2) AS s_acctbal, ROUND(min_cost, 2) AS cost
+    FROM costed JOIN best ON p_partkey = b_key AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark, sf_dir):
+    """TPC-H q2 (min-cost supplier, adapted): the correlated
+    MIN(ps_supplycost) subquery becomes a per-part aggregate joined back
+    on (partkey, cost) — dimensions broadcast, one partial-agg shuffle
+    on partkey, top-100 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costed = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = costed.groupBy(F.col("p_partkey").alias("b_key")).agg(
+        F.min("ps_supplycost").alias("min_cost"))
+    return (
+        costed.join(best, (F.col("p_partkey") == F.col("b_key"))
+                    & (F.col("ps_supplycost") == F.col("min_cost")))
+        .select("s_name", "n_name", "p_partkey",
+                F.round("s_acctbal", 2).alias("s_acctbal"),
+                F.round("min_cost", 2).alias("cost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH ps AS ({_PS}),
+    natps AS (
+      SELECT ps_partkey, ps_supplycost
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    tot AS (SELECT SUM(ps_supplycost) AS total FROM natps)
+    SELECT ps_partkey, ROUND(SUM(ps_supplycost), 2) AS value
+    FROM natps, tot
+    GROUP BY ps_partkey, tot.total
+    HAVING SUM(ps_supplycost) > tot.total * 0.0005
+    ORDER BY value DESC, ps_partkey
+    LIMIT 100
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H q11 (important stock, adapted): per-part value vs a scalar
+    global-total fraction — the scalar comes from a one-row broadcast
+    cross join, the HAVING runs after the partial-agg shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natps = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", "ps_supplycost")
+    )
+    tot = natps.agg(F.sum("ps_supplycost").alias("total"))
+    return (
+        natps.join(F.broadcast(tot))
+        .groupBy("ps_partkey", "total")
+        .agg(F.sum("ps_supplycost").alias("raw_value"))
+        .filter(F.col("raw_value") > F.col("total") * 0.0005)
+        .select("ps_partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    f"""
+    WITH ps AS ({_PS}),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """TPC-H q16 (supplier-part counts, adapted): NOT IN becomes a LEFT
+    ANTI join against the excluded-supplier set, then a grouped
+    COUNT(DISTINCT) (two-stage distinct aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey")).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3))
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(excl),
+                F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    """
+    WITH qty AS (
+      SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
+             0.5 * SUM(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    forest AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    bigsup AS (
+      SELECT DISTINCT q_suppkey
+      FROM qty JOIN forest ON q_partkey = p_partkey
+      WHERE half_qty > 25
+    )
+    SELECT s_name, s_nationkey
+    FROM supplier JOIN bigsup ON s_suppkey = q_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H q20 (potential promotion, adapted to the synthetic part
+    names): the nested EXISTS chain becomes per-(part,supplier) shipped
+    quantity -> threshold filter -> DISTINCT supplier semi-set -> join
+    to the nation-filtered supplier dimension."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    qty = li.groupBy(
+        F.col("l_partkey").alias("q_partkey"),
+        F.col("l_suppkey").alias("q_suppkey"),
+    ).agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    forest = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    bigsup = (
+        qty.join(F.broadcast(forest), F.col("q_partkey") == F.col("p_partkey"))
+        .filter(F.col("half_qty") > 25)
+        .select("q_suppkey").distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(bigsup, F.col("s_suppkey") == F.col("q_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
