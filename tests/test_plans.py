@@ -139,3 +139,61 @@ def test_near_dup_is_bucketed_not_all_pairs(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_new_tpch_shapes_broadcast_and_no_python(spark):
+    """q2/q11/q16/q20: dimensions broadcast, no sort-merge fallback on
+    the dimension side, zero python evals (pure relational plans)."""
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.queries import REGISTRY
+
+    for name, min_bc in (
+        ("tpch_q2_min_cost_supplier", 3),
+        ("tpch_q11_important_stock", 2),
+        ("tpch_q16_supplier_part_count", 2),
+        ("tpch_q20_potential_promotion", 2),
+    ):
+        df = REGISTRY[name][0](spark, SF_SMOKE)
+        s = plan_summary(df)
+        assert s["python_evals"] == 0, name
+        assert s["broadcast_joins"] >= min_bc, (name, s)
+
+
+def test_h3_rollup_single_shuffle_native_key(spark):
+    """geo_h3_rollup: the parent bit-arithmetic key stays native — one
+    aggregation exchange, no extra python eval beyond the indexing UDF."""
+    from geoparquet_io_spark.plans import formatted_plan, plan_summary
+    from geoparquet_io_spark.queries import REGISTRY
+
+    df = REGISTRY["geo_h3_rollup"][0](spark, SF_SMOKE)
+    s = plan_summary(df)
+    # at most the point-encode + latlng->cell kernels; the PARENT bit
+    # arithmetic itself must not add a third python projection
+    assert s["python_evals"] <= 2
+    # one partial-agg shuffle (AQE can surface it twice in the formatted
+    # plan: initial + final)
+    assert s["exchanges"] <= 2
+    assert s["sort_merge_joins"] == 0
+
+
+def test_q17_threshold_agg_is_part_restricted(spark):
+    """q17's per-part threshold aggregates only lineitems of the filtered
+    part set (left_semi before groupBy) — the broadcast side stays
+    bounded by part-filter selectivity at any SF."""
+    from geoparquet_io_spark.plans import formatted_plan
+    from geoparquet_io_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q17_small_quantity"][0](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_osgb_reproject_is_map_only(spark):
+    """EPSG:27700 datum+projection chain: zero exchanges — a pure
+    map-side Arrow-batched transform."""
+    from geoparquet_io_spark.plans import plan_summary
+    from geoparquet_io_spark.queries import REGISTRY
+
+    df = REGISTRY["geo_reproject_osgb"][0](spark, SF_SMOKE)
+    s = plan_summary(df)
+    assert s["exchanges"] == 0

@@ -1,0 +1,134 @@
+"""Hypothesis property tests for the numeric kernels: projections
+(round-trip + conformality), H3 (round-trip + determinism), geokeys.
+Pure-numpy — no Spark session needed."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparquet_io_spark.functions import crs as C
+from geoparquet_io_spark.functions import h3_fine as hf
+from geoparquet_io_spark.functions import projections as P
+
+_lat = st.floats(min_value=-84.0, max_value=84.0, allow_nan=False)
+_lng = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=_lat, lng=_lng, res=st.integers(min_value=1, max_value=15))
+def test_h3_roundtrip_property(lat, lng, res):
+    idx = hf.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    assert int(idx[0]) != 0
+    clat, clng = hf.cell_to_latlng(idx)
+    back = hf.latlng_to_cell(clat, clng, res)
+    assert int(back[0]) == int(idx[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=_lat, lng=_lng, res=st.integers(min_value=1, max_value=12))
+def test_h3_scalar_equals_vector_property(lat, lng, res):
+    vec = int(hf.latlng_to_cell(np.array([lat]), np.array([lng]), res)[0])
+    assert hf.latlng_to_cell_scalar(lat, lng, res) == vec
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat=st.floats(min_value=-80.0, max_value=80.0, allow_nan=False),
+       lng=_lng,
+       zone=st.integers(min_value=1, max_value=60))
+def test_utm_roundtrip_property(lat, lng, zone):
+    # confine to the zone's valid band (+-3 deg of its central meridian)
+    cm = 6.0 * zone - 183.0
+    lng = cm + (lng / 180.0) * 3.0
+    code = 32600 + zone if lat >= 0 else 32700 + zone
+    fwd = C.get_transformer("EPSG:4326", f"EPSG:{code}")
+    inv = C.get_transformer(f"EPSG:{code}", "EPSG:4326")
+    x, y = fwd(np.array([lng]), np.array([lat]))
+    lo, la = inv(x, y)
+    assert abs(float(lo[0]) - lng) < 1e-9
+    assert abs(float(la[0]) - lat) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=st.floats(min_value=49.5, max_value=60.5, allow_nan=False),
+       lng=st.floats(min_value=-7.0, max_value=1.7, allow_nan=False))
+def test_osgb_conformality_property(lat, lng):
+    """TM is conformal: tiny east and north steps must map to
+    near-orthogonal, near-equal-length grid vectors."""
+    f_ell = P.AIRY1830[1]
+    fwd = C.get_transformer("EPSG:4326", "EPSG:27700")
+    # ~11 m steps: big enough that double-precision cancellation in the
+    # 1e5-1e6 m projected coords stays ~1e-5 relative
+    d = 1e-4
+    x0, y0 = fwd(np.array([lng]), np.array([lat]))
+    xe, ye = fwd(np.array([lng + d / math.cos(math.radians(lat))]),
+                 np.array([lat]))
+    xn, yn = fwd(np.array([lng]), np.array([lat + d]))
+    ve = np.array([float(xe[0] - x0[0]), float(ye[0] - y0[0])])
+    vn = np.array([float(xn[0] - x0[0]), float(yn[0] - y0[0])])
+    ratio = np.linalg.norm(ve) / np.linalg.norm(vn)
+    cosang = abs(np.dot(ve, vn)) / (np.linalg.norm(ve) * np.linalg.norm(vn))
+    # equal ANGULAR steps produce arcs of N(lat) east vs M(lat) north on
+    # an ellipsoid; conformal scale is isotropic on GROUND lengths, so
+    # the grid ratio must equal N/M exactly
+    e2 = 2 * f_ell - f_ell * f_ell
+    s2 = math.sin(math.radians(lat)) ** 2
+    nm = (1.0 - e2 * s2) / (1.0 - e2)  # N/M = prime-vertical / meridional
+    assert abs(ratio - nm) < 3e-4
+    assert cosang < 3e-4
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=st.floats(min_value=26.5, max_value=36.0, allow_nan=False),
+       lng=st.floats(min_value=-105.5, max_value=-94.5, allow_nan=False))
+def test_texas_lcc_conformality_property(lat, lng):
+    f_ell = P.GRS80[1]
+    fwd = C.get_transformer("EPSG:4326", "EPSG:32139")
+    # ~11 m steps: big enough that double-precision cancellation in the
+    # 1e5-1e6 m projected coords stays ~1e-5 relative
+    d = 1e-4
+    x0, y0 = fwd(np.array([lng]), np.array([lat]))
+    xe, ye = fwd(np.array([lng + d / math.cos(math.radians(lat))]),
+                 np.array([lat]))
+    xn, yn = fwd(np.array([lng]), np.array([lat + d]))
+    ve = np.array([float(xe[0] - x0[0]), float(ye[0] - y0[0])])
+    vn = np.array([float(xn[0] - x0[0]), float(yn[0] - y0[0])])
+    ratio = np.linalg.norm(ve) / np.linalg.norm(vn)
+    cosang = abs(np.dot(ve, vn)) / (np.linalg.norm(ve) * np.linalg.norm(vn))
+    # equal ANGULAR steps produce arcs of N(lat) east vs M(lat) north on
+    # an ellipsoid; conformal scale is isotropic on GROUND lengths, so
+    # the grid ratio must equal N/M exactly
+    e2 = 2 * f_ell - f_ell * f_ell
+    s2 = math.sin(math.radians(lat)) ** 2
+    nm = (1.0 - e2 * s2) / (1.0 - e2)  # N/M = prime-vertical / meridional
+    assert abs(ratio - nm) < 3e-4
+    assert cosang < 3e-4
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat=st.floats(min_value=45.9, max_value=47.8, allow_nan=False),
+       lng=st.floats(min_value=6.0, max_value=10.4, allow_nan=False))
+def test_swiss_krovak_domain_sanity(lat, lng):
+    """LV95 coordinates of any Swiss point stay inside the national
+    range (E 2.4-2.9M, N 1.0-1.4M) — catches datum/offset regressions."""
+    fwd = C.get_transformer("EPSG:4326", "EPSG:2056")
+    x, y = fwd(np.array([lng]), np.array([lat]))
+    assert 2_400_000 < float(x[0]) < 2_900_000
+    assert 1_000_000 < float(y[0]) < 1_400_000
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=_lat, lng=_lng)
+def test_h3_parent_is_coarser_containing_region(lat, lng):
+    """parent(res 9 -> res 5) center within a res-5 circumradius*2 of
+    the point (truncation stays local)."""
+    i9 = hf.latlng_to_cell(np.array([lat]), np.array([lng]), 9)
+    p5 = hf.parent(i9, 5)
+    plat, plng = hf.cell_to_latlng(p5)
+    dlng = abs(float(plng[0]) - lng)
+    if dlng > 180:
+        return  # antimeridian wrap; skip plain-metric check
+    d = math.radians(math.hypot(float(plat[0]) - lat,
+                                dlng * math.cos(math.radians(lat))))
+    assert d < 2.2 * 0.44 / 7 ** 2.5
