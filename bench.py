@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",
     "stream_window_counts",
     "geo_h3_res0",
+    "geo_h3_res9_full",
     "geo_reproject_albers",
 ]
 

@@ -637,3 +637,45 @@ def q_h3_rollup(spark, sf_dir):
     )
     return (sub.select(parent.alias("h3_parent"))
             .groupBy("h3_parent").agg(F.count("*").alias("n")))
+
+
+def _h3_full_agg_oracle(res: int = 9) -> str | None:
+    """Aggregate oracle over ALL events: the distinct-cell count is
+    computed at oracle-build time by the scalar mirror (one pass over the
+    oracle-scale keys) and embedded as a literal, cross-tied to the live
+    COUNT(*) of the events view."""
+    try:
+        import pyarrow.parquet as pq
+
+        from geoparquet_io_spark.functions import h3_fine as hf
+
+        t = pq.read_table(f"{_H3_ORACLE_SF}/events.parquet",
+                          columns=["event_id", "user_id"])
+        cells = set()
+        n = 0
+        for e, u in zip(t["event_id"].to_pylist(), t["user_id"].to_pylist()):
+            lon = ((u * 37 + e) % 3400) / 10.0 - 170.0
+            lat = ((u * 53 + e * 7) % 1600) / 10.0 - 80.0
+            cells.add(hf.latlng_to_cell_scalar(lat, lon, res))
+            n += 1
+        return f"""
+    SELECT CAST({len(cells)} AS BIGINT) AS distinct_cells,
+           COUNT(*) AS n_points
+    FROM events
+    """
+    except Exception:
+        return None
+
+
+@register("geo_h3_res9_full", _h3_full_agg_oracle())
+def q_h3_res9_full(spark, sf_dir):
+    """Full-table res-9 indexing (every event row through the aperture-7
+    kernel) + distinct-cell aggregate — the bench-scale H3 measurement."""
+    gt = _events_points(spark, sf_dir)
+    from geoparquet_io_spark.operators.add_columns import add_h3
+
+    out = add_h3(gt.df, bbox_column="bbox", resolution=9)
+    return out.agg(
+        F.countDistinct("h3").alias("distinct_cells"),
+        F.count("*").alias("n_points"),
+    )
