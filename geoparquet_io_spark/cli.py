@@ -204,6 +204,15 @@ def cmd_check(args) -> int:
         "bbox_covering": rep.has_bbox_covering,
         "issues": rep.issues,
     }
+    if args.what == "all":
+        # fold the granular aspect reports into the aggregate verdict
+        rg = check_row_groups(args.input)
+        comp = check_compression(args.input)
+        result["row_group_issues"] = rg["issues"]
+        result["compression_issues"] = comp["issues"]
+        result["issues"] = result["issues"] + [
+            i for i in rg["issues"] + comp["issues"]
+            if i not in result["issues"]]
     if args.what in ("all", "spec"):
         result["spec_errors"] = validate(_spark(), args.input)
     if args.what == "spatial":
