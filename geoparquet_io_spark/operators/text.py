@@ -355,3 +355,52 @@ def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(F.col("doc").alias(id_column), "term", "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
+                text_column: str = "text", chunk_words: int = 10,
+                out_column: str = "clean_text") -> DataFrame:
+    """Span-level corpus dedup (the C4 / Dolma paragraph-dedup shape for
+    flat text): split each document into consecutive ``chunk_words``-word
+    chunks, keep only each chunk's GLOBAL first occurrence (ordered by
+    (doc id, position)), and reassemble the surviving chunks in order.
+
+    Scale shape: chunking is a native array transform (no explode-regroup
+    round trip — one posexplode only); first-occurrence selection is a
+    window partitioned BY CHUNK TEXT (equi-partitioned by content, the
+    same key a 100 TB run would bucket on — skew only if one chunk
+    dominates the corpus); reassembly is one groupBy the doc id.  Two
+    shuffles total, all native expressions.
+    """
+    words = F.filter(F.split(F.col(text_column), " "),
+                     lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    exploded = (
+        df.select(F.col(id_column), F.posexplode(chunks)
+                  .alias("__chunk_no", "__chunk"))
+        .filter(F.col("__chunk") != "")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__chunk").orderBy(id_column, "__chunk_no")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        kept.groupBy(id_column)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__chunk_no", "__chunk"))),
+                    lambda s: s["__chunk"],
+                ), " ").alias(out_column),
+            F.count("*").alias("n_kept_chunks"),
+        )
+    )

@@ -867,3 +867,44 @@ def q_tfidf(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return tf_idf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "text_chunk_dedup",
+    """
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS arr
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(arr) AS word,
+             generate_subscripts(arr, 1) AS ord
+      FROM lists
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((ord - 1) // 10 AS INTEGER) AS chunk_no,
+             string_agg(word, ' ' ORDER BY ord) AS chunk
+      FROM words GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_no, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_no) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
+           COUNT(*) AS n_kept_chunks
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Span-level corpus dedup (C4/Dolma paragraph-dedup shape): global
+    first occurrence per 10-word chunk, documents reassembled from the
+    survivors — all native expressions, two shuffles."""
+    from geoparquet_io_spark.operators.text import chunk_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(d, chunk_words=10)
