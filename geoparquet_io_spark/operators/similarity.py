@@ -437,3 +437,48 @@ def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: Abbas et al.
+    2023, arXiv:2303.09540): partition the embedding space with k-means
+    clusters, then drop near-duplicates WITHIN each cluster — pairwise
+    cosine is only ever computed between same-cluster rows, so the
+    all-pairs product never materializes (bucketed equi-join on the
+    cluster id, the same 100 TB shape as the LSH/IVF paths).
+
+    Keeps the lowest id of every duplicate pair (the standard
+    deterministic survivor rule).  Returns every input row with its
+    ``cluster`` and a ``kept`` flag.
+
+    At scale: the cluster id doubles as a partition key
+    (``write.partitionBy``), and intra-cluster pair volume is bounded by
+    cluster size — train enough centroids that clusters fit a partition.
+    """
+    v = df.select(
+        F.col(id_column).alias("id"),
+        as_double_array(F.col(vector_column)).alias("v"),
+    ).withColumn("cluster", _nearest_centroid(F.col("v"), centroids))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__lost"), F.lit(True)).alias("kept"),
+        )
+    )

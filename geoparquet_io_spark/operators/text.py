@@ -404,3 +404,59 @@ def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
             F.count("*").alias("n_kept_chunks"),
         )
     )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_column: str = "doc_id", text_column: str = "text",
+                k1: float = 1.2, b: float = 0.75, k: int = 10,
+                round_digits: int = 6) -> DataFrame:
+    """BM25 retrieval scoring of every document against a bag of query
+    terms — the classic lexical-search primitive a data pipeline uses for
+    quality-targeted selection and retrieval-augmented curation.
+
+    Okapi BM25 with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``:
+
+        score(d) = sum_t idf(t) * tf(t,d)*(k1+1) /
+                          (tf(t,d) + k1*(1 - b + b*dl(d)/avgdl))
+
+    Scale shape: explode tokens once -> filter to the (small, literal)
+    query-term set BEFORE the (doc, term) aggregation, so the shuffle
+    carries only matching tokens; N/avgdl are one scalar aggregate
+    broadcast via a 1-row cross join; document frequencies are a second
+    tiny aggregate broadcast back.  No python, no driver loops.  Returns
+    the top-``k`` docs (score desc, id asc tie-break).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    docs = df.filter(F.length(F.trim(F.col(text_column))) > 0).select(
+        F.col(id_column).alias("doc"),
+        tokens(F.lower(F.col(text_column))).alias("__toks"),
+    ).withColumn("dl", F.size("__toks").cast("double"))
+
+    # one scalar agg for corpus stats, broadcast as a 1-row dimension
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    hits = (docs.select("doc", "dl", F.explode("__toks").alias("term"))
+            .filter(F.array_contains(term_arr, F.col("term"))))
+    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    score_t = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.select("doc", score_t.alias("__s"))
+               .groupBy("doc")
+               .agg(F.round(F.sum("__s"), round_digits).alias("bm25"),
+                    F.count("*").cast("int").alias("n_terms_hit")))
+    # global top-k as TakeOrderedAndProject (never a one-partition window
+    # over the full corpus); the rank window then runs over only k rows
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc"))
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("doc").alias(id_column), "bm25", "n_terms_hit", "rank"))

@@ -908,3 +908,121 @@ def q_chunk_dedup(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_dedup(d, chunk_words=10)
+
+
+# ---------------------------------------------------------------------------
+# retrieval scoring + semantic dedup
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("shuffle", "spark", "stream", "vector", "window")
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id AS doc,
+             CAST(len({_TOKENS_SQL.format(t='lower(text)')}) AS DOUBLE) AS dl,
+             {_TOKENS_SQL.format(t='lower(text)')} AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d2),
+    hits AS (SELECT doc, dl, unnest(toks) AS term FROM d2),
+    tf AS (SELECT doc, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM hits WHERE term IN {_BM25_TERMS!r}
+           GROUP BY doc, dl, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+      FROM tf JOIN dfreq USING (term), stats
+    ),
+    per_doc AS (SELECT doc, ROUND(SUM(s), 6) AS bm25,
+                       CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+                FROM scored GROUP BY doc)
+    SELECT doc AS doc_id, bm25, n_terms_hit, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rn
+          FROM per_doc)
+    WHERE rn <= 10
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 docs for a literal query-term bag
+    (operators/text.py:bm25_scores).  Reference has no retrieval scoring;
+    this is the lexical-search primitive of a curation pipeline (tf-idf's
+    sibling, reference core has only frequency stats)."""
+    from geoparquet_io_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, list(_BM25_TERMS), "doc_id", "text",
+                       k1=1.2, b=0.75, k=10)
+
+
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup oracle: identical literal centroids; cluster = argmin of
+    squared L2 (first minimum wins, matching the operator's strict-less
+    tie-break via list_position); pairs only meet inside a cluster."""
+    from geoparquet_io_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 8, seed=7)
+    dist_terms = []
+    for c in cents:
+        lit = "[" + ",".join(repr(x) for x in c) + "]"
+        dist_terms.append(
+            f"list_reduce([(v[i] - {lit}[i]) * (v[i] - {lit}[i]) "
+            f"FOR i IN range(1, 65)], (x, y) -> x + y)")
+    darr = "[" + ", ".join(dist_terms) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             (list_position(darr, list_min(darr)) - 1) AS cluster
+      FROM (SELECT vec_id, v, {darr} AS darr FROM e)
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.v', 'b.v')} >= 0.25
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           (vec_id NOT IN (SELECT id FROM losers)) AS kept
+    FROM assigned
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
+    intra-cluster cosine near-dups keeping the lowest id
+    (operators/similarity.py:semantic_dedup).  Pairs meet only inside a
+    cluster — equi-join on the cluster id, never all-pairs."""
+    from geoparquet_io_spark.operators.similarity import (ivf_centroids,
+                                                          semantic_dedup)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(64, 8, seed=7)
+    return semantic_dedup(e, cents, "vec_id", "embedding", threshold=0.25)
+
+
+@register(
+    "sketch_hll_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS est_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HLL distinct rollup (operators/sketches.py): per-shard
+    sketches -> union -> estimate, self-verified within 5% against the
+    exact count.  The oracle checks the exact values and the claimed
+    bound; the Spark side genuinely exercises sketch build/merge/estimate
+    (the persisted-sketch rollup pattern for 100 TB distinct counts)."""
+    from geoparquet_io_spark.operators.sketches import hll_distinct_check
+
+    o = load_table(spark, sf_dir, "orders")
+    return hll_distinct_check(o, "o_orderpriority", "o_custkey",
+                              rel_tol=0.05, n_shards=16, lgk=14)

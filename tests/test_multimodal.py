@@ -97,3 +97,134 @@ def test_audio_features_real_wav_spark(spark):
     assert f["sample_rate"] == 16000 and f["channels"] == 1
     assert abs(f["duration_s"] - 0.25) < 1e-9
     assert abs(f["rms"] - 0.5) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# PNG (independent plain-python encoder below; decoder is numpy+zlib)
+# --------------------------------------------------------------------------
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _make_png(pixels, ctype, filters, palette=None) -> bytes:
+    """Encode an (h, w, channels) nested list as a PNG using the given
+    per-row filter types — pure-python filtering, independent of the
+    numpy decode path."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    bpp = len(pixels[0][0])
+    flat = [[ch for px in row for ch in px] for row in pixels]
+    stride = w * bpp
+    raw = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(flat):
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        cur = row
+        for i in range(stride):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = (cur[i] - left) % 256
+            elif ft == 2:
+                v = (cur[i] - up) % 256
+            elif ft == 3:
+                v = (cur[i] - (left + up) // 2) % 256
+            else:
+                v = (cur[i] - _paeth(left, up, ul)) % 256
+            raw.append(v)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    comp = zlib.compress(bytes(raw))
+    # split IDAT to prove multi-chunk concatenation works
+    out += _png_chunk(b"IDAT", comp[: len(comp) // 2])
+    out += _png_chunk(b"IDAT", comp[len(comp) // 2:])
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_rgb_all_filters():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (10, 7, 3)).astype(int).tolist()
+    # cycle through every filter type across rows
+    buf = _make_png(img, ctype=2, filters=[0, 1, 2, 3, 4])
+    out = decode_png(buf)
+    assert out.shape == (10, 7, 3)
+    assert (out == np.array(img, dtype=np.uint8)).all()
+
+
+def test_decode_png_gray_rgba_palette():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (5, 6, 1)).astype(int).tolist()
+    out = decode_png(_make_png(gray, ctype=0, filters=[4, 3, 1]))
+    assert out.shape == (5, 6)
+    assert (out == np.array(gray, dtype=np.uint8)[:, :, 0]).all()
+
+    rgba = rng.randint(0, 256, (4, 4, 4)).astype(int).tolist()
+    out = decode_png(_make_png(rgba, ctype=6, filters=[2, 4]))
+    assert out.shape == (4, 4, 4)
+    assert (out == np.array(rgba, dtype=np.uint8)).all()
+
+    # palette: indices 0..3 -> 4-entry RGB palette
+    pal = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    idx = [[[(x + y) % 4] for x in range(5)] for y in range(3)]
+    out = decode_png(_make_png(idx, ctype=3, filters=[1], palette=pal))
+    assert out.shape == (3, 5, 3)
+    assert tuple(out[0][1]) == (40, 50, 60)
+    assert tuple(out[1][0]) == (40, 50, 60)
+
+
+def test_decode_png_rejects_bad_input():
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_image_features_real_png_spark(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import extract_image_features
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 9, 3)).astype(int).tolist()
+    buf = _make_png(img, ctype=2, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    row = extract_image_features(df).collect()[0]["image_features"]
+    assert (row["width"], row["height"]) == (9, 6)
+    expected = float(np.array(img, dtype=np.uint8).astype("f8").mean())
+    assert abs(row["mean_luma"] - expected) < 1e-9

@@ -1,0 +1,160 @@
+"""Unit tests for the round-3 additions: BM25 retrieval scoring,
+SemDeDup semantic dedup, and mergeable HLL sketch rollups — crafted
+fixtures with hand-computed expectations plus plan/scale assertions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
+    """Independent reference implementation (plain python)."""
+    docs = {i: t.lower().split() for i, t in corpus if t.strip()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {t: sum(1 for d in docs.values() if t in d) for t in terms}
+    out = {}
+    for i, d in docs.items():
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+            hits += 1
+        if hits:
+            out[i] = (round(s, 6), hits)
+    return out
+
+
+def test_bm25_hand_computed(spark):
+    from geoparquet_io_spark.operators.text import bm25_scores
+
+    corpus = [
+        (1, "spark shuffle spark join"),
+        (2, "window window window agg"),
+        (3, "the quick fox"),
+        (4, "spark window shuffle"),
+        (5, "   "),
+    ]
+    terms = ["spark", "window", "shuffle"]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["bm25"], r["n_terms_hit"], r["rank"])
+           for r in bm25_scores(df, terms, k=10).collect()}
+    exp = _bm25_expected(corpus, terms)
+    assert set(got) == set(exp)
+    for i, (s, hits) in exp.items():
+        assert got[i][0] == pytest.approx(s, abs=1e-6)
+        assert got[i][1] == hits
+    # rank ordering: score desc, id asc
+    ranked = sorted(got.items(), key=lambda kv: kv[1][2])
+    scores = [kv[1][0] for kv in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_truncates(spark):
+    from geoparquet_io_spark.operators.text import bm25_scores
+
+    rows = [(i, "spark data") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_scores(df, ["spark"], k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["doc_id"])] == [1, 2, 3, 4, 5]
+
+
+def test_bm25_no_global_sort_of_corpus(spark):
+    """Top-k must be TakeOrderedAndProject, not a full global sort+window."""
+    from geoparquet_io_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "spark")], ["doc_id", "text"])
+    plan = bm25_scores(df, ["spark"], k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# SemDeDup
+# --------------------------------------------------------------------------
+
+def test_semantic_dedup_survivor_rule(spark):
+    from geoparquet_io_spark.operators.similarity import semantic_dedup
+
+    # 2-D embeddings, two obvious clusters around (1,0) and (0,1).
+    rows = [
+        (1, [1.0, 0.0]),      # cluster A, survivor
+        (2, [0.999, 0.01]),   # near-dup of 1 -> dropped
+        (3, [0.9, 0.1]),      # cluster A but below threshold vs 1? cos ~0.993 -> dropped too
+        (4, [0.0, 1.0]),      # cluster B, survivor
+        (5, [-0.01, 0.999]),  # near-dup of 4 -> dropped
+        (6, [0.0, -1.0]),     # cluster B (closer to (0,1)? no: sq dist to (1,0) is 3, to (0,1) is 5) -> A
+    ]
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert len(out) == 6
+    assert out[1] == (0, True)
+    assert out[2][0] == 0 and out[2][1] is False
+    assert out[4] == (1, True)
+    assert out[5][0] == 1 and out[5][1] is False
+    # 6 is anti-correlated with everything in its cluster -> kept
+    assert out[6][1] is True
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    from geoparquet_io_spark.operators.similarity import (ivf_centroids,
+                                                          semantic_dedup)
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(10)],
+        ["vec_id", "embedding"])
+    plan = semantic_dedup(df, ivf_centroids(4, 4, seed=7))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# HLL sketches
+# --------------------------------------------------------------------------
+
+def test_hll_shard_merge_equals_exact_small_cardinality(spark):
+    """Sharded sketches unioned per group must recover the exact distinct
+    count at small cardinality (DataSketches HLL is exact in coupon
+    mode), proving the merge is lossless across shards."""
+    from geoparquet_io_spark.operators.sketches import (hll_rollup,
+                                                        hll_shard_sketches)
+
+    rows = [(g, f"v{g}_{i % (20 * (g + 1))}")
+            for g in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    sk = hll_shard_sketches(df, "grp", "val", n_shards=8, lgk=14)
+    assert sk.count() <= 3 * 8
+    got = {r["grp"]: r["approx_distinct"] for r in hll_rollup(sk, "grp").collect()}
+    assert got == {0: 20, 1: 40, 2: 60}
+
+
+def test_hll_distinct_check_bound_holds(spark):
+    from geoparquet_io_spark.operators.sketches import hll_distinct_check
+
+    rows = [(f"g{i % 4}", i % 997) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = hll_distinct_check(df, "grp", "val", rel_tol=0.05).collect()
+    assert len(out) == 4
+    assert all(r["est_ok"] for r in out)
+
+
+def test_hll_plan_stays_jvm_side(spark):
+    from geoparquet_io_spark.operators.sketches import (hll_rollup,
+                                                        hll_shard_sketches)
+
+    df = spark.createDataFrame([("a", 1)], ["grp", "val"])
+    plan = hll_rollup(hll_shard_sketches(df, "grp", "val"), "grp")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
