@@ -1,0 +1,64 @@
+"""Distributed graph operators for corpus curation.
+
+Web-scale curation pipelines rank documents by link-graph centrality
+(CommonCrawl publishes harmonic-centrality/PageRank ranks; CCNet-style
+recipes filter on them).  ``pagerank`` is the classic damped power
+iteration expressed as pure DataFrame joins + partial aggregations —
+each iteration is one shuffle on the edge destination, the same shape
+GraphX/Pregel lowers to.
+
+Related: ``operators/dedup.py`` already has connected components
+(min-label propagation + pointer jumping) for transitive dedup groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iterations: int = 3,
+             round_digits: int | None = 6,
+             checkpoint_every: int = 8) -> DataFrame:
+    """PageRank by damped power iteration (no dangling-mass
+    redistribution — ranks are comparable, the common simplification).
+
+    100 TB posture: node/degree tables are computed once and reused; each
+    iteration is `edges JOIN pr ON src` (co-partitionable on src) then one
+    partial-agg shuffle on dst — no collect, no cartesian.  Long runs
+    localCheckpoint every ``checkpoint_every`` iterations to cut the
+    lineage (same guard as dedup's pointer jumping).
+
+    Returns (node, pagerank).
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n_nodes = float(nodes.count())   # scalar agg (same pattern as tf-idf's N)
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    base = (1.0 - damping) / n_nodes
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contrib = (e.join(pr, e.src == pr.node)
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("pr") / F.col("deg")).alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = nodes.join(sums, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping)
+             * F.coalesce(F.col("m"), F.lit(0.0))).alias("pr"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
+    out = pr.select(F.col("node"),
+                    (F.round(F.col("pr"), round_digits)
+                     if round_digits is not None else F.col("pr")).alias("pagerank"))
+    return out

@@ -83,3 +83,30 @@ def split_by_hash(df: DataFrame, key_column: str, weights: dict,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_column, expr)
+
+
+def stratified_take(df: DataFrame, key_column: str, stratum_column: str,
+                    n_per_stratum: int, salt: str = "strat") -> DataFrame:
+    """EXACT-count per-stratum sampling: rank rows inside each stratum by
+    their deterministic hash draw and keep the first ``n_per_stratum``.
+
+    Rate-based sampling (``mixture_sample``) gives binomial counts; when a
+    curation recipe says "exactly 10k docs per language", this is the
+    operator.  The draw-ordered rank is a uniform random-without-
+    replacement sample, yet fully reproducible across retries, engines
+    and partitionings (same reason as ``sample_by_hash``).
+
+    Scale shape: one shuffle on the stratum key + a partitioned window —
+    no global sort, no RNG.  Skewed strata are bounded by the window's
+    per-partition top-n (rows beyond n are dropped at the sort spill).
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql import Window
+
+    draw = _hash_draw(F.col(key_column), salt)
+    w = (Window.partitionBy(stratum_column)
+         .orderBy(draw.asc(), F.col(key_column).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))

@@ -460,3 +460,42 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     w = Window.orderBy(F.desc("bm25"), F.asc("doc"))
     return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("doc").alias(id_column), "bm25", "n_terms_hit", "rank"))
+
+
+def hashed_linear_score(df: DataFrame, weights: list[float], bias: float,
+                        id_column: str = "doc_id", text_column: str = "text",
+                        salt: str = "hlc",
+                        round_digits: int = 6) -> DataFrame:
+    """FastText-style hashed linear classifier (the public CCNet /
+    LLaMA-data quality-filter shape): each token hashes into one of
+    ``len(weights)`` buckets, the document score is the sigmoid of
+    ``bias + mean(bucket weights)`` (mean pooling over tokens, exactly
+    fastText's sentence-vector average with a 1-D output).
+
+    Model weights arrive as a plain literal list, so the whole scorer is
+    native expressions: explode -> md5-bucket -> literal-array lookup ->
+    one partial-agg shuffle per doc.  No python in the plan, and the
+    identical arithmetic is SQL-mirrorable for the oracle gate.
+    """
+    from geoparquet_io_spark.operators.sampling import _hash_draw
+
+    n_buckets = len(weights)
+    if n_buckets < 1:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+
+    toks = df.filter(F.length(F.trim(F.col(text_column))) > 0).select(
+        F.col(id_column).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    bucket = (_hash_draw(F.col("term"), salt) % n_buckets).cast("int")
+    scored = toks.select("doc", F.element_at(warr, bucket + 1).alias("w"))
+    agg = scored.groupBy("doc").agg(
+        F.sum("w").alias("__sw"), F.count("*").cast("double").alias("__n"))
+    z = F.lit(float(bias)) + F.col("__sw") / F.col("__n")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return agg.select(
+        F.col("doc").alias(id_column),
+        F.round(score, round_digits).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

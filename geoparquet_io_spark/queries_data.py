@@ -1026,3 +1026,146 @@ def q_hll_distinct(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return hll_distinct_check(o, "o_orderpriority", "o_custkey",
                               rel_tol=0.05, n_shards=16, lgk=14)
+
+
+@register(
+    "sample_stratified_exact",
+    f"""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             {_DRAW.format(salt='strat', key='doc_id')} AS draw
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY draw, doc_id) AS rn
+          FROM drawn)
+    WHERE rn <= 20
+    """,
+)
+def q_stratified_take(spark, sf_dir):
+    """Exact-count per-stratum sampling (operators/sampling.py:
+    stratified_take): exactly 20 docs per source, chosen by deterministic
+    hash-draw rank — reproducible random-without-replacement."""
+    from geoparquet_io_spark.operators.sampling import stratified_take
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_take(d, "doc_id", "source", 20).select("doc_id", "source")
+
+
+# fastText-style hashed linear quality filter: fixed literal model
+_HLC_WEIGHTS = [-0.9, 0.7, -0.4, 1.1, -1.3, 0.2, 0.8, -0.6,
+                1.4, -0.2, 0.5, -1.0, 0.3, 0.9, -0.7, 0.6]
+_HLC_BIAS = 0.05
+
+
+def _hlc_oracle() -> str:
+    warr = "[" + ",".join(repr(float(x)) for x in _HLC_WEIGHTS) + "]"
+    draw = _DRAW.format(salt="hlc", key="term")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({_TOKENS_SQL.format(t='lower(text)')}) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    bucketed AS (
+      SELECT doc, ({warr})[CAST(({draw}) % 16 AS INTEGER) + 1] AS w
+      FROM toks WHERE len(term) > 0
+    ),
+    agg AS (SELECT doc, SUM(w) AS sw, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM bucketed GROUP BY doc)
+    SELECT doc AS doc_id,
+           ROUND(1.0 / (1.0 + exp(-({_HLC_BIAS!r} + sw / n))), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-({_HLC_BIAS!r} + sw / n))) >= 0.5) AS keep
+    FROM agg
+    """
+
+
+@register("text_quality_classifier", _hlc_oracle())
+def q_hashed_linear(spark, sf_dir):
+    """FastText-shape hashed linear quality classifier with a literal
+    weight vector (operators/text.py:hashed_linear_score): explode ->
+    md5 bucket -> literal-array weight lookup -> one partial-agg shuffle
+    -> sigmoid.  All native expressions."""
+    from geoparquet_io_spark.operators.text import hashed_linear_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(d, _HLC_WEIGHTS, _HLC_BIAS, "doc_id", "text",
+                               salt="hlc")
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 3) -> str:
+    """Unrolled power-iteration CTE chain mirroring operators/graph.py
+    exactly (same float ops per iteration; final ROUND absorbs sum-order
+    noise)."""
+    d = repr(damping)
+    prev = "pr0"
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT n.node,
+             (1.0 - {d}) / (SELECT n_nodes FROM nn)
+               + {d} * COALESCE(s.m, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / o.deg) AS m
+        FROM edges e JOIN {prev} p ON e.src = p.node
+                     JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) s ON n.node = s.node
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+      FROM orders WHERE o_custkey % 40 != o_orderkey % 40
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS pr FROM nodes),
+    {','.join(its)}
+    SELECT node, ROUND(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank, 3 power iterations over a link graph derived from
+    orders (operators/graph.py:pagerank) — the link-centrality signal
+    web-corpus curation filters on (CommonCrawl ranks)."""
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select((F.col("o_custkey") % 40).alias("src"),
+                     (F.col("o_orderkey") % 40).alias("dst")) \
+             .filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
+@register(
+    "convert_orc_roundtrip",
+    """
+    SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """documents -> ORC (zstd) -> read back -> aggregate: the Spark-native
+    columnar interchange converter (sources/columnar.py), IO path inside
+    the correctness gate like geoparquet_roundtrip."""
+    import tempfile
+
+    from geoparquet_io_spark.sources.columnar import read_orc, write_orc
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs_orc"
+    write_orc(d, path, compression="zstd")
+    back = read_orc(spark, path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for PageRank, exact stratified sampling, the hashed linear
+quality classifier, and the ORC converter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+def _pagerank_expected(edges, d=0.85, iters=3):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inc[t] += pr[s] / out[s]
+        pr = {v: (1 - d) / n + d * inc[v] for v in nodes}
+    return {v: round(p, 6) for v, p in pr.items()}
+
+
+def test_pagerank_hand_computed(spark):
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["pagerank"] for r in pagerank(df).collect()}
+    exp = _pagerank_expected(edges)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+    # 3 has the most in-links -> highest rank; 4 has none -> lowest
+    assert got[3] == max(got.values())
+    assert got[4] == min(got.values())
+
+
+def test_pagerank_dedups_edges_and_validates(spark):
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], ["src", "dst"])
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=2).collect()}
+    exp = _pagerank_expected([(1, 2), (2, 1)], iters=2)
+    assert got == pytest.approx(exp)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+# --------------------------------------------------------------------------
+# stratified_take
+# --------------------------------------------------------------------------
+
+def test_stratified_take_exact_counts_and_determinism(spark):
+    from geoparquet_io_spark.operators.sampling import stratified_take
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["k", "stratum"])
+    out1 = stratified_take(df, "k", "stratum", 7)
+    counts = {r["stratum"]: r["n"] for r in
+              out1.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    # deterministic: repartitioned input picks the identical rows
+    out2 = stratified_take(df.repartition(13), "k", "stratum", 7)
+    assert sorted(r["k"] for r in out1.collect()) == \
+           sorted(r["k"] for r in out2.collect())
+    # stratum smaller than n -> keeps all of it
+    small = stratified_take(df.filter("k < 2"), "k", "stratum", 7)
+    assert small.count() == 2
+
+
+# --------------------------------------------------------------------------
+# hashed_linear_score
+# --------------------------------------------------------------------------
+
+def test_hashed_linear_score_extremes(spark):
+    from geoparquet_io_spark.operators.text import hashed_linear_score
+
+    # all-positive weights -> every doc keeps; all-negative -> none
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "  ")],
+        ["doc_id", "text"])
+    pos = hashed_linear_score(df, [2.0] * 8, 0.0).collect()
+    assert len(pos) == 2   # blank doc dropped
+    for r in pos:
+        assert r["keep"] is True
+        # sigmoid(0 + 2.0) exactly, since every bucket weight is 2.0
+        assert r["quality_score"] == pytest.approx(0.880797, abs=1e-6)
+    neg = hashed_linear_score(df, [-2.0] * 8, 0.0).collect()
+    assert all(r["keep"] is False for r in neg)
+
+
+def test_hashed_linear_score_plan_native(spark):
+    from geoparquet_io_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    plan = hashed_linear_score(df, [0.5] * 16, 0.1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# ORC converter
+# --------------------------------------------------------------------------
+
+def test_orc_roundtrip_preserves_data(spark, tmp_path):
+    from geoparquet_io_spark.sources.columnar import read_orc, write_orc
+
+    rows = [(i, f"t{i}", bytes([i % 256, 255 - i % 256])) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "s", "b"])
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, compression="zstd", partition_by=None)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == \
+           sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_partitioned_write_discovery(spark, tmp_path):
+    import os
+
+    from geoparquet_io_spark.sources.columnar import read_orc, write_orc
+
+    df = spark.createDataFrame([(i, f"p{i % 2}") for i in range(20)], ["id", "part"])
+    path = str(tmp_path / "orc_part")
+    write_orc(df, path, partition_by=["part"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == \
+           ["part=p0", "part=p1"]
+    back = read_orc(spark, path)
+    assert back.count() == 20
+    assert back.filter("part = 'p1'").count() == 10
