@@ -679,3 +679,43 @@ def q_h3_res9_full(spark, sf_dir):
         F.countDistinct("h3").alias("distinct_cells"),
         F.count("*").alias("n_points"),
     )
+
+
+@register(
+    "geo_pruned_read",
+    f"""
+    WITH pts AS ({_EVT})
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(lon), 3) AS sum_x,
+           ROUND(SUM(lat), 3) AS sum_y
+    FROM pts
+    WHERE lon >= -170 AND lon <= -10 AND lat >= 5 AND lat <= 80
+    """,
+)
+def q_pruned_read(spark, sf_dir):
+    """Manifest-based file skipping inside the correctness gate
+    (operators/maintenance.py): quadkey-partitioned write -> distributed
+    footer manifest -> prune files by bbox -> exact filter.  The pruned
+    scan must agree with a full scan (and the report must show real
+    skipping — asserted in tests/test_maintenance.py)."""
+    import tempfile
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.maintenance import (build_manifest,
+                                                           read_pruned)
+
+    gt = _events_points(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gpq_prune_") + "/qk"
+    gt.partition_by_quadkey(out, partition_resolution=2)
+    bbox = (-170.0, 5.0, -10.0, 80.0)
+    pruned, _report = read_pruned(spark, out, bbox,
+                                  manifest=build_manifest(spark, out))
+    sub = pruned.extract(bbox=bbox)
+    return sub.df.select(
+        G.st_x(F.col("geometry")).alias("x"),
+        G.st_y(F.col("geometry")).alias("y"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 3).alias("sum_x"),
+        F.round(F.sum("y"), 3).alias("sum_y"),
+    )

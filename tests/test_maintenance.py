@@ -1,0 +1,108 @@
+"""File-skipping manifest + pruned reads + compaction
+(operators/maintenance.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    from geoparquet_io_spark.queries import _events_points
+
+    return _events_points(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def partitioned_dataset(points, tmp_path_factory):
+    """Quadkey-partitioned write: every file footer carries its OWN bbox."""
+    out = str(tmp_path_factory.mktemp("maint") / "qk")
+    files = points.partition_by_quadkey(out, partition_resolution=2)
+    assert len(files) > 3
+    return out, files, points
+
+
+def test_manifest_covers_every_file(spark, partitioned_dataset):
+    from geoparquet_io_spark.operators.maintenance import build_manifest
+
+    path, files, points = partitioned_dataset
+    m = build_manifest(spark, path).collect()
+    assert sorted(r["file"] for r in m) == sorted(files)
+    assert sum(r["n_rows"] for r in m) == points.count()
+    for r in m:
+        assert r["n_bytes"] == os.path.getsize(r["file"])
+        # per-file bbox footers -> every manifest row has a bbox
+        assert r["xmin"] is not None and r["xmin"] <= r["xmax"]
+        assert r["ymin"] is not None and r["ymin"] <= r["ymax"]
+
+
+def test_pruned_read_skips_files_and_loses_no_rows(spark, partitioned_dataset):
+    from geoparquet_io_spark.operators.maintenance import (build_manifest,
+                                                           read_pruned)
+
+    path, files, points = partitioned_dataset
+    bbox = (-170.0, 5.0, -10.0, 80.0)   # NW-ish quadrant only
+    manifest = build_manifest(spark, path)
+    gt, report = read_pruned(spark, path, bbox, manifest=manifest)
+    assert report["files_total"] == len(files)
+    assert 0 < report["files_skipped"] < len(files)
+    assert report["files_scanned"] + report["files_skipped"] == len(files)
+    # exactness: pruned + exact filter == full scan + exact filter
+    pruned_rows = sorted(
+        r["event_id"] for r in gt.extract(bbox=bbox).df.select("event_id").collect())
+    import geoparquet_io_spark as gps
+
+    full_rows = sorted(
+        r["event_id"]
+        for r in gps.read(spark, path).extract(bbox=bbox).df.select("event_id").collect())
+    assert pruned_rows == full_rows and len(full_rows) > 0
+
+
+def test_pruned_read_empty_bbox(spark, partitioned_dataset):
+    from geoparquet_io_spark.operators.maintenance import read_pruned
+
+    path, files, _ = partitioned_dataset
+    gt, report = read_pruned(spark, path, (500.0, 500.0, 501.0, 501.0))
+    assert report["files_skipped"] == len(files)
+    assert gt.count() == 0
+    assert "event_id" in gt.df.columns   # schema preserved
+
+
+def test_manifest_null_bbox_files_are_kept(spark, tmp_path):
+    """Files without footer bboxes must never be pruned away."""
+    from geoparquet_io_spark.operators.maintenance import (build_manifest,
+                                                           prune_files)
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    out = str(tmp_path / "plain")
+    df.repartition(2).write.parquet(out)
+    m = build_manifest(spark, out)
+    kept, skipped = prune_files(m, (0.0, 0.0, 1.0, 1.0))
+    assert skipped == [] and len(kept) == len(m.collect())
+
+
+def test_compact_reduces_file_count_preserves_rows_and_geo(spark, points, tmp_path):
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.maintenance import compact
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    small = str(tmp_path / "small")
+    # force lots of tiny files
+    written = write(points.df.repartition(16), small, geo=points.geo)
+    assert len(written) == 16
+    out = str(tmp_path / "compacted")
+    report = compact(spark, small, out, target_file_mb=64.0)
+    assert report["files_before"] == 16
+    assert report["files_after"] == 1   # tiny dataset -> one 64 MB bin
+    import geoparquet_io_spark as gps
+
+    back = gps.read(spark, out)
+    assert back.count() == points.count()
+    assert back.geometry_column == "geometry"   # footer geo preserved
+    f0 = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(f0) == 1
+    assert b"geo" in pq.read_schema(os.path.join(out, f0[0])).metadata
