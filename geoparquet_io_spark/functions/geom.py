@@ -305,3 +305,37 @@ def bbox_intersects(bbox: Column, xmin: float, ymin: float, xmax: float, ymax: f
         & (bbox["ymax"] >= F.lit(ymin))
         & (bbox["ymin"] <= F.lit(ymax))
     )
+
+
+@pandas_udf(T.DoubleType())
+def st_area(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb.area(bytes(b)) for b in g],
+        dtype="float64")
+
+
+@pandas_udf(T.DoubleType())
+def st_length(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb.length(bytes(b)) for b in g],
+        dtype="float64")
+
+
+def st_simplify(g: Column, tolerance: float) -> Column:
+    """Douglas-Peucker simplification at a literal tolerance (closure-
+    preserving for rings; see functions/wkb.py:simplify)."""
+    tol = float(tolerance)
+
+    @pandas_udf(T.BinaryType())
+    def _simp(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda b: None if b is None else _wkb.simplify(bytes(b), tol))
+
+    return _simp(g)
+
+
+@pandas_udf(T.IntegerType())
+def st_npoints(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb.npoints(bytes(b)) for b in g],
+        dtype="object")

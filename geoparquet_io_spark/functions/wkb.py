@@ -463,3 +463,120 @@ def _pts_to_polyline(pts: np.ndarray, line: np.ndarray) -> float:
 
 def geometry_type(buf: bytes) -> str:
     return parse(buf).type_name
+
+
+def area(buf: bytes) -> float:
+    """Planar ST_Area: shells minus holes via shoelace (PostGIS/DuckDB
+    spatial semantics, reference surface SURVEY §2.11).  Points/lines: 0."""
+    g = parse(buf)
+    total = 0.0
+    stack = [g]
+    while stack:
+        cur = stack.pop()
+        if cur.children:
+            stack.extend(cur.children)
+            continue
+        if cur.gtype != POLYGON:
+            continue
+        for i, ring in enumerate(cur.parts):
+            a, _, _ = _ring_area_centroid(ring)
+            total += abs(a) if i == 0 else -abs(a)
+    return float(total)
+
+
+def length(buf: bytes) -> float:
+    """Planar ST_Length/ST_Perimeter: polyline length for (multi)lines,
+    total ring perimeter for (multi)polygons, 0 for points."""
+    g = parse(buf)
+    total = 0.0
+    stack = [g]
+    while stack:
+        cur = stack.pop()
+        if cur.children:
+            stack.extend(cur.children)
+            continue
+        if cur.gtype == POINT or cur.gtype == MULTIPOINT:
+            continue
+        for arr in cur.parts:
+            if len(arr) >= 2:
+                seg = np.diff(arr, axis=0)
+                total += float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+    return float(total)
+
+
+def _dp_mask(arr: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask (iterative, stack-based)."""
+    n = len(arr)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0, p1 = arr[i0], arr[i1]
+        d = p1 - p0
+        seg_len2 = float((d * d).sum())
+        pts = arr[i0 + 1:i1]
+        if seg_len2 == 0.0:
+            dist = np.hypot(pts[:, 0] - p0[0], pts[:, 1] - p0[1])
+        else:
+            # perpendicular distance to the infinite line through p0-p1
+            dist = np.abs((pts[:, 0] - p0[0]) * d[1] - (pts[:, 1] - p0[1]) * d[0]) \
+                / math.sqrt(seg_len2)
+        j = int(dist.argmax())
+        if float(dist[j]) > tol:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return keep
+
+
+def simplify(buf: bytes, tolerance: float) -> bytes:
+    """ST_Simplify (Douglas-Peucker, public algorithm).  Rings keep their
+    closure; a ring simplified below 4 points (3 + closure) is left
+    unsimplified (degenerate guard, matching GEOS's preserving behavior
+    closely enough for display/compaction use)."""
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    g = parse(buf)
+
+    def simp_line(arr: np.ndarray) -> np.ndarray:
+        if len(arr) < 3:
+            return arr
+        return arr[_dp_mask(arr, tolerance)]
+
+    def simp_ring(arr: np.ndarray) -> np.ndarray:
+        out = simp_line(arr)
+        return arr if len(out) < 4 else out
+
+    def rebuild(cur: Geom):
+        if cur.gtype == POINT:
+            return encode_point(float(cur.parts[0][0, 0]), float(cur.parts[0][0, 1]))
+        if cur.gtype == LINESTRING:
+            return encode_linestring(simp_line(cur.parts[0]))
+        if cur.gtype == POLYGON:
+            return encode_polygon([simp_ring(r) for r in cur.parts])
+        if cur.gtype == MULTIPOLYGON:
+            return encode_multipolygon(
+                [[simp_ring(r) for r in poly.parts] for poly in cur.children])
+        raise ValueError(f"ST_Simplify unsupported for {cur.type_name}")
+
+    return rebuild(g)
+
+
+def npoints(buf: bytes) -> int:
+    """ST_NPoints: total vertex count (closure vertices included,
+    PostGIS semantics)."""
+    g = parse(buf)
+    total = 0
+    stack = [g]
+    while stack:
+        cur = stack.pop()
+        if cur.children:
+            stack.extend(cur.children)
+            continue
+        for arr in cur.parts:
+            total += len(arr)
+    return total

@@ -719,3 +719,45 @@ def q_pruned_read(spark, sf_dir):
         F.round(F.sum("x"), 3).alias("sum_x"),
         F.round(F.sum("y"), 3).alias("sum_y"),
     )
+
+
+@register(
+    "geo_area_perimeter_simplify",
+    """
+    SELECT n_nationkey,
+           ROUND(CAST(n_nationkey + 1 AS DOUBLE)
+                 * CAST(n_nationkey + 2 AS DOUBLE), 6) AS area,
+           ROUND(2.0 * (CAST(n_nationkey + 1 AS DOUBLE)
+                        + CAST(n_nationkey + 2 AS DOUBLE)), 6) AS perimeter,
+           9 AS npts_before, 5 AS npts_after
+    FROM nation
+    """,
+)
+def q_area_perimeter_simplify(spark, sf_dir):
+    """ST_Area / ST_Length / ST_NPoints / ST_Simplify over per-nation
+    rectangles that carry redundant collinear edge midpoints: Douglas-
+    Peucker drops exactly the 4 midpoints (9 -> 5 vertices) while area
+    and perimeter are invariant — all checked against the analytic
+    oracle.  Functions: functions/wkb.py:area,length,simplify,npoints
+    (reference surface: DuckDB spatial ST_* — SURVEY §2.11)."""
+    from geoparquet_io_spark.functions import geom as G
+
+    n = load_table(spark, sf_dir, "nation")
+    w = (F.col("n_nationkey") + 1).cast("double")
+    h = (F.col("n_nationkey") + 2).cast("double")
+    s = lambda c: c.cast("string")  # noqa: E731
+    wkt = F.concat(
+        F.lit("POLYGON((0 0, "), s(w / 2), F.lit(" 0, "),
+        s(w), F.lit(" 0, "), s(w), F.lit(" "), s(h / 2), F.lit(", "),
+        s(w), F.lit(" "), s(h), F.lit(", "), s(w / 2), F.lit(" "), s(h),
+        F.lit(", 0 "), s(h), F.lit(", 0 "), s(h / 2), F.lit(", 0 0))"),
+    )
+    g = n.select("n_nationkey", G.st_geomfromtext(wkt).alias("geom"))
+    simp = g.withColumn("geom_s", G.st_simplify(F.col("geom"), 0.01))
+    return simp.select(
+        "n_nationkey",
+        F.round(G.st_area(F.col("geom_s")), 6).alias("area"),
+        F.round(G.st_length(F.col("geom_s")), 6).alias("perimeter"),
+        G.st_npoints(F.col("geom")).alias("npts_before"),
+        G.st_npoints(F.col("geom_s")).alias("npts_after"),
+    )

@@ -207,3 +207,57 @@ def test_hilbert_matches_scalar_reference(x, y):
 
     got = hilbert.xy_to_hilbert(np.array([x]), np.array([y]), 16)[0]
     assert int(got) == xy2d(1 << 16, x, y)
+
+
+# --------------------------------------------------------------------------
+# area / length / simplify / npoints
+# --------------------------------------------------------------------------
+
+def test_area_polygon_with_hole_and_multipolygon():
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype="f8")
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype="f8")
+    poly = W.encode_polygon([shell, hole])
+    assert W.area(poly) == 100.0 - 4.0
+    assert W.length(poly) == 40.0 + 8.0   # both rings count in perimeter
+    assert W.npoints(poly) == 10
+
+    tri = np.array([[0, 0], [4, 0], [0, 3], [0, 0]], dtype="f8")
+    mp = W.encode_multipolygon([[shell], [tri]])
+    assert W.area(mp) == 100.0 + 6.0
+    assert W.npoints(mp) == 9
+
+    pt = W.encode_point(1.0, 2.0)
+    assert W.area(pt) == 0.0 and W.length(pt) == 0.0 and W.npoints(pt) == 1
+
+    line = W.encode_linestring(np.array([[0, 0], [3, 4], [3, 10]], dtype="f8"))
+    assert W.area(line) == 0.0
+    assert W.length(line) == 5.0 + 6.0
+    assert W.npoints(line) == 3
+
+
+def test_simplify_drops_collinear_keeps_corners():
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    # zigzag line with a tiny wiggle: tol below wiggle keeps it, above drops
+    line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 2], [4, 0]], dtype="f8")
+    buf = W.encode_linestring(line)
+    loose = W.parse(W.simplify(buf, 0.01)).parts[0]
+    assert [tuple(p) for p in loose] == [(0, 0), (2, 0), (3, 2), (4, 0)] or \
+           len(loose) == 4
+    tight = W.parse(W.simplify(buf, 1e-6)).parts[0]
+    assert len(tight) == 5   # wiggle preserved below tolerance
+
+    # ring that would collapse below 4 points is left unsimplified
+    sliver = np.array([[0, 0], [5, 1e-9], [10, 0], [0, 0]], dtype="f8")
+    out = W.parse(W.simplify(W.encode_polygon([sliver]), 1.0)).parts[0]
+    assert len(out) == 4
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        W.simplify(buf, -1.0)
