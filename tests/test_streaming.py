@@ -177,3 +177,48 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM ssj").collect()
     }
     assert got == expected
+
+
+def test_sessionize_stream_flushes_closed_sessions(spark, events_dir):
+    """session_window in APPEND mode emits a session only once the
+    watermark passes its end.  With availableNow, the wrap-up batch
+    advances the watermark to max(ts) - gap: every session closed before
+    that must be emitted, every emitted row must match the batch result
+    exactly, and sessions still open at end-of-input may be withheld."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.streaming.events import (read_events_stream,
+                                                      sessionize)
+
+    batch_df = spark.read.parquet(events_dir)
+    gap = "30 minutes"
+    batch_rows = {
+        (r["session_start"], r["session_end"], r["user_id"]):
+            (r["n_events"], r["sum_value"])
+        for r in sessionize(batch_df, gap).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, schema=batch_df.schema)
+    out = sessionize(stream, gap)
+    q = (out.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    # correctness: everything emitted agrees with batch
+    for k, v in got.items():
+        assert batch_rows.get(k) == v, k
+    # completeness: sessions closed before the final watermark all emitted
+    from geoparquet_io_spark.streaming.events import _watermarkable
+
+    max_ts = _watermarkable(batch_df, "ts").agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - _dt.timedelta(minutes=30)
+    must_emit = {k for k in batch_rows if k[1] <= final_wm}
+    assert must_emit, "fixture should close at least one session"
+    missing = must_emit - set(got)
+    assert not missing, f"closed sessions withheld: {sorted(missing)[:3]}"
