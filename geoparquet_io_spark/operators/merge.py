@@ -52,3 +52,56 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
     return joined.filter(
         ~(has_change & (F.col(f"c.{op_column}") == delete_op))
     ).select(*cols)
+
+
+def dataset_diff(old: DataFrame, new: DataFrame,
+                 keys: Sequence[str] | str,
+                 compare_columns: Sequence[str] | None = None) -> DataFrame:
+    """Keyed diff of two dataset versions — the audit primitive behind
+    "what changed between corpus v3 and v4?".
+
+    Returns one row per key present in either side with ``diff_status`` in
+    {'added', 'removed', 'changed', 'unchanged'}.  Change detection hashes
+    the compared payload columns (md5 over a null-sentineled concat), so
+    wide rows compare with one cheap column each side instead of N
+    pairwise equality predicates surviving the join.
+
+    Scale shape: one full outer join on the key (both sides shuffle once
+    on the same key — co-partitioned); the hash is map-side.  Aggregate
+    ``groupBy(diff_status).count()`` for the drift report.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if compare_columns is None:
+        compare_columns = [c for c in old.columns if c not in keys]
+    missing_o = [c for c in compare_columns if c not in old.columns]
+    missing_n = [c for c in compare_columns if c not in new.columns]
+    if missing_o or missing_n:
+        raise ValueError(
+            f"compare columns missing: old={missing_o} new={missing_n}")
+
+    def row_hash(df: DataFrame) -> F.Column:
+        # null-mask prefix disambiguates NULL from any literal sentinel
+        # string (a value equal to the sentinel must still compare unequal
+        # to NULL — tested)
+        parts = []
+        for c in compare_columns:
+            s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+            parts.append(F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")))
+            # length prefix makes the encoding prefix-free: no crafted
+            # separator-containing value can alias a neighboring field
+            parts.append(F.length(s).cast("string"))
+            parts.append(F.lit(":"))
+            parts.append(s)
+        return F.md5(F.concat(*parts))
+
+    o = old.select(*keys, row_hash(old).alias("__h_old"))
+    n = new.select(*keys, row_hash(new).alias("__h_new"))
+    j = o.join(n, on=list(keys), how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("diff_status"))

@@ -1169,3 +1169,69 @@ def q_orc_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "convert_jsonl_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """documents -> JSONL (the LLM-corpus interchange format) -> read back
+    with an explicit schema -> aggregate (sources/jsonl.py).  IO path in
+    the correctness gate like the parquet/ORC roundtrips."""
+    import tempfile
+
+    from geoparquet_io_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, schema=d.schema, keep_corrupt=False)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "dataset_diff_versions",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 != 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'new doc' AS text
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.text = new.text THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q_dataset_diff(spark, sf_dir):
+    """Keyed corpus-version diff (operators/merge.py:dataset_diff): v2
+    drops every 10th doc, edits every 7th, adds one new doc per 13th —
+    the full outer join + row-hash classifier must label every key."""
+    from geoparquet_io_spark.operators.merge import dataset_diff
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("new doc").alias("text"),
+    )
+    new = edited.unionByName(added)
+    return dataset_diff(d, new, "doc_id", ["text"])
