@@ -110,3 +110,75 @@ def stratified_take(df: DataFrame, key_column: str, stratum_column: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
+
+
+def select_under_token_budget(df: DataFrame, budget: int,
+                              id_column: str = "doc_id",
+                              score_column: str = "score",
+                              token_column: str = "n_tokens",
+                              bucket_digits: int = 3) -> DataFrame:
+    """Pick the highest-scoring documents whose cumulative token count
+    fits a budget — the "best 10B tokens" curation selector.
+
+    Semantics (exact, oracle-mirrorable): order rows by
+    ``(score DESC, id ASC)`` and keep every row whose INCLUSIVE running
+    token sum is <= budget.  Tokens are positive, so the kept set is a
+    prefix of the order.
+
+    Scale shape — NO global sort/window:
+      1. histogram scores into ``round(score, bucket_digits)`` buckets
+         (score must live in a bounded range like [0,1]; bucket count is
+         then <= 10^bucket_digits + 1, a driver-safe table),
+      2. driver-side cumulative sum over the sorted bucket table finds
+         the buckets that fit entirely and the single BOUNDARY bucket,
+      3. full buckets pass with a map-only filter; only the boundary
+         bucket (~1/buckets of the data) runs a windowed running sum,
+         offset by the full buckets' total.
+
+    Equivalent to the global-window rule because the running sum is
+    monotone.  Returns the selected rows (original columns).
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    b = F.round(F.col(score_column), bucket_digits)
+    hist = (df.groupBy(b.alias("__b"))
+            .agg(F.sum(token_column).alias("__t"))
+            .collect())
+    # NOTE: bucket-level ordering uses __b DESC; rows inside one bucket
+    # order by (score DESC, id) — combined, this is exactly
+    # (score rounded DESC, score DESC, id), the canonical order above
+    # up to rounding granularity (document scores that straddle a bucket
+    # edge order by their rounded value first — deterministic both sides).
+    buckets = sorted(((r["__b"], r["__t"]) for r in hist), reverse=True)
+    cum = 0
+    full: list[float] = []
+    boundary = None
+    offset = 0
+    for bv, t in buckets:
+        if cum + t <= budget:
+            full.append(bv)
+            cum += t
+        else:
+            boundary = bv
+            offset = cum
+            break
+    out_cols = df.columns
+    dfb = df.withColumn("__b", b)
+    kept_full = dfb.filter(F.col("__b").isin(full)) if full else None
+    if boundary is None:
+        return kept_full.select(*out_cols) if kept_full is not None \
+            else df.filter(F.lit(False))
+    w = (Window.partitionBy("__b")
+         .orderBy(F.col(score_column).desc(), F.col(id_column).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kept_boundary = (
+        dfb.filter(F.col("__b") == boundary)
+        .withColumn("__run", F.sum(token_column).over(w))
+        .filter(F.lit(offset) + F.col("__run") <= budget)
+    )
+    kept_boundary = kept_boundary.select(*out_cols)
+    if kept_full is None:
+        return kept_boundary
+    return kept_full.select(*out_cols).unionByName(kept_boundary)

@@ -1235,3 +1235,43 @@ def q_dataset_diff(spark, sf_dir):
     )
     new = edited.unionByName(added)
     return dataset_diff(d, new, "doc_id", ["text"])
+
+
+@register(
+    "curate_token_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(doc_id % 97 AS DOUBLE) / 97.0 AS score,
+             len({_TOKENS_SQL.format(t='text')}) AS n_tokens
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    run AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM scored
+    )
+    SELECT doc_id, ROUND(score, 6) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM run WHERE c <= 3000
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection (operators/sampling.py:
+    select_under_token_budget): keep the highest-scoring docs whose
+    running token total fits 3000 tokens — bucket histogram + driver
+    cumsum + boundary-bucket-only window, never a global sort (the
+    oracle mirrors the equivalent global-window rule)."""
+    from geoparquet_io_spark.operators.sampling import select_under_token_budget
+    from geoparquet_io_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0) \
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 97).cast("double") / 97.0).alias("score"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    out = select_under_token_budget(d, 3000, "doc_id", "score", "n_tokens")
+    return out.select("doc_id", F.round("score", 6).alias("score"), "n_tokens")

@@ -134,3 +134,54 @@ def test_orc_partitioned_write_discovery(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.count() == 20
     assert back.filter("part = 'p1'").count() == 10
+
+
+# --------------------------------------------------------------------------
+# select_under_token_budget
+# --------------------------------------------------------------------------
+
+def _budget_expected(rows, budget):
+    """Reference global-window rule in plain python."""
+    out, c = [], 0
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if c + t <= budget:
+            out.append(i)
+            c += t
+    # prefix rule: stop at first overflow
+    kept, c = [], 0
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        c += t
+        if c <= budget:
+            kept.append(i)
+        else:
+            break
+    return kept
+
+
+def test_token_budget_prefix_rule(spark):
+    from geoparquet_io_spark.operators.sampling import select_under_token_budget
+
+    rows = [(i, (i * 37 % 100) / 100.0, 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "n_tokens"])
+    for budget in (0, 55, 500, 10_000_000):
+        got = sorted(r["doc_id"] for r in
+                     select_under_token_budget(df, budget).collect())
+        assert got == sorted(_budget_expected(rows, budget)), budget
+    import pytest as _p
+    with _p.raises(ValueError):
+        select_under_token_budget(df, -1)
+
+
+def test_token_budget_no_global_window(spark):
+    """The plan must not contain a single-partition window over the whole
+    input — only the boundary bucket is windowed."""
+    from geoparquet_io_spark.operators.sampling import select_under_token_budget
+
+    rows = [(i, (i % 10) / 10.0, 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "n_tokens"])
+    out = select_under_token_budget(df, 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window partitions by the bucket column, never an empty clause
+    assert "partitionBy" not in plan or "__b" in plan
+    got = out.count()
+    assert got == 20   # 100-token budget / 5 tokens, highest scores first
