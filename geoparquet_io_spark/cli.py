@@ -392,6 +392,56 @@ def cmd_asof_join(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Bin small files up to a target size (operators/maintenance.py)."""
+    from geoparquet_io_spark.operators.maintenance import compact
+
+    spark = _spark()
+    report = compact(spark, args.input, args.output,
+                     target_file_mb=args.target_mb)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_manifest(args) -> int:
+    """Build a (file, rows, bytes, bbox) manifest; optionally report how
+    many files a --bbox query would skip."""
+    from geoparquet_io_spark.operators.maintenance import (build_manifest,
+                                                           prune_files)
+
+    spark = _spark()
+    m = build_manifest(spark, args.input)
+    if args.output:
+        m.coalesce(1).write.mode("overwrite").parquet(args.output)
+    out = {"files": m.count()}
+    if args.bbox:
+        bbox = tuple(float(v) for v in args.bbox.split(","))
+        if len(bbox) != 4:
+            print(json.dumps({"error": "--bbox needs xmin,ymin,xmax,ymax"}))
+            return 2
+        kept, skipped = prune_files(m, bbox)
+        out.update({"files_scanned": len(kept), "files_skipped": len(skipped)})
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Keyed diff of two dataset versions -> per-status counts."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.merge import dataset_diff
+
+    spark = _spark()
+    old = _read(spark, args.old).df
+    new = _read(spark, args.new).df
+    d = dataset_diff(old, new, args.key.split(","))
+    counts = {r["diff_status"]: r["n"] for r in
+              d.groupBy("diff_status").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({s: counts.get(s, 0)
+                      for s in ("added", "removed", "changed", "unchanged")}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gpio-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -531,6 +581,24 @@ def build_parser() -> argparse.ArgumentParser:
     pu.add_argument("input")
     pu.add_argument("output")
     pu.set_defaults(fn=cmd_publish_upload)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("input")
+    cp.add_argument("output")
+    cp.add_argument("--target-mb", type=float, default=256.0)
+    cp.set_defaults(fn=cmd_compact)
+
+    mf = sub.add_parser("manifest")
+    mf.add_argument("input")
+    mf.add_argument("--output", help="write the manifest table here")
+    mf.add_argument("--bbox", help="xmin,ymin,xmax,ymax pruning report")
+    mf.set_defaults(fn=cmd_manifest)
+
+    di = sub.add_parser("diff")
+    di.add_argument("old")
+    di.add_argument("new")
+    di.add_argument("--key", required=True, help="comma-separated key columns")
+    di.set_defaults(fn=cmd_diff)
 
     return p
 

@@ -306,3 +306,53 @@ def test_check_row_group_fix_resizes(spark, tmp_path, capsys):
     md = pq.read_metadata(fixed)
     assert md.num_row_groups == 1   # 1k rows -> single >=10k-cap group
     assert md.num_rows == t.num_rows
+
+
+def test_compact_cli(spark, tmp_path, capsys):
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    small = str(tmp_path / "small")
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    write(gt.df.repartition(8), small, geo=gt.geo)
+    out = str(tmp_path / "compacted")
+    assert _run(["compact", small, out, "--target-mb", "64"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files_before"] == 8 and rep["files_after"] == 1
+
+
+def test_manifest_cli(spark, tmp_path, capsys):
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    qk = str(tmp_path / "qk")
+    gt.partition_by_quadkey(qk, partition_resolution=2)
+    mf = str(tmp_path / "manifest")
+    assert _run(["manifest", qk, "--output", mf,
+                 "--bbox=-170,5,-10,80"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files"] > 3
+    assert rep["files_scanned"] + rep["files_skipped"] == rep["files"]
+    assert rep["files_skipped"] > 0
+    m = spark.read.parquet(mf)
+    assert m.count() == rep["files"]
+    # bad bbox arg
+    assert _run(["manifest", qk, "--bbox", "1,2,3"]) == 2
+    capsys.readouterr()
+
+
+def test_diff_cli(spark, src, tmp_path, capsys):
+    import geoparquet_io_spark as gps
+
+    gt = gps.read(spark, src)
+    v2 = str(tmp_path / "v2.parquet")
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.geotable import GeoTable
+
+    GeoTable(gt.df.filter(F.col("event_id") % 5 != 0), gt.geo).write(v2)
+    assert _run(["diff", src, v2, "--key", "event_id"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["added"] == 0 and rep["changed"] == 0
+    assert rep["removed"] > 0 and rep["unchanged"] > 0
