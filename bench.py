@@ -40,6 +40,9 @@ HEADLINE = [
     "geo_h3_res0",
     "geo_h3_res9_full",
     "geo_reproject_albers",
+    "text_bm25_topk",
+    "semantic_dedup",
+    "graph_pagerank",
 ]
 
 # regression thresholds vs the committed bench_baseline.json

@@ -5,7 +5,10 @@ random-hyperplane-LSH bucketed variant as the 100 TB scale path
 (candidates only meet inside buckets — the cross product never
 materializes globally).
 
-All vector math is native (zip_with/aggregate stay in codegen); the
+All vector math is native array higher-order functions.  (An unrolled
+fixed-dim add-chain variant was MEASURED SLOWER: 64-term chains per pair
+overflow whole-stage codegen's class budget and fall back to the
+interpreted path with worse constants — keep the HOF forms.)  The
 brute-force path broadcasts the (small) query set.
 """
 
@@ -21,17 +24,19 @@ def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product (``dim`` accepted for API stability; the HOF fold is
+    the fast form under codegen constraints — see module docstring)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -43,6 +48,7 @@ def brute_force_topk(
     query_id_column: str | None = None,
     k: int = 10,
     round_digits: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbours per query vector.
 
@@ -59,7 +65,7 @@ def brute_force_topk(
         F.col(id_column).alias("neighbor_id"),
         as_double_array(F.col(vector_column)).alias("__dv"),
     )
-    sim = cosine(F.col("__qv"), F.col("__dv"))
+    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -122,7 +128,7 @@ def lsh_topk(
         F.col(id_column).alias("query_id"),
         as_double_array(F.col(vector_column)).alias("__qv"),
     ).withColumn("bucket", lsh_bucket(F.col("__qv"), planes))
-    sim = cosine(F.col("__qv"), F.col("__dv"))
+    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -155,7 +161,8 @@ def embedding_near_duplicates(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b",
+                cosine(F.col("va"), F.col("vb"), dim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -171,18 +178,22 @@ def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]
 
 def _nearest_centroid(vector: Column, centroids: list[list[float]]) -> Column:
     """argmin over squared L2 distance to each centroid (native exprs);
-    deterministic tie-break on the lower centroid index."""
-    best_idx = F.lit(0)
-    best_d = _sq_dist(vector, centroids[0])
-    for i in range(1, len(centroids)):
-        d = _sq_dist(vector, centroids[i])
-        better = d < best_d
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(better, d).otherwise(best_d)
-    return best_idx
+    deterministic tie-break on the lower centroid index (first minimum).
+
+    Linear-size expression: distances land in one array and the argmin is
+    ``array_position(d, array_min(d))``.  The previous chained
+    when/otherwise accumulator DOUBLED the expression tree per centroid
+    (the branch condition re-references the running best) — fine at 8
+    centroids, OOM at 32."""
+    dists = F.array(*[_sq_dist(vector, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def _sq_dist(vector: Column, centroid: list[float]) -> Column:
+    # HOF fold, NOT unrolled: centroid assignment evaluates once per ROW
+    # (not per pair), and unrolling n_centroids * dim terms overflows the
+    # codegen class-size limit (measured: 32x64 -> janino compile failure
+    # + interpreted fallback).  Same float op order either way.
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vector, c, lambda a, b: (a - b) * (a - b)),
@@ -232,7 +243,7 @@ def ivf_topk(
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
     q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
-    sim = cosine(F.col("__qv"), F.col("__dv"))
+    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -307,7 +318,7 @@ def ivf_topk_trained(
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
     q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
-    sim = cosine(F.col("__qv"), F.col("__dv"))
+    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -461,16 +472,27 @@ def semantic_dedup(
     (``write.partitionBy``), and intra-cluster pair volume is bounded by
     cluster size — train enough centroids that clusters fit a partition.
     """
-    v = df.select(
+    from geoparquet_io_spark.operators.skew import spread
+
+    # norms are computed ONCE per row before the pair join (bit-identical
+    # to per-pair dot(v,v): sqrt then multiply either way); spread() fixes
+    # single-row-group scans (no-op on real lakes) since the per-pair HOF
+    # arithmetic dominates this operator's cost
+    dim = len(centroids[0])
+    v = spread(df).select(
         F.col(id_column).alias("id"),
         as_double_array(F.col(vector_column)).alias("v"),
-    ).withColumn("cluster", _nearest_centroid(F.col("v"), centroids))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    ).withColumn("cluster", _nearest_centroid(F.col("v"), centroids)) \
+     .withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "cluster")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "cluster")
+    sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     losers = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(sim >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -54,3 +54,25 @@ def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("count"), F.asc(key))
         .limit(top)
     )
+
+
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Restore scan parallelism when the file layout denies it.
+
+    A parquet scan parallelizes at row-group/file granularity; a dataset
+    written as few single-row-group files (this repo's testdata is one
+    row group per table) pins every downstream map-side stage — regex
+    tokenization, WKB pandas UDFs, per-pair vector math — to ONE task no
+    matter how many cores exist.  One cheap round-robin shuffle of the
+    (small) input unlocks all of them.
+
+    GATED so it is a no-op exactly when it would be catastrophic: if the
+    scan already yields >= defaultParallelism partitions (any real
+    multi-file lake, any 100 TB table), the df passes through untouched —
+    this never inserts a shuffle on a big scan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -50,7 +50,14 @@ def _points_table(df, geo_types=("Point",)) -> GeoTable:
     """lon/lat table -> GeoTable with WKB geometry + bbox covering column.
     The bbox is built NATIVELY from the known lon/lat (a point's envelope
     is itself) — one less UDF pass than add_bbox() re-deriving it from the
-    WKB; add_bbox proper is exercised by the polygon queries/tests."""
+    WKB; add_bbox proper is exercised by the polygon queries/tests.
+
+    NOTE on parallelism: the testdata files are single-row-group, so this
+    scan is one partition.  A blanket spread() here was MEASURED NET
+    NEGATIVE at sf0.1 (shuffle+task overhead ~0.3-0.9s exceeds the
+    single-core UDF cost for 100k-row inputs); spread() is applied only
+    in operators whose per-row/per-pair compute dominates
+    (operators/skew.py:spread)."""
     df = df.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
     df = df.withColumn(
         "bbox",

@@ -368,7 +368,8 @@ def q_topk(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 97 == 0)
-    return brute_force_topk(e, q, "vec_id", "embedding", k=3, round_digits=6)
+    return brute_force_topk(e, q, "vec_id", "embedding", k=3, round_digits=6,
+                            dim=64)
 
 
 def _near_dup_lsh_oracle() -> str:
@@ -965,7 +966,7 @@ def _semantic_dedup_oracle() -> str:
     tie-break via list_position); pairs only meet inside a cluster."""
     from geoparquet_io_spark.operators.similarity import ivf_centroids
 
-    cents = ivf_centroids(64, 8, seed=7)
+    cents = ivf_centroids(64, 32, seed=7)
     dist_terms = []
     for c in cents:
         lit = "[" + ",".join(repr(x) for x in c) + "]"
@@ -1002,7 +1003,7 @@ def q_semantic_dedup(spark, sf_dir):
                                                           semantic_dedup)
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(64, 8, seed=7)
+    cents = ivf_centroids(64, 32, seed=7)
     return semantic_dedup(e, cents, "vec_id", "embedding", threshold=0.25)
 
 
