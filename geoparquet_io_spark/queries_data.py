@@ -1276,3 +1276,86 @@ def q_token_budget(spark, sf_dir):
         )
     out = select_under_token_budget(d, 3000, "doc_id", "score", "n_tokens")
     return out.select("doc_id", F.round("score", 6).alias("score"), "n_tokens")
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+             END AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           list_reduce(codes, (a, b) -> a + b) AS code_sum,
+           list_min(codes) AS code_min,
+           list_max(codes) AS code_max,
+           (list_max(list_transform([i FOR i IN range(1, 65)],
+                     i -> abs(v[i] - codes[i] * scale)))
+            <= scale * 0.5000001) AS err_ok
+    FROM q
+    """,
+)
+def q_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization
+    (operators/similarity.py:quantize_embeddings_int8): scale, code
+    stats, and the reconstruction-error bound |v - q*scale| <= scale/2,
+    all computed identically in both engines."""
+    from geoparquet_io_spark.operators.similarity import (
+        as_double_array, quantize_embeddings_int8)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(e)
+    v = as_double_array(F.col("embedding"))
+    recon_err = F.array_max(
+        F.zip_with(v, F.col("codes"),
+                   lambda x, c: F.abs(x - c.cast("double") * F.col("scale"))))
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.aggregate(F.col("codes"), F.lit(0),
+                    lambda a, b: a + b).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        (recon_err <= F.col("scale") * 0.5000001).alias("err_ok"),
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    """
+    WITH hits AS (
+      SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts)
+                      - k * (INTERVAL 30 MINUTE),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def q_sliding_windows(spark, sf_dir):
+    """Sliding 1h/30m window counts (streaming/events.py:
+    sliding_event_counts) — the oracle expands the 2-window membership
+    explicitly (time_bucket - k*slide)."""
+    from geoparquet_io_spark.streaming.events import sliding_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_event_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )

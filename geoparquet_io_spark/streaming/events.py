@@ -168,3 +168,27 @@ def stream_stream_join(
         F.col("__rts").alias(f"r_{right_ts}"),
         *[c for c in joined.columns if c not in ("__k", "__lts", "__rts")],
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_column: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) window counts — each event contributes to
+    window/slide overlapping windows (Spark expands the membership
+    natively inside WindowExec; no manual explode).  Same
+    batch/stream-agnostic contract as windowed_event_counts."""
+    df = events
+    if df.isStreaming:
+        df = _watermarkable(df, ts_column).withWatermark(ts_column, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_column), window_duration, slide_duration),
+                   F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )

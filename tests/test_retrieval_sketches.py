@@ -158,3 +158,40 @@ def test_hll_plan_stays_jvm_side(spark):
     plan = hll_rollup(hll_shard_sketches(df, "grp", "val"), "grp")._jdf \
         .queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# int8 quantization
+# --------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_bound_and_zero_vector(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.operators.similarity import (
+        dequantize_embeddings_int8, quantize_embeddings_int8)
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))   # zero vector must not divide by zero
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_embeddings_int8(df)
+    back = dequantize_embeddings_int8(q)
+    for r in back.collect():
+        v = r["embedding"]
+        codes = r["codes"]
+        approx = r["embedding_approx"]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, a in zip(v, approx):
+            assert abs(x - a) <= r["scale"] * 0.5000001
+        if r["vec_id"] == 99:
+            assert r["scale"] == 1.0 and all(c == 0 for c in codes)
+
+
+def test_quantize_int8_plan_map_only(spark):
+    from geoparquet_io_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame([(1, [1.0, -2.0])], ["vec_id", "embedding"])
+    plan = quantize_embeddings_int8(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -222,3 +222,24 @@ def test_sessionize_stream_flushes_closed_sessions(spark, events_dir):
     assert must_emit, "fixture should close at least one session"
     missing = must_emit - set(got)
     assert not missing, f"closed sessions withheld: {sorted(missing)[:3]}"
+
+
+def test_sliding_windows_stream_equals_batch(spark, events_dir):
+    from geoparquet_io_spark.streaming.events import (read_events_stream,
+                                                      sliding_event_counts)
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(batch_df, "1 hour", "30 minutes").collect()
+    }
+    stream = read_events_stream(spark, events_dir, schema=batch_df.schema)
+    out = sliding_event_counts(stream, "1 hour", "30 minutes")
+    q = (out.writeStream.format("memory").queryName("slide_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    assert got == expected and len(got) > 0
