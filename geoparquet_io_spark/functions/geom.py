@@ -339,3 +339,25 @@ def st_npoints(g: pd.Series) -> pd.Series:
     return pd.Series(
         [None if b is None else _wkb.npoints(bytes(b)) for b in g],
         dtype="object")
+
+
+@pandas_udf(T.BinaryType())
+def st_convexhull(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: None if b is None else _wkb.convex_hull(bytes(b)))
+
+
+def st_buffer_point(x: Column, y: Column, radius, segments: int = 32) -> Column:
+    """Point buffer as a regular n-gon polygon (WKB).  ``radius`` may be
+    a literal float or a per-row Column."""
+    n = int(segments)
+    r_col = radius if isinstance(radius, Column) else F.lit(float(radius))
+
+    @pandas_udf(T.BinaryType())
+    def _buf(xs: pd.Series, ys: pd.Series, rs: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv, rv in zip(xs, ys, rs):
+            out.append(None if xv is None or yv is None or rv is None
+                       else _wkb.buffer_point(float(xv), float(yv), float(rv), n))
+        return pd.Series(out, dtype="object")
+
+    return _buf(x, y, r_col)

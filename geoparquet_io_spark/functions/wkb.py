@@ -580,3 +580,50 @@ def npoints(buf: bytes) -> int:
         for arr in cur.parts:
             total += len(arr)
     return total
+
+
+def convex_hull(buf: bytes) -> bytes:
+    """ST_ConvexHull via Andrew's monotone chain (public algorithm,
+    O(n log n)).  Returns a POLYGON (CCW shell, closed), a LINESTRING
+    for collinear inputs, or a POINT for degenerate ones."""
+    g = parse(buf)
+    arrs = [arr for arr in g.rings() if len(arr)]
+    if not arrs:
+        raise ValueError("convex hull of empty geometry")
+    pts = np.unique(np.vstack(arrs), axis=0)   # sorted lexicographically
+    if len(pts) == 1:
+        return encode_point(float(pts[0, 0]), float(pts[0, 1]))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return encode_linestring(np.array([pts[0], pts[-1]], dtype="f8"))
+    ring = np.vstack(hull + [hull[0]]).astype("f8")
+    return encode_polygon([ring])
+
+
+def buffer_point(x: float, y: float, radius: float, segments: int = 32) -> bytes:
+    """ST_Buffer for a point: regular ``segments``-gon approximation
+    (the standard discretization; GEOS uses 8 segments/quadrant).
+    CCW ring starting at angle 0, closed."""
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    if segments < 3:
+        raise ValueError(f"segments must be >= 3, got {segments}")
+    ang = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    ring = np.column_stack([x + radius * np.cos(ang),
+                            y + radius * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    return encode_polygon([ring.astype("f8")])

@@ -761,3 +761,53 @@ def q_area_perimeter_simplify(spark, sf_dir):
         G.st_npoints(F.col("geom")).alias("npts_before"),
         G.st_npoints(F.col("geom_s")).alias("npts_after"),
     )
+
+
+@register(
+    "geo_hull_buffer",
+    """
+    SELECT n_nationkey,
+           5 AS hull_npts,
+           ROUND(CAST(n_nationkey + 1 AS DOUBLE)
+                 * CAST(n_nationkey + 2 AS DOUBLE), 6) AS hull_area,
+           ROUND(2.0 * (CAST(n_nationkey + 1 AS DOUBLE)
+                        + CAST(n_nationkey + 2 AS DOUBLE)), 6) AS hull_perim,
+           ROUND(0.5 * 32 * CAST(n_nationkey + 1 AS DOUBLE)
+                 * CAST(n_nationkey + 1 AS DOUBLE) * sin(2 * pi() / 32), 6)
+             AS buf_area,
+           ROUND(2.0 * 32 * CAST(n_nationkey + 1 AS DOUBLE)
+                 * sin(pi() / 32), 6) AS buf_perim
+    FROM nation
+    """,
+)
+def q_hull_buffer(spark, sf_dir):
+    """ST_ConvexHull + ST_Buffer(point): the hull of the midpoint-laden
+    rectangle collapses to its 4 corners (5 vertices with closure, exact
+    area w*h); the n-gon point buffer's area/perimeter match the regular-
+    polygon closed forms 0.5*n*r^2*sin(2pi/n) / 2*n*r*sin(pi/n) to 1e-6
+    (functions/wkb.py:convex_hull,buffer_point)."""
+    from geoparquet_io_spark.functions import geom as G
+
+    n = load_table(spark, sf_dir, "nation")
+    w = (F.col("n_nationkey") + 1).cast("double")
+    h = (F.col("n_nationkey") + 2).cast("double")
+    s = lambda c: c.cast("string")  # noqa: E731
+    wkt = F.concat(
+        F.lit("POLYGON((0 0, "), s(w / 2), F.lit(" 0, "),
+        s(w), F.lit(" 0, "), s(w), F.lit(" "), s(h / 2), F.lit(", "),
+        s(w), F.lit(" "), s(h), F.lit(", "), s(w / 2), F.lit(" "), s(h),
+        F.lit(", 0 "), s(h), F.lit(", 0 "), s(h / 2), F.lit(", 0 0))"),
+    )
+    g = n.select(
+        "n_nationkey",
+        G.st_convexhull(G.st_geomfromtext(wkt)).alias("hull"),
+        G.st_buffer_point(w / 2, h / 2, w, segments=32).alias("buf"),
+    )
+    return g.select(
+        "n_nationkey",
+        G.st_npoints(F.col("hull")).alias("hull_npts"),
+        F.round(G.st_area(F.col("hull")), 6).alias("hull_area"),
+        F.round(G.st_length(F.col("hull")), 6).alias("hull_perim"),
+        F.round(G.st_area(F.col("buf")), 6).alias("buf_area"),
+        F.round(G.st_length(F.col("buf")), 6).alias("buf_perim"),
+    )

@@ -261,3 +261,54 @@ def test_simplify_drops_collinear_keeps_corners():
     import pytest as _p
     with _p.raises(ValueError):
         W.simplify(buf, -1.0)
+
+
+def test_convex_hull_shapes():
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    # square + interior + edge-midpoint points -> hull is the square
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (2, 0), (1, 3)]
+    mp = W.encode_multipolygon([])  # not used; build via linestring instead
+    line = W.encode_linestring(np.array(pts, dtype="f8"))
+    hull = W.parse(W.convex_hull(line))
+    assert hull.gtype == W.POLYGON
+    ring = hull.parts[0]
+    assert len(ring) == 5
+    assert W.area(W.convex_hull(line)) == 16.0
+    # CCW orientation: positive signed area
+    a, _, _ = W._ring_area_centroid(ring)
+    assert a > 0
+
+    # collinear -> linestring of the two extremes
+    col = W.encode_linestring(np.array([(0, 0), (1, 1), (3, 3)], dtype="f8"))
+    out = W.parse(W.convex_hull(col))
+    assert out.gtype == W.LINESTRING
+    assert [tuple(p) for p in out.parts[0]] == [(0.0, 0.0), (3.0, 3.0)]
+
+    # single point
+    pt = W.encode_point(2.0, 5.0)
+    out = W.parse(W.convex_hull(pt))
+    assert out.gtype == W.POINT
+
+
+def test_buffer_point_n_gon():
+    import math
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    buf = W.buffer_point(10.0, -5.0, 3.0, segments=64)
+    g = W.parse(buf)
+    assert g.gtype == W.POLYGON and len(g.parts[0]) == 65
+    exact_area = 0.5 * 64 * 9.0 * math.sin(2 * math.pi / 64)
+    assert abs(W.area(buf) - exact_area) < 1e-9
+    # all vertices exactly radius away from the center
+    for vx, vy in g.parts[0][:-1]:
+        assert abs(math.hypot(vx - 10.0, vy + 5.0) - 3.0) < 1e-12
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        W.buffer_point(0, 0, -1.0)
+    with _p.raises(ValueError):
+        W.buffer_point(0, 0, 1.0, segments=2)
