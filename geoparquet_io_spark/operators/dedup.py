@@ -326,3 +326,29 @@ def dedup_transitive(df: DataFrame, pairs: DataFrame, id_column: str,
                                 id_column="__node", component_column="__comp")
     losers = comp.filter(F.col("__node") != F.col("__comp")).select("__node")
     return df.join(losers, df[id_column] == losers["__node"], "left_anti")
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_column: str,
+                    score_column: str,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep the HIGHEST-SCORING row of each transitive duplicate group
+    (production dedup keeps the best-quality copy, not the smallest id —
+    the C4/RefinedWeb convention of preferring the longest/cleanest
+    duplicate).  Ties break on the lower id for determinism.
+
+    Shape: connected components (pointer-jumping, bounded rounds) ->
+    join scores -> one partitioned window over groups (each group is
+    tiny) -> anti-join the losers.  Rows in no pair pass through.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b,
+                                id_column="__node", component_column="__comp")
+    scored = comp.join(
+        df.select(F.col(id_column).alias("__node"),
+                  F.col(score_column).alias("__score")),
+        "__node")
+    w = Window.partitionBy("__comp").orderBy(F.desc("__score"), F.asc("__node"))
+    losers = (scored.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") > 1).select("__node"))
+    return df.join(losers, df[id_column] == losers["__node"], "left_anti")

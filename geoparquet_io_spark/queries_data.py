@@ -1359,3 +1359,55 @@ def q_sliding_windows(spark, sf_dir):
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", "n_events", "sum_value",
     )
+
+
+def _keep_best_oracle() -> str:
+    """dedup_keep_best over the LSH near-dup graph: per component keep
+    the highest-score node (score = label cast double; tie -> lower id);
+    rows in no pair pass through."""
+    pair_sql = _near_dup_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.node, c.component, CAST(e.label AS DOUBLE) AS score
+      FROM comp c JOIN embeddings e ON e.vec_id = c.node
+    ),
+    losers AS (
+      SELECT node FROM (
+        SELECT node, row_number() OVER (PARTITION BY component
+                                        ORDER BY score DESC, node) AS rn
+        FROM scored) WHERE rn > 1
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@register("dedup_keep_best", _keep_best_oracle())
+def q_keep_best(spark, sf_dir):
+    """Score-aware transitive dedup (operators/dedup.py:dedup_keep_best):
+    keep the highest-quality copy per duplicate group (C4/RefinedWeb
+    convention), quality = the label column here; deterministic
+    lower-id tie-break."""
+    from geoparquet_io_spark.operators.dedup import dedup_keep_best
+    from geoparquet_io_spark.operators.similarity import embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    pairs = embedding_near_duplicates(e, id_column="vec_id",
+                                      vector_column="embedding",
+                                      threshold=0.3, n_planes=8, dim=64, seed=42)
+    scored = e.withColumn("__q", F.col("label").cast("double"))
+    return dedup_keep_best(scored, pairs, "vec_id", "__q") \
+        .select("vec_id", "label")

@@ -201,3 +201,15 @@ def test_range_join_guards(spark):
     iv_bad = spark.createDataFrame([("a", 10.0, 0.0)],
                                    "tag string, lo double, hi double")
     assert range_join(pts, iv_bad, "v", "lo", "hi").count() == 0
+
+
+def test_dedup_keep_best_prefers_score_then_id(spark):
+    from geoparquet_io_spark.operators.dedup import dedup_keep_best
+
+    rows = [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)]
+    df = spark.createDataFrame(rows, ["id", "q"])
+    # {1,2,3} one group (2 and 3 tie on score -> 2 wins), {4} with no
+    # pair passes through, {5} alone in a pair group survives trivially
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = sorted(r["id"] for r in dedup_keep_best(df, pairs, "id", "q").collect())
+    assert got == [2, 4, 5]
