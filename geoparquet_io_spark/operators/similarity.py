@@ -484,6 +484,10 @@ def semantic_dedup(
         as_double_array(F.col(vector_column)).alias("v"),
     ).withColumn("cluster", _nearest_centroid(F.col("v"), centroids)) \
      .withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+    # the assigned table feeds BOTH pair sides and the final join; without
+    # materialization the 32-centroid assignment would evaluate 3x
+    # (same guard connected_components uses for its iteration state)
+    v = v.localCheckpoint(eager=False)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("n").alias("na"), "cluster")
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
