@@ -346,3 +346,54 @@ def grid_spatial_join(
     for col in right_columns:
         missing = missing.withColumn(col, F.lit(None))
     return matched.unionByName(missing)
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_x: str = "lon", left_y: str = "lat",
+    right_x: str = "lon", right_y: str = "lat",
+    distance_column: str = "distance",
+) -> DataFrame:
+    """All (left, right) pairs within planar ``radius`` — the ST_DWithin
+    join, gridded so the cross product never materializes (PBSM, same
+    family as the bbox grid join above).
+
+    Grid cells of side ``radius``: any within-radius partner of a point
+    lies in its 3x3 cell neighborhood.  The RIGHT side lands in exactly
+    one cell; the LEFT side explodes its 9 neighbor cells — so each
+    qualifying pair meets exactly once (no reference-point dedup needed)
+    — then one equi-join on the cell key and an exact distance filter.
+    Both sides shuffle once on the cell key; skewed cells are AQE's
+    problem (skew-join on).  Returns all left+right columns plus the
+    exact distance.
+
+    Distance is ``sqrt(dx*dx + dy*dy)`` written out (not hypot) so a SQL
+    oracle can mirror the identical IEEE ops.
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    r = float(radius)
+    lcx = F.floor(F.col(left_x) / r).cast("long")
+    lcy = F.floor(F.col(left_y) / r).cast("long")
+    rcx = F.floor(F.col(right_x) / r).cast("long")
+    rcy = F.floor(F.col(right_y) / r).cast("long")
+
+    neighbors = F.array(*[
+        F.struct((lcx + dx).alias("cx"), (lcy + dy).alias("cy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    l = left.withColumn("__cell", F.explode(neighbors)) \
+        .withColumn("__cx", F.col("__cell.cx")) \
+        .withColumn("__cy", F.col("__cell.cy")).drop("__cell")
+    rt = right.withColumn("__cx", rcx).withColumn("__cy", rcy)
+
+    joined = l.join(rt, ["__cx", "__cy"])
+    # qualify via the parent dataframes (names may collide across sides)
+    ldx = l[left_x] - rt[right_x]
+    ldy = l[left_y] - rt[right_y]
+    dist = F.sqrt(ldx * ldx + ldy * ldy)
+    return (joined.withColumn(distance_column, dist)
+            .filter(F.col(distance_column) <= r)
+            .drop("__cx", "__cy"))

@@ -1411,3 +1411,51 @@ def q_keep_best(spark, sf_dir):
     scored = e.withColumn("__q", F.col("label").cast("double"))
     return dedup_keep_best(scored, pairs, "vec_id", "__q") \
         .select("vec_id", "label")
+
+
+@register(
+    "geo_distance_join",
+    f"""
+    WITH ev AS (
+      SELECT event_id, {{elon}} AS elon, {{elat}} AS elat
+      FROM events WHERE event_id % 31 = 0
+    ),
+    cu AS (
+      SELECT c_custkey, {{clon}} AS clon, {{clat}} AS clat FROM customer
+    ),
+    pairs AS (
+      SELECT event_id,
+             sqrt((elon - clon) * (elon - clon)
+                  + (elat - clat) * (elat - clat)) AS d
+      FROM ev, cu
+    )
+    SELECT event_id, COUNT(*) AS n_within,
+           ROUND(MIN(d), 6) AS min_dist
+    FROM pairs WHERE d <= 2.0
+    GROUP BY event_id
+    """.format(
+        elon="(((user_id * 37 + event_id) % 3400) / 10.0 - 170.0)",
+        elat="(((user_id * 53 + event_id * 7) % 1600) / 10.0 - 80.0)",
+        clon="(((c_custkey * 131) % 3600) / 10.0 - 180.0)",
+        clat="(((c_custkey * 197) % 1700) / 10.0 - 85.0)",
+    ),
+)
+def q_distance_join(spark, sf_dir):
+    """ST_DWithin spatial join (operators/joins.py:distance_join): events
+    vs customers within 2 degrees, gridded at cell=radius so each pair
+    meets in exactly one cell — equi-join, never a cross product (the
+    quadratic form exists only in the oracle)."""
+    from geoparquet_io_spark.operators.joins import distance_join
+    from geoparquet_io_spark.testsupport.tables import (customer_lonlat,
+                                                        event_lonlat)
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events")) \
+        .filter(F.col("event_id") % 31 == 0) \
+        .select("event_id", F.col("lon").alias("elon"), F.col("lat").alias("elat"))
+    cu = customer_lonlat(load_table(spark, sf_dir, "customer")) \
+        .select("c_custkey", F.col("lon").alias("clon"), F.col("lat").alias("clat"))
+    pairs = distance_join(ev, cu, 2.0, "elon", "elat", "clon", "clat")
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_within"),
+        F.round(F.min("distance"), 6).alias("min_dist"),
+    )

@@ -213,3 +213,52 @@ def test_dedup_keep_best_prefers_score_then_id(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     got = sorted(r["id"] for r in dedup_keep_best(df, pairs, "id", "q").collect())
     assert got == [2, 4, 5]
+
+
+def test_distance_join_exact_pairs_and_no_cartesian(spark):
+    import math
+
+    from geoparquet_io_spark.operators.joins import distance_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0), (3, -5.0, 0.1)],
+        ["lid", "lx", "ly"])
+    right = spark.createDataFrame(
+        [(10, 0.5, 0.5), (11, 0.9, 0.0), (12, 10.05, 9.95),
+         (13, 50.0, 50.0), (14, -4.2, 0.4)],
+        ["rid", "rx", "ry"])
+    out = distance_join(left, right, 1.0, "lx", "ly", "rx", "ry")
+    pairs = {(r["lid"], r["rid"]): r["distance"] for r in out.collect()}
+    expect = {}
+    lpts = {1: (0, 0), 2: (10, 10), 3: (-5, 0.1)}
+    rpts = {10: (0.5, 0.5), 11: (0.9, 0.0), 12: (10.05, 9.95),
+            13: (50, 50), 14: (-4.2, 0.4)}
+    for li, (lx, ly) in lpts.items():
+        for ri, (rx, ry) in rpts.items():
+            d = math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2)
+            if d <= 1.0:
+                expect[(li, ri)] = d
+    assert set(pairs) == set(expect)
+    for k, v in expect.items():
+        assert abs(pairs[k] - v) < 1e-12
+    # each qualifying pair appears exactly once (no 3x3 double-count)
+    assert len(out.collect()) == len(expect)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        distance_join(left, right, 0.0, "lx", "ly", "rx", "ry")
+
+
+def test_distance_join_boundary_cell_edges(spark):
+    """Points exactly on cell boundaries and exactly at radius distance."""
+    from geoparquet_io_spark.operators.joins import distance_join
+
+    left = spark.createDataFrame([(1, 1.0, 1.0)], ["lid", "lx", "ly"])
+    right = spark.createDataFrame(
+        [(10, 2.0, 1.0), (11, 2.0001, 1.0)], ["rid", "rx", "ry"])
+    out = distance_join(left, right, 1.0, "lx", "ly", "rx", "ry").collect()
+    got = {r["rid"] for r in out}
+    assert got == {10}   # exactly-radius kept (<=), just-beyond dropped
