@@ -397,3 +397,84 @@ def distance_join(
     return (joined.withColumn(distance_column, dist)
             .filter(F.col(distance_column) <= r)
             .drop("__cx", "__cy"))
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    initial_radius: float,
+    left_id: str = "lid",
+    left_x: str = "lon", left_y: str = "lat",
+    right_x: str = "lon", right_y: str = "lat",
+    max_rounds: int = 4,
+    distance_column: str = "distance",
+    tie_columns: list[str] | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor spatial join without a cross product.
+
+    Expanding-ring grid search: round ``i`` runs :func:`distance_join`
+    at radius ``initial_radius * 2**i`` for the still-unresolved left
+    points.  A left point is RESOLVED once >= k partners fall inside the
+    radius — then its true k nearest are all inside it (the grid finds
+    every partner within the radius, and any unexamined point is
+    farther).  Unresolved points (sparse neighborhoods) retry at double
+    the radius; after ``max_rounds`` the (by then few) stragglers
+    broadcast against the full right side — bounded fallback, never a
+    full cross product.
+
+    Deterministic tie-break: ranking orders by (distance, *tie_columns)
+    — pass a UNIQUE right-side column (its id) in ``tie_columns``;
+    the default (right_x, right_y) is only deterministic when right
+    coordinates are unique.
+
+    Per-round cost: one cell-key equi-join over the unresolved subset.
+    Pick ``initial_radius`` near the expected k-neighbor distance (e.g.
+    from sampled density) so most points resolve in round one.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if initial_radius <= 0:
+        raise ValueError(f"initial_radius must be > 0, got {initial_radius}")
+    from pyspark.sql import Window
+
+    ties = tie_columns if tie_columns is not None else [right_x, right_y]
+    w = Window.partitionBy("__lid").orderBy(
+        F.col(distance_column).asc(), *[F.col(c).asc() for c in ties])
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (pairs.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .withColumnRenamed("__rn", "knn_rank"))
+
+    pending = left.withColumn("__lid", F.col(left_id))
+    resolved_parts = []
+    radius = float(initial_radius)
+    for _ in range(max_rounds):
+        pairs = distance_join(pending, right, radius,
+                              left_x, left_y, right_x, right_y,
+                              distance_column=distance_column)
+        counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
+        done_ids = counts.filter(F.col("__n") >= k).select("__lid")
+        resolved_parts.append(
+            topk(pairs.join(done_ids, "__lid")))
+        pending = pending.join(done_ids, "__lid", "left_anti") \
+            .localCheckpoint(eager=False)
+        radius *= 2.0
+        if not pending.take(1):
+            break
+    else:
+        # stragglers after max_rounds: tiny by construction -> broadcast
+        # them against the full right side (bounded: |stragglers| * |right|,
+        # never |left| * |right|).  Left/right column names must be
+        # disjoint (same contract as distance_join).
+        ddx = F.col(left_x) - F.col(right_x)
+        ddy = F.col(left_y) - F.col(right_y)
+        brute = (F.broadcast(pending).crossJoin(right)
+                 .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy)))
+        resolved_parts.append(topk(brute))
+
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.drop("__lid")

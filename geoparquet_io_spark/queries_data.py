@@ -1459,3 +1459,56 @@ def q_distance_join(spark, sf_dir):
         F.count("*").alias("n_within"),
         F.round(F.min("distance"), 6).alias("min_dist"),
     )
+
+
+@register(
+    "geo_knn_join",
+    f"""
+    WITH ev AS (
+      SELECT event_id, {{elon}} AS elon, {{elat}} AS elat
+      FROM events WHERE event_id % 31 = 0
+    ),
+    cu AS (
+      SELECT c_custkey, {{clon}} AS clon, {{clat}} AS clat FROM customer
+    ),
+    pairs AS (
+      SELECT event_id, c_custkey,
+             sqrt((elon - clon) * (elon - clon)
+                  + (elat - clat) * (elat - clat)) AS d
+      FROM ev, cu
+    )
+    SELECT event_id, c_custkey, ROUND(d, 6) AS distance,
+           CAST(rn AS INTEGER) AS knn_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY d, c_custkey) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """.format(
+        elon="(((user_id * 37 + event_id) % 3400) / 10.0 - 170.0)",
+        elat="(((user_id * 53 + event_id * 7) % 1600) / 10.0 - 80.0)",
+        clon="(((c_custkey * 131) % 3600) / 10.0 - 180.0)",
+        clat="(((c_custkey * 197) % 1700) / 10.0 - 85.0)",
+    ),
+)
+def q_knn_join(spark, sf_dir):
+    """Exact 3-NN spatial join (operators/joins.py:knn_join): expanding-
+    ring grid search, unique-id tie-break; quadratic form exists only in
+    the oracle."""
+    from geoparquet_io_spark.operators.joins import knn_join
+    from geoparquet_io_spark.testsupport.tables import (customer_lonlat,
+                                                        event_lonlat)
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events")) \
+        .filter(F.col("event_id") % 31 == 0) \
+        .select("event_id", F.col("lon").alias("elon"), F.col("lat").alias("elat"))
+    cu = customer_lonlat(load_table(spark, sf_dir, "customer")) \
+        .select("c_custkey", F.col("lon").alias("clon"), F.col("lat").alias("clat"))
+    out = knn_join(ev, cu, k=3, initial_radius=2.0,
+                   left_id="event_id", left_x="elon", left_y="elat",
+                   right_x="clon", right_y="clat",
+                   tie_columns=["c_custkey"])
+    return out.select(
+        "event_id", "c_custkey",
+        F.round("distance", 6).alias("distance"),
+        F.col("knn_rank").cast("int").alias("knn_rank"),
+    )

@@ -262,3 +262,47 @@ def test_distance_join_boundary_cell_edges(spark):
     out = distance_join(left, right, 1.0, "lx", "ly", "rx", "ry").collect()
     got = {r["rid"] for r in out}
     assert got == {10}   # exactly-radius kept (<=), just-beyond dropped
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    import math
+    import random
+
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    rnd = random.Random(4)
+    lpts = [(i, rnd.uniform(0, 20), rnd.uniform(0, 20)) for i in range(25)]
+    rpts = [(100 + j, rnd.uniform(0, 20), rnd.uniform(0, 20)) for j in range(60)]
+    left = spark.createDataFrame(lpts, ["lid", "lx", "ly"])
+    right = spark.createDataFrame(rpts, ["rid", "rx", "ry"])
+    out = knn_join(left, right, k=4, initial_radius=1.0,
+                   left_id="lid", left_x="lx", left_y="ly",
+                   right_x="rx", right_y="ry", tie_columns=["rid"],
+                   max_rounds=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lid"], []).append((r["knn_rank"], r["rid"], r["distance"]))
+    assert set(got) == {i for i, _, _ in lpts}
+    for li, lx, ly in lpts:
+        exp = sorted(
+            (math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rid)
+            for rid, rx, ry in rpts)[:4]
+        mine = sorted(got[li])
+        assert [m[1] for m in mine] == [e[1] for e in exp], li
+        for (rank, rid, d), (ed, erid) in zip(mine, exp):
+            assert abs(d - ed) < 1e-12
+
+
+def test_knn_join_sparse_fallback_and_k_larger_than_right(spark):
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    # right side far away: rounds never resolve -> brute fallback
+    left = spark.createDataFrame([(1, 0.0, 0.0)], ["lid", "lx", "ly"])
+    right = spark.createDataFrame(
+        [(10, 500.0, 500.0), (11, 600.0, 600.0)], ["rid", "rx", "ry"])
+    out = knn_join(left, right, k=2, initial_radius=0.5,
+                   left_id="lid", left_x="lx", left_y="ly",
+                   right_x="rx", right_y="ry", tie_columns=["rid"],
+                   max_rounds=2).collect()
+    assert sorted(r["rid"] for r in out) == [10, 11]
+    assert [r["rid"] for r in sorted(out, key=lambda r: r["knn_rank"])] == [10, 11]
