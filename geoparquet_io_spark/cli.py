@@ -442,6 +442,36 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_distance_join(args) -> int:
+    """ST_DWithin join of two point tables (grid-bucketed, no cross
+    product); kNN mode with --k."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.operators.joins import (distance_join,
+                                                     estimate_knn_radius,
+                                                     knn_join)
+
+    spark = _spark()
+    lx, ly = args.left_xy.split(",")
+    rx, ry = args.right_xy.split(",")
+    left = _read(spark, args.left).df
+    right = _read(spark, args.right).df
+    if args.k:
+        radius = args.radius or estimate_knn_radius(right, args.k, rx, ry)
+        if not args.left_id:
+            print(json.dumps({"error": "--left-id is required with --k"}))
+            return 2
+        df = knn_join(left, right, args.k, radius, left_id=args.left_id,
+                      left_x=lx, left_y=ly, right_x=rx, right_y=ry,
+                      tie_columns=[args.tie] if args.tie else None)
+    else:
+        if not args.radius:
+            print(json.dumps({"error": "--radius required without --k"}))
+            return 2
+        df = distance_join(left, right, args.radius, lx, ly, rx, ry)
+    _write(GeoTable(df, None), args.output, args)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gpio-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -593,6 +623,18 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--output", help="write the manifest table here")
     mf.add_argument("--bbox", help="xmin,ymin,xmax,ymax pruning report")
     mf.set_defaults(fn=cmd_manifest)
+
+    dj = sub.add_parser("distance-join")
+    dj.add_argument("left")
+    dj.add_argument("right")
+    dj.add_argument("output")
+    dj.add_argument("--radius", type=float)
+    dj.add_argument("--k", type=int, help="kNN mode: k nearest per left row")
+    dj.add_argument("--left-id", help="unique left id column (kNN mode)")
+    dj.add_argument("--tie", help="unique right column for deterministic ties")
+    dj.add_argument("--left-xy", default="lon,lat")
+    dj.add_argument("--right-xy", default="lon,lat")
+    dj.set_defaults(fn=cmd_distance_join)
 
     di = sub.add_parser("diff")
     di.add_argument("old")

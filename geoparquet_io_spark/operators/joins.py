@@ -478,3 +478,26 @@ def knn_join(
     for p in resolved_parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out.drop("__lid")
+
+
+def estimate_knn_radius(right: DataFrame, k: int,
+                        right_x: str = "lon", right_y: str = "lat",
+                        oversample: float = 2.0) -> float:
+    """Pick ``initial_radius`` for :func:`knn_join` from the right side's
+    density: a disc holding ``oversample * k`` expected points under a
+    uniform model — ``r = sqrt(oversample * k * area / (pi * n))``.
+    One bounded aggregate (count + bounds); clustered data resolves the
+    dense regions in round one and the sparse tail in the doubling
+    rounds, which is exactly what the expanding search is for."""
+    import math
+
+    row = right.agg(
+        F.count("*").alias("n"),
+        F.min(right_x).alias("x0"), F.max(right_x).alias("x1"),
+        F.min(right_y).alias("y0"), F.max(right_y).alias("y1"),
+    ).collect()[0]
+    n = row["n"] or 0
+    if n == 0:
+        raise ValueError("cannot estimate a radius from an empty right side")
+    area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-12)
+    return math.sqrt(oversample * k * area / (math.pi * n))

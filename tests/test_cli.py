@@ -356,3 +356,28 @@ def test_diff_cli(spark, src, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["added"] == 0 and rep["changed"] == 0
     assert rep["removed"] > 0 and rep["unchanged"] > 0
+
+
+def test_distance_join_cli(spark, tmp_path, capsys):
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 5.0, 5.0)], ["lid", "alon", "alat"])
+    right = spark.createDataFrame(
+        [(10, 0.3, 0.4), (11, 9.0, 9.0)], ["rid", "blon", "blat"])
+    lp = str(tmp_path / "l.parquet"); rp = str(tmp_path / "r.parquet")
+    left.coalesce(1).write.parquet(lp); right.coalesce(1).write.parquet(rp)
+    out = str(tmp_path / "dj")
+    assert _run(["distance-join", lp, rp, out, "--radius", "1.0",
+                 "--left-xy", "alon,alat", "--right-xy", "blon,blat"]) == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["lid"] == 1 and got[0]["rid"] == 10
+
+    out2 = str(tmp_path / "knn")
+    assert _run(["distance-join", lp, rp, out2, "--k", "1",
+                 "--left-id", "lid", "--tie", "rid",
+                 "--left-xy", "alon,alat", "--right-xy", "blon,blat"]) == 0
+    got2 = {r["lid"]: r["rid"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == {1: 10, 2: 11}
+    # kNN without --left-id errors cleanly
+    assert _run(["distance-join", lp, rp, out2, "--k", "1",
+                 "--left-xy", "alon,alat", "--right-xy", "blon,blat"]) == 2
+    capsys.readouterr()

@@ -306,3 +306,21 @@ def test_knn_join_sparse_fallback_and_k_larger_than_right(spark):
                    max_rounds=2).collect()
     assert sorted(r["rid"] for r in out) == [10, 11]
     assert [r["rid"] for r in sorted(out, key=lambda r: r["knn_rank"])] == [10, 11]
+
+
+def test_estimate_knn_radius_uniform_density(spark):
+    import math
+
+    from geoparquet_io_spark.operators.joins import estimate_knn_radius
+
+    # 10x10 box, 400 points -> r = sqrt(2*4*100/(pi*400)) ~ 0.798
+    pts = [(i, (i % 20) * 0.5 + 0.25, (i // 20) * 0.5 + 0.25)
+           for i in range(400)]
+    df = spark.createDataFrame(pts, ["rid", "rx", "ry"])
+    r = estimate_knn_radius(df, k=4, right_x="rx", right_y="ry")
+    expected = math.sqrt(2 * 4 * ((9.75 - 0.25) ** 2) / (math.pi * 400))
+    assert abs(r - expected) < 1e-9
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        estimate_knn_radius(df.filter("rid < 0"), k=3, right_x="rx", right_y="ry")
