@@ -119,6 +119,32 @@ class GeoTable:
         geo.set_covering(column)
         return GeoTable(self._df, geo, bbox_column=column)
 
+    def simplify(self, tolerance: float) -> "GeoTable":
+        """Douglas-Peucker-simplify the geometry column in place
+        (functions/wkb.py:simplify; bbox covering stays valid — a DP
+        subset never exceeds the original envelope, it can only shrink,
+        and covering bboxes are allowed to over-cover per the spec)."""
+        from pyspark.sql import functions as F
+
+        from geoparquet_io_spark.functions import geom as G
+
+        g = self.geometry_column
+        if g is None:
+            raise ValueError("simplify requires a geometry column")
+        return self._wrap(self._df.withColumn(
+            g, G.st_simplify(F.col(g), tolerance)))
+
+    def convex_hull(self, column: str = "hull") -> "GeoTable":
+        """Add the convex hull of each geometry as a new WKB column."""
+        from pyspark.sql import functions as F
+
+        from geoparquet_io_spark.functions import geom as G
+
+        g = self.geometry_column
+        if g is None:
+            raise ValueError("convex_hull requires a geometry column")
+        return self._wrap(self._df.withColumn(column, G.st_convexhull(F.col(g))))
+
     def add_quadkey(self, zoom: int = 13, column: str = "quadkey") -> "GeoTable":
         from geoparquet_io_spark.operators.add_columns import add_quadkey
 

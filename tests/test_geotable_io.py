@@ -333,3 +333,24 @@ def test_admin_catalog_unknown_name(spark):
 
     with _pytest.raises(ValueError, match="unknown admin dataset"):
         load_admin_dataset(spark, "nope")
+
+
+def test_geotable_simplify_and_hull(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    wkt = "POLYGON((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"   # collinear midpoint
+    df = spark.createDataFrame([(1, wkt)], ["id", "w"]) \
+        .select("id", G.st_geomfromtext(F.col("w")).alias("geometry"))
+    geo = GeoMeta(columns={"geometry": GeoColumnMeta(crs="EPSG:4326")})
+    gt = GeoTable(df, geo)
+    out = gt.simplify(0.01)
+    row = out.df.select(G.st_npoints("geometry").alias("n")).collect()[0]
+    assert row["n"] == 5                      # midpoint dropped
+    assert out.geometry_column == "geometry"  # metadata preserved
+    hull = gt.convex_hull()
+    r = hull.df.select(G.st_area("hull").alias("a")).collect()[0]
+    assert r["a"] == 16.0

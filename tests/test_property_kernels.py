@@ -132,3 +132,51 @@ def test_h3_parent_is_coarser_containing_region(lat, lng):
     d = math.radians(math.hypot(float(plat[0]) - lat,
                                 dlng * math.cos(math.radians(lat))))
     assert d < 2.2 * 0.44 / 7 ** 2.5
+
+
+# --------------------------------------------------------------------------
+# convex hull / simplify / area (pure-kernel properties)
+# --------------------------------------------------------------------------
+
+@given(st.lists(
+    st.tuples(st.floats(-1e3, 1e3, allow_nan=False),
+              st.floats(-1e3, 1e3, allow_nan=False)),
+    min_size=3, max_size=40))
+def test_convex_hull_contains_all_points(pts):
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    line = W.encode_linestring(np.array(pts, dtype="f8"))
+    hull = W.parse(W.convex_hull(line))
+    if hull.gtype != W.POLYGON:
+        return   # collinear/degenerate input
+    ring = hull.parts[0]
+    # every input point lies inside or on the hull: all cross products
+    # against each CCW edge must be >= -eps
+    scale = max(1.0, float(np.abs(ring).max())) ** 2
+    for px, py in pts:
+        for i in range(len(ring) - 1):
+            ax, ay = ring[i]
+            bx, by = ring[i + 1]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            assert cross >= -1e-9 * scale
+
+
+@given(st.lists(
+    st.tuples(st.floats(-100, 100, allow_nan=False),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=2, max_size=30),
+    st.floats(0.0, 10.0, allow_nan=False))
+def test_simplify_keeps_subset_and_endpoints(pts, tol):
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as W
+
+    arr = np.array(pts, dtype="f8")
+    out = W.parse(W.simplify(W.encode_linestring(arr), tol)).parts[0]
+    src = {tuple(p) for p in arr}
+    assert all(tuple(p) in src for p in out)           # vertices are a subset
+    assert tuple(out[0]) == tuple(arr[0])              # endpoints preserved
+    assert tuple(out[-1]) == tuple(arr[-1])
+    assert 2 <= len(out) <= len(arr)
