@@ -182,3 +182,41 @@ def select_under_token_budget(df: DataFrame, budget: int,
     if kept_full is None:
         return kept_boundary
     return kept_full.select(*out_cols).unionByName(kept_boundary)
+
+
+def weighted_take(df: DataFrame, key_column: str, weight_column: str,
+                  n: int, stratum_column: str | None = None,
+                  salt: str = "wtake") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    public algorithm): each row gets priority ``u^(1/w)`` with ``u`` a
+    deterministic hash draw in (0,1); the top-``n`` priorities are a
+    weighted sample without replacement.  Quality-weighted corpus
+    subsampling, reproducible across retries/engines like the other
+    hash samplers.
+
+    With ``stratum_column``: top-n per stratum (one shuffle + partitioned
+    window); without: global top-n via TakeOrderedAndProject (no
+    single-partition window).  Weights must be > 0 — rows with null or
+    non-positive weight are rejected loudly rather than silently biased.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_column).cast("double")
+    bad = df.filter(w.isNull() | (w <= 0.0)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_take requires positive weights in {weight_column!r}")
+    # (draw + 0.5) / 2^32 lies strictly inside (0,1): u=0 would send every
+    # priority to 0 and u=1 would tie at 1 regardless of weight
+    u = (_hash_draw(F.col(key_column), salt).cast("double") + 0.5) / float(_BUCKETS)
+    priority = F.pow(u, F.lit(1.0) / w)
+    ranked = df.withColumn("__p", priority)
+    if stratum_column is None:
+        return (ranked.orderBy(F.desc("__p"), F.asc(key_column))
+                .limit(n).drop("__p"))
+    win = (Window.partitionBy(stratum_column)
+           .orderBy(F.desc("__p"), F.asc(key_column)))
+    return (ranked.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= n).drop("__p", "__rn"))

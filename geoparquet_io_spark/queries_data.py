@@ -1512,3 +1512,32 @@ def q_knn_join(spark, sf_dir):
         F.round("distance", 6).alias("distance"),
         F.col("knn_rank").cast("int").alias("knn_rank"),
     )
+
+
+@register(
+    "sample_weighted_take",
+    f"""
+    WITH drawn AS (
+      SELECT doc_id, source, n_chars,
+             pow((CAST({_DRAW.format(salt='wtake', key='doc_id')} AS DOUBLE) + 0.5)
+                 / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS p
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY p DESC, doc_id) AS rn
+          FROM drawn)
+    WHERE rn <= 10
+    """,
+)
+def q_weighted_take(spark, sf_dir):
+    """Weighted without-replacement sampling (Efraimidis-Spirakis),
+    10 docs per source weighted by length
+    (operators/sampling.py:weighted_take)."""
+    from geoparquet_io_spark.operators.sampling import weighted_take
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return weighted_take(d, "doc_id", "n_chars", 10,
+                         stratum_column="source").select("doc_id", "source")

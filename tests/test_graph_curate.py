@@ -185,3 +185,43 @@ def test_token_budget_no_global_window(spark):
     assert "partitionBy" not in plan or "__b" in plan
     got = out.count()
     assert got == 20   # 100-token budget / 5 tokens, highest scores first
+
+
+# --------------------------------------------------------------------------
+# weighted_take
+# --------------------------------------------------------------------------
+
+def test_weighted_take_matches_python_mirror(spark):
+    import hashlib
+
+    from geoparquet_io_spark.operators.sampling import weighted_take
+
+    rows = [(i, f"s{i % 2}", float(1 + i % 9)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "stratum", "w"])
+
+    def draw(key, salt="wtake"):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    def mirror(n, stratum=None):
+        pri = [(k, s, pow((draw(k) + 0.5) / 2**32, 1.0 / w))
+               for k, s, w in rows]
+        if stratum is None:
+            return sorted(k for k, _, _ in
+                          sorted(pri, key=lambda t: (-t[2], t[0]))[:n])
+        keep = []
+        for sv in ("s0", "s1"):
+            grp = [t for t in pri if t[1] == sv]
+            keep += [k for k, _, _ in
+                     sorted(grp, key=lambda t: (-t[2], t[0]))[:n]]
+        return sorted(keep)
+
+    got_g = sorted(r["k"] for r in weighted_take(df, "k", "w", 7).collect())
+    assert got_g == mirror(7)
+    got_s = sorted(r["k"] for r in
+                   weighted_take(df, "k", "w", 5, "stratum").collect())
+    assert got_s == mirror(5, stratum=True)
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        weighted_take(df.withColumn("w", df.w - 5.0), "k", "w", 3)
