@@ -4,6 +4,11 @@ These go beyond the reference's own surface (BASELINE.json north star):
 language-ID, quality scoring, token counting, fingerprinting — each
 implemented with NATIVE Spark expressions only (no python UDFs), so the
 whole pipeline stays inside whole-stage codegen and scales linearly.
+
+Tokenize/explode-heavy operators call operators.skew.spread() on entry:
+single-row-group inputs otherwise pin the whole map side to one task
+(measured multi-x wins at sf0.1); the gate makes it a no-op whenever
+the scan already parallelizes (any real multi-file lake).
 """
 
 from __future__ import annotations
@@ -52,6 +57,9 @@ def stopword_hits(text: Column, stopwords: tuple[str, ...]) -> Column:
 def quality_features(df: DataFrame, text_column: str = "text") -> DataFrame:
     """Length / punctuation / stopword features + a composite score in [0,1]
     (shape follows C4/Gopher-style quality filters — public heuristics)."""
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     t = F.col(text_column)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -126,6 +134,9 @@ def repetition_features(df: DataFrame, id_column: str = "doc_id",
     whole corpus.  Documents with fewer than 2 tokens are excluded
     (bigram metrics undefined).
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     doc = F.col(id_column).alias("doc")
     toks = (
         df.select(doc, tokens(F.lower(F.col(text_column))).alias("t"))
@@ -270,6 +281,9 @@ def unigram_logprob(df: DataFrame, id_column: str = "doc_id",
     order-independent and engine-exact (float sums are not associative;
     integer sums are).
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     toks = df.select(
         F.col(id_column).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
@@ -308,6 +322,9 @@ def duplicated_ngram_stats(df: DataFrame, id_column: str = "doc_id",
     the md5 key — uniformly distributed, no skew), join back, per-doc
     aggregation.  All-integer arithmetic until the final rounding.
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     sh = _doc_shingles(df, id_column, text_column, n)
     freq = sh.groupBy("h").agg(F.count("*").alias("nd"))
     return (
@@ -338,6 +355,9 @@ def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
     loops; both aggregations are plain shuffles on well-distributed keys.
     Deterministic tie-break on the term string for oracle parity.
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     n_docs = df.count()
     toks = df.select(
         F.col(id_column).alias("doc"),
@@ -372,6 +392,9 @@ def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
     dominates the corpus); reassembly is one groupBy the doc id.  Two
     shuffles total, all native expressions.
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     words = F.filter(F.split(F.col(text_column), " "),
                      lambda w: w != F.lit(""))
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
@@ -427,6 +450,9 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     tiny aggregate broadcast back.  No python, no driver loops.  Returns
     the top-``k`` docs (score desc, id asc tie-break).
     """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
     terms = sorted(set(t.lower() for t in query_terms))
     term_arr = F.array(*[F.lit(t) for t in terms])
 
@@ -478,6 +504,9 @@ def hashed_linear_score(df: DataFrame, weights: list[float], bias: float,
     identical arithmetic is SQL-mirrorable for the oracle gate.
     """
     from geoparquet_io_spark.operators.sampling import _hash_draw
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
 
     n_buckets = len(weights)
     if n_buckets < 1:

@@ -112,8 +112,10 @@ def test_minhash_shuffle_count(spark):
 
     d = load_table(spark, SF_SMOKE, "documents")
     s = plan_summary(minhash_signatures_agg(d, "doc_id"))
-    # one logical shuffle; AQE's formatted plan can print the node twice
-    assert s["exchanges"] <= 2, s
+    # one logical agg shuffle + the gated spread() round-robin (a no-op
+    # exchange-wise on real multi-file lakes); AQE's formatted plan can
+    # print a node twice
+    assert s["exchanges"] <= 4, s
     assert s["python_evals"] == 0
 
 
