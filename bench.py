@@ -43,6 +43,8 @@ HEADLINE = [
     "text_bm25_topk",
     "semantic_dedup",
     "graph_pagerank",
+    "geo_distance_join",
+    "geo_knn_join",
 ]
 
 # regression thresholds vs the committed bench_baseline.json
