@@ -364,3 +364,47 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_column: str,
     losers = (scored.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") > 1).select("__node"))
     return df.join(losers, df[id_column] == losers["__node"], "left_anti")
+
+
+def simhash_candidate_pairs(df: DataFrame, id_column: str,
+                            text_column: str = "text", k: int = 5,
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``
+    over the 16-bit signature — bucketed by nibble bands so the pair space
+    never goes all-pairs.
+
+    Pigeonhole completeness: 4 nibble bands and ``max_hamming <= 3``
+    differing bits guarantee at least one band is IDENTICAL, so the
+    band equi-join loses no qualifying pair.  (For larger budgets raise
+    the band count or signature width.)  Shape: signature (explode +
+    partial-agg votes) -> 4-band explode -> self-join on (band, nibble)
+    -> distinct -> exact bit_count(xor) filter.  Same banding scheme as
+    minhash LSH; the signature table is persisted so the join's two
+    sides don't recompute it.
+    """
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            f"max_hamming must be in [0, 3] for 4-nibble banding "
+            f"(pigeonhole bound), got {max_hamming}")
+    sigs = add_simhash(df, text_column=text_column, k=k,
+                       id_column=id_column).select(
+        F.col(id_column).alias("id"), F.col("simhash").cast("long").alias("sh"))
+    sigs = sigs.localCheckpoint(eager=False)
+    banded = sigs.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     (F.shiftright(F.col("sh"), 4 * b) % 16).alias("nib"))
+            for b in range(4)
+        ])).alias("band"),
+    ).select("id", "sh", F.col("band.b").alias("b"), F.col("band.nib").alias("nib"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "nib")
+    bb = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "b", "nib")
+    pairs = (a.join(bb, ["b", "nib"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b")
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

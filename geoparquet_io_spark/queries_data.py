@@ -1541,3 +1541,39 @@ def q_weighted_take(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return weighted_take(d, "doc_id", "n_chars", 10,
                          stratum_column="source").select("doc_id", "source")
+
+
+def _simhash_pairs_oracle(k: int = 5, max_hamming: int = 3) -> str:
+    """Hamming-banded simhash pairs: sig CTE from _simhash_oracle, 4
+    nibble bands, exact bit_count(xor) filter — pigeonhole-complete for
+    max_hamming <= 3."""
+    sig_sql = _simhash_oracle(k)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS b, (simhash >> {4 * b}) % 16 AS nib "
+        f"FROM sigs" for b in range(4)
+    )
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    u AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM u a JOIN u b ON a.b = b.b AND a.nib = b.nib
+                       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_oracle())
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming <= 3 — nibble-banded so the
+    candidate join is an equi-join, pigeonhole-complete
+    (operators/dedup.py:simhash_candidate_pairs)."""
+    from geoparquet_io_spark.operators.dedup import simhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return simhash_candidate_pairs(d, "doc_id", "text", k=5, max_hamming=3)

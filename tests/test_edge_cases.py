@@ -324,3 +324,31 @@ def test_estimate_knn_radius_uniform_density(spark):
     import pytest as _p
     with _p.raises(ValueError):
         estimate_knn_radius(df.filter("rid < 0"), k=3, right_x="rx", right_y="ry")
+
+
+def test_simhash_pairs_pigeonhole_completeness(spark):
+    """Every pair within hamming <= 3 must be found (band equi-join is
+    lossless by pigeonhole); verified against a brute-force mirror."""
+    from geoparquet_io_spark.operators.dedup import (add_simhash,
+                                                     simhash_candidate_pairs)
+
+    rows = [(i, ("alpha beta gamma delta epsilon zeta " * 3) +
+             ("x" * (i % 4)) ) for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in add_simhash(df, id_column="doc_id")
+            .select("doc_id", "simhash").collect()}
+    expected = set()
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if h <= 3:
+                expected.add((ids[i], ids[j], h))
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_candidate_pairs(df, "doc_id").collect()}
+    assert got == expected and len(expected) > 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        simhash_candidate_pairs(df, "doc_id", max_hamming=4)
