@@ -408,3 +408,35 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def dedup_against_index(new_df: DataFrame, index_bands: DataFrame,
+                        id_column: str, text_column: str = "text",
+                        num_hashes: int = 8, bands: int = 4,
+                        k: int = 5) -> DataFrame:
+    """Incremental-ingest dedup: drop NEW documents that LSH-collide with
+    an EXISTING corpus whose band table was built once and PERSISTED
+    (``minhash_bands`` output) — the production shape where yesterday's
+    100 TB corpus is never recomputed to admit today's batch.
+
+    Both sides explode to (band_index, band_hash) keys; one equi-join
+    marks collisions; the new batch is LEFT-ANTI-joined on the flagged
+    ids.  Returns the surviving new rows (original columns).
+    """
+    nb = minhash_bands(new_df, text_column, num_hashes, bands, k,
+                       id_column=id_column)
+
+    def explode_bands(df: DataFrame, keep: str) -> DataFrame:
+        arr = F.array(*[
+            F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("bh"))
+            for b in range(bands)
+        ])
+        return (df.select(F.col(keep).alias("__id"), F.explode(arr).alias("e"))
+                .select("__id", F.col("e.b").alias("b"), F.col("e.bh").alias("bh")))
+
+    new_e = explode_bands(nb, id_column)
+    idx_e = explode_bands(index_bands, id_column)
+    flagged = (new_e.join(idx_e.select("b", "bh").distinct(), ["b", "bh"])
+               .select(F.col("__id")).distinct())
+    return new_df.join(flagged, new_df[id_column] == flagged["__id"],
+                       "left_anti")

@@ -1577,3 +1577,54 @@ def q_simhash_pairs(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
     return simhash_candidate_pairs(d, "doc_id", "text", k=5, max_hamming=3)
+
+
+def _dedup_against_index_oracle(num_hashes: int = 8, bands: int = 2,
+                                k: int = 5) -> str:
+    """New docs (doc_id % 3 = 0) that collide in no band with the corpus
+    (doc_id % 3 != 0)."""
+    rows = num_hashes // bands
+    mh = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes))
+    band_cols = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}" for b in range(bands))
+    union = lambda src: " UNION ALL ".join(  # noqa: E731
+        f"SELECT doc_id, {b} AS b, band_{b} AS bh FROM {src}"
+        for b in range(bands))
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql('text', k)}) AS s
+                FROM documents WHERE len(text) >= {k}),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h2
+          FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sigs),
+    new_b AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+    idx_b AS (SELECT * FROM banded WHERE doc_id % 3 != 0),
+    new_u AS ({union('new_b')}),
+    idx_u AS ({union('idx_b')}),
+    flagged AS (SELECT DISTINCT n.doc_id FROM new_u n
+                JOIN (SELECT DISTINCT b, bh FROM idx_u) i
+                  ON n.b = i.b AND n.bh = i.bh)
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 3 = 0 AND len(text) >= {k}
+      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """
+
+
+@register("dedup_incremental_index", _dedup_against_index_oracle())
+def q_dedup_against_index(spark, sf_dir):
+    """Incremental ingest dedup vs a persisted LSH band index
+    (operators/dedup.py:dedup_against_index): the corpus side's bands are
+    computed once; the new batch anti-joins on band collisions."""
+    from geoparquet_io_spark.operators.dedup import (dedup_against_index,
+                                                     minhash_bands)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    idx = minhash_bands(corpus, num_hashes=8, bands=2, k=5, id_column="doc_id")
+    out = dedup_against_index(new, idx, "doc_id", num_hashes=8, bands=2, k=5)
+    return out.select("doc_id", "source")

@@ -352,3 +352,22 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
     import pytest as _p
     with _p.raises(ValueError):
         simhash_candidate_pairs(df, "doc_id", max_hamming=4)
+
+
+def test_dedup_against_index_drops_only_colliders(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.dedup import (dedup_against_index,
+                                                     minhash_bands)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus text about spark shuffles")],
+        ["id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+         (11, "zebra xylophone quartz vivid jigsaw plumbing keynote")],
+        ["id", "text"])
+    idx = minhash_bands(corpus, num_hashes=8, bands=4, k=5, id_column="id")
+    out = dedup_against_index(new, idx, "id", num_hashes=8, bands=4, k=5)
+    assert [r["id"] for r in out.collect()] == [11]
