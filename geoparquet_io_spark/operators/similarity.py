@@ -151,8 +151,11 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, bucketed by
     LSH so only same-bucket pairs are compared (id_a < id_b)."""
+    from geoparquet_io_spark.operators.skew import spread
+
     planes = _hyperplanes(dim, n_planes, seed)
-    v = df.select(
+    # per-pair HOF cosine dominates; gated scan-parallelism restore
+    v = spread(df).select(
         F.col(id_column).alias("id"),
         as_double_array(F.col(vector_column)).alias("v"),
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
