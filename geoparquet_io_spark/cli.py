@@ -410,6 +410,14 @@ def cmd_manifest(args) -> int:
                                                            prune_files)
 
     spark = _spark()
+    if args.check_stale:
+        from geoparquet_io_spark.operators.maintenance import manifest_staleness
+
+        m = spark.read.parquet(args.check_stale)
+        rep = manifest_staleness(m, args.input)
+        print(json.dumps({k: (v if isinstance(v, bool) else len(v))
+                          for k, v in rep.items()}))
+        return 0 if rep["fresh"] else 1
     m = build_manifest(spark, args.input)
     if args.output:
         m.coalesce(1).write.mode("overwrite").parquet(args.output)
@@ -622,6 +630,9 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("input")
     mf.add_argument("--output", help="write the manifest table here")
     mf.add_argument("--bbox", help="xmin,ymin,xmax,ymax pruning report")
+    mf.add_argument("--check-stale",
+                    help="path of a persisted manifest to audit vs the "
+                         "current file listing (exit 1 when stale)")
     mf.set_defaults(fn=cmd_manifest)
 
     dj = sub.add_parser("distance-join")

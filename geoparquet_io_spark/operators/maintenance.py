@@ -155,3 +155,25 @@ def compact(spark: SparkSession, in_path: str, out_path: str,
         "bytes_after": sum(os.path.getsize(f) for f in written),
         "target_file_mb": target_file_mb,
     }
+
+
+def manifest_staleness(manifest: DataFrame, path: str) -> dict:
+    """Compare a persisted manifest against the dataset's CURRENT file
+    listing: files added/removed/resized since the sweep.  A stale
+    manifest prunes incorrectly (a new file it never saw would be
+    silently skipped by file-list reads), so ingest jobs should refresh
+    or incrementally extend it; this is the audit.  Names/sizes only —
+    no data read."""
+    current = {f: os.path.getsize(f) for f in _list_parquet_files(path)}
+    recorded = {r["file"]: r["n_bytes"] for r in
+                manifest.select("file", "n_bytes").collect()}
+    added = sorted(set(current) - set(recorded))
+    removed = sorted(set(recorded) - set(current))
+    resized = sorted(f for f in set(current) & set(recorded)
+                     if current[f] != recorded[f])
+    return {
+        "fresh": not (added or removed or resized),
+        "files_added": added,
+        "files_removed": removed,
+        "files_resized": resized,
+    }

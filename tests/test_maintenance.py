@@ -106,3 +106,31 @@ def test_compact_reduces_file_count_preserves_rows_and_geo(spark, points, tmp_pa
     f0 = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(f0) == 1
     assert b"geo" in pq.read_schema(os.path.join(out, f0[0])).metadata
+
+
+def test_manifest_staleness(spark, partitioned_dataset, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (build_manifest,
+                                                           manifest_staleness)
+
+    path, files, _ = partitioned_dataset
+    m = build_manifest(spark, path)
+    rep = manifest_staleness(m, path)
+    assert rep["fresh"] and not rep["files_added"]
+    # drop one file from the manifest -> reported as added on disk
+    m2 = m.filter(m.file != files[0])
+    rep2 = manifest_staleness(m2, path)
+    assert not rep2["fresh"] and rep2["files_added"] == [files[0]]
+
+
+def test_manifest_staleness_cli(spark, partitioned_dataset, tmp_path, capsys):
+    import json as _json
+
+    from geoparquet_io_spark.cli import main
+    from geoparquet_io_spark.operators.maintenance import build_manifest
+
+    path, files, _ = partitioned_dataset
+    mf = str(tmp_path / "m")
+    build_manifest(spark, path).coalesce(1).write.parquet(mf)
+    assert main(["manifest", path, "--check-stale", mf]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["fresh"] is True
