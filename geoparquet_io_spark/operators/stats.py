@@ -257,3 +257,28 @@ def top_k_per_group(df: DataFrame, group_column: str, order_column: str,
     w = Window.partitionBy(group_column).orderBy(*order)
     return (df.withColumn(rank_column, F.row_number().over(w))
             .filter(F.col(rank_column) <= k))
+
+
+def histogram(df, column: str, lo: float, hi: float, n_bins: int):
+    """Fixed-width histogram over [lo, hi): one partial-agg shuffle on the
+    bin id (floor((x-lo)/width) — arithmetic identical in any engine, no
+    width_bucket dependency).  Returns (bin, bin_lo, n, min_v, max_v) for
+    non-empty bins; out-of-range rows are excluded (count them upstream
+    if needed)."""
+    from pyspark.sql import functions as F
+
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    width = (hi - lo) / n_bins
+    x = F.col(column).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
+    return (df.filter((x >= lo) & (x < hi))
+            .withColumn("bin", b)
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.min(x).alias("min_v"),
+                 F.max(x).alias("max_v"))
+            .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
+            .select("bin", "bin_lo", "n", "min_v", "max_v"))

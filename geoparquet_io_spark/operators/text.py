@@ -528,3 +528,23 @@ def hashed_linear_score(df: DataFrame, weights: list[float], bias: float,
         F.round(score, round_digits).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+NORMALIZE_PUNCT_FROM = "\u2019\u2018\u201c\u201d\u2014\u2013\u00a0"
+NORMALIZE_PUNCT_TO = "''\"\"--" + " "
+
+
+def normalize_text(df: DataFrame, text_column: str = "text",
+                   out_column: str = "text_norm") -> DataFrame:
+    """Canonical text normalization (the C4/CCNet preprocessing staple):
+    lowercase, smart-quote/dash/nbsp folding, control-character strip,
+    whitespace collapse, trim.  Map-only native expressions; emits the
+    normalized column plus a ``was_changed`` flag so pipelines can audit
+    normalization rates."""
+    t = F.col(text_column)
+    norm = F.lower(t)
+    norm = F.translate(norm, NORMALIZE_PUNCT_FROM, NORMALIZE_PUNCT_TO)
+    norm = F.regexp_replace(norm, r"[\x00-\x1F\x7F]", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return (df.withColumn(out_column, norm)
+            .withColumn("was_changed", norm != t))

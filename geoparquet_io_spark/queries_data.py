@@ -1628,3 +1628,62 @@ def q_dedup_against_index(spark, sf_dir):
     idx = minhash_bands(corpus, num_hashes=8, bands=2, k=5, id_column="doc_id")
     out = dedup_against_index(new, idx, "doc_id", num_hashes=8, bands=2, k=5)
     return out.select("doc_id", "source")
+
+
+def _normalize_oracle() -> str:
+    from geoparquet_io_spark.operators.text import (NORMALIZE_PUNCT_FROM,
+                                                    NORMALIZE_PUNCT_TO)
+
+    frm = NORMALIZE_PUNCT_FROM.replace("'", "''")
+    to = NORMALIZE_PUNCT_TO.replace("'", "''")
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(lower(text), '{frm}', '{to}'),
+                 '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS text_norm
+      FROM documents
+    )
+    SELECT doc_id, md5(text_norm) AS norm_digest,
+           (text_norm != text) AS was_changed
+    FROM n
+    """
+
+
+@register("text_normalize", _normalize_oracle())
+def q_normalize(spark, sf_dir):
+    """Canonical text normalization (operators/text.py:normalize_text):
+    md5 digests compared so the full normalized strings round-trip the
+    harness compactly."""
+    from geoparquet_io_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    out = normalize_text(d)
+    return out.select("doc_id", F.md5("text_norm").alias("norm_digest"),
+                      "was_changed")
+
+
+@register(
+    "stats_histogram_prices",
+    """
+    WITH f AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE o_totalprice >= 0.0 AND o_totalprice < 600000.0
+    )
+    SELECT CAST(floor(x / 50000.0) AS INTEGER) AS bin,
+           0.0 + CAST(floor(x / 50000.0) AS INTEGER) * 50000.0 AS bin_lo,
+           COUNT(*) AS n,
+           MIN(x) AS min_v, MAX(x) AS max_v
+    FROM f GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram (operators/stats.py:histogram): order prices
+    into 12 x 50k bins, one partial-agg shuffle, no width_bucket
+    dependency (identical floor arithmetic in the oracle)."""
+    from geoparquet_io_spark.operators.stats import histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return histogram(o, "o_totalprice", 0.0, 600000.0, 12)

@@ -107,3 +107,48 @@ def test_unigram_logprob_has_no_python_eval(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"])
     plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_text_folds_and_flags(spark):
+    from geoparquet_io_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Hello’s “World” — ok now"),
+        (2, "already clean"),
+        (3, "Tabs\tand\ncontrol\x07chars   squeezed"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["text_norm"], r["was_changed"])
+           for r in normalize_text(df).collect()}
+    assert out[1] == ("hello's \"world\" - ok now", True)
+    assert out[2] == ("already clean", False)
+    assert out[3] == ("tabs and control chars squeezed", True)
+
+
+def test_normalize_text_map_only(spark):
+    from geoparquet_io_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "X")], ["doc_id", "text"])
+    plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_bins_and_validation(spark):
+    from geoparquet_io_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 2.5, 9.99, 10, -1, 5, 5, 7.5]], ["x"])
+    got = {r["bin"]: (r["n"], r["min_v"], r["max_v"], r["bin_lo"])
+           for r in histogram(df, "x", 0.0, 10.0, 4).collect()}
+    # bins of width 2.5 over [0,10): 10 and -1 excluded
+    assert got[0] == (2, 0.0, 1.0, 0.0)
+    assert got[1] == (1, 2.5, 2.5, 2.5)
+    assert got[2] == (2, 5.0, 5.0, 5.0)
+    assert got[3] == (2, 7.5, 9.99, 7.5)
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        histogram(df, "x", 5.0, 5.0, 4)
+    with _p.raises(ValueError):
+        histogram(df, "x", 0.0, 10.0, 0)
