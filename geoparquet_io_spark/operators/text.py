@@ -548,3 +548,214 @@ def normalize_text(df: DataFrame, text_column: str = "text",
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return (df.withColumn(out_column, norm)
             .withColumn("was_changed", norm != t))
+
+
+def chunk_passages(df: DataFrame, id_column: str = "doc_id",
+                   text_column: str = "text", size: int = 32,
+                   stride: int = 24) -> DataFrame:
+    """Split documents into overlapping fixed-size token passages (the
+    RAG / retrieval-index chunking primitive: ``size``-token windows
+    every ``stride`` tokens, last window ragged).  Map-only native
+    expressions: ONE array build + ONE posexplode, no shuffle at all —
+    the output inherits the input partitioning, which is exactly what a
+    100 TB chunk-and-embed pipeline wants (chunking adds zero exchanges
+    before the embed stage).
+
+    Passage count per doc: ``1 + ceil(max(n_words - size, 0) / stride)``
+    (so every word is covered and windows beyond the end are not
+    emitted); empty docs emit nothing.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.filter(F.split(F.col(text_column), " "),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    n_pass = (F.lit(1)
+              + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride))
+              .cast("int"))
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.struct(
+            i.alias("no"),
+            F.array_join(F.slice(words, i * stride + 1, size), " ")
+             .alias("p"),
+        ),
+    )
+    exploded = (
+        df.filter(n > 0)
+          .select(F.col(id_column), F.explode(passages).alias("__e"))
+          .select(
+              id_column,
+              F.col("__e.no").cast("int").alias("passage_no"),
+              F.col("__e.p").alias("passage"),
+          )
+    )
+    return exploded.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("passage"), " "),
+                        lambda w: w != F.lit(""))).cast("int"))
+
+
+def duplicated_spans(df: DataFrame, id_column: str = "doc_id",
+                     text_column: str = "text", n: int = 5,
+                     round_digits: int = 6) -> DataFrame:
+    """Exact-substring duplicate SPAN coverage per document — the Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better")
+    shape: every length-``n`` token window that occurs more than once in
+    the corpus marks its token range as duplicated; overlapping duplicated
+    windows are merged into maximal spans (interval union), and the
+    operator reports per-doc span count + duplicated-token coverage.
+    The reference engine has no substring-level dedup; this is the
+    standard corpus-hygiene signal its users would need at LLM scale.
+
+    Scale shape: window generation is one array transform + posexplode
+    (map-only); window frequency is ONE groupBy on the md5 of the window
+    text (uniform key, map-side combine); the interval merge is a window
+    partitioned BY DOCUMENT (bounded partitions — never a global window):
+    island detection via running-max-end over preceding rows, then one
+    per-doc aggregate.  All-integer interval arithmetic.
+    """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
+    words = F.filter(F.split(F.col(text_column), " "),
+                     lambda w: w != F.lit(""))
+    nw = F.size(words)
+    base = df.select(F.col(id_column).alias("doc"),
+                     words.alias("__w"), nw.alias("__nw"))
+    wins = (
+        base.filter(F.col("__nw") >= n)
+        .select(
+            "doc", "__nw",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nw") - n),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(F.array_join(F.slice(F.col("__w"), i + 1, n),
+                                           " ")).alias("h"),
+                    ),
+                )
+            ).alias("__win"),
+        )
+        .select("doc", "__nw",
+                F.col("__win.start").alias("start"),
+                F.col("__win.h").alias("h"))
+    )
+    freq = wins.groupBy("h").agg(F.count("*").alias("nd"))
+    dup = (wins.join(freq, "h").filter(F.col("nd") >= 2)
+           .select("doc", "__nw", "start"))
+    w_prev = (Window.partitionBy("doc").orderBy("start")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc").orderBy("start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = dup.withColumn(
+        "__new_island",
+        F.when(F.col("start") > F.coalesce(
+            F.max(F.col("start") + n - 1).over(w_prev), F.lit(-1)),
+            F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__new_island").over(w_run))
+    spans = (
+        flagged.groupBy("doc", "__nw", "__island")
+        .agg((F.max("start") - F.min("start") + n).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("doc", "__nw")
+        .agg(F.count("*").alias("n_dup_spans"),
+             F.sum("span_tokens").alias("dup_tokens"))
+        .select(
+            F.col("doc").alias(id_column),
+            F.col("__nw").cast("long").alias("n_tokens"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(F.col("dup_tokens") / F.col("__nw"),
+                    round_digits).alias("dup_token_fraction"),
+        )
+    )
+
+
+def quality_filter(df: DataFrame, text_column: str = "text",
+                   min_words: int = 5, max_words: int = 100000,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0,
+                   max_symbol_ratio: float = 0.3,
+                   min_stopword_hits: int = 1) -> DataFrame:
+    """Composite document-quality gate (the Gopher/C4/FineWeb filter-chain
+    shape, simplified to exactly SQL-expressible rules): word-count range,
+    mean word length range, symbol-character ratio cap, and an
+    any-common-stopword requirement.  Emits ``keep`` plus a
+    comma-joined ``fail_reasons`` audit column — curation pipelines keep
+    the reasons to report per-rule kill rates.
+
+    Map-only native expressions (zero shuffles, zero UDFs): at 100 TB
+    this is a pure scan-side filter that AQE can fuse with whatever
+    follows.
+    """
+    t = F.col(text_column)
+    wrds = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(wrds)
+    total_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = total_word_chars / F.greatest(n_words, F.lit(1))
+    symbols = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = symbols / F.greatest(F.length(t), F.lit(1))
+    sw = stopword_hits(t, ENGLISH_STOPWORDS)
+    reasons = F.concat_ws(
+        ",",
+        F.when((n_words < min_words) | (n_words > max_words),
+               F.lit("word_count")),
+        F.when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+               F.lit("mean_word_len")),
+        F.when(symbol_ratio > max_symbol_ratio, F.lit("symbol_ratio")),
+        F.when(sw < min_stopword_hits, F.lit("stopwords")),
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+          .withColumn("mean_word_len", F.round(mean_wl, 6))
+          .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+          .withColumn("stopword_hits", sw.cast("long"))
+          .withColumn("fail_reasons", reasons)
+          .withColumn("keep", F.length(reasons) == 0)
+    )
+
+
+PERPLEXITY_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def perplexity_buckets(df: DataFrame, id_column: str = "doc_id",
+                       text_column: str = "text",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (public practice: CCNet splits a
+    crawl into head/middle/tail thirds by LM perplexity and trains on the
+    head).  Here the LM is the corpus's own unigram model
+    (:func:`unigram_logprob`, exactly SQL-expressible), higher mean
+    log-prob = lower perplexity = earlier bucket.
+
+    Scale shape: the scoring is the unigram pipeline's two shuffles; the
+    bucketing is an exact global rank via
+    :func:`~geoparquet_io_spark.operators.sorts.global_rank`
+    (range repartition + local ordinal + tiny offset table — NO
+    single-partition window), then integer arithmetic
+    ``((rank-1) * n_buckets) div n`` so bucket boundaries are
+    engine-exact (no float division at the edges).
+    """
+    from geoparquet_io_spark.operators.sorts import global_rank
+
+    scored = unigram_logprob(df, id_column, text_column).persist()
+    n = scored.count()
+    ranked = global_rank(
+        scored,
+        [F.col("avg_logprob").desc(), F.col(id_column).asc()],
+        rank_column="__rn",
+    )
+    bucket_no = F.expr(f"((__rn - 1) * {int(n_buckets)}) div {max(int(n), 1)}")
+    labels = F.array(*[F.lit(l) for l in PERPLEXITY_BUCKET_LABELS]) \
+        if n_buckets == 3 else None
+    out = ranked.withColumn("bucket_no", bucket_no.cast("int"))
+    if labels is not None:
+        out = out.withColumn(
+            "bucket", F.element_at(labels, F.col("bucket_no") + 1))
+    else:
+        out = out.withColumn(
+            "bucket", F.concat(F.lit("b"), F.col("bucket_no").cast("string")))
+    return out.select(id_column, "n_tokens", "avg_logprob", "bucket_no",
+                      "bucket")

@@ -1687,3 +1687,193 @@ def q_histogram(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     return histogram(o, "o_totalprice", 0.0, 600000.0, 12)
+
+
+# ---------------------------------------------------------------------------
+# RAG passage chunking / exact-substring span dedup / composite quality gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_passages",
+    """
+    WITH lists AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS arr
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, arr, len(arr) AS n FROM lists WHERE len(arr) > 0),
+    idx AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(0, (greatest(n - 16, 0) + 11) // 12)) AS i
+      FROM nn
+    )
+    SELECT doc_id, CAST(i AS INT) AS passage_no,
+           array_to_string(list_slice(arr, i * 12 + 1, i * 12 + 16), ' ')
+             AS passage,
+           CAST(len(list_slice(arr, i * 12 + 1, i * 12 + 16)) AS INT)
+             AS n_tokens
+    FROM idx
+    """,
+)
+def q_passages(spark, sf_dir):
+    """Overlapping RAG passage chunking (operators/text.py:chunk_passages):
+    16-token windows every 12 tokens, map-only (zero shuffles — the
+    chunk-and-embed front half of a retrieval index build)."""
+    from geoparquet_io_spark.operators.text import chunk_passages
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_passages(d, size=16, stride=12)
+
+
+@register(
+    "text_dup_spans",
+    """
+    WITH lists AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS arr
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, arr, len(arr) AS n FROM lists WHERE len(arr) >= 3),
+    wins AS (
+      SELECT doc_id, n, i AS start,
+             md5(array_to_string(list_slice(arr, i + 1, i + 3), ' ')) AS h
+      FROM (SELECT doc_id, arr, n, unnest(generate_series(0, n - 3)) AS i
+            FROM nn)
+    ),
+    freq AS (SELECT h, COUNT(*) AS nd FROM wins GROUP BY h),
+    dup AS (SELECT w.doc_id, w.n, w.start
+            FROM wins w JOIN freq USING (h) WHERE nd >= 2),
+    isl AS (
+      SELECT doc_id, n, start,
+             CASE WHEN start > COALESCE(MAX(start + 2) OVER (
+                 PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), (-1))
+               THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, n, start,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n, island, MAX(start) - MIN(start) + 3 AS span_tokens
+      FROM isl2 GROUP BY doc_id, n, island
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(span_tokens) / n, 6) AS dup_token_fraction
+    FROM spans GROUP BY doc_id, n
+    """,
+)
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate-span coverage, the Lee et al. 2021 corpus
+    dedup signal (operators/text.py:duplicated_spans): duplicated 3-token
+    windows merged into maximal spans via a per-doc running-max interval
+    union — window generation map-only, frequency one uniform-key shuffle,
+    island merge a BOUNDED per-doc window."""
+    from geoparquet_io_spark.operators.text import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, n=3)
+
+
+@register(
+    "text_quality_filter",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w != '')) AS n_words,
+             len(regexp_replace(text, '\\s+', '', 'g')) AS twc,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+             greatest(len(text), 1) AS n_chars,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'],
+                                    w))) AS sw
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             twc / greatest(n_words, 1) AS mean_wl,
+             symbols / n_chars AS sym_ratio, sw,
+             concat_ws(',',
+               CASE WHEN n_words < 5 OR n_words > 100000
+                    THEN 'word_count' END,
+               CASE WHEN twc / greatest(n_words, 1) < 2.0
+                      OR twc / greatest(n_words, 1) > 12.0
+                    THEN 'mean_word_len' END,
+               CASE WHEN symbols / n_chars > 0.3 THEN 'symbol_ratio' END,
+               CASE WHEN sw < 1 THEN 'stopwords' END) AS fail_reasons
+      FROM f
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           CAST(sw AS BIGINT) AS stopword_hits,
+           fail_reasons, (len(fail_reasons) = 0) AS keep
+    FROM g
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4-style quality gate
+    (operators/text.py:quality_filter): word-count + mean-word-length +
+    symbol-ratio + stopword rules, map-only, with a per-rule audit
+    column."""
+    from geoparquet_io_spark.operators.text import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "stopword_hits", "fail_reasons", "keep")
+
+
+@register(
+    "text_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE len(term) > 0 GROUP BY doc, term
+    ),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT tf.doc, tf.tf,
+             CAST(ROUND(ln(vocab.c / tot.n) * 1e6) AS BIGINT) AS lp_micro
+      FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc AS doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(tf * lp_micro) AS BIGINT)
+                   / CAST(SUM(tf) AS BIGINT) / 1e6, 6) AS avg_logprob
+      FROM scored GROUP BY doc
+    ),
+    cnt AS (SELECT COUNT(*) AS n FROM per_doc),
+    ranked AS (
+      SELECT doc_id, n_tokens, avg_logprob,
+             row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rn
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, avg_logprob,
+           CAST(((rn - 1) * 3) // (SELECT n FROM cnt) AS INT) AS bucket_no,
+           CASE ((rn - 1) * 3) // (SELECT n FROM cnt)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing
+    (operators/text.py:perplexity_buckets): corpus-unigram scoring + an
+    exact DISTRIBUTED global rank (operators/sorts.py:global_rank — range
+    repartition + local ordinal + tiny offset table, never a
+    single-partition window) + integer-division bucket boundaries."""
+    from geoparquet_io_spark.operators.text import perplexity_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(d)
