@@ -433,6 +433,50 @@ def cmd_manifest(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Commit / list / time-travel-read dataset snapshots
+    (operators/maintenance.py: commit_snapshot / snapshot_history /
+    read_snapshot)."""
+    from geoparquet_io_spark.operators.maintenance import (commit_snapshot,
+                                                           read_snapshot,
+                                                           snapshot_history)
+
+    if args.history:
+        hist = snapshot_history(args.input)
+        print(json.dumps([{k: h[k] for k in
+                           ("version", "note", "committed_at", "n_files",
+                            "n_rows", "n_bytes")} for h in hist]))
+        return 0
+    spark = _spark()
+    if args.read is not None:
+        version = args.read if args.read > 0 else None
+        gt = read_snapshot(spark, args.input, version)
+        if args.output:
+            gt.write(args.output)
+        print(json.dumps({"version": version or "latest",
+                          "rows": gt.df.count()}))
+        return 0
+    rec = commit_snapshot(spark, args.input, note=args.note)
+    print(json.dumps({k: rec[k] for k in
+                      ("version", "n_files", "n_rows", "n_bytes")}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Delete files unreferenced by the kept snapshots
+    (operators/maintenance.py:vacuum)."""
+    from geoparquet_io_spark.operators.maintenance import vacuum
+
+    keep = [int(v) for v in args.keep.split(",")] if args.keep else None
+    rep = vacuum(args.input, keep_versions=keep, dry_run=args.dry_run)
+    print(json.dumps({"dry_run": rep["dry_run"],
+                      "kept_versions": rep["kept_versions"],
+                      "removed_snapshots": rep["removed_snapshots"],
+                      "files_removed": len(rep["files_removed"]),
+                      "files_kept": rep["files_kept"]}))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Keyed diff of two dataset versions -> per-status counts."""
     from pyspark.sql import functions as F
@@ -634,6 +678,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="path of a persisted manifest to audit vs the "
                          "current file listing (exit 1 when stale)")
     mf.set_defaults(fn=cmd_manifest)
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("input")
+    sn.add_argument("--note", default="", help="commit note")
+    sn.add_argument("--history", action="store_true",
+                    help="list committed snapshots instead of committing")
+    sn.add_argument("--read", type=int, nargs="?", const=0, default=None,
+                    help="time-travel read this version (omit value for "
+                         "latest); prints the row count")
+    sn.add_argument("--output", help="with --read: write the snapshot here")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    vc = sub.add_parser("vacuum")
+    vc.add_argument("input")
+    vc.add_argument("--keep", help="comma-separated versions to keep "
+                                   "(default: all committed)")
+    vc.add_argument("--dry-run", action="store_true")
+    vc.set_defaults(fn=cmd_vacuum)
 
     dj = sub.add_parser("distance-join")
     dj.add_argument("left")

@@ -157,6 +157,174 @@ def compact(spark: SparkSession, in_path: str, out_path: str,
     }
 
 
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _snapshot_dir(path: str) -> str:
+    return os.path.join(path, SNAPSHOT_DIR)
+
+
+def _snapshot_file(path: str, version: int) -> str:
+    return os.path.join(_snapshot_dir(path), f"v{version:06d}.json")
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """All committed snapshots of a dataset, oldest first (empty list if
+    none).  Each record: version, note, n_files, n_rows, n_bytes."""
+    import json
+
+    out = []
+    d = _snapshot_dir(path)
+    if not os.path.isdir(d):
+        return out
+    for f in sorted(_glob.glob(os.path.join(d, "v*.json"))):
+        with open(f) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def commit_snapshot(spark: SparkSession, path: str,
+                    files: list[str] | None = None,
+                    note: str = "") -> dict:
+    """Commit an immutable snapshot VERSION of a dataset — the
+    Iceberg/Delta time-travel idea over plain parquet: a snapshot is a
+    JSON membership list (relative path, rows, bytes per file) under
+    ``<path>/_snapshots/``; readers of version N see exactly N's files
+    regardless of later appends, rewrites, or compactions.
+
+    ``files`` defaults to every parquet file currently under ``path``
+    (append-only ingest: commit after each batch).  A logical REPLACE
+    (compaction, dedup rewrite) passes the new file set explicitly —
+    old files stay on disk for time travel until :func:`vacuum`.
+
+    Scale shape: footer row counts come from the distributed
+    ``build_manifest`` sweep (executor-side); only file NAMES and the
+    tiny manifest rows touch the driver.  The snapshot JSON is written
+    atomically (tmp + rename) so concurrent readers never see a torn
+    commit.
+    """
+    import json
+    import time
+
+    all_files = _list_parquet_files(path)
+    members = sorted(files) if files is not None else all_files
+    missing = [f for f in members if not os.path.isfile(f)]
+    if missing:
+        raise FileNotFoundError(f"snapshot members missing: {missing[:3]}")
+    mf = build_manifest(spark, path) if files is None else None
+    if mf is not None:
+        stats = {r["file"]: (r["n_rows"], r["n_bytes"])
+                 for r in mf.select("file", "n_rows", "n_bytes").collect()}
+    else:
+        import pyarrow.parquet as pq
+
+        stats = {f: (pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f))
+                 for f in members}
+    hist = snapshot_history(path)
+    version = (hist[-1]["version"] + 1) if hist else 1
+    rel = [{"file": os.path.relpath(f, path),
+            "n_rows": int(stats[f][0]), "n_bytes": int(stats[f][1])}
+           for f in members]
+    rec = {
+        "version": version,
+        "note": note,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "n_files": len(rel),
+        "n_rows": sum(r["n_rows"] for r in rel),
+        "n_bytes": sum(r["n_bytes"] for r in rel),
+        "files": rel,
+    }
+    os.makedirs(_snapshot_dir(path), exist_ok=True)
+    target = _snapshot_file(path, version)
+    if os.path.exists(target):
+        raise FileExistsError(f"snapshot v{version} already exists")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    os.replace(tmp, target)
+    return rec
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None):
+    """Time-travel read: a GeoTable over exactly the files of snapshot
+    ``version`` (default: latest).  Verifies each member still exists
+    with its recorded size — a silently-overwritten file is a HARD error
+    (the snapshot contract is immutability; vacuumed files fail loudly
+    rather than returning partial data)."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.sources.geoparquet import read_footer_geo
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise FileNotFoundError(f"no snapshots under {path!r}")
+    by_v = {h["version"]: h for h in hist}
+    if version is None:
+        version = hist[-1]["version"]
+    if version not in by_v:
+        raise KeyError(f"unknown snapshot version {version}; "
+                       f"have {sorted(by_v)}")
+    rec = by_v[version]
+    members = []
+    for r in rec["files"]:
+        f = os.path.join(path, r["file"])
+        if not os.path.isfile(f):
+            raise FileNotFoundError(
+                f"snapshot v{version} member missing (vacuumed?): {f}")
+        actual = os.path.getsize(f)
+        if actual != r["n_bytes"]:
+            raise RuntimeError(
+                f"snapshot v{version} member changed on disk: {f} "
+                f"({actual} bytes, recorded {r['n_bytes']})")
+        members.append(f)
+    # geo metadata from the members' own footers (driver-side, no job,
+    # per-file bboxes unioned); members may live in nested rewrite dirs
+    # the root reader can't see
+    geo = read_footer_geo(members)
+    return GeoTable(spark.read.parquet(*members), geo)
+
+
+def vacuum(path: str, keep_versions: list[int] | None = None,
+           dry_run: bool = False) -> dict:
+    """Delete data files not referenced by any KEPT snapshot (default:
+    keep every committed snapshot — then only never-committed stragglers
+    are removed).  Pass ``keep_versions`` to expire history first, e.g.
+    ``keep_versions=[latest]`` after a compaction rewrite.  Refuses to
+    run on a dataset with no snapshots (it would delete everything).
+    Names-only driver work; expired snapshot JSONs are removed too."""
+    hist = snapshot_history(path)
+    if not hist:
+        raise RuntimeError("refusing to vacuum: no snapshots committed")
+    keep = set(keep_versions) if keep_versions is not None \
+        else {h["version"] for h in hist}
+    unknown = keep - {h["version"] for h in hist}
+    if unknown:
+        raise KeyError(f"unknown versions in keep_versions: {sorted(unknown)}")
+    referenced = set()
+    for h in hist:
+        if h["version"] in keep:
+            for r in h["files"]:
+                referenced.add(os.path.abspath(os.path.join(path, r["file"])))
+    removed_files, removed_snapshots = [], []
+    for f in _list_parquet_files(path):
+        if os.path.abspath(f) not in referenced:
+            removed_files.append(f)
+            if not dry_run:
+                os.remove(f)
+    for h in hist:
+        if h["version"] not in keep:
+            removed_snapshots.append(h["version"])
+            if not dry_run:
+                os.remove(_snapshot_file(path, h["version"]))
+    return {
+        "dry_run": dry_run,
+        "kept_versions": sorted(keep),
+        "removed_snapshots": removed_snapshots,
+        "files_removed": removed_files,
+        "files_kept": len(referenced),
+    }
+
+
 def manifest_staleness(manifest: DataFrame, path: str) -> dict:
     """Compare a persisted manifest against the dataset's CURRENT file
     listing: files added/removed/resized since the sweep.  A stale

@@ -1877,3 +1877,49 @@ def q_perplexity_buckets(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(d)
+
+
+@register(
+    "dataset_time_travel",
+    """
+    SELECT 1 AS version, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 3 <= 1
+    """,
+)
+def q_time_travel(spark, sf_dir):
+    """Snapshot versioning + time travel over plain parquet
+    (operators/maintenance.py: commit_snapshot/read_snapshot — the
+    Iceberg/Delta membership-list idea): ingest batch 1, commit v1,
+    append batch 2, commit v2; reading v1 must see ONLY batch 1 while
+    the latest snapshot sees both.  Only file names + a tiny JSON list
+    touch the driver; row counts come from the distributed footer
+    sweep."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.maintenance import (commit_snapshot,
+                                                           read_snapshot)
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = tempfile.mkdtemp(prefix="gpq_tt_") + "/ds"
+    orders.filter(F.col("o_orderkey") % 3 == 0) \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p, note="batch1")
+    orders.filter(F.col("o_orderkey") % 3 == 1) \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p, note="batch2")
+
+    def agg(gt, version):
+        return gt.df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    v1 = agg(read_snapshot(spark, p, 1), 1)
+    v2 = agg(read_snapshot(spark, p), 2)
+    return v1.unionByName(v2)

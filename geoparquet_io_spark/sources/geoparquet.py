@@ -36,7 +36,7 @@ def _first_parquet_file(path: str) -> str | None:
     return hits[0] if hits else None
 
 
-def read_footer_geo(path: str) -> GeoMeta | None:
+def read_footer_geo(path: str | list[str]) -> GeoMeta | None:
     """Driver-side footer metadata read — no Spark job
     (reference reads footers the same way, core/duckdb_metadata.py:61-240).
 
@@ -46,10 +46,17 @@ def read_footer_geo(path: str) -> GeoMeta | None:
     (metadata reads are I/O-bound).  Past ``max_union_files`` the bbox is
     CLEARED instead of swept: at a 100 TB dataset's file count a driver
     sweep is minutes of startup latency, and an absent bbox is honest
-    where an understated one (first file only) would be wrong."""
-    if os.path.isfile(path):
+    where an understated one (first file only) would be wrong.
+
+    ``path`` may be a single file, a dataset directory (recursive glob),
+    or an explicit file list (snapshot membership reads)."""
+    if isinstance(path, list):
+        files = sorted(path)
+    elif os.path.isfile(path):
         return GeoMeta.from_footer(pq.read_schema(path).metadata)
-    files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
     if not files:
         return None
     geo = GeoMeta.from_footer(pq.read_schema(files[0]).metadata)

@@ -381,3 +381,33 @@ def test_distance_join_cli(spark, tmp_path, capsys):
     assert _run(["distance-join", lp, rp, out2, "--k", "1",
                  "--left-xy", "alon,alat", "--right-xy", "blon,blat"]) == 2
     capsys.readouterr()
+
+
+def test_snapshot_and_vacuum_cli(spark, tmp_path, capsys):
+    p = str(tmp_path / "snapds")
+    spark.range(0, 40).coalesce(1).write.mode("append").parquet(p)
+    assert _run(["snapshot", p, "--note", "b1"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["version"] == 1 and rec["n_rows"] == 40
+    spark.range(40, 100).coalesce(1).write.mode("append").parquet(p)
+    assert _run(["snapshot", p]) == 0
+    capsys.readouterr()
+    # history
+    assert _run(["snapshot", p, "--history"]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["version"] for h in hist] == [1, 2]
+    # time-travel read of v1
+    assert _run(["snapshot", p, "--read", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 40
+    # uncommitted straggler, then vacuum dry run + real
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(p)
+    assert _run(["vacuum", p, "--dry-run"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_removed"] == 1 and rep["dry_run"] is True
+    assert _run(["vacuum", p, "--keep", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["removed_snapshots"] == [1]
+    assert _run(["snapshot", p, "--read"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 100

@@ -1,0 +1,106 @@
+"""Snapshot versioning / time-travel / vacuum over plain parquet
+(operators/maintenance.py: commit_snapshot, read_snapshot, vacuum)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.operators.maintenance import (
+    commit_snapshot,
+    read_snapshot,
+    snapshot_history,
+    vacuum,
+    _list_parquet_files,
+)
+
+
+def _write_batch(spark, path, lo, hi):
+    (spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+     .coalesce(1).write.mode("append").parquet(path))
+
+
+def test_append_commit_time_travel(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 100)
+    rec1 = commit_snapshot(spark, p, note="batch1")
+    _write_batch(spark, p, 100, 250)
+    rec2 = commit_snapshot(spark, p, note="batch2")
+    assert (rec1["version"], rec2["version"]) == (1, 2)
+    assert rec1["n_rows"] == 100 and rec2["n_rows"] == 250
+    # time travel: v1 sees only the first batch, latest sees both
+    assert read_snapshot(spark, p, 1).df.count() == 100
+    assert read_snapshot(spark, p).df.count() == 250
+    # an uncommitted straggler is invisible to every snapshot
+    _write_batch(spark, p, 250, 300)
+    assert read_snapshot(spark, p).df.count() == 250
+    hist = snapshot_history(p)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["note"] == "batch1"
+
+
+def test_tampered_member_is_hard_error(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 50)
+    commit_snapshot(spark, p)
+    f = _list_parquet_files(p)[0]
+    with open(f, "ab") as fh:
+        fh.write(b"junk")
+    with pytest.raises(RuntimeError, match="changed on disk"):
+        read_snapshot(spark, p, 1)
+
+
+def test_replace_commit_and_vacuum(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 100)
+    _write_batch(spark, p, 100, 200)
+    commit_snapshot(spark, p)  # v1: two files
+    # logical REPLACE: compacted rewrite into the same dataset dir
+    old_files = _list_parquet_files(p)
+    df = spark.read.parquet(*old_files).coalesce(1)
+    sub = str(tmp_path / "ds" / "compacted")
+    df.write.parquet(sub)
+    new_files = _list_parquet_files(sub)
+    rec2 = commit_snapshot(spark, p, files=new_files, note="compacted")
+    assert rec2["n_files"] == len(new_files)
+    assert read_snapshot(spark, p, 2).df.count() == 200
+    assert read_snapshot(spark, p, 1).df.count() == 200  # still readable
+    # expire v1 -> old files removed, v2 intact
+    rep = vacuum(p, keep_versions=[2])
+    assert sorted(rep["files_removed"]) == sorted(old_files)
+    assert rep["removed_snapshots"] == [1]
+    assert read_snapshot(spark, p, 2).df.count() == 200
+    with pytest.raises(KeyError):
+        read_snapshot(spark, p, 1)
+
+
+def test_vacuum_dry_run_and_guards(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 10)
+    with pytest.raises(RuntimeError, match="no snapshots"):
+        vacuum(p)
+    commit_snapshot(spark, p)
+    _write_batch(spark, p, 10, 20)  # uncommitted straggler
+    rep = vacuum(p, dry_run=True)
+    assert len(rep["files_removed"]) == 1
+    assert all(os.path.isfile(f) for f in rep["files_removed"])
+    rep2 = vacuum(p)
+    assert rep2["files_removed"] == rep["files_removed"]
+    assert not any(os.path.isfile(f) for f in rep2["files_removed"])
+    with pytest.raises(KeyError):
+        vacuum(p, keep_versions=[99])
+
+
+def test_snapshot_preserves_geo_roundtrip(spark, tmp_path):
+    """Snapshots over a GeoParquet dataset keep the footer geo metadata
+    flowing through read_snapshot (GeoTable, not a bare DataFrame)."""
+    from geoparquet_io_spark.queries import _events_points
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    p = str(tmp_path / "geo_ds")
+    gt.write(p)
+    commit_snapshot(spark, p)
+    back = read_snapshot(spark, p)
+    assert back.geo is not None and back.geo.primary is not None
+    assert back.df.count() == gt.df.count()
