@@ -554,3 +554,107 @@ def dequantize_embeddings_int8(
         F.transform(F.col(code_column),
                     lambda c: c.cast("double") * F.col(scale_column)),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once, search many — the daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+IVF_INDEX_META = "ivf_index.json"
+
+
+def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
+                    n_centroids: int = 16, id_column: str = "vec_id",
+                    vector_column: str = "embedding", seed: int = 7,
+                    centroids: list[list[float]] | None = None) -> dict:
+    """Persist an IVF index: vectors written ``partitionBy(ivf_list)``
+    (physical locality — a probe reads only the hive partitions of its
+    probed lists, so partition pruning skips (n_centroids - nprobe)/
+    n_centroids of the files before any row is touched) plus a JSON
+    sidecar holding the centroids and parameters.  Pass ``centroids``
+    from :func:`ivf_train_centroids` for data-adapted lists; default is
+    the deterministic-LCG layout (oracle-parity path).
+
+    This is the production separation the in-memory ``ivf_topk`` can't
+    give: build ONCE at ingest (one assignment scan + one partitioned
+    write), then every search session is metadata + nprobe partitions.
+    """
+    import json
+    import os
+
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_centroids, seed)
+    v = as_double_array(F.col(vector_column))
+    assigned = (
+        df.select(F.col(id_column).alias("vec_id"), v.alias("vector"))
+          .withColumn("ivf_list", _nearest_centroid(F.col("vector"), cents))
+    )
+    vdir = os.path.join(path, "vectors")
+    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(vdir)
+    n = spark.read.parquet(vdir).count()
+    meta = {
+        "dim": int(dim),
+        "n_centroids": len(cents),
+        "metric": "cosine",
+        "id_column": id_column,
+        "vector_column": vector_column,
+        "centroids": [[float(x) for x in c] for c in cents],
+        "n_vectors": int(n),
+    }
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, IVF_INDEX_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, IVF_INDEX_META))
+    return meta
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(vectors DataFrame with ``ivf_list`` partition column, meta dict)."""
+    import json
+    import os
+
+    with open(os.path.join(path, IVF_INDEX_META)) as fh:
+        meta = json.load(fh)
+    vdir = os.path.join(path, "vectors")
+    return spark.read.parquet(vdir), meta
+
+
+def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
+                     nprobe: int = 4, id_column: str = "vec_id",
+                     vector_column: str = "embedding",
+                     round_digits: int | None = 6) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.  The union of
+    probed list ids (<= n_centroids values) is collected driver-side and
+    pushed into the scan as a partition filter, so only the probed hive
+    partitions' FILES are read; candidates then meet on the ``ivf_list``
+    equi-join with the (small) query side broadcast — identical scoring
+    to ``ivf_topk``, minus re-assigning the corpus every search."""
+    data, meta = load_ivf_index(spark, path)
+    cents = meta["centroids"]
+    dim = meta["dim"]
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = q.withColumn("ivf_list",
+                     F.explode(F.transform(probed, lambda s: s["i"])))
+    lists = [r["ivf_list"] for r in q.select("ivf_list").distinct().collect()]
+    pruned = data.filter(F.col("ivf_list").isin(lists))
+    sim = cosine(F.col("__qv"), F.col("vector"), dim)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        pruned.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

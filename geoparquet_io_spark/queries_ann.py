@@ -264,3 +264,23 @@ def q_pq_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 97 == 0)
     return pq_topk_adc(e, q, dim=_DIM, m=_PQ_M, n_codes=_PQ_CODES, k=_K,
                        seed=11, round_digits=6)
+
+
+@register("similarity_ivf_index_search", _ivf_oracle())
+def q_ivf_index_search(spark, sf_dir):
+    """Persisted-IVF-index search (operators/similarity.py:
+    build_ivf_index/search_ivf_index): the corpus is assigned + written
+    partitionBy(ivf_list) ONCE, then the search reads only the probed
+    hive partitions (partition pruning at file level) and must return
+    byte-identical results to the in-memory ivf_topk oracle."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.similarity import (build_ivf_index,
+                                                          search_ivf_index)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    path = tempfile.mkdtemp(prefix="gpq_ivf_")
+    build_ivf_index(spark, e, path, dim=_DIM, n_centroids=_NCENT, seed=7)
+    return search_ivf_index(spark, path, q, k=_K, nprobe=_NPROBE,
+                            round_digits=6)
