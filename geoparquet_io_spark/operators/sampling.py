@@ -184,6 +184,86 @@ def select_under_token_budget(df: DataFrame, budget: int,
     return kept_full.select(*out_cols).unionByName(kept_boundary)
 
 
+def mixture_under_token_budget(df: DataFrame, budgets: dict,
+                               group_column: str = "source",
+                               id_column: str = "doc_id",
+                               score_column: str = "score",
+                               token_column: str = "n_tokens",
+                               bucket_digits: int = 3) -> DataFrame:
+    """Per-group token-budget selection — the mixture-building shape of
+    Pile/Dolma-style corpus assembly ("the best X tokens from web, Y
+    from code, ..."): within each group, keep the highest-scoring docs
+    whose inclusive running token sum fits that group's budget.  Groups
+    absent from ``budgets`` are dropped.
+
+    Scale shape mirrors :func:`select_under_token_budget`, generalized:
+    ONE (group, score-bucket) histogram (driver-safe:
+    |groups| x 10^bucket_digits rows), a per-group driver cumsum to find
+    each group's full buckets + single boundary bucket, a map-only
+    filter for full buckets, and a running-sum window over ONLY the
+    boundary buckets, partitioned by (group, bucket).  Rounding is
+    monotone, so bucket-major order equals global score order and the
+    result exactly equals the per-group global-window prefix rule.
+    """
+    from pyspark.sql import Window
+
+    for g, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {v}")
+    groups = sorted(budgets)
+    df = df.filter(F.col(group_column).isin(groups))
+    b = F.round(F.col(score_column), bucket_digits)
+    hist = (df.groupBy(F.col(group_column).alias("__g"), b.alias("__b"))
+            .agg(F.sum(token_column).alias("__t"))
+            .collect())
+    per_group: dict = {g: [] for g in groups}
+    for r in hist:
+        per_group[r["__g"]].append((r["__b"], r["__t"]))
+    full: dict = {}
+    boundary: dict = {}
+    offset: dict = {}
+    for g in groups:
+        cum = 0
+        full[g] = []
+        for bv, t in sorted(per_group[g], reverse=True):
+            if cum + t <= budgets[g]:
+                full[g].append(bv)
+                cum += t
+            else:
+                boundary[g] = bv
+                offset[g] = cum
+                break
+    out_cols = df.columns
+    dfb = df.withColumn("__b", b)
+    gcol = F.col(group_column)
+    full_cond = F.lit(False)
+    for g in groups:
+        if full[g]:
+            full_cond = full_cond | ((gcol == g) & F.col("__b").isin(full[g]))
+    kept_full = dfb.filter(full_cond)
+    bound_cond = F.lit(False)
+    for g in boundary:
+        bound_cond = bound_cond | ((gcol == g) & (F.col("__b") == boundary[g]))
+    if not boundary:
+        return kept_full.select(*out_cols)
+    off_expr = F.lit(0).cast("long")
+    budget_expr = F.lit(0).cast("long")
+    for g in boundary:
+        off_expr = F.when(gcol == g, F.lit(offset[g])).otherwise(off_expr)
+        budget_expr = F.when(gcol == g,
+                             F.lit(int(budgets[g]))).otherwise(budget_expr)
+    w = (Window.partitionBy(group_column, "__b")
+         .orderBy(F.col(score_column).desc(), F.col(id_column).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kept_boundary = (
+        dfb.filter(bound_cond)
+        .withColumn("__run", F.sum(token_column).over(w))
+        .filter(off_expr + F.col("__run") <= budget_expr)
+        .select(*out_cols)
+    )
+    return kept_full.select(*out_cols).unionByName(kept_boundary)
+
+
 def weighted_take(df: DataFrame, key_column: str, weight_column: str,
                   n: int, stratum_column: str | None = None,
                   salt: str = "wtake") -> DataFrame:

@@ -282,3 +282,45 @@ def histogram(df, column: str, lo: float, hi: float, n_bins: int):
                  F.max(x).alias("max_v"))
             .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
             .select("bin", "bin_lo", "n", "min_v", "max_v"))
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column data profile — the "describe my table" primitive a
+    curation pipeline runs before trusting a new source: row/null
+    counts, EXACT distinct count, min/max, and the modal value with a
+    deterministic (count DESC, value ASC) tie-break.
+
+    Scale shape: one value-count groupBy per profiled column (map-side
+    combine; the per-value table re-aggregates to six scalars, so
+    nothing wide ever reaches the driver), plus one scalar aggregate
+    for row/null counts; single-row frames cross-join into one output
+    row per column.  Profile the handful of columns you care about,
+    not all thousand — each costs a shuffle by design (exact distinct
+    is not sketchable).  min/max compare in the column's own type and
+    are cast to string only for the uniform output schema.
+    """
+    outs = []
+    for c in columns:
+        base = df.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        )
+        vc = (df.filter(F.col(c).isNotNull())
+              .groupBy(F.col(c).cast("string").alias("__v"))
+              .agg(F.count("*").alias("__cnt")))
+        top = vc.agg(
+            F.count("*").alias("n_distinct"),
+            F.expr("min_by(__v, struct(-__cnt, __v))").alias("top_value"),
+            F.max("__cnt").alias("top_count"),
+        )
+        outs.append(
+            base.crossJoin(top).select(
+                F.lit(c).alias("col_name"), "n_rows", "n_nulls",
+                "n_distinct", "min_value", "max_value", "top_value",
+                "top_count"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

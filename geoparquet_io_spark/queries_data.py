@@ -1923,3 +1923,99 @@ def q_time_travel(spark, sf_dir):
     v1 = agg(read_snapshot(spark, p, 1), 1)
     v2 = agg(read_snapshot(spark, p), 2)
     return v1.unionByName(v2)
+
+
+@register(
+    "curate_mixture_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(doc_id % 89 AS DOUBLE) / 89.0 AS score,
+             len({_TOKENS_SQL.format(t='text')}) AS n_tokens
+      FROM documents
+      WHERE len(trim(text)) > 0 AND source IN ('src0', 'src1', 'src2')
+    ),
+    run AS (
+      SELECT doc_id, source, score, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM scored
+    )
+    SELECT doc_id, source, ROUND(score, 6) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM run
+    WHERE (source = 'src0' AND c <= 700)
+       OR (source = 'src1' AND c <= 900)
+       OR (source = 'src2' AND c <= 400)
+    """,
+)
+def q_mixture_budget(spark, sf_dir):
+    """Per-source token-budget mixture assembly (operators/sampling.py:
+    mixture_under_token_budget): best 700/900/400 tokens from three
+    sources — one (group, bucket) histogram + driver cumsum + windows
+    over only the boundary buckets; exactly equals the per-group
+    global-window prefix rule the oracle runs."""
+    from geoparquet_io_spark.operators.sampling import (
+        mixture_under_token_budget)
+    from geoparquet_io_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0) \
+        .select(
+            "doc_id", "source",
+            ((F.col("doc_id") % 89).cast("double") / 89.0).alias("score"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    out = mixture_under_token_budget(
+        d, {"src0": 700, "src1": 900, "src2": 400},
+        group_column="source")
+    return out.select("doc_id", "source",
+                      F.round("score", 6).alias("score"), "n_tokens")
+
+
+@register(
+    "stats_profile_customer",
+    """
+    WITH seg AS (
+      SELECT CAST(c_mktsegment AS VARCHAR) AS v, COUNT(*) AS cnt
+      FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1
+    ),
+    seg_top AS (SELECT v, cnt FROM seg
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, v) = 1),
+    nk AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS v, COUNT(*) AS cnt
+      FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
+    ),
+    nk_top AS (SELECT v, cnt FROM nk
+               QUALIFY row_number() OVER (ORDER BY cnt DESC, v) = 1)
+    SELECT 'c_mktsegment' AS col_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(*) - COUNT(c_mktsegment) FROM customer) AS n_nulls,
+           (SELECT COUNT(*) FROM seg) AS n_distinct,
+           (SELECT CAST(MIN(c_mktsegment) AS VARCHAR) FROM customer)
+             AS min_value,
+           (SELECT CAST(MAX(c_mktsegment) AS VARCHAR) FROM customer)
+             AS max_value,
+           (SELECT v FROM seg_top) AS top_value,
+           (SELECT cnt FROM seg_top) AS top_count
+    UNION ALL
+    SELECT 'c_nationkey',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) - COUNT(c_nationkey) FROM customer),
+           (SELECT COUNT(*) FROM nk),
+           (SELECT CAST(MIN(c_nationkey) AS VARCHAR) FROM customer),
+           (SELECT CAST(MAX(c_nationkey) AS VARCHAR) FROM customer),
+           (SELECT v FROM nk_top),
+           (SELECT cnt FROM nk_top)
+    """,
+)
+def q_profile_customer(spark, sf_dir):
+    """Column profiler (operators/stats.py:profile_columns): row/null
+    counts, exact distinct, typed min/max, modal value with a
+    deterministic tie-break — one value-count shuffle per profiled
+    column, scalars only to the driver."""
+    from geoparquet_io_spark.operators.stats import profile_columns
+
+    c = load_table(spark, sf_dir, "customer")
+    return profile_columns(c, ["c_mktsegment", "c_nationkey"])

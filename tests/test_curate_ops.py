@@ -152,3 +152,17 @@ def test_histogram_bins_and_validation(spark):
         histogram(df, "x", 5.0, 5.0, 4)
     with _p.raises(ValueError):
         histogram(df, "x", 0.0, 10.0, 0)
+
+
+def test_profile_columns_nulls_types_and_mode_tiebreak(spark):
+    from geoparquet_io_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None), (10, "a"), (9, "c")],
+        "k int, s string")
+    got = {r["col_name"]: tuple(r) for r in
+           profile_columns(df, ["k", "s"]).collect()}
+    # numeric min/max compare in-type (10 > 9), then cast to string
+    assert got["k"] == ("k", 6, 0, 6, "1", "10", "1", 1)
+    # null excluded from distinct/top; a/b tie at 2 -> smallest value wins
+    assert got["s"] == ("s", 6, 1, 3, "a", "c", "a", 2)

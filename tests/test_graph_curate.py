@@ -225,3 +225,39 @@ def test_weighted_take_matches_python_mirror(spark):
     import pytest as _p
     with _p.raises(ValueError):
         weighted_take(df.withColumn("w", df.w - 5.0), "k", "w", 3)
+
+
+def _mixture_expected(rows, budgets):
+    """Per-group prefix rule in plain python."""
+    kept = []
+    for g, budget in budgets.items():
+        c = 0
+        for i, grp, s, t in sorted((r for r in rows if r[1] == g),
+                                   key=lambda r: (-r[2], r[0])):
+            c += t
+            if c <= budget:
+                kept.append(i)
+            else:
+                break
+    return sorted(kept)
+
+
+def test_mixture_budget_per_group_prefix_rule(spark):
+    from geoparquet_io_spark.operators.sampling import (
+        mixture_under_token_budget)
+
+    rows = [(i, f"g{i % 4}", (i * 37 % 100) / 100.0, 10 + i % 7)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score",
+                                      "n_tokens"])
+    for budgets in ({"g0": 120, "g1": 55}, {"g0": 0, "g2": 10_000_000},
+                    {"g0": 333, "g1": 77, "g2": 200, "g3": 1}):
+        got = sorted(r["doc_id"] for r in
+                     mixture_under_token_budget(df, budgets).collect())
+        assert got == _mixture_expected(rows, budgets), budgets
+    # unlisted groups are dropped entirely
+    out = mixture_under_token_budget(df, {"g0": 10_000_000}).collect()
+    assert {r["source"] for r in out} == {"g0"}
+    import pytest as _p
+    with _p.raises(ValueError):
+        mixture_under_token_budget(df, {"g0": -1})
