@@ -184,6 +184,14 @@ def cmd_check(args) -> int:
                 args.input, args.fix_output or args.input + ".fixed.parquet")
         print(json.dumps(r, indent=2, default=str))
         return 0 if r["ok"] or "fixed" in r else 1
+    if args.what == "bloom":
+        from geoparquet_io_spark.operators.inspect_check import (
+            check_bloom_filters,
+        )
+
+        r = check_bloom_filters(_spark(), args.input)
+        print(json.dumps(r, indent=2, default=str))
+        return 0 if r["ok"] else 1
     if args.what == "compression":
         r = check_compression(args.input)
         if getattr(args, "fix", False) and r["fix_available"]:
@@ -578,7 +586,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("check")
     c.add_argument("what", choices=["all", "spec", "spatial", "compression",
-                                    "bbox", "row-group"])
+                                    "bbox", "row-group", "bloom"])
     c.add_argument("input")
     c.add_argument("--fix", action="store_true",
                    help="rewrite the file applying the recommended fix "

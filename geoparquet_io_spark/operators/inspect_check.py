@@ -626,3 +626,45 @@ def fix_row_groups(path: str, out_path: str,
     pq.write_table(t, out_path, compression=codec, row_group_size=rows)
     return {"output": out_path, "row_group_rows": rows,
             "rows": t.num_rows}
+
+
+def check_bloom_filters(spark, path: str) -> dict:
+    """Report which columns carry parquet bloom filters, per file/row
+    group — via parquet-mr's ParquetFileReader on the driver JVM (the
+    only bloom-aware reader in this stack; pyarrow 16 exposes none).
+    Footer + bloom-header reads only, no Spark job.  Returns
+    {ok, files: [{file, row_groups: [{columns: {name: bitset_bytes}}]}],
+    columns_with_bloom} — ``ok`` means at least one bloom present."""
+    files = _files(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out_files = []
+    with_bloom: set[str] = set()
+    for f in files:
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf)
+        rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            blocks = rd.getFooter().getBlocks()
+            rgs = []
+            for bi in range(blocks.size()):
+                block = blocks.get(bi)
+                cols = block.getColumns()
+                bfr = rd.getBloomFilterDataReader(block)
+                colmap = {}
+                for ci in range(cols.size()):
+                    cmd = cols.get(ci)
+                    name = ".".join(cmd.getPath().toArray())
+                    bf = bfr.readBloomFilter(cmd)
+                    if bf is not None:
+                        colmap[name] = int(bf.getBitsetSize())
+                        with_bloom.add(name)
+                rgs.append({"columns": colmap})
+            out_files.append({"file": f, "row_groups": rgs})
+        finally:
+            rd.close()
+    return {
+        "ok": bool(with_bloom),
+        "columns_with_bloom": sorted(with_bloom),
+        "files": out_files,
+    }

@@ -468,3 +468,35 @@ def _hive_escape(v) -> str:
         return "__HIVE_DEFAULT_PARTITION__"
     s = str(v)
     return "".join(ch if ch.isalnum() or ch in "-_." else f"%{ord(ch):02X}" for ch in s)
+
+
+def write_bloom(df: DataFrame, path: str, bloom_columns: list[str],
+                ndv: int | None = None, compression: str = "zstd",
+                mode: str = "overwrite") -> list[str]:
+    """Write parquet WITH split-block bloom filters on ``bloom_columns``
+    — the point-lookup row-group skipper: at 100 TB an equality probe
+    (doc_id, fingerprint, join key) skips every row group whose bloom
+    rejects the value, without reading data pages.  Goes through
+    Spark's native parquet writer (parquet-mr), the only writer in this
+    stack that emits blooms — the pyarrow footer path (:func:`write`)
+    can't, so bloom writes target NON-geo tables; geo datasets get
+    file-level skipping from bbox manifests instead
+    (operators/maintenance.py) — the two skipping mechanisms are
+    complementary by design.
+
+    Note parquet-mr OMITS the bloom for a column whose row group stayed
+    fully dictionary-encoded (the dictionary already gives exact
+    skipping there); blooms appear exactly where they pay — high-NDV
+    columns.  ``check bloom`` / ``check_bloom_filters`` reports what was
+    actually written.
+    """
+    missing = [c for c in bloom_columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom columns not in schema: {missing}")
+    w = df.write.option("compression", compression)
+    for c in bloom_columns:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.mode(mode).parquet(path)
+    return sorted(_glob.glob(os.path.join(path, "*.parquet")))
