@@ -3,15 +3,17 @@
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested.  Decode status by format:
 
-- uncompressed 24-bit BMP, RIFF PCM WAV, and 8-bit PNG (all five
-  scanline filters, palette/gray/RGB/RGBA; inflate via stdlib zlib)
-  decode for REAL with pure-numpy parsers (``decode_bmp`` /
-  ``decode_wav`` / ``decode_png`` — no codec library needed), feeding
-  the image/audio featurizers end-to-end;
-- remaining compressed formats (JPEG/MP3/video) need codec libraries absent
-  from this container: importable libs are used when present, otherwise
-  a clearly-marked ``NotImplementedError`` or a deterministic fake
-  (for pipeline-shape testing).
+- uncompressed 24-bit BMP, RIFF PCM WAV, 8-bit PNG (all five
+  scanline filters, palette/gray/RGB/RGBA; inflate via stdlib zlib),
+  and baseline JPEG (full T.81 sequential DCT: Huffman entropy decode,
+  restart markers, 4:2:0/4:2:2 chroma upsampling, exact IDCT —
+  functions/jpeg.py) decode for REAL with pure-numpy parsers — no
+  codec library needed — feeding the image/audio featurizers
+  end-to-end;
+- remaining compressed formats (progressive JPEG/MP3/video) need codec
+  libraries absent from this container: importable libs are used when
+  present, otherwise a clearly-marked ``NotImplementedError`` or a
+  deterministic fake (for pipeline-shape testing).
 """
 
 from __future__ import annotations
@@ -215,6 +217,11 @@ def _decode_image_real(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)   # no codec library needed
     if buf[:8] == PNG_MAGIC:
         return decode_png(buf)   # pure numpy + stdlib zlib
+    if buf[:2] == b"\xff\xd8":
+        # baseline JPEG: pure numpy T.81 implementation (functions/jpeg.py)
+        from geoparquet_io_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     try:  # pragma: no cover - Pillow absent in this container
         from PIL import Image  # noqa: F401
         import io
@@ -223,7 +230,7 @@ def _decode_image_real(buf: bytes) -> np.ndarray:
     except ImportError as e:
         raise NotImplementedError(
             "decoding this image format requires Pillow, which is not in "
-            "this container (uncompressed 24-bit BMP decodes natively); "
+            "this container (BMP/PNG/baseline-JPEG decode natively); "
             "use deterministic_fake=True to exercise the pipeline"
         ) from e
 
