@@ -103,6 +103,7 @@ def write_geoparquet_stream(
     footer metadata, same gap as the batch writer)."""
     from geoparquet_io_spark.sources.geoparquet import write as _write
 
+    snapshot = write_kwargs.pop("snapshot", False)
     batch_no = {"n": 0}
 
     def sink(batch_df, epoch_id):
@@ -112,6 +113,17 @@ def write_geoparquet_stream(
         # exactly-once guarantee of checkpointed foreachBatch
         _write(batch_df, f"{path}/epoch={epoch_id}", geo,
                overwrite=True, **write_kwargs)
+        if snapshot:
+            # every micro-batch lands as a committed, time-travelable
+            # version: readers pin a snapshot and never see a half-written
+            # epoch; the snapshot history is the ingest audit trail
+            # (operators/maintenance.py commit_snapshot)
+            from geoparquet_io_spark.operators.maintenance import (
+                commit_snapshot,
+            )
+
+            commit_snapshot(batch_df.sparkSession, path,
+                            note=f"epoch={epoch_id}")
         batch_no["n"] += 1
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

@@ -104,3 +104,38 @@ def test_snapshot_preserves_geo_roundtrip(spark, tmp_path):
     back = read_snapshot(spark, p)
     assert back.geo is not None and back.geo.primary is not None
     assert back.df.count() == gt.df.count()
+
+
+def test_streaming_ingest_commits_snapshots(spark, tmp_path):
+    """foreachBatch sink with snapshot=True: every micro-batch becomes a
+    committed, time-travelable version; pinned readers never see a
+    half-written epoch."""
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.streaming.events import (
+        read_events_stream, write_geoparquet_stream)
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half = gt.df.filter("event_id % 2 = 0")
+    half.write.parquet(src)
+    stream = read_events_stream(spark, src, schema=gt.df.schema)
+    q = write_geoparquet_stream(stream, out, gt.geo, checkpoint=ckpt,
+                                snapshot=True)
+    q.awaitTermination(120)
+    hist1 = snapshot_history(out)
+    assert len(hist1) >= 1
+    n1 = read_snapshot(spark, out).df.count()
+    assert n1 == half.count()
+    # second drop of input -> new epoch -> new snapshot; v1 unchanged
+    gt.df.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    q2 = write_geoparquet_stream(
+        read_events_stream(spark, src, schema=gt.df.schema), out, gt.geo,
+        checkpoint=ckpt, snapshot=True)
+    q2.awaitTermination(120)
+    hist2 = snapshot_history(out)
+    assert len(hist2) == len(hist1) + 1
+    assert read_snapshot(spark, out, hist1[-1]["version"]).df.count() == n1
+    assert read_snapshot(spark, out).df.count() == gt.df.count()
