@@ -426,6 +426,21 @@ def cmd_manifest(args) -> int:
         print(json.dumps({k: (v if isinstance(v, bool) else len(v))
                           for k, v in rep.items()}))
         return 0 if rep["fresh"] else 1
+    if args.refresh:
+        from geoparquet_io_spark.operators.maintenance import (
+            refresh_manifest,
+        )
+
+        old = spark.read.parquet(args.refresh)
+        fresh, rep = refresh_manifest(spark, old, args.input)
+        if args.output:
+            fresh.coalesce(1).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"files_swept": rep["files_swept"],
+                          "files_added": len(rep["files_added"]),
+                          "files_removed": len(rep["files_removed"]),
+                          "files_resized": len(rep["files_resized"]),
+                          "files_total": fresh.count()}))
+        return 0
     m = build_manifest(spark, args.input)
     if args.output:
         m.coalesce(1).write.mode("overwrite").parquet(args.output)
@@ -685,6 +700,9 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--check-stale",
                     help="path of a persisted manifest to audit vs the "
                          "current file listing (exit 1 when stale)")
+    mf.add_argument("--refresh",
+                    help="path of a persisted manifest to refresh "
+                         "incrementally (sweeps only added/resized files)")
     mf.set_defaults(fn=cmd_manifest)
 
     sn = sub.add_parser("snapshot")

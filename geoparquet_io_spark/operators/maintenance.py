@@ -45,18 +45,22 @@ def _list_parquet_files(path: str) -> list[str]:
                              recursive=True))
 
 
-def build_manifest(spark: SparkSession, path: str) -> DataFrame:
+def build_manifest(spark: SparkSession, path: str,
+                   files: list[str] | None = None) -> DataFrame:
     """Distributed footer sweep -> manifest DataFrame (one row per file).
 
     The file LIST goes through the driver (names only — bounded); the
     footer READS run on executors via mapInPandas, so a million-file
     dataset sweeps in parallel instead of serially on the driver.
     bbox columns are NULL when a footer has no geo bbox.  Persist the
-    result next to the dataset and refresh incrementally on ingest.
+    result next to the dataset and refresh incrementally on ingest
+    (``files`` restricts the sweep to an explicit list — the
+    :func:`refresh_manifest` increment).
     """
     import pandas as pd
 
-    files = _list_parquet_files(path)
+    if files is None:
+        files = _list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
 
@@ -155,6 +159,36 @@ def compact(spark: SparkSession, in_path: str, out_path: str,
         "bytes_after": sum(os.path.getsize(f) for f in written),
         "target_file_mb": target_file_mb,
     }
+
+
+def refresh_manifest(spark: SparkSession, manifest: DataFrame,
+                     path: str) -> tuple[DataFrame, dict]:
+    """Incrementally refresh a persisted manifest against the dataset's
+    current file listing: footer-sweep ONLY added/resized files, drop
+    removed rows, keep everything else untouched.  On a 100 TB lake a
+    daily ingest adds a handful of files — re-sweeping a million
+    untouched footers (what ``build_manifest`` would do) is the wrong
+    cost model; this is the metadata-maintenance increment.
+
+    Returns (fresh manifest DataFrame, report) where report mirrors
+    :func:`manifest_staleness` plus ``files_swept``.  Names/sizes drive
+    the diff (driver-side, names only); only the changed files' footers
+    are read, distributed."""
+    stale = manifest_staleness(manifest, path)
+    to_sweep = sorted(set(stale["files_added"]) | set(stale["files_resized"]))
+    drop = set(stale["files_removed"]) | set(stale["files_resized"])
+    kept = manifest.filter(~F.col("file").isin(sorted(drop))) if drop \
+        else manifest
+    if to_sweep:
+        # sweep restricted to the changed files only — unchanged footers
+        # are never re-read
+        swept = build_manifest(spark, path, files=to_sweep)
+        fresh = kept.unionByName(swept)
+    else:
+        fresh = kept
+    report = {k: v for k, v in stale.items()}
+    report["files_swept"] = len(to_sweep)
+    return fresh, report
 
 
 SNAPSHOT_DIR = "_snapshots"

@@ -134,3 +134,51 @@ def test_manifest_staleness_cli(spark, partitioned_dataset, tmp_path, capsys):
     assert main(["manifest", path, "--check-stale", mf]) == 0
     rep = _json.loads(capsys.readouterr().out)
     assert rep["fresh"] is True
+
+
+def test_refresh_manifest_sweeps_only_changes(spark, tmp_path):
+    import os
+
+    from geoparquet_io_spark.operators.maintenance import (
+        build_manifest, manifest_staleness, refresh_manifest)
+
+    p = str(tmp_path / "ds")
+    spark.range(0, 100).coalesce(2).write.parquet(p)
+    m0 = build_manifest(spark, p).cache()
+    assert m0.count() == 2
+    # add two files, remove one of the ORIGINALLY-recorded files
+    original = sorted(r["file"] for r in m0.select("file").collect())
+    spark.range(100, 160).coalesce(2).write.mode("append").parquet(p)
+    os.remove(original[0])
+    fresh, rep = refresh_manifest(spark, m0, p)
+    assert rep["files_swept"] == 2
+    assert len(rep["files_removed"]) == 1
+    rows = {r["file"]: r["n_rows"] for r in fresh.collect()}
+    full = {r["file"]: r["n_rows"]
+            for r in build_manifest(spark, p).collect()}
+    assert rows == full
+    assert manifest_staleness(fresh, p)["fresh"]
+    # no-op refresh sweeps nothing
+    fresh2, rep2 = refresh_manifest(spark, fresh, p)
+    assert rep2["files_swept"] == 0 and rep2["fresh"]
+    assert {r["file"] for r in fresh2.collect()} == set(full)
+
+
+def test_refresh_manifest_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from geoparquet_io_spark.cli import main
+
+    p = str(tmp_path / "ds")
+    spark.range(0, 50).coalesce(1).write.parquet(p)
+    mpath = str(tmp_path / "manifest")
+    assert main(["manifest", p, "--output", mpath]) == 0
+    capsys.readouterr()
+    spark.range(50, 80).coalesce(1).write.mode("append").parquet(p)
+    out2 = str(tmp_path / "manifest2")
+    assert main(["manifest", p, "--refresh", mpath,
+                 "--output", out2]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_swept"] == 1 and rep["files_total"] == 2
+    back = spark.read.parquet(out2)
+    assert back.agg({"n_rows": "sum"}).collect()[0][0] == 80
