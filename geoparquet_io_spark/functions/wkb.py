@@ -590,7 +590,13 @@ def convex_hull(buf: bytes) -> bytes:
     arrs = [arr for arr in g.rings() if len(arr)]
     if not arrs:
         raise ValueError("convex hull of empty geometry")
-    pts = np.unique(np.vstack(arrs), axis=0)   # sorted lexicographically
+    return hull_of_points(np.vstack(arrs))
+
+
+def hull_of_points(raw_pts: "np.ndarray") -> bytes:
+    """Monotone-chain hull of an (n, 2) point array -> WKB (shared by
+    per-geometry ST_ConvexHull and the group-wise dissolve aggregate)."""
+    pts = np.unique(raw_pts, axis=0)   # sorted lexicographically
     if len(pts) == 1:
         return encode_point(float(pts[0, 0]), float(pts[0, 1]))
 

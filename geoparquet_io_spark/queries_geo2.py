@@ -811,3 +811,35 @@ def q_hull_buffer(spark, sf_dir):
         F.round(G.st_area(F.col("buf")), 6).alias("buf_area"),
         F.round(G.st_length(F.col("buf")), 6).alias("buf_perim"),
     )
+
+
+@register(
+    "geo_dissolve_hull",
+    """
+    SELECT c_nationkey, 4 AS n_hull_points,
+           ROUND(CAST(c_nationkey + 1 AS DOUBLE)
+                 * CAST(c_nationkey + 2 AS DOUBLE), 6) AS hull_area
+    FROM (SELECT DISTINCT c_nationkey FROM customer)
+    """,
+)
+def q_dissolve_hull(spark, sf_dir):
+    """Group-wise dissolve (operators/dissolve.py:dissolve_hull): one
+    convex hull per nation via map-side PARTIAL hulls merged per group
+    (the shuffle moves hull vertices, never raw point sets — hulls
+    compose).  Synthetic layout: per nation, customers sit on the four
+    corners of a (n+1) x (n+2) rectangle plus its center (c_custkey % 5
+    picks the slot); the hull must drop the center and report exactly 4
+    vertices with the analytic area."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.dissolve import dissolve_hull
+
+    c = load_table(spark, sf_dir, "customer")
+    w = (F.col("c_nationkey") + 1).cast("double")
+    h = (F.col("c_nationkey") + 2).cast("double")
+    m = F.col("c_custkey") % 5
+    x = (F.when(m.isin(1, 2), w).when(m == 4, w / 2).otherwise(F.lit(0.0)))
+    y = (F.when(m.isin(2, 3), h).when(m == 4, h / 2).otherwise(F.lit(0.0)))
+    pts = c.select("c_nationkey", G.st_point(x, y).alias("geometry"))
+    out = dissolve_hull(pts, "c_nationkey")
+    return out.select("c_nationkey", "n_hull_points",
+                      F.round("hull_area", 6).alias("hull_area"))

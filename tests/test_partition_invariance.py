@@ -94,3 +94,46 @@ def test_token_budget_partition_invariant(spark, docs_multi):
     budgets = {"src0": 300, "src1": 500}
     assert _rows(mixture_under_token_budget(single, budgets)) == \
         _rows(mixture_under_token_budget(multi, budgets))
+
+
+def test_dissolve_hull_partition_invariant(spark):
+    """Partial-hull merge must equal the single-pass hull regardless of
+    how vertices are scattered across partitions."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.dissolve import dissolve_hull
+
+    rows = []
+    for g in range(4):
+        for i in range(50):
+            # circle-ish cloud plus guaranteed extreme corner points
+            rows.append((g, float((i * 37) % 10), float((i * 53) % 7 + g)))
+        rows += [(g, -5.0, -5.0), (g, 15.0, -5.0), (g, 15.0, 15.0),
+                 (g, -5.0, 15.0)]
+    df = spark.createDataFrame(rows, "grp int, x double, y double") \
+        .withColumn("geometry", G.st_point(F.col("x"), F.col("y")))
+    outs = []
+    for parts in (1, 3, 8):
+        got = {(r["grp"]): (r["n_hull_points"], round(r["hull_area"], 9))
+               for r in dissolve_hull(df.repartition(parts), "grp")
+               .collect()}
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    assert all(v == (4, 400.0) for v in outs[0].values())
+
+
+def test_dissolve_hull_degenerate_groups(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.dissolve import dissolve_hull
+
+    rows = [("pt", 1.0, 1.0), ("pt", 1.0, 1.0),
+            ("line", 0.0, 0.0), ("line", 1.0, 1.0), ("line", 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double") \
+        .withColumn("geometry", G.st_point(F.col("x"), F.col("y")))
+    got = {r["grp"]: (r["n_hull_points"], r["hull_area"])
+           for r in dissolve_hull(df, "grp").collect()}
+    assert got["pt"] == (1, 0.0)
+    assert got["line"] == (2, 0.0)  # collinear -> LINESTRING, area 0
