@@ -324,3 +324,38 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def funnel_steps(df: DataFrame, user_column: str, ts_column: str,
+                 event_column: str, steps: list[str]) -> DataFrame:
+    """Ordered-sequence funnel (the product-analytics staple): per user,
+    the earliest completion time of each step where step i+1 must occur
+    STRICTLY AFTER the user's earliest completion of step i.  Returns
+    one row per user who completed step 1, with t_1..t_n (null once the
+    sequence breaks) and ``steps_completed``.
+
+    Scale shape: one filtered aggregate per step (map-side combine on
+    the user key) chained by equi-joins on the user id — n_steps small
+    shuffles, no windows, no per-user sorting; AQE can broadcast the
+    shrinking completed-users side at each stage.  Exactly mirrors the
+    correlated-min SQL a warehouse would run.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    t_cols = [f"t_{i + 1}" for i in range(len(steps))]
+    cur = (df.filter(F.col(event_column) == steps[0])
+           .groupBy(F.col(user_column).alias("__u"))
+           .agg(F.min(ts_column).alias(t_cols[0])))
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (df.filter(F.col(event_column) == step)
+               .select(F.col(user_column).alias("__u"),
+                       F.col(ts_column).alias("__ts")))
+        prev_t = t_cols[i - 1]
+        stepped = (nxt.join(cur.select("__u", prev_t), "__u")
+                   .filter(F.col("__ts") > F.col(prev_t))
+                   .groupBy("__u")
+                   .agg(F.min("__ts").alias(t_cols[i])))
+        cur = cur.join(stepped, "__u", "left")
+    done = sum(F.col(t).isNotNull().cast("int") for t in t_cols)
+    return cur.select(F.col("__u").alias(user_column), *t_cols,
+                      done.cast("int").alias("steps_completed"))

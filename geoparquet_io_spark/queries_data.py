@@ -2019,3 +2019,83 @@ def q_profile_customer(spark, sf_dir):
 
     c = load_table(spark, sf_dir, "customer")
     return profile_columns(c, ["c_mktsegment", "c_nationkey"])
+
+
+@register(
+    "join_fuzzy_names",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, (c_custkey % 17)::INT)
+               || substr(c_name, (c_custkey % 17)::INT + 2) AS dirty_name
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT o.c_custkey AS left_id, d.dirty_id AS right_id,
+           CAST(levenshtein(o.c_name, d.dirty_name) AS INT) AS distance
+    FROM customer o CROSS JOIN dirty d
+    WHERE levenshtein(o.c_name, d.dirty_name) <= 1
+    """,
+)
+def q_fuzzy_names(spark, sf_dir):
+    """Blocked fuzzy join / entity resolution (operators/linkage.py:
+    fuzzy_join): every third customer name gets one deterministic
+    character deletion; the SymSpell deletion-neighborhood equi-join
+    must recover exactly the pairs within Levenshtein distance 1 that
+    the oracle's brute-force cross join finds (the cross product never
+    runs on the Spark side — candidates meet on variant keys only)."""
+    from geoparquet_io_spark.operators.linkage import fuzzy_join
+
+    c = load_table(spark, sf_dir, "customer")
+    p = (F.col("c_custkey") % 17).cast("int")
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(F.col("c_name").substr(F.lit(1), p),
+                 F.col("c_name").substr(p + 2, F.length("c_name")))
+        .alias("dirty_name"))
+    out = fuzzy_join(c.select("c_custkey", "c_name"), dirty,
+                     "c_custkey", "c_name", "dirty_id", "dirty_name",
+                     max_distance=1)
+    return out.select(F.col("c_custkey").alias("left_id"),
+                      F.col("dirty_id").alias("right_id"), "distance")
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t_1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t_2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'view' AND e.ts > s1.t_1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t_3
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1
+    )
+    SELECT s1.u AS user_id,
+           strftime(t_1, '%Y-%m-%d %H:%M:%S') AS t_1,
+           strftime(t_2, '%Y-%m-%d %H:%M:%S') AS t_2,
+           strftime(t_3, '%Y-%m-%d %H:%M:%S') AS t_3,
+           (CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+    FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-sequence funnel signup -> view -> purchase
+    (operators/stats.py:funnel_steps): per-user earliest strictly-ordered
+    completion times via chained filtered aggregates — no windows, no
+    per-user sorts; mirrors the warehouse correlated-min CTE chain."""
+    from geoparquet_io_spark.operators.stats import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_steps(ev, "user_id", "ts", "event_type",
+                       ["signup", "view", "purchase"])
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
+    return out.select("user_id", fmt("t_1"), fmt("t_2"), fmt("t_3"),
+                      "steps_completed")
