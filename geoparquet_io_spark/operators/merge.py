@@ -105,3 +105,65 @@ def dataset_diff(old: DataFrame, new: DataFrame,
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, status.alias("diff_status"))
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame,
+               keys: Sequence[str] | str,
+               attrs: Sequence[str],
+               effective_column: str = "effective_ts",
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge (the standard warehouse
+    history pattern): ``dim`` carries (keys, attrs, valid_from,
+    valid_to NULL = current); ``changes`` carries (keys, attrs,
+    effective_column).  Per change batch:
+
+    - closed history rows pass through untouched;
+    - a current row whose change has IDENTICAL attrs passes through
+      (no-op change — no spurious version);
+    - a current row whose change differs is CLOSED
+      (``valid_to = effective``) and a new current row opens;
+    - a change for an unseen key inserts a new current row.
+
+    One change per key per batch (enforce upstream; later batches chain).
+    Attr comparison is null-safe.  Scale shape: ONE equi-join of the
+    current slice against the (small) change batch + unions — history
+    rows never join at all, and at 100 TB a dimension bucketed by key
+    co-locates the join without re-shuffling the big side.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    attrs = list(attrs)
+    out_cols = [*keys, *attrs, valid_from, valid_to]
+    for c in out_cols:
+        if c not in dim.columns:
+            raise ValueError(f"dim missing column {c!r}")
+    for c in [*keys, *attrs, effective_column]:
+        if c not in changes.columns:
+            raise ValueError(f"changes missing column {c!r}")
+    history = dim.filter(F.col(valid_to).isNotNull()).select(*out_cols)
+    current = dim.filter(F.col(valid_to).isNull()).select(*out_cols)
+    ch = changes.select(
+        *keys,
+        *[F.col(a).alias(f"__new_{a}") for a in attrs],
+        F.col(effective_column).alias("__eff"))
+    j = current.join(ch, list(keys), "full_outer")
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
+    has_change = F.col("__eff").isNotNull()
+    had_current = F.col(valid_from).isNotNull()
+    # current rows: kept open (no change / no-op), or closed
+    kept = (j.filter(had_current & (~has_change | ~differs))
+            .select(*out_cols))
+    closed = (j.filter(had_current & has_change & differs)
+              .select(*keys, *attrs, valid_from,
+                      F.col("__eff").alias(valid_to)))
+    opened = (j.filter(has_change & (~had_current | differs))
+              .select(*keys,
+                      *[F.col(f"__new_{a}").alias(a) for a in attrs],
+                      F.col("__eff").alias(valid_from),
+                      F.lit(None).cast(dim.schema[valid_to].dataType)
+                      .alias(valid_to)))
+    return history.unionByName(kept).unionByName(closed) \
+        .unionByName(opened)

@@ -658,3 +658,39 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def rrf_fuse(rankings: list, id_column: str, rank_column: str = "rank",
+             k: int = 60, round_digits: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (public method: Cormack et al. 2009 — the
+    standard way hybrid search merges lexical and vector rankings):
+    ``score(d) = sum over rankings of 1/(k + rank_i(d))``, documents
+    missing from a ranking contribute nothing.  Returns
+    (id, rrf_score, n_rankings, rank) ordered by fused score with a
+    deterministic id tie-break.
+
+    Scale shape: a union of the (already small) top-k ranking tables +
+    one groupBy on the id — trivially cheap next to the rankings that
+    produced the inputs; the fusion itself never touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [
+        r.select(F.col(id_column).alias("__id"),
+                 (1.0 / (F.lit(float(k)) + F.col(rank_column).cast("double")))
+                 .alias("__contrib"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy("__id")
+             .agg(F.round(F.sum("__contrib"), round_digits)
+                  .alias("rrf_score"),
+                  F.count("*").alias("n_rankings")))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("__id"))
+    # the fused table is (sum of top-k lists) rows — tiny; a plain
+    # row_number window over it is driver-bounded by construction
+    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("__id").alias(id_column), "rrf_score",
+                    "n_rankings", "rank"))

@@ -2099,3 +2099,137 @@ def q_funnel(spark, sf_dir):
     fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
     return out.select("user_id", fmt("t_1"), fmt("t_2"), fmt("t_3"),
                       "steps_completed")
+
+
+@register(
+    "search_rrf_fusion",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+               AS r
+      FROM documents QUALIFY r <= 15
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY CAST(doc_id % 89 AS DOUBLE) / 89.0 DESC, doc_id)
+               AS r
+      FROM documents QUALIFY r <= 15
+    ),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + r) AS c FROM sem
+    ),
+    fused AS (
+      SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score,
+             COUNT(*) AS n_rankings
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_rankings,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS rank
+    FROM fused
+    """,
+)
+def q_rrf(spark, sf_dir):
+    """Hybrid-search rank fusion (operators/similarity.py:rrf_fuse,
+    Cormack et al. 2009): two top-15 rankings (a length-based 'lexical'
+    list and a hash-score 'semantic' list) fused by reciprocal rank —
+    the fusion runs over the tiny union of top-k lists only."""
+    from pyspark.sql import Window as W
+
+    from geoparquet_io_spark.operators.similarity import rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def topk(df, order):
+        # top-k via orderBy().limit() = TakeOrderedAndProject (per-
+        # partition top-k + tiny merge); the rank window then runs over
+        # the 15 surviving rows only — never a full-table window
+        cut = df.orderBy(*order).limit(15)
+        return (cut.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+                .select("doc_id", "rank"))
+
+    lex = topk(d.select("doc_id", "n_chars"),
+               [F.desc("n_chars"), F.asc("doc_id")])
+    sem = topk(d.select("doc_id",
+                        ((F.col("doc_id") % 89).cast("double") / 89.0)
+                        .alias("score")),
+               [F.desc("score"), F.asc("doc_id")])
+    return rrf_fuse([lex, sem], "doc_id", k=60)
+
+
+@register(
+    "merge_scd2_segments",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '2023-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    ch AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN c_mktsegment
+                  ELSE c_mktsegment || '_V2' END AS segment,
+             TIMESTAMP '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW', TIMESTAMP '2024-06-01'
+      FROM customer WHERE c_custkey % 16 = 0
+    ),
+    kept AS (
+      SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to
+      FROM dim d LEFT JOIN ch ON d.c_custkey = ch.c_custkey
+      WHERE ch.c_custkey IS NULL OR d.segment = ch.segment
+    ),
+    closed AS (
+      SELECT d.c_custkey, d.segment, d.valid_from, ch.eff AS valid_to
+      FROM dim d JOIN ch ON d.c_custkey = ch.c_custkey
+      WHERE d.segment != ch.segment
+    ),
+    opened AS (
+      SELECT ch.c_custkey, ch.segment, ch.eff AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM ch LEFT JOIN dim d ON d.c_custkey = ch.c_custkey
+      WHERE d.c_custkey IS NULL OR d.segment != ch.segment
+    ),
+    unioned AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM opened
+    )
+    SELECT c_custkey, segment,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to
+    FROM unioned
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """SCD type-2 dimension merge (operators/merge.py:scd2_apply): every
+    4th customer changes segment (every 8th is a no-op change), every
+    16th adds a brand-new key — changed rows close with the effective
+    timestamp, no-ops produce no spurious version, new keys open.  One
+    equi-join of the current slice against the change batch."""
+    from geoparquet_io_spark.operators.merge import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    ch = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 8 == 0, F.col("c_mktsegment"))
+         .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_V2")))
+         .alias("segment"),
+        F.lit("2024-06-01").cast("timestamp").alias("effective_ts"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 16 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.lit("NEW").alias("segment"),
+            F.lit("2024-06-01").cast("timestamp").alias("effective_ts")))
+    out = scd2_apply(dim, ch, "c_custkey", ["segment"])
+    fmt = lambda x: F.date_format(x, "yyyy-MM-dd").alias(x)  # noqa: E731
+    return out.select("c_custkey", "segment", fmt("valid_from"),
+                      fmt("valid_to"))

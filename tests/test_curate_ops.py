@@ -166,3 +166,67 @@ def test_profile_columns_nulls_types_and_mode_tiebreak(spark):
     assert got["k"] == ("k", 6, 0, 6, "1", "10", "1", 1)
     # null excluded from distinct/top; a/b tie at 2 -> smallest value wins
     assert got["s"] == ("s", 6, 1, 3, "a", "c", "a", 2)
+
+
+def test_scd2_semantics(spark):
+    from geoparquet_io_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", "2023-01-01", "2023-06-01"),  # closed history
+            (1, "b", "2023-06-01", None),          # current, will change
+            (2, "x", "2023-01-01", None),          # current, no change
+            (3, "y", "2023-01-01", None),          # current, no-op change
+            (4, None, "2023-01-01", None),         # current NULL attr
+        ],
+        "k int, v string, valid_from string, valid_to string") \
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp")) \
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    ch = spark.createDataFrame(
+        [
+            (1, "c", "2024-01-01"),
+            (3, "y", "2024-01-01"),   # identical -> no-op
+            (4, None, "2024-01-01"),  # null == null -> no-op (null-safe)
+            (5, "new", "2024-01-01"),
+        ], "k int, v string, effective_ts string") \
+        .withColumn("effective_ts",
+                    F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(dim, ch, "k", ["v"])
+    rows = sorted(
+        (r["k"], r["v"], str(r["valid_from"])[:10],
+         None if r["valid_to"] is None else str(r["valid_to"])[:10])
+        for r in out.collect())
+    assert rows == sorted([
+        (1, "a", "2023-01-01", "2023-06-01"),
+        (1, "b", "2023-06-01", "2024-01-01"),   # closed by the change
+        (1, "c", "2024-01-01", None),           # new current
+        (2, "x", "2023-01-01", None),
+        (3, "y", "2023-01-01", None),           # no-op: untouched
+        (4, None, "2023-01-01", None),          # null-safe no-op
+        (5, "new", "2024-01-01", None),
+    ])
+
+
+def test_scd2_rejects_missing_columns(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame([(1,)], "k int")
+    ch = spark.createDataFrame([(1,)], "k int")
+    with _p.raises(ValueError, match="missing column"):
+        scd2_apply(dim, ch, "k", ["v"])
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from geoparquet_io_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                               "doc_id int, rank int")
+    r2 = spark.createDataFrame([(20, 1), (40, 2)], "doc_id int, rank int")
+    got = {r["doc_id"]: (r["rrf_score"], r["n_rankings"], r["rank"])
+           for r in rrf_fuse([r1, r2], "doc_id", k=60).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61; doc 40: 1/62; doc 30: 1/63
+    assert got[20][1] == 2 and got[20][2] == 1
+    assert abs(got[20][0] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert [got[i][2] for i in (20, 10, 40, 30)] == [1, 2, 3, 4]
