@@ -359,3 +359,25 @@ def funnel_steps(df: DataFrame, user_column: str, ts_column: str,
     done = sum(F.col(t).isNotNull().cast("int") for t in t_cols)
     return cur.select(F.col("__u").alias(user_column), *t_cols,
                       done.cast("int").alias("steps_completed"))
+
+
+def grouped_outliers(df: DataFrame, group_column: str, value_column: str,
+                     z: float = 3.0, flag_column: str = "is_outlier",
+                     round_digits: int = 6) -> DataFrame:
+    """Per-group z-score outlier flagging (the numeric-column cleaning
+    staple): each row gets its group's population z-score and a flag
+    for ``|z| > z_threshold``.  Two passes expressed as one aggregate +
+    one equi-join (both on the group key, map-side combined; AQE
+    broadcasts the tiny stats side) — no windows, so group size never
+    hits a single task.  Zero-variance groups flag nothing."""
+    stats_df = (df.groupBy(F.col(group_column).alias("__g"))
+                .agg(F.avg(value_column).alias("__mean"),
+                     F.stddev_pop(value_column).alias("__sd")))
+    j = df.join(F.broadcast(stats_df),
+                F.col(group_column) == F.col("__g"))
+    zscore = F.when(F.col("__sd") > 0,
+                    (F.col(value_column) - F.col("__mean")) / F.col("__sd"))
+    return (j.withColumn("z_score", F.round(zscore, round_digits))
+            .withColumn(flag_column,
+                        F.coalesce(F.abs(zscore) > z, F.lit(False)))
+            .drop("__g", "__mean", "__sd"))

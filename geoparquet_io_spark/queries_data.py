@@ -2233,3 +2233,39 @@ def q_scd2(spark, sf_dir):
     fmt = lambda x: F.date_format(x, "yyyy-MM-dd").alias(x)  # noqa: E731
     return out.select("c_custkey", "segment", fmt("valid_from"),
                       fmt("valid_to"))
+
+
+@register(
+    "stats_grouped_outliers",
+    """
+    WITH st AS (
+      SELECT o_orderpriority AS g, AVG(o_totalprice) AS m,
+             stddev_pop(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs((o.o_totalprice - st.m) / st.sd) > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN abs((o.o_totalprice - st.m) / st.sd) > 2.0
+                          THEN o.o_totalprice ELSE 0.0 END), 2)
+             AS outlier_total
+    FROM orders o JOIN st ON o.o_orderpriority = st.g
+    GROUP BY 1
+    """,
+)
+def q_grouped_outliers(spark, sf_dir):
+    """Per-group z-score outlier flags (operators/stats.py:
+    grouped_outliers): one stats aggregate + broadcast join back, no
+    windows; aggregated per priority class for the oracle compare."""
+    from geoparquet_io_spark.operators.stats import grouped_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    out = grouped_outliers(o, "o_orderpriority", "o_totalprice", z=2.0)
+    return (out.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("is_outlier").cast("long"))
+                 .alias("n_outliers"),
+                 F.round(F.sum(F.when(F.col("is_outlier"),
+                                      F.col("o_totalprice"))
+                               .otherwise(0.0)), 2)
+                 .alias("outlier_total")))

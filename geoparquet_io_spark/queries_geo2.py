@@ -843,3 +843,32 @@ def q_dissolve_hull(spark, sf_dir):
     out = dissolve_hull(pts, "c_nationkey")
     return out.select("c_nationkey", "n_hull_points",
                       F.round("hull_area", 6).alias("hull_area"))
+
+
+@register(
+    "sql_geo_surface",
+    f"""
+    WITH pts AS ({_EVT})
+    SELECT 'POINT' AS gtype, COUNT(*) AS n,
+           ROUND(SUM(lon), 3) AS sum_x,
+           ROUND(SUM(abs(lat)), 3) AS sum_abs_y
+    FROM pts
+    """,
+)
+def q_sql_surface(spark, sf_dir):
+    """The SQL path (functions/sqlreg.py:register_sql_functions): the
+    same Arrow-batched ST_* UDFs, invoked through plain spark.sql over a
+    temp view — exactly the plan the fluent API builds, proving SQL and
+    column APIs share one execution surface."""
+    from geoparquet_io_spark.functions.sqlreg import register_sql_functions
+
+    register_sql_functions(spark)
+    gt = _events_points(spark, sf_dir)
+    gt.df.createOrReplaceTempView("sql_geo_events")
+    return spark.sql("""
+        SELECT st_geometrytype(geometry) AS gtype, COUNT(*) AS n,
+               ROUND(SUM(st_x(geometry)), 3) AS sum_x,
+               ROUND(SUM(abs(st_y(geometry))), 3) AS sum_abs_y
+        FROM sql_geo_events
+        GROUP BY st_geometrytype(geometry)
+    """)

@@ -230,3 +230,26 @@ def test_rrf_fusion_hand_computed(spark):
     assert got[20][1] == 2 and got[20][2] == 1
     assert abs(got[20][0] - round(1 / 62 + 1 / 61, 6)) < 1e-9
     assert [got[i][2] for i in (20, 10, 40, 30)] == [1, 2, 3, 4]
+
+
+def test_grouped_outliers_semantics(spark):
+    from geoparquet_io_spark.operators.stats import grouped_outliers
+
+    rows = ([("a", 10.0)] * 10 + [("a", 1000.0)]   # clear outlier
+            + [("b", 5.0)] * 5)                     # zero variance
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_outliers(df, "g", "v", z=2.0).collect()
+    a_flags = [(r["v"], r["is_outlier"]) for r in out if r["g"] == "a"]
+    assert (1000.0, True) in a_flags
+    assert all(not f for v, f in a_flags if v == 10.0)
+    b = [r for r in out if r["g"] == "b"]
+    assert all(not r["is_outlier"] and r["z_score"] is None for r in b)
+
+
+def test_grouped_outliers_no_window(spark):
+    from geoparquet_io_spark.operators.stats import grouped_outliers
+    from geoparquet_io_spark.plans import formatted_plan
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    plan = formatted_plan(grouped_outliers(df, "g", "v"))
+    assert "Window" not in plan, plan

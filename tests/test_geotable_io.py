@@ -354,3 +354,35 @@ def test_geotable_simplify_and_hull(spark):
     hull = gt.convex_hull()
     r = hull.df.select(G.st_area("hull").alias("a")).collect()[0]
     assert r["a"] == 16.0
+
+
+def test_sql_registration_matches_column_api(spark):
+    """register_sql_functions: selectExpr / spark.sql results equal the
+    fluent column-API results for the same expressions."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.functions.sqlreg import (
+        SQL_FUNCTIONS, register_sql_functions)
+
+    names = register_sql_functions(spark)
+    assert names == sorted(SQL_FUNCTIONS)
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 4.0), (-2.5, 7.0)], "x double, y double") \
+        .withColumn("g", G.st_point(F.col("x"), F.col("y")))
+    df.createOrReplaceTempView("sqlreg_pts")
+    got = spark.sql("""
+        SELECT st_x(g) AS x2, st_y(g) AS y2, st_astext(g) AS wkt,
+               st_npoints(g) AS np,
+               st_astext(st_simplify(st_geomfromtext(
+                 'LINESTRING(0 0, 1 0, 2 0, 2 5)'), 0.01)) AS simp
+        FROM sqlreg_pts ORDER BY x2
+    """).collect()
+    exp = df.select(
+        G.st_x(F.col("g")).alias("x2"), G.st_y(F.col("g")).alias("y2"),
+        G.st_astext(F.col("g")).alias("wkt"),
+        G.st_npoints(F.col("g")).alias("np"),
+    ).orderBy("x2").collect()
+    assert [(r["x2"], r["y2"], r["wkt"], r["np"]) for r in got] == \
+        [tuple(r) for r in exp]
+    assert got[0]["simp"] == "LINESTRING (0 0, 2 0, 2 5)"
