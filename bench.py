@@ -45,6 +45,12 @@ HEADLINE = [
     "graph_pagerank",
     "geo_distance_join",
     "geo_knn_join",
+    # round-3 continuation-2 additions
+    "text_dup_spans",
+    "similarity_ivf_index_search",
+    "join_fuzzy_names",
+    "events_funnel",
+    "geo_dissolve_hull",
 ]
 
 # regression thresholds vs the committed bench_baseline.json

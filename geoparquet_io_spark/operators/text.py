@@ -642,6 +642,11 @@ def duplicated_spans(df: DataFrame, id_column: str = "doc_id",
                 F.col("__win.start").alias("start"),
                 F.col("__win.h").alias("h"))
     )
+    # NOTE: wins feeds both the frequency agg and the join probe side, so
+    # window generation runs twice.  Persisting it was MEASURED a wash on
+    # a cold run (materializing the exploded table costs what the second
+    # map-phase compute costs) and at 100 TB an exploded-larger-than-input
+    # cache is a spill hazard — recompute is the right trade.
     freq = wins.groupBy("h").agg(F.count("*").alias("nd"))
     dup = (wins.join(freq, "h").filter(F.col("nd") >= 2)
            .select("doc", "__nw", "start"))
