@@ -381,3 +381,52 @@ def grouped_outliers(df: DataFrame, group_column: str, value_column: str,
             .withColumn(flag_column,
                         F.coalesce(F.abs(zscore) > z, F.lit(False)))
             .drop("__g", "__mean", "__sd"))
+
+
+def grouped_quantiles(df: DataFrame, group_column: str, value_column: str,
+                      probabilities: list[float],
+                      round_digits: int = 6) -> DataFrame:
+    """EXACT per-group quantiles (linear interpolation — the
+    ``percentile`` aggregate, same definition as SQL ``quantile_cont``),
+    one row per (group, probability).  One aggregate shuffle with
+    map-side partial collection; exactness costs a per-group sort
+    inside the aggregate, which is the correct trade for bounded
+    groups — use approx_percentile upstream when groups are huge."""
+    if not probabilities:
+        raise ValueError("probabilities must be non-empty")
+    arr = ", ".join(repr(float(p)) for p in probabilities)
+    agg = df.groupBy(group_column).agg(
+        F.expr(f"percentile({value_column}, array({arr}))").alias("__qs"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in probabilities]).alias("p"),
+        F.col("__qs").alias("q"))
+    return (agg.select(group_column, F.explode(pairs).alias("__e"))
+            .select(group_column,
+                    F.col("__e.p").alias("probability"),
+                    F.round(F.col("__e.q"), round_digits)
+                    .alias("quantile")))
+
+
+def cohort_retention(df: DataFrame, user_column: str, ts_column: str,
+                     unit: str = "week") -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple): each
+    user's cohort is the truncated period of their FIRST event; the
+    matrix counts distinct active users per (cohort, period_index).
+
+    Scale shape: one per-user min aggregate (map-side combine), one
+    join back on the user key (AQE-broadcastable: one row per user),
+    one distinct-count aggregate on (cohort, period) — no windows.
+    """
+    first = (df.groupBy(F.col(user_column).alias("__u"))
+             .agg(F.date_trunc(unit, F.min(ts_column)).alias("__cohort")))
+    j = df.select(F.col(user_column).alias("__u"),
+                  F.date_trunc(unit, F.col(ts_column)).alias("__period")) \
+        .join(first, "__u")
+    seconds = {"week": 7 * 86400, "day": 86400}
+    if unit not in seconds:
+        raise ValueError(f"unsupported unit {unit!r} (use week/day)")
+    idx = ((F.unix_timestamp("__period")
+            - F.unix_timestamp("__cohort")) / seconds[unit]).cast("int")
+    return (j.withColumn("period_index", idx)
+            .groupBy(F.col("__cohort").alias("cohort"), "period_index")
+            .agg(F.countDistinct("__u").alias("n_users")))

@@ -2269,3 +2269,84 @@ def q_grouped_outliers(spark, sf_dir):
                                       F.col("o_totalprice"))
                                .otherwise(0.0)), 2)
                  .alias("outlier_total")))
+
+
+@register(
+    "stats_grouped_quantiles",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS qs
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(CASE i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+                  WHEN 3 THEN 0.75 ELSE 0.9 END AS DOUBLE) AS probability,
+           ROUND(qs[i], 6) AS quantile
+    FROM q, UNNEST(generate_series(1, 4)) AS t(i)
+    """,
+)
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (operators/stats.py:grouped_quantiles):
+    Spark's percentile aggregate == SQL quantile_cont (both linear
+    interpolation — verified identical), one aggregate shuffle."""
+    from geoparquet_io_spark.operators.stats import grouped_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    return grouped_quantiles(o, "o_orderpriority", "o_totalprice",
+                             [0.25, 0.5, 0.75, 0.9])
+
+
+@register(
+    "stats_correlation",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_correlation(spark, sf_dir):
+    """Per-group Pearson correlation + sample covariance — native
+    numerically-stable one-pass aggregates in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+        .alias("cov_qty_disc"),
+        F.count("*").alias("n"))
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT e.user_id, f.cohort, date_trunc('week', e.ts) AS period
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(floor(date_diff('second', cohort, period)
+                      / 604800.0) AS INT) AS period_index,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/stats.py:
+    cohort_retention): first-event cohort per user + distinct-active
+    counts per (cohort, week index) — two keyed aggregates and one
+    user-key join, no windows.  Monday-anchored week truncation is
+    identical in both engines (verified)."""
+    from geoparquet_io_spark.operators.stats import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", unit="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_index", "n_users")

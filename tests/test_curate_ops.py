@@ -253,3 +253,36 @@ def test_grouped_outliers_no_window(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     plan = formatted_plan(grouped_outliers(df, "g", "v"))
     assert "Window" not in plan, plan
+
+
+def test_grouped_quantiles_hand_computed(spark):
+    from geoparquet_io_spark.operators.stats import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [("b", 10.0)],
+        "g string, v double")
+    got = {(r["g"], r["probability"]): r["quantile"]
+           for r in grouped_quantiles(df, "g", "v", [0.5, 1.0]).collect()}
+    assert got[("a", 0.5)] == 2.5   # linear interpolation
+    assert got[("a", 1.0)] == 4.0
+    assert got[("b", 0.5)] == 10.0
+
+
+def test_cohort_retention_hand_computed(spark):
+    from geoparquet_io_spark.operators.stats import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort wk of Jan 1 (Monday)
+        (1, "2024-01-09 10:00:00"),  # next week -> index 1
+        (2, "2024-01-03 10:00:00"),  # same cohort, only week 0
+        (3, "2024-01-10 10:00:00"),  # cohort Jan 8
+        (3, "2024-01-22 10:00:00"),  # two weeks later -> index 2
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(str(r["cohort"])[:10], r["period_index"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 2): 1,
+    }
