@@ -291,6 +291,16 @@ def unigram_logprob(df: DataFrame, id_column: str = "doc_id",
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c")).collect()[0][0]
+    if total is None:
+        # empty corpus: typed empty result, not a crash
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField(id_column, df.schema[id_column].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("avg_logprob", T.DoubleType()),
+        ])
+        return df.sparkSession.createDataFrame([], schema)
     lp_micro = F.round(
         F.log(F.col("c") / F.lit(float(total))) * 1e6, 0
     ).cast("long")

@@ -197,3 +197,21 @@ def test_perplexity_buckets_on_testdata_schema(spark):
     # exact integer-division split: sizes differ by at most 1
     assert set(counts) == {0, 1, 2}
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_empty_corpus_is_typed_empty_not_crash(spark):
+    """Every text-pipeline operator must return a typed empty frame on
+    an empty corpus (daily-ingest pipelines see empty partitions)."""
+    from geoparquet_io_spark.operators.text import (
+        chunk_passages, duplicated_spans, perplexity_buckets,
+        quality_filter, unigram_logprob)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_passages(empty).count() == 0
+    assert duplicated_spans(empty).count() == 0
+    assert quality_filter(empty).count() == 0
+    u = unigram_logprob(empty)
+    assert u.count() == 0
+    assert [f.name for f in u.schema.fields] == \
+        ["doc_id", "n_tokens", "avg_logprob"]
+    assert perplexity_buckets(empty).count() == 0
