@@ -300,3 +300,79 @@ def weighted_take(df: DataFrame, key_column: str, weight_column: str,
            .orderBy(F.desc("__p"), F.asc(key_column)))
     return (ranked.withColumn("__rn", F.row_number().over(win))
             .filter(F.col("__rn") <= n).drop("__p", "__rn"))
+
+
+def dsir_select(source_df: DataFrame, target_df: DataFrame, n: int,
+                id_column: str = "doc_id", text_column: str = "text",
+                num_features: int = 1024, salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (public method: Xie et
+    al. 2023, arXiv:2302.03169 — the standard way to pick pretraining
+    data that "looks like" a small target domain):
+
+    1. hashed unigram features: token -> md5 bucket in [0, num_features);
+    2. Laplace-smoothed bucket distributions for target and source;
+    3. per-document importance log-weight
+       ``sum_b count_b * log(p_target_b / p_source_b)``;
+    4. weighted sampling without replacement via Efraimidis-Spirakis in
+       LOG space: priority ``log(u) * exp(-logweight)`` (monotone
+       transform of ``u^(1/w)`` that never overflows for extreme
+       importance ratios), top-``n`` by priority.
+
+    Scale shape: two tiny bucket-count aggregates (num_features rows,
+    broadcast back), one explode + broadcast join + per-doc sum with
+    map-side combine, then TakeOrderedAndProject for the top-n — no
+    single-partition window, no driver data.  Log-ratios are quantized
+    to integer micro-nats before summation (order-independent,
+    engine-exact).  Returns the selected source rows + ``logweight``.
+    """
+    from geoparquet_io_spark.operators.text import tokens
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def bucket(tok):
+        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        return h % num_features
+
+    def bucket_counts(df):
+        toks = df.select(
+            F.explode(tokens(F.lower(F.col(text_column)))).alias("t")
+        ).filter(F.length("t") > 0)
+        return toks.groupBy(bucket(F.col("t")).alias("b")) \
+            .agg(F.count("*").alias("c"))
+
+    tc = {r["b"]: r["c"] for r in bucket_counts(target_df).collect()}
+    sc = {r["b"]: r["c"] for r in bucket_counts(source_df).collect()}
+    t_total = sum(tc.values()) + num_features
+    s_total = sum(sc.values()) + num_features
+    import math
+
+    # micro-nat quantized log ratios, one literal map (bounded:
+    # num_features entries — the "hashed" in hashed-DSIR is exactly what
+    # keeps this table broadcastable at any corpus size)
+    ratios = {
+        b: int(round((math.log((tc.get(b, 0) + 1) / t_total)
+                      - math.log((sc.get(b, 0) + 1) / s_total)) * 1e6))
+        for b in range(num_features)
+    }
+    mapping = F.create_map(
+        *[F.lit(v) for kv in ratios.items() for v in kv])
+    doc_toks = source_df.select(
+        F.col(id_column).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("t"),
+    ).filter(F.length("t") > 0)
+    lw = (doc_toks
+          .select("__id", mapping[bucket(F.col("t"))].alias("__lr"))
+          .groupBy("__id")
+          .agg(F.sum("__lr").alias("__lw_micro")))
+    u = (_hash_draw(F.col("__id"), salt).cast("double") + 0.5) \
+        / float(_BUCKETS)
+    priority = F.log(u) * F.exp(-(F.col("__lw_micro") / 1e6))
+    picked = (lw.withColumn("__p", priority)
+              .orderBy(F.desc("__p"), F.asc("__id"))
+              .limit(n))
+    return (source_df.join(
+        picked.select(F.col("__id").alias(id_column),
+                      F.round(F.col("__lw_micro") / 1e6, 6)
+                      .alias("logweight")),
+        id_column))

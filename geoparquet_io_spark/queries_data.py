@@ -2350,3 +2350,67 @@ def q_cohort(spark, sf_dir):
     return out.select(
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
         "period_index", "n_users")
+
+
+_DSIR_BUCKET = "CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT) % 256"
+
+
+@register(
+    "curate_dsir_select",
+    f"""
+    WITH tgt_tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE source = 'src0' AND len(trim(text)) > 0
+    ),
+    src_tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE source != 'src0' AND len(trim(text)) > 0
+    ),
+    tb AS (SELECT {_DSIR_BUCKET.format(t='t')} AS b, COUNT(*) AS c
+           FROM tgt_tok WHERE len(t) > 0 GROUP BY 1),
+    sb AS (SELECT {_DSIR_BUCKET.format(t='t')} AS b, COUNT(*) AS c
+           FROM src_tok WHERE len(t) > 0 GROUP BY 1),
+    tt AS (SELECT CAST(COALESCE(SUM(c), 0) + 256 AS DOUBLE) AS tot FROM tb),
+    st AS (SELECT CAST(COALESCE(SUM(c), 0) + 256 AS DOUBLE) AS tot FROM sb),
+    ratios AS (
+      SELECT g.b,
+             CAST(ROUND((ln((COALESCE(tb.c, 0) + 1) / tt.tot)
+                        - ln((COALESCE(sb.c, 0) + 1) / st.tot)) * 1e6)
+                  AS BIGINT) AS lr
+      FROM (SELECT unnest(range(256)) AS b) g
+      LEFT JOIN tb ON g.b = tb.b LEFT JOIN sb ON g.b = sb.b
+      CROSS JOIN tt CROSS JOIN st
+    ),
+    doc_lw AS (
+      SELECT s.doc_id, CAST(SUM(r.lr) AS BIGINT) AS lwm
+      FROM (SELECT doc_id, {_DSIR_BUCKET.format(t='t')} AS b
+            FROM src_tok WHERE len(t) > 0) s
+      JOIN ratios r ON s.b = r.b GROUP BY 1
+    ),
+    pri AS (
+      SELECT doc_id, lwm,
+             ln(({_DRAW.format(salt='dsir', key='doc_id')} + 0.5)
+                / 4294967296.0) * exp(-(lwm / 1e6)) AS p
+      FROM doc_lw
+    ),
+    top AS (SELECT doc_id, lwm FROM pri
+            ORDER BY p DESC, doc_id LIMIT 40)
+    SELECT d.doc_id, d.source, ROUND(top.lwm / 1e6, 6) AS logweight
+    FROM top JOIN documents d ON top.doc_id = d.doc_id
+    """,
+)
+def q_dsir(spark, sf_dir):
+    """DSIR data selection (operators/sampling.py:dsir_select, Xie et
+    al. 2023): pick 40 out-of-domain docs that look most like the
+    src0 target domain under hashed-unigram importance weights, with
+    log-space Efraimidis-Spirakis resampling (TakeOrderedAndProject,
+    no overflow at extreme ratios).  Ratios quantized to integer
+    micro-nats — both engines sum identical integers."""
+    from geoparquet_io_spark.operators.sampling import dsir_select
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    target = d.filter(F.col("source") == "src0")
+    pool = d.filter(F.col("source") != "src0")
+    out = dsir_select(pool, target, n=40, num_features=256)
+    return out.select("doc_id", "source", "logweight")

@@ -261,3 +261,47 @@ def test_mixture_budget_per_group_prefix_rule(spark):
     import pytest as _p
     with _p.raises(ValueError):
         mixture_under_token_budget(df, {"g0": -1})
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR (importance resampling) must overwhelmingly select pool docs
+    drawn from the target's vocabulary over off-domain docs."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sampling import dsir_select
+
+    tvocab = [f"med{i}" for i in range(30)]       # "medical" domain
+    ovocab = [f"web{i}" for i in range(30)]       # generic web
+    rows = []
+    for i in range(40):   # target corpus: pure domain text
+        rows.append((10_000 + i, " ".join(tvocab[(i + j) % 30]
+                                          for j in range(20)), "target"))
+    for i in range(50):   # pool: 25 in-domain, 25 off-domain
+        vocab = tvocab if i < 25 else ovocab
+        rows.append((i, " ".join(vocab[(i + j) % 30]
+                                 for j in range(20)), "pool"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = dsir_select(df.filter("kind = 'pool'"),
+                      df.filter("kind = 'target'"), n=20,
+                      num_features=128)
+    picked = [r["doc_id"] for r in out.collect()]
+    assert len(picked) == 20
+    in_domain = sum(1 for d in picked if d < 25)
+    assert in_domain >= 18, picked   # near-total preference
+    # and logweights separate the domains
+    lws = {r["doc_id"]: r["logweight"] for r in out.collect()}
+    assert all(lws[d] > 0 for d in picked if d < 25)
+
+
+def test_dsir_topn_is_take_ordered(spark):
+    from geoparquet_io_spark.operators.sampling import dsir_select
+    from geoparquet_io_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, "a b c", "p") for i in range(10)]
+        + [(100, "a b", "t")], "doc_id long, text string, k string")
+    out = dsir_select(df.filter("k = 'p'"), df.filter("k = 't'"), n=3,
+                      num_features=16)
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, plan
