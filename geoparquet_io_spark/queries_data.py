@@ -2414,3 +2414,72 @@ def q_dsir(spark, sf_dir):
     pool = d.filter(F.col("source") != "src0")
     out = dsir_select(pool, target, n=40, num_features=256)
     return out.select("doc_id", "source", "logweight")
+
+
+@register(
+    "pipeline_curation_e2e",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w != '')) AS n_words,
+             len(regexp_replace(text, '\\s+', '', 'g')) AS twc,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+             greatest(len(text), 1) AS n_chars,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'],
+                                    w))) AS sw
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, n_words, sw
+      FROM f
+      WHERE n_words BETWEEN 5 AND 100000
+        AND twc / greatest(n_words, 1) BETWEEN 2.0 AND 12.0
+        AND symbols / n_chars <= 0.3 AND sw >= 1
+    ),
+    deduped AS (
+      SELECT doc_id, n_words, sw,
+             ROUND(sw / n_words, 6) AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM kept)
+      WHERE rn = 1
+    ),
+    run AS (
+      SELECT doc_id, n_words, score,
+             SUM(n_words) OVER (ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM deduped
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, score
+    FROM run WHERE c <= 5000
+    """,
+)
+def q_curation_e2e(spark, sf_dir):
+    """End-to-end curation pipeline — the composition story: quality
+    gate (map-only) -> exact dedup on the normalized fingerprint
+    (deterministic survivor) -> stopword-density scoring -> token-budget
+    prefix selection (bucket histogram, boundary-window only).  Each
+    stage is an independently-verified operator; the pipeline is their
+    straight composition with no glue code."""
+    from geoparquet_io_spark.operators.dedup import dedup_exact
+    from geoparquet_io_spark.operators.sampling import (
+        select_under_token_budget)
+    from geoparquet_io_spark.operators.text import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = quality_filter(d).filter("keep")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    deduped = dedup_exact(kept.withColumn("__fp", fp),
+                          columns=["__fp"], key_column="doc_id")
+    scored = deduped.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("stopword_hits") / F.col("n_words"), 6)
+        .alias("score"))
+    out = select_under_token_budget(scored, 5000, "doc_id", "score",
+                                    "n_words")
+    return out.select("doc_id", "n_words", "score")
