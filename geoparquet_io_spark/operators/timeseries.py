@@ -1,0 +1,236 @@
+"""Time-series operators: bucket resampling with gap-filling and linear
+interpolation, per-key EWMA smoothing, gap-based trip/session
+segmentation, and PSI population-drift scoring.
+
+Reference parity: the reference engine exposes time-bucketed aggregation
+and gap sessionization through its SQL surface (see
+``/root/reference`` docs on temporal rollups); these re-express the same
+semantics with Spark windows and aggregates.
+
+Scale shape (100 TB posture):
+- ``resample``: ONE groupBy shuffle on (key, bucket) with map-side
+  combine; the spine is one row per (key, bucket) — generated from each
+  key's own min/max (a tiny aggregate), never a cross join against a
+  global calendar.
+- interpolation windows are partitioned by key — no single-reducer
+  global window.
+- ``ewma`` is applyInPandas per key: the recurrence is inherently
+  sequential per key but keys are independent; the per-key kernel is
+  pandas' C ``ewm`` implementation, not a Python loop.
+- ``trip_segments``: two key-partitioned windows (lag + running sum) in
+  the SAME partitioning — Spark plans them in one shuffle; step
+  distances are quantized to integer metres before summation so the
+  per-trip sum is order-independent and engine-exact.
+- ``population_stability``: two scans + a bin-aligned merge of two tiny
+  histogram aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_sec(ts_col):
+    """Epoch seconds (floor) — unix_timestamp handles both TIMESTAMP and
+    TIMESTAMP_NTZ under the session UTC zone (oracle: epoch_us // 1e6)."""
+    return F.unix_timestamp(ts_col)
+
+
+def _bucket_sec(ts_col, every_seconds: int):
+    """Epoch-second bucket start (integer arithmetic, oracle-exact)."""
+    e = _epoch_sec(ts_col)
+    return e - F.pmod(e, F.lit(every_seconds))
+
+
+def resample(df: DataFrame, ts_column: str, value_column: str,
+             every_seconds: int, key_column: str | None = None,
+             round_digits: int = 6) -> DataFrame:
+    """Bucketed resample: avg/min/max/count of ``value_column`` per
+    ``every_seconds`` bucket (per key when given).  avg is rounded —
+    float sums are order-dependent across engines."""
+    keys = ([key_column] if key_column else []) + ["bucket_sec"]
+    out = (df.withColumn("bucket_sec", _bucket_sec(F.col(ts_column), every_seconds))
+             .groupBy(*keys)
+             .agg(F.round(F.avg(value_column), round_digits).alias("avg_value"),
+                  F.min(value_column).alias("min_value"),
+                  F.max(value_column).alias("max_value"),
+                  F.count("*").alias("n")))
+    return out
+
+
+def resample_gapfill(df: DataFrame, ts_column: str, value_column: str,
+                     every_seconds: int, key_column: str,
+                     interpolate: bool = True,
+                     round_digits: int = 6) -> DataFrame:
+    """Resample to fixed buckets, then fill EMPTY buckets along each
+    key's own [min, max] bucket range; linear interpolation between the
+    neighbouring observed buckets (edges stay at the nearest observed
+    value — ffill/bfill).
+
+    Columns: key, bucket_sec, avg_value (observed, null when gap),
+    filled_value (interpolated), is_gap.
+
+    The spine comes from each key's min/max bucket (one tiny aggregate +
+    ``sequence`` explode) — proportional to the filled output, not to
+    keys × global calendar."""
+    agg = resample(df, ts_column, value_column, every_seconds,
+                   key_column, round_digits).select(
+        key_column, "bucket_sec", "avg_value")
+    spine = (agg.groupBy(key_column)
+                .agg(F.min("bucket_sec").alias("lo"), F.max("bucket_sec").alias("hi"))
+                .select(key_column,
+                        F.explode(F.sequence(F.col("lo"), F.col("hi"),
+                                             F.lit(every_seconds))).alias("bucket_sec")))
+    joined = spine.join(agg, [key_column, "bucket_sec"], "left")
+    if not interpolate:
+        return joined.withColumn("is_gap", F.col("avg_value").isNull())
+
+    w = Window.partitionBy(key_column).orderBy("bucket_sec")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket_sec"))
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(w_prev)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    frac = (F.col("bucket_sec") - prev_t) / (next_t - prev_t)
+    interp = F.when(prev_v.isNull(), next_v).when(next_v.isNull(), prev_v) \
+              .when(next_t == prev_t, prev_v) \
+              .otherwise(F.round(prev_v + (next_v - prev_v) * frac, round_digits))
+    return (joined
+            .withColumn("filled_value", interp)
+            .withColumn("is_gap", F.col("avg_value").isNull()))
+
+
+def ewma(df: DataFrame, key_column: str, ts_column: str, value_column: str,
+         alpha: float, order_tiebreak: str | None = None,
+         round_digits: int = 6) -> DataFrame:
+    """Per-key exponentially-weighted moving average,
+    ``s_0 = x_0; s_i = (1-alpha)*s_{i-1} + alpha*x_i`` (adjust=False).
+
+    Inherently sequential per key, so this is applyInPandas with the
+    pandas C ``ewm`` kernel — keys process in parallel, no driver loop.
+    Pick ``alpha`` with an exact binary representation (0.25, 0.5,
+    0.125...) and the recurrence is bit-identical to an engine-side
+    recursive evaluation: each step is two exact products and one add of
+    the same IEEE operands.  Result is rounded for cross-engine compare.
+
+    Returns key, rn (1-based order), ewma."""
+    import pandas as pd
+
+    tiebreak = [order_tiebreak] if order_tiebreak else []
+    ktype = df.schema[key_column].dataType.simpleString()
+    schema = f"{key_column} {ktype}, rn long, ewma double"
+    cols = [key_column, ts_column, value_column] + tiebreak
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_column] + tiebreak, kind="mergesort")
+        # no pandas-side rounding: numpy rounds HALF_EVEN while Spark's
+        # ROUND is HALF_UP (matching DuckDB) — round in Spark below
+        s = pdf[value_column].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame({
+            key_column: pdf[key_column].values,
+            "rn": range(1, len(pdf) + 1),
+            "ewma": s.values,
+        })
+
+    out = (df.select(*cols)
+             .groupBy(key_column)
+             .applyInPandas(kernel, schema=schema))
+    return out.withColumn("ewma", F.round("ewma", round_digits))
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km (mean Earth radius 6371.0088).
+    Single fixed expression tree so both engines evaluate the identical
+    IEEE double operations (libm sin/cos may still differ by ~1 ulp —
+    quantize before cross-engine summation)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (F.pow(F.sin(dlat / 2), 2)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2))
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+HAVERSINE_SQL = (
+    "(2 * 6371.0088) * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+def trip_segments(df: DataFrame, key_column: str, ts_column: str,
+                  lon_column: str, lat_column: str,
+                  gap_seconds: int, order_tiebreak: str | None = None) -> DataFrame:
+    """Gap-based trip segmentation: a new trip starts when the time since
+    the previous point exceeds ``gap_seconds``.  Per trip: point count,
+    start/end epoch seconds, duration, and total consecutive-point
+    haversine distance.
+
+    Both windows share the (key) partitioning — one shuffle.  Step
+    distances are rounded to integer metres and summed as BIGINT so the
+    per-trip total is order-independent (sum of doubles is not)."""
+    tiebreak = [order_tiebreak] if order_tiebreak else []
+    w = Window.partitionBy(key_column).orderBy(ts_column, *tiebreak)
+    ts_sec = _epoch_sec(F.col(ts_column))
+    prev_ts = F.lag(ts_sec).over(w)
+    prev_lon = F.lag(lon_column).over(w)
+    prev_lat = F.lag(lat_column).over(w)
+    new_trip = F.when(
+        prev_ts.isNull() | ((ts_sec - prev_ts) > gap_seconds),
+        F.lit(1)).otherwise(F.lit(0))
+    step_m = F.when(
+        new_trip == 1, F.lit(0).cast("long")).otherwise(
+        F.round(haversine_km(prev_lat, prev_lon,
+                             F.col(lat_column), F.col(lon_column)) * 1000.0, 0)
+        .cast("long"))
+    steps = (df.withColumn("__new", new_trip)
+               .withColumn("__step_m", step_m)
+               .withColumn("trip_no",
+                           F.sum("__new").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    steps = steps.withColumn("__sec", ts_sec)
+    return (steps.groupBy(key_column, "trip_no")
+                 .agg(F.count("*").alias("n_points"),
+                      F.min("__sec").alias("start_sec"),
+                      F.max("__sec").alias("end_sec"),
+                      (F.max("__sec") - F.min("__sec")).alias("duration_sec"),
+                      F.sum("__step_m").alias("distance_m")))
+
+
+def population_stability(df_a: DataFrame, df_b: DataFrame, column: str,
+                         lo: float, hi: float, n_bins: int,
+                         min_share: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column over fixed [lo, hi) bins (out-of-range values clamp to the
+    edge bins — every row counts, standard scorecard practice).
+
+    Per-bin term ``(pa - pb) * ln(pa / pb)`` with shares floored at
+    ``min_share`` to keep empty bins finite.  Terms are emitted per bin
+    in integer micro-units (``term_micro``) so the caller's total
+    ``sum(term_micro)/1e6`` is order-independent and engine-exact.
+
+    Two scans, two tiny aggregates, one bin-aligned outer merge — no
+    per-row join."""
+    width = (hi - lo) / n_bins
+
+    def binned(df, name):
+        b = F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias(name))
+
+    ha, hb = binned(df_a, "n_a"), binned(df_b, "n_b")
+    merged = ha.join(hb, "bin", "full").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"))
+    tot_a = merged.agg(F.sum("n_a")).collect()[0][0] or 0
+    tot_b = merged.agg(F.sum("n_b")).collect()[0][0] or 0
+    pa = F.greatest(F.col("n_a") / F.lit(float(tot_a)), F.lit(min_share))
+    pb = F.greatest(F.col("n_b") / F.lit(float(tot_b)), F.lit(min_share))
+    term = (pa - pb) * F.log(pa / pb)
+    return merged.withColumn(
+        "term_micro", F.round(term * 1e6, 0).cast("long"))

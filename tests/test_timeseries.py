@@ -1,0 +1,125 @@
+"""Unit tests for operators/timeseries.py: gap-fill interpolation
+semantics, EWMA recurrence bit-parity, trip segmentation boundaries,
+PSI identity, and partition invariance of the keyed kernels."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from geoparquet_io_spark.operators.timeseries import (
+    ewma,
+    population_stability,
+    resample_gapfill,
+    trip_segments,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gapfill_linear_interpolation(spark):
+    # one key, hourly buckets, observations at h0 (v=10) and h3 (v=40):
+    # gaps at h1/h2 must interpolate to 20 and 30
+    df = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(3), 40.0)], "k long, ts timestamp, v double")
+    out = resample_gapfill(df, "ts", "v", 3600, "k").orderBy("bucket_sec")
+    rows = out.collect()
+    assert [r.is_gap for r in rows] == [False, True, True, False]
+    assert [r.filled_value for r in rows] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_gapfill_edges_hold_nearest(spark):
+    # leading/trailing gaps cannot interpolate: nearest observed value
+    df = spark.createDataFrame(
+        [(1, _ts(1), 5.0), (1, _ts(1, 30), 7.0), (1, _ts(3), 9.0)],
+        "k long, ts timestamp, v double")
+    out = resample_gapfill(df, "ts", "v", 3600, "k").orderBy("bucket_sec")
+    rows = out.collect()
+    # h1 bucket averages the two observations
+    assert rows[0].avg_value == 6.0
+    assert [r.filled_value for r in rows] == [6.0, 7.5, 9.0]
+
+
+def test_gapfill_multiple_keys_independent_spines(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(2), 3.0), (2, _ts(5), 8.0)],
+        "k long, ts timestamp, v double")
+    out = resample_gapfill(df, "ts", "v", 3600, "k")
+    per_key = {r["k"]: r["n"] for r in
+               out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {1: 3, 2: 1}  # key 2's spine is its own single bucket
+
+
+def test_ewma_matches_explicit_recurrence(spark):
+    vals = [10.0, 20.0, 5.0, 80.0, 3.25, 40.5]
+    df = spark.createDataFrame(
+        [(1, _ts(i), v, i) for i, v in enumerate(vals)],
+        "k long, ts timestamp, v double, i long")
+    out = {r.rn: r.ewma for r in
+           ewma(df, "k", "ts", "v", alpha=0.25, order_tiebreak="i",
+                round_digits=10).collect()}
+    s = vals[0]
+    expect = {1: round(s, 10)}
+    for i, x in enumerate(vals[1:], start=2):
+        s = 0.75 * s + 0.25 * x
+        expect[i] = round(s, 10)
+    assert out == expect
+
+
+def test_ewma_partition_invariance(spark):
+    # same result whether the input arrives in 1 or 8 partitions
+    rows = [(k, _ts(i % 23, i % 60), float((k * 31 + i * 7) % 100), i)
+            for k in range(5) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, i long")
+    a = sorted(map(tuple, ewma(df.coalesce(1), "k", "ts", "v", 0.25, "i").collect()))
+    b = sorted(map(tuple, ewma(df.repartition(8), "k", "ts", "v", 0.25, "i").collect()))
+    assert a == b
+
+
+def test_trip_segments_split_on_gap(spark):
+    # key 1: three points, 2nd->3rd gap exceeds threshold -> 2 trips
+    df = spark.createDataFrame(
+        [(1, _ts(0), 0.0, 0.0, 1), (1, _ts(1), 1.0, 0.0, 2),
+         (1, _ts(9), 2.0, 0.0, 3)],
+        "k long, ts timestamp, lon double, lat double, i long")
+    out = trip_segments(df, "k", "ts", "lon", "lat",
+                        gap_seconds=2 * 3600, order_tiebreak="i")
+    trips = {r.trip_no: r for r in out.collect()}
+    assert set(trips) == {1, 2}
+    assert trips[1].n_points == 2 and trips[2].n_points == 1
+    # 1 degree of longitude at the equator ~ 111.19 km
+    assert abs(trips[1].distance_m - 111195) < 200
+    assert trips[2].distance_m == 0
+
+
+def test_trip_duration_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(7, _ts(3), 0.0, 0.0, 1), (7, _ts(4), 0.0, 0.0, 2)],
+        "k long, ts timestamp, lon double, lat double, i long")
+    r = trip_segments(df, "k", "ts", "lon", "lat", 7200, "i").collect()[0]
+    assert r.duration_sec == 3600
+    assert r.end_sec - r.start_sec == 3600
+    assert r.distance_m == 0
+
+
+def test_psi_identical_distributions_zero(spark):
+    df = spark.createDataFrame([(float(i % 50),) for i in range(500)], "v double")
+    out = population_stability(df, df, "v", 0.0, 50.0, 5)
+    assert all(r.term_micro == 0 for r in out.collect())
+    assert out.count() == 5
+
+
+def test_psi_detects_shift(spark):
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    b = spark.createDataFrame([(float(i % 10) + 40,) for i in range(100)], "v double")
+    out = population_stability(a, b, "v", 0.0, 50.0, 5)
+    total = sum(r.term_micro for r in out.collect()) / 1e6
+    assert total > 1.0  # disjoint supports -> large PSI
+
+
+def test_psi_clamps_out_of_range(spark):
+    a = spark.createDataFrame([(-5.0,), (100.0,)], "v double")
+    out = population_stability(a, a, "v", 0.0, 50.0, 5)
+    bins = sorted(r.bin for r in out.collect())
+    assert bins == [0, 4]  # clamped to edge bins, no rows lost
