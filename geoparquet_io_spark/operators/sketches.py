@@ -67,3 +67,86 @@ def hll_distinct_check(df: DataFrame, group_column: str, value_column: str,
         F.col("n_exact"),
         (err <= F.lit(rel_tol)).alias("est_ok"),
     )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def _cms_bucket(value, row: int, width: int):
+    """md5-derived bucket for hash row ``row`` — bit-identical in DuckDB:
+    CAST(concat('0x', substr(md5(concat('cms<row>:', CAST(v AS VARCHAR))),
+    1, 8)) AS BIGINT) % width.  The 8-hex-char value is < 2^32 so plain
+    ``%`` and ``pmod`` agree."""
+    v = F.coalesce(value.cast("string"), F.lit("\x00__null__"))
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), v))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                  F.lit(width))
+
+
+def count_min_sketch(df: DataFrame, value_column: str,
+                     depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build a count-min sketch as a (hash_row, bucket, cnt) table.
+
+    Scale shape: each input row explodes into ``depth`` probes, then ONE
+    groupBy(hash_row, bucket) with map-side combine — partials collapse
+    to at most depth*width rows per task regardless of input size, so
+    the shuffle is O(depth*width*tasks), not O(rows).  The sketch itself
+    is at most depth*width rows (a few KB) and is mergeable by summing
+    counts bucket-wise — the same persist-then-merge pattern as the HLL
+    rollup above.
+    """
+    col = F.col(value_column)
+    probes = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("hash_row"),
+                 _cms_bucket(col, i, width).alias("bucket"))
+        for i in range(depth)
+    ])).alias("p")
+    return (df.select(probes)
+            .select(F.col("p.hash_row").alias("hash_row"),
+                    F.col("p.bucket").alias("bucket"))
+            .groupBy("hash_row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, items: DataFrame, item_column: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate counts for ``items`` from a CMS table: each item
+    probes its ``depth`` buckets (equi-join against the tiny sketch —
+    AQE broadcasts it) and takes the min.  Estimates are never below the
+    true count; overestimates only on all-``depth`` collisions."""
+    col = F.col(item_column)
+    probes = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("hash_row"),
+                 _cms_bucket(col, i, width).alias("bucket"))
+        for i in range(depth)
+    ])).alias("p")
+    probed = (items.select(col.alias(item_column), probes)
+              .select(item_column, "p.hash_row", "p.bucket"))
+    j = probed.join(F.broadcast(cms), ["hash_row", "bucket"], "left")
+    return (j.groupBy(item_column)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_estimate")))
+
+
+def heavy_hitters(df: DataFrame, column: str, min_fraction: float,
+                  depth: int = 4, width: int = 1024) -> DataFrame:
+    """Items occurring in at least ``min_fraction`` of rows, with exact
+    count AND the count-min estimate side by side (est >= exact always;
+    the query's oracle checks both).
+
+    The exact pass is one groupBy; the CMS pass demonstrates the
+    bounded-memory path a 100 TB stream would use (the sketch table
+    replaces the full key histogram)."""
+    import math
+
+    total = df.count()
+    # ceil: "at least min_fraction of rows" — truncation would admit
+    # items strictly below the fraction
+    threshold = int(math.ceil(total * min_fraction))
+    exact = (df.groupBy(F.col(column))
+             .agg(F.count("*").alias("n_exact"))
+             .filter(F.col("n_exact") >= threshold))
+    cms = count_min_sketch(df, column, depth, width)
+    est = cms_estimate(cms, exact.select(column), column, depth, width)
+    return (exact.join(est, column)
+            .select(column, "n_exact", "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("n_exact")).alias("est_sound")))

@@ -430,3 +430,37 @@ def cohort_retention(df: DataFrame, user_column: str, ts_column: str,
     return (j.withColumn("period_index", idx)
             .groupBy(F.col("__cohort").alias("cohort"), "period_index")
             .agg(F.countDistinct("__u").alias("n_users")))
+
+
+def mad_outliers(df: DataFrame, group_column: str, value_column: str,
+                 k: float = 3.5, round_digits: int = 6) -> DataFrame:
+    """Robust per-group outliers by median absolute deviation: flag rows
+    with |x - median| > k * (MAD * 1.4826) — the modified-z-score rule
+    (Iglewicz & Hoaglin), immune to the outliers inflating the spread
+    the way stddev-based ``grouped_outliers`` is.
+
+    Scale shape: two exact-percentile aggregates (one for the median,
+    one for the MAD of deviations) + two joins back on the group key —
+    both join sides are one-row-per-group and AQE-broadcastable.  The
+    median/MAD are rounded BEFORE the comparison so both engines compare
+    identical operands."""
+    med = df.groupBy(group_column).agg(
+        F.round(F.expr(f"percentile({value_column}, 0.5)"),
+                round_digits).alias("med"))
+    j = df.join(med, group_column)
+    dev = F.abs(F.col(value_column) - F.col("med"))
+    mad = j.groupBy(group_column).agg(
+        F.round(F.expr(
+            f"percentile(abs({value_column} - med), 0.5)"),
+            round_digits).alias("mad"))
+    j2 = j.join(mad, group_column)
+    return (j2.filter(F.abs(F.col(value_column) - F.col("med"))
+                      > F.lit(k) * (F.col("mad") * F.lit(1.4826)))
+            .withColumn("robust_z",
+                        # MAD=0 (constant group + one deviant): the row
+                        # still flags (|dev| > 0) but the score is
+                        # undefined — NULL, not a div-by-zero error
+                        F.when(F.col("mad") > 0,
+                               F.round(F.abs(F.col(value_column) - F.col("med"))
+                                       / (F.col("mad") * F.lit(1.4826)),
+                                       round_digits))))

@@ -312,3 +312,107 @@ def q_window_user_events(spark, sf_dir):
         F.lag("vmicro").over(w).alias("prev_vmicro"),
         F.sum("vmicro").over(wf).alias("rolling3_vmicro"),
     )
+
+
+@register(
+    "stats_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT e.event_type, e.event_id, e.value, med
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, ROUND(quantile_cont(ABS(value - med), 0.5), 6) AS mad
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, event_id, value, med, mad,
+           CASE WHEN mad > 0
+                THEN ROUND(ABS(value - med) / (mad * 1.4826), 6)
+           END AS robust_z
+    FROM j JOIN mad USING (event_type)
+    WHERE ABS(value - med) > 3.5 * (mad * 1.4826)
+    """,
+)
+def q_outliers_mad(spark, sf_dir):
+    """Modified-z-score outliers per event type
+    (operators/stats.py:mad_outliers).  Median/MAD via the exact
+    percentile aggregate == DuckDB quantile_cont, rounded before the
+    comparison so both engines test identical operands."""
+    from geoparquet_io_spark.operators.stats import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value")
+    return mad_outliers(ev, "event_type", "value", k=3.5)
+
+
+@register(
+    "stats_heavy_hitters",
+    """
+    WITH exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+      HAVING COUNT(*) >= CAST(CEIL((SELECT COUNT(*) FROM events) * 0.008) AS BIGINT)
+    ), probes AS (
+      SELECT e.user_id, h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(e.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM events e, (SELECT UNNEST([0, 1, 2, 3]) AS i) h
+    ), cms AS (
+      SELECT hash_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY 1, 2
+    ), item_probes AS (
+      SELECT x.user_id, h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(x.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM exact x, (SELECT UNNEST([0, 1, 2, 3]) AS i) h
+    ), est AS (
+      SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+      FROM item_probes p LEFT JOIN cms c USING (hash_row, bucket)
+      GROUP BY 1
+    )
+    SELECT exact.user_id, n_exact, cms_estimate,
+           (cms_estimate >= n_exact) AS est_sound
+    FROM exact JOIN est USING (user_id)
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Frequent-item detection with a count-min sketch cross-checked
+    against the exact histogram (operators/sketches.py:heavy_hitters).
+    The oracle mirrors the md5 bucket math bit-for-bit, so even hash
+    collisions agree across engines."""
+    from geoparquet_io_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_fraction=0.008,
+                         depth=4, width=1024)
+
+
+@register(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark, sf_dir):
+    """CUBE grouping sets (all 2^k subtotal combinations) with GROUPING
+    flags — one shuffle, Spark expands the grouping sets internally."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+                 F.sum("cents").alias("cents"),
+                 F.count("*").alias("n_orders"))
+            .select("o_orderstatus", "o_orderpriority", "g_status",
+                    "g_priority", "cents", "n_orders"))
