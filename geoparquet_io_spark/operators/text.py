@@ -774,3 +774,71 @@ def perplexity_buckets(df: DataFrame, id_column: str = "doc_id",
             "bucket", F.concat(F.lit("b"), F.col("bucket_no").cast("string")))
     return out.select(id_column, "n_tokens", "avg_logprob", "bucket_no",
                       "bucket")
+
+
+def bigram_logprob(df: DataFrame, id_column: str = "doc_id",
+                   text_column: str = "text",
+                   lambda_bigram: float = 0.75,
+                   round_digits: int = 6) -> DataFrame:
+    """Interpolated bigram-LM document scoring: mean per-transition
+    log P(w_i | w_{i-1}) where
+    P = lambda * MLE_bigram + (1 - lambda) * MLE_unigram
+    (Jelinek-Mercer interpolation — the classic smoothing that stays
+    exactly SQL-expressible; pick an exact binary lambda so both engines
+    compute identical doubles).
+
+    Scale shape: ONE map-only pass builds (doc, w1, w2) transition rows
+    from each doc's token array (no positional self-join); bigram and
+    unigram count tables aggregate with map-side combine; two equi-joins
+    back (count tables are vocab-sized — AQE-broadcastable).  Per-pair
+    log-probs quantize to integer micro-nats before the per-doc sum, so
+    results are order-independent and engine-exact (same device as
+    ``unigram_logprob``)."""
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
+    toks = df.select(F.col(id_column).alias("doc"),
+                     tokens(F.lower(F.col(text_column))).alias("a"))
+    # filter BEFORE transform: sequence(1, 0) would generate a
+    # DESCENDING [1, 0] for sub-2-token docs, not an empty list
+    pairs = toks.filter(F.size("a") >= 2).select(
+        "doc",
+        F.explode(F.expr(
+            "transform(sequence(1, size(a) - 1), "
+            "i -> struct(element_at(a, i) as w1, element_at(a, i + 1) as w2))"
+        )).alias("p")
+    ).select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    # unigram denominator: total transitions (so the two MLEs share a
+    # consistent event space: next-word distribution)
+    nexts = pairs.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("c2"))
+    total = pairs.count()
+    if total == 0:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField(id_column, df.schema[id_column].dataType),
+            T.StructField("n_transitions", T.LongType()),
+            T.StructField("avg_logprob", T.DoubleType()),
+        ])
+        return df.sparkSession.createDataFrame([], schema)
+    lam = float(lambda_bigram)
+    p = (F.lit(lam) * (F.col("c12") / F.col("c1"))
+         + F.lit(1.0 - lam) * (F.col("c2") / F.lit(float(total))))
+    # per-DISTINCT-bigram log-prob table (vocab-bounded), then one join
+    # against the per-doc transition frequencies — the corpus-sized side
+    # joins once, not three times
+    lp = (big.join(uni, "w1")
+          .join(nexts.withColumnRenamed("w", "w2"), "w2")
+          .select("w1", "w2", F.round(F.log(p) * 1e6, 0).cast("long")
+                  .alias("lp_micro")))
+    tf = pairs.groupBy("doc", "w1", "w2").agg(F.count("*").alias("tf"))
+    scored = tf.join(lp, ["w1", "w2"])
+    return (scored.groupBy("doc")
+            .agg(F.sum("tf").alias("n_transitions"),
+                 F.sum(F.col("tf") * F.col("lp_micro")).alias("micro_sum"))
+            .select(F.col("doc").alias(id_column),
+                    F.col("n_transitions").cast("long").alias("n_transitions"),
+                    F.round(F.col("micro_sum") / F.col("n_transitions") / 1e6,
+                            round_digits).alias("avg_logprob")))
