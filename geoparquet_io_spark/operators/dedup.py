@@ -129,8 +129,9 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
 
     One signature computation (explode+agg), then ONE self-join on the
     exploded (band_index, band_hash) key — short uniform hashes, no skew.
-    The small banded table is persisted so the self-join's two sides don't
-    recompute the signature pipeline."""
+    The small banded table is localCheckpoint'ed so the self-join's two
+    sides don't recompute the signature pipeline (RDD-level storage the
+    ContextCleaner auto-releases on GC — no leaked cache entry)."""
     rows = num_hashes // bands
     sigs = minhash_signatures_agg(df.select(F.col(id_column), F.col(text_column)),
                                   id_column, text_column, num_hashes, k)
@@ -141,7 +142,7 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
     ])
     exploded = sigs.select(
         F.col("id"), F.posexplode(band_arr).alias("band", "bh")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

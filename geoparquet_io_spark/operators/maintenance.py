@@ -219,7 +219,9 @@ def snapshot_history(path: str) -> list[dict]:
 
 def commit_snapshot(spark: SparkSession, path: str,
                     files: list[str] | None = None,
-                    note: str = "") -> dict:
+                    note: str = "",
+                    epoch_id: int | None = None,
+                    reuse: dict | None = None) -> dict:
     """Commit an immutable snapshot VERSION of a dataset — the
     Iceberg/Delta time-travel idea over plain parquet: a snapshot is a
     JSON membership list (relative path, rows, bytes per file) under
@@ -233,9 +235,24 @@ def commit_snapshot(spark: SparkSession, path: str,
 
     Scale shape: footer row counts come from the distributed
     ``build_manifest`` sweep (executor-side); only file NAMES and the
-    tiny manifest rows touch the driver.  The snapshot JSON is written
-    atomically (tmp + rename) so concurrent readers never see a torn
-    commit.
+    tiny manifest rows touch the driver.  The snapshot JSON is
+    published via ``os.link`` from a private tmp file — atomic for
+    readers (never a torn file) AND exclusive for writers: two
+    concurrent committers racing to the same version number cannot
+    clobber each other; the loser's link fails and it retries with the
+    next version (optimistic-concurrency, the Iceberg commit model).
+
+    ``epoch_id``: pass a stream's micro-batch epoch for exactly-once
+    commits under foreachBatch replay — a retried epoch finds an
+    existing snapshot recording the same ``epoch_id`` and returns it
+    unchanged instead of committing a duplicate version.
+
+    ``reuse``: a prior snapshot record (e.g. the stream's previous
+    version).  Members whose size AND mtime match that record's entry
+    reuse its row count instead of re-opening the footer — the
+    incremental-commit path: per-batch cost is O(new files), not
+    O(total files) (an append-only stream otherwise degrades to O(N^2)
+    footer reads over its life).
     """
     import json
     import time
@@ -245,47 +262,81 @@ def commit_snapshot(spark: SparkSession, path: str,
     missing = [f for f in members if not os.path.isfile(f)]
     if missing:
         raise FileNotFoundError(f"snapshot members missing: {missing[:3]}")
-    mf = build_manifest(spark, path) if files is None else None
+    if epoch_id is not None:
+        for h in snapshot_history(path):
+            if h.get("epoch_id") == epoch_id:
+                return h
+    reused = {}
+    if reuse:
+        for r in reuse.get("files", []):
+            if "mtime_ns" in r:
+                reused[os.path.join(path, r["file"])] = r
+    mf = build_manifest(spark, path) if files is None and not reused else None
     if mf is not None:
         stats = {r["file"]: (r["n_rows"], r["n_bytes"])
                  for r in mf.select("file", "n_rows", "n_bytes").collect()}
+        mtimes = {f: os.stat(f).st_mtime_ns for f in members}
     else:
         import pyarrow.parquet as pq
 
-        stats = {f: (pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f))
-                 for f in members}
-    hist = snapshot_history(path)
-    version = (hist[-1]["version"] + 1) if hist else 1
+        stats, mtimes = {}, {}
+        for f in members:
+            st = os.stat(f)
+            mtimes[f] = st.st_mtime_ns
+            r = reused.get(f)
+            if r and st.st_size == r["n_bytes"] \
+                    and st.st_mtime_ns == r["mtime_ns"]:
+                stats[f] = (r["n_rows"], r["n_bytes"])
+            else:
+                stats[f] = (pq.ParquetFile(f).metadata.num_rows, st.st_size)
     rel = [{"file": os.path.relpath(f, path),
-            "n_rows": int(stats[f][0]), "n_bytes": int(stats[f][1])}
+            "n_rows": int(stats[f][0]), "n_bytes": int(stats[f][1]),
+            "mtime_ns": mtimes[f]}
            for f in members]
-    rec = {
-        "version": version,
-        "note": note,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
-        "n_files": len(rel),
-        "n_rows": sum(r["n_rows"] for r in rel),
-        "n_bytes": sum(r["n_bytes"] for r in rel),
-        "files": rel,
-    }
     os.makedirs(_snapshot_dir(path), exist_ok=True)
-    target = _snapshot_file(path, version)
-    if os.path.exists(target):
-        raise FileExistsError(f"snapshot v{version} already exists")
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(rec, fh, indent=1)
-    os.replace(tmp, target)
-    return rec
+    for _attempt in range(64):
+        hist = snapshot_history(path)
+        if epoch_id is not None:
+            for h in hist:
+                if h.get("epoch_id") == epoch_id:
+                    return h
+        version = (hist[-1]["version"] + 1) if hist else 1
+        rec = {
+            "version": version,
+            "note": note,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "n_files": len(rel),
+            "n_rows": sum(r["n_rows"] for r in rel),
+            "n_bytes": sum(r["n_bytes"] for r in rel),
+            "files": rel,
+        }
+        if epoch_id is not None:
+            rec["epoch_id"] = epoch_id
+        target = _snapshot_file(path, version)
+        tmp = f"{target}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        try:
+            os.link(tmp, target)  # atomic publish + exclusive create
+            return rec
+        except FileExistsError:
+            continue  # lost the race — re-read history, next version
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"commit_snapshot: could not allocate a version under {path!r} "
+        f"after 64 attempts (pathological commit contention)")
 
 
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None):
     """Time-travel read: a GeoTable over exactly the files of snapshot
     ``version`` (default: latest).  Verifies each member still exists
-    with its recorded size — a silently-overwritten file is a HARD error
-    (the snapshot contract is immutability; vacuumed files fail loudly
-    rather than returning partial data)."""
+    with its recorded size AND mtime (snapshots committed before
+    mtime recording skip the mtime check) — a silently-overwritten
+    file, even a same-size overwrite, is a HARD error (the snapshot
+    contract is immutability; vacuumed files fail loudly rather than
+    returning partial data)."""
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.sources.geoparquet import read_footer_geo
 
@@ -305,11 +356,15 @@ def read_snapshot(spark: SparkSession, path: str,
         if not os.path.isfile(f):
             raise FileNotFoundError(
                 f"snapshot v{version} member missing (vacuumed?): {f}")
-        actual = os.path.getsize(f)
-        if actual != r["n_bytes"]:
+        st = os.stat(f)
+        if st.st_size != r["n_bytes"]:
             raise RuntimeError(
                 f"snapshot v{version} member changed on disk: {f} "
-                f"({actual} bytes, recorded {r['n_bytes']})")
+                f"({st.st_size} bytes, recorded {r['n_bytes']})")
+        if "mtime_ns" in r and st.st_mtime_ns != r["mtime_ns"]:
+            raise RuntimeError(
+                f"snapshot v{version} member rewritten on disk "
+                f"(same size, different mtime): {f}")
         members.append(f)
     # geo metadata from the members' own footers (driver-side, no job,
     # per-file bboxes unioned); members may live in nested rewrite dirs

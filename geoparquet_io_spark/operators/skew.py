@@ -38,7 +38,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.rand(seed=42) * 1e9), F.lit(salt))
+        "__salt", (F.rand(seed=42) * salt).cast("int")
     )
     out = big_salted.join(small_rep, [key, "__salt"], how)
     return out.drop("__salt")

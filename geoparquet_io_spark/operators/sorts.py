@@ -110,7 +110,8 @@ def sample_rows(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
 
 
 def global_rank(df: DataFrame, order_by: list, rank_column: str = "rank",
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None,
+                cache: bool = True) -> DataFrame:
     """Exact 1-based global rank over a TOTAL order without a
     single-partition window (the classic distributed-ranking recipe;
     an un-partitioned ``row_number()`` window funnels the whole table
@@ -129,8 +130,18 @@ def global_rank(df: DataFrame, order_by: list, rank_column: str = "rank",
 
     ``order_by`` must be a deterministic total order (caller supplies the
     tiebreak columns) or ranks are nondeterministic across retries.
-    The input is persisted (two passes: counts + final); caller may
-    unpersist via the returned plan's lineage when done.
+
+    Caching: the sorted frame is needed twice (counts pass + final).
+    With ``cache=True`` (default) it is materialized via
+    ``localCheckpoint(eager=True)`` — RDD-level storage the
+    ContextCleaner releases automatically when the plan is garbage
+    collected, so no permanent CacheManager entry leaks across a
+    long-running session (a plain ``persist`` would pin blocks until an
+    explicit ``unpersist`` the caller has no handle for).  With
+    ``cache=False`` the sort runs twice; both passes are deterministic
+    for deterministic input (range boundaries are sampled with fixed
+    per-partition seeds), which is the right trade when the sorted
+    table is too big to be worth storing (the 100 TB case).
     """
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32")
@@ -138,7 +149,8 @@ def global_rank(df: DataFrame, order_by: list, rank_column: str = "rank",
            .sortWithinPartitions(*order_by)
            .withColumn("__gr_pid", F.spark_partition_id())
            .withColumn("__gr_mid", F.monotonically_increasing_id()))
-    d = d.persist()
+    if cache:
+        d = d.localCheckpoint(eager=True)
     counts = sorted(
         (r["__gr_pid"], r["cnt"])
         for r in d.groupBy("__gr_pid").agg(F.count("*").alias("cnt")).collect()

@@ -368,13 +368,16 @@ def grouped_outliers(df: DataFrame, group_column: str, value_column: str,
     staple): each row gets its group's population z-score and a flag
     for ``|z| > z_threshold``.  Two passes expressed as one aggregate +
     one equi-join (both on the group key, map-side combined; AQE
-    broadcasts the tiny stats side) — no windows, so group size never
-    hits a single task.  Zero-variance groups flag nothing."""
+    broadcasts the stats side when it is small — no forced hint, so a
+    high-cardinality group column can't OOM the driver) — no windows,
+    so group size never hits a single task.  Zero-variance groups flag
+    nothing.  The join is NULL-SAFE (``<=>``): rows whose group key is
+    NULL form their own group and are flagged against that group's
+    stats rather than silently dropped."""
     stats_df = (df.groupBy(F.col(group_column).alias("__g"))
                 .agg(F.avg(value_column).alias("__mean"),
                      F.stddev_pop(value_column).alias("__sd")))
-    j = df.join(F.broadcast(stats_df),
-                F.col(group_column) == F.col("__g"))
+    j = df.join(stats_df, F.col(group_column).eqNullSafe(F.col("__g")), "left")
     zscore = F.when(F.col("__sd") > 0,
                     (F.col(value_column) - F.col("__mean")) / F.col("__sd"))
     return (j.withColumn("z_score", F.round(zscore, round_digits))

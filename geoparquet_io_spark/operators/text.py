@@ -755,7 +755,9 @@ def perplexity_buckets(df: DataFrame, id_column: str = "doc_id",
     """
     from geoparquet_io_spark.operators.sorts import global_rank
 
-    scored = unigram_logprob(df, id_column, text_column).persist()
+    # localCheckpoint (not persist): blocks auto-release when the plan
+    # is GC'd — no CacheManager entry leaks across a long session
+    scored = unigram_logprob(df, id_column, text_column).localCheckpoint()
     n = scored.count()
     ranked = global_rank(
         scored,

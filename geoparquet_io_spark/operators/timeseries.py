@@ -62,7 +62,8 @@ def resample(df: DataFrame, ts_column: str, value_column: str,
 def resample_gapfill(df: DataFrame, ts_column: str, value_column: str,
                      every_seconds: int, key_column: str,
                      interpolate: bool = True,
-                     round_digits: int = 6) -> DataFrame:
+                     round_digits: int = 6,
+                     max_buckets_per_key: int = 2_000_000) -> DataFrame:
     """Resample to fixed buckets, then fill EMPTY buckets along each
     key's own [min, max] bucket range; linear interpolation between the
     neighbouring observed buckets (edges stay at the nearest observed
@@ -73,14 +74,33 @@ def resample_gapfill(df: DataFrame, ts_column: str, value_column: str,
 
     The spine comes from each key's min/max bucket (one tiny aggregate +
     ``sequence`` explode) — proportional to the filled output, not to
-    keys × global calendar."""
+    keys × global calendar.
+
+    Spine guard (100 TB posture): ONE sparse key spanning a long range
+    at a fine bucket (two points a year apart at 1-second buckets =
+    31.5M spine rows for that key; Spark's ``sequence`` hard-errors
+    past 2^31 elements) would blow up a single task.  The per-key
+    bucket count is computed in the same min/max aggregate and any key
+    exceeding ``max_buckets_per_key`` raises a loud executor-side error
+    naming the key — no extra driver action, no silent truncation."""
     agg = resample(df, ts_column, value_column, every_seconds,
                    key_column, round_digits).select(
         key_column, "bucket_sec", "avg_value")
+    n_buckets = ((F.col("hi") - F.col("lo")) / every_seconds + 1).cast("long")
+    guard = F.when(
+        n_buckets > max_buckets_per_key,
+        F.raise_error(F.concat(
+            F.lit("resample_gapfill: key "),
+            F.col(key_column).cast("string"),
+            F.lit(" needs "), n_buckets.cast("string"),
+            F.lit(f" spine buckets > max_buckets_per_key="
+                  f"{max_buckets_per_key}; coarsen every_seconds, filter "
+                  f"the key, or raise max_buckets_per_key explicitly"))),
+    ).otherwise(F.col("lo"))
     spine = (agg.groupBy(key_column)
                 .agg(F.min("bucket_sec").alias("lo"), F.max("bucket_sec").alias("hi"))
                 .select(key_column,
-                        F.explode(F.sequence(F.col("lo"), F.col("hi"),
+                        F.explode(F.sequence(guard, F.col("hi"),
                                              F.lit(every_seconds))).alias("bucket_sec")))
     joined = spine.join(agg, [key_column, "bucket_sec"], "left")
     if not interpolate:

@@ -116,14 +116,30 @@ def write_geoparquet_stream(
         if snapshot:
             # every micro-batch lands as a committed, time-travelable
             # version: readers pin a snapshot and never see a half-written
-            # epoch; the snapshot history is the ingest audit trail
-            # (operators/maintenance.py commit_snapshot)
+            # epoch; the snapshot history is the ingest audit trail.
+            # Exactly-once: epoch_id= makes a replayed epoch a no-op
+            # (returns the already-committed version) instead of a
+            # duplicate; members = prior snapshot + this epoch's files,
+            # with prior footer stats REUSED (reuse=) so per-batch cost
+            # is O(this epoch), not O(all files ever) — the stream stays
+            # incremental over its life.
+            import os as _os
+
             from geoparquet_io_spark.operators.maintenance import (
+                _list_parquet_files,
                 commit_snapshot,
+                snapshot_history,
             )
 
+            hist = snapshot_history(path)
+            prior = hist[-1] if hist else None
+            epoch_files = _list_parquet_files(f"{path}/epoch={epoch_id}")
+            prior_files = ([_os.path.join(path, r["file"])
+                            for r in prior["files"]] if prior else [])
             commit_snapshot(batch_df.sparkSession, path,
-                            note=f"epoch={epoch_id}")
+                            files=sorted(set(prior_files) | set(epoch_files)),
+                            note=f"epoch={epoch_id}",
+                            epoch_id=int(epoch_id), reuse=prior)
         batch_no["n"] += 1
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

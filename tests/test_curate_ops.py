@@ -286,3 +286,19 @@ def test_cohort_retention_hand_computed(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 2): 1,
     }
+
+
+def test_grouped_outliers_keeps_null_group_rows(spark):
+    """NULL group keys must not be dropped (null-safe join): they form
+    their own group and get flagged against that group's stats."""
+    from geoparquet_io_spark.operators.stats import grouped_outliers
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 1.0), (None, 1.0), (None, 100.0),
+         ("a", 5.0), ("a", 5.1)],
+        "g string, v double")
+    out = grouped_outliers(df, "g", "v", z=1.0).collect()
+    assert len(out) == 6  # every input row survives
+    nulls = [r for r in out if r.g is None]
+    assert len(nulls) == 4
+    assert sum(r.is_outlier for r in nulls) >= 1  # 100.0 flagged

@@ -139,3 +139,76 @@ def test_streaming_ingest_commits_snapshots(spark, tmp_path):
     assert len(hist2) == len(hist1) + 1
     assert read_snapshot(spark, out, hist1[-1]["version"]).df.count() == n1
     assert read_snapshot(spark, out).df.count() == gt.df.count()
+
+
+def test_commit_snapshot_epoch_replay_is_idempotent(spark, tmp_path):
+    """A retried foreachBatch epoch (same epoch_id) must NOT commit a
+    duplicate version — exactly-once for the streaming snapshot sink."""
+    p = str(tmp_path / "ds")
+    spark.range(10).write.parquet(p)
+    r1 = commit_snapshot(spark, p, epoch_id=0, note="epoch=0")
+    r2 = commit_snapshot(spark, p, epoch_id=0, note="epoch=0")
+    assert r2["version"] == r1["version"]
+    assert len(snapshot_history(p)) == 1
+    r3 = commit_snapshot(spark, p, epoch_id=1, note="epoch=1")
+    assert r3["version"] == r1["version"] + 1
+
+
+def test_commit_snapshot_version_race_loser_retries(spark, tmp_path):
+    """If another committer lands the version first (simulated by
+    pre-creating the target file), os.link fails and the commit retries
+    with the next version instead of clobbering."""
+    import json
+
+    p = str(tmp_path / "ds")
+    spark.range(5).write.parquet(p)
+    first = commit_snapshot(spark, p, note="v1")
+    # simulate a racing committer that already owns v2
+    racer = dict(first, version=2, note="racer")
+    d = os.path.join(p, "_snapshots")
+    with open(os.path.join(d, "v000002.json"), "w") as fh:
+        json.dump(racer, fh)
+    rec = commit_snapshot(spark, p, note="loser retries")
+    assert rec["version"] == 3
+    hist = snapshot_history(p)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[1]["note"] == "racer"  # never clobbered
+
+
+def test_read_snapshot_detects_same_size_overwrite(spark, tmp_path):
+    """Immutability check must catch a SAME-SIZE rewrite (mtime check),
+    not just a size change."""
+    import glob
+
+    import pytest
+
+    p = str(tmp_path / "ds")
+    spark.range(100).write.parquet(p)
+    commit_snapshot(spark, p)
+    f = glob.glob(os.path.join(p, "*.parquet"))[0]
+    data = open(f, "rb").read()
+    with open(f, "wb") as fh:  # same bytes, same size — new mtime
+        fh.write(data)
+    os.utime(f, ns=(os.stat(f).st_atime_ns, os.stat(f).st_mtime_ns + 10**9))
+    with pytest.raises(RuntimeError, match="rewritten"):
+        read_snapshot(spark, p)
+
+
+def test_commit_snapshot_reuse_skips_footer_reads(spark, tmp_path):
+    """Incremental commit: files matching the prior record's size+mtime
+    reuse its stats; totals still correct after an append."""
+    from geoparquet_io_spark.operators.maintenance import \
+        _list_parquet_files
+
+    p = str(tmp_path / "ds")
+    spark.range(50).repartition(2).write.parquet(p)
+    v1 = commit_snapshot(spark, p)
+    spark.range(50, 70).repartition(1).write.mode("append").parquet(p)
+    v2 = commit_snapshot(spark, p, files=_list_parquet_files(p), reuse=v1)
+    assert v2["n_rows"] == 70
+    assert v2["n_files"] == v1["n_files"] + 1
+    # the reused members carry identical stats records
+    old = {r["file"]: r for r in v1["files"]}
+    for r in v2["files"]:
+        if r["file"] in old:
+            assert r == old[r["file"]]

@@ -123,3 +123,22 @@ def test_psi_clamps_out_of_range(spark):
     out = population_stability(a, a, "v", 0.0, 50.0, 5)
     bins = sorted(r.bin for r in out.collect())
     assert bins == [0, 4]  # clamped to edge bins, no rows lost
+
+
+def test_gapfill_spine_guard_raises_on_sparse_wide_key(spark):
+    # one key with 2 points a year apart at 1-second buckets would need
+    # ~31.5M spine rows; the guard must fail LOUDLY, naming the key
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(7, dt.datetime(2023, 1, 1), 1.0),
+         (7, dt.datetime(2024, 1, 1), 2.0)],
+        "k long, ts timestamp, v double")
+    guarded = resample_gapfill(df, "ts", "v", 1, "k",
+                               max_buckets_per_key=1_000_000)
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        guarded.collect()
+    # raising the cap (explicit opt-in) or coarsening the bucket works
+    ok = resample_gapfill(df, "ts", "v", 86400, "k").count()
+    assert ok == 366
