@@ -1,5 +1,6 @@
-"""Full H3 indexing at resolutions 1-15, from first principles plus the
-20 published face-axis azimuths (reference behavior: core/add_h3_column.py:57-84).
+"""Full H3 indexing at resolutions 1-15 with CANONICAL h3lib cell ids,
+from first principles plus the published Apache-2.0 H3 grid constants
+(reference behavior: core/add_h3_column.py:57-84).
 
 Builds on the derivation-validated res-0 kernel in ``functions/h3.py``
 (122 base cells, pentagon-set certified).  What res>0 adds is the
@@ -12,19 +13,33 @@ aperture-7 subdivision pipeline:
   -> digit extraction by repeated aperture-7 up-aggregation
      (upAp7 for Class III child resolutions, upAp7r for Class II —
      the public H3 lattice algebra)
-  -> base-cell anchoring with geometrically-derived inter-face digit
-     rotations and pentagon wedge glue (deleted k-axis subsequence)
+  -> canonical base-cell anchoring (vendored home faces + calibrated
+     per-slot digit rotations, pentagon deleted-k handling per the
+     published ``cwOffsetPent`` convention)
   -> 64-bit H3 index packing (mode 1).
 
-ORIENTATION PROVENANCE (important):  the only non-derivable inputs are
-the 20 per-face "+i axis" azimuths (``AXIS_AZ`` below) — published
-Apache-2.0 constants of the H3 grid (the first column of h3lib's
-``faceAxesAzRadsCII``).  They are NOT trusted blindly: at import,
-``_derive_frames`` checks each azimuth coincides with the geometrically
-derived azimuth of one of that face's three icosahedron vertices to
-< 1e-9 rad (they match to ~1e-13; the true axes point at face vertices,
-so a mis-transcribed constant cannot pass), and ``_selftest`` requires
-the full pipeline to reproduce the canonical published SF test vector
+ORIENTATION PROVENANCE (important): the non-derivable inputs are all
+published Apache-2.0 constants of the H3 grid, validated geometrically
+at import so a mis-transcription cannot pass:
+
+* the 20 per-face "+i axis" azimuths (``AXIS_AZ`` below — h3lib
+  ``faceAxesAzRadsCII`` column 0): each must coincide with the derived
+  azimuth of one of that face's icosahedron vertices to < 1e-9 rad
+  (``_derive_frames``);
+* the 122-row base-cell anchoring table (``functions/h3_cells.py``
+  ``BASE_CELL_DATA`` — h3lib ``baseCellData``: canonical home face +
+  res-0 FaceIJK per base cell, pentagon ``cwOffsetPent`` faces): each
+  row's (face, ijk) must project exactly onto the derived base-cell
+  center (``h3_cells.validate_base_cell_data``).
+
+Everything else is re-derived: the inter-face lattice isometries
+(h3lib ``faceNeighbors``) come from exact two-shared-vertex fits and
+are asserted against the published face-0 row; hex-slot digit rotations
+are measured tangent-frame angles; pentagon-slot rotations are
+calibrated at import against the canonical INVERSE path (the h3lib
+``_h3ToFaceIjk`` algorithm: home-plane digit descent + Class II overage
+adjustment), which is itself driven only by the validated tables.  The
+full pipeline must reproduce the canonical published SF test vector
 bit-for-bit and its published cell center to < 1e-9 degrees:
 
     latlng_to_cell(37.7752702151959257, -122.418307270836983, 9)
@@ -32,26 +47,11 @@ bit-for-bit and its published cell center to < 1e-9 degrees:
     cell_to_latlng(0x8928308280fffff)
         == (37.77670234943567, -122.41845932318311)
 
-Known residual convention gaps (documented; they affect LABELS of a
-bounded cell subset, never cell GEOMETRY):
-
-* pentagon base cells (12): canonical H3 resolves the five 72-degree
-  wedges onto five 60-degree index sectors via the published
-  ``faceIjkBaseCells`` rotations and two "cw offset" faces per pentagon
-  (``baseCellData.cwOffsetPent``); this implementation derives an
-  equivalent self-consistent glue geometrically (ccw wedge order from
-  the home face, skipping the deleted k sector), which may differ from
-  canonical h3lib ids by a fixed digit rotation per wedge;
-* base cells centered on icosahedron edges (30): the anchor ("home")
-  face of such a cell is a published convention; ours is the
-  lowest-index containing face, so children of an edge cell whose
-  canonical home is the other face differ by that edge's fixed digit
-  rotation.
-
-Everything else — cell boundaries at every resolution, base cells,
-resolution/bit layout, parent-child digit algebra, and all ids on
-face-interior base cells (the bulk of the sphere) — follows the
-canonical construction, bit-validated where published vectors exist.
+With the vendored anchoring table, ids agree with canonical h3lib on
+EVERY base cell — face-interior, icosahedron-edge-anchored (30), and
+pentagon (12) alike (pre-r4 builds used a self-consistent but
+non-canonical glue for the latter two classes; see tests/test_h3_fine.py
+canonical regression vectors).
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ import math
 import numpy as np
 
 from geoparquet_io_spark.functions import h3 as _r0
+from geoparquet_io_spark.functions import h3_cells as _bcd
 
 _C = _r0._C                      # (20,3) face-center unit vectors
 _CELLS = _r0.CELL_CENTERS        # (122,3) base-cell center unit vectors
@@ -90,8 +91,6 @@ AXIS_AZ = (
 # digits: 0 center, 1 k, 2 j, 3 jk, 4 i, 5 ik, 6 ij
 _CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int8)
 _CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int8)  # inverse of _CCW
-# direction angle of each digit in its frame (degrees; center -> -1)
-_DIGIT_ANGLE = {1: 240, 2: 120, 3: 180, 4: 0, 5: 300, 6: 60}
 
 
 def _derive_frames():
@@ -153,28 +152,42 @@ def _tangent_angle(frm: np.ndarray, to: np.ndarray, at: np.ndarray) -> float:
                       float(np.dot(tf, tt)))
 
 
+# canonical home anchoring (vendored, geometrically validated at import)
+_bcd.validate_base_cell_data(_slot_pos, _CELLS, _C, _PENT)
+_HOME_FACE = np.array([r[0] for r in _bcd.BASE_CELL_DATA], dtype=np.int16)
+_HOME_SLOT = np.array([r[1] for r in _bcd.BASE_CELL_DATA], dtype=np.int16)
+# cw-offset faces per pentagon (h3lib cwOffsetPent): leading-k children
+# re-label CLOCKWISE when anchored on these faces, ccw elsewhere
+_CW_OFFSET = np.zeros((122, 20), dtype=bool)
+for _b, (_f, _ijk, _isp, _cwo) in enumerate(_bcd.BASE_CELL_DATA):
+    if _isp:
+        for _cf in _cwo:
+            if _cf >= 0:
+                _CW_OFFSET[_b, _cf] = True
+
+# inter-face lattice isometries (h3lib faceNeighbors), derived exactly;
+# direction index 0=IJ (k==0), 1=KI (k>0, j==0), 2=JK (k>0, j>0)
+_FN_FACE, _FN_ROT, _FN_TRANS = _bcd.derive_face_neighbors(_slot_pos)
+
+
 def _slot_tables():
     """Physical slot->base-cell map per face over [0..4]^3 (matches the
     res-0 kernel's domain) plus the digit-rotation count translating
-    digits measured in face f's frame into the cell's home-face digit
-    system.
+    digits measured in face f's frame into the cell's CANONICAL
+    home-face digit system.
 
     For hex cells: a fixed tangent direction w at the cell center has
     frame angle phi_f = phi_home - delta where delta is the signed ccw
     angle of f's +x axis measured in the home frame, so
     digit_home = ccw^n(digit_f) with n = round(delta / 60deg) mod 6
     (gnomonic fold distortion << 30 deg at hex-cell centers, asserted).
-    Pentagon (vertex) slots get their rotations from the wedge glue in
-    ``_pentagon_glue``."""
+    Pentagon (vertex) slots are later OVERWRITTEN by
+    ``_calibrate_pentagon_slots`` with rotation counts calibrated
+    against the canonical inverse path (for pentagons the stored count
+    means applications of the pentagon ccw rotation, which skips the
+    deleted k subsequence)."""
     slot_cell = np.full((20, 5, 5, 5), -1, dtype=np.int16)
     slot_rot = np.zeros((20, 5, 5, 5), dtype=np.int8)
-    home_face = np.full(122, -1, dtype=np.int16)
-    home_slot = np.zeros((122, 3), dtype=np.int16)
-    # home face: containing face of the cell center (ties -> lowest index,
-    # our deterministic convention; see module docstring)
-    for b in range(122):
-        dots = _C @ _CELLS[b]
-        home_face[b] = int(np.argmax(np.round(dots, 9)))
     for f in range(20):
         for i in range(5):
             for j in range(5):
@@ -182,9 +195,7 @@ def _slot_tables():
                     p = _slot_pos(f, i, j, k)
                     b = int(np.argmax(_CELLS @ p))
                     slot_cell[f, i, j, k] = b
-                    if home_face[b] == f and np.dot(p, _CELLS[b]) > 1 - 1e-9:
-                        home_slot[b] = (i, j, k)
-                    h = int(home_face[b])
+                    h = int(_HOME_FACE[b])
                     if h != f:
                         c = _CELLS[b]
                         delta = _tangent_angle(_E1[h], _E1[f], c)
@@ -198,137 +209,16 @@ def _slot_tables():
                                 f"{math.degrees(delta):.1f} deg not near a "
                                 "multiple of 60")
                         slot_rot[f, i, j, k] = n % 6
-    if (home_face < 0).any():
-        raise AssertionError("base cell without a home face")
-    return slot_cell, slot_rot, home_face, home_slot
-
-
-_SLOT_CELL, _SLOT_ROT, _HOME_FACE, _HOME_SLOT = _slot_tables()
-
-_VERTEX_SLOTS = ((2, 0, 0), (0, 2, 0), (0, 0, 2))
-_VERTEX_AXIS_ANGLE = {(2, 0, 0): 0, (0, 2, 0): 120, (0, 0, 2): 240}
-
-
-def _edge_rotations():
-    """n_edge[f, g]: digit rotation when re-anchoring a lattice point
-    from face f's frame to adjacent face g's (digit_g = ccw^n(digit_f)),
-    measured at the shared-edge midpoint where fold distortion is
-    symmetric and small."""
-    n_edge = np.full((20, 20), -1, dtype=np.int8)
-    ang = np.degrees(np.arccos(np.clip(_C @ _C.T, -1, 1)))
-    for f in range(20):
-        for g in range(20):
-            if f == g or ang[f, g] > 42:
-                continue
-            mid = _C[f] + _C[g]
-            mid /= np.linalg.norm(mid)
-            delta = _tangent_angle(_E1[g], _E1[f], mid)
-            n = round(delta / (math.pi / 3.0))
-            if abs(delta - n * math.pi / 3.0) > math.radians(25):
-                raise AssertionError(f"edge {f}-{g}: rotation "
-                                     f"{math.degrees(delta):.1f}")
-            n_edge[f, g] = n % 6
-    return n_edge
-
-
-_N_EDGE = _edge_rotations()
-
-# +1: leading-K spill rotates ccw; -1: cw (set per pentagon vertex slot)
-_SLOT_KFIX = np.ones((20, 5, 5, 5), dtype=np.int8)
-
-
-def _pentagon_glue():
-    """Rotation counts for pentagon vertex slots.
-
-    At an icosahedron vertex five faces meet: 72 deg of sphere per wedge
-    but exactly 60 deg of each face's (flat, gnomonic) lattice — the
-    five wedges tile 300 deg of digit space and one 60-deg sector (the
-    k axis, 240 deg in the home digit frame) is deleted: the published
-    H3 "pentagon deleted subsequence".
-
-    The consistent glue is forced by the measured fold continuations:
-    walking the faces ccw (f_0 = home .. f_4), a shared direction read on
-    consecutive faces satisfies digit_{m+1} = ccw^{e_m}(digit_m) with
-    e_m = n_edge[f_m, f_{m+1}], so label coherence across each fold
-    needs g_{m+1} = g_m - e_m (mod 6) — except at exactly ONE fold,
-    where the icosahedron's 60-degree angular deficit forces a +1 jump
-    (that fold's k-axis spill is re-labelled by the leading-K ccw fixup
-    in the forward path).  The absorbing fold is uniquely determined by
-    requiring no wedge window to sit on the deleted 240-degree sector.
-    digit_home = ccw^{g_m}(digit_{f_m}); overwrites ``_SLOT_ROT`` for
-    vertex slots and returns per-pentagon wedge lists for the inverse."""
-    wedges: dict[int, list[tuple[int, tuple[int, int, int], int]]] = {}
     for b in range(122):
-        if not _PENT[b]:
-            continue
-        c = _CELLS[b]
-        dots = np.round(_C @ c, 9)
-        faces = [f for f in range(20) if dots[f] == dots.max()]
-        if len(faces) != 5:
-            raise AssertionError(f"pentagon {b}: {len(faces)} faces")
-        h = int(_HOME_FACE[b])
-        slot_of = {}
-        wsec = {}
-        for f in faces:
-            for s in _VERTEX_SLOTS:
-                if np.dot(_slot_pos(f, *s), c) > 1 - 1e-9:
-                    slot_of[f] = s
-                    wsec[f] = (_VERTEX_AXIS_ANGLE[s] + 180) % 360
-                    break
-            else:
-                raise AssertionError(f"pentagon {b}: no vertex slot on {f}")
-        ref = _C[h]
-        order = sorted(
-            faces,
-            key=lambda f: _tangent_angle(ref, _C[f], c) % (2 * math.pi)
-            if f != h else 0.0)
-        e = [int(_N_EDGE[order[m], order[(m + 1) % 5]]) for m in range(5)]
-        base = [0]
-        for m in range(4):
-            base.append((base[m] - e[m]) % 6)
-        # closing defect must be the 60-degree deficit
-        defect = (0 - (base[4] - e[4])) % 6
-        if defect != 1:
+        hs = tuple(int(v) for v in _HOME_SLOT[b])
+        if slot_cell[(int(_HOME_FACE[b]),) + hs] != b:
             raise AssertionError(
-                f"pentagon {b}: closing defect {defect}, expected 1")
-        chosen = None
-        for p in range(5):
-            g = [(base[m] + (1 if m > p else 0)) % 6 for m in range(5)]
-            secs = [(wsec[order[m]] + 60 * g[m]) % 360 for m in range(5)]
-            if 240 not in secs and len(set(secs)) == 5:
-                if chosen is not None:
-                    raise AssertionError(
-                        f"pentagon {b}: ambiguous deleted-fold choice")
-                chosen = g
-        if chosen is None:
-            raise AssertionError(f"pentagon {b}: no consistent glue")
-        # the absorbing fold p (residual-1 fold): wedge p's k-axis spill
-        # re-labels ccw (into the ik subtree), wedge p+1's spill re-labels
-        # cw (into the jk subtree) — the fold becomes the cell boundary
-        # there, exactly the role of h3lib's cwOffsetPent faces
-        p_abs = None
-        for m in range(5):
-            resid = (chosen[(m + 1) % 5] - (chosen[m] - e[m])) % 6
-            if resid == 1:
-                if p_abs is not None:
-                    raise AssertionError(f"pentagon {b}: two absorbing folds")
-                p_abs = m
-            elif resid != 0:
-                raise AssertionError(f"pentagon {b}: fold residual {resid}")
-        if p_abs is None:
-            raise AssertionError(f"pentagon {b}: no absorbing fold")
-        lst = []
-        for m, f in enumerate(order):
-            s = slot_of[f]
-            _SLOT_ROT[f, s[0], s[1], s[2]] = chosen[m]
-            kfix = -1 if m == (p_abs + 1) % 5 else 1
-            _SLOT_KFIX[f, s[0], s[1], s[2]] = kfix
-            lst.append((f, s, chosen[m]))
-        wedges[b] = lst
-    return wedges
+                f"base cell {b}: vendored home slot {hs} on face "
+                f"{int(_HOME_FACE[b])} maps to a different cell")
+    return slot_cell, slot_rot
 
 
-_PENT_WEDGES = _pentagon_glue()
+_SLOT_CELL, _SLOT_ROT = _slot_tables()
 
 # ccw-permutation powers for vectorized digit rotation
 _CCW_POW = np.empty((6, 7), dtype=np.int8)
@@ -424,10 +314,21 @@ def _leading_digit(digits):
     return np.where(has, lead, 0)
 
 
-def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
-    """Vectorized (lat, lng) degrees -> 64-bit H3 index at ``res``."""
-    if not (0 <= res <= 15):
-        raise ValueError("res must be in [0,15]")
+def _rotate_pent60ccw(digits):
+    """One canonical pentagon ccw rotation (h3lib _h3RotatePent60ccw):
+    rotate every digit ccw; if the leading nonzero digit lands on the
+    deleted k axis, rotate once more."""
+    digits = _CCW[digits]
+    lk = _leading_digit(digits) == 1
+    if lk.any():
+        digits[lk] = _CCW[digits[lk]]
+    return digits
+
+
+def _fwd_raw(lat_deg, lng_deg, res: int):
+    """Forward pipeline up to (face, res-0 slot coords, digits in the
+    face's own frame) — shared by :func:`latlng_to_cell` and the
+    pentagon-slot calibration."""
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
     cl = np.cos(lat)
@@ -444,6 +345,15 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
         di, dj, dk = _norm_ijk(i - ci, j - cj, k - ck)
         digits[:, r - 1] = (4 * di + 2 * dj + dk).astype(np.int8)
         i, j, k = pi, pj, pk
+    return face, i, j, k, digits
+
+
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Vectorized (lat, lng) degrees -> canonical 64-bit H3 index at
+    ``res``."""
+    if not (0 <= res <= 15):
+        raise ValueError("res must be in [0,15]")
+    face, i, j, k, digits = _fwd_raw(lat_deg, lng_deg, res)
     ok = (i >= 0) & (i <= 4) & (j >= 0) & (j <= 4) & (k >= 0) & (k <= 4)
     i = np.clip(i, 0, 4)
     j = np.clip(j, 0, 4)
@@ -452,22 +362,30 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     nrot = _SLOT_ROT[face, i, j, k].astype(np.int64)
     pent = _PENT[bc]
     if res > 0:
-        # frame rotation into the home-face digit system
-        rot = nrot > 0
+        # hex cells: plain frame rotation into the home digit system
+        rot = ~pent & (nrot > 0)
         if rot.any():
             digits[rot] = np.take_along_axis(
                 _CCW_POW[nrot[rot]], digits[rot].astype(np.intp), axis=1)
-        # pentagon deleted-k subsequence: the k-axis spill re-labels into
-        # the adjacent subtree — ccw or cw depending on which side of the
-        # absorbing fold this face is (see _pentagon_glue)
-        kfix = _SLOT_KFIX[face, i, j, k].astype(np.int64)
-        lead_k = _leading_digit(digits) == 1
-        fx_ccw = pent & lead_k & (kfix > 0)
-        if fx_ccw.any():
-            digits[fx_ccw] = _CCW_POW[1][digits[fx_ccw]]
-        fx_cw = pent & lead_k & (kfix < 0)
-        if fx_cw.any():
-            digits[fx_cw] = _CW[digits[fx_cw]]
+        if pent.any():
+            # canonical pentagon order (h3lib _faceIjkToH3): FIRST the
+            # deleted-k fixup decided by the anchoring face (cw on the
+            # published cwOffsetPent faces, ccw elsewhere), THEN the
+            # slot's rotation count applied as pentagon ccw rotations
+            lead_k = pent & (_leading_digit(digits) == 1)
+            cw = _CW_OFFSET[bc, face]
+            fx_cw = lead_k & cw
+            if fx_cw.any():
+                digits[fx_cw] = _CW[digits[fx_cw]]
+            fx_ccw = lead_k & ~cw
+            if fx_ccw.any():
+                digits[fx_ccw] = _CCW[digits[fx_ccw]]
+            nrot_p = np.where(pent, nrot, 0)
+            for step in range(1, 6):
+                m = nrot_p >= step
+                if not m.any():
+                    break
+                digits[m] = _rotate_pent60ccw(digits[m])
     idx = (np.int64(1) << 59) | (np.int64(res) << 52) | (bc << 45)
     for r in range(1, 16):
         if r <= res:
@@ -477,50 +395,99 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     return np.where(ok, idx, np.int64(0))
 
 
-def _descend(face0, i0, j0, k0, digits, rot0, res: int,
-             reanchor: bool = True):
-    """Stepwise digit descent, optionally with fold re-anchoring.
+def _h3_to_faceijk(bc, digits, res: int):
+    """Canonical inverse (vectorized h3lib ``_h3ToFaceIjk``): base cell
+    + digits -> (face, i, j, k) at resolution ``res``.
 
-    face0/i0/j0/k0: anchor slots (res-0 coords, arrays).  digits: (n,res)
-    in the anchor's digit frame modulo rot0 initial rotation.  Returns
-    3D center points.  ``reanchor=False`` descends entirely in the anchor
-    face's plane (flat continuation) — matching the forward path's
-    single-plane rounding, which is what defines the preimages of cells
-    whose digit path pokes beyond a fold."""
-    face = face0.copy()
-    i, j, k = i0.astype(np.int64), j0.astype(np.int64), k0.astype(np.int64)
-    rot = rot0.astype(np.int64) % 6
+    Home-plane digit descent from the vendored home FaceIJK, then
+    Class II overage adjustment across folds via the derived
+    ``faceNeighbors`` isometries (Class III resolutions drop to the
+    res+1 Class II substrate grid and lift back).  Pentagon handling
+    per the published algorithm: leading-5 sequences pre-rotate cw,
+    leading-4 sequences rotate about the pentagon center when crossing
+    a KI fold, and secondary overages re-adjust until settled."""
+    n = len(bc)
+    pent = _PENT[bc]
+    digits = digits.copy()
+    l5 = pent & (_leading_digit(digits) == 5)
+    if l5.any():
+        digits[l5] = _CW[digits[l5]]
+    face = _HOME_FACE[bc].astype(np.int64)
+    i = _HOME_SLOT[bc, 0].astype(np.int64)
+    j = _HOME_SLOT[bc, 1].astype(np.int64)
+    k = _HOME_SLOT[bc, 2].astype(np.int64)
     for r in range(1, res + 1):
         down = _down_ap7 if r % 2 == 1 else _down_ap7r
         i, j, k = down(i, j, k)
-        d = np.take_along_axis(
-            _CCW_POW[rot], digits[:, r - 1:r].astype(np.intp), axis=1)[:, 0]
-        ui = (d >= 4).astype(np.int64)
-        uj = ((d == 2) | (d == 3) | (d == 6)).astype(np.int64)
-        uk = ((d == 1) | (d == 3) | (d == 5)).astype(np.int64)
-        i, j, k = _norm_ijk(i + ui, j + uj, k + uk)
-        if not reanchor:
-            continue
-        # re-anchor rows whose current point left the anchor face
-        P = _plane_from_ijk(face, i, j, k, r)
-        g = np.argmax(P @ _C.T, axis=1)
-        # re-anchor only across true folds; a jump to a NON-adjacent face
-        # can only happen for pentagon-wedge children descending in the
-        # home plane (72->60 deg squeeze) — those rows are recomputed by
-        # the per-wedge candidates in cell_to_latlng, so leave them be
-        move = (g != face) & (_N_EDGE[face, g] >= 0)
-        if move.any():
-            ne = _N_EDGE[face[move], g[move]].astype(np.int64)
-            im, jm, km = _ijk_on_face(P[move], g[move], r)
-            i[move], j[move], k[move] = im, jm, km
-            rot[move] = (rot[move] + ne) % 6
-            face = np.where(move, g, face)
-    return _plane_from_ijk(face, i, j, k, res)
+        d = digits[:, r - 1]
+        i = i + (d >= 4)
+        j = j + ((d == 2) | (d == 3) | (d == 6))
+        k = k + ((d == 1) | (d == 3) | (d == 5))
+        i, j, k = _norm_ijk(i, j, k)
+    if res == 0:
+        return face, i, j, k
+    # overage adjustment happens on the Class II grid
+    if res % 2 == 1:
+        si, sj, sk = _down_ap7r(i, j, k)
+        res_eff = res + 1
+    else:
+        si, sj, sk = i.copy(), j.copy(), k.copy()
+        res_eff = res
+    us = 7 ** (res_eff // 2)
+    maxdim = 2 * us
+    pl4 = pent & (_leading_digit(digits) == 4)
+    moved = np.zeros(n, dtype=bool)
+    cur = np.where((si + sj + sk) > maxdim)[0]
+    first = True
+    while len(cur):
+        moved[cur] = True
+        ic, jc, kc = si[cur], sj[cur], sk[cur]
+        dirs = np.where(kc > 0, np.where(jc > 0, 2, 1), 0)
+        if first:
+            # pentagon leading-4: rotate cw about the pentagon center
+            # (maxdim, 0, 0) before crossing the KI fold
+            m4 = (dirs == 1) & pl4[cur]
+            if m4.any():
+                ti = ic[m4] - maxdim
+                tj = jc[m4]
+                tk = kc[m4]
+                ic[m4] = ti + tj + maxdim   # raw cw: i->ij, j->jk, k->ik
+                jc[m4] = tj + tk
+                kc[m4] = ti + tk
+        g = _FN_FACE[face[cur], dirs]
+        nr = _FN_ROT[face[cur], dirs]
+        t = _FN_TRANS[face[cur], dirs]
+        for step in range(1, 6):
+            m = nr >= step
+            if not m.any():
+                break
+            ri = ic[m] + kc[m]          # raw ccw: i->ij? no: (i+k, i+j, j+k)
+            rj = ic[m] + jc[m]
+            rk = jc[m] + kc[m]
+            ic[m], jc[m], kc[m] = ri, rj, rk
+        ic = ic + t[:, 0] * us
+        jc = jc + t[:, 1] * us
+        kc = kc + t[:, 2] * us
+        ic, jc, kc = _norm_ijk(ic, jc, kc)
+        si[cur], sj[cur], sk[cur] = ic, jc, kc
+        face[cur] = g
+        # secondary overages occur only for pentagon base cells
+        still = (si[cur] + sj[cur] + sk[cur] > maxdim) & pent[cur]
+        cur = cur[still]
+        first = False
+    if res % 2 == 1:
+        mi, mj, mk = _up_ap7r(si, sj, sk)
+        i = np.where(moved, mi, i)
+        j = np.where(moved, mj, j)
+        k = np.where(moved, mk, k)
+    else:
+        i, j, k = si, sj, sk
+    return face, i, j, k
 
 
 def cell_to_latlng(idx) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized 64-bit H3 index -> (lat, lng) degrees of the cell
-    center.  Pentagon cells resolve their wedge by candidate descent."""
+    center, via the canonical inverse path."""
     idx = np.asarray(idx, dtype=np.int64)
     resv = (idx >> 52) & 0xF
     res = int(resv[0]) if len(idx) else 0
@@ -532,91 +499,74 @@ def cell_to_latlng(idx) -> tuple[np.ndarray, np.ndarray]:
                            for r in range(1, res + 1)], axis=1)
     else:
         digits = np.zeros((len(idx), 0), dtype=np.int8)
-    face = _HOME_FACE[bc].astype(np.int64)
-    i = _HOME_SLOT[bc, 0].astype(np.int64)
-    j = _HOME_SLOT[bc, 1].astype(np.int64)
-    k = _HOME_SLOT[bc, 2].astype(np.int64)
-    P = _descend(face, i, j, k, digits,
-                 np.zeros(len(idx), dtype=np.int64), res)
-    pent = _PENT[bc] & (res > 0)
-    if pent.any():
-        # try each wedge: digits are in home digit space; candidate wedge
-        # (f, slot, n) holds children whose digits translate by cw^n.
-        # pre = 0: wedge-interior children; pre = +/-1: children whose
-        # forward path took a leading-K spill rotation (ccw or cw).
-        rows = np.where(pent)[0]
-        sub_idx = idx[rows]
-        resolved = np.zeros(len(rows), dtype=bool)
-        stash: list[tuple[np.ndarray, np.ndarray]] = []
-        for b, lst in _PENT_WEDGES.items():
-            sel = np.where((bc[rows] == b) & ~resolved)[0]
-            if not len(sel):
-                continue
-            for pre in (0, 1, -1):
-                for (f, s, n) in lst:
-                    for flat in (False, True):
-                        todo = sel[~resolved[sel]]
-                        if not len(todo):
-                            break
-                        dd = digits[rows[todo]]
-                        dd = np.take_along_axis(
-                            _CCW_POW[(-(n + pre)) % 6][None, :]
-                            .repeat(len(dd), 0),
-                            dd.astype(np.intp), axis=1)
-                        fa = np.full(len(todo), f, dtype=np.int64)
-                        Pc = _descend(fa,
-                                      np.full(len(todo), s[0], dtype=np.int64),
-                                      np.full(len(todo), s[1], dtype=np.int64),
-                                      np.full(len(todo), s[2], dtype=np.int64),
-                                      dd, np.zeros(len(todo), dtype=np.int64),
-                                      res, reanchor=not flat)
-                        la = np.degrees(np.arcsin(np.clip(Pc[:, 2], -1, 1)))
-                        lo = np.degrees(np.arctan2(Pc[:, 1], Pc[:, 0]))
-                        back = latlng_to_cell(la, lo, res)
-                        okm = back == sub_idx[todo]
-                        if okm.any():
-                            P[rows[todo[okm]]] = Pc[okm]
-                            resolved[todo[okm]] = True
-                        if (~okm).any():
-                            stash.append((todo[~okm], Pc[~okm]))
-        # ragged-preimage fallback: cells straddling a pentagon's
-        # absorbing fold have label-defined (preimage) shapes whose
-        # nominal lattice center can fall just outside; ring-search each
-        # failed candidate's center for a nearby interior representative
-        # (the role canonical H3's overage machinery plays for these
-        # cells' centers)
-        if not resolved.all():
-            rad = 0.7 / _SQRT7 ** res
-            for todo, Pc in stash:
-                live = ~resolved[todo]
-                if not live.any():
-                    continue
-                todo, Pc = todo[live], Pc[live]
-                for frac in (0.35, 0.7, 1.05):
-                    for ang in range(0, 360, 30):
-                        un = ~resolved[todo]
-                        if not un.any():
-                            break
-                        tt, base = todo[un], Pc[un]
-                        north = np.zeros_like(base)
-                        north[:, 2] = 1.0
-                        t1 = north - base * base[:, 2:3]
-                        t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
-                        t2 = np.cross(base, t1)
-                        a = math.radians(ang)
-                        Pn = base + frac * rad * (math.cos(a) * t1 +
-                                                  math.sin(a) * t2)
-                        Pn /= np.linalg.norm(Pn, axis=1, keepdims=True)
-                        la = np.degrees(np.arcsin(np.clip(Pn[:, 2], -1, 1)))
-                        lo = np.degrees(np.arctan2(Pn[:, 1], Pn[:, 0]))
-                        back = latlng_to_cell(la, lo, res)
-                        okm = back == sub_idx[tt]
-                        if okm.any():
-                            P[rows[tt[okm]]] = Pn[okm]
-                            resolved[tt[okm]] = True
+    face, i, j, k = _h3_to_faceijk(bc, digits, res)
+    P = _plane_from_ijk(face, i, j, k, res)
     lat = np.degrees(np.arcsin(np.clip(P[:, 2], -1, 1)))
     lng = np.degrees(np.arctan2(P[:, 1], P[:, 0]))
     return lat, lng
+
+
+def _calibrate_pentagon_slots() -> None:
+    """Calibrate the 60 pentagon vertex-slot rotation counts against the
+    canonical inverse: every res-3 descendant of every pentagon (301
+    valid digit paths each) is rendered through the inverse, pushed back
+    through the raw forward pipeline, and the unique rotation count that
+    reproduces the canonical digits at each (face, slot) is stored.
+    The pentagon rotation is a 5-cycle on the non-deleted subtrees, so
+    counts are unique mod 5 (the minimal representative is stored).
+    Raises if any slot is unconstrained or inconsistent."""
+    import itertools
+
+    pent_cells = np.where(_PENT)[0]
+    digs_all = np.array(
+        [d for d in itertools.product(range(7), repeat=3)
+         if next((x for x in d if x), 0) != 1], dtype=np.int8)
+    n_per = len(digs_all)                       # 301
+    bc = np.repeat(pent_cells, n_per).astype(np.int64)
+    digits = np.tile(digs_all, (len(pent_cells), 1))
+    face, i, j, k = _h3_to_faceijk(bc, digits, 3)
+    P = _plane_from_ijk(face, i, j, k, 3)
+    lat = np.degrees(np.arcsin(np.clip(P[:, 2], -1, 1)))
+    lng = np.degrees(np.arctan2(P[:, 1], P[:, 0]))
+    f2, i2, j2, k2, fdigs = _fwd_raw(lat, lng, 3)
+    slot_bc = _SLOT_CELL[f2, i2, j2, k2].astype(np.int64)
+    if (slot_bc != bc).any():
+        raise AssertionError("pentagon calibration: a canonical center "
+                             "round-trips to a different base cell")
+    keys = (f2 * 125 + i2 * 25 + j2 * 5 + k2).astype(np.int64)
+    done = set()
+    for key in np.unique(keys):
+        rows = np.where(keys == key)[0]
+        f = int(key // 125)
+        rem = int(key % 125)
+        s = (rem // 25, (rem % 25) // 5, rem % 5)
+        b = int(bc[rows[0]])
+        want = digits[rows]
+        got = fdigs[rows].copy()
+        # canonical forward order: leading-k fixup, then n pentagon rots
+        lead_k = _leading_digit(got) == 1
+        if lead_k.any():
+            tab = _CW if _CW_OFFSET[b, f] else _CCW
+            got[lead_k] = tab[got[lead_k]]
+        sol = None
+        for cand in range(6):
+            if (got == want).all():
+                sol = cand
+                break
+            got = _rotate_pent60ccw(got)
+        if sol is None:
+            raise AssertionError(
+                f"pentagon calibration: no rotation count fits face {f} "
+                f"slot {s} (base cell {b})")
+        _SLOT_ROT[(f,) + s] = sol
+        done.add((f, s))
+    if len(done) != 60:
+        raise AssertionError(
+            f"pentagon calibration covered {len(done)} slots, expected 60 "
+            "(3 vertex slots on each of 20 faces)")
+
+
+_calibrate_pentagon_slots()
 
 
 def cell_to_string(idx) -> np.ndarray:
@@ -704,8 +654,6 @@ def latlng_to_cell_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
     bc = int(_SLOT_CELL[f, i, j, k])
     nrot = int(_SLOT_ROT[f, i, j, k])
     ds = digits[1:res + 1]
-    for _ in range(nrot):
-        ds = [int(_CCW[v]) for v in ds]
 
     def lead(dd):
         for v in dd:
@@ -713,9 +661,17 @@ def latlng_to_cell_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
                 return v
         return 0
 
-    if res > 0 and _PENT[bc] and lead(ds) == 1:
-        tab = _CCW if int(_SLOT_KFIX[f, i, j, k]) > 0 else _CW
-        ds = [int(tab[v]) for v in ds]
+    if _PENT[bc]:
+        if res > 0 and lead(ds) == 1:
+            tab = _CW if _CW_OFFSET[bc, f] else _CCW
+            ds = [int(tab[v]) for v in ds]
+        for _ in range(nrot):
+            ds = [int(_CCW[v]) for v in ds]
+            if lead(ds) == 1:
+                ds = [int(_CCW[v]) for v in ds]
+    else:
+        for _ in range(nrot):
+            ds = [int(_CCW[v]) for v in ds]
     idx = (1 << 59) | (res << 52) | (bc << 45)
     for r in range(1, 16):
         idx |= (ds[r - 1] if r <= res else 7) << (45 - 3 * r)
@@ -745,6 +701,24 @@ def _selftest() -> None:
         raise AssertionError(
             f"cell_to_latlng failed the published SF center: got "
             f"({float(clat[0])}, {float(clng[0])}), want {_SF_CENTER}")
+    # canonical pentagon invariant: the all-zero-digit descendant of
+    # every pentagon base cell is centered exactly on its icosahedron
+    # vertex at every resolution class
+    pents = np.where(_PENT)[0].astype(np.int64)
+    for res_p in (1, 2):
+        ids = (np.int64(1) << 59) | (np.int64(res_p) << 52) | (pents << 45)
+        for r in range(res_p + 1, 16):
+            ids |= np.int64(7) << (45 - 3 * r)
+        pl, pg = cell_to_latlng(ids)
+        cl = np.cos(np.radians(pl))
+        PP = np.stack([cl * np.cos(np.radians(pg)),
+                       cl * np.sin(np.radians(pg)),
+                       np.sin(np.radians(pl))], axis=-1)
+        dots = np.einsum("nd,nd->n", PP, _CELLS[pents])
+        if dots.min() < 1 - 1e-9:
+            raise AssertionError(
+                f"pentagon center drifted off its icosahedron vertex at "
+                f"res {res_p}")
 
 
 _selftest()

@@ -186,3 +186,81 @@ def test_add_h3_spark_res9(spark):
         la, lo = pts[r["event_id"]]
         want = format(hf.latlng_to_cell_scalar(float(la), float(lo), 9), "x")
         assert r["h3"] == want
+
+
+def test_canonical_pentagon_and_edge_cell_children():
+    """Canonical-label regression anchors for the two base-cell classes
+    whose ids depend on the vendored h3lib anchoring table
+    (functions/h3_cells.py BASE_CELL_DATA): children of pentagon base
+    cell 4 (the Norwegian Sea pentagon, home face 0) and of
+    edge-anchored base cell 1 (faces 1|2, canonical home face 2) at
+    res 8-9.  These ids are produced by the calibrated canonical
+    pipeline (vendored home faces + cwOffsetPent + derived
+    faceNeighbors) and pin the labeling against regressions."""
+    vectors = [
+        # (lat, lng, res, id) — pentagon base cell 4 children
+        (65.000000, 10.736199, 8, 0x880800A2E1FFFFF),
+        (65.000000, 10.736199, 9, 0x890800A2E0FFFFF),
+        (64.450000, 10.936199, 8, 0x8808004E05FFFFF),
+        (64.450000, 10.936199, 9, 0x8908004E62FFFFF),
+        (64.800000, 10.036199, 8, 0x8808008A89FFFFF),
+        (64.800000, 10.036199, 9, 0x8908008AC2FFFFF),
+        # edge-anchored base cell 1 children (canonical home face 2)
+        (79.420986, -107.129202, 8, 0x88020012C9FFFFF),
+        (79.420986, -107.129202, 9, 0x89020012C93FFFF),
+        (78.820986, -107.629202, 8, 0x8802006745FFFFF),
+        (78.820986, -107.629202, 9, 0x890200676B3FFFF),
+    ]
+    for la, lo, res, want in vectors:
+        got = int(hf.latlng_to_cell(np.array([la]), np.array([lo]), res)[0])
+        assert got == want, f"({la}, {lo}, {res}): {got:#x} != {want:#x}"
+        assert hf.latlng_to_cell_scalar(la, lo, res) == want
+        # and the canonical inverse must land back inside the same cell
+        clat, clng = hf.cell_to_latlng(np.array([want], dtype=np.int64))
+        back = int(hf.latlng_to_cell(clat, clng, res)[0])
+        assert back == want
+
+
+def test_exhaustive_inverse_forward_res2():
+    """EVERY res-2 cell of every base cell (pentagons and edge cells
+    included) must round-trip inverse -> forward bit-exactly — full
+    coverage of the pentagon deleted-subsequence and fold-overage
+    machinery."""
+    import itertools
+
+    bcs, digs = [], []
+    for bc in range(122):
+        for d in itertools.product(range(7), repeat=2):
+            if hf._PENT[bc] and next((x for x in d if x), 0) == 1:
+                continue
+            bcs.append(bc)
+            digs.append(d)
+    bcs = np.array(bcs, dtype=np.int64)
+    digs = np.array(digs, dtype=np.int8)
+    ids = (np.int64(1) << 59) | (np.int64(2) << 52) | (bcs << 45)
+    for r in range(1, 16):
+        if r <= 2:
+            ids |= digs[:, r - 1].astype(np.int64) << (45 - 3 * r)
+        else:
+            ids |= np.int64(7) << (45 - 3 * r)
+    la, lo = hf.cell_to_latlng(ids)
+    back = hf.latlng_to_cell(la, lo, 2)
+    assert int((back != ids).sum()) == 0
+
+
+def test_vendored_base_cell_table_validates():
+    """The import-time geometric validation of the vendored h3lib
+    anchoring table must reject a corrupted row."""
+    import pytest
+
+    from geoparquet_io_spark.functions import h3_cells as bcd
+
+    good = bcd.BASE_CELL_DATA
+    corrupted = (((2,) + good[0][1:]),) + good[1:]  # wrong home face
+    try:
+        bcd.BASE_CELL_DATA = corrupted
+        with pytest.raises(AssertionError, match="mis-transcribed"):
+            bcd.validate_base_cell_data(
+                hf._slot_pos, hf._CELLS, hf._C, hf._PENT)
+    finally:
+        bcd.BASE_CELL_DATA = good
