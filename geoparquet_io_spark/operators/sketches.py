@@ -133,9 +133,11 @@ def heavy_hitters(df: DataFrame, column: str, min_fraction: float,
     count AND the count-min estimate side by side (est >= exact always;
     the query's oracle checks both).
 
-    The exact pass is one groupBy; the CMS pass demonstrates the
-    bounded-memory path a 100 TB stream would use (the sketch table
-    replaces the full key histogram)."""
+    NOTE: this is the self-VERIFYING form — the exact pass pays the full
+    O(cardinality) key histogram the sketch exists to avoid, so it's for
+    validation and bounded-cardinality columns.  The production path for
+    unbounded streams is :func:`heavy_hitters_sketch` below (Misra-Gries
+    candidates + CMS probe, no full-cardinality shuffle)."""
     import math
 
     total = df.count()
@@ -150,3 +152,77 @@ def heavy_hitters(df: DataFrame, column: str, min_fraction: float,
     return (exact.join(est, column)
             .select(column, "n_exact", "cms_estimate",
                     (F.col("cms_estimate") >= F.col("n_exact")).alias("est_sound")))
+
+
+def heavy_hitter_candidates(df: DataFrame, column: str,
+                            min_fraction: float,
+                            capacity: int | None = None) -> DataFrame:
+    """Per-partition Misra-Gries candidate generation: a map-only pass
+    emitting at most ``capacity`` candidate values per partition, with
+    NO shuffle proportional to key cardinality.
+
+    Guarantee (no false negatives): an item with global frequency
+    >= ``min_fraction`` has local frequency >= ``min_fraction`` in at
+    least one partition, and Misra-Gries with capacity
+    ``2*ceil(1/min_fraction)+1`` keeps every item whose local frequency
+    exceeds ``1/capacity`` — so every true heavy hitter survives in some
+    partition's summary.  False positives are expected (the CMS probe
+    filters them).
+
+    State per task is bounded by ``capacity`` counters regardless of
+    input size — the property the exact histogram lacks at 100 TB.
+    Batch counting uses pandas' C ``value_counts``; the Python loop runs
+    over DISTINCT values per Arrow batch, not rows."""
+    import math
+
+    cap = capacity or (2 * int(math.ceil(1.0 / min_fraction)) + 1)
+    field = df.schema[column]
+    schema = f"`{column}` {field.dataType.simpleString()}"
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[column].value_counts(dropna=False).items():
+                if v in counters:
+                    counters[v] += int(c)
+                else:
+                    counters[v] = int(c)
+                    if len(counters) > cap:
+                        dmin = min(counters.values())
+                        counters = {kk: cc - dmin
+                                    for kk, cc in counters.items()
+                                    if cc > dmin}
+        yield pd.DataFrame({column: list(counters.keys())})
+
+    return df.select(column).mapInPandas(gen, schema=schema).distinct()
+
+
+def heavy_hitters_sketch(df: DataFrame, column: str, min_fraction: float,
+                         depth: int = 5, width: int = 4096,
+                         capacity: int | None = None) -> DataFrame:
+    """Sketch-only heavy hitters — NO full-cardinality shuffle anywhere
+    (the form :func:`heavy_hitters` demonstrates but does not have):
+
+    1. candidates: per-partition Misra-Gries top-k (map-only, <=
+       capacity rows per task, tiny distinct),
+    2. counts: count-min sketch probe (shuffle bounded at depth*width
+       rows per task; the sketch is a few KB and broadcast to the
+       probe join),
+    3. filter: CMS estimate >= ceil(total * min_fraction).
+
+    No false negatives (candidate guarantee + CMS never underestimates);
+    false positives only when all ``depth`` hash rows of a sub-threshold
+    candidate collide with heavier keys — width sizes that probability.
+    Returns (column, cms_estimate).
+    """
+    import math
+
+    total = df.count()
+    threshold = int(math.ceil(total * min_fraction))
+    cand = heavy_hitter_candidates(df, column, min_fraction, capacity)
+    cms = count_min_sketch(df, column, depth, width)
+    est = cms_estimate(cms, cand, column, depth, width)
+    return (est.filter(F.col("cms_estimate") >= threshold)
+            .select(column, "cms_estimate"))

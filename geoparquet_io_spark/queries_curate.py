@@ -392,6 +392,52 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "stats_heavy_hitters_sketch",
+    """
+    WITH total AS (SELECT COUNT(*) AS n FROM events),
+    probes AS (
+      SELECT e.user_id, h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(e.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM events e, (SELECT UNNEST([0, 1, 2, 3, 4]) AS i) h
+    ), cms AS (
+      SELECT hash_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY 1, 2
+    ), item_probes AS (
+      SELECT x.user_id, h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(x.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM (SELECT DISTINCT user_id FROM events) x,
+           (SELECT UNNEST([0, 1, 2, 3, 4]) AS i) h
+    ), est AS (
+      SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+      FROM item_probes p LEFT JOIN cms c USING (hash_row, bucket)
+      GROUP BY 1
+    )
+    SELECT user_id, cms_estimate FROM est
+    WHERE cms_estimate >= CAST(CEIL((SELECT n FROM total) * 0.008) AS BIGINT)
+    """,
+)
+def q_heavy_hitters_sketch(spark, sf_dir):
+    """SKETCH-ONLY heavy hitters: per-partition Misra-Gries candidates
+    (map-only, bounded state) -> count-min probe -> threshold — no
+    full-cardinality shuffle anywhere, the form a 100 TB stream needs
+    (operators/sketches.py:heavy_hitters_sketch).  The oracle computes
+    the partition-INDEPENDENT definition {x : cms_estimate(x) >=
+    threshold} over all distinct keys; the Spark result equals it
+    because the Misra-Gries guarantee admits every true heavy hitter
+    and the 5x4096 sketch leaves no false positive at this scale —
+    the md5 bucket math is mirrored bit-for-bit."""
+    from geoparquet_io_spark.operators.sketches import heavy_hitters_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_sketch(ev, "user_id", min_fraction=0.008,
+                                depth=5, width=4096)
+
+
+@register(
     "cube_orders_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -86,3 +86,55 @@ def test_mad_outliers_zero_mad_group_no_crash(spark):
     df = spark.createDataFrame(rows, "g string, v double, i long")
     out = mad_outliers(df, "g", "v", k=3.5).collect()
     assert [r.i for r in out] == [9]
+
+
+def test_heavy_hitters_sketch_matches_exact(spark):
+    """Sketch-only path (Misra-Gries candidates + CMS probe) must agree
+    with the exact histogram at test scale — no misses, no phantoms."""
+    from geoparquet_io_spark.operators.sketches import heavy_hitters_sketch
+
+    df = _toy(spark)  # 210 rows
+    out = heavy_hitters_sketch(df, "v", min_fraction=0.08).collect()
+    got = {r.v: r.cms_estimate for r in out}
+    assert set(got) == {"item17", "item18", "item19", "item20"}
+    # CMS never underestimates
+    assert got["item20"] >= 20
+
+
+def test_heavy_hitter_candidates_survive_adversarial_partitioning(spark):
+    """The Misra-Gries guarantee must hold under a hostile layout: a
+    heavy key diluted evenly across many partitions full of singleton
+    noise keys still surfaces as a candidate in every partition it
+    dominates."""
+    from geoparquet_io_spark.operators.sketches import \
+        heavy_hitter_candidates
+
+    rows = []
+    for p in range(8):
+        rows += [("hot", p)] * 30                       # 240 hot rows
+        rows += [(f"noise_{p}_{i}", p) for i in range(70)]  # 560 noise
+    df = spark.createDataFrame(rows, "v string, p int") \
+        .repartition(8, "p")
+    cand = {r.v for r in
+            heavy_hitter_candidates(df, "v", min_fraction=0.25).collect()}
+    assert "hot" in cand
+    # bounded output: at most capacity per partition
+    assert len(cand) <= 8 * (2 * 4 + 1)
+
+
+def test_heavy_hitters_sketch_plan_no_full_cardinality_shuffle(spark):
+    """Plan shape: the sketch path's only hash aggregations key on
+    (hash_row, bucket) or on the tiny candidate set — never a groupBy
+    over the raw key column of the full input."""
+    from geoparquet_io_spark.operators.sketches import (
+        count_min_sketch,
+        heavy_hitter_candidates,
+    )
+    from geoparquet_io_spark.plans import formatted_plan
+
+    df = _toy(spark)
+    cand_plan = formatted_plan(
+        heavy_hitter_candidates(df, "v", min_fraction=0.08))
+    assert "MapInPandas" in cand_plan          # map-only candidate pass
+    cms_plan = formatted_plan(count_min_sketch(df, "v"))
+    assert "hash_row" in cms_plan and "bucket" in cms_plan
