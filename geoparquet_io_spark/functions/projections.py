@@ -441,8 +441,87 @@ def ps_inverse(x: np.ndarray, y: np.ndarray, c: _PSConsts):
 # EPSG registry (parameters from the public EPSG dataset)
 # ---------------------------------------------------------------------------
 
+# Data-driven table for single-code projected CRSs on WGS84-coincident
+# datums: code -> (family, ellipsoid, kernel params).  Wiring a new code
+# is one row; the kernels are the general families above.  Parameter
+# sanity is property-tested (tests/test_projections_epsg.py): the false
+# origin must map exactly to (FE, FN), TM scale at the central meridian
+# must equal k0, and LCC/Albers scale must be 1 on both standard
+# parallels — a mis-entered row cannot pass.  Datum-shifted codes
+# (OSGB, Swiss, Krovak, BD72) stay procedural below because they
+# compose a Helmert chain.
+EPSG_TABLE: dict[int, tuple] = {
+    # family, ellipsoid, params                      # EPSG name
+    3794: ("tm", GRS80, dict(lat0=0.0, lon0=15.0, k0=0.9999,
+                             fe=500000.0, fn=-5000000.0)),   # D96/TM Slovenia
+    2180: ("tm", GRS80, dict(lat0=0.0, lon0=19.0, k0=0.9993,
+                             fe=500000.0, fn=-5300000.0)),   # ETRS89/Poland CS92
+    3006: ("tm", GRS80, dict(lat0=0.0, lon0=15.0, k0=0.9996,
+                             fe=500000.0, fn=0.0)),          # SWEREF99 TM
+    3067: ("tm", GRS80, dict(lat0=0.0, lon0=27.0, k0=0.9996,
+                             fe=500000.0, fn=0.0)),          # ETRS89/TM35FIN
+    3346: ("tm", GRS80, dict(lat0=0.0, lon0=24.0, k0=0.9998,
+                             fe=500000.0, fn=0.0)),          # LKS94 Lithuania
+    3765: ("tm", GRS80, dict(lat0=0.0, lon0=16.5, k0=0.9999,
+                             fe=500000.0, fn=0.0)),          # HTRS96 Croatia TM
+    2157: ("tm", GRS80, dict(lat0=53.5, lon0=-8.0, k0=0.99982,
+                             fe=600000.0, fn=750000.0)),     # IRENET95/Irish TM
+    2193: ("tm", GRS80, dict(lat0=0.0, lon0=173.0, k0=0.9996,
+                             fe=1600000.0, fn=10000000.0)),  # NZGD2000/NZTM2000
+    3826: ("tm", GRS80, dict(lat0=0.0, lon0=121.0, k0=0.9999,
+                             fe=250000.0, fn=0.0)),          # TWD97/TM2 Taiwan
+    2154: ("lcc", GRS80, dict(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
+                              fe=700000.0, fn=6600000.0)),   # RGF93/Lambert-93
+    32139: ("lcc", GRS80, dict(lat1=27.5, lat2=35.0, lat0=18.0, lon0=-100.0,
+                               fe=1500000.0, fn=5000000.0)),  # Texas Centric LC
+    3978: ("lcc", GRS80, dict(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
+                              fe=0.0, fn=0.0)),              # Canada Atlas Lambert
+    3112: ("lcc", GRS80, dict(lat1=-18.0, lat2=-36.0, lat0=0.0, lon0=134.0,
+                              fe=0.0, fn=0.0)),              # GDA94/GA Lambert
+    3416: ("lcc", GRS80, dict(lat1=49.0, lat2=46.0, lat0=47.5,
+                              lon0=13.0 + 20.0 / 60.0,
+                              fe=400000.0, fn=400000.0)),    # ETRS89/Austria Lambert
+    26985: ("lcc", GRS80, dict(lat1=38.3, lat2=39.45, lat0=37.0 + 40.0 / 60.0,
+                               lon0=-77.0, fe=400000.0, fn=0.0)),  # NAD83/Maryland (m)
+    32118: ("lcc", GRS80, dict(lat1=40.0 + 40.0 / 60.0, lat2=41.0 + 2.0 / 60.0,
+                               lat0=40.0 + 10.0 / 60.0, lon0=-74.0,
+                               fe=300000.0, fn=0.0)),        # NAD83/NY Long Island (m)
+    5070: ("albers", GRS80, dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                                 fe=0.0, fn=0.0)),           # NAD83/Conus Albers
+    3310: ("albers", GRS80, dict(lat1=34.0, lat2=40.5, lat0=0.0, lon0=-120.0,
+                                 fe=0.0, fn=-4000000.0)),    # NAD83/California Albers
+    3086: ("albers", GRS80, dict(lat1=24.0, lat2=31.5, lat0=24.0, lon0=-84.0,
+                                 fe=400000.0, fn=0.0)),      # NAD83/Florida GDL Albers
+    3577: ("albers", GRS80, dict(lat1=-18.0, lat2=-36.0, lat0=0.0, lon0=132.0,
+                                 fe=0.0, fn=0.0)),           # GDA94/Australian Albers
+    3035: ("laea", GRS80, dict(lat0=52.0, lon0=10.0,
+                               fe=4321000.0, fn=3210000.0)),  # ETRS89/LAEA Europe
+    3413: ("ps", WGS84, dict(lat_ts=70.0, lon0=-45.0,
+                             fe=0.0, fn=0.0)),               # NSIDC PS North
+    3031: ("ps", WGS84, dict(lat_ts=-71.0, lon0=0.0,
+                             fe=0.0, fn=0.0)),               # Antarctic PS
+}
+
+
+def _family_kernels():
+    return {
+        "tm": (make_tm, tm_forward, tm_inverse),
+        "lcc": (make_lcc, lcc_forward, lcc_inverse),
+        "albers": (make_albers, albers_forward, albers_inverse),
+        "laea": (make_laea, laea_forward, laea_inverse),
+        "ps": (make_polar_stereo, ps_forward, ps_inverse),
+    }
+
+
 def _proj_for_epsg(code: int):
     """(forward, inverse) numpy transforms for a supported EPSG code."""
+    ent = EPSG_TABLE.get(code)
+    if ent is not None:
+        fam, ell, params = ent
+        mk, fwd, inv = _family_kernels()[fam]
+        c = mk(*ell, **params)
+        return (lambda lo, la: fwd(lo, la, c),
+                lambda x, y: inv(x, y, c))
     # WGS84 UTM: 32601-32660 north, 32701-32760 south
     if 32601 <= code <= 32660:
         zone = code - 32600
@@ -463,34 +542,6 @@ def _proj_for_epsg(code: int):
                     fe=500000.0, fn=0.0)
         return (lambda lo, la: tm_forward(lo, la, c),
                 lambda x, y: tm_inverse(x, y, c))
-    if code == 3794:  # Slovenia 1996 / Slovene National Grid (D96/TM)
-        c = make_tm(*GRS80, lat0=0.0, lon0=15.0, k0=0.9999,
-                    fe=500000.0, fn=-5000000.0)
-        return (lambda lo, la: tm_forward(lo, la, c),
-                lambda x, y: tm_inverse(x, y, c))
-    if code == 5070:  # NAD83 / Conus Albers
-        c = make_albers(*GRS80, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
-                        fe=0.0, fn=0.0)
-        return (lambda lo, la: albers_forward(lo, la, c),
-                lambda x, y: albers_inverse(x, y, c))
-    if code == 2154:  # RGF93 / Lambert-93
-        c = make_lcc(*GRS80, lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
-                     fe=700000.0, fn=6600000.0)
-        return (lambda lo, la: lcc_forward(lo, la, c),
-                lambda x, y: lcc_inverse(x, y, c))
-    if code == 3413:  # WGS84 / NSIDC Sea Ice Polar Stereographic North
-        c = make_polar_stereo(*WGS84, lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)
-        return (lambda lo, la: ps_forward(lo, la, c),
-                lambda x, y: ps_inverse(x, y, c))
-    if code == 3031:  # WGS84 / Antarctic Polar Stereographic
-        c = make_polar_stereo(*WGS84, lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0)
-        return (lambda lo, la: ps_forward(lo, la, c),
-                lambda x, y: ps_inverse(x, y, c))
-    if code == 3035:  # ETRS89-extended / LAEA Europe
-        c = make_laea(*GRS80, lat0=52.0, lon0=10.0,
-                      fe=4321000.0, fn=3210000.0)
-        return (lambda lo, la: laea_forward(lo, la, c),
-                lambda x, y: laea_inverse(x, y, c))
     # NAD83 UTM zones 1-23 north (GRS80; NAD83 treated as WGS84-coincident)
     if 26901 <= code <= 26923:
         zone = code - 26900
@@ -544,11 +595,6 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: krovak_forward(lo, la, c),
                            lambda x, y: krovak_inverse(x, y, c),
                            BESSEL1841, _DATUM_SJTSK)
-    if code == 32139:  # NAD83 / Texas Centric Lambert Conformal (meters)
-        c = make_lcc(*GRS80, lat1=27.5, lat2=35.0, lat0=18.0, lon0=-100.0,
-                     fe=1500000.0, fn=5000000.0)
-        return (lambda lo, la: lcc_forward(lo, la, c),
-                lambda x, y: lcc_inverse(x, y, c))
     return None
 
 

@@ -76,7 +76,8 @@ _LC = P.make_lcc(*P.GRS80, lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
                  fe=700000.0, fn=6600000.0)
 
 
-def _lcc_sql() -> str:
+def _lcc_sql(_LC=None) -> str:
+    _LC = _LC if _LC is not None else globals()["_LC"]
     e = _LC.e
     return f"""
     WITH pts AS ({_EVT}),
@@ -337,3 +338,66 @@ def q_reproject_osgb(spark, sf_dir):
         (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
         (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
     )
+
+
+# --- r4: data-driven EPSG table codes (functions/projections.py
+# EPSG_TABLE) — one newly-wired national grid per family shape ---------------
+
+_PL = P.make_tm(*P.GRS80, lat0=0.0, lon0=19.0, k0=0.9993,
+                fe=500000.0, fn=-5300000.0)
+
+
+def _poland_tm_sql() -> str:
+    """ETRS89 / Poland CS92 (EPSG:2180) — same Krueger machinery as the
+    UTM oracle with the CS92 constants, zone-banded around 19E."""
+    e = _PL.e
+    kA = _PL.k0 * _PL.A
+    eta_terms = " + ".join(
+        f"{a!r} * cos({2 * j} * xip) * ((exp({2 * j} * etap) - exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(_PL.alpha, start=1))
+    xi_terms = " + ".join(
+        f"{a!r} * sin({2 * j} * xip) * ((exp({2 * j} * etap) + exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(_PL.alpha, start=1))
+    return f"""
+    WITH pts AS ({_EVT}),
+    zone AS (SELECT * FROM pts WHERE lon BETWEEN 13.0 AND 25.0),
+    a1 AS (SELECT event_id, lon, tan(radians(lat)) AS t FROM zone),
+    a2 AS (SELECT event_id, lon, t,
+      (exp({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                          / (1.0 - {e!r} * t / sqrt(1.0 + t * t))))
+       - exp(-({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                              / (1.0 - {e!r} * t / sqrt(1.0 + t * t)))))) / 2.0 AS sig
+      FROM a1),
+    a3 AS (SELECT event_id, t, sig,
+      t * sqrt(1.0 + sig * sig) - sig * sqrt(1.0 + t * t) AS tp,
+      radians(lon - {_PL.lon0!r}) AS dlon
+      FROM a2),
+    a4 AS (SELECT event_id,
+      atan2(tp, cos(dlon)) AS xip,
+      ln(sin(dlon) / sqrt(tp * tp + cos(dlon) * cos(dlon))
+         + sqrt(sin(dlon) * sin(dlon) / (tp * tp + cos(dlon) * cos(dlon)) + 1.0)) AS etap
+      FROM a3)
+    SELECT event_id,
+      ROUND({_PL.fe!r} + {kA!r} * (etap + {eta_terms}), 1) + 0.0 AS px,
+      ROUND({_PL.fn!r} + {kA!r} * (xip + {xi_terms}), 1) + 0.0 AS py
+    FROM a4
+    """
+
+
+@register("geo_reproject_poland_tm", _poland_tm_sql())
+def q_reproject_poland_tm(spark, sf_dir):
+    """EPSG:2180 via the data-driven EPSG_TABLE row (TM family, CS92
+    constants: k0=0.9993, FN=-5.3e6) — validates the table dispatch
+    end-to-end against the formula oracle."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2180", lon_range=(13.0, 25.0))
+
+
+_CA = P.make_lcc(*P.GRS80, lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
+                 fe=0.0, fn=0.0)
+
+
+@register("geo_reproject_canada_lcc", _lcc_sql(_CA))
+def q_reproject_canada_lcc(spark, sf_dir):
+    """EPSG:3978 (NAD83 / Canada Atlas Lambert) via the EPSG_TABLE row —
+    the parametrized LCC oracle with the Canada Atlas constants."""
+    return _spark_reproject(spark, sf_dir, "EPSG:3978")

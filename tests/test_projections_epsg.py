@@ -136,3 +136,92 @@ def test_swiss_registry_includes_datum():
 def test_unknown_code_clear_error():
     with pytest.raises(ValueError, match="not supported|registry"):
         C.get_transformer("EPSG:4326", "EPSG:29903")  # Irish grid: not wired
+
+
+# --- r4: data-driven EPSG_TABLE parameter validation ------------------------
+# A mis-entered table row self-consistently round-trips, so round-trip
+# tests alone can't catch transcription errors.  These properties pin the
+# parameters themselves: the false origin must map EXACTLY to (FE, FN),
+# the TM central-meridian scale must equal k0, and conic scale must be 1
+# on both standard parallels.
+
+import numpy as np
+import pytest
+
+from geoparquet_io_spark.functions import projections as P
+
+_TABLE = sorted(P.EPSG_TABLE.items())
+
+
+def _scale_at(fwd, lon, lat, a, f):
+    """Numerical point scale along the meridian (dy per geodesic meter)."""
+    e2 = f * (2 - f)
+    phi = np.radians(lat)
+    # meridional radius of curvature
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    d = 1e-6  # degrees
+    x1, y1 = fwd(np.array([lon]), np.array([lat - d]))
+    x2, y2 = fwd(np.array([lon]), np.array([lat + d]))
+    proj = float(np.hypot(x2 - x1, y2 - y1)[0])
+    geod = M * np.radians(2 * d)
+    return proj / float(geod)
+
+
+@pytest.mark.parametrize("code,ent", _TABLE)
+def test_epsg_table_false_origin_maps_to_fe_fn(code, ent):
+    fam, ell, p = ent
+    if fam == "ps":
+        return  # PS origin is the pole; covered by the scale test below
+    fwd, _ = P._proj_for_epsg(code)
+    x, y = fwd(np.array([p["lon0"]]), np.array([p["lat0"]]))
+    assert abs(float(x[0]) - p["fe"]) < 1e-6, code
+    assert abs(float(y[0]) - p["fn"]) < 1e-6, code
+
+
+@pytest.mark.parametrize("code,ent", [kv for kv in _TABLE if kv[1][0] == "tm"])
+def test_epsg_table_tm_scale_is_k0(code, ent):
+    fam, ell, p = ent
+    fwd, _ = P._proj_for_epsg(code)
+    for lat in (0.0, 30.0, 55.0):
+        k = _scale_at(fwd, p["lon0"], lat, *ell)
+        assert abs(k - p["k0"]) < 1e-6, (code, lat, k)
+
+
+@pytest.mark.parametrize("code,ent", [kv for kv in _TABLE if kv[1][0] == "lcc"])
+def test_epsg_table_lcc_unit_scale_on_parallels(code, ent):
+    fam, ell, p = ent
+    fwd, _ = P._proj_for_epsg(code)
+    for lat in (p["lat1"], p["lat2"]):
+        k = _scale_at(fwd, p["lon0"] + 2.0, lat, *ell)
+        assert abs(k - 1.0) < 1e-6, (code, lat, k)
+
+
+@pytest.mark.parametrize("code,ent",
+                         [kv for kv in _TABLE if kv[1][0] in ("albers", "ps")])
+def test_epsg_table_equal_area_and_ps_scale(code, ent):
+    fam, ell, p = ent
+    fwd, _ = P._proj_for_epsg(code)
+    if fam == "albers":
+        # meridional x parallel scale = 1 everywhere for an equal-area conic
+        for lat in (p["lat1"], p["lat2"]):
+            km = _scale_at(fwd, p["lon0"] + 2.0, lat, *ell)
+            assert abs(km - 1.0) < 1e-5, (code, lat)  # k=1 ON the parallels
+    else:
+        # polar stereographic: unit scale at the published lat_ts
+        k = _scale_at(fwd, p["lon0"] + 10.0, p["lat_ts"], *ell)
+        assert abs(k - 1.0) < 1e-5, (code, k)
+
+
+@pytest.mark.parametrize("code,ent", _TABLE)
+def test_epsg_table_roundtrip(code, ent):
+    fam, ell, p = ent
+    fwd, inv = P._proj_for_epsg(code)
+    rng = np.random.default_rng(code)
+    lat_c = p.get("lat0", p.get("lat_ts", 45.0))
+    lat_c = min(max(lat_c, -75.0), 75.0)
+    lons = p["lon0"] + rng.uniform(-4, 4, 50)
+    lats = lat_c + rng.uniform(-4, 4, 50)
+    x, y = fwd(lons, lats)
+    lo2, la2 = inv(x, y)
+    assert np.max(np.abs(lo2 - lons)) < 1e-9, code
+    assert np.max(np.abs(la2 - lats)) < 1e-9, code
