@@ -1,4 +1,5 @@
-"""Baseline JPEG decoder in pure python + numpy (no codec library).
+"""Baseline + progressive JPEG decoder in pure python + numpy (no codec
+library).
 
 Implements the baseline sequential DCT process of ITU-T T.81 (the
 public JPEG standard): marker parse (DQT/DHT/SOF0/SOF1/DRI/SOS),
@@ -6,8 +7,15 @@ canonical Huffman entropy decode with byte unstuffing and restart
 markers, DC prediction, dequantize + dezigzag, exact 8x8 inverse DCT
 via the orthonormal cosine basis (float64 matrix products), chroma
 upsampling for 4:2:0 / 4:2:2 / 4:1:1 layouts, and the standard
-YCbCr -> RGB conversion.  Progressive (SOF2) and arithmetic-coded
-streams are rejected loudly.
+YCbCr -> RGB conversion.
+
+Progressive (SOF2) streams decode through the full T.81 Annex G
+successive-approximation machinery: interleaved DC first/refinement
+scans, per-component spectral-selection AC scans with EOB-run codes,
+and AC refinement with correction bits (the libjpeg-compatible
+reading discipline).  Coefficients accumulate per block across scans;
+reconstruction (dequantize + IDCT + upsample + color) runs once at the
+end.  Arithmetic-coded and hierarchical streams are rejected loudly.
 
 Scope: this is the CORRECTNESS decoder for the multimodal feature
 pipeline (operators/multimodal.py) — a python-loop entropy decoder is
@@ -123,15 +131,16 @@ def _split_scan(buf: bytes, i: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline JPEG -> uint8 array (h, w) grayscale or
-    (h, w, 3) RGB."""
+    """Decode a baseline or progressive JPEG -> uint8 array (h, w)
+    grayscale or (h, w, 3) RGB."""
     if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    scans: list[dict] = []
     i = 2
     n = len(buf)
     while i < n:
@@ -169,7 +178,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 symbols = seg[p + 17:p + 17 + nsym]
                 huff[(tc, th)] = _build_huffman(counts, symbols)
                 p += 17 + nsym
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+            progressive = m == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (got {prec})")
@@ -179,8 +189,6 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF marker "
@@ -193,14 +201,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c:3 + 2 * c]
                 scomps.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             segments, i = _split_scan(buf, i)
-            scan = {"comps": scomps, "segments": segments}
-            # baseline: single scan; ignore anything after it except EOI
-            break
+            # snapshot the huffman tables this scan references (they may
+            # be redefined between progressive scans)
+            snap = {}
+            for s in scomps:
+                for tc, th in ((0, s["td"]), (1, s["ta"])):
+                    if (tc, th) in huff:
+                        snap[(tc, th)] = huff[(tc, th)]
+            scans.append({"comps": scomps, "segments": segments,
+                          "ss": ss, "se": se, "ah": ahl >> 4,
+                          "al": ahl & 15, "ri": restart_interval,
+                          "huff": snap})
+            if not progressive:
+                # sequential: single scan; ignore trailing data
+                break
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    return _decode_scan(frame, scan, qt, huff, restart_interval)
+    if not progressive:
+        return _decode_scan(frame, scans[0], qt, scans[0]["huff"],
+                            scans[0]["ri"])
+    return _decode_progressive(frame, scans, qt)
 
 
 def _decode_scan(frame, scan, qt, huff, restart_interval) -> np.ndarray:
@@ -277,3 +300,196 @@ def _decode_scan(frame, scan, qt, huff, restart_interval) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G successive approximation
+# ---------------------------------------------------------------------------
+
+def _ac_first(bits, ac_tbl, cof, ss, se, al, eobrun):
+    """AC spectral-selection first scan (Ah=0) for one block; returns the
+    updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        cof[k] = _extend(bits.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(bits, ac_tbl, cof, ss, se, al, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block: new +-1<<Al
+    coefficients interleaved with correction bits for already-nonzero
+    ones (the libjpeg reading discipline); returns the updated EOB
+    run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement size")
+                val = p1 if bits.read_bit() else -p1
+            while k <= se:
+                if cof[k] != 0:
+                    if bits.read_bit() and not (int(cof[k]) & p1):
+                        cof[k] += p1 if cof[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cof[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cof[k] != 0:
+                if bits.read_bit() and not (int(cof[k]) & p1):
+                    cof[k] += p1 if cof[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _apply_progressive_scan(frame, scan, cof, used, mcus_x, mcus_y):
+    """Accumulate one progressive scan into the coefficient store."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    huff = scan["huff"]
+    segments = scan["segments"]
+    order = [by_id[s["cs"]] | {"td": s["td"], "ta": s["ta"]}
+             for s in scan["comps"]]
+    interleaved = len(order) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss == 0 and ah > 0 and se != 0:
+        raise ValueError("DC refinement scan with nonzero Se")
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        c = order[0]
+        uw, uh = used[c["id"]]
+        units = uw * uh
+    per_seg = scan["ri"] if scan["ri"] else units
+    seg_idx = 0
+    bits = _Bits(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    for u in range(units):
+        if u > 0 and u % per_seg == 0 and seg_idx + 1 < len(segments):
+            seg_idx += 1
+            bits = _Bits(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(u, mcus_x)
+            for c in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = cof[c["id"]][my * c["v"] + by,
+                                           mx * c["h"] + bx]
+                        if ah == 0:
+                            s = _huff_decode(bits, huff[(0, c["td"])])
+                            diff = _extend(bits.read(s), s) if s else 0
+                            pred[c["id"]] += diff
+                            blk[0] = pred[c["id"]] << al
+                        elif bits.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+        else:
+            c = order[0]
+            uw, _ = used[c["id"]]
+            row, col = divmod(u, uw)
+            blk = cof[c["id"]][row, col]
+            if ss == 0:
+                if ah == 0:
+                    s = _huff_decode(bits, huff[(0, c["td"])])
+                    diff = _extend(bits.read(s), s) if s else 0
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]] << al
+                elif bits.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(bits, huff[(1, c["ta"])], blk,
+                                   ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(bits, huff[(1, c["ta"])], blk,
+                                    ss, se, al, eobrun)
+
+
+def _reconstruct(frame, cof, qt) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient store (vectorized over all blocks)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        arr = cof[c["id"]]
+        q = qt[c["tq"]].astype(np.float64)
+        bh, bw = arr.shape[:2]
+        blocks = arr.reshape(-1, 64).astype(np.float64) * q
+        dez = np.zeros_like(blocks)
+        dez[:, ZIGZAG] = blocks
+        m = dez.reshape(-1, 8, 8)
+        sp = np.einsum("ux,nuv,vy->nxy", _A, m, _A) + 128.0
+        plane = sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(frame, scans, qt) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    cof = {}
+    used = {}
+    for c in comps:
+        cof[c["id"]] = np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        cw = -(-(w * c["h"]) // hmax)   # component pixel dims (ceil)
+        ch = -(-(h * c["v"]) // vmax)
+        used[c["id"]] = (-(-cw // 8), -(-ch // 8))
+    for scan in scans:
+        _apply_progressive_scan(frame, scan, cof, used, mcus_x, mcus_y)
+    return _reconstruct(frame, cof, qt)

@@ -5,14 +5,15 @@ signatures) is real and tested.  Decode status by format:
 
 - uncompressed 24-bit BMP, RIFF PCM WAV, 8-bit PNG (all five
   scanline filters, palette/gray/RGB/RGBA; inflate via stdlib zlib),
-  and baseline JPEG (full T.81 sequential DCT: Huffman entropy decode,
-  restart markers, 4:2:0/4:2:2 chroma upsampling, exact IDCT —
-  functions/jpeg.py) decode for REAL with pure-numpy parsers — no
+  and JPEG — baseline (full T.81 sequential DCT: Huffman entropy
+  decode, restart markers, 4:2:0/4:2:2 chroma upsampling, exact IDCT)
+  AND progressive (SOF2 successive approximation, Annex G) —
+  decode for REAL with pure-numpy parsers (functions/jpeg.py) — no
   codec library needed — feeding the image/audio featurizers
   end-to-end;
-- remaining compressed formats (progressive JPEG/MP3/video) need codec
-  libraries absent from this container: importable libs are used when
-  present, otherwise a clearly-marked ``NotImplementedError`` or a
+- remaining compressed formats (MP3/video) need codec libraries absent
+  from this container: importable libs are used when present,
+  otherwise a clearly-marked ``NotImplementedError`` or a
   deterministic fake (for pipeline-shape testing).
 """
 

@@ -227,12 +227,15 @@ def test_restart_markers_byte_exact():
     assert np.array_equal(got, expected)
 
 
-def test_progressive_is_rejected():
+def test_unsupported_processes_rejected():
+    # lossless sequential (SOF3) and arithmetic baseline (SOF9) must
+    # fail loudly; progressive (SOF2) is supported since r4
     img = _test_image(16, 16, channels=1)
     data, _ = encode_jpeg_ref(img)
-    patched = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(patched)
+    for marker in (b"\xff\xc3", b"\xff\xc9"):
+        patched = data.replace(b"\xff\xc0", marker, 1)
+        with pytest.raises(ValueError, match="unsupported JPEG process"):
+            decode_jpeg(patched)
 
 
 def test_not_a_jpeg():
@@ -324,3 +327,88 @@ def test_jpeg_feeds_image_featurizer(spark):
         assert (f["width"], f["height"]) == (24, 16 + 8 * i)
         # decoded luma tracks the source image's luma
         assert abs(f["mean_luma"] - float(im.mean())) < 6.0
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — cross-validated against ImageIO's progressive writer
+# ---------------------------------------------------------------------------
+
+def _imageio_encode_progressive(spark, arr, gray):
+    jvm = spark._jvm
+    h, w = arr.shape[:2]
+    t = (jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY if gray
+         else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi = jvm.java.awt.image.BufferedImage(w, h, t)
+    if gray:
+        raster = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(arr[y, x]))
+    else:
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in arr[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+def _is_progressive(data: bytes) -> bool:
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            return False
+        m = data[i + 1]
+        if m == 0xC2:
+            return True
+        if m in (0xC0, 0xC1, 0xDA):
+            return False
+        import struct as _s
+        (ln,) = _s.unpack(">H", data[i + 2:i + 4])
+        i += 2 + ln
+    return False
+
+
+def test_progressive_cross_imageio_gray(spark):
+    img = _test_image(40, 33, channels=1)
+    data = _imageio_encode_progressive(spark, img, gray=True)
+    assert _is_progressive(data), "ImageIO did not emit SOF2"
+    got = decode_jpeg(data)
+    ref = _imageio_decode_raster(spark, data, 1)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 2, d.max()
+
+
+def test_progressive_cross_imageio_rgb_420(spark):
+    h, w = 40, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 5) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 3) % 256], -1)
+    img = (img // 2 + 64).astype(np.uint8)
+    data = _imageio_encode_progressive(spark, img, gray=False)
+    assert _is_progressive(data), "ImageIO did not emit SOF2"
+    got = decode_jpeg(data)
+    ref = _imageio_decode_raster(spark, data, 3)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 2.0 and d.max() <= 32, (d.mean(), d.max())
+
+
+def test_progressive_matches_baseline_content(spark):
+    """The same image encoded baseline and progressive by the same
+    writer must decode to near-identical pixels through OUR decoder —
+    the two entropy paths reconstruct the same DCT coefficients."""
+    img = _test_image(24, 31, channels=1, seed=9)
+    seq = _imageio_encode(spark, img, gray=True)
+    prog = _imageio_encode_progressive(spark, img, gray=True)
+    a = decode_jpeg(seq).astype(int)
+    b = decode_jpeg(prog).astype(int)
+    assert np.abs(a - b).max() <= 2
