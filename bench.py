@@ -51,6 +51,9 @@ HEADLINE = [
     "join_fuzzy_names",
     "events_funnel",
     "geo_dissolve_hull",
+    # round-4 additions
+    "stats_heavy_hitters_sketch",
+    "text_bpe_merges_batched",
 ]
 
 # regression thresholds vs the committed bench_baseline.json
@@ -93,7 +96,32 @@ def check_regressions(timings: dict[str, float]) -> dict:
     return {"warn": warn, "fail": fail}
 
 
+def _wait_for_quiet(max_load_per_cpu: float = 0.5,
+                    timeout_s: int = 300, poll_s: int = 10):
+    """Host-contention guard: 1-2s queries flap 20-40% on a loaded host
+    (NOTES_r3), so wait (bounded) for the 1-minute load average to drop
+    below ``max_load_per_cpu`` per core before timing anything.  Never
+    refuses outright — a noisy number beats a missing one — but the
+    observed load and wait are recorded in the output JSON so a
+    contended run is visible to the reader."""
+    try:
+        ncpu = os.cpu_count() or 1
+        limit = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD",
+                                     max_load_per_cpu))
+        waited = 0
+        while waited < timeout_s:
+            if os.getloadavg()[0] / ncpu <= limit:
+                break
+            time.sleep(poll_s)
+            waited += poll_s
+        return round(os.getloadavg()[0], 2), waited
+    except OSError:  # getloadavg unavailable (non-unix)
+        return None, 0
+
+
 def main() -> None:
+    load1, waited = _wait_for_quiet()
+
     from geoparquet_io_spark.session import get_spark
     from geoparquet_io_spark.queries import REGISTRY
 
@@ -131,6 +159,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load1_at_start": load1,
+        "waited_for_quiet_sec": waited,
     }
     if "--check" in sys.argv:
         reg = check_regressions(timings)

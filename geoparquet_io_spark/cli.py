@@ -741,7 +741,36 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--key", required=True, help="comma-separated key columns")
     di.set_defaults(fn=cmd_diff)
 
+    _load_plugins(sub)
+
     return p
+
+
+# plugin verbs via package entry points (reference: cli/main.py:109
+# `with_plugins(entry_points(group="gpio.plugins"))`) — any installed
+# distribution can contribute subcommands without touching this module
+PLUGIN_GROUP = "gpio_spark.plugins"
+
+
+def _load_plugins(subparsers) -> None:
+    """Register third-party CLI verbs: each entry point in
+    ``gpio_spark.plugins`` resolves to ``register(subparsers)`` which
+    adds its own ``add_parser(...)`` verbs (setting ``fn=`` like the
+    built-ins).  A broken plugin warns on stderr and is skipped — it
+    must not take down the core CLI."""
+    try:
+        from importlib.metadata import entry_points
+
+        eps = entry_points(group=PLUGIN_GROUP)
+    except Exception:
+        return
+    for ep in eps:
+        try:
+            register = ep.load()
+            register(subparsers)
+        except Exception as exc:  # noqa: BLE001 — isolate plugin faults
+            print(f"warning: CLI plugin {ep.name!r} failed to load: {exc}",
+                  file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> int:

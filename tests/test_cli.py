@@ -411,3 +411,55 @@ def test_snapshot_and_vacuum_cli(spark, tmp_path, capsys):
     assert _run(["snapshot", p, "--read"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 100
+
+
+def test_cli_plugin_entry_points(monkeypatch, capsys):
+    """Entry-point plugin verbs (gpio_spark.plugins) register real
+    subcommands; a broken plugin is skipped with a warning instead of
+    taking down the CLI (reference: cli/main.py:109)."""
+    from geoparquet_io_spark import cli as cli_mod
+
+    calls = {}
+
+    def good_register(sub):
+        p = sub.add_parser("hello-plugin")
+        p.add_argument("--name", default="world")
+
+        def run(args):
+            calls["name"] = args.name
+            return 0
+
+        p.set_defaults(fn=run)
+
+    def bad_register(sub):
+        raise RuntimeError("boom")
+
+    class _EP:
+        def __init__(self, name, fn):
+            self.name = name
+            self._fn = fn
+
+        def load(self):
+            return self._fn
+
+    def fake_entry_points(group=None):
+        assert group == cli_mod.PLUGIN_GROUP
+        return [_EP("good", good_register), _EP("bad", bad_register)]
+
+    import importlib.metadata as md
+    monkeypatch.setattr(md, "entry_points", fake_entry_points)
+    rc = cli_mod.main(["hello-plugin", "--name", "spark"])
+    assert rc == 0
+    assert calls["name"] == "spark"
+    assert "plugin 'bad' failed" in capsys.readouterr().err
+
+
+def test_cli_plugin_absence_is_clean(monkeypatch):
+    """No plugins installed -> the core verb table is unchanged."""
+    from geoparquet_io_spark import cli as cli_mod
+
+    import importlib.metadata as md
+    monkeypatch.setattr(md, "entry_points",
+                        lambda group=None: [])
+    p = cli_mod.build_parser()
+    assert p is not None
