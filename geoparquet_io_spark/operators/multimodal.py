@@ -11,9 +11,14 @@ signatures) is real and tested.  Decode status by format:
   decode for REAL with pure-numpy parsers (functions/jpeg.py) — no
   codec library needed — feeding the image/audio featurizers
   end-to-end;
-- remaining compressed formats (MP3/video) need codec libraries absent
-  from this container: importable libs are used when present,
-  otherwise a clearly-marked ``NotImplementedError`` or a
+- video: RIFF/AVI containers parse for REAL (functions/avi.py) and the
+  two no-codec-library frame formats decode for real too — MJPEG
+  (frames are T.81 JPEGs, pure-numpy decode) and uncompressed DIB
+  (raw BGR rows).  ``sample_frames`` / ``extract_video_features``
+  run the real path on any AVI payload;
+- remaining compressed formats (MP3, H.264/VP9 video) need codec
+  libraries absent from this container: importable libs are used when
+  present, otherwise a clearly-marked ``NotImplementedError`` or a
   deterministic fake (for pipeline-shape testing).
 """
 
@@ -277,27 +282,131 @@ def extract_image_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+FRAME_T = T.ArrayType(T.StructType([
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("t_s", T.DoubleType()),
+    T.StructField("frame", T.BinaryType()),
+]))
+
+
 def sample_frames(
     df: DataFrame,
     data_column: str = "data",
     every_n_bytes: int = 1024,
     frame_column: str = "frames",
     deterministic_fake: bool = False,
+    stride: int = 1,
+    max_frames: int | None = None,
 ) -> DataFrame:
-    """Video frame sampling stub: emits one binary 'frame' per N bytes of
-    payload.  Real frame extraction needs pyav/ffmpeg (absent here); the
-    partitioning/explode shape is the real one."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg, not in this container; "
-            "pass deterministic_fake=True to exercise the pipeline"
+    """Video frame sampling.
+
+    REAL path (default): payloads are RIFF/AVI containers — the pure-python
+    parser (functions/avi.py) indexes the ``movi`` chunks and emits every
+    ``stride``-th frame payload (MJPEG bytes or raw DIB) with its
+    timestamp, capped at ``max_frames``.  Sampling never decodes pixels,
+    so cost is O(container index), not O(video) — the shape that matters
+    when the real corpus is 100 TB of clips.  Arrow-batched mapInPandas;
+    per-row output is bounded by ``max_frames``.
+
+    Formats needing codec libraries (MP4/H.264 etc.) are not parseable
+    here; ``deterministic_fake=True`` keeps the legacy byte-slicing stub
+    for pipeline-shape tests on arbitrary payloads.
+    """
+    if deterministic_fake:
+        n = F.greatest(F.floor(F.length(data_column) / every_n_bytes).cast("int"), F.lit(0))
+        frames = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("frame_index"),
+                i.cast("double").alias("t_s"),
+                F.substring(F.col(data_column), (i * every_n_bytes + 1).cast("int"),
+                            every_n_bytes).alias("frame"),
+            ),
         )
-    n = F.greatest(F.floor(F.length(data_column) / every_n_bytes).cast("int"), F.lit(0))
-    frames = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.substring(F.col(data_column), (i * every_n_bytes + 1).cast("int"), every_n_bytes),
+        return df.withColumn(frame_column, frames)
+
+    from geoparquet_io_spark.functions.avi import extract_frames, parse_avi
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(frame_column, FRAME_T, True)]
     )
-    return df.withColumn(frame_column, frames)
+    idx = df.columns.index(data_column)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf.iloc[:, idx]:
+                if buf is None:
+                    out.append(None)
+                    continue
+                info = parse_avi(bytes(buf))
+                dt = 1.0 / info.fps if info.fps else 0.0
+                payloads = extract_frames(bytes(buf), info)
+                rows = [{"frame_index": i, "t_s": i * dt, "frame": p}
+                        for i, p in enumerate(payloads)][::max(stride, 1)]
+                if max_frames is not None:
+                    rows = rows[:max_frames]
+                out.append(rows)
+            pdf[frame_column] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+VIDEO_FEATURES_T = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("frame_means", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_video_features(
+    df: DataFrame,
+    data_column: str = "data",
+    feature_column: str = "video_features",
+    stride: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """REAL video featurizer for AVI payloads: container metadata plus the
+    mean pixel value of every ``stride``-th decoded frame (MJPEG via the
+    pure-numpy T.81 decoder, DIB as raw BGR).  Arrow-batched mapInPandas;
+    decode cost is bounded by ``max_frames`` per row.
+    """
+    from geoparquet_io_spark.functions.avi import (decode_frame,
+                                                   extract_frames, parse_avi)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(feature_column, VIDEO_FEATURES_T, True)]
+    )
+    idx = df.columns.index(data_column)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf.iloc[:, idx]:
+                if buf is None:
+                    feats.append(None)
+                    continue
+                raw = bytes(buf)
+                info = parse_avi(raw)
+                sampled = extract_frames(raw, info)[::max(stride, 1)]
+                if max_frames is not None:
+                    sampled = sampled[:max_frames]
+                means = [float(decode_frame(p, info).astype("f8").mean())
+                         for p in sampled]
+                feats.append({
+                    "width": info.width, "height": info.height,
+                    "fps": float(info.fps), "n_frames": len(info.frames),
+                    "codec": info.codec, "frame_means": means,
+                })
+            pdf[feature_column] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 AUDIO_FEATURES_T = T.StructType([

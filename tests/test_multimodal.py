@@ -228,3 +228,121 @@ def test_image_features_real_png_spark(spark):
     assert (row["width"], row["height"]) == (9, 6)
     expected = float(np.array(img, dtype=np.uint8).astype("f8").mean())
     assert abs(row["mean_luma"] - expected) < 1e-9
+
+
+# --- REAL video: RIFF/AVI container + MJPEG / DIB frames -------------------
+
+def _dib_frame(img_rgb):
+    """AVI '00db' payload: bottom-up BGR rows, 4-byte padded stride."""
+    import numpy as np
+
+    h, w = img_rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img_rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def test_avi_header_layout_independent():
+    """Check build_avi's bytes against the published AVI 1.0 layout with
+    raw struct unpacks (NOT via parse_avi), so writer and reader cannot
+    share a bug."""
+    import struct
+
+    import numpy as np
+
+    from geoparquet_io_spark.functions.avi import build_avi
+
+    img = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    buf = build_avi([_dib_frame(img)] * 2, 8, 4, fps=10, codec="DIB ")
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    assert struct.unpack_from("<I", buf, 4)[0] == len(buf) - 8
+    # hdrl LIST starts right after 'AVI '
+    assert buf[12:16] == b"LIST" and buf[20:24] == b"hdrl"
+    # avih chunk: first DWORD us/frame, dwTotalFrames at +16, w/h at +32
+    assert buf[24:28] == b"avih"
+    body = 32
+    us, total, w, h = struct.unpack_from("<I", buf, body)[0], \
+        struct.unpack_from("<I", buf, body + 16)[0], \
+        struct.unpack_from("<I", buf, body + 32)[0], \
+        struct.unpack_from("<I", buf, body + 36)[0]
+    assert (us, total, w, h) == (100000, 2, 8, 4)
+    # the two frame chunks appear in order inside LIST movi
+    movi = buf.index(b"movi")
+    first = buf.index(b"00db", movi)
+    size = struct.unpack_from("<I", buf, first + 4)[0]
+    assert size == len(_dib_frame(img))
+
+
+def test_avi_mjpeg_roundtrip_bit_exact(spark):
+    """MJPEG AVI: frames encoded by the independent in-test T.81 encoder,
+    sampled by the REAL (non-fake) sample_frames path, decoded bit-exact
+    by extract_video_features."""
+    import numpy as np
+
+    from tests.test_jpeg import encode_jpeg_ref
+    from geoparquet_io_spark.functions.avi import build_avi, parse_avi
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_video_features, sample_frames)
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+            for _ in range(3)]
+    encoded = [encode_jpeg_ref(im) for im in imgs]   # (bytes, exact recon)
+    buf = build_avi([e[0] for e in encoded], 24, 16, fps=5, codec="MJPG")
+
+    info = parse_avi(buf)
+    assert (info.width, info.height, info.codec, info.fps) == (24, 16, "MJPG", 5.0)
+    assert len(info.frames) == 3
+
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    rows = sample_frames(df, "data", stride=2).collect()[0]["frames"]
+    assert [r["frame_index"] for r in rows] == [0, 2]
+    assert [round(r["t_s"], 3) for r in rows] == [0.0, 0.4]
+    assert bytes(rows[0]["frame"]) == encoded[0][0]     # byte-exact payload
+    assert bytes(rows[1]["frame"]) == encoded[2][0]
+
+    feats = extract_video_features(df, "data").collect()[0]["video_features"]
+    assert feats["n_frames"] == 3 and feats["codec"] == "MJPG"
+    for mean, (_, recon) in zip(feats["frame_means"], encoded):
+        want = float(np.asarray(recon, dtype=np.float64).mean())
+        assert abs(mean - want) < 1e-9   # decoder is exact on quantized coefs
+
+
+def test_avi_dib_features_spark(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.functions.avi import build_avi
+    from geoparquet_io_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (6, 8, 3)).astype(np.uint8) for _ in range(4)]
+    buf = build_avi([_dib_frame(i) for i in imgs], 8, 6, fps=10, codec="DIB ")
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    f = extract_video_features(df, "data", stride=1, max_frames=2) \
+        .collect()[0]["video_features"]
+    assert (f["width"], f["height"], f["fps"], f["n_frames"]) == (8, 6, 10.0, 4)
+    assert len(f["frame_means"]) == 2
+    for m, img in zip(f["frame_means"], imgs[:2]):
+        assert abs(m - img.astype("f8").mean()) < 1e-9
+
+
+def test_sample_frames_fake_path_shape(spark):
+    from geoparquet_io_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 2500))], ["id", "data"])
+    rows = sample_frames(df, "data", every_n_bytes=1000,
+                         deterministic_fake=True).collect()[0]["frames"]
+    assert [r["frame_index"] for r in rows] == [0, 1]
+    assert all(len(bytes(r["frame"])) == 1000 for r in rows)
+
+
+def test_parse_avi_rejects_non_avi():
+    import pytest as _pytest
+
+    from geoparquet_io_spark.functions.avi import parse_avi
+
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        parse_avi(b"\x00" * 64)
