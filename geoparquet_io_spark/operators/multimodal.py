@@ -11,6 +11,8 @@ signatures) is real and tested.  Decode status by format:
   decode for REAL with pure-numpy parsers (functions/jpeg.py) — no
   codec library needed — feeding the image/audio featurizers
   end-to-end;
+- GIF87a/89a (variable-width LZW, interlace, transparency, animated
+  multi-frame compositing) decodes for REAL too (functions/gif.py);
 - video: RIFF/AVI containers parse for REAL (functions/avi.py) and the
   two no-codec-library frame formats decode for real too — MJPEG
   (frames are T.81 JPEGs, pure-numpy decode) and uncompressed DIB
@@ -228,6 +230,11 @@ def _decode_image_real(buf: bytes) -> np.ndarray:
         from geoparquet_io_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        # pure-python LZW + compositing (functions/gif.py)
+        from geoparquet_io_spark.functions.gif import decode_gif
+
+        return decode_gif(buf)
     try:  # pragma: no cover - Pillow absent in this container
         from PIL import Image  # noqa: F401
         import io
