@@ -18,9 +18,13 @@ signatures) is real and tested.  Decode status by format:
   (frames are T.81 JPEGs, pure-numpy decode) and uncompressed DIB
   (raw BGR rows).  ``sample_frames`` / ``extract_video_features``
   run the real path on any AVI payload;
-- remaining compressed formats (MP3, H.264/VP9 video) need codec
-  libraries absent from this container: importable libs are used when
-  present, otherwise a clearly-marked ``NotImplementedError`` or a
+- MP3/MP2/MP1: frame-level parsing is REAL (functions/mp3.py — header
+  walk, ID3 skip, Xing/VBRI, duration/bitrate/channel stats via
+  ``extract_audio_metadata``); only PCM decode (Huffman + hybrid
+  filterbank) stays gated;
+- remaining compressed formats (MP3 PCM decode, H.264/VP9 video) need
+  codec libraries absent from this container: importable libs are used
+  when present, otherwise a clearly-marked ``NotImplementedError`` or a
   deterministic fake (for pipeline-shape testing).
 """
 
@@ -460,6 +464,64 @@ def extract_audio_features(
                     "duration_s": float(samples.shape[0] / rate),
                     "rms": float(np.sqrt((x ** 2).mean())) if x.size else 0.0,
                 })
+            pdf[feature_column] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_META_T = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("bitrate_kbps", T.DoubleType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("vbr", T.BooleanType()),
+])
+
+
+def extract_audio_metadata(
+    df: DataFrame,
+    data_column: str = "data",
+    feature_column: str = "audio_meta",
+) -> DataFrame:
+    """REAL container-level audio metadata — no PCM decode, no codec
+    library: PCM WAV via the fmt/data chunks, MPEG audio (MP3/MP2/MP1)
+    via the full frame walk in functions/mp3.py (ID3 skip, Xing/VBRI
+    aware).  This is the 100 TB-corpus operator: duration/bitrate/
+    layout stats cost O(container index) per file, never O(audio).
+    Arrow-batched mapInPandas."""
+    from geoparquet_io_spark.functions.mp3 import parse_mp3
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(feature_column, AUDIO_META_T, True)]
+    )
+    idx = df.columns.index(data_column)
+
+    def one(raw: bytes) -> dict:
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            samples, rate = decode_wav(raw)
+            return {"format": "wav", "sample_rate": int(rate),
+                    "channels": int(samples.shape[1]),
+                    "duration_s": float(samples.shape[0] / rate),
+                    "bitrate_kbps": float(
+                        rate * samples.shape[1] * samples.dtype.itemsize * 8
+                        / 1000.0),
+                    "n_frames": None, "vbr": False}
+        info = parse_mp3(raw)
+        f0 = info.frames[0]
+        return {"format": f"mp{f0.layer}", "sample_rate": f0.sample_rate,
+                "channels": 1 if f0.mode == "mono" else 2,
+                "duration_s": float(info.duration_s),
+                "bitrate_kbps": float(info.avg_bitrate_kbps),
+                "n_frames": len(info.frames), "vbr": bool(info.vbr)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [None if buf is None else one(bytes(buf))
+                     for buf in pdf.iloc[:, idx]]
             pdf[feature_column] = feats
             yield pdf
 

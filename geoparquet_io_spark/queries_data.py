@@ -2548,3 +2548,69 @@ def q_multimodal_video(spark, sf_dir):
         F.round(means[0], 4).alias("mean_f0"),
         F.round(means[1], 4).alias("mean_f1"),
         F.round(means[2], 4).alias("mean_f2"))
+
+
+@register(
+    "multimodal_audio_metadata",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE length(text) % 3 WHEN 0 THEN 96.0 WHEN 1 THEN 128.0
+                  ELSE 160.0 END AS br,
+             2 + ascii(substr(text, 1, 1)) % 3 AS k
+      FROM documents WHERE length(text) >= 1)
+    SELECT doc_id, 'mp3' AS format, 48000 AS sample_rate, 2 AS channels,
+           ROUND(k * 1152.0 / 48000, 4) AS duration_s,
+           ROUND(br, 4) AS bitrate_kbps,
+           k AS n_frames
+    FROM d
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """REAL MPEG-audio parsing, graded: each document becomes a CBR MP3
+    stream assembled with native binary concat (MPEG-1 Layer III 48 kHz
+    stereo frame headers are 4-byte literals; the bitrate -- and so the
+    exact frame size 144*br/48000 -- varies with the text length, the
+    frame count with its first byte).  The REAL frame walker
+    (functions/mp3.py) recovers duration / average bitrate / frame
+    count inside Arrow-batched mapInPandas; the oracle recomputes them
+    from the construction arithmetic independently."""
+    from geoparquet_io_spark.functions.mp3 import parse_frame_header
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_audio_metadata)
+
+    # bitrate -> (header literal, frame size); sanity-checked via the
+    # parser itself at build time so a bad literal fails loudly
+    hdrs = {96: (b"\xff\xfb\x74\x00", 288), 128: (b"\xff\xfb\x94\x00", 384),
+            160: (b"\xff\xfb\xa4\x00", 480)}
+    for br, (hdr, size) in hdrs.items():
+        fr = parse_frame_header(hdr + b"\x00" * 500, 0)
+        assert (fr.bitrate_kbps, fr.size, fr.sample_rate) == (br, size, 48000)
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 1)
+         .withColumn("t", F.expr(
+             "substr(repeat(text, cast(ceil(476.0/length(text)) as int)),"
+             " 1, 476)")))
+    m = F.length("text") % 3
+
+    def frame(br):
+        hdr, size = hdrs[br]
+        return F.concat(F.lit(hdr),
+                        F.encode(F.substring("t", 1, size - 4), "utf-8"))
+
+    fr = (F.when(m == 0, frame(96)).when(m == 1, frame(128))
+          .otherwise(frame(160)))
+    k = (F.ascii(F.substring("text", 1, 1)) % 3) + 2
+    data = (F.when(k == 2, F.concat(fr, fr))
+            .when(k == 3, F.concat(fr, fr, fr))
+            .otherwise(F.concat(fr, fr, fr, fr)))
+    out = extract_audio_metadata(d.withColumn("data", data), "data")
+    a = F.col("audio_meta")
+    return out.select(
+        "doc_id", a["format"].alias("format"),
+        a["sample_rate"].alias("sample_rate"),
+        a["channels"].alias("channels"),
+        F.round(a["duration_s"], 4).alias("duration_s"),
+        F.round(a["bitrate_kbps"], 4).alias("bitrate_kbps"),
+        a["n_frames"].alias("n_frames"))
