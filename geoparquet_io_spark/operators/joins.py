@@ -451,9 +451,12 @@ def knn_join(
     resolved_parts = []
     radius = float(initial_radius)
     for _ in range(max_rounds):
+        # checkpoint: `pairs` feeds BOTH the resolution count and the
+        # top-k ranking — without it each round's grid join runs twice
         pairs = distance_join(pending, right, radius,
                               left_x, left_y, right_x, right_y,
-                              distance_column=distance_column)
+                              distance_column=distance_column) \
+            .localCheckpoint(eager=False)
         counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
         done_ids = counts.filter(F.col("__n") >= k).select("__lid")
         resolved_parts.append(

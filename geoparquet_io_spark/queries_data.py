@@ -1492,9 +1492,12 @@ def q_distance_join(spark, sf_dir):
 )
 def q_knn_join(spark, sf_dir):
     """Exact 3-NN spatial join (operators/joins.py:knn_join): expanding-
-    ring grid search, unique-id tie-break; quadratic form exists only in
+    ring grid search seeded by the density-derived radius estimate (the
+    radius changes only how many doubling rounds run, never the exact
+    k-NN answer), unique-id tie-break; quadratic form exists only in
     the oracle."""
-    from geoparquet_io_spark.operators.joins import knn_join
+    from geoparquet_io_spark.operators.joins import (estimate_knn_radius,
+                                                     knn_join)
     from geoparquet_io_spark.testsupport.tables import (customer_lonlat,
                                                         event_lonlat)
 
@@ -1503,7 +1506,8 @@ def q_knn_join(spark, sf_dir):
         .select("event_id", F.col("lon").alias("elon"), F.col("lat").alias("elat"))
     cu = customer_lonlat(load_table(spark, sf_dir, "customer")) \
         .select("c_custkey", F.col("lon").alias("clon"), F.col("lat").alias("clat"))
-    out = knn_join(ev, cu, k=3, initial_radius=2.0,
+    out = knn_join(ev, cu, k=3,
+                   initial_radius=estimate_knn_radius(cu, 3, "clon", "clat"),
                    left_id="event_id", left_x="elon", left_y="elat",
                    right_x="clon", right_y="clat",
                    tie_columns=["c_custkey"])
