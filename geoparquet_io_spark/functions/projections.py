@@ -306,6 +306,52 @@ def albers_inverse(x: np.ndarray, y: np.ndarray, c: _AlbersConsts):
 
 
 # ---------------------------------------------------------------------------
+# Cylindrical Equal-Area, normal aspect (Snyder pp. 81-85; EPSG method 9835)
+# — the EASE-Grid 2.0 family (EPSG:6933 global, lat_ts=30)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _CEAConsts:
+    a: float
+    e: float
+    k0: float
+    lon0: float
+    fe: float
+    fn: float
+
+
+def make_cea(a: float, f: float, lat_ts: float, lon0: float,
+             fe: float, fn: float) -> _CEAConsts:
+    e = math.sqrt(f * (2 - f))
+    ts = math.radians(lat_ts)
+    k0 = math.cos(ts) / math.sqrt(1.0 - e * e * math.sin(ts) ** 2)
+    return _CEAConsts(a=a, e=e, k0=k0, lon0=lon0, fe=fe, fn=fn)
+
+
+def cea_forward(lon: np.ndarray, lat: np.ndarray, c: _CEAConsts):
+    q = _snyder_q(np.radians(lat), c.e)
+    x = c.fe + c.a * c.k0 * np.radians(lon - c.lon0)
+    y = c.fn + c.a * q / (2.0 * c.k0)
+    return x, y
+
+
+def cea_inverse(x: np.ndarray, y: np.ndarray, c: _CEAConsts):
+    lon = c.lon0 + np.degrees((x - c.fe) / (c.a * c.k0))
+    q = 2.0 * c.k0 * (y - c.fn) / c.a
+    # geodetic lat from q: same Snyder 3-16 iteration the Albers inverse uses
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    e, e2 = c.e, c.e * c.e
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Lambert Azimuthal Equal Area, oblique (Snyder pp. 187-190)
 # ---------------------------------------------------------------------------
 
@@ -500,6 +546,33 @@ EPSG_TABLE: dict[int, tuple] = {
                              fe=0.0, fn=0.0)),               # NSIDC PS North
     3031: ("ps", WGS84, dict(lat_ts=-71.0, lon0=0.0,
                              fe=0.0, fn=0.0)),               # Antarctic PS
+    # --- round-4 additions -------------------------------------------------
+    26986: ("lcc", GRS80, dict(lat1=41.0 + 43.0 / 60.0,
+                               lat2=42.0 + 41.0 / 60.0, lat0=41.0,
+                               lon0=-71.5, fe=200000.0, fn=750000.0)),
+    # NAD83/Massachusetts Mainland (m)
+    2991: ("lcc", GRS80, dict(lat1=43.0, lat2=45.5, lat0=41.75,
+                              lon0=-120.5, fe=400000.0, fn=0.0)),
+    # NAD83/Oregon Lambert (m)
+    2451: ("tm", GRS80, dict(lat0=36.0, lon0=139.0 + 50.0 / 60.0,
+                             k0=0.9999, fe=0.0, fn=0.0)),
+    # JGD2000/Japan Plane Rectangular CS IX (Tokyo)
+    4547: ("tm", GRS80, dict(lat0=0.0, lon0=114.0, k0=1.0,
+                             fe=500000.0, fn=0.0)),
+    # CGCS2000/3-degree Gauss-Kruger CM 114E
+    5186: ("tm", GRS80, dict(lat0=38.0, lon0=127.0, k0=1.0,
+                             fe=200000.0, fn=600000.0)),
+    # KGD2002 (Korea 2000)/Central Belt 2010
+    3763: ("tm", GRS80, dict(lat0=39.0 + 40.0 / 60.0 + 5.73 / 3600.0,
+                             lon0=-(8.0 + 7.0 / 60.0 + 59.19 / 3600.0),
+                             k0=1.0, fe=0.0, fn=0.0)),
+    # ETRS89/Portugal TM06
+    3414: ("tm", WGS84, dict(lat0=1.0 + 22.0 / 60.0,
+                             lon0=103.0 + 50.0 / 60.0, k0=1.0,
+                             fe=28001.642, fn=38744.572)),
+    # SVY21/Singapore TM
+    6933: ("cea", WGS84, dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS84/NSIDC EASE-Grid 2.0 Global
 }
 
 
@@ -510,6 +583,7 @@ def _family_kernels():
         "albers": (make_albers, albers_forward, albers_inverse),
         "laea": (make_laea, laea_forward, laea_inverse),
         "ps": (make_polar_stereo, ps_forward, ps_inverse),
+        "cea": (make_cea, cea_forward, cea_inverse),
     }
 
 

@@ -401,3 +401,34 @@ def q_reproject_canada_lcc(spark, sf_dir):
     """EPSG:3978 (NAD83 / Canada Atlas Lambert) via the EPSG_TABLE row —
     the parametrized LCC oracle with the Canada Atlas constants."""
     return _spark_reproject(spark, sf_dir, "EPSG:3978")
+
+
+_EASE = P.make_cea(*P.WGS84, lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)
+
+
+def _cea_sql() -> str:
+    """EPSG:6933 (WGS84 / NSIDC EASE-Grid 2.0 Global) — cylindrical
+    equal-area: x = a*k0*lambda, y = a*q/(2*k0) with Snyder's authalic
+    q; every constant is baked from the same make_cea row the engine
+    dispatches to, so a table typo breaks the match."""
+    e, e2 = _EASE.e, _EASE.e * _EASE.e
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, lon, sin(radians(lat)) AS sp FROM pts),
+    q AS (SELECT event_id, lon,
+      {1.0 - e2!r} * (sp / (1.0 - {e2!r} * sp * sp)
+        - {1.0 / (2.0 * e)!r} * ln((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp))) AS qv
+      FROM s)
+    SELECT event_id,
+      ROUND({_EASE.a * _EASE.k0!r} * radians(lon), 1) + 0.0 AS px,
+      ROUND({_EASE.a / (2.0 * _EASE.k0)!r} * qv, 1) + 0.0 AS py
+    FROM q
+    """
+
+
+@register("geo_reproject_ease2", _cea_sql())
+def q_reproject_ease2(spark, sf_dir):
+    """EPSG:6933 via the EPSG_TABLE cea row — the kernel whose x(+-180)
+    extent matches the published EASE-Grid 2.0 grid to the cm
+    (tests/test_projections_epsg.py)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:6933")

@@ -173,7 +173,8 @@ def test_epsg_table_false_origin_maps_to_fe_fn(code, ent):
     if fam == "ps":
         return  # PS origin is the pole; covered by the scale test below
     fwd, _ = P._proj_for_epsg(code)
-    x, y = fwd(np.array([p["lon0"]]), np.array([p["lat0"]]))
+    lat0 = p.get("lat0", 0.0)   # cea: natural origin is the equator
+    x, y = fwd(np.array([p["lon0"]]), np.array([lat0]))
     assert abs(float(x[0]) - p["fe"]) < 1e-6, code
     assert abs(float(y[0]) - p["fn"]) < 1e-6, code
 
@@ -225,3 +226,40 @@ def test_epsg_table_roundtrip(code, ent):
     lo2, la2 = inv(x, y)
     assert np.max(np.abs(lo2 - lons)) < 1e-9, code
     assert np.max(np.abs(la2 - lats)) < 1e-9, code
+
+
+@pytest.mark.parametrize("code,ent",
+                         [kv for kv in _TABLE if kv[1][0] == "cea"])
+def test_epsg_table_cea_unit_scale_at_lat_ts(code, ent):
+    """Cylindrical equal-area: meridional scale is exactly 1 on BOTH
+    standard parallels (+-lat_ts), and x is linear in longitude with
+    the published EASE-Grid 2.0 cell-scale-defining k0."""
+    fam, ell, p = ent
+    fwd, _ = P._proj_for_epsg(code)
+    for lat in (p["lat_ts"], -p["lat_ts"]):
+        k = _scale_at(fwd, p["lon0"] + 10.0, lat, *ell)
+        assert abs(k - 1.0) < 1e-6, (code, lat, k)
+    # EASE-Grid 2.0 published global extent: the 36-km grid is 964
+    # columns of 36032.220840584 m, i.e. x(+-180) = +-17367530.445 m
+    if code == 6933:
+        x1, _ = fwd(np.array([180.0]), np.array([0.0]))
+        assert abs(float(x1[0]) - 964 * 36032.220840584 / 2.0) < 0.01
+        assert abs(float(x1[0]) - 17367530.4453) < 0.01
+
+
+def test_ease_grid2_global_published_corner():
+    """EPSG:6933 equal-area property: total map area equals the
+    ellipsoid's authalic surface area (4*pi*R_authalic^2) to float
+    precision -- a parameter typo in k0/lat_ts breaks this."""
+    import math as m
+
+    fwd, _ = P._proj_for_epsg(6933)
+    a, f = P.WGS84
+    e = m.sqrt(f * (2 - f))
+    x1, ytop = fwd(np.array([180.0]), np.array([90.0]))
+    x0, ybot = fwd(np.array([-180.0]), np.array([-90.0]))
+    area = float((x1[0] - x0[0]) * (ytop[0] - ybot[0]))
+    qp = (1 - e * e) * (1 / (1 - e * e)
+                        - (1 / (2 * e)) * m.log((1 - e) / (1 + e)))
+    authalic = 4 * m.pi * (a * a * qp / 2.0)
+    assert abs(area / authalic - 1.0) < 1e-12
