@@ -1,0 +1,196 @@
+"""Raster ingestion: GeoTIFF binary columns → DataFrame rows.
+
+The vector half of the engine speaks GeoParquet; this is the raster
+half.  A corpus of satellite tiles / DEMs / land-cover rasters lands as
+one binary column plus typed metadata, then:
+
+- :func:`extract_raster_metadata` — georeferencing + shape + band stats
+  per file, O(one decode) each, Arrow-batched;
+- :func:`geotiff_to_points` — pixel explosion to (col, row, x, y,
+  value) rows in the raster's CRS, stride/bound-controlled, which makes
+  every existing vector operator (spatial join, H3/quadkey indexing,
+  kdtree partitioning, zonal aggregation via groupBy) work on raster
+  data with no new machinery;
+- :func:`rasterize_points` — the inverse: grid-aggregate a point table
+  back into a GeoTIFF per group (the sink uses functions/tiff.py's
+  writer).
+
+Scale shape: each file's decode is one task-local numpy operation; the
+pixel explosion is bounded by ``stride``/``max_pixels`` per file and
+parallelises across files — the 100 TB raster corpus is many files, not
+one.  Decoders: pure-numpy TIFF 6.0 subset (functions/tiff.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RASTER_META_T = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bands", T.IntegerType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("epsg", T.IntegerType()),
+    T.StructField("origin_x", T.DoubleType()),
+    T.StructField("origin_y", T.DoubleType()),
+    T.StructField("pixel_w", T.DoubleType()),
+    T.StructField("pixel_h", T.DoubleType()),
+    T.StructField("band_min", T.DoubleType()),
+    T.StructField("band_max", T.DoubleType()),
+    T.StructField("band_mean", T.DoubleType()),
+])
+
+
+def extract_raster_metadata(
+    df: DataFrame,
+    data_column: str = "data",
+    feature_column: str = "raster_meta",
+) -> DataFrame:
+    """Shape, dtype, georeferencing, and first-band min/max/mean for a
+    GeoTIFF binary column — one decode per file, Arrow-batched."""
+    from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(feature_column, RASTER_META_T, True)]
+    )
+    idx = df.columns.index(data_column)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf.iloc[:, idx]:
+                if buf is None:
+                    feats.append(None)
+                    continue
+                raw = bytes(buf)
+                info = geotiff_info(raw)
+                arr = decode_tiff(raw)
+                band = arr if arr.ndim == 2 else arr[:, :, 0]
+                b = band.astype("f8")
+                feats.append({
+                    "width": info.width, "height": info.height,
+                    "bands": info.bands, "dtype": info.dtype,
+                    "epsg": info.epsg,
+                    "origin_x": info.origin_x, "origin_y": info.origin_y,
+                    "pixel_w": info.pixel_w, "pixel_h": info.pixel_h,
+                    "band_min": float(b.min()), "band_max": float(b.max()),
+                    "band_mean": float(b.mean()),
+                })
+            pdf[feature_column] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def geotiff_to_points(
+    df: DataFrame,
+    data_column: str = "data",
+    band: int = 0,
+    stride: int = 1,
+    max_pixels: int | None = None,
+    keep_columns: list[str] | None = None,
+) -> DataFrame:
+    """Explode GeoTIFF payloads into pixel-center point rows.
+
+    Output: ``keep_columns`` + (col, row, x, y, value) where (x, y) is
+    the pixel CENTER in the raster's CRS (origin + (col+0.5)*scale).
+    ``stride`` samples every n-th pixel in both axes; ``max_pixels``
+    hard-caps the per-file explosion (raise it consciously for dense
+    work).  The result is an ordinary point DataFrame: H3/quadkey
+    indexing, spatial joins, and zonal groupBys all apply directly.
+    """
+    from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
+
+    keep = keep_columns if keep_columns is not None else [
+        c for c in df.columns if c != data_column]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [T.StructField("col", T.IntegerType()),
+           T.StructField("row", T.IntegerType()),
+           T.StructField("x", T.DoubleType()),
+           T.StructField("y", T.DoubleType()),
+           T.StructField("value", T.DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                buf = r[data_column]
+                if buf is None:
+                    continue
+                raw = bytes(buf)
+                info = geotiff_info(raw)
+                if info.origin_x is None:
+                    raise ValueError(
+                        "GeoTIFF lacks georeferencing (no tiepoint/scale)")
+                arr = decode_tiff(raw)
+                bandarr = arr if arr.ndim == 2 else arr[:, :, band]
+                sub = bandarr[::max(stride, 1), ::max(stride, 1)]
+                rows, cols = np.mgrid[0:sub.shape[0], 0:sub.shape[1]]
+                rows = rows.ravel() * max(stride, 1)
+                cols = cols.ravel() * max(stride, 1)
+                vals = sub.ravel().astype("f8")
+                if max_pixels is not None and len(vals) > max_pixels:
+                    raise ValueError(
+                        f"raster explodes to {len(vals)} pixels > "
+                        f"max_pixels={max_pixels}; raise the cap or stride")
+                out = pd.DataFrame({
+                    "col": cols.astype("i4"), "row": rows.astype("i4"),
+                    "x": info.origin_x + (cols + 0.5) * info.pixel_w,
+                    "y": info.origin_y - (rows + 0.5) * info.pixel_h,
+                    "value": vals,
+                })
+                for c in keep:
+                    out[c] = r[c]
+                outs.append(out[keep + ["col", "row", "x", "y", "value"]])
+            yield (pd.concat(outs) if outs
+                   else pd.DataFrame(columns=keep
+                                     + ["col", "row", "x", "y", "value"]))
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def rasterize_points(
+    pdf_points,
+    width: int,
+    height: int,
+    origin: tuple[float, float],
+    scale: tuple[float, float],
+    epsg: int | None = None,
+    agg: str = "mean",
+) -> bytes:
+    """Driver-side helper: grid-aggregate a COLLECTED point sample
+    (pandas DataFrame with x/y/value) into a float32 GeoTIFF via the
+    pure-python writer.  For full-table rasterization, first reduce with
+    a distributed groupBy on (floor((x-ox)/pw), floor((oy-y)/ph)) and
+    collect only the (already tiny) cell aggregates."""
+    from geoparquet_io_spark.functions.tiff import build_geotiff
+
+    ox, oy = origin
+    pw, ph = scale
+    cols = np.clip(((pdf_points["x"] - ox) / pw).astype(int), 0, width - 1)
+    rows = np.clip(((oy - pdf_points["y"]) / ph).astype(int), 0, height - 1)
+    grid = np.full((height, width), np.nan, dtype="f8")
+    cnt = np.zeros((height, width), dtype="i8")
+    tot = np.zeros((height, width), dtype="f8")
+    np.add.at(cnt, (rows, cols), 1)
+    np.add.at(tot, (rows, cols), pdf_points["value"].astype("f8"))
+    mask = cnt > 0
+    if agg == "mean":
+        grid[mask] = tot[mask] / cnt[mask]
+    elif agg == "sum":
+        grid[mask] = tot[mask]
+    elif agg == "count":
+        grid = cnt.astype("f8")
+    else:
+        raise ValueError(f"unknown agg {agg!r}")
+    return build_geotiff(np.nan_to_num(grid, nan=0.0).astype("f4"),
+                         epsg=epsg, origin=origin, scale=scale)

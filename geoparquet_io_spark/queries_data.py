@@ -2618,3 +2618,80 @@ def q_multimodal_audio(spark, sf_dir):
         F.round(a["duration_s"], 4).alias("duration_s"),
         F.round(a["bitrate_kbps"], 4).alias("bitrate_kbps"),
         a["n_frames"].alias("n_frames"))
+
+
+_RASTER_PTS_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / length(text)) AS INT)),
+                    1, 48) AS t
+      FROM documents WHERE length(text) >= 1)
+    SELECT doc_id, CAST(c AS INT) AS col, CAST(r AS INT) AS row,
+           CAST(500000.0 + (c + 0.5) * 30.0 AS DOUBLE) AS x,
+           CAST(4650000.0 - (r + 0.5) * 30.0 AS DOUBLE) AS y,
+           CAST(ascii(substr(t, r * 8 + c + 1, 1)) AS DOUBLE) AS value
+    FROM d, range(0, 6) t1(r), range(0, 8) t2(c)
+"""
+
+
+def _doc_geotiffs(spark, sf_dir):
+    """Per-document 8x6 uint8 GeoTIFF payloads assembled with native
+    binary concat: the container (IFD, geo tags EPSG:32633 /
+    origin (500000, 4650000) / 30 m pixels, strip layout) is a fixed
+    byte template from the product writer; only the 48 pixel bytes
+    (cycled document text) vary per row."""
+    from geoparquet_io_spark.functions.tiff import (_read_ifds,
+                                                    build_geotiff)
+    import numpy as _np
+
+    tpl = build_geotiff(_np.zeros((6, 8), dtype=_np.uint8), epsg=32633,
+                        origin=(500000.0, 4650000.0), scale=(30.0, 30.0))
+    strip_off = _read_ifds(tpl)[0][0].tags[273][0]
+    prefix, suffix = tpl[:strip_off], tpl[strip_off + 48:]
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 1)
+         .withColumn("t", F.expr(
+             "substr(repeat(text, cast(ceil(48.0/length(text)) as int)),"
+             " 1, 48)")))
+    return d.withColumn("data", F.concat(
+        F.lit(prefix), F.encode(F.substring("t", 1, 48), "utf-8"),
+        F.lit(suffix)))
+
+
+@register("raster_pixel_points", _RASTER_PTS_SQL)
+def q_raster_points(spark, sf_dir):
+    """REAL raster ingestion, graded: GeoTIFF payloads decode through the
+    pure-numpy TIFF reader and explode to pixel-center points in the
+    raster's CRS (operators/raster.py:geotiff_to_points); the oracle
+    regenerates every pixel row and its affine coordinates from the
+    construction arithmetic."""
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    d = _doc_geotiffs(spark, sf_dir).select("doc_id", "data")
+    return geotiff_to_points(d).select(
+        "doc_id", "col", "row", "x", "y", "value")
+
+
+@register(
+    "raster_zonal_stats",
+    f"""
+    WITH pts AS ({_RASTER_PTS_SQL})
+    SELECT doc_id, CAST(col // 4 AS INT) AS zx, CAST(row // 3 AS INT) AS zy,
+           ROUND(AVG(value), 4) AS mean_v, COUNT(*) AS n
+    FROM pts GROUP BY 1, 2, 3
+    """,
+)
+def q_raster_zonal(spark, sf_dir):
+    """Zonal statistics as pure composition: raster -> points -> ordinary
+    groupBy on the zone grid.  No raster-specific aggregation machinery
+    — at 100 TB this is files-parallel decode + one keyed aggregate."""
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    d = _doc_geotiffs(spark, sf_dir).select("doc_id", "data")
+    pts = geotiff_to_points(d)
+    return pts.groupBy(
+        "doc_id",
+        F.floor(F.col("col") / 4).cast("int").alias("zx"),
+        F.floor(F.col("row") / 3).cast("int").alias("zy"),
+    ).agg(F.round(F.avg("value"), 4).alias("mean_v"),
+          F.count("*").alias("n"))

@@ -1,0 +1,134 @@
+"""Raster operators over the pure-numpy GeoTIFF path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.test_tiff import write_tiff_ref
+
+
+def test_build_geotiff_vs_independent_reader():
+    """Product writer x independent test reader (and the reverse) —
+    writer and decoder cannot share a bug."""
+    import struct
+
+    from geoparquet_io_spark.functions.tiff import build_geotiff
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (5, 9)).astype(np.uint8)
+    buf = build_geotiff(img, epsg=32633, origin=(100.0, 200.0),
+                        scale=(10.0, 10.0))
+    # independent raw-struct spot checks on the product writer's bytes
+    assert buf[:2] == b"II" and struct.unpack_from("<H", buf, 2)[0] == 42
+    n = struct.unpack_from("<H", buf, 8)[0]
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from("<HHI", buf, 10 + 12 * i)
+        tags[tag] = (typ, cnt, 10 + 12 * i + 8)
+    assert struct.unpack_from("<H", buf, tags[256][2])[0] == 9   # width
+    assert struct.unpack_from("<H", buf, tags[257][2])[0] == 5   # height
+    off = struct.unpack_from("<I", buf, tags[273][2])[0]
+    assert buf[off:off + 45] == img.tobytes()
+    # and the independent writer's bytes through the product reader
+    from geoparquet_io_spark.functions.tiff import decode_tiff
+
+    assert np.array_equal(
+        decode_tiff(write_tiff_ref(img, compression=5)), img)
+
+
+def test_extract_raster_metadata_spark(spark):
+    from geoparquet_io_spark.operators.raster import extract_raster_metadata
+
+    rng = np.random.RandomState(1)
+    dem = (rng.rand(12, 10) * 2000).astype(np.float32)
+    buf = write_tiff_ref(dem, compression=8,
+                         geo=dict(epsg=32633, origin=(500000.0, 4650000.0),
+                                  scale=(30.0, 30.0)))
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    m = extract_raster_metadata(df).collect()[0]["raster_meta"]
+    assert (m["width"], m["height"], m["bands"], m["epsg"]) == (10, 12, 1, 32633)
+    assert m["dtype"] == "float32"
+    assert abs(m["band_mean"] - float(dem.astype("f8").mean())) < 1e-9
+    assert m["band_min"] == pytest.approx(float(dem.min()))
+
+
+def test_geotiff_to_points_exact_coords(spark):
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    buf = write_tiff_ref(img, geo=dict(epsg=32633, origin=(1000.0, 2000.0),
+                                       scale=(10.0, 5.0)))
+    df = spark.createDataFrame([(7, bytearray(buf))], ["img_id", "data"])
+    rows = geotiff_to_points(df).orderBy("row", "col").collect()
+    assert len(rows) == 12
+    r0 = rows[0]
+    assert (r0["img_id"], r0["col"], r0["row"]) == (7, 0, 0)
+    assert (r0["x"], r0["y"]) == (1005.0, 1997.5)   # pixel CENTER
+    assert rows[-1]["value"] == 11.0
+    assert rows[-1]["x"] == 1000.0 + 3.5 * 10.0
+
+    strided = geotiff_to_points(df, stride=2).collect()
+    assert sorted((r["row"], r["col"]) for r in strided) == \
+        [(0, 0), (0, 2), (2, 0), (2, 2)]
+
+
+def test_geotiff_to_points_guards(spark):
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    img = np.zeros((50, 50), dtype=np.uint8)
+    geo = dict(epsg=4326, origin=(0.0, 0.0), scale=(1.0, 1.0))
+    df = spark.createDataFrame(
+        [(1, bytearray(write_tiff_ref(img, geo=geo)))], ["id", "data"])
+    with pytest.raises(Exception, match="max_pixels"):
+        geotiff_to_points(df, max_pixels=100).collect()
+    # no georeferencing -> loud error
+    df2 = spark.createDataFrame(
+        [(1, bytearray(write_tiff_ref(img)))], ["id", "data"])
+    with pytest.raises(Exception, match="georeferencing"):
+        geotiff_to_points(df2).collect()
+
+
+def test_rasterize_points_roundtrip():
+    """points -> raster -> points recovers the per-cell means."""
+    import pandas as pd
+
+    from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
+    from geoparquet_io_spark.operators.raster import rasterize_points
+
+    pts = pd.DataFrame({
+        "x": [5.0, 5.1, 25.0, 35.0],
+        "y": [95.0, 95.2, 85.0, 75.0],
+        "value": [2.0, 4.0, 10.0, 7.0],
+    })
+    buf = rasterize_points(pts, width=4, height=3, origin=(0.0, 100.0),
+                           scale=(10.0, 10.0), epsg=32633)
+    arr = decode_tiff(buf)
+    assert arr.dtype == np.float32 and arr.shape == (3, 4)
+    assert arr[0, 0] == pytest.approx(3.0)    # mean of 2 and 4
+    assert arr[1, 2] == pytest.approx(10.0)
+    assert arr[2, 3] == pytest.approx(7.0)
+    assert geotiff_info(buf).epsg == 32633
+
+
+def test_raster_points_compose_with_vector_ops(spark):
+    """The exploded points drive an ordinary zonal groupBy — raster
+    pixels aggregated per 2x2-degree zone with plain Spark exprs."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    geo = dict(epsg=4326, origin=(0.0, 4.0), scale=(1.0, 1.0))
+    df = spark.createDataFrame(
+        [(1, bytearray(write_tiff_ref(img, geo=geo)))], ["id", "data"])
+    pts = geotiff_to_points(df)
+    zones = pts.groupBy(
+        F.floor(F.col("x") / 2).alias("zx"),
+        F.floor(F.col("y") / 2).alias("zy"),
+    ).agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+    got = {(r["zx"], r["zy"]): (r["s"], r["n"]) for r in zones.collect()}
+    # zone (0,1) covers rows 0-1, cols 0-1 -> values 0,1,4,5
+    assert got[(0, 1)] == (10.0, 4)      # values 0,1,4,5
+    assert got[(1, 0)] == (50.0, 4)      # values 10,11,14,15
+    assert sum(v[1] for v in got.values()) == 16

@@ -1,0 +1,259 @@
+"""TIFF/GeoTIFF decoder vs an independent in-test writer.
+
+The writer builds IFDs and compressors straight from the TIFF 6.0 spec
+text and shares no code with ``functions/tiff.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geoparquet_io_spark.functions.tiff import (decode_tiff, geotiff_info)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """MSB-first TIFF LZW with EarlyChange (width grows at 2^w - 1)."""
+    out_bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((256, width))
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        out_bits.append((table[prev], width))
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        out_bits.append((table[prev], width))
+    out_bits.append((257, width))
+    acc = n = 0
+    out = bytearray()
+    for code, w in out_bits:
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simplest legal PackBits: literal runs of <=128 bytes."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def write_tiff_ref(img, *, endian="<", compression=1, predictor=1,
+                   rows_per_strip=None, tile=None, sample_format=None,
+                   geo=None):
+    """Independent TIFF writer: strips or tiles, chunky planar config.
+
+    ``geo``: optional dict(epsg=, origin=(x, y), scale=(pw, ph),
+    geographic=False) adding GeoTIFF tags.
+    """
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w, spp)
+    dt = px.dtype
+    if sample_format is None:
+        sample_format = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    def comp_bytes(arr):
+        if predictor == 2:
+            a64 = arr.astype(np.int64)
+            d = np.concatenate([a64[:, :1], np.diff(a64, axis=1)], axis=1)
+            arr = d.astype(dt)
+        raw = arr.astype(endian + dt.kind + str(dt.itemsize)).tobytes()
+        if compression == 1:
+            return raw
+        if compression == 5:
+            return _lzw_encode_tiff(raw)
+        if compression == 8:
+            return zlib.compress(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        raise AssertionError(compression)
+
+    chunks = []
+    if tile:
+        tw, th = tile
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw, spp), dtype=dt)
+                sub = px[ty:ty + th, tx:tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(comp_bytes(block))
+    else:
+        rps = rows_per_strip or h
+        for y in range(0, h, rps):
+            chunks.append(comp_bytes(px[y:y + rps]))
+
+    e = endian
+    tags = {
+        256: (3, [w]), 257: (3, [h]), 258: (3, [bits] * spp),
+        259: (3, [compression]), 262: (3, [1]),
+        277: (3, [spp]), 284: (3, [1]), 339: (3, [sample_format] * spp),
+    }
+    if predictor != 1:
+        tags[317] = (3, [predictor])
+    if geo:
+        ox, oy = geo["origin"]
+        pw, ph = geo["scale"]
+        tags[33550] = (12, [pw, ph, 0.0])
+        tags[33922] = (12, [0.0, 0.0, 0.0, ox, oy, 0.0])
+        model = 2 if geo.get("geographic") else 1
+        keyid = 2048 if geo.get("geographic") else 3072
+        tags[34735] = (3, [1, 1, 0, 2,
+                           1024, 0, 1, model,
+                           keyid, 0, 1, geo["epsg"]])
+
+    # lay out: header, IFD, value arrays, pixel chunks
+    ntags_placeholder = dict(tags)
+    if tile:
+        ntags_placeholder[322] = (3, [tile[0]])
+        ntags_placeholder[323] = (3, [tile[1]])
+        ntags_placeholder[324] = (4, [0] * len(chunks))
+        ntags_placeholder[325] = (4, [len(c) for c in chunks])
+    else:
+        rps = rows_per_strip or h
+        ntags_placeholder[278] = (3, [rps])
+        ntags_placeholder[273] = (4, [0] * len(chunks))
+        ntags_placeholder[279] = (4, [len(c) for c in chunks])
+    n = len(ntags_placeholder)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    tsize = {3: 2, 4: 4, 12: 8}
+    # first pass: allocate external value space
+    ext = {}
+    for tag in sorted(ntags_placeholder):
+        typ, vals = ntags_placeholder[tag]
+        size = tsize[typ] * len(vals)
+        if size > 4:
+            ext[tag] = data_off
+            data_off += (size + 1) & ~1
+    chunk_offs = []
+    for c in chunks:
+        chunk_offs.append(data_off)
+        data_off += (len(c) + 1) & ~1
+    ntags_placeholder[324 if tile else 273] = (4, chunk_offs)
+
+    out = bytearray()
+    out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, 8)
+    out += struct.pack(e + "H", n)
+    fmt = {3: "H", 4: "I", 12: "d"}
+    for tag in sorted(ntags_placeholder):
+        typ, vals = ntags_placeholder[tag]
+        size = tsize[typ] * len(vals)
+        out += struct.pack(e + "HHI", tag, typ, len(vals))
+        if size <= 4:
+            out += struct.pack(e + str(len(vals)) + fmt[typ],
+                               *vals).ljust(4, b"\x00")
+        else:
+            out += struct.pack(e + "I", ext[tag])
+    out += struct.pack(e + "I", 0)    # no next IFD
+    for tag in sorted(ntags_placeholder):
+        typ, vals = ntags_placeholder[tag]
+        if tsize[typ] * len(vals) > 4:
+            body = struct.pack(e + str(len(vals)) + fmt[typ], *vals)
+            out += body + b"\x00" * (len(body) & 1)
+    for c in chunks:
+        out += c + b"\x00" * (len(c) & 1)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+def test_tiff_roundtrip_gray(endian, compression):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    buf = write_tiff_ref(img, endian=endian, compression=compression)
+    assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_rgb_strips_and_predictor():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (17, 9, 3)).astype(np.uint8)
+    for comp in (5, 8):
+        buf = write_tiff_ref(img, compression=comp, predictor=2,
+                             rows_per_strip=5)
+        assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_uint16_and_float32():
+    rng = np.random.RandomState(3)
+    dem = (rng.rand(11, 7) * 4000).astype(np.float32)
+    buf = write_tiff_ref(dem, compression=8)
+    out = decode_tiff(buf)
+    assert out.dtype == np.float32 and np.array_equal(out, dem)
+    land = rng.randint(0, 65535, (8, 8)).astype(np.uint16)
+    for endian in ("<", ">"):
+        buf = write_tiff_ref(land, endian=endian, compression=5)
+        assert np.array_equal(decode_tiff(buf), land)
+    signed = rng.randint(-30000, 30000, (6, 5)).astype(np.int16)
+    assert np.array_equal(decode_tiff(write_tiff_ref(signed)), signed)
+
+
+def test_tiff_tiled():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (30, 50)).astype(np.uint8)
+    buf = write_tiff_ref(img, tile=(16, 16), compression=8)
+    assert np.array_equal(decode_tiff(buf), img)
+    buf = write_tiff_ref(img, tile=(16, 16), compression=5, predictor=2)
+    assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_lzw_long_stream():
+    """Force width growth through 10/11/12 bits + a dict reset."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (60, 120)).astype(np.uint8)
+    buf = write_tiff_ref(img, compression=5)
+    assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_geotiff_keys_projected_and_geographic():
+    img = np.zeros((4, 6), dtype=np.uint8)
+    buf = write_tiff_ref(img, geo=dict(epsg=32633, origin=(500000.0, 4649776.0),
+                                       scale=(30.0, 30.0)))
+    info = geotiff_info(buf)
+    assert (info.width, info.height, info.bands) == (6, 4, 1)
+    assert info.epsg == 32633
+    assert (info.origin_x, info.origin_y) == (500000.0, 4649776.0)
+    assert (info.pixel_w, info.pixel_h) == (30.0, 30.0)
+
+    buf = write_tiff_ref(img, geo=dict(epsg=4326, origin=(-180.0, 90.0),
+                                       scale=(0.25, 0.25), geographic=True))
+    info = geotiff_info(buf)
+    assert info.epsg == 4326 and info.origin_x == -180.0
+
+
+def test_tiff_rejects():
+    with pytest.raises(ValueError):
+        decode_tiff(b"PK\x03\x04" + b"\x00" * 64)
+    bad = bytearray(write_tiff_ref(np.zeros((2, 2), np.uint8)))
+    struct.pack_into("<H", bad, 2, 43)
+    with pytest.raises(ValueError, match="BigTIFF"):
+        decode_tiff(bytes(bad))
