@@ -62,3 +62,54 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     (F.round(F.col("pr"), round_digits)
                      if round_digits is not None else F.col("pr")).alias("pagerank"))
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   per_vertex: bool = True) -> DataFrame:
+    """Exact triangle counting via the degree-ordered edge-iterator.
+
+    The undirected edge set is oriented from the (degree, id)-smaller
+    endpoint to the larger, so every triangle materialises as exactly
+    one wedge-plus-closing-edge match and — the classic bound — the
+    wedge join fans out at most O(m^{3/2}) candidates regardless of
+    skew: a hub of degree d contributes wedges only from its ~sqrt(m)
+    higher-ordered neighbors, never d^2.  Two equi-join shuffles total;
+    no windows, no cross product.
+
+    Returns (vertex, n_triangles) when ``per_vertex`` (vertices in no
+    triangle are absent), else a single-row (n_triangles) total.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    # orient by (degree, id): lo -> hi
+    oriented = (e.join(da, "a").join(db, "b")
+                .select(
+                    F.when((F.col("da") < F.col("db"))
+                           | ((F.col("da") == F.col("db"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("a")).otherwise(F.col("b")).alias("lo"),
+                    F.when((F.col("da") < F.col("db"))
+                           | ((F.col("da") == F.col("db"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("b")).otherwise(F.col("a")).alias("hi"))
+                .localCheckpoint(eager=False))
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    w2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = w1.join(w2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tris = wedges.join(closing, ["x", "z"])
+    if not per_vertex:
+        return tris.agg(F.count("*").alias("n_triangles"))
+    verts = (tris.select(F.col("x").alias("vertex"))
+             .unionAll(tris.select(F.col("y").alias("vertex")))
+             .unionAll(tris.select(F.col("z").alias("vertex"))))
+    return verts.groupBy("vertex").agg(F.count("*").alias("n_triangles"))

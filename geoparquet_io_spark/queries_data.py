@@ -2695,3 +2695,34 @@ def q_raster_zonal(spark, sf_dir):
         F.floor(F.col("row") / 3).cast("int").alias("zy"),
     ).agg(F.round(F.avg("value"), 4).alias("mean_v"),
           F.count("*").alias("n"))
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH raw AS (SELECT o_custkey % 40 AS s, o_orderkey % 40 AS d
+                 FROM orders),
+    e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+          FROM raw WHERE s <> d),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    v AS (SELECT x AS v FROM t UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    SELECT v AS vertex, COUNT(*) AS n_triangles FROM v GROUP BY 1
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-vertex triangle counts on the orders-derived graph
+    (operators/graph.py:triangle_count) — the clustering-coefficient
+    numerator used for community/spam signals in web-graph curation.
+    Degree-ordered edge-iterator: the oracle's naive 3-way self-join is
+    the quadratic form the operator avoids."""
+    from geoparquet_io_spark.operators.graph import triangle_count
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select((F.col("o_custkey") % 40).alias("src"),
+                     (F.col("o_orderkey") % 40).alias("dst")) \
+             .filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)

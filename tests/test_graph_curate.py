@@ -305,3 +305,43 @@ def test_dsir_topn_is_take_ordered(spark):
     plan = formatted_plan(out)
     assert "TakeOrderedAndProject" in plan, plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Random graph: degree-ordered count == itertools brute force."""
+    import itertools
+    import random
+
+    from geoparquet_io_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    edges = {(a, b) for a in range(15) for b in range(a + 1, 15)
+             if rng.random() < 0.3}
+    adj = {v: set() for v in range(15)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want_total = sum(1 for x, y, z in itertools.combinations(range(15), 3)
+                     if y in adj[x] and z in adj[x] and z in adj[y])
+    per_v = {v: sum(1 for x, y, z in itertools.combinations(range(15), 3)
+                    if v in (x, y, z)
+                    and y in adj[x] and z in adj[x] and z in adj[y])
+             for v in range(15)}
+    # feed DIRECTED duplicates + self loops: operator must canonicalize
+    raw = [(a, b) for a, b in edges] + [(b, a) for a, b in edges] \
+        + [(3, 3), (5, 5)]
+    df = spark.createDataFrame(raw, ["src", "dst"])
+    got = {r["vertex"]: r["n_triangles"]
+           for r in triangle_count(df).collect()}
+    assert got == {v: c for v, c in per_v.items() if c > 0}
+    tot = triangle_count(df, per_vertex=False).collect()[0]["n_triangles"]
+    assert tot == want_total
+
+
+def test_triangle_count_plan_no_cartesian(spark):
+    from geoparquet_io_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
