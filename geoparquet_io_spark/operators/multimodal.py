@@ -129,13 +129,69 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, off: int, h: int, w: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of h scanlines of w pixels with
+    ``bpp`` BYTES per pixel starting at ``off``; returns the
+    (h, w*bpp) byte rows and the new offset.  Filters operate on
+    bytes with bpp-byte left lanes regardless of sample depth —
+    exactly the spec's definition."""
+    stride = w * bpp
+    if len(raw) < off + h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        o = off + y * (stride + 1)
+        ftype = raw[o]
+        line = np.frombuffer(raw, np.uint8, stride, o + 1)
+        if ftype == 0:          # None
+            cur = line.copy()
+        elif ftype == 2:        # Up
+            cur = line + prev   # uint8 wraps mod 256, per spec
+        elif ftype == 1:        # Sub: cumulative left sum per byte lane
+            cur = (np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
+                   % 256).astype(np.uint8).reshape(stride)
+        elif ftype in (3, 4):   # Average / Paeth: true left dependency --
+            # loop over x (vector over byte lanes); up row is known
+            ln = line.reshape(w, bpp).astype(np.int64)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            cur2 = np.zeros((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                if ftype == 3:
+                    pred = (left + up[x]) >> 1
+                else:
+                    p = left + up[x] - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up[x])
+                    pc = np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up[x], ul))
+                cur2[x] = (ln[x] + pred) % 256
+                left = cur2[x]
+                ul = up[x]
+            cur = cur2.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out, off + h * (stride + 1)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """REAL PNG decoder in pure numpy + stdlib zlib (no codec library):
     parses chunks, inflates IDAT, and unfilters scanlines (all five
-    filter types).  Supports the common web cases — 8-bit depth,
-    grayscale / RGB / palette / gray+alpha / RGBA, non-interlaced.
+    filter types).  Supports 8-bit and 16-bit depth, grayscale / RGB /
+    palette / gray+alpha / RGBA, non-interlaced AND Adam7 interlaced.
     Palette images are expanded to RGB.  Returns (h, w[, channels])
-    uint8."""
+    uint8 (or uint16 for depth 16)."""
     import struct
     import zlib
 
@@ -161,59 +217,40 @@ def decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported (depth={depth})")
+    if ctype == 3 and depth != 8:
+        raise ValueError("palette PNG must be 8-bit")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
-    bpp = channels
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG scanline data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1)
-        if ftype == 0:          # None
-            cur = line.copy()
-        elif ftype == 2:        # Up
-            cur = line + prev   # uint8 wraps mod 256, per spec
-        elif ftype == 1:        # Sub: cumulative left sum per bpp lane
-            cur = (np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
-                   % 256).astype(np.uint8).reshape(stride)
-        elif ftype in (3, 4):   # Average / Paeth: true left dependency --
-            # loop over x (vector over channel lanes); up row is known
-            ln = line.reshape(w, bpp).astype(np.int64)
-            up = prev.reshape(w, bpp).astype(np.int64)
-            cur2 = np.zeros((w, bpp), dtype=np.int64)
-            left = np.zeros(bpp, dtype=np.int64)
-            ul = np.zeros(bpp, dtype=np.int64)
-            for x in range(w):
-                if ftype == 3:
-                    pred = (left + up[x]) >> 1
-                else:
-                    p = left + up[x] - ul
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up[x])
-                    pc = np.abs(p - ul)
-                    pred = np.where((pa <= pb) & (pa <= pc), left,
-                                    np.where(pb <= pc, up[x], ul))
-                cur2[x] = (ln[x] + pred) % 256
-                left = cur2[x]
-                ul = up[x]
-            cur = cur2.astype(np.uint8).reshape(stride)
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = cur
-        prev = cur
-    arr = out.reshape(h, w, channels)
+    bpp = channels * (depth // 8)
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, w, bpp)
+        byts = rows.reshape(h, w, bpp)
+    else:                   # Adam7: 7 independently-filtered sub-images
+        byts = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw, bpp)
+            byts[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+
+    if depth == 16:         # network byte order per spec
+        arr = byts.reshape(h, w * channels, 2)
+        arr = (arr[:, :, 0].astype(np.uint16) << 8) | arr[:, :, 1]
+        arr = arr.reshape(h, w, channels)
+    else:
+        arr = byts.reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

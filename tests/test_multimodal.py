@@ -346,3 +346,117 @@ def test_parse_avi_rejects_non_avi():
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError):
         parse_avi(b"\x00" * 64)
+
+
+# --- PNG completeness: 16-bit depth + Adam7 interlace ----------------------
+
+def _filter_rows(byte_rows, bpp, filters):
+    """Independent pure-python per-row filtering of raw byte rows."""
+    out = bytearray()
+    prev = [0] * len(byte_rows[0])
+    for y, cur in enumerate(byte_rows):
+        ft = filters[y % len(filters)]
+        out.append(ft)
+        for i in range(len(cur)):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = (cur[i] - left) % 256
+            elif ft == 2:
+                v = (cur[i] - up) % 256
+            elif ft == 3:
+                v = (cur[i] - (left + up) // 2) % 256
+            else:
+                v = (cur[i] - _paeth(left, up, ul)) % 256
+            out.append(v)
+        prev = cur
+    return bytes(out)
+
+
+_ADAM7_GRID = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _make_png2(arr, ctype, filters, depth=8, interlace=0):
+    """General independent PNG encoder: (h, w, ch) uint8/16 array,
+    8/16-bit, optional Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr)
+    h, w, ch = arr.shape
+    if depth == 16:
+        hi = (arr >> 8).astype(np.uint8)
+        lo = (arr & 0xFF).astype(np.uint8)
+        byts = np.stack([hi, lo], axis=-1).reshape(h, w, ch * 2)
+    else:
+        byts = arr.astype(np.uint8)
+    bpp = byts.shape[2]
+
+    raw = bytearray()
+    if interlace == 0:
+        rows = [[int(v) for v in byts[y].reshape(-1)] for y in range(h)]
+        raw += _filter_rows(rows, bpp, filters)
+    else:
+        for (x0, y0, dx, dy) in _ADAM7_GRID:
+            sub = byts[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = [[int(v) for v in sub[y].reshape(-1)]
+                    for y in range(sub.shape[0])]
+            raw += _filter_rows(rows, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_16bit_gray_and_rgb():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(21)
+    gray = rng.randint(0, 65536, (9, 7, 1)).astype(np.uint16)
+    buf = _make_png2(gray, ctype=0, filters=[0, 1, 2, 3, 4], depth=16)
+    out = decode_png(buf)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, gray[:, :, 0])
+
+    rgb = rng.randint(0, 65536, (6, 11, 3)).astype(np.uint16)
+    buf = _make_png2(rgb, ctype=2, filters=[4, 3, 2, 1, 0], depth=16)
+    assert np.array_equal(decode_png(buf), rgb)
+
+
+def test_decode_png_adam7_interlaced():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(22)
+    # dimensions chosen so every pass is non-empty AND non-multiple of 8
+    rgb = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    buf = _make_png2(rgb, ctype=2, filters=[0, 1, 2, 3, 4], interlace=1)
+    assert np.array_equal(decode_png(buf), rgb)
+    # tiny images: several Adam7 passes are EMPTY
+    for shape in ((1, 1), (2, 3), (5, 4)):
+        img = rng.randint(0, 256, (*shape, 4)).astype(np.uint8)
+        buf = _make_png2(img, ctype=6, filters=[1, 4], interlace=1)
+        assert np.array_equal(decode_png(buf), img)
+
+
+def test_decode_png_adam7_16bit():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(23)
+    ga = rng.randint(0, 65536, (10, 9, 2)).astype(np.uint16)
+    buf = _make_png2(ga, ctype=4, filters=[4, 2], depth=16, interlace=1)
+    assert np.array_equal(decode_png(buf), ga)
