@@ -2726,3 +2726,42 @@ def q_graph_triangles(spark, sf_dir):
                      (F.col("o_orderkey") % 40).alias("dst")) \
              .filter(F.col("src") != F.col("dst"))
     return triangle_count(edges)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    n = (1 << bits) - 1
+    x_terms = " + ".join(f"((gx >> {j}) & 1) * {1 << (2 * j)}"
+                         for j in range(bits))
+    y_terms = " + ".join(f"((gy >> {j}) & 1) * {1 << (2 * j + 1)}"
+                         for j in range(bits))
+    return f"""
+    WITH ext AS (
+      SELECT MIN(o_totalprice) AS plo, MAX(o_totalprice) AS phi,
+             MIN(o_custkey) AS clo, MAX(o_custkey) AS chi
+      FROM orders),
+    g AS (
+      SELECT o_orderkey,
+        LEAST({n}, GREATEST(0, CAST(FLOOR(
+          (o_totalprice - plo) / (phi - plo) * {n}.0 + 0.5) AS BIGINT)))
+          AS gx,
+        LEAST({n}, GREATEST(0, CAST(FLOOR(
+          (CAST(o_custkey AS DOUBLE) - clo) / (chi - clo) * {n}.0 + 0.5)
+          AS BIGINT))) AS gy
+      FROM orders, ext)
+    SELECT o_orderkey, {x_terms} + {y_terms} AS zkey
+    FROM g
+    """
+
+
+@register("sort_zorder_multicolumn", _zorder_oracle())
+def q_zorder_multicolumn(spark, sf_dir):
+    """Generic multi-column Z-ORDER key (operators/sorts.py:zorder_by,
+    linear mode): the Delta/Iceberg OPTIMIZE ZORDER BY layout over
+    (o_totalprice, o_custkey).  The oracle recomputes the uniform-grid
+    bucket ids and the full bit interleave in SQL."""
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    o = load_table(spark, sf_dir, "orders")
+    z = zorder_by(o, ["o_totalprice", "o_custkey"], bits=8,
+                  key_column="zkey", keep_key=True)
+    return z.select("o_orderkey", "zkey")

@@ -489,3 +489,106 @@ def test_pq_trained_cluster_consistency_and_encode_plan(spark):
     cluster_of = {r["vec_id"]: r["cluster"] for r in df.collect()}
     for r in top:
         assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]], r
+
+
+def test_zorder_interleave_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sorts import _interleave
+
+    def ref(vals, bits):
+        key = 0
+        for i, v in enumerate(vals):
+            for j in range(bits):
+                key |= ((v >> j) & 1) << (j * len(vals) + i)
+        return key
+
+    rows = [(5, 200, 9), (0, 0, 0), (255, 255, 255), (170, 85, 1)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = df.withColumn("k", _interleave(
+        [F.col("a").cast("long"), F.col("b").cast("long"),
+         F.col("c").cast("long")], 8)).collect()
+    for r in out:
+        assert r["k"] == ref((r["a"], r["b"], r["c"]), 8)
+
+
+def test_zorder_by_clusters_every_column(spark):
+    """After Z-ORDER clustering into 8 range partitions, each partition
+    covers a narrow band of BOTH columns; a plain single-column sort
+    leaves the second column's per-partition spans at full width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(10000), rng.randrange(10000))
+            for _ in range(4000)]
+    df = spark.createDataFrame(rows, ["x", "y"]).repartition(8)
+
+    def mean_span(clustered, col):
+        spans = (clustered
+                 .withColumn("p", F.spark_partition_id())
+                 .groupBy("p")
+                 .agg((F.max(col) - F.min(col)).alias("s"))
+                 .agg(F.avg("s")).collect()[0][0])
+        return spans
+
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    z = zorder_by(df, ["x", "y"], bits=8, num_partitions=8) \
+        .localCheckpoint(eager=True)
+    plain = df.repartitionByRange(8, "x").sortWithinPartitions("x") \
+        .localCheckpoint(eager=True)
+    # plain sort: y spans stay ~full width (~10000); zorder: both shrink
+    assert mean_span(plain, "y") > 8000
+    assert mean_span(z, "x") < 6000
+    assert mean_span(z, "y") < 6000
+
+
+def test_zorder_by_range_method_handles_skew(spark):
+    """Equi-depth (range) buckets on a heavily skewed column still split
+    the data: the busiest of 16 x-buckets holds far less than the 90%
+    a linear grid would give it."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    # 90% of mass in [0, 10), long tail to 1e6
+    import random
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(10) if rng.random() < 0.9
+             else rng.randrange(1000000), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["x", "row_id"])
+    z = zorder_by(df, ["x", "row_id"], bits=4, method="range",
+                  key_column="zk", keep_key=True)
+    # recover the x bucket id from the interleaved key (even bits)
+    got = z.select("x", "zk").collect()
+
+    def unshuffle(k):
+        v = 0
+        for j in range(4):
+            v |= ((k >> (2 * j)) & 1) << j
+        return v
+
+    from collections import Counter
+
+    c = Counter(unshuffle(r["zk"]) for r in got)
+    assert len(c) >= 8                      # skew did not collapse buckets
+    assert max(c.values()) < 0.55 * 5000    # no 90% mega-bucket
+
+
+def test_zorder_by_strings_and_guards(spark):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    df = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), ("alpha", 3)], ["s", "v"])
+    out = zorder_by(df, ["s", "v"], bits=6, key_column="k", keep_key=True)
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["k"] >= 0 for r in rows)
+    with _pytest.raises(ValueError, match="63"):
+        zorder_by(df, ["s", "v"], bits=40)
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_by(df, [])
