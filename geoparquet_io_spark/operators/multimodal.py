@@ -563,3 +563,111 @@ def extract_audio_metadata(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def _gray_pool(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Grayscale + area-block average-pool to (rows, cols): channels are
+    averaged, then row/col index blocks (np.array_split) are averaged —
+    deterministic on any input size."""
+    g = img.astype("f8")
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    pooled = np.empty((rows, cols), dtype="f8")
+    rsplit = np.array_split(np.arange(g.shape[0]), rows)
+    csplit = np.array_split(np.arange(g.shape[1]), cols)
+    for i, ri in enumerate(rsplit):
+        band = g[ri]
+        for j, cj in enumerate(csplit):
+            pooled[i, j] = band[:, cj].mean()
+    return pooled
+
+
+def dhash(img: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash: pool to (hash_size, hash_size + 1) grayscale,
+    emit one bit per horizontal gradient (left > right), row-major.
+    hash_size 8 -> 64 bits (the standard pHash-library layout)."""
+    pooled = _gray_pool(img, hash_size, hash_size + 1)
+    bits = pooled[:, :-1] > pooled[:, 1:]
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:        # two's-complement into a signed 64-bit long
+        v -= 1 << 64
+    return v
+
+
+def add_image_dhash(
+    df: DataFrame,
+    data_column: str = "data",
+    hash_column: str = "dhash",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over an image binary column (any
+    format the real decoders speak: BMP/PNG/JPEG/GIF).  The 100 TB
+    image-dedup primitive: one decode + 64-bit signature per file,
+    map-only; pairing happens on the signatures, never the pixels."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(hash_column, T.LongType(), True)]
+    )
+    idx = df.columns.index(data_column)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for buf in pdf.iloc[:, idx]:
+                if buf is None:
+                    vals.append(None)
+                    continue
+                vals.append(dhash(_decode_image_real(bytes(buf)), hash_size))
+            pdf[hash_column] = pd.array(vals, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_near_duplicate_pairs(
+    df: DataFrame,
+    id_column: str,
+    data_column: str = "data",
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance, banded so the
+    pair space never goes all-pairs: the 64-bit signature splits into
+    ``bands`` byte bands and candidates meet on a (band, value)
+    equi-join.  Pigeonhole completeness: ``max_hamming < bands``
+    guarantees one identical band per qualifying pair.  Same LSH shape
+    as dedup.simhash_candidate_pairs (operators/dedup.py:370)."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming must be < bands={bands} for pigeonhole "
+            f"completeness, got {max_hamming}")
+    width = hash_size * hash_size
+    bw = width // bands
+    sigs = add_image_dhash(df, data_column, "dh", hash_size) \
+        .select(F.col(id_column).alias("id"), F.col("dh")) \
+        .localCheckpoint(eager=False)
+    banded = sigs.select(
+        "id", "dh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftrightunsigned(F.col("dh"), bw * b)
+                     .bitwiseAND(F.lit((1 << bw) - 1)).alias("v"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("id", "dh", F.col("band.b").alias("b"),
+             F.col("band.v").alias("v"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("dh").alias("dh_a"), "b", "v")
+    bb = banded.select(F.col("id").alias("id_b"),
+                       F.col("dh").alias("dh_b"), "b", "v")
+    pairs = (a.join(bb, ["b", "v"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "dh_a", "dh_b")
+             .distinct())
+    ham = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -2765,3 +2765,104 @@ def q_zorder_multicolumn(spark, sf_dir):
     z = zorder_by(o, ["o_totalprice", "o_custkey"], bits=8,
                   key_column="zkey", keep_key=True)
     return z.select("o_orderkey", "zkey")
+
+
+# --- perceptual image hashing over per-doc BMPs ----------------------------
+
+def _doc_bmp_template():
+    """54-byte BMP header for a 24-bit 8x7 bottom-up image (stride 24,
+    no padding) — the fixed prefix; 168 pixel bytes follow."""
+    import struct as _s
+
+    header = b"BM" + _s.pack("<IHHI", 54 + 168, 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 8, 7, 1, 24, 0, 168, 2835, 2835,
+                   0, 0)
+    return header + info
+
+
+def _dhash49_sql(tcol: str) -> str:
+    """dhash(hash_size=7) of the 8x7 BMP whose 168 pixel bytes are the
+    chars of ``tcol`` (bottom-up rows): gray(r,c) averages 3 bytes;
+    bit (r,c) = gray(r,c) > gray(r,c+1), MSB-first."""
+    gray = (f"[(ascii(substr({tcol}, (6 - i // 8) * 24 + (i % 8) * 3 + 1, 1))"
+            f" + ascii(substr({tcol}, (6 - i // 8) * 24 + (i % 8) * 3 + 2, 1))"
+            f" + ascii(substr({tcol}, (6 - i // 8) * 24 + (i % 8) * 3 + 3, 1))"
+            f") / 3.0 FOR i IN range(0, 56)]")
+    return (f"list_reduce([CASE WHEN {gray}[(j // 7) * 8 + (j % 7) + 1] > "
+            f"{gray}[(j // 7) * 8 + (j % 7) + 2] "
+            f"THEN (1::BIGINT << (48 - j)) ELSE 0::BIGINT END "
+            f"FOR j IN range(0, 49)], (a, b) -> a + b)")
+
+
+_DHASH_DOCS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(168.0 / length(text)) AS INT)),
+                    1, 168) AS t
+      FROM documents WHERE length(text) >= 1)
+    SELECT doc_id, {_dhash49_sql('t')} AS dhash FROM d
+"""
+
+
+def _doc_bmps(spark, sf_dir, perturb: bool = False):
+    tpl = _doc_bmp_template()
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 1)
+         .withColumn("t", F.expr(
+             "substr(repeat(text, cast(ceil(168.0/length(text)) as int)),"
+             " 1, 168)")))
+    src = (F.concat(F.substring("t", 1, 165), F.lit("zzz")) if perturb
+           else F.col("t"))
+    return d.withColumn("data",
+                        F.concat(F.lit(tpl), F.encode(src, "utf-8")))
+
+
+@register("multimodal_image_dhash", _DHASH_DOCS_SQL)
+def q_image_dhash(spark, sf_dir):
+    """Perceptual difference-hash (operators/multimodal.py:add_image_dhash,
+    hash_size=7 -> 49 bits) over per-doc 24-bit BMPs assembled with
+    native binary concat; the oracle recomputes the pooled-gray
+    gradient bits from the source bytes."""
+    from geoparquet_io_spark.operators.multimodal import add_image_dhash
+
+    d = _doc_bmps(spark, sf_dir).select("doc_id", "data")
+    return add_image_dhash(d, "data", "dhash", hash_size=7) \
+        .select("doc_id", "dhash")
+
+
+@register(
+    "multimodal_image_near_dup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(168.0 / length(text)) AS INT)),
+                    1, 168) AS t
+      FROM documents WHERE length(text) >= 1),
+    imgs AS (
+      SELECT doc_id * 2 AS img_id, {_dhash49_sql('t')} AS h FROM d
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id,
+             {_dhash49_sql("concat(substr(t, 1, 165), 'zzz')")} AS h
+      FROM d)
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM imgs a JOIN imgs b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.h, b.h)) <= 6
+    """,
+)
+def q_image_near_dup(spark, sf_dir):
+    """Image near-dup pairing (multimodal.py:image_near_duplicate_pairs):
+    every doc contributes its BMP and a last-pixel-perturbed copy, so
+    each pair (2d, 2d+1) sits within hamming <= 1 and must surface;
+    the banded LSH join (7 bands x 7 bits, pigeonhole-complete for
+    hamming <= 6) finds them without an all-pairs product, while the
+    oracle IS the all-pairs product."""
+    from geoparquet_io_spark.operators.multimodal import (
+        image_near_duplicate_pairs)
+
+    a = _doc_bmps(spark, sf_dir).select(
+        (F.col("doc_id") * 2).alias("img_id"), "data")
+    b = _doc_bmps(spark, sf_dir, perturb=True).select(
+        (F.col("doc_id") * 2 + 1).alias("img_id"), "data")
+    return image_near_duplicate_pairs(a.unionAll(b), "img_id",
+                                      max_hamming=6, hash_size=7, bands=7)

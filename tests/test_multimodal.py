@@ -460,3 +460,65 @@ def test_decode_png_adam7_16bit():
     ga = rng.randint(0, 65536, (10, 9, 2)).astype(np.uint16)
     buf = _make_png2(ga, ctype=4, filters=[4, 2], depth=16, interlace=1)
     assert np.array_equal(decode_png(buf), ga)
+
+
+# --- perceptual image hashing (dHash) --------------------------------------
+
+def test_dhash_scale_invariant_and_sensitive():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import dhash
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    h1 = dhash(img)
+    # exact 2x nearest upsample pools back to the identical grid
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert dhash(up) == h1
+    # unrelated image: far away in hamming
+    other = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    assert bin((h1 ^ dhash(other)) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_image_near_duplicate_pairs_complete_vs_bruteforce(spark):
+    """Banded pairing loses no pair vs brute-force hamming (pigeonhole)."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import (
+        dhash, image_near_duplicate_pairs)
+
+    rng = np.random.RandomState(32)
+    bufs = []
+    base = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    for i in range(12):
+        img = base.copy()
+        # progressively larger perturbations -> a spread of distances
+        img[: i % 8, : i % 9] = rng.randint(0, 256, (i % 8, i % 9, 3))
+        bufs.append((i, bytearray(_make_bmp(9, 8, img))))
+    hashes = {
+        i: dhash(__import__("geoparquet_io_spark.operators.multimodal",
+                            fromlist=["decode_bmp"]).decode_bmp(bytes(b)))
+        for i, b in bufs}
+    def ham(a, b):
+        return bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+
+    want = sorted((a, b, ham(a, b)) for a in hashes for b in hashes
+                  if a < b and ham(a, b) <= 6)
+    df = spark.createDataFrame(bufs, "img_id int, data binary")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_duplicate_pairs(df, "img_id",
+                                            max_hamming=6).collect())
+    assert got == want
+    assert want, "fixture must actually produce near-dup pairs"
+
+
+def test_image_near_duplicate_pairs_guard(spark):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.multimodal import (
+        image_near_duplicate_pairs)
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "id int, data binary")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_duplicate_pairs(df, "id", max_hamming=8, bands=8)
