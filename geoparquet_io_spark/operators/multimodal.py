@@ -462,6 +462,8 @@ AUDIO_FEATURES_T = T.StructType([
     T.StructField("channels", T.IntegerType()),
     T.StructField("duration_s", T.DoubleType()),
     T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("spectral_centroid_hz", T.DoubleType()),
 ])
 
 
@@ -472,8 +474,11 @@ def extract_audio_features(
 ) -> DataFrame:
     """REAL audio featurizer for PCM WAV payloads (pure-numpy decode, no
     codec library): sample rate, channels, duration, RMS amplitude
-    (normalized to [0,1] full scale).  Arrow-batched mapInPandas — the
-    same batch shape a compressed-codec featurizer would use."""
+    (normalized to [0,1] full scale), zero-crossing rate of the mono
+    mix (sign changes / adjacent pairs), and spectral centroid in Hz
+    (magnitude-weighted mean rfft frequency).  Arrow-batched
+    mapInPandas — the same batch shape a compressed-codec featurizer
+    would use."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(feature_column, AUDIO_FEATURES_T, True)]
@@ -495,11 +500,23 @@ def extract_audio_features(
                     x = x / 32768.0
                 else:
                     x = x / 2147483648.0
+                mono = x.mean(axis=1) if x.size else x.reshape(0)
+                if mono.size > 1:
+                    s = np.signbit(mono)
+                    zcr = float((s[1:] != s[:-1]).mean())
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
+                    tot = float(mag.sum())
+                    cent = float((freqs * mag).sum() / tot) if tot else 0.0
+                else:
+                    zcr, cent = 0.0, 0.0
                 feats.append({
                     "sample_rate": int(rate),
                     "channels": int(samples.shape[1]),
                     "duration_s": float(samples.shape[0] / rate),
                     "rms": float(np.sqrt((x ** 2).mean())) if x.size else 0.0,
+                    "zcr": zcr,
+                    "spectral_centroid_hz": cent,
                 })
             pdf[feature_column] = feats
             yield pdf

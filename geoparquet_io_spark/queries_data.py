@@ -2866,3 +2866,58 @@ def q_image_near_dup(spark, sf_dir):
         (F.col("doc_id") * 2 + 1).alias("img_id"), "data")
     return image_near_duplicate_pairs(a.unionAll(b), "img_id",
                                       max_hamming=6, hash_size=7, bands=7)
+
+
+@register(
+    "multimodal_audio_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(200.0 / length(text)) AS INT)),
+                    1, 200) AS t
+      FROM documents WHERE length(text) >= 1),
+    s AS (SELECT doc_id,
+            [(ascii(substr(t, i, 1)) - 128.0) / 128.0
+             FOR i IN range(1, 201)] AS x
+          FROM d)
+    SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+           ROUND(200.0 / 8000.0, 6) AS duration_s,
+           ROUND(sqrt(list_reduce([v * v FOR v IN x],
+                                  (a, b) -> a + b) / 200.0), 6) AS rms,
+           ROUND(list_reduce(
+             [CASE WHEN (x[i] < 0) <> (x[i + 1] < 0) THEN 1.0
+                   ELSE 0.0 END FOR i IN range(1, 200)],
+             (a, b) -> a + b) / 199.0, 6) AS zcr
+    FROM s
+    """,
+)
+def q_audio_wav_features(spark, sf_dir):
+    """REAL WAV DSP, graded: per-doc 8-bit PCM WAVs (200 samples at
+    8 kHz, sample bytes = cycled text) built with native binary concat;
+    the featurizer decodes and computes RMS + zero-crossing rate, the
+    oracle recomputes both from the byte arithmetic.  (Spectral
+    centroid is FFT-based — covered by the physics-pinned pytest, not
+    SQL-expressible.)"""
+    import struct as _s
+
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_audio_features)
+
+    hdr = (b"RIFF" + _s.pack("<I", 36 + 200) + b"WAVE"
+           + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+           + b"data" + _s.pack("<I", 200))
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 1)
+         .withColumn("t", F.expr(
+             "substr(repeat(text, cast(ceil(200.0/length(text)) as int)),"
+             " 1, 200)")))
+    d = d.withColumn("data", F.concat(
+        F.lit(hdr), F.encode(F.substring("t", 1, 200), "utf-8")))
+    out = extract_audio_features(d, "data")
+    a = F.col("audio_features")
+    return out.select(
+        "doc_id", a["sample_rate"].alias("sample_rate"),
+        a["channels"].alias("channels"),
+        F.round(a["duration_s"], 6).alias("duration_s"),
+        F.round(a["rms"], 6).alias("rms"),
+        F.round(a["zcr"], 6).alias("zcr"))

@@ -522,3 +522,23 @@ def test_image_near_duplicate_pairs_guard(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "id int, data binary")
     with _pytest.raises(ValueError, match="pigeonhole"):
         image_near_duplicate_pairs(df, "id", max_hamming=8, bands=8)
+
+
+def test_audio_features_dsp_sine(spark):
+    """Pure 1 kHz sine at 8 kHz: ZCR == 2*f0/rate, spectral centroid
+    lands on f0 — the physics pins the DSP."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_audio_features)
+
+    rate, f0 = 8000, 1000
+    t = np.arange(4096) / rate
+    sig = (np.sin(2 * np.pi * f0 * t) * 30000).astype(np.int16) \
+        .reshape(-1, 1)
+    df = spark.createDataFrame([(1, bytearray(_make_wav(rate, sig)))],
+                               ["id", "data"])
+    f = extract_audio_features(df).collect()[0]["audio_features"]
+    assert abs(f["zcr"] - 2 * f0 / rate) < 0.001
+    assert abs(f["spectral_centroid_hz"] - f0) < 5.0
+    assert abs(f["rms"] - (30000 / 32768) / np.sqrt(2)) < 1e-3
