@@ -54,6 +54,10 @@ HEADLINE = [
     # round-4 additions
     "stats_heavy_hitters_sketch",
     "text_bpe_merges_batched",
+    "raster_zonal_stats",
+    "graph_triangles",
+    "multimodal_image_near_dup",
+    "sort_zorder_multicolumn",
 ]
 
 # regression thresholds vs the committed bench_baseline.json

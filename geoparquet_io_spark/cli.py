@@ -316,6 +316,55 @@ def cmd_benchmark(args) -> int:
                           "queries": rows, **only}, indent=2))
         worst = max((r["delta_pct"] for r in rows), default=0.0)
         return 1 if worst > 25.0 else 0
+    if action == "engines":
+        # cross-ENGINE race on identical inputs (reference: gpio benchmark
+        # compare racing DuckDB vs geopandas/ogr2ogr, core/benchmark.py:
+        # 29-370).  Here the engines genuinely present are this Spark
+        # engine and DuckDB running each query's oracle SQL on the same
+        # parquet tables; row counts are cross-checked per query.
+        import os
+        import time as _t
+
+        import duckdb
+
+        from geoparquet_io_spark.queries import REGISTRY
+        from geoparquet_io_spark.session import get_spark
+
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        names = (args.queries.split(",") if args.queries
+                 else [n for n, (fn, sql) in sorted(REGISTRY.items())
+                       if sql][:8])
+        spark = get_spark("benchmark-engines")
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        rows = []
+        for name in names:
+            fn, sql = REGISTRY[name]
+            if sql is None:
+                continue
+            df = fn(spark, sf_dir)
+            df.count()                      # warm both paths once
+            con.execute(sql).fetchall()
+            t0 = _t.time()
+            n_spark = df.count()
+            spark_s = _t.time() - t0
+            t0 = _t.time()
+            n_duck = len(con.execute(sql).fetchall())
+            duck_s = _t.time() - t0
+            rows.append({
+                "query": name, "rows": n_spark,
+                "rows_match": n_spark == n_duck,
+                "spark_s": round(spark_s, 3),
+                "duckdb_s": round(duck_s, 3),
+                "ratio_spark_over_duckdb": round(spark_s / duck_s, 2)
+                if duck_s else None,
+            })
+        print(json.dumps({"sf_dir": sf_dir, "engines": rows}, indent=2))
+        return 0 if all(r["rows_match"] for r in rows) else 1
     if action == "report":
         doc = json.loads(open(args.baseline).read().strip().splitlines()[-1])
         qs = doc.get("queries", {})
@@ -673,13 +722,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("benchmark")
     b.add_argument("action", nargs="?", default="run",
-                   choices=["run", "suite", "compare", "report"])
+                   choices=["run", "suite", "compare", "report", "engines"])
     b.add_argument("baseline", nargs="?",
                    help="bench JSON file (compare/report)")
     b.add_argument("candidate", nargs="?",
                    help="bench JSON file (compare)")
     b.add_argument("--check", action="store_true",
                    help="enforce regression thresholds vs committed baseline")
+    b.add_argument("--queries", help="comma-separated registry queries "
+                   "(engines action; default: first 8 oracle-paired)")
+    b.add_argument("--sf-dir", help="testdata dir (engines action)")
     b.set_defaults(fn=cmd_benchmark)
 
     pu = sub.add_parser("publish-upload")

@@ -122,8 +122,8 @@ def geotiff_to_points(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                buf = r[data_column]
+            keep_vals = {c: pdf[c].tolist() for c in keep}
+            for ri, buf in enumerate(pdf[data_column].tolist()):
                 if buf is None:
                     continue
                 raw = bytes(buf)
@@ -149,7 +149,7 @@ def geotiff_to_points(
                     "value": vals,
                 })
                 for c in keep:
-                    out[c] = r[c]
+                    out[c] = keep_vals[c][ri]
                 outs.append(out[keep + ["col", "row", "x", "y", "value"]])
             yield (pd.concat(outs) if outs
                    else pd.DataFrame(columns=keep

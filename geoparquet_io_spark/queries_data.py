@@ -2532,7 +2532,9 @@ def q_multimodal_video(spark, sf_dir):
     statics = [tpl[:offs[0]], tpl[offs[0] + 144:offs[1]],
                tpl[offs[1] + 144:offs[2]], tpl[offs[2] + 144:]]
 
-    d = (load_table(spark, sf_dir, "documents")
+    from geoparquet_io_spark.operators.skew import spread
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
          .filter(F.length("text") >= 1)
          .withColumn("t", F.expr(
              "substr(repeat(text, cast(ceil(432.0/length(text)) as int)),"
@@ -2591,7 +2593,9 @@ def q_multimodal_audio(spark, sf_dir):
         fr = parse_frame_header(hdr + b"\x00" * 500, 0)
         assert (fr.bitrate_kbps, fr.size, fr.sample_rate) == (br, size, 48000)
 
-    d = (load_table(spark, sf_dir, "documents")
+    from geoparquet_io_spark.operators.skew import spread
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
          .filter(F.length("text") >= 1)
          .withColumn("t", F.expr(
              "substr(repeat(text, cast(ceil(476.0/length(text)) as int)),"
@@ -2648,7 +2652,9 @@ def _doc_geotiffs(spark, sf_dir):
                         origin=(500000.0, 4650000.0), scale=(30.0, 30.0))
     strip_off = _read_ifds(tpl)[0][0].tags[273][0]
     prefix, suffix = tpl[:strip_off], tpl[strip_off + 48:]
-    d = (load_table(spark, sf_dir, "documents")
+    from geoparquet_io_spark.operators.skew import spread
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
          .filter(F.length("text") >= 1)
          .withColumn("t", F.expr(
              "substr(repeat(text, cast(ceil(48.0/length(text)) as int)),"
@@ -2805,8 +2811,10 @@ _DHASH_DOCS_SQL = f"""
 
 
 def _doc_bmps(spark, sf_dir, perturb: bool = False):
+    from geoparquet_io_spark.operators.skew import spread
+
     tpl = _doc_bmp_template()
-    d = (load_table(spark, sf_dir, "documents")
+    d = (spread(load_table(spark, sf_dir, "documents"))
          .filter(F.length("text") >= 1)
          .withColumn("t", F.expr(
              "substr(repeat(text, cast(ceil(168.0/length(text)) as int)),"
@@ -2906,7 +2914,9 @@ def q_audio_wav_features(spark, sf_dir):
     hdr = (b"RIFF" + _s.pack("<I", 36 + 200) + b"WAVE"
            + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
            + b"data" + _s.pack("<I", 200))
-    d = (load_table(spark, sf_dir, "documents")
+    from geoparquet_io_spark.operators.skew import spread
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
          .filter(F.length("text") >= 1)
          .withColumn("t", F.expr(
              "substr(repeat(text, cast(ceil(200.0/length(text)) as int)),"
