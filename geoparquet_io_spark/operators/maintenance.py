@@ -41,8 +41,16 @@ MANIFEST_SCHEMA = T.StructType([
 def _list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
-    return sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
-                             recursive=True))
+    out = []
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                        recursive=True):
+        rel = os.path.relpath(f, path)
+        # metadata dirs (_deletes/, _snapshots/, Spark's _temporary/) are
+        # never DATA members
+        if any(part.startswith("_") for part in rel.split(os.sep)[:-1]):
+            continue
+        out.append(f)
+    return sorted(out)
 
 
 def build_manifest(spark: SparkSession, path: str,
@@ -221,7 +229,9 @@ def commit_snapshot(spark: SparkSession, path: str,
                     files: list[str] | None = None,
                     note: str = "",
                     epoch_id: int | None = None,
-                    reuse: dict | None = None) -> dict:
+                    reuse: dict | None = None,
+                    delete_files: list[str] | None = None,
+                    delete_key: str | None = None) -> dict:
     """Commit an immutable snapshot VERSION of a dataset — the
     Iceberg/Delta time-travel idea over plain parquet: a snapshot is a
     JSON membership list (relative path, rows, bytes per file) under
@@ -293,6 +303,14 @@ def commit_snapshot(spark: SparkSession, path: str,
             "n_rows": int(stats[f][0]), "n_bytes": int(stats[f][1]),
             "mtime_ns": mtimes[f]}
            for f in members]
+    del_rel = []
+    for f in sorted(delete_files or []):
+        st = os.stat(f)
+        del_rel.append({"file": os.path.relpath(f, path),
+                        "n_bytes": st.st_size,
+                        "mtime_ns": st.st_mtime_ns})
+    if del_rel and not delete_key:
+        raise ValueError("delete_files requires delete_key")
     os.makedirs(_snapshot_dir(path), exist_ok=True)
     for _attempt in range(64):
         hist = snapshot_history(path)
@@ -312,6 +330,9 @@ def commit_snapshot(spark: SparkSession, path: str,
         }
         if epoch_id is not None:
             rec["epoch_id"] = epoch_id
+        if del_rel:
+            rec["delete_files"] = del_rel
+            rec["delete_key"] = delete_key
         target = _snapshot_file(path, version)
         tmp = f"{target}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
@@ -370,7 +391,90 @@ def read_snapshot(spark: SparkSession, path: str,
     # per-file bboxes unioned); members may live in nested rewrite dirs
     # the root reader can't see
     geo = read_footer_geo(members)
-    return GeoTable(spark.read.parquet(*members), geo)
+    df = spark.read.parquet(*members)
+    dels = rec.get("delete_files", [])
+    if dels:
+        # merge-on-read: equality-delete files (Iceberg's equality-delete
+        # flavor) anti-join the data scan on the recorded key.  Delete
+        # files get the same immutability verification as data members.
+        dfiles = []
+        for r in dels:
+            f = os.path.join(path, r["file"])
+            if not os.path.isfile(f):
+                raise FileNotFoundError(
+                    f"snapshot v{version} delete file missing: {f}")
+            st = os.stat(f)
+            if st.st_size != r["n_bytes"] or st.st_mtime_ns != r["mtime_ns"]:
+                raise RuntimeError(
+                    f"snapshot v{version} delete file changed on disk: {f}")
+            dfiles.append(f)
+        key = rec["delete_key"]
+        deleted = spark.read.parquet(*dfiles).select(key).distinct()
+        df = df.join(deleted, key, "left_anti")
+    return GeoTable(df, geo)
+
+
+def delete_where(spark: SparkSession, path: str, condition,
+                 key_column: str, note: str = "") -> dict:
+    """Merge-on-read DELETE: mark rows matching ``condition`` as deleted
+    without rewriting any data file (the Iceberg equality-delete model).
+
+    The matching keys are written (distributed) as a parquet delete-file
+    set under ``<path>/_deletes/``; a new snapshot is committed carrying
+    the SAME data files plus the cumulative delete-file list.  Readers
+    of the new version anti-join the scan on the key; readers of older
+    versions still see the rows — deletes time-travel like everything
+    else.  Cost: one filtered scan + small write, never a table rewrite;
+    :func:`apply_deletes` folds them in later (compaction).
+
+    ``key_column`` must be a row-unique key (the delete matches ALL rows
+    sharing a key, exactly like Iceberg equality deletes).
+    """
+    import uuid
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise RuntimeError("delete_where needs a committed snapshot")
+    prior = hist[-1]
+    if prior.get("delete_key") not in (None, key_column):
+        raise ValueError(
+            f"dataset already has deletes keyed on "
+            f"{prior['delete_key']!r}; cannot mix with {key_column!r}")
+    gt = read_snapshot(spark, path)   # deletes-so-far already applied
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    keys = gt.df.filter(cond).select(key_column).distinct()
+    ddir = os.path.join(path, "_deletes", f"d-{uuid.uuid4().hex[:12]}")
+    keys.write.parquet(ddir)
+    new_parts = _glob.glob(os.path.join(ddir, "*.parquet"))
+    prior_dels = [os.path.join(path, r["file"])
+                  for r in prior.get("delete_files", [])]
+    return commit_snapshot(
+        spark, path,
+        files=[os.path.join(path, r["file"]) for r in prior["files"]],
+        note=note or f"delete_where({key_column})",
+        reuse=prior,
+        delete_files=prior_dels + new_parts,
+        delete_key=key_column)
+
+
+def apply_deletes(spark: SparkSession, path: str,
+                  note: str = "apply_deletes") -> dict:
+    """Fold accumulated merge-on-read deletes into data files: rewrite
+    the live rows into a fresh file set and commit a REPLACE snapshot
+    with an empty delete list.  Old files and delete files stay on disk
+    for time travel until :func:`vacuum`."""
+    import uuid
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise RuntimeError("apply_deletes needs a committed snapshot")
+    if not hist[-1].get("delete_files"):
+        return hist[-1]     # nothing to fold
+    gt = read_snapshot(spark, path)
+    out = os.path.join(path, f"rewrite-{uuid.uuid4().hex[:12]}")
+    gt.df.write.parquet(out)
+    new_files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    return commit_snapshot(spark, path, files=new_files, note=note)
 
 
 def vacuum(path: str, keep_versions: list[int] | None = None,
@@ -392,10 +496,12 @@ def vacuum(path: str, keep_versions: list[int] | None = None,
     referenced = set()
     for h in hist:
         if h["version"] in keep:
-            for r in h["files"]:
+            for r in h["files"] + h.get("delete_files", []):
                 referenced.add(os.path.abspath(os.path.join(path, r["file"])))
     removed_files, removed_snapshots = [], []
-    for f in _list_parquet_files(path):
+    sweep = _list_parquet_files(path) + _glob.glob(
+        os.path.join(path, "_deletes", "**", "*.parquet"), recursive=True)
+    for f in sweep:
         if os.path.abspath(f) not in referenced:
             removed_files.append(f)
             if not dry_run:

@@ -2931,3 +2931,48 @@ def q_audio_wav_features(spark, sf_dir):
         F.round(a["duration_s"], 6).alias("duration_s"),
         F.round(a["rms"], 6).alias("rms"),
         F.round(a["zcr"], 6).alias("zcr"))
+
+
+@register(
+    "dataset_delete_travel",
+    """
+    SELECT 1 AS version, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total FROM orders
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 3 AS version, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def q_delete_travel(spark, sf_dir):
+    """Merge-on-read DELETE + time travel (operators/maintenance.py:
+    delete_where / apply_deletes — Iceberg equality-delete model):
+    v1 = full ingest, v2 = delete_where (no data rewrite, anti-join on
+    the delete-file keys at read), v3 = apply_deletes REPLACE rewrite.
+    v2 and v3 must agree with each other and the oracle; v1 still sees
+    every row."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.maintenance import (apply_deletes,
+                                                           delete_where,
+                                                           commit_snapshot,
+                                                           read_snapshot)
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = tempfile.mkdtemp(prefix="gpq_del_") + "/ds"
+    orders.write.mode("append").parquet(p)
+    commit_snapshot(spark, p, note="ingest")
+    delete_where(spark, p, "o_orderkey % 7 = 0", "o_orderkey")
+    apply_deletes(spark, p)
+
+    def agg(version):
+        return read_snapshot(spark, p, version).df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+    return agg(1).unionAll(agg(2)).unionAll(agg(3))

@@ -212,3 +212,101 @@ def test_commit_snapshot_reuse_skips_footer_reads(spark, tmp_path):
     for r in v2["files"]:
         if r["file"] in old:
             assert r == old[r["file"]]
+
+
+# --- merge-on-read deletes (equality-delete files) -------------------------
+
+def _fresh_ds(spark, tmp_path, n=100):
+    from geoparquet_io_spark.operators.maintenance import commit_snapshot
+
+    p = str(tmp_path / "ds_del")
+    spark.range(n).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p, note="base")
+    return p
+
+
+def test_delete_where_merge_on_read(spark, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (
+        delete_where, read_snapshot, snapshot_history)
+
+    p = _fresh_ds(spark, tmp_path)
+    rec = delete_where(spark, p, "id % 10 = 0", "id")
+    assert rec["delete_key"] == "id" and rec["delete_files"]
+    # latest sees 90 rows; v1 time-travels to the full 100
+    assert read_snapshot(spark, p).df.count() == 90
+    assert read_snapshot(spark, p, 1).df.count() == 100
+    # data files identical across versions (no rewrite happened)
+    h = snapshot_history(p)
+    assert [r["file"] for r in h[0]["files"]] == \
+        [r["file"] for r in h[1]["files"]]
+    # second delete accumulates
+    delete_where(spark, p, "id < 5", "id")
+    assert read_snapshot(spark, p).df.count() == 86  # -10 -4 (0 in both)
+    rows = {r["id"] for r in read_snapshot(spark, p).df.collect()}
+    assert not rows & ({0, 10, 20} | {1, 2, 3, 4})
+
+
+def test_apply_deletes_rewrites_and_clears(spark, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (
+        apply_deletes, delete_where, read_snapshot, snapshot_history)
+
+    p = _fresh_ds(spark, tmp_path)
+    delete_where(spark, p, "id >= 50", "id")
+    rec = apply_deletes(spark, p)
+    assert "delete_files" not in rec
+    assert rec["n_rows"] == 50
+    assert read_snapshot(spark, p).df.count() == 50
+    # time travel across the REPLACE still works
+    assert read_snapshot(spark, p, 1).df.count() == 100
+    assert read_snapshot(spark, p, 2).df.count() == 50
+    # idempotent when nothing to fold
+    assert apply_deletes(spark, p)["version"] == rec["version"]
+    assert len(snapshot_history(p)) == 3
+
+
+def test_delete_files_are_immutable_and_vacuum_aware(spark, tmp_path):
+    import glob
+    import os
+
+    from geoparquet_io_spark.operators.maintenance import (
+        apply_deletes, delete_where, read_snapshot, vacuum)
+
+    p = _fresh_ds(spark, tmp_path)
+    delete_where(spark, p, "id = 7", "id")
+    # tampering with a delete file is a hard error
+    df = glob.glob(os.path.join(p, "_deletes", "**", "*.parquet"),
+                   recursive=True)[0]
+    st = os.stat(df)
+    with open(df, "ab") as fh:
+        fh.write(b"x")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="delete file changed"):
+            read_snapshot(spark, p)
+    finally:
+        # restore for the remainder (truncate the extra byte)
+        with open(df, "rb+") as fh:
+            fh.truncate(st.st_size)
+        os.utime(df, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert read_snapshot(spark, p).df.count() == 99
+    # vacuum keeping all versions must NOT remove referenced delete files
+    out = vacuum(p)
+    assert not out["files_removed"]
+    # expire v1+v2, keep only the folded REPLACE -> delete files removed
+    rec = apply_deletes(spark, p)
+    out = vacuum(p, keep_versions=[rec["version"]])
+    assert any("_deletes" in f for f in out["files_removed"])
+    assert read_snapshot(spark, p).df.count() == 99
+
+
+def test_delete_where_key_mismatch_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from geoparquet_io_spark.operators.maintenance import delete_where
+
+    p = _fresh_ds(spark, tmp_path)
+    delete_where(spark, p, "id = 1", "id")
+    with _pytest.raises(ValueError, match="keyed on"):
+        delete_where(spark, p, "v = 20", "v")
