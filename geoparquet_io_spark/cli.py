@@ -534,6 +534,28 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Merge-on-read DELETE / fold-in compaction
+    (operators/maintenance.py: delete_where / apply_deletes)."""
+    from geoparquet_io_spark.operators.maintenance import (apply_deletes,
+                                                           delete_where)
+
+    spark = _spark()
+    if args.apply:
+        rec = apply_deletes(spark, args.input)
+        print(json.dumps({"version": rec["version"], "n_rows": rec["n_rows"],
+                          "n_files": rec["n_files"], "folded": True}))
+        return 0
+    if not args.where or not args.key:
+        raise SystemExit("delete requires --where and --key (or --apply)")
+    rec = delete_where(spark, args.input, args.where, args.key,
+                       note=args.note)
+    print(json.dumps({"version": rec["version"],
+                      "delete_files": len(rec.get("delete_files", [])),
+                      "delete_key": rec.get("delete_key")}))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Delete files unreferenced by the kept snapshots
     (operators/maintenance.py:vacuum)."""
@@ -767,6 +789,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "latest); prints the row count")
     sn.add_argument("--output", help="with --read: write the snapshot here")
     sn.set_defaults(fn=cmd_snapshot)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("input")
+    dl.add_argument("--where", help="SQL predicate selecting rows to delete")
+    dl.add_argument("--key", help="row-unique key column (equality deletes)")
+    dl.add_argument("--note", default="", help="commit note")
+    dl.add_argument("--apply", action="store_true",
+                    help="fold accumulated deletes into a REPLACE rewrite")
+    dl.set_defaults(fn=cmd_delete)
 
     vc = sub.add_parser("vacuum")
     vc.add_argument("input")

@@ -2976,3 +2976,41 @@ def q_delete_travel(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total"))
 
     return agg(1).unionAll(agg(2)).unionAll(agg(3))
+
+
+@register(
+    "dataset_change_feed",
+    """
+    SELECT o_orderkey, 'insert' AS _change FROM orders
+    WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+    """,
+)
+def q_change_feed(spark, sf_dir):
+    """Snapshot change data feed (operators/maintenance.py:
+    changes_between — the Delta CDF idea computed from membership
+    lists): v1 = keys %3==0; append keys %3==1 (v2); merge-on-read
+    delete of even keys (v3).  The 1->3 feed must contain exactly the
+    odd appended keys as inserts (even appended keys are already gone
+    at v3 — never visible to the feed) and the even original keys as
+    deletes."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.maintenance import (changes_between,
+                                                           commit_snapshot,
+                                                           delete_where)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    p = tempfile.mkdtemp(prefix="gpq_cdf_") + "/ds"
+    orders.filter(F.col("o_orderkey") % 3 == 0) \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    orders.filter(F.col("o_orderkey") % 3 == 1) \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    delete_where(spark, p, "o_orderkey % 2 = 0", "o_orderkey")
+    return changes_between(spark, p, "o_orderkey", 1, 3) \
+        .select("o_orderkey", "_change")

@@ -310,3 +310,58 @@ def test_delete_where_key_mismatch_guard(spark, tmp_path):
     delete_where(spark, p, "id = 1", "id")
     with _pytest.raises(ValueError, match="keyed on"):
         delete_where(spark, p, "v = 20", "v")
+
+
+def test_changes_between_insert_update_delete(spark, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (apply_deletes,
+                                                           changes_between,
+                                                           commit_snapshot,
+                                                           delete_where)
+
+    p = str(tmp_path / "cdf")
+    spark.range(10).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)                       # v1: ids 0-9
+    spark.range(10, 13).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)                       # v2: + ids 10-12
+    delete_where(spark, p, "id < 2", "id")          # v3: - ids 0,1
+    apply_deletes(spark, p)                         # v4: REPLACE
+    ch = {(r["id"], r["_change"])
+          for r in changes_between(spark, p, "id", 1, 4).collect()}
+    assert ch == ({(i, "insert") for i in (10, 11, 12)}
+                  | {(0, "delete"), (1, "delete")})
+    # update detection: rewrite with one changed payload value
+    from geoparquet_io_spark.operators.maintenance import read_snapshot
+
+    cur = read_snapshot(spark, p).df
+    import glob
+    import os
+    import uuid
+
+    out = os.path.join(p, f"rewrite-{uuid.uuid4().hex[:8]}")
+    cur.selectExpr("id", "CASE WHEN id = 5 THEN 999 ELSE v END AS v") \
+        .write.parquet(out)
+    commit_snapshot(spark, p,
+                    files=sorted(glob.glob(os.path.join(out, "*.parquet"))))
+    ch2 = {(r["id"], r["_change"], r["v"])
+           for r in changes_between(spark, p, "id", 4, 5).collect()}
+    assert ch2 == {(5, "update_postimage", 999)}
+
+
+def test_delete_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from geoparquet_io_spark.cli import main as cli_main
+    from geoparquet_io_spark.operators.maintenance import commit_snapshot
+
+    p = str(tmp_path / "clidel")
+    spark.range(50).selectExpr("id", "id * 2 AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    assert cli_main(["delete", p, "--where", "id >= 40", "--key", "id"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete_key"] == "id" and out["version"] == 2
+    assert cli_main(["delete", p, "--apply"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["folded"] and out["n_rows"] == 40
