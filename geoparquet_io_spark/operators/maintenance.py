@@ -578,3 +578,33 @@ def changes_between(spark: SparkSession, path: str, key_column: str,
     deleted = old.join(new.select(key_column), key_column, "left_anti") \
         .select(*cols, F.lit("delete").alias("_change"))
     return inserted.unionByName(updated).unionByName(deleted)
+
+
+def merge_into(spark: SparkSession, path: str, changes: DataFrame,
+               keys, op_column: str = "op", delete_op: str = "D",
+               note: str = "merge_into") -> dict:
+    """Snapshot-level MERGE INTO: apply a keyed changelog (upserts +
+    deletes, operators/merge.py:merge_upsert semantics) to the latest
+    snapshot and commit the result as a REPLACE version.
+
+    This completes the lakehouse DML triad over plain parquet:
+    INSERT = append + commit_snapshot, DELETE = delete_where
+    (merge-on-read), UPDATE/UPSERT = merge_into (copy-on-write — the
+    changelog's blast radius is a full logical rewrite here; partition
+    the dataset and merge per partition when only some partitions
+    change).  Old versions stay readable until :func:`vacuum`.
+    """
+    import uuid
+
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise RuntimeError("merge_into needs a committed snapshot")
+    base = read_snapshot(spark, path).df
+    merged = merge_upsert(base, changes, keys, op_column=op_column,
+                          delete_op=delete_op)
+    out = os.path.join(path, f"rewrite-{uuid.uuid4().hex[:12]}")
+    merged.write.parquet(out)
+    new_files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    return commit_snapshot(spark, path, files=new_files, note=note)

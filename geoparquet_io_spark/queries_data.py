@@ -3014,3 +3014,53 @@ def q_change_feed(spark, sf_dir):
     delete_where(spark, p, "o_orderkey % 2 = 0", "o_orderkey")
     return changes_between(spark, p, "o_orderkey", 1, 3) \
         .select("o_orderkey", "_change")
+
+
+@register(
+    "dataset_merge_into",
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 0.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE NOT o_orderkey % 77 = 0
+      UNION ALL
+      SELECT -1 AS o_orderkey, 123.45 AS price
+    )
+    SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS total,
+           CAST(SUM(CASE WHEN price = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zeroed
+    FROM merged
+    """,
+)
+def q_merge_into(spark, sf_dir):
+    """Lakehouse MERGE INTO (operators/maintenance.py:merge_into):
+    updates (price zeroed on %100 keys not also deleted — the
+    changelog contract is one change row per key), one insert (key -1)
+    and deletes (%77 keys) applied to the snapshot in one changelog;
+    the oracle reconstructs the merged table with set algebra."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.maintenance import (commit_snapshot,
+                                                           merge_into,
+                                                           read_snapshot)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    p = tempfile.mkdtemp(prefix="gpq_mrg_") + "/ds"
+    orders.write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    updates = orders.filter((F.col("o_orderkey") % 100 == 0)
+                            & (F.col("o_orderkey") % 77 != 0)) \
+        .withColumn("price", F.lit(0.0)).withColumn("op", F.lit("U"))
+    inserts = spark.createDataFrame([(-1, 123.45, "U")],
+                                    ["o_orderkey", "price", "op"])
+    deletes = orders.filter(F.col("o_orderkey") % 77 == 0) \
+        .withColumn("op", F.lit("D"))
+    merge_into(spark, p, updates.unionByName(inserts).unionByName(deletes),
+               "o_orderkey")
+    return read_snapshot(spark, p).df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("price"), 2).alias("total"),
+        F.sum(F.when(F.col("price") == 0.0, 1).otherwise(0))
+        .cast("long").alias("zeroed"))

@@ -365,3 +365,26 @@ def test_delete_cli(spark, tmp_path, capsys):
     assert cli_main(["delete", p, "--apply"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["folded"] and out["n_rows"] == 40
+
+
+def test_merge_into_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.maintenance import (commit_snapshot,
+                                                           merge_into,
+                                                           read_snapshot)
+
+    p = str(tmp_path / "mrg")
+    spark.range(10).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    changes = spark.createDataFrame(
+        [(3, 333, "U"), (42, 420, "U"), (7, 0, "D")], ["id", "v", "op"])
+    rec = merge_into(spark, p, changes, "id")
+    assert rec["version"] == 2 and rec["n_rows"] == 10  # 10 - 1 + 1
+    cur = {r["id"]: r["v"] for r in read_snapshot(spark, p).df.collect()}
+    assert cur[3] == 333 and cur[42] == 420 and 7 not in cur
+    assert cur[0] == 0 and len(cur) == 10
+    # v1 unchanged (time travel across the MERGE)
+    old = {r["id"]: r["v"] for r in read_snapshot(spark, p, 1).df.collect()}
+    assert old[3] == 30 and 42 not in old and old[7] == 70
