@@ -462,3 +462,33 @@ def q_cube_orders(spark, sf_dir):
                  F.count("*").alias("n_orders"))
             .select("o_orderstatus", "o_orderpriority", "g_status",
                     "g_priority", "cents", "n_orders"))
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT doc_id, source,
+           CAST(dense_rank() OVER w AS INT) AS dr,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM documents
+    WHERE n_chars > 0
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """,
+)
+def q_window_rank_family(spark, sf_dir):
+    """The ranking-window family (dense_rank / ntile / percent_rank /
+    cume_dist) partitioned by source — per-key windows only, so the
+    shuffle is one hash exchange on source and no single-reducer sort
+    exists at any scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "source",
+        F.dense_rank().over(w).cast("int").alias("dr"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
