@@ -688,3 +688,97 @@ def image_near_duplicate_pairs(
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+RESIZED_T = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("data", T.BinaryType()),   # row-major RGB uint8
+])
+
+
+def _resample(img: np.ndarray, out_w: int, out_h: int,
+              method: str) -> np.ndarray:
+    """Pure-numpy resample to (out_h, out_w[, ch]).
+
+    - ``nearest``: half-pixel-center mapping, floor(x + 0.5);
+    - ``bilinear``: 4-neighbor lerp on the same half-pixel grid;
+    - ``area``: block average over index splits (exact when the factor
+      divides the input), stored as floor of the mean (deterministic).
+    """
+    in_h, in_w = img.shape[:2]
+    if method == "area":
+        g = img.astype("f8")
+        three = g.ndim == 3
+        rs = np.array_split(np.arange(in_h), out_h)
+        cs = np.array_split(np.arange(in_w), out_w)
+        out = np.empty((out_h, out_w) + g.shape[2:], dtype="f8")
+        for i, ri in enumerate(rs):
+            for j, cj in enumerate(cs):
+                block = g[np.ix_(ri, cj)]
+                out[i, j] = block.mean(axis=(0, 1)) if three \
+                    else block.mean()
+        return np.floor(out).astype(np.uint8)
+    sx = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    sy = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    if method == "nearest":
+        ix = np.clip(np.floor(sx + 0.5).astype(int), 0, in_w - 1)
+        iy = np.clip(np.floor(sy + 0.5).astype(int), 0, in_h - 1)
+        return img[np.ix_(iy, ix)]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    x0 = np.clip(np.floor(sx).astype(int), 0, in_w - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    y0 = np.clip(np.floor(sy).astype(int), 0, in_h - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    g = img.astype("f8")
+    top = g[np.ix_(y0, x0)] * (1 - fx) + g[np.ix_(y0, x1)] * fx
+    bot = g[np.ix_(y1, x0)] * (1 - fx) + g[np.ix_(y1, x1)] * fx
+    return np.clip(np.round(top * (1 - fy) + bot * fy), 0, 255) \
+        .astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    data_column: str = "data",
+    out_column: str = "resized",
+    method: str = "bilinear",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize an image binary column (any decodable format) to a fixed
+    (width, height) — the model-input normalization step of a training
+    pipeline.  Output struct: dims + row-major RGB uint8 bytes (the
+    tensor layout, index (r*W + c)*3 + ch), ready for feature
+    extraction or packing; map-only Arrow-batched decode+resample."""
+    decode = _decode_image_fake if deterministic_fake else _decode_image_real
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_column, RESIZED_T, True)]
+    )
+    idx = df.columns.index(data_column)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for buf in pdf.iloc[:, idx]:
+                if buf is None:
+                    vals.append(None)
+                    continue
+                img = decode(bytes(buf))
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                small = _resample(img, width, height, method)
+                vals.append({"width": width, "height": height,
+                             "channels": int(small.shape[2]),
+                             "data": small.tobytes()})
+            pdf[out_column] = vals
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

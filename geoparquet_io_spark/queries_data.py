@@ -3064,3 +3064,44 @@ def q_merge_into(spark, sf_dir):
         F.round(F.sum("price"), 2).alias("total"),
         F.sum(F.when(F.col("price") == 0.0, 1).otherwise(0))
         .cast("long").alias("zeroed"))
+
+
+@register(
+    "multimodal_image_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(168.0 / length(text)) AS INT)),
+                    1, 168) AS t
+      FROM documents WHERE length(text) >= 1)
+    SELECT doc_id, 16 AS width, 14 AS height,
+           ascii(substr(t, 147, 1)) AS v1,
+           ascii(substr(t, 22, 1)) AS v2,
+           ascii(substr(t, 86, 1)) AS v3
+    FROM d
+    """,
+)
+def q_image_resize(spark, sf_dir):
+    """Model-input resize (operators/multimodal.py:resize_images,
+    nearest 2x upscale of the per-doc 8x7 BMPs): probe pixels are read
+    back from the raw RGB tensor bytes with NATIVE exprs
+    (ascii(decode(substring))), so the check does not reuse the python
+    decode path; the oracle maps each probe through the nearest-
+    neighbor index math + the BMP bottom-up BGR layout to a source
+    byte."""
+    from geoparquet_io_spark.operators.multimodal import resize_images
+
+    d = _doc_bmps(spark, sf_dir).select("doc_id", "data")
+    out = resize_images(d, 16, 14, method="nearest")
+
+    def probe(i):
+        return F.expr(
+            f"ascii(decode(substring(resized.data, {i}, 1), 'ISO-8859-1'))")
+
+    return out.select(
+        "doc_id",
+        F.col("resized.width").alias("width"),
+        F.col("resized.height").alias("height"),
+        probe(1).alias("v1"),      # out(0,0,R)  = in(0,0,R)
+        probe(672).alias("v2"),    # out(13,15,B) = in(6,7,B)
+        probe(365).alias("v3"))    # out(7,9,G)  = in(3,4,G)

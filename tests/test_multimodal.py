@@ -542,3 +542,45 @@ def test_audio_features_dsp_sine(spark):
     assert abs(f["zcr"] - 2 * f0 / rate) < 0.001
     assert abs(f["spectral_centroid_hz"] - f0) < 5.0
     assert abs(f["rms"] - (30000 / 32768) / np.sqrt(2)) < 1e-3
+
+
+def test_resample_methods_analytic():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import _resample
+
+    # nearest 2x upscale: out(r, c) == in(r//2, c//2)
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    up = _resample(img, 10, 8, "nearest")
+    for r in range(8):
+        for c in range(10):
+            assert (up[r, c] == img[r // 2, c // 2]).all()
+    # area 2x downscale of exact blocks: floor of the 2x2 block mean
+    big = rng.randint(0, 256, (6, 8)).astype(np.uint8)
+    down = _resample(big, 4, 3, "area")
+    want = big.reshape(3, 2, 4, 2).swapaxes(1, 2).reshape(3, 4, 4)
+    assert (down == np.floor(want.mean(axis=2))).all()
+    # bilinear on a linear ramp stays linear (interior points exact)
+    ramp = np.tile(np.arange(0, 200, 2, dtype=np.uint8), (10, 1))
+    out = _resample(ramp, 50, 10, "bilinear")
+    inner = out[0, 1:-1].astype(int)
+    diffs = np.diff(inner)
+    assert diffs.min() >= 3 and diffs.max() <= 5   # slope 2*100/50 = 4
+
+
+def test_resize_images_spark_pipeline(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (6, 8, 3)).astype(np.uint8)
+    df = spark.createDataFrame([(1, bytearray(_make_bmp(8, 6, img)))],
+                               ["id", "data"])
+    row = resize_images(df, 4, 3, method="area").collect()[0]["resized"]
+    assert (row["width"], row["height"], row["channels"]) == (4, 3, 3)
+    got = np.frombuffer(bytes(row["data"]), np.uint8).reshape(3, 4, 3)
+    want = np.floor(
+        img.astype("f8").reshape(3, 2, 4, 2, 3).mean(axis=(1, 3)))
+    assert (got == want).all()
