@@ -172,3 +172,47 @@ def parse_mp3(buf: bytes, max_resync: int = 1 << 16) -> Mp3Info:
     vbr = len({f.bitrate_kbps for f in audio}) > 1 or xing is not None
     return Mp3Info(frames, dur, avg, vbr, xing, start,
                    garbage if pos + 4 > end else garbage)
+
+
+_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3v2_tags(buf: bytes) -> dict:
+    """Text frames of a leading ID3v2.3/2.4 tag as {frame_id: text}
+    (TIT2 title, TPE1 artist, TALB album, TCON genre, TDRC/TYER year,
+    ... every T*** frame).  Returns {} when no tag is present; frame
+    sizes are syncsafe for v2.4 and plain big-endian for v2.3."""
+    total = _id3v2_size(buf)
+    if not total or len(buf) < 10:
+        return {}
+    major = buf[3]
+    pos = 10
+    if buf[5] & 0x40:       # extended header: skip by its own size
+        ext = (struct.unpack_from(">I", buf, 10)[0]
+               if major == 3 else _syncsafe(buf, 10))
+        pos += ext if major == 3 else ext
+        pos += 4 if major == 3 else 0
+    out: dict[str, str] = {}
+    end = min(total, len(buf))
+    while pos + 10 <= end:
+        fid = buf[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break       # padding
+        size = (_syncsafe(buf, pos + 4) if major >= 4
+                else struct.unpack_from(">I", buf, pos + 4)[0])
+        body = buf[pos + 10: pos + 10 + size]
+        pos += 10 + size
+        if not fid.startswith(b"T") or not body:
+            continue
+        enc = _TEXT_ENCODINGS.get(body[0], "latin-1")
+        try:
+            text = body[1:].decode(enc, "replace").strip("\x00")
+        except LookupError:     # pragma: no cover
+            continue
+        out[fid.decode("ascii", "replace")] = text
+    return out
+
+
+def _syncsafe(buf: bytes, pos: int) -> int:
+    return ((buf[pos] & 0x7F) << 21) | ((buf[pos + 1] & 0x7F) << 14) \
+        | ((buf[pos + 2] & 0x7F) << 7) | (buf[pos + 3] & 0x7F)

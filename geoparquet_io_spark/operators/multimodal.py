@@ -95,8 +95,9 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """REAL pure-numpy decoder for RIFF PCM WAV (8/16/32-bit int PCM):
-    returns ((n_samples, channels) array, sample_rate)."""
+    """REAL pure-numpy decoder for RIFF WAV — integer PCM (8/16/32-bit,
+    format 1) and IEEE float (32/64-bit, format 3): returns
+    ((n_samples, channels) array, sample_rate)."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -116,11 +117,17 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1:
-        raise ValueError(f"only PCM WAV supported (format {audio_fmt})")
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if audio_fmt == 1:
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    elif audio_fmt == 3:
+        dtype = {32: np.float32, 64: np.float64}.get(bits)
+    else:
+        raise ValueError(
+            f"only PCM (1) and IEEE-float (3) WAV supported "
+            f"(format {audio_fmt})")
     if dtype is None:
-        raise ValueError(f"unsupported PCM bit depth {bits}")
+        raise ValueError(
+            f"unsupported bit depth {bits} for WAV format {audio_fmt}")
     samples = np.frombuffer(data, dtype=dtype)
     n = len(samples) // channels
     return samples[: n * channels].reshape(n, channels), rate
@@ -498,8 +505,9 @@ def extract_audio_features(
                     x = (x - 128.0) / 128.0
                 elif samples.dtype == np.int16:
                     x = x / 32768.0
-                else:
+                elif samples.dtype == np.int32:
                     x = x / 2147483648.0
+                # float WAV (format 3) is already full-scale [-1, 1]
                 mono = x.mean(axis=1) if x.size else x.reshape(0)
                 if mono.size > 1:
                     s = np.signbit(mono)

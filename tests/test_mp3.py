@@ -118,3 +118,38 @@ def test_audio_metadata_spark_dispatch(spark):
     assert (m["format"], m["channels"], m["n_frames"]) == ("mp3", 1, 5)
     assert abs(m["duration_s"] - 5 * 1152 / 48000) < 1e-12
     assert rows[3] is None
+
+
+def _id3v2(frames, major=4):
+    """Independent ID3v2 tag builder (v2.3 plain / v2.4 syncsafe)."""
+    body = b""
+    for fid, text, enc in frames:
+        payload = bytes([enc]) + text.encode(
+            {0: "latin-1", 1: "utf-16", 3: "utf-8"}[enc])
+        size = len(payload)
+        if major == 4:
+            sz = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F])
+        else:
+            sz = struct.pack(">I", size)
+        body += fid.encode() + sz + b"\x00\x00" + payload
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3" + bytes([major, 0, 0]) + ss + body
+
+
+def test_id3v2_text_frames_both_versions():
+    from geoparquet_io_spark.functions.mp3 import id3v2_tags, parse_mp3
+
+    frames = [("TIT2", "Nine Lives", 3), ("TPE1", "Café Tacvba", 1),
+              ("TALB", "Album", 0)]
+    for major in (3, 4):
+        tag = _id3v2(frames, major=major)
+        buf = tag + _frame(9, 384) * 2
+        tags = id3v2_tags(buf)
+        assert tags["TIT2"] == "Nine Lives"
+        assert tags["TPE1"] == "Café Tacvba"
+        assert tags["TALB"] == "Album"
+        assert len(parse_mp3(buf).frames) == 2
+    assert id3v2_tags(_frame(9, 384)) == {}

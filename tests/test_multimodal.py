@@ -584,3 +584,30 @@ def test_resize_images_spark_pipeline(spark):
     want = np.floor(
         img.astype("f8").reshape(3, 2, 4, 2, 3).mean(axis=(1, 3)))
     assert (got == want).all()
+
+
+def test_decode_wav_float32(spark):
+    import struct
+
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import (
+        decode_wav, extract_audio_features)
+
+    rate = 16000
+    t = np.arange(1024) / rate
+    # bin-aligned tone (28 cycles in 1024 samples) -> no leakage
+    sig = (0.5 * np.sin(2 * np.pi * 437.5 * t)).astype(np.float32) \
+        .reshape(-1, 1)
+    data = sig.astype("<f4").tobytes()
+    buf = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, rate,
+                                   rate * 4, 4, 32)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    samples, r = decode_wav(buf)
+    assert r == rate and samples.dtype == np.float32
+    assert np.allclose(samples[:, 0], sig[:, 0])
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    f = extract_audio_features(df).collect()[0]["audio_features"]
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f["spectral_centroid_hz"] - 437.5) < 5
