@@ -467,3 +467,61 @@ def mad_outliers(df: DataFrame, group_column: str, value_column: str,
                                F.round(F.abs(F.col(value_column) - F.col("med"))
                                        / (F.col("mad") * F.lit(1.4826)),
                                        round_digits))))
+
+
+def ab_test(df: DataFrame, group_column: str, value_column: str,
+            group_a, group_b) -> DataFrame:
+    """Welch's unequal-variance t-test between two experiment arms,
+    computed from distributed moments only (count / mean / sample
+    variance per arm — one aggregate, no data leaves the executors
+    except six numbers).
+
+    Returns one row: per-arm n/mean/var, the Welch t statistic, and the
+    Welch-Satterthwaite degrees of freedom.  p-values need the
+    t-distribution CDF — compute downstream (scipy) or compare |t|
+    against fixed critical values; the statistic itself is exact.
+    """
+    g = F.col(group_column)
+    v = F.col(value_column).cast("double")
+    agg = df.filter(g.isin([group_a, group_b])).groupBy(group_column).agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("mean"),
+        F.var_samp(v).alias("var"),
+    )
+    a = agg.filter(g == group_a).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"))
+    b = agg.filter(g == group_b).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"))
+    j = a.crossJoin(b)      # 1 x 1 rows — a join in name only
+    se2a = F.col("var_a") / F.col("n_a")
+    se2b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2a + se2b)
+    dof = ((se2a + se2b) ** 2
+           / (se2a ** 2 / (F.col("n_a") - 1)
+              + se2b ** 2 / (F.col("n_b") - 1)))
+    return j.select("n_a", "mean_a", "var_a", "n_b", "mean_b", "var_b",
+                    t.alias("t_welch"), dof.alias("dof"))
+
+
+def chi_square_independence(df: DataFrame, row_column: str,
+                            col_column: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns, from the contingency counts: one groupBy for the cells,
+    two marginal rollups, expected = row_total * col_total / N.
+    Returns (chi2, dof, n) — all exact; the cell work is one shuffle
+    bounded by the category-pair cardinality, never the row count."""
+    cells = df.groupBy(row_column, col_column).agg(
+        F.count("*").alias("o")).localCheckpoint(eager=False)
+    rowt = cells.groupBy(row_column).agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy(col_column).agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o")).collect()[0][0]
+    e = (cells.join(rowt, row_column).join(colt, col_column)
+         .withColumn("e", F.col("rt") * F.col("ct") / F.lit(float(n))))
+    nr = rowt.count()
+    nc = colt.count()
+    return e.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        F.lit(int(n)).cast("long").alias("n"))

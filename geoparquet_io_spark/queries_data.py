@@ -3105,3 +3105,89 @@ def q_image_resize(spark, sf_dir):
         probe(1).alias("v1"),      # out(0,0,R)  = in(0,0,R)
         probe(672).alias("v2"),    # out(13,15,B) = in(6,7,B)
         probe(365).alias("v3"))    # out(7,9,G)  = in(3,4,G)
+
+
+@register(
+    "stats_ab_welch",
+    """
+    WITH arms AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             value + CASE WHEN event_id % 2 = 0 THEN 0.0 ELSE 0.1 END AS v
+      FROM events),
+    m AS (
+      SELECT arm, COUNT(*) AS n, AVG(v) AS mean, VAR_SAMP(v) AS var
+      FROM arms GROUP BY arm),
+    j AS (SELECT
+            (SELECT n FROM m WHERE arm = 'A') AS n_a,
+            (SELECT mean FROM m WHERE arm = 'A') AS mean_a,
+            (SELECT var FROM m WHERE arm = 'A') AS var_a,
+            (SELECT n FROM m WHERE arm = 'B') AS n_b,
+            (SELECT mean FROM m WHERE arm = 'B') AS mean_b,
+            (SELECT var FROM m WHERE arm = 'B') AS var_b)
+    SELECT n_a, ROUND(mean_a, 6) AS mean_a, ROUND(var_a, 6) AS var_a,
+           n_b, ROUND(mean_b, 6) AS mean_b, ROUND(var_b, 6) AS var_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_welch,
+           ROUND(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1)
+                    + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS dof
+    FROM j
+    """,
+)
+def q_ab_welch(spark, sf_dir):
+    """Welch's t-test between two synthetic experiment arms
+    (operators/stats.py:ab_test): six distributed moments -> exact t
+    statistic + Welch-Satterthwaite dof; the oracle recomputes the
+    closed form from the same aggregates."""
+    from geoparquet_io_spark.operators.stats import ab_test
+
+    e = load_table(spark, sf_dir, "events")
+    arms = e.select(
+        F.when(F.col("event_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        (F.col("value") + F.when(F.col("event_id") % 2 == 0, 0.0)
+         .otherwise(0.1)).alias("v"))
+    out = ab_test(arms, "arm", "v", "A", "B")
+    return out.select(
+        "n_a", F.round("mean_a", 6).alias("mean_a"),
+        F.round("var_a", 6).alias("var_a"),
+        "n_b", F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round("t_welch", 6).alias("t_welch"),
+        F.round("dof", 4).alias("dof"))
+
+
+@register(
+    "stats_chi_square",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(user_id % 4 AS INT) AS segment FROM events),
+    cells AS (
+      SELECT event_type, segment, COUNT(*) AS o
+      FROM base GROUP BY 1, 2),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    e AS (
+      SELECT c.o,
+             rt.rt * ct.ct / (SELECT n FROM tot) AS e
+      FROM cells c
+      JOIN (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1) rt
+        USING (event_type)
+      JOIN (SELECT segment, SUM(o) AS ct FROM cells GROUP BY 1) ct
+        USING (segment))
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                 * (COUNT(DISTINCT segment) - 1) AS BIGINT) FROM base)
+             AS dof,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n
+    FROM e
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Pearson chi-square for independence of event_type x user segment
+    (operators/stats.py:chi_square_independence) — cell counts +
+    marginals, shuffle bounded by category cardinality."""
+    from geoparquet_io_spark.operators.stats import chi_square_independence
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("segment"))
+    out = chi_square_independence(e, "event_type", "segment")
+    return out.select(F.round("chi2", 6).alias("chi2"), "dof", "n")

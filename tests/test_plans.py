@@ -199,3 +199,37 @@ def test_osgb_reproject_is_map_only(spark):
     df = REGISTRY["geo_reproject_osgb"][0](spark, SF_SMOKE)
     s = plan_summary(df)
     assert s["exchanges"] == 0
+
+
+def test_r4_query_plans_no_cartesian_no_python(spark):
+    """Round-4 operators: banded image near-dup, snapshot CDF, z-order
+    key, triangle counting — none may degenerate to a cartesian /
+    nested-loop product, and the native-expr ones stay python-free."""
+    from geoparquet_io_spark.queries import REGISTRY
+
+    for name in ("multimodal_image_near_dup", "graph_triangles",
+                 "sort_zorder_multicolumn"):
+        df = REGISTRY[name][0](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # zorder key construction is pure codegen (no python eval at all)
+    z = REGISTRY["sort_zorder_multicolumn"][0](spark, SF_SMOKE)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_changes_between_plan_is_keyed_joins(spark, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (changes_between,
+                                                           commit_snapshot)
+
+    p = str(tmp_path / "cdfplan")
+    spark.range(100).selectExpr("id", "id AS v").write.parquet(p)
+    commit_snapshot(spark, p)
+    spark.range(100, 120).selectExpr("id", "id AS v") \
+        .write.mode("append").parquet(p)
+    commit_snapshot(spark, p)
+    plan = changes_between(spark, p, "id", 1, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
