@@ -203,3 +203,20 @@ def test_gif_via_image_featurizer(spark):
     row = extract_image_features(df).collect()[0]["image_features"]
     assert (row["width"], row["height"]) == (11, 7)
     assert abs(row["mean_luma"] - pal[idx].astype("f8").mean()) < 1e-9
+
+
+def test_gif_lzw_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geoparquet_io_spark.functions.gif import _lzw_decode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(2, 8), st.data())
+    def check(mcs, data):
+        syms = data.draw(st.lists(
+            st.integers(0, (1 << mcs) - 1), min_size=0, max_size=600))
+        enc = _lzw_encode(syms, mcs)
+        assert _lzw_decode(mcs, enc) == syms
+
+    check()

@@ -257,3 +257,17 @@ def test_tiff_rejects():
     struct.pack_into("<H", bad, 2, 43)
     with pytest.raises(ValueError, match="BigTIFF"):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_lzw_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geoparquet_io_spark.functions.tiff import _lzw_decode_tiff
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def check(data):
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+    check()
