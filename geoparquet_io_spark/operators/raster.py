@@ -194,3 +194,80 @@ def rasterize_points(
         raise ValueError(f"unknown agg {agg!r}")
     return build_geotiff(np.nan_to_num(grid, nan=0.0).astype("f4"),
                          epsg=epsg, origin=origin, scale=scale)
+
+
+def sample_raster_at_points(
+    points: DataFrame,
+    rasters: DataFrame,
+    x_column: str = "x",
+    y_column: str = "y",
+    raster_id_column: str = "raster_id",
+    data_column: str = "data",
+    band: int = 0,
+    value_column: str = "value",
+) -> DataFrame:
+    """Sample raster values at point locations — the enrichment join
+    (elevation under each GPS fix, land-cover class under each site).
+
+    Shape for 100 TB of tiles: each point is assigned to its covering
+    tile by the tiles' georeferencing (a tiny driver-side extent table
+    — one row per FILE, same cardinality as a manifest), then points
+    co-group with their tile via one keyed ``applyInPandas``: the tile
+    decodes ONCE per group and every point in it is answered with one
+    vectorized numpy gather.  Points outside every tile get NULL.
+
+    ``rasters``: (raster_id, data) GeoTIFF payloads with tiepoint+scale.
+    """
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
+
+    # tile extents: names + 4 doubles per FILE (manifest cardinality)
+    ext_rows = rasters.select(raster_id_column, data_column).rdd.map(
+        lambda r: (r[0], geotiff_info(bytes(r[1])))).map(
+        lambda t: (t[0], t[1].origin_x, t[1].origin_y,
+                   t[1].origin_x + t[1].width * t[1].pixel_w,
+                   t[1].origin_y - t[1].height * t[1].pixel_h)).collect()
+    spark = points.sparkSession
+    ext = spark.createDataFrame(
+        ext_rows, [raster_id_column, "x0", "ytop", "x1", "ybot"])
+
+    px, py = F.col(x_column), F.col(y_column)
+    assigned = points.join(
+        F.broadcast(ext),
+        (px >= F.col("x0")) & (px < F.col("x1"))
+        & (py <= F.col("ytop")) & (py > F.col("ybot")),
+        "left").drop("x0", "ytop", "x1", "ybot")
+
+    out_schema = T.StructType(
+        list(points.schema.fields)
+        + [T.StructField(raster_id_column, ext.schema[raster_id_column]
+                         .dataType, True),
+           T.StructField(value_column, T.DoubleType(), True)]
+    )
+
+    def sample(key, pdf):
+        rid = key[0]
+        if rid is None or (isinstance(rid, float) and np.isnan(rid)):
+            pdf[value_column] = np.nan
+            return pdf
+        if rid not in blobs.value and isinstance(rid, (int, np.integer)):
+            rid = int(rid)
+        raw = bytes(blobs.value[rid])
+        info = geotiff_info(raw)
+        arr = decode_tiff(raw)
+        bandarr = arr if arr.ndim == 2 else arr[:, :, band]
+        cols = np.clip(((pdf[x_column].to_numpy() - info.origin_x)
+                        / info.pixel_w).astype(int), 0, info.width - 1)
+        rows = np.clip(((info.origin_y - pdf[y_column].to_numpy())
+                        / info.pixel_h).astype(int), 0, info.height - 1)
+        pdf[value_column] = bandarr[rows, cols].astype("f8")
+        return pdf
+
+    # tile payloads broadcast once (tiles are bounded per executor batch;
+    # for truly huge tile sets, partition the tiles and loop)
+    blobs = spark.sparkContext.broadcast(
+        {r[0]: bytes(r[1])
+         for r in rasters.select(raster_id_column, data_column).collect()})
+    return assigned.groupBy(raster_id_column).applyInPandas(
+        sample, schema=out_schema)

@@ -3191,3 +3191,66 @@ def q_chi_square(spark, sf_dir):
         "event_type", (F.col("user_id") % 4).cast("int").alias("segment"))
     out = chi_square_independence(e, "event_type", "segment")
     return out.select(F.round("chi2", 6).alias("chi2"), "dof", "n")
+
+
+@register(
+    "raster_sample_points",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / length(text)) AS INT)),
+                    1, 48) AS t
+      FROM documents WHERE doc_id < 4 AND length(text) >= 1),
+    pts AS (
+      SELECT event_id,
+             CAST(event_id % 400 AS DOUBLE) + 0.5 AS x,
+             CAST(user_id % 59 AS DOUBLE) + 0.5 AS y
+      FROM events),
+    assigned AS (
+      SELECT event_id, x, y,
+             CASE WHEN CAST(FLOOR(x) AS BIGINT) % 100 < 80
+                  THEN CAST(FLOOR(x / 100) AS INT) END AS tile
+      FROM pts)
+    SELECT a.event_id, a.tile AS raster_id,
+           CASE WHEN a.tile IS NULL THEN NULL
+                ELSE CAST(ascii(substr(d.t,
+                    CAST(FLOOR((60 - a.y) / 10) * 8
+                         + FLOOR((a.x - 100 * a.tile) / 10) AS INT) + 1,
+                    1)) AS DOUBLE) END AS value
+    FROM assigned a LEFT JOIN docs d ON d.doc_id = a.tile
+    """,
+)
+def q_raster_sample_points(spark, sf_dir):
+    """Raster point enrichment (operators/raster.py:
+    sample_raster_at_points): four 8x6 GeoTIFF tiles (pixels = the
+    first four docs' bytes) at origins x = 0/100/200/300 with 20 m
+    gaps; every event becomes a point and is answered by its covering
+    tile's pixel — or NULL in the gaps.  Extent assignment is a
+    broadcast range join; each tile decodes once per group.  The
+    oracle recomputes the tile/pixel index arithmetic and byte lookup
+    end-to-end."""
+    from geoparquet_io_spark.functions.tiff import build_geotiff
+    from geoparquet_io_spark.operators.raster import sample_raster_at_points
+    import numpy as np
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 4) & (F.length("text") >= 1))
+            .withColumn("t", F.expr(
+                "substr(repeat(text, cast(ceil(48.0/length(text)) as int)),"
+                " 1, 48)"))
+            .select("doc_id", "t").collect())   # 4 rows — bounded
+    tiles = []
+    for r in docs:
+        px = np.frombuffer(r["t"].encode("utf-8")[:48], np.uint8) \
+            .reshape(6, 8)
+        tiles.append((int(r["doc_id"]), bytearray(build_geotiff(
+            px, epsg=32633, origin=(100.0 * r["doc_id"], 60.0),
+            scale=(10.0, 10.0)))))
+    rasters = spark.createDataFrame(tiles, "raster_id int, data binary")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") % 400).cast("double") + 0.5).alias("x"),
+        ((F.col("user_id") % 59).cast("double") + 0.5).alias("y"))
+    out = sample_raster_at_points(ev, rasters)
+    return out.select("event_id", "raster_id", "value")

@@ -132,3 +132,36 @@ def test_raster_points_compose_with_vector_ops(spark):
     assert got[(0, 1)] == (10.0, 4)      # values 0,1,4,5
     assert got[(1, 0)] == (50.0, 4)      # values 10,11,14,15
     assert sum(v[1] for v in got.values()) == 16
+
+
+def test_sample_raster_at_points(spark):
+    """Point enrichment: two non-overlapping tiles, points inside each,
+    one point outside every tile -> NULL."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.raster import sample_raster_at_points
+
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)        # tile A
+    b = (np.arange(12, dtype=np.uint8) + 100).reshape(3, 4)  # tile B
+    ta = write_tiff_ref(a, geo=dict(epsg=32633, origin=(0.0, 30.0),
+                                    scale=(10.0, 10.0)))
+    tb = write_tiff_ref(b, geo=dict(epsg=32633, origin=(100.0, 30.0),
+                                    scale=(10.0, 10.0)))
+    rasters = spark.createDataFrame(
+        [("A", bytearray(ta)), ("B", bytearray(tb))], ["raster_id", "data"])
+    pts = spark.createDataFrame(
+        [(1, 5.0, 25.0),     # tile A pixel (0,0) -> 0
+         (2, 35.0, 5.0),     # tile A pixel (2,3) -> 11
+         (3, 105.0, 25.0),   # tile B pixel (0,0) -> 100
+         (4, 500.0, 500.0)], # no tile -> NULL
+        ["pid", "x", "y"])
+    got = {r["pid"]: (r["raster_id"], r["value"])
+           for r in sample_raster_at_points(pts, rasters).collect()}
+    assert got[1] == ("A", 0.0)
+    assert got[2] == ("A", 11.0)
+    assert got[3] == ("B", 100.0)
+    assert got[4][0] is None
+    import math
+
+    assert got[4][1] is None or math.isnan(got[4][1])
