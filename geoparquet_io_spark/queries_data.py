@@ -3254,3 +3254,59 @@ def q_raster_sample_points(spark, sf_dir):
         ((F.col("user_id") % 59).cast("double") + 0.5).alias("y"))
     out = sample_raster_at_points(ev, rasters)
     return out.select("event_id", "raster_id", "value")
+
+
+def _image_dedup_pipeline_oracle() -> str:
+    """Recursive-CTE fixpoint over the dhash near-dup pair oracle: the
+    SQL statement of what decode -> dhash -> banded pairs -> connected
+    components converges to."""
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(168.0 / length(text)) AS INT)),
+                    1, 168) AS t
+      FROM documents WHERE length(text) >= 1),
+    imgs AS (
+      SELECT doc_id * 2 AS img_id, {_dhash49_sql('t')} AS h FROM d
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id,
+             {_dhash49_sql("concat(substr(t, 1, 165), 'zzz')")} AS h
+      FROM d),
+    pairs AS (
+      SELECT a.img_id AS id_a, b.img_id AS id_b
+      FROM imgs a JOIN imgs b ON a.img_id < b.img_id
+      WHERE bit_count(xor(a.h, b.h)) <= 6),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+    SELECT component, COUNT(*) AS group_size
+    FROM (SELECT node AS id, MIN(r) AS component FROM reach GROUP BY node)
+    GROUP BY component
+    """
+
+
+@register("pipeline_image_dedup", _image_dedup_pipeline_oracle())
+def q_pipeline_image_dedup(spark, sf_dir):
+    """End-to-end multimodal dedup pipeline, pure composition of
+    independently-verified operators: BMP decode -> dHash -> banded
+    hamming pairs (image_near_duplicate_pairs) -> connected components
+    (dedup.connected_components) -> per-group sizes.  Every doc ships
+    an original + a perturbed twin, so chains exist by construction;
+    the oracle is the recursive-CTE fixpoint over the all-pairs form."""
+    from geoparquet_io_spark.operators.dedup import connected_components
+    from geoparquet_io_spark.operators.multimodal import (
+        image_near_duplicate_pairs)
+
+    a = _doc_bmps(spark, sf_dir).select(
+        (F.col("doc_id") * 2).alias("img_id"), "data")
+    b = _doc_bmps(spark, sf_dir, perturb=True).select(
+        (F.col("doc_id") * 2 + 1).alias("img_id"), "data")
+    pairs = image_near_duplicate_pairs(a.unionAll(b), "img_id",
+                                       max_hamming=6, hash_size=7, bands=7)
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    return comp.groupBy("component").agg(F.count("*").alias("group_size"))
