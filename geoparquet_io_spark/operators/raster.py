@@ -209,12 +209,14 @@ def sample_raster_at_points(
     """Sample raster values at point locations — the enrichment join
     (elevation under each GPS fix, land-cover class under each site).
 
-    Shape for 100 TB of tiles: each point is assigned to its covering
-    tile by the tiles' georeferencing (a tiny driver-side extent table
-    — one row per FILE, same cardinality as a manifest), then points
-    co-group with their tile via one keyed ``applyInPandas``: the tile
-    decodes ONCE per group and every point in it is answered with one
-    vectorized numpy gather.  Points outside every tile get NULL.
+    Shape for 100 TB of tiles: only the tiles' EXTENT table (one row of
+    4 doubles per FILE — manifest cardinality) is collected and
+    broadcast to assign each point its covering tile; the tile PAYLOADS
+    never leave the executors.  Points then COGROUP with their tile
+    (``cogroup().applyInPandas``, one shuffle each side on the tile
+    id): the tile decodes ONCE per group and answers all its points
+    with a single vectorized numpy gather.  Points outside every tile
+    get a NULL value.
 
     ``rasters``: (raster_id, data) GeoTIFF payloads with tiepoint+scale.
     """
@@ -246,28 +248,24 @@ def sample_raster_at_points(
            T.StructField(value_column, T.DoubleType(), True)]
     )
 
-    def sample(key, pdf):
-        rid = key[0]
-        if rid is None or (isinstance(rid, float) and np.isnan(rid)):
-            pdf[value_column] = np.nan
-            return pdf
-        if rid not in blobs.value and isinstance(rid, (int, np.integer)):
-            rid = int(rid)
-        raw = bytes(blobs.value[rid])
+    def sample(key, pts_pdf, tile_pdf):
+        if pts_pdf.empty:
+            return pts_pdf.assign(**{value_column: np.nan})
+        if tile_pdf.empty:      # NULL tile group (uncovered points)
+            pts_pdf[value_column] = np.nan
+            return pts_pdf
+        raw = bytes(tile_pdf[data_column].iloc[0])
         info = geotiff_info(raw)
         arr = decode_tiff(raw)
         bandarr = arr if arr.ndim == 2 else arr[:, :, band]
-        cols = np.clip(((pdf[x_column].to_numpy() - info.origin_x)
+        cols = np.clip(((pts_pdf[x_column].to_numpy() - info.origin_x)
                         / info.pixel_w).astype(int), 0, info.width - 1)
-        rows = np.clip(((info.origin_y - pdf[y_column].to_numpy())
+        rows = np.clip(((info.origin_y - pts_pdf[y_column].to_numpy())
                         / info.pixel_h).astype(int), 0, info.height - 1)
-        pdf[value_column] = bandarr[rows, cols].astype("f8")
-        return pdf
+        pts_pdf[value_column] = bandarr[rows, cols].astype("f8")
+        return pts_pdf
 
-    # tile payloads broadcast once (tiles are bounded per executor batch;
-    # for truly huge tile sets, partition the tiles and loop)
-    blobs = spark.sparkContext.broadcast(
-        {r[0]: bytes(r[1])
-         for r in rasters.select(raster_id_column, data_column).collect()})
-    return assigned.groupBy(raster_id_column).applyInPandas(
-        sample, schema=out_schema)
+    return assigned.groupBy(raster_id_column).cogroup(
+        rasters.select(raster_id_column, data_column)
+        .groupBy(raster_id_column)
+    ).applyInPandas(sample, schema=out_schema)
