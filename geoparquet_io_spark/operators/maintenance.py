@@ -144,12 +144,19 @@ def read_pruned(spark: SparkSession, path: str,
 
 def compact(spark: SparkSession, in_path: str, out_path: str,
             target_file_mb: float = 256.0,
-            compression: str = "zstd") -> dict:
+            compression: str = "zstd",
+            zorder: list[str] | None = None) -> dict:
     """Compact a small-file dataset into ~``target_file_mb`` files:
     one repartition (count derived from actual on-disk bytes) + one
     rewrite through the footer-preserving GeoParquet writer.  Returns a
     report dict.  Non-geo datasets compact the same way (geo metadata
-    simply absent)."""
+    simply absent).
+
+    ``zorder``: cluster the rewrite along a multi-column Z-order key
+    (Delta's ``OPTIMIZE ... ZORDER BY``) — same file count, but each
+    output file covers a narrow band of EVERY listed column, so min/max
+    skipping works for predicates on any of them
+    (operators/sorts.py:zorder_by, equi-depth buckets)."""
     from geoparquet_io_spark.sources.geoparquet import read, write
 
     files = _list_parquet_files(in_path)
@@ -158,7 +165,13 @@ def compact(spark: SparkSession, in_path: str, out_path: str,
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     gt = read(spark, in_path)
-    df = gt.df.repartition(n_out)
+    if zorder:
+        from geoparquet_io_spark.operators.sorts import zorder_by
+
+        df = zorder_by(gt.df, zorder, method="range",
+                       num_partitions=n_out)
+    else:
+        df = gt.df.repartition(n_out)
     written = write(df, out_path, geo=gt.geo, compression=compression)
     return {
         "files_before": len(files),

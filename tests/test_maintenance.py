@@ -182,3 +182,44 @@ def test_refresh_manifest_cli(spark, tmp_path, capsys):
     assert rep["files_swept"] == 1 and rep["files_total"] == 2
     back = spark.read.parquet(out2)
     assert back.agg({"n_rows": "sum"}).collect()[0][0] == 80
+
+
+def test_compact_with_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a clustered compaction every output file
+    covers a narrow band of BOTH listed columns."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.maintenance import compact
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(100000), rng.randrange(100000))
+            for _ in range(20000)]
+    src = str(tmp_path / "zc_src")
+    spark.createDataFrame(rows, ["a", "b"]).repartition(16) \
+        .write.parquet(src)
+    import glob
+
+    def mean_spans(path):
+        sa = sb = n = 0
+        for f in glob.glob(path + "/*.parquet"):
+            t = pq.read_table(f, columns=["a", "b"])
+            aa, bb = t.column("a").to_pylist(), t.column("b").to_pylist()
+            sa += max(aa) - min(aa)
+            sb += max(bb) - min(bb)
+            n += 1
+        return sa / n, sb / n, n
+
+    out = str(tmp_path / "zc_out")
+    rep = compact(spark, src, out, target_file_mb=0.008,
+                  zorder=["a", "b"])
+    assert rep["files_after"] >= 8
+    plain = str(tmp_path / "zc_plain")
+    compact(spark, src, plain, target_file_mb=0.008)
+    za, zb, _ = mean_spans(out)
+    pa, pb, _ = mean_spans(plain)
+    # plain hash repartition: every file ~full width in both columns;
+    # z-order: both columns substantially narrower
+    assert pa > 90000 and pb > 90000
+    assert za < 0.7 * pa and zb < 0.7 * pb
