@@ -3310,3 +3310,40 @@ def q_pipeline_image_dedup(spark, sf_dir):
                                        max_hamming=6, hash_size=7, bands=7)
     comp = connected_components(pairs, id_a="id_a", id_b="id_b")
     return comp.groupBy("component").agg(F.count("*").alias("group_size"))
+
+
+@register(
+    "raster_burn_polygons",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             10.0 * (1 + doc_id % 7) AS a,
+             10.0 * (1 + doc_id % 5) AS b
+      FROM documents)
+    SELECT doc_id, CAST(c AS INT) AS col, CAST(r AS INT) AS row
+    FROM d, range(0, 8) t1(c), range(0, 6) t2(r)
+    WHERE (0.3 + c * 10 + 5) / a + (60.7 - (r * 10 + 5)) / b < 1
+    """,
+)
+def q_raster_burn(spark, sf_dir):
+    """Polygon rasterization (operators/raster.py:rasterize_polygons —
+    the gdal_rasterize operation): per-doc right triangles with
+    doc-dependent legs, built as NATIVE WKT strings and converted by
+    the ST_GeomFromText pandas UDF, burned onto an 8x6 grid at a
+    fractional origin (centers never sit on edges); the oracle is the
+    half-plane inequality over every cell center."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.raster import rasterize_polygons
+    from geoparquet_io_spark.operators.skew import spread
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (10.0 * (1 + F.col("doc_id") % 7)).alias("a"),
+        (10.0 * (1 + F.col("doc_id") % 5)).alias("b"))
+    wkt = F.format_string(
+        "POLYGON ((0 0, %.1f 0, 0 %.1f, 0 0))", F.col("a"), F.col("b"))
+    polys = d.withColumn("geometry", G.st_geomfromtext(wkt)) \
+        .select("doc_id", "geometry")
+    out = rasterize_polygons(polys, 8, 6, origin=(0.3, 60.7),
+                             scale=(10.0, 10.0))
+    return out.select("doc_id", "col", "row")

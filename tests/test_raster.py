@@ -165,3 +165,58 @@ def test_sample_raster_at_points(spark):
     import math
 
     assert got[4][1] is None or math.isnan(got[4][1])
+
+
+def test_rasterize_polygons_triangle_and_hole(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators.raster import rasterize_polygons
+
+    # right triangle legs 40x30 on a 10m grid over [0,80]x[0,60];
+    # fractional origin keeps centers off edges
+    tri = _wkb.encode_polygon(
+        [np.array([[0, 0], [40, 0], [0, 30], [0, 0]], float)])
+    # square with a square hole
+    sq = _wkb.encode_polygon([
+        np.array([[40, 30], [80, 30], [80, 60], [40, 60], [40, 30]], float),
+        np.array([[50, 40], [70, 40], [70, 50], [50, 50], [50, 40]], float),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(tri)), (2, bytearray(sq))], ["pid", "geometry"])
+    out = rasterize_polygons(df, 8, 6, origin=(0.3, 60.7),
+                             scale=(10.0, 10.0))
+    got = {(r["pid"], r["col"], r["row"]) for r in out.collect()}
+    # brute-force expectation over all 48 centers
+    want = set()
+    for c in range(8):
+        for r in range(6):
+            x = 0.3 + c * 10 + 5
+            y = 60.7 - (r * 10 + 5)
+            if x >= 0 and y >= 0 and x / 40 + y / 30 < 1:
+                want.add((1, c, r))
+            if 40 < x < 80 and 30 < y < 60 \
+                    and not (50 < x < 70 and 40 < y < 50):
+                want.add((2, c, r))
+    assert got == want and want
+
+
+def test_rasterize_polygons_multipolygon(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators.raster import rasterize_polygons
+
+    mp = _wkb.encode_multipolygon([
+        [np.array([[0, 0], [20, 0], [20, 20], [0, 20], [0, 0]], float)],
+        [np.array([[40, 40], [60, 40], [60, 60], [40, 60], [40, 40]],
+                  float)],
+    ])
+    df = spark.createDataFrame([(1, bytearray(mp))], ["pid", "geometry"])
+    out = rasterize_polygons(df, 6, 6, origin=(0.1, 60.1),
+                             scale=(10.0, 10.0))
+    cells = {(r["col"], r["row"]) for r in out.collect()}
+    assert (0, 5) in cells and (1, 4) in cells     # lower-left square
+    assert (4, 1) in cells and (5, 0) in cells     # upper-right square
+    assert (3, 3) not in cells                     # the gap between
