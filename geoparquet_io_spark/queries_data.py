@@ -3347,3 +3347,58 @@ def q_raster_burn(spark, sf_dir):
     out = rasterize_polygons(polys, 8, 6, origin=(0.3, 60.7),
                              scale=(10.0, 10.0))
     return out.select("doc_id", "col", "row")
+
+
+@register(
+    "raster_polygon_zonal",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(repeat(text, CAST(ceil(48.0 / length(text)) AS INT)),
+                    1, 48) AS t,
+             10.0 * (1 + doc_id % 7) AS a,
+             10.0 * (1 + doc_id % 5) AS b
+      FROM documents WHERE length(text) >= 1),
+    px AS (
+      SELECT doc_id, c, r, a, b,
+             CAST(ascii(substr(t, r * 8 + c + 1, 1)) AS DOUBLE) AS v
+      FROM d, range(0, 8) t1(c), range(0, 6) t2(r))
+    SELECT doc_id, COUNT(*) AS n_cells, ROUND(AVG(v), 4) AS mean_v
+    FROM px
+    WHERE (0.3 + c * 10 + 5) / a + (60.7 - (r * 10 + 5)) / b < 1
+    GROUP BY doc_id
+    """,
+)
+def q_raster_polygon_zonal(spark, sf_dir):
+    """Polygon zonal statistics as pure composition: each doc's raster
+    (geotiff_to_points) joins its burned triangle cells
+    (rasterize_polygons) on (doc_id, col, row) -> per-polygon pixel
+    mean.  At scale both sides are map-only explosions and the join is
+    one keyed shuffle; the oracle recomputes mask and mean from the
+    construction arithmetic."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.operators.raster import (geotiff_to_points,
+                                                      rasterize_polygons)
+
+    # rasters over the same grid the burn uses: origin (0.3, 60.7)
+    tiles = _doc_geotiffs(spark, sf_dir).select("doc_id", "data")
+    # _doc_geotiffs pins origin (500000, 4650000); re-georeference by
+    # using col/row (grid-local) from the explosion instead of x/y
+    pixels = geotiff_to_points(tiles).select(
+        "doc_id", "col", "row", "value")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (10.0 * (1 + F.col("doc_id") % 7)).alias("a"),
+        (10.0 * (1 + F.col("doc_id") % 5)).alias("b"))
+    wkt = F.format_string(
+        "POLYGON ((0 0, %.1f 0, 0 %.1f, 0 0))", F.col("a"), F.col("b"))
+    polys = d.withColumn("geometry", G.st_geomfromtext(wkt)) \
+        .select("doc_id", "geometry")
+    mask = rasterize_polygons(polys, 8, 6, origin=(0.3, 60.7),
+                              scale=(10.0, 10.0)) \
+        .select("doc_id", "col", "row")
+    joined = pixels.join(mask, ["doc_id", "col", "row"])
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.avg("value"), 4).alias("mean_v"))
