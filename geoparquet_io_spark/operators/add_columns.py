@@ -236,3 +236,99 @@ def reproject(df: DataFrame, geometry_column: str, src, dst,
     return df.withColumn(
         geometry_column, G.st_transform(F.col(geometry_column), src, dst, transformer)
     )
+
+
+def h3_polyfill(
+    df: DataFrame,
+    res: int,
+    geometry_column: str = "geometry",
+    cell_column: str = "h3_cells",
+    max_cells: int = 200_000,
+) -> DataFrame:
+    """Polygon -> covering H3 cells at ``res`` (canonical polyfill
+    semantics: a cell belongs to the polygon iff its CENTER is inside),
+    using the first-principles kernel (functions/h3_fine.py).
+
+    Algorithm (self-calibrating — no tabulated cell-size constants):
+    a coarse probe of the polygon's bbox measures the local
+    center-to-center cell spacing empirically, then a sample grid at
+    0.35x that spacing (finer than any cell's incircle, pentagon
+    distortion included) guarantees every candidate cell shows up;
+    candidates' exact centers (kernel inverse) are point-in-polygon
+    tested.  Map-only per polygon; ``max_cells`` guards the explosion
+    the way the partition writers' preflights do.
+
+    Output: one array<long> column of sorted cell ids per row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.functions.h3_fine import (cell_to_latlng,
+                                                       latlng_to_cell)
+    from geoparquet_io_spark.operators.raster import _points_in_polygon_bulk
+
+    if not 1 <= res <= 15:
+        raise ValueError(f"res must be in [1, 15], got {res}")
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(cell_column, T.ArrayType(T.LongType()), True)]
+    )
+    idx = df.columns.index(geometry_column)
+
+    def fill_one(buf: bytes) -> list[int]:
+        geom = _wkb.parse(buf)
+        polys = geom.children if geom.children else [geom]
+        xmin, ymin, xmax, ymax = _wkb.envelope(buf)
+        # 1) probe: measure local cell spacing empirically
+        gx = np.linspace(xmin, xmax, 12)
+        gy = np.linspace(ymin, ymax, 12)
+        PX, PY = np.meshgrid(gx, gy)
+        cells = np.unique(latlng_to_cell(PY.ravel(), PX.ravel(), res))
+        clat, clng = cell_to_latlng(cells)
+        if len(cells) > 1:
+            # min pairwise center distance in degrees (lon scaled)
+            co = np.cos(np.radians(np.clip(clat.mean(), -89.0, 89.0)))
+            dx = (clng[:, None] - clng[None, :]) * co
+            dy = clat[:, None] - clat[None, :]
+            dist = np.sqrt(dx * dx + dy * dy)
+            np.fill_diagonal(dist, np.inf)
+            spacing = float(dist.min())
+        else:
+            # bbox smaller than one cell: spacing bounded by bbox size
+            spacing = max(xmax - xmin, ymax - ymin, 1e-9) * 2.0
+        s = spacing * 0.35
+        margin = spacing * 1.5
+        nx = int((xmax - xmin + 2 * margin) / s) + 2
+        ny = int((ymax - ymin + 2 * margin) / s) + 2
+        if nx * ny > 25 * max_cells:
+            raise ValueError(
+                f"polyfill at res {res} would sample {nx * ny} points "
+                f"(> 25 * max_cells={max_cells}); lower res or raise "
+                f"max_cells")
+        sx = np.linspace(xmin - margin, xmax + margin, nx)
+        sy = np.linspace(ymin - margin, ymax + margin, ny)
+        SX, SY = np.meshgrid(sx, sy)
+        cand = np.unique(latlng_to_cell(SY.ravel(), SX.ravel(), res))
+        la, ln = cell_to_latlng(cand)
+        inside = np.zeros(len(cand), dtype=bool)
+        for p in polys:
+            inside |= _points_in_polygon_bulk(ln, la, p)
+        out = np.sort(cand[inside]).astype(np.int64)
+        if len(out) > max_cells:
+            raise ValueError(
+                f"polyfill produced {len(out)} cells > max_cells")
+        return [int(v) for v in out]
+
+    def run(batches):
+        for pdf in batches:
+            vals = []
+            for buf in pdf.iloc[:, idx]:
+                vals.append(None if buf is None else fill_one(bytes(buf)))
+            pdf[cell_column] = vals
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -264,3 +264,53 @@ def test_vendored_base_cell_table_validates():
                 hf._slot_pos, hf._CELLS, hf._C, hf._PENT)
     finally:
         bcd.BASE_CELL_DATA = good
+
+
+# --- polyfill (operators/add_columns.py:h3_polyfill) -----------------------
+
+def test_h3_polyfill_exactness_properties(spark):
+    """Polyfill semantics pinned by two exhaustive properties:
+    soundness (every returned cell's center is inside the polygon) and
+    completeness (the cell of ANY interior point whose center is
+    inside must be in the set) — together they define center-
+    containment polyfill exactly."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.functions.h3_fine import (cell_to_latlng,
+                                                       latlng_to_cell)
+    from geoparquet_io_spark.operators.add_columns import h3_polyfill
+    from geoparquet_io_spark.operators.raster import _points_in_polygon_bulk
+
+    # lon/lat triangle over central Europe, res 5
+    ring = np.array([[8.0, 47.0], [12.0, 47.5], [9.0, 50.0], [8.0, 47.0]])
+    tri = _wkb.encode_polygon([ring])
+    df = spark.createDataFrame([(1, bytearray(tri))], ["pid", "geometry"])
+    cells = np.array(
+        h3_polyfill(df, 5).collect()[0]["h3_cells"], dtype=np.uint64)
+    assert len(cells) > 50
+
+    poly = _wkb.parse(tri)
+    la, ln = cell_to_latlng(cells)
+    # soundness: every returned center inside
+    assert _points_in_polygon_bulk(ln, la, poly).all()
+
+    # completeness: random interior points -> their cells (when the
+    # cell center is inside) are all present
+    rng = np.random.default_rng(5)
+    pts = []
+    while len(pts) < 400:
+        x = rng.uniform(8.0, 12.0, 1000)
+        y = rng.uniform(47.0, 50.0, 1000)
+        m = _points_in_polygon_bulk(x, y, poly)
+        pts.extend(zip(x[m], y[m]))
+    pts = np.array(pts[:400])
+    pc = latlng_to_cell(pts[:, 1], pts[:, 0], 5)
+    pla, pln = cell_to_latlng(np.unique(pc))
+    center_inside = _points_in_polygon_bulk(pln, pla, poly)
+    want = set(np.unique(pc)[center_inside].tolist())
+    assert want <= set(cells.tolist())
+
+    # refinement sanity: res 6 count ~ 7x res 5 count
+    c6 = h3_polyfill(df, 6).collect()[0]["h3_cells"]
+    assert 4.5 < len(c6) / len(cells) < 9.5
