@@ -463,3 +463,16 @@ def test_cli_plugin_absence_is_clean(monkeypatch):
                         lambda group=None: [])
     p = cli_mod.build_parser()
     assert p is not None
+
+
+def test_benchmark_engines_cli(spark, capsys):
+    """The cross-engine race runs a real registry query on BOTH engines
+    over the same parquet and the row counts must agree."""
+    rc = _run(["benchmark", "engines", "--queries", "extract_where_columns",
+               "--sf-dir", SF_SMOKE])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    row = out["engines"][0]
+    assert row["query"] == "extract_where_columns"
+    assert row["rows_match"] and row["rows"] > 0
+    assert row["spark_s"] >= 0 and row["duckdb_s"] >= 0
