@@ -571,6 +571,28 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_raster_info(args) -> int:
+    """GeoTIFF inspection without a raster library: shape, dtype,
+    georeferencing, EPSG, band stats (functions/tiff.py)."""
+    from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
+
+    raw = open(args.input, "rb").read()
+    info = geotiff_info(raw)
+    out = {"width": info.width, "height": info.height,
+           "bands": info.bands, "dtype": info.dtype, "epsg": info.epsg,
+           "origin": [info.origin_x, info.origin_y],
+           "pixel_size": [info.pixel_w, info.pixel_h]}
+    if args.stats:
+        arr = decode_tiff(raw)
+        band = arr if arr.ndim == 2 else arr[:, :, 0]
+        b = band.astype("f8")
+        out["band_min"] = float(b.min())
+        out["band_max"] = float(b.max())
+        out["band_mean"] = round(float(b.mean()), 6)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Keyed diff of two dataset versions -> per-status counts."""
     from pyspark.sql import functions as F
@@ -789,6 +811,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "latest); prints the row count")
     sn.add_argument("--output", help="with --read: write the snapshot here")
     sn.set_defaults(fn=cmd_snapshot)
+
+    ri = sub.add_parser("raster-info")
+    ri.add_argument("input")
+    ri.add_argument("--stats", action="store_true",
+                    help="also decode the first band for min/max/mean")
+    ri.set_defaults(fn=cmd_raster_info)
 
     dl = sub.add_parser("delete")
     dl.add_argument("input")

@@ -476,3 +476,20 @@ def test_benchmark_engines_cli(spark, capsys):
     assert row["query"] == "extract_where_columns"
     assert row["rows_match"] and row["rows"] > 0
     assert row["spark_s"] >= 0 and row["duckdb_s"] >= 0
+
+
+def test_raster_info_cli(tmp_path, capsys):
+    import numpy as np
+
+    from geoparquet_io_spark.functions.tiff import build_geotiff
+
+    img = (np.arange(48, dtype=np.uint8)).reshape(6, 8)
+    p = str(tmp_path / "t.tif")
+    open(p, "wb").write(build_geotiff(
+        img, epsg=32633, origin=(500000.0, 4650000.0), scale=(30.0, 30.0)))
+    assert _run(["raster-info", p, "--stats"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert (out["width"], out["height"], out["epsg"]) == (8, 6, 32633)
+    assert out["pixel_size"] == [30.0, 30.0]
+    assert out["band_min"] == 0.0 and out["band_max"] == 47.0
+    assert abs(out["band_mean"] - 23.5) < 1e-9
