@@ -251,10 +251,24 @@ def commit_snapshot(spark: SparkSession, path: str,
     ``<path>/_snapshots/``; readers of version N see exactly N's files
     regardless of later appends, rewrites, or compactions.
 
-    ``files`` defaults to every parquet file currently under ``path``
-    (append-only ingest: commit after each batch).  A logical REPLACE
+    ``files=None`` (the append/INSERT default) commits the PRIOR
+    snapshot's membership plus any on-disk parquet file no snapshot has
+    ever referenced (the newly appended batch).  Files referenced only
+    by OLDER versions — pre-compaction originals, pre-``apply_deletes``
+    data — are retained for time travel but are NOT swept back into the
+    new version (they were logically replaced).  With no history at all,
+    every on-disk file is the bootstrap membership.  A logical REPLACE
     (compaction, dedup rewrite) passes the new file set explicitly —
     old files stay on disk for time travel until :func:`vacuum`.
+
+    ``delete_files=None`` (default) INHERITS the prior snapshot's
+    merge-on-read delete files and key — an append between a
+    ``delete_where`` and its ``apply_deletes`` keeps the deletes in
+    force.  Note the equality-delete scope is the whole snapshot:
+    appending a row whose key was deleted keeps it invisible until
+    :func:`apply_deletes` folds the deletes in (fold first to
+    re-insert).  Pass ``delete_files=[]`` to explicitly clear (what
+    ``apply_deletes`` does after folding).
 
     Scale shape: footer row counts come from the distributed
     ``build_manifest`` sweep (executor-side); only file NAMES and the
@@ -280,13 +294,33 @@ def commit_snapshot(spark: SparkSession, path: str,
     import json
     import time
 
-    all_files = _list_parquet_files(path)
-    members = sorted(files) if files is not None else all_files
+    hist0 = snapshot_history(path)
+    prior = hist0[-1] if hist0 else None
+    if files is not None:
+        members = sorted(files)
+    elif prior is None:
+        members = _list_parquet_files(path)     # bootstrap: all on disk
+    else:
+        # prior membership + never-before-referenced files (new appends).
+        # Files only OLDER snapshots reference were logically replaced —
+        # sweeping them back in would resurrect deleted/rewritten rows.
+        ever = {os.path.abspath(os.path.join(path, r["file"]))
+                for h in hist0 for r in h["files"]}
+        prior_files = [os.path.join(path, r["file"]) for r in prior["files"]]
+        new_files = [f for f in _list_parquet_files(path)
+                     if os.path.abspath(f) not in ever]
+        members = sorted(set(prior_files) | set(new_files))
+    if delete_files is None and prior is not None:
+        # inherit merge-on-read deletes still in force (pass [] to clear)
+        delete_files = [os.path.join(path, r["file"])
+                        for r in prior.get("delete_files", [])]
+        if delete_files and delete_key is None:
+            delete_key = prior.get("delete_key")
     missing = [f for f in members if not os.path.isfile(f)]
     if missing:
         raise FileNotFoundError(f"snapshot members missing: {missing[:3]}")
     if epoch_id is not None:
-        for h in snapshot_history(path):
+        for h in hist0:
             if h.get("epoch_id") == epoch_id:
                 return h
     reused = {}
@@ -294,7 +328,11 @@ def commit_snapshot(spark: SparkSession, path: str,
         for r in reuse.get("files", []):
             if "mtime_ns" in r:
                 reused[os.path.join(path, r["file"])] = r
-    mf = build_manifest(spark, path) if files is None and not reused else None
+    # distributed footer sweep for big memberships; tiny commits (and the
+    # streaming reuse path) stat/read driver-side — no job for a 3-file
+    # micro-batch
+    mf = build_manifest(spark, path, files=members) \
+        if not reused and len(members) > 64 else None
     if mf is not None:
         stats = {r["file"]: (r["n_rows"], r["n_bytes"])
                  for r in mf.select("file", "n_rows", "n_bytes").collect()}
@@ -483,11 +521,15 @@ def apply_deletes(spark: SparkSession, path: str,
         raise RuntimeError("apply_deletes needs a committed snapshot")
     if not hist[-1].get("delete_files"):
         return hist[-1]     # nothing to fold
+    from geoparquet_io_spark.sources.geoparquet import write as _gpq_write
+
     gt = read_snapshot(spark, path)
     out = os.path.join(path, f"rewrite-{uuid.uuid4().hex[:12]}")
-    gt.df.write.parquet(out)
-    new_files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
-    return commit_snapshot(spark, path, files=new_files, note=note)
+    # footer-preserving writer: the rewrite keeps CRS/bbox/encoding geo
+    # metadata exactly as compact() does (geo=None writes plain parquet)
+    new_files = sorted(_gpq_write(gt.df, out, geo=gt.geo))
+    return commit_snapshot(spark, path, files=new_files, note=note,
+                           delete_files=[])
 
 
 def vacuum(path: str, keep_versions: list[int] | None = None,
@@ -579,9 +621,11 @@ def changes_between(spark: SparkSession, path: str, key_column: str,
         raise ValueError("changes_between requires identical schemas "
                          f"({sorted(old.columns)} vs {sorted(cols)})")
     payload = [c for c in cols if c != key_column]
+    # 64-bit payload hash: at CDF scale a 32-bit Murmur3 collision
+    # (p ~ n_changed / 2^32) would silently drop an update from the feed
     o = old.select(key_column,
-                   F.hash(*[F.col(c) for c in payload]).alias("__h_old"))
-    nh = new.withColumn("__h_new", F.hash(*[F.col(c) for c in payload]))
+                   F.xxhash64(*[F.col(c) for c in payload]).alias("__h_old"))
+    nh = new.withColumn("__h_new", F.xxhash64(*[F.col(c) for c in payload]))
     joined = nh.join(o, key_column, "left")
     inserted = joined.filter(F.col("__h_old").isNull()) \
         .select(*cols, F.lit("insert").alias("_change"))
@@ -614,10 +658,15 @@ def merge_into(spark: SparkSession, path: str, changes: DataFrame,
     hist = snapshot_history(path)
     if not hist:
         raise RuntimeError("merge_into needs a committed snapshot")
-    base = read_snapshot(spark, path).df
-    merged = merge_upsert(base, changes, keys, op_column=op_column,
+    from geoparquet_io_spark.sources.geoparquet import write as _gpq_write
+
+    base_gt = read_snapshot(spark, path)
+    merged = merge_upsert(base_gt.df, changes, keys, op_column=op_column,
                           delete_op=delete_op)
     out = os.path.join(path, f"rewrite-{uuid.uuid4().hex[:12]}")
-    merged.write.parquet(out)
-    new_files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
-    return commit_snapshot(spark, path, files=new_files, note=note)
+    # footer-preserving rewrite (geo metadata survives the MERGE), and the
+    # base snapshot already had its merge-on-read deletes applied — the
+    # replace version starts with a clean delete list
+    new_files = sorted(_gpq_write(merged, out, geo=base_gt.geo))
+    return commit_snapshot(spark, path, files=new_files, note=note,
+                           delete_files=[])

@@ -234,12 +234,39 @@ def sample_raster_at_points(
     ext = spark.createDataFrame(
         ext_rows, [raster_id_column, "x0", "ytop", "x1", "ybot"])
 
+    # a point under OVERLAPPING tile extents matches several tiles in the
+    # containment join; it must be answered once, not once per tile.  The
+    # extent table is driver-held already — a sort-sweep detects overlap,
+    # and only then does the dedup (min raster_id per point) pay its
+    # extra shuffle; the common non-overlapping mosaic keeps the
+    # 2-shuffle plan untouched.
+    def _extents_overlap(rows) -> bool:
+        srt = sorted(rows, key=lambda t: t[1])      # by x0
+        for i, (_, x0, ytop, x1, ybot) in enumerate(srt):
+            for _, bx0, bytop, bx1, bybot in srt[i + 1:]:
+                if bx0 >= x1:
+                    break
+                if bybot < ytop and bytop > ybot:
+                    return True
+        return False
+
+    overlapping = _extents_overlap(ext_rows)
+    src = points.withColumn("__pt", F.monotonically_increasing_id()) \
+        if overlapping else points
+
     px, py = F.col(x_column), F.col(y_column)
-    assigned = points.join(
+    assigned = src.join(
         F.broadcast(ext),
         (px >= F.col("x0")) & (px < F.col("x1"))
         & (py <= F.col("ytop")) & (py > F.col("ybot")),
         "left").drop("x0", "ytop", "x1", "ybot")
+
+    if overlapping:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__pt").orderBy(F.col(raster_id_column))
+        assigned = assigned.withColumn("__rk", F.row_number().over(w)) \
+            .filter(F.col("__rk") == 1).drop("__pt", "__rk")
 
     out_schema = T.StructType(
         list(points.schema.fields)

@@ -220,3 +220,33 @@ def test_rasterize_polygons_multipolygon(spark):
     assert (0, 5) in cells and (1, 4) in cells     # lower-left square
     assert (4, 1) in cells and (5, 0) in cells     # upper-right square
     assert (3, 3) not in cells                     # the gap between
+
+
+def test_sample_raster_at_points_overlapping_tiles(spark):
+    """A point under OVERLAPPING tile extents is answered ONCE (min
+    raster_id tie-break), never duplicated one-row-per-covering-tile."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.raster import sample_raster_at_points
+
+    a = np.full((3, 4), 7, dtype=np.uint8)
+    b = np.full((3, 4), 9, dtype=np.uint8)
+    ta = write_tiff_ref(a, geo=dict(epsg=32633, origin=(0.0, 30.0),
+                                    scale=(10.0, 10.0)))
+    tb = write_tiff_ref(b, geo=dict(epsg=32633, origin=(20.0, 30.0),
+                                    scale=(10.0, 10.0)))  # overlaps A in x
+    rasters = spark.createDataFrame(
+        [("A", bytearray(ta)), ("B", bytearray(tb))], ["raster_id", "data"])
+    pts = spark.createDataFrame(
+        [(1, 25.0, 25.0),    # covered by BOTH -> A wins (min id), value 7
+         (2, 5.0, 25.0),     # only A
+         (3, 45.0, 25.0),    # only B
+         (4, 500.0, 500.0)], # neither -> NULL
+        ["pid", "x", "y"])
+    out = sample_raster_at_points(pts, rasters).collect()
+    assert len(out) == 4                       # exactly one row per point
+    got = {r["pid"]: (r["raster_id"], r["value"]) for r in out}
+    assert got[1] == ("A", 7.0)
+    assert got[2] == ("A", 7.0)
+    assert got[3] == ("B", 9.0)
+    assert got[4][0] is None

@@ -388,3 +388,75 @@ def test_merge_into_snapshot(spark, tmp_path):
     # v1 unchanged (time travel across the MERGE)
     old = {r["id"]: r["v"] for r in read_snapshot(spark, p, 1).df.collect()}
     assert old[3] == 30 and 42 not in old and old[7] == 70
+
+
+def test_insert_after_delete_keeps_deletes(spark, tmp_path):
+    """The documented INSERT flow (append + bare commit_snapshot) between
+    a delete_where and its apply_deletes must keep the deletes in force:
+    delete files are inherited, never silently dropped."""
+    from geoparquet_io_spark.operators.maintenance import (
+        delete_where, read_snapshot, snapshot_history)
+
+    p = _fresh_ds(spark, tmp_path)                       # ids 0..99
+    delete_where(spark, p, "id % 10 = 0", "id")          # 90 live
+    spark.range(100, 110).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    rec = commit_snapshot(spark, p, note="insert batch")
+    assert rec.get("delete_key") == "id" and rec.get("delete_files")
+    cur = read_snapshot(spark, p).df
+    assert cur.count() == 100                            # 90 + 10, not 110
+    ids = {r["id"] for r in cur.collect()}
+    assert not ids & {0, 10, 20, 90}
+    assert {100, 109} <= ids
+    # history: base(100) -> delete(90) -> insert(100)
+    assert [h["version"] for h in snapshot_history(p)] == [1, 2, 3]
+
+
+def test_commit_after_apply_deletes_no_resurrection(spark, tmp_path):
+    """A bare commit_snapshot after apply_deletes must NOT sweep the
+    pre-rewrite originals back in (they are referenced only by older
+    versions — logically replaced, retained for time travel)."""
+    from geoparquet_io_spark.operators.maintenance import (
+        apply_deletes, delete_where, read_snapshot)
+
+    p = _fresh_ds(spark, tmp_path)                       # ids 0..99
+    delete_where(spark, p, "id >= 60", "id")             # 60 live
+    apply_deletes(spark, p)                              # rewrite dir
+    rec = commit_snapshot(spark, p, note="noop recommit")
+    assert rec["n_rows"] == 60
+    assert read_snapshot(spark, p).df.count() == 60      # not 160
+    # and an append after the fold-in lands cleanly with no deletes
+    spark.range(200, 210).selectExpr("id", "id * 10 AS v") \
+        .write.mode("append").parquet(p)
+    rec2 = commit_snapshot(spark, p, note="append")
+    assert rec2["n_rows"] == 70 and not rec2.get("delete_files")
+    assert read_snapshot(spark, p).df.count() == 70
+
+
+def test_rewrites_preserve_geo_footer(spark, tmp_path):
+    """apply_deletes and merge_into rewrite through the footer-preserving
+    GeoParquet writer — geo metadata (CRS/encoding) survives DML."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.maintenance import (
+        apply_deletes, delete_where, merge_into, read_snapshot)
+    from geoparquet_io_spark.queries import _events_points
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    p = str(tmp_path / "geo_dml")
+    gt.write(p)
+    commit_snapshot(spark, p)
+    n = gt.df.count()
+    delete_where(spark, p, "event_id % 2 = 0", "event_id")
+    apply_deletes(spark, p)
+    back = read_snapshot(spark, p)
+    assert back.geo is not None and back.geo.primary is not None
+    assert back.df.count() == n - read_snapshot(spark, p, 1).df.filter(
+        "event_id % 2 = 0").count()
+    changes = back.df.limit(1).withColumn("op", F.lit("D")) \
+        .select("event_id", *[c for c in back.df.columns
+                              if c != "event_id"], "op")
+    merge_into(spark, p, changes, "event_id")
+    after = read_snapshot(spark, p)
+    assert after.geo is not None and after.geo.primary is not None
