@@ -582,3 +582,4 @@ from geoparquet_io_spark import queries_tpch  # noqa: E402,F401
 from geoparquet_io_spark import queries_curate  # noqa: E402,F401
 from geoparquet_io_spark import queries_ts  # noqa: E402,F401
 from geoparquet_io_spark import queries_nlp  # noqa: E402,F401
+from geoparquet_io_spark import queries_formats  # noqa: E402,F401

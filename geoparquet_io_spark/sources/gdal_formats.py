@@ -1,14 +1,26 @@
 """GDAL vector formats: GeoPackage / Shapefile / FlatGeobuf.
 
 The reference reads these via DuckDB's ST_Read and writes via
-COPY (FORMAT GDAL) (core/convert.py:42,547,916; core/format_writers.py:99-243)
-— both single-node GDAL under the hood.  This container has no GDAL, so
-these are import-gated on ``pyogrio``: present -> driver-side read to
-Arrow then parallelize / collect-and-write; absent -> a clear error.
-The single-file, driver-side nature mirrors the reference exactly.
+COPY (FORMAT GDAL) (core/convert.py:42,547,916;
+core/format_writers.py:99-243) — both single-node GDAL under the hood.
+This engine needs NO GDAL: each format has a pure-Python implementation
+against its public spec —
+
+- GeoPackage: stdlib sqlite3 (sources/gpkg.py), distributed rowid scan;
+- Shapefile: fixed-layout .shp/.shx/.dbf parser (sources/shapefile.py),
+  distributed record-range scan;
+- FlatGeobuf: own FlatBuffers runtime (sources/fgb.py +
+  functions/flatbuf.py), distributed byte-range decode.
+
+When ``pyogrio`` IS installed it is preferred as the fast path (real
+GDAL covers more dialect corners: encodings, exotic shape types,
+projected .prj WKT variants); otherwise the pure readers serve.
+``read_gdal``/``write_gdal`` dispatch on extension either way.
 """
 
 from __future__ import annotations
+
+import os
 
 GDAL_DRIVERS = {
     ".gpkg": "GPKG",
@@ -22,23 +34,46 @@ GDAL_DRIVERS = {
 _UNSUPPORTED_TYPES = ("struct", "array", "map")
 
 
-def _require_pyogrio():
+def _pyogrio():
     try:
         import pyogrio  # noqa: F401
 
         return pyogrio
-    except ImportError as e:
-        raise NotImplementedError(
-            "GeoPackage/Shapefile/FlatGeobuf IO requires pyogrio+GDAL, which "
-            "are not in this container; install pyogrio to enable "
-            "(the reference uses DuckDB's GDAL bridge the same single-node way)"
-        ) from e
+    except ImportError:
+        return None
 
 
-def read_gdal(spark, path: str, geometry_column: str = "geometry"):
-    """GDAL vector file -> GeoTable (driver-side read, like ST_Read)."""
-    pyogrio = _require_pyogrio()
-    from geoparquet_io_spark.geotable import GeoTable  # pragma: no cover
+def read_gdal(spark, path: str, geometry_column: str = "geometry",
+              layer: str | None = None):
+    """Vector file -> GeoTable.  Dispatches by extension to the
+    pure-Python readers; uses pyogrio when present (fast path)."""
+    ext = os.path.splitext(path)[1].lower()
+    if _pyogrio() is None or ext == ".geojson":
+        if ext == ".gpkg":
+            from geoparquet_io_spark.sources.gpkg import read_gpkg
+
+            return read_gpkg(spark, path, layer=layer)
+        if ext == ".shp":
+            from geoparquet_io_spark.sources.shapefile import read_shapefile
+
+            return read_shapefile(spark, path,
+                                  geometry_column=geometry_column)
+        if ext == ".fgb":
+            from geoparquet_io_spark.sources.fgb import read_fgb
+
+            return read_fgb(spark, path, geometry_column=geometry_column)
+        if ext == ".geojson":
+            from geoparquet_io_spark.sources.geojson import read_geojson
+
+            return read_geojson(spark, path,
+                                geometry_column=geometry_column)
+        raise ValueError(f"no reader for extension {ext!r} ({path})")
+    return _read_pyogrio(spark, path, geometry_column)
+
+
+def _read_pyogrio(spark, path: str, geometry_column: str):
+    pyogrio = _pyogrio()  # pragma: no cover - exercised when GDAL present
+    from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
 
     table = pyogrio.raw.read_arrow(path)[1]  # arrow table with WKB geometry
@@ -53,18 +88,37 @@ def read_gdal(spark, path: str, geometry_column: str = "geometry"):
 
 def write_gdal(gt, path: str, driver: str | None = None,
                layer: str | None = None) -> None:
-    """GeoTable -> GDAL single file via ``pyogrio.raw.write_arrow``
-    (collect-to-driver, like the reference's COPY FORMAT GDAL; no
-    geopandas needed — GDAL consumes the Arrow stream with the geometry
-    as a WKB binary column).  Nested columns are dropped with the same
-    rule as the reference (core/format_writers.py:99-243)."""
-    pyogrio = _require_pyogrio()
-    import os
-
+    """GeoTable -> single vector file.  Driver inferred from extension;
+    pure-Python writers by default, pyogrio when installed (except
+    GeoJSON, which always uses the native writer)."""
+    ext = os.path.splitext(path)[1].lower()
     if driver is None:
-        driver = GDAL_DRIVERS.get(os.path.splitext(path)[1].lower())
+        driver = GDAL_DRIVERS.get(ext)
         if driver is None:
             raise ValueError(f"cannot infer GDAL driver for {path}")
+    if _pyogrio() is None or ext == ".geojson":
+        if ext == ".gpkg":
+            from geoparquet_io_spark.sources.gpkg import write_gpkg
+
+            return write_gpkg(gt, path, layer=layer)
+        if ext == ".shp":
+            from geoparquet_io_spark.sources.shapefile import write_shapefile
+
+            return write_shapefile(gt, path)
+        if ext == ".fgb":
+            from geoparquet_io_spark.sources.fgb import write_fgb
+
+            return write_fgb(gt, path)
+        if ext == ".geojson":
+            from geoparquet_io_spark.sources.geojson import write_geojson
+
+            return write_geojson(gt, path)
+        raise ValueError(f"no writer for extension {ext!r} ({path})")
+    return _write_pyogrio(gt, path, driver, layer)
+
+
+def _write_pyogrio(gt, path: str, driver: str, layer: str | None):
+    pyogrio = _pyogrio()  # pragma: no cover - exercised when GDAL present
     df = gt.df
     keep = [
         f.name for f in df.schema.fields

@@ -130,15 +130,36 @@ def test_partition_by_admin(spark, points, tmp_path):
     assert "n_name" in back.columns
 
 
-def test_gdal_formats_gated(spark, points, tmp_path):
-    import pytest as _pytest
+def test_gdal_formats_ungated_roundtrip(spark, points, tmp_path):
+    """The GDAL-format surface works WITHOUT pyogrio: the pure-Python
+    GeoPackage/Shapefile/FlatGeobuf paths round-trip WKB exactly."""
+    import sys
 
     from geoparquet_io_spark.sources.gdal_formats import read_gdal, write_gdal
 
-    with _pytest.raises(NotImplementedError, match="pyogrio"):
-        read_gdal(spark, str(tmp_path / "x.gpkg"))
-    with _pytest.raises(NotImplementedError, match="pyogrio"):
-        write_gdal(points, str(tmp_path / "x.gpkg"))
+    if "pyogrio" in sys.modules or _has_pyogrio():
+        pytest.skip("pyogrio present: dispatch prefers the GDAL path")
+    sub = points.df.limit(50)
+    from geoparquet_io_spark.geotable import GeoTable
+
+    gt = GeoTable(sub, points.geo)
+    exp = sorted(bytes(r[gt.geometry_column]).hex() for r in sub.collect())
+    for ext in (".gpkg", ".shp", ".fgb"):
+        out = str(tmp_path / f"pts{ext}")
+        write_gdal(gt, out)
+        back = read_gdal(spark, out)
+        got = sorted(bytes(r[back.geometry_column]).hex()
+                     for r in back.df.collect())
+        assert got == exp, ext
+
+
+def _has_pyogrio():
+    try:
+        import pyogrio  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def test_max_rows_per_file_rolls(points, spark, tmp_path):
