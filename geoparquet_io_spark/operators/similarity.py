@@ -453,12 +453,52 @@ def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _chain_band_pairs(rows: DataFrame, window: int) -> DataFrame:
+    """Bounded predecessor pairing for OVERSIZE clusters: rows ranked by
+    id within their cluster; each row pairs only with its ``window``
+    immediate predecessors.  The join is banded (chunk = rank div
+    window; a qualifying pair is always in the same or adjacent chunk),
+    so generated pair volume is <= 2*window per row — LINEAR in cluster
+    size, never the n^2 equi-join.
+
+    Exactness property: in a mass of MUTUAL near-duplicates every
+    id-order predecessor is itself a duplicate, so each row except the
+    cluster-minimum finds a witness — identical kept-set to the
+    all-pairs rule for the dup-heavy case the cap exists for.  Sparse
+    pairs more than ``window`` apart in id order with no intermediate
+    duplicates are the (documented) approximation.
+
+    Input ``rows``: (id, v, n, cluster).  Output: (id_a, id_b) with
+    id_a < id_b, rank distance <= window.
+    """
+    wnd = Window.partitionBy("cluster").orderBy("id")
+    r = rows.withColumn("__rk", F.row_number().over(wnd)) \
+        .withColumn("__ck", ((F.col("__rk") - 1) / window).cast("long"))
+    # predecessor side advertises itself to its own and the NEXT chunk
+    a = r.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cluster",
+        F.col("__rk").alias("__rka"),
+        F.explode(F.array(F.col("__ck"), F.col("__ck") + 1)).alias("__jk"))
+    b = r.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cluster",
+        F.col("__rk").alias("__rkb"), F.col("__ck").alias("__jk"))
+    return (
+        a.join(b, ["cluster", "__jk"])
+        .filter((F.col("__rkb") > F.col("__rka"))
+                & (F.col("__rkb") - F.col("__rka") <= window))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     threshold: float = 0.95,
+    max_cluster_size: int | None = 10_000,
+    window: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public method: Abbas et al.
     2023, arXiv:2303.09540): partition the embedding space with k-means
@@ -471,9 +511,20 @@ def semantic_dedup(
     deterministic survivor rule).  Returns every input row with its
     ``cluster`` and a ``kept`` flag.
 
+    Skew guard: with fixed centroids a near-dup-heavy corpus can
+    concentrate mass in one cluster, making the intra-cluster equi-join
+    quadratic in THAT cluster.  Clusters above ``max_cluster_size``
+    therefore switch to the banded predecessor chain
+    (:func:`_chain_band_pairs`): pair volume <= 2*``window`` per row —
+    linear — and the kept-set is identical for mutual-duplicate masses
+    (each row's id-order predecessor is its witness).  Pairs >
+    ``window`` apart in id order with no intermediate duplicate are the
+    approximation this trades (SemDeDup already trades cross-cluster
+    pairs).  ``max_cluster_size=None`` restores unconditional all-pairs.
+
     At scale: the cluster id doubles as a partition key
-    (``write.partitionBy``), and intra-cluster pair volume is bounded by
-    cluster size — train enough centroids that clusters fit a partition.
+    (``write.partitionBy``); with the cap, worst-case pair volume is
+    ``max(max_cluster_size^2, n*2*window)`` regardless of skew.
     """
     from geoparquet_io_spark.operators.skew import spread
 
@@ -491,18 +542,30 @@ def semantic_dedup(
     # materialization the 32-centroid assignment would evaluate 3x
     # (same guard connected_components uses for its iteration state)
     v = v.localCheckpoint(eager=False)
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("n").alias("na"), "cluster")
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("n").alias("nb"), "cluster")
     sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    if max_cluster_size is None:
+        pool = v
+        big_pairs = None
+    else:
+        counts = v.groupBy("cluster").agg(F.count("*").alias("__cn"))
+        vv = v.join(F.broadcast(counts), "cluster")
+        pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
+        big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
+        big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
+            .select(F.col("id_b").alias("id"))
+    a = pool.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"), "cluster")
+    b = pool.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"), "cluster")
     losers = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(sim >= threshold)
         .select(F.col("id_b").alias("id"))
-        .distinct()
     )
+    if big_pairs is not None:
+        losers = losers.unionByName(big_pairs)
+    losers = losers.distinct()
     return (
         v.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
         .select(

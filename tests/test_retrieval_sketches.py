@@ -195,3 +195,63 @@ def test_quantize_int8_plan_map_only(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_skew_cap_matches_all_pairs(spark):
+    """Adversarial skew: every vector lands in ONE cluster as a mutual
+    near-duplicate mass.  The capped (chain-band) path must produce the
+    SAME kept-set as unconditional all-pairs — only the cluster minimum
+    survives — while generating linear, not quadratic, pair volume."""
+    from geoparquet_io_spark.operators.similarity import semantic_dedup
+
+    n = 300
+    rows = [(i, [1.0, 1e-6 * i, 0.0, 0.5]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0, 0.5], [-1.0, 0.0, 0.0, -0.5]]
+    capped = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, cents, threshold=0.999, max_cluster_size=50, window=8
+    ).collect()}
+    exact = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, cents, threshold=0.999, max_cluster_size=None).collect()}
+    assert capped == exact
+    assert capped[0] is True
+    assert sum(capped.values()) == 1          # only the minimum survives
+
+
+def test_chain_band_pairs_volume_is_linear(spark):
+    """The oversize-cluster pairing generates <= 2*window pairs per row
+    (banded join), never the n^2 of the all-pairs equi-join."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.similarity import (
+        _chain_band_pairs, as_double_array, dot)
+
+    n, w = 400, 8
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(n)], ["id", "embedding"])
+    rows = df.select(
+        "id", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v")))) \
+     .withColumn("cluster", F.lit(0))
+    pairs = _chain_band_pairs(rows, window=w)
+    n_pairs = pairs.count()
+    assert n_pairs <= n * w                   # linear bound (vs n^2/2=80k)
+    assert n_pairs == (n - w) * w + w * (w - 1) // 2   # exact band count
+    # every pair is a true id-order predecessor within the window
+    bad = pairs.filter((F.col("id_b") <= F.col("id_a"))
+                       | (F.col("id_b") - F.col("id_a") > w)).count()
+    assert bad == 0
+
+
+def test_semantic_dedup_capped_plan_no_cartesian(spark):
+    from geoparquet_io_spark.operators.similarity import (ivf_centroids,
+                                                          semantic_dedup)
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(40)],
+        ["vec_id", "embedding"])
+    plan = semantic_dedup(df, ivf_centroids(4, 4, seed=7),
+                          max_cluster_size=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
