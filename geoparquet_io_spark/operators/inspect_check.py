@@ -376,15 +376,56 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
     return errors
 
 
-def check_fixes(spark, path: str, out_path: str, hilbert: bool = False) -> list[str]:
+def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
+                remove_bbox: bool = False,
+                bbox_metadata_only: bool = False) -> list[str]:
     """Re-write applying recommended fixes: zstd recompress, row-group
-    resize, add bbox column + covering, optional hilbert re-sort
-    (reference: core/check_fixes.py:27-318)."""
+    resize, add bbox column + covering, optional hilbert re-sort,
+    bbox-column REMOVAL, or a metadata-only covering registration
+    (reference: core/check_fixes.py:27-318 — fix_compression,
+    fix_bbox_column, fix_bbox_metadata, fix_bbox_removal,
+    fix_spatial_ordering, fix_row_groups).
+
+    ``remove_bbox``: drop the bbox covering column AND its covering
+    metadata — the reference's remedy both for an INVALID bbox column
+    (check found values inconsistent with the geometry) and for
+    GeoParquet-2.0/geo-native files where row-group statistics replace
+    the covering column (core/check_fixes.py:143-208).
+
+    ``bbox_metadata_only``: the existing bbox column is fine but the
+    footer never declared it — register the covering in metadata without
+    touching the data columns (core/check_fixes.py:118-141).
+    """
     import geoparquet_io_spark as gps
 
+    if remove_bbox and bbox_metadata_only:
+        raise ValueError("remove_bbox and bbox_metadata_only are exclusive")
     gt = gps.read(spark, path)
     applied = []
-    if gt.geometry_column and gt.bbox_column is None:
+    if remove_bbox:
+        col = gt.bbox_column
+        if col is None:
+            # covering undeclared: fall back to the conventional name
+            col = "bbox" if "bbox" in gt.df.columns else None
+        if col is None:
+            raise ValueError(f"no bbox column to remove in {path!r}")
+        import copy as _copy
+
+        from geoparquet_io_spark.geotable import GeoTable
+
+        geo = _copy.deepcopy(gt.geo) if gt.geo is not None else None
+        if geo is not None and geo.primary is not None:
+            geo.primary.covering = None
+        gt = GeoTable(gt.df.drop(col), geo)
+        applied.append(f"removed bbox column {col!r} (+covering metadata)")
+    elif bbox_metadata_only:
+        if "bbox" not in gt.df.columns:
+            raise ValueError(
+                f"bbox_metadata_only needs an existing bbox column in "
+                f"{path!r}")
+        gt = gt.add_bbox_metadata("bbox")
+        applied.append("registered bbox covering metadata (column untouched)")
+    elif gt.geometry_column and gt.bbox_column is None:
         gt = gt.add_bbox()
         applied.append("added bbox covering column")
     if hilbert:

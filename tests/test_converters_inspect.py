@@ -342,3 +342,88 @@ def test_validate_catches_out_of_range_lonlat(spark, tmp_path):
     pq.write_table(tbl, f)
     errs = validate(spark, f)
     assert any("geographic CRS bounds" in e for e in errs), errs
+
+
+def test_check_fixes_remove_bbox(spark, tmp_path):
+    """fix_bbox_removal parity (core/check_fixes.py:143-208): the bbox
+    column AND its covering metadata disappear from the output."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.inspect_check import (
+        check_fixes, check_structure)
+    from geoparquet_io_spark.testsupport.tables import (
+        event_lonlat, load_table)
+    import geoparquet_io_spark as gps
+
+    ev = event_lonlat(load_table(spark, SF_SMOKE, "events")).limit(200)
+    df = ev.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    gt = GeoTable(df, GeoMeta(columns={"geometry": GeoColumnMeta()})) \
+        .add_bbox()
+    src = str(tmp_path / "withbbox.parquet")
+    gt.write(src)
+    assert check_structure(src).has_bbox_covering
+    dst = str(tmp_path / "nobbox.parquet")
+    applied = check_fixes(spark, src, dst, remove_bbox=True)
+    assert any("removed bbox" in a for a in applied)
+    back = gps.read(spark, dst)
+    assert "bbox" not in back.df.columns
+    assert back.geo.primary.covering is None
+    assert back.df.count() == 200
+    assert not check_structure(dst).has_bbox_covering
+
+
+def test_check_fixes_bbox_metadata_only(spark, tmp_path):
+    """fix_bbox_metadata parity (core/check_fixes.py:118-141): a file
+    whose bbox column exists but is undeclared gets the covering
+    registered without altering any column."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.inspect_check import (
+        check_fixes, check_structure)
+    from geoparquet_io_spark.testsupport.tables import (
+        event_lonlat, load_table)
+    import geoparquet_io_spark as gps
+
+    ev = event_lonlat(load_table(spark, SF_SMOKE, "events")).limit(100)
+    df = ev.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    gt = GeoTable(df, GeoMeta(columns={"geometry": GeoColumnMeta()})) \
+        .add_bbox()
+    # strip the covering declaration but keep the column
+    undeclared = GeoTable(gt.df, GeoMeta(columns={
+        "geometry": GeoColumnMeta()}))
+    src = str(tmp_path / "undeclared.parquet")
+    undeclared.write(src)
+    assert not check_structure(src).has_bbox_covering
+    dst = str(tmp_path / "declared.parquet")
+    applied = check_fixes(spark, src, dst, bbox_metadata_only=True)
+    assert any("metadata" in a for a in applied)
+    assert check_structure(dst).has_bbox_covering
+    back = gps.read(spark, dst)
+    assert sorted(back.df.columns) == sorted(gt.df.columns)
+    assert back.df.count() == 100
+
+
+def test_check_fixes_guards(spark, tmp_path):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.inspect_check import check_fixes
+    from geoparquet_io_spark.testsupport.tables import (
+        event_lonlat, load_table)
+
+    ev = event_lonlat(load_table(spark, SF_SMOKE, "events")).limit(10)
+    df = ev.withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    gt = GeoTable(df, GeoMeta(columns={"geometry": GeoColumnMeta()}))
+    src = str(tmp_path / "plain.parquet")
+    gt.write(src)
+    with pytest.raises(ValueError, match="exclusive"):
+        check_fixes(spark, src, str(tmp_path / "x.parquet"),
+                    remove_bbox=True, bbox_metadata_only=True)
+    with pytest.raises(ValueError, match="no bbox column"):
+        check_fixes(spark, src, str(tmp_path / "x.parquet"),
+                    remove_bbox=True)
+    with pytest.raises(ValueError, match="existing bbox column"):
+        check_fixes(spark, src, str(tmp_path / "x.parquet"),
+                    bbox_metadata_only=True)
