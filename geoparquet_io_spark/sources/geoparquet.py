@@ -20,13 +20,26 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geoparquet_io_spark.meta import GeoMeta, GeoColumnMeta
+from geoparquet_io_spark.meta import (
+    GEOPARQUET_VERSIONS,
+    GeoColumnMeta,
+    GeoMeta,
+)
 
 # Reference best-practice write defaults (core/common.py:70-110):
 # ZSTD level 15, 100k-row row groups, stats+dictionary on.
 DEFAULT_COMPRESSION = "zstd"
 DEFAULT_COMPRESSION_LEVEL = 15
 DEFAULT_ROW_GROUP_ROWS = 100_000
+
+
+def native_geo_types_supported() -> bool:
+    """True when the runtime pyarrow can annotate parquet columns with
+    the native GEOMETRY/GEOGRAPHY logical types (Arrow >= 19's
+    ``pa.geometry``/``pa.geography`` — the GeoParquet 2.0 parquet-level
+    mapping).  pyarrow 16.x in this container cannot; callers fall back
+    to the GeoArrow extension mapping + 2.0 footer JSON."""
+    return hasattr(pa, "geometry") or hasattr(pa, "geometry_type")
 
 
 def _first_parquet_file(path: str) -> str | None:
@@ -215,8 +228,18 @@ def write(
     overwrite: bool = True,
     per_file_bbox: str | None = None,
     target_row_group_mb: float | None = None,
+    version: str | None = None,
 ) -> list[str]:
     """Write GeoParquet with footer ``geo`` metadata.  Returns written files.
+
+    - ``version``: override the footer spec version ("1.0"/"1.1"/"2.0"/
+      "parquet-geo-only"; default keeps ``geo.version``).  For "2.0" the
+      file carries the GeoArrow extension mapping (always emitted) plus a
+      2.0.0 footer; the parquet-native GEOMETRY logical annotation
+      (reference: core/metadata_utils.py:48, core/extract.py:175-191) is
+      emitted only when the runtime pyarrow supports it
+      (:func:`native_geo_types_supported` — pyarrow >= 19; this container
+      has 16.1, so the fallback is warned about and documented).
 
     - ``single_file=True`` -> exactly ``path`` (a .parquet file), streamed
       through the driver batch-by-batch (reference single-file semantics;
@@ -228,6 +251,32 @@ def write(
       outputs, core/partition_common.py:657-705).  Costs one executor-local
       rewrite per file (the reference's disk-rewrite strategy).
     """
+    if version is not None:
+        import copy as _copy
+
+        if version not in GEOPARQUET_VERSIONS:
+            raise ValueError(
+                f"unknown GeoParquet version {version!r}; "
+                f"have {sorted(GEOPARQUET_VERSIONS)}")
+        if geo is not None and geo.version != version:
+            geo = _copy.deepcopy(geo)
+            geo.version = version
+        if version in ("2.0", "parquet-geo-only") \
+                and not native_geo_types_supported():
+            # GeoParquet 2.0's parquet-level GEOMETRY logical annotation
+            # needs pyarrow >= 19 (pa.geometry / GEOMETRY logical type);
+            # this runtime can't emit it.  The written file still carries
+            # the 2.0 arrow mapping (GeoArrow extension metadata on every
+            # geometry field, stamped unconditionally below) plus the
+            # version-2.0.0 footer JSON — the documented fallback; typed
+            # readers (incl. this repo's _geo_from_arrow_extensions)
+            # recognize it.
+            import warnings
+
+            warnings.warn(
+                "pyarrow %s cannot write parquet-native GEOMETRY logical "
+                "types (needs >= 19); emitting GeoArrow-typed columns + "
+                "2.0 footer metadata instead" % pa.__version__)
     if single_file is None:
         single_file = path.endswith(".parquet") and partition_by is None
 

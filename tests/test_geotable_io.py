@@ -407,3 +407,44 @@ def test_sql_registration_matches_column_api(spark):
     assert [(r["x2"], r["y2"], r["wkt"], r["np"]) for r in got] == \
         [tuple(r) for r in exp]
     assert got[0]["simp"] == "LINESTRING (0 0, 2 0, 2 5)"
+
+
+def test_write_version_2_roundtrip(points, spark, tmp_path):
+    """version='2.0' writes the 2.0 footer + GeoArrow typed columns; our
+    own typed-column reader and validate() both accept the output.  On
+    pyarrow < 19 the parquet-native GEOMETRY annotation is warned about
+    and the documented GeoArrow fallback is emitted."""
+    import warnings
+
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.operators.inspect_check import validate
+    from geoparquet_io_spark.sources.geoparquet import (
+        _geo_from_arrow_extensions, native_geo_types_supported)
+
+    out = str(tmp_path / "v2.parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        points.write(out, version="2.0")
+    if not native_geo_types_supported():
+        assert any("GEOMETRY logical" in str(x.message) for x in w)
+    sch = pq.read_schema(out)
+    import json
+
+    meta = json.loads(sch.metadata[b"geo"].decode())
+    assert meta["version"] == "2.0.0"
+    fld = sch.field(points.geometry_column)
+    assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    # the typed-column read path recognizes our own 2.0 output
+    typed = _geo_from_arrow_extensions(sch)
+    assert typed is not None and typed.primary is not None
+    back = gps.read(spark, out)
+    assert back.geo.version == "2.0"
+    assert back.df.count() == points.df.count()
+    assert validate(spark, out) == []
+    # the source GeoTable's own metadata must NOT have been mutated
+    assert points.geo.version != "2.0"
+
+
+def test_write_version_unknown_rejected(points, tmp_path):
+    with pytest.raises(ValueError, match="unknown GeoParquet version"):
+        points.write(str(tmp_path / "x.parquet"), version="3.7")
