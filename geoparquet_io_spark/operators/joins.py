@@ -108,9 +108,19 @@ def spatial_join(
     left_cols = [f.name for f in left.schema.fields]
     geom_idx = left_cols.index(left_geometry)
 
+    # ship the collected right side as an explicit Spark BROADCAST
+    # variable, not closure capture: the closure is re-serialized into
+    # every task's command, while a broadcast transfers once per executor
+    # and the task pickle carries only the handle (at the 50k-row
+    # threshold with polygon WKB that's the difference between KBs and
+    # tens of MBs per task)
+    bc = left.sparkSession.sparkContext.broadcast(
+        (r_geoms, np.asarray(r_envs), r_attrs))
+
     def join_batches(batches):
         from geoparquet_io_spark.functions.geom import _try_bulk_point_decode
 
+        r_geoms, r_envs, r_attrs = bc.value
         parsed_right = [_wkb.parse(g) for g in r_geoms]
         # flattened simple parts per right geometry: MultiPolygon admin
         # boundaries must match in the point fast path, and _point_vs only

@@ -29,47 +29,133 @@ FetchPage = Callable[[int, int], list[dict]]
 # (offset, count) -> list of {attr: value, "__x": lon, "__y": lat} records
 
 
+def _arcgis_query(url: str, params: dict) -> dict:
+    """One /query GET.  ArcGIS reports failures as HTTP-200 JSON with an
+    ``error`` member (code 499 = token required, 498 = invalid token) —
+    surface those as exceptions like the reference does
+    (core/arcgis.py:422-470)."""
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
+    with urlopen(f"{url}/query?{urlencode(params)}") as resp:
+        doc = json.load(resp)
+    if "error" in doc:
+        err = doc["error"]
+        raise RuntimeError(
+            f"ArcGIS error {err.get('code')}: {err.get('message')} "
+            f"{err.get('details') or ''}".strip())
+    return doc
+
+
+def _base_params(where: str, out_fields: str, bbox=None,
+                 token: str | None = None) -> dict:
+    params = {
+        "f": "json",
+        "where": where or "1=1",
+        "outFields": out_fields or "*",
+        "returnGeometry": "true",
+        "outSR": 4326,
+    }
+    if bbox is not None:
+        params.update({
+            "geometry": json.dumps({
+                "xmin": bbox[0], "ymin": bbox[1],
+                "xmax": bbox[2], "ymax": bbox[3],
+                "spatialReference": {"wkid": 4326},
+            }),
+            "geometryType": "esriGeometryEnvelope",
+            "spatialRel": "esriSpatialRelIntersects",
+        })
+    if token:
+        params["token"] = token
+    return params
+
+
+def arcgis_count(url: str, where: str = "1=1", bbox=None,
+                 token: str | None = None) -> int:
+    """Driver-side returnCountOnly probe (reference: core/arcgis.py:335-375)."""
+    params = _base_params(where, "", bbox, token)
+    params["returnCountOnly"] = "true"
+    params.pop("outFields")
+    return int(_arcgis_query(url, params)["count"])
+
+
 def _default_arcgis_fetcher(url: str, where: str, out_fields: str,
                             bbox=None, token: str | None = None) -> FetchPage:
-    """Real HTTP fetcher (urllib; only used when a live service is given)."""
+    """Real HTTP fetcher (urllib).
 
-    def fetch(offset: int, count: int) -> list[dict]:  # pragma: no cover
-        from urllib.parse import urlencode
-        from urllib.request import urlopen
+    A service's ``maxRecordCount`` can be SMALLER than our distributed
+    page window; each window therefore loops internally, honoring
+    ``exceededTransferLimit`` exactly like the reference's sequential
+    resultOffset walk (core/arcgis.py:422-560) — but per-window, so
+    windows still parallelize across executors with no lost gap between
+    the server cap and the window size."""
 
-        params = {
-            "f": "json",
-            "where": where or "1=1",
-            "outFields": out_fields or "*",
-            "resultOffset": offset,
-            "resultRecordCount": count,
-            "returnGeometry": "true",
-            "outSR": 4326,
-        }
-        if bbox is not None:
-            params.update({
-                "geometry": json.dumps({
-                    "xmin": bbox[0], "ymin": bbox[1],
-                    "xmax": bbox[2], "ymax": bbox[3],
-                    "spatialReference": {"wkid": 4326},
-                }),
-                "geometryType": "esriGeometryEnvelope",
-                "spatialRel": "esriSpatialRelIntersects",
-            })
-        if token:
-            params["token"] = token
-        with urlopen(f"{url}/query?{urlencode(params)}") as resp:
-            doc = json.load(resp)
-        out = []
-        for feat in doc.get("features", []):
-            rec = dict(feat.get("attributes") or {})
-            geom = feat.get("geometry") or {}
-            rec["__x"] = geom.get("x")
-            rec["__y"] = geom.get("y")
-            out.append(rec)
-        return out
+    def fetch(offset: int, count: int) -> list[dict]:
+        out: list[dict] = []
+        cur = offset
+        while len(out) < count:
+            params = _base_params(where, out_fields, bbox, token)
+            params["resultOffset"] = cur
+            params["resultRecordCount"] = count - len(out)
+            doc = _arcgis_query(url, params)
+            feats = doc.get("features", [])
+            for feat in feats:
+                rec = dict(feat.get("attributes") or {})
+                geom = feat.get("geometry") or {}
+                rec["__x"] = geom.get("x")
+                rec["__y"] = geom.get("y")
+                out.append(rec)
+            cur += len(feats)
+            if not feats or not doc.get("exceededTransferLimit"):
+                break
+        return out[:count]
 
     return fetch
+
+
+def extract_arcgis(
+    spark: SparkSession,
+    url: str,
+    where: str = "1=1",
+    out_fields: str = "*",
+    bbox=None,
+    token: str | None = None,
+    page_size: int = 1000,
+    attr_schema: T.StructType | None = None,
+    geometry_column: str = "geometry",
+):
+    """Live ArcGIS FeatureService layer -> GeoTable: count probe +
+    distributed offset-window fetch (reference flow:
+    core/arcgis.py:335-712 — here the windows run on executors).
+
+    ``attr_schema`` defaults to inference from a driver-side sample page
+    (long for ints, double for floats, string otherwise)."""
+    fetch = _default_arcgis_fetcher(url, where, out_fields, bbox, token)
+    total = arcgis_count(url, where, bbox, token)
+    if attr_schema is None:
+        sample = fetch(0, 10)
+        fields = []
+        seen: dict = {}
+        for rec in sample:
+            for k, v in rec.items():
+                if k in ("__x", "__y") or k in seen:
+                    continue
+                seen[k] = v
+        for k, v in seen.items():
+            if isinstance(v, bool):
+                dt = T.BooleanType()
+            elif isinstance(v, int):
+                dt = T.LongType()
+            elif isinstance(v, float):
+                dt = T.DoubleType()
+            else:
+                dt = T.StringType()
+            fields.append(T.StructField(k, dt))
+        attr_schema = T.StructType(fields)
+    return arcgis_to_geotable(spark, total, attr_schema, fetch,
+                              page_size=page_size,
+                              geometry_column=geometry_column)
 
 
 def arcgis_to_geotable(

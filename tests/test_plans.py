@@ -233,3 +233,44 @@ def test_changes_between_plan_is_keyed_joins(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_join_ships_right_side_as_broadcast_variable(spark):
+    """The collected right side must travel as a Spark broadcast (once
+    per executor), not closure capture (re-serialized per task): the
+    broadcast payload carries the parsed right rows, and the task
+    closure stays small."""
+    import numpy as np
+    from pyspark import SparkContext
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import spatial_join
+
+    left = spark.createDataFrame(
+        [(i, bytearray(W.encode_point(float(i % 10), float(i % 7))))
+         for i in range(100)], "id long, geometry binary")
+    right = spark.createDataFrame(
+        [(k, bytearray(W.encode_box_polygon(k - 0.5, -1.0, k + 0.5, 8.0)))
+         for k in range(10)], "zone long, geometry binary")
+
+    captured = {}
+    orig = SparkContext.broadcast
+
+    def spy(self, value):
+        b = orig(self, value)
+        captured["value"] = value
+        return b
+
+    SparkContext.broadcast = spy
+    try:
+        out = spatial_join(left, "geometry", None, right, "geometry", None,
+                           ["zone"], how="left")
+        rows = out.collect()
+    finally:
+        SparkContext.broadcast = orig
+    assert "value" in captured, "right side not shipped via broadcast"
+    geoms, envs, attrs = captured["value"]
+    assert len(geoms) == 10 and np.asarray(envs).shape == (10, 4)
+    # and the join is still correct: every point falls in exactly one box
+    assert len(rows) == 100
+    assert all(r["zone"] == r["id"] % 10 for r in rows)
