@@ -479,8 +479,9 @@ def extract_audio_features(
     data_column: str = "data",
     feature_column: str = "audio_features",
 ) -> DataFrame:
-    """REAL audio featurizer for PCM WAV payloads (pure-numpy decode, no
-    codec library): sample rate, channels, duration, RMS amplitude
+    """REAL audio featurizer for PCM WAV and FLAC payloads (pure-numpy
+    decoders, no codec library — functions/flac.py implements the full
+    lossless core): sample rate, channels, duration, RMS amplitude
     (normalized to [0,1] full scale), zero-crossing rate of the mono
     mix (sign changes / adjacent pairs), and spectral centroid in Hz
     (magnitude-weighted mean rfft frequency).  Arrow-batched
@@ -493,21 +494,30 @@ def extract_audio_features(
     idx = df.columns.index(data_column)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geoparquet_io_spark.functions.flac import decode_flac
+
         for pdf in batches:
             feats = []
             for buf in pdf.iloc[:, idx]:
                 if buf is None:
                     feats.append(None)
                     continue
-                samples, rate = decode_wav(bytes(buf))
-                x = samples.astype("f8")
-                if samples.dtype == np.uint8:
-                    x = (x - 128.0) / 128.0
-                elif samples.dtype == np.int16:
-                    x = x / 32768.0
-                elif samples.dtype == np.int32:
-                    x = x / 2147483648.0
-                # float WAV (format 3) is already full-scale [-1, 1]
+                raw = bytes(buf)
+                if raw[:4] == b"fLaC":
+                    samples, info = decode_flac(raw)
+                    rate = info["sample_rate"]
+                    x = samples.astype("f8") / float(
+                        1 << (info["bits_per_sample"] - 1))
+                else:
+                    samples, rate = decode_wav(raw)
+                    x = samples.astype("f8")
+                    if samples.dtype == np.uint8:
+                        x = (x - 128.0) / 128.0
+                    elif samples.dtype == np.int16:
+                        x = x / 32768.0
+                    elif samples.dtype == np.int32:
+                        x = x / 2147483648.0
+                    # float WAV (format 3) is already full-scale [-1, 1]
                 mono = x.mean(axis=1) if x.size else x.reshape(0)
                 if mono.size > 1:
                     s = np.signbit(mono)
@@ -572,6 +582,18 @@ def extract_audio_metadata(
                         rate * samples.shape[1] * samples.dtype.itemsize * 8
                         / 1000.0),
                     "n_frames": None, "vbr": False}
+        if raw[:4] == b"fLaC":
+            from geoparquet_io_spark.functions.flac import parse_streaminfo
+
+            si = parse_streaminfo(raw)   # header-only: O(1), no PCM decode
+            dur = (si["total_samples"] / si["sample_rate"]
+                   if si["sample_rate"] else 0.0)
+            return {"format": "flac", "sample_rate": si["sample_rate"],
+                    "channels": si["channels"],
+                    "duration_s": float(dur),
+                    "bitrate_kbps": float(len(raw) * 8 / dur / 1000.0)
+                    if dur else None,
+                    "n_frames": None, "vbr": True}
         info = parse_mp3(raw)
         f0 = info.frames[0]
         return {"format": f"mp{f0.layer}", "sample_rate": f0.sample_rate,

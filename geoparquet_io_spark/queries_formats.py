@@ -107,3 +107,82 @@ def q_fgb_roundtrip(spark, sf_dir):
     write_fgb(gt, out)
     back = read_fgb(spark, out)
     return _agg_back(back.df)
+
+
+_FLAC_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, length(text) % 3 AS m,
+             substr(repeat(text, CAST(ceil(192.0 / length(text)) AS INT)),
+                    1, 192) AS t
+      FROM documents WHERE length(text) >= 1),
+    v AS (
+      SELECT doc_id, CASE m WHEN 0 THEN 48 WHEN 1 THEN 64 ELSE 96 END AS n, t
+      FROM d)
+    SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+           ROUND(CAST(n AS DOUBLE) / 8000, 6) AS duration_s,
+           ROUND(sqrt(list_avg(list_transform(range(1, n + 1),
+               i -> pow((ascii(substr(t, 2*i - 1, 1)) * 256
+                         + ascii(substr(t, 2*i, 1))) / 32768.0, 2)))),
+                 6) AS rms
+    FROM v
+    """
+
+
+@register("multimodal_flac_features", _FLAC_ORACLE)
+def q_flac_features(spark, sf_dir):
+    """REAL FLAC decode, graded: each document becomes a VERBATIM-coded
+    FLAC stream assembled with native binary concat (fixed header
+    template per blocksize + the text's bytes as big-endian 16-bit
+    samples), decoded by the pure-Python bit reader
+    (functions/flac.py) inside extract_audio_features; the oracle
+    recomputes RMS/duration from the SAME text bytes with pure SQL byte
+    arithmetic — a mismatch anywhere in the bit-level decode chain
+    (frame sync, subframe header, sample unpacking, normalization)
+    fails the hash."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions.flac import decode_flac, encode_flac
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_audio_features)
+    from geoparquet_io_spark.operators.skew import spread
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    # template per blocksize: everything before the verbatim sample
+    # bytes; build-time sanity check via the decoder itself
+    prefixes = {}
+    for n in (48, 64, 96):
+        full = encode_flac(np.zeros((n, 1), dtype=np.int64),
+                           sample_rate=8000, blocksize=n,
+                           subframe="verbatim")
+        prefix = full[:len(full) - 2 * n - 2]     # strip samples + CRC-16
+        # ASCII-range probe (like real document text): high byte < 128
+        # keeps the big-endian 16-bit samples positive
+        probe = bytes(32 + (i * 7) % 95 for i in range(2 * n))
+        dec, info = decode_flac(prefix + probe + b"\x00\x00")
+        exp = [probe[2 * i] * 256 + probe[2 * i + 1] for i in range(n)]
+        assert dec[:, 0].tolist() == exp and info["sample_rate"] == 8000
+        prefixes[n] = prefix
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .filter(F.length("text") >= 1)
+         .withColumn("t", F.expr(
+             "substr(repeat(text, cast(ceil(192.0/length(text)) as int)),"
+             " 1, 192)")))
+    m = F.length("text") % 3
+
+    def payload(n):
+        return F.concat(F.lit(bytearray(prefixes[n])),
+                        F.encode(F.substring("t", 1, 2 * n), "utf-8"),
+                        F.lit(b"\x00\x00"))
+
+    data = (F.when(m == 0, payload(48)).when(m == 1, payload(64))
+            .otherwise(payload(96)))
+    out = extract_audio_features(d.withColumn("data", data), "data")
+    a = F.col("audio_features")
+    return out.select(
+        "doc_id",
+        a["sample_rate"].alias("sample_rate"),
+        a["channels"].alias("channels"),
+        F.round(a["duration_s"], 6).alias("duration_s"),
+        F.round(a["rms"], 6).alias("rms"),
+    )

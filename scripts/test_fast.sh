@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Concurrent test runner: the oracle suite (187 Spark-vs-DuckDB queries,
+# the wall-clock dominator) fans out across $SHARDS pytest processes
+# while a sibling process runs every other test file.  Each process gets
+# its own Spark session (SPARK_GRAFT_CPUS per process keeps the host
+# subscribed ~evenly).  Exit code is non-zero if ANY shard fails.
+#
+#   ./scripts/test_fast.sh            # default 3 oracle shards + rest
+#   SHARDS=4 ./scripts/test_fast.sh
+set -u
+cd "$(dirname "$0")/.."
+SHARDS="${SHARDS:-3}"
+CPUS="${SPARK_GRAFT_CPUS:-8}"
+mkdir -p /tmp/gpio_test_logs
+pids=()
+for ((k=0; k<SHARDS; k++)); do
+  GPIO_ORACLE_SHARD="$k/$SHARDS" SPARK_GRAFT_CPUS="$CPUS" \
+    python -m pytest tests/test_oracle_queries.py -q \
+    > "/tmp/gpio_test_logs/oracle_$k.log" 2>&1 &
+  pids+=($!)
+done
+SPARK_GRAFT_CPUS="$CPUS" python -m pytest tests/ -q \
+  --ignore=tests/test_oracle_queries.py \
+  > /tmp/gpio_test_logs/rest.log 2>&1 &
+pids+=($!)
+rc=0
+for p in "${pids[@]}"; do
+  wait "$p" || rc=1
+done
+tail -n 2 /tmp/gpio_test_logs/*.log
+exit $rc

@@ -14,7 +14,19 @@ def _registry():
 
 def pytest_generate_tests(metafunc):
     if "qname" in metafunc.fixturenames:
-        metafunc.parametrize("qname", sorted(_registry().keys()))
+        names = sorted(_registry().keys())
+        # GPIO_ORACLE_SHARD="k/n" runs only every n-th query starting at
+        # k — lets scripts/test_fast.sh fan the oracle suite (the wall-
+        # clock dominator) across concurrent pytest processes, each with
+        # its own Spark session.  Unset -> full suite (driver behavior
+        # unchanged).
+        import os
+
+        shard = os.environ.get("GPIO_ORACLE_SHARD")
+        if shard:
+            k, n = (int(x) for x in shard.split("/"))
+            names = [q for i, q in enumerate(names) if i % n == k]
+        metafunc.parametrize("qname", names)
 
 
 def test_query_matches_oracle(spark, duck, qname):
