@@ -36,6 +36,10 @@ def _read(spark, path: str):
         from geoparquet_io_spark.sources.geojson import read_geojson
 
         return read_geojson(spark, path)
+    if path.endswith((".gpkg", ".shp", ".fgb")):
+        from geoparquet_io_spark.sources.gdal_formats import read_gdal
+
+        return read_gdal(spark, path)
     return gps.read(spark, path)
 
 
@@ -48,6 +52,10 @@ def _write(gt, path: str, args) -> None:
         from geoparquet_io_spark.sources.geojson import write_geojson
 
         write_geojson(gt, path)
+    elif path.endswith((".gpkg", ".shp", ".fgb")):
+        from geoparquet_io_spark.sources.gdal_formats import write_gdal
+
+        write_gdal(gt, path)
     else:
         kw = {}
         mb = getattr(args, "row_group_mb", None)

@@ -212,19 +212,99 @@ def _parse_header(buf: bytes) -> dict:
     }
 
 
+def _rtree_levels(num_items: int, node_size: int) -> list[int]:
+    """Node counts per level, LEAF level first (do-while: always at
+    least one parent level, matching the reference implementations)."""
+    node_size = max(2, node_size)
+    levels = [num_items]
+    n = num_items
+    while True:
+        n = (n + node_size - 1) // node_size
+        levels.append(n)
+        if n == 1:
+            break
+    return levels
+
+
 def packed_rtree_size(num_items: int, node_size: int) -> int:
     """Byte size of the packed Hilbert R-tree index (40-byte nodes:
     4 doubles + uint64 offset), summed over all levels."""
     if num_items == 0 or node_size == 0:
         return 0
+    return sum(_rtree_levels(num_items, node_size)) * 40
+
+
+def build_packed_rtree(boxes: "np.ndarray", offsets: list[int],
+                       node_size: int = 16) -> bytes:
+    """Packed R-tree over Hilbert-ordered items: leaves carry (bbox,
+    byte offset of the feature within the features section); internal
+    nodes carry the union bbox and the node INDEX of their first child
+    (self-consistent convention, enforced by :func:`search_packed_rtree`
+    and round-trip tests).  Stored root level first, leaves last —
+    40 bytes per node."""
+    n = len(offsets)
+    levels = _rtree_levels(n, node_size)         # leaf-first
+    stored = list(reversed(levels))              # root-first
+    starts = [0]
+    for c in stored[:-1]:
+        starts.append(starts[-1] + c)
+    # nodes as (xmin, ymin, xmax, ymax, offset)
+    total = sum(stored)
+    nodes = [(0.0, 0.0, 0.0, 0.0, 0)] * total
+    leaf_start = starts[-1]
+    for i in range(n):
+        b = boxes[i]
+        nodes[leaf_start + i] = (float(b[0]), float(b[1]), float(b[2]),
+                                 float(b[3]), int(offsets[i]))
     node_size = max(2, node_size)
-    n, total = num_items, num_items
-    while True:                          # do-while: always >=1 parent level
-        n = (n + node_size - 1) // node_size
-        total += n
-        if n == 1:
-            break
-    return total * 40
+    for li in range(len(stored) - 2, -1, -1):    # build parents bottom-up
+        cstart, ccount = starts[li + 1], stored[li + 1]
+        for j in range(stored[li]):
+            first = cstart + j * node_size
+            last = min(first + node_size, cstart + ccount)
+            xs0 = min(nodes[k][0] for k in range(first, last))
+            ys0 = min(nodes[k][1] for k in range(first, last))
+            xs1 = max(nodes[k][2] for k in range(first, last))
+            ys1 = max(nodes[k][3] for k in range(first, last))
+            nodes[starts[li] + j] = (xs0, ys0, xs1, ys1, first)
+    return b"".join(struct.pack("<4dQ", *nd) for nd in nodes)
+
+
+def search_packed_rtree(index: bytes, num_items: int, node_size: int,
+                        rect: tuple[float, float, float, float]
+                        ) -> list[int]:
+    """Leaf ITEM indices (file order) whose bbox intersects ``rect`` —
+    driver-side descent over the packed tree, O(log + hits)."""
+    if num_items == 0:
+        return []
+    stored = list(reversed(_rtree_levels(num_items, node_size)))
+    starts = [0]
+    for c in stored[:-1]:
+        starts.append(starts[-1] + c)
+    leaf_start = starts[-1]
+    node_size = max(2, node_size)
+    xmin, ymin, xmax, ymax = rect
+
+    def node(i):
+        return struct.unpack_from("<4dQ", index, i * 40)
+
+    out = []
+    queue = [0]
+    while queue:
+        i = queue.pop()
+        x0, y0, x1, y1, off = node(i)
+        if x0 > xmax or x1 < xmin or y0 > ymax or y1 < ymin:
+            continue
+        if i >= leaf_start:
+            out.append(i - leaf_start)
+        else:
+            first = int(off)
+            # child count: bounded by node_size and the level's end
+            li = next(k for k in range(len(starts))
+                      if starts[k] <= i < starts[k] + stored[k])
+            cend = starts[li + 1] + stored[li + 1]
+            queue.extend(range(first, min(first + node_size, cend)))
+    return sorted(out)
 
 
 def _spark_to_coltype(dt) -> int:
@@ -267,9 +347,18 @@ def _coltype_to_spark(ct: int):
 # ---------------------------------------------------------------------------
 
 def read_fgb(spark, path: str, geometry_column: str = "geometry",
-             tasks: int | None = None):
-    """FlatGeobuf -> GeoTable.  Driver walks size prefixes (offsets
-    only); executors decode their byte ranges."""
+             tasks: int | None = None,
+             bbox: tuple[float, float, float, float] | None = None):
+    """FlatGeobuf -> GeoTable.  The driver plans feature (offset, size)
+    spans — from the packed R-tree's leaf offsets when the file carries
+    an index (O(index), no size-prefix walk), else by walking the
+    4-byte prefixes — and executors decode their byte ranges.
+
+    ``bbox``: with an index, prunes to features whose ENVELOPE
+    intersects the rect at the index level before any feature bytes are
+    read (the conservative prefilter contract of ``read_pruned`` —
+    apply the exact geometry filter downstream).  Without an index the
+    argument raises (no silent full scan)."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -277,22 +366,47 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
 
+    file_size = os.path.getsize(path)
     with open(path, "rb") as fh:
         if fh.read(8) != MAGIC:
             raise ValueError(f"{path!r} is not a FlatGeobuf file")
         hsize = struct.unpack("<I", fh.read(4))[0]
         header = _parse_header(fh.read(hsize))
-        fh.seek(packed_rtree_size(header["features_count"],
-                                  header["index_node_size"]), os.SEEK_CUR)
-        # offsets walk: 4-byte prefixes only, no parsing
-        feat_spans = []
-        while True:
-            raw = fh.read(4)
-            if len(raw) < 4:
-                break
-            ln = struct.unpack("<I", raw)[0]
-            feat_spans.append((fh.tell(), ln))
-            fh.seek(ln, os.SEEK_CUR)
+        isize = packed_rtree_size(header["features_count"],
+                                  header["index_node_size"])
+        index = fh.read(isize) if isize else b""
+        feat_start = fh.tell()
+        if isize:
+            # spans straight from the leaf offsets: consecutive in file
+            # order, lengths from diffs — no walk
+            n_items = header["features_count"]
+            leaf_off = len(index) - n_items * 40
+            offs = [struct.unpack_from("<4dQ", index,
+                                       leaf_off + i * 40)[4]
+                    for i in range(n_items)]
+            ends = offs[1:] + [file_size - feat_start]
+            spans_all = [(feat_start + o + 4, e - o - 4)
+                         for o, e in zip(offs, ends)]
+            if bbox is not None:
+                keep = search_packed_rtree(
+                    index, n_items, header["index_node_size"], bbox)
+                feat_spans = [spans_all[i] for i in keep]
+            else:
+                feat_spans = spans_all
+        else:
+            if bbox is not None:
+                raise ValueError(
+                    "bbox read requires an indexed FlatGeobuf file "
+                    "(this one has index_node_size=0)")
+            # offsets walk: 4-byte prefixes only, no parsing
+            feat_spans = []
+            while True:
+                raw = fh.read(4)
+                if len(raw) < 4:
+                    break
+                ln = struct.unpack("<I", raw)[0]
+                feat_spans.append((fh.tell(), ln))
+                fh.seek(ln, os.SEEK_CUR)
 
     cols = header["columns"]
     fields = [T.StructField(geometry_column, T.BinaryType())] + [
@@ -352,10 +466,17 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
 # Write
 # ---------------------------------------------------------------------------
 
-def write_fgb(gt, path: str, name: str | None = None) -> None:
-    """GeoTable -> FlatGeobuf file (driver-side single-file sink, no
-    spatial index: ``index_node_size=0`` as the spec allows for
-    write-once streams)."""
+def write_fgb(gt, path: str, name: str | None = None,
+              index_node_size: int = 16) -> None:
+    """GeoTable -> FlatGeobuf file (driver-side single-file sink).
+
+    With ``index_node_size > 0`` (default 16, the format's default) the
+    features are Hilbert-ordered (functions/hilbert.py — the same
+    curve the sort operator uses) and a packed R-tree index is written
+    between header and features: bbox reads then prune at the INDEX
+    (see :func:`read_fgb` ``bbox=``) and the driver derives feature
+    spans from the leaf offsets without walking size prefixes.
+    ``index_node_size=0`` writes a plain stream (spec-legal)."""
     df = gt.df
     gcol = gt.geometry_column
     nested = [f.name for f in df.schema.fields
@@ -401,6 +522,51 @@ def write_fgb(gt, path: str, name: str | None = None) -> None:
         if cid.get("authority", "").upper() == "EPSG":
             srs_code = int(cid.get("code", 0))
 
+    # serialize every feature first (needed for offsets/boxes when
+    # indexing; also keeps the no-index path identical)
+    feat_bufs: list[bytes] = []
+    feat_boxes: list[tuple] = []
+    for r in rows:
+        fb = FB.Builder()
+        ffields: dict = {}
+        if r[gcol] is not None:
+            wkb = bytes(r[gcol])
+            ffields[0] = ("offset",
+                          _build_geom_table(fb, W.parse(wkb), declared))
+            feat_boxes.append(W.envelope(wkb))
+        else:
+            feat_boxes.append((0.0, 0.0, 0.0, 0.0))
+        props = encode_properties(
+            {c["name"]: r[c["name"]] for c in cols}, cols)
+        if props:
+            ffields[1] = ("offset", fb.vector_bytes(props))
+        feat_bufs.append(fb.finish(fb.table(ffields)))
+
+    index_bytes = b""
+    node_size = index_node_size if len(rows) else 0
+    if node_size:
+        import numpy as np
+
+        from geoparquet_io_spark.functions.hilbert import (
+            scale_to_grid, xy_to_hilbert)
+
+        boxes = np.asarray(feat_boxes, dtype="f8")
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+        ext = (env if env[0] is not None
+               else [float(cx.min()), float(cy.min()),
+                     float(cx.max()), float(cy.max())])
+        d = xy_to_hilbert(scale_to_grid(cx, ext[0], ext[2]),
+                          scale_to_grid(cy, ext[1], ext[3]))
+        order = np.argsort(d, kind="stable")
+        feat_bufs = [feat_bufs[i] for i in order]
+        boxes = boxes[order]
+        offsets, cur = [], 0
+        for buf in feat_bufs:
+            offsets.append(cur)
+            cur += 4 + len(buf)
+        index_bytes = build_packed_rtree(boxes, offsets, node_size)
+
     b = FB.Builder()
     col_offs = []
     for c in cols:
@@ -413,7 +579,7 @@ def write_fgb(gt, path: str, name: str | None = None) -> None:
                                    os.path.basename(path))[0])),
         2: ("scalar", "B", 1, declared),
         8: ("scalar", "Q", 8, len(rows)),
-        9: ("scalar", "H", 2, 0),           # no index
+        9: ("scalar", "H", 2, node_size),
     }
     if env[0] is not None:
         hfields[1] = ("offset", b.vector_scalars("d", 8, env))
@@ -429,17 +595,7 @@ def write_fgb(gt, path: str, name: str | None = None) -> None:
         fh.write(MAGIC)
         fh.write(struct.pack("<I", len(header_buf)))
         fh.write(header_buf)
-        for r in rows:
-            fb = FB.Builder()
-            ffields: dict = {}
-            if r[gcol] is not None:
-                g = W.parse(bytes(r[gcol]))
-                ffields[0] = ("offset",
-                              _build_geom_table(fb, g, declared))
-            props = encode_properties(
-                {c["name"]: r[c["name"]] for c in cols}, cols)
-            if props:
-                ffields[1] = ("offset", fb.vector_bytes(props))
-            buf = fb.finish(fb.table(ffields))
+        fh.write(index_bytes)
+        for buf in feat_bufs:
             fh.write(struct.pack("<I", len(buf)))
             fh.write(buf)

@@ -306,7 +306,7 @@ def test_fgb_header_fields(spark, tmp_path):
         hdr = _parse_header(fh.read(hsize))
     assert hdr["name"] == "mylayer"
     assert hdr["features_count"] == 3
-    assert hdr["index_node_size"] == 0
+    assert hdr["index_node_size"] == 16     # packed R-tree written by default
     assert hdr["geometry_type"] == 1                 # Point
     assert hdr["crs"] == "EPSG:32633"
     assert [c["name"] for c in hdr["columns"]] == ["name", "n", "x", "flag"]
@@ -395,3 +395,101 @@ def test_read_write_gdal_dispatch_pure_python(spark, tmp_path):
         write_gdal(gt, out)
         back = read_gdal(spark, out)
         assert back.df.count() == 3, ext
+
+
+# ---------------------------------------------------------------------------
+# FlatGeobuf packed Hilbert R-tree index
+# ---------------------------------------------------------------------------
+
+def test_fgb_rtree_search_matches_brute_force():
+    import struct
+
+    from geoparquet_io_spark.sources.fgb import (
+        build_packed_rtree, packed_rtree_size, search_packed_rtree)
+
+    rng = np.random.RandomState(3)
+    n, node_size = 257, 4                  # several tree levels
+    lo = rng.uniform(-100, 100, size=(n, 2))
+    boxes = np.hstack([lo, lo + rng.uniform(0.1, 5, size=(n, 2))])
+    offsets = list(range(0, n * 50, 50))
+    idx = build_packed_rtree(boxes, offsets, node_size)
+    assert len(idx) == packed_rtree_size(n, node_size)
+    # leaf nodes preserve (box, offset) in item order
+    leaf_off = len(idx) - n * 40
+    x0, y0, x1, y1, off = struct.unpack_from("<4dQ", idx, leaf_off)
+    assert (x0, y0, x1, y1) == tuple(boxes[0]) and off == 0
+    for rect in [(-50, -50, 50, 50), (0, 0, 1, 1), (200, 200, 300, 300),
+                 (-100, -100, 105, 105)]:
+        got = search_packed_rtree(idx, n, node_size, rect)
+        exp = [i for i in range(n)
+               if not (boxes[i][0] > rect[2] or boxes[i][2] < rect[0]
+                       or boxes[i][1] > rect[3] or boxes[i][3] < rect[1])]
+        assert got == exp, rect
+
+
+def test_fgb_indexed_write_read_and_bbox_prune(spark, tmp_path):
+    """Default writes carry the index: features are Hilbert-ordered,
+    spans derive from leaf offsets, and bbox reads prune at the index
+    before touching feature bytes."""
+    import struct
+
+    from geoparquet_io_spark.sources.fgb import (
+        MAGIC, _parse_header, read_fgb, write_fgb)
+
+    rows = [Row(geometry=bytearray(W.encode_point(float(i % 50),
+                                                  float(i // 50))),
+                pid=i) for i in range(300)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "indexed.fgb")
+    write_fgb(gt, out)
+    with open(out, "rb") as fh:
+        assert fh.read(8) == MAGIC
+        hsize = struct.unpack("<I", fh.read(4))[0]
+        hdr = _parse_header(fh.read(hsize))
+    assert hdr["index_node_size"] == 16
+    # full read: all rows, exact WKB
+    back = read_fgb(spark, out)
+    assert back.df.count() == 300
+    got = {r["pid"]: bytes(r["geometry"]) for r in back.df.collect()}
+    for r in rows:
+        assert got[r.pid] == bytes(r.geometry)
+    # bbox read prunes to the envelope-intersecting features only
+    sub = read_fgb(spark, out, bbox=(10, 2, 20, 4)).df.collect()
+    exp_ids = {r.pid for r in rows
+               if 10 <= (r.pid % 50) <= 20 and 2 <= (r.pid // 50) <= 4}
+    assert {r["pid"] for r in sub} == exp_ids and exp_ids
+    # unindexed file refuses bbox (no silent full scan)
+    out2 = str(tmp_path / "plain.fgb")
+    write_fgb(gt, out2, index_node_size=0)
+    assert read_fgb(spark, out2).df.count() == 300
+    with pytest.raises(ValueError, match="indexed"):
+        read_fgb(spark, out2, bbox=(0, 0, 1, 1))
+
+
+def test_fgb_index_orders_features_by_hilbert(spark, tmp_path):
+    import struct
+
+    from geoparquet_io_spark.functions.hilbert import (
+        scale_to_grid, xy_to_hilbert)
+    from geoparquet_io_spark.sources.fgb import read_fgb, write_fgb
+
+    rng = np.random.RandomState(5)
+    pts = rng.uniform(-10, 10, size=(100, 2))
+    rows = [Row(geometry=bytearray(W.encode_point(*pts[i])), pid=i)
+            for i in range(100)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "h.fgb")
+    write_fgb(gt, out)
+    back = read_fgb(spark, out, tasks=1).df.collect()
+    # recompute hilbert d in FILE order -> must be nondecreasing
+    xs = np.array([W.point_xy(bytes(r["geometry"]))[0] for r in back])
+    ys = np.array([W.point_xy(bytes(r["geometry"]))[1] for r in back])
+    ext = (xs.min(), ys.min(), xs.max(), ys.max())
+    d = xy_to_hilbert(scale_to_grid(xs, ext[0], ext[2]),
+                      scale_to_grid(ys, ext[1], ext[3]))
+    # mapInPandas preserves per-task order; tasks=1 -> file order
+    assert (np.diff(d.astype(np.int64)) >= 0).all()
