@@ -209,11 +209,51 @@ def arcgis_to_geotable(
     return GeoTable(df, geo)
 
 
+def normalize_bigquery_table(table: str, project: str | None = None) -> str:
+    """Validate + normalize a BigQuery table id to ``project.dataset.table``
+    (reference behavior: core/extract_bigquery.py:33-135 — project ids
+    are 6-30 chars of lowercase/digits/hyphens starting with a letter;
+    dataset/table parts are word characters; a 2-part id needs an
+    explicit ``project``)."""
+    import re
+
+    parts = table.split(".")
+    if len(parts) == 2:
+        if not project:
+            raise ValueError(
+                f"table id {table!r} has no project part; pass project=")
+        parts = [project] + parts
+    if len(parts) != 3:
+        raise ValueError(
+            f"expected dataset.table or project.dataset.table, got {table!r}")
+    proj, dataset, tbl = parts
+    if not re.fullmatch(r"[a-z][a-z0-9-]{4,28}[a-z0-9]", proj):
+        raise ValueError(f"invalid BigQuery project id {proj!r}")
+    for name, part in (("dataset", dataset), ("table", tbl)):
+        if not re.fullmatch(r"\w+", part):
+            raise ValueError(f"invalid BigQuery {name} name {part!r}")
+    return f"{proj}.{dataset}.{tbl}"
+
+
 def read_bigquery(spark: SparkSession, table: str, where: str | None = None,
-                  columns: list[str] | None = None) -> DataFrame:
+                  columns: list[str] | None = None,
+                  exclude_columns: list[str] | None = None,
+                  project: str | None = None,
+                  geography_column: str | None = None,
+                  geometry_column: str = "geometry"):
     """BigQuery extraction via the spark-bigquery-connector — requires the
     connector jar on the cluster (not in this container).
-    Reference: bigquery_scan with filter pushdown, core/extract_bigquery.py:416."""
+    Reference: bigquery_scan with filter pushdown + ST_AsWKB geography
+    conversion + include/exclude column lists,
+    core/extract_bigquery.py:343-620.
+
+    ``geography_column``: a BigQuery GEOGRAPHY column (surfaced as WKT
+    by the connector) — converted to a WKB geometry column and the
+    result returned as a GeoTable (CRS84, like BigQuery geography).
+    Otherwise a plain DataFrame is returned."""
+    table = normalize_bigquery_table(table, project)
+    if columns and exclude_columns:
+        raise ValueError("columns and exclude_columns are exclusive")
     try:
         reader = spark.read.format("bigquery").option("table", table)
         if where:
@@ -227,6 +267,22 @@ def read_bigquery(spark: SparkSession, table: str, where: str | None = None,
         ) from e
     if columns:
         df = df.select(*columns)
+    elif exclude_columns:
+        df = df.drop(*exclude_columns)
+    if geography_column:
+        from pyspark.sql import functions as F
+
+        from geoparquet_io_spark.functions.geom import st_geomfromtext
+        from geoparquet_io_spark.geotable import GeoTable
+        from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+        df = df.withColumn(geometry_column,
+                           st_geomfromtext(F.col(geography_column)))
+        if geography_column != geometry_column:
+            df = df.drop(geography_column)
+        return GeoTable(df, GeoMeta(
+            primary_column=geometry_column,
+            columns={geometry_column: GeoColumnMeta()}))
     return df
 
 

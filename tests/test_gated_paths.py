@@ -142,10 +142,10 @@ def test_read_bigquery_executes_with_fake(spark):
     from geoparquet_io_spark.sources.remote import read_bigquery
 
     log = {}
-    df = read_bigquery(_FakeSparkBQ(spark, log), "proj.ds.tbl",
+    df = read_bigquery(_FakeSparkBQ(spark, log), "proj-demo.ds.tbl",
                        where="v > 5", columns=["id", "v"])
     assert log["format"] == "bigquery"
-    assert log["options"]["table"] == "proj.ds.tbl"
+    assert log["options"]["table"] == "proj-demo.ds.tbl"
     assert log["options"]["filter"] == "v > 5"      # pushdown reached reader
     assert df.columns == ["id", "v"]                # column projection applied
     assert df.count() == 2
@@ -155,7 +155,7 @@ def test_read_bigquery_gate_message(spark):
     from geoparquet_io_spark.sources.remote import read_bigquery
 
     with pytest.raises(NotImplementedError, match="connector"):
-        read_bigquery(spark, "proj.ds.tbl")
+        read_bigquery(spark, "proj-demo.ds.tbl")
 
 
 # ---------------------------------------------------------------------------
@@ -295,3 +295,65 @@ def test_admin_catalog_validate_levels():
     spec.validate_levels(["continent"])
     with pytest.raises(ValueError):
         spec.validate_levels(["galaxy"])
+
+
+def test_bigquery_table_id_validation():
+    """Reference parity (core/extract_bigquery.py:33-135): id
+    normalization and validation run BEFORE any connector is touched."""
+    from geoparquet_io_spark.sources.remote import normalize_bigquery_table
+
+    assert normalize_bigquery_table("my-proj.ds.tbl") == "my-proj.ds.tbl"
+    assert normalize_bigquery_table("ds.tbl", project="my-proj") == \
+        "my-proj.ds.tbl"
+    with pytest.raises(ValueError, match="no project"):
+        normalize_bigquery_table("ds.tbl")
+    with pytest.raises(ValueError, match="invalid BigQuery project"):
+        normalize_bigquery_table("UPPER.ds.tbl")
+    with pytest.raises(ValueError, match="invalid BigQuery project"):
+        normalize_bigquery_table("ab.ds.tbl")          # too short
+    with pytest.raises(ValueError, match="invalid BigQuery table"):
+        normalize_bigquery_table("my-proj.ds.bad-name")
+    with pytest.raises(ValueError, match="dataset.table"):
+        normalize_bigquery_table("a.b.c.d")
+
+
+def test_read_bigquery_exclude_and_guards(spark):
+    from geoparquet_io_spark.sources.remote import read_bigquery
+
+    log = {}
+    df = read_bigquery(_FakeSparkBQ(spark, log), "ds.tbl",
+                       project="proj-demo", exclude_columns=["name"])
+    assert df.columns == ["id", "v"]
+    with pytest.raises(ValueError, match="exclusive"):
+        read_bigquery(_FakeSparkBQ(spark, log), "proj-demo.ds.tbl",
+                      columns=["id"], exclude_columns=["v"])
+
+
+class _FakeBQGeoReader(_FakeBQReader):
+    def load(self):
+        return self._spark.createDataFrame(
+            [(1, "POINT (10 20)"), (2, "POINT (-5 7.5)")],
+            "id long, geog string")
+
+
+class _FakeSparkBQGeo(_FakeSparkBQ):
+    @property
+    def read(self):
+        return _FakeBQGeoReader(self._spark, self._log)
+
+
+def test_read_bigquery_geography_to_geotable(spark):
+    """GEOGRAPHY columns (WKT from the connector) convert to a WKB
+    geometry column and the result is a GeoTable (reference:
+    ST_AsWKB select, core/extract_bigquery.py:459-496)."""
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.sources.remote import read_bigquery
+
+    log = {}
+    gt = read_bigquery(_FakeSparkBQGeo(spark, log), "proj-demo.ds.geo",
+                       geography_column="geog")
+    assert gt.geometry_column == "geometry"
+    rows = {r["id"]: bytes(r["geometry"]) for r in gt.df.collect()}
+    assert W.point_xy(rows[1]) == (10.0, 20.0)
+    assert W.point_xy(rows[2]) == (-5.0, 7.5)
+    assert "geog" not in gt.df.columns
