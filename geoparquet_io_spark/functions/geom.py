@@ -273,7 +273,11 @@ def _reencode_transformed(geom: "_wkb.Geom", fn) -> bytes:
 
 def st_hilbert(x: Column, y: Column, bounds: tuple[float, float, float, float]) -> Column:
     """Hilbert distance of (x, y) scaled to ``bounds`` — mirrors DuckDB
-    ST_Hilbert(geom, envelope) (reference: core/hilbert_order.py:98-113)."""
+    ST_Hilbert(geom, envelope) (reference: core/hilbert_order.py:98-113).
+
+    Arrow-batched pandas UDF over the numpy kernel.  For the hot sort
+    path use :func:`with_hilbert_key`, which computes the SAME key with
+    native JVM expressions (no Python) via staged projections."""
     xmin, ymin, xmax, ymax = (float(v) for v in bounds)
 
     @pandas_udf(T.LongType())
@@ -284,6 +288,96 @@ def st_hilbert(x: Column, y: Column, bounds: tuple[float, float, float, float]) 
         return pd.Series(keys)
 
     return _hk(x, y)
+
+
+def with_hilbert_key(df, x: Column, y: Column,
+                     bounds: tuple[float, float, float, float],
+                     out: str):
+    """Append Hilbert key column ``out`` with NATIVE JVM expressions —
+    zero Python, zero Arrow transfer, so the range-sort's double
+    evaluation (sampling pass + shuffle write) costs plain codegen
+    arithmetic.
+
+    Uses the public-domain bit-parallel xy->d algorithm (rawrunprotected
+    "hilbert_curves": prefix-scan rounds at shifts 1/2/4/8 + Morton
+    interleave) instead of the 16-step state loop.  Each round is
+    materialized as a REAL projection (withColumns) — the intermediate
+    a/b/c/d columns are referenced several times by the next round, so
+    Catalyst's CollapseProject keeps the stages separate and the
+    expression tree stays linear (a single nested Column expression
+    multiplies ~4x per round and hangs analysis; a HOF-aggregate state
+    loop was measured 3x slower than Python).  Verified bit-identical
+    to the numpy loop kernel across the grid (tests).  Nulls/NaN ->
+    cell 0, like st_hilbert."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bounds)
+    n = (1 << _hilbert.ORDER) - 1
+    M = F.lit(0xFFFF).cast("long")
+
+    def grid(v: Column, lo: float, hi: float) -> Column:
+        span = hi - lo
+        if span <= 0:
+            return F.lit(0).cast("long")
+        clean = F.when(v.isNull() | F.isnan(v), F.lit(0.0)).otherwise(v)
+        scaled = F.floor((clean - F.lit(lo)) / F.lit(span) * F.lit(float(n))
+                         + F.lit(0.5))
+        return F.least(F.lit(n), F.greatest(F.lit(0), scaled)).cast("long")
+
+    def sr(c: Column, k: int) -> Column:
+        return F.shiftright(c, k)
+
+    t = "__hb_"
+    df = df.withColumns({t + "x": grid(x.cast("double"), xmin, xmax),
+                         t + "y": grid(y.cast("double"), ymin, ymax)})
+    gx, gy = F.col(t + "x"), F.col(t + "y")
+    df = df.withColumns({
+        t + "a": gx.bitwiseXOR(gy),
+        t + "b": M.bitwiseXOR(gx.bitwiseXOR(gy)),
+        t + "c": M.bitwiseXOR(gx.bitwiseOR(gy)),
+        t + "d": gx.bitwiseAND(gy.bitwiseXOR(M)),
+    })
+    a, b, c, d = (F.col(t + k) for k in "abcd")
+    df = df.withColumns({
+        t + "A": a.bitwiseOR(sr(b, 1)),
+        t + "B": sr(a, 1).bitwiseXOR(a),
+        t + "C": sr(c, 1).bitwiseXOR(b.bitwiseAND(sr(d, 1))).bitwiseXOR(c),
+        t + "D": a.bitwiseAND(sr(c, 1)).bitwiseXOR(sr(d, 1)).bitwiseXOR(d),
+    })
+    for sh in (2, 4, 8):
+        a, b, c, d = (F.col(t + k) for k in "ABCD")
+        df = df.withColumns({
+            t + "A": a.bitwiseAND(sr(a, sh))
+                      .bitwiseXOR(b.bitwiseAND(sr(b, sh))),
+            t + "B": a.bitwiseAND(sr(b, sh))
+                      .bitwiseXOR(b.bitwiseAND(sr(a.bitwiseXOR(b), sh))),
+            t + "C": c.bitwiseXOR(a.bitwiseAND(sr(c, sh))
+                                  .bitwiseXOR(b.bitwiseAND(sr(d, sh)))),
+            t + "D": d.bitwiseXOR(
+                b.bitwiseAND(sr(c, sh))
+                 .bitwiseXOR(a.bitwiseXOR(b).bitwiseAND(sr(d, sh)))),
+        })
+    A, B, C, D = (F.col(t + k) for k in "ABCD")
+    df = df.withColumns({
+        t + "i0": gx.bitwiseXOR(gy),
+        t + "fa": C.bitwiseXOR(sr(C, 1)),
+        t + "fb": D.bitwiseXOR(sr(D, 1)),
+    })
+    i0 = F.col(t + "i0")
+    i1 = F.col(t + "fb").bitwiseOR(
+        M.bitwiseXOR(i0.bitwiseOR(F.col(t + "fa"))))
+    df = df.withColumns({t + "i1": i1})
+
+    def interleave(v: Column) -> Column:
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    key = F.shiftleft(interleave(F.col(t + "i1")), 1) \
+        .bitwiseOR(interleave(i0)).cast("long")
+    df = df.withColumn(out, key)
+    return df.drop(*[cname for cname in df.columns
+                     if cname.startswith(t)])
 
 
 # --- native bbox helpers (no UDF — these MUST stay in codegen) --------------

@@ -32,12 +32,15 @@ def sort_hilbert(
 
     Two passes like the reference (bounds agg, then keyed sort,
     core/hilbert_order.py:80-113); the bounds pass is a 4-value agg that
-    reads only the bbox/geometry column.
+    reads only the bbox/geometry column.  The key itself is NATIVE
+    (functions/geom.py:with_hilbert_key — bit-parallel JVM expressions,
+    no Python), so the range sort's two key evaluations (sampling +
+    shuffle write) never leave codegen.
     """
     x, y = _centroid_lonlat(df, geometry_column, bbox_column)
     env = _bounds(df, geometry_column=geometry_column, bbox_column=bbox_column)
     key = key_column or "__hilbert"
-    out = df.withColumn(key, G.st_hilbert(x, y, env))
+    out = G.with_hilbert_key(df, x, y, env, key)
     out = out.orderBy(key)
     if not keep_key:
         out = out.drop(key)

@@ -180,3 +180,35 @@ def test_simplify_keeps_subset_and_endpoints(pts, tol):
     assert tuple(out[0]) == tuple(arr[0])              # endpoints preserved
     assert tuple(out[-1]) == tuple(arr[-1])
     assert 2 <= len(out) <= len(arr)
+
+
+def test_with_hilbert_key_matches_numpy_kernel(spark):
+    """The native bit-parallel Hilbert expressions (with_hilbert_key)
+    must be bit-identical to the numpy loop kernel — random coverage +
+    grid corners + NaN/null handling."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.geom import with_hilbert_key
+    from geoparquet_io_spark.functions.hilbert import hilbert_key
+
+    rng = np.random.RandomState(42)
+    n = 20000
+    xs = rng.uniform(-170, 170, n)
+    ys = rng.uniform(-80, 80, n)
+    xs[:4] = [-170.0, 170.0, -170.0, 170.0]     # exact corners
+    ys[:4] = [-80.0, -80.0, 80.0, 80.0]
+    xs[5::911] = np.nan
+    bounds = (-170.0, -80.0, 170.0, 80.0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(n), "x": xs, "y": ys}))
+    out = with_hilbert_key(df, F.col("x"), F.col("y"), bounds, "k")
+    got = {r["i"]: r["k"] for r in out.select("i", "k").collect()}
+    exp = hilbert_key(np.nan_to_num(xs), np.nan_to_num(ys), *bounds)
+    assert all(got[i] == int(exp[i]) for i in range(n))
+    # stays native: no Python eval anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # temp columns are cleaned up
+    assert out.columns == ["i", "x", "y", "k"]
