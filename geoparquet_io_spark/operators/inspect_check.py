@@ -423,8 +423,28 @@ def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
             raise ValueError(
                 f"bbox_metadata_only needs an existing bbox column in "
                 f"{path!r}")
-        gt = gt.add_bbox_metadata("bbox")
-        applied.append("registered bbox covering metadata (column untouched)")
+        # metadata-only = O(footer) per file: copy bytes, patch footers
+        # (reference modifies in place, core/check_fixes.py:118-141; a
+        # full decompress+re-encode to change metadata would be the
+        # wrong cost model at lake scale)
+        import shutil
+
+        from geoparquet_io_spark.sources.geoparquet import (
+            patch_footer_metadata)
+
+        gt2 = gt.add_bbox_metadata("bbox")
+        geo_json = gt2.geo.to_json()
+        outs = []
+        for f in _files(path):
+            dst = out_path if len(_files(path)) == 1 else os.path.join(
+                out_path, os.path.relpath(f, path))
+            os.makedirs(os.path.dirname(os.path.abspath(dst)) or ".",
+                        exist_ok=True)
+            shutil.copy2(f, dst)
+            patch_footer_metadata(dst, {b"geo": geo_json.encode()})
+            outs.append(dst)
+        return [f"registered bbox covering metadata on {len(outs)} "
+                f"file(s) (footer patch, data pages untouched)"]
     elif gt.geometry_column and gt.bbox_column is None:
         gt = gt.add_bbox()
         applied.append("added bbox covering column")

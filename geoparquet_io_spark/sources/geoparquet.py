@@ -42,6 +42,46 @@ def native_geo_types_supported() -> bool:
     return hasattr(pa, "geometry") or hasattr(pa, "geometry_type")
 
 
+def patch_footer_metadata(path: str, updates: dict) -> int:
+    """Update a parquet file's key-value footer metadata in O(footer),
+    WITHOUT re-encoding any data page: serialize a new FileMetaData
+    (same row groups — their absolute offsets are unchanged — plus the
+    updated schema metadata) and APPEND it as the new footer.  Parquet
+    readers locate the footer from the end of the file, so the old
+    footer becomes dead bytes and every reader (pyarrow, DuckDB, Spark)
+    sees the new metadata over the untouched pages.
+
+    This is the scale-correct form of a metadata-only fix: on a 100 TB
+    lake, stamping bbox/covering/geo metadata must cost footer IO, not
+    a full decompress+re-encode of every file.  ``updates`` values of
+    ``None`` DELETE the key.  Returns the appended byte count."""
+    md = pq.ParquetFile(path).metadata
+    schema = pq.read_schema(path)
+    meta = dict(schema.metadata or {})
+    for k, v in updates.items():
+        k = k.encode() if isinstance(k, str) else k
+        if v is None:
+            meta.pop(k, None)
+        else:
+            meta[k] = v.encode() if isinstance(v, str) else v
+    new_schema = schema.with_metadata(meta)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
+        tmp = tf.name
+    try:
+        pq.write_metadata(new_schema, tmp, metadata_collector=[md])
+        raw = open(tmp, "rb").read()
+    finally:
+        os.unlink(tmp)
+    if raw[:4] != b"PAR1":
+        raise RuntimeError("write_metadata produced a non-parquet buffer")
+    footer = raw[4:]                    # [thrift FileMetaData][len][PAR1]
+    with open(path, "ab") as fh:
+        fh.write(footer)
+    return len(footer)
+
+
 def _first_parquet_file(path: str) -> str | None:
     if os.path.isfile(path):
         return path
@@ -426,15 +466,12 @@ def _write_distributed(
             if not buffered:
                 slot[0].close()
                 return
-            if slot[0] is not None:  # spilled: streaming writer + footer rewrite
+            if slot[0] is not None:  # spilled: streaming writer + footer patch
                 slot[0].close()
-                tbl = pq.read_table(slot[1])
-                tbl = tbl.replace_schema_metadata(
-                    {**(tbl.schema.metadata or {}), b"geo": _geo_with_bbox(slot[4])}
-                )
-                pq.write_table(tbl, slot[1], compression=compression,
-                               compression_level=compression_level,
-                               row_group_size=row_group_rows)
+                # O(footer) metadata patch — the spilled pages are never
+                # decompressed or re-encoded just to stamp the file bbox
+                patch_footer_metadata(slot[1],
+                                      {b"geo": _geo_with_bbox(slot[4])})
                 return
             # common case: whole file buffered -> ONE encode, exact footer
             fschema = dschema.with_metadata(

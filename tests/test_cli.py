@@ -493,3 +493,23 @@ def test_raster_info_cli(tmp_path, capsys):
     assert out["pixel_size"] == [30.0, 30.0]
     assert out["band_min"] == 0.0 and out["band_max"] == 47.0
     assert abs(out["band_mean"] - 23.5) < 1e-9
+
+
+def test_convert_vector_formats(spark, tmp_path, capsys):
+    """CLI convert round-trips through the pure-Python GDAL-format
+    paths: parquet -> .gpkg/.fgb -> parquet."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    src = str(tmp_path / "pts.parquet")
+    gt.write(src)
+    n = gt.df.count()
+    for ext in (".gpkg", ".fgb"):
+        mid = str(tmp_path / f"mid{ext}")
+        assert _run(["convert", src, mid, "--no-sort"]) == 0
+        back = str(tmp_path / f"back{ext}.parquet")
+        assert _run(["convert", mid, back, "--no-sort"]) == 0
+        assert pq.read_metadata(back).num_rows == n

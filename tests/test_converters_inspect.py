@@ -1,6 +1,7 @@
 """CSV/GeoJSON converters + inspect/validate/check operators."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -427,3 +428,40 @@ def test_check_fixes_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="existing bbox column"):
         check_fixes(spark, src, str(tmp_path / "x.parquet"),
                     bbox_metadata_only=True)
+
+
+def test_patch_footer_metadata_o_footer(spark, tmp_path):
+    """Footer patch updates KV metadata without touching data pages:
+    file grows by ~footer bytes only, every reader sees the new
+    metadata AND the same rows (pyarrow + DuckDB)."""
+    import json
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.sources.geoparquet import (
+        patch_footer_metadata)
+
+    src = str(tmp_path / "p.parquet")
+    spark.range(5000).selectExpr("id", "id * 2 AS v") \
+        .coalesce(1).write.parquet(str(tmp_path / "d"))
+    import glob as g
+    import shutil
+
+    shutil.copy(g.glob(str(tmp_path / "d" / "*.parquet"))[0], src)
+    size0 = os.path.getsize(src)
+    added = patch_footer_metadata(src, {"geo": '{"version":"1.1.0"}',
+                                        "note": b"patched"})
+    assert os.path.getsize(src) == size0 + added
+    assert added < 3000                          # footer-sized, not data
+    sch = pq.read_schema(src)
+    assert json.loads(sch.metadata[b"geo"])["version"] == "1.1.0"
+    assert sch.metadata[b"note"] == b"patched"
+    assert pq.read_table(src).num_rows == 5000
+    assert duckdb.sql(
+        f"SELECT count(*), sum(v) FROM read_parquet('{src}')"
+    ).fetchall() == [(5000, 2 * sum(range(5000)))]
+    # delete a key
+    patch_footer_metadata(src, {"note": None})
+    assert b"note" not in (pq.read_schema(src).metadata or {})
+    assert pq.read_table(src).num_rows == 5000
