@@ -633,3 +633,146 @@ def buffer_point(x: float, y: float, radius: float, segments: int = 32) -> bytes
                             y + radius * np.sin(ang)])
     ring = np.vstack([ring, ring[:1]])
     return encode_polygon([ring.astype("f8")])
+
+
+# ---------------------------------------------------------------------------
+# Rectangle clipping (map tiling)
+# ---------------------------------------------------------------------------
+
+def _clip_ring_rect(ring: np.ndarray, xmin: float, ymin: float,
+                    xmax: float, ymax: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one ring against an axis-aligned rect
+    (rect is convex, so this is exact for ANY subject ring, concave
+    included).  Returns the clipped ring (closed) or an empty array."""
+    pts = np.asarray(ring, dtype="f8")
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]                    # open form for clipping
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, prev = poly[i], poly[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    def x_cross(p, q, x):
+        t = (x - p[0]) / (q[0] - p[0])
+        return (x, p[1] + t * (q[1] - p[1]))
+
+    def y_cross(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return (p[0] + t * (q[0] - p[0]), y)
+
+    poly = [tuple(p) for p in pts]
+    for inside, inter in (
+        (lambda p: p[0] >= xmin, lambda a, b: x_cross(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: x_cross(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: y_cross(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: y_cross(a, b, ymax)),
+    ):
+        poly = clip_edge(poly, inside, inter)
+        if not poly:
+            return np.empty((0, 2))
+    arr = np.asarray(poly + [poly[0]], dtype="f8")
+    return arr
+
+
+def _clip_line_rect(pts: np.ndarray, xmin, ymin, xmax, ymax) -> list:
+    """Clip a polyline to a rect: list of kept sub-polylines
+    (Liang-Barsky per segment, consecutive kept segments merged)."""
+    out, cur = [], []
+    for i in range(len(pts) - 1):
+        p, q = pts[i], pts[i + 1]
+        t0, t1 = 0.0, 1.0
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ok = True
+        for num, den in (((xmin - p[0]), dx), ((p[0] - xmax), -dx),
+                         ((ymin - p[1]), dy), ((p[1] - ymax), -dy)):
+            if den == 0:
+                if num > 0:
+                    ok = False
+                    break
+                continue
+            t = num / den
+            if den > 0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+            if t0 > t1:
+                ok = False
+                break
+        # normalize: num/den form needs den sign flip for max bounds
+        if not ok:
+            if cur:
+                out.append(np.asarray(cur))
+                cur = []
+            continue
+        a = (p[0] + t0 * dx, p[1] + t0 * dy)
+        b = (p[0] + t1 * dx, p[1] + t1 * dy)
+        if not cur or cur[-1] != a:
+            if cur:
+                out.append(np.asarray(cur))
+            cur = [a]
+        cur.append(b)
+    if cur:
+        out.append(np.asarray(cur))
+    return [s for s in out if len(s) >= 2]
+
+
+def clip_to_rect(buf: bytes, xmin: float, ymin: float,
+                 xmax: float, ymax: float) -> bytes | None:
+    """Clip any 2-D geometry to an axis-aligned rectangle -> WKB (or
+    None when nothing survives).  Polygons via Sutherland-Hodgman
+    (exact: the clip region is convex; holes clip ring-by-ring),
+    polylines via Liang-Barsky, points by containment."""
+    g = parse(buf)
+    t = g.gtype
+    if t == POINT:
+        x, y = g.parts[0][0]
+        return buf if (xmin <= x <= xmax and ymin <= y <= ymax) else None
+    if t == MULTIPOINT:
+        kept = [c for c in g.children
+                if xmin <= c.parts[0][0, 0] <= xmax
+                and ymin <= c.parts[0][0, 1] <= ymax]
+        if not kept:
+            return None
+        return (b"\x01\x04\x00\x00\x00" + struct.pack("<I", len(kept))
+                + b"".join(encode_point(*c.parts[0][0]) for c in kept))
+    if t in (LINESTRING, MULTILINESTRING):
+        lines = g.parts if t == LINESTRING else [c.parts[0] for c in g.children]
+        segs = []
+        for ln in lines:
+            segs.extend(_clip_line_rect(np.asarray(ln, dtype="f8"),
+                                        xmin, ymin, xmax, ymax))
+        if not segs:
+            return None
+        if len(segs) == 1:
+            return encode_linestring(segs[0])
+        return (b"\x01\x05\x00\x00\x00" + struct.pack("<I", len(segs))
+                + b"".join(encode_linestring(s) for s in segs))
+    if t in (POLYGON, MULTIPOLYGON):
+        polys = [g] if t == POLYGON else g.children
+        out_polys = []
+        for poly in polys:
+            shell = _clip_ring_rect(poly.parts[0], xmin, ymin, xmax, ymax)
+            if len(shell) < 4:
+                continue
+            rings = [shell]
+            for h in poly.parts[1:]:
+                hc = _clip_ring_rect(h, xmin, ymin, xmax, ymax)
+                if len(hc) >= 4:
+                    rings.append(hc)
+            out_polys.append(rings)
+        if not out_polys:
+            return None
+        if len(out_polys) == 1:
+            return encode_polygon(out_polys[0])
+        return encode_multipolygon(out_polys)
+    raise ValueError(f"cannot clip geometry type {TYPE_NAMES.get(t, t)}")
