@@ -244,3 +244,20 @@ def q_clip_to_grid(spark, sf_dir):
         FF.count("*").alias("n_pieces"),
         FF.round(FF.sum(area), 6).alias("area_sum"),
     )
+
+
+@register("convert_geojsonl_roundtrip", _AGG_SQL)
+def q_geojsonl_roundtrip(spark, sf_dir):
+    """events points -> newline-delimited GeoJSON (GeoJSONSeq, the
+    splittable variant) -> DISTRIBUTED spark.read.text + per-task parse
+    -> coordinate aggregate.  Same format-blind oracle as the other
+    converters; 7-digit precision is lossless for these coordinates
+    (one decimal digit of true precision)."""
+    from geoparquet_io_spark.sources.geojson import (
+        read_geojsonl, write_geojsonl)
+
+    gt = _subset(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="gjl_rt_"), "pts.geojsonl")
+    write_geojsonl(gt, out)
+    back = read_geojsonl(spark, out)
+    return _agg_back(back.df)

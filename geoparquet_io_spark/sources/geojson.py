@@ -166,3 +166,93 @@ def _geojson_to_wkb(g: dict | None) -> bytes | None:
             out.append(_wkb.encode_linestring(np.array(line, dtype="f8")))
         return b"".join(out)
     raise ValueError(f"unsupported GeoJSON geometry {t}")
+
+
+# ---------------------------------------------------------------------------
+# GeoJSONSeq (newline-delimited features) — the SPLITTABLE variant
+# ---------------------------------------------------------------------------
+
+def write_geojsonl(gt, path: str, precision: int | None = 7,
+                   single_file: bool = True) -> None:
+    """Newline-delimited GeoJSON (GDAL "GeoJSONSeq" / RFC 8142 minus the
+    RS byte — one Feature JSON per line).  Unlike a FeatureCollection
+    document this is SPLITTABLE: ``single_file=False`` writes one part
+    per task with ``df.write.text`` (the 100 TB shape); the default
+    streams a single file through the driver like :func:`write_geojson`."""
+    feats = feature_lines(gt.df, gt.geometry_column, precision)
+    if not single_file:
+        feats.write.mode("overwrite").text(path)
+        return
+    with open(path, "w") as f:
+        for row in feats.toLocalIterator(prefetchPartitions=True):
+            f.write(row["feature"])
+            f.write("\n")
+
+
+def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
+                  schema=None):
+    """GeoJSONSeq -> GeoTable, DISTRIBUTED: ``spark.read.text`` splits
+    the file(s) across tasks (newlines are record boundaries, the
+    whole point of the Seq variant vs a FeatureCollection document);
+    each task JSON-parses its lines and encodes WKB with the same
+    kernel as :func:`read_geojson`.
+
+    ``schema``: property schema (StructType, without the geometry
+    column).  Defaults to inference from a driver-side sample of the
+    first lines (strings/longs/doubles/booleans)."""
+    from typing import Iterator
+
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    lines = spark.read.text(path)
+    if schema is None:
+        sample = [r["value"] for r in lines.limit(100).collect()]
+        seen: dict = {}
+        for ln in sample:
+            ln = ln.strip().lstrip("\x1e")       # tolerate RFC 8142 RS
+            if not ln:
+                continue
+            ft = json.loads(ln)
+            for k, v in (ft.get("properties") or {}).items():
+                if k not in seen or seen[k] is None:
+                    seen[k] = v
+        fields = []
+        for k, v in seen.items():
+            if isinstance(v, bool):
+                dt = T.BooleanType()
+            elif isinstance(v, int):
+                dt = T.LongType()
+            elif isinstance(v, float):
+                dt = T.DoubleType()
+            else:
+                dt = T.StringType()
+            fields.append(T.StructField(k, dt))
+        schema = T.StructType(fields)
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(geometry_column, T.BinaryType(), True)])
+    names = [f.name for f in schema.fields]
+
+    def parse_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ln in pdf["value"]:
+                ln = ln.strip().lstrip("\x1e")
+                if not ln:
+                    continue
+                ft = json.loads(ln)
+                props = ft.get("properties") or {}
+                rows.append(
+                    {**{k: props.get(k) for k in names},
+                     geometry_column: _geojson_to_wkb(ft.get("geometry"))})
+            out = pd.DataFrame(rows, columns=names + [geometry_column])
+            for f in schema.fields:
+                if isinstance(f.dataType, T.LongType):
+                    out[f.name] = out[f.name].astype("Int64")
+            yield out
+
+    df = lines.mapInPandas(parse_lines, schema=out_schema)
+    geo = GeoMeta(primary_column=geometry_column,
+                  columns={geometry_column: GeoColumnMeta()})
+    return GeoTable(df, geo)

@@ -493,3 +493,41 @@ def test_fgb_index_orders_features_by_hilbert(spark, tmp_path):
                       scale_to_grid(ys, ext[1], ext[3]))
     # mapInPandas preserves per-task order; tasks=1 -> file order
     assert (np.diff(d.astype(np.int64)) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# GeoJSONSeq
+# ---------------------------------------------------------------------------
+
+def test_geojsonl_roundtrip_and_distributed_read(spark, tmp_path):
+    from geoparquet_io_spark.sources.geojson import (
+        read_geojsonl, write_geojsonl)
+
+    outer = np.array([[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])
+    rows = [
+        Row(geometry=bytearray(W.encode_point(1.25, -2.5)), name="a", n=7),
+        Row(geometry=bytearray(W.encode_polygon([outer])), name="b", n=-1),
+        Row(geometry=None, name="c", n=None),
+    ]
+    gt = GeoTable(spark.createDataFrame(rows, "geometry binary, "
+                                        "name string, n long"),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    p = str(tmp_path / "f.geojsonl")
+    write_geojsonl(gt, p, precision=None)
+    lines = [ln for ln in open(p).read().splitlines() if ln]
+    assert len(lines) == 3
+    import json as _json
+
+    assert all(_json.loads(ln)["type"] == "Feature" for ln in lines)
+    back = read_geojsonl(spark, p)
+    got = {r["name"]: (r["n"], None if r["geometry"] is None
+                       else bytes(r["geometry"]).hex())
+           for r in back.df.collect()}
+    assert got["a"] == (7, bytes(rows[0].geometry).hex())
+    assert got["b"] == (-1, bytes(rows[1].geometry).hex())
+    assert got["c"] == (None, None)
+    # multi-part output is read back whole (splittable form)
+    d = str(tmp_path / "parts")
+    write_geojsonl(gt, d, single_file=False)
+    assert read_geojsonl(spark, d).df.count() == 3
