@@ -531,3 +531,86 @@ def test_geojsonl_roundtrip_and_distributed_read(spark, tmp_path):
     d = str(tmp_path / "parts")
     write_geojsonl(gt, d, single_file=False)
     assert read_geojsonl(spark, d).df.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Corruption robustness: truncated/mangled inputs fail loudly, never
+# hang and never return silently-wrong data
+# ---------------------------------------------------------------------------
+
+def _pts_gt(spark, n=20):
+    rows = [Row(geometry=bytearray(W.encode_point(float(i), float(-i))),
+                v=i) for i in range(n)]
+    return GeoTable(spark.createDataFrame(rows),
+                    GeoMeta(primary_column="geometry",
+                            columns={"geometry": GeoColumnMeta()}))
+
+
+def test_fgb_truncation_fails_loudly(spark, tmp_path):
+    from geoparquet_io_spark.sources.fgb import read_fgb, write_fgb
+
+    src = str(tmp_path / "ok.fgb")
+    write_fgb(_pts_gt(spark), src)
+    raw = open(src, "rb").read()
+    # bad magic
+    bad = str(tmp_path / "bad.fgb")
+    open(bad, "wb").write(b"XXXX" + raw[4:])
+    with pytest.raises(ValueError, match="not a FlatGeobuf"):
+        read_fgb(spark, bad)
+    # truncated inside the header
+    open(bad, "wb").write(raw[:14])
+    with pytest.raises(Exception):
+        read_fgb(spark, bad)
+    # truncated mid-features: planning survives (spans from index), the
+    # distributed decode of the missing range errors at action time
+    open(bad, "wb").write(raw[:len(raw) - 7])
+    try:
+        got = read_fgb(spark, bad)
+        with pytest.raises(Exception):
+            got.df.collect()
+    except Exception:
+        pass                                     # planning-time error also fine
+
+
+def test_gpkg_not_a_database_fails(spark, tmp_path):
+    from geoparquet_io_spark.sources.gpkg import list_layers, read_gpkg
+
+    bad = str(tmp_path / "bad.gpkg")
+    open(bad, "wb").write(b"definitely not sqlite")
+    with pytest.raises(Exception):
+        list_layers(bad)
+    # a valid sqlite db with no gpkg tables
+    import sqlite3
+
+    plain = str(tmp_path / "plain.gpkg")
+    con = sqlite3.connect(plain)
+    con.execute("CREATE TABLE t (a int)")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception):
+        read_gpkg(spark, plain)
+
+
+def test_shapefile_corruption_fails_loudly(spark, tmp_path):
+    from geoparquet_io_spark.sources.shapefile import (
+        read_shapefile, write_shapefile)
+
+    src = str(tmp_path / "ok.shp")
+    write_shapefile(_pts_gt(spark), src)
+    # dbf/shp record count mismatch is detected at plan time
+    raw_dbf = open(str(tmp_path / "ok.dbf"), "rb").read()
+    mangled = bytearray(raw_dbf)
+    mangled[4:8] = (99).to_bytes(4, "little")    # lie about record count
+    open(str(tmp_path / "ok.dbf"), "wb").write(bytes(mangled))
+    with pytest.raises(ValueError, match="records"):
+        read_shapefile(spark, src)
+
+
+def test_gp_blob_invalid_envelope_indicator():
+    from geoparquet_io_spark.sources.gpkg import strip_gp_header
+
+    blob = b"GP\x00" + bytes([0x0A]) + b"\x00" * 40   # indicator 5
+    with pytest.raises(ValueError, match="envelope indicator"):
+        strip_gp_header(blob)
+    assert strip_gp_header(b"\x01\x02") is None        # not GP -> None
+    assert strip_gp_header(None) is None
