@@ -670,3 +670,138 @@ def merge_into(spark: SparkSession, path: str, changes: DataFrame,
     new_files = sorted(_gpq_write(merged, out, geo=base_gt.geo))
     return commit_snapshot(spark, path, files=new_files, note=note,
                            delete_files=[])
+
+
+# ---------------------------------------------------------------------------
+# Column zone maps (generalized file skipping)
+# ---------------------------------------------------------------------------
+
+def build_column_manifest(spark: SparkSession, path: str,
+                          columns: list[str],
+                          files: list[str] | None = None) -> DataFrame:
+    """Distributed footer sweep -> per-file ZONE MAP for arbitrary
+    columns: (file, n_rows, col, min, max, null_count), min/max as
+    strings with a type tag (numeric values compare numerically in
+    :func:`prune_files_where`).  The generalization of the bbox
+    manifest: parquet row-group statistics aggregated to file level, no
+    data pages read — the Iceberg/Delta column-stats idea over plain
+    parquet."""
+    import pandas as pd
+
+    if files is None:
+        files = _list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    schema = T.StructType([
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("vmin", T.StringType()),
+        T.StructField("vmax", T.StringType()),
+        T.StructField("null_count", T.LongType()),
+        T.StructField("numeric", T.BooleanType()),
+    ])
+    paths_df = spark.createDataFrame([(f,) for f in files], ["file"]) \
+        .repartition(min(len(files), 64))
+    want = list(columns)
+
+    def sweep(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).path: i
+                       for i in range(md.num_columns)}
+                for col in want:
+                    if col not in idx:
+                        rows.append({"file": f, "n_rows": md.num_rows,
+                                     "column": col, "vmin": None,
+                                     "vmax": None, "null_count": None,
+                                     "numeric": None})
+                        continue
+                    vmin = vmax = None
+                    nulls = 0
+                    numeric = None
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[col]).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st.min, st.max
+                        numeric = isinstance(mn, (int, float)) \
+                            and not isinstance(mn, bool)
+                        if vmin is None or (mn < vmin):
+                            vmin = mn
+                        if vmax is None or (mx > vmax):
+                            vmax = mx
+                        nulls += st.null_count or 0
+                    rows.append({
+                        "file": f, "n_rows": md.num_rows, "column": col,
+                        "vmin": repr(vmin) if numeric else
+                        (None if vmin is None else str(vmin)),
+                        "vmax": repr(vmax) if numeric else
+                        (None if vmax is None else str(vmax)),
+                        "null_count": nulls if ok else None,
+                        "numeric": numeric,
+                    } if ok else {
+                        "file": f, "n_rows": md.num_rows, "column": col,
+                        "vmin": None, "vmax": None, "null_count": None,
+                        "numeric": None})
+            yield pd.DataFrame(rows, columns=[s.name for s in schema])
+
+    return paths_df.mapInPandas(sweep, schema=schema)
+
+
+def prune_files_where(manifest: DataFrame,
+                      predicates: list[tuple]) -> tuple[list[str], list[str]]:
+    """Split zone-mapped files into (kept, skipped) for an AND of range
+    predicates ``(column, op, value)`` with op in <, <=, >, >=, =.
+    A file is skipped only when its [min, max] interval PROVES no row
+    can match; missing stats keep the file (pruning must never lose
+    rows).  Only names + tiny stats rows reach the driver."""
+    rows = manifest.collect()
+    by_file: dict[str, dict] = {}
+    for r in rows:
+        by_file.setdefault(r["file"], {})[r["column"]] = r
+    kept, skipped = [], []
+    for f, stats in by_file.items():
+        drop = False
+        for col, op, val in predicates:
+            st = stats.get(col)
+            if st is None or st["vmin"] is None:
+                continue                      # no stats -> cannot prune
+            if st["numeric"]:
+                lo, hi = float(st["vmin"]), float(st["vmax"])
+                v = float(val)
+            else:
+                lo, hi, v = st["vmin"], st["vmax"], str(val)
+            if ((op == "=" and (v < lo or v > hi))
+                    or (op in (">", ">=") and (hi < v or (op == ">" and hi == v)))
+                    or (op in ("<", "<=") and (lo > v or (op == "<" and lo == v)))):
+                drop = True
+                break
+        (skipped if drop else kept).append(f)
+    return sorted(kept), sorted(skipped)
+
+
+def read_pruned_where(spark: SparkSession, path: str,
+                      predicates: list[tuple],
+                      manifest: DataFrame | None = None):
+    """Read only the files whose zone maps can satisfy the predicates —
+    file-granularity skipping BEFORE Spark's row-group pruning, for
+    ARBITRARY columns (the non-spatial sibling of :func:`read_pruned`).
+    Returns (DataFrame, report).  Apply the exact filter on the result;
+    pruning is conservative."""
+    if manifest is None:
+        manifest = build_column_manifest(
+            spark, path, sorted({c for c, _, _ in predicates}))
+    kept, skipped = prune_files_where(manifest, predicates)
+    report = {"files_total": len(kept) + len(skipped),
+              "files_scanned": len(kept), "files_skipped": len(skipped)}
+    if not kept:
+        sample = spark.read.parquet(path)
+        return sample.filter(F.lit(False)), report
+    return spark.read.parquet(*kept), report

@@ -261,3 +261,39 @@ def q_geojsonl_roundtrip(spark, sf_dir):
     write_geojsonl(gt, out)
     back = read_geojsonl(spark, out)
     return _agg_back(back.df)
+
+
+@register(
+    "dataset_zone_map_prune",
+    """
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           TRUE AS pruned_some
+    FROM orders WHERE o_orderkey >= 30000
+    """,
+)
+def q_zone_map_prune(spark, sf_dir):
+    """Column zone maps, graded: orders range-partitioned by o_orderkey
+    into files -> distributed footer-stats sweep
+    (build_column_manifest) -> file-level pruning for o_orderkey >=
+    30000 (read_pruned_where) -> exact filter + aggregate.  The oracle
+    is the same aggregate over the UNPRUNED table — pruning must be
+    lossless; the query also asserts files were actually skipped
+    (range partitioning guarantees disjoint key ranges per file)."""
+    from geoparquet_io_spark.operators.maintenance import (
+        build_column_manifest, read_pruned_where)
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="zonemap_")
+    orders.repartitionByRange(8, "o_orderkey").write \
+        .mode("overwrite").parquet(tmp)
+    manifest = build_column_manifest(spark, tmp, ["o_orderkey"])
+    df, report = read_pruned_where(
+        spark, tmp, [("o_orderkey", ">=", 30000)], manifest=manifest)
+    assert report["files_skipped"] > 0, report      # zone maps engaged
+    return df.filter(F.col("o_orderkey") >= 30000).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(True).alias("pruned_some"),
+    )

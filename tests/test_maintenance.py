@@ -223,3 +223,49 @@ def test_compact_with_zorder_clusters_files(spark, tmp_path):
     # z-order: both columns substantially narrower
     assert pa > 90000 and pb > 90000
     assert za < 0.7 * pa and zb < 0.7 * pb
+
+
+def test_column_zone_maps_prune_and_keep(spark, tmp_path):
+    """build_column_manifest / prune_files_where: numeric + string
+    zone maps, conservative keeps for missing stats/columns, and op
+    edge semantics (strict vs inclusive bounds)."""
+    from geoparquet_io_spark.operators.maintenance import (
+        build_column_manifest, prune_files_where, read_pruned_where)
+
+    p = str(tmp_path / "zm")
+    spark.createDataFrame(
+        [(i, float(i) * 1.5, chr(97 + i // 50)) for i in range(200)],
+        "k long, v double, s string"
+    ).repartitionByRange(4, "k").write.parquet(p)
+    mf = build_column_manifest(spark, p, ["k", "v", "s", "missing"])
+    rows = mf.collect()
+    files = {r["file"] for r in rows}
+    assert len(files) == 4
+    # missing column -> null stats -> never prunes
+    assert all(r["vmin"] is None for r in rows if r["column"] == "missing")
+    kept, skipped = prune_files_where(mf, [("k", ">=", 150)])
+    assert len(skipped) >= 2 and kept
+    # losslessness: pruned read + exact filter == full read + filter
+    df, rep = read_pruned_where(spark, p, [("k", ">=", 150)], manifest=mf)
+    assert rep["files_skipped"] == len(skipped)
+    assert df.filter("k >= 150").count() == 50
+    # strict-bound edge: file covering exactly [x..] survives >= but
+    # is pruned by > when its max == x
+    per_file_max = {}
+    for r in rows:
+        if r["column"] == "k":
+            per_file_max[r["file"]] = float(r["vmax"])
+    fmax = max(per_file_max.values())
+    kept2, skip2 = prune_files_where(mf, [("k", ">=", fmax)])
+    kept3, skip3 = prune_files_where(mf, [("k", ">", fmax)])
+    assert len(kept2) == 1 and len(kept3) == 0
+    # string zone maps
+    keptS, skipS = prune_files_where(mf, [("s", "=", "a")])
+    assert keptS and skipS
+    df2, _ = read_pruned_where(spark, p, [("s", "=", "a")])
+    assert df2.filter("s = 'a'").count() == 50
+    # equality outside every range prunes everything but returns an
+    # empty frame with the right schema
+    df3, rep3 = read_pruned_where(spark, p, [("k", "=", 10_000)])
+    assert rep3["files_scanned"] == 0 and df3.count() == 0
+    assert set(df3.columns) == {"k", "v", "s"}
