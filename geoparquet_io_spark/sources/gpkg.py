@@ -229,11 +229,16 @@ def _spark_to_sqlite_type(dt) -> str:
     return "TEXT"
 
 
-def write_gpkg(gt, path: str, layer: str | None = None) -> None:
+def write_gpkg(gt, path: str, layer: str | None = None,
+               append: bool = False) -> None:
     """GeoTable -> a valid GeoPackage file (driver-side, single writer —
     the same single-file shape as the reference's COPY FORMAT GDAL).
     Geometry lands as GP-headed WKB blobs; contents/geometry_columns/
-    spatial_ref_sys rows follow OGC 12-128r17."""
+    spatial_ref_sys rows follow OGC 12-128r17.
+
+    ``append=True`` adds ``layer`` as an ADDITIONAL feature layer to an
+    existing GeoPackage (the container is multi-layer by design);
+    the layer name must not already exist."""
     from pyspark.sql import types as T
 
     from geoparquet_io_spark.functions import wkb as W
@@ -261,37 +266,48 @@ def write_gpkg(gt, path: str, layer: str | None = None) -> None:
             srs_id = int(cid.get("code", 4326))
 
     rows = df.collect()
-    if os.path.exists(path):
+    if os.path.exists(path) and not append:
         os.remove(path)
+    fresh = not os.path.exists(path)
     con = sqlite3.connect(path)
     try:
-        con.execute(f"PRAGMA application_id = {GPKG_APPLICATION_ID}")
-        con.execute(f"PRAGMA user_version = {GPKG_USER_VERSION}")
-        con.execute(
-            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
-            "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
-            "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
-            "NOT NULL, description TEXT)")
-        con.executemany(
-            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
-            [("Undefined Cartesian SRS", -1, "NONE", -1, "undefined"),
-             ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
-             ("WGS 84", 4326, "EPSG", 4326, _WGS84_WKT)])
-        if srs_id not in (-1, 0, 4326):
+        if fresh:
+            con.execute(f"PRAGMA application_id = {GPKG_APPLICATION_ID}")
+            con.execute(f"PRAGMA user_version = {GPKG_USER_VERSION}")
+            con.execute(
+                "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+                "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+                "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
+                "NOT NULL, description TEXT)")
+            con.executemany(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+                [("Undefined Cartesian SRS", -1, "NONE", -1, "undefined"),
+                 ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
+                 ("WGS 84", 4326, "EPSG", 4326, _WGS84_WKT)])
+            con.execute(
+                "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+                "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
+                "description TEXT DEFAULT '', last_change DATETIME NOT NULL "
+                "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
+                "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
+            con.execute(
+                "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+                "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+                "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
+                "NULL, PRIMARY KEY (table_name, column_name))")
+        else:
+            exists = con.execute(
+                "SELECT 1 FROM gpkg_contents WHERE table_name = ?",
+                (layer,)).fetchone()
+            if exists:
+                raise ValueError(
+                    f"layer {layer!r} already exists in {path!r}")
+        if srs_id not in (-1, 0, 4326) and not con.execute(
+                "SELECT 1 FROM gpkg_spatial_ref_sys WHERE srs_id = ?",
+                (srs_id,)).fetchone():
             con.execute(
                 "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
                 (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, "undefined"))
-        con.execute(
-            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
-            "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
-            "description TEXT DEFAULT '', last_change DATETIME NOT NULL "
-            "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
-            "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
-        con.execute(
-            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
-            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
-            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
-            "NULL, PRIMARY KEY (table_name, column_name))")
 
         # an existing integer `fid` column becomes the primary key (GDAL's
         # round-trip convention); otherwise fid autoincrements

@@ -614,3 +614,24 @@ def test_gp_blob_invalid_envelope_indicator():
         strip_gp_header(blob)
     assert strip_gp_header(b"\x01\x02") is None        # not GP -> None
     assert strip_gp_header(None) is None
+
+
+def test_gpkg_multi_layer_append(spark, tmp_path):
+    """append=True adds layers to one GeoPackage container; read_gpkg
+    requires layer= when several exist and reads each independently."""
+    from geoparquet_io_spark.sources.gpkg import (
+        list_layers, read_gpkg, write_gpkg)
+
+    a = _mixed_table(spark, crs=None)
+    b = _pts_gt(spark, n=10)
+    p = str(tmp_path / "multi.gpkg")
+    write_gpkg(a, p, layer="first")
+    write_gpkg(b, p, layer="second", append=True)
+    names = sorted(l["layer"] for l in list_layers(p))
+    assert names == ["first", "second"]
+    with pytest.raises(ValueError, match="several layers"):
+        read_gpkg(spark, p)
+    assert read_gpkg(spark, p, layer="first").df.count() == 3
+    assert read_gpkg(spark, p, layer="second").df.count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        write_gpkg(b, p, layer="first", append=True)
