@@ -58,6 +58,11 @@ HEADLINE = [
     "graph_triangles",
     "multimodal_image_near_dup",
     "sort_zorder_multicolumn",
+    # round-5 additions
+    "convert_fgb_roundtrip",
+    "geo_clip_to_grid",
+    "dataset_zone_map_prune",
+    "multimodal_flac_features",
 ]
 
 # regression thresholds vs the committed bench_baseline.json

@@ -635,3 +635,69 @@ def test_gpkg_multi_layer_append(spark, tmp_path):
     assert read_gpkg(spark, p, layer="second").df.count() == 10
     with pytest.raises(ValueError, match="already exists"):
         write_gpkg(b, p, layer="first", append=True)
+
+
+# ---------------------------------------------------------------------------
+# FlatBuffers runtime property test
+# ---------------------------------------------------------------------------
+
+def test_flatbuf_property_roundtrip():
+    """Randomized tables (scalars of every width, strings, double
+    vectors, sparse field ids) round-trip through Builder -> root()."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geoparquet_io_spark.functions import flatbuf as FB
+
+    scalar = st.sampled_from([("b", 1), ("B", 1), ("h", 2), ("H", 2),
+                              ("i", 4), ("I", 4), ("q", 8), ("d", 8)])
+
+    @st.composite
+    def field(draw):
+        kind = draw(st.sampled_from(["scalar", "string", "dvec"]))
+        if kind == "scalar":
+            fmt, size = draw(scalar)
+            if fmt == "d":
+                v = draw(st.floats(allow_nan=False, allow_infinity=False,
+                                   width=64))
+            else:
+                bits = size * 8 - (1 if fmt.islower() else 0)
+                lo = -(1 << (size * 8 - 1)) if fmt.islower() else 0
+                v = draw(st.integers(min_value=lo,
+                                     max_value=(1 << bits) - 1))
+            return ("scalar", fmt, size, v)
+        if kind == "string":
+            return ("string", draw(st.text(max_size=40)))
+        return ("dvec", draw(st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            max_size=20)))
+
+    @given(st.dictionaries(st.integers(min_value=0, max_value=20),
+                           field(), max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def check(fields):
+        b = FB.Builder()
+        built = {}
+        for fid, spec in fields.items():
+            if spec[0] == "scalar":
+                built[fid] = spec
+            elif spec[0] == "string":
+                built[fid] = ("offset", b.string(spec[1]))
+            else:
+                built[fid] = ("offset", b.vector_scalars("d", 8, spec[1]))
+        buf = b.finish(b.table(built))
+        t = FB.root(buf)
+        for fid, spec in fields.items():
+            if spec[0] == "scalar":
+                _, fmt, size, v = spec
+                got = t.scalar(fid, fmt, default=None)
+                if fmt == "d":
+                    assert got == v or (got != got and v != v)
+                else:
+                    assert got == v
+            elif spec[0] == "string":
+                assert t.string(fid) == spec[1]
+            else:
+                assert t.vector_scalars(fid, "d", 8) == spec[1]
+
+    check()
