@@ -266,7 +266,10 @@ def build_packed_rtree(boxes: "np.ndarray", offsets: list[int],
             ys0 = min(nodes[k][1] for k in range(first, last))
             xs1 = max(nodes[k][2] for k in range(first, last))
             ys1 = max(nodes[k][3] for k in range(first, last))
-            nodes[starts[li] + j] = (xs0, ys0, xs1, ys1, first)
+            # internal offset = first child's BYTE offset within the
+            # tree (the reference C++ packer's convention); our search
+            # derives children STRUCTURALLY so either convention reads
+            nodes[starts[li] + j] = (xs0, ys0, xs1, ys1, first * 40)
     return b"".join(struct.pack("<4dQ", *nd) for nd in nodes)
 
 
@@ -274,7 +277,15 @@ def search_packed_rtree(index: bytes, num_items: int, node_size: int,
                         rect: tuple[float, float, float, float]
                         ) -> list[int]:
     """Leaf ITEM indices (file order) whose bbox intersects ``rect`` —
-    driver-side descent over the packed tree, O(log + hits)."""
+    driver-side descent over the packed tree, O(log + hits).
+
+    Children are derived STRUCTURALLY from the level bounds (child j of
+    the k-th node at a level starts at that level's base + k*node_size)
+    rather than from the stored internal ``offset`` field — reference
+    implementations disagree on that field's convention (byte offset vs
+    node index), while the packed layout itself is fully determined by
+    (num_items, node_size).  Works on our own files AND external
+    conforming writers."""
     if num_items == 0:
         return []
     stored = list(reversed(_rtree_levels(num_items, node_size)))
@@ -289,21 +300,19 @@ def search_packed_rtree(index: bytes, num_items: int, node_size: int,
         return struct.unpack_from("<4dQ", index, i * 40)
 
     out = []
-    queue = [0]
+    queue = [(0, 0)]                     # (node index, level index)
     while queue:
-        i = queue.pop()
-        x0, y0, x1, y1, off = node(i)
+        i, li = queue.pop()
+        x0, y0, x1, y1, _off = node(i)
         if x0 > xmax or x1 < xmin or y0 > ymax or y1 < ymin:
             continue
         if i >= leaf_start:
             out.append(i - leaf_start)
         else:
-            first = int(off)
-            # child count: bounded by node_size and the level's end
-            li = next(k for k in range(len(starts))
-                      if starts[k] <= i < starts[k] + stored[k])
+            first = starts[li + 1] + (i - starts[li]) * node_size
             cend = starts[li + 1] + stored[li + 1]
-            queue.extend(range(first, min(first + node_size, cend)))
+            queue.extend((c, li + 1)
+                         for c in range(first, min(first + node_size, cend)))
     return sorted(out)
 
 
