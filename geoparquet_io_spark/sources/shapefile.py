@@ -292,9 +292,8 @@ def read_prj_epsg(prj_path: str) -> str | None:
     with open(prj_path, "r", encoding="utf-8", errors="replace") as fh:
         wkt = fh.read()
     codes = re.findall(r'AUTHORITY\["EPSG",\s*"?(\d+)"?\]', wkt)
-    if not codes and '"WGS_1984"' in wkt or '"GCS_WGS_1984"' in wkt:
-        return None
     if not codes:
+        # authority-less ESRI-style WKT: WGS84 names mean lon/lat default
         return None
     code = int(codes[-1])
     return None if code == 4326 else f"EPSG:{code}"

@@ -701,3 +701,16 @@ def test_flatbuf_property_roundtrip():
                 assert t.vector_scalars(fid, "d", 8) == spec[1]
 
     check()
+
+
+def test_prj_projected_wkt_with_embedded_gcs(tmp_path):
+    """A projected WKT embeds a GEOGCS (often named GCS_WGS_1984); the
+    LAST authority code — the projection's — must win (regression for
+    an and/or precedence slip)."""
+    from geoparquet_io_spark.sources.shapefile import read_prj_epsg
+
+    p = str(tmp_path / "p.prj")
+    with open(p, "w") as fh:
+        fh.write('PROJCS["UTM33",GEOGCS["GCS_WGS_1984",'
+                 'AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","32633"]]')
+    assert read_prj_epsg(p) == "EPSG:32633"
