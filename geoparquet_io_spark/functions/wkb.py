@@ -708,7 +708,6 @@ def _clip_line_rect(pts: np.ndarray, xmin, ymin, xmax, ymax) -> list:
             if t0 > t1:
                 ok = False
                 break
-        # normalize: num/den form needs den sign flip for max bounds
         if not ok:
             if cur:
                 out.append(np.asarray(cur))
