@@ -288,6 +288,43 @@ class GeoTable:
         return write(self._df, path, self._write_geo(update_metadata),
                      partition_by=partition_by, **kw)
 
+    def to_file(self, path: str, **kw):
+        """Write to ANY supported container by extension — GeoPackage /
+        Shapefile / FlatGeobuf / GeoJSON / GeoJSONSeq / CSV, or
+        GeoParquet for anything else (the fluent counterpart of the
+        reference's convert sink dispatch, core/format_writers.py)."""
+        low = path.lower()
+        if low.endswith(".csv"):
+            from geoparquet_io_spark.sources.csv_geo import write_csv
+
+            return write_csv(self, path, **kw)
+        if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+            from geoparquet_io_spark.sources.geojson import write_geojsonl
+
+            return write_geojsonl(self, path, **kw)
+        if low.endswith(".geojson"):
+            from geoparquet_io_spark.sources.geojson import write_geojson
+
+            return write_geojson(self, path, **kw)
+        if low.endswith((".gpkg", ".shp", ".fgb")):
+            from geoparquet_io_spark.sources.gdal_formats import write_gdal
+
+            return write_gdal(self, path, **kw)
+        return self.write(path, **kw)
+
+    def clip_to_grid(self, cell_size: float,
+                     origin: tuple[float, float] = (0.0, 0.0),
+                     **kw) -> "GeoTable":
+        """Tile the geometries into a regular grid
+        (operators/tiling.py:clip_to_grid); returns a GeoTable with
+        cell_x/cell_y columns — partition the write by them for
+        per-tile files."""
+        from geoparquet_io_spark.operators.tiling import clip_to_grid
+
+        df = clip_to_grid(self._df, cell_size, origin=origin,
+                          geometry_column=self.geometry_column, **kw)
+        return self._wrap(df)
+
     def partition_by_string(self, column: str, path: str, chars: int | None = None,
                             skip_analysis: bool = False, **kw) -> list[str]:
         from geoparquet_io_spark.operators.partition import partition_by_string

@@ -226,6 +226,7 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
             elif isinstance(v, float):
                 dt = T.DoubleType()
             else:
+                # strings; nested objects/arrays surface as JSON text
                 dt = T.StringType()
             fields.append(T.StructField(k, dt))
         schema = T.StructType(fields)
@@ -243,8 +244,14 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
                     continue
                 ft = json.loads(ln)
                 props = ft.get("properties") or {}
+
+                def norm(v):
+                    if isinstance(v, (dict, list)):
+                        return json.dumps(v, separators=(",", ":"))
+                    return v
+
                 rows.append(
-                    {**{k: props.get(k) for k in names},
+                    {**{k: norm(props.get(k)) for k in names},
                      geometry_column: _geojson_to_wkb(ft.get("geometry"))})
             out = pd.DataFrame(rows, columns=names + [geometry_column])
             for f in schema.fields:

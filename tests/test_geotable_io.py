@@ -448,3 +448,23 @@ def test_write_version_2_roundtrip(points, spark, tmp_path):
 def test_write_version_unknown_rejected(points, tmp_path):
     with pytest.raises(ValueError, match="unknown GeoParquet version"):
         points.write(str(tmp_path / "x.parquet"), version="3.7")
+
+
+def test_read_any_to_file_dispatch(spark, points, tmp_path):
+    """read_any/to_file cover every container by extension; counts and
+    WKB survive each hop."""
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.geotable import GeoTable
+
+    gt = GeoTable(points.df.limit(40), points.geo)
+    n = 40
+    for ext in (".gpkg", ".fgb", ".geojsonl", ".parquet"):
+        out = str(tmp_path / f"any{ext}")
+        gt.to_file(out)
+        back = gps.read_any(spark, out)
+        assert back.df.count() == n, ext
+        assert back.geometry_column in back.df.columns
+    # tiling method surfaces on the fluent API
+    tiled = gt.clip_to_grid(45.0, origin=(-180.0, -90.0))
+    assert {"cell_x", "cell_y"} <= set(tiled.df.columns)
+    assert tiled.count() >= n
