@@ -1,0 +1,272 @@
+"""Full OGC WKT1 generation for the EPSG codes this engine projects.
+
+The shapefile ``.prj`` and GeoPackage ``gpkg_spatial_ref_sys.definition``
+sinks previously wrote a minimal AUTHORITY-only stub for anything but
+WGS 84 — enough for this engine's own reader (which keys on the last
+AUTHORITY clause) but not for external consumers that parse the WKT
+body.  This module assembles a complete ``PROJCS[...]`` / ``GEOGCS[...]``
+string from the same projection parameters the numpy transform kernels
+in functions/projections.py use, so the written text and the executed
+math can never disagree.
+
+Reference behavior: geoparquet-io delegates CRS text to GDAL/PROJ
+(core/convert.py ST_Read pipeline carries the PROJ database's WKT);
+this engine has no GDAL, so the WKT is synthesized from first
+principles.  Parameter names follow OGC 01-009 as emitted by GDAL's
+WKT1 writer (Transverse_Mercator / Lambert_Conformal_Conic_2SP / ...).
+
+Where the EPSG registry identity of an *inner* object (datum code of a
+regional frame, say) is not tracked by this engine, the inner AUTHORITY
+clause is simply omitted — WKT1 allows that, and every consumer keys on
+names + numeric parameters + the outer AUTHORITY, all of which are
+exact here.
+"""
+
+from __future__ import annotations
+
+from geoparquet_io_spark.functions import projections as P
+
+# geographic CRS building blocks: key -> (geogcs_name, datum_name,
+#   spheroid_name, (a, 1/f), spheroid_epsg, geogcs_epsg, towgs84 or None)
+# towgs84 is (dx, dy, dz, rx, ry, rz, ds) position-vector arcsec/ppm.
+_ZERO7 = (0.0,) * 7
+_GEOGCS: dict[str, tuple] = {
+    "WGS84": ("WGS 84", "WGS_1984", "WGS 84", P.WGS84, 7030, 4326, None),
+    "ETRS89": ("ETRS89", "European_Terrestrial_Reference_System_1989",
+               "GRS 1980", P.GRS80, 7019, 4258, _ZERO7),
+    "NAD83": ("NAD83", "North_American_Datum_1983",
+              "GRS 1980", P.GRS80, 7019, 4269, _ZERO7),
+    "GDA94": ("GDA94", "Geocentric_Datum_of_Australia_1994",
+              "GRS 1980", P.GRS80, 7019, 4283, _ZERO7),
+    "RGF93": ("RGF93 v1", "Reseau_Geodesique_Francais_1993_v1",
+              "GRS 1980", P.GRS80, 7019, 4171, _ZERO7),
+    "SWEREF99": ("SWEREF99", "SWEREF99", "GRS 1980", P.GRS80, 7019, 4619,
+                 _ZERO7),
+    "NZGD2000": ("NZGD2000", "New_Zealand_Geodetic_Datum_2000",
+                 "GRS 1980", P.GRS80, 7019, 4167, _ZERO7),
+    "TWD97": ("TWD97", "Taiwan_Datum_1997", "GRS 1980", P.GRS80, 7019, 3824,
+              _ZERO7),
+    "D96": ("Slovenia 1996", "Slovenia_Geodetic_Datum_1996",
+            "GRS 1980", P.GRS80, 7019, 4765, _ZERO7),
+    "LKS94": ("LKS94", "Lithuania_1994_ETRS89", "GRS 1980", P.GRS80, 7019,
+              4669, _ZERO7),
+    "HTRS96": ("HTRS96", "Croatian_Terrestrial_Reference_System",
+               "GRS 1980", P.GRS80, 7019, 4761, _ZERO7),
+    "IRENET95": ("IRENET95", "IRENET95", "GRS 1980", P.GRS80, 7019, 4173,
+                 _ZERO7),
+    "JGD2000": ("JGD2000", "Japanese_Geodetic_Datum_2000",
+                "GRS 1980", P.GRS80, 7019, 4612, _ZERO7),
+    "CGCS2000": ("China Geodetic Coordinate System 2000",
+                 "China_2000", "CGCS2000", P.GRS80, 1024, 4490, None),
+    "KGD2002": ("Korea 2000", "Geocentric_datum_of_Korea",
+                "GRS 1980", P.GRS80, 7019, 4737, _ZERO7),
+    "SVY21": ("SVY21", "SVY21", "WGS 84", P.WGS84, 7030, 4757, None),
+    "OSGB36": ("OSGB36", "Ordnance_Survey_of_Great_Britain_1936",
+               "Airy 1830", P.AIRY1830, 7001, 4277, P._DATUM_OSGB36),
+    "CH1903+": ("CH1903+", "CH1903+", "Bessel 1841", P.BESSEL1841, 7004,
+                4150, P._DATUM_CH1903P),
+    "CH1903": ("CH1903", "CH1903", "Bessel 1841", P.BESSEL1841, 7004,
+               4149, P._DATUM_CH1903P),
+    "BD72": ("BD72", "Reseau_National_Belge_1972", "International 1924",
+             P.INTL1924, 7022, 4313, P._DATUM_BD72),
+    "S-JTSK": ("S-JTSK", "System_of_the_Unified_Trigonometrical_Cadastral"
+               "_Network", "Bessel 1841", P.BESSEL1841, 7004, 4156,
+               P._DATUM_SJTSK),
+}
+
+# projected CRS names + geographic base for every EPSG_TABLE code
+# (names as in the EPSG registry; base frame from the table comments)
+_PROJCS_INFO: dict[int, tuple[str, str]] = {
+    3794: ("D96/TM", "D96"),
+    2180: ("ETRS89 / Poland CS92", "ETRS89"),
+    3006: ("SWEREF99 TM", "SWEREF99"),
+    3067: ("ETRS89 / TM35FIN(E,N)", "ETRS89"),
+    3346: ("LKS94 / Lithuania TM", "LKS94"),
+    3765: ("HTRS96 / Croatia TM", "HTRS96"),
+    2157: ("IRENET95 / Irish Transverse Mercator", "IRENET95"),
+    2193: ("NZGD2000 / New Zealand Transverse Mercator 2000", "NZGD2000"),
+    3826: ("TWD97 / TM2 zone 121", "TWD97"),
+    2154: ("RGF93 v1 / Lambert-93", "RGF93"),
+    32139: ("NAD83 / Texas Centric Lambert Conformal", "NAD83"),
+    3978: ("NAD83 / Canada Atlas Lambert", "NAD83"),
+    3112: ("GDA94 / Geoscience Australia Lambert", "GDA94"),
+    3416: ("ETRS89 / Austria Lambert", "ETRS89"),
+    26985: ("NAD83 / Maryland", "NAD83"),
+    32118: ("NAD83 / New York Long Island", "NAD83"),
+    26986: ("NAD83 / Massachusetts Mainland", "NAD83"),
+    2991: ("NAD83 / Oregon LCC (m)", "NAD83"),
+    5070: ("NAD83 / Conus Albers", "NAD83"),
+    3310: ("NAD83 / California Albers", "NAD83"),
+    3086: ("NAD83 / Florida GDL Albers", "NAD83"),
+    3577: ("GDA94 / Australian Albers", "GDA94"),
+    3035: ("ETRS89-extended / LAEA Europe", "ETRS89"),
+    3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North", "WGS84"),
+    3031: ("WGS 84 / Antarctic Polar Stereographic", "WGS84"),
+    2451: ("JGD2000 / Japan Plane Rectangular CS IX", "JGD2000"),
+    4547: ("CGCS2000 / 3-degree Gauss-Kruger CM 114E", "CGCS2000"),
+    5186: ("Korea 2000 / Central Belt 2010", "KGD2002"),
+    3763: ("ETRS89 / Portugal TM06", "ETRS89"),
+    3414: ("SVY21 / Singapore TM", "SVY21"),
+    6933: ("WGS 84 / NSIDC EASE-Grid 2.0 Global", "WGS84"),
+}
+
+
+def _num(v: float) -> str:
+    """Trim-float formatting: integers bare, else up to 13 significant
+    decimals with no trailing zeros (matches GDAL's WKT number style)."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(round(float(v), 13))
+
+
+def _geogcs_wkt(key: str, with_towgs84: bool = True) -> str:
+    name, datum, sph_name, (a, inv_f_inv), sph_code, gcs_code, tow = \
+        _GEOGCS[key]
+    inv_f = 1.0 / inv_f_inv
+    parts = [f'SPHEROID["{sph_name}",{_num(a)},{_num(round(inv_f, 9))},'
+             f'AUTHORITY["EPSG","{sph_code}"]]']
+    if with_towgs84 and tow is not None:
+        parts.append("TOWGS84[" + ",".join(_num(t) for t in tow) + "]")
+    datum_body = ",".join(parts)
+    return (f'GEOGCS["{name}",DATUM["{datum}",{datum_body}],'
+            f'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+            f'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+            f'AUTHORITY["EPSG","{gcs_code}"]]')
+
+
+def _projcs(name: str, geogcs_key: str, projection: str,
+            params: list[tuple[str, float]], code: int) -> str:
+    body = ",".join(f'PARAMETER["{k}",{_num(v)}]' for k, v in params)
+    return (f'PROJCS["{name}",{_geogcs_wkt(geogcs_key)},'
+            f'PROJECTION["{projection}"],{body},'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AUTHORITY["EPSG","{code}"]]')
+
+
+_FAMILY_WKT = {
+    "tm": ("Transverse_Mercator",
+           [("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+            ("k0", "scale_factor"), ("fe", "false_easting"),
+            ("fn", "false_northing")]),
+    "lcc": ("Lambert_Conformal_Conic_2SP",
+            [("lat1", "standard_parallel_1"), ("lat2", "standard_parallel_2"),
+             ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+             ("fe", "false_easting"), ("fn", "false_northing")]),
+    "albers": ("Albers_Conic_Equal_Area",
+               [("lat1", "standard_parallel_1"),
+                ("lat2", "standard_parallel_2"),
+                ("lat0", "latitude_of_center"),
+                ("lon0", "longitude_of_center"),
+                ("fe", "false_easting"), ("fn", "false_northing")]),
+    "laea": ("Lambert_Azimuthal_Equal_Area",
+             [("lat0", "latitude_of_center"), ("lon0", "longitude_of_center"),
+              ("fe", "false_easting"), ("fn", "false_northing")]),
+    "ps": ("Polar_Stereographic",
+           [("lat_ts", "latitude_of_origin"), ("lon0", "central_meridian"),
+            ("fe", "false_easting"), ("fn", "false_northing")]),
+    "cea": ("Cylindrical_Equal_Area",
+            [("lat_ts", "standard_parallel_1"), ("lon0", "central_meridian"),
+             ("fe", "false_easting"), ("fn", "false_northing")]),
+}
+
+
+def wkt_for_epsg(code: int) -> str | None:
+    """Complete WKT1 for a supported EPSG code, else None.
+
+    Covers: 4326, 3857, the WGS84/ETRS89/NAD83/GDA94 UTM ranges, every
+    EPSG_TABLE projection, and the Helmert-datum specials (27700, 2056,
+    21781, 31370, 5514).  The returned string always ends with the
+    CRS's own ``AUTHORITY["EPSG","<code>"]`` clause, which is what
+    shapefile.read_prj_epsg keys on.
+    """
+    if code == 4326:
+        return _geogcs_wkt("WGS84")
+    if code == 3857:
+        return _projcs(
+            "WGS 84 / Pseudo-Mercator", "WGS84", "Mercator_1SP",
+            [("central_meridian", 0.0), ("scale_factor", 1.0),
+             ("false_easting", 0.0), ("false_northing", 0.0)], 3857)
+
+    # UTM families share one parameter recipe
+    utm = None
+    if 32601 <= code <= 32660:
+        utm = ("WGS 84", "WGS84", code - 32600, 0.0)
+    elif 32701 <= code <= 32760:
+        utm = ("WGS 84", "WGS84", code - 32700, 10000000.0)
+    elif 25828 <= code <= 25838:
+        utm = ("ETRS89", "ETRS89", code - 25800, 0.0)
+    elif 26901 <= code <= 26923:
+        utm = ("NAD83", "NAD83", code - 26900, 0.0)
+    elif 28348 <= code <= 28358:
+        name, zone = "GDA94 / MGA zone %d" % (code - 28300), code - 28300
+        return _projcs(name, "GDA94", "Transverse_Mercator",
+                       [("latitude_of_origin", 0.0),
+                        ("central_meridian", 6.0 * zone - 183.0),
+                        ("scale_factor", 0.9996),
+                        ("false_easting", 500000.0),
+                        ("false_northing", 10000000.0)], code)
+    if utm is not None:
+        frame, key, zone, fn = utm
+        hemi = "S" if fn else "N"
+        return _projcs(f"{frame} / UTM zone {zone}{hemi}", key,
+                       "Transverse_Mercator",
+                       [("latitude_of_origin", 0.0),
+                        ("central_meridian", 6.0 * zone - 183.0),
+                        ("scale_factor", 0.9996),
+                        ("false_easting", 500000.0),
+                        ("false_northing", fn)], code)
+
+    ent = P.EPSG_TABLE.get(code)
+    if ent is not None and code in _PROJCS_INFO:
+        fam, _ell, params = ent
+        proj_name, param_map = _FAMILY_WKT[fam]
+        name, geog_key = _PROJCS_INFO[code]
+        plist = [(wkt_key, params[pkey]) for pkey, wkt_key in param_map]
+        if fam == "ps":
+            # variant B carries a unity scale factor in WKT1
+            plist.insert(2, ("scale_factor", 1.0))
+        return _projcs(name, geog_key, proj_name, plist, code)
+
+    if code == 27700:
+        return _projcs("OSGB36 / British National Grid", "OSGB36",
+                       "Transverse_Mercator",
+                       [("latitude_of_origin", 49.0),
+                        ("central_meridian", -2.0),
+                        ("scale_factor", 0.9996012717),
+                        ("false_easting", 400000.0),
+                        ("false_northing", -100000.0)], 27700)
+    if code in (2056, 21781):
+        e0, n0 = (2600000.0, 1200000.0) if code == 2056 else \
+            (600000.0, 200000.0)
+        name = "CH1903+ / LV95" if code == 2056 else "CH1903 / LV03"
+        return _projcs(name, "CH1903+" if code == 2056 else "CH1903",
+                       "Hotine_Oblique_Mercator_Azimuth_Center",
+                       [("latitude_of_center", 46.0 + 57.0 / 60.0
+                         + 8.66 / 3600.0),
+                        ("longitude_of_center", 7.0 + 26.0 / 60.0
+                         + 22.50 / 3600.0),
+                        ("azimuth", 90.0), ("rectified_grid_angle", 90.0),
+                        ("scale_factor", 1.0),
+                        ("false_easting", e0), ("false_northing", n0)], code)
+    if code == 31370:
+        return _projcs("BD72 / Belgian Lambert 72", "BD72",
+                       "Lambert_Conformal_Conic_2SP",
+                       [("standard_parallel_1", 51.0 + 10.0 / 60.0
+                         + 0.00204 / 3600.0),
+                        ("standard_parallel_2", 49.0 + 50.0 / 60.0
+                         + 0.00204 / 3600.0),
+                        ("latitude_of_origin", 90.0),
+                        ("central_meridian", 4.0 + 21.0 / 60.0
+                         + 24.983 / 3600.0),
+                        ("false_easting", 150000.013),
+                        ("false_northing", 5400088.438)], 31370)
+    if code == 5514:
+        return _projcs("S-JTSK / Krovak East North", "S-JTSK", "Krovak",
+                       [("latitude_of_center", 49.5),
+                        ("longitude_of_center", 24.0 + 50.0 / 60.0),
+                        ("azimuth", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0),
+                        ("pseudo_standard_parallel_1", 78.5),
+                        ("scale_factor", 0.9999),
+                        ("false_easting", 0.0), ("false_northing", 0.0)],
+                       5514)
+    return None

@@ -305,9 +305,12 @@ def write_gpkg(gt, path: str, layer: str | None = None,
         if srs_id not in (-1, 0, 4326) and not con.execute(
                 "SELECT 1 FROM gpkg_spatial_ref_sys WHERE srs_id = ?",
                 (srs_id,)).fetchone():
+            from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+
             con.execute(
                 "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
-                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, "undefined"))
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                 wkt_for_epsg(srs_id) or "undefined"))
 
         # an existing integer `fid` column becomes the primary key (GDAL's
         # round-trip convention); otherwise fid autoincrements

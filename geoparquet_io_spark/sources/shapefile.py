@@ -473,9 +473,15 @@ def write_shapefile(gt, path: str) -> None:
 
     crs = gt.crs
     if isinstance(crs, str) and crs.upper().startswith("EPSG:"):
+        from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+
         code = crs.split(":")[1]
+        full = wkt_for_epsg(int(code))
         with open(base + ".prj", "w") as fh:
-            fh.write(f'PROJCS["EPSG:{code}",AUTHORITY["EPSG","{code}"]]')
+            # minimal AUTHORITY-only stub for codes outside the engine's
+            # projection registry — still round-trips via read_prj_epsg
+            fh.write(full if full is not None else
+                     f'PROJCS["EPSG:{code}",AUTHORITY["EPSG","{code}"]]')
     elif crs is None:
         from geoparquet_io_spark.sources.gpkg import _WGS84_WKT
 
