@@ -374,6 +374,13 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
 
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.remote import (
+        is_fetchable_url, localize_file, task_local_path,
+    )
+
+    fetch_name = None
+    if is_fetchable_url(path):
+        path, fetch_name = localize_file(spark, path)
 
     file_size = os.path.getsize(path)
     with open(path, "rb") as fh:
@@ -437,11 +444,12 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
             .repartition(len(ranges))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            fgb_t = task_local_path(path, fetch_name)
             for pdf in batches:
                 for i0, i1 in zip(pdf["i0"], pdf["i1"]):
                     i0, i1 = int(i0), int(i1)
                     recs = []
-                    with open(path, "rb") as fh:
+                    with open(fgb_t, "rb") as fh:
                         for off, ln in feat_spans[i0:i1]:
                             fh.seek(off)
                             buf = fh.read(ln)

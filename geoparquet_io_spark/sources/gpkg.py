@@ -118,6 +118,13 @@ def read_gpkg(spark, path: str, layer: str | None = None,
 
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.remote import (
+        is_fetchable_url, localize_file, task_local_path,
+    )
+
+    fetch_name = None
+    if is_fetchable_url(path):
+        path, fetch_name = localize_file(spark, path)
 
     layers = list_layers(path)
     if not layers:
@@ -169,9 +176,10 @@ def read_gpkg(spark, path: str, layer: str | None = None,
                          else None) for f in fields}
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            db = task_local_path(path, fetch_name)
             for pdf in batches:
                 for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                    c = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                    c = sqlite3.connect(f"file:{db}?mode=ro", uri=True)
                     try:
                         rows = c.execute(
                             f'SELECT * FROM "{lname}" WHERE _rowid_ '

@@ -301,3 +301,100 @@ def normalize_remote_path(path: str) -> str:
     if path.startswith("s3://"):
         return "s3a://" + path[len("s3://"):]
     return path
+
+
+# ---------------------------------------------------------------------------
+# whole-file localization (single-file formats: .gpkg / .shp / .fgb)
+# ---------------------------------------------------------------------------
+# Parquet-family readers stream remote URIs through the Hadoop
+# connectors, but the single-file vector formats need a *local* file on
+# every node (SQLite opens by path; .shp/.fgb decoders seek byte
+# ranges).  SparkContext.addFile is the idiomatic mechanism: the driver
+# fetches the URL once, executors pull it from the driver's file server
+# on first use, and SparkFiles.get resolves the per-node copy.  The
+# reference instead downloads to a temp path single-node
+# (core/convert.py remote-source handling); addFile gives the same
+# semantics but cluster-wide.
+
+FETCHABLE_SCHEMES = ("http://", "https://", "ftp://") + REMOTE_SCHEMES
+
+
+def is_fetchable_url(path: str) -> bool:
+    return path.startswith(FETCHABLE_SCHEMES)
+
+
+def _remote_exists(spark: SparkSession, url: str) -> bool:
+    """Existence probe BEFORE SparkContext.addFile — addFile registers
+    the path in the session's dependency list before fetching, so a
+    missing file would otherwise fail every subsequent task in the
+    session, not just this read."""
+    if url.startswith(("http://", "https://", "ftp://")):
+        import urllib.error
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=30):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code in (403, 404, 410):
+                return False
+            # servers without HEAD: fall through to a ranged GET
+        except OSError:
+            return False
+        try:
+            req = urllib.request.Request(
+                url, headers={"Range": "bytes=0-0"})
+            with urllib.request.urlopen(req, timeout=30):
+                return True
+        except OSError:
+            return False
+    # Hadoop-FS schemes: ask the connector
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(url)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def localize_file(spark: SparkSession, path: str,
+                  optional: bool = False) -> tuple[str | None, str | None]:
+    """Ship ``path`` (http/https/ftp or Hadoop-FS URL) to the session.
+
+    Returns ``(driver_local_path, basename)``; the basename is what
+    executor tasks pass to :func:`task_local_path`.  With
+    ``optional=True`` a missing file (404 sidecar, say) returns
+    ``(None, None)`` instead of raising.  Files sharing a basename
+    collide in Spark's file registry — fetch each distinct dataset from
+    a distinctly-named file.
+    """
+    import posixpath
+    from urllib.parse import urlparse
+
+    from pyspark import SparkFiles
+
+    url = normalize_remote_path(path)
+    name = posixpath.basename(urlparse(url).path)
+    if not name:
+        raise ValueError(f"cannot derive a file name from {path!r}")
+    if not _remote_exists(spark, url):
+        if optional:
+            return None, None
+        raise IOError(f"cannot fetch {path!r}: not found")
+    try:
+        spark.sparkContext.addFile(url)
+    except Exception as exc:
+        if optional:
+            return None, None
+        raise IOError(f"cannot fetch {path!r}: {exc}") from None
+    return SparkFiles.get(name), name
+
+
+def task_local_path(path: str, name: str | None) -> str:
+    """Executor-side path resolution for a possibly-localized file:
+    plain local reads keep their path (``name is None``); localized
+    reads resolve the per-node copy at task run time."""
+    if name is None:
+        return path
+    from pyspark import SparkFiles
+
+    return SparkFiles.get(name)

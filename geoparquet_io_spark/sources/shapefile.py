@@ -201,8 +201,21 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
 
+    from geoparquet_io_spark.sources.remote import (
+        is_fetchable_url, localize_file, task_local_path,
+    )
+
     base = os.path.splitext(path)[0]
     shp, shx, dbf, prj = (base + e for e in (".shp", ".shx", ".dbf", ".prj"))
+    shp_name = dbf_name = None
+    if is_fetchable_url(path):
+        # .shp is required; sidecars are fetched best-effort (a missing
+        # .shx just falls back to the sequential header scan)
+        shp, shp_name = localize_file(spark, shp)
+        shx = localize_file(spark, shx, optional=True)[0] or ""
+        dbf, dbf_name = localize_file(spark, dbf, optional=True)
+        prj = localize_file(spark, prj, optional=True)[0] or ""
+        dbf = dbf or ""
     offsets = read_shx_offsets(shx) if os.path.isfile(shx) else \
         _scan_shp_offsets(shp)
     dbf_meta = read_dbf_header(dbf) if os.path.isfile(dbf) else None
@@ -230,11 +243,13 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
             .repartition(len(ranges))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            shp_t = task_local_path(shp, shp_name)
+            dbf_t = task_local_path(dbf, dbf_name) if dbf else dbf
             for pdf in batches:
                 for i0, i1 in zip(pdf["i0"], pdf["i1"]):
                     i0, i1 = int(i0), int(i1)
                     rows = []
-                    with open(shp, "rb") as fh:
+                    with open(shp_t, "rb") as fh:
                         for off, ln in offsets[i0:i1]:
                             fh.seek(off + 8)     # skip record header
                             rows.append(
@@ -243,7 +258,7 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
                     if dbf_meta:
                         rs, hs = (dbf_meta["record_size"],
                                   dbf_meta["header_size"])
-                        with open(dbf, "rb") as fh:
+                        with open(dbf_t, "rb") as fh:
                             fh.seek(hs + i0 * rs)
                             blob = fh.read((i1 - i0) * rs)
                         for j, f in enumerate(dbf_meta["fields"]):
