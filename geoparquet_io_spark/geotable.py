@@ -199,11 +199,14 @@ class GeoTable:
 
     # -- sorts (SURVEY 2.7) --------------------------------------------------------
 
-    def sort_hilbert(self, keep_key: bool = False) -> "GeoTable":
+    def sort_hilbert(self, keep_key: bool = False,
+                     env: tuple[float, float, float, float] | None = None,
+                     ) -> "GeoTable":
         from geoparquet_io_spark.operators.sorts import sort_hilbert
 
         return self._wrap(sort_hilbert(self._df, self.geometry_column,
-                                       self._bbox_column, keep_key=keep_key))
+                                       self._bbox_column, keep_key=keep_key,
+                                       env=env))
 
     def sort_zorder(self, order: int = 16, keep_key: bool = False) -> "GeoTable":
         from geoparquet_io_spark.operators.sorts import sort_zorder

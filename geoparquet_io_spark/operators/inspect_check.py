@@ -594,6 +594,120 @@ def check_compression(path: str) -> dict:
     }
 
 
+def file_bounds_from_metadata(f: str, bbox_column: str = "bbox"
+                              ) -> tuple[float, float, float, float] | None:
+    """One file's envelope WITHOUT reading row data.
+
+    Priority: the footer ``geo`` bbox (exact when the file was written
+    with per-file bbox stamping), else the parquet row-group statistics
+    of a bbox covering struct (min over ``bbox.xmin`` stats, etc. —
+    exact, since plain-encoded doubles always carry min/max).  Returns
+    None when neither source exists — the caller must fall back to a
+    data scan.
+    """
+    pf = pq.ParquetFile(f)
+    g = GeoMeta.from_footer(pf.schema_arrow.metadata)
+    if g is not None and g.primary is not None and g.primary.bbox:
+        b = g.primary.bbox
+        return (b[0], b[1], b[2], b[3])
+    md = pf.metadata
+    if md.num_rows == 0:
+        return None
+    want = {f"{bbox_column}.{p}": p for p in ("xmin", "ymin", "xmax", "ymax")}
+    acc: dict[str, float] = {}
+    idx = {md.row_group(0).column(j).path_in_schema: j
+           for j in range(md.num_columns)} if md.num_row_groups else {}
+    if not all(k in idx for k in want):
+        return None
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for path_name, part in want.items():
+            st = rg.column(idx[path_name]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if part in ("xmin", "ymin"):
+                v = float(st.min)
+                acc[part] = min(acc.get(part, v), v)
+            else:
+                v = float(st.max)
+                acc[part] = max(acc.get(part, v), v)
+    return (acc["xmin"], acc["ymin"], acc["xmax"], acc["ymax"])
+
+
+def bounds_from_metadata(spark, path: str, bbox_column: str = "bbox"
+                         ) -> tuple[float, float, float, float] | None:
+    """Dataset envelope in O(footers) — no row data is read.
+
+    At 100 TB the bounds pre-pass for a Hilbert/quadkey sort is a full
+    column scan if done as an aggregate; this reads each file's footer
+    instead (per-file ``geo`` bbox or bbox-struct row-group statistics)
+    and unions them.  The footer reads fan out on executors like
+    :func:`operators.maintenance.build_manifest`; only file NAMES pass
+    through the driver.  Returns None (caller falls back to
+    ``stats.bounds``) if ANY file lacks metadata bounds — a partial
+    union would silently under-report the envelope.
+
+    Reference: the O(1) footer row-count rule (core/duckdb_metadata.py)
+    applied to extents.
+    """
+    files = _files(path)
+    if not files:
+        raise FileNotFoundError(path)
+    def _one(f):
+        # empty files have no extent: skip, don't fail the union
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            return "empty"
+        return file_bounds_from_metadata(f, bbox_column)
+
+    if len(files) <= 8:
+        boxes = [b for b in (_one(f) for f in files) if b != "empty"]
+        if not boxes:
+            return None
+    else:
+        import pandas as pd
+
+        pdf_files = spark.createDataFrame([(f,) for f in files], ["file"]) \
+            .repartition(min(len(files), 64))
+        col = bbox_column
+
+        def sweep(batches):
+            from geoparquet_io_spark.operators.inspect_check import (
+                file_bounds_from_metadata as fb,
+            )
+
+            for pdf in batches:
+                rows = []
+                for f in pdf["file"]:
+                    import pyarrow.parquet as _pq
+
+                    if _pq.ParquetFile(f).metadata.num_rows == 0:
+                        continue
+                    b = fb(f, col)
+                    rows.append(
+                        {"ok": b is not None,
+                         "xmin": b[0] if b else None,
+                         "ymin": b[1] if b else None,
+                         "xmax": b[2] if b else None,
+                         "ymax": b[3] if b else None})
+                yield pd.DataFrame(
+                    rows, columns=["ok", "xmin", "ymin", "xmax", "ymax"])
+
+        agg = pdf_files.mapInPandas(
+            sweep, schema="ok boolean, xmin double, ymin double, "
+                          "xmax double, ymax double") \
+            .agg(F.min("ok").alias("all_ok"),
+                 F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                 F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax")) \
+            .collect()[0]
+        if not agg["all_ok"]:
+            return None
+        return (agg["xmin"], agg["ymin"], agg["xmax"], agg["ymax"])
+    if any(b is None for b in boxes):
+        return None
+    return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+            max(b[2] for b in boxes), max(b[3] for b in boxes))
+
+
 def check_bbox(path: str) -> dict:
     """Bbox covering assessment: covering metadata present, its struct
     exists and is well-formed, and (spot check) struct values agree with

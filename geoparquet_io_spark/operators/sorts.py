@@ -27,18 +27,23 @@ def sort_hilbert(
     bbox_column: str | None = None,
     key_column: str | None = None,
     keep_key: bool = False,
+    env: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Order rows along a Hilbert curve over the dataset envelope.
 
     Two passes like the reference (bounds agg, then keyed sort,
     core/hilbert_order.py:80-113); the bounds pass is a 4-value agg that
-    reads only the bbox/geometry column.  The key itself is NATIVE
-    (functions/geom.py:with_hilbert_key — bit-parallel JVM expressions,
-    no Python), so the range sort's two key evaluations (sampling +
-    shuffle write) never leave codegen.
+    reads only the bbox/geometry column.  Pass ``env`` to skip it — at
+    100 TB, get the envelope in O(footers) from
+    ``inspect_check.bounds_from_metadata`` instead of scanning every
+    row.  The key itself is NATIVE (functions/geom.py:with_hilbert_key —
+    bit-parallel JVM expressions, no Python), so the range sort's two
+    key evaluations (sampling + shuffle write) never leave codegen.
     """
     x, y = _centroid_lonlat(df, geometry_column, bbox_column)
-    env = _bounds(df, geometry_column=geometry_column, bbox_column=bbox_column)
+    if env is None:
+        env = _bounds(df, geometry_column=geometry_column,
+                      bbox_column=bbox_column)
     key = key_column or "__hilbert"
     out = G.with_hilbert_key(df, x, y, env, key)
     out = out.orderBy(key)

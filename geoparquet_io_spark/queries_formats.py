@@ -297,3 +297,37 @@ def q_zone_map_prune(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.lit(True).alias("pruned_some"),
     )
+
+
+@register(
+    "geo_bounds_metadata_only",
+    f"""
+    WITH pts AS (SELECT {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat
+                 FROM events)
+    SELECT MIN(lon) AS xmin, MIN(lat) AS ymin,
+           MAX(lon) AS xmax, MAX(lat) AS ymax
+    FROM pts
+    """,
+)
+def q_bounds_metadata_only(spark, sf_dir):
+    """events points -> bbox covering -> distributed write with per-file
+    bbox footers -> dataset envelope recovered from FOOTERS ONLY
+    (inspect_check.bounds_from_metadata: O(files), zero row reads — the
+    100 TB form of the bounds pre-pass).  The oracle recomputes the
+    envelope from raw coordinates, so a match proves the stamped
+    footers carry the exact extent."""
+    from geoparquet_io_spark.operators.inspect_check import (
+        bounds_from_metadata,
+    )
+
+    gt = _events_points(spark, sf_dir)
+    if "bbox" not in gt.df.columns:
+        gt = gt.add_bbox()
+    out = os.path.join(tempfile.mkdtemp(prefix="bmeta_"), "ds")
+    gt.write(out, per_file_bbox="bbox")
+    env = bounds_from_metadata(spark, out)
+    if env is None:
+        raise AssertionError("metadata bounds unavailable after "
+                             "per-file-bbox write")
+    return spark.createDataFrame(
+        [env], "xmin double, ymin double, xmax double, ymax double")

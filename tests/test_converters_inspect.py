@@ -465,3 +465,108 @@ def test_patch_footer_metadata_o_footer(spark, tmp_path):
     patch_footer_metadata(src, {"note": None})
     assert b"note" not in (pq.read_schema(src).metadata or {})
     assert pq.read_table(src).num_rows == 5000
+
+
+# -- O(footers) dataset bounds ----------------------------------------------
+
+def _bbox_file(path, xs, ys, with_stats=True):
+    """Plain parquet with a bbox covering struct, NO geo footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "id": pa.array(range(len(xs)), pa.int64()),
+        "bbox": pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64()),
+             pa.array(xs, pa.float64()), pa.array(ys, pa.float64())],
+            names=["xmin", "ymin", "xmax", "ymax"]),
+    })
+    pq.write_table(t, path, write_statistics=with_stats)
+
+
+def test_bounds_from_bbox_statistics(spark, tmp_path):
+    from geoparquet_io_spark.operators.inspect_check import (
+        bounds_from_metadata, file_bounds_from_metadata,
+    )
+
+    _bbox_file(str(tmp_path / "a.parquet"), [1.0, 5.0], [2.0, -3.0])
+    _bbox_file(str(tmp_path / "b.parquet"), [-7.5, 0.25], [9.0, 4.0])
+    assert file_bounds_from_metadata(str(tmp_path / "a.parquet")) == \
+        (1.0, -3.0, 5.0, 2.0)
+    assert bounds_from_metadata(spark, str(tmp_path)) == \
+        (-7.5, -3.0, 5.0, 9.0)
+
+
+def test_bounds_metadata_unavailable_returns_none(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.inspect_check import (
+        bounds_from_metadata,
+    )
+
+    # one stamped file + one with neither geo footer nor bbox stats
+    _bbox_file(str(tmp_path / "a.parquet"), [1.0], [2.0])
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}),
+                   str(tmp_path / "plain.parquet"))
+    assert bounds_from_metadata(spark, str(tmp_path)) is None
+
+
+def test_bounds_metadata_skips_empty_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.inspect_check import (
+        bounds_from_metadata,
+    )
+
+    _bbox_file(str(tmp_path / "a.parquet"), [3.0], [4.0])
+    schema = pa.schema([("id", pa.int64()), ("bbox", pa.struct(
+        [("xmin", pa.float64()), ("ymin", pa.float64()),
+         ("xmax", pa.float64()), ("ymax", pa.float64())]))])
+    pq.write_table(schema.empty_table(), str(tmp_path / "empty.parquet"))
+    assert bounds_from_metadata(spark, str(tmp_path)) == (3.0, 4.0, 3.0, 4.0)
+
+
+def test_bounds_metadata_distributed_sweep(spark, tmp_path):
+    from geoparquet_io_spark.operators.inspect_check import (
+        bounds_from_metadata,
+    )
+
+    for i in range(12):  # > 8 files takes the executor-sweep path
+        _bbox_file(str(tmp_path / f"f{i:02d}.parquet"),
+                   [float(i)], [float(-i)])
+    assert bounds_from_metadata(spark, str(tmp_path)) == \
+        (0.0, -11.0, 11.0, 0.0)
+
+
+def test_bounds_metadata_prefers_footer_geo_bbox(spark, tmp_path):
+    from geoparquet_io_spark.operators.inspect_check import (
+        file_bounds_from_metadata,
+    )
+    from geoparquet_io_spark.sources.geoparquet import write
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(50)
+    from geoparquet_io_spark.queries import _points_table
+
+    gt = _points_table(
+        ev.selectExpr("event_id",
+                      "cast(event_id % 7 as double) - 3.0 as lon",
+                      "cast(event_id % 5 as double) as lat"))
+    out = str(tmp_path / "ds")
+    write(gt.df, out, geo=gt.geo, per_file_bbox="bbox")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    b = file_bounds_from_metadata(os.path.join(out, files[0]))
+    assert b is not None and b[0] <= b[2] and b[1] <= b[3]
+
+
+def test_sort_hilbert_accepts_precomputed_env(spark):
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    auto = gt.sort_hilbert(keep_key=True)
+    manual = gt.sort_hilbert(keep_key=True, env=gt.bounds())
+    a = [r["__hilbert"] for r in auto.df.select("__hilbert").collect()]
+    m = [r["__hilbert"] for r in manual.df.select("__hilbert").collect()]
+    assert a == m
