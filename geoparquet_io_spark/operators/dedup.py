@@ -155,14 +155,76 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
     return pairs
 
 
+def minhash_star_edges(df: DataFrame, id_column: str,
+                       text_column: str = "text", num_hashes: int = 8,
+                       bands: int = 4, k: int = 5) -> DataFrame:
+    """LSH candidate edges in STAR form: each row pairs only with the
+    MINIMUM id of every band bucket it lands in — (id_a=bucket min,
+    id_b=member), distinct, id_a < id_b.
+
+    Candidate-pair volume is the all-pairs form's Achilles heel at
+    scale: a boilerplate cluster of m near-identical documents puts m
+    rows in one bucket and emits m(m-1)/2 pairs — measured on a 10x
+    corpus (scripts/scale_curve.py), 50k docs produced 70M pairs and a
+    156s wall where the 5k original took 1.1s.  Star edges emit <= m-1
+    edges per bucket (O(n*bands) total) yet preserve EXACTLY the
+    results that matter downstream:
+
+    - survivor rule "drop every id that collides with any smaller id":
+      a row collides with a smaller id iff it is not the minimum of
+      some bucket iff it appears as id_b in a star edge;
+    - connected components: any two members of a bucket stay connected
+      through the bucket's min, so the transitive groups are identical.
+
+    What star edges canNOT express is per-pair similarity verification
+    between two non-min members — use minhash_candidate_pairs when each
+    candidate pair must be individually confirmed.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures_agg(
+        df.select(F.col(id_column), F.col(text_column)),
+        id_column, text_column, num_hashes, k)
+    band_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
+                                 for r in range(rows)]))
+        for b in range(bands)
+    ])
+    exploded = sigs.select(
+        F.col("id"), F.posexplode(band_arr).alias("band", "bh")
+    )
+    # one partial-aggregating shuffle on the bucket key, then the star:
+    # min_by pattern via groupBy + join-free window would re-shuffle;
+    # aggregate min then broadcast-size join is wrong for big buckets —
+    # a plain shuffle join on the SAME key reuses the partitioning.
+    reps = exploded.groupBy("band", "bh").agg(F.min("id").alias("rep"))
+    edges = (
+        exploded.join(reps, ["band", "bh"])
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+    )
+    return edges
+
+
 def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
                   num_hashes: int = 8, bands: int = 4, k: int = 5,
-                  jaccard_threshold: float | None = None) -> DataFrame:
+                  jaccard_threshold: float | None = None,
+                  pair_mode: str = "star") -> DataFrame:
     """Remove near-duplicates: among rows colliding in any band (optionally
     confirmed by shingle Jaccard >= threshold), keep the smallest id.
 
     Survivor rule matches 'first document wins' with ids as arrival order.
+    ``pair_mode="star"`` (default) generates candidate edges via
+    :func:`minhash_star_edges` — identical survivors, linear edge volume
+    in boilerplate-heavy corpora.  With ``jaccard_threshold`` set the
+    all-pairs form is required (each pair is individually verified) and
+    ``pair_mode`` is ignored.
     """
+    if jaccard_threshold is None and pair_mode == "star":
+        edges = minhash_star_edges(df, id_column, text_column,
+                                   num_hashes, bands, k)
+        losers = edges.select(F.col("id_b").alias(id_column)).distinct()
+        return df.join(losers, id_column, "left_anti")
     pairs = minhash_candidate_pairs(df, id_column, text_column, num_hashes, bands, k)
     if jaccard_threshold is not None:
         sh = df.select(F.col(id_column).alias("id"),

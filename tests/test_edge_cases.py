@@ -371,3 +371,75 @@ def test_dedup_against_index_drops_only_colliders(spark):
     idx = minhash_bands(corpus, num_hashes=8, bands=4, k=5, id_column="id")
     out = dedup_against_index(new, idx, "id", num_hashes=8, bands=4, k=5)
     assert [r["id"] for r in out.collect()] == [11]
+
+
+# -- star-edge LSH candidates (bounded volume on boilerplate clusters) ------
+
+def _clone_corpus(spark, n_orig=12, clones=25):
+    """n_orig distinct documents, each repeated `clones` times with a
+    tiny per-copy suffix: the adversarial boilerplate-cluster shape."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for o in range(n_orig):
+        base = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsilon",
+                        "zeta", "eta", "theta"]) for _ in range(40))
+        for c in range(clones):
+            rows.append((did, base + f" c{c}"))
+            did += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_star_edges_match_allpairs_survivors(spark):
+    from geoparquet_io_spark.operators.dedup import dedup_minhash
+
+    df = _clone_corpus(spark)
+    star = dedup_minhash(df, "doc_id", "text", num_hashes=8, bands=4,
+                         k=5, pair_mode="star")
+    allp = dedup_minhash(df, "doc_id", "text", num_hashes=8, bands=4,
+                         k=5, pair_mode="pairs")
+    assert sorted(r.doc_id for r in star.collect()) == \
+        sorted(r.doc_id for r in allp.collect())
+
+
+def test_minhash_star_edges_volume_bounded(spark):
+    from geoparquet_io_spark.operators.dedup import (
+        minhash_candidate_pairs, minhash_star_edges,
+    )
+
+    df = _clone_corpus(spark, n_orig=4, clones=40)   # 160 docs, 4 masses
+    n = df.count()
+    bands = 4
+    stars = minhash_star_edges(df, "doc_id", "text", 8, bands, 5)
+    n_star = stars.count()
+    n_pairs = minhash_candidate_pairs(df, "doc_id", "text", 8, bands, 5) \
+        .count()
+    # star: at most one edge per (row, band) after distinct —
+    # linear; all-pairs: quadratic in the cluster masses
+    assert n_star <= n * bands
+    assert n_pairs > 4 * n_star  # the blowup star form avoids
+    # edges keep id_a < id_b
+    assert stars.filter("id_a >= id_b").count() == 0
+
+
+def test_minhash_star_edges_components_equal_allpairs(spark):
+    from geoparquet_io_spark.operators.dedup import (
+        connected_components, minhash_candidate_pairs, minhash_star_edges,
+    )
+
+    df = _clone_corpus(spark, n_orig=6, clones=8)
+
+    def groups(pairs):
+        cc = connected_components(pairs, id_a="id_a", id_b="id_b")
+        lab = {r[0]: r[1] for r in cc.collect()}
+        by = {}
+        for node, lbl in lab.items():
+            by.setdefault(lbl, set()).add(node)
+        return sorted(frozenset(g) for g in by.values())
+
+    g_star = groups(minhash_star_edges(df, "doc_id", "text", 8, 4, 5))
+    g_all = groups(minhash_candidate_pairs(df, "doc_id", "text", 8, 4, 5))
+    assert g_star == g_all

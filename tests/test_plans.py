@@ -274,3 +274,20 @@ def test_spatial_join_ships_right_side_as_broadcast_variable(spark):
     # and the join is still correct: every point falls in exactly one box
     assert len(rows) == 100
     assert all(r["zone"] == r["id"] % 10 for r in rows)
+
+
+def test_minhash_star_edges_plan(spark):
+    """Star-edge candidates: equi-join on the band bucket only — no
+    cartesian/nested-loop anywhere, no Python in the plan, and the
+    bucket aggregation partial-aggregates map-side."""
+    from geoparquet_io_spark.operators.dedup import minhash_star_edges
+    from geoparquet_io_spark.plans import formatted_plan, plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    df = minhash_star_edges(d, "doc_id")
+    s = plan_summary(df)
+    assert s["python_evals"] == 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
