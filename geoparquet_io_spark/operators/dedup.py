@@ -473,6 +473,82 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
             .select("id_a", "id_b", "hamming"))
 
 
+def hamming_dedup_survivors(sigs: DataFrame, id_column: str = "id",
+                            sig_column: str = "sig", max_hamming: int = 3,
+                            bands: int = 4, band_bits: int = 4) -> DataFrame:
+    """Survivor ids for the rule "drop every id whose signature is within
+    ``max_hamming`` of a SMALLER id's signature" — computed at
+    DISTINCT-SIGNATURE level.
+
+    Hamming distance depends only on the signatures, so the pairing can
+    collapse every row sharing a signature into one node first: a
+    boilerplate mass of a million identical documents is ONE node, and
+    for a 16-bit SimHash the graph has at most 65,536 nodes total no
+    matter the corpus size.  Exactness:
+
+    - same-signature: id survives its group iff it IS the group min;
+    - cross-signature: a smaller id with a qualifying signature exists
+      iff the minimum id of some hamming-neighbor signature is smaller.
+
+    Banding is the usual pigeonhole scheme (``max_hamming < bands`` with
+    ``bands * band_bits`` covering the signature width) applied to the
+    distinct-signature table.  Returns one column: ``id_column``.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming must be < bands={bands} for pigeonhole "
+            f"completeness, got {max_hamming}")
+    s = sigs.select(F.col(id_column).alias("id"),
+                    F.col(sig_column).cast("long").alias("sg"))
+    groups = s.groupBy("sg").agg(F.min("id").alias("min_id"))
+    groups = groups.localCheckpoint(eager=False)
+    mask = (1 << band_bits) - 1
+    banded = groups.select(
+        "sg", "min_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftrightunsigned(F.col("sg"), band_bits * b)
+                     .bitwiseAND(F.lit(mask)).alias("v"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("sg", "min_id", F.col("band.b").alias("b"),
+             F.col("band.v").alias("v"))
+    a = banded.select(F.col("sg").alias("sg_a"),
+                      F.col("min_id").alias("m_a"), "b", "v")
+    bb = banded.select(F.col("sg").alias("sg_b"),
+                       F.col("min_id").alias("m_b"), "b", "v")
+    ham = F.bit_count(F.col("sg_a").bitwiseXOR(F.col("sg_b")))
+    # directed neighbor edges (both directions fall out of sg_a != sg_b)
+    nbr = (a.join(bb, ["b", "v"])
+           .filter(F.col("sg_a") != F.col("sg_b"))
+           .filter(ham <= max_hamming)
+           .select(F.col("sg_a").alias("sg"), F.col("m_b").alias("nbr_min"))
+           .groupBy("sg").agg(F.min("nbr_min").alias("nbr_min")))
+    keep = (s.join(groups, "sg")
+            .join(nbr, "sg", "left")
+            .filter((F.col("id") == F.col("min_id"))
+                    & (F.col("nbr_min").isNull()
+                       | (F.col("nbr_min") > F.col("id"))))
+            .select(F.col("id").alias(id_column)))
+    return keep
+
+
+def dedup_simhash(df: DataFrame, id_column: str, text_column: str = "text",
+                  k: int = 5, max_hamming: int = 3) -> DataFrame:
+    """Remove near-duplicates by SimHash hamming distance: keep the
+    smallest id of every near-dup neighborhood (same "first document
+    wins" policy as :func:`dedup_minhash`).  Runs on the
+    distinct-signature graph (:func:`hamming_dedup_survivors`), so
+    boilerplate masses cost one node, not a quadratic pair set."""
+    sigs = add_simhash(df, text_column=text_column, k=k,
+                       id_column=id_column) \
+        .select(F.col(id_column), F.col("simhash"))
+    keep = hamming_dedup_survivors(sigs, id_column, "simhash",
+                                   max_hamming=max_hamming,
+                                   bands=4, band_bits=4)
+    return df.join(keep, id_column, "left_semi")
+
+
 def dedup_against_index(new_df: DataFrame, index_bands: DataFrame,
                         id_column: str, text_column: str = "text",
                         num_hashes: int = 8, bands: int = 4,

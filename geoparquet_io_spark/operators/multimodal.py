@@ -720,6 +720,29 @@ def image_near_duplicate_pairs(
             .select("id_a", "id_b", "hamming"))
 
 
+def dedup_images(df: DataFrame, id_column: str, data_column: str = "data",
+                 max_hamming: int = 6, hash_size: int = 8) -> DataFrame:
+    """Remove near-duplicate images by dHash hamming distance, keeping
+    the smallest id of every neighborhood.  Pairing runs on the
+    DISTINCT-HASH graph (dedup.hamming_dedup_survivors): a re-uploaded
+    image repeated a million times is one node, so boilerplate masses
+    never create quadratic pair volume (the failure mode measured for
+    all-pairs LSH in SCALING.md)."""
+    from geoparquet_io_spark.operators.dedup import hamming_dedup_survivors
+
+    bands = 8
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming must be < {bands} for pigeonhole completeness, "
+            f"got {max_hamming}")
+    sigs = add_image_dhash(df, data_column, "dh", hash_size) \
+        .select(F.col(id_column), F.col("dh"))
+    keep = hamming_dedup_survivors(
+        sigs, id_column, "dh", max_hamming=max_hamming,
+        bands=bands, band_bits=hash_size * hash_size // bands)
+    return df.join(keep, id_column, "left_semi")
+
+
 RESIZED_T = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),

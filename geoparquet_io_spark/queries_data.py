@@ -303,6 +303,30 @@ def q_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_survivors",
+    f"""
+    WITH sig AS ({_simhash_oracle()})
+    SELECT a.doc_id FROM sig a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sig b
+      WHERE b.doc_id < a.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+    """,
+)
+def q_simhash_survivors(spark, sf_dir):
+    """SimHash dedup survivors on the DISTINCT-SIGNATURE graph
+    (operators/dedup.py:hamming_dedup_survivors — boilerplate masses
+    collapse to one node; <= 65536 nodes for the 16-bit hash no matter
+    the corpus size).  The oracle applies the survivor rule as a naive
+    all-pairs NOT EXISTS, so a match proves the collapsed graph loses
+    nothing."""
+    from geoparquet_io_spark.operators.dedup import dedup_simhash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return dedup_simhash(d, "doc_id").select("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH d AS (SELECT doc_id, source,

@@ -443,3 +443,51 @@ def test_minhash_star_edges_components_equal_allpairs(spark):
     g_star = groups(minhash_star_edges(df, "doc_id", "text", 8, 4, 5))
     g_all = groups(minhash_candidate_pairs(df, "doc_id", "text", 8, 4, 5))
     assert g_star == g_all
+
+
+# -- distinct-signature hamming dedup ---------------------------------------
+
+def test_dedup_simhash_matches_bruteforce(spark):
+    from geoparquet_io_spark.operators.dedup import add_simhash, dedup_simhash
+
+    df = _clone_corpus(spark, n_orig=10, clones=6)
+    sigs = {r.doc_id: r.simhash for r in
+            add_simhash(df, id_column="doc_id")
+            .select("doc_id", "simhash").collect()}
+    brute = [i for i in sorted(sigs)
+             if not any(j < i and bin(sigs[j] ^ sigs[i]).count("1") <= 3
+                        for j in sigs)]
+    got = sorted(r.doc_id for r in dedup_simhash(df, "doc_id").collect())
+    assert got == brute
+
+
+def test_hamming_survivors_collapse_identical_signatures(spark):
+    from geoparquet_io_spark.operators.dedup import hamming_dedup_survivors
+
+    # 3 signature groups: 0b0 (ids 0-99), 0b1 (100, hamming 1 from 0),
+    # 0xF0F0 (200, far from both)
+    rows = [(i, 0) for i in range(100)] + [(100, 1)] + [(200, 0xF0F0)]
+    sigs = spark.createDataFrame(rows, ["id", "sig"])
+    keep = sorted(r.id for r in hamming_dedup_survivors(
+        sigs, "id", "sig", max_hamming=3).collect())
+    # id 0 survives its group; 100 is within hamming 1 of the smaller 0;
+    # 200 is its own neighborhood
+    assert keep == [0, 200]
+
+
+def test_dedup_images_by_dhash(spark):
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import dedup_images
+    from tests.test_multimodal import _make_bmp
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+    other = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+    rows = []
+    for i in range(8):          # 8 byte-identical copies of `base`
+        rows.append((i, bytearray(_make_bmp(16, 16, base))))
+    rows.append((50, bytearray(_make_bmp(16, 16, other))))
+    df = spark.createDataFrame(rows, ["img_id", "data"])
+    kept = sorted(r.img_id for r in dedup_images(df, "img_id").collect())
+    assert kept == [0, 50]
