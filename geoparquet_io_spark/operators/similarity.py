@@ -5,11 +5,16 @@ random-hyperplane-LSH bucketed variant as the 100 TB scale path
 (candidates only meet inside buckets — the cross product never
 materializes globally).
 
-All vector math is native array higher-order functions.  (An unrolled
-fixed-dim add-chain variant was MEASURED SLOWER: 64-term chains per pair
-overflow whole-stage codegen's class budget and fall back to the
-interpreted path with worse constants — keep the HOF forms.)  The
-brute-force path broadcasts the (small) query set.
+Per-row/per-pair vector math is native array higher-order functions.
+(An unrolled fixed-dim add-chain variant was MEASURED SLOWER: 64-term
+chains per pair overflow whole-stage codegen's class budget and fall
+back to the interpreted path with worse constants — keep the HOF
+forms.)  The brute-force path broadcasts the (small) query set.
+
+Exception: SemDeDup's dense all-pairs scoring runs as Arrow-batched
+numpy kernels (interpreted HOF costs ~0.3us per ELEMENT; a gram-matrix
+block in numpy is two orders faster) — with dim-order accumulation so
+the float64 results are bit-identical to the HOF fold.
 """
 
 from __future__ import annotations
@@ -453,6 +458,112 @@ def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_clusters_arrow(src: DataFrame,
+                           centroids: list[list[float]]) -> DataFrame:
+    """Arrow-batched centroid assignment + norm: (id, v) -> (id, v,
+    cluster, n).  Replaces the per-row HOF fold (32 centroids x 64 dims
+    of interpreted lambda per row) with one numpy pass per batch.
+
+    Bit-identical to the HOF kernel: squared distances accumulate in
+    dim order (``((0 + t0^2) + t1^2) + ...`` — the same left fold as
+    ``F.aggregate``), products/subtractions are the same float64 ops,
+    and ``np.argmin`` takes the FIRST minimum exactly like
+    ``array_position(d, array_min(d))``.  Assumes finite embeddings.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    dim = len(cents[0])
+    schema = T.StructType([
+        T.StructField("id", src.schema["id"].dataType),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("n", T.DoubleType()),
+    ])
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)        # (k, dim)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())           # (m, dim) float64
+            D = np.empty((m, len(C)), dtype=np.float64)
+            for k in range(len(C)):
+                acc = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    t = V[:, d] - C[k, d]
+                    acc += t * t
+                D[:, k] = acc
+            acc = np.zeros(m, dtype=np.float64)
+            for d in range(dim):
+                acc += V[:, d] * V[:, d]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "v": pdf["v"],
+                "cluster": np.argmin(D, axis=1).astype("int32"),
+                "n": np.sqrt(acc),
+            })
+
+    return src.mapInPandas(assign, schema)
+
+
+def _cluster_losers_arrow(pool: DataFrame, threshold: float,
+                          block: int = 2048) -> DataFrame:
+    """Intra-cluster all-pairs scorer as an Arrow cogroup kernel: for
+    each cluster, return the ids that lose to a LOWER-id near-duplicate
+    (cosine >= threshold).
+
+    The gram matrix is computed blockwise (``block`` columns at a time,
+    so peak memory is ``m * block`` doubles per task, never ``m^2``)
+    with dim-order accumulation — the identical left-fold float64 op
+    sequence as the HOF ``dot``/``norm`` expressions, so results match
+    the native-expression path bit for bit.  Undefined cosines (a
+    zero-norm vector: 0/0 = NaN) compare IEEE-false against the
+    threshold — the same semantics as the SQL oracles (Spark's
+    NaN-largest ordering quirk is deliberately NOT reproduced).
+
+    One shuffle on the cluster id; a cluster must fit one task
+    (guaranteed by semantic_dedup's ``max_cluster_size`` routing).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("id", pool.schema["id"].dataType)])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pdf.iloc[0:0][["id"]]
+        V = np.stack(pdf["v"].to_numpy())               # (m, dim) float64
+        n = pdf["n"].to_numpy(dtype=np.float64)
+        dim = V.shape[1]
+        lost = np.zeros(m, dtype=bool)
+        rows_idx = np.arange(m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for j0 in range(0, m, block):
+                j1 = min(j0 + block, m)
+                G = np.zeros((m, j1 - j0), dtype=np.float64)
+                for d in range(dim):
+                    G += V[:, d][:, None] * V[j0:j1, d][None, :]
+                S = G / (n[:, None] * n[j0:j1][None, :])
+                hit = S >= threshold
+                pred = rows_idx[:, None] < (j0 + np.arange(j1 - j0))[None, :]
+                lost[j0:j1] |= (hit & pred).any(axis=0)
+        return pdf.loc[lost, ["id"]]
+
+    return pool.groupBy("cluster").applyInPandas(score, out_schema)
+
+
 def _chain_band_pairs(rows: DataFrame, window: int) -> DataFrame:
     """Bounded predecessor pairing for OVERSIZE clusters: rows ranked by
     id within their cluster; each row pairs only with its ``window``
@@ -504,8 +615,13 @@ def semantic_dedup(
     2023, arXiv:2303.09540): partition the embedding space with k-means
     clusters, then drop near-duplicates WITHIN each cluster — pairwise
     cosine is only ever computed between same-cluster rows, so the
-    all-pairs product never materializes (bucketed equi-join on the
-    cluster id, the same 100 TB shape as the LSH/IVF paths).
+    all-pairs product never materializes (one shuffle on the cluster
+    id, the same 100 TB shape as the LSH/IVF paths).  Assignment and
+    intra-cluster scoring run as Arrow-batched numpy kernels with the
+    identical float64 op order as the native HOF expressions
+    (:func:`_assign_clusters_arrow`, :func:`_cluster_losers_arrow`) —
+    dense O(pairs x dim) arithmetic is exactly where vectorized batch
+    UDFs beat interpreted per-element lambdas.
 
     Keeps the lowest id of every duplicate pair (the standard
     deterministic survivor rule).  Returns every input row with its
@@ -528,21 +644,19 @@ def semantic_dedup(
     """
     from geoparquet_io_spark.operators.skew import spread
 
-    # norms are computed ONCE per row before the pair join (bit-identical
-    # to per-pair dot(v,v): sqrt then multiply either way); spread() fixes
-    # single-row-group scans (no-op on real lakes) since the per-pair HOF
-    # arithmetic dominates this operator's cost
+    # assignment + norm run as ONE Arrow pass (the interpreted HOF fold
+    # was the measured bottleneck: 32 centroids x 64 dims of lambda per
+    # row, then 64 more per pair); spread() fixes single-row-group scans
+    # (no-op on real lakes) so batches decode in parallel
     dim = len(centroids[0])
-    v = spread(df).select(
+    src = spread(df).select(
         F.col(id_column).alias("id"),
-        as_double_array(F.col(vector_column)).alias("v"),
-    ).withColumn("cluster", _nearest_centroid(F.col("v"), centroids)) \
-     .withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
-    # the assigned table feeds BOTH pair sides and the final join; without
-    # materialization the 32-centroid assignment would evaluate 3x
+        as_double_array(F.col(vector_column)).alias("v"))
+    v = _assign_clusters_arrow(src, centroids)
+    # the assigned table feeds the counts split, the scorer, and the
+    # final join; without materialization the assignment would run 3x
     # (same guard connected_components uses for its iteration state)
     v = v.localCheckpoint(eager=False)
-    sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     if max_cluster_size is None:
         pool = v
         big_pairs = None
@@ -551,18 +665,10 @@ def semantic_dedup(
         vv = v.join(F.broadcast(counts), "cluster")
         pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
         big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
+        sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
         big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
             .select(F.col("id_b").alias("id"))
-    a = pool.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                    F.col("n").alias("na"), "cluster")
-    b = pool.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                    F.col("n").alias("nb"), "cluster")
-    losers = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= threshold)
-        .select(F.col("id_b").alias("id"))
-    )
+    losers = _cluster_losers_arrow(pool, threshold)
     if big_pairs is not None:
         losers = losers.unionByName(big_pairs)
     losers = losers.distinct()

@@ -255,3 +255,67 @@ def test_semantic_dedup_capped_plan_no_cartesian(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_arrow_scorer_matches_hof_arithmetic(spark):
+    """The Arrow gram-matrix scorer must reproduce the native-HOF
+    cosine arithmetic exactly: recompute the kept-set with the
+    all-pairs HOF expression path (the former implementation) and
+    demand identical output on random data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.similarity import (
+        _nearest_centroid, as_double_array, dot, ivf_centroids,
+        semantic_dedup)
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 200
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_centroids(dim, 4, seed=3)
+    thresh = 0.5
+    got = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, cents, threshold=thresh).collect()}
+
+    # reference arithmetic: pure HOF expressions, all-pairs equi-join
+    v = df.select(F.col("vec_id").alias("id"),
+                  as_double_array(F.col("embedding")).alias("v")) \
+        .withColumn("cluster", _nearest_centroid(F.col("v"), cents)) \
+        .withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "cluster")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "cluster")
+    sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    losers = {r["id_b"] for r in a.join(b, "cluster")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .filter(sim >= thresh).select("id_b").collect()}
+    want = {r["id"]: (r["cluster"], r["id"] not in losers)
+            for r in v.select("id", "cluster").collect()}
+    assert got == want
+    assert any(not kept for _, kept in got.values())   # non-trivial case
+
+
+def test_cluster_losers_arrow_blockwise_matches_whole(spark):
+    """Blocked gram computation (block smaller than the cluster) must
+    equal the single-block result — pins the predecessor mask and the
+    block seams."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.similarity import (
+        _assign_clusters_arrow, _cluster_losers_arrow)
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    src = df.select(
+        "id",
+        F.transform("embedding", lambda c: c.cast("double")).alias("v"))
+    pool = _assign_clusters_arrow(src, [[0.0] * 8])
+    small = {r["id"] for r in
+             _cluster_losers_arrow(pool, 0.3, block=7).collect()}
+    whole = {r["id"] for r in
+             _cluster_losers_arrow(pool, 0.3, block=4096).collect()}
+    assert small == whole and len(whole) > 0
