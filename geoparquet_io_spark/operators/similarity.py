@@ -298,6 +298,81 @@ def ivf_train_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def kmeans_fit_distributed(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    vector_column: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 6,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Full-data distributed Lloyd's k-means (the trainer behind IVF /
+    SemDeDup when a driver-side sample isn't representative enough).
+
+    Each iteration is ONE Spark job: Arrow-batched assignment (map-only,
+    :func:`_assign_clusters_arrow`) followed by a ``k x dim`` partial
+    aggregation — ``dim`` element sums per cluster, combined map-side,
+    so the shuffle carries at most ``k`` rows PER PARTITION, never data
+    rows.  Only the ``k x dim`` centroid matrix visits the driver
+    between iterations (bounded state — the same loop shape MLlib's
+    KMeans uses).  Empty clusters keep their previous centroid.
+
+    Centroids are rounded to ``round_digits`` after every step so
+    independent engines (the SQL oracles embed these iterations
+    literally) reproduce the assignments exactly: given identical
+    rounded centroids, per-row distances are bit-identical sequential
+    folds, so only the (rounded) mean is engine-sensitive.
+
+    Default ``init`` is the deterministic :func:`ivf_centroids` grid —
+    data-independent, so two engines starting from the same seed agree.
+    """
+    cents = [[round(float(x), round_digits) for x in c]
+             for c in (init or ivf_centroids(dim, n_centroids, seed))]
+    src = df.select(F.lit(0).alias("id"),
+                    as_double_array(F.col(vector_column)).alias("v"))
+    for _ in range(iterations):
+        assigned = _assign_clusters_arrow(src, cents)
+        aggs = [F.count("*").alias("__cnt")] + [
+            F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+            for i in range(dim)]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
+        new = {int(r["cluster"]):
+               [round(r[f"s{i}"] / r["__cnt"], round_digits)
+                for i in range(dim)] for r in rows}
+        cents = [new.get(j, cents[j]) for j in range(n_centroids)]
+    return cents
+
+
+def kmeans_model_table(
+    spark,
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    vector_column: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train :func:`kmeans_fit_distributed` and report the model as a
+    scalar table: one row per (cluster, dimension) with the trained
+    coordinate plus the cluster's final member count — the shape that
+    persists to a model registry and that SQL engines can diff exactly.
+    """
+    cents = kmeans_fit_distributed(df, dim, n_centroids, iterations,
+                                   vector_column, seed, round_digits)
+    src = df.select(F.lit(0).alias("id"),
+                    as_double_array(F.col(vector_column)).alias("v"))
+    sizes = {int(r["cluster"]): r["cnt"]
+             for r in _assign_clusters_arrow(src, cents)
+             .groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
+    rows = [(j, int(sizes.get(j, 0)), d, float(cents[j][d]))
+            for j in range(n_centroids) for d in range(dim)
+            if sizes.get(j, 0) > 0]
+    return spark.createDataFrame(rows, "cluster int, size bigint, d int, coord double")
+
+
 def ivf_topk_trained(
     data: DataFrame,
     queries: DataFrame,

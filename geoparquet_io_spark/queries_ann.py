@@ -284,3 +284,78 @@ def q_ivf_index_search(spark, sf_dir):
     build_ivf_index(spark, e, path, dim=_DIM, n_centroids=_NCENT, seed=7)
     return search_ivf_index(spark, path, q, k=_K, nprobe=_NPROBE,
                             round_digits=6)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, rd: int = 6) -> str:
+    """Unrolled Lloyd iterations in SQL: the init centroids embed as
+    literals; each step recomputes assignment (row_number argmin — ties
+    to the lower cluster index, matching np.argmin/array_position) and
+    per-dim rounded means, with empty clusters inheriting the previous
+    table.  Given identical rounded centroids the per-row distances are
+    bit-identical sequential folds in both engines; only the mean's
+    summation order is engine-sensitive, which rounding absorbs."""
+    from geoparquet_io_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(_DIM, k, seed=7)
+    vals = ", ".join(
+        "(%d, [%s])" % (j, ",".join(repr(round(float(x), rd)) for x in c))
+        for j, c in enumerate(cents))
+    mean_list = "[" + ", ".join(
+        f"round(sum(v[{i + 1}]) / count(*), {rd})" for i in range(_DIM)) + "]"
+
+    def step(n: int, prev: str) -> str:
+        return f"""
+    d{n} AS (SELECT e.vec_id, e.v, c.cluster,
+                    list_reduce([(e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                                 FOR i IN range(1, {_DIM + 1})],
+                                (x, y) -> x + y) AS dist
+             FROM e CROSS JOIN {prev} c),
+    a{n} AS (SELECT vec_id, v, cluster FROM
+             (SELECT vec_id, v, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cluster) AS rn
+              FROM d{n}) WHERE rn = 1),
+    m{n} AS (SELECT cluster, {mean_list} AS c FROM a{n} GROUP BY cluster),
+    c{n}(cluster, c) AS (SELECT cluster, c FROM m{n}
+                         UNION ALL
+                         SELECT cluster, c FROM {prev}
+                         WHERE cluster NOT IN (SELECT cluster FROM m{n}))"""
+
+    steps = ",".join(step(n + 1, f"c{n}") for n in range(iters))
+    fin = iters + 1
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings),
+    c0(cluster, c) AS (VALUES {vals}),
+    {steps},
+    df_ AS (SELECT e.vec_id, c.cluster,
+                   list_reduce([(e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                                FOR i IN range(1, {_DIM + 1})],
+                               (x, y) -> x + y) AS dist
+            FROM e CROSS JOIN c{iters} c),
+    af AS (SELECT vec_id, cluster FROM
+           (SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM df_) WHERE rn = 1),
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+              FROM af GROUP BY cluster)
+    SELECT CAST(s.cluster AS INTEGER) AS cluster, s.size AS size,
+           CAST(t.i AS INTEGER) AS d, c.c[t.i + 1] AS coord
+    FROM sizes s JOIN c{iters} c USING (cluster)
+    CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS i) t
+    """
+
+
+@register("kmeans_train_model", _kmeans_oracle())
+def q_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd k-means over the full embeddings table
+    (operators/similarity.py:kmeans_fit_distributed): per iteration one
+    Arrow-batched assignment pass + a k x dim map-side-combined sum
+    aggregation; only the centroid matrix visits the driver.  Output is
+    the trained model as (cluster, size, dim, coord) scalars."""
+    from geoparquet_io_spark.operators.similarity import kmeans_model_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_model_table(spark, e, _DIM, n_centroids=8, iterations=2)

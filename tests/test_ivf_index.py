@@ -78,3 +78,57 @@ def test_trained_centroids_flow_through_index(spark, tmp_path):
     got = search_ivf_index(spark, path, q, k=2, nprobe=2).collect()
     assert len(got) > 0
     assert all(r["rank"] <= 2 for r in got)
+
+
+def test_kmeans_fit_distributed_converges_to_true_centers(spark):
+    """Two well-separated blobs: after 2 distributed Lloyd steps the
+    trained centroids sit on the blob means (within rounding)."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.similarity import \
+        kmeans_fit_distributed
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(200):
+        base = [5.0, 5.0] if i % 2 == 0 else [-5.0, -5.0]
+        rows.append((i, [float(base[0] + 0.1 * rng.randn()),
+                         float(base[1] + 0.1 * rng.randn())]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit_distributed(
+        df, dim=2, n_centroids=2, iterations=2,
+        init=[[1.0, 1.0], [-1.0, -1.0]])
+    got = sorted(tuple(c) for c in cents)
+    assert abs(got[0][0] + 5.0) < 0.1 and abs(got[0][1] + 5.0) < 0.1
+    assert abs(got[1][0] - 5.0) < 0.1 and abs(got[1][1] - 5.0) < 0.1
+
+
+def test_kmeans_fit_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that captures no points must carry through unchanged
+    (rounded) rather than collapse to NaN."""
+    from geoparquet_io_spark.operators.similarity import \
+        kmeans_fit_distributed
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(10)], ["vec_id", "embedding"])
+    cents = kmeans_fit_distributed(
+        df, dim=2, n_centroids=2, iterations=3,
+        init=[[1.0, 1.0], [99.0, 99.0]])
+    assert cents[0] == [1.0, 1.0]
+    assert cents[1] == [99.0, 99.0]     # never assigned -> unchanged
+
+
+def test_kmeans_model_table_sizes_sum_to_rows(spark):
+    from geoparquet_io_spark.operators.similarity import kmeans_model_table
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)],
+        ["vec_id", "embedding"])
+    out = kmeans_model_table(spark, df, dim=2, n_centroids=3, iterations=2)
+    rows = out.collect()
+    # one row per (non-empty cluster, dim); sizes consistent across dims
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster"], set()).add(r["size"])
+    assert all(len(s) == 1 for s in per_cluster.values())
+    assert sum(next(iter(s)) for s in per_cluster.values()) == 60
