@@ -826,16 +826,22 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
     import json
     import os
 
+    from pyspark.sql import Observation
+
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_centroids, seed)
-    v = as_double_array(F.col(vector_column))
-    assigned = (
-        df.select(F.col(id_column).alias("vec_id"), v.alias("vector"))
-          .withColumn("ivf_list", _nearest_centroid(F.col("vector"), cents))
-    )
+    src = df.select(F.col(id_column).alias("id"),
+                    as_double_array(F.col(vector_column)).alias("v"))
+    assigned = _assign_clusters_arrow(src, cents).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("vector"),
+        F.col("cluster").alias("ivf_list"))
+    # row count rides the write job as an observed metric — no separate
+    # count job re-reading what was just written
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     vdir = os.path.join(path, "vectors")
     assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(vdir)
-    n = spark.read.parquet(vdir).count()
+    n = obs.get["n"]
     meta = {
         "dim": int(dim),
         "n_centroids": len(cents),
