@@ -135,8 +135,22 @@ def main() -> None:
     from geoparquet_io_spark.queries import REGISTRY
 
     spark = get_spark("bench")
-    # one warm-up action so JVM/Arrow init doesn't pollute the first query
-    spark.range(1000).count()
+    # Warm the paths every timed query exercises, so the FIRST query
+    # doesn't absorb one-time JVM/codegen/worker init (~0.5s observed on
+    # tpch_q1): parquet scan + whole-stage codegen + shuffle, the Python
+    # worker pool (Arrow batch path), and the noop sink.
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    warm.groupBy("n_regionkey").count().write.format("noop") \
+        .mode("overwrite").save()
+
+    def _warm_udf(batches):
+        for b in batches:
+            yield b
+
+    warm.limit(8).mapInPandas(_warm_udf, warm.schema).write \
+        .format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
