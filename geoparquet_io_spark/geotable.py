@@ -262,15 +262,24 @@ class GeoTable:
         if not (need_types or need_bbox):
             return geo
         geo = GeoMeta.from_json(geo.to_json())
+        # both stats ride ONE aggregate job (they used to be two scans of
+        # the full upstream pipeline — measured 0.2s each on the bench
+        # pipeline); collect_set over one derived column is a cheap
+        # map-side-combined aggregate, and the spec requires the FULL
+        # column (a type occurring only outside a sample would make the
+        # footer lie), so a sample is not an option
+        aggs = []
         if need_types:
-            # full-column distinct, not a sample: the spec requires
-            # geometry_types to list ALL types present (a type occurring only
-            # outside a sample would make the footer lie); distinct over one
-            # derived column is a cheap map-side-combined aggregate
-            rows = (
-                self._df.select(G.st_geometrytype(F.col(g)).alias("t"))
-                .distinct().collect()
-            )
+            aggs.append(F.collect_set(
+                G.st_geometrytype(F.col(g))).alias("__types"))
+        if need_bbox:
+            b = F.col(self._bbox_column)
+            aggs += [F.min(b["xmin"]).alias("__xmin"),
+                     F.min(b["ymin"]).alias("__ymin"),
+                     F.max(b["xmax"]).alias("__xmax"),
+                     F.max(b["ymax"]).alias("__ymax")]
+        row = self._df.agg(*aggs).collect()[0]
+        if need_types:
             mapped = {
                 "POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",
                 "MULTIPOINT": "MultiPoint", "MULTILINESTRING": "MultiLineString",
@@ -278,10 +287,11 @@ class GeoTable:
                 "GEOMETRYCOLLECTION": "GeometryCollection",
             }
             geo.primary.geometry_types = sorted(
-                {mapped.get(r["t"], r["t"]) for r in rows if r["t"]}
+                {mapped.get(t, t) for t in row["__types"] if t}
             )
         if need_bbox:
-            geo.primary.bbox = list(self.bounds())
+            geo.primary.bbox = [row["__xmin"], row["__ymin"],
+                                row["__xmax"], row["__ymax"]]
         return geo
 
     def write(self, path: str, partition_by=None, update_metadata: bool = True,
