@@ -298,6 +298,40 @@ def ivf_train_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_column: str = "query_id",
+    neighbor_column: str = "neighbor_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Recall@k of an approximate neighbor list against the exact one —
+    the "measure, don't guess" primitive for tuning nprobe/band counts.
+
+    Pure set arithmetic on (query, neighbor) pairs: hits = approx ∩
+    exact per query, denominator = that query's exact-list size (so
+    queries with fewer than k true neighbors aren't penalized).  Two
+    small shuffles over result lists (k rows per query), never the
+    corpus.
+    """
+    a = approx.select(F.col(query_column).alias("q"),
+                      F.col(neighbor_column).alias("n"))
+    e = exact.select(F.col(query_column).alias("q"),
+                     F.col(neighbor_column).alias("n"))
+    truth = e.groupBy("q").agg(F.count("*").alias("n_true"))
+    hits = a.join(e, ["q", "n"]).groupBy("q").agg(F.count("*").alias("hits"))
+    return (
+        truth.join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_column),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.col("n_true"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_true"),
+                    round_digits).alias("recall"),
+        )
+    )
+
+
 def kmeans_fit_distributed(
     df: DataFrame,
     dim: int,

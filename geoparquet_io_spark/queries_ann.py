@@ -359,3 +359,83 @@ def q_kmeans_train(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_model_table(spark, e, _DIM, n_centroids=8, iterations=2)
+
+
+def _ivf_recall_oracle(nprobe: int = 1) -> str:
+    """Recall@k of IVF(nprobe) vs brute force, both recomputed in SQL
+    with the identical literals/rounding/tie-breaks as their standalone
+    oracles, then joined as plain set arithmetic."""
+    from geoparquet_io_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(_DIM, _NCENT, seed=7)
+    lits = [_centroid_sql_literal(c) for c in cents]
+    dv_cols = ", ".join(f"{_sqdist_sql('v', l)} AS d{i}"
+                        for i, l in enumerate(lits))
+    dq_cols = ", ".join(f"{_sqdist_sql('qv', l)} AS d{i}"
+                        for i, l in enumerate(lits))
+    dlist = ", ".join(f"d{i}" for i in range(_NCENT))
+    argmin = "CASE " + " ".join(
+        f"WHEN d{i} = m THEN {i}" for i in range(_NCENT)) + " END"
+    case_d = "CASE ci " + " ".join(
+        f"WHEN {i} THEN d{i}" for i in range(_NCENT)) + " END"
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings),
+    dv AS (SELECT vec_id, v, {dv_cols} FROM e),
+    assigned AS (SELECT vec_id, v, {argmin} AS ivf_list
+                 FROM (SELECT *, least({dlist}) AS m FROM dv)),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+    dq AS (SELECT query_id, qv, {dq_cols} FROM q),
+    probe AS (
+      SELECT query_id, qv, ci, {case_d} AS d
+      FROM dq CROSS JOIN (SELECT unnest(range({_NCENT})) AS ci)
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, ci) <= {nprobe}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY ROUND({_cosine_sql('p.qv', 'a.v')}, 6) DESC,
+                          a.vec_id) AS rn
+        FROM probe p JOIN assigned a ON a.ivf_list = p.ci
+        WHERE a.vec_id != p.query_id)
+      WHERE rn <= {_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cosine_sql('q.qv', 'e.v')}, 6) DESC,
+                          e.vec_id) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.vec_id != q.query_id)
+      WHERE rn <= {_K}
+    ),
+    truth AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+              FROM exact GROUP BY query_id),
+    hits AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+             FROM approx a JOIN exact x USING (query_id, neighbor_id)
+             GROUP BY a.query_id)
+    SELECT t.query_id, COALESCE(h.hits, 0) AS hits, t.n_true,
+           ROUND(COALESCE(h.hits, 0) / t.n_true, 4) AS recall
+    FROM truth t LEFT JOIN hits h USING (query_id)
+    """
+
+
+@register("similarity_ivf_recall", _ivf_recall_oracle())
+def q_ivf_recall(spark, sf_dir):
+    """Recall@k measurement of the IVF probe against brute force
+    (operators/similarity.py:ann_recall) — nprobe=1 so the number is
+    non-trivially below 1; the tuning loop an ANN deployment runs."""
+    from geoparquet_io_spark.operators.similarity import (ann_recall,
+                                                          brute_force_topk,
+                                                          ivf_topk)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    approx = ivf_topk(e, q, dim=_DIM, k=_K, n_centroids=_NCENT, nprobe=1,
+                      seed=7, round_digits=6)
+    exact = brute_force_topk(e, q, k=_K, round_digits=6, dim=_DIM)
+    return ann_recall(approx, exact)

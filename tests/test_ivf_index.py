@@ -132,3 +132,18 @@ def test_kmeans_model_table_sizes_sum_to_rows(spark):
         per_cluster.setdefault(r["cluster"], set()).add(r["size"])
     assert all(len(s) == 1 for s in per_cluster.values())
     assert sum(next(iter(s)) for s in per_cluster.values()) == 60
+
+
+def test_ann_recall_set_arithmetic(spark):
+    from geoparquet_io_spark.operators.similarity import ann_recall
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], ["query_id", "neighbor_id"])
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 20), (2, 21), (3, 30)],
+        ["query_id", "neighbor_id"])
+    out = {r["query_id"]: (r["hits"], r["n_true"], r["recall"])
+           for r in ann_recall(approx, exact).collect()}
+    assert out[1] == (1, 2, 0.5)        # one of two true neighbors found
+    assert out[2] == (1, 2, 0.5)
+    assert out[3] == (0, 1, 0.0)        # query absent from approx -> 0
