@@ -220,3 +220,96 @@ def sliding_event_counts(
         .select(F.col("window.start").alias("window_start"),
                 "event_type", "n_events", "sum_value")
     )
+
+
+def stream_hll_sketch_sink(
+    stream_df,
+    path: str,
+    group_column: str,
+    value_column: str,
+    checkpoint: str,
+    n_shards: int = 16,
+    lgk: int = 14,
+    trigger_available_now: bool = True,
+    keep_versions: int = 2,
+):
+    """Streaming cardinality telemetry: each micro-batch's values fold
+    into a PERSISTED HLL sketch table (one sketch per (group, shard)),
+    so "distinct users/urls/docs so far" is answerable any time from a
+    few KB per group — without ever rescanning the stream's history.
+
+    Per epoch: build the batch's shard sketches (map-side partial agg,
+    operators/sketches.py:hll_shard_sketches), union-merge them with the
+    current sketch table (register-max: ``hll_union_agg``), write the
+    merged table to a fresh version dir, atomically repoint ``_LATEST``.
+
+    Exactly-once WITHOUT epoch bookkeeping: HLL union is idempotent —
+    a replayed epoch re-merges the identical sketch and the register
+    maxima are unchanged — so crash/replay can only converge to the
+    same registers.  Each attempt writes a UNIQUE dir (never in-place
+    over the version it read); stale versions beyond ``keep_versions``
+    are pruned after the pointer moves.
+
+    At scale the sketch table stays n_groups * n_shards rows regardless
+    of stream volume; the per-epoch cost is O(batch + sketch table).
+    """
+    sink = hll_sketch_sink_fn(path, group_column, value_column,
+                              n_shards=n_shards, lgk=lgk,
+                              keep_versions=keep_versions)
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_sketch_sink_fn(path: str, group_column: str, value_column: str,
+                       n_shards: int = 16, lgk: int = 14,
+                       keep_versions: int = 2):
+    """The foreachBatch body behind :func:`stream_hll_sketch_sink`,
+    exposed so the replay path is directly testable (call it twice with
+    the same batch: registers must not move)."""
+    import os
+    import uuid
+
+    from geoparquet_io_spark.operators.sketches import hll_shard_sketches
+
+    def sink(batch_df, epoch_id):
+        sk = hll_shard_sketches(batch_df, group_column, value_column,
+                                n_shards=n_shards, lgk=lgk)
+        ptr = os.path.join(path, "_LATEST")
+        spark = batch_df.sparkSession
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                cur = fh.read().strip()
+            prev = spark.read.parquet(os.path.join(path, cur))
+            merged = (prev.unionByName(sk)
+                      .groupBy(group_column, "shard")
+                      .agg(F.hll_union_agg(F.col("sketch")).alias("sketch")))
+        else:
+            merged = sk
+        vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
+        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, ptr)
+        vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+        for stale in vers[:-keep_versions]:
+            if stale != vdir:
+                import shutil
+
+                shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+    return sink
+
+
+def read_hll_sketches(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted sketch table behind ``stream_hll_sketch_sink``
+    (feed to operators/sketches.py:hll_rollup for estimates)."""
+    import os
+
+    ptr = os.path.join(path, "_LATEST")
+    with open(ptr) as fh:
+        cur = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, cur))

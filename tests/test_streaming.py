@@ -243,3 +243,57 @@ def test_sliding_windows_stream_equals_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM slide_counts").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_hll_sketch_sink_equals_batch(spark, events_dir, tmp_path):
+    """Incremental per-micro-batch sketch merging must land on the SAME
+    registers as one batch-built sketch table (HLL union is exact
+    register-max), so the estimates agree exactly."""
+    from geoparquet_io_spark.operators.sketches import (hll_rollup,
+                                                        hll_shard_sketches)
+    from geoparquet_io_spark.streaming.events import (read_hll_sketches,
+                                                      stream_hll_sketch_sink)
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {r["event_type"]: r["approx_distinct"]
+                for r in hll_rollup(
+                    hll_shard_sketches(batch_df, "event_type", "user_id"),
+                    "event_type").collect()}
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1)      # force >1 micro-batch
+              .parquet(events_dir))
+    path = str(tmp_path / "sketches")
+    q = stream_hll_sketch_sink(
+        stream, path, "event_type", "user_id",
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["approx_distinct"]
+           for r in hll_rollup(read_hll_sketches(spark, path),
+                               "event_type").collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stream_hll_sink_replay_idempotent(spark, events_dir, tmp_path):
+    """A replayed epoch (same batch folded twice) must not change the
+    registers — the property the exactly-once story rests on."""
+    import os
+
+    from geoparquet_io_spark.operators.sketches import hll_rollup
+    from geoparquet_io_spark.streaming.events import (hll_sketch_sink_fn,
+                                                      read_hll_sketches)
+
+    batch_df = spark.read.parquet(events_dir)
+    path = str(tmp_path / "sk")
+    os.makedirs(path, exist_ok=True)
+    # drive the foreachBatch body directly, simulating a crash-replay
+    sink = hll_sketch_sink_fn(path, "event_type", "user_id")
+    sink(batch_df, 0)
+    first = {r["event_type"]: r["approx_distinct"]
+             for r in hll_rollup(read_hll_sketches(spark, path),
+                                 "event_type").collect()}
+    sink(batch_df, 0)        # replay of the same epoch
+    again = {r["event_type"]: r["approx_distinct"]
+             for r in hll_rollup(read_hll_sketches(spark, path),
+                                 "event_type").collect()}
+    assert first == again and len(first) > 0
