@@ -66,16 +66,18 @@ def spatial_join(
     if right_geometry is None:
         raise ValueError("spatial_join needs a right geometry column")
 
-    # bounded probe decides the strategy: LIMIT threshold+1 stops the scan
-    # as soon as the answer is known (a full count() would pay a whole
-    # extra pass over a huge right side just to learn "it's big")
-    if right.limit(broadcast_threshold + 1).count() > broadcast_threshold:
+    # bounded probe decides the strategy AND doubles as the collect:
+    # LIMIT threshold+1 stops the scan as soon as "it's big" is known (a
+    # full count() would pay a whole extra pass over a huge right side),
+    # and when the right side fits, these collected rows ARE the
+    # broadcast payload — one job, not a probe job plus a collect job
+    r_local = (right.select(right_geometry, *right_columns)
+               .limit(broadcast_threshold + 1).collect())
+    if len(r_local) > broadcast_threshold:
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size, left_id,
         )
-
-    r_local = right.select(right_geometry, *right_columns).collect()
 
     # driver-side candidate index: right envelopes as numpy arrays
     r_geoms = [bytes(row[right_geometry]) for row in r_local]
