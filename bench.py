@@ -63,6 +63,8 @@ HEADLINE = [
     "geo_clip_to_grid",
     "dataset_zone_map_prune",
     "multimodal_flac_features",
+    "kmeans_train_model",
+    "similarity_ivf_recall",
 ]
 
 # regression thresholds vs the committed bench_baseline.json

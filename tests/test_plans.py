@@ -291,3 +291,39 @@ def test_minhash_star_edges_plan(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_iteration_agg_is_map_side_combined(spark):
+    """The per-iteration k x dim aggregation must partial-aggregate
+    before the exchange (shuffle carries k rows per partition, never
+    data rows) and contain no cartesian or python eval beyond the
+    single Arrow assignment stage."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.similarity import (
+        _assign_clusters_arrow, as_double_array, ivf_centroids)
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    src = e.select(F.lit(0).alias("id"),
+                   as_double_array(F.col("embedding")).alias("v"))
+    assigned = _assign_clusters_arrow(src, ivf_centroids(64, 4, seed=7))
+    agg = assigned.groupBy("cluster").agg(
+        F.count("*").alias("__cnt"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(64)])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # partial then final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1
+
+
+def test_ann_recall_plan_no_cartesian(spark):
+    from geoparquet_io_spark.operators.similarity import ann_recall
+
+    approx = spark.createDataFrame([(1, 10)], ["query_id", "neighbor_id"])
+    exact = spark.createDataFrame([(1, 10)], ["query_id", "neighbor_id"])
+    plan = ann_recall(approx, exact)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
