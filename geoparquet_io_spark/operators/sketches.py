@@ -226,3 +226,29 @@ def heavy_hitters_sketch(df: DataFrame, column: str, min_fraction: float,
     est = cms_estimate(cms, cand, column, depth, width)
     return (est.filter(F.col("cms_estimate") >= threshold)
             .select(column, "cms_estimate"))
+
+
+def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Estimate the INNER equi-join output cardinality |A ⋈_k B| from
+    two count-min sketches built on the join key — without executing
+    the join (public technique: CM-sketch inner products, Cormode &
+    Muthukrishnan 2005 §4.2).
+
+    est = min over hash rows of the bucketwise inner product
+    Σ_b cnt_a[b]*cnt_b[b].  Each row's product >= the true size (every
+    true (k,k) pairing lands in some shared bucket; collisions only
+    add), so the min never underestimates; expected overestimate is
+    N_a*N_b/width per row.
+
+    The planner use: decide broadcast vs shuffle vs pre-aggregation
+    from two few-KB sketches instead of paying the shuffle to learn
+    the answer.  Sketch tables are <= depth*width rows, so this whole
+    estimate is a broadcast-size join no matter how big A and B are.
+    """
+    j = (cms_a.select("hash_row", "bucket", F.col("cnt").alias("cnt_a"))
+         .join(cms_b.select("hash_row", "bucket",
+                            F.col("cnt").alias("cnt_b")),
+               ["hash_row", "bucket"]))
+    per_row = j.groupBy("hash_row").agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))

@@ -492,3 +492,56 @@ def q_window_rank_family(spark, sf_dir):
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+@register(
+    "stats_cms_join_size",
+    """
+    WITH a AS (SELECT l_partkey AS k FROM lineitem),
+    b AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity < 10),
+    pa AS (
+      SELECT h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(a.k AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM a, (SELECT UNNEST([0, 1, 2, 3]) AS i) h
+    ), ca AS (
+      SELECT hash_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pa GROUP BY 1, 2
+    ), pb AS (
+      SELECT h.i AS hash_row,
+             CAST(concat('0x', substr(md5(concat('cms', h.i, ':',
+                  CAST(b.k AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM b, (SELECT UNNEST([0, 1, 2, 3]) AS i) h
+    ), cb AS (
+      SELECT hash_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pb GROUP BY 1, 2
+    ), ip AS (
+      SELECT ca.hash_row, SUM(ca.cnt * cb.cnt) AS ip
+      FROM ca JOIN cb USING (hash_row, bucket) GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+           FROM a JOIN b USING (k))
+    SELECT exact_join_rows, est_join_rows,
+           (est_join_rows >= exact_join_rows) AS est_sound
+    FROM ex, est
+    """,
+)
+def q_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from count-min sketch inner products
+    (operators/sketches.py:cms_join_size_estimate) cross-checked against
+    the exact join count — the oracle mirrors the md5 bucket math
+    bit-for-bit, so the estimate (collisions included) agrees exactly."""
+    from geoparquet_io_spark.operators.sketches import (
+        cms_join_size_estimate, count_min_sketch)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_quantity") < 10).select(F.col("l_partkey").alias("k"))
+    est = cms_join_size_estimate(count_min_sketch(a, "k"),
+                                 count_min_sketch(b, "k"))
+    exact = a.join(b, "k").agg(
+        F.count("*").cast("long").alias("exact_join_rows"))
+    return exact.crossJoin(est).select(
+        "exact_join_rows", "est_join_rows",
+        (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("est_sound"))

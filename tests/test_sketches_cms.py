@@ -138,3 +138,34 @@ def test_heavy_hitters_sketch_plan_no_full_cardinality_shuffle(spark):
     assert "MapInPandas" in cand_plan          # map-only candidate pass
     cms_plan = formatted_plan(count_min_sketch(df, "v"))
     assert "hash_row" in cms_plan and "bucket" in cms_plan
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    """With a handful of distinct keys in a 1024-bucket sketch the
+    inner product has (almost surely) no colliding buckets, so the
+    estimate equals the exact join size: sum of per-key count
+    products."""
+    from geoparquet_io_spark.operators.sketches import (
+        cms_join_size_estimate, count_min_sketch)
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], ["k"])
+    est = cms_join_size_estimate(
+        count_min_sketch(a, "k"), count_min_sketch(b, "k")).collect()[0]
+    # exact = 3*1 (k=1) + 2*2 (k=2) + 0 + 0 = 7
+    assert est["est_join_rows"] == 7
+
+
+def test_cms_join_size_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sketches import (
+        cms_join_size_estimate, count_min_sketch)
+
+    a = spark.range(2000).select((F.col("id") % 97).alias("k"))
+    b = spark.range(500).select((F.col("id") % 37).alias("k"))
+    exact = a.join(b, "k").count()
+    est = cms_join_size_estimate(
+        count_min_sketch(a, "k"), count_min_sketch(b, "k")) \
+        .collect()[0]["est_join_rows"]
+    assert est >= exact
