@@ -457,6 +457,39 @@ def cmd_asof_join(args) -> int:
     return 0
 
 
+def cmd_kmeans_train(args) -> int:
+    """Distributed Lloyd k-means over an embedding column; prints the
+    trained model as JSON (operators/similarity.py:kmeans_fit_distributed)."""
+    from geoparquet_io_spark.operators.similarity import kmeans_fit_distributed
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    cents = kmeans_fit_distributed(
+        df, dim=args.dim, n_centroids=args.k, iterations=args.iterations,
+        vector_column=args.vector_column, seed=args.seed)
+    print(json.dumps({"n_centroids": args.k, "dim": args.dim,
+                      "iterations": args.iterations, "centroids": cents}))
+    return 0
+
+
+def cmd_join_size(args) -> int:
+    """Estimate an equi-join's output cardinality from CMS sketches
+    without executing it (operators/sketches.py:cms_join_size_estimate)."""
+    from geoparquet_io_spark.operators.sketches import (
+        cms_join_size_estimate, count_min_sketch)
+
+    spark = _spark()
+    a = spark.read.parquet(args.left)
+    b = spark.read.parquet(args.right)
+    est = cms_join_size_estimate(
+        count_min_sketch(a, args.key, depth=args.depth, width=args.width),
+        count_min_sketch(b, args.key, depth=args.depth, width=args.width),
+    ).collect()[0]["est_join_rows"]
+    print(json.dumps({"key": args.key, "est_join_rows": int(est),
+                      "depth": args.depth, "width": args.width}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Bin small files up to a target size (operators/maintenance.py)."""
     from geoparquet_io_spark.operators.maintenance import compact
@@ -859,6 +892,23 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("new")
     di.add_argument("--key", required=True, help="comma-separated key columns")
     di.set_defaults(fn=cmd_diff)
+
+    km = sub.add_parser("kmeans-train")
+    km.add_argument("input")
+    km.add_argument("--dim", type=int, required=True)
+    km.add_argument("--k", type=int, default=8)
+    km.add_argument("--iterations", type=int, default=2)
+    km.add_argument("--vector-column", default="embedding")
+    km.add_argument("--seed", type=int, default=7)
+    km.set_defaults(fn=cmd_kmeans_train)
+
+    js = sub.add_parser("join-size-estimate")
+    js.add_argument("left")
+    js.add_argument("right")
+    js.add_argument("--key", required=True)
+    js.add_argument("--depth", type=int, default=4)
+    js.add_argument("--width", type=int, default=1024)
+    js.set_defaults(fn=cmd_join_size)
 
     _load_plugins(sub)
 

@@ -513,3 +513,19 @@ def test_convert_vector_formats(spark, tmp_path, capsys):
         back = str(tmp_path / f"back{ext}.parquet")
         assert _run(["convert", mid, back, "--no-sort"]) == 0
         assert pq.read_metadata(back).num_rows == n
+
+
+def test_cli_kmeans_and_join_size(spark, tmp_path, capsys):
+    import json as _json
+
+    emb = f"{SF_SMOKE}/embeddings.parquet"
+    assert _run(["kmeans-train", emb, "--dim", "64", "--k", "4",
+                 "--iterations", "1"]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["n_centroids"] == 4 and len(doc["centroids"]) == 4
+    assert len(doc["centroids"][0]) == 64
+
+    li = f"{SF_SMOKE}/lineitem.parquet"
+    assert _run(["join-size-estimate", li, li, "--key", "l_partkey"]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["est_join_rows"] > 0
