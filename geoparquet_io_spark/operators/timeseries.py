@@ -254,3 +254,65 @@ def population_stability(df_a: DataFrame, df_b: DataFrame, column: str,
     term = (pa - pb) * F.log(pa / pb)
     return merged.withColumn(
         "term_micro", F.round(term * 1e6, 0).cast("long"))
+
+
+def trajectory_cell_signature(df: DataFrame, key_column: str,
+                              x_column: str, y_column: str,
+                              cell_size: float) -> DataFrame:
+    """Grid-cell visit signature per trajectory: the DISTINCT set of
+    cells a key's points touch.  Map + one distinct — the compact
+    representation similarity search runs on (a trajectory of millions
+    of points collapses to its visited-cell set)."""
+    cx = F.floor(F.col(x_column) / F.lit(float(cell_size))).cast("long")
+    cy = F.floor(F.col(y_column) / F.lit(float(cell_size))).cast("long")
+    return (df.select(F.col(key_column).alias("key"),
+                      cx.alias("cx"), cy.alias("cy"))
+            .distinct())
+
+
+def trajectory_topk_similar(df: DataFrame, key_column: str,
+                            x_column: str, y_column: str,
+                            cell_size: float = 5.0, k: int = 5,
+                            round_digits: int = 6) -> DataFrame:
+    """Distributed trajectory top-k similarity search, the REPOSE shape
+    (ICDE 2021, "Distributed Top-k Trajectory Similarity Search"):
+    trajectories are partitioned by the reference cells they visit, so
+    candidate pairs meet ONLY through a shared cell (bucketed
+    self-join — the all-pairs trajectory product never materializes),
+    then scored set-wise: Jaccard over visited-cell sets.
+
+    Pair volume is Σ_cell |members|² — bounded by locality, not corpus
+    size; a globally-hot cell (everyone visits the airport) is the
+    documented skew caveat, mitigated by choosing ``cell_size`` so
+    cells discriminate (the paper's reference-point selection plays the
+    same role).
+
+    Output: (key, neighbor, shared_cells, jaccard, rank<=k) per key.
+    """
+    sig = trajectory_cell_signature(df, key_column, x_column, y_column,
+                                    cell_size)
+    sizes = sig.groupBy("key").agg(F.count("*").alias("n"))
+    a = sig.select(F.col("key").alias("ka"), "cx", "cy")
+    b = sig.select(F.col("key").alias("kb"), "cx", "cy")
+    pairs = (a.join(b, ["cx", "cy"])
+             .filter(F.col("ka") != F.col("kb"))
+             .groupBy("ka", "kb").agg(F.count("*").alias("shared_cells")))
+    scored = (
+        pairs
+        .join(sizes.select(F.col("key").alias("ka"), F.col("n").alias("na")),
+              "ka")
+        .join(sizes.select(F.col("key").alias("kb"), F.col("n").alias("nb")),
+              "kb")
+        .withColumn("jaccard", F.round(
+            F.col("shared_cells")
+            / (F.col("na") + F.col("nb") - F.col("shared_cells")),
+            round_digits))
+    )
+    w = Window.partitionBy("ka").orderBy(F.desc("jaccard"), F.asc("kb"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("ka").alias(key_column),
+                    F.col("kb").alias("neighbor"),
+                    F.col("shared_cells").cast("long").alias("shared_cells"),
+                    "jaccard",
+                    F.col("rank").cast("int").alias("rank")))

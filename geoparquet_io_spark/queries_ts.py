@@ -188,3 +188,55 @@ def q_psi_drift(spark, sf_dir):
     a = ev.filter(F.unix_timestamp("ts") < cut)
     b = ev.filter(F.unix_timestamp("ts") >= cut)
     return population_stability(a, b, "value", lo=0.0, hi=500.0, n_bins=10)
+
+
+@register(
+    "trajectory_topk_similar",
+    f"""
+    WITH pts AS (
+      SELECT user_id, {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat
+      FROM events
+    ),
+    sig AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(lon / 5.0) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / 5.0) AS BIGINT) AS cy
+      FROM pts
+    ),
+    sz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sig GROUP BY 1),
+    pairs AS (
+      SELECT a.user_id AS ka, b.user_id AS kb,
+             CAST(COUNT(*) AS BIGINT) AS shared_cells
+      FROM sig a JOIN sig b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.user_id != b.user_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.ka, p.kb, p.shared_cells,
+             ROUND(p.shared_cells / (sa.n + sb.n - p.shared_cells), 6)
+               AS jaccard
+      FROM pairs p
+      JOIN sz sa ON sa.user_id = p.ka
+      JOIN sz sb ON sb.user_id = p.kb
+    )
+    SELECT ka AS user_id, kb AS neighbor, shared_cells, jaccard,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY ka
+                                       ORDER BY jaccard DESC, kb) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_trajectory_topk(spark, sf_dir):
+    """Distributed trajectory top-k similarity, REPOSE shape (ICDE 2021;
+    PAPERS.md): per-user point sets -> grid-cell signatures -> candidates
+    meet only through shared cells (bucketed self-join, no trajectory
+    cross product) -> Jaccard top-k per trajectory
+    (operators/timeseries.py:trajectory_topk_similar)."""
+    from geoparquet_io_spark.operators.timeseries import \
+        trajectory_topk_similar
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events"))
+    return trajectory_topk_similar(ev, "user_id", "lon", "lat",
+                                   cell_size=5.0, k=5)

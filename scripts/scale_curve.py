@@ -54,6 +54,9 @@ QUERIES = {
     "text_quality": "documents",
     "similarity_cosine_topk": "embeddings",
     "geo_spatial_join": "customer",
+    "semantic_dedup": "embeddings",
+    "kmeans_train_model": "embeddings",
+    "similarity_ivf_index_search": "embeddings",
 }
 
 

@@ -142,3 +142,34 @@ def test_gapfill_spine_guard_raises_on_sparse_wide_key(spark):
     # raising the cap (explicit opt-in) or coarsening the bucket works
     ok = resample_gapfill(df, "ts", "v", 86400, "k").count()
     assert ok == 366
+
+
+def test_trajectory_topk_similar_identical_trajectories(spark):
+    """Two keys visiting the same cells must be each other's rank-1
+    neighbor with jaccard 1.0; a disjoint key matches nothing."""
+    from geoparquet_io_spark.operators.timeseries import \
+        trajectory_topk_similar
+
+    rows = []
+    for i in range(6):
+        rows.append(("a", float(i * 10), 0.0))
+        rows.append(("b", float(i * 10) + 1.0, 0.5))   # same 10-deg cells
+        rows.append(("c", float(i * 10), 500.0 + i))   # far away
+    df = spark.createDataFrame(rows, ["user", "x", "y"])
+    out = {(r["user"], r["rank"]): (r["neighbor"], r["jaccard"])
+           for r in trajectory_topk_similar(
+               df, "user", "x", "y", cell_size=10.0, k=3).collect()}
+    assert out[("a", 1)] == ("b", 1.0)
+    assert out[("b", 1)] == ("a", 1.0)
+    assert ("c", 1) not in out                       # no shared cells
+
+
+def test_trajectory_topk_plan_is_bucketed(spark):
+    from geoparquet_io_spark.operators.timeseries import \
+        trajectory_topk_similar
+
+    df = spark.createDataFrame([("a", 1.0, 1.0)], ["user", "x", "y"])
+    plan = trajectory_topk_similar(df, "user", "x", "y")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
