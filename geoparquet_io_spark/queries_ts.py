@@ -240,3 +240,55 @@ def q_trajectory_topk(spark, sf_dir):
     ev = event_lonlat(load_table(spark, sf_dir, "events"))
     return trajectory_topk_similar(ev, "user_id", "lon", "lat",
                                    cell_size=5.0, k=5)
+
+
+@register(
+    "discovery_spatial_joinability",
+    f"""
+    WITH cand AS (
+      SELECT DISTINCT event_type AS dataset,
+             CAST(FLOOR({EVENT_LON_SQL} / 20.0) AS BIGINT) AS cx,
+             CAST(FLOOR({EVENT_LAT_SQL} / 20.0) AS BIGINT) AS cy
+      FROM events
+    ),
+    q AS (
+      SELECT DISTINCT
+             CAST(FLOOR((((c_custkey * 131) % 3600) / 10.0 - 180.0) / 20.0)
+                  AS BIGINT) AS cx,
+             CAST(FLOOR((((c_custkey * 197) % 1700) / 10.0 - 85.0) / 20.0)
+                  AS BIGINT) AS cy
+      FROM customer
+    ),
+    qn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q),
+    sz AS (SELECT dataset, CAST(COUNT(*) AS BIGINT) AS n_cells
+           FROM cand GROUP BY 1),
+    sh AS (SELECT c.dataset, CAST(COUNT(*) AS BIGINT) AS shared_cells
+           FROM cand c JOIN q USING (cx, cy) GROUP BY 1),
+    scored AS (
+      SELECT sz.dataset, sz.n_cells,
+             COALESCE(sh.shared_cells, 0) AS shared_cells,
+             ROUND(COALESCE(sh.shared_cells, 0) / qn.n, 6) AS coverage,
+             ROUND(COALESCE(sh.shared_cells, 0)
+                   / (sz.n_cells + qn.n - COALESCE(sh.shared_cells, 0)), 6)
+               AS jaccard
+      FROM sz LEFT JOIN sh USING (dataset), qn
+    )
+    SELECT dataset, n_cells, shared_cells, coverage, jaccard,
+           CAST(row_number() OVER (ORDER BY coverage DESC, jaccard DESC,
+                                   dataset) AS INTEGER) AS rank
+    FROM scored
+    """,
+)
+def q_spatial_joinability(spark, sf_dir):
+    """Dataset-discovery ranking: which event-type sub-datasets are
+    spatially joinable with the customer point table (ICDE 2025
+    "Joinable Search Over Multi-Source Spatial Datasets", PAPERS.md;
+    operators/discovery.py:spatial_joinability) — overlap + coverage
+    from KB-scale cell signatures, no join executed."""
+    from geoparquet_io_spark.operators.discovery import spatial_joinability
+    from geoparquet_io_spark.testsupport.tables import customer_lonlat
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events"))
+    cust = customer_lonlat(load_table(spark, sf_dir, "customer"))
+    return spatial_joinability(ev, cust, "event_type", "lon", "lat",
+                               cell_size=20.0)

@@ -596,3 +596,21 @@ def test_zorder_by_strings_and_guards(spark):
         zorder_by(df, ["s", "v"], bits=40)
     with _pytest.raises(ValueError, match="at least one"):
         zorder_by(df, [])
+
+
+def test_spatial_joinability_ranking(spark):
+    from geoparquet_io_spark.operators.discovery import spatial_joinability
+
+    rows = []
+    for i in range(20):
+        rows.append(("overlapping", float(i), float(i % 10)))
+        rows.append(("disjoint", float(i) + 500.0, float(i % 10) + 500.0))
+    cands = spark.createDataFrame(rows, ["ds", "x", "y"])
+    query = spark.createDataFrame(
+        [(float(i), float(i % 10)) for i in range(20)], ["x", "y"])
+    out = {r["dataset"]: r for r in spatial_joinability(
+        cands, query, "ds", "x", "y", cell_size=5.0).collect()}
+    assert out["overlapping"]["rank"] == 1
+    assert out["overlapping"]["coverage"] == 1.0
+    assert out["disjoint"]["shared_cells"] == 0
+    assert out["disjoint"]["coverage"] == 0.0
