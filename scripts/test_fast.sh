@@ -1,11 +1,12 @@
 #!/usr/bin/env bash
-# Concurrent test runner: the oracle suite (187 Spark-vs-DuckDB queries,
+# Concurrent test runner: the oracle suite (198 Spark-vs-DuckDB queries,
 # the wall-clock dominator) fans out across $SHARDS pytest processes
-# while a sibling process runs every other test file.  Each process gets
+# while the remaining test files split across two sibling processes
+# (even/odd by position so the slow files spread).  Each process gets
 # its own Spark session (SPARK_GRAFT_CPUS per process keeps the host
 # subscribed ~evenly).  Exit code is non-zero if ANY shard fails.
 #
-#   ./scripts/test_fast.sh            # default 3 oracle shards + rest
+#   ./scripts/test_fast.sh            # default 3 oracle shards + 2 rest
 #   SHARDS=4 ./scripts/test_fast.sh
 set -u
 cd "$(dirname "$0")/.."
@@ -19,9 +20,16 @@ for ((k=0; k<SHARDS; k++)); do
     > "/tmp/gpio_test_logs/oracle_$k.log" 2>&1 &
   pids+=($!)
 done
-SPARK_GRAFT_CPUS="$CPUS" python -m pytest tests/ -q \
-  --ignore=tests/test_oracle_queries.py \
-  > /tmp/gpio_test_logs/rest.log 2>&1 &
+mapfile -t files < <(ls tests/test_*.py | grep -v test_oracle_queries)
+even=(); odd=()
+for i in "${!files[@]}"; do
+  if (( i % 2 == 0 )); then even+=("${files[$i]}"); else odd+=("${files[$i]}"); fi
+done
+SPARK_GRAFT_CPUS="$CPUS" python -m pytest "${even[@]}" -q \
+  > /tmp/gpio_test_logs/rest_even.log 2>&1 &
+pids+=($!)
+SPARK_GRAFT_CPUS="$CPUS" python -m pytest "${odd[@]}" -q \
+  > /tmp/gpio_test_logs/rest_odd.log 2>&1 &
 pids+=($!)
 rc=0
 for p in "${pids[@]}"; do
