@@ -60,6 +60,8 @@ def spatial_joinability(candidates: DataFrame, query: DataFrame,
             / (F.col("n_cells") + F.lit(q_n) - F.col("shared_cells")),
             round_digits))
     )
+    # unpartitioned window is safe here: the ranked frame is one row per
+    # CATALOG DATASET (thousands at most), never per data row
     w = Window.orderBy(F.desc("coverage"), F.desc("jaccard"), F.asc("dataset"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("dataset", F.col("n_cells").cast("long").alias("n_cells"),
