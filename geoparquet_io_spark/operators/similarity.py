@@ -567,6 +567,76 @@ def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_pq_topk(data: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                n_centroids: int = 16, nprobe: int = 4, m: int = 4,
+                n_codes: int = 8, id_column: str = "vec_id",
+                vector_column: str = "embedding", seed: int = 7,
+                pq_seed: int = 11, round_digits: int | None = 6,
+                centroids: list[list[float]] | None = None,
+                codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """IVF-PQ: the billion-vector ANN shape (Jegou et al. 2011) — each
+    query probes its ``nprobe`` nearest inverted lists and ranks ONLY
+    those lists' members, by ADC over PQ codes instead of full vectors.
+
+    Combines the two independent compressions multiplicatively: IVF cuts
+    candidates to ``nprobe/n_centroids`` of the corpus (bucket equi-join,
+    no cross product), PQ cuts per-candidate cost to ``m`` table lookups
+    and the scanned payload to ``m`` bytes per row.  At 100 TB the data
+    side is a partitionBy(ivf_list) code table: the probe reads nprobe
+    hive partitions of ~1/16th-compressed codes — everything else is
+    never touched.  All map-only native expressions + one broadcast
+    equi-join + the per-query top-k window over <= k * nprobe * list_len
+    rows.
+    """
+    cents = centroids or ivf_centroids(dim, n_centroids, seed)
+    cbs = codebooks or pq_codebooks(dim, m, n_codes, pq_seed)
+    sub = dim // m
+    d = data.select(
+        F.col(id_column).alias("neighbor_id"),
+        as_double_array(F.col(vector_column)).alias("__dv"),
+    )
+    codes = F.array(*[
+        _nearest_centroid(F.slice(F.col("__dv"), j * sub + 1, sub), cbs[j])
+        for j in range(m)
+    ])
+    d = d.select("neighbor_id",
+                 _nearest_centroid(F.col("__dv"), cents).alias("ivf_list"),
+                 codes.alias("codes"))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        as_double_array(F.col(vector_column)).alias("__qv"),
+    )
+    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    probed = F.slice(F.array_sort(F.arrays_zip(dists.alias("d"),
+                                               idx.alias("i"))), 1, nprobe)
+    lut = F.array(*[
+        F.array(*[
+            _sq_dist(F.slice(F.col("__qv"), j * sub + 1, sub), cbs[j][c])
+            for c in range(n_codes)
+        ])
+        for j in range(m)
+    ])
+    q = q.select(
+        "query_id", lut.alias("lut"),
+        F.explode(F.transform(probed, lambda s: s["i"])).alias("ivf_list"))
+    adc = F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c.cast("int") + 1)),
+        F.lit(0.0), lambda a, b: a + b,
+    )
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    scored = (
+        d.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _assign_clusters_arrow(src: DataFrame,
                            centroids: list[list[float]]) -> DataFrame:
     """Arrow-batched centroid assignment + norm: (id, v) -> (id, v,

@@ -439,3 +439,91 @@ def q_ivf_recall(spark, sf_dir):
                       seed=7, round_digits=6)
     exact = brute_force_topk(e, q, k=_K, round_digits=6, dim=_DIM)
     return ann_recall(approx, exact)
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ composed oracle: the IVF assignment/probe CTEs (centroid
+    literals, first-index argmin, ORDER BY d, ci probe) joined with the
+    PQ code/LUT CTEs (per-subvector argmin encoding, ADC = left-assoc
+    sum of CASE lookups) — every double identical in both engines."""
+    from geoparquet_io_spark.operators.similarity import (ivf_centroids,
+                                                          pq_codebooks)
+
+    cents = ivf_centroids(_DIM, _NCENT, seed=7)
+    cbs = pq_codebooks(_DIM, _PQ_M, _PQ_CODES, seed=11)
+    lits = [_centroid_sql_literal(c) for c in cents]
+    dv_cols = ", ".join(f"{_sqdist_sql('v', l)} AS d{i}"
+                        for i, l in enumerate(lits))
+    dq_cols = ", ".join(f"{_sqdist_sql('qv', l)} AS d{i}"
+                        for i, l in enumerate(lits))
+    dlist = ", ".join(f"d{i}" for i in range(_NCENT))
+    argmin = "CASE " + " ".join(
+        f"WHEN d{i} = m THEN {i}" for i in range(_NCENT)) + " END"
+    case_d = "CASE ci " + " ".join(
+        f"WHEN {i} THEN d{i}" for i in range(_NCENT)) + " END"
+    code_cols, qd_cols = [], []
+    for j in range(_PQ_M):
+        off = j * _PQ_SUB
+        sq = [f"{_sqdist_sub_sql('v', _centroid_sql_literal(cbs[j][c]), off, _PQ_SUB)}"
+              for c in range(_PQ_CODES)]
+        cd_defs = ", ".join(f"{e} AS cd{j}_{c}" for c, e in enumerate(sq))
+        code_cols.append((cd_defs, j))
+        for c in range(_PQ_CODES):
+            lit = _centroid_sql_literal(cbs[j][c])
+            qd_cols.append(
+                f"{_sqdist_sub_sql('qv', lit, off, _PQ_SUB)} AS qd{j}_{c}")
+    cd_all = ", ".join(defs for defs, _ in code_cols)
+    code_exprs = []
+    for j in range(_PQ_M):
+        cds = ", ".join(f"cd{j}_{c}" for c in range(_PQ_CODES))
+        am = "CASE " + " ".join(
+            f"WHEN cd{j}_{c} = least({cds}) THEN {c}"
+            for c in range(_PQ_CODES)) + " END"
+        code_exprs.append(f"{am} AS c{j}")
+    adc = " + ".join(
+        "(CASE a.c%d %s END)" % (
+            j, " ".join(f"WHEN {c} THEN p.qd{j}_{c}"
+                        for c in range(_PQ_CODES)))
+        for j in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings),
+    dv AS (SELECT vec_id, v, {dv_cols} FROM e),
+    ass AS (SELECT vec_id, v, {argmin} AS ivf_list
+            FROM (SELECT *, least({dlist}) AS m FROM dv)),
+    cdv AS (SELECT vec_id, ivf_list, {cd_all} FROM ass),
+    a AS (SELECT vec_id, ivf_list, {", ".join(code_exprs)} FROM cdv),
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+    dq AS (SELECT query_id, qv, {dq_cols} FROM q0),
+    probe0 AS (
+      SELECT query_id, qv, ci, {case_d} AS d
+      FROM dq CROSS JOIN (SELECT unnest(range({_NCENT})) AS ci)
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, ci) <= {_NPROBE}
+    ),
+    probe AS (SELECT query_id, ci, {", ".join(qd_cols)} FROM probe0),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, ROUND({adc}, 6) AS adc_dist
+      FROM probe p JOIN a ON a.ivf_list = p.ci
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+@register("similarity_ivf_pq_topk", _ivf_pq_oracle())
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/similarity.py:ivf_pq_topk): probe nprobe
+    inverted lists, rank members by PQ asymmetric distance — the
+    composed compression (candidate pruning x code compression) that a
+    billion-vector deployment actually runs."""
+    from geoparquet_io_spark.operators.similarity import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    return ivf_pq_topk(e, q, dim=_DIM, k=_K, n_centroids=_NCENT,
+                       nprobe=_NPROBE, m=_PQ_M, n_codes=_PQ_CODES,
+                       seed=7, pq_seed=11, round_digits=6)
