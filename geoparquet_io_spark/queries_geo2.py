@@ -872,3 +872,53 @@ def q_sql_surface(spark, sf_dir):
         FROM sql_geo_events
         GROUP BY st_geometrytype(geometry)
     """)
+
+
+def _grid_cluster_oracle(cell: float = 5.0, min_pts: int = 8) -> str:
+    from geoparquet_io_spark.operators.clustering import cell_id_sql
+
+    cs = repr(float(cell))
+    cid = cell_id_sql("cx", "cy")
+    return f"""
+    WITH RECURSIVE pts AS (SELECT event_id, {EVENT_LON_SQL} AS lon,
+                                  {EVENT_LAT_SQL} AS lat FROM events),
+    cells AS (SELECT CAST(floor(lon / {cs}) AS BIGINT) AS cx,
+                     CAST(floor(lat / {cs}) AS BIGINT) AS cy,
+                     count(*) AS n
+              FROM pts GROUP BY 1, 2),
+    dense AS (SELECT cx, cy, {cid} AS cell FROM cells WHERE n >= {min_pts}),
+    edges AS (SELECT a.cell AS src, b.cell AS dst
+              FROM dense a JOIN dense b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+    comp AS (SELECT node AS cell, MIN(r) AS cluster FROM reach GROUP BY node),
+    lab AS (SELECT p.lon, p.lat, d.cell, c.cluster
+            FROM pts p
+            JOIN dense d ON d.cx = CAST(floor(p.lon / {cs}) AS BIGINT)
+                        AND d.cy = CAST(floor(p.lat / {cs}) AS BIGINT)
+            JOIN comp c ON c.cell = d.cell)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+           MIN(lon) AS xmin, MIN(lat) AS ymin,
+           MAX(lon) AS xmax, MAX(lat) AS ymax
+    FROM lab GROUP BY cluster
+    """
+
+
+@register("geo_grid_density_clusters", _grid_cluster_oracle())
+def q_grid_density_clusters(spark, sf_dir):
+    """DBSCAN-style grid-density clustering
+    (operators/clustering.py:grid_density_clusters): rows shuffle once
+    (cell count groupBy); clusters are connected components over
+    adjacent dense CELLS — graph size bounded by occupied cells, never
+    rows.  Oracle recomputes the fixpoint as a recursive CTE."""
+    from geoparquet_io_spark.operators.clustering import (
+        cluster_summary, grid_density_clusters)
+    from geoparquet_io_spark.testsupport.tables import event_lonlat
+
+    ev = event_lonlat(load_table(spark, sf_dir, "events"))
+    labeled = grid_density_clusters(ev, cell_size=5.0, min_pts=8)
+    return cluster_summary(labeled)
