@@ -107,21 +107,24 @@ def check_regressions(timings: dict[str, float]) -> dict:
     return {"warn": warn, "fail": fail}
 
 
-def _wait_for_quiet(max_load_per_cpu: float = 0.5,
+def _wait_for_quiet(max_load1: float = 0.8,
                     timeout_s: int = 300, poll_s: int = 10):
     """Host-contention guard: 1-2s queries flap 20-40% on a loaded host
-    (NOTES_r3), so wait (bounded) for the 1-minute load average to drop
-    below ``max_load_per_cpu`` per core before timing anything.  Never
-    refuses outright — a noisy number beats a missing one — but the
-    observed load and wait are recorded in the output JSON so a
-    contended run is visible to the reader."""
+    (NOTES_r3; r4/r5 both showed +20-29% drift across ~10 queries with
+    zero code changes at load1 1.7).  The old per-CPU threshold
+    (load1/ncpu <= 0.5) passed trivially on a 32-core host — an
+    ABSOLUTE load1 gate is what actually predicts the flap, because the
+    noise hits the single-stage sub-second queries whose one or two
+    tasks lose the core lottery.  Wait (bounded) for load1 <=
+    ``max_load1``.  Never refuses outright — a noisy number beats a
+    missing one — but the observed load and wait are recorded in the
+    output JSON so a contended run is visible to the reader."""
     try:
-        ncpu = os.cpu_count() or 1
         limit = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD",
-                                     max_load_per_cpu))
+                                     max_load1))
         waited = 0
         while waited < timeout_s:
-            if os.getloadavg()[0] / ncpu <= limit:
+            if os.getloadavg()[0] <= limit:
                 break
             time.sleep(poll_s)
             waited += poll_s

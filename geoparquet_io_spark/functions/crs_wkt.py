@@ -256,8 +256,8 @@ def wkt_for_epsg(code: int) -> str | None:
                         ("standard_parallel_2", 49.0 + 50.0 / 60.0
                          + 0.00204 / 3600.0),
                         ("latitude_of_origin", 90.0),
-                        ("central_meridian", 4.0 + 21.0 / 60.0
-                         + 24.983 / 3600.0),
+                        ("central_meridian", 4.0 + 22.0 / 60.0
+                         + 2.952 / 3600.0),
                         ("false_easting", 150000.013),
                         ("false_northing", 5400088.438)], 31370)
     if code == 5514:

@@ -656,7 +656,7 @@ def _proj_for_epsg(code: int):
         c = make_lcc(*INTL1924,
                      lat1=49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
                      lat2=51.0 + 10.0 / 60.0 + 0.00204 / 3600.0,
-                     lat0=90.0, lon0=4.0 + 21.0 / 60.0 + 24.983 / 3600.0,
+                     lat0=90.0, lon0=4.0 + 22.0 / 60.0 + 2.952 / 3600.0,
                      fe=150000.013, fn=5400088.438)
         return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
                            lambda x, y: lcc_inverse(x, y, c),

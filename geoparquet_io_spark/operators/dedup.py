@@ -124,11 +124,32 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
 
 def minhash_candidate_pairs(df: DataFrame, id_column: str,
                             text_column: str = "text", num_hashes: int = 8,
-                            bands: int = 4, k: int = 5) -> DataFrame:
+                            bands: int = 4, k: int = 5,
+                            max_bucket_size: int | None = 128) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that collide in >=1 band.
 
     One signature computation (explode+agg), then ONE self-join on the
-    exploded (band_index, band_hash) key — short uniform hashes, no skew.
+    exploded (band_index, band_hash) key — short uniform hashes, no skew
+    FROM THE HASHING, but a boilerplate corpus still concentrates m
+    near-identical documents into one bucket and the all-pairs emission
+    is m(m-1)/2: measured 70M pairs / 49s from 50k rows on a 10x corpus
+    (SCALING.md) where the original took 1.1s.  ``max_bucket_size``
+    guards that quadratic: buckets with more members emit a sorted-id
+    PREDECESSOR CHAIN (m-1 edges) instead of all pairs — the same cap
+    pattern as ``semantic_dedup``'s max_cluster_size.  The chain
+    preserves exactly what downstream consumers rely on:
+
+    - connectivity (transitive groups / survivor sets are identical:
+      every bucket member stays reachable through the chain);
+    - the "collides with a smaller id" rule (every non-min member has a
+      chain predecessor with a smaller id, so it appears as id_b).
+
+    What it forgoes is per-pair verification BETWEEN two far-apart
+    members of a hot bucket — for mutual-dup masses (the only way a
+    bucket gets hot) consecutive pairs verify identically, and callers
+    needing the literal all-pairs contract pass
+    ``max_bucket_size=None``.
+
     The small banded table is localCheckpoint'ed so the self-join's two
     sides don't recompute the signature pipeline (RDD-level storage the
     ContextCleaner auto-releases on GC — no leaked cache entry)."""
@@ -143,16 +164,40 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
     exploded = sigs.select(
         F.col("id"), F.posexplode(band_arr).alias("band", "bh")
     ).localCheckpoint(eager=False)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
+    if max_bucket_size is None:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    # one shuffle on the bucket key sizes every bucket; the small-bucket
+    # self-join and the hot-bucket chain window both reuse that
+    # partitioning (no second Exchange — asserted in tests/test_plans.py)
+    wc = Window.partitionBy("band", "bh")
+    sized = exploded.withColumn("__n", F.count("*").over(wc))
+    small = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    ws = Window.partitionBy("band", "bh").orderBy("id")
+    chain = (
+        sized.filter(F.col("__n") > max_bucket_size)
+        .withColumn("__prev", F.lag("id").over(ws))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return all_pairs.unionByName(chain).distinct()
 
 
 def minhash_star_edges(df: DataFrame, id_column: str,

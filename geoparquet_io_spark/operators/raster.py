@@ -251,8 +251,13 @@ def sample_raster_at_points(
         return False
 
     overlapping = _extents_overlap(ext_rows)
-    src = points.withColumn("__pt", F.monotonically_increasing_id()) \
-        if overlapping else points
+    # localCheckpoint pins the assigned ids: monotonically_increasing_id
+    # is NOT stable across recomputation, so a task retry between the id
+    # stamp and the window shuffle could regroup rows (dup/drop points).
+    # A data-derived hash can't serve as the key either — duplicate
+    # point rows would collapse into one window partition.
+    src = (points.withColumn("__pt", F.monotonically_increasing_id())
+           .localCheckpoint(eager=False)) if overlapping else points
 
     px, py = F.col(x_column), F.col(y_column)
     assigned = src.join(

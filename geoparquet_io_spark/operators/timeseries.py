@@ -273,7 +273,8 @@ def trajectory_cell_signature(df: DataFrame, key_column: str,
 def trajectory_topk_similar(df: DataFrame, key_column: str,
                             x_column: str, y_column: str,
                             cell_size: float = 5.0, k: int = 5,
-                            round_digits: int = 6) -> DataFrame:
+                            round_digits: int = 6,
+                            max_cell_freq: int | None = None) -> DataFrame:
     """Distributed trajectory top-k similarity search, the REPOSE shape
     (ICDE 2021, "Distributed Top-k Trajectory Similarity Search"):
     trajectories are partitioned by the reference cells they visit, so
@@ -283,14 +284,26 @@ def trajectory_topk_similar(df: DataFrame, key_column: str,
 
     Pair volume is Σ_cell |members|² — bounded by locality, not corpus
     size; a globally-hot cell (everyone visits the airport) is the
-    documented skew caveat, mitigated by choosing ``cell_size`` so
-    cells discriminate (the paper's reference-point selection plays the
-    same role).
+    skew hole.  ``max_cell_freq`` guards it the way REPOSE's
+    reference-point selection does: cells visited by MORE than that
+    many trajectories are dropped from the signature universe before
+    the self-join — a cell everyone shares identifies nobody, so it
+    carries no ranking signal, only quadratic pair volume.  Dropped
+    cells leave BOTH the pairing and the size denominators (Jaccard
+    over the filtered universe stays a true set similarity).  Pick the
+    cap above the hottest legitimate cell (frequencies are a one-line
+    pre-check: ``sig.groupBy("cx","cy").count()``) so normal corpora
+    are byte-identical with or without it.
 
     Output: (key, neighbor, shared_cells, jaccard, rank<=k) per key.
     """
     sig = trajectory_cell_signature(df, key_column, x_column, y_column,
                                     cell_size)
+    if max_cell_freq is not None:
+        freq = sig.groupBy("cx", "cy").agg(F.count("*").alias("__cf"))
+        sig = (sig.join(F.broadcast(freq.filter(
+                   F.col("__cf") > max_cell_freq)), ["cx", "cy"],
+                   "left_anti"))
     sizes = sig.groupBy("key").agg(F.count("*").alias("n"))
     a = sig.select(F.col("key").alias("ka"), "cx", "cy")
     b = sig.select(F.col("key").alias("kb"), "cx", "cy")

@@ -238,8 +238,11 @@ def q_trajectory_topk(spark, sf_dir):
         trajectory_topk_similar
 
     ev = event_lonlat(load_table(spark, sf_dir, "events"))
+    # hot-cell guard: hottest legitimate cell is 14 users at sf0.01 /
+    # 68 at sf0.1, so 100 never fires on real data (oracle-identical)
+    # while bounding an adversarial everyone-visits-one-cell corpus
     return trajectory_topk_similar(ev, "user_id", "lon", "lat",
-                                   cell_size=5.0, k=5)
+                                   cell_size=5.0, k=5, max_cell_freq=100)
 
 
 @register(

@@ -68,15 +68,17 @@ def read_gdal(spark, path: str, geometry_column: str = "geometry",
             return read_geojson(spark, path,
                                 geometry_column=geometry_column)
         raise ValueError(f"no reader for extension {ext!r} ({path})")
-    return _read_pyogrio(spark, path, geometry_column)
+    return _read_pyogrio(spark, path, geometry_column, layer=layer)
 
 
-def _read_pyogrio(spark, path: str, geometry_column: str):
+def _read_pyogrio(spark, path: str, geometry_column: str,
+                  layer: str | None = None):
     pyogrio = _pyogrio()  # pragma: no cover - exercised when GDAL present
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
 
-    table = pyogrio.raw.read_arrow(path)[1]  # arrow table with WKB geometry
+    kw = {} if layer is None else {"layer": layer}
+    table = pyogrio.raw.read_arrow(path, **kw)[1]  # arrow, WKB geometry
     pdf = table.to_pandas()
     if "wkb_geometry" in pdf.columns:
         pdf = pdf.rename(columns={"wkb_geometry": geometry_column})

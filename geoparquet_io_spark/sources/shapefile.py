@@ -147,8 +147,13 @@ def _parse_dbf_value(raw: bytes, f: dict):
     if t in ("N", "F"):
         if not s or s == "*" * len(s):
             return None
-        if f["decimals"] or "." in s or "e" in s.lower():
+        if f["decimals"] or t == "F":
             return float(s)
+        # decimals=0 maps to LongType in the Spark schema, but some
+        # writers emit '3.0' in integer N fields — keep the value
+        # integral so the Int64 cast downstream never fails
+        if "." in s or "e" in s.lower():
+            return int(round(float(s)))
         return int(s)
     if t == "L":
         if s in ("T", "t", "Y", "y"):
@@ -376,7 +381,9 @@ def _dbf_field_spec(name: str, dtype, sample_vals) -> dict:
 
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
                           T.LongType)):
-        return {"name": name[:10], "type": "N", "length": 18, "decimals": 0}
+        # 20 chars covers every int64 including the sign
+        # (-9223372036854775808); N18 silently overflowed wide longs
+        return {"name": name[:10], "type": "N", "length": 20, "decimals": 0}
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return {"name": name[:10], "type": "N", "length": 24, "decimals": 8}
     if isinstance(dtype, T.BooleanType):
@@ -392,8 +399,19 @@ def _format_dbf_value(v, f: dict) -> bytes:
         return b" " * ln
     if f["type"] == "N":
         s = (f"{v:.{f['decimals']}f}" if f["decimals"] else str(int(v)))
+        if len(s) > ln and f["decimals"]:
+            # shave fractional digits before giving up — the integer
+            # part and sign must survive intact
+            for dec in range(f["decimals"] - 1, -1, -1):
+                s = f"{v:.{dec}f}"
+                if len(s) <= ln:
+                    break
         if len(s) > ln:
-            s = s[:ln]
+            # NEVER truncate digits (silently corrupts values); DBF has
+            # no widening protocol mid-write, so fail loudly
+            raise ValueError(
+                f"value {v!r} does not fit DBF field "
+                f"{f['name']!r} (N{ln}.{f['decimals']})")
         return s.rjust(ln).encode("latin-1")
     if f["type"] == "L":
         return b"T" if v else b"F"

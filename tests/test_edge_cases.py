@@ -445,6 +445,46 @@ def test_minhash_star_edges_components_equal_allpairs(spark):
     assert g_star == g_all
 
 
+def test_minhash_pairs_hot_bucket_cap(spark):
+    """Adversarial boilerplate corpus: masses far above max_bucket_size
+    must emit a LINEAR predecessor chain, not m(m-1)/2 pairs — while
+    transitive groups and survivors stay identical to the uncapped
+    all-pairs form (the 10x-corpus quadratic from SCALING.md, guarded)."""
+    from geoparquet_io_spark.operators.dedup import (
+        connected_components, dedup_minhash, minhash_candidate_pairs,
+    )
+
+    df = _clone_corpus(spark, n_orig=3, clones=50)   # 150 docs, 3 masses
+    n = df.count()
+    bands = 4
+    capped = minhash_candidate_pairs(df, "doc_id", "text", 8, bands, 5,
+                                     max_bucket_size=16)
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text", 8, bands, 5,
+                                       max_bucket_size=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    # chain: <= m-1 edges per hot bucket -> <= n*bands total after distinct
+    assert n_capped <= n * bands
+    assert n_uncapped > 4 * n_capped          # ~50*49/2 vs ~49 per mass
+    assert capped.filter("id_a >= id_b").count() == 0
+
+    def groups(pairs):
+        cc = connected_components(pairs, id_a="id_a", id_b="id_b")
+        by = {}
+        for node, lbl in ((r[0], r[1]) for r in cc.collect()):
+            by.setdefault(lbl, set()).add(node)
+        return sorted(frozenset(g) for g in by.values())
+
+    assert groups(capped) == groups(uncapped)
+    # survivor rule through dedup_minhash's pairs path is also unchanged
+    surv_c = dedup_minhash(df, "doc_id", "text", 8, bands, 5,
+                           pair_mode="pairs")
+    surv_u = df.join(
+        uncapped.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+    assert sorted(r.doc_id for r in surv_c.collect()) == \
+        sorted(r.doc_id for r in surv_u.collect())
+
+
 # -- distinct-signature hamming dedup ---------------------------------------
 
 def test_dedup_simhash_matches_bruteforce(spark):

@@ -30,7 +30,7 @@ class _FakeRaw:
     def __init__(self, store):
         self.store = store
 
-    def read_arrow(self, path):
+    def read_arrow(self, path, **kwargs):
         meta = {"crs": "EPSG:4326"}
         wkb, xs, ys = _wkb_points()
         table = pa.table({
@@ -39,6 +39,7 @@ class _FakeRaw:
             "wkb_geometry": pa.array(list(wkb), type=pa.binary()),
         })
         self.store["read_path"] = path
+        self.store["read_kwargs"] = kwargs
         return meta, table
 
     def write_arrow(self, table, path, **kwargs):
@@ -65,6 +66,17 @@ def test_read_gdal_executes_with_fake(spark, fake_pyogrio):
     assert gt.geometry_column in gt.df.columns       # renamed from wkb_geometry
     assert all(r[gt.geometry_column] is not None for r in rows)
     assert {r["name"] for r in rows} == {f"p{i}" for i in range(5)}
+
+
+def test_read_gdal_forwards_layer_to_pyogrio(spark, fake_pyogrio):
+    """Multi-layer GeoPackage: layer= must reach pyogrio (regression —
+    the fast path used to drop it and silently read the default layer)."""
+    from geoparquet_io_spark.sources.gdal_formats import read_gdal
+
+    read_gdal(spark, "/tmp/fake.gpkg", layer="roads")
+    assert fake_pyogrio["read_kwargs"] == {"layer": "roads"}
+    read_gdal(spark, "/tmp/fake.gpkg")
+    assert fake_pyogrio["read_kwargs"] == {}      # default layer: no kwarg
 
 
 def test_write_gdal_executes_with_fake(spark, fake_pyogrio):

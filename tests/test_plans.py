@@ -293,6 +293,30 @@ def test_minhash_star_edges_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_pairs_cap_plan(spark):
+    """Hot-bucket-capped candidate pairs: still equi-join only (no
+    cartesian/nested-loop), no Python, and the bucket-size window plus
+    the chain window add NO exchange beyond the bucket-key shuffle —
+    window partitioning and the self-join key are the same columns."""
+    from geoparquet_io_spark.operators.dedup import minhash_candidate_pairs
+    from geoparquet_io_spark.plans import formatted_plan, plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    df = minhash_candidate_pairs(d, "doc_id", max_bucket_size=64)
+    s = plan_summary(df)
+    assert s["python_evals"] == 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # windows over (band, bh) must reuse the bucket-key partitioning:
+    # no hashpartitioning exchange on top of another for the same keys
+    uncapped = minhash_candidate_pairs(d, "doc_id", max_bucket_size=None)
+    base_ex = formatted_plan(uncapped).count("Exchange hashpartitioning")
+    capped_ex = plan.count("Exchange hashpartitioning")
+    assert capped_ex <= base_ex + 1   # at most the one sizing shuffle
+
+
 def test_kmeans_iteration_agg_is_map_side_combined(spark):
     """The per-iteration k x dim aggregation must partial-aggregate
     before the exchange (shuffle carries k rows per partition, never

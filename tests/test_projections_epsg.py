@@ -38,6 +38,32 @@ def test_swiss_worked_example():
     assert abs(float(y[0]) - 1212273.44) < 0.05
 
 
+def test_belgian_lambert72_worked_example():
+    """EPSG Guidance Note 7-2 Belgian Lambert 72 test point (BD72
+    geographic): 50d40'46.461\"N 5d48'26.533\"E -> E 251763.20
+    N 153034.13.  Pins the CORRECTED central meridian 4d22'02.952\"
+    (the deprecated EPSG:31300 value 4d21'24.983\" is ~652 m east).
+    Plain LCC-2SP leaves a ~5 cm residual vs the 29.2985\" Belgium
+    variant — asserted well inside 0.1 m, far below the 652 m bug."""
+    c = P.make_lcc(*P.INTL1924,
+                   lat1=_dms(49, 50, 0.00204), lat2=_dms(51, 10, 0.00204),
+                   lat0=90.0, lon0=_dms(4, 22, 2.952),
+                   fe=150000.013, fn=5400088.438)
+    x, y = P.lcc_forward(np.array([_dms(5, 48, 26.533)]),
+                         np.array([_dms(50, 40, 46.461)]), c)
+    assert abs(float(x[0]) - 251763.20) < 0.1
+    assert abs(float(y[0]) - 153034.13) < 0.1
+    # and the registry path carries the same meridian (datum included)
+    pair = P._proj_for_epsg(31370)
+    assert pair is not None
+    from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+    wkt = wkt_for_epsg(31370)
+    import re
+    cm = float(re.search(
+        r'PARAMETER\["central_meridian",([0-9.]+)\]', wkt).group(1))
+    assert abs(cm - _dms(4, 22, 2.952)) < 1e-9
+
+
 def test_krovak_worked_example():
     """EPSG Guidance Note 7-2 Krovak worked example:
     50d12'32.4416\"N 16d50'59.1790\"E (Greenwich) ->
@@ -77,7 +103,7 @@ def test_roundtrip_new_codes(code, lon_range, lat_range):
 
 @pytest.mark.parametrize("code,lat1,lat2,lon0", [
     (31370, _dms(49, 50, 0.00204), _dms(51, 10, 0.00204),
-     _dms(4, 21, 24.983)),
+     _dms(4, 22, 2.952)),
     (32139, 27.5, 35.0, -100.0),
 ])
 def test_lcc_unit_scale_at_standard_parallels(code, lat1, lat2, lon0):

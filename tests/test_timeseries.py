@@ -164,6 +164,57 @@ def test_trajectory_topk_similar_identical_trajectories(spark):
     assert ("c", 1) not in out                       # no shared cells
 
 
+def test_trajectory_topk_hot_cell_guard(spark):
+    """Adversarial everyone-visits-one-cell corpus: with max_cell_freq
+    set, the globally-hot cell is dropped BEFORE the self-join, so pair
+    volume is bounded by the discriminative cells only — and rankings
+    through those cells are unchanged (the hot cell carried no
+    signal).  Without the cap the same corpus pairs everyone with
+    everyone."""
+    from geoparquet_io_spark.operators.timeseries import (
+        trajectory_cell_signature, trajectory_topk_similar)
+
+    n_users = 60
+    rows = []
+    for u in range(n_users):
+        rows.append((f"u{u:02d}", 0.5, 0.5))            # THE airport cell
+        rows.append((f"u{u:02d}", 100.0 + 10.0 * u, 0.5))  # private cell
+        if u % 2 == 0:                                   # pair structure
+            rows.append((f"u{u:02d}", -50.0 + 10.0 * (u // 2), 30.0))
+            rows.append((f"u{(u + 1) % n_users:02d}",
+                         -50.0 + 10.0 * (u // 2), 30.0))
+    df = spark.createDataFrame(rows, ["user", "x", "y"])
+
+    uncapped = trajectory_topk_similar(df, "user", "x", "y",
+                                       cell_size=1.0, k=n_users)
+    capped = trajectory_topk_similar(df, "user", "x", "y",
+                                     cell_size=1.0, k=n_users,
+                                     max_cell_freq=10)
+    # bounded: hot cell gone -> only the shared pair-cells produce
+    # candidates (2 per shared cell), nothing close to n^2
+    n_cap = capped.count()
+    assert n_cap < 2 * n_users
+    assert uncapped.count() >= n_users * (n_users - 1)   # everyone pairs
+    # neighbors that DO survive are exactly the pair-structure ones
+    surv = {(r["user"], r["neighbor"]) for r in capped.collect()}
+    for a, b in surv:
+        assert abs(int(a[1:]) - int(b[1:])) in (1, n_users - 1)
+    # and the guard leaves a no-hot-cell corpus byte-identical
+    clean = df.filter("x > 50")                          # drop airport rows
+    base = trajectory_topk_similar(clean, "user", "x", "y",
+                                   cell_size=1.0, k=5)
+    guarded = trajectory_topk_similar(clean, "user", "x", "y",
+                                      cell_size=1.0, k=5,
+                                      max_cell_freq=10)
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, guarded.collect()))
+    # sanity: the hot cell really was above the cap
+    sig = trajectory_cell_signature(df, "user", "x", "y", 1.0)
+    top = sig.groupBy("cx", "cy").count().agg({"count": "max"}) \
+        .collect()[0][0]
+    assert top == n_users
+
+
 def test_trajectory_topk_plan_is_bucketed(spark):
     from geoparquet_io_spark.operators.timeseries import \
         trajectory_topk_similar

@@ -193,6 +193,46 @@ def test_shapefile_attr_types_roundtrip(spark, tmp_path):
     assert got["c"] == (-3, 2.5, None)
 
 
+def test_shapefile_dbf_numeric_width_and_integer_dot(spark, tmp_path):
+    """DBF numeric robustness: (1) int64 extremes round-trip (N20 field —
+    N18 used to silently truncate digits); (2) overflow raises instead of
+    corrupting; (3) an integer N field whose text contains '.' (some
+    writers emit '3.0') parses as int so the Int64 cast never fails;
+    (4) a too-wide float sheds fractional digits before failing."""
+    from geoparquet_io_spark.sources.shapefile import (
+        _format_dbf_value, _parse_dbf_value, read_shapefile,
+        write_shapefile)
+
+    big, small = 9223372036854775807, -9223372036854775808
+    df = spark.createDataFrame(
+        [Row(geometry=bytearray(W.encode_point(0.0, 0.0)), n=big),
+         Row(geometry=bytearray(W.encode_point(1.0, 1.0)), n=small)])
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "wide.shp")
+    write_shapefile(gt, out)
+    vals = {r["n"] for r in read_shapefile(spark, out).df.collect()}
+    assert vals == {big, small}
+
+    with pytest.raises(ValueError, match="does not fit"):
+        _format_dbf_value(10 ** 19, {"name": "n", "type": "N",
+                                     "length": 18, "decimals": 0})
+    # fractional shaving: 12345678.9 in N10.4 -> '12345678.9' fits at 1dp
+    got = _format_dbf_value(12345678.9, {"name": "x", "type": "N",
+                                         "length": 10, "decimals": 4})
+    assert got == b"12345678.9"
+    with pytest.raises(ValueError, match="does not fit"):
+        _format_dbf_value(-1234567890.5, {"name": "x", "type": "N",
+                                          "length": 10, "decimals": 4})
+
+    fld = {"name": "n", "type": "N", "length": 10, "decimals": 0}
+    assert _parse_dbf_value(b"       3.0", fld) == 3
+    assert isinstance(_parse_dbf_value(b"       3.0", fld), int)
+    assert _parse_dbf_value(b"      1e2 ", fld) == 100
+    fld_f = {"name": "x", "type": "F", "length": 10, "decimals": 0}
+    assert _parse_dbf_value(b"       3.5", fld_f) == 3.5
+
+
 def test_shapefile_polygon_holes_and_multipolygon(spark, tmp_path):
     """Ring orientation semantics: outer CW / hole CCW grouping survives
     a write->read round trip for polygon-with-hole and multipolygon."""
