@@ -62,6 +62,15 @@ def _pipeline_step(crs: str):
     return None
 
 
+def _params_step(spec: dict):
+    """(to_4326, from_4326) for a {"family": ...} parameter spec —
+    the arbitrary-CRS escape hatch (projections.proj_from_params)."""
+    from geoparquet_io_spark.functions import projections as _proj
+
+    fwd, inv = _proj.proj_from_params(spec)
+    return inv, fwd
+
+
 def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]:
     """Vectorized (x, y) -> (x', y') for a supported CRS pair.
 
@@ -70,21 +79,33 @@ def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.nda
     plus the ellipsoidal families in :mod:`projections` (UTM / TM, LCC,
     Albers, LAEA — the reference's own fixture CRSs 3794/5070/32633 among
     them; reference: core/reproject.py:94-160).
+
+    ``src``/``dst`` may each also be a PARAMETER DICT
+    (``{"family": "lcc", "ellps": "GRS80", ...}`` — see
+    :func:`projections.proj_from_params`) so a CRS missing from the
+    EPSG registry works with its published parameters.
     """
-    s, d = normalize_crs(src), normalize_crs(dst)
+    spec_s = isinstance(src, dict) and "family" in src
+    spec_d = isinstance(dst, dict) and "family" in dst
+    s = "<params>" if spec_s else normalize_crs(src)
+    d = "<params>" if spec_d else normalize_crs(dst)
     if s in GEOGRAPHIC_CRS:
         s = "EPSG:4326"
     if d in GEOGRAPHIC_CRS:
         d = "EPSG:4326"
-    if s == d:
+    if s == d and not (spec_s or spec_d):
         return lambda x, y: (x, y)
-    step_s, step_d = _pipeline_step(s), _pipeline_step(d)
+    step_s = _params_step(src) if spec_s else _pipeline_step(s)
+    step_d = _params_step(dst) if spec_d else _pipeline_step(d)
     if step_s is None or step_d is None:
         missing = s if step_s is None else d
         raise ValueError(
             f"transform {s} -> {d} not supported without pyproj "
             f"({missing} is not in the built-in projection registry); "
-            "pass a custom transformer to reproject(transformer=...)"
+            "pass its published parameters as a dict "
+            "({'family': 'lcc', 'ellps': 'GRS80', ...} — see "
+            "projections.proj_from_params) or a custom transformer to "
+            "reproject(transformer=...)"
         )
     to_4326, _ = step_s
     _, from_4326 = step_d

@@ -253,10 +253,29 @@ class _AlbersConsts:
 
 def _snyder_q(phi, e):
     s = np.sin(phi)
+    if e == 0.0:            # sphere: lim_{e->0} q = 2 sin(phi)
+        return 2.0 * s
     return (1.0 - e * e) * (
         s / (1.0 - e * e * s * s)
         - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
     )
+
+
+def _phi_from_q(q: np.ndarray, e: float) -> np.ndarray:
+    """Geodetic latitude from Snyder's authalic q (eq. 3-16 iteration);
+    exact closed form on a sphere (q = 2 sin(phi))."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    if e == 0.0:
+        return phi
+    e2 = e * e
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return phi
 
 
 def make_albers(a: float, f: float, lat1: float, lat2: float, lat0: float,
@@ -293,16 +312,7 @@ def albers_inverse(x: np.ndarray, y: np.ndarray, c: _AlbersConsts):
     q = (c.C - (rho * c.n / c.a) ** 2) / c.n
     theta = np.arctan2(np.sign(c.n) * dx, np.sign(c.n) * dy)
     lon = c.lon0 + np.degrees(theta / c.n)
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    e, e2 = c.e, c.e * c.e
-    for _ in range(8):
-        s = np.sin(phi)
-        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
-            q / (1.0 - e2)
-            - s / (1.0 - e2 * s * s)
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-        )
-    return lon, np.degrees(phi)
+    return lon, np.degrees(_phi_from_q(q, c.e))
 
 
 # ---------------------------------------------------------------------------
@@ -338,17 +348,7 @@ def cea_forward(lon: np.ndarray, lat: np.ndarray, c: _CEAConsts):
 def cea_inverse(x: np.ndarray, y: np.ndarray, c: _CEAConsts):
     lon = c.lon0 + np.degrees((x - c.fe) / (c.a * c.k0))
     q = 2.0 * c.k0 * (y - c.fn) / c.a
-    # geodetic lat from q: same Snyder 3-16 iteration the Albers inverse uses
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    e, e2 = c.e, c.e * c.e
-    for _ in range(8):
-        s = np.sin(phi)
-        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
-            q / (1.0 - e2)
-            - s / (1.0 - e2 * s * s)
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-        )
-    return lon, np.degrees(phi)
+    return lon, np.degrees(_phi_from_q(q, c.e))
 
 
 # ---------------------------------------------------------------------------
@@ -410,16 +410,7 @@ def laea_inverse(x: np.ndarray, y: np.ndarray, c: _LAEAConsts):
     lon = c.lon0 + np.degrees(dlam)
     # geodetic lat from authalic lat beta (Snyder eq. 3-18), iterate on q
     q = c.qp * np.sin(beta)
-    e, e2 = c.e, c.e * c.e
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    for _ in range(8):
-        s = np.sin(phi)
-        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
-            q / (1.0 - e2)
-            - s / (1.0 - e2 * s * s)
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-        )
-    return lon, np.degrees(phi)
+    return lon, np.degrees(_phi_from_q(q, c.e))
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +578,80 @@ def _family_kernels():
     }
 
 
+#: name -> (a, f) for user-facing parameterized specs
+ELLIPSOIDS: dict[str, tuple[float, float]] = {}     # filled after defs below
+
+
+def proj_from_params(spec: dict):
+    """(forward, inverse) numpy transforms from a PARAMETER DICT — the
+    escape hatch for any CRS not in the built-in EPSG registry.  The
+    reference covers arbitrary "AUTH:CODE" through PROJ
+    (core/reproject.py:94-160); this engine's kernels are already fully
+    parameterized, so an unlisted code needs only its public EPSG
+    registry parameters:
+
+        {"family": "lcc", "ellps": "GRS80",
+         "lat1": 44.0, "lat2": 49.0, "lat0": 46.5, "lon0": 3.0,
+         "fe": 700000.0, "fn": 6600000.0}
+
+    Keys:
+      family  — one of tm / lcc / albers / laea / ps / cea / swiss /
+                krovak (the same kernels the registry codes use);
+      ellps   — ellipsoid name (WGS84, GRS80, AIRY1830, BESSEL1841,
+                INTL1924) or {"a": ..., "rf": ...} (inverse flattening;
+                rf=0 for a sphere);
+      towgs84 — optional 3- or 7-parameter Helmert to WGS84
+                (tx ty tz [rx ry rz s_ppm], arc-seconds / ppm) when the
+                CRS's datum is not WGS84-coincident;
+      ...     — the family's projection parameters, exactly as the
+                kernel constructors take them (tm: lat0 lon0 k0 fe fn;
+                lcc/albers: lat1 lat2 lat0 lon0 fe fn; laea: lat0 lon0
+                fe fn; ps/cea: lat_ts lon0 fe fn; swiss: lat0 lon0 e0
+                n0; krovak: latc lon0 alphac latp kp).
+    """
+    spec = dict(spec)
+    spec.pop("crs", None)        # optional metadata label, not a kernel arg
+    fam = spec.pop("family", None)
+    kernels = dict(_family_kernels())
+    kernels["swiss"] = (make_swiss, swiss_forward, swiss_inverse)
+    kernels["krovak"] = (make_krovak, krovak_forward, krovak_inverse)
+    if fam not in kernels:
+        raise ValueError(
+            f"unknown projection family {fam!r}; supported: "
+            f"{sorted(kernels)}")
+    ell = spec.pop("ellps", "WGS84")
+    if isinstance(ell, str):
+        key = ell.upper().replace(" ", "")
+        if key not in ELLIPSOIDS:
+            raise ValueError(
+                f"unknown ellipsoid {ell!r}; supported names: "
+                f"{sorted(ELLIPSOIDS)} or pass {{'a': ..., 'rf': ...}}")
+        a, f = ELLIPSOIDS[key]
+    elif isinstance(ell, dict):
+        a = float(ell["a"])
+        rf = float(ell.get("rf", 0.0))
+        f = 1.0 / rf if rf else 0.0
+    else:
+        a, f = float(ell[0]), float(ell[1])
+    towgs84 = spec.pop("towgs84", None)
+    mk, fwd, inv = kernels[fam]
+    try:
+        c = mk(a, f, **spec)
+    except TypeError as exc:
+        raise ValueError(
+            f"bad parameters for family {fam!r}: {exc}") from None
+    proj_fwd = lambda lo, la: fwd(lo, la, c)       # noqa: E731
+    proj_inv = lambda x, y: inv(x, y, c)           # noqa: E731
+    if towgs84 is None:
+        return proj_fwd, proj_inv
+    p = tuple(float(v) for v in towgs84)
+    if len(p) == 3:
+        p = p + (0.0, 0.0, 0.0, 0.0)
+    if len(p) != 7:
+        raise ValueError("towgs84 must have 3 or 7 parameters")
+    return _with_datum(proj_fwd, proj_inv, (a, f), p)
+
+
 def _proj_for_epsg(code: int):
     """(forward, inverse) numpy transforms for a supported EPSG code."""
     ent = EPSG_TABLE.get(code)
@@ -679,6 +744,11 @@ def _proj_for_epsg(code: int):
 AIRY1830 = (6377563.396, 1.0 / 299.3249646)
 BESSEL1841 = (6377397.155, 1.0 / 299.1528128)
 INTL1924 = (6378388.0, 1.0 / 297.0)
+
+ELLIPSOIDS.update({
+    "WGS84": WGS84, "GRS80": GRS80, "AIRY1830": AIRY1830,
+    "BESSEL1841": BESSEL1841, "INTL1924": INTL1924,
+})
 
 _ARCSEC = math.pi / (180.0 * 3600.0)
 

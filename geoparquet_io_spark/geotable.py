@@ -193,7 +193,14 @@ class GeoTable:
             primary_column=self.geometry_column or "geometry",
             columns={self.geometry_column or "geometry": GeoColumnMeta()},
         )
-        geo.primary.crs = _crs.normalize_crs(dst)
+        if isinstance(dst, dict) and "family" in dst:
+            # parameterized target (projections.proj_from_params): the
+            # spec's optional "crs" key labels the output metadata
+            # ("EPSG:27562" etc.); without it the CRS is recorded as
+            # unknown rather than guessed
+            geo.primary.crs = dst.get("crs")
+        else:
+            geo.primary.crs = _crs.normalize_crs(dst)
         geo.primary.bbox = None  # stale after transform
         return GeoTable(df, geo, bbox_column=self._bbox_column)
 

@@ -861,6 +861,128 @@ def semantic_dedup(
     )
 
 
+def _cross_losers_arrow(new_pool: DataFrame, idx_pool: DataFrame,
+                        threshold: float, block: int = 2048) -> DataFrame:
+    """Cross-set near-dup scorer (Arrow cogroup kernel): for each
+    cluster, return NEW ids whose cosine against ANY index member is
+    >= threshold.  Same blockwise gram matrix and dim-order float64
+    accumulation as :func:`_cluster_losers_arrow` (bit-identical to the
+    SQL cosine), but no ordering rule — every index member is a kept
+    survivor, so any hit kills the new row.
+
+    One shuffle per side on the cluster id; peak memory is
+    ``m * block`` doubles per task."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("id", new_pool.schema["id"].dataType)])
+
+    def score(key, new_pdf: pd.DataFrame, idx_pdf: pd.DataFrame):
+        import numpy as np
+
+        if new_pdf.empty or idx_pdf.empty:
+            return new_pdf.iloc[0:0][["id"]]
+        Vn = np.stack(new_pdf["v"].to_numpy())          # (m, dim)
+        nn = new_pdf["n"].to_numpy(dtype=np.float64)
+        Vi = np.stack(idx_pdf["v"].to_numpy())          # (p, dim)
+        ni = idx_pdf["n"].to_numpy(dtype=np.float64)
+        dim = Vn.shape[1]
+        m = len(new_pdf)
+        lost = np.zeros(m, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for j0 in range(0, len(idx_pdf), block):
+                j1 = min(j0 + block, len(idx_pdf))
+                G = np.zeros((m, j1 - j0), dtype=np.float64)
+                for d in range(dim):
+                    G += Vn[:, d][:, None] * Vi[j0:j1, d][None, :]
+                S = G / (nn[:, None] * ni[j0:j1][None, :])
+                lost |= (S >= threshold).any(axis=1)
+        return new_pdf.loc[lost, ["id"]]
+
+    return (new_pool.groupBy("cluster")
+            .cogroup(idx_pool.groupBy("cluster"))
+            .applyInPandas(score, out_schema))
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 10_000,
+    window: int = 64,
+) -> DataFrame:
+    """Incremental SemDeDup — the daily-ingest shape: dedup TODAY's
+    batch against YESTERDAY's persisted kept-set WITHOUT recomputing the
+    corpus (the same build-once/search-many economics as the persisted
+    IVF index and the LSH band index ``dedup_against_index``).
+
+    ``index_df`` is the persisted survivors table (``id_column`` +
+    ``vector_column``; the partitionBy(cluster) layout
+    ``semantic_dedup`` recommends reads straight back into this shape).
+    Index vectors are re-assigned with the SAME ``centroids`` —
+    assignment is deterministic, so a persisted ``cluster`` column and
+    a recomputed one agree; passing centroids other than the ones the
+    index was built with silently degrades recall, same as probing an
+    IVF index with foreign centroids.
+
+    A new row is dropped when it has a cosine >= ``threshold`` witness
+    EITHER in the index (any member — the index is already deduped, so
+    no ordering rule applies) OR at a smaller id within its own batch
+    (the standard intra-batch survivor rule, hot clusters routed
+    through the banded chain exactly like :func:`semantic_dedup`).
+
+    Returns every NEW row with ``cluster`` and ``kept`` — union the
+    kept rows into the index to absorb the batch; re-ingesting an
+    absorbed batch then keeps nothing new (idempotent replay, tested).
+    """
+    from geoparquet_io_spark.operators.skew import spread
+
+    dim = len(centroids[0])
+    new_src = spread(new_df).select(
+        F.col(id_column).alias("id"),
+        as_double_array(F.col(vector_column)).alias("v"))
+    v_new = _assign_clusters_arrow(new_src, centroids) \
+        .localCheckpoint(eager=False)
+    idx_src = spread(index_df).select(
+        F.col(id_column).alias("id"),
+        as_double_array(F.col(vector_column)).alias("v"))
+    v_idx = _assign_clusters_arrow(idx_src, centroids)
+
+    # intra-batch losers: identical routing to semantic_dedup
+    if max_cluster_size is None:
+        pool = v_new
+        big_pairs = None
+    else:
+        counts = v_new.groupBy("cluster").agg(F.count("*").alias("__cn"))
+        vv = v_new.join(F.broadcast(counts), "cluster")
+        pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
+        big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
+        sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+        big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
+            .select(F.col("id_b").alias("id"))
+    losers = _cluster_losers_arrow(pool, threshold)
+    if big_pairs is not None:
+        losers = losers.unionByName(big_pairs)
+    # cross losers vs the persisted kept-set (no cap needed: the index
+    # is deduplicated, so its per-cluster density is bounded by the
+    # threshold geometry, not by corpus duplication)
+    losers = losers.unionByName(
+        _cross_losers_arrow(v_new, v_idx, threshold)).distinct()
+    return (
+        v_new.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__lost"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     id_column: str = "vec_id",

@@ -432,3 +432,121 @@ def q_reproject_ease2(spark, sf_dir):
     extent matches the published EASE-Grid 2.0 grid to the cm
     (tests/test_projections_epsg.py)."""
     return _spark_reproject(spark, sf_dir, "EPSG:6933")
+
+
+# --- r6: parameterized-CRS escape hatch (projections.proj_from_params) ------
+# A code ABSENT from the EPSG registry works by passing its published
+# parameters as a dict — the reference reaches the same CRSs through
+# PROJ's database (core/reproject.py:94-160).
+
+# EPSG:5243 (ETRS89 / LCC Germany) — deliberately NOT in EPSG_TABLE
+_DE5243 = {"family": "lcc", "ellps": "GRS80",
+           "lat1": 48.0 + 40.0 / 60.0, "lat2": 53.0 + 40.0 / 60.0,
+           "lat0": 51.0, "lon0": 10.5, "fe": 0.0, "fn": 0.0,
+           "crs": "EPSG:5243"}
+_DE_C = P.make_lcc(*P.GRS80, lat1=_DE5243["lat1"], lat2=_DE5243["lat2"],
+                   lat0=51.0, lon0=10.5, fe=0.0, fn=0.0)
+
+
+@register("geo_reproject_params_lcc", _lcc_sql(_DE_C))
+def q_reproject_params_lcc(spark, sf_dir):
+    """EPSG:5243 via the PARAMETER-DICT path: the code is not in the
+    registry (get_transformer('EPSG:5243') raises), so the query passes
+    {'family': 'lcc', 'ellps': 'GRS80', ...} — the arbitrary-CRS escape
+    hatch.  Oracle is the same parameterized LCC formula mirror."""
+    return _spark_reproject(spark, sf_dir, _DE5243)
+
+
+# EPSG:31287 (MGI / Austria Lambert) — Bessel 1841 + MGI->WGS84 Helmert,
+# also NOT in EPSG_TABLE; exercises the params path's towgs84 branch.
+_AT_TOWGS84 = (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+_AT31287 = {"family": "lcc", "ellps": "BESSEL1841",
+            "lat1": 49.0, "lat2": 46.0, "lat0": 47.5,
+            "lon0": 13.0 + 20.0 / 60.0, "fe": 400000.0, "fn": 400000.0,
+            "towgs84": list(_AT_TOWGS84), "crs": "EPSG:31287"}
+_AT_C = P.make_lcc(*P.BESSEL1841, lat1=49.0, lat2=46.0, lat0=47.5,
+                   lon0=13.0 + 20.0 / 60.0, fe=400000.0, fn=400000.0)
+
+
+def _austria_lcc_sql() -> str:
+    """DuckDB mirror of the full EPSG:31287 pipeline: WGS84 -> ECEF ->
+    inverse position-vector Helmert (WGS84 -> MGI) -> geodetic on
+    Bessel 1841 (5 unrolled lat iterations) -> LCC-2SP.  Same Helmert
+    CTE shape as the OSGB oracle with the MGI constants."""
+    wa, wf = P.WGS84
+    we2 = 2.0 * wf - wf * wf
+    ba, bf = P.BESSEL1841
+    be2 = 2.0 * bf - bf * bf
+    tx, ty, tz, rx, ry, rz, s = _AT_TOWGS84
+    import math as _m
+    arc = _m.pi / (180.0 * 3600.0)
+    m = 1.0 - s * 1e-6
+    rxr, ryr, rzr = -rx * arc, -ry * arc, -rz * arc
+    c = _AT_C
+    e = c.e
+    lat_step = (
+        "atan2(Z, p * (1.0 - {be2} * ({ba} / sqrt(1.0 - {be2} * sin(la{i}) * sin(la{i})))"
+        " / (({ba} / sqrt(1.0 - {be2} * sin(la{i}) * sin(la{i})))"
+        " + p / cos(la{i}) - ({ba} / sqrt(1.0 - {be2} * sin(la{i}) * sin(la{i}))))))"
+    )
+    lat_ctes = ",\n    ".join(
+        f"it{i + 1} AS (SELECT event_id, Z, p, lon2, "
+        + lat_step.format(be2=repr(be2), ba=repr(ba), i=i)
+        + f" AS la{i + 1} FROM it{i})"
+        for i in range(5)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    win AS (SELECT * FROM pts WHERE lon BETWEEN 9.0 AND 18.0
+                                AND lat BETWEEN 45.0 AND 50.0),
+    g AS (SELECT event_id,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * cos(radians(lon)) AS X0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * sin(radians(lon)) AS Y0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * (1.0 - {we2!r}) * sin(radians(lat)) AS Z0
+      FROM win),
+    h AS (SELECT event_id,
+      {m!r} * (X0 - ({rzr!r}) * Y0 + ({ryr!r}) * Z0) + ({-tx!r}) AS X,
+      {m!r} * (({rzr!r}) * X0 + Y0 - ({rxr!r}) * Z0) + ({-ty!r}) AS Y,
+      {m!r} * (-(({ryr!r})) * X0 + ({rxr!r}) * Y0 + Z0) + ({-tz!r}) AS Z
+      FROM g),
+    it0 AS (SELECT event_id, Z, sqrt(X * X + Y * Y) AS p,
+                   atan2(Y, X) AS lon2,
+                   atan2(Z, sqrt(X * X + Y * Y) * (1.0 - {be2!r})) AS la0
+            FROM h),
+    {lat_ctes},
+    ll AS (SELECT event_id, degrees(lon2) AS lon, la5 AS phi,
+                  sin(la5) AS sp FROM it5),
+    t AS (SELECT event_id, lon,
+      tan({_m.pi / 4.0!r} - phi / 2.0)
+        / pow((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e / 2.0!r}) AS tv
+      FROM ll),
+    r AS (SELECT event_id,
+      {c.a * c.F!r} * pow(tv, {c.n!r}) AS rho,
+      {c.n!r} * radians(lon - {c.lon0!r}) AS theta
+      FROM t)
+    SELECT event_id,
+      ROUND({c.fe!r} + rho * sin(theta), 1) + 0.0 AS px,
+      ROUND({c.fn!r} + {c.rho0!r} - rho * cos(theta), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+@register("geo_reproject_params_datum", _austria_lcc_sql())
+def q_reproject_params_datum(spark, sf_dir):
+    """EPSG:31287 via the parameter-dict path WITH towgs84: Bessel 1841
+    LCC plus the published MGI->WGS84 position-vector Helmert — proves
+    the escape hatch covers datum-shifted CRSs, not just
+    WGS84-coincident ones.  Oracle mirrors every step in SQL."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(9.0, 18.0)
+                      & F.col("lat").between(45.0, 50.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject(_AT31287)
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )

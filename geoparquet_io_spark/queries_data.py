@@ -1031,6 +1031,80 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, cents, "vec_id", "embedding", threshold=0.25)
 
 
+def _semantic_dedup_incremental_oracle() -> str:
+    """Corpus (vec_id % 3 != 0) is SemDeDup'ed; the NEW batch
+    (vec_id % 3 = 0) loses to any same-cluster kept corpus vector OR a
+    smaller-id same-cluster batch member."""
+    from geoparquet_io_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 32, seed=7)
+    dist_terms = []
+    for c in cents:
+        lit = "[" + ",".join(repr(x) for x in c) + "]"
+        dist_terms.append(
+            f"list_reduce([(v[i] - {lit}[i]) * (v[i] - {lit}[i]) "
+            f"FOR i IN range(1, 65)], (x, y) -> x + y)")
+    darr = "[" + ", ".join(dist_terms) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             (list_position(darr, list_min(darr)) - 1) AS cluster
+      FROM (SELECT vec_id, v, {darr} AS darr FROM e)
+    ),
+    corpus AS (SELECT * FROM assigned WHERE vec_id % 3 != 0),
+    corpus_losers AS (
+      SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.v', 'b.v')} >= 0.25
+    ),
+    kept_idx AS (SELECT * FROM corpus
+                 WHERE vec_id NOT IN (SELECT vec_id FROM corpus_losers)),
+    batch AS (SELECT * FROM assigned WHERE vec_id % 3 = 0),
+    new_losers AS (
+      SELECT DISTINCT n.vec_id FROM batch n JOIN kept_idx i
+        ON n.cluster = i.cluster
+      WHERE {_cosine_sql('n.v', 'i.v')} >= 0.25
+      UNION
+      SELECT DISTINCT b.vec_id FROM batch a JOIN batch b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.v', 'b.v')} >= 0.25
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           (vec_id NOT IN (SELECT vec_id FROM new_losers)) AS kept
+    FROM batch
+    """
+
+
+@register("semantic_dedup_incremental", _semantic_dedup_incremental_oracle())
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup vs a PERSISTED kept-set
+    (operators/similarity.py:semantic_dedup_incremental): the corpus is
+    deduped once and its survivors written partitionBy(cluster); the new
+    batch reads that index back and dedups against it plus itself —
+    yesterday's 100 TB is never recomputed to admit today's batch (the
+    same economics as dedup_incremental_index / the persisted IVF
+    index)."""
+    import tempfile
+
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup, semantic_dedup_incremental)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(64, 32, seed=7)
+    corpus = e.filter(F.col("vec_id") % 3 != 0)
+    new = e.filter(F.col("vec_id") % 3 == 0)
+    flags = semantic_dedup(corpus, cents, "vec_id", "embedding",
+                           threshold=0.25)
+    kept = (corpus.join(flags.filter("kept"), "vec_id", "left_semi")
+            .join(flags.select("vec_id", "cluster"), "vec_id"))
+    path = tempfile.mkdtemp(prefix="gpq_semidx_") + "/index.parquet"
+    kept.write.partitionBy("cluster").parquet(path)
+    index = spark.read.parquet(path)
+    return semantic_dedup_incremental(new, index, cents, "vec_id",
+                                      "embedding", threshold=0.25)
+
+
 @register(
     "sketch_hll_distinct",
     """

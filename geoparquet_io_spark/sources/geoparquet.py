@@ -222,11 +222,41 @@ def read_partition(
 # Write
 # ---------------------------------------------------------------------------
 
+def _make_native_geometry_type(crs):
+    """pyarrow's canonical GEOMETRY extension type (>= 19: ``pa.geometry``),
+    which the parquet writer maps to the parquet-native GEOMETRY logical
+    annotation (reference: core/metadata_utils.py:48).  Returns None when
+    the runtime pyarrow predates it.  Signature differences across
+    versions are absorbed (crs kwarg -> positional -> none)."""
+    ctor = getattr(pa, "geometry", None) or getattr(pa, "geometry_type", None)
+    if ctor is None:
+        return None
+    if crs is not None:
+        try:
+            return ctor(crs=crs)
+        except TypeError:
+            try:
+                return ctor(crs)
+            except TypeError:
+                pass
+    try:
+        return ctor()
+    except TypeError:
+        return None
+
+
 def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
     """Dataset arrow schema carrying BOTH geo conventions: the 1.x ``geo``
     footer JSON and GeoArrow extension metadata on each geometry field
     (the GeoParquet 2.0 arrow mapping) — typed readers see typed columns,
-    1.x readers see the footer, neither interferes with the other."""
+    1.x readers see the footer, neither interferes with the other.
+
+    For version 2.0 / parquet-geo-only on a pyarrow that has the
+    canonical GEOMETRY extension type (>= 19), geometry fields get the
+    NATIVE type instead: the parquet writer then emits the
+    parquet-level GEOMETRY logical annotation.  Both writers
+    ``cast(schema)`` their tables, and binary -> extension-over-binary
+    is a storage cast."""
     import json as _json
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -234,6 +264,8 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
     schema = to_arrow_schema(df.schema)
     if geo is None:
         return schema
+    native = (geo.version in ("2.0", "parquet-geo-only")
+              and native_geo_types_supported())
     for name, col in geo.columns.items():
         idx = schema.get_field_index(name)
         if idx < 0:
@@ -241,6 +273,11 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
         fld = schema.field(idx)
         if not (pa.types.is_binary(fld.type) or pa.types.is_large_binary(fld.type)):
             continue
+        if native:
+            gt = _make_native_geometry_type(col.crs)
+            if gt is not None:
+                schema = schema.set(idx, pa.field(name, gt, fld.nullable))
+                continue
         ext_meta: dict = {}
         if col.crs is not None:
             ext_meta["crs"] = col.crs

@@ -157,15 +157,20 @@ def write_md(results: dict) -> None:
         "  The first run of this curve showed `dedup_minhash_pairs` going",
         "  1.1s -> 42s on 10x the docs: the 10x corpus put ~4.8k",
         "  near-identical docs in single band buckets, emitting 70M",
-        "  candidate pairs from 50k rows.  That is inherent to the",
-        "  *emit-every-candidate-pair* contract, so the dedup path now",
-        "  defaults to `minhash_star_edges` (operators/dedup.py): each",
-        "  bucket member pairs only with the bucket's min id — provably",
-        "  the same survivors and connected components, O(n*bands) edges.",
-        "  Measured on the same 10x corpus: 126k edges in ~8s, survivors",
-        "  in ~4.5s.  `dedup_minhash_survivors` below runs the star path;",
-        "  `dedup_minhash_pairs` keeps the all-pairs contract (needed for",
-        "  per-pair verification) and documents its cost.",
+        "  candidate pairs from 50k rows.  Two-layer fix: the dedup path",
+        "  defaults to `minhash_star_edges` (operators/dedup.py) — each",
+        "  bucket member pairs only with the bucket's min id, provably",
+        "  the same survivors and connected components, O(n*bands) edges",
+        "  — and `minhash_candidate_pairs` itself now carries a",
+        "  `max_bucket_size` cap (default 128) routing hot buckets to a",
+        "  sorted-id predecessor chain: m-1 edges per bucket, identical",
+        "  connectivity/survivors, only far-apart per-pair verification",
+        "  inside a hot bucket is approximated (mutual-dup masses verify",
+        "  identically; pass max_bucket_size=None for the literal",
+        "  all-pairs contract).  Measured on the same 10x corpus the",
+        "  capped pairs query is ~4s / 81 us/row (was 49s / 982), with",
+        "  us/row FALLING across the curve; sf0.01/sf0.1 bucket maxima",
+        "  (60/478) keep the sf0.01 oracle byte-identical.",
         "",
         "Latest raw JSON is printed by the script; regenerate with",
         "`python scripts/scale_curve.py --md` (the sf1x build is cached",

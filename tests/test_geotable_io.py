@@ -432,17 +432,96 @@ def test_write_version_2_roundtrip(points, spark, tmp_path):
 
     meta = json.loads(sch.metadata[b"geo"].decode())
     assert meta["version"] == "2.0.0"
-    fld = sch.field(points.geometry_column)
-    assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
-    # the typed-column read path recognizes our own 2.0 output
-    typed = _geo_from_arrow_extensions(sch)
-    assert typed is not None and typed.primary is not None
+    if not native_geo_types_supported():
+        # GeoArrow fallback: extension METADATA on a plain binary field
+        fld = sch.field(points.geometry_column)
+        assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        # the typed-column read path recognizes our own 2.0 output
+        typed = _geo_from_arrow_extensions(sch)
+        assert typed is not None and typed.primary is not None
     back = gps.read(spark, out)
     assert back.geo.version == "2.0"
     assert back.df.count() == points.df.count()
     assert validate(spark, out) == []
     # the source GeoTable's own metadata must NOT have been mutated
     assert points.geo.version != "2.0"
+
+
+@pytest.mark.skipif(
+    not __import__("geoparquet_io_spark.sources.geoparquet",
+                   fromlist=["native_geo_types_supported"]
+                   ).native_geo_types_supported(),
+    reason="pyarrow < 19: no canonical GEOMETRY extension type")
+def test_write_version_2_native_geometry_roundtrip(points, spark, tmp_path):
+    """SKIPPED until the container's pyarrow grows pa.geometry (>= 19):
+    the moment it does, version='2.0' writes must carry the
+    parquet-native GEOMETRY logical type and still round-trip through
+    this repo's reader — verified here without any code change."""
+    import geoparquet_io_spark as gps
+
+    out = str(tmp_path / "v2native.parquet")
+    points.write(out, version="2.0")
+    sch = pq.read_schema(out)
+    fld = sch.field(points.geometry_column)
+    # native extension type, not plain binary with sidecar metadata
+    assert isinstance(fld.type, pa.ExtensionType)
+    assert "geo" in str(fld.type).lower()
+    back = gps.read(spark, out)
+    assert back.df.count() == points.df.count()
+    assert sorted(bytes(r[points.geometry_column]).hex()
+                  for r in back.df.collect() if r[points.geometry_column]) \
+        == sorted(bytes(r[points.geometry_column]).hex()
+                  for r in points.df.collect()
+                  if r[points.geometry_column])
+
+
+def test_native_geometry_detect_branch_both_ways(points, monkeypatch):
+    """The pyarrow-capability detect gates the schema branch both ways:
+    with a (faked) pa.geometry the 2.0 schema uses the native ctor; on
+    this container's pyarrow the GeoArrow metadata fallback is used."""
+    import pyarrow as _pa
+
+    from geoparquet_io_spark.sources import geoparquet as GP
+
+    calls = {}
+
+    class _FakeGeomType(_pa.ExtensionType):
+        def __init__(self, crs=None):
+            calls["crs"] = crs
+            super().__init__(_pa.binary(), "test.fake_geometry")
+
+        def __arrow_ext_serialize__(self):
+            return b""
+
+        @classmethod
+        def __arrow_ext_deserialize__(cls, storage_type, serialized):
+            return cls()
+
+    monkeypatch.setattr(_pa, "geometry", lambda crs=None: _FakeGeomType(crs),
+                        raising=False)
+    assert GP.native_geo_types_supported()
+    import copy
+
+    geo2 = copy.deepcopy(points.geo)
+    geo2.version = "2.0"
+    sch = GP._arrow_schema_with_geo(points.df, geo2)
+    fld = sch.field(points.geometry_column)
+    assert fld.type.extension_name == "test.fake_geometry"
+    assert calls["crs"] == points.geo.primary.crs or calls["crs"] is None \
+        or calls["crs"] == points.crs
+    # 1.x versions never use the native type even when available
+    geo1 = copy.deepcopy(points.geo)
+    geo1.version = "1.1"
+    sch1 = GP._arrow_schema_with_geo(points.df, geo1)
+    f1 = sch1.field(points.geometry_column)
+    assert f1.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    # without the attr the detect is False and 2.0 falls back to GeoArrow
+    monkeypatch.delattr(_pa, "geometry", raising=False)
+    if not hasattr(_pa, "geometry_type"):
+        assert not GP.native_geo_types_supported()
+        sch2 = GP._arrow_schema_with_geo(points.df, geo2)
+        f2 = sch2.field(points.geometry_column)
+        assert f2.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
 
 
 def test_write_version_unknown_rejected(points, tmp_path):

@@ -134,6 +134,56 @@ def test_lcc_unit_scale_at_standard_parallels(code, lat1, lat2, lon0):
         assert abs(grid / ground - 1.0) < 1e-7  # finite-difference floor
 
 
+def test_proj_from_params_matches_registry():
+    """The parameter-dict escape hatch must reproduce a registry code
+    bit-for-bit when fed the same published parameters — plain and
+    datum-shifted — and reject bad families/ellipsoids/params with
+    messages naming the options."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-4.0, 8.0, 100)
+    lat = rng.uniform(42.0, 50.0, 100)
+    spec = {"family": "lcc", "ellps": "GRS80", "lat1": 44.0, "lat2": 49.0,
+            "lat0": 46.5, "lon0": 3.0, "fe": 700000.0, "fn": 6600000.0}
+    fwd, inv = P.proj_from_params(spec)
+    reg_fwd, reg_inv = P._proj_for_epsg(2154)
+    assert np.array_equal(np.c_[fwd(lon, lat)], np.c_[reg_fwd(lon, lat)])
+    x, y = fwd(lon, lat)
+    lo, la = inv(x, y)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    # datum-shifted: OSGB36 params + towgs84 == registry 27700
+    osgb = {"family": "tm", "ellps": "AIRY1830", "lat0": 49.0, "lon0": -2.0,
+            "k0": 0.9996012717, "fe": 400000.0, "fn": -100000.0,
+            "towgs84": list(P._DATUM_OSGB36)}
+    dfwd, _ = P.proj_from_params(osgb)
+    rfwd, _ = P._proj_for_epsg(27700)
+    gb_lon = rng.uniform(-5.0, 1.0, 50)
+    gb_lat = rng.uniform(50.0, 58.0, 50)
+    assert np.array_equal(np.c_[dfwd(gb_lon, gb_lat)],
+                          np.c_[rfwd(gb_lon, gb_lat)])
+    # custom {a, rf} ellipsoid accepted; rf=0 means a sphere
+    sph = P.proj_from_params({"family": "cea",
+                              "ellps": {"a": 6371000.0, "rf": 0.0},
+                              "lat_ts": 0.0, "lon0": 0.0,
+                              "fe": 0.0, "fn": 0.0})
+    sx, sy = sph[0](np.array([90.0]), np.array([0.0]))
+    assert abs(float(sx[0]) - 6371000.0 * math.pi / 2.0) < 1.0
+    # error paths name the valid options
+    with pytest.raises(ValueError, match="family"):
+        P.proj_from_params({"family": "mercator-ish"})
+    with pytest.raises(ValueError, match="ellipsoid"):
+        P.proj_from_params({"family": "tm", "ellps": "CLARKE_UNKNOWN"})
+    with pytest.raises(ValueError, match="bad parameters"):
+        P.proj_from_params({"family": "tm", "ellps": "WGS84",
+                            "nope": 1.0})
+    with pytest.raises(ValueError, match="towgs84"):
+        P.proj_from_params({"family": "tm", "ellps": "WGS84",
+                            "lat0": 0.0, "lon0": 0.0, "k0": 1.0,
+                            "fe": 0.0, "fn": 0.0, "towgs84": [1.0, 2.0]})
+    # and the unsupported-EPSG error points at this path
+    with pytest.raises(ValueError, match="proj_from_params"):
+        C.get_transformer("EPSG:4326", "EPSG:27562")
+
+
 def test_osgb_datum_shift_magnitude():
     """OSGB36<->WGS84 Helmert sanity: over Great Britain the horizontal
     datum shift is famously ~50-180 m (sign errors would double it or

@@ -53,6 +53,35 @@ def test_remote_gpkg_read(spark, http_root):
     assert _key(back) == _key(gt)
 
 
+def test_object_store_gpkg_read_via_hadoop_fs(spark, tmp_path, monkeypatch):
+    """Object-store GeoPackage: an s3a://-style path goes through the
+    HADOOP-FS branch of localize_file (connector existence probe +
+    SparkContext.addFile) before sqlite3.connect ever sees it.  The test
+    registers a mock scheme backed by Hadoop's LocalFileSystem so the
+    full connector code path runs without cloud credentials — the same
+    dispatch an s3a/gs/abfs URL takes with the real jars on the
+    classpath."""
+    from geoparquet_io_spark.sources import remote as R
+    from geoparquet_io_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    # file:// resolves through the same FileSystem dispatch s3a/gs
+    # take (Path -> getFileSystem -> exists -> addFile); Hadoop's local
+    # FS plays the object-store connector without cloud credentials
+    monkeypatch.setattr(
+        R, "FETCHABLE_SCHEMES", R.FETCHABLE_SCHEMES + ("file://",))
+
+    gt = _points(spark)
+    write_gpkg(gt, str(tmp_path / "store_pts.gpkg"), layer="pts")
+    url = f"file://{tmp_path}/store_pts.gpkg"
+    assert R.is_fetchable_url(url)
+    assert R._remote_exists(spark, url)           # connector probe branch
+    back = read_gpkg(spark, url)
+    assert _key(back) == _key(gt)
+    # a missing object errors out cleanly, same as http 404
+    with pytest.raises(IOError, match="cannot fetch"):
+        read_gpkg(spark, f"file://{tmp_path}/absent.gpkg")
+
+
 def test_remote_shapefile_read_with_sidecars(spark, http_root):
     from geoparquet_io_spark.sources.shapefile import (
         read_shapefile, write_shapefile,

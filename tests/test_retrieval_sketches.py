@@ -120,6 +120,68 @@ def test_semantic_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_incremental_replay(spark, tmp_path):
+    """Daily-ingest contract: (1) batch rows near a persisted kept
+    vector are dropped, intra-batch dups keep the lowest id; (2) after
+    absorbing the batch's survivors into the index, RE-ingesting the
+    same batch keeps nothing new (idempotent replay); (3) against an
+    empty index the result equals plain semantic_dedup of the batch."""
+    from geoparquet_io_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_incremental)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    index_rows = [(100, [1.0, 0.0]), (101, [0.0, 1.0])]
+    idx = spark.createDataFrame(index_rows, ["vec_id", "embedding"])
+    batch_rows = [
+        (1, [0.999, 0.01]),    # near index 100 -> dropped
+        (2, [0.7, 0.7]),       # new direction -> kept (cluster 0 tie)
+        (3, [0.705, 0.695]),   # near-dup of 2, larger id -> dropped
+        (4, [0.0, -1.0]),      # anti-correlated -> kept
+    ]
+    batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup_incremental(
+               batch, idx, cents, threshold=0.99).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}
+
+    # replay: absorb survivors, re-ingest the identical batch
+    survivors = [(vid, emb) for vid, emb in batch_rows if out[vid]]
+    idx2 = spark.createDataFrame(index_rows + survivors,
+                                 ["vec_id", "embedding"])
+    replay = {r["vec_id"]: r["kept"]
+              for r in semantic_dedup_incremental(
+                  batch, idx2, cents, threshold=0.99).collect()}
+    # every batch row now has a witness in the index (1.0 cosine with
+    # itself for the absorbed survivors) -> nothing kept
+    assert replay == {1: False, 2: False, 3: False, 4: False}
+
+    # empty index degenerates to plain semantic_dedup
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    inc = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup_incremental(
+               batch, empty, cents, threshold=0.99).collect()}
+    plain = {r["vec_id"]: r["kept"]
+             for r in semantic_dedup(batch, cents,
+                                     threshold=0.99).collect()}
+    assert inc == plain
+
+
+def test_semantic_dedup_incremental_no_cartesian(spark):
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup_incremental)
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(10)],
+        ["vec_id", "embedding"])
+    idx = spark.createDataFrame(
+        [(100 + i, [0.5, float(i % 2), 1.0, 0.0]) for i in range(4)],
+        ["vec_id", "embedding"])
+    plan = semantic_dedup_incremental(df, idx, ivf_centroids(4, 4, seed=7)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # --------------------------------------------------------------------------
 # HLL sketches
 # --------------------------------------------------------------------------
