@@ -376,3 +376,83 @@ def dsir_select(source_df: DataFrame, target_df: DataFrame, n: int,
                       F.round(F.col("__lw_micro") / 1e6, 6)
                       .alias("logweight")),
         id_column))
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_column: str = "doc_id",
+                   token_column: str = "n_tokens") -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents laid
+    end-to-end in ``id_column`` order are cut into fixed
+    ``max_tokens``-token training chunks; each document learns where it
+    landed.  (The standard pretraining packing — public practice in the
+    GPT/T5 data pipelines; boundary documents span two or more chunks.)
+
+    Output per input row: ``(id, n_tokens, start_offset, first_chunk,
+    last_chunk, chunks_spanned)`` where ``start_offset`` is the
+    EXCLUSIVE running token sum over all smaller ids, ``first_chunk =
+    start_offset div max_tokens`` and ``last_chunk`` is the chunk of
+    the document's final token (empty documents sit wholly in
+    ``first_chunk``).
+
+    Scale shape — a distributed prefix sum, NO single-reducer global
+    window:
+
+      1. ``repartitionByRange(id)`` then pin the partitioning
+         (localCheckpoint — the range sampler is nondeterministic, and
+         the partial table and the per-partition scan must see the
+         SAME boundaries);
+      2. one tiny agg: per-partition token totals (one row per
+         partition, driver-side prefix over <= shuffle.partitions
+         rows — KB scale at any corpus size);
+      3. per-partition running sum (window partitioned by the pinned
+         partition id) plus the broadcast prefix offset.
+
+    Token counts must be non-negative — validated from the same
+    partials agg at zero extra cost.
+    """
+    from pyspark.sql import Window
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    ranged = (df.repartitionByRange(n_part, F.col(id_column))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+    partials = (ranged.groupBy("__pid")
+                .agg(F.sum(token_column).alias("__t"),
+                     F.min(token_column).alias("__mn"))
+                .collect())
+    neg = [r for r in partials if r["__mn"] is not None and r["__mn"] < 0]
+    if neg:
+        raise ValueError(
+            f"negative token counts in {token_column!r} "
+            f"(e.g. {neg[0]['__mn']}); packing needs n_tokens >= 0")
+    # range partition i holds strictly smaller ids than i+1, so the
+    # prefix over partition ids IS the prefix over the id order
+    prefix: dict[int, int] = {}
+    run = 0
+    for r in sorted(partials, key=lambda r: r["__pid"]):
+        prefix[r["__pid"]] = run
+        run += int(r["__t"] or 0)
+    spark = df.sparkSession
+    pre = F.broadcast(spark.createDataFrame(
+        [(int(k), int(v)) for k, v in prefix.items()] or [(0, 0)],
+        ["__pid", "__prefix"]))
+    w = (Window.partitionBy("__pid").orderBy(F.col(id_column).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    n = F.col(token_column).cast("long")
+    start = (F.coalesce(F.sum(token_column).over(w), F.lit(0)).cast("long")
+             + F.col("__prefix"))
+    first = F.floor(start / F.lit(max_tokens)).cast("long")
+    last = F.floor((start + F.greatest(n, F.lit(1)) - 1)
+                   / F.lit(max_tokens)).cast("long")
+    return (ranged.join(pre, "__pid")
+            .select(
+                F.col(id_column),
+                n.alias("n_tokens"),
+                start.alias("start_offset"),
+                first.alias("first_chunk"),
+                last.alias("last_chunk"),
+                (last - first + 1).cast("int").alias("chunks_spanned"),
+            ))

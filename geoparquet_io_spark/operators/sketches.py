@@ -252,3 +252,72 @@ def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     per_row = j.groupBy("hash_row").agg(
         F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches: dataset overlap WITHOUT a join
+# ---------------------------------------------------------------------------
+
+# hash space: first 15 md5 hex chars -> [0, 16^15) = [0, 2^60)
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, value_column: str, k: int = 1024) -> DataFrame:
+    """The ``k`` smallest md5-derived hash values of the column's
+    DISTINCT values — the classic KMV/bottom-k distinct sketch
+    (Bar-Yossef et al. 2002; same md5 trick as the CMS buckets, so a
+    SQL oracle reproduces it bit-for-bit).
+
+    Plan shape: distinct on the 8-byte hash (one map-side-combined
+    shuffle), then ``orderBy().limit(k)`` — Spark executes that as
+    TakeOrdered (each partition keeps its k smallest, driver merges),
+    never a global sort.  The sketch is <= k rows regardless of input
+    size; build once per dataset, answer any pairwise overlap later.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(F.substring(F.md5(F.col(value_column).cast("string")),
+                           1, 15), 16, 10).cast("long")
+    return (df.select(h.alias("hv")).where(F.col(value_column).isNotNull())
+            .distinct().orderBy("hv").limit(k))
+
+
+def kmv_overlap_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
+                         k: int = 1024) -> DataFrame:
+    """Distinct-overlap estimate between two datasets from their KMV
+    sketches alone — |A ∪ B|, |A ∩ B| and Jaccard without ever joining
+    the datasets (the contamination / dataset-dedup planning question
+    at 100 TB: both sketches are KB-scale).
+
+    Method (Beyer et al. 2007): merge the two bottom-k sets, keep the
+    k smallest distinct hashes; with theta = the k-th smallest,
+    ``union_est = (k-1) * SPACE / theta``; Jaccard is the fraction of
+    those k that appear in BOTH sketches; the intersection estimate is
+    their product.  When the union has fewer than k distinct hashes the
+    sketches ARE the full hash sets and every figure is exact.  All
+    arithmetic is integer or a single double division — engine-exact,
+    so the SQL oracle matches bit-for-bit.
+
+    Returns one row: (union_distinct_est, intersect_est,
+    jaccard_micro) — jaccard in integer micro-units.
+    """
+    a = sketch_a.select(F.col("hv").alias("hv"))
+    b = sketch_b.select(F.col("hv").alias("hv"))
+    both = (a.intersect(b)).select("hv", F.lit(True).alias("in_both"))
+    uni = a.union(b).distinct().orderBy("hv").limit(k)
+    merged = uni.join(both, "hv", "left")
+    agg = merged.agg(
+        F.count("*").alias("m"),
+        F.max("hv").alias("theta"),
+        F.sum(F.when(F.col("in_both"), 1).otherwise(0)).alias("matches"),
+    )
+    m, theta, matches = F.col("m"), F.col("theta"), F.col("matches")
+    union_est = F.when(
+        m < F.lit(k), m.cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(_KMV_SPACE)) / theta)
+    jac = matches.cast("double") / m
+    return agg.select(
+        F.floor(union_est).cast("long").alias("union_distinct_est"),
+        F.floor(jac * union_est).cast("long").alias("intersect_est"),
+        F.floor(jac * F.lit(1e6)).cast("long").alias("jaccard_micro"),
+    )

@@ -545,3 +545,51 @@ def q_cms_join_size(spark, sf_dir):
     return exact.crossJoin(est).select(
         "exact_join_rows", "est_join_rows",
         (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("est_sound"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-chunk) — r6
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "curate_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len({_TOKS}) END AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start
+      FROM d
+    )
+    SELECT doc_id, n AS n_tokens, start AS start_offset,
+           CAST(FLOOR(start / 512.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start + GREATEST(n, 1) - 1) / 512.0) AS BIGINT)
+             AS last_chunk,
+           CAST(CAST(FLOOR((start + GREATEST(n, 1) - 1) / 512.0) AS BIGINT)
+                - CAST(FLOOR(start / 512.0) AS BIGINT) + 1 AS INTEGER)
+             AS chunks_spanned
+    FROM o
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the corpus into 512-token training
+    chunks (operators/sampling.py:pack_sequences): a DISTRIBUTED prefix
+    sum — per-partition totals to the driver (one row per partition),
+    per-partition windows do the rest; no single-reducer global window.
+    The oracle is the equivalent global running-sum window."""
+    from geoparquet_io_spark.operators.sampling import pack_sequences
+    from geoparquet_io_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(d, max_tokens=512, id_column="doc_id",
+                          token_column="n_tokens")

@@ -3500,3 +3500,56 @@ def q_raster_polygon_zonal(spark, sf_dir):
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_cells"),
         F.round(F.avg("value"), 4).alias("mean_v"))
+
+
+# ---------------------------------------------------------------------------
+# KMV dataset-overlap estimation (r6)
+# ---------------------------------------------------------------------------
+
+def _kmv_overlap_oracle(k: int = 1024) -> str:
+    hv = ("CAST(concat('0x', substr(md5(CAST(text AS VARCHAR)), 1, 15)) "
+          "AS BIGINT)")
+    return f"""
+    WITH a AS (SELECT DISTINCT {hv} AS hv FROM documents WHERE doc_id % 2 = 0),
+    ak AS (SELECT hv FROM a ORDER BY hv LIMIT {k}),
+    b AS (SELECT DISTINCT {hv} AS hv FROM documents WHERE doc_id % 3 = 0),
+    bk AS (SELECT hv FROM b ORDER BY hv LIMIT {k}),
+    uni AS (SELECT DISTINCT hv
+            FROM (SELECT hv FROM ak UNION ALL SELECT hv FROM bk)
+            ORDER BY hv LIMIT {k}),
+    agg AS (
+      SELECT COUNT(*) AS m, MAX(hv) AS theta,
+             SUM(CASE WHEN hv IN (SELECT hv FROM ak)
+                       AND hv IN (SELECT hv FROM bk)
+                 THEN 1 ELSE 0 END) AS matches
+      FROM uni)
+    SELECT
+      CAST(FLOOR(CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                 ELSE ({k} - 1.0) * 1152921504606846976.0 / theta END)
+           AS BIGINT) AS union_distinct_est,
+      CAST(FLOOR((CAST(matches AS DOUBLE) / m)
+                 * CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                   ELSE ({k} - 1.0) * 1152921504606846976.0 / theta END)
+           AS BIGINT) AS intersect_est,
+      CAST(FLOOR(CAST(matches AS DOUBLE) / m * 1000000.0) AS BIGINT)
+        AS jaccard_micro
+    FROM agg
+    """
+
+
+@register("sketch_kmv_overlap", _kmv_overlap_oracle())
+def q_kmv_overlap(spark, sf_dir):
+    """Distinct-overlap between two corpora from KB-scale KMV sketches —
+    no join of the datasets themselves
+    (operators/sketches.py:kmv_sketch/kmv_overlap_estimate).  The two
+    'corpora' are overlapping doc_id slices (% 2 and % 3; every sixth
+    document is shared), so the intersection is real.  At sf0.01 the
+    union fits under k and the figures are exact; past k the (k-1)/theta
+    estimator kicks in."""
+    from geoparquet_io_spark.operators.sketches import (
+        kmv_overlap_estimate, kmv_sketch)
+
+    d = load_table(spark, sf_dir, "documents")
+    sk_a = kmv_sketch(d.filter(F.col("doc_id") % 2 == 0), "text", k=1024)
+    sk_b = kmv_sketch(d.filter(F.col("doc_id") % 3 == 0), "text", k=1024)
+    return kmv_overlap_estimate(sk_a, sk_b, k=1024)

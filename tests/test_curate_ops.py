@@ -302,3 +302,56 @@ def test_grouped_outliers_keeps_null_group_rows(spark):
     nulls = [r for r in out if r.g is None]
     assert len(nulls) == 4
     assert sum(r.is_outlier for r in nulls) >= 1  # 100.0 flagged
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Chunk layout is the exact concat-and-chunk rule: exclusive prefix
+    offsets, boundary documents span chunks, empty docs sit in their
+    start chunk, negative counts are rejected."""
+    import pytest
+
+    from geoparquet_io_spark.operators.sampling import pack_sequences
+
+    rows = [(1, 3), (2, 5), (3, 0), (4, 9), (5, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: (r["start_offset"], r["first_chunk"],
+                         r["last_chunk"], r["chunks_spanned"])
+           for r in pack_sequences(df, max_tokens=4).collect()}
+    # offsets: 0, 3, 8, 8, 17
+    assert out[1] == (0, 0, 0, 1)      # tokens 0-2 -> chunk 0
+    assert out[2] == (3, 0, 1, 2)      # tokens 3-7 -> spans chunks 0-1
+    assert out[3] == (8, 2, 2, 1)      # empty doc at offset 8 -> chunk 2
+    assert out[4] == (8, 2, 4, 3)      # tokens 8-16 -> chunks 2,3,4
+    assert out[5] == (17, 4, 4, 1)     # tokens 17-18 -> chunk 4
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, max_tokens=0)
+    bad = spark.createDataFrame([(1, -2)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="negative token counts"):
+        pack_sequences(bad, max_tokens=4).collect()
+
+
+def test_pack_sequences_distributed_prefix_matches_global(spark):
+    """The two-pass prefix sum (range partitions + driver prefix +
+    per-partition windows) must equal the single global running sum,
+    and the plan must not contain a partition-less global window."""
+    from pyspark.sql import Window
+
+    from geoparquet_io_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 7) % 13) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]) \
+        .repartition(8)
+    got = {r["doc_id"]: r["start_offset"]
+           for r in pack_sequences(df, max_tokens=32).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    exp = {r["doc_id"]: r["s"] or 0
+           for r in df.select("doc_id", F.sum("n_tokens").over(w)
+                              .alias("s")).collect()}
+    assert got == exp
+    plan = pack_sequences(df, max_tokens=32)._jdf \
+        .queryExecution().executedPlan().toString()
+    # per-partition windows only: every window spec carries __pid
+    import re
+    for frag in re.findall(r"Window \[[^\]]*\]", plan):
+        assert "__pid" in frag or "windowspecdefinition" not in frag

@@ -169,3 +169,63 @@ def test_cms_join_size_never_underestimates(spark):
         count_min_sketch(a, "k"), count_min_sketch(b, "k")) \
         .collect()[0]["est_join_rows"]
     assert est >= exact
+
+
+# -- KMV overlap -------------------------------------------------------------
+
+def test_kmv_exact_under_k(spark):
+    """Union below k: the sketches are the full hash sets, so union /
+    intersection / jaccard are EXACT."""
+    from geoparquet_io_spark.operators.sketches import (
+        kmv_overlap_estimate, kmv_sketch)
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(60)], ["x"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(40, 100)], ["x"])
+    sk_a = kmv_sketch(a, "x", k=256)
+    sk_b = kmv_sketch(b, "x", k=256)
+    row = kmv_overlap_estimate(sk_a, sk_b, k=256).collect()[0]
+    assert row["union_distinct_est"] == 100
+    assert row["intersect_est"] == 20
+    assert row["jaccard_micro"] == 200000      # 20/100
+
+    # duplicates and nulls don't inflate the sketch
+    a_dup = a.union(a).union(
+        spark.createDataFrame([(None,)], "x string"))
+    row2 = kmv_overlap_estimate(kmv_sketch(a_dup, "x", k=256),
+                                sk_b, k=256).collect()[0]
+    assert row2["union_distinct_est"] == 100
+
+
+def test_kmv_estimator_accuracy_past_k(spark):
+    """Past k the (k-1)/theta estimator engages: union/intersection
+    within ~15% of truth at k=512 over 8k distinct values."""
+    from geoparquet_io_spark.operators.sketches import (
+        kmv_overlap_estimate, kmv_sketch)
+
+    n, shared = 5000, 2000
+    a = spark.createDataFrame(
+        [(f"a{i}",) for i in range(n - shared)]
+        + [(f"s{i}",) for i in range(shared)], ["x"])
+    b = spark.createDataFrame(
+        [(f"b{i}",) for i in range(n - shared)]
+        + [(f"s{i}",) for i in range(shared)], ["x"])
+    row = kmv_overlap_estimate(kmv_sketch(a, "x", k=512),
+                               kmv_sketch(b, "x", k=512), k=512).collect()[0]
+    true_union = 2 * n - shared
+    assert abs(row["union_distinct_est"] - true_union) / true_union < 0.15
+    assert abs(row["intersect_est"] - shared) / shared < 0.30
+
+
+def test_kmv_sketch_plan_take_ordered(spark):
+    """The bottom-k must run as TakeOrdered (per-partition k + driver
+    merge), never a global sort."""
+    from geoparquet_io_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(100)], ["x"])
+    plan = kmv_sketch(df, "x", k=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "x", k=1)
