@@ -120,8 +120,20 @@ def _wait_for_quiet(max_load1: float = 0.8,
     missing one — but the observed load and wait are recorded in the
     output JSON so a contended run is visible to the reader."""
     try:
-        limit = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD",
-                                     max_load1))
+        # SPARK_GRAFT_BENCH_MAX_LOAD1 is ABSOLUTE load1.  The legacy
+        # SPARK_GRAFT_BENCH_MAX_LOAD meant load1 PER CPU; reinterpreting
+        # it silently would make an old 0.5 unreachable on a busy host,
+        # so it is honored with its original per-CPU meaning + a note.
+        if "SPARK_GRAFT_BENCH_MAX_LOAD1" in os.environ:
+            limit = float(os.environ["SPARK_GRAFT_BENCH_MAX_LOAD1"])
+        elif "SPARK_GRAFT_BENCH_MAX_LOAD" in os.environ:
+            limit = float(os.environ["SPARK_GRAFT_BENCH_MAX_LOAD"]) \
+                * (os.cpu_count() or 1)
+            print("note: SPARK_GRAFT_BENCH_MAX_LOAD is per-CPU (legacy); "
+                  "use SPARK_GRAFT_BENCH_MAX_LOAD1 for an absolute gate",
+                  file=sys.stderr)
+        else:
+            limit = max_load1
         waited = 0
         while waited < timeout_s:
             if os.getloadavg()[0] <= limit:

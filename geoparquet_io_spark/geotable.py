@@ -195,10 +195,18 @@ class GeoTable:
         )
         if isinstance(dst, dict) and "family" in dst:
             # parameterized target (projections.proj_from_params): the
-            # spec's optional "crs" key labels the output metadata
-            # ("EPSG:27562" etc.); without it the CRS is recorded as
-            # unknown rather than guessed
-            geo.primary.crs = dst.get("crs")
+            # spec MUST carry a "crs" label for the output metadata —
+            # in GeoParquet, crs=None means OGC:CRS84, so leaving it
+            # unset would advertise lon/lat for meter-valued output and
+            # a later reproject would silently transform garbage
+            label = dst.get("crs")
+            if label is None:
+                raise ValueError(
+                    "reproject(dst={'family': ...}) needs a 'crs' key "
+                    "naming the target CRS for the output metadata "
+                    "(e.g. {'crs': 'EPSG:31287', ...}) — without it the "
+                    "written file would claim OGC:CRS84")
+            geo.primary.crs = label
         else:
             geo.primary.crs = _crs.normalize_crs(dst)
         geo.primary.bbox = None  # stale after transform

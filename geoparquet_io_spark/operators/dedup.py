@@ -270,7 +270,15 @@ def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
                                    num_hashes, bands, k)
         losers = edges.select(F.col("id_b").alias(id_column)).distinct()
         return df.join(losers, id_column, "left_anti")
-    pairs = minhash_candidate_pairs(df, id_column, text_column, num_hashes, bands, k)
+    # per-pair Jaccard verification REQUIRES the literal all-pairs form:
+    # a chain through a hot bucket could pair only non-duplicate
+    # neighbors (A,B,A,B boilerplate interleave) and verification would
+    # reject every edge, keeping all duplicates.  The unverified
+    # "pairs" mode only needs survivor equivalence, which the capped
+    # form preserves — keep the guard there.
+    pairs = minhash_candidate_pairs(
+        df, id_column, text_column, num_hashes, bands, k,
+        max_bucket_size=None if jaccard_threshold is not None else 128)
     if jaccard_threshold is not None:
         sh = df.select(F.col(id_column).alias("id"),
                        F.array_distinct(shingles(F.col(text_column), k)).alias("sh"))

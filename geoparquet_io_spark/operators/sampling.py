@@ -421,13 +421,23 @@ def pack_sequences(df: DataFrame, max_tokens: int,
               .localCheckpoint(eager=False))
     partials = (ranged.groupBy("__pid")
                 .agg(F.sum(token_column).alias("__t"),
-                     F.min(token_column).alias("__mn"))
+                     F.min(token_column).alias("__mn"),
+                     F.sum(F.col(token_column).isNull().cast("int"))
+                     .alias("__nulls"))
                 .collect())
     neg = [r for r in partials if r["__mn"] is not None and r["__mn"] < 0]
     if neg:
         raise ValueError(
             f"negative token counts in {token_column!r} "
             f"(e.g. {neg[0]['__mn']}); packing needs n_tokens >= 0")
+    n_null = sum(r["__nulls"] or 0 for r in partials)
+    if n_null:
+        # a NULL count would silently contribute 0 to offsets while the
+        # row's own chunk columns come out null — fail loudly instead
+        raise ValueError(
+            f"{n_null} NULL values in {token_column!r}; packing needs "
+            "a concrete token count for every row (fill or filter "
+            "nulls first)")
     # range partition i holds strictly smaller ids than i+1, so the
     # prefix over partition ids IS the prefix over the id order
     prefix: dict[int, int] = {}

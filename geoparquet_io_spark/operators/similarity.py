@@ -862,7 +862,8 @@ def semantic_dedup(
 
 
 def _cross_losers_arrow(new_pool: DataFrame, idx_pool: DataFrame,
-                        threshold: float, block: int = 2048) -> DataFrame:
+                        threshold: float, block: int = 2048,
+                        max_group: int | None = None) -> DataFrame:
     """Cross-set near-dup scorer (Arrow cogroup kernel): for each
     cluster, return NEW ids whose cosine against ANY index member is
     >= threshold.  Same blockwise gram matrix and dim-order float64
@@ -870,14 +871,44 @@ def _cross_losers_arrow(new_pool: DataFrame, idx_pool: DataFrame,
     SQL cosine), but no ordering rule — every index member is a kept
     survivor, so any hit kills the new row.
 
-    One shuffle per side on the cluster id; peak memory is
-    ``m * block`` doubles per task."""
+    ``max_group`` bounds PER-TASK memory on hot clusters: each side is
+    cut into id-ordered sub-blocks of at most that many rows and the
+    cogroup key becomes (cluster, new_block, idx_block) — every
+    new-index pair still meets in exactly ONE task (the blocked cross
+    product is exact), but no task ever materializes more than
+    ~2*max_group rows.  Replication factor is the other side's block
+    count; the per-cluster block-count tables are bounded by
+    len(centroids) rows, so both are broadcast joins."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
     out_schema = T.StructType([
         T.StructField("id", new_pool.schema["id"].dataType)])
+
+    if max_group is not None:
+        wc = Window.partitionBy("cluster").orderBy("id")
+        new_r = new_pool.withColumn(
+            "__bn", ((F.row_number().over(wc) - 1) / max_group)
+            .cast("long"))
+        idx_r = idx_pool.withColumn(
+            "__bi", ((F.row_number().over(wc) - 1) / max_group)
+            .cast("long"))
+        n_bi = idx_r.groupBy("cluster").agg(
+            (F.max("__bi") + 1).alias("__nbi"))
+        n_bn = new_r.groupBy("cluster").agg(
+            (F.max("__bn") + 1).alias("__nbn"))
+        # inner joins: a cluster absent from the other side has no
+        # cross pairs and drops out entirely
+        new_g = (new_r.join(F.broadcast(n_bi), "cluster")
+                 .withColumn("__bi", F.explode(F.sequence(
+                     F.lit(0).cast("long"), F.col("__nbi") - 1))))
+        idx_g = (idx_r.join(F.broadcast(n_bn), "cluster")
+                 .withColumn("__bn", F.explode(F.sequence(
+                     F.lit(0).cast("long"), F.col("__nbn") - 1))))
+        keys = ["cluster", "__bn", "__bi"]
+    else:
+        new_g, idx_g, keys = new_pool, idx_pool, ["cluster"]
 
     def score(key, new_pdf: pd.DataFrame, idx_pdf: pd.DataFrame):
         import numpy as np
@@ -901,9 +932,10 @@ def _cross_losers_arrow(new_pool: DataFrame, idx_pool: DataFrame,
                 lost |= (S >= threshold).any(axis=1)
         return new_pdf.loc[lost, ["id"]]
 
-    return (new_pool.groupBy("cluster")
-            .cogroup(idx_pool.groupBy("cluster"))
-            .applyInPandas(score, out_schema))
+    return (new_g.groupBy(*keys)
+            .cogroup(idx_g.groupBy(*keys))
+            .applyInPandas(score, out_schema)
+            .distinct())
 
 
 def semantic_dedup_incremental(
@@ -965,14 +997,20 @@ def semantic_dedup_incremental(
         sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
         big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
             .select(F.col("id_b").alias("id"))
-    losers = _cluster_losers_arrow(pool, threshold)
+    intra = _cluster_losers_arrow(pool, threshold)
     if big_pairs is not None:
-        losers = losers.unionByName(big_pairs)
-    # cross losers vs the persisted kept-set (no cap needed: the index
-    # is deduplicated, so its per-cluster density is bounded by the
-    # threshold geometry, not by corpus duplication)
-    losers = losers.unionByName(
-        _cross_losers_arrow(v_new, v_idx, threshold)).distinct()
+        intra = intra.unionByName(big_pairs)
+    intra = intra.distinct().localCheckpoint(eager=False)
+    # cross losers vs the persisted kept-set — checked only for the
+    # INTRA-BATCH SURVIVORS (a row already dropped by a smaller batch
+    # id needs no index witness; the final kept-set is identical), so a
+    # boilerplate mass collapses to its survivors before the cross
+    # check.  max_group sub-blocks both cogroup sides so no task ever
+    # materializes a hot cluster whole.
+    survivors = v_new.join(intra, "id", "left_anti")
+    losers = intra.unionByName(
+        _cross_losers_arrow(survivors, v_idx, threshold,
+                            max_group=max_cluster_size)).distinct()
     return (
         v_new.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
         .select(

@@ -241,7 +241,12 @@ def _shingles_sql(text: str, k: int) -> str:
     return f"[substr({text}, i, {k}) FOR i IN range(1, greatest(len({text}) - {k - 1}, 0) + 1)]"
 
 
-def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
+def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5,
+                          max_bucket_size: int = 128) -> str:
+    """Models the operator's hot-bucket cap exactly: buckets at or
+    under ``max_bucket_size`` emit all pairs; larger ones emit the
+    sorted-id predecessor chain — so the oracle describes the query at
+    EVERY scale factor, not just the ones whose buckets stay small."""
     rows = num_hashes // bands
     mh = ", ".join(
         f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes)
@@ -263,9 +268,24 @@ def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5) -> st
           FROM sh),
     sigs AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
     banded AS (SELECT doc_id, {band_cols} FROM sigs),
-    u AS ({union})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM u a JOIN u b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    u AS ({union}),
+    sized AS (SELECT band, bh, doc_id,
+                     COUNT(*) OVER (PARTITION BY band, bh) AS n,
+                     LAG(doc_id) OVER (PARTITION BY band, bh
+                                       ORDER BY doc_id) AS prev
+              FROM u),
+    small_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.n <= {max_bucket_size}
+    ),
+    chain AS (
+      SELECT prev AS id_a, doc_id AS id_b FROM sized
+      WHERE n > {max_bucket_size} AND prev IS NOT NULL
+    )
+    SELECT DISTINCT id_a, id_b
+    FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM chain)
     """
 
 

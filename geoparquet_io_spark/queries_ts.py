@@ -197,12 +197,16 @@ def q_psi_drift(spark, sf_dir):
       SELECT user_id, {EVENT_LON_SQL} AS lon, {EVENT_LAT_SQL} AS lat
       FROM events
     ),
-    sig AS (
+    sig0 AS (
       SELECT DISTINCT user_id,
              CAST(FLOOR(lon / 5.0) AS BIGINT) AS cx,
              CAST(FLOOR(lat / 5.0) AS BIGINT) AS cy
       FROM pts
     ),
+    freq AS (SELECT cx, cy, COUNT(*) AS cf FROM sig0 GROUP BY 1, 2),
+    sig AS (SELECT s.user_id, s.cx, s.cy
+            FROM sig0 s JOIN freq f ON s.cx = f.cx AND s.cy = f.cy
+            WHERE f.cf <= 100),
     sz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM sig GROUP BY 1),
     pairs AS (

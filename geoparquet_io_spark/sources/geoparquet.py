@@ -238,7 +238,11 @@ def _make_native_geometry_type(crs):
             try:
                 return ctor(crs)
             except TypeError:
-                pass
+                # this pyarrow's ctor can't take our CRS: do NOT emit a
+                # native type that silently drops it — returning None
+                # falls back to the GeoArrow metadata path, which
+                # carries the CRS
+                return None
     try:
         return ctor()
     except TypeError:

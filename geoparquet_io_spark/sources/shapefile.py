@@ -150,10 +150,18 @@ def _parse_dbf_value(raw: bytes, f: dict):
         if f["decimals"] or t == "F":
             return float(s)
         # decimals=0 maps to LongType in the Spark schema, but some
-        # writers emit '3.0' in integer N fields — keep the value
-        # integral so the Int64 cast downstream never fails
+        # writers emit '3.0' in integer N fields — accept INTEGRAL
+        # float text so the Int64 cast downstream never fails, yet
+        # refuse genuinely fractional values (silently rounding '3.7'
+        # would corrupt data on read)
         if "." in s or "e" in s.lower():
-            return int(round(float(s)))
+            v = float(s)
+            if v != int(v):
+                raise ValueError(
+                    f"fractional value {s!r} in integer DBF field "
+                    f"{f['name']!r} (N..0) — the file's declared type "
+                    "does not match its data")
+            return int(v)
         return int(s)
     if t == "L":
         if s in ("T", "t", "Y", "y"):

@@ -329,6 +329,10 @@ def test_pack_sequences_hand_computed(spark):
     bad = spark.createDataFrame([(1, -2)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="negative token counts"):
         pack_sequences(bad, max_tokens=4).collect()
+    nul = spark.createDataFrame([(1, 3), (2, None)],
+                                "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="NULL values"):
+        pack_sequences(nul, max_tokens=4).collect()
 
 
 def test_pack_sequences_distributed_prefix_matches_global(spark):

@@ -184,6 +184,29 @@ def test_proj_from_params_matches_registry():
         C.get_transformer("EPSG:4326", "EPSG:27562")
 
 
+def test_reproject_params_dict_requires_crs_label(spark):
+    """A parameter-dict reproject target without a 'crs' key must be
+    rejected: GeoParquet treats crs=None as OGC:CRS84, so recording
+    nothing would advertise lon/lat for meter-valued output."""
+    import pytest
+    from pyspark.sql import Row
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    df = spark.createDataFrame(
+        [Row(geometry=bytearray(W.encode_point(3.0, 47.0)))])
+    gt = GeoTable(df, GeoMeta(primary_column="geometry", columns={
+        "geometry": GeoColumnMeta(crs="EPSG:4326")}))
+    spec = {"family": "lcc", "ellps": "GRS80", "lat1": 44.0, "lat2": 49.0,
+            "lat0": 46.5, "lon0": 3.0, "fe": 700000.0, "fn": 6600000.0}
+    with pytest.raises(ValueError, match="'crs' key"):
+        gt.reproject(spec)
+    out = gt.reproject({**spec, "crs": "EPSG:2154"})
+    assert out.crs == "EPSG:2154"
+
+
 def test_osgb_datum_shift_magnitude():
     """OSGB36<->WGS84 Helmert sanity: over Great Britain the horizontal
     datum shift is famously ~50-180 m (sign errors would double it or

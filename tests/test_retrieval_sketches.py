@@ -166,6 +166,38 @@ def test_semantic_dedup_incremental_replay(spark, tmp_path):
     assert inc == plain
 
 
+def test_semantic_dedup_incremental_blocked_matches_unblocked(spark):
+    """Hot-cluster memory guard: with max_cluster_size forcing the
+    cross check into sub-blocks (and the intra path into the chain),
+    kept-sets match the uncapped run on a mutual-dup mass — no task
+    ever materializes the whole cluster, same answer."""
+    from geoparquet_io_spark.operators.similarity import \
+        semantic_dedup_incremental
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # 90 near-identical batch vectors + 30 near-identical index vectors,
+    # all in cluster 0 — far above the cap of 8
+    batch = spark.createDataFrame(
+        [(i, [1.0, i * 1e-6]) for i in range(90)]
+        + [(1000, [0.0, 1.0])],                      # cluster-1 loner
+        ["vec_id", "embedding"])
+    idx = spark.createDataFrame(
+        [(5000 + i, [1.0, 5e-7 + i * 1e-6]) for i in range(30)],
+        ["vec_id", "embedding"])
+    uncapped = {r["vec_id"]: r["kept"]
+                for r in semantic_dedup_incremental(
+                    batch, idx, cents, threshold=0.99,
+                    max_cluster_size=None).collect()}
+    capped = {r["vec_id"]: r["kept"]
+              for r in semantic_dedup_incremental(
+                  batch, idx, cents, threshold=0.99,
+                  max_cluster_size=8, window=8).collect()}
+    assert capped == uncapped
+    # the mass is killed by the index; the loner survives
+    assert capped[1000] is True
+    assert sum(capped.values()) == 1
+
+
 def test_semantic_dedup_incremental_no_cartesian(spark):
     from geoparquet_io_spark.operators.similarity import (
         ivf_centroids, semantic_dedup_incremental)

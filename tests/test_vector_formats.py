@@ -229,6 +229,9 @@ def test_shapefile_dbf_numeric_width_and_integer_dot(spark, tmp_path):
     assert _parse_dbf_value(b"       3.0", fld) == 3
     assert isinstance(_parse_dbf_value(b"       3.0", fld), int)
     assert _parse_dbf_value(b"      1e2 ", fld) == 100
+    # genuinely fractional text in an integer field: loud, not rounded
+    with pytest.raises(ValueError, match="fractional value"):
+        _parse_dbf_value(b"       3.7", fld)
     fld_f = {"name": "x", "type": "F", "length": 10, "decimals": 0}
     assert _parse_dbf_value(b"       3.5", fld_f) == 3.5
 
