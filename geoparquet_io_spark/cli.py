@@ -490,6 +490,44 @@ def cmd_join_size(args) -> int:
     return 0
 
 
+def cmd_kmv_overlap(args) -> int:
+    """Distinct-overlap (union/intersection/Jaccard) between two
+    datasets from KB-scale KMV sketches — no join of the datasets
+    (operators/sketches.py:kmv_sketch/kmv_overlap_estimate)."""
+    from geoparquet_io_spark.operators.sketches import (
+        kmv_overlap_estimate, kmv_sketch)
+
+    spark = _spark()
+    a = spark.read.parquet(args.left)
+    b = spark.read.parquet(args.right)
+    row = kmv_overlap_estimate(
+        kmv_sketch(a, args.column, k=args.k),
+        kmv_sketch(b, args.column, k=args.k), k=args.k).collect()[0]
+    print(json.dumps({"column": args.column, "k": args.k,
+                      "union_distinct_est": int(row["union_distinct_est"]),
+                      "intersect_est": int(row["intersect_est"]),
+                      "jaccard": row["jaccard_micro"] / 1e6}))
+    return 0
+
+
+def cmd_pack_sequences(args) -> int:
+    """Concat-and-chunk sequence packing: writes per-document chunk
+    placement (operators/sampling.py:pack_sequences)."""
+    from geoparquet_io_spark.operators.sampling import pack_sequences
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    out = pack_sequences(df, max_tokens=args.max_tokens,
+                         id_column=args.id_column,
+                         token_column=args.token_column)
+    out.write.mode("overwrite").parquet(args.output)
+    n_chunks = out.agg({"last_chunk": "max"}).collect()[0][0]
+    print(json.dumps({"max_tokens": args.max_tokens,
+                      "n_chunks": int(n_chunks) + 1 if n_chunks is not None
+                      else 0, "output": args.output}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Bin small files up to a target size (operators/maintenance.py)."""
     from geoparquet_io_spark.operators.maintenance import compact
@@ -901,6 +939,21 @@ def build_parser() -> argparse.ArgumentParser:
     km.add_argument("--vector-column", default="embedding")
     km.add_argument("--seed", type=int, default=7)
     km.set_defaults(fn=cmd_kmeans_train)
+
+    ko = sub.add_parser("kmv-overlap")
+    ko.add_argument("left")
+    ko.add_argument("right")
+    ko.add_argument("--column", required=True)
+    ko.add_argument("--k", type=int, default=1024)
+    ko.set_defaults(fn=cmd_kmv_overlap)
+
+    pk = sub.add_parser("pack-sequences")
+    pk.add_argument("input")
+    pk.add_argument("output")
+    pk.add_argument("--max-tokens", type=int, required=True)
+    pk.add_argument("--id-column", default="doc_id")
+    pk.add_argument("--token-column", default="n_tokens")
+    pk.set_defaults(fn=cmd_pack_sequences)
 
     js = sub.add_parser("join-size-estimate")
     js.add_argument("left")

@@ -313,3 +313,106 @@ def read_hll_sketches(spark: SparkSession, path: str) -> DataFrame:
     with open(ptr) as fh:
         cur = fh.read().strip()
     return spark.read.parquet(os.path.join(path, cur))
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic-dedup ingest (r6): each micro-batch dedups against
+# the PERSISTED kept-set and its survivors are absorbed into it
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
+                           vector_column: str = "embedding",
+                           threshold: float = 0.95,
+                           max_cluster_size: int | None = 10_000,
+                           keep_versions: int = 2):
+    """The foreachBatch body behind :func:`stream_semantic_dedup_sink`,
+    exposed so replay is directly testable.
+
+    Per epoch: read the current kept-set version, run
+    ``semantic_dedup_incremental`` (operators/similarity.py) on the
+    batch, append the batch's SURVIVORS to the kept-set, write a fresh
+    version dir partitioned by cluster, atomically repoint ``_LATEST``.
+
+    Exactly-once without epoch bookkeeping: absorption is idempotent —
+    a replayed batch finds each of its own survivors already in the
+    index at cosine exactly 1.0 and keeps nothing new, so crash/replay
+    converges to the same kept-set (same argument as the HLL sink's
+    register-max merge).  Each attempt writes a UNIQUE dir; stale
+    versions beyond ``keep_versions`` are pruned after the pointer
+    moves.
+    """
+    import os
+    import uuid
+
+    from geoparquet_io_spark.operators.similarity import \
+        semantic_dedup_incremental
+
+    def sink(batch_df, epoch_id):
+        spark = batch_df.sparkSession
+        ptr = os.path.join(path, "_LATEST")
+        src = batch_df.select(id_column, vector_column)
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                cur = fh.read().strip()
+            index = spark.read.parquet(os.path.join(path, cur)) \
+                .select(id_column, vector_column)
+        else:
+            index = spark.createDataFrame([], src.schema)
+        flags = semantic_dedup_incremental(
+            src, index, centroids, id_column, vector_column,
+            threshold=threshold, max_cluster_size=max_cluster_size)
+        survivors = (src.join(flags.filter("kept"), id_column, "left_semi")
+                     .join(flags.select(id_column, "cluster"), id_column))
+        vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(ptr):
+            # prior rows keep the cluster they were stored under (the
+            # hive partition column reads back as a data column)
+            prior = spark.read.parquet(os.path.join(path, cur))
+            full = prior.unionByName(survivors).dropDuplicates([id_column])
+        else:
+            full = survivors
+        full.write.mode("overwrite").partitionBy("cluster") \
+            .parquet(os.path.join(path, vdir))
+        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, ptr)
+        vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+        for stale in vers[:-keep_versions]:
+            if stale != vdir:
+                import shutil
+
+                shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+    return sink
+
+
+def stream_semantic_dedup_sink(stream_df, path: str, centroids,
+                               checkpoint: str, id_column: str = "vec_id",
+                               vector_column: str = "embedding",
+                               threshold: float = 0.95,
+                               max_cluster_size: int | None = 10_000,
+                               trigger_available_now: bool = True,
+                               keep_versions: int = 2):
+    """Streaming semantic-dedup ingest: micro-batches of embeddings are
+    deduplicated against the persisted kept-set (never recomputing it)
+    and their survivors absorbed — the continuous version of the
+    batch ``semantic_dedup_incremental`` pipeline."""
+    sink = semantic_dedup_sink_fn(path, centroids, id_column,
+                                  vector_column, threshold,
+                                  max_cluster_size, keep_versions)
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_semantic_index(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted kept-set behind ``stream_semantic_dedup_sink``."""
+    import os
+
+    ptr = os.path.join(path, "_LATEST")
+    with open(ptr) as fh:
+        cur = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, cur))

@@ -342,6 +342,33 @@ def test_manifest_cli(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_kmv_overlap_cli(spark, tmp_path, capsys):
+    left = str(tmp_path / "a.parquet")
+    right = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(f"v{i}",) for i in range(60)], ["x"]) \
+        .write.parquet(left)
+    spark.createDataFrame([(f"v{i}",) for i in range(40, 100)], ["x"]) \
+        .write.parquet(right)
+    assert _run(["kmv-overlap", left, right, "--column", "x"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["union_distinct_est"] == 100
+    assert rep["intersect_est"] == 20
+    assert rep["jaccard"] == 0.2
+
+
+def test_pack_sequences_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(i, 3) for i in range(1, 9)],
+                          ["doc_id", "n_tokens"]).write.parquet(src)
+    out = str(tmp_path / "packed")
+    assert _run(["pack-sequences", src, out, "--max-tokens", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_chunks"] == 3                       # 24 tokens / 8
+    packed = {r["doc_id"]: r["first_chunk"]
+              for r in spark.read.parquet(out).collect()}
+    assert packed[1] == 0 and packed[8] == 2
+
+
 def test_diff_cli(spark, src, tmp_path, capsys):
     import geoparquet_io_spark as gps
 

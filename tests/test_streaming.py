@@ -297,3 +297,42 @@ def test_stream_hll_sink_replay_idempotent(spark, events_dir, tmp_path):
              for r in hll_rollup(read_hll_sketches(spark, path),
                                  "event_type").collect()}
     assert first == again and len(first) > 0
+
+
+def test_stream_semantic_dedup_sink_absorbs_and_replays(spark, tmp_path):
+    """Streaming semantic-dedup ingest: batch 1's survivors are
+    absorbed into the persisted kept-set; batch 2's near-dups of them
+    are dropped; replaying an absorbed batch changes nothing (each of
+    its survivors is already in the index at cosine 1.0)."""
+    import os
+
+    from geoparquet_io_spark.streaming.events import (
+        read_semantic_index, semantic_dedup_sink_fn)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "semidx")
+    os.makedirs(path, exist_ok=True)
+    sink = semantic_dedup_sink_fn(path, cents, threshold=0.99)
+
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.001]), (2, [1.0, 0.002]),      # mutual dups -> keep 1
+         (3, [0.0, 1.0])],                          # distinct -> keep
+        ["vec_id", "embedding"])
+    sink(b1, 0)
+    idx1 = {r["vec_id"] for r in read_semantic_index(spark, path).collect()}
+    assert idx1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [(10, [1.0, 0.003]),                        # dup of absorbed 1
+         (11, [0.0, -1.0])],                        # new direction
+        ["vec_id", "embedding"])
+    sink(b2, 1)
+    idx2 = {r["vec_id"] for r in read_semantic_index(spark, path).collect()}
+    assert idx2 == {1, 3, 11}
+
+    sink(b2, 1)                                     # crash-replay epoch 1
+    idx3 = {r["vec_id"] for r in read_semantic_index(spark, path).collect()}
+    assert idx3 == idx2
+    # cluster partition column survives the round trip
+    cols = set(read_semantic_index(spark, path).columns)
+    assert {"vec_id", "embedding", "cluster"} <= cols
