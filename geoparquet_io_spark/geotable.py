@@ -72,6 +72,25 @@ class GeoTable:
             out = op(out)
         return out
 
+    def persist(self, storage_level: str | None = None) -> "GeoTable":
+        """Pin the current rows in executor storage (Spark persist) so a
+        multi-branch pipeline (bounds + sort + write, or several
+        extracts off one decode) evaluates the upstream plan ONCE — the
+        in-memory working style of the reference's Python API.  Default
+        MEMORY_AND_DISK spill semantics; pass a StorageLevel name
+        ("MEMORY_ONLY", "DISK_ONLY", ...) to override."""
+        if storage_level is None:
+            df = self._df.persist()
+        else:
+            from pyspark import StorageLevel
+
+            df = self._df.persist(getattr(StorageLevel, storage_level))
+        return self._wrap(df)
+
+    def unpersist(self) -> "GeoTable":
+        """Release storage pinned by :meth:`persist`."""
+        return self._wrap(self._df.unpersist())
+
     # -- extract (SURVEY 2.3) ---------------------------------------------------
 
     def extract(self, columns=None, exclude_columns=None, bbox=None,

@@ -68,6 +68,11 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+#: hot-bucket guard default for minhash_candidate_pairs (and its SQL
+#: oracle) — chosen above real bucket maxima at the test scale factors
+#: (60 @ sf0.01, 478 @ sf0.1) so normal corpora are byte-identical
+DEFAULT_MAX_BUCKET_SIZE = 128
+
 def minhash_signatures_agg(df: DataFrame, id_column: str,
                            text_column: str = "text", num_hashes: int = 8,
                            k: int = 5) -> DataFrame:
@@ -125,7 +130,8 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
 def minhash_candidate_pairs(df: DataFrame, id_column: str,
                             text_column: str = "text", num_hashes: int = 8,
                             bands: int = 4, k: int = 5,
-                            max_bucket_size: int | None = 128) -> DataFrame:
+                            max_bucket_size: int | None =
+                            DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that collide in >=1 band.
 
     One signature computation (explode+agg), then ONE self-join on the
@@ -278,7 +284,8 @@ def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
     # form preserves — keep the guard there.
     pairs = minhash_candidate_pairs(
         df, id_column, text_column, num_hashes, bands, k,
-        max_bucket_size=None if jaccard_threshold is not None else 128)
+        max_bucket_size=None if jaccard_threshold is not None
+        else DEFAULT_MAX_BUCKET_SIZE)
     if jaccard_threshold is not None:
         sh = df.select(F.col(id_column).alias("id"),
                        F.array_distinct(shingles(F.col(text_column), k)).alias("sh"))

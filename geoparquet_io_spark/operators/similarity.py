@@ -836,21 +836,8 @@ def semantic_dedup(
     # final join; without materialization the assignment would run 3x
     # (same guard connected_components uses for its iteration state)
     v = v.localCheckpoint(eager=False)
-    if max_cluster_size is None:
-        pool = v
-        big_pairs = None
-    else:
-        counts = v.groupBy("cluster").agg(F.count("*").alias("__cn"))
-        vv = v.join(F.broadcast(counts), "cluster")
-        pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
-        big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
-        sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
-        big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
-            .select(F.col("id_b").alias("id"))
-    losers = _cluster_losers_arrow(pool, threshold)
-    if big_pairs is not None:
-        losers = losers.unionByName(big_pairs)
-    losers = losers.distinct()
+    losers = _intra_cluster_losers(v, dim, threshold, max_cluster_size,
+                                   window).distinct()
     return (
         v.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
         .select(
@@ -859,6 +846,26 @@ def semantic_dedup(
             F.coalesce(~F.col("__lost"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _intra_cluster_losers(v: DataFrame, dim: int, threshold: float,
+                          max_cluster_size: int | None,
+                          window: int) -> DataFrame:
+    """Same-set loser ids for an assigned (id, v, n, cluster) table:
+    clusters at or under ``max_cluster_size`` run the Arrow all-pairs
+    scorer; larger ones the banded predecessor chain.  Shared by
+    :func:`semantic_dedup` and :func:`semantic_dedup_incremental`
+    (NOT distinct — callers dedup as they combine sources)."""
+    if max_cluster_size is None:
+        return _cluster_losers_arrow(v, threshold)
+    counts = v.groupBy("cluster").agg(F.count("*").alias("__cn"))
+    vv = v.join(F.broadcast(counts), "cluster")
+    pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
+    big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
+    sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
+        .select(F.col("id_b").alias("id"))
+    return _cluster_losers_arrow(pool, threshold).unionByName(big_pairs)
 
 
 def _cross_losers_arrow(new_pool: DataFrame, idx_pool: DataFrame,
@@ -986,21 +993,9 @@ def semantic_dedup_incremental(
     v_idx = _assign_clusters_arrow(idx_src, centroids)
 
     # intra-batch losers: identical routing to semantic_dedup
-    if max_cluster_size is None:
-        pool = v_new
-        big_pairs = None
-    else:
-        counts = v_new.groupBy("cluster").agg(F.count("*").alias("__cn"))
-        vv = v_new.join(F.broadcast(counts), "cluster")
-        pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
-        big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
-        sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
-        big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
-            .select(F.col("id_b").alias("id"))
-    intra = _cluster_losers_arrow(pool, threshold)
-    if big_pairs is not None:
-        intra = intra.unionByName(big_pairs)
-    intra = intra.distinct().localCheckpoint(eager=False)
+    intra = _intra_cluster_losers(v_new, dim, threshold, max_cluster_size,
+                                  window).distinct() \
+        .localCheckpoint(eager=False)
     # cross losers vs the persisted kept-set — checked only for the
     # INTRA-BATCH SURVIVORS (a row already dropped by a smaller batch
     # id needs no index witness; the final kept-set is identical), so a

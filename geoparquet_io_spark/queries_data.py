@@ -242,11 +242,16 @@ def _shingles_sql(text: str, k: int) -> str:
 
 
 def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, k: int = 5,
-                          max_bucket_size: int = 128) -> str:
+                          max_bucket_size: int | None = None) -> str:
     """Models the operator's hot-bucket cap exactly: buckets at or
-    under ``max_bucket_size`` emit all pairs; larger ones emit the
+    under ``max_bucket_size`` (default: the operator's own
+    DEFAULT_MAX_BUCKET_SIZE) emit all pairs; larger ones emit the
     sorted-id predecessor chain — so the oracle describes the query at
     EVERY scale factor, not just the ones whose buckets stay small."""
+    from geoparquet_io_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     rows = num_hashes // bands
     mh = ", ".join(
         f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes)

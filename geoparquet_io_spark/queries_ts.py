@@ -190,6 +190,12 @@ def q_psi_drift(spark, sf_dir):
     return population_stability(a, b, "value", lo=0.0, hi=500.0, n_bins=10)
 
 
+# hot-cell guard shared by the query and its oracle: hottest legitimate
+# cell is 14 users at sf0.01 / 68 at sf0.1, so 100 never fires on real
+# data while bounding an adversarial everyone-visits-one-cell corpus
+_TRAJ_CELL_CAP = 100
+
+
 @register(
     "trajectory_topk_similar",
     f"""
@@ -206,7 +212,7 @@ def q_psi_drift(spark, sf_dir):
     freq AS (SELECT cx, cy, COUNT(*) AS cf FROM sig0 GROUP BY 1, 2),
     sig AS (SELECT s.user_id, s.cx, s.cy
             FROM sig0 s JOIN freq f ON s.cx = f.cx AND s.cy = f.cy
-            WHERE f.cf <= 100),
+            WHERE f.cf <= {_TRAJ_CELL_CAP}),
     sz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM sig GROUP BY 1),
     pairs AS (
@@ -242,11 +248,9 @@ def q_trajectory_topk(spark, sf_dir):
         trajectory_topk_similar
 
     ev = event_lonlat(load_table(spark, sf_dir, "events"))
-    # hot-cell guard: hottest legitimate cell is 14 users at sf0.01 /
-    # 68 at sf0.1, so 100 never fires on real data (oracle-identical)
-    # while bounding an adversarial everyone-visits-one-cell corpus
     return trajectory_topk_similar(ev, "user_id", "lon", "lat",
-                                   cell_size=5.0, k=5, max_cell_freq=100)
+                                   cell_size=5.0, k=5,
+                                   max_cell_freq=_TRAJ_CELL_CAP)
 
 
 @register(

@@ -263,43 +263,64 @@ def stream_hll_sketch_sink(
     return writer.start()
 
 
+def _read_latest_version(spark: SparkSession, path: str):
+    """The DataFrame behind ``path/_LATEST`` — None when no version has
+    been published yet.  Shared by the versioned foreachBatch sinks."""
+    import os
+
+    ptr = os.path.join(path, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        cur = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, cur))
+
+
+def _publish_version(df: DataFrame, path: str, epoch_id,
+                     keep_versions: int, partition_by: str | None = None):
+    """Write ``df`` to a UNIQUE version dir, atomically repoint
+    ``_LATEST``, prune stale versions.  Each attempt writes fresh —
+    never in place over the version it read — so a crashed publish
+    leaves the previous pointer intact."""
+    import os
+    import shutil
+    import uuid
+
+    ptr = os.path.join(path, "_LATEST")
+    vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(os.path.join(path, vdir))
+    tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(vdir)
+    os.replace(tmp, ptr)
+    vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+    for stale in vers[:-keep_versions]:
+        if stale != vdir:
+            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+
 def hll_sketch_sink_fn(path: str, group_column: str, value_column: str,
                        n_shards: int = 16, lgk: int = 14,
                        keep_versions: int = 2):
     """The foreachBatch body behind :func:`stream_hll_sketch_sink`,
     exposed so the replay path is directly testable (call it twice with
     the same batch: registers must not move)."""
-    import os
-    import uuid
-
     from geoparquet_io_spark.operators.sketches import hll_shard_sketches
 
     def sink(batch_df, epoch_id):
         sk = hll_shard_sketches(batch_df, group_column, value_column,
                                 n_shards=n_shards, lgk=lgk)
-        ptr = os.path.join(path, "_LATEST")
-        spark = batch_df.sparkSession
-        if os.path.exists(ptr):
-            with open(ptr) as fh:
-                cur = fh.read().strip()
-            prev = spark.read.parquet(os.path.join(path, cur))
+        prev = _read_latest_version(batch_df.sparkSession, path)
+        if prev is not None:
             merged = (prev.unionByName(sk)
                       .groupBy(group_column, "shard")
                       .agg(F.hll_union_agg(F.col("sketch")).alias("sketch")))
         else:
             merged = sk
-        vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
-        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, ptr)
-        vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
-        for stale in vers[:-keep_versions]:
-            if stale != vdir:
-                import shutil
-
-                shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+        _publish_version(merged, path, epoch_id, keep_versions)
 
     return sink
 
@@ -307,12 +328,10 @@ def hll_sketch_sink_fn(path: str, group_column: str, value_column: str,
 def read_hll_sketches(spark: SparkSession, path: str) -> DataFrame:
     """The persisted sketch table behind ``stream_hll_sketch_sink``
     (feed to operators/sketches.py:hll_rollup for estimates)."""
-    import os
-
-    ptr = os.path.join(path, "_LATEST")
-    with open(ptr) as fh:
-        cur = fh.read().strip()
-    return spark.read.parquet(os.path.join(path, cur))
+    df = _read_latest_version(spark, path)
+    if df is None:
+        raise FileNotFoundError(f"no published version under {path!r}")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -341,48 +360,26 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
     versions beyond ``keep_versions`` are pruned after the pointer
     moves.
     """
-    import os
-    import uuid
-
     from geoparquet_io_spark.operators.similarity import \
         semantic_dedup_incremental
 
     def sink(batch_df, epoch_id):
         spark = batch_df.sparkSession
-        ptr = os.path.join(path, "_LATEST")
         src = batch_df.select(id_column, vector_column)
-        if os.path.exists(ptr):
-            with open(ptr) as fh:
-                cur = fh.read().strip()
-            index = spark.read.parquet(os.path.join(path, cur)) \
-                .select(id_column, vector_column)
-        else:
-            index = spark.createDataFrame([], src.schema)
+        prior = _read_latest_version(spark, path)
+        index = (prior.select(id_column, vector_column) if prior is not None
+                 else spark.createDataFrame([], src.schema))
         flags = semantic_dedup_incremental(
             src, index, centroids, id_column, vector_column,
             threshold=threshold, max_cluster_size=max_cluster_size)
         survivors = (src.join(flags.filter("kept"), id_column, "left_semi")
                      .join(flags.select(id_column, "cluster"), id_column))
-        vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(ptr):
-            # prior rows keep the cluster they were stored under (the
-            # hive partition column reads back as a data column)
-            prior = spark.read.parquet(os.path.join(path, cur))
-            full = prior.unionByName(survivors).dropDuplicates([id_column])
-        else:
-            full = survivors
-        full.write.mode("overwrite").partitionBy("cluster") \
-            .parquet(os.path.join(path, vdir))
-        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, ptr)
-        vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
-        for stale in vers[:-keep_versions]:
-            if stale != vdir:
-                import shutil
-
-                shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+        # prior rows keep the cluster they were stored under (the hive
+        # partition column reads back as a data column)
+        full = (prior.unionByName(survivors).dropDuplicates([id_column])
+                if prior is not None else survivors)
+        _publish_version(full, path, epoch_id, keep_versions,
+                         partition_by="cluster")
 
     return sink
 
@@ -410,9 +407,7 @@ def stream_semantic_dedup_sink(stream_df, path: str, centroids,
 
 def read_semantic_index(spark: SparkSession, path: str) -> DataFrame:
     """The persisted kept-set behind ``stream_semantic_dedup_sink``."""
-    import os
-
-    ptr = os.path.join(path, "_LATEST")
-    with open(ptr) as fh:
-        cur = fh.read().strip()
-    return spark.read.parquet(os.path.join(path, cur))
+    df = _read_latest_version(spark, path)
+    if df is None:
+        raise FileNotFoundError(f"no published version under {path!r}")
+    return df

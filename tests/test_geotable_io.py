@@ -211,6 +211,20 @@ def test_pipe_composition_and_explain(points):
     assert s["pushed_filters"] or s["codegen_stages"] >= 0
 
 
+def test_persist_roundtrip(points):
+    """persist() pins rows (StorageLevel visible on the plan) and keeps
+    metadata; unpersist releases; a named level is honored."""
+    p = points.persist()
+    assert p.df.storageLevel.useMemory
+    assert p.geometry_column == points.geometry_column
+    assert p.count() == points.count()
+    u = p.unpersist()
+    assert not u.df.storageLevel.useMemory
+    d = points.persist("DISK_ONLY")
+    assert d.df.storageLevel.useDisk and not d.df.storageLevel.useMemory
+    d.unpersist()
+
+
 def test_per_file_bbox_spill_path(points, tmp_path):
     """Files that outgrow the in-memory buffer cap spill to a streaming
     writer and still end with their exact bbox in the footer."""
