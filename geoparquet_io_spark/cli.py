@@ -641,11 +641,13 @@ def cmd_vacuum(args) -> int:
     from geoparquet_io_spark.operators.maintenance import vacuum
 
     keep = [int(v) for v in args.keep.split(",")] if args.keep else None
-    rep = vacuum(args.input, keep_versions=keep, dry_run=args.dry_run)
+    rep = vacuum(args.input, keep_versions=keep, dry_run=args.dry_run,
+                 min_age_seconds=args.min_age_seconds)
     print(json.dumps({"dry_run": rep["dry_run"],
                       "kept_versions": rep["kept_versions"],
                       "removed_snapshots": rep["removed_snapshots"],
                       "files_removed": len(rep["files_removed"]),
+                      "files_spared_young": len(rep["files_spared_young"]),
                       "files_kept": rep["files_kept"]}))
     return 0
 
@@ -911,6 +913,9 @@ def build_parser() -> argparse.ArgumentParser:
     vc.add_argument("--keep", help="comma-separated versions to keep "
                                    "(default: all committed)")
     vc.add_argument("--dry-run", action="store_true")
+    vc.add_argument("--min-age-seconds", type=float, default=3600.0,
+                    help="spare unreferenced files younger than this "
+                         "(possible in-flight appends); 0 disables")
     vc.set_defaults(fn=cmd_vacuum)
 
     dj = sub.add_parser("distance-join")

@@ -31,6 +31,7 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("file", T.StringType(), False),
     T.StructField("n_rows", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("mtime_ns", T.LongType()),
     T.StructField("xmin", T.DoubleType()),
     T.StructField("ymin", T.DoubleType()),
     T.StructField("xmax", T.DoubleType()),
@@ -89,14 +90,26 @@ def build_manifest(spark: SparkSession, path: str,
                 g = GeoMeta.from_footer(pf.schema_arrow.metadata)
                 if g is not None and g.primary is not None:
                     bbox = g.primary.bbox
+                # GeoParquet bbox is [xmin,ymin,xmax,ymax] in 2D and
+                # [xmin,ymin,zmin,xmax,ymax,zmax] in 3D — reading the
+                # 3D form positionally would record zmin as xmax and
+                # prune files that DO intersect the query
+                if bbox and len(bbox) == 6:
+                    bb = (bbox[0], bbox[1], bbox[3], bbox[4])
+                elif bbox:
+                    bb = (bbox[0], bbox[1], bbox[2], bbox[3])
+                else:
+                    bb = None
+                st = os.stat(f)
                 rows.append({
                     "file": f,
                     "n_rows": md.num_rows,
-                    "n_bytes": os.path.getsize(f),
-                    "xmin": bbox[0] if bbox else None,
-                    "ymin": bbox[1] if bbox else None,
-                    "xmax": bbox[2] if bbox else None,
-                    "ymax": bbox[3] if bbox else None,
+                    "n_bytes": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                    "xmin": bb[0] if bb else None,
+                    "ymin": bb[1] if bb else None,
+                    "xmax": bb[2] if bb else None,
+                    "ymax": bb[3] if bb else None,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in MANIFEST_SCHEMA])
 
@@ -202,9 +215,10 @@ def refresh_manifest(spark: SparkSession, manifest: DataFrame,
         else manifest
     if to_sweep:
         # sweep restricted to the changed files only — unchanged footers
-        # are never re-read
+        # are never re-read.  allowMissingColumns: a manifest persisted
+        # before mtime_ns existed still refreshes (old rows get NULL)
         swept = build_manifest(spark, path, files=to_sweep)
-        fresh = kept.unionByName(swept)
+        fresh = kept.unionByName(swept, allowMissingColumns=True)
     else:
         fresh = kept
     report = {k: v for k, v in stale.items()}
@@ -294,81 +308,100 @@ def commit_snapshot(spark: SparkSession, path: str,
     import json
     import time
 
-    hist0 = snapshot_history(path)
-    prior = hist0[-1] if hist0 else None
-    if files is not None:
-        members = sorted(files)
-    elif prior is None:
-        members = _list_parquet_files(path)     # bootstrap: all on disk
-    else:
-        # prior membership + never-before-referenced files (new appends).
-        # Files only OLDER snapshots reference were logically replaced —
-        # sweeping them back in would resurrect deleted/rewritten rows.
-        ever = {os.path.abspath(os.path.join(path, r["file"]))
-                for h in hist0 for r in h["files"]}
-        prior_files = [os.path.join(path, r["file"]) for r in prior["files"]]
-        new_files = [f for f in _list_parquet_files(path)
-                     if os.path.abspath(f) not in ever]
-        members = sorted(set(prior_files) | set(new_files))
-    if delete_files is None and prior is not None:
-        # inherit merge-on-read deletes still in force (pass [] to clear)
-        delete_files = [os.path.join(path, r["file"])
-                        for r in prior.get("delete_files", [])]
-        if delete_files and delete_key is None:
-            delete_key = prior.get("delete_key")
-    missing = [f for f in members if not os.path.isfile(f)]
-    if missing:
-        raise FileNotFoundError(f"snapshot members missing: {missing[:3]}")
-    if epoch_id is not None:
-        for h in hist0:
-            if h.get("epoch_id") == epoch_id:
-                return h
     reused = {}
     if reuse:
         for r in reuse.get("files", []):
             if "mtime_ns" in r:
                 reused[os.path.join(path, r["file"])] = r
-    # distributed footer sweep for big memberships; tiny commits (and the
-    # streaming reuse path) stat/read driver-side — no job for a 3-file
-    # micro-batch
-    mf = build_manifest(spark, path, files=members) \
-        if not reused and len(members) > 64 else None
-    if mf is not None:
-        stats = {r["file"]: (r["n_rows"], r["n_bytes"])
-                 for r in mf.select("file", "n_rows", "n_bytes").collect()}
-        mtimes = {f: os.stat(f).st_mtime_ns for f in members}
-    else:
+    os.makedirs(_snapshot_dir(path), exist_ok=True)
+    # (n_rows, n_bytes, mtime_ns) per file, validated by size+mtime —
+    # retries after a lost race re-derive membership from FRESH history
+    # but never re-read a footer they already read
+    stat_cache: dict[str, tuple[int, int, int]] = {}
+
+    def _stat_members(members: list[str]) -> None:
         import pyarrow.parquet as pq
 
-        stats, mtimes = {}, {}
+        todo = []
         for f in members:
             st = os.stat(f)
-            mtimes[f] = st.st_mtime_ns
+            c = stat_cache.get(f)
+            if c is not None and c[1] == st.st_size and c[2] == st.st_mtime_ns:
+                continue
             r = reused.get(f)
             if r and st.st_size == r["n_bytes"] \
                     and st.st_mtime_ns == r["mtime_ns"]:
-                stats[f] = (r["n_rows"], r["n_bytes"])
+                stat_cache[f] = (r["n_rows"], r["n_bytes"], r["mtime_ns"])
             else:
-                stats[f] = (pq.ParquetFile(f).metadata.num_rows, st.st_size)
-    rel = [{"file": os.path.relpath(f, path),
-            "n_rows": int(stats[f][0]), "n_bytes": int(stats[f][1]),
-            "mtime_ns": mtimes[f]}
-           for f in members]
-    del_rel = []
-    for f in sorted(delete_files or []):
-        st = os.stat(f)
-        del_rel.append({"file": os.path.relpath(f, path),
-                        "n_bytes": st.st_size,
-                        "mtime_ns": st.st_mtime_ns})
-    if del_rel and not delete_key:
-        raise ValueError("delete_files requires delete_key")
-    os.makedirs(_snapshot_dir(path), exist_ok=True)
+                todo.append((f, st))
+        # distributed footer sweep for big memberships; tiny commits
+        # (and the streaming reuse path) read driver-side — no job for
+        # a 3-file micro-batch
+        if len(todo) > 64:
+            mf = build_manifest(spark, path, files=[f for f, _ in todo])
+            rows = {r["file"]: (r["n_rows"], r["n_bytes"])
+                    for r in mf.select("file", "n_rows", "n_bytes").collect()}
+            for f, st in todo:
+                n_rows, n_bytes = rows[f]
+                stat_cache[f] = (int(n_rows), int(n_bytes), st.st_mtime_ns)
+        else:
+            for f, st in todo:
+                stat_cache[f] = (pq.ParquetFile(f).metadata.num_rows,
+                                 st.st_size, st.st_mtime_ns)
+
     for _attempt in range(64):
+        # EVERY attempt derives membership and inherited deletes from
+        # the history as of now: after a lost race the winner's files
+        # and delete state must be honored, or the losing committer
+        # would publish a version that silently drops them (lost
+        # update / delete resurrection)
         hist = snapshot_history(path)
         if epoch_id is not None:
             for h in hist:
                 if h.get("epoch_id") == epoch_id:
                     return h
+        prior = hist[-1] if hist else None
+        if files is not None:
+            members = sorted(files)
+        elif prior is None:
+            members = _list_parquet_files(path)  # bootstrap: all on disk
+        else:
+            # prior membership + never-before-referenced files (new
+            # appends).  Files only OLDER snapshots reference were
+            # logically replaced — sweeping them back in would
+            # resurrect deleted/rewritten rows.
+            ever = {os.path.abspath(os.path.join(path, r["file"]))
+                    for h in hist for r in h["files"]}
+            prior_files = [os.path.join(path, r["file"])
+                           for r in prior["files"]]
+            new_files = [f for f in _list_parquet_files(path)
+                         if os.path.abspath(f) not in ever]
+            members = sorted(set(prior_files) | set(new_files))
+        dels, dkey = delete_files, delete_key
+        if dels is None and prior is not None:
+            # inherit merge-on-read deletes still in force ([] clears)
+            dels = [os.path.join(path, r["file"])
+                    for r in prior.get("delete_files", [])]
+            if dels and dkey is None:
+                dkey = prior.get("delete_key")
+        missing = [f for f in members if not os.path.isfile(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot members missing: {missing[:3]}")
+        _stat_members(members)
+        rel = [{"file": os.path.relpath(f, path),
+                "n_rows": int(stat_cache[f][0]),
+                "n_bytes": int(stat_cache[f][1]),
+                "mtime_ns": stat_cache[f][2]}
+               for f in members]
+        del_rel = []
+        for f in sorted(dels or []):
+            st = os.stat(f)
+            del_rel.append({"file": os.path.relpath(f, path),
+                            "n_bytes": st.st_size,
+                            "mtime_ns": st.st_mtime_ns})
+        if del_rel and not dkey:
+            raise ValueError("delete_files requires delete_key")
         version = (hist[-1]["version"] + 1) if hist else 1
         rec = {
             "version": version,
@@ -383,7 +416,7 @@ def commit_snapshot(spark: SparkSession, path: str,
             rec["epoch_id"] = epoch_id
         if del_rel:
             rec["delete_files"] = del_rel
-            rec["delete_key"] = delete_key
+            rec["delete_key"] = dkey
         target = _snapshot_file(path, version)
         tmp = f"{target}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
@@ -392,7 +425,7 @@ def commit_snapshot(spark: SparkSession, path: str,
             os.link(tmp, target)  # atomic publish + exclusive create
             return rec
         except FileExistsError:
-            continue  # lost the race — re-read history, next version
+            continue  # lost the race — re-derive from fresh history
         finally:
             os.unlink(tmp)
     raise RuntimeError(
@@ -533,13 +566,21 @@ def apply_deletes(spark: SparkSession, path: str,
 
 
 def vacuum(path: str, keep_versions: list[int] | None = None,
-           dry_run: bool = False) -> dict:
+           dry_run: bool = False, min_age_seconds: float = 3600.0) -> dict:
     """Delete data files not referenced by any KEPT snapshot (default:
     keep every committed snapshot — then only never-committed stragglers
     are removed).  Pass ``keep_versions`` to expire history first, e.g.
     ``keep_versions=[latest]`` after a compaction rewrite.  Refuses to
     run on a dataset with no snapshots (it would delete everything).
-    Names-only driver work; expired snapshot JSONs are removed too."""
+    Names-only driver work; expired snapshot JSONs are removed too.
+
+    ``min_age_seconds`` (default 1 h) is the Iceberg/Delta-style grace
+    window: an unreferenced file younger than it is SPARED — it may
+    belong to an in-flight append whose ``commit_snapshot`` hasn't run
+    yet; deleting it would destroy the writer's data mid-commit.  Pass
+    0 only when no writer can be active."""
+    import time
+
     hist = snapshot_history(path)
     if not hist:
         raise RuntimeError("refusing to vacuum: no snapshots committed")
@@ -553,11 +594,19 @@ def vacuum(path: str, keep_versions: list[int] | None = None,
         if h["version"] in keep:
             for r in h["files"] + h.get("delete_files", []):
                 referenced.add(os.path.abspath(os.path.join(path, r["file"])))
-    removed_files, removed_snapshots = [], []
+    removed_files, removed_snapshots, spared_files = [], [], []
+    now = time.time()
     sweep = _list_parquet_files(path) + _glob.glob(
         os.path.join(path, "_deletes", "**", "*.parquet"), recursive=True)
     for f in sweep:
         if os.path.abspath(f) not in referenced:
+            try:
+                age = now - os.stat(f).st_mtime
+            except FileNotFoundError:
+                continue                    # raced away already
+            if age < min_age_seconds:
+                spared_files.append(f)      # possible in-flight append
+                continue
             removed_files.append(f)
             if not dry_run:
                 os.remove(f)
@@ -571,29 +620,44 @@ def vacuum(path: str, keep_versions: list[int] | None = None,
         "kept_versions": sorted(keep),
         "removed_snapshots": removed_snapshots,
         "files_removed": removed_files,
+        "files_spared_young": spared_files,
         "files_kept": len(referenced),
     }
 
 
 def manifest_staleness(manifest: DataFrame, path: str) -> dict:
     """Compare a persisted manifest against the dataset's CURRENT file
-    listing: files added/removed/resized since the sweep.  A stale
+    listing: files added/removed/modified since the sweep.  A stale
     manifest prunes incorrectly (a new file it never saw would be
     silently skipped by file-list reads), so ingest jobs should refresh
-    or incrementally extend it; this is the audit.  Names/sizes only —
-    no data read."""
-    current = {f: os.path.getsize(f) for f in _list_parquet_files(path)}
-    recorded = {r["file"]: r["n_bytes"] for r in
-                manifest.select("file", "n_bytes").collect()}
+    or incrementally extend it; this is the audit.  Modification is
+    detected by size AND mtime (a same-size in-place rewrite — fixed
+    width data, padding tools — changes only the mtime; size alone
+    would report 'fresh' over a stale bbox).  Names/stat only — no data
+    read.  Manifests persisted before mtime_ns existed fall back to
+    size-only for that file."""
+    current = {f: os.stat(f) for f in _list_parquet_files(path)}
+    has_mtime = "mtime_ns" in manifest.columns
+    sel = ["file", "n_bytes"] + (["mtime_ns"] if has_mtime else [])
+    recorded = {r["file"]: r for r in manifest.select(*sel).collect()}
     added = sorted(set(current) - set(recorded))
     removed = sorted(set(recorded) - set(current))
-    resized = sorted(f for f in set(current) & set(recorded)
-                     if current[f] != recorded[f])
+
+    def _modified(f):
+        r = recorded[f]
+        if current[f].st_size != r["n_bytes"]:
+            return True
+        if has_mtime and r["mtime_ns"] is not None:
+            return current[f].st_mtime_ns != r["mtime_ns"]
+        return False
+
+    modified = sorted(f for f in set(current) & set(recorded)
+                      if _modified(f))
     return {
-        "fresh": not (added or removed or resized),
+        "fresh": not (added or removed or modified),
         "files_added": added,
         "files_removed": removed,
-        "files_resized": resized,
+        "files_resized": modified,
     }
 
 
@@ -621,11 +685,13 @@ def changes_between(spark: SparkSession, path: str, key_column: str,
         raise ValueError("changes_between requires identical schemas "
                          f"({sorted(old.columns)} vs {sorted(cols)})")
     payload = [c for c in cols if c != key_column]
-    # 64-bit payload hash: at CDF scale a 32-bit Murmur3 collision
-    # (p ~ n_changed / 2^32) would silently drop an update from the feed
-    o = old.select(key_column,
-                   F.xxhash64(*[F.col(c) for c in payload]).alias("__h_old"))
-    nh = new.withColumn("__h_new", F.xxhash64(*[F.col(c) for c in payload]))
+    # null-safe row hash (merge.row_hash_expr): xxhash64 SKIPS null
+    # inputs, so (x, NULL) -> (NULL, x) would hash identically and the
+    # update would vanish from the feed
+    from geoparquet_io_spark.operators.merge import row_hash_expr
+
+    o = old.select(key_column, row_hash_expr(payload).alias("__h_old"))
+    nh = new.withColumn("__h_new", row_hash_expr(payload))
     joined = nh.join(o, key_column, "left")
     inserted = joined.filter(F.col("__h_old").isNull()) \
         .select(*cols, F.lit("insert").alias("_change"))
@@ -706,6 +772,8 @@ def build_column_manifest(spark: SparkSession, path: str,
     want = list(columns)
 
     def sweep(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from decimal import Decimal
+
         import pyarrow.parquet as pq
 
         for pdf in batches:
@@ -730,20 +798,34 @@ def build_column_manifest(spark: SparkSession, path: str,
                         if st is None or not st.has_min_max:
                             ok = False
                             break
-                        mn, mx = st.min, st.max
-                        numeric = isinstance(mn, (int, float)) \
+                        try:
+                            # pyarrow raises ArrowNotImplementedError
+                            # for physical types it can't cast (e.g.
+                            # FIXED_LEN_BYTE_ARRAY decimals from other
+                            # writers) — degrade to no-stats, which
+                            # keeps the file (conservative), instead
+                            # of failing the whole sweep
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            ok = False
+                            break
+                        # DECIMAL stats come back as decimal.Decimal —
+                        # they must be tagged numeric, or the pruner
+                        # would compare '2.50' vs '10' as strings and
+                        # wrongly skip files (lost rows)
+                        numeric = isinstance(mn, (int, float, Decimal)) \
                             and not isinstance(mn, bool)
                         if vmin is None or (mn < vmin):
                             vmin = mn
                         if vmax is None or (mx > vmax):
                             vmax = mx
                         nulls += st.null_count or 0
+                    # str() round-trips int/float (== repr in py3) and
+                    # keeps Decimal exact ('2.50', not "Decimal('2.50')")
                     rows.append({
                         "file": f, "n_rows": md.num_rows, "column": col,
-                        "vmin": repr(vmin) if numeric else
-                        (None if vmin is None else str(vmin)),
-                        "vmax": repr(vmax) if numeric else
-                        (None if vmax is None else str(vmax)),
+                        "vmin": None if vmin is None else str(vmin),
+                        "vmax": None if vmax is None else str(vmax),
                         "null_count": nulls if ok else None,
                         "numeric": numeric,
                     } if ok else {
@@ -762,6 +844,15 @@ def prune_files_where(manifest: DataFrame,
     A file is skipped only when its [min, max] interval PROVES no row
     can match; missing stats keep the file (pruning must never lose
     rows).  Only names + tiny stats rows reach the driver."""
+    from decimal import Decimal, InvalidOperation
+
+    valid_ops = {"<", "<=", ">", ">=", "="}
+    bad = [op for _, op, _ in predicates if op not in valid_ops]
+    if bad:
+        # a typo'd op ('==', '!=') must not silently disable pruning
+        raise ValueError(
+            f"unsupported predicate op(s) {sorted(set(bad))}; "
+            f"supported: {sorted(valid_ops)}")
     rows = manifest.collect()
     by_file: dict[str, dict] = {}
     for r in rows:
@@ -774,8 +865,15 @@ def prune_files_where(manifest: DataFrame,
             if st is None or st["vmin"] is None:
                 continue                      # no stats -> cannot prune
             if st["numeric"]:
-                lo, hi = float(st["vmin"]), float(st["vmax"])
-                v = float(val)
+                # Decimal compares EXACTLY (stats may be decimal-typed
+                # or wider than float53); fall back to float only if
+                # parsing fails
+                try:
+                    lo, hi = Decimal(st["vmin"]), Decimal(st["vmax"])
+                    v = Decimal(str(val))
+                except (InvalidOperation, ValueError):
+                    lo, hi = float(st["vmin"]), float(st["vmax"])
+                    v = float(val)
             else:
                 lo, hi, v = st["vmin"], st["vmax"], str(val)
             if ((op == "=" and (v < lo or v > hi))

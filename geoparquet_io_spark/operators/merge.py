@@ -32,7 +32,8 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
 
     Semantics per key:
       - change with op == delete_op  -> row removed
-      - change with any other op     -> change payload wins (upsert)
+      - change with any other op (or a NULL op) -> change payload wins
+        (upsert)
       - no change                    -> base row kept
     """
     if isinstance(keys, str):
@@ -41,17 +42,50 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
     missing = [c for c in payload + list(keys) if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing base columns: {missing}")
+    if op_column not in changes.columns:
+        raise ValueError(
+            f"changes missing op column {op_column!r} "
+            f"(have {sorted(changes.columns)})")
     b = base.alias("b")
-    c = changes.alias("c")
+    # presence FLAG, not op-nullness: a change row with NULL op for an
+    # absent key must still upsert its payload — op-nullness would emit
+    # a phantom all-NULL row from the missing base side instead
+    c = changes.withColumn("__chg", F.lit(True)).alias("c")
     joined = b.join(c, on=list(keys), how="full_outer")
-    has_change = F.col(f"c.{op_column}").isNotNull()
+    has_change = F.col("c.__chg").isNotNull()
     cols = [F.col(k) for k in keys] + [
         F.when(has_change, F.col(f"c.{p}")).otherwise(F.col(f"b.{p}")).alias(p)
         for p in payload
     ]
+    # eqNullSafe: a NULL op must evaluate NOT-delete (plain == yields
+    # NULL and the filter would silently drop the row)
     return joined.filter(
-        ~(has_change & (F.col(f"c.{op_column}") == delete_op))
+        ~(has_change & F.col(f"c.{op_column}").eqNullSafe(F.lit(delete_op)))
     ).select(*cols)
+
+
+def row_hash_expr(columns: Sequence[str]) -> F.Column:
+    """Null-safe payload hash over ``columns`` — the shared change
+    detector for :func:`dataset_diff` and the snapshot CDF.  A plain
+    ``xxhash64(cols...)`` SKIPS null inputs, so rows differing only in
+    WHICH column holds NULL hash identically and real updates vanish
+    from a diff; this encoding is unambiguous:
+
+    - null-mask prefix disambiguates NULL from any literal sentinel
+      string (a value equal to the sentinel still compares unequal to
+      NULL — tested);
+    - length prefix makes the encoding prefix-free: no crafted
+      separator-containing value can alias a neighboring field.
+    """
+    parts = []
+    for c in columns:
+        s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        parts.append(F.when(F.col(c).isNull(),
+                            F.lit("1")).otherwise(F.lit("0")))
+        parts.append(F.length(s).cast("string"))
+        parts.append(F.lit(":"))
+        parts.append(s)
+    return F.md5(F.concat(*parts))
 
 
 def dataset_diff(old: DataFrame, new: DataFrame,
@@ -80,23 +114,8 @@ def dataset_diff(old: DataFrame, new: DataFrame,
         raise ValueError(
             f"compare columns missing: old={missing_o} new={missing_n}")
 
-    def row_hash(df: DataFrame) -> F.Column:
-        # null-mask prefix disambiguates NULL from any literal sentinel
-        # string (a value equal to the sentinel must still compare unequal
-        # to NULL — tested)
-        parts = []
-        for c in compare_columns:
-            s = F.coalesce(F.col(c).cast("string"), F.lit(""))
-            parts.append(F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")))
-            # length prefix makes the encoding prefix-free: no crafted
-            # separator-containing value can alias a neighboring field
-            parts.append(F.length(s).cast("string"))
-            parts.append(F.lit(":"))
-            parts.append(s)
-        return F.md5(F.concat(*parts))
-
-    o = old.select(*keys, row_hash(old).alias("__h_old"))
-    n = new.select(*keys, row_hash(new).alias("__h_new"))
+    o = old.select(*keys, row_hash_expr(compare_columns).alias("__h_old"))
+    n = new.select(*keys, row_hash_expr(compare_columns).alias("__h_new"))
     j = o.join(n, on=list(keys), how="full_outer")
     status = (
         F.when(F.col("__h_old").isNull(), F.lit("added"))
@@ -142,17 +161,22 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
         if c not in changes.columns:
             raise ValueError(f"changes missing column {c!r}")
     history = dim.filter(F.col(valid_to).isNotNull()).select(*out_cols)
-    current = dim.filter(F.col(valid_to).isNull()).select(*out_cols)
+    current = dim.filter(F.col(valid_to).isNull()).select(*out_cols) \
+        .withColumn("__cur", F.lit(True))
     ch = changes.select(
         *keys,
         *[F.col(a).alias(f"__new_{a}") for a in attrs],
-        F.col(effective_column).alias("__eff"))
+        F.col(effective_column).alias("__eff")) \
+        .withColumn("__chg", F.lit(True))
     j = current.join(ch, list(keys), "full_outer")
     differs = F.lit(False)
     for a in attrs:
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
-    has_change = F.col("__eff").isNotNull()
-    had_current = F.col(valid_from).isNotNull()
+    # join-presence FLAGS, not data columns: a current row may carry a
+    # legitimately NULL valid_from ('since forever'), and testing it
+    # for presence would silently drop that row from the dimension
+    has_change = F.col("__chg").isNotNull()
+    had_current = F.col("__cur").isNotNull()
     # current rows: kept open (no change / no-op), or closed
     kept = (j.filter(had_current & (~has_change | ~differs))
             .select(*out_cols))

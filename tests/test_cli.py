@@ -429,10 +429,14 @@ def test_snapshot_and_vacuum_cli(spark, tmp_path, capsys):
     assert out["rows"] == 40
     # uncommitted straggler, then vacuum dry run + real
     spark.range(100, 110).coalesce(1).write.mode("append").parquet(p)
+    # default grace spares the freshly-written straggler
     assert _run(["vacuum", p, "--dry-run"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_removed"] == 0 and rep["files_spared_young"] == 1
+    assert _run(["vacuum", p, "--dry-run", "--min-age-seconds", "0"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["files_removed"] == 1 and rep["dry_run"] is True
-    assert _run(["vacuum", p, "--keep", "2"]) == 0
+    assert _run(["vacuum", p, "--keep", "2", "--min-age-seconds", "0"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["removed_snapshots"] == [1]
     assert _run(["snapshot", p, "--read"]) == 0

@@ -269,3 +269,190 @@ def test_column_zone_maps_prune_and_keep(spark, tmp_path):
     df3, rep3 = read_pruned_where(spark, p, [("k", "=", 10_000)])
     assert rep3["files_scanned"] == 0 and df3.count() == 0
     assert set(df3.columns) == {"k", "v", "s"}
+
+
+# -- r6 review-fix regressions ----------------------------------------------
+
+def test_column_manifest_decimal_stats_prune_numerically(spark, tmp_path):
+    """DECIMAL columns: when the writer produces readable decimal
+    statistics (pyarrow-written files) they come back as
+    decimal.Decimal and must prune NUMERICALLY ('2.50' < '10'), not
+    lexicographically ('2.50' > '10' as strings would wrongly skip the
+    file).  Writers whose decimal stats pyarrow CANNOT cast
+    (Spark's FIXED_LEN_BYTE_ARRAY form) must degrade to no-stats
+    (file kept), never crash the sweep."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.maintenance import (
+        build_column_manifest, prune_files_where, read_pruned_where)
+
+    p = str(tmp_path / "dec")
+    os.makedirs(p)
+    pq.write_table(
+        pa.table({"id": [1, 2],
+                  "d": pa.array([Decimal("2.50"), Decimal("5.00")],
+                                type=pa.decimal128(10, 2))}),
+        os.path.join(p, "part-0.parquet"))
+    mf = build_column_manifest(spark, p, ["d"])
+    row = mf.collect()[0]
+    if row["numeric"]:                 # pyarrow could read the stats
+        kept, skipped = prune_files_where(mf, [("d", "<", 10)])
+        assert len(kept) == 1 and skipped == []  # rows 2.50/5.00 match
+        df, rep = read_pruned_where(spark, p, [("d", "<", 10)],
+                                    manifest=mf)
+        assert df.count() == 2
+        kept2, skipped2 = prune_files_where(mf, [("d", ">", 100)])
+        assert kept2 == [] and len(skipped2) == 1
+    else:                              # unreadable stats: conservative
+        assert row["vmin"] is None
+        kept, skipped = prune_files_where(mf, [("d", ">", 100)])
+        assert len(kept) == 1 and skipped == []
+
+    # a SPARK-written decimal (stats pyarrow can't cast on this
+    # version) must not crash the sweep and must keep the file
+    p2 = str(tmp_path / "dec_spark")
+    spark.createDataFrame([(1, "2.50")], ["id", "d"]) \
+        .withColumn("d", F.col("d").cast("decimal(10,2)")) \
+        .coalesce(1).write.parquet(p2)
+    mf2 = build_column_manifest(spark, p2, ["d"])
+    kept3, skipped3 = prune_files_where(mf2, [("d", ">", 100)])
+    assert len(kept3) == 1 and skipped3 == []
+
+
+def test_prune_files_where_rejects_unknown_op(spark, tmp_path):
+    from geoparquet_io_spark.operators.maintenance import (
+        build_column_manifest, prune_files_where)
+
+    p = str(tmp_path / "ops")
+    spark.range(5).coalesce(1).write.parquet(p)
+    mf = build_column_manifest(spark, p, ["id"])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        prune_files_where(mf, [("id", "==", 3)])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        prune_files_where(mf, [("id", "!=", 3)])
+
+
+def test_manifest_3d_bbox_reads_xy_planar(spark, tmp_path):
+    """A 6-element GeoParquet bbox ([xmin,ymin,zmin,xmax,ymax,zmax])
+    must map to the planar manifest columns positionally-correctly —
+    reading it as 4-element recorded zmin as xmax and pruned files that
+    DO intersect the query."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.maintenance import (
+        build_manifest, prune_files)
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.sources.geoparquet import patch_footer_metadata
+
+    p = str(tmp_path / "d3")
+    _events_points(spark, SF_SMOKE).write(p)
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.endswith(".parquet")][0]
+    meta = json.loads(pq.read_schema(f).metadata[b"geo"])
+    col = meta["columns"][meta["primary_column"]]
+    x0, y0, x1, y1 = col["bbox"]
+    col["bbox"] = [x0, y0, 0.0, x1, y1, 5.0]       # legal 3D form
+    patch_footer_metadata(f, {"geo": json.dumps(meta)})
+    mf = build_manifest(spark, p)
+    row = [r for r in mf.collect() if r["file"] == f][0]
+    assert row["xmax"] == x1 and row["ymax"] == y1  # not zmin/ymax-shift
+    kept, skipped = prune_files(mf, (x0, y0, x1, y1))
+    assert f in kept
+
+
+def test_manifest_staleness_same_size_rewrite_detected(spark, tmp_path):
+    """A same-size in-place rewrite changes mtime but not size — the
+    staleness audit must flag it (size-only said 'fresh' over a stale
+    bbox)."""
+    from geoparquet_io_spark.operators.maintenance import (
+        build_manifest, manifest_staleness)
+
+    p = str(tmp_path / "mt")
+    spark.range(100).coalesce(1).write.parquet(p)
+    mf = build_manifest(spark, p).localCheckpoint()
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.endswith(".parquet")][0]
+    assert manifest_staleness(mf, p)["fresh"]
+    # same bytes, new mtime — simulates an in-place rewrite tool
+    data = open(f, "rb").read()
+    with open(f, "wb") as fh:
+        fh.write(data)
+    os.utime(f, ns=(os.stat(f).st_atime_ns,
+                    os.stat(f).st_mtime_ns + 10_000_000_000))
+    rep = manifest_staleness(mf, p)
+    assert not rep["fresh"] and f in rep["files_resized"]
+
+
+def test_changes_between_detects_null_position_moves(spark, tmp_path):
+    """(x, NULL) -> (NULL, x): xxhash64 skips NULL inputs so both hashed
+    identically and the update vanished from the CDF; the null-safe row
+    hash must emit it as update_postimage."""
+    from geoparquet_io_spark.operators.maintenance import (
+        changes_between, commit_snapshot)
+
+    p = str(tmp_path / "cdf")
+    spark.createDataFrame([(1, "x", None), (2, "k", "v")],
+                          "id long, a string, b string") \
+        .coalesce(1).write.mode("append").parquet(p)
+    commit_snapshot(spark, p, note="v1")
+    v1_files = {os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".parquet")}
+    spark.createDataFrame([(1, None, "x"), (2, "k", "v")],
+                          "id long, a string, b string") \
+        .coalesce(1).write.mode("append").parquet(p)
+    v2_files = sorted({os.path.join(p, f) for f in os.listdir(p)
+                       if f.endswith(".parquet")} - v1_files)
+    commit_snapshot(spark, p, files=v2_files, note="v2-replace")
+    ch = {r["id"]: r["_change"]
+          for r in changes_between(spark, p, "id", 1, 2).collect()}
+    assert ch == {1: "update_postimage"}      # row 2 unchanged, omitted
+
+
+def test_scd2_null_valid_from_current_row_survives(spark):
+    """A current dimension row with NULL valid_from ('since forever')
+    must survive a batch that doesn't touch its key, and be closed (not
+    lost) when its key changes — presence is a join flag, not a data
+    column."""
+    from geoparquet_io_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", None, None), (2, "b", "2020", None)],
+        "k long, attr string, valid_from string, valid_to string")
+    # batch 1: no change for k=1
+    ch1 = spark.createDataFrame([(2, "b2", "2021")],
+                                "k long, attr string, effective_ts string")
+    out1 = scd2_apply(dim, ch1, "k", ["attr"]).collect()
+    rows1 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"])
+             for r in out1}
+    assert (1, "a", None, None) in rows1          # survived untouched
+    assert (2, "b", "2020", "2021") in rows1      # closed
+    assert (2, "b2", "2021", None) in rows1       # opened
+    # batch 2: k=1 changes — old row must CLOSE, not vanish
+    ch2 = spark.createDataFrame([(1, "a2", "2022")],
+                                "k long, attr string, effective_ts string")
+    out2 = scd2_apply(dim, ch2, "k", ["attr"]).collect()
+    rows2 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"])
+             for r in out2}
+    assert (1, "a", None, "2022") in rows2
+    assert (1, "a2", "2022", None) in rows2
+
+
+def test_merge_upsert_op_validation_and_null_op(spark):
+    """Missing op column raises up front; a NULL-op change for an
+    absent key upserts its payload instead of emitting a phantom
+    all-NULL row."""
+    from geoparquet_io_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    no_op = spark.createDataFrame([(2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="op column"):
+        merge_upsert(base, no_op, "k")
+    ch = spark.createDataFrame([(2, "b", None)],
+                               "k long, v string, op string")
+    out = {r["k"]: r["v"] for r in merge_upsert(base, ch, "k").collect()}
+    assert out == {1: "a", 2: "b"}            # payload, not NULL phantom

@@ -66,7 +66,7 @@ def test_replace_commit_and_vacuum(spark, tmp_path):
     assert read_snapshot(spark, p, 2).df.count() == 200
     assert read_snapshot(spark, p, 1).df.count() == 200  # still readable
     # expire v1 -> old files removed, v2 intact
-    rep = vacuum(p, keep_versions=[2])
+    rep = vacuum(p, keep_versions=[2], min_age_seconds=0)
     assert sorted(rep["files_removed"]) == sorted(old_files)
     assert rep["removed_snapshots"] == [1]
     assert read_snapshot(spark, p, 2).df.count() == 200
@@ -81,10 +81,10 @@ def test_vacuum_dry_run_and_guards(spark, tmp_path):
         vacuum(p)
     commit_snapshot(spark, p)
     _write_batch(spark, p, 10, 20)  # uncommitted straggler
-    rep = vacuum(p, dry_run=True)
+    rep = vacuum(p, dry_run=True, min_age_seconds=0)
     assert len(rep["files_removed"]) == 1
     assert all(os.path.isfile(f) for f in rep["files_removed"])
-    rep2 = vacuum(p)
+    rep2 = vacuum(p, min_age_seconds=0)
     assert rep2["files_removed"] == rep["files_removed"]
     assert not any(os.path.isfile(f) for f in rep2["files_removed"])
     with pytest.raises(KeyError):
@@ -292,11 +292,11 @@ def test_delete_files_are_immutable_and_vacuum_aware(spark, tmp_path):
         os.utime(df, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert read_snapshot(spark, p).df.count() == 99
     # vacuum keeping all versions must NOT remove referenced delete files
-    out = vacuum(p)
+    out = vacuum(p, min_age_seconds=0)
     assert not out["files_removed"]
     # expire v1+v2, keep only the folded REPLACE -> delete files removed
     rec = apply_deletes(spark, p)
-    out = vacuum(p, keep_versions=[rec["version"]])
+    out = vacuum(p, keep_versions=[rec["version"]], min_age_seconds=0)
     assert any("_deletes" in f for f in out["files_removed"])
     assert read_snapshot(spark, p).df.count() == 99
 
@@ -460,3 +460,81 @@ def test_rewrites_preserve_geo_footer(spark, tmp_path):
     merge_into(spark, p, changes, "event_id")
     after = read_snapshot(spark, p)
     assert after.geo is not None and after.geo.primary is not None
+
+
+# -- r6 review-fix regressions ----------------------------------------------
+
+def test_vacuum_grace_spares_young_unreferenced_files(spark, tmp_path):
+    """An unreferenced file younger than min_age_seconds is SPARED — it
+    may be an in-flight append whose commit hasn't run yet; with the
+    grace disabled it is removed as before."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 50)
+    commit_snapshot(spark, p)
+    _write_batch(spark, p, 50, 80)          # in-flight: NOT committed
+    rep = vacuum(p)                          # default 1 h grace
+    assert rep["files_removed"] == []
+    assert len(rep["files_spared_young"]) >= 1
+    # the in-flight append can still commit afterwards
+    rec2 = commit_snapshot(spark, p)
+    assert rec2["n_rows"] == 80
+    rep2 = vacuum(p, min_age_seconds=0)
+    assert rep2["files_spared_young"] == []
+
+
+def test_commit_snapshot_lost_race_rederives_membership(spark, tmp_path,
+                                                        monkeypatch):
+    """Optimistic-concurrency lost update: when the link loses the race,
+    the retry must re-derive membership AND inherited deletes from the
+    WINNER's history — not from pre-race state — or the winner's files
+    silently vanish from the lineage."""
+    import json
+
+    from geoparquet_io_spark.operators.maintenance import (
+        _snapshot_file, snapshot_history)
+
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 50)
+    commit_snapshot(spark, p, note="v1")
+    files_v1 = set(_list_parquet_files(p))
+    _write_batch(spark, p, 50, 90)           # loser's append (file b)
+    loser_new = set(_list_parquet_files(p)) - files_v1
+
+    calls = {"n": 0}
+    real_link = os.link
+
+    def racing_link(src, dst):
+        if calls["n"] == 0:
+            calls["n"] = 1
+            # the WINNER commits v2 concurrently: prior membership plus
+            # a file the loser has never seen
+            (spark.range(1000, 1100).withColumn("v", F.col("id"))
+             .coalesce(1).write.mode("append").parquet(p))
+            winner_new = (set(_list_parquet_files(p)) - files_v1
+                          - loser_new)
+            hist = snapshot_history(p)
+            rec = dict(hist[-1])
+            rec["version"] = 2
+            rec["files"] = list(hist[-1]["files"])
+            for f in sorted(winner_new):
+                st = os.stat(f)
+                rec["files"].append({
+                    "file": os.path.relpath(f, p),
+                    "n_rows": 100, "n_bytes": st.st_size,
+                    "mtime_ns": st.st_mtime_ns})
+            with open(_snapshot_file(p, 2), "w") as fh:
+                json.dump(rec, fh)
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    rec3 = commit_snapshot(spark, p, note="loser-append")
+    assert rec3["version"] == 3
+    members = {r["file"] for r in rec3["files"]}
+    # the loser's OWN append is in
+    for f in loser_new:
+        assert os.path.relpath(f, p) in members
+    # and so is EVERY winner file (the lost-update bug dropped these)
+    hist = snapshot_history(p)
+    v2_members = {r["file"] for r in hist[1]["files"]}
+    assert v2_members <= members
