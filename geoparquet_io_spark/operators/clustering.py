@@ -19,10 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# collision-free (cx, cy) -> single long encoding: both offsets keep the
-# coordinate positive for any cell_size >= 1e-3 over lon/lat ranges
-_OFF = 1 << 20
-_MUL = 1 << 21
+# collision-free (cx, cy) -> single long encoding: 31 bits per axis
+# (62 total, inside int64) supports cell indices to ~1e9 — metre-scale
+# cells over projected CRSs included, not just lon/lat (the old 21-bit
+# form collided past |index| ~1e6).  The SQL oracle interpolates these
+# same constants, so both engines stay in lockstep.
+_OFF = 1 << 30
+_MUL = 1 << 31
 
 
 def cell_id(cx, cy):

@@ -65,6 +65,15 @@ def spatial_join(
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if right_geometry is None:
         raise ValueError("spatial_join needs a right geometry column")
+    clash = [c for c in right_columns if c in left.columns]
+    if clash:
+        # a duplicate output name would make mapInPandas' schema and the
+        # pandas batch disagree (the batch assignment overwrites the
+        # left column) — fail loudly instead of corrupting data; the
+        # grid-routed path would collide identically
+        raise ValueError(
+            f"right_columns {clash} already exist on the left side; "
+            "rename or drop them before the spatial join")
 
     # bounded probe decides the strategy AND doubles as the collect:
     # LIMIT threshold+1 stops the scan as soon as "it's big" is known (a
@@ -79,7 +88,10 @@ def spatial_join(
             right_columns, how, grid_cell_size, left_id,
         )
 
-    # driver-side candidate index: right envelopes as numpy arrays
+    # driver-side candidate index: right envelopes as numpy arrays.
+    # NULL right geometries can never match — drop them here, matching
+    # the slow path's per-row guard and the grid path's explode drop
+    r_local = [row for row in r_local if row[right_geometry] is not None]
     r_geoms = [bytes(row[right_geometry]) for row in r_local]
     r_envs = np.array([_wkb.envelope(g) for g in r_geoms]) if r_geoms else np.zeros((0, 4))
     r_attrs = [[row[c] for c in right_columns] for row in r_local]
@@ -285,9 +297,12 @@ def _grid_cells(env: Column, cell_size: float) -> Column:
 
 
 def _pack_cell(cx: Column, cy: Column) -> Column:
-    # +2^20 offset keeps both positive; 21 bits each side is plenty for
-    # cell sizes down to ~1e-4 degrees
-    return (cx + F.lit(1 << 20)) * F.lit(1 << 21) + (cy + F.lit(1 << 20))
+    # +2^30 offset keeps both positive; 31 bits per axis (62 total,
+    # inside int64) supports cell indices to ~1e9 — metric CRS
+    # northings at metre-scale cells included.  The old 21-bit pack
+    # silently COLLIDED past |index| ~1e6, emitting duplicate join rows
+    # through spurious reference-cell matches.
+    return (cx + F.lit(1 << 30)) * F.lit(1 << 31) + (cy + F.lit(1 << 30))
 
 
 def grid_spatial_join(
@@ -440,6 +455,11 @@ def knn_join(
     the default (right_x, right_y) is only deterministic when right
     coordinates are unique.
 
+    Right-side columns whose names collide with the left (the defaults
+    themselves: lon/lat both sides) appear in the OUTPUT as
+    ``right_<name>``; null-coordinate right rows are dropped (they can
+    never be a nearest neighbor).
+
     Per-round cost: one cell-key equi-join over the unresolved subset.
     Pick ``initial_radius`` near the expected k-neighbor distance (e.g.
     from sampled density) so most points resolve in round one.
@@ -450,9 +470,35 @@ def knn_join(
         raise ValueError(f"initial_radius must be > 0, got {initial_radius}")
     from pyspark.sql import Window
 
+    # the defaults advertise lon/lat on BOTH sides — auto-disambiguate
+    # colliding right columns as right_<name> so the tie-break window
+    # and the brute path's distance expression can resolve (duplicate
+    # output names raise AMBIGUOUS_REFERENCE downstream otherwise)
+    clash = [c for c in right.columns if c in left.columns]
+    if clash:
+        mapping = {c: f"right_{c}" for c in clash}
+        taken = set(left.columns) | set(right.columns)
+        bad = [v for v in mapping.values() if v in taken]
+        if bad:
+            raise ValueError(
+                f"cannot auto-rename colliding right columns: {bad} "
+                "already exist; rename the inputs explicitly")
+        right = right.select(*[
+            F.col(c).alias(mapping.get(c, c)) for c in right.columns])
+        right_x = mapping.get(right_x, right_x)
+        right_y = mapping.get(right_y, right_y)
+        if tie_columns is not None:
+            tie_columns = [mapping.get(c, c) for c in tie_columns]
+    # null-coordinate right rows can never be a nearest neighbor; the
+    # grid rounds drop them (null cell key) but the brute fallback's
+    # null distance would rank FIRST (asc is nulls-first in Spark)
+    right = right.filter(F.col(right_x).isNotNull()
+                         & F.col(right_y).isNotNull())
+
     ties = tie_columns if tie_columns is not None else [right_x, right_y]
     w = Window.partitionBy("__lid").orderBy(
-        F.col(distance_column).asc(), *[F.col(c).asc() for c in ties])
+        F.col(distance_column).asc_nulls_last(),
+        *[F.col(c).asc() for c in ties])
 
     def topk(pairs: DataFrame) -> DataFrame:
         return (pairs.withColumn("__rn", F.row_number().over(w))
@@ -481,8 +527,7 @@ def knn_join(
     else:
         # stragglers after max_rounds: tiny by construction -> broadcast
         # them against the full right side (bounded: |stragglers| * |right|,
-        # never |left| * |right|).  Left/right column names must be
-        # disjoint (same contract as distance_join).
+        # never |left| * |right|); colliding names were renamed above
         ddx = F.col(left_x) - F.col(right_x)
         ddy = F.col(left_y) - F.col(right_y)
         brute = (F.broadcast(pending).crossJoin(right)

@@ -94,9 +94,20 @@ def partition_by_admin(gt, admin, levels: list[str], path: str,
     df = enriched.df
     for c, lv in zip(cols, levels):
         df = df.withColumnRenamed(c, lv)
+    if not skip_analysis:
+        # pin the enriched frame: the preflight analysis and the write
+        # would otherwise each run the (dominant) spatial join
+        df = df.localCheckpoint(eager=False)
     work = gt._wrap(df)
     if not skip_analysis:
         analysis = analyze_partition_strategy(work.df, levels[0])
         if analysis.errors and not force:
-            raise ValueError("pathological partition strategy: " + "; ".join(analysis.errors))
+            raise ValueError(
+                "pathological partition strategy: "
+                + "; ".join(analysis.errors)
+                + " (pass force=True or skip_analysis=True)")
+    # per-partition-file bbox metadata is the reference invariant —
+    # the other partition writers inject it via _checked_write
+    if work.bbox_column and "per_file_bbox" not in kw:
+        kw["per_file_bbox"] = work.bbox_column
     return work.write(path, partition_by=levels, **kw)

@@ -308,6 +308,98 @@ def test_knn_join_sparse_fallback_and_k_larger_than_right(spark):
     assert [r["rid"] for r in sorted(out, key=lambda r: r["knn_rank"])] == [10, 11]
 
 
+def test_knn_join_default_colliding_names_and_null_coords(spark):
+    """Regression: the DEFAULT signature (lon/lat on both sides) used to
+    raise AMBIGUOUS_REFERENCE in the tie-break window; colliding right
+    columns now auto-rename to right_<name>.  Null-coordinate right
+    rows are dropped — the brute fallback's nulls-first ordering used
+    to rank them as rank-1 'neighbors'."""
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0), (2, 10.0, 10.0)],
+                                 ["lid", "lon", "lat"])
+    right = spark.createDataFrame(
+        [(100, 0.1, 0.0), (101, 0.2, 0.0), (102, None, None),
+         (103, 10.1, 10.0), (104, 10.3, 10.0)],
+        "rid long, lon double, lat double")
+    out = knn_join(left, right, k=2, initial_radius=1.0,
+                   left_id="lid", tie_columns=["rid"])
+    rows = out.collect()
+    assert "right_lon" in out.columns and "right_lat" in out.columns
+    got = {}
+    for r in rows:
+        got.setdefault(r["lid"], []).append((r["knn_rank"], r["rid"]))
+    assert sorted(got[1]) == [(1, 100), (2, 101)]
+    assert sorted(got[2]) == [(1, 103), (2, 104)]
+    # null-coord right row never appears
+    assert all(r["rid"] != 102 for r in rows)
+    # brute fallback path with nulls: far right side forces it
+    far = spark.createDataFrame(
+        [(10, 500.0, 500.0), (11, None, None)],
+        "rid long, lon double, lat double")
+    out2 = knn_join(left.filter("lid = 1"), far, k=1, initial_radius=0.5,
+                    left_id="lid", tie_columns=["rid"], max_rounds=1)
+    assert [r["rid"] for r in out2.collect()] == [10]
+
+
+def test_spatial_join_null_right_geometry_and_name_clash(spark):
+    """Regression: a NULL geometry on the broadcast right side crashed
+    the driver collect; and a right_columns name already on the left
+    now raises instead of corrupting the batch schema."""
+    import pytest
+    from pyspark.sql import Row
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import spatial_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, geometry=bytearray(W.encode_point(0.5, 0.5)))])
+    box = W.encode_polygon([__import__("numpy").array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])])
+    right = spark.createDataFrame(
+        [Row(zone="a", geometry=bytearray(box)),
+         Row(zone="b", geometry=None)])
+    out = spatial_join(left, "geometry", None, right, "geometry", None,
+                       ["zone"], how="left").collect()
+    assert len(out) == 1 and out[0]["zone"] == "a"
+
+    clash_right = right.withColumnRenamed("zone", "id")
+    with pytest.raises(ValueError, match="already exist on the left"):
+        spatial_join(left, "geometry", None, clash_right, "geometry",
+                     None, ["id"], how="left")
+
+
+def test_grid_join_wide_cell_indices_no_collision(spark):
+    """Regression: the 21-bit cell pack collided past |index| ~1e6
+    (metre-scale cells over projected northings), emitting duplicate
+    join rows through spurious reference-cell matches; the 31-bit pack
+    must keep far-apart geometries apart."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import grid_spatial_join
+
+    def sq(x0, y0):
+        return W.encode_polygon([np.array(
+            [[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1],
+             [x0, y0 + 1], [x0, y0]])])
+
+    # two pairs ~4.4e6 apart in y: with 21-bit packing their cells
+    # aliased ((y/1) diff = multiple of 2^21 would collide; use one)
+    dy = float(1 << 21)
+    left = spark.createDataFrame(
+        [Row(id=1, geometry=bytearray(sq(0.0, 0.0))),
+         Row(id=2, geometry=bytearray(sq(0.0, dy)))])
+    right = spark.createDataFrame(
+        [Row(tag="lo", geometry=bytearray(sq(0.5, 0.5))),
+         Row(tag="hi", geometry=bytearray(sq(0.5, dy + 0.5)))])
+    out = grid_spatial_join(left, "geometry", right, "geometry",
+                            ["tag"], cell_size=1.0)
+    got = sorted((r["id"], r["tag"]) for r in out.collect())
+    assert got == [(1, "lo"), (2, "hi")]      # no cross-matches, no dups
+
+
 def test_estimate_knn_radius_uniform_density(spark):
     import math
 
