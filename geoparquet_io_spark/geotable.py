@@ -324,8 +324,11 @@ class GeoTable:
                 {mapped.get(t, t) for t in row["__types"] if t}
             )
         if need_bbox:
-            geo.primary.bbox = [row["__xmin"], row["__ymin"],
-                                row["__xmax"], row["__ymax"]]
+            bbox = [row["__xmin"], row["__ymin"],
+                    row["__xmax"], row["__ymax"]]
+            # empty input (or all-null bbox column): no extent exists —
+            # leave bbox absent rather than crash serializing Nones
+            geo.primary.bbox = None if any(v is None for v in bbox) else bbox
         return geo
 
     def write(self, path: str, partition_by=None, update_metadata: bool = True,

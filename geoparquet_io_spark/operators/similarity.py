@@ -1203,3 +1203,88 @@ def rrf_fuse(rankings: list, id_column: str, rank_column: str = "rank",
     return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("__id").alias(id_column), "rrf_score",
                     "n_rankings", "rank"))
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+def random_projection(df: DataFrame, dim: int, out_dim: int,
+                      vector_column: str = "embedding",
+                      proj_column: str = "proj",
+                      seed: int = 23,
+                      round_digits: int | None = None) -> DataFrame:
+    """Dense random projection to ``out_dim`` dimensions (the
+    Johnson-Lindenstrauss dimensionality reduction — public technique:
+    Achlioptas 2003 / Indyk-Motwani): ``proj[d] = dot(v, plane_d) /
+    sqrt(out_dim)`` over the same deterministic LCG unit planes the LSH
+    bucketer uses, so a SQL oracle can embed them as literals.
+
+    The scale use: shrink 1024-d embeddings to 32-64 dims BEFORE the
+    quadratic stages (ANN candidate generation, semantic-dedup gram
+    blocks) — pairwise cosines are preserved within the JL distortion
+    bound while per-pair cost drops by dim ratio.  Map-only native
+    expressions (one HOF dot per output dim), zero shuffles, inherits
+    the input partitioning.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    v = as_double_array(F.col(vector_column))
+    comps = []
+    for p in planes:
+        c = dot(v, F.array(*[F.lit(float(x)) for x in p])) * F.lit(scale)
+        if round_digits is not None:
+            # +0.0 folds IEEE -0.0 to +0.0 for engine hash parity
+            c = F.round(c, round_digits) + F.lit(0.0)
+        comps.append(c)
+    return df.withColumn(proj_column, F.array(*comps))
+
+
+# --- nearest-class-mean (prototype) classification ---------------------------
+
+def nearest_centroid_confusion(df: DataFrame, dim: int,
+                               id_column: str = "vec_id",
+                               vector_column: str = "embedding",
+                               label_column: str = "label",
+                               test_mod: int = 5,
+                               centroid_round: int = 6) -> DataFrame:
+    """Nearest-class-mean classification audit (Rocchio / prototype
+    classifier — the standard label-quality check over an embedding
+    table): split rows by ``id % test_mod`` into train/test, compute the
+    per-label mean vector on train, assign each test vector to the
+    nearest centroid by squared L2, and return the confusion matrix
+    ``(label_true, label_pred, n)``.
+
+    Scale shape: one posexplode -> (label, dim)-keyed mean aggregation
+    with map-side combine (|labels| x dim rows — broadcast back); the
+    test side joins that tiny table on the dim position and reduces to
+    one integer distance per (row, candidate label); prediction is a
+    bounded window per test row.  Engine-exact parity: centroid means
+    round to ``centroid_round`` digits and the squared-distance terms
+    quantize to integer nano-units BEFORE the cross-dim sum, so
+    summation order cannot change a prediction.
+    """
+    if test_mod < 2:
+        raise ValueError(f"test_mod must be >= 2, got {test_mod}")
+    ex = df.select(
+        F.col(id_column).alias("__id"),
+        F.col(label_column).alias("__lab"),
+        F.posexplode(as_double_array(F.col(vector_column)))
+        .alias("pos", "v"),
+    )
+    is_test = F.col("__id") % test_mod == 0
+    cent = (ex.filter(~is_test)
+            .groupBy(F.col("__lab").alias("__cand"), "pos")
+            .agg(F.round(F.avg("v"), centroid_round).alias("m")))
+    term = F.round((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+                   * F.lit(1e9), 0).cast("long")
+    dist = (ex.filter(is_test)
+            .join(F.broadcast(cent), "pos")
+            .groupBy("__id", "__lab", "__cand")
+            .agg(F.sum(term).alias("d")))
+    w = Window.partitionBy("__id").orderBy(F.asc("d"), F.asc("__cand"))
+    pred = (dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    return (pred.groupBy(F.col("__lab").alias("label_true"),
+                         F.col("__cand").alias("label_pred"))
+            .agg(F.count("*").cast("long").alias("n")))

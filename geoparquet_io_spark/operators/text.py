@@ -778,6 +778,59 @@ def perplexity_buckets(df: DataFrame, id_column: str = "doc_id",
                       "bucket")
 
 
+def zipf_fit(df: DataFrame, text_column: str = "text",
+             top_n: int = 500, round_digits: int = 6) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` across the ``top_n`` most frequent
+    terms, returning the slope (the Zipf exponent, ~ -1 for natural
+    language), intercept, and R² — the classic corpus-health diagnostic
+    (a synthetic/boilerplate corpus shows a visibly non-Zipfian curve).
+
+    Scale shape: one explode -> term-count groupBy with map-side
+    combine; the top-``top_n`` terms come via ``orderBy().limit()``
+    (TakeOrdered — per-partition top-n, never a global sort); ranking
+    and the OLS sums then run over <= ``top_n`` rows.  Engine-exact
+    float parity: the ln values are quantized to integer micro-nats
+    BEFORE the regression sums (integer sums are order-independent);
+    the closed-form OLS arithmetic on those exact integers is the same
+    double expression in both engines.
+    """
+    from geoparquet_io_spark.operators.skew import spread
+
+    df = spread(df)
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term")
+    ).filter(F.length("term") > 0)
+    tc = toks.groupBy("term").agg(F.count("*").alias("c"))
+    top = tc.orderBy(F.desc("c"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = top.withColumn("r", F.row_number().over(w))
+    x = F.round(F.log(F.col("r").cast("double")) * 1e6, 0).cast("long")
+    y = F.round(F.log(F.col("c").cast("double")) * 1e6, 0).cast("long")
+    sums = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = F.when(varx != 0.0, cov / varx)
+    r2 = F.when((varx != 0.0) & (vary != 0.0), (cov * cov) / (varx * vary))
+    intercept = F.when(varx != 0.0, (sy - (cov / varx) * sx) / n / F.lit(1e6))
+    return sums.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, round_digits).alias("zipf_slope"),
+        F.round(intercept, round_digits).alias("zipf_intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )
+
+
 def bigram_logprob(df: DataFrame, id_column: str = "doc_id",
                    text_column: str = "text",
                    lambda_bigram: float = 0.75,

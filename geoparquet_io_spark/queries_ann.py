@@ -527,3 +527,83 @@ def q_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(e, q, dim=_DIM, k=_K, n_centroids=_NCENT,
                        nprobe=_NPROBE, m=_PQ_M, n_codes=_PQ_CODES,
                        seed=7, pq_seed=11, round_digits=6)
+
+
+def _random_projection_oracle(out_dim: int = 8, seed: int = 23) -> str:
+    """Same LCG planes as literals; each output dim is the identical
+    left-assoc list_reduce dot * 1/sqrt(out_dim), rounded, -0.0-folded."""
+    import math as _math
+
+    from geoparquet_io_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_DIM, out_dim, seed)
+    scale = repr(1.0 / _math.sqrt(float(out_dim)))
+    comps = ", ".join(
+        f"ROUND({_dot_sql('v', _centroid_sql_literal(p))} * {scale}, 6) + 0.0"
+        f" AS p{i}"
+        for i, p in enumerate(planes))
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE)
+                              FOR i IN range(1, {_DIM + 1})] AS v
+               FROM embeddings)
+    SELECT vec_id, {comps} FROM e
+    """
+
+
+@register("embedding_random_projection", _random_projection_oracle())
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dense random projection 64d -> 8d
+    (operators/similarity.py:random_projection): map-only native HOF
+    dots against LCG plane literals — the dimensionality-reduction
+    front end for ANN / semantic-dedup at high-dim scale."""
+    from geoparquet_io_spark.operators.similarity import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = random_projection(e, dim=_DIM, out_dim=8, seed=23, round_digits=6)
+    return p.select(
+        "vec_id",
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(8)])
+
+
+@register(
+    "embedding_nearest_centroid",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, unnest(range(0, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS cand, pos, ROUND(AVG(v), 6) AS m
+      FROM ex WHERE vec_id % 5 != 0 GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT t.vec_id, t.label AS label_true, c.cand,
+             SUM(CAST(ROUND((t.v - c.m) * (t.v - c.m) * 1e9) AS BIGINT)) AS d
+      FROM ex t JOIN cent c USING (pos)
+      WHERE t.vec_id % 5 = 0
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT vec_id, label_true, cand AS label_pred
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cand) AS rn
+            FROM dist)
+      WHERE rn = 1
+    )
+    SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_nearest_centroid(spark, sf_dir):
+    """Nearest-class-mean classification audit (operators/similarity.py:
+    nearest_centroid_confusion): per-label prototype vectors from the
+    train split (id %% 5 != 0), squared-L2 nearest-centroid prediction
+    on the held-out split, confusion-matrix output.  Distance terms are
+    integer nano-quantized so summation order is engine-exact."""
+    from geoparquet_io_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(e, dim=_DIM, test_mod=5)

@@ -593,3 +593,54 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
     return pack_sequences(d, max_tokens=512, id_column="doc_id",
                           token_column="n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law corpus fit
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tc AS (
+      SELECT term, COUNT(*) AS c FROM toks
+      WHERE len(term) > 0 GROUP BY term
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+      FROM tc ORDER BY c DESC, term LIMIT 500
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n / 1e6, 6) AS zipf_intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-exponent OLS fit over the top-500 term frequencies
+    (operators/text.py:zipf_fit): TakeOrdered top-n, micro-nat
+    quantized regression sums — the corpus-health diagnostic."""
+    from geoparquet_io_spark.operators.text import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d, top_n=500)

@@ -587,6 +587,19 @@ def _write_distributed(
     if res is None:  # pragma: no cover - old spark fallback
         raise RuntimeError("requires Spark >= 3.3 (mapInArrow)")
     rows = res.collect()
+    if not rows:
+        # zero input rows (a filter matching nothing is a normal pipeline
+        # outcome): emit ONE schema-only file so the dataset stays
+        # readable — spark.read.parquet on an empty directory raises
+        # UNABLE_TO_INFER_SCHEMA.  The file carries the FULL schema
+        # (partition columns included — there are no hive dirs to
+        # conflict with) plus the geo footer, so round-trips preserve
+        # schema and metadata.
+        f = os.path.join(path, f"part-00000-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(pa.Table.from_batches([], schema=schema), f,
+                       compression=compression,
+                       compression_level=compression_level)
+        return [f]
     return [r["file"] for r in rows]
 
 

@@ -41,6 +41,25 @@ def test_distributed_write_and_partition_read(points, spark, tmp_path):
     assert "event_type" in back.df.columns  # hive partition column recovered
 
 
+def test_distributed_write_empty_result_stays_readable(points, spark, tmp_path):
+    """A filter matching nothing must still produce a readable dataset:
+    one schema-only file with the geo footer (an empty directory raises
+    UNABLE_TO_INFER_SCHEMA on read)."""
+    import geoparquet_io_spark as gps
+
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "empty_dir")
+    empty = GeoTable(points.df.filter(F.lit(False)), points.geo)
+    files = empty.write(out, single_file=False)
+    assert len(files) == 1
+    assert b"geo" in pq.read_schema(files[0]).metadata
+    back = gps.read(spark, out)
+    assert back.count() == 0
+    assert set(back.df.columns) == set(points.df.columns)
+    assert back.geometry_column == "geometry"
+
+
 def test_partition_by_string_with_preflight(points, tmp_path):
     out = str(tmp_path / "by_type")
     files = points.partition_by_string("event_type", out)
