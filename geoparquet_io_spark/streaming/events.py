@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    """File-source stream over a directory of event parquet files."""
-    reader = spark.readStream
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(path)
+    """File-source stream over a directory of event parquet files.
+    ``schema=None`` infers it from the files already present (Spark's
+    file streaming source requires an explicit schema unless
+    ``spark.sql.streaming.schemaInference`` is enabled, so a bare None
+    would raise immediately)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def _watermarkable(df: DataFrame, ts_column: str) -> DataFrame:
@@ -73,11 +76,16 @@ def sessionize(
     gap: str = "30 minutes",
     ts_column: str = "ts",
     user_column: str = "user_id",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Session windows per user (session_window — native stateful op)."""
+    """Session windows per user (session_window — native stateful op).
+    ``watermark`` controls late-data tolerance independently of the
+    session ``gap`` (default: the gap itself — short sessions with a
+    long late-arrival allowance need an explicit watermark)."""
     df = events
     if df.isStreaming:
-        df = _watermarkable(df, ts_column).withWatermark(ts_column, gap)
+        df = _watermarkable(df, ts_column) \
+            .withWatermark(ts_column, watermark or gap)
     return (
         df.groupBy(F.session_window(F.col(ts_column), gap), F.col(user_column))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -101,52 +109,68 @@ def write_geoparquet_stream(
     micro-batch goes through the executor-side footer writer via
     foreachBatch (Spark's parquet streaming sink cannot stamp custom
     footer metadata, same gap as the batch writer)."""
+    sink = geoparquet_stream_sink_fn(path, geo, **write_kwargs)
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
+    """The foreachBatch body behind :func:`write_geoparquet_stream`,
+    exposed so the crash-replay path is directly testable (a replayed
+    epoch of an already-committed snapshot must be a complete no-op —
+    in particular it must NOT rewrite the epoch directory the committed
+    snapshot references)."""
     from geoparquet_io_spark.sources.geoparquet import write as _write
 
     snapshot = write_kwargs.pop("snapshot", False)
-    batch_no = {"n": 0}
 
     def sink(batch_df, epoch_id):
+        prior = None
+        if snapshot:
+            from geoparquet_io_spark.operators.maintenance import (
+                commit_snapshot,
+                snapshot_history,
+            )
+
+            # replay check BEFORE touching the epoch directory: if this
+            # epoch already committed (crash after commit, before the
+            # checkpoint offset landed), rewriting the dir would delete
+            # the exact uuid-named files the committed snapshot
+            # references — permanently wedging the stream.  Already
+            # committed -> the whole sink is a no-op.
+            hist = snapshot_history(path)
+            if any(h.get("epoch_id") == int(epoch_id) for h in hist):
+                return
+            prior = hist[-1] if hist else None
         # overwrite=True makes the epoch write idempotent: a retried epoch
-        # (same epoch_id after a failure) replaces its own directory instead
-        # of appending duplicate uuid-named files — preserving the
-        # exactly-once guarantee of checkpointed foreachBatch
+        # (same epoch_id after a failure BEFORE its commit) replaces its
+        # own directory instead of appending duplicate uuid-named files —
+        # preserving the exactly-once guarantee of checkpointed
+        # foreachBatch
         _write(batch_df, f"{path}/epoch={epoch_id}", geo,
                overwrite=True, **write_kwargs)
         if snapshot:
             # every micro-batch lands as a committed, time-travelable
             # version: readers pin a snapshot and never see a half-written
             # epoch; the snapshot history is the ingest audit trail.
-            # Exactly-once: epoch_id= makes a replayed epoch a no-op
-            # (returns the already-committed version) instead of a
-            # duplicate; members = prior snapshot + this epoch's files,
-            # with prior footer stats REUSED (reuse=) so per-batch cost
-            # is O(this epoch), not O(all files ever) — the stream stays
-            # incremental over its life.
-            import os as _os
-
-            from geoparquet_io_spark.operators.maintenance import (
-                _list_parquet_files,
-                commit_snapshot,
-                snapshot_history,
-            )
-
-            hist = snapshot_history(path)
-            prior = hist[-1] if hist else None
-            epoch_files = _list_parquet_files(f"{path}/epoch={epoch_id}")
-            prior_files = ([_os.path.join(path, r["file"])
-                            for r in prior["files"]] if prior else [])
+            # files=None: membership (prior snapshot + never-referenced
+            # new files == this epoch's dir) is RE-DERIVED from fresh
+            # history on every optimistic-commit attempt, so a concurrent
+            # committer (compaction, maintenance) that wins the race is
+            # honored instead of silently overwritten (the lost-update
+            # class a fixed files= list reintroduces).  Prior footer
+            # stats are REUSED (reuse= — a size+mtime-validated cache,
+            # safe even if stale) so per-batch cost is O(this epoch),
+            # not O(all files ever).
             commit_snapshot(batch_df.sparkSession, path,
-                            files=sorted(set(prior_files) | set(epoch_files)),
+                            files=None,
                             note=f"epoch={epoch_id}",
                             epoch_id=int(epoch_id), reuse=prior)
-        batch_no["n"] += 1
 
-    writer = stream_df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return sink
 
 
 def stream_stream_join(
@@ -190,8 +214,12 @@ def stream_stream_join(
         & (r["__rts"] < l["__lts"] + F.expr(f"INTERVAL {interval}"))
     )
     joined = l.join(r, cond, how)
+    # outer joins: an unmatched row has NULLs on the other side, so the
+    # key must coalesce across sides or every unmatched right row lands
+    # in one NULL key group downstream
+    key_out = F.coalesce(l["__k"], r["__k"]) if how != "inner" else l["__k"]
     return joined.select(
-        l["__k"].alias(key),
+        key_out.alias(key),
         F.col("__lts").alias(left_ts),
         F.col("__rts").alias(f"r_{right_ts}"),
         *[c for c in joined.columns if c not in ("__k", "__lts", "__rts")],
@@ -263,27 +291,56 @@ def stream_hll_sketch_sink(
     return writer.start()
 
 
-def _read_latest_version(spark: SparkSession, path: str):
-    """The DataFrame behind ``path/_LATEST`` — None when no version has
-    been published yet.  Shared by the versioned foreachBatch sinks."""
+def _latest_version_dirs(path: str) -> list[str]:
+    """Version dirs referenced by ``path/_LATEST`` (one per line — the
+    delta-chain sinks list several), empty when nothing is published."""
     import os
 
     ptr = os.path.join(path, "_LATEST")
     if not os.path.exists(ptr):
-        return None
+        return []
     with open(ptr) as fh:
-        cur = fh.read().strip()
-    return spark.read.parquet(os.path.join(path, cur))
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def _read_latest_version(spark: SparkSession, path: str):
+    """The DataFrame behind ``path/_LATEST`` — None when no version has
+    been published yet.  Shared by the versioned foreachBatch sinks;
+    a multi-line pointer (delta chain) unions all listed dirs."""
+    import os
+
+    dirs = _latest_version_dirs(path)
+    if not dirs:
+        return None
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+#: unreferenced version dirs younger than this are never pruned — an
+#: in-flight reader's lazy DataFrame may still be scanning them (same
+#: retention idea as vacuum's min_age grace window)
+_PRUNE_MIN_AGE_SEC = 600
 
 
 def _publish_version(df: DataFrame, path: str, epoch_id,
-                     keep_versions: int, partition_by: str | None = None):
+                     keep_versions: int, partition_by: str | None = None,
+                     base_dirs: list[str] | None = None):
     """Write ``df`` to a UNIQUE version dir, atomically repoint
     ``_LATEST``, prune stale versions.  Each attempt writes fresh —
     never in place over the version it read — so a crashed publish
-    leaves the previous pointer intact."""
+    leaves the previous pointer intact.
+
+    ``base_dirs``: delta-chain mode — the new pointer references these
+    EXISTING dirs plus the new one (the append-only shape for sinks
+    whose state grows with the stream, e.g. the semantic-dedup
+    kept-set: per-epoch I/O stays O(batch), not O(index)).
+
+    Pruning never touches a dir the new pointer references, keeps the
+    ``keep_versions`` most recent unreferenced dirs for in-flight
+    readers, and NEVER removes a dir younger than the grace window
+    (a concurrent reader's pinned DataFrame may still scan it)."""
     import os
     import shutil
+    import time
     import uuid
 
     ptr = os.path.join(path, "_LATEST")
@@ -291,15 +348,38 @@ def _publish_version(df: DataFrame, path: str, epoch_id,
     w = df.write.mode("overwrite")
     if partition_by is not None:
         w = w.partitionBy(partition_by)
-    w.parquet(os.path.join(path, vdir))
+    out = os.path.join(path, vdir)
+    w.parquet(out)
+    if not any(f.endswith(".parquet")
+               for _, _, fs in os.walk(out) for f in fs):
+        # zero-row frame: Spark's writer leaves only _SUCCESS and a
+        # data-file-less dir is unreadable (UNABLE_TO_INFER_SCHEMA) —
+        # the pointer must never reference one.  Emit one schema-only
+        # file (same fix class as sources/geoparquet.py's empty write).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pq.write_table(
+            pa.Table.from_batches([], schema=to_arrow_schema(df.schema)),
+            os.path.join(out, "part-00000-empty.parquet"))
+    referenced = list(base_dirs or []) + [vdir]
     tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        fh.write(vdir)
+        fh.write("\n".join(referenced))
     os.replace(tmp, ptr)
-    vers = sorted(d for d in os.listdir(path) if d.startswith("v-"))
-    for stale in vers[:-keep_versions]:
-        if stale != vdir:
-            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+    ref = set(referenced)
+    vers = sorted(d for d in os.listdir(path)
+                  if d.startswith("v-") and d not in ref)
+    now = time.time()
+    for stale in vers[:-keep_versions] if keep_versions else vers:
+        full = os.path.join(path, stale)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue
+        if age >= _PRUNE_MIN_AGE_SEC:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def hll_sketch_sink_fn(path: str, group_column: str, value_column: str,
@@ -347,18 +427,21 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
     """The foreachBatch body behind :func:`stream_semantic_dedup_sink`,
     exposed so replay is directly testable.
 
-    Per epoch: read the current kept-set version, run
-    ``semantic_dedup_incremental`` (operators/similarity.py) on the
-    batch, append the batch's SURVIVORS to the kept-set, write a fresh
-    version dir partitioned by cluster, atomically repoint ``_LATEST``.
+    Per epoch: read the current kept-set (a DELTA CHAIN of version
+    dirs), run ``semantic_dedup_incremental`` (operators/similarity.py)
+    on the batch, and publish ONLY the batch's surviving rows as a new
+    delta dir — the ``_LATEST`` pointer lists every live delta, so the
+    kept-set is their union and per-epoch WRITE cost is O(batch), not
+    O(index).  (The previous full-rewrite shape made lifetime sink I/O
+    O(N^2) over the stream's life — a 100-row micro-batch against a
+    10M-vector index re-wrote all 10M rows.)
 
     Exactly-once without epoch bookkeeping: absorption is idempotent —
     a replayed batch finds each of its own survivors already in the
-    index at cosine exactly 1.0 and keeps nothing new, so crash/replay
-    converges to the same kept-set (same argument as the HLL sink's
-    register-max merge).  Each attempt writes a UNIQUE dir; stale
-    versions beyond ``keep_versions`` are pruned after the pointer
-    moves.
+    index at cosine exactly 1.0, keeps nothing new, and an empty
+    survivor set publishes NOTHING, so crash/replay converges to the
+    same kept-set.  A crash between delta write and pointer swap
+    leaves an unreferenced dir the age-gated pruner removes later.
     """
     from geoparquet_io_spark.operators.similarity import \
         semantic_dedup_incremental
@@ -366,6 +449,7 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
     def sink(batch_df, epoch_id):
         spark = batch_df.sparkSession
         src = batch_df.select(id_column, vector_column)
+        base = _latest_version_dirs(path)
         prior = _read_latest_version(spark, path)
         index = (prior.select(id_column, vector_column) if prior is not None
                  else spark.createDataFrame([], src.schema))
@@ -374,12 +458,17 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
             threshold=threshold, max_cluster_size=max_cluster_size)
         survivors = (src.join(flags.filter("kept"), id_column, "left_semi")
                      .join(flags.select(id_column, "cluster"), id_column))
-        # prior rows keep the cluster they were stored under (the hive
-        # partition column reads back as a data column)
-        full = (prior.unionByName(survivors).dropDuplicates([id_column])
-                if prior is not None else survivors)
-        _publish_version(full, path, epoch_id, keep_versions,
-                         partition_by="cluster")
+        if prior is not None:
+            # an id re-sent with a changed, non-matching embedding must
+            # not appear twice in the chain (the full-rewrite shape
+            # deduped by id; the delta shape anti-joins instead)
+            survivors = survivors.join(prior.select(id_column),
+                                       id_column, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        if prior is not None and survivors.limit(1).count() == 0:
+            return  # kept-set unchanged (e.g. a replayed epoch): no-op
+        _publish_version(survivors, path, epoch_id, keep_versions,
+                         base_dirs=base)
 
     return sink
 

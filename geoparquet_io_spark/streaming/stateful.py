@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
     T.StructField("sum_value", T.DoubleType()),
+    T.StructField("n_valid", T.LongType()),
 ])
 
 OUTPUT_SCHEMA = T.StructType([
@@ -28,23 +29,35 @@ OUTPUT_SCHEMA = T.StructType([
 ])
 
 
+def _emit(key, n, total, nv):
+    # batch parity on the null edge: Spark SUM over all-NULL values is
+    # NULL, pandas .sum() would silently report 0.0 — emit None unless
+    # at least one non-null value was ever seen
+    return pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n],
+        "sum_value": [total if nv else None],
+    })
+
+
 def _update_user_totals(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     if state.hasTimedOut:
-        n, total = state.get
+        n, total, nv = state.get
         state.remove()
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+        yield _emit(key, n, total, nv)
         return
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total, nv = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        nv += int(pdf["value"].notna().sum())
+        total += float(pdf["value"].sum())  # skips NaN; gated by nv
+    state.update((n, total, nv))
     state.setTimeoutDuration(60_000)  # flush after 60s idle
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+    yield _emit(key, n, total, nv)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -336,3 +336,144 @@ def test_stream_semantic_dedup_sink_absorbs_and_replays(spark, tmp_path):
     # cluster partition column survives the round trip
     cols = set(read_semantic_index(spark, path).columns)
     assert {"vec_id", "embedding", "cluster"} <= cols
+
+
+def test_snapshot_sink_replay_is_noop(spark, events_dir, tmp_path):
+    """Crash-replay of an already-committed epoch must be a complete
+    no-op: the epoch directory the committed snapshot references must
+    NOT be rewritten (rewriting deletes the exact uuid-named files the
+    snapshot lists, wedging the stream)."""
+    import glob
+    import os
+
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.maintenance import (read_snapshot,
+                                                           snapshot_history)
+    from geoparquet_io_spark.streaming.events import geoparquet_stream_sink_fn
+
+    batch_df = spark.read.parquet(events_dir)
+    geo = GeoMeta(columns={"geometry": GeoColumnMeta()})
+    out = str(tmp_path / "snapsink")
+    os.makedirs(out, exist_ok=True)
+    sink = geoparquet_stream_sink_fn(out, geo, snapshot=True)
+    sink(batch_df, 0)
+    hist1 = snapshot_history(out)
+    assert len(hist1) == 1 and hist1[0]["epoch_id"] == 0
+    files1 = sorted(glob.glob(f"{out}/epoch=0/*.parquet"))
+    sink(batch_df, 0)  # crash-replay of the committed epoch
+    assert sorted(glob.glob(f"{out}/epoch=0/*.parquet")) == files1, \
+        "replay rewrote the epoch dir the committed snapshot references"
+    assert len(snapshot_history(out)) == 1
+    # the committed snapshot still reads
+    assert read_snapshot(spark, out, 1).count() == batch_df.count()
+    # a genuinely new epoch still commits incrementally
+    sink(batch_df.limit(5), 1)
+    hist2 = snapshot_history(out)
+    assert len(hist2) == 2
+    assert read_snapshot(spark, out, 2).count() == batch_df.count() + 5
+
+
+def test_versioned_sink_empty_first_batch_readable(spark, tmp_path):
+    """An empty first micro-batch must still publish a READABLE version
+    (Spark's writer leaves a data-file-less dir for zero-row frames;
+    the pointer must never reference one)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.streaming.events import (hll_sketch_sink_fn,
+                                                      read_hll_sketches)
+
+    path = str(tmp_path / "sk_empty")
+    os.makedirs(path, exist_ok=True)
+    sink = hll_sketch_sink_fn(path, "event_type", "user_id")
+    empty = (spark.createDataFrame([("a", 1)], ["event_type", "user_id"])
+             .filter(F.lit(False)))
+    sink(empty, 0)
+    assert read_hll_sketches(spark, path).count() == 0  # readable, not a crash
+    nonempty = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)],
+                                     ["event_type", "user_id"])
+    sink(nonempty, 1)
+    assert read_hll_sketches(spark, path).count() > 0
+
+
+def test_semantic_sink_publishes_deltas_not_rewrites(spark, tmp_path):
+    """The kept-set is a delta CHAIN: an epoch publishes only its own
+    survivors; prior delta dirs are referenced, not rewritten — per-epoch
+    write cost stays O(batch) as the index grows."""
+    import os
+
+    from geoparquet_io_spark.streaming.events import (_latest_version_dirs,
+                                                      read_semantic_index,
+                                                      semantic_dedup_sink_fn)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "semdelta")
+    os.makedirs(path, exist_ok=True)
+    sink = semantic_dedup_sink_fn(path, cents, threshold=0.99)
+    b1 = spark.createDataFrame([(1, [1.0, 0.001]), (3, [0.0, 1.0])],
+                               ["vec_id", "embedding"])
+    sink(b1, 0)
+    dirs1 = _latest_version_dirs(path)
+    assert len(dirs1) == 1
+    mtimes1 = {d: os.path.getmtime(os.path.join(path, d)) for d in dirs1}
+    b2 = spark.createDataFrame([(11, [0.0, -1.0])], ["vec_id", "embedding"])
+    sink(b2, 1)
+    dirs2 = _latest_version_dirs(path)
+    assert len(dirs2) == 2 and dirs1[0] in dirs2  # chain, not rewrite
+    assert os.path.getmtime(os.path.join(path, dirs1[0])) == mtimes1[dirs1[0]]
+    assert {r["vec_id"] for r in read_semantic_index(spark, path).collect()} \
+        == {1, 3, 11}
+    sink(b2, 1)  # replay: survivors all self-match -> publish nothing
+    assert _latest_version_dirs(path) == dirs2
+
+
+def test_stream_stream_join_outer_key_not_null(spark, events_dir):
+    """full_outer interval join must surface the key from whichever side
+    matched — unmatched right rows previously emitted key=NULL."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.streaming.events import stream_stream_join
+
+    batch = spark.read.parquet(events_dir)
+    la = batch.filter(F.col("user_id") % 2 == 0) \
+        .select("user_id", "ts", "event_id")
+    rb = batch.filter(F.col("user_id") % 2 == 1) \
+        .select("user_id", "ts", F.col("event_id").alias("other_id"))
+    out = stream_stream_join(la, rb, key="user_id", interval="30 minutes",
+                             how="full_outer")
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+    # both sides' keys present (disjoint key sets -> no actual matches)
+    keys = {r["user_id"] % 2 for r in out.select("user_id").distinct().collect()}
+    assert keys == {0, 1}
+
+
+def test_stateful_totals_all_null_values_match_batch(spark):
+    """Batch SUM over all-NULL values is NULL; the pandas state update
+    must emit None for such a user, not 0.0."""
+    from geoparquet_io_spark.streaming.stateful import _update_user_totals
+
+    import pandas as pd
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        @property
+        def get(self):
+            return self._v
+
+    st = _FakeState()
+    pdf = pd.DataFrame({"value": [None, None]}, dtype="float64")
+    out = list(_update_user_totals((7,), iter([pdf]), st))[0]
+    assert out["n_events"].iloc[0] == 2
+    assert pd.isna(out["sum_value"].iloc[0])
+    # a later non-null batch flips it to a real sum
+    out2 = list(_update_user_totals((7,), iter([pd.DataFrame({"value": [2.5]})]), st))[0]
+    assert out2["sum_value"].iloc[0] == 2.5 and out2["n_events"].iloc[0] == 3
