@@ -343,14 +343,34 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
         w.write(7, 4)                    # blocksize: 16-bit field
         w.write(0, 4)                    # sample rate: from streaminfo
         w.write(nch - 1, 4)              # independent channels
-        w.write(4, 3)                    # bps: 16-bit code
+        # bps code must match bits_per_sample or the decoder reads the
+        # wrong sample width and desyncs (the table is _BPS_CODES)
+        bps_code = {v: k for k, v in _BPS_CODES.items()}.get(bits_per_sample)
+        if bps_code is None:
+            raise ValueError(
+                f"bits_per_sample {bits_per_sample} has no FLAC frame "
+                f"code (supported: {sorted(_BPS_CODES.values())})")
+        w.write(bps_code, 3)
         w.write(0, 1)
-        # coded frame number (UTF-8 style, frames < 128 enough for tests)
+        # coded frame number: full UTF-8-style coded number (1-7 bytes),
+        # matching the decoder's _coded_number — a fixed 2-byte form
+        # silently desyncs any stream with >= 2048 frames
         if f < 0x80:
             w.write(f, 8)
         else:
-            w.write(0xC0 | (f >> 6), 8)
-            w.write(0x80 | (f & 0x3F), 8)
+            tail = []
+            v = f
+            while True:
+                tail.append(0x80 | (v & 0x3F))
+                v >>= 6
+                nbytes = len(tail) + 1
+                # lead byte has (7 - nbytes) free value bits
+                if v < (1 << (7 - nbytes)) and nbytes <= 7:
+                    break
+            lead = (0xFF00 >> nbytes) & 0xFF
+            w.write(lead | v, 8)
+            for b in reversed(tail):
+                w.write(b, 8)
         w.write(bs - 1, 16)
         assert w.nacc == 0               # header fields are byte-aligned
         w.write(_crc8(bytes(w.buf)), 8)
@@ -370,9 +390,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
                 continue
             if subframe == "fixed" and len(s) > 2:
                 # choose order 0-2 by residual magnitude
-                cands = {0: s.copy(), 1: np.diff(s, prepend=0)[1:],
+                cands = {0: s.copy(), 1: s[1:] - s[:-1],
                          2: np.diff(np.diff(s))}
-                cands[1] = s[1:] - s[:-1]
                 order = min((int(np.abs(r).sum()), o)
                             for o, r in cands.items())[1]
                 res = cands[order]

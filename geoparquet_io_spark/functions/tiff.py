@@ -152,14 +152,18 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def _decompress(comp: int, data: bytes, expected: int) -> bytes:
+    # every branch truncates to ``expected``: a writer may pad the final
+    # strip to full RowsPerStrip (Deflate returns it all at once; LZW /
+    # PackBits runs can cross the boundary) and extra bytes would crash
+    # the caller's reshape
     if comp == 1:
         return data[:expected]
     if comp == 5:
-        return _lzw_decode_tiff(data, expected)
+        return _lzw_decode_tiff(data, expected)[:expected]
     if comp in (8, 32946):
-        return zlib.decompress(data)
+        return zlib.decompress(data)[:expected]
     if comp == 32773:
-        return _packbits_decode(data, expected)
+        return _packbits_decode(data, expected)[:expected]
     raise ValueError(
         f"TIFF compression {comp} requires a codec library "
         "(supported: none, LZW, Deflate, PackBits)")
@@ -192,6 +196,11 @@ def decode_tiff(buf: bytes, ifd_index: int = 0) -> np.ndarray:
         raise ValueError("planar (non-chunky) TIFF not supported")
     dt = _dtype_for(ifd, bo)
     pred = t.get(317, (1,))[0]
+    if pred not in (1, 2):
+        # predictor 3 (floating-point byte shuffle) and any other value
+        # would decode to garbage if silently treated as raw
+        raise ValueError(f"TIFF predictor {pred} not supported "
+                         "(supported: none, horizontal differencing)")
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
 
     def place(rows: np.ndarray, y0: int, x0: int) -> None:
@@ -295,10 +304,14 @@ def build_geotiff(img: np.ndarray, *, epsg: int | None = None,
     else:
         raise ValueError("build_geotiff writes compression 1 or 8 only")
 
+    # dimensions/RowsPerStrip as LONG (type 4): SHORT caps at 65535 and
+    # large rasters would crash struct.pack; PhotometricInterpretation
+    # must be 2 (RGB) for 3-sample chunky images or external readers
+    # (GDAL/Pillow) treat the file as multi-band grayscale
     tags: dict[int, tuple[int, list]] = {
-        256: (3, [w]), 257: (3, [h]),
+        256: (4, [w]), 257: (4, [h]),
         258: (3, [dt.itemsize * 8] * spp), 259: (3, [compression]),
-        262: (3, [1]), 277: (3, [spp]), 278: (3, [h]),
+        262: (3, [2 if spp == 3 else 1]), 277: (3, [spp]), 278: (4, [h]),
         279: (4, [len(strip)]), 284: (3, [1]),
         339: (3, [fmt_kind] * spp),
     }

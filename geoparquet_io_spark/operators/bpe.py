@@ -9,10 +9,21 @@ one small pair-count aggregate.  The per-iteration driver traffic is a
 single (pair, count) row.
 
 Representation: a word is its space-joined symbol string ("h e l l o");
-a merge rewrites every non-overlapping left-to-right occurrence of
-" A B " to " AB " on the delimiter-padded string — the same scan order
-Python's ``str.replace``, Spark's ``replace`` and DuckDB's ``replace``
-all implement, which is what makes the unrolled-SQL oracle exact.
+a merge rewrites left-to-right occurrences of " A B " to " AB " on the
+delimiter-padded string — the same scan order Python's ``str.replace``,
+Spark's ``replace`` and DuckDB's ``replace`` all implement, which is
+what makes the unrolled-SQL oracle exact.
+
+Known deviation from Sennrich on REPEATED-symbol runs: consecutive
+occurrences share the padding delimiter, so one replace pass merges
+alternate occurrences only ("a a a a" -> "aa a a", where canonical BPE
+yields "aa aa").  The leftover adjacency is re-counted and may be
+selected again in a later round (a duplicate (pair, merged) rule that
+``encode_bpe`` replays identically), so train/encode/oracle stay
+mutually exact — but runs of the same symbol can take extra merge
+slots vs a reference BPE trainer.  Natural-language corpora have few
+such runs; exact Sennrich semantics would need a stateful array fold
+the SQL oracle cannot mirror.
 
 Simplification vs the paper: no end-of-word marker symbol (merges never
 cross word boundaries either way); tie-breaks are (count DESC, pair

@@ -36,12 +36,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize once: every iteration joins e/outdeg and rebuilds pr
+    # from nodes — without the checkpoint each iteration replays the
+    # edge dedup + node-union shuffles from scratch
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct().localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     n_nodes = float(nodes.count())   # scalar agg (same pattern as tf-idf's N)
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    if n_nodes == 0:
+        # empty edge set: an empty rank table, not a ZeroDivisionError
+        return nodes.select(F.col("node"),
+                            F.lit(None).cast("double").alias("pagerank"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg")) \
+        .localCheckpoint(eager=False)
     base = (1.0 - damping) / n_nodes
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
@@ -79,8 +88,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
     Returns (vertex, n_triangles) when ``per_vertex`` (vertices in no
     triangle are absent), else a single-row (n_triangles) total.
     """
-    e = (edges.select(F.col(src).cast("long").alias("a"),
-                      F.col(dst).cast("long").alias("b"))
+    # no numeric cast: vertex ids may be strings (URLs, doc hashes) —
+    # cast('long') nulled them and silently dropped every edge;
+    # least/greatest and the (degree, id) orientation order any type
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .select(F.least("a", "b").alias("a"),
                  F.greatest("a", "b").alias("b"))

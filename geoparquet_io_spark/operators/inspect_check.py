@@ -257,6 +257,10 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
     if not files:
         return [f"no parquet files at {path}"]
     errors: list[str] = []
+    # informational notices must not GATE the data checks below (an
+    # early `if errors: return` on a harmless stray README would skip
+    # WKB / bbox / orientation validation entirely)
+    notices: list[str] = []
     # _files() only globs *.parquet, so sweep the directory separately for
     # data-looking files the validators would otherwise silently skip
     # (underscore/dot names are parquet-convention markers, not data)
@@ -268,12 +272,12 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
             and not fn.startswith(("_", "."))
         ]
         if stray:
-            errors.append(
+            notices.append(
                 f"{len(stray)} non-.parquet files in the dataset directory "
                 f"are excluded from validation (e.g. "
                 f"{os.path.basename(stray[0])!r})")
     elif not path.endswith(".parquet"):
-        errors.append("data file lacks the .parquet extension")
+        notices.append("data file lacks the .parquet extension")
     schema = pq.read_schema(files[0])
     # dataset-level geo: per-file bboxes UNIONED (a single file's footer
     # understates a multi-file dataset's extent)
@@ -281,7 +285,7 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
 
     geo = read_footer_geo(path)
     if geo is None:
-        return ["missing 'geo' footer metadata"]
+        return notices + ["missing 'geo' footer metadata"]
     errors.extend(geo.validate())
     # physical schema: geometry must be plain binary (not grouped/repeated)
     import pyarrow as pa
@@ -295,28 +299,33 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
             errors.append(f"geometry column {name!r} is {f.type}, expected binary")
     errors.extend(_check_covering(geo, schema))
     if errors:
-        return errors
+        return notices + errors
     errors.extend(_check_wkb_encoding_sample(files, geo.primary_column, sample_rows))
     if errors:
-        return errors  # unparseable WKB: downstream data checks can't run
+        # unparseable WKB: downstream data checks can't run
+        return notices + errors
     errors.extend(_check_per_file_bboxes(files, geo))
     # data-vs-metadata on a sample: geometry parses, types match, bbox contains data
     from geoparquet_io_spark.functions import geom as G
 
     gcol = geo.primary_column
-    df = spark.read.parquet(path).select(gcol).limit(sample_rows)
+    # read the explicit parquet list, not the directory: a stray
+    # non-parquet file in the dir would crash Spark's footer reader
+    df = spark.read.parquet(*files).select(gcol).limit(sample_rows)
     types_rows = df.select(G.st_geometrytype(F.col(gcol)).alias("t")).distinct().collect()
     seen = {r["t"] for r in types_rows if r["t"] is not None}
     declared = set(geo.primary.geometry_types)
     if declared:
-        pretty = {t.title().replace("string", "String").replace("point", "Point")
-                  .replace("polygon", "Polygon") for t in seen}
         mapped = {
             "POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",
             "MULTIPOINT": "MultiPoint", "MULTILINESTRING": "MultiLineString",
             "MULTIPOLYGON": "MultiPolygon", "GEOMETRYCOLLECTION": "GeometryCollection",
         }
-        undeclared = {mapped.get(t, t) for t in seen} - declared
+        # st_geometrytype reports the BASE type; the spec allows declared
+        # entries with dimension suffixes ("Polygon Z") — compare bases so
+        # a compliant 3D file is not flagged
+        declared_base = {t.split(" ")[0] for t in declared}
+        undeclared = {mapped.get(t, t) for t in seen} - declared_base
         if undeclared:
             errors.append(f"data contains undeclared geometry types: {sorted(undeclared)}")
     from geoparquet_io_spark.functions import crs as _crs
@@ -366,6 +375,8 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
                 polys = ([g] if g.gtype == _wkb.POLYGON
                          else (g.children if g.gtype == _wkb.MULTIPOLYGON else []))
                 for p in polys:
+                    if not p.parts:     # POLYGON EMPTY: no rings to wind
+                        continue
                     a, _, _ = _wkb._ring_area_centroid(p.parts[0])
                     if a < 0:
                         bad += 1
@@ -373,7 +384,7 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
             errors.append(
                 f"orientation declared counterclockwise but {bad} sampled "
                 "exterior rings wind clockwise")
-    return errors
+    return notices + errors
 
 
 def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
@@ -462,11 +473,13 @@ def inspect_summary(path: str) -> dict:
     md = pq.read_metadata(files[0])
     schema = pq.read_schema(files[0])
     geo = GeoMeta.from_footer(schema.metadata)
+    mds = [md] + [pq.read_metadata(f) for f in files[1:]]
     return {
         "files": len(files),
-        "rows": sum(pq.read_metadata(f).num_rows for f in files),
+        "rows": sum(m.num_rows for m in mds),
         "columns": schema.names,
-        "row_groups": md.num_row_groups,
+        # dataset-wide like rows/files — first-file-only misled sizing
+        "row_groups": sum(m.num_row_groups for m in mds),
         "geo": None if geo is None else {
             "version": geo.version,
             "primary_column": geo.primary_column,

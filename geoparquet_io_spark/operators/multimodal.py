@@ -369,15 +369,19 @@ def sample_frames(
     """
     if deterministic_fake:
         n = F.greatest(F.floor(F.length(data_column) / every_n_bytes).cast("int"), F.lit(0))
-        frames = F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("frame_index"),
-                i.cast("double").alias("t_s"),
-                F.substring(F.col(data_column), (i * every_n_bytes + 1).cast("int"),
-                            every_n_bytes).alias("frame"),
-            ),
-        )
+        # sequence over max(n,1) then slice to n: sequence(0, -1) would
+        # run DESCENDING and fabricate frames [0, -1] for short payloads
+        frames = F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda j: F.struct(
+                    (j - 1).cast("int").alias("frame_index"),
+                    (j - 1).cast("double").alias("t_s"),
+                    F.substring(F.col(data_column),
+                                ((j - 1) * every_n_bytes + 1).cast("int"),
+                                every_n_bytes).alias("frame"),
+                ),
+            ), 1, n)
         return df.withColumn(frame_column, frames)
 
     from geoparquet_io_spark.functions.avi import extract_frames, parse_avi
@@ -632,7 +636,13 @@ def _gray_pool(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
 def dhash(img: np.ndarray, hash_size: int = 8) -> int:
     """Difference hash: pool to (hash_size, hash_size + 1) grayscale,
     emit one bit per horizontal gradient (left > right), row-major.
-    hash_size 8 -> 64 bits (the standard pHash-library layout)."""
+    hash_size 8 -> 64 bits (the standard pHash-library layout).
+    hash_size is capped at 8: the signature column is a signed 64-bit
+    long, and a larger grid would overflow it at runtime."""
+    if not 1 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] (hash_size^2 bits must fit a "
+            f"64-bit long), got {hash_size}")
     pooled = _gray_pool(img, hash_size, hash_size + 1)
     bits = pooled[:, :-1] > pooled[:, 1:]
     v = 0
@@ -825,6 +835,14 @@ def resize_images(
                     vals.append(None)
                     continue
                 img = decode(bytes(buf))
+                # output contract is RGB uint8: 16-bit PNGs (decode_png
+                # legitimately returns uint16) must be SCALED down, not
+                # passed through (nearest would emit 6-byte pixels,
+                # bilinear would clip to white, area would wrap mod 256)
+                if img.dtype == np.uint16:
+                    img = (img >> 8).astype(np.uint8)
+                elif img.dtype != np.uint8:
+                    img = np.clip(img, 0, 255).astype(np.uint8)
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 small = _resample(img, width, height, method)

@@ -86,14 +86,20 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (LCG, no numpy RNG state)."""
+    """Deterministic pseudo-random unit hyperplanes (LCG, no numpy RNG state).
+
+    The 31-bit LCG draw divides by 2^30 so components span [-1, 1).
+    (A 2^31 divisor confined every component to [-1, 0): all planes in
+    one orthant, pairwise cosine ~0.7 — LSH buckets then collapse to
+    the two all-same-sign buckets and the bucketed joins degenerate
+    toward the full cross product the bucketing exists to prevent.)"""
     planes = []
     state = seed
     for _ in range(n_planes):
         v = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            v.append(((state >> 33) / float(1 << 31)) - 1.0)
+            v.append(((state >> 33) / float(1 << 30)) - 1.0)
         length = math.sqrt(sum(x * x for x in v)) or 1.0
         planes.append([x / length for x in v])
     return planes
@@ -314,10 +320,13 @@ def ann_recall(
     small shuffles over result lists (k rows per query), never the
     corpus.
     """
+    # distinct both sides: a fused/unioned candidate list with repeated
+    # (query, neighbor) pairs would otherwise double-count hits (recall
+    # above 1.0) or inflate the denominator — set arithmetic needs sets
     a = approx.select(F.col(query_column).alias("q"),
-                      F.col(neighbor_column).alias("n"))
+                      F.col(neighbor_column).alias("n")).distinct()
     e = exact.select(F.col(query_column).alias("q"),
-                     F.col(neighbor_column).alias("n"))
+                     F.col(neighbor_column).alias("n")).distinct()
     truth = e.groupBy("q").agg(F.count("*").alias("n_true"))
     hits = a.join(e, ["q", "n"]).groupBy("q").agg(F.count("*").alias("hits"))
     return (
@@ -362,6 +371,11 @@ def kmeans_fit_distributed(
     Default ``init`` is the deterministic :func:`ivf_centroids` grid —
     data-independent, so two engines starting from the same seed agree.
     """
+    if init is not None and len(init) != n_centroids:
+        raise ValueError(
+            f"init has {len(init)} centroids but n_centroids="
+            f"{n_centroids}: a shorter init crashes mid-loop and a "
+            "longer one silently drops clusters from the updates")
     cents = [[round(float(x), round_digits) for x in c]
              for c in (init or ivf_centroids(dim, n_centroids, seed))]
     src = df.select(F.lit(0).alias("id"),
@@ -401,9 +415,11 @@ def kmeans_model_table(
     sizes = {int(r["cluster"]): r["cnt"]
              for r in _assign_clusters_arrow(src, cents)
              .groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
+    # empty clusters appear explicitly with size=0 (the docstring's
+    # one-row-per-(cluster, dim) contract): a registry diff should see
+    # "this cluster collapsed", not a missing-row schema surprise
     rows = [(j, int(sizes.get(j, 0)), d, float(cents[j][d]))
-            for j in range(n_centroids) for d in range(dim)
-            if sizes.get(j, 0) > 0]
+            for j in range(n_centroids) for d in range(dim)]
     return spark.createDataFrame(rows, "cluster int, size bigint, d int, coord double")
 
 

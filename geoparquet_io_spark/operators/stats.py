@@ -209,7 +209,10 @@ def check_spatial_order(
         .agg(F.avg("d").alias("avg"))
         .collect()[0]["avg"]
     )
-    ratio = float(consec) / float(rand_avg) if rand_avg else float("nan")
+    # consec is None when no partition has 2+ rows (e.g. many single-row
+    # files): no consecutive pairs exist, so no order claim can be made
+    ratio = (float(consec) / float(rand_avg)
+             if consec is not None and rand_avg else float("nan"))
     return {
         "consecutive_avg_distance": float(consec) if consec is not None else None,
         "random_avg_distance": float(rand_avg) if rand_avg is not None else None,
@@ -232,12 +235,21 @@ def column_quantiles(df: DataFrame, column: str,
     fn = "percentile" if exact else "percentile_approx"
     probs = ", ".join(repr(float(p)) for p in probabilities)
     row = df.selectExpr(f"{fn}({column}, array({probs})) AS q")
+    def _label(p: float) -> str:
+        # round, not int-truncate: int(0.29 * 100) == 28 (float repr);
+        # keep enough digits that close probabilities can't collide
+        s = f"{p * 100:.4f}".rstrip("0").rstrip(".")
+        return "p" + s.replace(".", "_")
+
+    labels = [_label(p) for p in probabilities]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from {probabilities}")
     cols = []
-    for i, p in enumerate(probabilities):
+    for i, (p, lab) in enumerate(zip(probabilities, labels)):
         c = F.col("q")[i]
         if round_digits is not None:
             c = F.round(c, round_digits)
-        cols.append(c.alias(f"p{int(p * 100)}"))
+        cols.append(c.alias(lab))
     return row.select(*cols)
 
 
@@ -425,11 +437,15 @@ def cohort_retention(df: DataFrame, user_column: str, ts_column: str,
     j = df.select(F.col(user_column).alias("__u"),
                   F.date_trunc(unit, F.col(ts_column)).alias("__period")) \
         .join(first, "__u")
-    seconds = {"week": 7 * 86400, "day": 86400}
-    if unit not in seconds:
+    days = {"week": 7, "day": 1}
+    if unit not in days:
         raise ValueError(f"unsupported unit {unit!r} (use week/day)")
-    idx = ((F.unix_timestamp("__period")
-            - F.unix_timestamp("__cohort")) / seconds[unit]).cast("int")
+    # CALENDAR-day difference, not epoch seconds: a DST transition inside
+    # the span would make the second-diff fall 1h short of a full period
+    # and truncate the user into the wrong retention cell
+    idx = F.floor(
+        F.datediff(F.to_date("__period"), F.to_date("__cohort"))
+        / F.lit(days[unit])).cast("int")
     return (j.withColumn("period_index", idx)
             .groupBy(F.col("__cohort").alias("cohort"), "period_index")
             .agg(F.countDistinct("__u").alias("n_users")))
@@ -447,16 +463,21 @@ def mad_outliers(df: DataFrame, group_column: str, value_column: str,
     both join sides are one-row-per-group and AQE-broadcastable.  The
     median/MAD are rounded BEFORE the comparison so both engines compare
     identical operands."""
+    # eqNullSafe joins: a NULL group is a real group (same contract as
+    # grouped_outliers) — plain equi-joins would silently drop its rows
+    # and outliers there could never be flagged
+    g = F.col(group_column)
     med = df.groupBy(group_column).agg(
         F.round(F.expr(f"percentile({value_column}, 0.5)"),
-                round_digits).alias("med"))
-    j = df.join(med, group_column)
-    dev = F.abs(F.col(value_column) - F.col("med"))
+                round_digits).alias("med")) \
+        .withColumnRenamed(group_column, "__mg")
+    j = df.join(med, g.eqNullSafe(F.col("__mg"))).drop("__mg")
     mad = j.groupBy(group_column).agg(
         F.round(F.expr(
             f"percentile(abs({value_column} - med), 0.5)"),
-            round_digits).alias("mad"))
-    j2 = j.join(mad, group_column)
+            round_digits).alias("mad")) \
+        .withColumnRenamed(group_column, "__dg")
+    j2 = j.join(mad, g.eqNullSafe(F.col("__dg"))).drop("__dg")
     return (j2.filter(F.abs(F.col(value_column) - F.col("med"))
                       > F.lit(k) * (F.col("mad") * F.lit(1.4826)))
             .withColumn("robust_z",
@@ -511,12 +532,23 @@ def chi_square_independence(df: DataFrame, row_column: str,
     columns, from the contingency counts: one groupBy for the cells,
     two marginal rollups, expected = row_total * col_total / N.
     Returns (chi2, dof, n) — all exact; the cell work is one shuffle
-    bounded by the category-pair cardinality, never the row count."""
+    bounded by the category-pair cardinality, never the row count.
+
+    Rows with NULL in either column are EXCLUDED up front (the standard
+    complete-case contingency convention) so n, the marginals, dof, and
+    the chi2 sum all describe the same table — counting them in n while
+    the equi-joins dropped their cells silently skewed the statistic."""
+    df = df.filter(F.col(row_column).isNotNull()
+                   & F.col(col_column).isNotNull())
     cells = df.groupBy(row_column, col_column).agg(
         F.count("*").alias("o")).localCheckpoint(eager=False)
     rowt = cells.groupBy(row_column).agg(F.sum("o").alias("rt"))
     colt = cells.groupBy(col_column).agg(F.sum("o").alias("ct"))
     n = cells.agg(F.sum("o")).collect()[0][0]
+    if n is None:
+        raise ValueError(
+            "chi_square_independence needs at least one row with "
+            f"non-null {row_column!r} and {col_column!r}")
     e = (cells.join(rowt, row_column).join(colt, col_column)
          .withColumn("e", F.col("rt") * F.col("ct") / F.lit(float(n))))
     nr = rowt.count()

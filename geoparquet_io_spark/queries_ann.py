@@ -341,9 +341,10 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, rd: int = 6) -> str:
             FROM df_) WHERE rn = 1),
     sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
               FROM af GROUP BY cluster)
-    SELECT CAST(s.cluster AS INTEGER) AS cluster, s.size AS size,
+    SELECT CAST(c.cluster AS INTEGER) AS cluster,
+           COALESCE(s.size, 0) AS size,
            CAST(t.i AS INTEGER) AS d, c.c[t.i + 1] AS coord
-    FROM sizes s JOIN c{iters} c USING (cluster)
+    FROM c{iters} c LEFT JOIN sizes s USING (cluster)
     CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS i) t
     """
 

@@ -570,3 +570,74 @@ def test_sort_hilbert_accepts_precomputed_env(spark):
     a = [r["__hilbert"] for r in auto.df.select("__hilbert").collect()]
     m = [r["__hilbert"] for r in manual.df.select("__hilbert").collect()]
     assert a == m
+
+
+def test_validate_stray_file_does_not_gate_data_checks(spark, tmp_path):
+    """A harmless sidecar file must not short-circuit the WKB/bbox/data
+    checks — a corrupt-WKB dataset with a README used to pass with only
+    the stray-file notice."""
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    gt = _events_points(spark, SF_SMOKE)
+    gt.geo.primary.geometry_types = ["Polygon"]  # data is points -> error
+    out = str(tmp_path / "straydir")
+    gt.write(out, single_file=False)
+    with open(f"{out}/README.txt", "w") as fh:
+        fh.write("notes")
+    errs = validate(spark, out)
+    assert any("excluded from validation" in e for e in errs)
+    assert any("undeclared" in e for e in errs), \
+        "stray-file notice gated the data checks"
+
+
+def test_validate_accepts_3d_declared_types(spark, tmp_path):
+    """'Polygon Z'-style declared types are spec-compliant; the base-type
+    comparison must not flag them as undeclared."""
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    gt = _events_points(spark, SF_SMOKE)
+    gt.geo.primary.geometry_types = ["Point Z", "Point"]
+    out = str(tmp_path / "z.parquet")
+    gt.write(out)
+    errs = validate(spark, out)
+    assert not any("undeclared" in e for e in errs), errs
+
+
+def test_validate_orientation_skips_empty_polygon(spark, tmp_path):
+    """POLYGON EMPTY (zero rings) must not crash the orientation check."""
+    import struct
+
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.inspect_check import validate
+
+    # little-endian WKB: POLYGON with numRings=0, and one valid CCW ring
+    empty_poly = struct.pack("<BII", 1, 3, 0)
+    ccw = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", 4) + struct.pack(
+        "<8d", 0, 0, 1, 0, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [(1, bytearray(empty_poly)), (2, bytearray(ccw))], ["id", "geometry"])
+    geo = GeoMeta(columns={"geometry": GeoColumnMeta(
+        geometry_types=["Polygon"], orientation="counterclockwise")})
+    out = str(tmp_path / "emptypoly.parquet")
+    GeoTable(df, geo).write(out, update_metadata=False)
+    errs = validate(spark, out)  # must not raise IndexError
+    assert not any("clockwise" in e for e in errs), errs
+
+
+def test_inspect_summary_row_groups_dataset_wide(spark, tmp_path):
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.operators.inspect_check import inspect_summary
+
+    gt = _events_points(spark, SF_SMOKE)
+    out = str(tmp_path / "multi")
+    gt.df.repartition(4)  # not used for write; write distributed
+    files = gt.write(out, single_file=False, row_group_rows=100)
+    s = inspect_summary(out)
+    assert s["files"] == len(files)
+    total_groups = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_row_groups
+        for f in files)
+    assert s["row_groups"] == total_groups

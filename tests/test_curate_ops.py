@@ -359,3 +359,72 @@ def test_pack_sequences_distributed_prefix_matches_global(spark):
     import re
     for frag in re.findall(r"Window \[[^\]]*\]", plan):
         assert "__pid" in frag or "windowspecdefinition" not in frag
+
+
+def test_quantile_labels_round_not_truncate(spark):
+    from geoparquet_io_spark.operators.stats import column_quantiles
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = column_quantiles(df, "v", probabilities=(0.29, 0.57, 0.055))
+    assert out.columns == ["p29", "p57", "p5_5"]
+
+
+def test_mad_outliers_null_group_flagged(spark):
+    """A NULL group key is a real group: its outliers must be flagged,
+    not silently dropped by an inner equi-join."""
+    from geoparquet_io_spark.operators.stats import mad_outliers
+
+    rows = [(None, float(v)) for v in [10, 10, 10, 11, 9, 10, 500]] + \
+           [("a", float(v)) for v in [1, 1, 1, 2, 0, 1, 300]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = mad_outliers(df, "g", "v", k=3.5).collect()
+    flagged = {(r["g"], r["v"]) for r in out}
+    assert (None, 500.0) in flagged and ("a", 300.0) in flagged
+
+
+def test_chi_square_ignores_null_categories(spark):
+    """NULL categories are excluded consistently (n, marginals, dof and
+    the cell sum must describe the same table)."""
+    from geoparquet_io_spark.operators.stats import chi_square_independence
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+            (None, "x"), ("a", None)]
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out["n"] == 4          # null-key rows excluded from N too
+    assert out["dof"] == 1        # 2x2, null categories not counted
+    assert abs(out["chi2"]) < 1e-12  # perfectly independent 2x2
+
+
+def test_check_spatial_order_single_row_partitions(spark):
+    """All-single-row partitions -> no consecutive pairs; must report
+    unordered NaN ratio, not crash on float(None)."""
+    import math
+
+    from geoparquet_io_spark.operators.stats import check_spatial_order
+    from geoparquet_io_spark.queries import _events_points
+    from tests.conftest import SF_SMOKE
+
+    gt = _events_points(spark, SF_SMOKE)
+    one_per_part = gt.df.limit(40).repartition(64)
+    rep = check_spatial_order(one_per_part, geometry_column="geometry")
+    # 64 partitions / 40 rows: most partitions single-row; if ANY pair
+    # exists the ratio is finite, otherwise NaN — either way no crash
+    assert rep["random_avg_distance"] is not None
+    assert isinstance(rep["ratio"], float)
+
+
+def test_cohort_retention_calendar_days(spark):
+    """period_index comes from calendar-day arithmetic (DST-immune)."""
+    import datetime as dt
+
+    from geoparquet_io_spark.operators.stats import cohort_retention
+
+    rows = [(1, dt.datetime(2024, 3, 4, 12)),   # cohort week Mar 4
+            (1, dt.datetime(2024, 3, 11, 1)),   # next week -> index 1
+            (2, dt.datetime(2024, 3, 4, 8))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r["cohort"])[:10], r["period_index"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts", unit="week").collect()}
+    assert out[("2024-03-04", 0)] == 2
+    assert out[("2024-03-04", 1)] == 1

@@ -242,3 +242,38 @@ def test_audio_metadata_flac(spark):
     assert m["sample_rate"] == 22050 and m["channels"] == 2
     assert m["duration_s"] == pytest.approx(4000 / 22050)
     assert m["bitrate_kbps"] > 0
+
+
+def test_encode_flac_non_16bit_roundtrip():
+    """The frame-header bps code must match bits_per_sample — a hardcoded
+    16-bit code desyncs every non-16-bit stream."""
+    import numpy as np
+    import pytest
+
+    from geoparquet_io_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(5)
+    s8 = rng.randint(-128, 128, 300)
+    out, meta = decode_flac(encode_flac(s8, bits_per_sample=8))
+    assert meta["bits_per_sample"] == 8
+    assert np.array_equal(out[:, 0], s8)
+    s24 = rng.randint(-(1 << 23), 1 << 23, 300)
+    out24, meta24 = decode_flac(encode_flac(s24, bits_per_sample=24))
+    assert meta24["bits_per_sample"] == 24
+    assert np.array_equal(out24[:, 0], s24)
+    with pytest.raises(ValueError, match="bits_per_sample"):
+        encode_flac(s8, bits_per_sample=10)
+
+
+def test_encode_flac_many_frames_coded_number():
+    """Frame numbers >= 2048 need the 3+-byte UTF-8 coded form; the old
+    fixed 2-byte encoding silently desynced long streams."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(6)
+    s = rng.randint(-1000, 1000, 2100)
+    # blocksize 1 -> 2100 frames, crossing the 2048 2-byte boundary
+    out, meta = decode_flac(encode_flac(s, blocksize=1))
+    assert np.array_equal(out[:, 0], s)

@@ -345,3 +345,27 @@ def test_triangle_count_plan_no_cartesian(spark):
     plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_string_vertices(spark):
+    """String vertex ids (URLs/doc hashes) must count triangles — the
+    old cast('long') nulled them and silently returned zero."""
+    from geoparquet_io_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("a.com", "c.com"),
+         ("c.com", "d.com")], ["src", "dst"])
+    total = triangle_count(edges, per_vertex=False).collect()[0]["n_triangles"]
+    assert total == 1
+    per_v = {r["vertex"] for r in triangle_count(edges).collect()}
+    assert per_v == {"a.com", "b.com", "c.com"}
+
+
+def test_pagerank_empty_edges(spark):
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"]) \
+        .filter(F.lit(False))
+    assert pagerank(edges).count() == 0  # empty result, not ZeroDivisionError

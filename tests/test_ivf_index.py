@@ -147,3 +147,62 @@ def test_ann_recall_set_arithmetic(spark):
     assert out[1] == (1, 2, 0.5)        # one of two true neighbors found
     assert out[2] == (1, 2, 0.5)
     assert out[3] == (0, 1, 0.0)        # query absent from approx -> 0
+
+
+def test_hyperplanes_span_both_signs():
+    """The LCG draw must cover [-1, 1): a [-1, 0)-only range put every
+    plane in one orthant (pairwise cosine ~0.7) and collapsed LSH
+    bucketing toward the two all-same-sign buckets."""
+    from geoparquet_io_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    flat = [x for p in planes for x in p]
+    assert any(x > 0 for x in flat) and any(x < 0 for x in flat)
+    # pairwise cosines should look random, not near-parallel
+    import math
+    cos = []
+    for i in range(len(planes)):
+        for j in range(i + 1, len(planes)):
+            d = sum(a * b for a, b in zip(planes[i], planes[j]))
+            cos.append(abs(d))
+    assert max(cos) < 0.6, f"planes nearly parallel: max |cos| {max(cos):.2f}"
+
+
+def test_ann_recall_dedups_pair_lists(spark):
+    """Duplicate (query, neighbor) rows in either input must not inflate
+    recall above 1.0 — the inputs are treated as SETS."""
+    from geoparquet_io_spark.operators.similarity import ann_recall
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11)], ["query_id", "neighbor_id"])
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 12)], ["query_id", "neighbor_id"])
+    r = ann_recall(approx, exact).collect()[0]
+    assert r["hits"] == 1 and r["n_true"] == 2 and r["recall"] == 0.5
+
+
+def test_kmeans_init_length_validated(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.similarity import kmeans_fit_distributed
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="init has"):
+        kmeans_fit_distributed(df, dim=2, n_centroids=3,
+                               init=[[0.0, 1.0], [1.0, 0.0]])
+
+
+def test_kmeans_model_table_reports_empty_clusters(spark):
+    """A collapsed cluster appears explicitly with size=0, keeping the
+    one-row-per-(cluster, dim) contract."""
+    from geoparquet_io_spark.operators.similarity import kmeans_model_table
+
+    # all points identical -> every non-winning cluster is empty
+    df = spark.createDataFrame([(i, [1.0, 1.0]) for i in range(5)],
+                               ["vec_id", "embedding"])
+    out = kmeans_model_table(spark, df, dim=2, n_centroids=4, iterations=1)
+    rows = out.collect()
+    assert len(rows) == 4 * 2
+    sizes = {r["cluster"]: r["size"] for r in rows}
+    assert sum(1 for v in sizes.values() if v == 0) == 3
+    assert sum(sizes.values()) == 5

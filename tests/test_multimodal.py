@@ -611,3 +611,47 @@ def test_decode_wav_float32(spark):
     f = extract_audio_features(df).collect()[0]["audio_features"]
     assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
     assert abs(f["spectral_centroid_hz"] - 437.5) < 5
+
+
+def test_sample_frames_fake_short_payload_empty(spark):
+    """Payload shorter than every_n_bytes must yield ZERO fake frames —
+    sequence(0, -1) used to fabricate frames [0, -1]."""
+    from geoparquet_io_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x" * 500), (2, b"y" * 2500)],
+                               ["id", "data"])
+    out = {r["id"]: r["frames"]
+           for r in sample_frames(df, every_n_bytes=1024,
+                                  deterministic_fake=True).collect()}
+    assert out[1] == []
+    assert [f["frame_index"] for f in out[2]] == [0, 1]
+
+
+def test_dhash_rejects_oversize_hash(spark):
+    import numpy as np
+    import pytest
+
+    from geoparquet_io_spark.operators.multimodal import dhash
+
+    with pytest.raises(ValueError, match="hash_size"):
+        dhash(np.zeros((16, 16)), hash_size=10)
+
+
+def test_resize_16bit_png_normalizes_to_uint8(spark):
+    """16-bit PNG input must scale to the RGB uint8 output contract
+    (not emit uint16 bytes / clip to white / wrap mod 256)."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 65536, (10, 8, 3)).astype(np.uint16)
+    buf = _make_png2(img, ctype=2, filters=[0], depth=16)
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "data"])
+    for method in ("nearest", "bilinear", "area"):
+        r = resize_images(df, 4, 4, method=method).collect()[0]["resized"]
+        assert r["channels"] == 3
+        assert len(r["data"]) == 4 * 4 * 3  # uint8 bytes, not uint16
+        vals = np.frombuffer(bytes(r["data"]), dtype=np.uint8)
+        # top byte of the uint16 values: mean ~127, nothing degenerate
+        assert vals.mean() > 32 and vals.mean() < 224, (method, vals.mean())

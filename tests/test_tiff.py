@@ -271,3 +271,60 @@ def test_tiff_lzw_property_roundtrip():
         assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
 
     check()
+
+
+def test_decode_rejects_unsupported_predictor():
+    """Predictor 3 (float byte shuffle) must be rejected loudly — silently
+    treating it as raw data decodes to garbage pixels."""
+    import numpy as np
+    import pytest
+
+    from geoparquet_io_spark.functions.tiff import build_geotiff, decode_tiff
+
+    buf = bytearray(build_geotiff(np.arange(12, dtype="u1").reshape(3, 4)))
+    # patch in a Predictor (317) tag by rewriting a spare tag is complex;
+    # instead splice: find tag 284 (PlanarConfig, type 3, value 1) and
+    # change its id to 317 with value 3 — same layout, different meaning
+    idx = bytes(buf).find((284).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert idx > 0
+    buf[idx:idx + 2] = (317).to_bytes(2, "little")
+    buf[idx + 8] = 3  # value 3
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(bytes(buf))
+
+
+def test_decompress_truncates_overlong_strip():
+    """A writer that pads the final strip to full RowsPerStrip must not
+    crash the reshape: every codec branch truncates to expected."""
+    import zlib
+
+    from geoparquet_io_spark.functions.tiff import _decompress
+
+    raw = b"\x07" * 100
+    assert _decompress(8, zlib.compress(raw), 40) == raw[:40]
+    assert _decompress(1, raw, 40) == raw[:40]
+    # packbits run crossing the boundary: 100-byte replicate run
+    pb = bytes([257 - 100, 7])
+    assert _decompress(32773, pb, 40) == raw[:40]
+
+
+def test_build_geotiff_large_dims_and_rgb_photometric():
+    """Dims > 65535 need LONG tags (SHORT crashes struct.pack); 3-band
+    images must declare PhotometricInterpretation=2 (RGB) for external
+    readers."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions.tiff import (_read_ifds, build_geotiff,
+                                                    decode_tiff)
+
+    tall = np.arange(70000 * 2, dtype="u1").reshape(70000, 2)
+    buf = build_geotiff(tall)
+    assert np.array_equal(decode_tiff(buf), tall)
+
+    rgb = np.zeros((4, 5, 3), dtype="u1")
+    b2 = build_geotiff(rgb)
+    ifds, _ = _read_ifds(b2)
+    assert ifds[0].tags[262][0] == 2  # RGB, not BlackIsZero
+    gray = build_geotiff(np.zeros((4, 5), dtype="u1"))
+    ifds_g, _ = _read_ifds(gray)
+    assert ifds_g[0].tags[262][0] == 1
