@@ -98,7 +98,10 @@ def st_box(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -
     reference: core/extract.py:577-579)."""
     out = []
     for a, b, c, d in zip(xmin, ymin, xmax, ymax):
-        if a is None or b is None or c is None or d is None:
+        # pd.isna, not `is None`: Spark hands null doubles to pandas UDFs
+        # as NaN — an `is None` check never fires and the box would be a
+        # NaN-coordinate polygon that silently fails every intersection
+        if pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(d):
             out.append(None)
         else:
             out.append(_wkb.encode_box_polygon(float(a), float(b), float(c), float(d)))
@@ -326,6 +329,10 @@ def with_hilbert_key(df, x: Column, y: Column,
         return F.shiftright(c, k)
 
     t = "__hb_"
+    while any(cname.startswith(t) for cname in df.columns):
+        # never clobber pre-existing columns (user data or a prior
+        # failed run): the cleanup drop below is prefix-based
+        t = "_" + t
     df = df.withColumns({t + "x": grid(x.cast("double"), xmin, xmax),
                          t + "y": grid(y.cast("double"), ymin, ymax)})
     gx, gy = F.col(t + "x"), F.col(t + "y")
@@ -450,7 +457,9 @@ def st_buffer_point(x: Column, y: Column, radius, segments: int = 32) -> Column:
     def _buf(xs: pd.Series, ys: pd.Series, rs: pd.Series) -> pd.Series:
         out = []
         for xv, yv, rv in zip(xs, ys, rs):
-            out.append(None if xv is None or yv is None or rv is None
+            # pd.isna: Spark nulls arrive as NaN in pandas UDFs, and a
+            # NaN coordinate/radius would emit an all-NaN ring
+            out.append(None if pd.isna(xv) or pd.isna(yv) or pd.isna(rv)
                        else _wkb.buffer_point(float(xv), float(yv), float(rv), n))
         return pd.Series(out, dtype="object")
 

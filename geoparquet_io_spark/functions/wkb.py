@@ -33,7 +33,6 @@ TYPE_NAMES = {
     GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
 }
 
-_HDR = struct.Struct("<BI")
 _PT_LE = struct.Struct("<2d")
 
 
@@ -140,6 +139,10 @@ def _parse_at(mv: memoryview, off: int):
     # Strip common Z/M/SRID flags (EWKB / ISO): keep base type, 2-D coords only.
     base = gtype & 0xFF
     has_srid = bool(gtype & 0x20000000)
+    if gtype & 0xC0000000:
+        # EWKB Z (0x80000000) / M (0x40000000): coords are 3-/4-wide —
+        # reading them as 2-D would silently interleave garbage
+        raise ValueError("only 2-D WKB supported")
     iso_dims = (gtype % 1000, gtype // 1000)
     if gtype > 1000 and gtype < 0x20000000:
         base = iso_dims[0]
@@ -230,7 +233,6 @@ def centroid(buf: bytes):
     if g.gtype in (POLYGON, MULTIPOLYGON):
         tot_a = 0.0
         sx = sy = 0.0
-        shells_holes = []
         if g.gtype == POLYGON:
             polys = [g]
         else:
@@ -250,8 +252,10 @@ def centroid(buf: bytes):
     for arr in g.rings():
         if len(arr) < 2:
             if len(arr) == 1:
-                sx += arr[0, 0]
-                sy += arr[0, 1]
+                # weight the coordinate like every other term: an
+                # unweighted sum over the 1e-300 total exploded by 1e300
+                sx += arr[0, 0] * 1e-300
+                sy += arr[0, 1] * 1e-300
                 tot_l += 1e-300
             continue
         seg = np.diff(arr, axis=0)
@@ -430,8 +434,12 @@ def distance(buf_a: bytes, buf_b: bytes) -> float:
         return 0.0
     ga, gb = parse(buf_a), parse(buf_b)
     best = math.inf
-    arrs_a = list(ga.rings())
-    arrs_b = list(gb.rings())
+    # skip EMPTY components (0-point arrays crash the reductions); if a
+    # whole side is empty no distance exists — NaN, PostGIS-style
+    arrs_a = [r for r in ga.rings() if len(r)]
+    arrs_b = [r for r in gb.rings() if len(r)]
+    if not arrs_a or not arrs_b:
+        return math.nan
     for ra in arrs_a:
         for rb in arrs_b:
             best = min(best, _min_dist_arrays(ra, rb))
@@ -561,9 +569,18 @@ def simplify(buf: bytes, tolerance: float) -> bytes:
         if cur.gtype == MULTIPOLYGON:
             return encode_multipolygon(
                 [[simp_ring(r) for r in poly.parts] for poly in cur.children])
+        if cur.gtype in (MULTIPOINT, MULTILINESTRING, GEOMETRYCOLLECTION):
+            # GEOS semantics: points pass through, each part simplified
+            return _encode_collection(cur.gtype,
+                                      [rebuild(c) for c in cur.children])
         raise ValueError(f"ST_Simplify unsupported for {cur.type_name}")
 
     return rebuild(g)
+
+
+def _encode_collection(gtype: int, parts: list) -> bytes:
+    """Multi/collection WKB from already-encoded child WKBs."""
+    return struct.pack("<BII", 1, gtype, len(parts)) + b"".join(parts)
 
 
 def npoints(buf: bytes) -> int:
@@ -624,7 +641,7 @@ def buffer_point(x: float, y: float, radius: float, segments: int = 32) -> bytes
     """ST_Buffer for a point: regular ``segments``-gon approximation
     (the standard discretization; GEOS uses 8 segments/quadrant).
     CCW ring starting at angle 0, closed."""
-    if radius <= 0:
+    if not radius > 0:      # `not >` also rejects NaN, which `<= 0` passed
         raise ValueError(f"radius must be > 0, got {radius}")
     if segments < 3:
         raise ValueError(f"segments must be >= 3, got {segments}")
@@ -713,8 +730,10 @@ def _clip_line_rect(pts: np.ndarray, xmin, ymin, xmax, ymax) -> list:
                 out.append(np.asarray(cur))
                 cur = []
             continue
-        a = (p[0] + t0 * dx, p[1] + t0 * dy)
-        b = (p[0] + t1 * dx, p[1] + t1 * dy)
+        # at t==0/1 use the ORIGINAL endpoints: p + 1.0*(q-p) need not
+        # equal q in floats, and the 1-ulp gap split inside polylines
+        a = (p[0], p[1]) if t0 == 0.0 else (p[0] + t0 * dx, p[1] + t0 * dy)
+        b = (q[0], q[1]) if t1 == 1.0 else (p[0] + t1 * dx, p[1] + t1 * dy)
         if not cur or cur[-1] != a:
             if cur:
                 out.append(np.asarray(cur))

@@ -43,18 +43,55 @@ def _split_rings(body: str):
     return rings
 
 
+_EMPTY_WKB = {
+    # ISO encodings of EMPTY: POINT as NaN coords (PostGIS convention),
+    # everything else as a 0-count body
+    "POINT": wkb.encode_point(float("nan"), float("nan")),
+    "LINESTRING": b"\x01\x02\x00\x00\x00" + (0).to_bytes(4, "little"),
+    "POLYGON": b"\x01\x03\x00\x00\x00" + (0).to_bytes(4, "little"),
+    "MULTIPOINT": b"\x01\x04\x00\x00\x00" + (0).to_bytes(4, "little"),
+    "MULTILINESTRING": b"\x01\x05\x00\x00\x00" + (0).to_bytes(4, "little"),
+    "MULTIPOLYGON": b"\x01\x06\x00\x00\x00" + (0).to_bytes(4, "little"),
+    "GEOMETRYCOLLECTION": b"\x01\x07\x00\x00\x00" + (0).to_bytes(4, "little"),
+}
+
+
+def _split_geoms(body: str):
+    """Split a GEOMETRYCOLLECTION body at depth-0 commas into component
+    WKT strings ('POINT (1 2), LINESTRING (0 0, 1 1)' -> 2 parts)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p for p in (s.strip() for s in parts) if p]
+
+
 def from_wkt(text: str) -> bytes:
     """Parse WKT to WKB bytes. Raises ValueError on anything unparseable."""
     s = text.strip()
+    me = re.match(r"^\s*([A-Za-z]+)\s+EMPTY\s*$", s, re.I)
+    if me:
+        out = _EMPTY_WKB.get(me.group(1).upper())
+        if out is None:
+            raise ValueError(f"invalid WKT: {text!r}")
+        return out
     m = re.match(r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*\((.*)\)\s*$", s, re.S)
     if not m:
-        if re.match(r"^\s*[A-Za-z]+\s+EMPTY\s*$", s):
-            raise ValueError(f"EMPTY geometries not supported: {text!r}")
         raise ValueError(f"invalid WKT: {text!r}")
     typ = m.group(1).upper()
     if m.group(2):
         raise ValueError("only 2-D WKT supported")
     body = m.group(3)
+    if typ == "GEOMETRYCOLLECTION":
+        parts = [from_wkt(p) for p in _split_geoms(body)]
+        return (b"\x01\x07\x00\x00\x00" + len(parts).to_bytes(4, "little")
+                + b"".join(parts))
     if typ == "POINT":
         c = _parse_coords(body)
         return wkb.encode_point(c[0, 0], c[0, 1])
@@ -124,22 +161,40 @@ def _geom_to_wkt(g: "wkb.Geom", max_coords: int | None = None) -> str:
     t = g.gtype
     mc = max_coords
     if t == wkb.POINT:
-        return f"POINT ({_coords_str(g.parts[0])})"
+        arr = g.parts[0]
+        if len(arr) == 0 or np.isnan(arr[0, 0]):
+            return "POINT EMPTY"
+        return f"POINT ({_coords_str(arr)})"
     if t == wkb.LINESTRING:
+        if len(g.parts[0]) == 0:
+            return "LINESTRING EMPTY"
         return f"LINESTRING ({_coords_str(g.parts[0], mc)})"
     if t == wkb.POLYGON:
+        if not g.parts:
+            return "POLYGON EMPTY"
         rings = ", ".join(f"({_coords_str(r, mc)})" for r in g.parts)
         return f"POLYGON ({rings})"
     if t == wkb.MULTIPOINT:
+        if not g.children:
+            return "MULTIPOINT EMPTY"
         pts = ", ".join(f"({_coords_str(c.parts[0])})" for c in g.children)
         return f"MULTIPOINT ({pts})"
     if t == wkb.MULTILINESTRING:
+        if not g.children:
+            return "MULTILINESTRING EMPTY"
         lines = ", ".join(f"({_coords_str(c.parts[0], mc)})" for c in g.children)
         return f"MULTILINESTRING ({lines})"
     if t == wkb.MULTIPOLYGON:
+        if not g.children:
+            return "MULTIPOLYGON EMPTY"
         polys = ", ".join(
             "(" + ", ".join(f"({_coords_str(r, mc)})" for r in c.parts) + ")"
             for c in g.children
         )
         return f"MULTIPOLYGON ({polys})"
+    if t == wkb.GEOMETRYCOLLECTION:
+        if not g.children:
+            return "GEOMETRYCOLLECTION EMPTY"
+        inner = ", ".join(_geom_to_wkt(c, mc) for c in g.children)
+        return f"GEOMETRYCOLLECTION ({inner})"
     raise ValueError(f"unsupported geometry type {t}")

@@ -55,10 +55,14 @@ def test_empty_dataframe_write(spark, tmp_path):
     assert files == [out]
     assert pq.read_metadata(out).num_rows == 0
     assert b"geo" in pq.read_schema(out).metadata
-    # distributed mode: no rows -> no files, no crash
+    # distributed mode: no rows -> ONE schema-only file (an empty dir
+    # would make spark.read.parquet raise UNABLE_TO_INFER_SCHEMA)
     files2 = empty.write(str(tmp_path / "empty_dir"), single_file=False,
                          update_metadata=False)
-    assert files2 == []
+    assert len(files2) == 1
+    assert pq.read_metadata(files2[0]).num_rows == 0
+    assert b"geo" in pq.read_schema(files2[0]).metadata
+    assert spark.read.parquet(str(tmp_path / "empty_dir")).count() == 0
 
 
 def test_single_row_pipeline(spark, tmp_path):

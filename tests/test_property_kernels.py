@@ -212,3 +212,47 @@ def test_with_hilbert_key_matches_numpy_kernel(spark):
     assert "EvalPython" not in plan
     # temp columns are cleaned up
     assert out.columns == ["i", "x", "y", "k"]
+
+
+def test_st_box_and_buffer_null_inputs_yield_null(spark):
+    """Spark delivers NULL doubles to pandas UDFs as NaN; the old
+    `is None` masks never fired and emitted NaN-coordinate polygons."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions import geom as G
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, 3.0, 4.0), (2, None, 2.0, 3.0, 4.0)],
+        "id int, xmin double, ymin double, xmax double, ymax double")
+    rows = {r["id"]: r["b"] for r in df.select(
+        "id", G.st_box("xmin", "ymin", "xmax", "ymax").alias("b")).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None
+
+    rows = {r["id"]: r["b"] for r in df.select(
+        "id", G.st_buffer_point(F.col("xmin"), F.col("ymin"),
+                                F.col("xmax")).alias("b")).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None
+    # NULL radius column too
+    df2 = spark.createDataFrame([(1.0, 1.0, None)],
+                                "x double, y double, r double")
+    assert df2.select(G.st_buffer_point(
+        F.col("x"), F.col("y"), F.col("r")).alias("b")).first()["b"] is None
+
+
+def test_with_hilbert_key_preserves_conflicting_columns(spark):
+    """Pre-existing __hb_* columns must survive key computation (the
+    temp prefix is rotated, not clobbered)."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.geom import with_hilbert_key
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "keepme")], "x double, y double, __hb_x string")
+    out = with_hilbert_key(df, F.col("x"), F.col("y"),
+                           (0.0, 0.0, 10.0, 10.0), "k")
+    assert "__hb_x" in out.columns
+    row = out.first()
+    assert row["__hb_x"] == "keepme"
+    assert row["k"] is not None

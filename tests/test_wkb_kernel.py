@@ -312,3 +312,88 @@ def test_buffer_point_n_gon():
         W.buffer_point(0, 0, -1.0)
     with _p.raises(ValueError):
         W.buffer_point(0, 0, 1.0, segments=2)
+
+
+def test_centroid_multipoint_is_mean():
+    # regression: single-point components were summed UNWEIGHTED while the
+    # total weight was 1e-300 -> centroid exploded by 1e300
+    mp = wkt.from_wkt("MULTIPOINT (1 1, 3 5)")
+    cx, cy = wkb.centroid(mp)
+    assert abs(cx - 2.0) < 1e-9 and abs(cy - 3.0) < 1e-9
+    # mixed with a line: the line's length dominates (points ~ weightless)
+    gc = wkt.from_wkt("GEOMETRYCOLLECTION (POINT (100 100), LINESTRING (0 0, 2 0))")
+    cx, cy = wkb.centroid(gc)
+    assert abs(cx - 1.0) < 1e-6 and abs(cy) < 1e-6
+
+
+def test_ewkb_zm_flags_rejected():
+    import struct
+    # EWKB LINESTRING Z: flag 0x80000000, 3 doubles per vertex — parsing
+    # as 2-D silently interleaved garbage before the guard
+    buf = struct.pack("<BII", 1, 0x80000002, 2) + struct.pack(
+        "<6d", 0, 0, 5, 1, 1, 5)
+    with pytest.raises(ValueError, match="2-D"):
+        wkb.parse(buf)
+    buf_m = struct.pack("<BII", 1, 0x40000001, 1) + struct.pack("<3d", 1, 2, 9)
+    with pytest.raises(ValueError, match="2-D"):
+        wkb.parse(buf_m)
+
+
+def test_distance_empty_component():
+    pt = wkb.encode_point(1.0, 2.0)
+    empty_line = wkt.from_wkt("LINESTRING EMPTY")
+    assert math.isnan(wkb.distance(pt, empty_line))
+    assert math.isnan(wkb.distance(empty_line, pt))
+    # an empty component alongside a real one: real one still measured
+    mixed = wkt.from_wkt("GEOMETRYCOLLECTION (LINESTRING EMPTY, POINT (4 2))")
+    assert abs(wkb.distance(pt, mixed) - 3.0) < 1e-12
+
+
+def test_clip_fully_inside_polyline_stays_single():
+    # regression: p + 1.0*(q-p) need not equal q in floats; a 1-ulp gap
+    # split fully-inside polylines into spurious MULTILINESTRING parts
+    pts = np.array([(524.5612093932093, 10.1), (-995.7891213121348, 20.2),
+                    (333.3333333333333, -77.7)], dtype="f8")
+    line = wkb.encode_linestring(pts)
+    out = wkb.parse(wkb.clip_to_rect(line, -1e4, -1e4, 1e4, 1e4))
+    assert out.gtype == wkb.LINESTRING
+    assert np.allclose(out.parts[0], pts)
+
+
+def test_simplify_multi_and_collection():
+    ml = wkt.from_wkt(
+        "MULTILINESTRING ((0 0, 1 0.001, 2 0), (0 5, 2 5.001, 4 5))")
+    out = wkb.parse(wkb.simplify(ml, 0.1))
+    assert out.gtype == wkb.MULTILINESTRING
+    assert [len(c.parts[0]) for c in out.children] == [2, 2]
+    mp = wkt.from_wkt("MULTIPOINT (1 1, 3 5)")
+    assert wkb.simplify(mp, 0.5) is not None
+    assert wkt.to_wkt(wkb.simplify(mp, 0.5)) == wkt.to_wkt(mp)
+    gc = wkt.from_wkt(
+        "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 1 0.001, 2 0))")
+    out = wkb.parse(wkb.simplify(gc, 0.1))
+    assert out.gtype == wkb.GEOMETRYCOLLECTION
+    assert out.children[0].gtype == wkb.POINT
+    assert len(out.children[1].parts[0]) == 2
+
+
+def test_buffer_point_nan_radius_raises():
+    with pytest.raises(ValueError, match="radius"):
+        wkb.buffer_point(0.0, 0.0, float("nan"))
+
+
+def test_wkt_geometrycollection_and_empty_roundtrip():
+    gc = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 0), POLYGON ((0 0, 1 0, 1 1, 0 0)))"
+    assert wkt.to_wkt(wkt.from_wkt(gc)) == gc
+    # nested collection
+    nested = "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (5 6)), POINT (7 8))"
+    assert wkt.to_wkt(wkt.from_wkt(nested)) == nested
+    # EMPTY forms round-trip for every type
+    for t in ("LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
+              "MULTIPOLYGON", "GEOMETRYCOLLECTION", "POINT"):
+        assert wkt.to_wkt(wkt.from_wkt(f"{t} EMPTY")) == f"{t} EMPTY"
+    # kernel functions tolerate the empties
+    assert wkb.area(wkt.from_wkt("POLYGON EMPTY")) == 0.0
+    assert wkb.length(wkt.from_wkt("LINESTRING EMPTY")) == 0.0
+    assert math.isnan(wkb.envelope(wkt.from_wkt("GEOMETRYCOLLECTION EMPTY"))[0])
+    assert wkb.geometry_type(wkt.from_wkt("MULTIPOLYGON EMPTY")) == "MULTIPOLYGON"
