@@ -25,24 +25,35 @@ _WKT_PREFIXES = ("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
                  "MULTILINESTRING", "MULTIPOLYGON")
 
 
-def sniff_dialect(path: str, sample_bytes: int = 64 * 1024) -> tuple[str, list[str]]:
+def sniff_dialect(path: str, sample_bytes: int = 64 * 1024,
+                  delimiter: str | None = None) -> tuple[str, list[str]]:
     """(delimiter, header columns) from a driver-side sample
-    (reference delimiter sniffing: core/convert.py:104-180)."""
+    (reference delimiter sniffing: core/convert.py:104-180).
+
+    ``delimiter``: when the caller already knows it, the header is
+    parsed with it directly — re-sniffing could pick a different one
+    (e.g. decimal commas in a semicolon file) and split the header
+    wrong.  Header names are returned RAW (no strip): they must match
+    the Spark CSV reader's column names exactly."""
     with open(path, "r", newline="", errors="replace") as f:
         sample = f.read(sample_bytes)
-    try:
-        dialect = _csv.Sniffer().sniff(sample, delimiters=",;\t|")
-        delim = dialect.delimiter
-    except _csv.Error:
-        delim = ","
+    delim = delimiter
+    if delim is None:
+        try:
+            dialect = _csv.Sniffer().sniff(sample, delimiters=",;\t|")
+            delim = dialect.delimiter
+        except _csv.Error:
+            delim = ","
     header = next(_csv.reader(io.StringIO(sample), delimiter=delim), [])
-    return delim, [h.strip() for h in header]
+    return delim, header
 
 
 def detect_geometry_columns(path: str, delim: str, header: list[str]):
     """-> ("wkt", col) | ("latlon", (lat, lon)) | (None, None)
     (reference: core/convert.py:104-250)."""
-    lower = {h.lower(): h for h in header}
+    # compare stripped-lowercase, return the RAW header name (Spark's
+    # reader keeps surrounding whitespace in column names)
+    lower = {h.strip().lower(): h for h in header}
     for name in WKT_COLUMN_NAMES:
         if name in lower:
             return "wkt", lower[name]
@@ -90,8 +101,7 @@ def read_csv(
             if not hits:
                 raise FileNotFoundError(path)
             sniff_path = hits[0]
-        delim, header = sniff_dialect(sniff_path)
-        delimiter = delimiter or delim
+        delimiter, header = sniff_dialect(sniff_path, delimiter=delimiter)
         if wkt_column is None and lat_column is None:
             kind, cols = detect_geometry_columns(sniff_path, delimiter, header)
             if kind == "wkt":

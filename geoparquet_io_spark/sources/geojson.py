@@ -22,9 +22,16 @@ from geoparquet_io_spark.functions import wkb as _wkb
 
 
 def _geom_to_geojson_dict(g: "_wkb.Geom") -> dict:
+    import math as _math
+
     t = g.gtype
+    # EMPTY forms: RFC 7946 represents them as an empty coordinates
+    # array — POINT EMPTY's NaN-coordinate WKB encoding must NOT leak
+    # literal NaN tokens into the JSON (invalid per RFC 8259)
     if t == _wkb.POINT:
         c = g.parts[0][0]
+        if _math.isnan(c[0]) or _math.isnan(c[1]):
+            return {"type": "Point", "coordinates": []}
         return {"type": "Point", "coordinates": [float(c[0]), float(c[1])]}
     if t == _wkb.LINESTRING:
         return {"type": "LineString",
@@ -50,6 +57,9 @@ def _geom_to_geojson_dict(g: "_wkb.Geom") -> dict:
                 for c in g.children
             ],
         }
+    if t == _wkb.GEOMETRYCOLLECTION:
+        return {"type": "GeometryCollection",
+                "geometries": [_geom_to_geojson_dict(c) for c in g.children]}
     raise ValueError(f"unsupported geometry type {t}")
 
 
@@ -64,7 +74,7 @@ def st_asgeojson(precision: int | None = None):
                 return None
             d = _geom_to_geojson_dict(_wkb.parse(bytes(b)))
             if precision is not None:
-                d["coordinates"] = _round_coords(d["coordinates"], precision)
+                _round_geom(d, precision)
             return json.dumps(d, separators=(",", ":"))
 
         return col.map(conv)
@@ -76,6 +86,16 @@ def _round_coords(c, p: int):
     if isinstance(c, float):
         return round(c, p)
     return [_round_coords(x, p) for x in c]
+
+
+def _round_geom(d: dict, p: int) -> None:
+    """Round in place; GeometryCollections have 'geometries', not
+    'coordinates'."""
+    if "geometries" in d:
+        for sub in d["geometries"]:
+            _round_geom(sub, p)
+    else:
+        d["coordinates"] = _round_coords(d["coordinates"], p)
 
 
 def feature_lines(df: DataFrame, geometry_column: str,
@@ -131,39 +151,115 @@ def read_geojson(spark, path: str, geometry_column: str = "geometry"):
         rows.append(props)
     if not rows:
         raise ValueError(f"no features in {path}")
-    pdf = pd.DataFrame(rows)
-    df = spark.createDataFrame(pdf)
+    # explicit schema from the UNION of keys across all features: a
+    # pandas round-trip NaN-fills missing keys, creating mixed-type
+    # object columns createDataFrame can't convert (heterogeneous
+    # properties are legal GeoJSON)
+    schema, names = _infer_property_schema(rows, skip={geometry_column})
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(geometry_column, T.BinaryType(), True)])
+    data = [tuple(_coerce_json_value(r.get(k), f.dataType)
+                  for k, f in zip(names, schema.fields))
+            + (r[geometry_column],) for r in rows]
+    df = spark.createDataFrame(data, out_schema)
     geo = GeoMeta(primary_column=geometry_column,
                   columns={geometry_column: GeoColumnMeta()})
     return GeoTable(df, geo)
 
 
+def _coerce_json_value(v, dt):
+    """Value -> the merged field type (nested objects/arrays surface as
+    JSON text, same convention as read_geojsonl; conflict-widened string
+    columns stringify scalars)."""
+    if v is None:
+        return None
+    if isinstance(v, (dict, list)):
+        v = json.dumps(v, separators=(",", ":"))
+    if isinstance(dt, T.StringType):
+        return v if isinstance(v, str) else json.dumps(v)
+    if isinstance(dt, T.DoubleType):
+        return float(v)
+    return v
+
+
+def _infer_property_schema(rows: list[dict], skip: set) -> tuple:
+    """Merged (schema, names) over ALL rows: bool < long < double < string;
+    any type conflict widens to string; all-null -> string."""
+    ranks = {T.BooleanType(): 0, T.LongType(): 1, T.DoubleType(): 2,
+             T.StringType(): 3}
+    merged: dict = {}
+    for r in rows:
+        for k, v in r.items():
+            if k in skip:
+                continue
+            if v is None:
+                merged.setdefault(k, None)
+                continue
+            if isinstance(v, bool):
+                dt = T.BooleanType()
+            elif isinstance(v, int):
+                dt = T.LongType()
+            elif isinstance(v, float):
+                dt = T.DoubleType()
+            else:
+                dt = T.StringType()
+            cur = merged.get(k)
+            if cur is None:
+                merged[k] = dt
+            elif cur != dt:
+                # long+double -> double; anything else -> string
+                pair = {ranks[cur], ranks[dt]}
+                merged[k] = T.DoubleType() if pair == {1, 2} else T.StringType()
+    names = list(merged)
+    fields = [T.StructField(k, merged[k] or T.StringType()) for k in names]
+    return T.StructType(fields), names
+
+
+def _coords2d(c) -> "np.ndarray":
+    """Position list -> (n, 2) array.  RFC 7946 permits [x, y, z]
+    positions; the z is DROPPED (2-D engine) — reshaping an Nx3 array
+    to (-1, 2) would interleave z into x/y, silently corrupting every
+    vertex."""
+    import numpy as np
+
+    arr = np.asarray(c, dtype="f8")
+    if arr.ndim == 1:                      # empty coordinate list
+        return arr.reshape(0, 2)
+    return np.ascontiguousarray(arr[:, :2])
+
+
 def _geojson_to_wkb(g: dict | None) -> bytes | None:
     if g is None:
         return None
-    import numpy as np
 
     t = g["type"]
+    if t == "GeometryCollection":
+        parts = [_geojson_to_wkb(sub) for sub in g.get("geometries", [])]
+        return (b"\x01\x07\x00\x00\x00" + len(parts).to_bytes(4, "little")
+                + b"".join(parts))
     c = g["coordinates"]
     if t == "Point":
+        if not len(c):                     # Point EMPTY: NaN-coordinate WKB
+            return _wkb.encode_point(float("nan"), float("nan"))
         return _wkb.encode_point(float(c[0]), float(c[1]))
     if t == "LineString":
-        return _wkb.encode_linestring(np.array(c, dtype="f8"))
+        return _wkb.encode_linestring(_coords2d(c))
     if t == "Polygon":
-        return _wkb.encode_polygon([np.array(r, dtype="f8") for r in c])
+        return _wkb.encode_polygon([_coords2d(r) for r in c])
     if t == "MultiPolygon":
         return _wkb.encode_multipolygon(
-            [[np.array(r, dtype="f8") for r in poly] for poly in c]
+            [[_coords2d(r) for r in poly] for poly in c]
         )
     if t == "MultiPoint":
         out = [b"\x01\x04\x00\x00\x00", len(c).to_bytes(4, "little")]
-        for x, y in c:
-            out.append(_wkb.encode_point(float(x), float(y)))
+        for pos in c:
+            out.append(_wkb.encode_point(float(pos[0]), float(pos[1])))
         return b"".join(out)
     if t == "MultiLineString":
         out = [b"\x01\x05\x00\x00\x00", len(c).to_bytes(4, "little")]
         for line in c:
-            out.append(_wkb.encode_linestring(np.array(line, dtype="f8")))
+            out.append(_wkb.encode_linestring(_coords2d(line)))
         return b"".join(out)
     raise ValueError(f"unsupported GeoJSON geometry {t}")
 
@@ -190,7 +286,7 @@ def write_geojsonl(gt, path: str, precision: int | None = 7,
 
 
 def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
-                  schema=None):
+                  schema=None, sample_lines: int = 100):
     """GeoJSONSeq -> GeoTable, DISTRIBUTED: ``spark.read.text`` splits
     the file(s) across tasks (newlines are record boundaries, the
     whole point of the Seq variant vs a FeatureCollection document);
@@ -199,7 +295,12 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
 
     ``schema``: property schema (StructType, without the geometry
     column).  Defaults to inference from a driver-side sample of the
-    first lines (strings/longs/doubles/booleans)."""
+    first ``sample_lines`` lines (strings/longs/doubles/booleans, type
+    conflicts within the sample widen long+double -> double, anything
+    else -> string).  Data past the sample that doesn't fit the
+    inferred schema fails LOUDLY (property key never seen in the
+    sample, fractional value in a long column) with the remedy named —
+    silent truncation or a bare Arrow cast error helps nobody."""
     from typing import Iterator
 
     from geoparquet_io_spark.geotable import GeoTable
@@ -207,33 +308,21 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
 
     lines = spark.read.text(path)
     if schema is None:
-        sample = [r["value"] for r in lines.limit(100).collect()]
-        seen: dict = {}
+        sample = [r["value"] for r in lines.limit(sample_lines).collect()]
+        feats = []
         for ln in sample:
             ln = ln.strip().lstrip("\x1e")       # tolerate RFC 8142 RS
             if not ln:
                 continue
-            ft = json.loads(ln)
-            for k, v in (ft.get("properties") or {}).items():
-                if k not in seen or seen[k] is None:
-                    seen[k] = v
-        fields = []
-        for k, v in seen.items():
-            if isinstance(v, bool):
-                dt = T.BooleanType()
-            elif isinstance(v, int):
-                dt = T.LongType()
-            elif isinstance(v, float):
-                dt = T.DoubleType()
-            else:
-                # strings; nested objects/arrays surface as JSON text
-                dt = T.StringType()
-            fields.append(T.StructField(k, dt))
-        schema = T.StructType(fields)
+            feats.append(dict(json.loads(ln).get("properties") or {}))
+        schema, _ = _infer_property_schema(feats, skip=set())
     out_schema = T.StructType(
         list(schema.fields)
         + [T.StructField(geometry_column, T.BinaryType(), True)])
     names = [f.name for f in schema.fields]
+
+    name_set = set(names)
+    field_types = {f.name: f.dataType for f in schema.fields}
 
     def parse_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,19 +333,35 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
                     continue
                 ft = json.loads(ln)
                 props = ft.get("properties") or {}
-
-                def norm(v):
-                    if isinstance(v, (dict, list)):
-                        return json.dumps(v, separators=(",", ":"))
-                    return v
-
+                extra = set(props) - name_set
+                if extra:
+                    raise ValueError(
+                        f"property keys {sorted(extra)} not in the inferred "
+                        f"schema (first lines lacked them) — pass schema= or "
+                        f"raise sample_lines= (currently the first "
+                        f"{sample_lines} lines)")
                 rows.append(
-                    {**{k: norm(props.get(k)) for k in names},
+                    {**{k: _coerce_json_value(props.get(k), field_types[k])
+                        for k in names},
                      geometry_column: _geojson_to_wkb(ft.get("geometry"))})
             out = pd.DataFrame(rows, columns=names + [geometry_column])
             for f in schema.fields:
                 if isinstance(f.dataType, T.LongType):
-                    out[f.name] = out[f.name].astype("Int64")
+                    col = out[f.name]
+                    # pd.isna covers both None and the NaN pandas puts in
+                    # for keys missing from a row
+                    frac = col.map(
+                        lambda v: isinstance(v, float) and not pd.isna(v)
+                        and v != int(v))
+                    if frac.any():
+                        bad = col[frac].iloc[0]
+                        raise ValueError(
+                            f"column {f.name!r} inferred as long from the "
+                            f"first {sample_lines} lines but holds fractional "
+                            f"value {bad!r} — pass schema= or raise "
+                            f"sample_lines=")
+                    out[f.name] = col.map(
+                        lambda v: None if pd.isna(v) else int(v)).astype("Int64")
             yield out
 
     df = lines.mapInPandas(parse_lines, schema=out_schema)

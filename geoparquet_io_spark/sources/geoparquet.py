@@ -429,7 +429,10 @@ def _write_distributed(
     # the cap fall back to streaming + one footer rewrite.  (pyarrow >= 18
     # makes the fallback unnecessary via ParquetWriter.add_key_value_metadata
     # — stamp at close; not available on this pyarrow.)
-    buffer_cap = max_rows_per_file or (4 * row_group_rows)
+    # the cap must not scale with max_rows_per_file: a 50M-row file limit
+    # would otherwise disable spilling entirely and buffer whole files
+    buffer_cap = (4 * row_group_rows if max_rows_per_file is None
+                  else min(max_rows_per_file, 4 * row_group_rows))
 
     def write_partition(batches: Iterator["pa.RecordBatch"]):
         from pyspark import TaskContext
@@ -452,7 +455,13 @@ def _write_distributed(
                     path, *[f"{c}={_hive_escape(v)}" for c, v in zip(part_cols, k)]
                 )
                 os.makedirs(d, exist_ok=True)
-            return os.path.join(d, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+            # dot-prefixed while in flight: parquet readers (Spark,
+            # pyarrow.dataset, this repo's _files()) skip dot-files, so a
+            # failed or speculative task attempt can never leak a partial
+            # or duplicate file into reads — the driver renames the
+            # manifest's survivors to their visible names after collect()
+            return os.path.join(
+                d, f".inprogress-part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
 
         def _open(k: tuple):
             f = _new_file(k)
@@ -470,13 +479,25 @@ def _write_distributed(
             import pyarrow.compute as pc
 
             col = sub.column(per_file_bbox).combine_chunks()
+            # flatten(), NOT .field(): .field() ignores struct-level
+            # nulls and reads the (undefined, typically 0.0) child
+            # values under them — a null bbox row would wrongly extend
+            # the footer bbox to 0.  flatten() propagates parent nulls;
+            # pc.min/max then skip them.
+            xmin, ymin, xmax, ymax = (
+                col.flatten()[col.type.get_field_index(n)]
+                for n in ("xmin", "ymin", "xmax", "ymax"))
             return [
-                pc.min(col.field("xmin")).as_py(), pc.min(col.field("ymin")).as_py(),
-                pc.max(col.field("xmax")).as_py(), pc.max(col.field("ymax")).as_py(),
+                pc.min(xmin).as_py(), pc.min(ymin).as_py(),
+                pc.max(xmax).as_py(), pc.max(ymax).as_py(),
             ]
 
         def _track_bbox(slot: list, sub: "pa.Table"):
             vals = _bbox_of(sub)
+            if any(v is None for v in vals):
+                # all rows in this chunk had null bboxes: no contribution
+                # (an all-null file leaves the footer bbox absent)
+                return
             cur = slot[4]
             slot[4] = vals if cur is None else [
                 min(cur[0], vals[0]), min(cur[1], vals[1]),
@@ -587,6 +608,20 @@ def _write_distributed(
     if res is None:  # pragma: no cover - old spark fallback
         raise RuntimeError("requires Spark >= 3.3 (mapInArrow)")
     rows = res.collect()
+    # task commit: collect() holds exactly one result per partition (the
+    # winning attempt), so renaming only the manifest's files and sweeping
+    # the rest makes failed/speculative attempts invisible to readers
+    final_files = []
+    for r in rows:
+        hidden = r["file"]
+        d, base = os.path.split(hidden)
+        final = os.path.join(d, base[len(".inprogress-"):])
+        os.replace(hidden, final)
+        final_files.append(final)
+    for root_dir, _dirs, fnames in os.walk(path):
+        for fn in fnames:
+            if fn.startswith(".inprogress-"):   # orphaned attempt
+                os.unlink(os.path.join(root_dir, fn))
     if not rows:
         # zero input rows (a filter matching nothing is a normal pipeline
         # outcome): emit ONE schema-only file so the dataset stays
@@ -600,7 +635,7 @@ def _write_distributed(
                        compression=compression,
                        compression_level=compression_level)
         return [f]
-    return [r["file"] for r in rows]
+    return final_files
 
 
 def _hive_escape(v) -> str:

@@ -641,3 +641,178 @@ def test_inspect_summary_row_groups_dataset_wide(spark, tmp_path):
         __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_row_groups
         for f in files)
     assert s["row_groups"] == total_groups
+
+
+# ---------------------------------------------------------------------------
+# IO review-sweep regressions (geojson 3D/collections/empties, csv dialect,
+# per-file bbox nulls, write commit protocol)
+# ---------------------------------------------------------------------------
+
+def test_geojson_3d_coords_truncated_not_interleaved(spark, tmp_path):
+    import json
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.sources.geojson import read_geojson
+
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"id": 1},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[1, 2, 5], [3, 4, 6]]}},
+        {"type": "Feature", "properties": {"id": 2},
+         "geometry": {"type": "MultiPoint",
+                      "coordinates": [[7, 8, 9], [10, 11, 12]]}},
+        {"type": "Feature", "properties": {"id": 3},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0, 1], [4, 0, 1], [0, 4, 1],
+                                       [0, 0, 1]]]}},
+    ]}
+    p = tmp_path / "f3d.geojson"
+    p.write_text(json.dumps(doc))
+    gt = read_geojson(spark, str(p))
+    by_id = {r["id"]: bytes(r["geometry"]) for r in gt.df.collect()}
+    ls = W.parse(by_id[1])
+    assert [tuple(c) for c in ls.parts[0]] == [(1.0, 2.0), (3.0, 4.0)]
+    mp = W.parse(by_id[2])
+    assert [tuple(c.parts[0][0]) for c in mp.children] == [(7.0, 8.0), (10.0, 11.0)]
+    assert W.area(by_id[3]) == 8.0
+
+
+def test_geojson_geometrycollection_and_empty_roundtrip(spark, tmp_path):
+    import json
+
+    from geoparquet_io_spark.functions import wkt as Wt
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.geojson import read_geojson, write_geojson
+
+    rows = [(bytearray(Wt.from_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 0))")), "gc"),
+        (bytearray(Wt.from_wkt("POINT EMPTY")), "empty")]
+    df = spark.createDataFrame(rows, "geometry binary, name string")
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}))
+    p = str(tmp_path / "gc.geojson")
+    write_geojson(gt, p)
+    doc = json.loads(open(p).read())   # strict parse: NaN tokens would fail
+    types = {f["properties"]["name"]: f["geometry"]["type"]
+             for f in doc["features"]}
+    assert types == {"gc": "GeometryCollection", "empty": "Point"}
+    empt = [f for f in doc["features"]
+            if f["properties"]["name"] == "empty"][0]
+    assert empt["geometry"]["coordinates"] == []
+    back = read_geojson(spark, p)
+    got = {r["name"]: Wt.to_wkt(bytes(r["geometry"])) for r in back.df.collect()}
+    assert got["gc"] == "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 0))"
+    assert got["empty"] == "POINT EMPTY"
+
+
+def test_geojson_heterogeneous_properties(spark, tmp_path):
+    import json
+
+    from geoparquet_io_spark.sources.geojson import read_geojson
+
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": "a"},
+         "geometry": {"type": "Point", "coordinates": [1, 2]}},
+        {"type": "Feature", "properties": {"pop": 5},
+         "geometry": {"type": "Point", "coordinates": [3, 4]}},
+        {"type": "Feature", "properties": {"pop": 6.5, "name": "c"},
+         "geometry": None},
+    ]}
+    p = tmp_path / "het.geojson"
+    p.write_text(json.dumps(doc))
+    gt = read_geojson(spark, str(p))
+    assert set(gt.df.columns) == {"name", "pop", "geometry"}
+    assert dict(gt.df.dtypes)["pop"] == "double"   # long+double widened
+    rows = sorted(gt.df.select("name", "pop").collect(),
+                  key=lambda r: (r["name"] or ""))
+    assert [tuple(r) for r in rows] == [(None, 5.0), ("a", None), ("c", 6.5)]
+
+
+def test_geojsonl_schema_drift_fails_loud(spark, tmp_path):
+    import json
+
+    from geoparquet_io_spark.sources.geojson import read_geojsonl
+
+    lines = [json.dumps({"type": "Feature", "properties": {"n": 1},
+                         "geometry": {"type": "Point", "coordinates": [0, 0]}}),
+             json.dumps({"type": "Feature", "properties": {"n": 2.7},
+                         "geometry": {"type": "Point", "coordinates": [1, 1]}})]
+    p = tmp_path / "drift.geojsonl"
+    p.write_text("\n".join(lines) + "\n")
+    gt = read_geojsonl(spark, str(p), sample_lines=1)
+    with pytest.raises(Exception, match="fractional"):
+        gt.df.collect()
+    # late NEW key fails loud too (was silently dropped)
+    lines2 = [json.dumps({"type": "Feature", "properties": {"n": 1},
+                          "geometry": None}),
+              json.dumps({"type": "Feature", "properties": {"n": 2, "x": "y"},
+                          "geometry": None})]
+    p2 = tmp_path / "latekey.geojsonl"
+    p2.write_text("\n".join(lines2) + "\n")
+    with pytest.raises(Exception, match="sample_lines"):
+        read_geojsonl(spark, str(p2), sample_lines=1).df.collect()
+    # the remedy works
+    assert read_geojsonl(spark, str(p2), sample_lines=10).df.count() == 2
+
+
+def test_csv_explicit_delimiter_and_padded_header(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import read_csv
+
+    # decimal commas would make the sniffer pick ',' and split wrong
+    p = tmp_path / "semi.csv"
+    p.write_text("id;geometry;note\n1;POINT (1 2);a,b\n2;POINT (3 4);c,d\n")
+    gt = read_csv(spark, str(p), delimiter=";")
+    assert gt.count() == 2
+    # padded header names must match Spark's (unstripped) columns
+    p2 = tmp_path / "pad.csv"
+    p2.write_text("id, wkt, name\n1, POINT (5 6), x\n")
+    gt2 = read_csv(spark, str(p2))
+    assert gt2.count() == 1
+
+
+def test_per_file_bbox_ignores_null_bbox_rows(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    rows = [(bytearray(W.encode_point(5.0, 6.0)),
+             {"xmin": 5.0, "ymin": 6.0, "xmax": 5.0, "ymax": 6.0}),
+            (None, None)]
+    df = spark.createDataFrame(
+        rows, "geometry binary, bbox struct<xmin:double,ymin:double,"
+        "xmax:double,ymax:double>").coalesce(1)
+    geo = GeoMeta(primary_column="geometry",
+                  columns={"geometry": GeoColumnMeta()})
+    files = write(df, str(tmp_path / "d"), geo=geo, single_file=False,
+                  per_file_bbox="bbox")
+    import json
+    meta = json.loads(pq.read_schema(files[0]).metadata[b"geo"])
+    # a null bbox row must NOT drag the footer bbox to 0.0
+    assert meta["columns"]["geometry"]["bbox"] == [5.0, 6.0, 5.0, 6.0]
+
+
+def test_distributed_write_sweeps_orphan_attempts(spark, tmp_path):
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    df = spark.createDataFrame(
+        [(bytearray(W.encode_point(1.0, 2.0)), 1)],
+        "geometry binary, id long").coalesce(1)
+    out = tmp_path / "d"
+    out.mkdir()
+    # simulate a dead task attempt's leftover
+    orphan = out / ".inprogress-part-00009-deadbeef.parquet"
+    orphan.write_bytes(b"partial garbage")
+    geo = GeoMeta(primary_column="geometry",
+                  columns={"geometry": GeoColumnMeta()})
+    files = write(df, str(out), geo=geo, single_file=False, overwrite=False)
+    assert len(files) == 1
+    assert not os.path.basename(files[0]).startswith(".")
+    left = sorted(os.listdir(out))
+    assert left == [os.path.basename(files[0])]   # orphan swept
+    assert spark.read.parquet(str(out)).count() == 1
