@@ -144,8 +144,22 @@ def select_under_token_budget(df: DataFrame, budget: int,
         raise ValueError(f"budget must be >= 0, got {budget}")
     b = F.round(F.col(score_column), bucket_digits)
     hist = (df.groupBy(b.alias("__b"))
-            .agg(F.sum(token_column).alias("__t"))
+            .agg(F.sum(token_column).alias("__t"),
+                 F.count(F.when(F.col(token_column).isNull(), 1))
+                 .alias("__nt"))
             .collect())
+    # NULL scores would crash the driver sort; NULL token counts are
+    # skipped by SUM and would ride along free, silently blowing the
+    # budget — both are upstream data errors, fail loudly (checked from
+    # the histogram pass: zero extra scans)
+    if any(r["__b"] is None for r in hist):
+        raise ValueError(
+            f"{score_column!r} contains NULLs — filter or impute before "
+            "budget selection")
+    if any(r["__nt"] for r in hist):
+        raise ValueError(
+            f"{token_column!r} contains NULLs — filter or impute before "
+            "budget selection")
     # NOTE: bucket-level ordering uses __b DESC; rows inside one bucket
     # order by (score DESC, id) — combined, this is exactly
     # (score rounded DESC, score DESC, id), the canonical order above
@@ -214,8 +228,18 @@ def mixture_under_token_budget(df: DataFrame, budgets: dict,
     df = df.filter(F.col(group_column).isin(groups))
     b = F.round(F.col(score_column), bucket_digits)
     hist = (df.groupBy(F.col(group_column).alias("__g"), b.alias("__b"))
-            .agg(F.sum(token_column).alias("__t"))
+            .agg(F.sum(token_column).alias("__t"),
+                 F.count(F.when(F.col(token_column).isNull(), 1))
+                 .alias("__nt"))
             .collect())
+    if any(r["__b"] is None for r in hist):
+        raise ValueError(
+            f"{score_column!r} contains NULLs — filter or impute before "
+            "budget selection")
+    if any(r["__nt"] for r in hist):
+        raise ValueError(
+            f"{token_column!r} contains NULLs — filter or impute before "
+            "budget selection")
     per_group: dict = {g: [] for g in groups}
     for r in hist:
         per_group[r["__g"]].append((r["__b"], r["__t"]))
@@ -284,14 +308,18 @@ def weighted_take(df: DataFrame, key_column: str, weight_column: str,
     from pyspark.sql import Window
 
     w = F.col(weight_column).cast("double")
-    bad = df.filter(w.isNull() | (w <= 0.0)).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"weighted_take requires positive weights in {weight_column!r}")
     # (draw + 0.5) / 2^32 lies strictly inside (0,1): u=0 would send every
-    # priority to 0 and u=1 would tie at 1 regardless of weight
+    # priority to 0 and u=1 would tie at 1 regardless of weight.
+    # Weight validation rides INSIDE the priority expression (one pass):
+    # a standalone pre-scan would double the input I/O on every call.
     u = (_hash_draw(F.col(key_column), salt).cast("double") + 0.5) / float(_BUCKETS)
-    priority = F.pow(u, F.lit(1.0) / w)
+    priority = F.when(
+        w.isNull() | (w <= 0.0),
+        F.raise_error(F.concat(
+            F.lit(f"weighted_take requires positive weights in "
+                  f"{weight_column!r}, got "),
+            F.coalesce(w.cast("string"), F.lit("NULL")))).cast("double"),
+    ).otherwise(F.pow(u, F.lit(1.0) / w))
     ranked = df.withColumn("__p", priority)
     if stratum_column is None:
         return (ranked.orderBy(F.desc("__p"), F.asc(key_column))
@@ -314,9 +342,10 @@ def dsir_select(source_df: DataFrame, target_df: DataFrame, n: int,
     3. per-document importance log-weight
        ``sum_b count_b * log(p_target_b / p_source_b)``;
     4. weighted sampling without replacement via Efraimidis-Spirakis in
-       LOG space: priority ``log(u) * exp(-logweight)`` (monotone
-       transform of ``u^(1/w)`` that never overflows for extreme
-       importance ratios), top-``n`` by priority.
+       LOG space: priority ``log(-log(u)) - logweight`` ascending (the
+       Gumbel-trick form of ``u^(1/w)`` — fully log-domain, so it
+       neither overflows nor underflows for extreme importance ratios),
+       top-``n`` by priority.
 
     Scale shape: two tiny bucket-count aggregates (num_features rows,
     broadcast back), one explode + broadcast join + per-doc sum with
@@ -367,9 +396,13 @@ def dsir_select(source_df: DataFrame, target_df: DataFrame, n: int,
           .agg(F.sum("__lr").alias("__lw_micro")))
     u = (_hash_draw(F.col("__id"), salt).cast("double") + 0.5) \
         / float(_BUCKETS)
-    priority = F.log(u) * F.exp(-(F.col("__lw_micro") / 1e6))
+    # stable Gumbel form ln(-ln u) - lw, ASCENDING — equivalent ordering
+    # to maximizing ln(u)*exp(-lw), but exp(-lw) underflows to 0.0 past
+    # ~745 nats and collapsed every strongly-on-target doc into a tie
+    # broken by id; the log-domain form never saturates
+    priority = F.log(-F.log(u)) - F.col("__lw_micro") / F.lit(1e6)
     picked = (lw.withColumn("__p", priority)
-              .orderBy(F.desc("__p"), F.asc("__id"))
+              .orderBy(F.asc("__p"), F.asc("__id"))
               .limit(n))
     return (source_df.join(
         picked.select(F.col("__id").alias(id_column),

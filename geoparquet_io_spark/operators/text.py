@@ -98,12 +98,14 @@ def language_id(df: DataFrame, text_column: str = "text",
     t = F.lower(F.col(text_column))
     scores = [(lang, stopword_hits(t, sws)) for lang, sws in sorted(LANG_STOPWORDS.items())]
     best_lang = F.lit("und")
-    best_score = F.lit(-1)
+    # a language must score AT LEAST ONE stopword hit to beat "und":
+    # seeding at -1 let zero-hit (numeric/code/empty) text be labeled
+    # with whatever language the scan visited last
+    best_score = F.lit(0)
     # iterate in reverse so earlier (alphabetical) languages win ties
     for lang, score in reversed(scores):
-        is_better = score >= best_score
-        strictly = score > best_score
         # tie -> alphabetically first wins: use >= when scanning reversed
+        is_better = (score >= best_score) & (score > 0)
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return df.withColumn(column, best_lang)
@@ -219,15 +221,22 @@ def ngram_contamination(corpus_df: DataFrame, eval_df: DataFrame,
     es = es.withColumn("hit", F.lit(1))
     if broadcast_eval:
         es = F.broadcast(es)
-    return (
+    agg = (
         cs.join(es, "h", "left")
         .groupBy("doc")
-        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("hits"))
+        .agg(F.count("*").alias("__ns"), F.count("hit").alias("__hs"))
+    )
+    # EVERY corpus document gets a row — docs too short to shingle
+    # surface as n_shingles=0 / rate NULL, so absence can't be misread
+    # as "checked, clean" in an audit
+    ids = corpus_df.select(F.col(id_column).alias("doc")).distinct()
+    return (
+        ids.join(agg, "doc", "left")
         .select(
             F.col("doc").alias(id_column),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.col("hits").cast("long").alias("hits"),
-            F.round(F.col("hits") / F.col("n_shingles"),
+            F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("__hs"), F.lit(0)).cast("long").alias("hits"),
+            F.round(F.col("__hs") / F.col("__ns"),
                     round_digits).alias("contamination_rate"),
         )
     )
@@ -375,7 +384,9 @@ def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    # no forced broadcast: dfreq is vocabulary-sized, which grows with
+    # the corpus (Heaps' law) — let AQE decide, like unigram_logprob
+    scored = tf.join(dfreq, "term").select(
         "doc", "term",
         F.round(F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")),
                 round_digits).alias("tfidf"),
@@ -405,7 +416,7 @@ def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
     from geoparquet_io_spark.operators.skew import spread
 
     df = spread(df)
-    words = F.filter(F.split(F.col(text_column), " "),
+    words = F.filter(F.split(F.col(text_column), r"\s+"),
                      lambda w: w != F.lit(""))
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
@@ -577,7 +588,7 @@ def chunk_passages(df: DataFrame, id_column: str = "doc_id",
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    words = F.filter(F.split(F.col(text_column), " "),
+    words = F.filter(F.split(F.col(text_column), r"\s+"),
                      lambda w: w != F.lit(""))
     n = F.size(words)
     n_pass = (F.lit(1)
@@ -602,7 +613,7 @@ def chunk_passages(df: DataFrame, id_column: str = "doc_id",
     )
     return exploded.withColumn(
         "n_tokens",
-        F.size(F.filter(F.split(F.col("passage"), " "),
+        F.size(F.filter(F.split(F.col("passage"), r"\s+"),
                         lambda w: w != F.lit(""))).cast("int"))
 
 
@@ -628,7 +639,7 @@ def duplicated_spans(df: DataFrame, id_column: str = "doc_id",
     from geoparquet_io_spark.operators.skew import spread
 
     df = spread(df)
-    words = F.filter(F.split(F.col(text_column), " "),
+    words = F.filter(F.split(F.col(text_column), r"\s+"),
                      lambda w: w != F.lit(""))
     nw = F.size(words)
     base = df.select(F.col(id_column).alias("doc"),
@@ -716,6 +727,9 @@ def quality_filter(df: DataFrame, text_column: str = "text",
     sw = stopword_hits(t, ENGLISH_STOPWORDS)
     reasons = F.concat_ws(
         ",",
+        # NULL text must fail explicitly: every other rule's condition is
+        # NULL for it, concat_ws skips NULLs, and '' would read as "keep"
+        F.when(t.isNull(), F.lit("null_text")),
         F.when((n_words < min_words) | (n_words > max_words),
                F.lit("word_count")),
         F.when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
@@ -863,12 +877,17 @@ def bigram_logprob(df: DataFrame, id_column: str = "doc_id",
             "i -> struct(element_at(a, i) as w1, element_at(a, i + 1) as w2))"
         )).alias("p")
     ).select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    # ONE corpus-scale aggregation; unigram/next-word counts and the
+    # total all roll up from the vocab-bounded bigram table instead of
+    # re-tokenizing the corpus three more times.  localCheckpoint so the
+    # total-count action doesn't recompute the explode for the joins.
+    big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .localCheckpoint(eager=False))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # unigram denominator: total transitions (so the two MLEs share a
     # consistent event space: next-word distribution)
-    nexts = pairs.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("c2"))
-    total = pairs.count()
+    nexts = big.groupBy(F.col("w2").alias("w")).agg(F.sum("c12").alias("c2"))
+    total = big.agg(F.sum("c12")).collect()[0][0] or 0
     if total == 0:
         from pyspark.sql import types as T
 

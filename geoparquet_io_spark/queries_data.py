@@ -82,10 +82,13 @@ def _langid_oracle() -> str:
         lst = "[" + ",".join(f"'{w}'" for w in sws) + "]"
         scores.append(f"len(list_filter({toks}, w -> list_contains({lst}, w))) AS s_{lang}")
     langs = sorted(LANG_STOPWORDS)
-    # alphabetically-first language wins ties
+    # alphabetically-first language wins ties; zero hits anywhere -> 'und'
+    # (mirrors operators/text.py:language_id's score > 0 gate)
     case = "CASE "
     for i, lang in enumerate(langs):
-        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:]) or "TRUE"
+        conds = " AND ".join(
+            [f"s_{lang} > 0"]
+            + [f"s_{lang} >= s_{other}" for other in langs[i + 1:]])
         case += f"WHEN {conds} THEN '{lang}' "
     case += "ELSE 'und' END"
     return f"""
@@ -215,13 +218,21 @@ _NGRAM3_SQL = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] |
     es AS (
       SELECT DISTINCT md5(sh) AS h
       FROM (SELECT unnest({_NGRAM3_SQL}) AS sh FROM ev)
+    ),
+    agg AS (
+      SELECT cs.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(es.h) AS BIGINT) AS hits
+      FROM cs LEFT JOIN es ON cs.h = es.h
+      GROUP BY 1
     )
-    SELECT cs.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(COUNT(es.h) AS BIGINT) AS hits,
-           ROUND(COUNT(es.h) / COUNT(*), 6) AS contamination_rate
-    FROM cs LEFT JOIN es ON cs.h = es.h
-    GROUP BY 1
+    -- every corpus doc gets a row; unshingleable docs show n_shingles=0
+    SELECT d.doc_id,
+           COALESCE(a.n_shingles, 0) AS n_shingles,
+           COALESCE(a.hits, 0) AS hits,
+           ROUND(a.hits / a.n_shingles, 6) AS contamination_rate
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+    LEFT JOIN agg a USING (doc_id)
     """,
 )
 def q_contamination(spark, sf_dir):
@@ -924,7 +935,7 @@ def q_tfidf(spark, sf_dir):
     """
     WITH lists AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), w -> w != '') AS arr
+             list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS arr
       FROM documents
     ),
     words AS (
@@ -1824,7 +1835,7 @@ def q_histogram(spark, sf_dir):
     "text_passages",
     """
     WITH lists AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS arr
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS arr
       FROM documents
     ),
     nn AS (SELECT doc_id, arr, len(arr) AS n FROM lists WHERE len(arr) > 0),
@@ -1855,7 +1866,7 @@ def q_passages(spark, sf_dir):
     "text_dup_spans",
     """
     WITH lists AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS arr
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS arr
       FROM documents
     ),
     nn AS (SELECT doc_id, arr, len(arr) AS n FROM lists WHERE len(arr) >= 3),
@@ -2515,13 +2526,16 @@ _DSIR_BUCKET = "CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT) % 256"
       JOIN ratios r ON s.b = r.b GROUP BY 1
     ),
     pri AS (
+      -- stable Gumbel form (see operators/sampling.py:dsir_select):
+      -- ln(-ln u) - lw ascending == ln(u)*exp(-lw) descending, sans the
+      -- exp underflow
       SELECT doc_id, lwm,
-             ln(({_DRAW.format(salt='dsir', key='doc_id')} + 0.5)
-                / 4294967296.0) * exp(-(lwm / 1e6)) AS p
+             ln(-ln(({_DRAW.format(salt='dsir', key='doc_id')} + 0.5)
+                    / 4294967296.0)) - (lwm / 1e6) AS p
       FROM doc_lw
     ),
     top AS (SELECT doc_id, lwm FROM pri
-            ORDER BY p DESC, doc_id LIMIT 40)
+            ORDER BY p ASC, doc_id LIMIT 40)
     SELECT d.doc_id, d.source, ROUND(top.lwm / 1e6, 6) AS logweight
     FROM top JOIN documents d ON top.doc_id = d.doc_id
     """,

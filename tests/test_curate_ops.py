@@ -428,3 +428,26 @@ def test_cohort_retention_calendar_days(spark):
            for r in cohort_retention(df, "user_id", "ts", unit="week").collect()}
     assert out[("2024-03-04", 0)] == 2
     assert out[("2024-03-04", 1)] == 1
+
+
+def test_token_budget_rejects_nulls(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.sampling import (
+        select_under_token_budget,
+    )
+
+    base = [(1, 0.9, 10), (2, 0.5, 10)]
+    df_ns = spark.createDataFrame(base + [(3, None, 10)],
+                                  "doc_id long, score double, n_tokens long")
+    with _p.raises(ValueError, match="score"):
+        select_under_token_budget(df_ns, 15)
+    df_nt = spark.createDataFrame(base + [(3, 0.7, None)],
+                                  "doc_id long, score double, n_tokens long")
+    with _p.raises(ValueError, match="n_tokens"):
+        select_under_token_budget(df_nt, 15)
+    # clean data still selects
+    df_ok = spark.createDataFrame(base,
+                                  "doc_id long, score double, n_tokens long")
+    assert [r["doc_id"] for r in select_under_token_budget(df_ok, 15)
+            .collect()] == [1]

@@ -223,8 +223,10 @@ def test_weighted_take_matches_python_mirror(spark):
     assert got_s == mirror(5, stratum=True)
 
     import pytest as _p
-    with _p.raises(ValueError):
-        weighted_take(df.withColumn("w", df.w - 5.0), "k", "w", 3)
+    # validation rides inside the priority expression (no extra input
+    # pass), so it surfaces lazily at action time
+    with _p.raises(Exception, match="positive weights"):
+        weighted_take(df.withColumn("w", df.w - 5.0), "k", "w", 3).collect()
 
 
 def _mixture_expected(rows, budgets):

@@ -215,3 +215,53 @@ def test_empty_corpus_is_typed_empty_not_crash(spark):
     assert [f.name for f in u.schema.fields] == \
         ["doc_id", "n_tokens", "avg_logprob"]
     assert perplexity_buckets(empty).count() == 0
+
+
+def test_language_id_zero_hits_is_und(spark):
+    from geoparquet_io_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh foo"), (2, ""), (3, "12345 678"),
+         (4, None), (5, "the cat and the hat")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in language_id(df).collect()}
+    assert got == {1: "und", 2: "und", 3: "und", 4: "und", 5: "en"}
+
+
+def test_quality_filter_null_text_fails(spark):
+    from geoparquet_io_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = quality_filter(df).first()
+    assert row["keep"] is False
+    assert row["fail_reasons"] == "null_text"
+
+
+def test_chunk_passages_whitespace_tokenization(spark):
+    from geoparquet_io_spark.operators.text import chunk_passages
+
+    text = "\n".join(f"w{i}" for i in range(20))   # newline separators
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_passages(df, size=8, stride=8).collect()
+    # 20 words, size=stride=8 -> passages of 8/8/4 tokens
+    assert sorted(r["n_tokens"] for r in rows) == [4, 8, 8]
+    # tabs too
+    df2 = spark.createDataFrame([(2, "a\tb\tc  d")], "doc_id long, text string")
+    assert chunk_passages(df2, size=2, stride=2).count() == 2
+
+
+def test_ngram_contamination_short_docs_surface(spark):
+    from geoparquet_io_spark.operators.text import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "too short"), (3, None)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["hits"], r["contamination_rate"])
+           for r in ngram_contamination(corpus, ev, n=3).collect()}
+    assert set(got) == {1, 2, 3}        # every corpus doc audited
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (0, 0, None)        # too short to shingle: explicit
+    assert got[3] == (0, 0, None)
