@@ -45,9 +45,13 @@ def windowed_event_counts(
     """Tumbling-window counts + value sums per event_type; watermark bounds
     state for late data.  Works identically on batch DataFrames (pass a
     batch df -> the same plan without watermark state)."""
-    df = events
+    # cast on BOTH branches: stream and batch outputs of an agnostic
+    # transformation must carry the same column types, or a batch
+    # backfill appended to the stream's sink writes conflicting parquet
+    # timestamp annotations
+    df = _watermarkable(events, ts_column)
     if df.isStreaming:
-        df = _watermarkable(df, ts_column).withWatermark(ts_column, watermark)
+        df = df.withWatermark(ts_column, watermark)
     return (
         df.groupBy(F.window(F.col(ts_column), window_duration), F.col("event_type"))
         .agg(
@@ -64,11 +68,11 @@ def windowed_event_counts(
 def stream_dedup(events: DataFrame, key_columns: list[str],
                  watermark: str = "2 hours", ts_column: str = "ts") -> DataFrame:
     """Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)."""
-    if events.isStreaming:
-        return _watermarkable(events, ts_column) \
-            .withWatermark(ts_column, watermark) \
+    ev = _watermarkable(events, ts_column)   # type parity with batch
+    if ev.isStreaming:
+        return ev.withWatermark(ts_column, watermark) \
             .dropDuplicatesWithinWatermark(key_columns)
-    return events.dropDuplicates(key_columns)
+    return ev.dropDuplicates(key_columns)
 
 
 def sessionize(
@@ -82,10 +86,9 @@ def sessionize(
     ``watermark`` controls late-data tolerance independently of the
     session ``gap`` (default: the gap itself — short sessions with a
     long late-arrival allowance need an explicit watermark)."""
-    df = events
+    df = _watermarkable(events, ts_column)   # type parity with batch
     if df.isStreaming:
-        df = _watermarkable(df, ts_column) \
-            .withWatermark(ts_column, watermark or gap)
+        df = df.withWatermark(ts_column, watermark or gap)
     return (
         df.groupBy(F.session_window(F.col(ts_column), gap), F.col(user_column))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -95,6 +98,17 @@ def sessionize(
             user_column, "n_events", "sum_value",
         )
     )
+
+
+def _start(stream_df, sink, checkpoint: str,
+           trigger_available_now: bool):
+    """Shared foreachBatch launch (one place for checkpoint/trigger
+    wiring across all sinks)."""
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def write_geoparquet_stream(
@@ -110,11 +124,7 @@ def write_geoparquet_stream(
     foreachBatch (Spark's parquet streaming sink cannot stamp custom
     footer metadata, same gap as the batch writer)."""
     sink = geoparquet_stream_sink_fn(path, geo, **write_kwargs)
-    writer = stream_df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start(stream_df, sink, checkpoint, trigger_available_now)
 
 
 def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
@@ -144,6 +154,19 @@ def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
             hist = snapshot_history(path)
             if any(h.get("epoch_id") == int(epoch_id) for h in hist):
                 return
+            # second guard: a CONCURRENT committer (files=None membership
+            # sweep — compaction, maintenance) may have committed this
+            # epoch's files WITHOUT the epoch_id marker.  If any snapshot
+            # references a file inside this epoch dir, rewriting the dir
+            # would delete committed data — same no-op rule.
+            import os as _os
+
+            pfx = f"epoch={int(epoch_id)}" + _os.sep
+            pfx_alt = f"epoch={int(epoch_id)}/"
+            for h in hist:
+                for r in h.get("files", []) + h.get("delete_files", []):
+                    if r["file"].startswith((pfx, pfx_alt)):
+                        return
             prior = hist[-1] if hist else None
         # overwrite=True makes the epoch write idempotent: a retried epoch
         # (same epoch_id after a failure BEFORE its commit) replaces its
@@ -204,10 +227,12 @@ def stream_stream_join(
         *[F.col(c).alias(f"r_{c}") for c in right.columns
           if c not in (key, right_ts)],
     )
+    l = _watermarkable(l, "__lts")   # type parity with batch
+    r = _watermarkable(r, "__rts")
     if left.isStreaming:
-        l = _watermarkable(l, "__lts").withWatermark("__lts", watermark)
+        l = l.withWatermark("__lts", watermark)
     if right.isStreaming:
-        r = _watermarkable(r, "__rts").withWatermark("__rts", watermark)
+        r = r.withWatermark("__rts", watermark)
     cond = (
         (l["__k"] == r["__k"])
         & (r["__rts"] >= l["__lts"])
@@ -237,9 +262,9 @@ def sliding_event_counts(
     window/slide overlapping windows (Spark expands the membership
     natively inside WindowExec; no manual explode).  Same
     batch/stream-agnostic contract as windowed_event_counts."""
-    df = events
+    df = _watermarkable(events, ts_column)   # type parity with batch
     if df.isStreaming:
-        df = _watermarkable(df, ts_column).withWatermark(ts_column, watermark)
+        df = df.withWatermark(ts_column, watermark)
     return (
         df.groupBy(F.window(F.col(ts_column), window_duration, slide_duration),
                    F.col("event_type"))
@@ -284,11 +309,7 @@ def stream_hll_sketch_sink(
     sink = hll_sketch_sink_fn(path, group_column, value_column,
                               n_shards=n_shards, lgk=lgk,
                               keep_versions=keep_versions)
-    writer = stream_df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start(stream_df, sink, checkpoint, trigger_available_now)
 
 
 def _latest_version_dirs(path: str) -> list[str]:
@@ -322,7 +343,7 @@ _PRUNE_MIN_AGE_SEC = 600
 
 
 def _publish_version(df: DataFrame, path: str, epoch_id,
-                     keep_versions: int, partition_by: str | None = None,
+                     keep_versions: int,
                      base_dirs: list[str] | None = None):
     """Write ``df`` to a UNIQUE version dir, atomically repoint
     ``_LATEST``, prune stale versions.  Each attempt writes fresh —
@@ -345,11 +366,8 @@ def _publish_version(df: DataFrame, path: str, epoch_id,
 
     ptr = os.path.join(path, "_LATEST")
     vdir = f"v-{int(epoch_id):08d}-{uuid.uuid4().hex[:8]}"
-    w = df.write.mode("overwrite")
-    if partition_by is not None:
-        w = w.partitionBy(partition_by)
     out = os.path.join(path, vdir)
-    w.parquet(out)
+    df.write.mode("overwrite").parquet(out)
     if not any(f.endswith(".parquet")
                for _, _, fs in os.walk(out) for f in fs):
         # zero-row frame: Spark's writer leaves only _SUCCESS and a
@@ -365,9 +383,15 @@ def _publish_version(df: DataFrame, path: str, epoch_id,
             os.path.join(out, "part-00000-empty.parquet"))
     referenced = list(base_dirs or []) + [vdir]
     tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(referenced))
-    os.replace(tmp, ptr)
+    try:
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(referenced))
+        os.replace(tmp, ptr)
+    finally:
+        # crash between write and replace must not leak tmp pointers
+        # (the pruner only considers v-* dirs, so they'd pile up forever)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     ref = set(referenced)
     vers = sorted(d for d in os.listdir(path)
                   if d.startswith("v-") and d not in ref)
@@ -423,7 +447,8 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
                            vector_column: str = "embedding",
                            threshold: float = 0.95,
                            max_cluster_size: int | None = 10_000,
-                           keep_versions: int = 2):
+                           keep_versions: int = 2,
+                           compact_chain_length: int = 32):
     """The foreachBatch body behind :func:`stream_semantic_dedup_sink`,
     exposed so replay is directly testable.
 
@@ -447,10 +472,17 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
         semantic_dedup_incremental
 
     def sink(batch_df, epoch_id):
+        import os
+
         spark = batch_df.sparkSession
         src = batch_df.select(id_column, vector_column)
+        # read _LATEST exactly ONCE and derive the prior frame from the
+        # same dir list the new pointer will extend — a second read was
+        # a TOCTOU window where a concurrent pointer move made the dedup
+        # basis and the published chain disagree
         base = _latest_version_dirs(path)
-        prior = _read_latest_version(spark, path)
+        prior = (spark.read.parquet(*[os.path.join(path, d) for d in base])
+                 if base else None)
         index = (prior.select(id_column, vector_column) if prior is not None
                  else spark.createDataFrame([], src.schema))
         flags = semantic_dedup_incremental(
@@ -467,8 +499,17 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
         survivors = survivors.localCheckpoint(eager=True)
         if prior is not None and survivors.limit(1).count() == 0:
             return  # kept-set unchanged (e.g. a replayed epoch): no-op
-        _publish_version(survivors, path, epoch_id, keep_versions,
-                         base_dirs=base)
+        if prior is not None and len(base) + 1 > compact_chain_length:
+            # LSM-style compaction: past the cap, publish the FULL union
+            # as one dir instead of appending — otherwise the chain (and
+            # every read's file listing) grows one dir per epoch forever.
+            # Amortized extra write cost: O(index / compact_chain_length)
+            # per epoch.
+            _publish_version(prior.unionByName(survivors), path, epoch_id,
+                             keep_versions)
+        else:
+            _publish_version(survivors, path, epoch_id, keep_versions,
+                             base_dirs=base)
 
     return sink
 
@@ -479,19 +520,17 @@ def stream_semantic_dedup_sink(stream_df, path: str, centroids,
                                threshold: float = 0.95,
                                max_cluster_size: int | None = 10_000,
                                trigger_available_now: bool = True,
-                               keep_versions: int = 2):
+                               keep_versions: int = 2,
+                               compact_chain_length: int = 32):
     """Streaming semantic-dedup ingest: micro-batches of embeddings are
     deduplicated against the persisted kept-set (never recomputing it)
     and their survivors absorbed — the continuous version of the
     batch ``semantic_dedup_incremental`` pipeline."""
     sink = semantic_dedup_sink_fn(path, centroids, id_column,
                                   vector_column, threshold,
-                                  max_cluster_size, keep_versions)
-    writer = stream_df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+                                  max_cluster_size, keep_versions,
+                                  compact_chain_length)
+    return _start(stream_df, sink, checkpoint, trigger_available_now)
 
 
 def read_semantic_index(spark: SparkSession, path: str) -> DataFrame:

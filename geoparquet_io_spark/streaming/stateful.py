@@ -22,11 +22,15 @@ STATE_SCHEMA = T.StructType([
     T.StructField("n_valid", T.LongType()),
 ])
 
-OUTPUT_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType()),
-    T.StructField("n_events", T.LongType()),
-    T.StructField("sum_value", T.DoubleType()),
-])
+def _output_schema(key_type: T.DataType) -> T.StructType:
+    """Output schema with the key column's ACTUAL type — hardcoding
+    LongType broke the streaming branch for string/int user ids while
+    the batch branch (plain groupBy) happily accepted them."""
+    return T.StructType([
+        T.StructField("user_id", key_type),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
 
 
 def _emit(key, n, total, nv):
@@ -46,8 +50,12 @@ def _update_user_totals(
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     if state.hasTimedOut:
+        # flush the current totals but KEEP the state: removing it reset
+        # a user's running count to zero after any 60 s idle gap, so the
+        # next event emitted n_events=1 and the update-mode sink
+        # overwrote the real total — breaking batch parity.  No new
+        # timeout is registered; the next data batch re-arms it.
         n, total, nv = state.get
-        state.remove()
         yield _emit(key, n, total, nv)
         return
     n, total, nv = state.get if state.exists else (0, 0.0, 0)
@@ -74,7 +82,8 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         events.groupBy("user_id")
         .applyInPandasWithState(
             _update_user_totals,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=_output_schema(
+                events.schema["user_id"].dataType),
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

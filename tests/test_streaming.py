@@ -477,3 +477,166 @@ def test_stateful_totals_all_null_values_match_batch(spark):
     # a later non-null batch flips it to a real sum
     out2 = list(_update_user_totals((7,), iter([pd.DataFrame({"value": [2.5]})]), st))[0]
     assert out2["sum_value"].iloc[0] == 2.5 and out2["n_events"].iloc[0] == 3
+
+
+def test_stateful_timeout_flush_keeps_running_totals():
+    """An idle-timeout flush must EMIT but not RESET: removing state let
+    the next event overwrite a user's true running total with 1."""
+    from geoparquet_io_spark.streaming.stateful import _update_user_totals
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self._v = None
+            self.removed = False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self.removed = True
+            self._v = None
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = FakeState()
+    batch = pd.DataFrame({"value": [1.0, 2.0, None]})
+    out1 = list(_update_user_totals((7,), iter([batch]), st))
+    assert out1[0]["n_events"].iloc[0] == 3
+    # idle timeout fires: flush, but state survives
+    st.hasTimedOut = True
+    out2 = list(_update_user_totals((7,), iter([]), st))
+    assert out2[0]["n_events"].iloc[0] == 3
+    assert not st.removed and st.exists
+    # next events continue the RUNNING total
+    st.hasTimedOut = False
+    out3 = list(_update_user_totals((7,), iter([pd.DataFrame({"value": [5.0]})]), st))
+    assert out3[0]["n_events"].iloc[0] == 4
+    assert out3[0]["sum_value"].iloc[0] == 8.0
+
+
+def test_stateful_totals_string_user_id(spark, tmp_path):
+    """The output schema must follow the key column's actual type."""
+    from geoparquet_io_spark.streaming.events import read_events_stream
+    from geoparquet_io_spark.streaming.stateful import running_user_totals
+
+    d = tmp_path / "sevents"
+    df = spark.createDataFrame(
+        [("alice", 1.0), ("alice", 2.0), ("bob", 5.0)],
+        "user_id string, value double")
+    df.write.parquet(str(d))
+    stream = read_events_stream(spark, str(d), schema=df.schema)
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("str_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM str_totals").collect()}
+    assert got == {"alice": (2, 3.0), "bob": (1, 5.0)}
+
+
+def test_windowed_counts_batch_stream_type_parity(spark, events_dir):
+    """Batch and stream outputs of the agnostic transformations must
+    carry identical column types (NTZ vs session-tz timestamps would
+    write conflicting parquet annotations into a shared sink)."""
+    from geoparquet_io_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    batch_out = windowed_event_counts(batch_df, "1 hour")
+    stream_out = windowed_event_counts(
+        read_events_stream(spark, events_dir, schema=batch_df.schema),
+        "1 hour")
+    assert batch_out.schema == stream_out.schema
+
+
+def test_publish_version_no_tmp_leak_on_crash(spark, tmp_path, monkeypatch):
+    """A crash between tmp-pointer write and rename must not leave
+    _LATEST.tmp-* orphans (the pruner never looks at them)."""
+    import os
+
+    from geoparquet_io_spark.streaming import events as E
+
+    path = str(tmp_path / "vsink")
+    os.makedirs(path)
+    df = spark.createDataFrame([(1,)], "id long")
+    def boom(src, dst):
+        raise OSError("disk full")
+
+    monkeypatch.setattr("os.replace", boom)
+    import pytest as _p
+    with _p.raises(OSError):
+        E._publish_version(df, path, 0, keep_versions=2)
+    monkeypatch.undo()
+    leftovers = [f for f in os.listdir(path) if f.startswith("_LATEST.tmp")]
+    assert leftovers == []
+
+
+def test_semantic_sink_compacts_chain(spark, tmp_path):
+    """Past compact_chain_length the delta chain collapses to ONE dir,
+    with the kept-set unchanged."""
+    import os
+
+    from geoparquet_io_spark.streaming.events import (
+        _latest_version_dirs,
+        read_semantic_index,
+        semantic_dedup_sink_fn,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "semidx2")
+    os.makedirs(path)
+    sink = semantic_dedup_sink_fn(path, cents, threshold=0.999,
+                                  compact_chain_length=3)
+    # 4 distinct-direction batches: epochs 0-2 append deltas, epoch 3
+    # triggers compaction (chain would reach 4 > 3)
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, -1.0]]
+    for e, v in enumerate(vecs):
+        sink(spark.createDataFrame([(e, v)], ["vec_id", "embedding"]), e)
+    assert len(_latest_version_dirs(path)) == 1      # compacted
+    idx = {r["vec_id"] for r in read_semantic_index(spark, path).collect()}
+    assert idx == {0, 1, 2, 3}
+
+
+def test_snapshot_sink_skips_epoch_swept_by_concurrent_committer(
+        spark, events_dir, tmp_path):
+    """If a concurrent commit_snapshot(files=None) swept a crashed
+    epoch's files into a snapshot (no epoch_id marker), the replay must
+    NOT rewrite the epoch dir — that would delete committed files."""
+    import glob
+    import os
+
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.operators.maintenance import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_history,
+    )
+    from geoparquet_io_spark.streaming.events import geoparquet_stream_sink_fn
+
+    path = str(tmp_path / "snapsink")
+    os.makedirs(path)
+    geo = None
+    sink = geoparquet_stream_sink_fn(path, geo, snapshot=True)
+    batch = spark.read.parquet(events_dir).limit(5) \
+        .select("event_id", "event_type")
+    # simulate: epoch 0 wrote its dir but CRASHED before commit_snapshot
+    from geoparquet_io_spark.sources.geoparquet import write as _w
+    _w(batch, f"{path}/epoch=0", None, overwrite=True)
+    files_before = sorted(glob.glob(f"{path}/epoch=0/*.parquet"))
+    # concurrent maintenance commit sweeps everything (no epoch_id)
+    commit_snapshot(spark, path, files=None, note="maintenance sweep")
+    v = snapshot_history(path)[-1]["version"]
+    # replay of epoch 0 must be a no-op
+    sink(batch, 0)
+    files_after = sorted(glob.glob(f"{path}/epoch=0/*.parquet"))
+    assert files_after == files_before          # dir untouched
+    assert read_snapshot(spark, path, v).count() == 5
