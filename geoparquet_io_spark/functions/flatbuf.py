@@ -147,9 +147,16 @@ class Builder:
     def vector_scalars(self, fmt: str, size: int, values) -> int:
         values = list(values)
         body = struct.pack(f"<{len(values)}{fmt}", *values)
-        self.align(size, len(body))
+        # pre-pad so the first element AND the 4-byte length prefix land
+        # aligned after ONE contiguous (prefix, body) pair: an align()
+        # after the body push would insert padding BETWEEN prefix and
+        # data, corrupting sub-4-byte element vectors (readers address
+        # elements from t+4).  For size >= 4 this is byte-identical to
+        # the old two-step alignment.
+        a = max(size, 4)
+        self.minalign = max(self.minalign, a)
+        self.pad((-(self.offset() + len(body))) % a)
         self.push(body)
-        self.align(4, 4)
         self.push(struct.pack("<I", len(values)))
         return self.offset()
 

@@ -38,7 +38,13 @@ GEOM_COLLECTION = 7
 _GEOM_NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
                5: "MultiLineString", 6: "MultiPolygon",
                7: "GeometryCollection"}
-_GEOM_CODES = {v: k for k, v in _GEOM_NAMES.items()}
+# WKT type name (wkb.Geom.type_name) -> FlatGeobuf GeometryType code —
+# the single source for both the per-geometry tables and the header
+_WKT_TO_CODE = {"POINT": GEOM_POINT, "LINESTRING": GEOM_LINESTRING,
+                "POLYGON": GEOM_POLYGON, "MULTIPOINT": GEOM_MULTIPOINT,
+                "MULTILINESTRING": GEOM_MULTILINESTRING,
+                "MULTIPOLYGON": GEOM_MULTIPOLYGON,
+                "GEOMETRYCOLLECTION": GEOM_COLLECTION}
 
 # ColumnType enum (flatgeobuf header.fbs)
 COL_BYTE, COL_UBYTE, COL_BOOL, COL_SHORT, COL_USHORT = 0, 1, 2, 3, 4
@@ -90,6 +96,16 @@ def _geom_table_to_wkb(t: FB.Table, gtype: int) -> bytes:
     if gtype in (GEOM_MULTIPOLYGON, GEOM_COLLECTION):
         parts = t.vector_tables(7) or []
         if gtype == GEOM_MULTIPOLYGON:
+            if not parts:
+                # official writers (C++/JS/GDAL) FLATTEN a single-polygon
+                # MultiPolygon to bare xy+ends with no parts vector;
+                # returning an empty multi here silently lost the
+                # geometry of every such feature
+                xy = t.vector_scalars(1, "d", 8)
+                if xy:
+                    poly = _geom_table_to_wkb(t, GEOM_POLYGON)
+                    return (b"\x01\x06\x00\x00\x00" + struct.pack("<I", 1)
+                            + poly)
             wkbs = [_geom_table_to_wkb(p, GEOM_POLYGON) for p in parts]
             return (b"\x01\x06\x00\x00\x00" + struct.pack("<I", len(wkbs))
                     + b"".join(wkbs))
@@ -104,11 +120,7 @@ def _build_geom_table(b: FB.Builder, g: W.Geom, declared: int) -> int:
     differs from the header-declared type (spec convention)."""
     fields: dict = {}
     t = g.type_name
-    code = {"POINT": GEOM_POINT, "LINESTRING": GEOM_LINESTRING,
-            "POLYGON": GEOM_POLYGON, "MULTIPOINT": GEOM_MULTIPOINT,
-            "MULTILINESTRING": GEOM_MULTILINESTRING,
-            "MULTIPOLYGON": GEOM_MULTIPOLYGON,
-            "GEOMETRYCOLLECTION": GEOM_COLLECTION}[t]
+    code = _WKT_TO_CODE[t]
     if t == "POINT":
         xy = g.parts[0].reshape(-1)
         fields[1] = ("offset", b.vector_scalars("d", 8, xy))
@@ -205,6 +217,8 @@ def _parse_header(buf: bytes) -> dict:
         "name": h.string(0),
         "envelope": h.vector_scalars(1, "d", 8),
         "geometry_type": h.scalar(2, "B", 0),
+        "has_z": bool(h.scalar(3, "B", 0)),
+        "has_m": bool(h.scalar(4, "B", 0)),
         "columns": cols,
         "features_count": h.scalar(8, "Q", 0),
         "index_node_size": h.scalar(9, "H", 16),
@@ -424,7 +438,23 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                 feat_spans.append((fh.tell(), ln))
                 fh.seek(ln, os.SEEK_CUR)
 
+    if header.get("has_z") or header.get("has_m"):
+        # the xy vector would still decode, but Z/M live in separate
+        # vectors this 2-D engine never reads — dropping them silently
+        # contradicts the WKB path, which raises for 3-D input
+        raise ValueError(
+            f"{path!r} declares Z/M coordinates (hasZ={header['has_z']}, "
+            f"hasM={header['has_m']}) — only 2-D FlatGeobuf is supported")
     cols = header["columns"]
+    clash = [c["name"] for c in cols if c["name"] == geometry_column]
+    if clash:
+        # untrusted file header: a property named like the geometry
+        # column would silently overwrite the decoded WKB in the
+        # record dicts below
+        raise ValueError(
+            f"FlatGeobuf property column {geometry_column!r} collides "
+            "with the geometry output column — pass a different "
+            "geometry_column=")
     fields = [T.StructField(geometry_column, T.BinaryType())] + [
         T.StructField(c["name"], _coltype_to_spark(c["type"]))
         for c in cols]
@@ -439,18 +469,27 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             max(1, n // 2000) or 1)
         step = (n + n_tasks - 1) // n_tasks
-        ranges = [(i, min(n, i + step)) for i in range(0, n, step)]
-        rdf = spark.createDataFrame(ranges, ["i0", "i1"]) \
+        # each range row CARRIES its own span slice: capturing the whole
+        # feat_spans list in the scan closure would serialize the full
+        # per-feature table into the task binary of EVERY task (hundreds
+        # of MB at 10M features) — as DataFrame rows, each task receives
+        # only its slice
+        ranges = [([o for o, _ in feat_spans[i:j]],
+                   [ln for _, ln in feat_spans[i:j]])
+                  for i, j in ((i, min(n, i + step))
+                               for i in range(0, n, step))]
+        rdf = spark.createDataFrame(
+            ranges, "offs array<bigint>, lens array<bigint>") \
             .repartition(len(ranges))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             fgb_t = task_local_path(path, fetch_name)
             for pdf in batches:
-                for i0, i1 in zip(pdf["i0"], pdf["i1"]):
-                    i0, i1 = int(i0), int(i1)
+                for offs, lens in zip(pdf["offs"], pdf["lens"]):
                     recs = []
                     with open(fgb_t, "rb") as fh:
-                        for off, ln in feat_spans[i0:i1]:
+                        for off, ln in zip(offs, lens):
+                            off, ln = int(off), int(ln)
                             fh.seek(off)
                             buf = fh.read(ln)
                             f = FB.root(buf)
@@ -514,12 +553,7 @@ def write_fgb(gt, path: str, name: str | None = None,
               if r[gcol] is not None}
     declared = GEOM_UNKNOWN
     if len(gtypes) == 1:
-        declared = {"POINT": GEOM_POINT, "LINESTRING": GEOM_LINESTRING,
-                    "POLYGON": GEOM_POLYGON, "MULTIPOINT": GEOM_MULTIPOINT,
-                    "MULTILINESTRING": GEOM_MULTILINESTRING,
-                    "MULTIPOLYGON": GEOM_MULTIPOLYGON,
-                    "GEOMETRYCOLLECTION": GEOM_COLLECTION}.get(
-            next(iter(gtypes)), GEOM_UNKNOWN)
+        declared = _WKT_TO_CODE.get(next(iter(gtypes)), GEOM_UNKNOWN)
 
     env = [None] * 4
     for r in rows:

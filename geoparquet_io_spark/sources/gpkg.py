@@ -46,6 +46,12 @@ def strip_gp_header(blob: bytes) -> bytes | None:
     if blob is None or len(blob) < 8 or blob[:2] != b"GP":
         return None
     flags = blob[3]
+    if flags & 0x20:
+        # ExtendedGeoPackageBinary: extension-defined payload follows the
+        # envelope — handing it to the WKB parser would misparse it or
+        # fail with an opaque executor-side error
+        raise ValueError(
+            "ExtendedGeoPackageBinary geometry blobs are not supported")
     if flags & 0x10:                    # empty-geometry flag
         return None
     env_indicator = (flags >> 1) & 0x07
@@ -55,11 +61,15 @@ def strip_gp_header(blob: bytes) -> bytes | None:
     return bytes(blob[8 + env_doubles * 8:])
 
 
-def wrap_gp_header(wkb: bytes, srs_id: int) -> bytes:
-    """Plain WKB -> GeoPackage blob with little-endian header + XY envelope."""
+def wrap_gp_header(wkb: bytes, srs_id: int,
+                   envelope: tuple | None = None) -> bytes:
+    """Plain WKB -> GeoPackage blob with little-endian header + XY
+    envelope.  ``envelope``: pass a precomputed (xmin, ymin, xmax, ymax)
+    to avoid a second full geometry parse when the caller already has
+    it (write_gpkg computes it for layer bounds anyway)."""
     from geoparquet_io_spark.functions import wkb as W
 
-    xmin, ymin, xmax, ymax = W.envelope(wkb)
+    xmin, ymin, xmax, ymax = envelope or W.envelope(wkb)
     head = b"GP\x00" + bytes([0x03])    # version 0, LE + envelope [minx..]
     head += struct.pack("<i", srs_id)
     head += struct.pack("<4d", xmin, xmax, ymin, ymax)   # spec order
@@ -327,13 +337,22 @@ def write_gpkg(gt, path: str, layer: str | None = None,
                 f.dataType, (T.ByteType, T.ShortType, T.IntegerType,
                              T.LongType))
             for f in df.schema.fields)
+        # only drop 'fid' from the attribute list when it actually IS the
+        # integer primary key — a string/double fid column must survive
+        # as a regular attribute, not silently vanish
         attr_fields = [f for f in df.schema.fields
-                       if f.name != gcol and f.name != "fid"]
+                       if f.name != gcol and not (f.name == "fid" and has_fid)]
+        # a NON-integer 'fid' column stays a regular attribute (dropping
+        # it silently lost data); the required integer PK then takes the
+        # name 'ogc_fid' to avoid the collision
+        pk = "fid" if (has_fid
+                       or all(f.name != "fid" for f in attr_fields)) \
+            else "ogc_fid"
         ddl_cols = ", ".join(
             f'"{f.name}" {_spark_to_sqlite_type(f.dataType)}'
             for f in attr_fields)
         con.execute(
-            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY '
+            f'CREATE TABLE "{layer}" ("{pk}" INTEGER PRIMARY KEY '
             f'AUTOINCREMENT, "{gcol}" BLOB'
             + (f", {ddl_cols}" if ddl_cols else "") + ")")
 
@@ -351,14 +370,18 @@ def write_gpkg(gt, path: str, layer: str | None = None,
             blob = None
             if wkb is not None:
                 wkb = bytes(wkb)
-                blob = wrap_gp_header(wkb, srs_id)
-                x0, y0, x1, y1 = W.envelope(wkb)
+                env = W.envelope(wkb)           # parse once: header + bounds
+                blob = wrap_gp_header(wkb, srs_id, envelope=env)
+                x0, y0, x1, y1 = env
                 bounds[0] = x0 if bounds[0] is None else min(bounds[0], x0)
                 bounds[1] = y0 if bounds[1] is None else min(bounds[1], y0)
                 bounds[2] = x1 if bounds[2] is None else max(bounds[2], x1)
                 bounds[3] = y1 if bounds[3] is None else max(bounds[3], y1)
                 gtypes.add(W.geometry_type(wkb))
-            vals = ([int(r["fid"])] if has_fid else []) + [blob]
+            # NULL fid -> bind None: sqlite autoincrements it (crashing
+            # the whole write on one null key helps nobody)
+            vals = ([None if r["fid"] is None else int(r["fid"])]
+                    if has_fid else []) + [blob]
             for f in attr_fields:
                 v = r[f.name]
                 if f.name in bool_cols and v is not None:

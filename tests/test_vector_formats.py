@@ -757,3 +757,122 @@ def test_prj_projected_wkt_with_embedded_gcs(tmp_path):
         fh.write('PROJCS["UTM33",GEOGCS["GCS_WGS_1984",'
                  'AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","32633"]]')
     assert read_prj_epsg(p) == "EPSG:32633"
+
+
+# ---------------------------------------------------------------------------
+# Format-parser review regressions (fgb flattened multis / Z files /
+# collisions, gpkg fid edge cases, flatbuf sub-4-byte vectors)
+# ---------------------------------------------------------------------------
+
+def test_fgb_flattened_single_part_multipolygon_decodes():
+    """Official writers flatten a 1-polygon MultiPolygon to bare
+    xy+ends with NO parts vector — that layout must not decode to an
+    empty multi."""
+    from geoparquet_io_spark.functions import flatbuf as FB
+    from geoparquet_io_spark.sources.fgb import (
+        GEOM_MULTIPOLYGON,
+        _geom_table_to_wkb,
+    )
+
+    b = FB.Builder()
+    ring = [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 0.0]
+    fields = {
+        0: ("offset", b.vector_scalars("I", 4, [4])),   # ends
+        1: ("offset", b.vector_scalars("d", 8, ring)),  # xy
+    }
+    t = b.table(fields)
+    buf = FB.root(b.finish(t))
+    wkb = _geom_table_to_wkb(buf, GEOM_MULTIPOLYGON)
+    g = W.parse(wkb)
+    assert g.gtype == W.MULTIPOLYGON
+    assert len(g.children) == 1
+    assert abs(W.area(wkb) - 8.0) < 1e-12
+
+
+def test_fgb_rejects_z_files(tmp_path, spark):
+    """A header declaring hasZ must error, not silently drop Z."""
+    import struct as _s
+
+    from geoparquet_io_spark.functions import flatbuf as FB
+    from geoparquet_io_spark.sources.fgb import MAGIC, read_fgb
+
+    b = FB.Builder()
+    t = b.table({2: ("scalar", "B", 1, 1),      # geometry_type Point
+                 3: ("scalar", "B", 1, 1),      # hasZ
+                 8: ("scalar", "Q", 8, 0),      # features_count
+                 9: ("scalar", "H", 2, 0)})     # no index
+    hdr = b.finish(t)
+    p = tmp_path / "z.fgb"
+    p.write_bytes(MAGIC + _s.pack("<I", len(hdr)) + hdr)
+    import pytest as _p
+    with _p.raises(ValueError, match="Z/M"):
+        read_fgb(spark, str(p))
+
+
+def test_fgb_geometry_column_collision_raises(tmp_path, spark):
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.fgb import read_fgb, write_fgb
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(geom=bytearray(W.encode_point(1.0, 2.0)), geometry="clash")])
+    gt = GeoTable(df, GeoMeta(primary_column="geom",
+                              columns={"geom": GeoColumnMeta()}))
+    p = str(tmp_path / "clash.fgb")
+    write_fgb(gt, p)
+    import pytest as _p
+    with _p.raises(ValueError, match="collides"):
+        read_fgb(spark, p)                      # default geometry_column
+    out = read_fgb(spark, p, geometry_column="geom2")
+    assert out.df.select("geometry").first()[0] == "clash"
+
+
+def test_flatbuf_sub4byte_vector_alignment():
+    """ubyte/ushort vectors must keep data at t+4 from the length
+    prefix — padding between them shifted every element."""
+    from geoparquet_io_spark.functions import flatbuf as FB
+
+    for fmt, size, vals in (("B", 1, [1, 2, 3]), ("h", 2, [7, -9, 11]),
+                            ("B", 1, [5]), ("h", 2, [1, 2, 3, 4, 5])):
+        b = FB.Builder()
+        t = b.table({0: ("offset", b.vector_scalars(fmt, size, vals))})
+        root = FB.root(b.finish(t))
+        assert root.vector_scalars(0, fmt, size) == vals
+
+
+def test_gpkg_fid_edge_cases(tmp_path, spark):
+    """String fid stays a regular attribute; NULL integer fid
+    autoincrements instead of crashing."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    meta = GeoMeta(primary_column="geometry",
+                   columns={"geometry": GeoColumnMeta()})
+    # string fid: preserved as data
+    df1 = spark.createDataFrame(
+        [(bytearray(W.encode_point(1.0, 2.0)), "feature-1")],
+        "geometry binary, fid string")
+    p1 = str(tmp_path / "sfid.gpkg")
+    write_gpkg(GeoTable(df1, meta), p1)
+    back1 = read_gpkg(spark, p1).df.collect()
+    assert [r["fid"] for r in back1] == ["feature-1"]
+    # nullable integer fid: null row autoincrements
+    df2 = spark.createDataFrame(
+        [(bytearray(W.encode_point(0.0, 0.0)), 7),
+         (bytearray(W.encode_point(1.0, 1.0)), None)],
+        "geometry binary, fid long")
+    p2 = str(tmp_path / "nfid.gpkg")
+    write_gpkg(GeoTable(df2, meta), p2)
+    fids = sorted(r["fid"] for r in read_gpkg(spark, p2).df.collect())
+    assert 7 in fids and len(fids) == 2 and None not in fids
+
+
+def test_gpkg_extended_blob_rejected():
+    from geoparquet_io_spark.sources.gpkg import strip_gp_header
+
+    blob = b"GP\x00" + bytes([0x03 | 0x20]) + b"\x00" * 12
+    import pytest as _p
+    with _p.raises(ValueError, match="Extended"):
+        strip_gp_header(blob)
