@@ -47,6 +47,21 @@ RASTER_META_T = T.StructType([
 ])
 
 
+def _select_band(arr, band: int):
+    """Band selection that cannot silently lie: asking for band>0 on a
+    single-band raster (or past the band count) errors instead of
+    returning band 0's data."""
+    if arr.ndim == 2:
+        if band != 0:
+            raise ValueError(
+                f"band {band} requested but raster has 1 band")
+        return arr
+    if band >= arr.shape[2]:
+        raise ValueError(
+            f"band {band} requested but raster has {arr.shape[2]} bands")
+    return arr[:, :, band]
+
+
 def extract_raster_metadata(
     df: DataFrame,
     data_column: str = "data",
@@ -132,7 +147,7 @@ def geotiff_to_points(
                     raise ValueError(
                         "GeoTIFF lacks georeferencing (no tiepoint/scale)")
                 arr = decode_tiff(raw)
-                bandarr = arr if arr.ndim == 2 else arr[:, :, band]
+                bandarr = _select_band(arr, band)
                 sub = bandarr[::max(stride, 1), ::max(stride, 1)]
                 rows, cols = np.mgrid[0:sub.shape[0], 0:sub.shape[1]]
                 rows = rows.ravel() * max(stride, 1)
@@ -176,13 +191,19 @@ def rasterize_points(
 
     ox, oy = origin
     pw, ph = scale
-    cols = np.clip(((pdf_points["x"] - ox) / pw).astype(int), 0, width - 1)
-    rows = np.clip(((oy - pdf_points["y"]) / ph).astype(int), 0, height - 1)
+    colf = (pdf_points["x"].to_numpy(dtype="f8") - ox) / pw
+    rowf = (oy - pdf_points["y"].to_numpy(dtype="f8")) / ph
+    # DROP out-of-extent points: clipping them into border cells
+    # silently corrupted every edge-cell aggregate
+    inb = (colf >= 0) & (colf < width) & (rowf >= 0) & (rowf < height)
+    cols = colf[inb].astype(int)
+    rows = rowf[inb].astype(int)
     grid = np.full((height, width), np.nan, dtype="f8")
     cnt = np.zeros((height, width), dtype="i8")
     tot = np.zeros((height, width), dtype="f8")
     np.add.at(cnt, (rows, cols), 1)
-    np.add.at(tot, (rows, cols), pdf_points["value"].astype("f8"))
+    np.add.at(tot, (rows, cols),
+              pdf_points["value"].to_numpy(dtype="f8")[inb])
     mask = cnt > 0
     if agg == "mean":
         grid[mask] = tot[mask] / cnt[mask]
@@ -231,8 +252,19 @@ def sample_raster_at_points(
                    t[1].origin_x + t[1].width * t[1].pixel_w,
                    t[1].origin_y - t[1].height * t[1].pixel_h)).collect()
     spark = points.sparkSession
+    # explicit schema: an EMPTY rasters table must yield all-NULL values
+    # per the uncovered-point contract, not an infer-schema error
+    ext_schema = T.StructType([
+        T.StructField(raster_id_column,
+                      rasters.schema[raster_id_column].dataType),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("ytop", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("ybot", T.DoubleType()),
+    ])
     ext = spark.createDataFrame(
-        ext_rows, [raster_id_column, "x0", "ytop", "x1", "ybot"])
+        [(r[0], float(r[1]), float(r[2]), float(r[3]), float(r[4]))
+         for r in ext_rows], ext_schema)
 
     # a point under OVERLAPPING tile extents matches several tiles in the
     # containment join; it must be answered once, not once per tile.  The
@@ -289,7 +321,7 @@ def sample_raster_at_points(
         raw = bytes(tile_pdf[data_column].iloc[0])
         info = geotiff_info(raw)
         arr = decode_tiff(raw)
-        bandarr = arr if arr.ndim == 2 else arr[:, :, band]
+        bandarr = _select_band(arr, band)
         cols = np.clip(((pts_pdf[x_column].to_numpy() - info.origin_x)
                         / info.pixel_w).astype(int), 0, info.width - 1)
         rows = np.clip(((info.origin_y - pts_pdf[y_column].to_numpy())

@@ -43,37 +43,38 @@ _BASE_TYPE = {0: 0, 1: 1, 3: 3, 5: 5, 8: 8,
 # ---------------------------------------------------------------------------
 
 def _ring_signed_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
-
-
-def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
-    x, y = ring[:, 0], ring[:, 1]
-    x1, y1 = np.roll(x, -1), np.roll(y, -1)
-    cond = (y > py) != (y1 > py)
-    denom = np.where(y1 - y == 0, 1.0, y1 - y)
-    xints = (py - y) * (x1 - x) / denom + x
-    return bool(((cond & (px < xints)).sum()) % 2)
+    # one shared shoelace kernel (functions/wkb.py) — divergent copies
+    # of ring math were the source of boundary-semantics bugs
+    a, _, _ = W._ring_area_centroid(np.asarray(ring, dtype="f8"))
+    return a
 
 
 def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
     """Shapefile polygon rings -> WKB Polygon/MultiPolygon.
 
     Spec orientation: outer rings clockwise (negative shoelace area),
-    holes counter-clockwise.  Holes attach to the outer ring containing
-    their first vertex.  Files that ignore orientation (all rings one
-    direction) degrade to one polygon per ring."""
+    holes counter-clockwise.  Each hole attaches to the SMALLEST outer
+    ring containing its first vertex — "first containing" misfiled the
+    hole of a nested island-in-lake polygon into the outermost shell.
+    Containment is boundary-inclusive (wkb kernel): snapped data with a
+    hole touching its shell at a vertex must not become a solid ring.
+    Files that ignore orientation (all rings one direction) degrade to
+    one polygon per ring."""
     outers = [r for r in rings if _ring_signed_area(r) < 0]
     holes = [r for r in rings if _ring_signed_area(r) >= 0]
     if not outers:                      # orientation-ignorant writer
         outers, holes = rings, []
     polys: list[list[np.ndarray]] = [[o] for o in outers]
+    areas = [abs(_ring_signed_area(o)) for o in outers]
     for h in holes:
         px, py = float(h[0, 0]), float(h[0, 1])
-        for poly in polys:
-            if _point_in_ring(px, py, poly[0]):
-                poly.append(h)
-                break
+        best = None
+        for i, poly in enumerate(polys[:len(areas)]):
+            if W._point_in_ring(px, py, np.asarray(poly[0], dtype="f8")):
+                if best is None or areas[i] < areas[best]:
+                    best = i
+        if best is not None:
+            polys[best].append(h)
         else:
             polys.append([h[::-1]])     # orphan hole -> own polygon
     if len(polys) == 1:
@@ -179,7 +180,13 @@ def _dbf_spark_type(f: dict):
 
     t = f["type"]
     if t in ("N", "F"):
-        return T.DoubleType() if (f["decimals"] or t == "F") else T.LongType()
+        if f["decimals"] or t == "F":
+            return T.DoubleType()
+        if f["length"] > 18:
+            # an N19+/N20 integer field can exceed int64 — a long cast
+            # would OverflowError the whole read; decimal is lossless
+            return T.DecimalType(min(f["length"], 38), 0)
+        return T.LongType()
     if t == "L":
         return T.BooleanType()
     return T.StringType()
@@ -251,19 +258,30 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             max(1, n // 2000) or 1)
         step = (n + n_tasks - 1) // n_tasks
-        ranges = [(i, min(n, i + step)) for i in range(0, n, step)]
-        rdf = spark.createDataFrame(ranges, ["i0", "i1"]) \
+        # each range row CARRIES its span slice: closing over the whole
+        # offsets list would serialize the full per-record table into
+        # every task binary (multi-GB at ~70M records) — as rows, each
+        # task receives only its slice.  i0 rides along for the DBF seek.
+        ranges = [(i, [o for o, _ in offsets[i:j]],
+                   [ln for _, ln in offsets[i:j]])
+                  for i, j in ((i, min(n, i + step))
+                               for i in range(0, n, step))]
+        rdf = spark.createDataFrame(
+            ranges, "i0 bigint, offs array<bigint>, lens array<bigint>") \
             .repartition(len(ranges))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             shp_t = task_local_path(shp, shp_name)
             dbf_t = task_local_path(dbf, dbf_name) if dbf else dbf
             for pdf in batches:
-                for i0, i1 in zip(pdf["i0"], pdf["i1"]):
-                    i0, i1 = int(i0), int(i1)
+                for i0, offs, lens in zip(pdf["i0"], pdf["offs"],
+                                          pdf["lens"]):
+                    i0 = int(i0)
+                    i1 = i0 + len(offs)
                     rows = []
                     with open(shp_t, "rb") as fh:
-                        for off, ln in offsets[i0:i1]:
+                        for off, ln in zip(offs, lens):
+                            off, ln = int(off), int(ln)
                             fh.seek(off + 8)     # skip record header
                             rows.append(
                                 shape_record_to_wkb(fh.read(ln)))
@@ -288,6 +306,12 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
                         if isinstance(sf.dataType, T.LongType):
                             pdf_out[f["name"]] = \
                                 pdf_out[f["name"]].astype("Int64")
+                        elif isinstance(sf.dataType, T.DecimalType):
+                            import decimal
+
+                            pdf_out[f["name"]] = pdf_out[f["name"]].map(
+                                lambda v: None if pd.isna(v)
+                                else decimal.Decimal(int(v)))
                     yield pdf_out
 
         df = rdf.mapInPandas(scan, schema=schema)
@@ -389,9 +413,15 @@ def _dbf_field_spec(name: str, dtype, sample_vals) -> dict:
 
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
                           T.LongType)):
-        # 20 chars covers every int64 including the sign
-        # (-9223372036854775808); N18 silently overflowed wide longs
-        return {"name": name[:10], "type": "N", "length": 20, "decimals": 0}
+        # width from the DATA (all rows are driver-side anyway): N<=18
+        # reads back as LongType, so common integer columns round-trip
+        # type-stable; only genuinely wide values need N19/N20 (which
+        # the reader maps to DecimalType to avoid int64 overflow)
+        sample_vals = list(sample_vals)
+        width = max([len(str(int(v))) for v in sample_vals
+                     if v is not None] or [1])
+        return {"name": name[:10], "type": "N",
+                "length": max(width, 18), "decimals": 0}
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return {"name": name[:10], "type": "N", "length": 24, "decimals": 8}
     if isinstance(dtype, T.BooleanType):
@@ -423,7 +453,13 @@ def _format_dbf_value(v, f: dict) -> bytes:
         return s.rjust(ln).encode("latin-1")
     if f["type"] == "L":
         return b"T" if v else b"F"
-    s = str(v)[:ln]
+    s = str(v)
+    if len(s) > ln:
+        # same loud-failure policy as numeric fields: C fields are sized
+        # from the full data, so this only fires at the 254-byte DBF cap
+        raise ValueError(
+            f"value of length {len(s)} does not fit DBF field "
+            f"{f['name']!r} (C{ln}, format maximum 254)")
     return s.ljust(ln).encode("latin-1", errors="replace")
 
 
@@ -491,9 +527,20 @@ def write_shapefile(gt, path: str) -> None:
         fh.write(header(50 + 4 * len(records)) + b"".join(shx_parts))
 
     attr_fields = [f for f in df.schema.fields if f.name != gcol]
+    # C-field widths from ALL rows (they're already collected): sizing
+    # from a 100-row sample truncated longer strings later in the file
     specs = [_dbf_field_spec(f.name, f.dataType,
-                             [r[f.name] for r in rows[:100]])
+                             (r[f.name] for r in rows))
              for f in attr_fields]
+    # DBF names cap at 10 chars: deduplicate truncations or a column
+    # silently vanishes on round-trip (two fields, one name)
+    seen: dict[str, int] = {}
+    for s in specs:
+        if s["name"] in seen:
+            seen[s["name"]] += 1
+            suffix = f"_{seen[s['name']]}"
+            s["name"] = s["name"][:10 - len(suffix)] + suffix
+        seen.setdefault(s["name"], 0)
     record_size = 1 + sum(s["length"] for s in specs)
     header_size = 32 + 32 * len(specs) + 1
     with open(base + ".dbf", "wb") as fh:

@@ -876,3 +876,149 @@ def test_gpkg_extended_blob_rejected():
     import pytest as _p
     with _p.raises(ValueError, match="Extended"):
         strip_gp_header(blob)
+
+
+def test_shapefile_nested_polygon_hole_assignment():
+    """Island-in-lake: the pond hole must attach to the ISLAND shell
+    (smallest containing ring), not the outermost lake shell."""
+    from geoparquet_io_spark.sources.shapefile import _rings_to_wkb
+
+    def ring(pts, cw):
+        arr = np.array(pts + [pts[0]], dtype="f8")
+        return arr[::-1] if cw != (_area(arr) < 0) else arr
+
+    def _area(a):
+        x, y = a[:, 0], a[:, 1]
+        return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    outer = ring([(0, 0), (10, 0), (10, 10), (0, 10)], cw=True)      # lake shore
+    lake = ring([(1, 1), (9, 1), (9, 9), (1, 9)], cw=False)          # hole in A
+    island = ring([(3, 3), (7, 3), (7, 7), (3, 7)], cw=True)         # shell B
+    pond = ring([(4, 4), (6, 4), (6, 6), (4, 6)], cw=False)          # hole in B
+    wkb = _rings_to_wkb([outer, lake, island, pond])
+    g = W.parse(wkb)
+    assert g.gtype == W.MULTIPOLYGON
+    by_area = sorted(g.children, key=lambda p: abs(_area(p.parts[0])))
+    assert len(by_area[0].parts) == 2        # island carries the pond hole
+    assert len(by_area[1].parts) == 2        # lake shell carries the lake hole
+    # total area: (100-64) + (16-4) = 48
+    assert abs(W.area(wkb) - 48.0) < 1e-9
+
+
+def test_shapefile_hole_touching_shell_vertex():
+    """A hole sharing its first vertex with the shell must stay a hole
+    (boundary-inclusive containment), not become a solid polygon."""
+    from geoparquet_io_spark.sources.shapefile import _rings_to_wkb
+
+    shell = np.array([(0, 0), (0, 8), (8, 8), (8, 0), (0, 0)], dtype="f8")  # CW
+    hole = np.array([(0, 0), (2, 1), (1, 2), (0, 0)], dtype="f8")           # CCW
+    wkb = _rings_to_wkb([shell, hole])
+    g = W.parse(wkb)
+    assert g.gtype == W.POLYGON and len(g.parts) == 2
+    assert abs(W.area(wkb) - (64.0 - 1.5)) < 1e-9
+
+
+def test_shapefile_dbf_name_collisions_and_full_width(tmp_path, spark):
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+    from pyspark.sql import Row
+
+    long_text = "x" * 40
+    rows = [Row(geometry=bytearray(W.encode_point(float(i), 0.0)),
+                population_2020=i * 10, population_2021=i * 10 + 1,
+                name="short" if i < 2 else long_text) for i in range(3)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    p = str(tmp_path / "dup.shp")
+    write_shapefile(gt, p)
+    back = read_shapefile(spark, p).df
+    # truncated names deduplicated: BOTH columns survive
+    assert len(back.columns) == 4
+    got = back.orderBy(back.columns[1]).collect()
+    cols = sorted(c for c in back.columns if c.startswith("populati"))
+    assert len(cols) == 2
+    vals = {tuple(sorted((r[cols[0]], r[cols[1]]))) for r in got}
+    assert (0, 1) in vals
+    # string sized from ALL rows: the 40-char value survives intact
+    assert any(r["name"] == long_text for r in got)
+
+
+def test_shapefile_wide_n_field_reads_as_decimal(tmp_path, spark):
+    """An N20.0 field holding values beyond int64 must read without
+    overflow (decimal), while small-int columns stay long-typed."""
+    import struct as _s
+
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from geoparquet_io_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+    from pyspark.sql import Row
+
+    rows = [Row(geometry=bytearray(W.encode_point(1.0, 2.0)), n=7)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    p = str(tmp_path / "wide.shp")
+    write_shapefile(gt, p)
+    assert dict(read_shapefile(spark, p).df.dtypes)["n"] == "bigint"
+    # hand-patch the DBF to N20 with a >int64 value
+    dbf = p[:-4] + ".dbf"
+    raw = bytearray(open(dbf, "rb").read())
+    # field descriptor: bytes 32..64; length byte at offset 32+16
+    raw[32 + 16] = 20
+    hs = _s.unpack_from("<H", raw, 8)[0]
+    rs_old = _s.unpack_from("<H", raw, 10)[0]
+    _s.pack_into("<H", raw, 10, rs_old + 2)
+    body = raw[:hs + 1] + b"9999999999999999999 ".rjust(21) + raw[hs + 1 + rs_old:]
+    open(dbf, "wb").write(bytes(raw[:hs]) + bytes(body[hs:]))
+    out = read_shapefile(spark, p).df
+    assert dict(out.dtypes)["n"].startswith("decimal")
+    assert int(out.first()["n"]) == 9999999999999999999
+
+
+def test_rasterize_points_drops_out_of_extent():
+    import pandas as pd
+
+    from geoparquet_io_spark.functions.tiff import decode_tiff
+    from geoparquet_io_spark.operators.raster import rasterize_points
+
+    pdf = pd.DataFrame({
+        "x": [0.5, 1.5, -5.0, 99.0],       # last two out of extent
+        "y": [1.5, 0.5, 1.5, -99.0],
+        "value": [10.0, 20.0, 777.0, 888.0]})
+    buf = rasterize_points(pdf, 2, 2, origin=(0.0, 2.0), scale=(1.0, 1.0),
+                           agg="sum")
+    arr = decode_tiff(buf)
+    assert arr[0, 0] == 10.0 and arr[1, 1] == 20.0
+    assert arr.sum() == 30.0               # foreign points NOT in border cells
+
+
+def test_geotiff_band_arg_validated(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.functions.tiff import build_geotiff
+    from geoparquet_io_spark.operators.raster import geotiff_to_points
+
+    img = np.arange(16, dtype="u1").reshape(4, 4)
+    buf = build_geotiff(img, origin=(0.0, 4.0), scale=(1.0, 1.0))
+    df = spark.createDataFrame([(1, bytearray(buf))], "rid long, data binary")
+    with _p.raises(Exception, match="1 band"):
+        geotiff_to_points(df, band=2).collect()
+    assert geotiff_to_points(df, band=0).count() == 16
+
+
+def test_sample_raster_empty_rasters_table(spark):
+    from geoparquet_io_spark.operators.raster import sample_raster_at_points
+
+    pts = spark.createDataFrame([(0.5, 0.5)], "x double, y double")
+    empty = spark.createDataFrame([], "rid string, data binary")
+    out = sample_raster_at_points(pts, empty, raster_id_column="rid").collect()
+    assert len(out) == 1 and out[0]["value"] is None or (
+        out[0]["value"] != out[0]["value"])  # NULL or NaN
