@@ -39,6 +39,8 @@ class AviInfo(NamedTuple):
     n_frames: int        # from the main header (dwTotalFrames)
     codec: str           # video stream handler fourcc, e.g. "MJPG" / "DIB "
     frames: list         # list[AviFrame] for ALL streams, file order
+    video_stream: int = 0  # strl index of the video stream ("01dc" -> 1)
+    bits: int = 24       # DIB bit depth from the video strf (24 / 32)
 
 
 def _chunks(buf: bytes, pos: int, end: int):
@@ -66,9 +68,13 @@ def parse_avi(buf: bytes) -> AviInfo:
     fps = 0.0
     frames: list[AviFrame] = []
     stream_no = 0
+    video_stream = 0
+    bits = 24
+    expect_video_strf = False
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, n_frames, us_per_frame, codec, fps, stream_no
+        nonlocal width, height, n_frames, us_per_frame, codec, fps, \
+            stream_no, video_stream, bits, expect_video_strf
         for cid, body, size in _chunks(buf, pos, end):
             if cid == b"LIST":
                 ltype = buf[body:body + 4]
@@ -87,7 +93,19 @@ def parse_avi(buf: bytes) -> AviInfo:
                     codec = handler.decode("ascii", "replace").strip("\x00")
                     if scale:
                         fps = rate / scale
+                    # remember WHICH strl is the video: an AVI that
+                    # declares audio first names its video chunks 01dc,
+                    # and a hardcoded stream-0 default finds no frames
+                    video_stream = stream_no
+                    expect_video_strf = True
+                else:
+                    expect_video_strf = False
                 stream_no += 1
+            elif cid == b"strf" and expect_video_strf:
+                if size >= 16:
+                    # BITMAPINFOHEADER: biBitCount at offset 14
+                    bits = struct.unpack_from("<H", buf, body + 14)[0] or 24
+                expect_video_strf = False
 
     def _index_movi(pos: int, end: int) -> None:
         for cid, body, size in _chunks(buf, pos, end):
@@ -104,13 +122,18 @@ def parse_avi(buf: bytes) -> AviInfo:
         fps = 1e6 / us_per_frame
     if width == 0 or height == 0:
         raise ValueError("AVI missing avih main header")
-    return AviInfo(width, height, fps, n_frames, codec, frames)
+    return AviInfo(width, height, fps, n_frames, codec, frames,
+                   video_stream, bits)
 
 
 def extract_frames(buf: bytes, info: AviInfo | None = None,
-                   stream: int = 0) -> list[bytes]:
-    """Frame payloads (bytes) of one stream, in file order."""
+                   stream: int | None = None) -> list[bytes]:
+    """Frame payloads (bytes) of one stream, in file order.  Default:
+    the VIDEO stream the header declares (not stream 0 — audio-first
+    files name their video chunks 01dc)."""
     info = info or parse_avi(buf)
+    if stream is None:
+        stream = info.video_stream
     return [buf[f.offset:f.offset + f.size]
             for f in info.frames if f.stream == stream]
 
@@ -130,12 +153,20 @@ def decode_frame(frame: bytes, info: AviInfo) -> np.ndarray:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return arr
     w, h = info.width, info.height
-    stride = (w * 3 + 3) & ~3
+    bits = getattr(info, "bits", 24) or 24
+    if bits not in (24, 32):
+        # 8bpp-palette / 16bpp DIBs would decode as garbage if forced
+        # through the 24bpp math — honest gate, like the codec gates
+        raise ValueError(f"uncompressed DIB bit depth {bits} not "
+                         "supported (24/32 only)")
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3
     if len(frame) < stride * h:
         raise ValueError(
             f"DIB frame too short: {len(frame)} < {stride * h}")
     rows = np.frombuffer(frame, np.uint8, stride * h).reshape(h, stride)
-    rgb = rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    px = rows[:, :w * bpp].reshape(h, w, bpp)
+    rgb = px[:, :, :3][::-1, :, ::-1]     # drop alpha/X, bottom-up, BGR->RGB
     return rgb.copy()
 
 

@@ -158,21 +158,30 @@ def decode_gif_frames(buf: bytes) -> tuple[list[np.ndarray], list[float]]:
         if iflags & 0x40:
             idx = _deinterlace(idx)
 
+        # clip descriptors that overhang the logical screen (real-world
+        # malformation every mainstream decoder clips): a raw assignment
+        # would raise an unintelligible broadcast error
+        ch = max(0, min(ih, canvas.shape[0] - top))
+        cw = max(0, min(iw, canvas.shape[1] - left))
+        idx = idx[:ch, :cw]
         patch = table[np.clip(idx, 0, len(table) - 1)]
-        region = canvas[top:top + ih, left:left + iw]
+        region = canvas[top:top + ch, left:left + cw]
         if transparent is not None:
             mask = (idx == transparent)[..., None]
             patch = np.where(mask, region, patch)
-        canvas[top:top + ih, left:left + iw] = patch
+        # disposal 3 restores the state BEFORE this frame drew — which
+        # is NOT frames[-1] when the previous frame's disposal already
+        # mutated the canvas (e.g. disposal 2 background clears)
+        pre_draw = canvas.copy() if disposal == 3 else None
+        canvas[top:top + ch, left:left + cw] = patch
         frames.append(canvas.copy())
         delays.append(delay_s)
 
         if disposal == 2:       # restore background in the frame's rect
-            canvas[top:top + ih, left:left + iw] = \
-                background[top:top + ih, left:left + iw]
+            canvas[top:top + ch, left:left + cw] = \
+                background[top:top + ch, left:left + cw]
         elif disposal == 3:     # restore-previous: revert this frame
-            canvas = frames[-2].copy() if len(frames) > 1 \
-                else background.copy()
+            canvas = pre_draw
         transparent = None
         delay_s = 0.0
         disposal = 0

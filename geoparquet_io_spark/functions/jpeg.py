@@ -146,6 +146,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while i < n:
         if buf[i] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — reading one as the marker code would misparse the
+        # real marker's bytes as a segment length
+        while i + 1 < n and buf[i + 1] == 0xFF:
+            i += 1
         m = buf[i + 1]
         i += 2
         if m == 0xD9:  # EOI
@@ -214,77 +219,24 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                           "ss": ss, "se": se, "ah": ahl >> 4,
                           "al": ahl & 15, "ri": restart_interval,
                           "huff": snap})
-            if not progressive:
-                # sequential: single scan; ignore trailing data
-                break
         # APPn / COM / others: skipped
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     if not progressive:
-        return _decode_scan(frame, scans[0], qt, scans[0]["huff"],
-                            scans[0]["ri"])
+        return _decode_sequential(frame, scans, qt)
     return _decode_progressive(frame, scans, qt)
 
 
-def _decode_scan(frame, scan, qt, huff, restart_interval) -> np.ndarray:
+def _upsample_and_color(frame, full_planes) -> np.ndarray:
+    """Upsample per-component planes to full resolution, crop, and
+    color-convert — shared by the sequential and progressive paths
+    (keeping the YCbCr constants in exactly one place)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
-    by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-    order = [by_id[s["cs"]] | {"td": s["td"], "ta": s["ta"]}
-             for s in scan["comps"]]
-    segments = scan["segments"]
-    total_mcus = mcus_x * mcus_y
-    seg_idx = 0
-    bits = _Bits(segments[0])
-    pred = {c["id"]: 0 for c in comps}
-    per_seg = restart_interval if restart_interval else total_mcus
-    for mcu in range(total_mcus):
-        if mcu > 0 and mcu % per_seg == 0 and seg_idx + 1 < len(segments):
-            seg_idx += 1
-            bits = _Bits(segments[seg_idx])
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in order:
-            q = qt[c["tq"]]
-            dc_tbl = huff[(0, c["td"])]
-            ac_tbl = huff[(1, c["ta"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64, dtype=np.int64)
-                    s = _huff_decode(bits, dc_tbl)
-                    diff = _extend(bits.read(s), s) if s else 0
-                    pred[c["id"]] += diff
-                    coef[0] = pred[c["id"]]
-                    k = 0
-                    while k < 63:
-                        rs = _huff_decode(bits, ac_tbl)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r + 1
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[k] = _extend(bits.read(s), s)
-                    block = np.zeros(64, dtype=np.float64)
-                    block[ZIGZAG] = coef * q
-                    spatial = _A.T @ block.reshape(8, 8) @ _A + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
-    # upsample to full resolution and crop
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        p = full_planes[c["id"]]
         if c["h"] != hmax:
             p = np.repeat(p, hmax // c["h"], axis=1)
         if c["v"] != vmax:
@@ -300,6 +252,96 @@ def _decode_scan(frame, scan, qt, huff, restart_interval) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_sequential(frame, scans, qt) -> np.ndarray:
+    """Baseline/extended-sequential decode: one fully-interleaved scan
+    OR several non-interleaved scans (one component each, T.81 legal —
+    a single-scan-only assumption left Cb/Cr planes zero and color-cast
+    the image)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {c["id"]: np.zeros(
+        (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps}
+    for scan in scans:
+        _decode_scan_into(frame, scan, qt, scan["huff"], scan["ri"],
+                          planes, mcus_x, mcus_y)
+    return _upsample_and_color(frame, planes)
+
+
+def _decode_scan_into(frame, scan, qt, huff, restart_interval,
+                      planes, mcus_x, mcus_y) -> None:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    order = [by_id[s["cs"]] | {"td": s["td"], "ta": s["ta"]}
+             for s in scan["comps"]]
+    interleaved = len(order) > 1
+    if interleaved:
+        total_mcus = mcus_x * mcus_y
+        # units per MCU: (comp, by, bx) for every block of every comp
+        def unit_pos(mcu, c, by, bx):
+            my, mx = divmod(mcu, mcus_x)
+            return (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+        units = [(c, by, bx) for c in order
+                 for by in range(c["v"]) for bx in range(c["h"])]
+    else:
+        # non-interleaved (T.81 A.2.2): the MCU is ONE block, walked in
+        # raster order over the COMPONENT's own block grid (sampling
+        # factors do not apply within a single-component scan — an
+        # MCU-padded 2x2 walk desyncs the entropy stream)
+        c = order[0]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        bw = -(-cw // 8)
+        total_mcus = bw * -(-ch // 8)
+        def unit_pos(mcu, c, by, bx):
+            ry, rx = divmod(mcu, bw)
+            return ry * 8, rx * 8
+        units = [(c, 0, 0)]
+    segments = scan["segments"]
+    seg_idx = 0
+    bits = _Bits(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    per_seg = restart_interval if restart_interval else total_mcus
+    for mcu in range(total_mcus):
+        if mcu > 0 and mcu % per_seg == 0 and seg_idx + 1 < len(segments):
+            seg_idx += 1
+            bits = _Bits(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        for c, by, bx in units:
+            q = qt[c["tq"]]
+            dc_tbl = huff[(0, c["td"])]
+            ac_tbl = huff[(1, c["ta"])]
+            coef = np.zeros(64, dtype=np.int64)
+            s = _huff_decode(bits, dc_tbl)
+            diff = _extend(bits.read(s), s) if s else 0
+            pred[c["id"]] += diff
+            coef[0] = pred[c["id"]]
+            k = 0
+            while k < 63:
+                rs = _huff_decode(bits, ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r + 1
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                coef[k] = _extend(bits.read(s), s)
+            block = np.zeros(64, dtype=np.float64)
+            block[ZIGZAG] = coef * q
+            spatial = _A.T @ block.reshape(8, 8) @ _A + 128.0
+            y0, x0 = unit_pos(mcu, c, by, bx)
+            if y0 < planes[c["id"]].shape[0] and x0 < planes[c["id"]].shape[1]:
+                planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
 
 
 # ---------------------------------------------------------------------------
@@ -442,13 +484,10 @@ def _apply_progressive_scan(frame, scan, cof, used, mcus_x, mcus_y):
 
 
 def _reconstruct(frame, cof, qt) -> np.ndarray:
-    """Dequantize + IDCT + upsample + color-convert the accumulated
-    coefficient store (vectorized over all blocks)."""
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    full = []
-    for c in comps:
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks), then the shared upsample/color finish."""
+    planes = {}
+    for c in frame["comps"]:
         arr = cof[c["id"]]
         q = qt[c["tq"]].astype(np.float64)
         bh, bw = arr.shape[:2]
@@ -457,23 +496,9 @@ def _reconstruct(frame, cof, qt) -> np.ndarray:
         dez[:, ZIGZAG] = blocks
         m = dez.reshape(-1, 8, 8)
         sp = np.einsum("ux,nuv,vy->nxy", _A, m, _A) + 128.0
-        plane = sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+        planes[c["id"]] = sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(bh * 8, bw * 8)
-        if c["h"] != hmax:
-            plane = np.repeat(plane, hmax // c["h"], axis=1)
-        if c["v"] != vmax:
-            plane = np.repeat(plane, vmax // c["v"], axis=0)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-    if len(full) != 3:
-        raise ValueError(f"unsupported JPEG component count {len(full)}")
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _upsample_and_color(frame, planes)
 
 
 def _decode_progressive(frame, scans, qt) -> np.ndarray:

@@ -113,22 +113,26 @@ def parse_frame_header(buf: bytes, pos: int) -> Mp3Frame | None:
                     mode, crc)
 
 
-def _xing_frame_count(buf: bytes, frame: Mp3Frame) -> int | None:
-    """Frame count from a Xing/Info (or VBRI) header in the first frame."""
+def _xing_frame_count(buf: bytes, frame: Mp3Frame):
+    """(frame count, tag kind) from a Xing/Info/VBRI header in the
+    first frame, or (None, None).  The KIND matters: LAME writes
+    'Xing' for VBR streams but 'Info' for CBR — treating any tag as
+    VBR misclassified virtually every LAME CBR file."""
     # Xing offset: header(4) + optional CRC(2) + side info
     side = {("1", False): 17, ("1", True): 32,
             ("2", False): 9, ("2", True): 17}[
         ("1" if frame.version == "1" else "2", frame.mode != "mono")]
     p = frame.offset + 4 + (2 if frame.crc else 0) + side
-    if buf[p:p + 4] in (b"Xing", b"Info"):
+    tag = bytes(buf[p:p + 4])
+    if tag in (b"Xing", b"Info"):
         flags = struct.unpack_from(">I", buf, p + 4)[0]
         if flags & 0x1:
-            return struct.unpack_from(">I", buf, p + 8)[0]
-        return None
+            return struct.unpack_from(">I", buf, p + 8)[0], tag.decode()
+        return None, tag.decode()
     q = frame.offset + 4 + 32    # VBRI sits at a fixed 32-byte offset
     if buf[q:q + 4] == b"VBRI":
-        return struct.unpack_from(">I", buf, q + 14)[0]
-    return None
+        return struct.unpack_from(">I", buf, q + 14)[0], "VBRI"
+    return None, None
 
 
 def parse_mp3(buf: bytes, max_resync: int = 1 << 16) -> Mp3Info:
@@ -143,14 +147,16 @@ def parse_mp3(buf: bytes, max_resync: int = 1 << 16) -> Mp3Info:
     if end >= 128 and buf[end - 128:end - 125] == b"TAG":
         end -= 128      # ID3v1 tail
     frames: list[Mp3Frame] = []
-    xing = None
+    xing, tag_kind = None, None
     pos = start
     garbage = 0
+    truncated = False
     while pos + 4 <= end:
         fr = parse_frame_header(buf, pos)
         if fr is None or pos + fr.size > end:
             if fr is not None and pos + fr.size > end:
                 garbage = end - pos     # truncated final frame
+                truncated = True
                 break
             pos += 1
             garbage += 1
@@ -158,20 +164,27 @@ def parse_mp3(buf: bytes, max_resync: int = 1 << 16) -> Mp3Info:
                 raise ValueError("unrecoverable MPEG audio stream")
             continue
         if not frames:
-            xing = _xing_frame_count(buf, fr)
+            xing, tag_kind = _xing_frame_count(buf, fr)
         frames.append(fr)
         pos = fr.offset + fr.size
         garbage = 0
     if not frames:
         raise ValueError("no MPEG audio frames found")
 
-    audio = frames[1:] if xing is not None else frames
+    has_tag_frame = tag_kind is not None
+    audio = frames[1:] if has_tag_frame else frames
     dur = sum(f.samples / f.sample_rate for f in audio)
     payload = sum(f.size for f in audio)
     avg = payload * 8 / dur / 1000 if dur else 0.0
-    vbr = len({f.bitrate_kbps for f in audio}) > 1 or xing is not None
-    return Mp3Info(frames, dur, avg, vbr, xing, start,
-                   garbage if pos + 4 > end else garbage)
+    # VBR: varying frame bitrates, or a tag that MEANS vbr (Xing/VBRI);
+    # an 'Info' tag is LAME's CBR marker and must not flip this
+    vbr = (len({f.bitrate_kbps for f in audio}) > 1
+           or tag_kind in ("Xing", "VBRI"))
+    # 1-3 bytes after the last whole frame never enter the loop — they
+    # are trailing garbage too (unless we broke on a truncated frame,
+    # where garbage already counts to end)
+    trailing = garbage if truncated else garbage + max(0, end - pos)
+    return Mp3Info(frames, dur, avg, vbr, xing, start, trailing)
 
 
 _TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}

@@ -220,3 +220,39 @@ def test_gif_lzw_property_roundtrip():
         assert _lzw_decode(mcs, enc) == syms
 
     check()
+
+
+def test_gif_disposal_3_restores_pre_draw_canvas():
+    """Disposal 3 must revert to the canvas BEFORE the current frame
+    drew — not frames[-2] (which, after a disposal-2 clear, is the
+    pre-clear composite)."""
+    from geoparquet_io_spark.functions.gif import decode_gif_frames
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    full = np.full((4, 4), 1, np.uint8)        # frame 0: all red
+    patch = np.full((2, 2), 2, np.uint8)       # frames 1-2: green patch
+    buf = encode_gif_ref(
+        [(0, 0, full), (1, 1, patch), (0, 0, patch)], pal,
+        disposals=[0, 2, 3], delays_cs=[1, 1, 1], screen=(4, 4),
+        bg_index=0)
+    frames, _ = decode_gif_frames(buf)
+    # after frame 1 (disposal 2): its rect was cleared to background
+    # frame 2 draws at (0,0) on the CLEARED canvas
+    f2 = frames[2]
+    assert tuple(f2[0, 0]) == (0, 255, 0)           # frame-2 patch
+    assert tuple(f2[2, 2]) == (0, 0, 0)             # cleared, NOT red
+
+
+def test_gif_oversized_descriptor_clipped():
+    """A frame rect overhanging the logical screen is clipped like
+    mainstream decoders do, not a numpy broadcast crash."""
+    from geoparquet_io_spark.functions.gif import decode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.ones((4, 4), np.uint8)
+    buf = encode_gif_ref([(8, 8, idx)], pal, screen=(10, 10))
+    arr = decode_gif(buf)
+    assert arr.shape == (10, 10, 3)
+    assert tuple(arr[9, 9]) == (255, 255, 255)
+    assert tuple(arr[0, 0]) == (0, 0, 0)

@@ -412,3 +412,97 @@ def test_progressive_matches_baseline_content(spark):
     a = decode_jpeg(seq).astype(int)
     b = decode_jpeg(prog).astype(int)
     assert np.abs(a - b).max() <= 2
+
+
+# ---------------------------------------------------------------------------
+# review regressions: fill bytes, non-interleaved scans, 2x2 grayscale
+# ---------------------------------------------------------------------------
+
+def encode_jpeg_noninterleaved(img):
+    """Baseline RGB encoder emitting THREE single-component scans
+    (T.81-legal non-interleaved layout) at 4:4:4."""
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+        + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+        - 0.081312 * rgb[..., 2] + 128.0
+    planes = [y, cb, cr]
+    q = QLUM
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    padded = [np.pad(p, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+              for p in planes]
+    dc_counts, dc_syms, dc_codes = _flat_huffman(DC_SYMS)
+    ac_counts, ac_syms, ac_codes = _flat_huffman(AC_SYMS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        q[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in range(3):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, syms) in ((0, (dc_counts, dc_syms)),
+                               (1, (ac_counts, ac_syms))):
+        body = bytes([tc << 4]) + counts + syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    recon = [np.zeros_like(p) for p in padded]
+    for ci in range(3):
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _A @ (blk - 128.0) @ _A.T
+                qz = np.rint(coef.reshape(64) / q).astype(np.int64)
+                coef_zz = qz[ZIGZAG]
+                pred = _encode_block(bw, coef_zz, pred, dc_codes, ac_codes)
+                deq = np.zeros(64)
+                deq[ZIGZAG] = coef_zz * q[ZIGZAG]
+                recon[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _A.T @ deq.reshape(8, 8) @ _A + 128.0
+        bw.align()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    yc, cbc, crc = [r[:h, :w] for r in recon]
+    r = yc + 1.402 * (crc - 128.0)
+    g = yc - 0.344136 * (cbc - 128.0) - 0.714136 * (crc - 128.0)
+    b = yc + 1.772 * (cbc - 128.0)
+    expected = np.clip(np.rint(np.stack([r, g, b], -1)), 0,
+                       255).astype(np.uint8)
+    return bytes(out), expected
+
+
+def test_noninterleaved_three_scan_baseline():
+    img = _test_image(21, 18)
+    data, expected = encode_jpeg_noninterleaved(img)
+    got = decode_jpeg(data)
+    assert np.array_equal(got, expected)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker."""
+    img = _test_image(16, 16, channels=1)
+    data, expected = encode_jpeg_ref(img)
+    assert data.endswith(b"\xff\xd9")
+    padded = data[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), expected)
+
+
+def test_grayscale_declared_2x2_sampling():
+    """A single-component frame declaring 2x2 sampling walks its own
+    ceil(w/8) block raster (libjpeg normalizes single-component scans
+    to 1x1) — the MCU-padded walk desynced on valid files."""
+    img = _test_image(20, 20, channels=1)
+    data, expected = encode_jpeg_ref(img)
+    # patch the SOF sampling byte for component 1: 0x11 -> 0x22
+    sof_at = data.find(b"\xff\xc0")
+    patched = bytearray(data)
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then cid, hv, tq
+    hv_at = sof_at + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert patched[hv_at] == 0x11
+    patched[hv_at] = 0x22
+    got = decode_jpeg(bytes(patched))
+    assert np.array_equal(got, expected)

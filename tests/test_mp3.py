@@ -153,3 +153,26 @@ def test_id3v2_text_frames_both_versions():
         assert tags["TALB"] == "Album"
         assert len(parse_mp3(buf).frames) == 2
     assert id3v2_tags(_frame(9, 384)) == {}
+
+
+def test_lame_info_tag_is_cbr_not_vbr():
+    """LAME writes 'Info' (not 'Xing') into CBR files — it must not
+    flip the vbr flag."""
+    side = b"\x00" * 32
+    info_tag = b"Info" + struct.pack(">II", 0x1, 9)
+    f0 = _header(9) + side + info_tag
+    f0 += b"\x00" * (384 - len(f0))
+    buf = f0 + _frame(9, 384) * 3
+    info = parse_mp3(buf)
+    assert info.xing_frames == 9
+    assert info.vbr is False                 # the whole point
+    # tag frame still excluded from duration
+    assert abs(info.duration_s - 3 * 1152 / 48000) < 1e-12
+
+
+def test_trailing_junk_bytes_counted():
+    """1-3 bytes after the last whole frame are trailing garbage."""
+    buf = _frame(9, 384) * 2 + b"\x00\x7f\x31"
+    info = parse_mp3(buf)
+    assert len(info.frames) == 2
+    assert info.trailing_garbage == 3

@@ -655,3 +655,61 @@ def test_resize_16bit_png_normalizes_to_uint8(spark):
         vals = np.frombuffer(bytes(r["data"]), dtype=np.uint8)
         # top byte of the uint16 values: mean ~127, nothing degenerate
         assert vals.mean() > 32 and vals.mean() < 224, (method, vals.mean())
+
+
+def test_avi_audio_first_video_stream_found():
+    """An AVI declaring its audio strl before the video strl names its
+    video chunks 01dc — extraction must follow the header's video
+    stream, not assume stream 0."""
+    import struct as _s
+
+    from geoparquet_io_spark.functions.avi import extract_frames, parse_avi
+
+    def chunk(cid, body):
+        return cid + _s.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = chunk(b"avih", _s.pack("<14I", 100000, 0, 0, 0x10, 1, 0, 2, 0,
+                                  4, 2, 0, 0, 0, 0))
+    strh_aud = chunk(b"strh", b"auds" + b"\x00" * 52)
+    strh_vid = chunk(b"strh", b"vids" + b"MJPG"
+                     + _s.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, 10, 0,
+                               1, 0, -1, 0, 0, 0, 4, 2))
+    strf_vid = chunk(b"strf", _s.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24,
+                                      0, 0, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh_aud)
+               + lst(b"strl", strh_vid + strf_vid))
+    payload = b"\xAB" * 32
+    movi = lst(b"movi", chunk(b"01dc", payload) + chunk(b"00wb", b"\x00" * 8))
+    riff_body = b"AVI " + hdrl + movi
+    buf = b"RIFF" + _s.pack("<I", len(riff_body)) + riff_body
+
+    info = parse_avi(buf)
+    assert info.video_stream == 1
+    assert info.bits == 24
+    frames = extract_frames(buf, info)          # default = video stream
+    assert frames == [payload]
+    assert extract_frames(buf, info, stream=0) == []
+
+
+def test_avi_32bpp_dib_decode_and_8bpp_gate():
+    import struct as _s
+
+    import numpy as np
+
+    from geoparquet_io_spark.functions.avi import AviInfo, decode_frame
+
+    # 2x2 BGRA bottom-up: stride = 2*4 = 8 (already 4-aligned)
+    px = np.array([[[1, 2, 3, 9], [4, 5, 6, 9]],      # bottom row
+                   [[7, 8, 9, 9], [10, 11, 12, 9]]], np.uint8)
+    frame = px.tobytes()
+    info = AviInfo(2, 2, 10.0, 1, "DIB ", [], 0, 32)
+    rgb = decode_frame(frame, info)
+    # top-left pixel = last row's first pixel, BGR->RGB
+    assert tuple(rgb[0, 0]) == (9, 8, 7)
+    assert tuple(rgb[1, 1]) == (6, 5, 4)
+    import pytest as _p
+    with _p.raises(ValueError, match="bit depth"):
+        decode_frame(b"\x00" * 64, AviInfo(2, 2, 10.0, 1, "DIB ", [], 0, 8))
