@@ -2,10 +2,13 @@
 
 The reference transforms via DuckDB ST_Transform with PROJ strings
 (core/reproject.py:94-160) and classifies CRSs as geographic/projected
-(core/extract.py:111-145).  We support the transform pair its benchmark
-corpus actually uses (EPSG:4326 <-> EPSG:3857, closed-form spherical
-Mercator) natively; any other pair raises with a clear message and can be
-routed through a user-supplied transformer UDF.
+(core/extract.py:111-145).  Natively supported here: spherical Mercator
+(EPSG:4326 <-> EPSG:3857), every projection family in
+functions/projections.py (~35 EPSG codes, all UTM zone ranges, Helmert
+datum chains), parameterized {"family": ...} dict specs, and composite
+projected->projected pipelines through 4326.  An unsupported pair
+raises with a clear message naming the params escape hatch and the
+user-supplied transformer UDF hook.
 """
 
 from __future__ import annotations
@@ -18,7 +21,22 @@ import numpy as np
 EARTH_RADIUS = 6378137.0
 ORIGIN_SHIFT = math.pi * EARTH_RADIUS
 
-GEOGRAPHIC_CRS = {"EPSG:4326", "OGC:CRS84", "CRS84", "EPSG:4269"}
+GEOGRAPHIC_CRS = {
+    "EPSG:4326", "OGC:CRS84", "CRS84",
+    # geographic CRSs of the GRS80-family datums this engine already
+    # treats as WGS84-coincident (projections.py datum note): data
+    # tagged with them must transform like 4269 (NAD83) always did
+    "EPSG:4269",   # NAD83
+    "EPSG:4258",   # ETRS89
+    "EPSG:4283",   # GDA94
+    "EPSG:4171",   # RGF93
+    "EPSG:4167",   # NZGD2000
+    "EPSG:4619",   # SWEREF99
+    "EPSG:4612",   # JGD2000
+    "EPSG:4490",   # CGCS2000
+    "EPSG:4759",   # NAD83(NSRS2007)
+    "EPSG:4148",   # Hartebeesthoek94
+}
 DEFAULT_CRS = "OGC:CRS84"
 
 

@@ -87,7 +87,8 @@ _PROJCS_INFO: dict[int, tuple[str, str]] = {
     2193: ("NZGD2000 / New Zealand Transverse Mercator 2000", "NZGD2000"),
     3826: ("TWD97 / TM2 zone 121", "TWD97"),
     2154: ("RGF93 v1 / Lambert-93", "RGF93"),
-    32139: ("NAD83 / Texas Centric Lambert Conformal", "NAD83"),
+    3082: ("NAD83 / Texas Centric Lambert Conformal", "NAD83"),
+    32139: ("NAD83 / Texas Central", "NAD83"),
     3978: ("NAD83 / Canada Atlas Lambert", "NAD83"),
     3112: ("GDA94 / Geoscience Australia Lambert", "GDA94"),
     3416: ("ETRS89 / Austria Lambert", "ETRS89"),
@@ -119,13 +120,13 @@ def _num(v: float) -> str:
     return repr(round(float(v), 13))
 
 
-def _geogcs_wkt(key: str, with_towgs84: bool = True) -> str:
+def _geogcs_wkt(key: str) -> str:
     name, datum, sph_name, (a, inv_f_inv), sph_code, gcs_code, tow = \
         _GEOGCS[key]
     inv_f = 1.0 / inv_f_inv
     parts = [f'SPHEROID["{sph_name}",{_num(a)},{_num(round(inv_f, 9))},'
              f'AUTHORITY["EPSG","{sph_code}"]]']
-    if with_towgs84 and tow is not None:
+    if tow is not None:
         parts.append("TOWGS84[" + ",".join(_num(t) for t in tow) + "]")
     datum_body = ",".join(parts)
     return (f'GEOGCS["{name}",DATUM["{datum}",{datum_body}],'

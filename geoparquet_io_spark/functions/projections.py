@@ -127,6 +127,18 @@ def make_tm(a: float, f: float, lat0: float, lon0: float, k0: float,
     return c
 
 
+def _wrap_dlon(dlon_deg):
+    """Wrap a longitude difference into [-180, 180]: kernels that use
+    the delta LINEARLY (LCC/Albers theta = n*dlon, CEA x = a*k0*dlon)
+    are NOT periodic in it — unwrapped antimeridian deltas land one
+    world width away (verified: NZTM inverse feeds lon 183.5 into
+    EASE-Grid forward -> +17,705 km instead of -17,029 km).  Exactly
+    +-180 is PRESERVED (both signs are valid world-edge positions; the
+    EASE-Grid published corners pin x(+-180) = +-half-world)."""
+    d = np.asarray(dlon_deg, dtype=np.float64)
+    return np.where(np.abs(d) <= 180.0, d, (d + 180.0) % 360.0 - 180.0)
+
+
 def tm_forward(lon: np.ndarray, lat: np.ndarray, c: _TMConsts):
     lat_r, lon_r = np.radians(lat), np.radians(lon)
     xi_p, eta_p, _ = _tm_xi_eta(lat_r, lon_r, c)
@@ -148,7 +160,7 @@ def tm_inverse(x: np.ndarray, y: np.ndarray, c: _TMConsts):
         eta_p = eta_p - be * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     tp = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
     dlon = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    lon = c.lon0 + np.degrees(dlon)
+    lon = _wrap_dlon(c.lon0 + np.degrees(dlon))
     lat = np.degrees(np.arctan(_tau_newton(tp, c.e)))
     return lon, lat
 
@@ -213,7 +225,7 @@ def lcc_forward(lon: np.ndarray, lat: np.ndarray, c: _LCCConsts):
     phi = np.radians(lat)
     t = _snyder_t(phi, c.e)
     rho = c.a * c.F * np.power(t, c.n)
-    theta = c.n * np.radians(lon - c.lon0)
+    theta = c.n * np.radians(_wrap_dlon(lon - c.lon0))
     x = c.fe + rho * np.sin(theta)
     y = c.fn + c.rho0 - rho * np.cos(theta)
     return x, y
@@ -299,7 +311,7 @@ def make_albers(a: float, f: float, lat1: float, lat2: float, lat0: float,
 def albers_forward(lon: np.ndarray, lat: np.ndarray, c: _AlbersConsts):
     q = _snyder_q(np.radians(lat), c.e)
     rho = c.a * np.sqrt(c.C - c.n * q) / c.n
-    theta = c.n * np.radians(lon - c.lon0)
+    theta = c.n * np.radians(_wrap_dlon(lon - c.lon0))
     x = c.fe + rho * np.sin(theta)
     y = c.fn + c.rho0 - rho * np.cos(theta)
     return x, y
@@ -340,7 +352,7 @@ def make_cea(a: float, f: float, lat_ts: float, lon0: float,
 
 def cea_forward(lon: np.ndarray, lat: np.ndarray, c: _CEAConsts):
     q = _snyder_q(np.radians(lat), c.e)
-    x = c.fe + c.a * c.k0 * np.radians(lon - c.lon0)
+    x = c.fe + c.a * c.k0 * np.radians(_wrap_dlon(lon - c.lon0))
     y = c.fn + c.a * q / (2.0 * c.k0)
     return x, y
 
@@ -509,8 +521,16 @@ EPSG_TABLE: dict[int, tuple] = {
                              fe=250000.0, fn=0.0)),          # TWD97/TM2 Taiwan
     2154: ("lcc", GRS80, dict(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
                               fe=700000.0, fn=6600000.0)),   # RGF93/Lambert-93
-    32139: ("lcc", GRS80, dict(lat1=27.5, lat2=35.0, lat0=18.0, lon0=-100.0,
-                               fe=1500000.0, fn=5000000.0)),  # Texas Centric LC
+    # EPSG registry: 3082 is Texas CENTRIC Lambert Conformal; 32139 is
+    # the Texas CENTRAL SPCS83 zone (they were mis-keyed onto each other
+    # once — coordinates came out hundreds of km off)
+    3082: ("lcc", GRS80, dict(lat1=27.5, lat2=35.0, lat0=18.0, lon0=-100.0,
+                              fe=1500000.0, fn=5000000.0)),  # Texas Centric LC
+    32139: ("lcc", GRS80, dict(lat1=30.0 + 7.0 / 60.0,
+                               lat2=31.0 + 53.0 / 60.0,
+                               lat0=29.0 + 40.0 / 60.0,
+                               lon0=-(100.0 + 20.0 / 60.0),
+                               fe=700000.0, fn=3000000.0)),  # Texas Central SPCS
     3978: ("lcc", GRS80, dict(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
                               fe=0.0, fn=0.0)),              # Canada Atlas Lambert
     3112: ("lcc", GRS80, dict(lat1=-18.0, lat2=-36.0, lat0=0.0, lon0=134.0,

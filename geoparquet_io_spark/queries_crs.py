@@ -39,6 +39,16 @@ def _spark_reproject(spark, sf_dir, epsg: str, lon_range=None):
     )
 
 
+
+def _wrap_dlon_sql(lon0: float) -> str:
+    """SQL mirror of projections._wrap_dlon: wrap (lon - lon0) into
+    [-180, 180], preserving exactly +-180 — LCC/Albers theta is LINEAR
+    in the delta, so the oracle must wrap exactly like the kernel."""
+    d = f"(lon - {lon0!r})"
+    return (f"(CASE WHEN abs{d} <= 180.0 THEN {d} "
+            f"ELSE (({d} + 540.0) % 360.0) - 180.0 END)")
+
+
 # --- Albers Equal Area (EPSG:5070, CONUS Albers) ---------------------------
 
 _AC = P.make_albers(*P.GRS80, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
@@ -56,7 +66,7 @@ def _albers_sql() -> str:
       FROM s),
     r AS (SELECT event_id,
       {_AC.a!r} * sqrt({_AC.C!r} - {_AC.n!r} * qv) / {_AC.n!r} AS rho,
-      {_AC.n!r} * radians(lon - {_AC.lon0!r}) AS theta
+      {_AC.n!r} * radians({_wrap_dlon_sql(_AC.lon0)}) AS theta
       FROM q)
     SELECT event_id,
       ROUND(rho * sin(theta), 1) + 0.0 AS px,
@@ -89,7 +99,7 @@ def _lcc_sql(_LC=None) -> str:
       FROM s),
     r AS (SELECT event_id,
       {_LC.a * _LC.F!r} * pow(tv, {_LC.n!r}) AS rho,
-      {_LC.n!r} * radians(lon - {_LC.lon0!r}) AS theta
+      {_LC.n!r} * radians({_wrap_dlon_sql(_LC.lon0)}) AS theta
       FROM t)
     SELECT event_id,
       ROUND({_LC.fe!r} + rho * sin(theta), 1) + 0.0 AS px,
@@ -525,7 +535,7 @@ def _austria_lcc_sql() -> str:
       FROM ll),
     r AS (SELECT event_id,
       {c.a * c.F!r} * pow(tv, {c.n!r}) AS rho,
-      {c.n!r} * radians(lon - {c.lon0!r}) AS theta
+      {c.n!r} * radians({_wrap_dlon_sql(c.lon0)}) AS theta
       FROM t)
     SELECT event_id,
       ROUND({c.fe!r} + rho * sin(theta), 1) + 0.0 AS px,

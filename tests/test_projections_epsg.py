@@ -83,6 +83,7 @@ def test_krovak_worked_example():
     (31370, (2.6, 6.4), (49.5, 51.5)),
     (5514, (12.1, 22.5), (47.8, 51.0)),
     (32139, (-106.0, -94.0), (26.0, 36.5)),
+    (3082, (-106.0, -94.0), (26.0, 36.5)),
     (26910, (-126.0, -120.0), (32.0, 49.0)),
     (28355, (144.0, 150.0), (-43.0, -10.0)),
 ])
@@ -104,7 +105,8 @@ def test_roundtrip_new_codes(code, lon_range, lat_range):
 @pytest.mark.parametrize("code,lat1,lat2,lon0", [
     (31370, _dms(49, 50, 0.00204), _dms(51, 10, 0.00204),
      _dms(4, 22, 2.952)),
-    (32139, 27.5, 35.0, -100.0),
+    (32139, _dms(30, 7, 0), _dms(31, 53, 0), -_dms(100, 20, 0)),
+    (3082, 27.5, 35.0, -100.0),
 ])
 def test_lcc_unit_scale_at_standard_parallels(code, lat1, lat2, lon0):
     """Conformal-conic invariant: point scale factor is exactly 1 on both
@@ -362,3 +364,77 @@ def test_ease_grid2_global_published_corner():
                         - (1 / (2 * e)) * m.log((1 - e) / (1 + e)))
     authalic = 4 * m.pi * (a * a * qp / 2.0)
     assert abs(area / authalic - 1.0) < 1e-12
+
+
+def test_texas_central_vs_centric_not_miskeyed():
+    """EPSG:32139 is Texas CENTRAL SPCS83; EPSG:3082 is Texas CENTRIC.
+    The registry once carried 3082's parameters under 32139 — Austin
+    came out hundreds of km off, invisible to internal-consistency
+    property tests (ground-truth pin)."""
+    fwd = C.get_transformer("EPSG:4326", "EPSG:32139")
+    x, y = fwd(np.array([-97.74]), np.array([30.27]))
+    assert abs(float(x[0]) - 949509.0) < 5.0
+    assert abs(float(y[0]) - 3069792.3) < 5.0
+    fwd2 = C.get_transformer("EPSG:4326", "EPSG:3082")
+    x2, y2 = fwd2(np.array([-97.74]), np.array([30.27]))
+    assert abs(float(x2[0]) - 1717020.8) < 5.0
+    assert abs(float(y2[0]) - 6371171.6) < 5.0
+
+
+def test_antimeridian_composite_wraps():
+    """NZTM (dateline-spanning TM) -> EASE-Grid 2.0: the inverse emits
+    lon > 180 unless wrapped, and CEA's LINEAR x(dlon) then lands one
+    world width (34,735 km) east."""
+    to_nz = C.get_transformer("EPSG:4326", "EPSG:2193")
+    xn, yn = to_nz(np.array([-176.5]), np.array([-44.0]))
+    comp = C.get_transformer("EPSG:2193", "EPSG:6933")
+    xe, _ = comp(xn, yn)
+    assert abs(float(xe[0]) + 17029828.5) < 10.0
+    # LCC forward with an eastern-hemisphere input into a western zone
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3978")
+    x1, y1 = fwd(np.array([170.0]), np.array([60.0]))
+    x2, y2 = fwd(np.array([170.0 - 360.0]), np.array([60.0]))
+    assert abs(float(x1[0]) - float(x2[0])) < 1e-6
+    assert abs(float(y1[0]) - float(y2[0])) < 1e-6
+
+
+def test_grs80_family_geographic_aliases_transform():
+    """Data tagged ETRS89/GDA94/NZGD2000/... geographic CRSs must
+    transform like their WGS84-coincident family (4269/NAD83 always
+    did)."""
+    for gcs, proj in (("EPSG:4258", "EPSG:3035"),
+                      ("EPSG:4283", "EPSG:28355"),
+                      ("EPSG:4167", "EPSG:2193"),
+                      ("EPSG:4171", "EPSG:2154")):
+        fwd = C.get_transformer(gcs, proj)
+        base = C.get_transformer("EPSG:4326", proj)
+        x1, y1 = fwd(np.array([5.0]), np.array([47.0]))
+        x2, y2 = base(np.array([5.0]), np.array([47.0]))
+        assert float(x1[0]) == float(x2[0])
+        assert float(y1[0]) == float(y2[0])
+
+
+def test_wkt_params_match_executed_kernels():
+    """Drift guard: the PROJECTION parameters written into .prj/gpkg WKT
+    must agree with the registry the transforms execute (the 32139
+    mis-key shipped wrong WKT too)."""
+    import re
+
+    from geoparquet_io_spark.functions import crs_wkt as CW
+    from geoparquet_io_spark.functions import projections as P
+
+    wkt_keys = {"standard_parallel_1": "lat1", "standard_parallel_2": "lat2",
+                "latitude_of_origin": "lat0", "central_meridian": "lon0",
+                "scale_factor": "k0", "false_easting": "fe",
+                "false_northing": "fn", "latitude_of_center": "lat0",
+                "longitude_of_center": "lon0"}
+    for code, (fam, _e, params) in sorted(P.EPSG_TABLE.items()):
+        w = CW.wkt_for_epsg(code)
+        if w is None or fam not in ("lcc", "tm", "albers", "cea", "laea"):
+            continue
+        got = {m.group(1): float(m.group(2)) for m in
+               re.finditer(r'PARAMETER\["([a-z_0-9]+)",([-0-9.eE]+)\]', w)}
+        for wk, pv in got.items():
+            pk = wkt_keys.get(wk)
+            if pk and pk in params:
+                assert abs(params[pk] - pv) < 1e-9, (code, wk, pv, params[pk])
