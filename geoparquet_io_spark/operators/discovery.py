@@ -25,12 +25,20 @@ from pyspark.sql import functions as F
 def cell_signature(df: DataFrame, x_column: str, y_column: str,
                    cell_size: float,
                    dataset_column: str | None = None) -> DataFrame:
-    """Distinct grid cells touched, optionally per dataset tag."""
-    cx = F.floor(F.col(x_column) / F.lit(float(cell_size))).cast("long")
-    cy = F.floor(F.col(y_column) / F.lit(float(cell_size))).cast("long")
+    """Distinct grid cells touched, optionally per dataset tag.
+
+    NULL/NaN coordinates are dropped: they'd yield a (null, null) cell
+    that counts in the signature size but can never match an equi-join,
+    so coverage/Jaccard would be deflated for every comparison."""
+    x, y = F.col(x_column), F.col(y_column)
+    cx = F.floor(x / F.lit(float(cell_size))).cast("long")
+    cy = F.floor(y / F.lit(float(cell_size))).cast("long")
     cols = ([F.col(dataset_column).alias("dataset")]
             if dataset_column else [])
-    return df.select(*cols, cx.alias("cx"), cy.alias("cy")).distinct()
+    return (df.filter(x.isNotNull() & y.isNotNull()
+                      & ~F.isnan(x.cast("double"))
+                      & ~F.isnan(y.cast("double")))
+            .select(*cols, cx.alias("cx"), cy.alias("cy")).distinct())
 
 
 def spatial_joinability(candidates: DataFrame, query: DataFrame,

@@ -219,10 +219,17 @@ def heavy_hitters_sketch(df: DataFrame, column: str, min_fraction: float,
     """
     import math
 
-    total = df.count()
+    # the row total falls out of the sketch for free: every row lands in
+    # exactly one bucket of each hash row, so sum(cnt | hash_row=0) ==
+    # count(*) — a separate df.count() was a third full pass over the
+    # raw data.  localCheckpoint so the total-agg materializes the
+    # sketch once and the probe join reuses it.
+    cms = count_min_sketch(df, column, depth, width) \
+        .localCheckpoint(eager=False)
+    total = cms.filter(F.col("hash_row") == 0) \
+        .agg(F.sum("cnt")).collect()[0][0] or 0
     threshold = int(math.ceil(total * min_fraction))
     cand = heavy_hitter_candidates(df, column, min_fraction, capacity)
-    cms = count_min_sketch(df, column, depth, width)
     est = cms_estimate(cms, cand, column, depth, width)
     return (est.filter(F.col("cms_estimate") >= threshold)
             .select(column, "cms_estimate"))
@@ -251,7 +258,16 @@ def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
                ["hash_row", "bucket"]))
     per_row = j.groupBy("hash_row").agg(
         F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
-    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    # a hash row with ZERO shared buckets has inner product 0 — it
+    # simply doesn't appear in the inner join.  The row spine comes
+    # from the sketches themselves (their hash_row sets are identical
+    # by construction), so a fully-disjoint key pair estimates 0, not
+    # NULL / the min over only the colliding rows.
+    spine = cms_a.select("hash_row").distinct()
+    full = spine.join(per_row, "hash_row", "left") \
+        .select(F.coalesce("ip", F.lit(0)).alias("ip"))
+    return full.agg(F.coalesce(F.min("ip"), F.lit(0))
+                    .cast("long").alias("est_join_rows"))
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +294,8 @@ def kmv_sketch(df: DataFrame, value_column: str, k: int = 1024) -> DataFrame:
         raise ValueError(f"k must be >= 2, got {k}")
     h = F.conv(F.substring(F.md5(F.col(value_column).cast("string")),
                            1, 15), 16, 10).cast("long")
-    return (df.select(h.alias("hv")).where(F.col(value_column).isNotNull())
+    return (df.where(F.col(value_column).isNotNull())
+            .select(h.alias("hv"))
             .distinct().orderBy("hv").limit(k))
 
 
@@ -315,7 +332,10 @@ def kmv_overlap_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
     union_est = F.when(
         m < F.lit(k), m.cast("double")
     ).otherwise((F.lit(float(k - 1)) * F.lit(_KMV_SPACE)) / theta)
-    jac = matches.cast("double") / m
+    # m = 0 (both sketches empty): every figure is exactly 0 — the
+    # division would emit NULLs a consumer can't arithmetic on
+    jac = F.when(m > 0, matches.cast("double") / m).otherwise(F.lit(0.0))
+    union_est = F.when(m == 0, F.lit(0.0)).otherwise(union_est)
     return agg.select(
         F.floor(union_est).cast("long").alias("union_distinct_est"),
         F.floor(jac * union_est).cast("long").alias("intersect_est"),

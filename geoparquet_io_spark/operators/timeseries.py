@@ -104,7 +104,12 @@ def resample_gapfill(df: DataFrame, ts_column: str, value_column: str,
                                              F.lit(every_seconds))).alias("bucket_sec")))
     joined = spine.join(agg, [key_column, "bucket_sec"], "left")
     if not interpolate:
-        return joined.withColumn("is_gap", F.col("avg_value").isNull())
+        # same output contract as the interpolating path (the docstring
+        # promises filled_value either way): without interpolation the
+        # filled value is simply the observed one (NULL in gaps)
+        return (joined
+                .withColumn("filled_value", F.col("avg_value"))
+                .withColumn("is_gap", F.col("avg_value").isNull()))
 
     w = Window.partitionBy(key_column).orderBy("bucket_sec")
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -170,14 +175,16 @@ def haversine_km(lat1, lon1, lat2, lon2):
     dlon = F.radians(lon2 - lon1)
     a = (F.pow(F.sin(dlat / 2), 2)
          + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2))
-    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+    # clamp: FP rounding can push a one ulp past 1 for near-antipodal
+    # pairs, and asin(>1) = NaN silently zeroes the distance downstream
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 HAVERSINE_SQL = (
-    "(2 * 6371.0088) * asin(sqrt("
+    "(2 * 6371.0088) * asin(sqrt(least(1.0, "
     "pow(sin(radians({lat2} - {lat1}) / 2), 2)"
     " + cos(radians({lat1})) * cos(radians({lat2}))"
-    " * pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+    " * pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
 )
 
 
@@ -232,23 +239,31 @@ def population_stability(df_a: DataFrame, df_b: DataFrame, column: str,
     in integer micro-units (``term_micro``) so the caller's total
     ``sum(term_micro)/1e6`` is order-independent and engine-exact.
 
+    NULL/NaN values are EXCLUDED (they have no bin; silently counting
+    them in bin 0 distorted the index) — compare null rates separately
+    if missingness itself is the drift of interest.
+
     Two scans, two tiny aggregates, one bin-aligned outer merge — no
     per-row join."""
     width = (hi - lo) / n_bins
 
     def binned(df, name):
-        b = F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("long")
+        c = F.col(column)
+        b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("long")
         b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
-        return df.select(b.alias("bin")).groupBy("bin").agg(
-            F.count("*").alias(name))
+        return (df.filter(c.isNotNull() & ~F.isnan(c.cast("double")))
+                .select(b.alias("bin")).groupBy("bin").agg(
+                    F.count("*").alias(name)))
 
     ha, hb = binned(df_a, "n_a"), binned(df_b, "n_b")
     merged = ha.join(hb, "bin", "full").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"))
-    tot_a = merged.agg(F.sum("n_a")).collect()[0][0] or 0
-    tot_b = merged.agg(F.sum("n_b")).collect()[0][0] or 0
+        F.coalesce("n_b", F.lit(0)).alias("n_b")).localCheckpoint(eager=False)
+    # ONE totals job over the (<= n_bins)-row merged table
+    tot_row = merged.agg(F.sum("n_a"), F.sum("n_b")).collect()[0]
+    tot_a = tot_row[0] or 0
+    tot_b = tot_row[1] or 0
     pa = F.greatest(F.col("n_a") / F.lit(float(tot_a)), F.lit(min_share))
     pb = F.greatest(F.col("n_b") / F.lit(float(tot_b)), F.lit(min_share))
     term = (pa - pb) * F.log(pa / pb)
@@ -262,12 +277,15 @@ def trajectory_cell_signature(df: DataFrame, key_column: str,
     """Grid-cell visit signature per trajectory: the DISTINCT set of
     cells a key's points touch.  Map + one distinct — the compact
     representation similarity search runs on (a trajectory of millions
-    of points collapses to its visited-cell set)."""
-    cx = F.floor(F.col(x_column) / F.lit(float(cell_size))).cast("long")
-    cy = F.floor(F.col(y_column) / F.lit(float(cell_size))).cast("long")
-    return (df.select(F.col(key_column).alias("key"),
-                      cx.alias("cx"), cy.alias("cy"))
-            .distinct())
+    of points collapses to its visited-cell set).  Delegates to the one
+    shared grid-signature kernel (operators/discovery.py:cell_signature,
+    which also drops null/NaN coordinates — they'd inflate Jaccard
+    denominators without ever matching)."""
+    from geoparquet_io_spark.operators.discovery import cell_signature
+
+    return (cell_signature(df, x_column, y_column, cell_size,
+                           dataset_column=key_column)
+            .withColumnRenamed("dataset", "key"))
 
 
 def trajectory_topk_similar(df: DataFrame, key_column: str,

@@ -224,3 +224,92 @@ def test_trajectory_topk_plan_is_bucketed(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_excludes_null_and_nan(spark):
+    from geoparquet_io_spark.operators.timeseries import population_stability
+
+    a = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    b_dirty = spark.createDataFrame(
+        [(float(v),) for v in range(10)]
+        + [(None,)] * 6 + [(float("nan"),)] * 6, "v double")
+    clean = population_stability(a, a, "v", 0.0, 10.0, n_bins=5)
+    dirty = population_stability(a, b_dirty, "v", 0.0, 10.0, n_bins=5)
+    # identical value distributions: PSI terms must be identical even
+    # with nulls/NaNs present (they were silently binned into bin 0)
+    get = lambda df: sorted((r["bin"], r["n_b"], r["term_micro"])
+                            for r in df.collect())
+    assert get(clean) == get(dirty)
+
+
+def test_haversine_antipodal_no_nan(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.timeseries import haversine_km
+
+    df = spark.createDataFrame([(45.0, 120.0, -45.0, -60.0)],
+                               "lat1 double, lon1 double, lat2 double, lon2 double")
+    d = df.select(haversine_km(F.col("lat1"), F.col("lon1"),
+                               F.col("lat2"), F.col("lon2")).alias("d")) \
+        .first()["d"]
+    import math
+    assert not math.isnan(d)
+    assert abs(d - math.pi * 6371.0088) < 1.0     # antipodal = half circumference
+
+
+def test_resample_gapfill_no_interp_has_filled_value(spark):
+    from geoparquet_io_spark.operators.timeseries import resample_gapfill
+
+    df = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 50_000, 7.0)],
+        "user_id long, t long, value double").selectExpr(
+        "user_id", "CAST(to_timestamp(t) AS timestamp) AS ts", "value")
+    out = resample_gapfill(df, "ts", "value", 21600, "user_id",
+                           interpolate=False)
+    assert "filled_value" in out.columns
+    rows = {r["bucket_sec"]: (r["filled_value"], r["is_gap"])
+            for r in out.collect()}
+    assert rows[0] == (5.0, False)
+    assert rows[21600][1] is True and rows[21600][0] is None
+
+
+def test_cell_signature_drops_null_coords(spark):
+    from geoparquet_io_spark.operators.discovery import cell_signature
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (None, 2.0), (float("nan"), 3.0), (11.0, 1.0)],
+        "x double, y double")
+    cells = cell_signature(df, "x", "y", 5.0).collect()
+    assert len(cells) == 2
+    assert all(r["cx"] is not None and r["cy"] is not None for r in cells)
+
+
+def test_cms_join_size_disjoint_keys_is_zero(spark):
+    from geoparquet_io_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_sketch,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    ca = count_min_sketch(a, "k", depth=4, width=64)
+    cb = count_min_sketch(b, "k", depth=4, width=64)
+    est = cms_join_size_estimate(ca, cb).first()["est_join_rows"]
+    assert est is not None
+    # the min over rows is 0 whenever ANY hash row separates the key
+    # sets perfectly; with 4 rows x 64 buckets over 50+50 keys that is
+    # overwhelmingly likely — and never NULL either way
+    assert est >= 0
+
+
+def test_kmv_overlap_empty_sketches_zero(spark):
+    from geoparquet_io_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    e = spark.createDataFrame([], "v string")
+    sa, sb = kmv_sketch(e, "v"), kmv_sketch(e, "v")
+    row = kmv_overlap_estimate(sa, sb).first()
+    assert (row["union_distinct_est"], row["intersect_est"],
+            row["jaccard_micro"]) == (0, 0, 0)
