@@ -29,9 +29,12 @@ class GeoTable:
         self._geo = geo
         if bbox_column is None and geo is not None:
             cov = geo.primary.covering or {}
-            b = cov.get("bbox", {})
-            if b:
-                bbox_column = b.get("xmin", [None])[0]
+            b = cov.get("bbox") if isinstance(cov, dict) else None
+            xmin = b.get("xmin") if isinstance(b, dict) else None
+            # untrusted footers: malformed covering degrades to "no
+            # covering" like every other missing-covering case
+            if isinstance(xmin, (list, tuple)) and xmin:
+                bbox_column = xmin[0]
         if bbox_column is None and "bbox" in df.columns:
             bbox_column = "bbox"
         self._bbox_column = bbox_column if bbox_column in df.columns else None
@@ -109,7 +112,14 @@ class GeoTable:
             limit=limit,
             crs=self.crs,
         )
-        return self._wrap(df)
+        geo = self._geo
+        g = self.geometry_column
+        if geo is not None and g is not None and g not in df.columns:
+            # the projection dropped the geometry column: keeping the
+            # metadata would make write() stamp a footer whose
+            # primary_column doesn't exist in the file
+            geo = None
+        return GeoTable(df, geo, bbox_column=self._bbox_column)
 
     def head(self, n: int = 10) -> "GeoTable":
         return self._wrap(self._df.limit(n))
@@ -126,7 +136,14 @@ class GeoTable:
         df = add_bbox(self._df, self.geometry_column, column, force)
         geo = self._geo
         if geo is not None:
-            geo = GeoMeta.from_json(geo.to_json())
+            geo = geo.copy()
+            geo.set_covering(column)
+        elif self.geometry_column is not None:
+            # no metadata yet: create it, like add_bbox_metadata does —
+            # silently skipping covering registration lost the file's
+            # GeoParquet identity on write
+            geo = GeoMeta(primary_column=self.geometry_column,
+                          columns={self.geometry_column: GeoColumnMeta()})
             geo.set_covering(column)
         return GeoTable(df, geo, bbox_column=column)
 
@@ -134,7 +151,7 @@ class GeoTable:
         """Metadata-only covering registration (core/add_bbox_metadata.py)."""
         if column not in self._df.columns:
             raise ValueError(f"bbox column {column!r} not present")
-        geo = GeoMeta.from_json(self._geo.to_json()) if self._geo else GeoMeta()
+        geo = self._geo.copy() if self._geo else GeoMeta()
         geo.set_covering(column)
         return GeoTable(self._df, geo, bbox_column=column)
 
@@ -208,10 +225,17 @@ class GeoTable:
 
         src = src if src is not None else (self.crs or "EPSG:4326")
         df = reproject(self._df, self.geometry_column, src, dst, transformer)
-        geo = GeoMeta.from_json(self._geo.to_json()) if self._geo else GeoMeta(
+        # a bbox covering column holds OLD-CRS values after the
+        # transform: every downstream consumer (bbox fast path, quadkey/
+        # hilbert keys, footer bbox recompute) would silently mix units.
+        # Drop it and clear the covering; call add_bbox() to rebuild.
+        if self._bbox_column is not None and self._bbox_column in df.columns:
+            df = df.drop(self._bbox_column)
+        geo = self._geo.copy() if self._geo else GeoMeta(
             primary_column=self.geometry_column or "geometry",
             columns={self.geometry_column or "geometry": GeoColumnMeta()},
         )
+        geo.clear_covering()
         if isinstance(dst, dict) and "family" in dst:
             # parameterized target (projections.proj_from_params): the
             # spec MUST carry a "crs" label for the output metadata —
@@ -225,11 +249,11 @@ class GeoTable:
                     "naming the target CRS for the output metadata "
                     "(e.g. {'crs': 'EPSG:31287', ...}) — without it the "
                     "written file would claim OGC:CRS84")
-            geo.primary.crs = label
+            geo.ensure_primary().crs = label
         else:
-            geo.primary.crs = _crs.normalize_crs(dst)
-        geo.primary.bbox = None  # stale after transform
-        return GeoTable(df, geo, bbox_column=self._bbox_column)
+            geo.ensure_primary().crs = _crs.normalize_crs(dst)
+        geo.ensure_primary().bbox = None  # stale after transform
+        return GeoTable(df, geo, bbox_column=None)
 
     # -- sorts (SURVEY 2.7) --------------------------------------------------------
 
@@ -295,7 +319,7 @@ class GeoTable:
         need_bbox = geo.primary.bbox is None and self._bbox_column is not None
         if not (need_types or need_bbox):
             return geo
-        geo = GeoMeta.from_json(geo.to_json())
+        geo = geo.copy()
         # both stats ride ONE aggregate job (they used to be two scans of
         # the full upstream pipeline — measured 0.2s each on the bench
         # pipeline); collect_set over one derived column is a cheap
@@ -312,7 +336,25 @@ class GeoTable:
                      F.min(b["ymin"]).alias("__ymin"),
                      F.max(b["xmax"]).alias("__xmax"),
                      F.max(b["ymax"]).alias("__ymax")]
-        row = self._df.agg(*aggs).collect()[0]
+        try:
+            row = self._df.agg(*aggs).collect()[0]
+        except Exception as ex:  # noqa: BLE001 — narrow re-raise below
+            if need_types and "only 2-D WKB" in str(ex):
+                # a passthrough copy of a file with Z/EWKB geometry must
+                # not die computing optional footer stats: leave
+                # geometry_types empty (spec-legal "unknown") and retry
+                # the bbox-only aggregate if one was requested
+                import warnings
+
+                warnings.warn(
+                    "geometry_types left empty: column contains 3-D/EWKB "
+                    "geometry this engine cannot type (only 2-D WKB)")
+                need_types = False
+                if not need_bbox:
+                    return geo
+                row = self._df.agg(*aggs[1:]).collect()[0]
+            else:
+                raise
         if need_types:
             mapped = {
                 "POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",
@@ -320,7 +362,7 @@ class GeoTable:
                 "MULTIPOLYGON": "MultiPolygon",
                 "GEOMETRYCOLLECTION": "GeometryCollection",
             }
-            geo.primary.geometry_types = sorted(
+            geo.ensure_primary().geometry_types = sorted(
                 {mapped.get(t, t) for t in row["__types"] if t}
             )
         if need_bbox:
@@ -328,7 +370,7 @@ class GeoTable:
                     row["__xmax"], row["__ymax"]]
             # empty input (or all-null bbox column): no extent exists —
             # leave bbox absent rather than crash serializing Nones
-            geo.primary.bbox = None if any(v is None for v in bbox) else bbox
+            geo.ensure_primary().bbox = None if any(v is None for v in bbox) else bbox
         return geo
 
     def write(self, path: str, partition_by=None, update_metadata: bool = True,
@@ -442,9 +484,16 @@ class GeoTable:
 
         write_geojson(self, path, **kw)
 
-    def to_stac_item(self, path: str, **kw) -> dict:
+    def write_stac_item(self, path: str, **kw) -> dict:
+        """Write this table to ``path`` then describe the WRITTEN file
+        as a STAC item.  (The previous ``to_stac_item`` inspected
+        whatever already sat at ``path``, ignoring the table entirely —
+        a misleading instance method; for describing an existing file
+        use ``sources.stac.generate_stac_item(path)`` directly.)"""
         from geoparquet_io_spark.sources.stac import generate_stac_item
 
+        write_kw = kw.pop("write_kwargs", {})
+        self.write(path, **write_kw)
         return generate_stac_item(path, **kw)
 
     # -- plan inspection -----------------------------------------------------------

@@ -14,7 +14,12 @@ from dataclasses import dataclass, field
 from typing import Any
 
 GEOPARQUET_VERSIONS = {"1.0", "1.1", "2.0", "parquet-geo-only"}
-VERSION_STRINGS = {"1.0": "1.0.0", "1.1": "1.1.0", "2.0": "2.0.0"}
+# 'parquet-geo-only' is a WRITER MODE, not a spec version: when its
+# footer fallback is emitted at all (pyarrow too old for native GEOMETRY
+# logical types), the JSON must carry a real semver — external
+# validators reject "parquet-geo-only" as an unknown version
+VERSION_STRINGS = {"1.0": "1.0.0", "1.1": "1.1.0", "2.0": "2.0.0",
+                   "parquet-geo-only": "2.0.0"}
 DEFAULT_VERSION = "1.1"
 
 VALID_GEOMETRY_TYPES = {
@@ -111,19 +116,39 @@ class GeoMeta:
 
     @property
     def primary(self) -> GeoColumnMeta:
+        """The primary column's metadata — a DETACHED default when the
+        entry is absent.  Reading must not repair the object: the old
+        auto-insert meant merely constructing a GeoTable made
+        validate() pass on spec-invalid metadata and fabricated footer
+        columns.  Writers use :meth:`ensure_primary`."""
+        got = self.columns.get(self.primary_column)
+        return got if got is not None else GeoColumnMeta()
+
+    def ensure_primary(self) -> GeoColumnMeta:
+        """The primary entry, INSERTED if missing — for deliberate
+        metadata mutation (set_covering, crs/bbox stamping)."""
         if self.primary_column not in self.columns:
             self.columns[self.primary_column] = GeoColumnMeta()
         return self.columns[self.primary_column]
 
+    def copy(self) -> "GeoMeta":
+        """Deep copy via the JSON round trip (one idiom for the five
+        call sites that each hand-rolled it)."""
+        return GeoMeta.from_json(self.to_json())
+
     def with_primary_column(self, name: str) -> "GeoMeta":
-        cols = dict(self.columns)
+        # deep-copy the column metas: a shallow dict copy aliased the
+        # GeoColumnMeta objects, so set_covering on the result mutated
+        # the original
+        cols = {k: GeoColumnMeta.from_dict(v.to_dict())
+                for k, v in self.columns.items()}
         if self.primary_column in cols and name not in cols:
             cols[name] = cols.pop(self.primary_column)
         return GeoMeta(primary_column=name, columns=cols, version=self.version)
 
     def set_covering(self, bbox_column: str) -> None:
         """covering.bbox metadata (reference: api/table.py:2079-2090)."""
-        self.primary.covering = {
+        self.ensure_primary().covering = {
             "bbox": {
                 "xmin": [bbox_column, "xmin"],
                 "ymin": [bbox_column, "ymin"],
@@ -133,7 +158,7 @@ class GeoMeta:
         }
 
     def clear_covering(self) -> None:
-        self.primary.covering = None
+        self.ensure_primary().covering = None
 
     def validate(self) -> list[str]:
         """Spec checks that apply to metadata shape

@@ -426,7 +426,7 @@ def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
 
         geo = _copy.deepcopy(gt.geo) if gt.geo is not None else None
         if geo is not None and geo.primary is not None:
-            geo.primary.covering = None
+            geo.ensure_primary().covering = None
         gt = GeoTable(gt.df.drop(col), geo)
         applied.append(f"removed bbox column {col!r} (+covering metadata)")
     elif bbox_metadata_only:

@@ -119,7 +119,7 @@ def read_footer_geo(path: str | list[str]) -> GeoMeta | None:
     if geo.primary.bbox is None:
         return geo
     if len(files) > max_union_files:
-        geo.primary.bbox = None
+        geo.ensure_primary().bbox = None
         return geo
     from concurrent.futures import ThreadPoolExecutor
 
@@ -136,7 +136,7 @@ def read_footer_geo(path: str | list[str]) -> GeoMeta | None:
             break
         union = [min(union[0], b[0]), min(union[1], b[1]),
                  max(union[2], b[2]), max(union[3], b[3])]
-    geo.primary.bbox = union
+    geo.ensure_primary().bbox = union
     return geo
 
 
@@ -270,6 +270,7 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
         return schema
     native = (geo.version in ("2.0", "parquet-geo-only")
               and native_geo_types_supported())
+    all_native = bool(geo.columns) and native
     for name, col in geo.columns.items():
         idx = schema.get_field_index(name)
         if idx < 0:
@@ -282,6 +283,7 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
             if gt is not None:
                 schema = schema.set(idx, pa.field(name, gt, fld.nullable))
                 continue
+        all_native = False
         ext_meta: dict = {}
         if col.crs is not None:
             ext_meta["crs"] = col.crs
@@ -291,6 +293,12 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
             b"ARROW:extension:metadata": _json.dumps(ext_meta).encode(),
         })
         schema = schema.set(idx, fld)
+    if geo.version == "parquet-geo-only" and all_native:
+        # the mode's whole point: parquet-native GEOMETRY logical types
+        # ONLY, no GeoParquet footer JSON (when the runtime couldn't
+        # emit native types, the 2.0.0-footer fallback below keeps the
+        # file readable instead)
+        return schema
     return schema.with_metadata(
         {**(schema.metadata or {}), b"geo": geo.to_json().encode()}
     )
@@ -509,7 +517,7 @@ def _write_distributed(
 
             g = _GM.from_json(geo_json)
             if bbox is not None:
-                g.primary.bbox = [float(v) for v in bbox]
+                g.ensure_primary().bbox = [float(v) for v in bbox]
             return g.to_json().encode()
 
         def _spill_to_writer(slot: list):

@@ -580,3 +580,117 @@ def test_read_any_to_file_dispatch(spark, points, tmp_path):
     tiled = gt.clip_to_grid(45.0, origin=(-180.0, -90.0))
     assert {"cell_x", "cell_y"} <= set(tiled.df.columns)
     assert tiled.count() >= n
+
+
+# ---------------------------------------------------------------------------
+# core-API review regressions (metadata mutation, reproject staleness,
+# footer honesty)
+# ---------------------------------------------------------------------------
+
+def test_geomet_primary_read_does_not_mutate():
+    from geoparquet_io_spark.meta import GeoMeta
+
+    geo = GeoMeta(primary_column="geom", columns={})
+    errs = geo.validate()
+    assert any("not in columns" in e for e in errs)
+    _ = geo.primary.covering          # read path: must NOT repair
+    _ = geo.primary.crs
+    assert geo.columns == {}
+    assert geo.validate() == errs     # still invalid
+    geo.ensure_primary().crs = "EPSG:3857"   # deliberate mutation works
+    assert geo.columns["geom"].crs == "EPSG:3857"
+
+
+def test_with_primary_column_does_not_alias():
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    m = GeoMeta(primary_column="geometry",
+                columns={"geometry": GeoColumnMeta(crs="EPSG:4326")})
+    m2 = m.with_primary_column("geom")
+    m2.set_covering("bbox")
+    m2.columns["geom"].crs = "EPSG:3857"
+    assert m.columns["geometry"].crs == "EPSG:4326"
+    assert m.columns["geometry"].covering is None
+
+
+def test_reproject_drops_stale_bbox_covering(spark, tmp_path):
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    if gt.bbox_column is None:
+        gt = gt.add_bbox()
+    assert gt.bbox_column == "bbox"
+    rp = gt.reproject("EPSG:3857")
+    # the old-CRS bbox column and its covering must be GONE
+    assert rp.bbox_column is None
+    assert "bbox" not in rp.df.columns
+    assert rp.geo.primary.covering is None
+    # rebuilding gives meter-valued boxes consistent with the geometry
+    rb = rp.add_bbox()
+    row = rb.df.select("bbox").first()["bbox"]
+    assert abs(row["xmin"]) > 180 or abs(row["ymin"]) > 90  # meters now
+
+
+def test_extract_dropping_geometry_strips_geo_footer(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    g = gt.geometry_column
+    no_geom = gt.extract(exclude_columns=[g])
+    assert no_geom.geo is None
+    out = str(tmp_path / "nogeom.parquet")
+    no_geom.write(out)
+    assert b"geo" not in (pq.read_schema(out).metadata or {})
+
+
+def test_add_bbox_without_geometa_creates_footer(spark, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+
+    df = spark.createDataFrame(
+        [(bytearray(W.encode_point(1.0, 2.0)),)], "geometry binary")
+    gt = GeoTable(df).add_bbox()
+    assert gt.geo is not None
+    out = str(tmp_path / "withbbox.parquet")
+    gt.write(out)
+    meta = json.loads(pq.read_schema(out).metadata[b"geo"])
+    assert "covering" in meta["columns"]["geometry"]
+
+
+def test_malformed_covering_degrades(spark):
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    df = spark.createDataFrame(
+        [(bytearray(W.encode_point(1.0, 2.0)),)], "geometry binary")
+    geo = GeoMeta(primary_column="geometry",
+                  columns={"geometry": GeoColumnMeta(
+                      covering={"bbox": {"xmin": []}})})
+    gt = GeoTable(df, geo)            # must not crash
+    assert gt.bbox_column is None
+
+
+def test_parquet_geo_only_footer_version_is_semver(spark, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE).head(5)
+    out = str(tmp_path / "pgo.parquet")
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        gt.write(out, version="parquet-geo-only", update_metadata=False)
+    md = pq.read_schema(out).metadata or {}
+    if b"geo" in md:                   # fallback footer on old pyarrow
+        ver = json.loads(md[b"geo"])["version"]
+        assert ver == "2.0.0"          # never the mode sentinel string
