@@ -17,10 +17,14 @@ from pyspark.sql import functions as F
 
 def dedup_exact(df: DataFrame, columns: list[str] | None = None,
                 key_column: str | None = None) -> DataFrame:
-    """Drop exact duplicates on ``columns`` (default all); when
-    ``key_column`` is given, keep the row with the smallest key
-    (deterministic survivor) instead of an arbitrary one."""
-    cols = columns or df.columns
+    """Drop exact duplicates on ``columns`` (default: all columns —
+    minus ``key_column`` when given); when ``key_column`` is given,
+    keep the row with the smallest key (deterministic survivor) instead
+    of an arbitrary one."""
+    # the key must not be part of the default grouping: a unique key in
+    # the partition columns makes every row its own group and the call
+    # silently deduplicates nothing
+    cols = columns or [c for c in df.columns if c != key_column]
     if key_column is None:
         return df.dropDuplicates(cols)
     w_cols = [F.col(c) for c in cols]
@@ -101,6 +105,15 @@ def minhash_signatures_agg(df: DataFrame, id_column: str,
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_rows(num_hashes: int, bands: int) -> int:
+    """rows-per-band with the divisibility check EVERY banded entry
+    point shares (silently flooring dropped trailing hash functions —
+    a different LSH s-curve than the caller asked for)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    return num_hashes // bands
+
+
 def minhash_bands(df: DataFrame, text_column: str = "text",
                   num_hashes: int = 8, bands: int = 4, k: int = 5,
                   signature_column: str = "minhash",
@@ -108,9 +121,7 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
     """Add the signature and one band-hash column per band; rows sharing a
     band hash are LSH candidates (banding per Broder/MMDS).
     Rows whose text has no shingles (len < k) are dropped."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     join_key = id_column or "__mh_rid"
     work = df if id_column else df.withColumn(join_key, F.monotonically_increasing_id())
     sigs = minhash_signatures_agg(work, join_key, text_column, num_hashes, k)
@@ -159,7 +170,7 @@ def minhash_candidate_pairs(df: DataFrame, id_column: str,
     The small banded table is localCheckpoint'ed so the self-join's two
     sides don't recompute the signature pipeline (RDD-level storage the
     ContextCleaner auto-releases on GC — no leaked cache entry)."""
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     sigs = minhash_signatures_agg(df.select(F.col(id_column), F.col(text_column)),
                                   id_column, text_column, num_hashes, k)
     band_arr = F.array(*[
@@ -231,7 +242,7 @@ def minhash_star_edges(df: DataFrame, id_column: str,
     between two non-min members — use minhash_candidate_pairs when each
     candidate pair must be individually confirmed.
     """
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     sigs = minhash_signatures_agg(
         df.select(F.col(id_column), F.col(text_column)),
         id_column, text_column, num_hashes, k)
@@ -240,9 +251,12 @@ def minhash_star_edges(df: DataFrame, id_column: str,
                                  for r in range(rows)]))
         for b in range(bands)
     ])
+    # localCheckpoint: `reps` below joins back against `exploded`, and
+    # without it BOTH join sides re-run the signature explode/md5/min-agg
+    # pipeline — the dominant cost (same fix minhash_candidate_pairs has)
     exploded = sigs.select(
         F.col("id"), F.posexplode(band_arr).alias("band", "bh")
-    )
+    ).localCheckpoint(eager=False)
     # one partial-aggregating shuffle on the bucket key, then the star:
     # min_by pattern via groupBy + join-free window would re-shuffle;
     # aggregate min then broadcast-size join is wrong for big buckets —
@@ -271,6 +285,9 @@ def dedup_minhash(df: DataFrame, id_column: str, text_column: str = "text",
     all-pairs form is required (each pair is individually verified) and
     ``pair_mode`` is ignored.
     """
+    if pair_mode not in ("star", "pairs"):
+        raise ValueError(f"pair_mode must be 'star' or 'pairs', got "
+                         f"{pair_mode!r}")
     if jaccard_threshold is None and pair_mode == "star":
         edges = minhash_star_edges(df, id_column, text_column,
                                    num_hashes, bands, k)

@@ -25,8 +25,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def as_double_array(col: Column) -> Column:
-    return F.transform(col, lambda v: v.cast("double"))
+def as_double_array(col: Column, dim: int | None = None,
+                    where: str = "embedding") -> Column:
+    """Cast to array<double>; with ``dim`` given, a LOUD error on any
+    row whose vector length differs.  zip_with silently NULL-pads
+    mismatched lengths, which cascaded to silently-empty IVF results
+    and single-bucket LSH instead of an error."""
+    arr = F.transform(col, lambda v: v.cast("double"))
+    if dim is None:
+        return arr
+    return F.when(F.size(arr) == dim, arr).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"{where}: vector length "), F.size(arr).cast("string"),
+            F.lit(f" != dim={dim}"))).cast("array<double>"))
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -42,7 +53,13 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULL (not an ANSI DIVIDE_BY_ZERO crash) for a zero-norm vector:
+    # Spark 4 defaults ANSI on, so one all-zero embedding (a common
+    # padding artifact) would otherwise kill every similarity job.
+    # NULLs sink under desc ordering — matching the Arrow kernel, whose
+    # 0/0 = NaN compares IEEE-false everywhere.
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -73,11 +90,14 @@ def brute_force_topk(
     sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = (
-        d.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
+    scored = d.crossJoin(F.broadcast(q))
+    if query_id_column is None:
+        # self-match exclusion only applies when queries come FROM data:
+        # with a separate query id space, an id that coincidentally
+        # equals a data id names an UNRELATED vector that may be the
+        # true nearest neighbor
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -133,11 +153,13 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "lsh_topk data")
+        .alias("__dv"),
     ).withColumn("bucket", lsh_bucket(F.col("__dv"), planes))
     q = queries.select(
         F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+        as_double_array(F.col(vector_column), dim, "lsh_topk queries")
+        .alias("__qv"),
     ).withColumn("bucket", lsh_bucket(F.col("__qv"), planes))
     sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
@@ -437,10 +459,15 @@ def ivf_topk_trained(
 ) -> DataFrame:
     """ivf_topk with k-means-trained centroids (trains on ``data`` when
     ``centroids`` not given)."""
-    cents = centroids or ivf_train_centroids(data, dim, n_centroids, vector_column)
+    if centroids is not None and not centroids:
+        raise ValueError("centroids is empty — an invalid model; pass "
+                         "None to train on the data")
+    cents = (centroids if centroids is not None
+             else ivf_train_centroids(data, dim, n_centroids, vector_column))
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "ivf data")
+        .alias("__dv"),
     ).withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
     q = queries.select(
         F.col(id_column).alias("query_id"),
@@ -878,7 +905,10 @@ def _intra_cluster_losers(v: DataFrame, dim: int, threshold: float,
     vv = v.join(F.broadcast(counts), "cluster")
     pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
     big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
-    sim = dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    # NULL (never an ANSI DIVIDE_BY_ZERO) for zero-norm members, like
+    # cosine() and the Arrow kernel; NULL >= threshold is false -> kept
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom > 0, dot(F.col("va"), F.col("vb"), dim) / denom)
     big_pairs = _chain_band_pairs(big, window).filter(sim >= threshold) \
         .select(F.col("id_b").alias("id"))
     return _cluster_losers_arrow(pool, threshold).unionByName(big_pairs)
@@ -1100,9 +1130,16 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
     """
     import json
     import os
+    import uuid
+    from urllib.parse import urlparse
 
     from pyspark.sql import Observation
 
+    if urlparse(path).scheme not in ("", "file"):
+        raise NotImplementedError(
+            "build_ivf_index writes its JSON sidecar with local-fs APIs; "
+            f"non-local index path {path!r} is not supported — build to "
+            "a local path and upload the directory")
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_centroids, seed)
     src = df.select(F.col(id_column).alias("id"),
@@ -1117,6 +1154,13 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
     vdir = os.path.join(path, "vectors")
     assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(vdir)
     n = obs.get["n"]
+    # build token ties sidecar to THIS vector write: a rebuild that
+    # crashes between the parquet overwrite and the sidecar swap would
+    # otherwise leave OLD centroids silently describing NEW partitions
+    # (low-recall answers with no error) — load_ivf_index verifies it
+    token = uuid.uuid4().hex
+    with open(os.path.join(vdir, "_BUILD_TOKEN"), "w") as fh:
+        fh.write(token)
     meta = {
         "dim": int(dim),
         "n_centroids": len(cents),
@@ -1125,6 +1169,7 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
         "vector_column": vector_column,
         "centroids": [[float(x) for x in c] for c in cents],
         "n_vectors": int(n),
+        "build_token": token,
     }
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, IVF_INDEX_META + ".tmp")
@@ -1142,6 +1187,18 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, dict]:
     with open(os.path.join(path, IVF_INDEX_META)) as fh:
         meta = json.load(fh)
     vdir = os.path.join(path, "vectors")
+    tok_file = os.path.join(vdir, "_BUILD_TOKEN")
+    expect = meta.get("build_token")
+    if expect is not None:
+        try:
+            with open(tok_file) as fh:
+                actual = fh.read().strip()
+        except OSError:
+            actual = None
+        if actual != expect:
+            raise ValueError(
+                f"IVF index at {path!r} is from an interrupted build "
+                "(sidecar and vectors disagree) — rebuild it")
     return spark.read.parquet(vdir), meta
 
 
@@ -1200,10 +1257,14 @@ def rrf_fuse(rankings: list, id_column: str, rank_column: str = "rank",
     """
     if not rankings:
         raise ValueError("need at least one ranking")
+    # a repeated id WITHIN one ranking (unioned candidate windows) must
+    # contribute once — its best rank — or rrf_score double-counts and
+    # n_rankings over-reports (same input class ann_recall dedups)
     parts = [
-        r.select(F.col(id_column).alias("__id"),
-                 (1.0 / (F.lit(float(k)) + F.col(rank_column).cast("double")))
-                 .alias("__contrib"))
+        r.groupBy(F.col(id_column).alias("__id"))
+        .agg(F.min(F.col(rank_column).cast("double")).alias("__rk"))
+        .select("__id",
+                (1.0 / (F.lit(float(k)) + F.col("__rk"))).alias("__contrib"))
         for r in rankings
     ]
     u = parts[0]

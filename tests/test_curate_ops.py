@@ -451,3 +451,29 @@ def test_token_budget_rejects_nulls(spark):
                                   "doc_id long, score double, n_tokens long")
     assert [r["doc_id"] for r in select_under_token_budget(df_ok, 15)
             .collect()] == [1]
+
+
+def test_dedup_exact_key_column_excluded_from_default(spark):
+    from geoparquet_io_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string")
+    out = dedup_exact(df, key_column="doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]   # smallest key wins
+
+
+def test_minhash_band_divisibility_all_entry_points(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.dedup import (
+        dedup_minhash,
+        minhash_candidate_pairs,
+        minhash_star_edges,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")], "id long, text string")
+    for fn in (minhash_candidate_pairs, minhash_star_edges):
+        with _p.raises(ValueError, match="divisible"):
+            fn(df, "id", num_hashes=10, bands=4)
+    with _p.raises(ValueError, match="pair_mode"):
+        dedup_minhash(df, "id", pair_mode="stars")

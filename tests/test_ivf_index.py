@@ -206,3 +206,75 @@ def test_kmeans_model_table_reports_empty_clusters(spark):
     sizes = {r["cluster"]: r["size"] for r in rows}
     assert sum(1 for v in sizes.values() if v == 0) == 3
     assert sum(sizes.values()) == 5
+
+
+def test_zero_norm_embedding_does_not_crash(spark):
+    """Spark 4 ANSI mode: one all-zero embedding must yield NULL cosine
+    (sinking in rankings), not a DIVIDE_BY_ZERO job kill."""
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = brute_force_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids[0] == 2                     # zero vector never wins
+    assert all(r["cosine"] is None for r in out if r["neighbor_id"] == 3)
+
+
+def test_lsh_dim_mismatch_fails_loud(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.similarity import lsh_topk
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+                               ["vec_id", "embedding"])
+    with _p.raises(Exception, match="vector length"):
+        lsh_topk(df, df.limit(1), dim=3, k=1).collect()
+
+
+def test_rrf_fuse_dedupes_within_ranking(spark):
+    from geoparquet_io_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(7, 3), (7, 7), (8, 1)], ["doc", "rank"])
+    r2 = spark.createDataFrame([(7, 2), (8, 5)], ["doc", "rank"])
+    out = {r["doc"]: (r["rrf_score"], r["n_rankings"])
+           for r in rrf_fuse([r1, r2], "doc").collect()}
+    # doc 7 contributes its BEST rank (3) once from r1, not 3 and 7
+    assert out[7][1] == 2
+    assert abs(out[7][0] - (1 / 63 + 1 / 62)) < 1e-6  # round_digits=6
+
+
+def test_ivf_interrupted_build_detected(spark, tmp_path):
+    import json
+    import os
+
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, df, path, dim=2, n_centroids=2)
+    load_ivf_index(spark, path)           # clean build loads
+    # simulate a crash between vector rewrite and sidecar swap
+    os.unlink(os.path.join(path, "vectors", "_BUILD_TOKEN"))
+    with _p.raises(ValueError, match="interrupted"):
+        load_ivf_index(spark, path)
+    # non-local paths are an honest gate
+    with _p.raises(NotImplementedError, match="sidecar"):
+        build_ivf_index(spark, df, "s3a://bucket/idx", dim=2)
+
+
+def test_ivf_trained_rejects_empty_centroids(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.similarity import ivf_topk_trained
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _p.raises(ValueError, match="empty"):
+        ivf_topk_trained(df, df, dim=2, centroids=[])
