@@ -68,6 +68,10 @@ def cmd_extract(args) -> int:
     spark = _spark()
     gt = _read(spark, args.input)
     bbox = tuple(float(v) for v in args.bbox.split(",")) if args.bbox else None
+    if bbox is not None and len(bbox) != 4:
+        print(json.dumps({"error": "--bbox needs xmin,ymin,xmax,ymax "
+                                   f"(got {len(bbox)} values)"}))
+        return 2
     cols = args.columns.split(",") if args.columns else None
     excl = args.exclude_columns.split(",") if args.exclude_columns else None
     out = gt.extract(columns=cols, exclude_columns=excl, bbox=bbox,
@@ -101,6 +105,9 @@ def cmd_sort(args) -> int:
     elif args.how == "quadkey":
         gt = gt.sort_quadkey(zoom=args.zoom)
     elif args.how == "column":
+        if not args.column:
+            print(json.dumps({"error": "sort column requires --column"}))
+            return 2
         gt = gt.sort_column(args.column.split(","), args.desc)
     _write(gt, args.output, args)
     return 0
@@ -236,7 +243,9 @@ def cmd_check(args) -> int:
 
         result["spatial_order"] = gps.read(_spark(), args.input).check_spatial_order()
     print(json.dumps(result, indent=2, default=str))
-    ok = not result["issues"] and not result.get("spec_errors")
+    ordered_ok = result.get("spatial_order", {}).get("ordered", True)
+    ok = (not result["issues"] and not result.get("spec_errors")
+          and ordered_ok)
     return 0 if ok else 1
 
 
@@ -521,7 +530,10 @@ def cmd_pack_sequences(args) -> int:
                          id_column=args.id_column,
                          token_column=args.token_column)
     out.write.mode("overwrite").parquet(args.output)
-    n_chunks = out.agg({"last_chunk": "max"}).collect()[0][0]
+    # the summary comes from the just-written files (one cheap column
+    # scan) — aggregating `out` would re-execute the whole packing job
+    n_chunks = spark.read.parquet(args.output) \
+        .agg({"last_chunk": "max"}).collect()[0][0]
     print(json.dumps({"max_tokens": args.max_tokens,
                       "n_chunks": int(n_chunks) + 1 if n_chunks is not None
                       else 0, "output": args.output}))

@@ -90,9 +90,11 @@ def add_h3(df: DataFrame, geometry_column: str | None = None,
         def _h3(lats: "pd.Series", lons: "pd.Series") -> "pd.Series":
             import h3 as _h3mod
 
+            # pd.isna, not `is None`: Spark hands null doubles to
+            # pandas UDFs as NaN, and latlng_to_cell(nan, nan) raises
             return pd.Series(
                 [
-                    None if (la is None or lo is None)
+                    None if (pd.isna(la) or pd.isna(lo))
                     else _h3mod.latlng_to_cell(float(la), float(lo), resolution)
                     for la, lo in zip(lats, lons)
                 ]
@@ -190,11 +192,13 @@ def add_kdtree(
     boundaries: dict[str, float] = {}
     for level in range(iterations):
         dim = "__kd_x" if level % 2 == 0 else "__kd_y"
-        med = (
+        med = [r for r in (
             sample.groupBy("__cell")
             .agg(F.expr(f"percentile({dim}, 0.5)").alias("m"))
             .collect()
-        )
+        ) if r["m"] is not None]   # all-null cells carry no median
+        if not med:
+            break                  # empty / all-null input: no tree
         for r in med:
             boundaries[r["__cell"]] = float(r["m"])
         mcol = F.create_map(
@@ -209,10 +213,15 @@ def add_kdtree(
         )
 
     # phase 2: apply boundary tree as a chained native expression
+    if not boundaries:
+        # empty or all-null-coordinate input: one root cell
+        return work.withColumn(column, F.lit("")).drop("__kd_x", "__kd_y")
     cell = F.lit("")
     for level in range(iterations):
         dim = F.col("__kd_x") if level % 2 == 0 else F.col("__kd_y")
         prefixes = [p for p in boundaries if len(p) == level]
+        if not prefixes:
+            break                  # sampling stopped deeper splits
         expr = None
         for p in sorted(prefixes):
             branch = F.when(dim < F.lit(boundaries[p]), F.lit("0")).otherwise(F.lit("1"))
@@ -224,6 +233,11 @@ def add_kdtree(
             else:
                 cond = cell == F.lit(p)
                 expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        if level > 0:
+            # full-data rows whose prefix never appeared in the SAMPLE
+            # need a deterministic fallback: without an otherwise() the
+            # CASE yields NULL and concat nulls the whole cell id
+            expr = expr.otherwise(F.lit("0"))
         cell = F.concat(cell, expr)
     out = work.withColumn(column, cell).drop("__kd_x", "__kd_y")
     return out

@@ -44,6 +44,11 @@ def sort_hilbert(
     if env is None:
         env = _bounds(df, geometry_column=geometry_column,
                       bbox_column=bbox_column)
+    if env is None or any(v is None for v in env):
+        # empty / all-null-geometry input: no envelope exists, and any
+        # ordering of zero meaningful keys is correct — return as-is
+        # (a supported case: empty writes are supported downstream)
+        return df
     key = key_column or "__hilbert"
     out = G.with_hilbert_key(df, x, y, env, key)
     out = out.orderBy(key)
@@ -104,6 +109,8 @@ def sort_zorder(
 
     x, y = _centroid_lonlat(df, geometry_column, bbox_column)
     env = _bounds(df, geometry_column=geometry_column, bbox_column=bbox_column)
+    if env is None or any(v is None for v in env):
+        return df              # empty / all-null input: nothing to order
     key = key_column or "__zorder"
     out = df.withColumn(key, morton_key(x, y, env, order=order))
     out = out.orderBy(key)
@@ -237,23 +244,33 @@ def zorder_by(
         numeric[c] = isinstance(df.schema[c].dataType,
                                 (T_.NumericType, T_.DateType,
                                  T_.TimestampType))
+
+    def _as_double(c: str):
+        # dates/timestamps cannot cast straight to double (ANSI
+        # analysis error) — go through their epoch representation
+        dt = df.schema[c].dataType
+        if isinstance(dt, T_.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, T_.TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        return F.col(c).cast("double")
     n = (1 << bits) - 1
     ids = []
     num_cols = [c for c in columns if numeric[c]]
     if method == "linear" and num_cols:
         aggs = []
         for c in num_cols:
-            aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                     F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+            aggs += [F.min(_as_double(c)).alias(f"__lo_{c}"),
+                     F.max(_as_double(c)).alias(f"__hi_{c}")]
         row = df.agg(*aggs).collect()[0]
         stats = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in num_cols}
     elif method == "range" and num_cols:
         qs = [i / (n + 1) for i in range(1, n + 1)]
-        stats = {
-            c: df.select(F.col(c).cast("double").alias(c))
-                 .na.drop().approxQuantile(c, qs, 0.001)
-            for c in num_cols
-        }
+        # ONE approxQuantile pass for every numeric column (the per-
+        # column dict comprehension ran N full-table sketch jobs)
+        proj = df.select(*[_as_double(c).alias(c) for c in num_cols])
+        allq = proj.approxQuantile(num_cols, qs, 0.001)
+        stats = dict(zip(num_cols, allq))
     for c in columns:
         col = F.col(c)
         if not numeric[c]:
@@ -263,13 +280,13 @@ def zorder_by(
             if lo is None or hi is None or hi == lo:
                 ids.append(F.lit(0).cast("long"))
                 continue
-            g = F.floor((col.cast("double") - F.lit(lo))
+            g = F.floor((_as_double(c) - F.lit(lo))
                         / F.lit(hi - lo) * F.lit(float(n)) + F.lit(0.5))
             ids.append(F.least(F.lit(n), F.greatest(F.lit(0), g))
                        .cast("long"))
         else:
             bounds = F.array(*[F.lit(float(b)) for b in stats[c]])
-            v = col.cast("double")
+            v = _as_double(c)
             ids.append(F.coalesce(
                 F.aggregate(F.filter(bounds, lambda b: b <= v),
                             F.lit(0).cast("long"),

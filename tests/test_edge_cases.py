@@ -627,3 +627,46 @@ def test_dedup_images_by_dhash(spark):
     df = spark.createDataFrame(rows, ["img_id", "data"])
     kept = sorted(r.img_id for r in dedup_images(df, "img_id").collect())
     assert kept == [0, 50]
+
+
+def test_empty_dataset_sorts_and_kdtree(spark):
+    """Sorting / kd-tree partitioning a zero-row (or all-null-geometry)
+    table must be a no-op, not a TypeError from None bounds."""
+    from geoparquet_io_spark.operators.add_columns import add_kdtree
+    from geoparquet_io_spark.operators.sorts import sort_hilbert, sort_zorder
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    empty = gt.extract(where="event_id < 0")
+    assert sort_hilbert(empty.df, gt.geometry_column, None).count() == 0
+    assert sort_zorder(empty.df, gt.geometry_column, None).count() == 0
+    out = add_kdtree(empty.df, gt.geometry_column, None, iterations=3)
+    assert out.count() == 0
+
+
+def test_kdtree_unseen_prefix_gets_cell(spark):
+    """Rows whose boundary-tree prefix never appeared in the phase-1
+    sample must still get a FULL-DEPTH cell id, never NULL."""
+    from geoparquet_io_spark.operators.add_columns import add_kdtree
+
+    rows = [(float(1.0), float(1.0))] * 999 + [(0.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = add_kdtree(df, x_column="x", y_column="y", iterations=4,
+                     sample_rows=50)
+    cells = out.select("kdtree_cell").collect()
+    assert all(r["kdtree_cell"] is not None for r in cells)
+    assert all(len(r["kdtree_cell"]) == 4 for r in cells)
+
+
+def test_zorder_by_date_and_timestamp_columns(spark):
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    df = spark.createDataFrame(
+        [(1, "2023-01-05", "2023-01-05 10:00:00"),
+         (2, "2021-06-01", "2021-06-01 09:00:00"),
+         (3, "2022-03-15", "2022-03-15 08:00:00")],
+        "id long, d string, t string"
+    ).selectExpr("id", "CAST(d AS date) AS d", "CAST(t AS timestamp) AS t")
+    for method in ("linear", "range"):
+        out = zorder_by(df, ["d", "t"], method=method)
+        assert out.count() == 3           # no AnalysisException
