@@ -50,7 +50,15 @@ def asof_join(
         F.lit(1).alias("__is_right"),
     )
     lcols = [c for c in left.columns]
-    l = left.select(
+    # left rows with a NULL key/ts can never match — and every NULL-key
+    # row would hash to ONE window partition (a straggler reducer at
+    # scale).  Route them around the shuffle and union back with NULL
+    # payload columns.
+    null_left = left.filter(
+        F.col(key).isNull() | F.col(left_ts).isNull())
+    left_ok = left.filter(
+        F.col(key).isNotNull() & F.col(left_ts).isNotNull())
+    l = left_ok.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
@@ -72,7 +80,12 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.col("__match").getField(c).alias(f"{prefix}{c}") for c in rcols],
     )
-    return out
+    nulls = null_left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+          for c in rcols],
+    )
+    return out.unionByName(nulls)
 
 
 def asof_join_broadcast(
@@ -108,8 +121,16 @@ def asof_join_broadcast(
             "shuffle-based asof_join")
     import datetime as _dt
 
-    ts_is_datetime = isinstance(right.schema[right_ts].dataType,
-                                (T.TimestampType, T.TimestampNTZType, T.DateType))
+    _dt_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    ts_is_datetime = isinstance(right.schema[right_ts].dataType, _dt_types)
+    left_is_datetime = isinstance(left.schema[left_ts].dataType, _dt_types)
+    if ts_is_datetime != left_is_datetime:
+        # int64-ns keys vs raw floats silently never match (1.7e18 vs
+        # 1.7e9 scales) — incompatible schemas must fail fast
+        raise ValueError(
+            f"asof_join_broadcast: left ts {left.schema[left_ts].dataType}"
+            f" and right ts {right.schema[right_ts].dataType} are not the"
+            " same time family (datetime vs numeric)")
 
     def _ts_key(t):
         """Comparable scalar: int64 nanoseconds for datetimes/dates (their
@@ -145,14 +166,20 @@ def asof_join_broadcast(
         for pdf in batches:
             keys = pdf.iloc[:, key_idx].to_numpy()
             ts_series = pdf.iloc[:, ts_idx]
-            if pd.api.types.is_datetime64_any_dtype(ts_series):
-                tss = ts_series.to_numpy("datetime64[ns]").view("int64")
+            na = pd.isna(ts_series).to_numpy()
+            if left_is_datetime:
+                # DateType arrives as OBJECT dtype of datetime.date (the
+                # Arrow serializer's date_as_object) — pd.to_datetime
+                # normalizes both that and datetime64 columns.  Keep
+                # int64 ns (their range exceeds float53 precision).
+                tss = pd.to_datetime(ts_series) \
+                    .to_numpy("datetime64[ns]").view("int64")
             else:
                 tss = ts_series.to_numpy(dtype="float64", na_value=np.nan)
             matches = []
-            for kv, tv in zip(keys, tss):
+            for kv, tv, bad in zip(keys, tss, na):
                 ent = lookup.get(kv)
-                if ent is None or tv != tv:  # unknown/NULL key or NaN ts
+                if ent is None or bad:  # unknown/NULL key or NULL/NaN ts
                     matches.append(None)
                     continue
                 ts_arr, payloads = ent
@@ -243,7 +270,11 @@ def range_join(
     )
     if how == "inner":
         return matched
-    missing = points.join(matched.select(point_id), point_id, "left_anti")
+    # eqNullSafe: a matched NULL point_id must not be re-emitted by the
+    # restore anti-join (plain equi anti never matches NULL)
+    mk = matched.select(F.col(point_id).alias("__mpid"))
+    missing = points.join(
+        mk, F.col(point_id).eqNullSafe(F.col("__mpid")), "left_anti")
     for c in icols:
         missing = missing.withColumn(c, F.lit(None))
     return matched.unionByName(missing)

@@ -34,6 +34,11 @@ def fast_sigmoid(z: Column) -> Column:
 
 
 def _z(weights: list[float], feature_cols: list[Column]) -> Column:
+    if len(weights) != len(feature_cols):
+        # zip would silently truncate — scoring with a mismatched model
+        # ignores trailing features with no signal at all
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} features")
     z = F.lit(float(weights[0])) * feature_cols[0]
     for w, x in zip(weights[1:], feature_cols[1:]):
         z = z + F.lit(float(w)) * x
@@ -56,11 +61,22 @@ def linear_classifier_train(
     w = [round(float(x), round_digits) for x in (init or [0.0] * k)]
     xs = [F.col(c).cast("double") for c in feature_columns]
     y = F.col(label_column).cast("double")
+    # rows with a null label or any null feature carry no gradient:
+    # F.sum would skip them while count(*) counted them, silently
+    # scaling every gradient down by the null fraction
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    train = df.filter(cond)
     for _ in range(iterations):
         p = fast_sigmoid(_z(w, xs))
         aggs = [F.sum((p - y) * xs[j]).alias(f"g{j}") for j in range(k)]
-        row = df.agg(*aggs, F.count("*").alias("n")).collect()[0]
+        row = train.agg(*aggs, F.count("*").alias("n")).collect()[0]
         n = row["n"]
+        if not n:
+            raise ValueError(
+                "linear_classifier_train: no trainable rows (input is "
+                "empty or every row has a null label/feature)")
         w = [round(w[j] - lr * row[f"g{j}"] / n, round_digits)
              for j in range(k)]
     return w
@@ -97,11 +113,15 @@ def classifier_model_table(
                                      round_digits=None)
     y = F.col(label_column).cast("double")
     pred = (F.col("score") >= 0.5).cast("double")
-    row = scored.agg(
+    # accuracy over LABELED rows only: null labels can never be
+    # "correct", so counting them in n deflated the metric
+    row = scored.filter(y.isNotNull()).agg(
         F.sum((pred == y).cast("long")).alias("correct"),
         F.count("*").alias("n"),
     ).collect()[0]
-    acc = round(row["correct"] / row["n"], round_digits)
+    if not row["n"]:
+        raise ValueError("classifier_model_table: no labeled rows")
+    acc = round((row["correct"] or 0) / row["n"], round_digits)
     rows = [(j, feature_columns[j], float(w[j]), acc, int(row["n"]))
             for j in range(len(feature_columns))]
     return spark.createDataFrame(

@@ -34,7 +34,21 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Join a huge skewed table against a small-but-too-big-to-broadcast
     table: replicate ``small`` across ``salt`` copies, randomize the salt
-    on ``big`` — each hot key's rows spread over ``salt`` reducers."""
+    on ``big`` — each hot key's rows spread over ``salt`` reducers.
+
+    ``how`` is limited to 'inner'/'left'/'left_semi'/'left_anti' —
+    replication makes small the many-copies side, so any join that
+    emits UNMATCHED small rows ('right', 'full') would emit each of
+    them once per salt copy."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, got "
+            f"{how!r} — unmatched small-side rows would duplicate "
+            f"{salt}x under right/full joins")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("a '__salt' column already exists — rename it "
+                         "before salted_join")
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(
@@ -46,11 +60,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
 def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Top-N keys by row count with their share of the table — the
-    diagnosis step before choosing salting / AQE / broadcast."""
-    total = df.count()
+    diagnosis step before choosing salting / AQE / broadcast.
+
+    ONE pass over the input: the total comes from the checkpointed
+    grouped counts, not a second full-table count — the diagnostic must
+    not cost double on exactly the huge plans it targets."""
+    counts = df.groupBy(key).count().localCheckpoint(eager=False)
+    total = counts.agg(F.sum("count").alias("__t"))
     return (
-        df.groupBy(key).count()
-        .withColumn("share", F.round(F.col("count") / F.lit(total), 6))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("count") / F.col("__t"), 6))
+        .drop("__t")
         .orderBy(F.desc("count"), F.asc(key))
         .limit(top)
     )

@@ -670,3 +670,79 @@ def test_zorder_by_date_and_timestamp_columns(spark):
     for method in ("linear", "range"):
         out = zorder_by(df, ["d", "t"], method=method)
         assert out.count() == 3           # no AnalysisException
+
+
+def test_asof_broadcast_date_type_columns(spark):
+    """DateType timestamps arrive in pandas as OBJECT dtype of
+    datetime.date — the broadcast variant must handle them like
+    asof_join does."""
+    from geoparquet_io_spark.operators.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, "2023-05-10"), (1, "2023-01-01")], "k long, d string"
+    ).selectExpr("k", "CAST(d AS date) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2023-03-01", 7), (1, "2023-06-01", 9)],
+        "k long, d string, px long"
+    ).selectExpr("k", "CAST(d AS date) AS ts", "px")
+    expect = {tuple(sorted((r["ts"].isoformat(), str(r["asof_px"]))))
+              for r in asof_join(left, right, key="k").collect()}
+    got = {tuple(sorted((r["ts"].isoformat(), str(r["asof_px"]))))
+           for r in asof_join_broadcast(left, right, key="k").collect()}
+    assert got == expect
+    # mixed time families fail fast instead of silently never matching
+    import pytest as _p
+    num_left = spark.createDataFrame([(1, 10.0)], "k long, ts double")
+    with _p.raises(ValueError, match="time family"):
+        asof_join_broadcast(num_left, right, key="k")
+
+
+def test_range_join_left_null_point_id_not_duplicated(spark):
+    from geoparquet_io_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(None, 5.0), (1, 50.0)],
+                                "pid long, v double")
+    iv = spark.createDataFrame([(0.0, 10.0, "a")],
+                               "lo double, hi double, tag string")
+    out = range_join(pts, iv, "v", "lo", "hi", how="left",
+                     point_id="pid").collect()
+    assert len(out) == 2                       # one row per point
+    by_v = {r["v"]: r["tag"] for r in out}
+    assert by_v[5.0] == "a" and by_v[50.0] is None
+
+
+def test_salted_join_contract(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")] * 10, "k long, v string")
+    small = spark.createDataFrame([(1, "dim")], "k long, d string")
+    out = salted_join(big, small, "k", salt=4)
+    assert out.count() == 10
+    with _p.raises(ValueError, match="right/full"):
+        salted_join(big, small, "k", how="full")
+    with _p.raises(ValueError, match="__salt"):
+        salted_join(big.withColumn("__salt", F.lit(1)), small, "k")
+
+
+def test_classifier_null_handling(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.classifier import (
+        linear_classifier_score,
+        linear_classifier_train,
+    )
+
+    clean = [(float(i % 2), float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(clean, "x double, label double")
+    w_clean = linear_classifier_train(df, ["x"], "label", iterations=2)
+    dirty = spark.createDataFrame(
+        clean + [(None, 1.0), (0.5, None)], "x double, label double")
+    w_dirty = linear_classifier_train(dirty, ["x"], "label", iterations=2)
+    assert w_clean == w_dirty               # null rows carry no gradient
+    empty = spark.createDataFrame([], "x double, label double")
+    with _p.raises(ValueError, match="no trainable rows"):
+        linear_classifier_train(empty, ["x"], "label")
+    with _p.raises(ValueError, match="weights"):
+        linear_classifier_score(df, [0.3], ["x", "x"]).collect()
