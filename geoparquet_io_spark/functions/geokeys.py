@@ -35,10 +35,17 @@ def _spread_bits(v: Column) -> Column:
 
 def _grid_scale(v: Column, lo: float, hi: float, order: int) -> Column:
     """Same scaling as hilbert.scale_to_grid: floor((v-lo)/span*n + 0.5),
-    clamped to [0, 2^order - 1]."""
+    clamped to [0, 2^order - 1].  NULL coordinates PROPAGATE (Spark's
+    least/greatest skip NULL args, so the bare clamp fabricated cell 0);
+    a degenerate envelope yields one cell instead of an ANSI
+    DIVIDE_BY_ZERO job kill."""
     n = (1 << order) - 1
+    if hi - lo <= 0:
+        return F.when(v.isNotNull(), F.lit(0)).cast("long")
     g = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)) + F.lit(0.5))
-    return F.least(F.lit(n), F.greatest(F.lit(0), g)).cast("long")
+    return F.when(
+        g.isNotNull(),
+        F.least(F.lit(n), F.greatest(F.lit(0), g))).cast("long")
 
 
 def morton_key(x: Column, y: Column,
@@ -63,7 +70,14 @@ def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
     lat_bits = bits // 2
     gx = _clamped_cell(lon, -180.0, 180.0, lon_bits)
     gy = _clamped_cell(lat, -90.0, 90.0, lat_bits)
-    v = _spread_bits(gx).bitwiseOR(F.shiftleft(_spread_bits(gy), 1))
+    # the stream's FIRST (most significant, index bits-1) bit must be a
+    # LON bit: when the total bit count is odd that index is even (lon on
+    # even positions), when EVEN it is odd — lon must shift to the odd
+    # positions or every even precision encodes transposed cells
+    if bits % 2:
+        v = _spread_bits(gx).bitwiseOR(F.shiftleft(_spread_bits(gy), 1))
+    else:
+        v = _spread_bits(gy).bitwiseOR(F.shiftleft(_spread_bits(gx), 1))
     alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
     chars = [
         F.element_at(
@@ -72,13 +86,20 @@ def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
         )
         for k in range(precision)
     ]
-    return F.concat(*chars)
+    # explicit NULL gate: Spark's element_at with a RUNTIME-null index
+    # returns the LAST element instead of NULL (observed on 4.1.2), so
+    # a missing coordinate would geohash to 'zzz…' without this guard
+    return F.when(v.isNotNull(), F.concat(*chars))
 
 
 def _clamped_cell(v: Column, lo: float, hi: float, nbits: int) -> Column:
     n = 1 << nbits
     g = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)))
-    return F.least(F.lit(n - 1), F.greatest(F.lit(0), g)).cast("long")
+    # NULL propagates: least/greatest skip NULL args, and the bare clamp
+    # fabricated a real-looking cell 0 for missing coordinates
+    return F.when(
+        g.isNotNull(),
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), g))).cast("long")
 
 
 # --- DuckDB-oracle SQL mirrors (identical integer steps) --------------------
@@ -111,7 +132,12 @@ def geohash_sql_ctes(lon_sql: str, lat_sql: str, src_cte: str, id_col: str,
     nx, ny = 1 << lon_bits, 1 << lat_bits
     gx = (f"LEAST({nx - 1}, GREATEST(0, CAST(floor((({lon_sql}) + 180.0) / 360.0 * {float(nx)}) AS BIGINT)))")
     gy = (f"LEAST({ny - 1}, GREATEST(0, CAST(floor((({lat_sql}) + 90.0) / 180.0 * {float(ny)}) AS BIGINT)))")
-    ctes = morton_key_sql_ctes(gx, gy, src_cte, id_col)
+    # even total bit count: lon must land on ODD interleave positions
+    # (mirror of geohash() above — the MSB is always a lon bit)
+    if bits % 2:
+        ctes = morton_key_sql_ctes(gx, gy, src_cte, id_col)
+    else:
+        ctes = morton_key_sql_ctes(gy, gx, src_cte, id_col)
     chars = "||".join(
         f"substr('{GEOHASH32}', CAST(((mkey >> {5 * (precision - 1 - k)}) & 31) + 1 AS INT), 1)"
         for k in range(precision)

@@ -25,14 +25,23 @@ def _validate_zoom(zoom: int) -> None:
 
 
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
-    """Web-Mercator tile (tx, ty) at ``zoom`` as long Columns."""
+    """Web-Mercator tile (tx, ty) at ``zoom`` as long Columns.
+
+    NULL coordinates PROPAGATE to NULL tiles: Spark's least/greatest
+    skip NULL args, so the bare clamps silently filed missing
+    coordinates into the top-left tile (real-looking quadkey '000…')."""
     n = float(1 << zoom)
     lat_c = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat))
+    lat_c = F.when(lat.isNotNull(), lat_c)
     x = (lon + F.lit(180.0)) / F.lit(360.0)
     siny = F.sin(F.radians(lat_c))
     y = F.lit(0.5) - F.log((F.lit(1.0) + siny) / (F.lit(1.0) - siny)) / F.lit(4.0 * math.pi)
-    tx = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), F.floor(x * F.lit(n)).cast("long")))
-    ty = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), F.floor(y * F.lit(n)).cast("long")))
+    fx = F.floor(x * F.lit(n)).cast("long")
+    fy = F.floor(y * F.lit(n)).cast("long")
+    tx = F.when(fx.isNotNull(),
+                F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), fx)))
+    ty = F.when(fy.isNotNull(),
+                F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), fy)))
     return tx, ty
 
 

@@ -93,3 +93,67 @@ def test_sort_zorder_improves_locality_and_is_native(spark):
     assert keys == sorted(keys) and len(keys) > 0
     # dropped key by default
     assert "__zorder" not in gt.sort_zorder().df.columns
+
+
+def test_geohash_even_precision_matches_reference(spark):
+    """Even precisions interleaved lon onto the wrong bit positions —
+    every even-precision geohash decoded to a different location."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.geokeys import GEOHASH32, geohash
+
+    def ref_geohash(lon, lat, p):
+        lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+        bits, ch, even, out = 0, 0, True, ""
+        while len(out) < p:
+            iv, v = (lon_i, lon) if even else (lat_i, lat)
+            mid = (iv[0] + iv[1]) / 2
+            if v > mid:
+                ch, iv[0] = ch * 2 + 1, mid
+            else:
+                ch, iv[1] = ch * 2, mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += GEOHASH32[ch]
+                bits, ch = 0, 0
+        return out
+
+    pts = [(10.40744, 57.64911), (-0.1278, 51.5074), (151.2, -33.86),
+           (-122.42, 37.77)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for p in (1, 2, 5, 6, 7, 8, 11, 12):
+        got = [r[0] for r in df.select(
+            geohash(F.col("lon"), F.col("lat"), p)).collect()]
+        want = [ref_geohash(lon, lat, p) for lon, lat in pts]
+        assert got == want, (p, got, want)
+
+
+def test_geokeys_null_coordinates_propagate(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.geokeys import geohash, morton_key
+    from geoparquet_io_spark.functions.quadkey import quadkey
+
+    df = spark.createDataFrame([(None, 45.0), (None, None), (10.0, 20.0)],
+                               "lon double, lat double")
+    rows = df.select(
+        geohash(F.col("lon"), F.col("lat"), 6).alias("g"),
+        quadkey(F.col("lon"), F.col("lat"), 6).alias("q"),
+        morton_key(F.col("lon"), F.col("lat"),
+                   (-180.0, -90.0, 180.0, 90.0)).alias("m"),
+    ).collect()
+    assert rows[0]["g"] is None and rows[0]["q"] is None and rows[0]["m"] is None
+    assert rows[1]["g"] is None and rows[1]["q"] is None
+    assert rows[2]["g"] is not None and rows[2]["q"] is not None
+
+
+def test_morton_degenerate_envelope_no_crash(spark):
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.functions.geokeys import morton_key
+
+    df = spark.createDataFrame([(5.0, 1.0), (5.0, 2.0)], "x double, y double")
+    out = df.select(morton_key(F.col("x"), F.col("y"),
+                               (5.0, 0.0, 5.0, 10.0)).alias("m")).collect()
+    assert all(r["m"] is not None for r in out)   # no DIVIDE_BY_ZERO
