@@ -80,8 +80,21 @@ def arcgis_count(url: str, where: str = "1=1", bbox=None,
     return int(_arcgis_query(url, params)["count"])
 
 
+def _arcgis_layer_info(url: str, token: str | None = None) -> dict:
+    """Layer metadata (f=json on the layer root); {} when the server
+    doesn't answer it (minimal mocks, pre-10.x servers)."""
+    try:
+        params: dict = {"f": "json"}
+        if token:
+            params["token"] = token
+        return _arcgis_query(url, params)
+    except Exception:
+        return {}
+
+
 def _default_arcgis_fetcher(url: str, where: str, out_fields: str,
-                            bbox=None, token: str | None = None) -> FetchPage:
+                            bbox=None, token: str | None = None,
+                            order_by: str | None = None) -> FetchPage:
     """Real HTTP fetcher (urllib).
 
     A service's ``maxRecordCount`` can be SMALLER than our distributed
@@ -96,6 +109,11 @@ def _default_arcgis_fetcher(url: str, where: str, out_fields: str,
         cur = offset
         while len(out) < count:
             params = _base_params(where, out_fields, bbox, token)
+            if order_by:
+                # resultOffset windows are only stable under an explicit
+                # total order — without it concurrent windows may
+                # overlap or skip features (server sort is unspecified)
+                params["orderByFields"] = order_by
             params["resultOffset"] = cur
             params["resultRecordCount"] = count - len(out)
             doc = _arcgis_query(url, params)
@@ -131,28 +149,30 @@ def extract_arcgis(
 
     ``attr_schema`` defaults to inference from a driver-side sample page
     (long for ints, double for floats, string otherwise)."""
-    fetch = _default_arcgis_fetcher(url, where, out_fields, bbox, token)
+    info = _arcgis_layer_info(url, token)
+    adv = info.get("advancedQueryCapabilities") or {}
+    pag = adv.get("supportsPagination", info.get("supportsPagination"))
+    if pag is False:
+        raise ValueError(
+            f"FeatureService layer {url!r} does not support resultOffset "
+            "pagination — distributed offset windows would duplicate or "
+            "miss rows; extract sequentially instead")
+    oid = info.get("objectIdField") or info.get("objectIdFieldName")
+    fetch = _default_arcgis_fetcher(url, where, out_fields, bbox, token,
+                                    order_by=oid)
     total = arcgis_count(url, where, bbox, token)
     if attr_schema is None:
+        # MERGED inference over the sample (geojson's helper): keeping
+        # the FIRST value per key typed nullable numerics as string
+        # whenever the first sampled row held a None
+        from geoparquet_io_spark.sources.geojson import (
+            _infer_property_schema,
+        )
+
         sample = fetch(0, 10)
-        fields = []
-        seen: dict = {}
-        for rec in sample:
-            for k, v in rec.items():
-                if k in ("__x", "__y") or k in seen:
-                    continue
-                seen[k] = v
-        for k, v in seen.items():
-            if isinstance(v, bool):
-                dt = T.BooleanType()
-            elif isinstance(v, int):
-                dt = T.LongType()
-            elif isinstance(v, float):
-                dt = T.DoubleType()
-            else:
-                dt = T.StringType()
-            fields.append(T.StructField(k, dt))
-        attr_schema = T.StructType(fields)
+        rows = [{k: v for k, v in rec.items() if k not in ("__x", "__y")}
+                for rec in sample]
+        attr_schema, _ = _infer_property_schema(rows, skip=set())
     return arcgis_to_geotable(spark, total, attr_schema, fetch,
                               page_size=page_size,
                               geometry_column=geometry_column)
@@ -260,11 +280,19 @@ def read_bigquery(spark: SparkSession, table: str, where: str | None = None,
             reader = reader.option("filter", where)
         df = reader.load()
     except Exception as e:  # pragma: no cover - no connector here
-        raise NotImplementedError(
-            "spark-bigquery-connector not available in this environment; on a "
-            "cluster add the connector jar (--packages "
-            "com.google.cloud.spark:spark-bigquery-with-dependencies)"
-        ) from e
+        # only a MISSING data source means "jar not installed"; a bad
+        # filter / missing table / auth failure on a cluster that HAS
+        # the connector must surface its real message, not a jar hint
+        msg = str(e)
+        if ("DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+                or "ClassNotFoundException" in msg):
+            raise NotImplementedError(
+                "spark-bigquery-connector not available in this "
+                "environment; on a cluster add the connector jar "
+                "(--packages com.google.cloud.spark:"
+                "spark-bigquery-with-dependencies)"
+            ) from e
+        raise
     if columns:
         df = df.select(*columns)
     elif exclude_columns:

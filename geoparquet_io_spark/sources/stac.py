@@ -43,8 +43,20 @@ def generate_stac_item(
         "table:columns": [{"name": c} for c in s["columns"]],
     }
     crs = geo.get("crs")
-    if crs:
-        props["proj:code"] = crs if isinstance(crs, str) else None
+    proj_used = False
+    if isinstance(crs, str):
+        props["proj:code"] = crs
+        proj_used = True
+    elif isinstance(crs, dict):
+        # PROJJSON (the normal GeoParquet footer form): publish the
+        # AUTH:CODE when identified, else the full projjson — never
+        # proj:code null, which the extension defines as "undefined CRS"
+        ident = crs.get("id") or {}
+        if ident.get("authority") and ident.get("code") is not None:
+            props["proj:code"] = f"{ident['authority']}:{ident['code']}"
+        else:
+            props["proj:projjson"] = crs
+        proj_used = True
     if extra_properties:
         props.update(extra_properties)
     return {
@@ -52,10 +64,12 @@ def generate_stac_item(
         "stac_version": "1.0.0",
         "stac_extensions": [
             "https://stac-extensions.github.io/table/v1.2.0/schema.json",
-        ],
+        ] + ([
+            "https://stac-extensions.github.io/projection/v2.0.0/schema.json",
+        ] if proj_used else []),
         "id": item_id or os.path.splitext(os.path.basename(path))[0],
-        "geometry": _bbox_to_geometry(bbox),
-        "bbox": bbox[:4],
+        "geometry": _bbox_to_geometry(_planar_bbox(bbox)),
+        "bbox": _planar_bbox(bbox),
         "properties": props,
         "links": [],
         "assets": {
@@ -69,6 +83,16 @@ def generate_stac_item(
     }
 
 
+def _planar_bbox(b):
+    """[xmin, ymin, xmax, ymax] from a 4- or 6-element GeoParquet bbox
+    (6 = xmin,ymin,zmin,xmax,ymax,zmax — slicing [:4] grabbed zmin as
+    xmax and published inverted extents)."""
+    b = list(b)
+    if len(b) == 6:
+        return [b[0], b[1], b[3], b[4]]
+    return b[:4]
+
+
 def generate_stac_collection(items: list[dict], collection_id: str,
                              description: str = "") -> dict:
     boxes = [it["bbox"] for it in items if it.get("bbox")]
@@ -76,7 +100,13 @@ def generate_stac_collection(items: list[dict], collection_id: str,
         min(b[0] for b in boxes), min(b[1] for b in boxes),
         max(b[2] for b in boxes), max(b[3] for b in boxes),
     ] if boxes else [-180.0, -90.0, 180.0, 90.0]
-    dts = sorted(it["properties"]["datetime"] for it in items)
+    # STAC allows datetime: null when start/end_datetime are given —
+    # fall back and skip items with no usable stamp instead of crashing
+    dts = sorted(
+        d for it in items
+        for d in [it.get("properties", {}).get("datetime")
+                  or it.get("properties", {}).get("start_datetime")]
+        if d is not None)
     return {
         "type": "Collection",
         "stac_version": "1.0.0",
@@ -129,20 +159,31 @@ def _item_checks(d: dict, res: dict, stac_dir: str | None) -> None:
         if not isinstance(bbox, (list, tuple)) or len(bbox) not in (4, 6):
             res["errors"].append(
                 f"invalid bbox length: {len(bbox) if hasattr(bbox, '__len__') else bbox}")
-        elif len(bbox) == 4 and (bbox[0] > bbox[2] or bbox[1] > bbox[3]):
-            res["errors"].append(f"invalid bbox ordering: {list(bbox)}")
-        elif isinstance(geom, dict) and geom.get("type") == "Polygon":
-            coords = [pt for ring in geom.get("coordinates", [])
-                      for pt in ring]
-            if coords:
-                eps = 1e-9
-                inside = all(
-                    bbox[0] - eps <= x <= bbox[2] + eps
-                    and bbox[1] - eps <= y <= bbox[3] + eps
-                    for x, y in (c[:2] for c in coords))
-                if not inside:
+        else:
+            pb = _planar_bbox(bbox)
+            # west > east is LEGAL (antimeridian crossing, GeoJSON 5.2);
+            # only inverted latitude is an ordering error
+            if pb[1] > pb[3]:
+                res["errors"].append(f"invalid bbox ordering: {list(bbox)}")
+            elif (isinstance(geom, dict) and geom.get("type") == "Polygon"
+                  and pb[0] <= pb[2]):
+                try:
+                    coords = [pt for ring in geom.get("coordinates", [])
+                              for pt in ring]
+                    eps = 1e-9
+                    inside = all(
+                        pb[0] - eps <= x <= pb[2] + eps
+                        and pb[1] - eps <= y <= pb[3] + eps
+                        for x, y in ((float(c[0]), float(c[1]))
+                                     for c in coords))
+                except (TypeError, ValueError, IndexError, KeyError):
                     res["errors"].append(
-                        "geometry coordinates fall outside bbox")
+                        "malformed Polygon coordinates (expected nested "
+                        "[[x, y], ...] rings)")
+                else:
+                    if coords and not inside:
+                        res["errors"].append(
+                            "geometry coordinates fall outside bbox")
     if isinstance(geom, dict):
         if geom.get("type") not in (
                 "Point", "MultiPoint", "LineString", "MultiLineString",
@@ -194,8 +235,8 @@ def _collection_checks(d: dict, res: dict) -> None:
         res["errors"].append("extent.spatial.bbox missing or not a list")
     else:
         for b in sp:
-            if len(b) not in (4, 6) or (len(b) == 4 and
-                                        (b[0] > b[2] or b[1] > b[3])):
+            # west > east allowed (antimeridian); latitude must order
+            if len(b) not in (4, 6) or _planar_bbox(b)[1] > _planar_bbox(b)[3]:
                 res["errors"].append(f"invalid collection bbox: {b}")
     ti = (ext.get("temporal") or {}).get("interval")
     if not ti or not isinstance(ti, list):

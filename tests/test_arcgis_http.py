@@ -36,6 +36,12 @@ class _Handler(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
         type(self).requests_seen.append(q)
         if not u.path.endswith("/query"):
+            if q.get("f") == "json":
+                # layer-root metadata probe (pagination + oid field)
+                return self._send({
+                    "objectIdField": "oid",
+                    "advancedQueryCapabilities": {
+                        "supportsPagination": True}})
             return self._send({"error": {"code": 404, "message": "no"}})
         if self.require_token and q.get("token") != TOKEN:
             return self._send({"error": {

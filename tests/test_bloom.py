@@ -78,3 +78,25 @@ def test_check_bloom_cli(spark, tmp_path, capsys):
     assert main(["check", "bloom", p]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["columns_with_bloom"] == ["fingerprint"]
+
+
+def test_bucketed_join_verifies_spec(spark, tmp_path):
+    import pytest as _p
+
+    from geoparquet_io_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    write_bucketed(df, "bj_l", "k", num_buckets=8)
+    write_bucketed(df, "bj_r", "k", num_buckets=8)
+    write_bucketed(df, "bj_r4", "k", num_buckets=4)
+    df.write.format("parquet").mode("overwrite").saveAsTable("bj_plain")
+    assert bucketed_join(spark, "bj_l", "bj_r", "k").count() == 100
+    with _p.raises(ValueError, match="not bucketed"):
+        bucketed_join(spark, "bj_l", "bj_plain", "k")
+    with _p.raises(ValueError, match="counts differ"):
+        bucketed_join(spark, "bj_l", "bj_r4", "k")
+    with _p.raises(ValueError, match="join"):
+        bucketed_join(spark, "bj_l", "bj_r", "nope")

@@ -131,9 +131,16 @@ def test_stac_bbox_ordering(tmp_path):
     from geoparquet_io_spark.sources.stac import validate_stac_dict
 
     it = _good_item(tmp_path)
-    it["bbox"] = [2.0, 0.0, 0.0, 2.0]
+    it["bbox"] = [0.0, 2.0, 2.0, 0.0]          # inverted LATITUDE: error
     res = validate_stac_dict(it)
     assert any("ordering" in e for e in res["errors"])
+    # west > east is a LEGAL antimeridian crossing (GeoJSON 5.2) — the
+    # old check rejected valid Fiji-area items
+    it2 = _good_item(tmp_path)
+    it2["bbox"] = [177.0, -20.0, -178.0, -16.0]
+    it2.pop("geometry", None)
+    res2 = validate_stac_dict(it2)
+    assert not any("ordering" in e for e in res2["errors"])
 
 
 def test_stac_asset_href_and_roles(tmp_path):
@@ -179,7 +186,7 @@ def test_stac_collection_checks(tmp_path):
     }
     assert validate_stac_dict(coll)["valid"]
     bad = dict(coll)
-    bad["extent"] = {"spatial": {"bbox": [[1.0, 0.0, 0.0, 1.0]]},
+    bad["extent"] = {"spatial": {"bbox": [[0.0, 1.0, 1.0, 0.0]]},
                      "temporal": {"interval": [["2026-02-01T00:00:00Z",
                                                 "2026-01-01T00:00:00Z"]]}}
     res = validate_stac_dict(bad)
@@ -216,3 +223,62 @@ def test_stac_generated_items_pass_validation(spark, tmp_path):
     item = generate_stac_item(out)
     res = validate_stac_dict(item, stac_dir=str(tmp_path))
     assert not res["errors"]
+
+
+def test_stac_item_3d_bbox_and_projjson(tmp_path, spark):
+    """6-element bboxes publish planar corners (slicing [:4] grabbed
+    zmin as xmax); PROJJSON footers publish proj:code/projjson, never
+    null; the projection extension is declared when used."""
+    from geoparquet_io_spark.sources.stac import (
+        generate_stac_item,
+        validate_stac_dict,
+    )
+
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.queries import _events_points
+
+    p = str(tmp_path / "d.parquet")
+    _events_points(spark, SF_SMOKE).head(5).write(p)
+    # patch the footer to a 3D bbox + PROJJSON crs
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.sources.geoparquet import patch_footer_metadata
+
+    geo = json.loads(pq.read_schema(p).metadata[b"geo"])
+    col = geo["columns"]["geometry"]
+    col["bbox"] = [10.0, 20.0, 0.0, 30.0, 40.0, 100.0]
+    col["crs"] = {"type": "GeographicCRS",
+                  "id": {"authority": "EPSG", "code": 4326}}
+    patch_footer_metadata(p, {b"geo": json.dumps(geo).encode()})
+    item = generate_stac_item(p)
+    assert item["bbox"] == [10.0, 20.0, 30.0, 40.0]
+    assert item["properties"]["proj:code"] == "EPSG:4326"
+    assert any("projection" in e for e in item["stac_extensions"])
+    assert validate_stac_dict(item)["valid"], validate_stac_dict(item)
+
+
+def test_stac_validator_malformed_coords_reported(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    it = _good_item(tmp_path)
+    it["geometry"] = {"type": "Polygon", "coordinates": [[0, 0], [1, 1]]}
+    res = validate_stac_dict(it)
+    assert any("malformed" in e for e in res["errors"])   # not a crash
+
+
+def test_stac_collection_null_datetimes(tmp_path):
+    from geoparquet_io_spark.sources.stac import generate_stac_collection
+
+    items = [
+        {"bbox": [0, 0, 1, 1],
+         "properties": {"datetime": None,
+                        "start_datetime": "2026-01-01T00:00:00Z",
+                        "end_datetime": "2026-01-02T00:00:00Z"}},
+        {"bbox": [1, 1, 2, 2],
+         "properties": {"datetime": "2026-03-01T00:00:00Z"}},
+    ]
+    coll = generate_stac_collection(items, "c1")
+    iv = coll["extent"]["temporal"]["interval"][0]
+    assert iv == ["2026-01-01T00:00:00Z", "2026-03-01T00:00:00Z"]
