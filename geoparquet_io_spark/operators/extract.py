@@ -106,8 +106,22 @@ def extract(
 
     if bbox is not None:
         xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+        if ymin > ymax:
+            raise ValueError(f"bbox {bbox}: ymin > ymax")
+        if xmin > xmax:
+            # a west>east box is an ANTIMERIDIAN query, which a single
+            # min/max compare (or an inverted polygon) silently matches
+            # nothing on — split explicitly
+            raise ValueError(
+                f"bbox {bbox} crosses the antimeridian (xmin > xmax) — "
+                "run two extracts, (xmin, ymin, 180, ymax) and "
+                "(-180, ymin, xmax, ymax), and union the results")
         if bbox_column and bbox_column in out.columns:
-            # fast path: covering-column min/max compare (pushdown-friendly)
+            # fast path: covering-column min/max compare (pushdown-
+            # friendly).  NOTE this is envelope-vs-envelope semantics —
+            # the covering contract (reference core/extract.py:554-585);
+            # a geometry whose ENVELOPE touches the box passes even when
+            # the exact shape does not.  The slow path below is exact.
             out = out.filter(G.bbox_intersects(F.col(bbox_column), xmin, ymin, xmax, ymax))
         elif geometry_column:
             # slow path: exact intersects vs envelope polygon

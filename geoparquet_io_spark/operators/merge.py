@@ -46,11 +46,12 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
         raise ValueError(
             f"changes missing op column {op_column!r} "
             f"(have {sorted(changes.columns)})")
-    b = base.alias("b")
+    b = _reject_null_keys(base, keys, "base").alias("b")
     # presence FLAG, not op-nullness: a change row with NULL op for an
     # absent key must still upsert its payload — op-nullness would emit
     # a phantom all-NULL row from the missing base side instead
-    c = changes.withColumn("__chg", F.lit(True)).alias("c")
+    c = _reject_null_keys(changes, keys, "changes") \
+        .withColumn("__chg", F.lit(True)).alias("c")
     joined = b.join(c, on=list(keys), how="full_outer")
     has_change = F.col("c.__chg").isNotNull()
     cols = [F.col(k) for k in keys] + [
@@ -62,6 +63,22 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
     return joined.filter(
         ~(has_change & F.col(f"c.{op_column}").eqNullSafe(F.lit(delete_op)))
     ).select(*cols)
+
+
+def _reject_null_keys(df: DataFrame, keys: Sequence[str], side: str) -> DataFrame:
+    """NULL merge keys never match an equality join, so every operator
+    here would silently mishandle them (ignored deletes, duplicated
+    rows, added+removed diffs).  The guard is embedded IN the key
+    expressions (a dropped helper column would be pruned away), so it
+    evaluates exactly when the join reads the key — no extra pass."""
+    def g(c: str):
+        k = F.col(c)
+        return F.when(k.isNull(), F.raise_error(F.lit(
+            f"{side}: NULL merge key {c!r} — key columns must be "
+            "non-null (filter or impute upstream)"))
+            .cast(df.schema[c].dataType)).otherwise(k).alias(c)
+    return df.select(*[g(c) if c in keys else F.col(c)
+                       for c in df.columns])
 
 
 def row_hash_expr(columns: Sequence[str]) -> F.Column:
@@ -114,8 +131,10 @@ def dataset_diff(old: DataFrame, new: DataFrame,
         raise ValueError(
             f"compare columns missing: old={missing_o} new={missing_n}")
 
-    o = old.select(*keys, row_hash_expr(compare_columns).alias("__h_old"))
-    n = new.select(*keys, row_hash_expr(compare_columns).alias("__h_new"))
+    o = _reject_null_keys(old, keys, "old") \
+        .select(*keys, row_hash_expr(compare_columns).alias("__h_old"))
+    n = _reject_null_keys(new, keys, "new") \
+        .select(*keys, row_hash_expr(compare_columns).alias("__h_new"))
     j = o.join(n, on=list(keys), how="full_outer")
     status = (
         F.when(F.col("__h_old").isNull(), F.lit("added"))
@@ -160,15 +179,28 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
     for c in [*keys, *attrs, effective_column]:
         if c not in changes.columns:
             raise ValueError(f"changes missing column {c!r}")
+    dim = _reject_null_keys(dim, keys, "dim")
+    changes = _reject_null_keys(changes, keys, "changes")
     history = dim.filter(F.col(valid_to).isNotNull()).select(*out_cols)
     current = dim.filter(F.col(valid_to).isNull()).select(*out_cols) \
         .withColumn("__cur", F.lit(True))
+    eff = F.col(effective_column)
     ch = changes.select(
         *keys,
         *[F.col(a).alias(f"__new_{a}") for a in attrs],
-        F.col(effective_column).alias("__eff")) \
+        # NULL effective_ts would CLOSE a row with valid_to=NULL (still
+        # "current") while also opening a new one — two open rows per
+        # key, breaking the single-current invariant
+        F.when(eff.isNull(), F.raise_error(F.lit(
+            f"changes: NULL {effective_column!r} — every change needs "
+            "an effective timestamp")).cast(
+                changes.schema[effective_column].dataType))
+        .otherwise(eff).alias("__eff")) \
         .withColumn("__chg", F.lit(True))
-    j = current.join(ch, list(keys), "full_outer")
+    # the join feeds THREE branches (kept/closed/opened): checkpoint so
+    # it executes once per batch, not three times
+    j = current.join(ch, list(keys), "full_outer") \
+        .localCheckpoint(eager=False)
     differs = F.lit(False)
     for a in attrs:
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))

@@ -19,10 +19,20 @@ DEFAULT_QUADKEY_COLUMN_RESOLUTION = 13  # reference: core/constants.py:12-18
 DEFAULT_QUADKEY_PARTITION_RESOLUTION = 9
 
 
-def _checked_write(gt, key_column: str, path: str, skip_analysis: bool,
+def _checked_write(gt, key_column, path: str, skip_analysis: bool,
                    force: bool, **kw) -> list[str]:
+    """Guardrailed hive write shared by every partition writer.
+    ``key_column`` may be one name or a list (multi-level writes are
+    analyzed over the FULL level tuple — checking only the first level
+    let country x region writes blow past MAX_PARTITIONS unchecked)."""
+    keys = [key_column] if isinstance(key_column, str) else list(key_column)
     if not skip_analysis:
-        analysis = analyze_partition_strategy(gt.df, key_column)
+        # pin the derived-key frame: the preflight groupBy and the write
+        # would otherwise BOTH evaluate the (often UDF-heavy) key plan
+        df = gt.df.localCheckpoint(eager=False)
+        gt = gt._wrap(df)
+        akey = keys[0] if len(keys) == 1 else F.struct(*keys)
+        analysis = analyze_partition_strategy(gt.df, akey)
         if analysis.errors and not force:
             raise ValueError(
                 "pathological partition strategy: "
@@ -33,7 +43,7 @@ def _checked_write(gt, key_column: str, path: str, skip_analysis: bool,
     # (core/partition_common.py:657-705)
     if gt.bbox_column and "per_file_bbox" not in kw:
         kw["per_file_bbox"] = gt.bbox_column
-    return gt.write(path, partition_by=[key_column], **kw)
+    return gt.write(path, partition_by=keys, **kw)
 
 
 def partition_by_string(gt, column: str, path: str, chars: int | None = None,
@@ -58,6 +68,11 @@ def partition_by_quadkey(
     """Quadkey-prefix partitioning (reference: core/partition_by_quadkey.py:123).
     Adds the quadkey column (res ``column_resolution``) when missing, then
     partitions on its ``partition_resolution``-char prefix."""
+    if partition_resolution > column_resolution:
+        raise ValueError(
+            f"partition_resolution {partition_resolution} exceeds "
+            f"column_resolution {column_resolution}: the prefix would "
+            "silently be the coarser column key")
     work = gt
     if "quadkey" not in work.df.columns:
         work = work.add_quadkey(zoom=column_resolution)
@@ -94,20 +109,7 @@ def partition_by_admin(gt, admin, levels: list[str], path: str,
     df = enriched.df
     for c, lv in zip(cols, levels):
         df = df.withColumnRenamed(c, lv)
-    if not skip_analysis:
-        # pin the enriched frame: the preflight analysis and the write
-        # would otherwise each run the (dominant) spatial join
-        df = df.localCheckpoint(eager=False)
     work = gt._wrap(df)
-    if not skip_analysis:
-        analysis = analyze_partition_strategy(work.df, levels[0])
-        if analysis.errors and not force:
-            raise ValueError(
-                "pathological partition strategy: "
-                + "; ".join(analysis.errors)
-                + " (pass force=True or skip_analysis=True)")
-    # per-partition-file bbox metadata is the reference invariant —
-    # the other partition writers inject it via _checked_write
-    if work.bbox_column and "per_file_bbox" not in kw:
-        kw["per_file_bbox"] = work.bbox_column
-    return work.write(path, partition_by=levels, **kw)
+    # shared guardrail (checkpoints the enriched frame, analyzes the
+    # FULL level tuple, injects per-file bbox)
+    return _checked_write(work, levels, path, skip_analysis, force, **kw)

@@ -746,3 +746,65 @@ def test_classifier_null_handling(spark):
         linear_classifier_train(empty, ["x"], "label")
     with _p.raises(ValueError, match="weights"):
         linear_classifier_score(df, [0.3], ["x", "x"]).collect()
+
+
+def test_merge_null_keys_fail_loud(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.merge import (
+        dataset_diff,
+        merge_upsert,
+        scd2_apply,
+    )
+
+    base = spark.createDataFrame([(None, 1)], "k long, v long")
+    ch = spark.createDataFrame([(None, 2, "U")], "k long, v long, op string")
+    with _p.raises(Exception, match="NULL merge key"):
+        merge_upsert(base, ch, "k").collect()
+    o = spark.createDataFrame([(None, 1)], "k long, v long")
+    with _p.raises(Exception, match="NULL merge key"):
+        dataset_diff(o, o, "k").collect()
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None)],
+        "k long, attr string, valid_from string, valid_to string")
+    bad = spark.createDataFrame([(1, "b", None)],
+                                "k long, attr string, effective_ts string")
+    with _p.raises(Exception, match="effective"):
+        scd2_apply(dim, bad, "k", ["attr"]).collect()
+
+
+def test_partition_quadkey_resolution_contract(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.partition import partition_by_quadkey
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    with _p.raises(ValueError, match="exceeds"):
+        partition_by_quadkey(gt, "/tmp/nope", partition_resolution=9,
+                             column_resolution=5)
+
+
+def test_partition_admin_analyzes_full_level_tuple(spark, tmp_path):
+    """Multi-level admin writes must guardrail on the FULL tuple, not
+    just levels[0] — country x region explodes the directory count."""
+    from geoparquet_io_spark.operators.stats import analyze_partition_strategy
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(3000)], "a long, b long")
+    one = analyze_partition_strategy(df, "a")
+    both = analyze_partition_strategy(df, F.struct("a", "b"))
+    assert not one.errors            # 3 x 1000-row partitions: fine
+    assert both.errors               # 3000 singleton partitions: flagged
+
+
+def test_extract_antimeridian_bbox_raises(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, SF_SMOKE)
+    with _p.raises(ValueError, match="antimeridian"):
+        gt.extract(bbox=(170.0, -10.0, -170.0, 10.0))
+    with _p.raises(ValueError, match="ymin"):
+        gt.extract(bbox=(0.0, 10.0, 10.0, -10.0))
