@@ -3,6 +3,7 @@ presence check (pyarrow 16 exposes no bloom API, so the checker drives
 the driver-JVM ParquetFileReader)."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -88,7 +89,15 @@ def test_bucketed_join_verifies_spec(spark, tmp_path):
         write_bucketed,
     )
 
+    import shutil
+
     df = spark.range(100).withColumnRenamed("id", "k")
+    # clean any leftover managed-table locations from crashed runs
+    # (the catalog is session-scoped, the warehouse dirs are not)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bj_l", "bj_r", "bj_r4", "bj_plain"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     write_bucketed(df, "bj_l", "k", num_buckets=8)
     write_bucketed(df, "bj_r", "k", num_buckets=8)
     write_bucketed(df, "bj_r4", "k", num_buckets=4)
