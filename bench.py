@@ -7,16 +7,37 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Every query is forced through the noop sink so projections and UDF
 columns are fully evaluated (a bare count() would let Spark prune them).
+
+Self-calibration (rounds 4-6 showed host weather dominating the
+round-to-round signal):
+
+- ``calibration_sec``: a fixed single-thread 20M-step float loop timed
+  at run start (min of 2) — a host-speed constant every BENCH/baseline
+  JSON carries, so two runs' absolute numbers can be normalized.
+- A/B mode: the baseline commit (pinned in ``bench_baseline.json`` as
+  ``commit``) and HEAD run as two persistent subprocess workers, each
+  with its own Spark session, and every query is measured on BOTH
+  sides back-to-back with alternating order — host drift cancels by
+  construction and the output carries per-query ``head/ref`` ratios
+  (the controlled experiment NOTES_r6 had to run by hand).  Enabled by
+  default when the pin exists; ``SPARK_GRAFT_BENCH_AB=0`` disables,
+  ``--ab <commit>`` forces a specific ref.  Any A/B failure degrades
+  to the plain in-process run — the one-JSON-line contract never
+  breaks.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HEAD_DIR = os.path.dirname(os.path.abspath(__file__))
+if "--worker" not in sys.argv:
+    sys.path.insert(0, _HEAD_DIR)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -71,8 +92,32 @@ HEADLINE = [
 # (reference: benchmarks/config.py:9-19 — warn >10%, fail >25%)
 WARN_PCT = 10.0
 FAIL_PCT = 25.0
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+BASELINE_FILE = os.path.join(_HEAD_DIR, "bench_baseline.json")
+
+
+def _query_names() -> list[str]:
+    """The timed set; SPARK_GRAFT_BENCH_QUERIES (comma list) narrows it
+    (test hook / quick local iteration)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [q.strip() for q in env.split(",") if q.strip()] if env \
+        else list(HEADLINE) + ["pipeline_3op_write"]
+    return names
+
+
+def calibrate(steps: int = 20_000_000, reps: int = 2) -> float:
+    """Single-thread host-speed constant: a fixed pure-Python float
+    loop, min over ``reps`` (min filters scheduler noise; the loop is
+    deterministic so the min is the host's true speed this minute)."""
+    best = float("inf")
+    for _ in range(reps):
+        x = 1.0
+        t0 = time.perf_counter()
+        for _i in range(steps):
+            x = x * 1.0000001
+            if x > 1e9:
+                x = 1.0
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def check_regressions(timings: dict[str, float]) -> dict:
@@ -145,19 +190,36 @@ def _wait_for_quiet(max_load1: float = 0.8,
         return None, 0
 
 
-def main() -> None:
-    load1, waited = _wait_for_quiet()
-
-    from geoparquet_io_spark.session import get_spark
+def _run_query(spark, name: str) -> float | None:
+    """Time one registry query (or the 3-op pipeline) through the noop
+    sink.  None = not in this code version's registry."""
     from geoparquet_io_spark.queries import REGISTRY
 
-    spark = get_spark("bench")
-    # Warm the paths every timed query exercises, so the FIRST query
-    # doesn't absorb one-time JVM/codegen/worker init (~0.5s observed on
-    # tpch_q1): parquet scan + whole-stage codegen + shuffle, the Python
-    # worker pool (Arrow batch path), and the noop sink.
-    from pyspark.sql import functions as F
+    if name == "pipeline_3op_write":
+        # the reference's published 3-op pipeline (extract -> add bbox ->
+        # hilbert sort -> write), BASELINE.md: 34s CLI / 16s piped / 7s
+        # API at 400k rows.  Runs lazily end-to-end including the write.
+        from geoparquet_io_spark.queries import _events_points
 
+        t0 = time.perf_counter()
+        gt = _events_points(spark, SF_DIR)
+        out_path = tempfile.mkdtemp(prefix="bench_3op_") + "/out.parquet"
+        gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert().write(out_path)
+        return round(time.perf_counter() - t0, 3)
+    if name not in REGISTRY:
+        return None
+    fn = REGISTRY[name][0]
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _warm(spark):
+    """Warm the paths every timed query exercises, so the FIRST query
+    doesn't absorb one-time JVM/codegen/worker init (~0.5s observed on
+    tpch_q1): parquet scan + whole-stage codegen + shuffle, the Python
+    worker pool (Arrow batch path), and the noop sink."""
     warm = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
     warm.groupBy("n_regionkey").count().write.format("noop") \
         .mode("overwrite").save()
@@ -169,39 +231,200 @@ def main() -> None:
     warm.limit(8).mapInPandas(_warm_udf, warm.schema).write \
         .format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in REGISTRY:
+
+# ---------------------------------------------------------------- worker
+
+def _worker_main(repo_dir: str) -> None:
+    """Persistent measurement worker: imports the engine from
+    ``repo_dir`` (a git worktree of the ref commit, or this repo for
+    HEAD), answers one JSON line per RUN command.  Kept deliberately
+    dumb — all interleaving policy lives in the driver."""
+    sys.path.insert(0, repo_dir)
+    from geoparquet_io_spark.session import get_spark
+
+    spark = get_spark("bench-ab")
+    _warm(spark)
+    print(json.dumps({"ready": 1}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
             continue
-        fn = REGISTRY[name][0]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if line == "EXIT":
+            break
+        name = line[len("RUN "):] if line.startswith("RUN ") else line
+        try:
+            sec = _run_query(spark, name)
+        except Exception as exc:  # a ref-side crash must not kill the A/B
+            print(json.dumps({"name": name, "error": str(exc)[:200]}),
+                  flush=True)
+            continue
+        print(json.dumps({"name": name, "sec": sec}), flush=True)
+    spark.stop()
 
-    # the reference's published 3-op pipeline (extract -> add bbox ->
-    # hilbert sort -> write), BASELINE.md: 34s CLI / 16s piped / 7s API at
-    # 400k rows.  Ours runs it lazily end-to-end including the write.
-    import tempfile
 
-    from geoparquet_io_spark.queries import _events_points
+class _Worker:
+    def __init__(self, repo_dir: str):
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.join(_HEAD_DIR, "bench.py"),
+             "--worker", "--repo", repo_dir],
+            cwd=repo_dir, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+        )
 
-    t0 = time.perf_counter()
-    gt = _events_points(spark, SF_DIR)
-    out_path = tempfile.mkdtemp(prefix="bench_3op_") + "/out.parquet"
-    gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert().write(out_path)
-    timings["pipeline_3op_write"] = round(time.perf_counter() - t0, 3)
+    def _read(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError("bench worker died")
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    def wait_ready(self):
+        msg = self._read()
+        if "ready" not in msg:
+            raise RuntimeError(f"unexpected worker hello: {msg}")
+
+    def run(self, name: str) -> float | None:
+        self.proc.stdin.write(f"RUN {name}\n")
+        self.proc.stdin.flush()
+        msg = self._read()
+        if msg.get("error"):
+            return None
+        return msg.get("sec")
+
+    def close(self):
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
+    """Interleaved A/B: both commits alive as workers, each query timed
+    on both sides back-to-back with alternating order, ``rounds``
+    passes.  Returns (head_timings, ab_report); None on any setup
+    failure (caller falls back to the in-process path)."""
+    wt = tempfile.mkdtemp(prefix="bench_ab_ref_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref_commit],
+            cwd=_HEAD_DIR, check=True, capture_output=True, timeout=120)
+    except Exception as exc:
+        print(f"note: A/B disabled ({exc})", file=sys.stderr)
+        return None
+    ref_w = head_w = None
+    try:
+        ref_w, head_w = _Worker(wt), _Worker(_HEAD_DIR)
+        ref_w.wait_ready(), head_w.wait_ready()
+        names = _query_names()
+        samples: dict[str, dict[str, list[float]]] = {
+            n: {"ref": [], "head": []} for n in names}
+        for r in range(rounds):
+            for i, name in enumerate(names):
+                pair = [("ref", ref_w), ("head", head_w)]
+                if (i + r) % 2:
+                    pair.reverse()   # alternate order: drift cancels
+                for side, w in pair:
+                    sec = w.run(name)
+                    if sec is not None:
+                        samples[name][side].append(sec)
+        head_t: dict[str, float] = {}
+        ab_q: dict[str, dict] = {}
+        missing: list[str] = []
+        for name in names:
+            s = samples[name]
+            if s["head"]:
+                head_t[name] = round(_median(s["head"]), 3)
+            if not s["ref"]:
+                missing.append(name)
+                continue
+            if s["head"]:
+                rm = _median(s["ref"])
+                ab_q[name] = {
+                    "ref": round(rm, 3), "head": head_t[name],
+                    "ratio": round(head_t[name] / rm, 3) if rm else None,
+                }
+        ref_total = round(sum(v["ref"] for v in ab_q.values()), 3)
+        head_total = round(sum(v["head"] for v in ab_q.values()), 3)
+        report = {
+            "ref_commit": ref_commit,
+            "rounds": rounds,
+            "queries": ab_q,
+            "ref_total": ref_total,
+            "head_total": head_total,
+            "ratio_total": round(head_total / ref_total, 3) if ref_total else None,
+            "missing_in_ref": missing,
+        }
+        return head_t, report
+    except Exception as exc:
+        print(f"note: A/B run failed, falling back ({exc})", file=sys.stderr)
+        return None
+    finally:
+        for w in (ref_w, head_w):
+            if w is not None:
+                w.close()
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=_HEAD_DIR, capture_output=True)
+
+
+def _pinned_ref_commit() -> str | None:
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") == "0":
+        return None
+    if "SPARK_GRAFT_BENCH_AB_COMMIT" in os.environ:
+        return os.environ["SPARK_GRAFT_BENCH_AB_COMMIT"]
+    if "--ab" in sys.argv:
+        return sys.argv[sys.argv.index("--ab") + 1]
+    if os.path.exists(BASELINE_FILE):
+        return json.load(open(BASELINE_FILE)).get("commit")
+    return None
+
+
+def main() -> None:
+    load1, waited = _wait_for_quiet()
+    calibration = calibrate()
+
+    out: dict = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load1_at_start": load1,
         "waited_for_quiet_sec": waited,
+        "calibration_sec": calibration,
     }
+
+    timings: dict[str, float] | None = None
+    ref_commit = _pinned_ref_commit()
+    if ref_commit:
+        rounds = int(os.environ.get("SPARK_GRAFT_BENCH_AB_ROUNDS",
+                                    "2" if "--ab" in sys.argv else "1"))
+        got = run_ab(ref_commit, rounds)
+        if got is not None:
+            timings, out["ab"] = got
+
+    if timings is None:
+        from geoparquet_io_spark.session import get_spark
+
+        spark = get_spark("bench")
+        _warm(spark)
+        timings = {}
+        for name in _query_names():
+            sec = _run_query(spark, name)
+            if sec is not None:
+                timings[name] = sec
+        spark.stop()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out["value"] = round(sum(timings.values()), 3)
+    out["queries"] = timings
+    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     if "--check" in sys.argv:
         reg = check_regressions(timings)
         out["regressions"] = reg
@@ -210,11 +433,12 @@ def main() -> None:
         for name, pct in reg["fail"].items():
             print(f"FAIL {name} {pct:+.1f}% vs baseline", file=sys.stderr)
         print(json.dumps(out))
-        spark.stop()
         sys.exit(1 if reg["fail"] else 0)
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        _worker_main(sys.argv[sys.argv.index("--repo") + 1])
+    else:
+        main()

@@ -307,6 +307,34 @@ def _best_rice_param(res: np.ndarray) -> int:
     return best
 
 
+def _write_coded_number(w: "_BitWriter", f: int) -> None:
+    """Coded frame number: full UTF-8-style coded number (1-7 bytes),
+    matching the decoder's _coded_number — a fixed 2-byte form silently
+    desyncs any stream with >= 2048 frames."""
+    if f < 0x80:
+        w.write(f, 8)
+        return
+    tail = []
+    v = f
+    while True:
+        tail.append(0x80 | (v & 0x3F))
+        v >>= 6
+        nbytes = len(tail) + 1
+        if nbytes > 7:
+            # >= 2^36 frames cannot be coded in the 7-byte form; without
+            # this the next check computes 1 << -1 (negative shift)
+            raise ValueError(
+                f"frame number {f} too large for FLAC coded number "
+                "(max 7 bytes / 36 value bits)")
+        # lead byte has (7 - nbytes) free value bits
+        if v < (1 << (7 - nbytes)):
+            break
+    lead = (0xFF00 >> nbytes) & 0xFF
+    w.write(lead | v, 8)
+    for b in reversed(tail):
+        w.write(b, 8)
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
                 bits_per_sample: int = 16, blocksize: int = 4096,
                 subframe: str = "fixed") -> bytes:
@@ -352,25 +380,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
                 f"code (supported: {sorted(_BPS_CODES.values())})")
         w.write(bps_code, 3)
         w.write(0, 1)
-        # coded frame number: full UTF-8-style coded number (1-7 bytes),
-        # matching the decoder's _coded_number — a fixed 2-byte form
-        # silently desyncs any stream with >= 2048 frames
-        if f < 0x80:
-            w.write(f, 8)
-        else:
-            tail = []
-            v = f
-            while True:
-                tail.append(0x80 | (v & 0x3F))
-                v >>= 6
-                nbytes = len(tail) + 1
-                # lead byte has (7 - nbytes) free value bits
-                if v < (1 << (7 - nbytes)) and nbytes <= 7:
-                    break
-            lead = (0xFF00 >> nbytes) & 0xFF
-            w.write(lead | v, 8)
-            for b in reversed(tail):
-                w.write(b, 8)
+        _write_coded_number(w, f)
         w.write(bs - 1, 16)
         assert w.nacc == 0               # header fields are byte-aligned
         w.write(_crc8(bytes(w.buf)), 8)

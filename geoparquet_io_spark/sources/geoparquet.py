@@ -415,6 +415,12 @@ def _write_distributed(
     geo_json = geo.to_json() if geo is not None else None
     schema = _arrow_schema_with_geo(df, geo)
     schema_ser = schema.serialize().to_pybytes()
+    # per-job id scopes the in-flight prefix AND the orphan sweep: two
+    # concurrent appends to the same directory (a designed scenario —
+    # commit_snapshot / vacuum grace both assume it) must never delete
+    # each other's in-flight task files
+    job_id = uuid.uuid4().hex[:12]
+    inprog_prefix = f".inprogress-{job_id}-"
     if overwrite and os.path.isdir(path):
         import shutil
 
@@ -469,7 +475,7 @@ def _write_distributed(
             # or duplicate file into reads — the driver renames the
             # manifest's survivors to their visible names after collect()
             return os.path.join(
-                d, f".inprogress-part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+                d, f"{inprog_prefix}part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
 
         def _open(k: tuple):
             f = _new_file(k)
@@ -623,23 +629,33 @@ def _write_distributed(
     for r in rows:
         hidden = r["file"]
         d, base = os.path.split(hidden)
-        final = os.path.join(d, base[len(".inprogress-"):])
+        final = os.path.join(d, base[len(inprog_prefix):])
         os.replace(hidden, final)
         final_files.append(final)
     for root_dir, _dirs, fnames in os.walk(path):
         for fn in fnames:
-            if fn.startswith(".inprogress-"):   # orphaned attempt
+            # sweep ONLY this job's orphaned attempts: another writer's
+            # in-flight files are its task-commit manifest, not garbage
+            if fn.startswith(inprog_prefix):
                 os.unlink(os.path.join(root_dir, fn))
     if not rows:
         # zero input rows (a filter matching nothing is a normal pipeline
         # outcome): emit ONE schema-only file so the dataset stays
         # readable — spark.read.parquet on an empty directory raises
-        # UNABLE_TO_INFER_SCHEMA.  The file carries the FULL schema
-        # (partition columns included — there are no hive dirs to
-        # conflict with) plus the geo footer, so round-trips preserve
-        # schema and metadata.
-        f = os.path.join(path, f"part-00000-{uuid.uuid4().hex[:8]}.parquet")
-        pq.write_table(pa.Table.from_batches([], schema=schema), f,
+        # UNABLE_TO_INFER_SCHEMA.  For partitioned layouts the file MUST
+        # match what data files contain (partition columns live in dir
+        # names, never inside files): inlining them would make a later
+        # append with real hive dirs fail with a duplicate-column error.
+        # Placing it under __HIVE_DEFAULT_PARTITION__ dirs keeps the
+        # partition columns discoverable even in the empty state.
+        d, f_schema = path, schema
+        if part_cols:
+            d = os.path.join(
+                path, *[f"{c}=__HIVE_DEFAULT_PARTITION__" for c in part_cols])
+            os.makedirs(d, exist_ok=True)
+            f_schema = data_schema
+        f = os.path.join(d, f"part-00000-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(pa.Table.from_batches([], schema=f_schema), f,
                        compression=compression,
                        compression_level=compression_level)
         return [f]

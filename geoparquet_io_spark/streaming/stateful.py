@@ -4,6 +4,14 @@ Running per-user counters with state timeout — the pattern for any
 custom streaming state the built-in windows can't express
 (SURVEY.md 2.12 notes the reference has no true streaming; this is the
 Spark-native capability a 100 TB event pipeline needs).
+
+State-size trade-off: correct *running* totals require keeping each
+key's state for the life of the query (dropping it on idle-flush reset
+counters, breaking batch parity).  On streams with high key churn
+(many one-shot user_ids) that grows without bound — pass
+``eviction_ttl_sec`` to deliberately drop a key's state after that
+long with no events; a key seen again after eviction restarts from
+zero, which is the documented trade, not a bug.
 """
 
 from __future__ import annotations
@@ -16,10 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+FLUSH_IDLE_MS = 60_000
+
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
     T.StructField("sum_value", T.DoubleType()),
     T.StructField("n_valid", T.LongType()),
+    # 1 after an idle flush; a second consecutive timeout (the eviction
+    # horizon) with no interleaved data may then drop the state
+    T.StructField("idle", T.LongType()),
 ])
 
 def _output_schema(key_type: T.DataType) -> T.StructType:
@@ -44,44 +57,74 @@ def _emit(key, n, total, nv):
     })
 
 
-def _update_user_totals(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    if state.hasTimedOut:
-        # flush the current totals but KEEP the state: removing it reset
-        # a user's running count to zero after any 60 s idle gap, so the
-        # next event emitted n_events=1 and the update-mode sink
-        # overwrote the real total — breaking batch parity.  No new
-        # timeout is registered; the next data batch re-arms it.
-        n, total, nv = state.get
+def _make_update_fn(eviction_ttl_ms: int | None):
+    def _update_user_totals(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, nv, idle = state.get
+            if idle and eviction_ttl_ms is not None:
+                # second consecutive timeout = eviction horizon reached
+                # with zero events since the flush: drop deliberately
+                # (long-horizon TTL for high-churn key spaces; the key
+                # restarts from zero if ever seen again)
+                state.remove()
+                return
+            # flush the current totals but KEEP the state: removing it
+            # reset a user's running count to zero after any 60 s idle
+            # gap, so the next event emitted n_events=1 and the
+            # update-mode sink overwrote the real total — breaking
+            # batch parity.
+            state.update((n, total, nv, 1))
+            if eviction_ttl_ms is not None:
+                state.setTimeoutDuration(
+                    max(1, eviction_ttl_ms - FLUSH_IDLE_MS))
+            yield _emit(key, n, total, nv)
+            return
+        n, total, nv, _ = state.get if state.exists else (0, 0.0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            nv += int(pdf["value"].notna().sum())
+            total += float(pdf["value"].sum())  # skips NaN; gated by nv
+        state.update((n, total, nv, 0))
+        state.setTimeoutDuration(FLUSH_IDLE_MS)  # flush after 60s idle
         yield _emit(key, n, total, nv)
-        return
-    n, total, nv = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        nv += int(pdf["value"].notna().sum())
-        total += float(pdf["value"].sum())  # skips NaN; gated by nv
-    state.update((n, total, nv))
-    state.setTimeoutDuration(60_000)  # flush after 60s idle
-    yield _emit(key, n, total, nv)
+
+    return _update_user_totals
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+# default (no-eviction) update fn — also the unit-test seam
+_update_user_totals = _make_update_fn(None)
+
+
+def running_user_totals(
+    events: DataFrame, eviction_ttl_sec: float | None = None
+) -> DataFrame:
     """Streaming: continuously-updated per-user totals with 60 s idle
     timeout.  Batch: plain groupBy (same schema) so the operator is
-    batch/stream agnostic for oracle checks."""
+    batch/stream agnostic for oracle checks.
+
+    ``eviction_ttl_sec``: optional long-horizon TTL — a key with no
+    events for this long has its state dropped (bounds state on
+    high-churn key spaces; running totals restart from zero if the key
+    reappears).  ``None`` (default) keeps state forever: exact running
+    totals, state grows with distinct-key count.
+    """
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
         )
+    ttl_ms = None
+    if eviction_ttl_sec is not None:
+        ttl_ms = max(int(eviction_ttl_sec * 1000), FLUSH_IDLE_MS + 1)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _make_update_fn(ttl_ms),
             outputStructType=_output_schema(
                 events.schema["user_id"].dataType),
             stateStructType=STATE_SCHEMA,

@@ -1,0 +1,83 @@
+"""bench.py self-calibration + interleaved A/B mode.
+
+The A/B harness is the round-7 answer to three rounds of host-weather
+drift: the committed baseline commit and HEAD run as two persistent
+workers and each query is timed on both sides back-to-back, so the
+per-query head/ref ratio is drift-free by construction."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def test_calibrate_returns_positive_constant():
+    sec = bench.calibrate(steps=200_000, reps=2)
+    assert 0 < sec < 10
+
+
+def test_median():
+    assert bench._median([3.0]) == 3.0
+    assert bench._median([1.0, 9.0]) == 5.0
+    assert bench._median([9.0, 1.0, 2.0]) == 2.0
+
+
+def test_query_names_env_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUERIES", "a, b ,c")
+    assert bench._query_names() == ["a", "b", "c"]
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERIES")
+    names = bench._query_names()
+    assert names[-1] == "pipeline_3op_write"
+    assert "tpch_q1_pricing_summary" in names
+
+
+def test_pinned_ref_commit_sources(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "0")
+    assert bench._pinned_ref_commit() is None
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB_COMMIT", "abc123")
+    assert bench._pinned_ref_commit() == "abc123"
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_AB_COMMIT")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--ab", "def456"])
+    assert bench._pinned_ref_commit() == "def456"
+
+
+def test_run_ab_bad_commit_degrades_to_none():
+    """A missing ref commit must NOT break the one-JSON-line contract:
+    run_ab returns None and main falls back to the in-process path."""
+    assert bench.run_ab("no-such-commit-xyz", rounds=1) is None
+
+
+@pytest.mark.slow
+def test_ab_end_to_end_self_ratio():
+    """HEAD-vs-HEAD A/B: every ratio must exist and the output must be
+    one parseable JSON line with the ab section (~90 s: two Spark
+    workers at sf0.001, two tiny queries, 1 round)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_QUERIES="tpch_q1_pricing_summary,geo_bbox_fast_path",
+        SPARK_GRAFT_BENCH_MAX_LOAD1="99",
+        SPARK_GRAFT_BENCH_AB_ROUNDS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--ab", "HEAD"],
+        env=env, capture_output=True, text=True, timeout=360, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["calibration_sec"] > 0
+    ab = doc["ab"]
+    assert ab["ref_commit"] == "HEAD" and ab["missing_in_ref"] == []
+    assert set(ab["queries"]) == {"tpch_q1_pricing_summary",
+                                  "geo_bbox_fast_path"}
+    for q in ab["queries"].values():
+        assert q["ref"] > 0 and q["head"] > 0 and q["ratio"] > 0
+    assert doc["value"] == round(sum(doc["queries"].values()), 3)

@@ -805,14 +805,17 @@ def test_distributed_write_sweeps_orphan_attempts(spark, tmp_path):
         "geometry binary, id long").coalesce(1)
     out = tmp_path / "d"
     out.mkdir()
-    # simulate a dead task attempt's leftover
-    orphan = out / ".inprogress-part-00009-deadbeef.parquet"
-    orphan.write_bytes(b"partial garbage")
+    # another JOB's in-flight file: NOT ours to sweep (it may be a live
+    # concurrent appender's commit manifest — r7 scoping fix)
+    foreign = out / ".inprogress-0123456789ab-part-00009-deadbeef.parquet"
+    foreign.write_bytes(b"other writer in flight")
     geo = GeoMeta(primary_column="geometry",
                   columns={"geometry": GeoColumnMeta()})
     files = write(df, str(out), geo=geo, single_file=False, overwrite=False)
     assert len(files) == 1
     assert not os.path.basename(files[0]).startswith(".")
     left = sorted(os.listdir(out))
-    assert left == [os.path.basename(files[0])]   # orphan swept
+    # this job's own orphans swept; the foreign writer's file untouched;
+    # dot-files stay invisible to readers either way
+    assert left == sorted([os.path.basename(files[0]), foreign.name])
     assert spark.read.parquet(str(out)).count() == 1

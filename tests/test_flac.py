@@ -277,3 +277,21 @@ def test_encode_flac_many_frames_coded_number():
     # blocksize 1 -> 2100 frames, crossing the 2048 2-byte boundary
     out, meta = decode_flac(encode_flac(s, blocksize=1))
     assert np.array_equal(out[:, 0], s)
+
+
+def test_coded_number_roundtrip_and_overflow():
+    """The coded frame number must round-trip through the decoder at
+    every byte-length boundary, and a frame index past the 7-byte form
+    (>= 2^36) must raise a clear error, not a negative-shift crash."""
+    from geoparquet_io_spark.functions.flac import (
+        _Bits, _coded_number, _write_coded_number)
+
+    for f in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x1FFFFF,
+              0x3FFFFFF, 0x7FFFFFFF, (1 << 36) - 1]:
+        w = _BitWriter()
+        _write_coded_number(w, f)
+        assert _coded_number(_Bits(w.bytes(), 0)) == f
+
+    with pytest.raises(ValueError, match="too large for FLAC coded"):
+        w = _BitWriter()
+        _write_coded_number(w, 1 << 36)

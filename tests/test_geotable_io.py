@@ -60,6 +60,52 @@ def test_distributed_write_empty_result_stays_readable(points, spark, tmp_path):
     assert back.geometry_column == "geometry"
 
 
+def test_distributed_write_empty_partitioned_appendable(points, spark, tmp_path):
+    """A zero-row PARTITIONED write must not inline the partition columns
+    into the schema-only file: a later append with real hive dirs would
+    make plain spark.read.parquet see the column twice (data + dir) and
+    fail with a duplicate-column error."""
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "empty_part")
+    empty = GeoTable(points.df.filter(F.lit(False)), points.geo)
+    files = empty.write(out, partition_by=["event_type"], single_file=False)
+    assert len(files) == 1
+    # partition column lives in the dir name, never inside the file
+    assert "event_type=__HIVE_DEFAULT_PARTITION__" in files[0]
+    assert "event_type" not in pq.read_schema(files[0]).names
+    assert b"geo" in pq.read_schema(files[0]).metadata
+    # empty read still exposes the partition column (from the dir)
+    back = spark.read.parquet(out)
+    assert back.count() == 0 and "event_type" in back.columns
+    # THE scenario: append real data with hive dirs, then a plain read
+    points.write(out, partition_by=["event_type"], overwrite=False)
+    appended = spark.read.parquet(out)
+    assert appended.count() == points.count()
+    assert appended.columns.count("event_type") == 1
+    assert gps.read_partition(spark, out).count() == points.count()
+
+
+def test_inprogress_sweep_scoped_to_own_job(points, tmp_path):
+    """The post-commit orphan sweep must delete only THIS job's
+    in-flight files: a concurrent appender's .inprogress-<otherjob>-*
+    task files are its commit manifest, not garbage."""
+    import os
+
+    out = str(tmp_path / "concurrent")
+    points.write(out)  # initial dataset
+    foreign = os.path.join(out, ".inprogress-feedc0ffee42-part-00001-ab.parquet")
+    with open(foreign, "wb") as fh:
+        fh.write(b"other writer in flight")
+    points.write(out, overwrite=False)  # append sweeps ONLY its own
+    assert os.path.exists(foreign)
+    # and no file of OUR job's in-progress prefix survives
+    leftover = [f for f in os.listdir(out)
+                if f.startswith(".inprogress-") and f != os.path.basename(foreign)]
+    assert leftover == []
+
+
 def test_partition_by_string_with_preflight(points, tmp_path):
     out = str(tmp_path / "by_type")
     files = points.partition_by_string("event_type", out)

@@ -521,6 +521,64 @@ def test_stateful_timeout_flush_keeps_running_totals():
     assert out3[0]["sum_value"].iloc[0] == 8.0
 
 
+def test_stateful_eviction_ttl_drops_idle_state():
+    """With eviction_ttl_sec set, a key idle past the TTL has its state
+    deliberately dropped (bounded state on high-churn key spaces); a key
+    that gets data between flush and horizon is spared."""
+    from geoparquet_io_spark.streaming.stateful import _make_update_fn
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self._v = None
+            self.removed = False
+            self.timeout_ms = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self.removed = True
+            self._v = None
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _make_update_fn(3_600_000)  # 1 h eviction horizon
+    st = FakeState()
+    list(fn((7,), iter([pd.DataFrame({"value": [1.0, 2.0]})]), st))
+    assert st.timeout_ms == 60_000
+    # first timeout: flush, keep state, re-arm to the eviction horizon
+    st.hasTimedOut = True
+    out = list(fn((7,), iter([]), st))
+    assert out and out[0]["n_events"].iloc[0] == 2
+    assert st.exists and not st.removed
+    assert st.timeout_ms == 3_600_000 - 60_000
+    # data between flush and horizon clears the idle mark
+    st.hasTimedOut = False
+    list(fn((7,), iter([pd.DataFrame({"value": [3.0]})]), st))
+    st.hasTimedOut = True
+    out2 = list(fn((7,), iter([]), st))  # flush again, still alive
+    assert out2[0]["n_events"].iloc[0] == 3 and st.exists
+    # second consecutive timeout = horizon reached: state dropped, no emit
+    out3 = list(fn((7,), iter([]), st))
+    assert out3 == [] and st.removed and not st.exists
+
+    # default fn never evicts
+    from geoparquet_io_spark.streaming.stateful import _update_user_totals
+    st2 = FakeState()
+    list(_update_user_totals((7,), iter([pd.DataFrame({"value": [1.0]})]), st2))
+    st2.hasTimedOut = True
+    list(_update_user_totals((7,), iter([]), st2))
+    list(_update_user_totals((7,), iter([]), st2))
+    assert st2.exists and not st2.removed
+
+
 def test_stateful_totals_string_user_id(spark, tmp_path):
     """The output schema must follow the key column's actual type."""
     from geoparquet_io_spark.streaming.events import read_events_stream
