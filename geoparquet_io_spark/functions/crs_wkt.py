@@ -72,6 +72,20 @@ _GEOGCS: dict[str, tuple] = {
     "S-JTSK": ("S-JTSK", "System_of_the_Unified_Trigonometrical_Cadastral"
                "_Network", "Bessel 1841", P.BESSEL1841, 7004, 4156,
                P._DATUM_SJTSK),
+    # --- round-7 additions ---
+    "JGD2011": ("JGD2011", "Japanese_Geodetic_Datum_2011",
+                "GRS 1980", P.GRS80, 7019, 6668, _ZERO7),
+    "SIRGAS2000": ("SIRGAS 2000",
+                   "Sistema_de_Referencia_Geocentrico_para_las_AmericaS"
+                   "_2000", "GRS 1980", P.GRS80, 7019, 4674, _ZERO7),
+    "NAD83_2011": ("NAD83(2011)", "NAD83_National_Spatial_Reference"
+                   "_System_2011", "GRS 1980", P.GRS80, 7019, 6318, _ZERO7),
+    "NAD83_CSRS": ("NAD83(CSRS)", "NAD83_Canadian_Spatial_Reference"
+                   "_System", "GRS 1980", P.GRS80, 7019, 4617, _ZERO7),
+    "SPHERE_US": ("Unspecified datum based upon the Clarke 1866 Authalic "
+                  "Sphere", "Not_specified_based_on_Clarke_1866_Authalic"
+                  "_Sphere", "Clarke 1866 Authalic Sphere",
+                  (6370997.0, 0.0), 7052, 4052, None),
 }
 
 # projected CRS names + geographic base for every EPSG_TABLE code
@@ -109,7 +123,38 @@ _PROJCS_INFO: dict[int, tuple[str, str]] = {
     3763: ("ETRS89 / Portugal TM06", "ETRS89"),
     3414: ("SVY21 / Singapore TM", "SVY21"),
     6933: ("WGS 84 / NSIDC EASE-Grid 2.0 Global", "WGS84"),
+    # --- round-7 additions ---
+    3034: ("ETRS89-extended / LCC Europe", "ETRS89"),
+    3111: ("GDA94 / Vicgrid", "GDA94"),
+    3979: ("NAD83(CSRS) / Canada Atlas Lambert", "NAD83_CSRS"),
+    6350: ("NAD83(2011) / Conus Albers", "NAD83_2011"),
+    2163: ("US National Atlas Equal Area", "SPHERE_US"),
+    3995: ("WGS 84 / Arctic Polar Stereographic", "WGS84"),
+    3976: ("WGS 84 / NSIDC Sea Ice Polar Stereographic South", "WGS84"),
 }
+
+_ROMAN = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X",
+          "XI", "XII", "XIII", "XIV", "XV", "XVI", "XVII", "XVIII", "XIX"]
+
+# names for the generated series rows (same arithmetic as the
+# projections._generated_epsg_rows zones)
+for _i in range(21):
+    _PROJCS_INFO.setdefault(
+        4534 + _i,
+        (f"CGCS2000 / 3-degree Gauss-Kruger CM {75 + 3 * _i}E", "CGCS2000"))
+for _i in range(19):
+    _PROJCS_INFO.setdefault(
+        2443 + _i,
+        (f"JGD2000 / Japan Plane Rectangular CS {_ROMAN[_i]}", "JGD2000"))
+    _PROJCS_INFO.setdefault(
+        6669 + _i,
+        (f"JGD2011 / Japan Plane Rectangular CS {_ROMAN[_i]}", "JGD2011"))
+for _i, _belt in enumerate(["West", "Central", "East", "East Sea"]):
+    _PROJCS_INFO.setdefault(
+        5185 + _i, (f"Korea 2000 / {_belt} Belt 2010", "KGD2002"))
+for _i in range(9):
+    _PROJCS_INFO.setdefault(
+        3942 + _i, (f"RGF93 v1 / CC{42 + _i}", "RGF93"))
 
 
 def _num(v: float) -> str:
@@ -123,7 +168,8 @@ def _num(v: float) -> str:
 def _geogcs_wkt(key: str) -> str:
     name, datum, sph_name, (a, inv_f_inv), sph_code, gcs_code, tow = \
         _GEOGCS[key]
-    inv_f = 1.0 / inv_f_inv
+    # WKT convention: a sphere's inverse flattening is written as 0
+    inv_f = 1.0 / inv_f_inv if inv_f_inv else 0.0
     parts = [f'SPHEROID["{sph_name}",{_num(a)},{_num(round(inv_f, 9))},'
              f'AUTHORITY["EPSG","{sph_code}"]]']
     if tow is not None:
@@ -198,6 +244,10 @@ def wkt_for_epsg(code: int) -> str | None:
         utm = ("ETRS89", "ETRS89", code - 25800, 0.0)
     elif 26901 <= code <= 26923:
         utm = ("NAD83", "NAD83", code - 26900, 0.0)
+    elif 31965 <= code <= 31976:
+        utm = ("SIRGAS 2000", "SIRGAS2000", code - 31954, 0.0)
+    elif 31977 <= code <= 31985:
+        utm = ("SIRGAS 2000", "SIRGAS2000", code - 31960, 10000000.0)
     elif 28348 <= code <= 28358:
         name, zone = "GDA94 / MGA zone %d" % (code - 28300), code - 28300
         return _projcs(name, "GDA94", "Transverse_Mercator",

@@ -584,7 +584,75 @@ EPSG_TABLE: dict[int, tuple] = {
     # SVY21/Singapore TM
     6933: ("cea", WGS84, dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)),
     # WGS84/NSIDC EASE-Grid 2.0 Global
+    # --- round-7 additions --------------------------------------------------
+    3034: ("lcc", GRS80, dict(lat1=35.0, lat2=65.0, lat0=52.0, lon0=10.0,
+                              fe=4000000.0, fn=2800000.0)),
+    # ETRS89-extended / LCC Europe
+    3111: ("lcc", GRS80, dict(lat1=-36.0, lat2=-38.0, lat0=-37.0, lon0=145.0,
+                              fe=2500000.0, fn=2500000.0)),
+    # GDA94 / Vicgrid
+    3979: ("lcc", GRS80, dict(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
+                              fe=0.0, fn=0.0)),
+    # NAD83(CSRS) / Canada Atlas Lambert (frame realization of 3978)
+    6350: ("albers", GRS80, dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                                 fe=0.0, fn=0.0)),
+    # NAD83(2011) / Conus Albers (realization of 5070)
+    2163: ("laea", (6370997.0, 0.0), dict(lat0=45.0, lon0=-100.0,
+                                          fe=0.0, fn=0.0)),
+    # US National Atlas Equal Area (authalic sphere)
+    3995: ("ps", WGS84, dict(lat_ts=71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / Arctic Polar Stereographic
+    3976: ("ps", WGS84, dict(lat_ts=-70.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South
 }
+
+
+# Formulaic national series, generated rather than hand-keyed: zone
+# parameters follow the published arithmetic of each series, so a
+# mis-entry cannot hit a single zone (the r6 32139 lesson — the failure
+# mode of hand-keyed rows is one-off transposition, which generation
+# removes).  All parameters from the public EPSG dataset.
+_JP_ZONES = [
+    # Japan Plane Rectangular CS I..XIX: (lat0_deg, lon0_deg, lon0_min)
+    (33, 129, 30), (33, 131, 0), (36, 132, 10), (33, 133, 30),
+    (36, 134, 20), (36, 136, 0), (36, 137, 10), (36, 138, 30),
+    (36, 139, 50), (40, 140, 50), (44, 140, 15), (44, 142, 15),
+    (44, 144, 15), (26, 142, 0), (26, 127, 30), (26, 124, 0),
+    (26, 131, 0), (20, 136, 0), (26, 154, 0),
+]
+
+
+def _generated_epsg_rows() -> dict[int, tuple]:
+    rows: dict[int, tuple] = {}
+    # CGCS2000 / 3-degree Gauss-Kruger CM 75E..135E = 4534..4554
+    for i in range(21):
+        rows[4534 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=75.0 + 3.0 * i, k0=1.0, fe=500000.0, fn=0.0))
+    # Japan Plane Rectangular CS I..XIX: JGD2000 = 2443.., JGD2011 = 6669..
+    for i, (lat0, lond, lonm) in enumerate(_JP_ZONES):
+        p = dict(lat0=float(lat0), lon0=lond + lonm / 60.0, k0=0.9999,
+                 fe=0.0, fn=0.0)
+        rows[2443 + i] = ("tm", GRS80, dict(p))
+        rows[6669 + i] = ("tm", GRS80, dict(p))
+    # Korea 2000 / West..East Sea Belt 2010 = 5185..5188 (125/127/129/131E)
+    for i in range(4):
+        rows[5185 + i] = ("tm", GRS80, dict(
+            lat0=38.0, lon0=125.0 + 2.0 * i, k0=1.0,
+            fe=200000.0, fn=600000.0))
+    # RGF93 v1 / CC42..CC50 = 3942..3950 (one conic band per degree:
+    # parallels lat0 -/+ 0.75, northing steps 1,000 km per band)
+    for i in range(9):
+        lat0 = 42.0 + i
+        rows[3942 + i] = ("lcc", GRS80, dict(
+            lat1=lat0 - 0.75, lat2=lat0 + 0.75, lat0=lat0, lon0=3.0,
+            fe=1700000.0, fn=1200000.0 + 1000000.0 * i))
+    return rows
+
+
+# generated rows never override hand-keyed ones (2451/4547/5186 overlap
+# the series with identical parameters; the literal row wins)
+for _c, _ent in _generated_epsg_rows().items():
+    EPSG_TABLE.setdefault(_c, _ent)
 
 
 def _family_kernels():
@@ -711,6 +779,21 @@ def _proj_for_epsg(code: int):
     # GDA94 / MGA zones 48-58 (GRS80 UTM south; GDA94 ~ WGS84)
     if 28348 <= code <= 28358:
         zone = code - 28300
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=10000000.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    # SIRGAS 2000 UTM (GRS80; SIRGAS2000 ~ WGS84): zones 11N-22N are
+    # 31965-31976 (code = 31954 + zone), zones 17S-25S are 31977-31985
+    # (code = 31960 + zone)
+    if 31965 <= code <= 31976:
+        zone = code - 31954
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=0.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    if 31977 <= code <= 31985:
+        zone = code - 31960
         c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
                     fe=500000.0, fn=10000000.0)
         return (lambda lo, la: tm_forward(lo, la, c),

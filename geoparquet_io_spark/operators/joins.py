@@ -31,6 +31,13 @@ from geoparquet_io_spark.functions import wkb as _wkb
 # every task — ~50k admin polygons is the most that stays cheap)
 MAX_BROADCAST_ROWS = 50_000
 
+# ... and a BYTE gate beside the row gate (r6 verdict): 50k rows of fat
+# coastline polygons can be gigabytes of WKB while 500k points fit fine —
+# row count alone mis-routes both ways.  128 MiB of WKB parses to roughly
+# 2-4x that in python geometry objects per executor, the practical ceiling
+# for "rides in a broadcast".
+MAX_BROADCAST_BYTES = 128 * 2**20
+
 
 def spatial_join(
     left: DataFrame,
@@ -43,15 +50,18 @@ def spatial_join(
     how: str = "left",
     prune_right_by_extent: bool = True,
     broadcast_threshold: int = MAX_BROADCAST_ROWS,
+    broadcast_bytes_threshold: int = MAX_BROADCAST_BYTES,
     grid_cell_size: float = 1.0,
     left_id: str | None = None,
 ) -> DataFrame:
     """bbox-prefiltered exact-intersects join.
 
-    Right sides up to ``broadcast_threshold`` rows are broadcast via closure
-    (map-only, zero shuffle — the admin-table case); larger right sides
-    auto-route to :func:`grid_spatial_join` (both sides shuffled once on a
-    grid key — the big-big case), so the operator works at any right size.
+    Right sides up to ``broadcast_threshold`` rows AND
+    ``broadcast_bytes_threshold`` WKB bytes are broadcast via closure
+    (map-only, zero shuffle — the admin-table case); right sides failing
+    either gate auto-route to :func:`grid_spatial_join` (both sides
+    shuffled once on a grid key — the big-big case), so the operator
+    works at any right size or fatness.
     ``grid_cell_size`` is in COORDINATE UNITS (default 1.0 = ~1 degree for
     lon/lat data) — set it to a sensible cell size (e.g. 10_000 for
     meter-based projected CRS) when the routed path can trigger, or each
@@ -75,18 +85,26 @@ def spatial_join(
             f"right_columns {clash} already exist on the left side; "
             "rename or drop them before the spatial join")
 
-    # bounded probe decides the strategy AND doubles as the collect:
-    # LIMIT threshold+1 stops the scan as soon as "it's big" is known (a
-    # full count() would pay a whole extra pass over a huge right side),
-    # and when the right side fits, these collected rows ARE the
-    # broadcast payload — one job, not a probe job plus a collect job
-    r_local = (right.select(right_geometry, *right_columns)
-               .limit(broadcast_threshold + 1).collect())
-    if len(r_local) > broadcast_threshold:
+    # bounded LENGTHS-ONLY probe decides the strategy: LIMIT threshold+1
+    # stops the scan as soon as "too many rows" is known (a full count()
+    # would pay a whole extra pass over a huge right side), and shipping
+    # only F.length() means a right side of fat polygons is byte-gated
+    # WITHOUT ever collecting gigabytes of WKB to the driver.  Routing on
+    # row count alone mis-routed both ways (r6 verdict #4): 50k coastline
+    # polygons overflow the closure while 500k points fit.
+    probe = (right.select(
+        F.coalesce(F.length(F.col(right_geometry)), F.lit(0)).alias("__sz"))
+        .limit(broadcast_threshold + 1).collect())
+    if (len(probe) > broadcast_threshold
+            or sum(r["__sz"] for r in probe) > broadcast_bytes_threshold):
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size, left_id,
         )
+    # right side fits both gates: NOW collect the payload (the probe saw
+    # every row, so this limit returns the complete set)
+    r_local = (right.select(right_geometry, *right_columns)
+               .limit(broadcast_threshold + 1).collect())
 
     # driver-side candidate index: right envelopes as numpy arrays.
     # NULL right geometries can never match — drop them here, matching

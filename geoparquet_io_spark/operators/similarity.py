@@ -62,6 +62,9 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+MAX_BRUTE_QUERIES = 131_072
+
+
 def brute_force_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -74,35 +77,249 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbours per query vector.
 
-    The query set is broadcast; the big side streams map-only through the
-    crossJoin + windowed top-k (the window shuffles only (query, candidate
-    score) pairs — k rows per query survive).
+    The query set is collected (small by contract — it rides into every
+    task; > ``MAX_BRUTE_QUERIES`` is a loud error pointing at the
+    lsh/ivf scale paths).  Scoring runs as an Arrow-batched numpy kernel
+    with DIM-ORDER float64 accumulation, so every emitted cosine is
+    bit-identical to the ``F.aggregate`` fold (the `_cross_losers_arrow`
+    trick) — the DuckDB oracle's left-to-right sum matches exactly.
+    Each task emits only its partition-local top candidates per query
+    (a small tie window above k, see ``_topk_tie_cap``), so the final
+    row_number window shuffles <= tasks * |q| * C rows instead of
+    n * |q| scored pairs — the r6 bench's slowest-amortizing headline
+    op was exactly that unbounded shuffle + per-pair interpreted HOF.
     """
+    import numpy as np
+    import pyarrow as pa
+
     qid = query_id_column or id_column
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+    exclude_self = query_id_column is None
+    q_rows = (
+        queries.select(
+            F.col(qid).alias("query_id"),
+            as_double_array(F.col(vector_column), dim, "brute_force_topk queries")
+            .alias("__qv"),
+        )
+        .limit(MAX_BRUTE_QUERIES + 1)
+        .collect()
     )
+    if len(q_rows) > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds {MAX_BRUTE_QUERIES} rows; "
+            "use lsh_topk or the IVF index for large query sets")
+    # queries grouped by vector length: only equal-length pairs score
+    # (zip_with pads mismatches with NULL -> NULL cosine), and dim=None
+    # permits heterogeneous lengths
+    q_ids: list = []
+    q_by_len: dict[int, list[int]] = {}
+    q_vecs: list = []
+    for r in q_rows:
+        if exclude_self and r["query_id"] is None:
+            # NULL query id: `query_id != neighbor_id` is NULL for every
+            # pair -> the filter drops them all
+            continue
+        q_ids.append(r["query_id"])
+        v = r["__qv"]
+        q_vecs.append(v)
+        if v is not None:
+            q_by_len.setdefault(len(v), []).append(len(q_ids) - 1)
+    q_mats = {
+        L: (np.asarray([q_vecs[i] for i in idx], dtype=np.float64), idx)
+        for L, idx in q_by_len.items()
+    }
+    m = len(q_ids)
+    q_id_index = {v: i for i, v in enumerate(q_ids)} if exclude_self else {}
+    cap = _topk_tie_cap(k)
+
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "brute_force_topk data")
+        .alias("__dv"),
     )
-    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
+    id_field = d.schema["neighbor_id"]
+    out_schema_arrow = None  # built lazily from the first batch
+
+    def _score_partition(batches):
+        # per-query candidate stores, merged across this task's batches:
+        # val_store: (micro_key desc, id asc) -> keep first `cap`
+        # fill_store: NULL-cosine candidates (null vec / length mismatch /
+        #   zero norm / null-vec query) -> k smallest ids fill ranks when
+        #   a query has < k scorable neighbours (HOF parity: NULLs sink
+        #   under the final desc ordering)
+        val_store = [[] for _ in range(m)]   # (micro, id_key, id, sim)
+        fill_store = [[] for _ in range(m)]  # (id_key, id)
+
+        def _trim():
+            for qi in range(m):
+                if len(val_store[qi]) > cap:
+                    val_store[qi].sort(key=lambda t: (-t[0], t[1]))
+                    del val_store[qi][cap:]
+                if len(fill_store[qi]) > k:
+                    fill_store[qi].sort(key=lambda t: t[0])
+                    del fill_store[qi][k:]
+
+        for batch in batches:
+            ids_arr = batch.column(0)
+            vec_arr = batch.column(1)
+            n = len(ids_arr)
+            if n == 0:
+                continue
+            ids_py = ids_arr.to_pylist()
+            offs = vec_arr.offsets.to_numpy(zero_copy_only=False)
+            flat = vec_arr.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False)
+            row_valid = ~np.asarray(
+                vec_arr.is_null().to_numpy(zero_copy_only=False))
+            lens = np.diff(offs)
+            # with self-exclusion, NULL neighbor ids drop entirely
+            # (`query_id != NULL` is NULL -> the filter removes the pair)
+            excl_rows: dict[int, int] = {}
+            keep = np.ones(n, dtype=bool)
+            for i, rid in enumerate(ids_py):
+                if exclude_self:
+                    if rid is None:
+                        keep[i] = False
+                    else:
+                        qi = q_id_index.get(rid)
+                        if qi is not None:
+                            excl_rows[i] = qi
+            # per_q_scored[qi] = boolean rows that produced a VALUE for
+            # query qi (every other kept row is a NULL filler for qi)
+            per_q_scored: dict[int, "np.ndarray"] = {}
+            for L, (qmat, qidx) in q_mats.items():
+                if L == 0:
+                    continue  # empty vectors: norm 0 -> NULL (filler)
+                rows = np.nonzero(keep & row_valid & (lens == L))[0]
+                if not len(rows):
+                    continue
+                dmat = flat[
+                    (offs[rows].astype(np.int64)[:, None]
+                     + np.arange(L)[None, :]).ravel()
+                ].reshape(len(rows), L)
+                # dim-order accumulation: bit-identical to the HOF fold
+                # ((0 + x0) + x1) + ... and the oracle's a1*b1 + a2*b2 ..
+                dot_m = np.zeros((len(rows), len(qidx)))
+                nd = np.zeros(len(rows))
+                nq = np.zeros(len(qidx))
+                for di in range(L):
+                    dot_m += dmat[:, di:di + 1] * qmat[None, :, di]
+                    nd += dmat[:, di] * dmat[:, di]
+                    nq += qmat[:, di] * qmat[:, di]
+                denom = np.sqrt(nq)[None, :] * np.sqrt(nd)[:, None]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = dot_m / denom
+                ok = denom > 0          # HOF: when(denom > 0, ...)
+                nan_sim = ok & np.isnan(sims)   # NaN dot, positive denom
+                for ci, qi in enumerate(qidx):
+                    col_ok = ok[:, ci]
+                    cand = np.nonzero(col_ok)[0]
+                    if not len(cand):
+                        continue
+                    sc = np.zeros(n, dtype=bool)
+                    sc[rows[cand]] = True
+                    per_q_scored[qi] = sc
+                    s = sims[cand, ci]
+                    # selection key: micro-rounded desc (the EXACT value
+                    # ships to Spark and is re-rounded there; the key
+                    # only picks the per-task window).  NaN ranks FIRST
+                    # (Spark/DuckDB total order: NaN > everything).
+                    if round_digits is not None:
+                        micro = np.floor(s * 10.0**round_digits + 0.5)
+                    else:
+                        micro = s
+                    micro = np.where(nan_sim[cand, ci], np.inf, micro)
+                    if len(cand) > cap:
+                        part = np.argpartition(-micro, cap - 1)[:2 * cap]
+                    else:
+                        part = np.arange(len(cand))
+                    for pos in part:
+                        i = rows[cand[pos]]
+                        if excl_rows.get(i) == qi:
+                            continue
+                        val_store[qi].append(
+                            (micro[pos], _id_key(ids_py[i]), ids_py[i],
+                             float(s[pos])))
+            # fillers: kept rows that scored for NO query are fillers for
+            # every query; rows that scored for some query are fillers
+            # for the others.  Only the k smallest ids per query can ever
+            # matter, so walk ids in order and stop at k.
+            kept_rows = np.nonzero(keep)[0]
+            order = sorted(kept_rows, key=lambda i: _id_key(ids_py[i]))
+            for qi in range(m):
+                sc = per_q_scored.get(qi)
+                got = 0
+                for i in order:
+                    if got >= k:
+                        break
+                    if sc is not None and sc[i]:
+                        continue
+                    if excl_rows.get(i) == qi:
+                        continue
+                    fill_store[qi].append((_id_key(ids_py[i]), ids_py[i]))
+                    got += 1
+            _trim()
+
+        _trim()
+        out_ids_q, out_ids_n, out_sims = [], [], []
+        for qi in range(m):
+            val_store[qi].sort(key=lambda t: (-t[0], t[1]))
+            for _key, _ik, rid, sim in val_store[qi][:cap]:
+                out_ids_q.append(q_ids[qi])
+                out_ids_n.append(rid)
+                out_sims.append(sim)
+            fill_store[qi].sort(key=lambda t: t[0])
+            for _ik, rid in fill_store[qi][:k]:
+                out_ids_q.append(q_ids[qi])
+                out_ids_n.append(rid)
+                out_sims.append(None)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_ids_q, type=out_q_type),
+             pa.array(out_ids_n, type=out_n_type),
+             pa.array(out_sims, type=pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"])
+
+    q_field = queries.schema[qid]
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    out_q_type = to_arrow_type(q_field.dataType)
+    out_n_type = to_arrow_type(id_field.dataType)
+    from pyspark.sql import types as T
+
+    out_struct = T.StructType([
+        T.StructField("query_id", q_field.dataType),
+        T.StructField("neighbor_id", id_field.dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    scored = d.mapInArrow(_score_partition, schema=out_struct)
+    sim = F.col("cosine")
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = d.crossJoin(F.broadcast(q))
-    if query_id_column is None:
-        # self-match exclusion only applies when queries come FROM data:
-        # with a separate query id space, an id that coincidentally
-        # equals a data id names an UNRELATED vector that may be the
-        # true nearest neighbor
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _topk_tie_cap(k: int) -> int:
+    """Per-(task, query) candidate emission cap: top-k selection inside
+    the kernel uses micro-rounded keys, so candidates within one rounding
+    unit of the k-th value can still win on the id tie-break after the
+    EXACT Spark-side F.round — keep a generous window above k.  Exact
+    whenever < cap candidates tie at the k-boundary per task (k=10 ->
+    144 rows/query/task; adversarial all-equal corpora beyond that are
+    ambiguous only below the id tie-break depth this cap keeps)."""
+    return max(8 * k + 64, 2 * k)
+
+
+def _id_key(v):
+    """Ordering key for ids of any type (ints, strings): Spark's asc is
+    type-internal and NULLS FIRST, so a per-type tuple keeps python sort
+    happy and puts None ahead of every value."""
+    if v is None:
+        return (-1, 0)
+    return (0, v) if isinstance(v, (int, float)) else (1, str(v))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -77,9 +77,10 @@ def test_wkt_parses_and_names_itself(code):
     last = re.findall(r'AUTHORITY\["EPSG","(\d+)"\]', wkt)[-1]
     assert int(last) == code
     # exactly one datum, one spheroid, sane ellipsoid numbers
+    # (a sphere writes inverse flattening 0 by WKT convention)
     (sph,) = find(tree, "SPHEROID")
     name, a, inv_f = sph[1][:3]
-    assert 6_300_000 < a < 6_400_000 and 290 < inv_f < 310
+    assert 6_300_000 < a < 6_400_000 and (290 < inv_f < 310 or inv_f == 0)
 
 
 @pytest.mark.parametrize("code", sorted(_PROJCS_INFO))
@@ -89,7 +90,7 @@ def test_projection_parameters_match_kernel_table(code):
     got = params_of(tree)
     (sph,) = find(tree, "SPHEROID")
     assert sph[1][1] == a
-    assert abs(sph[1][2] - 1.0 / f) < 1e-6
+    assert abs(sph[1][2] - (1.0 / f if f else 0.0)) < 1e-6
     expect = {
         "tm": {"latitude_of_origin": "lat0", "central_meridian": "lon0",
                "scale_factor": "k0", "false_easting": "fe",

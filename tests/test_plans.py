@@ -89,7 +89,12 @@ def test_contamination_probe_is_broadcast(spark):
     assert s["python_evals"] == 0
 
 
-def test_topk_uses_broadcast_and_partitioned_window(spark):
+def test_topk_bounded_shuffle_no_cross_product(spark):
+    """r7 shape: scoring + per-task top-k live in ONE Arrow kernel; the
+    only join-free shuffle feeds the final row_number window over
+    <= tasks * |q| * cap candidate rows — never the n*|q| cross
+    product the r6 profile showed amortizing slowest of all headline
+    ops."""
     from geoparquet_io_spark.operators.similarity import brute_force_topk
     from geoparquet_io_spark.plans import formatted_plan
     from geoparquet_io_spark.testsupport.tables import load_table
@@ -98,8 +103,12 @@ def test_topk_uses_broadcast_and_partitioned_window(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     q = e.filter(F.col("vec_id") % 97 == 0)
     plan = formatted_plan(brute_force_topk(e, q, k=3))
-    assert "Broadcast" in plan  # query side broadcast, big side streams
-    # the top-k window partitions by query_id (no global single-partition sort)
+    # no join of any kind: the query set rides inside the kernel closure
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BroadcastHashJoin", "SortMergeJoin"):
+        assert node not in plan, node
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    # the top-k window partitions by query_id (no single-reducer sort)
     assert "row_number" in plan
 
 

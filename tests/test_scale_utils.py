@@ -263,6 +263,38 @@ def test_spatial_join_autoroutes_large_right(spark):
     assert got == expected
 
 
+def test_spatial_join_byte_gate_routes_fat_right(spark, monkeypatch):
+    """A LOW-row-count right side of fat geometries must route to the
+    grid join (r7: byte gate beside the row gate) — 50k coastline
+    polygons can be GBs of WKB while 500k points broadcast fine.  The
+    probe must never collect the fat payload to the driver."""
+    from geoparquet_io_spark.operators import joins as J
+    from geoparquet_io_spark.queries import _customer_points
+
+    pts = _customer_points(spark, SF_SMOKE)
+    boxes = _nation_boxes_df(spark).drop("bbox")   # 25 rows, small WKB
+
+    calls = []
+    real = J._route_to_grid_join
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(J, "_route_to_grid_join", spy)
+    bc = J.spatial_join(pts.df, "geometry", "bbox", boxes, "geometry",
+                        None, ["n_name"], how="left")
+    expected = {(r["c_custkey"], r["n_name"]) for r in bc.collect()}
+    assert calls == []                 # small + thin: stayed broadcast
+    routed = J.spatial_join(
+        pts.df, "geometry", "bbox", boxes, "geometry", None, ["n_name"],
+        how="left", broadcast_threshold=1000,     # row gate passes...
+        broadcast_bytes_threshold=100)            # ...byte gate trips
+    got = {(r["c_custkey"], r["n_name"]) for r in routed.collect()}
+    assert calls == [1]                # routed on BYTES, not rows
+    assert got == expected
+
+
 def test_connected_components_chains(spark):
     """a~b, b~c, and a separate d~e: two components, min-id labels."""
     from geoparquet_io_spark.operators.dedup import (

@@ -428,6 +428,71 @@ def test_semantic_sink_publishes_deltas_not_rewrites(spark, tmp_path):
     assert _latest_version_dirs(path) == dirs2
 
 
+@pytest.mark.slow
+def test_semantic_sink_soak_bounded_and_matches_batch(spark, tmp_path,
+                                                      monkeypatch):
+    """Long-run soak of the streaming semantic-dedup sink (r6 verdict
+    #6): over many micro-batches with a small compaction cap the chain
+    length and on-disk dir count must stay BOUNDED (read amplification
+    = chain length), and the final kept-set must be byte-identical to a
+    batch semantic_dedup recompute over everything ever ingested.
+
+    Ids ascend with epochs so the batch lowest-id survivor rule and the
+    incremental first-absorbed rule provably agree; every duplicate
+    group is a tight mutual-dup mass (no chains, where the two rules
+    legitimately diverge)."""
+    import math
+    import os
+
+    from geoparquet_io_spark.operators.similarity import semantic_dedup
+    from geoparquet_io_spark.streaming import events as EV
+
+    monkeypatch.setattr(EV, "_PRUNE_MIN_AGE_SEC", 0)  # age gate off: prune NOW
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "semsoak")
+    os.makedirs(path, exist_ok=True)
+    CAP = 4
+    sink = EV.semantic_dedup_sink_fn(path, cents, threshold=0.99,
+                                     keep_versions=2,
+                                     compact_chain_length=CAP)
+
+    def vec(angle_deg, jitter=0.0):
+        a = math.radians(angle_deg + jitter)
+        return [math.cos(a), math.sin(a)]
+
+    N_EPOCHS, N_DIRS = 30, 24          # epochs 24.. repeat earlier angles
+    all_rows = []
+    for e in range(N_EPOCHS):
+        # +3 deg offset keeps every pair clear of the 45/225 deg cluster
+        # boundary: a pair straddling it is assigned to DIFFERENT
+        # clusters and SemDeDup (by design) never dedups across clusters
+        ang = 3.0 + 15.0 * (e % N_DIRS)
+        rows = [(10 * e, vec(ang)),          # group survivor (lowest id)
+                (10 * e + 1, vec(ang, 0.1))]  # intra-batch near-dup
+        all_rows += rows
+        sink(spark.createDataFrame(rows, ["vec_id", "embedding"]), e)
+        chain = EV._latest_version_dirs(path)
+        assert len(chain) <= CAP, f"epoch {e}: chain {len(chain)} > {CAP}"
+        on_disk = [d for d in os.listdir(path) if d.startswith("v-")]
+        assert len(on_disk) <= CAP + 2, \
+            f"epoch {e}: {len(on_disk)} dirs on disk (unbounded growth)"
+
+    got = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in EV.read_semantic_index(spark, path)
+        .select("vec_id", "embedding").collect())
+    expected_ids = {10 * e for e in range(N_DIRS)}
+    assert {i for i, _ in got} == expected_ids
+    # byte-identical to the batch recompute over the full ingest history
+    corpus = spark.createDataFrame(all_rows, ["vec_id", "embedding"])
+    batch = semantic_dedup(corpus, cents, threshold=0.99)
+    want = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in corpus.join(batch.filter("kept").select("vec_id"),
+                             "vec_id").collect())
+    assert got == want
+
+
 def test_stream_stream_join_outer_key_not_null(spark, events_dir):
     """full_outer interval join must surface the key from whichever side
     matched — unmatched right rows previously emitted key=NULL."""
