@@ -285,13 +285,15 @@ class _Worker:
         if "ready" not in msg:
             raise RuntimeError(f"unexpected worker hello: {msg}")
 
-    def run(self, name: str) -> float | None:
+    def run(self, name: str):
+        """(seconds, error_string_or_None); sec None = query missing in
+        this code version's registry."""
         self.proc.stdin.write(f"RUN {name}\n")
         self.proc.stdin.flush()
         msg = self._read()
         if msg.get("error"):
-            return None
-        return msg.get("sec")
+            return None, msg["error"]
+        return msg.get("sec"), None
 
     def close(self):
         try:
@@ -328,13 +330,18 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
         names = _query_names()
         samples: dict[str, dict[str, list[float]]] = {
             n: {"ref": [], "head": []} for n in names}
+        errors: dict[str, str] = {}
         for r in range(rounds):
             for i, name in enumerate(names):
                 pair = [("ref", ref_w), ("head", head_w)]
                 if (i + r) % 2:
                     pair.reverse()   # alternate order: drift cancels
                 for side, w in pair:
-                    sec = w.run(name)
+                    sec, err = w.run(name)
+                    if err is not None and side == "head":
+                        # a HEAD-side crash is a regression, not a gap to
+                        # silently drop from the totals — surface it
+                        errors[name] = err
                     if sec is not None:
                         samples[name][side].append(sec)
         head_t: dict[str, float] = {}
@@ -363,7 +370,10 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
             "head_total": head_total,
             "ratio_total": round(head_total / ref_total, 3) if ref_total else None,
             "missing_in_ref": missing,
+            "head_errors": errors,
         }
+        for name, err in errors.items():
+            print(f"HEAD ERROR {name}: {err}", file=sys.stderr)
         return head_t, report
     except Exception as exc:
         print(f"note: A/B run failed, falling back ({exc})", file=sys.stderr)
@@ -382,7 +392,12 @@ def _pinned_ref_commit() -> str | None:
     if "SPARK_GRAFT_BENCH_AB_COMMIT" in os.environ:
         return os.environ["SPARK_GRAFT_BENCH_AB_COMMIT"]
     if "--ab" in sys.argv:
-        return sys.argv[sys.argv.index("--ab") + 1]
+        i = sys.argv.index("--ab") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+            print("note: --ab requires a commit argument; A/B disabled",
+                  file=sys.stderr)
+            return None
+        return sys.argv[i]
     if os.path.exists(BASELINE_FILE):
         return json.load(open(BASELINE_FILE)).get("commit")
     return None
@@ -425,6 +440,7 @@ def main() -> None:
     out["value"] = round(sum(timings.values()), 3)
     out["queries"] = timings
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    head_errors = out.get("ab", {}).get("head_errors", {})
     if "--check" in sys.argv:
         reg = check_regressions(timings)
         out["regressions"] = reg
@@ -433,7 +449,9 @@ def main() -> None:
         for name, pct in reg["fail"].items():
             print(f"FAIL {name} {pct:+.1f}% vs baseline", file=sys.stderr)
         print(json.dumps(out))
-        sys.exit(1 if reg["fail"] else 0)
+        # a query that CRASHED on HEAD is a failure even though it has
+        # no timing to compare
+        sys.exit(1 if (reg["fail"] or head_errors) else 0)
     print(json.dumps(out))
 
 

@@ -92,11 +92,17 @@ def spatial_join(
     # WITHOUT ever collecting gigabytes of WKB to the driver.  Routing on
     # row count alone mis-routed both ways (r6 verdict #4): 50k coastline
     # polygons overflow the closure while 500k points fit.
+    # Trade-off: the small-side path now evaluates the right lineage
+    # twice (probe job + payload collect) — the price of never shipping
+    # an unbounded payload to the driver; callers with an expensive
+    # right lineage should persist it before joining.
     probe = (right.select(
         F.coalesce(F.length(F.col(right_geometry)), F.lit(0)).alias("__sz"))
-        .limit(broadcast_threshold + 1).collect())
-    if (len(probe) > broadcast_threshold
-            or sum(r["__sz"] for r in probe) > broadcast_bytes_threshold):
+        .limit(broadcast_threshold + 1)
+        .agg(F.count("*").alias("n"), F.sum("__sz").alias("b"))
+        .collect()[0])
+    if (probe["n"] > broadcast_threshold
+            or (probe["b"] or 0) > broadcast_bytes_threshold):
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size, left_id,

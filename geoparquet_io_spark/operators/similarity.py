@@ -107,11 +107,7 @@ def brute_force_topk(
         raise ValueError(
             f"brute_force_topk: query set exceeds {MAX_BRUTE_QUERIES} rows; "
             "use lsh_topk or the IVF index for large query sets")
-    # queries grouped by vector length: only equal-length pairs score
-    # (zip_with pads mismatches with NULL -> NULL cosine), and dim=None
-    # permits heterogeneous lengths
     q_ids: list = []
-    q_by_len: dict[int, list[int]] = {}
     q_vecs: list = []
     for r in q_rows:
         if exclude_self and r["query_id"] is None:
@@ -119,33 +115,73 @@ def brute_force_topk(
             # pair -> the filter drops them all
             continue
         q_ids.append(r["query_id"])
-        v = r["__qv"]
-        q_vecs.append(v)
-        if v is not None:
-            q_by_len.setdefault(len(v), []).append(len(q_ids) - 1)
-    q_mats = {
-        L: (np.asarray([q_vecs[i] for i in idx], dtype=np.float64), idx)
-        for L, idx in q_by_len.items()
-    }
-    m = len(q_ids)
-    q_id_index = {v: i for i, v in enumerate(q_ids)} if exclude_self else {}
-    cap = _topk_tie_cap(k)
-
+        q_vecs.append(r["__qv"])
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
         as_double_array(F.col(vector_column), dim, "brute_force_topk data")
         .alias("__dv"),
     )
+    return _arrow_topk(d, queries.schema[qid].dataType, q_ids, q_vecs,
+                       k=k, round_digits=round_digits,
+                       exclude_self=exclude_self)
+
+
+def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
+                *, k: int, round_digits: int | None, exclude_self: bool,
+                q_buckets: list | None = None) -> DataFrame:
+    """Shared bounded-shuffle exact-top-k engine behind
+    :func:`brute_force_topk` and :func:`search_ivf_index`.
+
+    ``d``: (neighbor_id, __dv array<double>[, __bkt]).  ``q_buckets``:
+    per-query frozenset of bucket values — when given, a pair (q, row)
+    exists only if ``row.__bkt in q_buckets[qi]`` (the IVF probed-list
+    inner-join semantics); None = full cross pairing.
+
+    Every emitted cosine is computed with DIM-ORDER float64
+    accumulation — bit-identical to the ``F.aggregate`` HOF fold and
+    the DuckDB oracle's left-to-right sum.  Each task emits only its
+    local top candidates per query (tie window ``_topk_tie_cap``) plus
+    <= k NULL-cosine fillers, so the final row_number window shuffles
+    <= tasks * |q| * cap rows instead of every scored pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    bucketed = q_buckets is not None
+    m = len(q_ids)
+    # queries grouped by vector length: only equal-length pairs score
+    # (zip_with pads mismatches with NULL -> NULL cosine); heterogeneous
+    # lengths are permitted when no dim was enforced
+    q_by_len: dict[int, list[int]] = {}
+    for i, v in enumerate(q_vecs):
+        if v is not None:
+            q_by_len.setdefault(len(v), []).append(i)
+    q_mats = {
+        L: (np.asarray([q_vecs[i] for i in idx], dtype=np.float64), idx)
+        for L, idx in q_by_len.items()
+    }
+    # bucket value -> query indexes probing it (bucketed mode)
+    bucket_to_q: dict = {}
+    if bucketed:
+        for i, bs in enumerate(q_buckets):
+            for b in bs or ():
+                bucket_to_q.setdefault(b, []).append(i)
+    # id -> ALL query indexes bearing it: a duplicated query id must
+    # exclude its self-pair for EVERY instance (the filter semantics
+    # `query_id != neighbor_id` hold per pair, not per first match)
+    q_id_index: dict = {}
+    if exclude_self:
+        for _qi, _v in enumerate(q_ids):
+            q_id_index.setdefault(_id_hashable(_v), set()).add(_qi)
+    cap = _topk_tie_cap(k)
     id_field = d.schema["neighbor_id"]
-    out_schema_arrow = None  # built lazily from the first batch
 
     def _score_partition(batches):
         # per-query candidate stores, merged across this task's batches:
         # val_store: (micro_key desc, id asc) -> keep first `cap`
         # fill_store: NULL-cosine candidates (null vec / length mismatch /
         #   zero norm / null-vec query) -> k smallest ids fill ranks when
-        #   a query has < k scorable neighbours (HOF parity: NULLs sink
-        #   under the final desc ordering)
+        #   a query has < k scorable neighbours inside its pair universe
+        #   (HOF parity: NULLs sink under the final desc ordering)
         val_store = [[] for _ in range(m)]   # (micro, id_key, id, sim)
         fill_store = [[] for _ in range(m)]  # (id_key, id)
 
@@ -158,6 +194,62 @@ def brute_force_topk(
                     fill_store[qi].sort(key=lambda t: t[0])
                     del fill_store[qi][k:]
 
+        def _score_group(rows, qmat, qidx, L, state):
+            """Score data rows `rows` (length-L, valid) against query
+            group (qmat, qidx); record candidates + per-query scored
+            masks into state = (ids_py, excl_rows, per_q_scored, n)."""
+            ids_py, excl_rows, per_q_scored, n, offs, flat = state
+            dmat = flat[
+                (offs[rows].astype(np.int64)[:, None]
+                 + np.arange(L)[None, :]).ravel()
+            ].reshape(len(rows), L)
+            # dim-order accumulation: bit-identical to the HOF fold
+            # ((0 + x0) + x1) + ... and the oracle's a1*b1 + a2*b2 + ..
+            dot_m = np.zeros((len(rows), len(qidx)))
+            nd = np.zeros(len(rows))
+            nq = np.zeros(len(qidx))
+            for di in range(L):
+                dot_m += dmat[:, di:di + 1] * qmat[None, :, di]
+                nd += dmat[:, di] * dmat[:, di]
+                nq += qmat[:, di] * qmat[:, di]
+            denom = np.sqrt(nq)[None, :] * np.sqrt(nd)[:, None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dot_m / denom
+            # HOF: when(denom > 0, dot/denom) — Spark's NaN total order
+            # makes `NaN > 0` TRUE, so a NaN denom yields a NaN VALUE
+            # (ranking FIRST under desc), never a NULL filler
+            ok = (denom > 0) | np.isnan(denom)
+            nan_sim = ok & np.isnan(sims)
+            for ci, qi in enumerate(qidx):
+                cand = np.nonzero(ok[:, ci])[0]
+                if not len(cand):
+                    continue
+                sc = per_q_scored.get(qi)
+                if sc is None:
+                    sc = per_q_scored[qi] = np.zeros(n, dtype=bool)
+                sc[rows[cand]] = True
+                s = sims[cand, ci]
+                # selection key: micro-rounded desc (the EXACT value
+                # ships to Spark and is re-rounded there; the key only
+                # picks the per-task window).  NaN ranks FIRST
+                # (Spark/DuckDB total order: NaN > everything).
+                if round_digits is not None:
+                    micro = np.floor(s * 10.0**round_digits + 0.5)
+                else:
+                    micro = s.copy()
+                micro = np.where(nan_sim[cand, ci], np.inf, micro)
+                if len(cand) > cap:
+                    part = np.argpartition(-micro, cap - 1)[:2 * cap]
+                else:
+                    part = np.arange(len(cand))
+                for pos in part:
+                    i = rows[cand[pos]]
+                    if qi in excl_rows.get(i, ()):
+                        continue
+                    val_store[qi].append(
+                        (micro[pos], _id_key(ids_py[i]), ids_py[i],
+                         float(s[pos])))
+
         for batch in batches:
             ids_arr = batch.column(0)
             vec_arr = batch.column(1)
@@ -165,6 +257,7 @@ def brute_force_topk(
             if n == 0:
                 continue
             ids_py = ids_arr.to_pylist()
+            bkt_py = batch.column(2).to_pylist() if bucketed else None
             offs = vec_arr.offsets.to_numpy(zero_copy_only=False)
             flat = vec_arr.values.to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False)
@@ -173,87 +266,89 @@ def brute_force_topk(
             lens = np.diff(offs)
             # with self-exclusion, NULL neighbor ids drop entirely
             # (`query_id != NULL` is NULL -> the filter removes the pair)
-            excl_rows: dict[int, int] = {}
+            excl_rows: dict[int, set] = {}
             keep = np.ones(n, dtype=bool)
             for i, rid in enumerate(ids_py):
                 if exclude_self:
                     if rid is None:
                         keep[i] = False
                     else:
-                        qi = q_id_index.get(rid)
-                        if qi is not None:
-                            excl_rows[i] = qi
-            # per_q_scored[qi] = boolean rows that produced a VALUE for
-            # query qi (every other kept row is a NULL filler for qi)
+                        qis = q_id_index.get(_id_hashable(rid))
+                        if qis is not None:
+                            excl_rows[i] = qis
             per_q_scored: dict[int, "np.ndarray"] = {}
-            for L, (qmat, qidx) in q_mats.items():
-                if L == 0:
-                    continue  # empty vectors: norm 0 -> NULL (filler)
-                rows = np.nonzero(keep & row_valid & (lens == L))[0]
-                if not len(rows):
-                    continue
-                dmat = flat[
-                    (offs[rows].astype(np.int64)[:, None]
-                     + np.arange(L)[None, :]).ravel()
-                ].reshape(len(rows), L)
-                # dim-order accumulation: bit-identical to the HOF fold
-                # ((0 + x0) + x1) + ... and the oracle's a1*b1 + a2*b2 ..
-                dot_m = np.zeros((len(rows), len(qidx)))
-                nd = np.zeros(len(rows))
-                nq = np.zeros(len(qidx))
-                for di in range(L):
-                    dot_m += dmat[:, di:di + 1] * qmat[None, :, di]
-                    nd += dmat[:, di] * dmat[:, di]
-                    nq += qmat[:, di] * qmat[:, di]
-                denom = np.sqrt(nq)[None, :] * np.sqrt(nd)[:, None]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = dot_m / denom
-                ok = denom > 0          # HOF: when(denom > 0, ...)
-                nan_sim = ok & np.isnan(sims)   # NaN dot, positive denom
-                for ci, qi in enumerate(qidx):
-                    col_ok = ok[:, ci]
-                    cand = np.nonzero(col_ok)[0]
-                    if not len(cand):
-                        continue
-                    sc = np.zeros(n, dtype=bool)
-                    sc[rows[cand]] = True
-                    per_q_scored[qi] = sc
-                    s = sims[cand, ci]
-                    # selection key: micro-rounded desc (the EXACT value
-                    # ships to Spark and is re-rounded there; the key
-                    # only picks the per-task window).  NaN ranks FIRST
-                    # (Spark/DuckDB total order: NaN > everything).
-                    if round_digits is not None:
-                        micro = np.floor(s * 10.0**round_digits + 0.5)
-                    else:
-                        micro = s
-                    micro = np.where(nan_sim[cand, ci], np.inf, micro)
-                    if len(cand) > cap:
-                        part = np.argpartition(-micro, cap - 1)[:2 * cap]
-                    else:
-                        part = np.arange(len(cand))
-                    for pos in part:
-                        i = rows[cand[pos]]
-                        if excl_rows.get(i) == qi:
+            state = (ids_py, excl_rows, per_q_scored, n, offs, flat)
+            # in_universe[qi] = rows this query pairs with at all
+            universe: dict[int, "np.ndarray"] = {}
+            if bucketed:
+                by_bucket: dict = {}
+                for i in np.nonzero(keep)[0]:
+                    b = bkt_py[i]
+                    if b in bucket_to_q:
+                        by_bucket.setdefault(b, []).append(i)
+                for b, idxs in by_bucket.items():
+                    idxs = np.asarray(idxs)
+                    for qi in bucket_to_q[b]:
+                        u = universe.get(qi)
+                        if u is None:
+                            u = universe[qi] = np.zeros(n, dtype=bool)
+                        u[idxs] = True
+                    # score this bucket's rows against its probers,
+                    # length group by length group
+                    probers = bucket_to_q[b]
+                    for L, (qmat, qidx) in q_mats.items():
+                        if L == 0:
                             continue
-                        val_store[qi].append(
-                            (micro[pos], _id_key(ids_py[i]), ids_py[i],
-                             float(s[pos])))
-            # fillers: kept rows that scored for NO query are fillers for
-            # every query; rows that scored for some query are fillers
-            # for the others.  Only the k smallest ids per query can ever
-            # matter, so walk ids in order and stop at k.
-            kept_rows = np.nonzero(keep)[0]
-            order = sorted(kept_rows, key=lambda i: _id_key(ids_py[i]))
+                        sub = [qj for qj, qi in enumerate(qidx)
+                               if qi in set(probers)]
+                        if not sub:
+                            continue
+                        rows = idxs[row_valid[idxs] & (lens[idxs] == L)]
+                        if not len(rows):
+                            continue
+                        _score_group(rows, qmat[sub],
+                                     [qidx[j] for j in sub], L, state)
+            else:
+                all_kept = keep
+                for L, (qmat, qidx) in q_mats.items():
+                    if L == 0:
+                        continue  # empty vecs: norm 0 -> NULL (filler)
+                    rows = np.nonzero(all_kept & row_valid & (lens == L))[0]
+                    if len(rows):
+                        _score_group(rows, qmat, qidx, L, state)
+            # fillers: in-universe kept rows that produced NO value for a
+            # query.  Vectorized: one id-order ranking per batch, then
+            # per query an argpartition over its non-scoring rows — no
+            # O(m*n) python walk when everything scores.
+            kept_idx = np.nonzero(keep)[0]
+            if not len(kept_idx):
+                continue
+            order_rank = None
             for qi in range(m):
+                base = universe.get(qi) if bucketed else keep
+                if base is None:
+                    continue
                 sc = per_q_scored.get(qi)
+                ns = (base & ~sc) if sc is not None else base
+                cand = np.nonzero(ns)[0]
+                if not len(cand):
+                    continue
+                if order_rank is None:
+                    order = sorted(kept_idx,
+                                   key=lambda i: _id_key(ids_py[i]))
+                    order_rank = np.empty(n, dtype=np.int64)
+                    order_rank[np.asarray(order)] = np.arange(len(order))
+                take = min(len(cand), k + len(excl_rows))
+                if len(cand) > take:
+                    sel = cand[np.argpartition(
+                        order_rank[cand], take - 1)[:take]]
+                else:
+                    sel = cand
                 got = 0
-                for i in order:
+                for i in sorted(sel, key=lambda i: order_rank[i]):
                     if got >= k:
                         break
-                    if sc is not None and sc[i]:
-                        continue
-                    if excl_rows.get(i) == qi:
+                    if qi in excl_rows.get(i, ()):
                         continue
                     fill_store[qi].append((_id_key(ids_py[i]), ids_py[i]))
                     got += 1
@@ -278,15 +373,14 @@ def brute_force_topk(
              pa.array(out_sims, type=pa.float64())],
             names=["query_id", "neighbor_id", "cosine"])
 
-    q_field = queries.schema[qid]
     from pyspark.sql.pandas.types import to_arrow_type
 
-    out_q_type = to_arrow_type(q_field.dataType)
+    out_q_type = to_arrow_type(q_id_type)
     out_n_type = to_arrow_type(id_field.dataType)
     from pyspark.sql import types as T
 
     out_struct = T.StructType([
-        T.StructField("query_id", q_field.dataType),
+        T.StructField("query_id", q_id_type),
         T.StructField("neighbor_id", id_field.dataType),
         T.StructField("cosine", T.DoubleType()),
     ])
@@ -302,6 +396,12 @@ def brute_force_topk(
     )
 
 
+def _id_hashable(v):
+    """Dict-key form of an id (Row gives binary ids as unhashable
+    bytearray)."""
+    return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
+
 def _topk_tie_cap(k: int) -> int:
     """Per-(task, query) candidate emission cap: top-k selection inside
     the kernel uses micro-rounded keys, so candidates within one rounding
@@ -314,12 +414,16 @@ def _topk_tie_cap(k: int) -> int:
 
 
 def _id_key(v):
-    """Ordering key for ids of any type (ints, strings): Spark's asc is
-    type-internal and NULLS FIRST, so a per-type tuple keeps python sort
-    happy and puts None ahead of every value."""
+    """Ordering key for ids of any Spark id type: asc is NULLS FIRST,
+    binary compares bytewise, and every other type (int, str, Decimal,
+    date, timestamp) compares natively within its own type — a Spark
+    column is type-uniform, so the raw value is the correct key (a
+    str() fallback would sort Decimal '10' before '9')."""
     if v is None:
         return (-1, 0)
-    return (0, v) if isinstance(v, (int, float)) else (1, str(v))
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return (0, bytes(v))
+    return (0, v)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -1426,37 +1530,54 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
     """Top-k cosine search against a persisted IVF index.  The union of
     probed list ids (<= n_centroids values) is collected driver-side and
     pushed into the scan as a partition filter, so only the probed hive
-    partitions' FILES are read; candidates then meet on the ``ivf_list``
-    equi-join with the (small) query side broadcast — identical scoring
-    to ``ivf_topk``, minus re-assigning the corpus every search."""
+    partitions' FILES are read; candidates then score inside the shared
+    Arrow top-k kernel (:func:`_arrow_topk`) with the probed-list sets
+    as pair gates — bit-identical values to the ``ivf_topk`` HOF oracle,
+    but per-task bounded emission instead of shuffling every scored
+    pair (the r7 100x curve showed the equi-join + full window shape
+    going super-linear: 813 -> 1594 us/row at 200k vectors)."""
     data, meta = load_ivf_index(spark, path)
     cents = meta["centroids"]
-    dim = meta["dim"]
     q = queries.select(
         F.col(id_column).alias("query_id"),
         as_double_array(F.col(vector_column)).alias("__qv"),
     )
+    # probed-list selection stays in Spark exprs (unchanged semantics:
+    # sq-dist fold + (dist, idx) array_sort tie-break); the collect
+    # carries the probed ARRAY per instance, so duplicate query rows
+    # remain distinct instances exactly as the old explode+join did
     dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
-    q = q.withColumn("ivf_list",
-                     F.explode(F.transform(probed, lambda s: s["i"])))
-    lists = [r["ivf_list"] for r in q.select("ivf_list").distinct().collect()]
+    rows = (q.withColumn("__probed", F.transform(probed, lambda s: s["i"]))
+            .limit(MAX_BRUTE_QUERIES + 1).collect())
+    if len(rows) > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"search_ivf_index: query set exceeds {MAX_BRUTE_QUERIES} rows; "
+            "split the query batch")
+    q_ids: list = []
+    q_vecs: list = []
+    q_buckets: list = []
+    for r in rows:
+        if r["query_id"] is None or r["__probed"] is None:
+            # NULL id: the self-exclusion filter drops every pair;
+            # NULL vector: explode(NULL probed) produced no pairs
+            continue
+        q_ids.append(r["query_id"])
+        q_vecs.append(r["__qv"])
+        q_buckets.append(frozenset(r["__probed"]))
+    lists = sorted({b for bs in q_buckets for b in bs if b is not None})
+    # partition pruning: only the probed hive partitions' files are read
     pruned = data.filter(F.col("ivf_list").isin(lists))
-    sim = cosine(F.col("__qv"), F.col("vector"), dim)
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = (
-        pruned.join(F.broadcast(q), "ivf_list")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                sim.alias("cosine"))
+    d = pruned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("vector")).alias("__dv"),
+        F.col("ivf_list").alias("__bkt"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _arrow_topk(d, queries.schema[id_column].dataType, q_ids, q_vecs,
+                       k=k, round_digits=round_digits, exclude_self=True,
+                       q_buckets=q_buckets)
 
 
 def rrf_fuse(rankings: list, id_column: str, rank_column: str = "rank",

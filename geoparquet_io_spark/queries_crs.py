@@ -357,9 +357,10 @@ _PL = P.make_tm(*P.GRS80, lat0=0.0, lon0=19.0, k0=0.9993,
                 fe=500000.0, fn=-5300000.0)
 
 
-def _poland_tm_sql() -> str:
-    """ETRS89 / Poland CS92 (EPSG:2180) — same Krueger machinery as the
-    UTM oracle with the CS92 constants, zone-banded around 19E."""
+def _tm_registry_sql(_PL, lon_lo: float, lon_hi: float) -> str:
+    """Parameterized TM oracle: same Krueger machinery as the UTM
+    oracle with an arbitrary registry row's constants, zone-banded so
+    the near-zone series is meaningful on both sides."""
     e = _PL.e
     kA = _PL.k0 * _PL.A
     eta_terms = " + ".join(
@@ -370,7 +371,7 @@ def _poland_tm_sql() -> str:
         for j, a in enumerate(_PL.alpha, start=1))
     return f"""
     WITH pts AS ({_EVT}),
-    zone AS (SELECT * FROM pts WHERE lon BETWEEN 13.0 AND 25.0),
+    zone AS (SELECT * FROM pts WHERE lon BETWEEN {lon_lo!r} AND {lon_hi!r}),
     a1 AS (SELECT event_id, lon, tan(radians(lat)) AS t FROM zone),
     a2 AS (SELECT event_id, lon, t,
       (exp({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
@@ -389,17 +390,45 @@ def _poland_tm_sql() -> str:
       FROM a3)
     SELECT event_id,
       ROUND({_PL.fe!r} + {kA!r} * (etap + {eta_terms}), 1) + 0.0 AS px,
-      ROUND({_PL.fn!r} + {kA!r} * (xip + {xi_terms}), 1) + 0.0 AS py
+      ROUND({_PL.fn - _PL.k0 * _PL.m0!r} + {kA!r} * (xip + {xi_terms}), 1)
+        + 0.0 AS py
     FROM a4
     """
 
 
-@register("geo_reproject_poland_tm", _poland_tm_sql())
+@register("geo_reproject_poland_tm", _tm_registry_sql(_PL, 13.0, 25.0))
 def q_reproject_poland_tm(spark, sf_dir):
     """EPSG:2180 via the data-driven EPSG_TABLE row (TM family, CS92
     constants: k0=0.9993, FN=-5.3e6) — validates the table dispatch
     end-to-end against the formula oracle."""
     return _spark_reproject(spark, sf_dir, "EPSG:2180", lon_range=(13.0, 25.0))
+
+
+# --- r7: generated-series registry rows driven end-to-end --------------------
+
+_JP9 = P.make_tm(*P.GRS80, lat0=36.0, lon0=139.0 + 50.0 / 60.0, k0=0.9999,
+                 fe=0.0, fn=0.0)
+
+
+@register("geo_reproject_jgd2011_ix", _tm_registry_sql(_JP9, 133.0, 147.0))
+def q_reproject_jgd2011_ix(spark, sf_dir):
+    """EPSG:6677 (JGD2011 / Japan Plane Rectangular CS IX) via the r7
+    GENERATED series rows (projections._generated_epsg_rows) — the
+    first TM oracle with a nonzero latitude of origin, so it also pins
+    the k0*m0 meridian-arc offset end-to-end."""
+    return _spark_reproject(spark, sf_dir, "EPSG:6677",
+                            lon_range=(133.0, 147.0))
+
+
+_CC49 = P.make_lcc(*P.GRS80, lat1=48.25, lat2=49.75, lat0=49.0, lon0=3.0,
+                   fe=1700000.0, fn=8200000.0)
+
+
+@register("geo_reproject_rgf93_cc49", _lcc_sql(_CC49))
+def q_reproject_rgf93_cc49(spark, sf_dir):
+    """EPSG:3949 (RGF93 v1 / CC49) via the r7 generated RGF93 conic
+    band series — one-degree LCC band, northing offset 8200 km."""
+    return _spark_reproject(spark, sf_dir, "EPSG:3949")
 
 
 _CA = P.make_lcc(*P.GRS80, lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,

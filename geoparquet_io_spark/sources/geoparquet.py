@@ -406,6 +406,13 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
     return [path]
 
 
+#: foreign .inprogress-* task files older than this are treated as a
+#: crashed job's orphans and reclaimed by the next writer (a LIVE write
+#: has task files younger than its own runtime; 24 h is far beyond any
+#: sane single-write duration)
+INPROGRESS_ORPHAN_AGE_SEC = 24 * 3600
+
+
 def _write_distributed(
     df, path, geo, partition_by, compression, compression_level, row_group_rows,
     max_rows_per_file, overwrite, per_file_bbox=None,
@@ -632,12 +639,29 @@ def _write_distributed(
         final = os.path.join(d, base[len(inprog_prefix):])
         os.replace(hidden, final)
         final_files.append(final)
+    import time as _time
+
+    now = _time.time()
     for root_dir, _dirs, fnames in os.walk(path):
         for fn in fnames:
-            # sweep ONLY this job's orphaned attempts: another writer's
-            # in-flight files are its task-commit manifest, not garbage
+            if not fn.startswith(".inprogress-"):
+                continue
+            full = os.path.join(root_dir, fn)
+            # sweep this job's own orphaned attempts immediately; a
+            # FOREIGN job's in-flight files are its live task-commit
+            # manifest — reclaim them only past a generous age window
+            # (a crashed writer's orphans are invisible to readers but
+            # would otherwise leak disk forever; nothing else sweeps
+            # dot-files).  Covers legacy un-scoped `.inprogress-part-*`
+            # names too.
             if fn.startswith(inprog_prefix):
-                os.unlink(os.path.join(root_dir, fn))
+                os.unlink(full)
+                continue
+            try:
+                if now - os.path.getmtime(full) > INPROGRESS_ORPHAN_AGE_SEC:
+                    os.unlink(full)
+            except OSError:
+                pass  # racing with its own writer/committer: leave it
     if not rows:
         # zero input rows (a filter matching nothing is a normal pipeline
         # outcome): emit ONE schema-only file so the dataset stays

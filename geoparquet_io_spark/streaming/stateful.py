@@ -111,6 +111,12 @@ def running_user_totals(
     high-churn key spaces; running totals restart from zero if the key
     reappears).  ``None`` (default) keeps state forever: exact running
     totals, state grows with distinct-key count.
+
+    Checkpoint compatibility: the state schema gained an ``idle`` field
+    with the TTL feature — a query checkpointed under the old 3-field
+    schema cannot restart on this code.  Drain the old query (process
+    remaining input, note the emitted totals), then start fresh; there
+    is no in-place state migration for applyInPandasWithState.
     """
     if not events.isStreaming:
         from pyspark.sql import functions as F

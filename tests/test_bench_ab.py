@@ -81,3 +81,13 @@ def test_ab_end_to_end_self_ratio():
     for q in ab["queries"].values():
         assert q["ref"] > 0 and q["head"] > 0 and q["ratio"] > 0
     assert doc["value"] == round(sum(doc["queries"].values()), 3)
+
+
+def test_ab_flag_without_value_degrades(monkeypatch):
+    """`--ab` with the commit forgotten must disable A/B, not crash
+    with IndexError before the one-JSON-line fallback."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--ab"])
+    assert bench._pinned_ref_commit() is None
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--ab", "--check"])
+    assert bench._pinned_ref_commit() is None

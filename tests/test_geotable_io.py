@@ -93,13 +93,23 @@ def test_inprogress_sweep_scoped_to_own_job(points, tmp_path):
     task files are its commit manifest, not garbage."""
     import os
 
+    import time
+
     out = str(tmp_path / "concurrent")
     points.write(out)  # initial dataset
     foreign = os.path.join(out, ".inprogress-feedc0ffee42-part-00001-ab.parquet")
     with open(foreign, "wb") as fh:
         fh.write(b"other writer in flight")
-    points.write(out, overwrite=False)  # append sweeps ONLY its own
-    assert os.path.exists(foreign)
+    # a CRASHED job's orphan (legacy unscoped name, old mtime) must be
+    # reclaimed — nothing else ever sweeps dot-files
+    stale = os.path.join(out, ".inprogress-part-00009-deadbeef.parquet")
+    with open(stale, "wb") as fh:
+        fh.write(b"crashed job leftover")
+    old = time.time() - 25 * 3600
+    os.utime(stale, (old, old))
+    points.write(out, overwrite=False)  # append sweeps ONLY its own + aged
+    assert os.path.exists(foreign)      # live concurrent writer spared
+    assert not os.path.exists(stale)    # aged orphan reclaimed
     # and no file of OUR job's in-progress prefix survives
     leftover = [f for f in os.listdir(out)
                 if f.startswith(".inprogress-") and f != os.path.basename(foreign)]

@@ -221,6 +221,34 @@ def test_zero_norm_embedding_does_not_crash(spark):
     assert all(r["cosine"] is None for r in out if r["neighbor_id"] == 3)
 
 
+def test_brute_topk_kernel_edge_semantics(spark):
+    """r7 Arrow-kernel brute_force_topk edge parity with the HOF shape:
+    duplicated query ids exclude their self-pair for EVERY instance;
+    null vectors and length-mismatched vectors fill ranks with NULL
+    cosine (sinking last); null neighbor ids drop under exclusion."""
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (1, [0.0, 1.0]),       # duplicate id 1!
+            (2, [0.9, 0.1]), (3, None),              # null vector
+            (4, [1.0, 0.0, 0.0]),                    # length mismatch
+            (None, [0.8, 0.2])]                      # null id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 1")                      # BOTH id-1 vectors
+    out = brute_force_topk(df, q, k=6).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # self-pairs for id 1 excluded for BOTH query instances; null id
+    # dropped (NULL != 1 is NULL); survivors: 2 scored per instance,
+    # 3/4 as NULL fillers (id-asc ties), one per instance
+    assert [r["neighbor_id"] for r in by_rank] == [2, 2, 3, 3, 4, 4]
+    assert all(r["neighbor_id"] != 1 for r in out)
+    fillers = [r for r in out if r["neighbor_id"] in (3, 4)]
+    assert all(r["cosine"] is None for r in fillers)
+    valid = [r for r in out if r["neighbor_id"] == 2]
+    assert all(r["cosine"] is not None for r in valid)
+    # NULL cosine never outranks a valid score
+    assert max(r["rank"] for r in valid) < min(r["rank"] for r in fillers)
+
+
 def test_lsh_dim_mismatch_fails_loud(spark):
     import pytest as _p
 
@@ -278,3 +306,21 @@ def test_ivf_trained_rejects_empty_centroids(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     with _p.raises(ValueError, match="empty"):
         ivf_topk_trained(df, df, dim=2, centroids=[])
+
+
+def test_brute_topk_nan_denom_ranks_first(spark):
+    """Spark's NaN total order makes `when(denom > 0)` TRUE for a NaN
+    norm, so a NaN-component vector yields a NaN cosine that ranks
+    FIRST under desc — the kernel must not demote it to a NULL filler
+    (r7 review repro)."""
+    import math
+
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [math.nan, 1.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(brute_force_topk(df, df.filter("vec_id = 1"), k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert math.isnan(out[0]["cosine"])
+    assert abs(out[1]["cosine"] - 0.993884) < 1e-6
