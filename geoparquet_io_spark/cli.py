@@ -540,6 +540,34 @@ def cmd_pack_sequences(args) -> int:
     return 0
 
 
+def cmd_leakage_split(args) -> int:
+    """Group-aware train/valid/test assignment: near-dup groups never
+    straddle splits (operators/sampling.py:leakage_safe_split)."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sampling import leakage_safe_split
+
+    weights = {}
+    for spec in args.weights.split(","):
+        name, _, w = spec.partition("=")
+        if not _:
+            raise SystemExit(f"bad --weights entry {spec!r} (name=frac)")
+        weights[name.strip()] = float(w)
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    groups = spark.read.parquet(args.groups)
+    out = leakage_safe_split(df, args.id_column, groups, weights,
+                             salt=args.salt,
+                             group_id_column=args.group_id_column,
+                             group_rep_column=args.group_rep_column)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {r["split"]: r["n"] for r in spark.read.parquet(args.output)
+              .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"weights": weights, "counts": counts,
+                      "output": args.output}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Bin small files up to a target size (operators/maintenance.py)."""
     from geoparquet_io_spark.operators.maintenance import compact
@@ -971,6 +999,18 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--id-column", default="doc_id")
     pk.add_argument("--token-column", default="n_tokens")
     pk.set_defaults(fn=cmd_pack_sequences)
+
+    ls = sub.add_parser("leakage-split")
+    ls.add_argument("input")
+    ls.add_argument("groups", help="parquet of (id, component) near-dup groups")
+    ls.add_argument("output")
+    ls.add_argument("--weights", required=True,
+                    help="train=0.9,valid=0.05,test=0.05")
+    ls.add_argument("--id-column", default="doc_id")
+    ls.add_argument("--salt", default="split")
+    ls.add_argument("--group-id-column", default="id")
+    ls.add_argument("--group-rep-column", default="component")
+    ls.set_defaults(fn=cmd_leakage_split)
 
     js = sub.add_parser("join-size-estimate")
     js.add_argument("left")

@@ -63,16 +63,12 @@ def mixture_sample(df: DataFrame, key_column: str, group_column: str,
     return df.filter(_hash_draw(F.col(key_column), salt) < thr)
 
 
-def split_by_hash(df: DataFrame, key_column: str, weights: dict,
-                  salt: str = "split", split_column: str = "split") -> DataFrame:
-    """Disjoint, exhaustive train/valid/test-style assignment: weights
-    like ``{"train": 0.98, "valid": 0.01, "test": 0.01}`` map each key
-    into one split by its hash position — stable, leakage-free (a key
-    always lands in the same split), map-only."""
+def _split_expr(draw: Column, weights: dict) -> Column:
+    """CASE cascade mapping a uniform [0, 2^32) draw to a split name by
+    cumulative weight, names in sorted order."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    draw = _hash_draw(F.col(key_column), salt)
     expr = None
     acc = 0.0
     items = sorted(weights.items())
@@ -81,8 +77,47 @@ def split_by_hash(df: DataFrame, key_column: str, weights: dict,
         cond = draw < F.lit(int(acc * _BUCKETS))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn(split_column, expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_by_hash(df: DataFrame, key_column: str, weights: dict,
+                  salt: str = "split", split_column: str = "split") -> DataFrame:
+    """Disjoint, exhaustive train/valid/test-style assignment: weights
+    like ``{"train": 0.98, "valid": 0.01, "test": 0.01}`` map each key
+    into one split by its hash position — stable, leakage-free (a key
+    always lands in the same split), map-only."""
+    draw = _hash_draw(F.col(key_column), salt)
+    return df.withColumn(split_column, _split_expr(draw, weights))
+
+
+def leakage_safe_split(df: DataFrame, id_column: str, groups: DataFrame,
+                       weights: dict, salt: str = "split",
+                       split_column: str = "split",
+                       group_id_column: str = "id",
+                       group_rep_column: str = "component") -> DataFrame:
+    """Group-aware train/valid/test split: every member of a near-dup
+    GROUP lands in the same split, so test examples can never be
+    near-duplicates of training examples (the contamination mode a plain
+    per-id ``split_by_hash`` cannot prevent — Lee et al. 2022 measured
+    several percent of eval sets leaking this way).
+
+    ``groups``: (id, representative) pairs — the output of
+    ``dedup.connected_components`` over near-dup pairs (LSH, SemDeDup,
+    or embedding buckets).  Ids absent from ``groups`` are singleton
+    groups and split by their own id, so the assignment is exhaustive.
+
+    Scale shape: one equi-join on the id (the groups side holds only
+    ids that HAVE a near-dup — typically a small fraction of the corpus,
+    AQE-broadcastable) followed by the map-only hash split on the
+    representative.  No windows, no skew: a giant dup group is one key.
+    """
+    g = groups.select(F.col(group_id_column).alias("__gid"),
+                      F.col(group_rep_column).alias("__rep"))
+    j = df.join(g, F.col(id_column) == F.col("__gid"), "left").drop("__gid")
+    rep = F.coalesce(F.col("__rep"), F.col(id_column))
+    return (j.withColumn(split_column,
+                         _split_expr(_hash_draw(rep, salt), weights))
+            .drop("__rep"))
 
 
 def stratified_take(df: DataFrame, key_column: str, stratum_column: str,

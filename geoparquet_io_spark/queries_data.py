@@ -791,6 +791,65 @@ def q_split_assignment(spark, sf_dir):
     return out.groupBy("split").agg(F.count("*").alias("n"))
 
 
+def _leakage_split_oracle() -> str:
+    """Group-aware split: the LSH near-dup recursive-CTE components
+    pick each id's representative (min reachable id; singletons are
+    their own rep), then the md5 split draw runs on the REP — so the
+    oracle proves both the grouping and the assignment arithmetic."""
+    pair_sql = _near_dup_lsh_oracle()
+    draw = _DRAW.format(salt="lsplit", key="rep")
+    t_test = int(0.05 * (1 << 32))          # sorted names: test, train, valid
+    t_train = int((0.05 + 0.90) * (1 << 32))
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    comp AS (SELECT node AS id, MIN(r) AS component FROM reach GROUP BY node),
+    reps AS (
+      SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS rep
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+    ),
+    drawn AS (SELECT vec_id, {draw} AS d FROM reps)
+    SELECT vec_id,
+           CASE WHEN d < {t_test} THEN 'test'
+                WHEN d < {t_train} THEN 'train'
+                ELSE 'valid' END AS split
+    FROM drawn
+    """
+
+
+@register("curate_leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark, sf_dir):
+    """Group-aware train/valid/test split (operators/sampling.py:
+    leakage_safe_split): near-dup groups (connected components over the
+    LSH pair graph) never straddle splits, so eval rows can't be
+    near-duplicates of training rows — the contamination mode a plain
+    per-id hash split can't prevent."""
+    from geoparquet_io_spark.operators.dedup import connected_components
+    from geoparquet_io_spark.operators.sampling import leakage_safe_split
+    from geoparquet_io_spark.operators.similarity import \
+        embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, id_column="vec_id",
+                                      vector_column="embedding",
+                                      threshold=0.3, n_planes=8, dim=64,
+                                      seed=42)
+    groups = connected_components(pairs, id_a="id_a", id_b="id_b")
+    out = leakage_safe_split(e.select("vec_id"), "vec_id", groups,
+                             {"train": 0.90, "valid": 0.05, "test": 0.05},
+                             salt="lsplit")
+    return out.select("vec_id", "split")
+
+
 @register(
     "events_asof_join",
     """

@@ -369,6 +369,23 @@ def test_pack_sequences_cli(spark, tmp_path, capsys):
     assert packed[1] == 0 and packed[8] == 2
 
 
+def test_leakage_split_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(i,) for i in range(1, 201)],
+                          ["doc_id"]).write.parquet(src)
+    gp = str(tmp_path / "groups.parquet")
+    spark.createDataFrame([(1, 1), (2, 1), (3, 1)],
+                          ["id", "component"]).write.parquet(gp)
+    out = str(tmp_path / "splits")
+    assert _run(["leakage-split", src, gp, out,
+                 "--weights", "train=0.8,valid=0.1,test=0.1"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert sum(rep["counts"].values()) == 200
+    back = {r["doc_id"]: r["split"]
+            for r in spark.read.parquet(out).collect()}
+    assert back[1] == back[2] == back[3]       # group moves as one
+
+
 def test_diff_cli(spark, src, tmp_path, capsys):
     import geoparquet_io_spark as gps
 

@@ -327,6 +327,35 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == 13
 
 
+def test_leakage_safe_split_group_invariant(spark):
+    """Every member of a near-dup group gets the SAME split; singletons
+    split by their own id exactly like split_by_hash; assignment is
+    exhaustive and map-only after the one groups join."""
+    from geoparquet_io_spark.operators.sampling import (leakage_safe_split,
+                                                        split_by_hash)
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 401)], ["doc_id"])
+    # groups: {1,2,3} -> 1, {10,11} -> 10; everyone else singleton
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["id", "component"])
+    w = {"train": 0.6, "valid": 0.2, "test": 0.2}
+    out = leakage_safe_split(ids, "doc_id", groups, w, salt="t")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 400                       # exhaustive, no dup rows
+    assert rows[1] == rows[2] == rows[3]          # group moves as one
+    assert rows[10] == rows[11]
+    # singletons match the plain per-id split (same salt, same draw)
+    plain = {r["doc_id"]: r["split"]
+             for r in split_by_hash(ids, "doc_id", w, salt="t").collect()}
+    for i in rows:
+        if i not in (2, 3, 11):    # non-reps may differ from per-id draw
+            assert rows[i] == plain[i], i
+    # all three splits are non-degenerate at n=400
+    from collections import Counter
+    c = Counter(rows.values())
+    assert set(c) == {"train", "valid", "test"}
+
+
 def test_hash_sampling_deterministic_and_map_only(spark):
     from geoparquet_io_spark.operators.sampling import (
         mixture_sample, sample_by_hash, split_by_hash,
