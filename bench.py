@@ -271,8 +271,23 @@ class _Worker:
             stderr=subprocess.DEVNULL, text=True,
         )
 
-    def _read(self) -> dict:
+    def _read(self, timeout_s: float = 600.0) -> dict:
+        """One JSON line from the worker; a wedged worker (hung Spark
+        startup, stuck query) raises instead of blocking the whole A/B
+        forever — run_ab's catch-all then falls back to in-process."""
+        import select
+
+        deadline = time.monotonic() + timeout_s
         while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise RuntimeError("bench worker timed out")
+            r, _, _ = select.select([self.proc.stdout], [], [],
+                                    min(remaining, 10.0))
+            if not r:
+                if self.proc.poll() is not None:
+                    raise RuntimeError("bench worker died")
+                continue
             line = self.proc.stdout.readline()
             if not line:
                 raise RuntimeError("bench worker died")
@@ -280,8 +295,8 @@ class _Worker:
             if line.startswith("{"):
                 return json.loads(line)
 
-    def wait_ready(self):
-        msg = self._read()
+    def wait_ready(self, timeout_s: float = 240.0):
+        msg = self._read(timeout_s)
         if "ready" not in msg:
             raise RuntimeError(f"unexpected worker hello: {msg}")
 

@@ -28,6 +28,33 @@ VALID_GEOMETRY_TYPES = {
 }
 
 
+def bbox_2d(b) -> tuple[float, float, float, float] | None:
+    """Planar (xmin, ymin, xmax, ymax) from a GeoParquet footer bbox.
+
+    The spec's 3D form is [xmin, ymin, zmin, xmax, ymax, zmax]: reading
+    it positionally as 2D records zmin as xmax — the bug class that
+    mispruned manifest files (r6) and under-reported envelopes (r7).
+    Every consumer that wants a planar envelope goes through here."""
+    if not b:
+        return None
+    if len(b) == 6:
+        return (b[0], b[1], b[3], b[4])
+    return (b[0], b[1], b[2], b[3])
+
+
+def bbox_union(a: list | None, b: list | None) -> list | None:
+    """Union of two footer bboxes; mixed 2D/3D unions project to 2D
+    (dropping Z is the only spec-valid combination), 3D+3D keeps Z."""
+    if a is None or b is None:
+        return None
+    if len(a) == 6 and len(b) == 6:
+        return [min(a[0], b[0]), min(a[1], b[1]), min(a[2], b[2]),
+                max(a[3], b[3]), max(a[4], b[4]), max(a[5], b[5])]
+    a2, b2 = bbox_2d(a), bbox_2d(b)
+    return [min(a2[0], b2[0]), min(a2[1], b2[1]),
+            max(a2[2], b2[2]), max(a2[3], b2[3])]
+
+
 @dataclass
 class GeoColumnMeta:
     """Per-geometry-column metadata (spec `columns.{name}` object)."""

@@ -214,7 +214,9 @@ def _check_per_file_bboxes(files: list[str], geo: GeoMeta) -> list[str]:
         g = GeoMeta.from_footer(pq.read_schema(f).metadata)
         if g is None or g.primary.bbox is None:
             continue
-        bx = g.primary.bbox
+        from geoparquet_io_spark.meta import bbox_2d
+
+        bx = bbox_2d(g.primary.bbox)   # 3D footers compare planar parts
         md = pq.read_metadata(f)
         lo_x = lo_y = float("inf")
         hi_x = hi_y = float("-inf")
@@ -339,7 +341,9 @@ def validate(spark, path: str, sample_rows: int = 10_000) -> list[str]:
             F.max("e.xmax").alias("xmax"), F.max("e.ymax").alias("ymax"),
         ).collect()[0]
     if geo.primary.bbox and env is not None:
-        bx = geo.primary.bbox
+        from geoparquet_io_spark.meta import bbox_2d
+
+        bx = bbox_2d(geo.primary.bbox)   # 3D footer: planar containment
         if env["xmin"] is not None and (
             env["xmin"] < bx[0] or env["ymin"] < bx[1]
             or env["xmax"] > bx[2] or env["ymax"] > bx[3]
@@ -618,11 +622,12 @@ def file_bounds_from_metadata(f: str, bbox_column: str = "bbox"
     None when neither source exists — the caller must fall back to a
     data scan.
     """
+    from geoparquet_io_spark.meta import bbox_2d
+
     pf = pq.ParquetFile(f)
     g = GeoMeta.from_footer(pf.schema_arrow.metadata)
     if g is not None and g.primary is not None and g.primary.bbox:
-        b = g.primary.bbox
-        return (b[0], b[1], b[2], b[3])
+        return bbox_2d(g.primary.bbox)
     md = pf.metadata
     if md.num_rows == 0:
         return None

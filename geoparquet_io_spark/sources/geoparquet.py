@@ -129,13 +129,15 @@ def read_footer_geo(path: str | list[str]) -> GeoMeta | None:
 
     with ThreadPoolExecutor(max_workers=min(32, len(files) - 1)) as ex:
         boxes = list(ex.map(_bbox, files[1:]))
+    from geoparquet_io_spark.meta import bbox_union
+
     union = geo.primary.bbox
     for b in boxes:
-        if b is None:
-            union = None
+        # spec-aware union: 3D+3D keeps Z, mixed projects to 2D — the
+        # positional 4-tuple union read a 3D file's zmin as xmax
+        union = bbox_union(union, b)
+        if union is None:
             break
-        union = [min(union[0], b[0]), min(union[1], b[1]),
-                 max(union[2], b[2]), max(union[3], b[3])]
     geo.ensure_primary().bbox = union
     return geo
 

@@ -497,6 +497,52 @@ def test_bounds_from_bbox_statistics(spark, tmp_path):
         (-7.5, -3.0, 5.0, 9.0)
 
 
+def test_bounds_and_validate_handle_3d_footer_bbox(spark, tmp_path):
+    """A 6-element footer bbox ([xmin,ymin,zmin,xmax,ymax,zmax]) must
+    read as the PLANAR envelope everywhere — positionally-as-2D
+    returned (xmin, ymin, zmin, xmax): z leaked into the envelope and
+    validate's containment check false-errored (same class as the r6
+    manifest bug, different consumers)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.operators.inspect_check import (
+        file_bounds_from_metadata, validate)
+    from geoparquet_io_spark.queries import _events_points
+    from geoparquet_io_spark.sources.geoparquet import patch_footer_metadata
+
+    p = str(tmp_path / "d3")
+    _events_points(spark, SF_SMOKE).write(p)
+    f = [os.path.join(p, x) for x in os.listdir(p)
+         if x.endswith(".parquet")][0]
+    meta = json.loads(pq.read_schema(f).metadata[b"geo"])
+    col = meta["columns"][meta["primary_column"]]
+    x0, y0, x1, y1 = col["bbox"]
+    col["bbox"] = [x0, y0, 0.0, x1, y1, 5.0]       # legal 3D form
+    patch_footer_metadata(f, {"geo": json.dumps(meta)})
+    assert file_bounds_from_metadata(f) == (x0, y0, x1, y1)
+    # validate on the single 3D-footer file: the containment check must
+    # compare the planar parts (zmin-as-xmax made real data "overflow")
+    errs = validate(spark, f)
+    assert not any("does not contain" in e for e in errs), errs
+
+
+def test_bbox_union_mixed_dimensions():
+    from geoparquet_io_spark.meta import bbox_2d, bbox_union
+
+    assert bbox_2d([1, 2, 3, 4]) == (1, 2, 3, 4)
+    assert bbox_2d([1, 2, -9, 3, 4, 9]) == (1, 2, 3, 4)
+    assert bbox_2d(None) is None
+    assert bbox_union([0, 0, 1, 1], [2, -1, 3, 0]) == [0, -1, 3, 1]
+    # 3D + 3D keeps Z
+    assert bbox_union([0, 0, -5, 1, 1, 5], [2, -1, -9, 3, 0, 2]) == \
+        [0, -1, -9, 3, 1, 5]
+    # mixed projects to 2D (zmin never leaks into xmax)
+    assert bbox_union([0, 0, -5, 1, 1, 5], [2, -1, 3, 0]) == [0, -1, 3, 1]
+    assert bbox_union(None, [0, 0, 1, 1]) is None
+
+
 def test_bounds_metadata_unavailable_returns_none(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
