@@ -263,37 +263,47 @@ def _worker_main(repo_dir: str) -> None:
 
 
 class _Worker:
+    """Persistent measurement subprocess.  A dedicated pump thread does
+    the blocking readline()s and enqueues the JSON replies — select() on
+    the raw fd missed complete lines already sitting in the TextIO
+    buffer (JVM startup noise and the JSON reply often arrive in one
+    pipe read), which spuriously 'timed out' healthy workers."""
+
     def __init__(self, repo_dir: str):
+        import queue
+        import threading
+
         self.proc = subprocess.Popen(
             [sys.executable, os.path.join(_HEAD_DIR, "bench.py"),
              "--worker", "--repo", repo_dir],
             cwd=repo_dir, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
         )
+        self._q: "queue.Queue" = queue.Queue()
+
+        def _pump():
+            for line in self.proc.stdout:
+                line = line.strip()
+                if line.startswith("{"):
+                    self._q.put(line)
+            self._q.put(None)   # EOF: worker exited
+
+        self._pump = threading.Thread(target=_pump, daemon=True)
+        self._pump.start()
 
     def _read(self, timeout_s: float = 600.0) -> dict:
-        """One JSON line from the worker; a wedged worker (hung Spark
-        startup, stuck query) raises instead of blocking the whole A/B
-        forever — run_ab's catch-all then falls back to in-process."""
-        import select
+        """One JSON reply; a wedged worker (hung Spark startup, stuck
+        query) raises instead of blocking the whole A/B forever —
+        run_ab's catch-all then falls back to in-process."""
+        import queue
 
-        deadline = time.monotonic() + timeout_s
-        while True:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                raise RuntimeError("bench worker timed out")
-            r, _, _ = select.select([self.proc.stdout], [], [],
-                                    min(remaining, 10.0))
-            if not r:
-                if self.proc.poll() is not None:
-                    raise RuntimeError("bench worker died")
-                continue
-            line = self.proc.stdout.readline()
-            if not line:
-                raise RuntimeError("bench worker died")
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+        try:
+            line = self._q.get(timeout=timeout_s)
+        except queue.Empty:
+            raise RuntimeError("bench worker timed out") from None
+        if line is None:
+            raise RuntimeError("bench worker died")
+        return json.loads(line)
 
     def wait_ready(self, timeout_s: float = 240.0):
         msg = self._read(timeout_s)
@@ -301,8 +311,8 @@ class _Worker:
             raise RuntimeError(f"unexpected worker hello: {msg}")
 
     def run(self, name: str):
-        """(seconds, error_string_or_None); sec None = query missing in
-        this code version's registry."""
+        """(seconds, error_string_or_None); sec None with no error =
+        query missing in this code version's registry."""
         self.proc.stdin.write(f"RUN {name}\n")
         self.proc.stdin.flush()
         msg = self._read()
@@ -346,6 +356,7 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
         samples: dict[str, dict[str, list[float]]] = {
             n: {"ref": [], "head": []} for n in names}
         errors: dict[str, str] = {}
+        ref_errors: dict[str, str] = {}
         for r in range(rounds):
             for i, name in enumerate(names):
                 pair = [("ref", ref_w), ("head", head_w)]
@@ -353,10 +364,11 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
                     pair.reverse()   # alternate order: drift cancels
                 for side, w in pair:
                     sec, err = w.run(name)
-                    if err is not None and side == "head":
-                        # a HEAD-side crash is a regression, not a gap to
-                        # silently drop from the totals — surface it
-                        errors[name] = err
+                    if err is not None:
+                        # a HEAD-side crash is a regression; a REF-side
+                        # crash must not masquerade as "query didn't
+                        # exist at the ref commit" — record both
+                        (errors if side == "head" else ref_errors)[name] = err
                     if sec is not None:
                         samples[name][side].append(sec)
         head_t: dict[str, float] = {}
@@ -367,7 +379,8 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
             if s["head"]:
                 head_t[name] = round(_median(s["head"]), 3)
             if not s["ref"]:
-                missing.append(name)
+                if name not in ref_errors:
+                    missing.append(name)
                 continue
             if s["head"]:
                 rm = _median(s["ref"])
@@ -386,9 +399,12 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
             "ratio_total": round(head_total / ref_total, 3) if ref_total else None,
             "missing_in_ref": missing,
             "head_errors": errors,
+            "ref_errors": ref_errors,
         }
         for name, err in errors.items():
             print(f"HEAD ERROR {name}: {err}", file=sys.stderr)
+        for name, err in ref_errors.items():
+            print(f"REF ERROR {name}: {err}", file=sys.stderr)
         return head_t, report
     except Exception as exc:
         print(f"note: A/B run failed, falling back ({exc})", file=sys.stderr)

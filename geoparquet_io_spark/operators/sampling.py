@@ -111,8 +111,23 @@ def leakage_safe_split(df: DataFrame, id_column: str, groups: DataFrame,
     AQE-broadcastable) followed by the map-only hash split on the
     representative.  No windows, no skew: a giant dup group is one key.
     """
-    g = groups.select(F.col(group_id_column).alias("__gid"),
-                      F.col(group_rep_column).alias("__rep"))
+    # one rep per id, LOUDLY: a groups table with duplicate ids (say the
+    # raw near-dup PAIR list instead of connected-components output)
+    # would duplicate corpus rows through the join — silently inflating
+    # the written dataset.  The aggregate is on the (small) groups side;
+    # conflicting reps for one id raise at execution.
+    g = (groups.groupBy(F.col(group_id_column).alias("__gid"))
+         .agg(F.min(group_rep_column).alias("__rep"),
+              F.count_distinct(F.col(group_rep_column)).alias("__n")))
+    g = g.select(
+        "__gid",
+        F.when(F.col("__n") == 1, F.col("__rep")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("leakage_safe_split: id "),
+                F.col("__gid").cast("string"),
+                F.lit(" maps to multiple group representatives — pass "
+                      "connected-components output, not raw pairs")))
+            .cast(g.schema["__rep"].dataType)).alias("__rep"))
     j = df.join(g, F.col(id_column) == F.col("__gid"), "left").drop("__gid")
     rep = F.coalesce(F.col("__rep"), F.col(id_column))
     return (j.withColumn(split_column,

@@ -150,21 +150,36 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
     m = len(q_ids)
     # queries grouped by vector length: only equal-length pairs score
     # (zip_with pads mismatches with NULL -> NULL cosine); heterogeneous
-    # lengths are permitted when no dim was enforced
+    # lengths are permitted when no dim was enforced.  A query vector
+    # CONTAINING a null element never scores (x * NULL poisons the whole
+    # HOF fold -> NULL cosine): treat it like a NULL vector — all its
+    # pairs are fillers.  (Genuine float NaN elements DO score: the fold
+    # yields NaN and Spark's NaN total order ranks it first.)
     q_by_len: dict[int, list[int]] = {}
     for i, v in enumerate(q_vecs):
-        if v is not None:
+        if v is not None and not any(x is None for x in v):
             q_by_len.setdefault(len(v), []).append(i)
     q_mats = {
         L: (np.asarray([q_vecs[i] for i in idx], dtype=np.float64), idx)
         for L, idx in q_by_len.items()
     }
-    # bucket value -> query indexes probing it (bucketed mode)
+    # bucket value -> query indexes probing it (bucketed mode), and the
+    # per-(bucket, length) query sub-matrices, built ONCE here — inside
+    # the kernel this ran per batch with a per-element set() rebuild
     bucket_to_q: dict = {}
+    bucket_plan: dict = {}
     if bucketed:
         for i, bs in enumerate(q_buckets):
             for b in bs or ():
                 bucket_to_q.setdefault(b, []).append(i)
+        for b, probers in bucket_to_q.items():
+            ps = set(probers)
+            groups = []
+            for L, (qmat, qidx) in q_mats.items():
+                sub = [j for j, qi in enumerate(qidx) if qi in ps]
+                if sub:
+                    groups.append((L, qmat[sub], [qidx[j] for j in sub]))
+            bucket_plan[b] = groups
     # id -> ALL query indexes bearing it: a duplicated query id must
     # exclude its self-pair for EVERY instance (the filter semantics
     # `query_id != neighbor_id` hold per pair, not per first match)
@@ -258,11 +273,22 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                 continue
             ids_py = ids_arr.to_pylist()
             bkt_py = batch.column(2).to_pylist() if bucketed else None
-            offs = vec_arr.offsets.to_numpy(zero_copy_only=False)
+            offs = vec_arr.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             flat = vec_arr.values.to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False)
             row_valid = ~np.asarray(
                 vec_arr.is_null().to_numpy(zero_copy_only=False))
+            # a NULL ELEMENT poisons the HOF fold -> NULL cosine, but
+            # to_numpy converts it to NaN — indistinguishable from a
+            # genuine float NaN (which must SCORE, as NaN).  Mask rows
+            # with null elements out of scoring so they sink as fillers,
+            # exactly like the HOF/oracle path.
+            elem_null = np.asarray(
+                vec_arr.values.is_null().to_numpy(zero_copy_only=False))
+            if elem_null.any():
+                cs = np.concatenate(([0], np.cumsum(elem_null)))
+                row_valid = row_valid & ((cs[offs[1:]] - cs[offs[:-1]]) == 0)
             lens = np.diff(offs)
             # with self-exclusion, NULL neighbor ids drop entirely
             # (`query_id != NULL` is NULL -> the filter removes the pair)
@@ -293,21 +319,14 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                         if u is None:
                             u = universe[qi] = np.zeros(n, dtype=bool)
                         u[idxs] = True
-                    # score this bucket's rows against its probers,
-                    # length group by length group
-                    probers = bucket_to_q[b]
-                    for L, (qmat, qidx) in q_mats.items():
+                    # score this bucket's rows against the precomputed
+                    # per-(bucket, length) query sub-matrices
+                    for L, qmat_s, qidx_s in bucket_plan[b]:
                         if L == 0:
                             continue
-                        sub = [qj for qj, qi in enumerate(qidx)
-                               if qi in set(probers)]
-                        if not sub:
-                            continue
                         rows = idxs[row_valid[idxs] & (lens[idxs] == L)]
-                        if not len(rows):
-                            continue
-                        _score_group(rows, qmat[sub],
-                                     [qidx[j] for j in sub], L, state)
+                        if len(rows):
+                            _score_group(rows, qmat_s, qidx_s, L, state)
             else:
                 all_kept = keep
                 for L, (qmat, qidx) in q_mats.items():

@@ -409,10 +409,15 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
 
 
 #: foreign .inprogress-* task files older than this are treated as a
-#: crashed job's orphans and reclaimed by the next writer (a LIVE write
-#: has task files younger than its own runtime; 24 h is far beyond any
-#: sane single-write duration)
-INPROGRESS_ORPHAN_AGE_SEC = 24 * 3600
+#: crashed job's orphans and reclaimed by the next writer.  NOTE the
+#: sharp edge: a LIVE foreign write whose task file mtime goes stale
+#: past the window (its stage stalled mid-write) loses the file and its
+#: commit-time os.replace fails — so the default is a full week, far
+#: beyond any plausible single-write stall, trading slower disk
+#: reclamation for never killing a slow job.  Override via
+#: SPARK_GRAFT_INPROGRESS_ORPHAN_AGE (seconds).
+INPROGRESS_ORPHAN_AGE_SEC = int(os.environ.get(
+    "SPARK_GRAFT_INPROGRESS_ORPHAN_AGE", 7 * 24 * 3600))
 
 
 def _write_distributed(

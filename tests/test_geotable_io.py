@@ -105,7 +105,7 @@ def test_inprogress_sweep_scoped_to_own_job(points, tmp_path):
     stale = os.path.join(out, ".inprogress-part-00009-deadbeef.parquet")
     with open(stale, "wb") as fh:
         fh.write(b"crashed job leftover")
-    old = time.time() - 25 * 3600
+    old = time.time() - 8 * 24 * 3600
     os.utime(stale, (old, old))
     points.write(out, overwrite=False)  # append sweeps ONLY its own + aged
     assert os.path.exists(foreign)      # live concurrent writer spared

@@ -324,3 +324,19 @@ def test_brute_topk_nan_denom_ranks_first(spark):
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert math.isnan(out[0]["cosine"])
     assert abs(out[1]["cosine"] - 0.993884) < 1e-6
+
+
+def test_brute_topk_null_element_vector_is_filler(spark):
+    """A vector CONTAINING a null element poisons the HOF fold -> NULL
+    cosine (filler, sinks last) — Arrow's to_numpy turns the null into
+    NaN, which without masking would rank it FIRST as a fake NaN
+    cosine (r7 second review pass)."""
+    from geoparquet_io_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [None, 1.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(brute_force_topk(df, df.filter("vec_id = 1"), k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [3, 2]
+    assert out[0]["cosine"] is not None       # real neighbor first
+    assert out[1]["cosine"] is None           # null-element row: filler

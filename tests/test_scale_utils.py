@@ -675,3 +675,26 @@ def test_spatial_joinability_ranking(spark):
     assert out["overlapping"]["coverage"] == 1.0
     assert out["disjoint"]["shared_cells"] == 0
     assert out["disjoint"]["coverage"] == 0.0
+
+
+def test_leakage_safe_split_rejects_pair_list(spark):
+    """Passing the raw near-dup PAIR list (id appears with two different
+    reps) must raise loudly, not silently duplicate corpus rows."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from geoparquet_io_spark.operators.sampling import leakage_safe_split
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"])
+    bad = spark.createDataFrame(
+        [(2, 1), (2, 3)], ["id", "component"])    # id 2 -> two reps
+    out = leakage_safe_split(ids, "doc_id", bad,
+                             {"train": 0.5, "test": 0.5}, salt="t")
+    with pytest.raises(Exception, match="multiple group representatives"):
+        out.collect()
+    # duplicate (id, rep) ROWS are fine — same rep, one output row
+    dup_ok = spark.createDataFrame(
+        [(2, 1), (2, 1), (3, 1)], ["id", "component"])
+    got = leakage_safe_split(ids, "doc_id", dup_ok,
+                             {"train": 0.5, "test": 0.5}, salt="t")
+    assert got.count() == 9
