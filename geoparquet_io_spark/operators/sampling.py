@@ -121,7 +121,9 @@ def leakage_safe_split(df: DataFrame, id_column: str, groups: DataFrame,
               F.count_distinct(F.col(group_rep_column)).alias("__n")))
     g = g.select(
         "__gid",
-        F.when(F.col("__n") == 1, F.col("__rep")).otherwise(
+        # __n == 0: the id's only rep was NULL (count_distinct skips
+        # NULLs) -> fall through to the own-id coalesce, don't raise
+        F.when(F.col("__n") <= 1, F.col("__rep")).otherwise(
             F.raise_error(F.concat(
                 F.lit("leakage_safe_split: id "),
                 F.col("__gid").cast("string"),
