@@ -308,9 +308,18 @@ def write_md(results: dict) -> None:
         "under /tmp and rebuilt only when absent).",
         "",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
-        fh.write("\n".join(lines))
+    md = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    # preserve the 100x section (written by --x100 --md) across main
+    # table regenerations — each mode owns its own section
+    tail = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        marker = "\n## 100x points (scale-critical paths)\n"
+        if marker in old:
+            tail = marker + old.split(marker, 1)[1]
+    with open(md, "w") as fh:
+        fh.write("\n".join(lines) + tail)
 
 
 if __name__ == "__main__":
