@@ -234,17 +234,27 @@ def _warm(spark):
 
 # ---------------------------------------------------------------- worker
 
+# Protocol replies from the worker are tagged so the driver's pump can
+# never confuse them with a query (or Spark) printing a JSON-ish line to
+# stdout — bare '{' matching desynced the one-reply-per-RUN pairing.
+_PROTO = "@@BENCH "
+
+
+def _reply(obj: dict) -> None:
+    print(_PROTO + json.dumps(obj), flush=True)
+
+
 def _worker_main(repo_dir: str) -> None:
     """Persistent measurement worker: imports the engine from
     ``repo_dir`` (a git worktree of the ref commit, or this repo for
-    HEAD), answers one JSON line per RUN command.  Kept deliberately
-    dumb — all interleaving policy lives in the driver."""
+    HEAD), answers one sentinel-tagged JSON line per RUN command.  Kept
+    deliberately dumb — all interleaving policy lives in the driver."""
     sys.path.insert(0, repo_dir)
     from geoparquet_io_spark.session import get_spark
 
     spark = get_spark("bench-ab")
     _warm(spark)
-    print(json.dumps({"ready": 1}), flush=True)
+    _reply({"ready": 1})
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -255,10 +265,9 @@ def _worker_main(repo_dir: str) -> None:
         try:
             sec = _run_query(spark, name)
         except Exception as exc:  # a ref-side crash must not kill the A/B
-            print(json.dumps({"name": name, "error": str(exc)[:200]}),
-                  flush=True)
+            _reply({"name": name, "error": str(exc)[:200]})
             continue
-        print(json.dumps({"name": name, "sec": sec}), flush=True)
+        _reply({"name": name, "sec": sec})
     spark.stop()
 
 
@@ -284,8 +293,8 @@ class _Worker:
         def _pump():
             for line in self.proc.stdout:
                 line = line.strip()
-                if line.startswith("{"):
-                    self._q.put(line)
+                if line.startswith(_PROTO):
+                    self._q.put(line[len(_PROTO):])
             self._q.put(None)   # EOF: worker exited
 
         self._pump = threading.Thread(target=_pump, daemon=True)
@@ -472,6 +481,7 @@ def main() -> None:
     out["queries"] = timings
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     head_errors = out.get("ab", {}).get("head_errors", {})
+    reg = None
     if "--check" in sys.argv:
         reg = check_regressions(timings)
         out["regressions"] = reg
@@ -479,11 +489,50 @@ def main() -> None:
             print(f"WARN {name} {pct:+.1f}% vs baseline", file=sys.stderr)
         for name, pct in reg["fail"].items():
             print(f"FAIL {name} {pct:+.1f}% vs baseline", file=sys.stderr)
-        print(json.dumps(out))
+
+    # Full detail (per-query A/B dict, errors, regression table) goes to
+    # a sidecar — the driver's tail capture holds ~2 KB, and the r7
+    # final line carrying the whole A/B report outgrew it (BENCH_r07
+    # parsed: null).  The ONE printed line stays compact by contract.
+    sidecar = os.path.join(_HEAD_DIR, "BENCH_AB.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"note: could not write {sidecar}: {exc}", file=sys.stderr)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "calibration_sec": out["calibration_sec"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    ab = out.get("ab")
+    if ab:
+        ratios = {k: v["ratio"] for k, v in ab.get("queries", {}).items()
+                  if v.get("ratio") is not None}
+        worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+        compact["ab"] = {
+            "ref_commit": ab.get("ref_commit"),
+            "ratio_total": ab.get("ratio_total"),
+            "worst": worst,
+            "head_error_count": len(head_errors),
+        }
+    compact["detail"] = "BENCH_AB.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and "queries" in compact:
+        # last-resort guard: never let the one-line contract break again
+        compact["queries"] = dict(
+            sorted(compact["queries"].items(), key=lambda kv: -kv[1])[:20])
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+    if reg is not None:
         # a query that CRASHED on HEAD is a failure even though it has
         # no timing to compare
         sys.exit(1 if (reg["fail"] or head_errors) else 0)
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,22 @@ def spatial_join(
     r_local = (right.select(right_geometry, *right_columns)
                .limit(broadcast_threshold + 1).collect())
 
+    # re-guard AFTER the collect: the probe and the payload are two
+    # separate jobs, so a non-deterministic right lineage (.sample(),
+    # rand()) or a source that grew in between can hand this collect
+    # MORE than the probe saw — proceeding would silently truncate the
+    # broadcast index and drop join matches.  Route to the grid join
+    # instead, which never needs the payload on the driver.
+    payload_bytes = sum(
+        len(row[right_geometry]) for row in r_local
+        if row[right_geometry] is not None)
+    if (len(r_local) > broadcast_threshold
+            or payload_bytes > broadcast_bytes_threshold):
+        return _route_to_grid_join(
+            left, left_geometry, left_bbox, right, right_geometry,
+            right_columns, how, grid_cell_size, left_id,
+        )
+
     # driver-side candidate index: right envelopes as numpy arrays.
     # NULL right geometries can never match — drop them here, matching
     # the slow path's per-row guard and the grid path's explode drop

@@ -213,7 +213,7 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
             """Score data rows `rows` (length-L, valid) against query
             group (qmat, qidx); record candidates + per-query scored
             masks into state = (ids_py, excl_rows, per_q_scored, n)."""
-            ids_py, excl_rows, per_q_scored, n, offs, flat = state
+            ids_py, excl_rows, excl_count, per_q_scored, n, offs, flat = state
             dmat = flat[
                 (offs[rows].astype(np.int64)[:, None]
                  + np.arange(L)[None, :]).ravel()
@@ -254,7 +254,23 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                     micro = s.copy()
                 micro = np.where(nan_sim[cand, ci], np.inf, micro)
                 if len(cand) > cap:
-                    part = np.argpartition(-micro, cap - 1)[:2 * cap]
+                    # exact selection: everything strictly above the
+                    # cap-th micro key, plus the boundary ties resolved
+                    # by ascending id.  A fixed 2*cap window silently
+                    # broke the id tie-break when > 2*cap candidates tied
+                    # at the boundary (constant / quantized / one-hot
+                    # embeddings are realistic) — r7 ADVICE.
+                    kth = micro[np.argpartition(-micro, cap - 1)[cap - 1]]
+                    above = np.nonzero(micro > kth)[0]
+                    ties = np.nonzero(micro == kth)[0]
+                    need = cap - len(above) + excl_count.get(qi, 0)
+                    if len(ties) > need:
+                        import heapq
+                        ties = heapq.nsmallest(
+                            need, ties,
+                            key=lambda p: _id_key(ids_py[rows[cand[p]]]))
+                    part = np.concatenate(
+                        [above, np.asarray(ties, dtype=np.int64)])
                 else:
                     part = np.arange(len(cand))
                 for pos in part:
@@ -303,7 +319,15 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                         if qis is not None:
                             excl_rows[i] = qis
             per_q_scored: dict[int, "np.ndarray"] = {}
-            state = (ids_py, excl_rows, per_q_scored, n, offs, flat)
+            # per-query count of self-excluded rows in THIS batch: the
+            # boundary-tie selection widens by exactly this much so the
+            # post-filter still holds the cap smallest surviving ids
+            excl_count: dict[int, int] = {}
+            for _qis in excl_rows.values():
+                for _qi in _qis:
+                    excl_count[_qi] = excl_count.get(_qi, 0) + 1
+            state = (ids_py, excl_rows, excl_count, per_q_scored, n, offs,
+                     flat)
             # in_universe[qi] = rows this query pairs with at all
             universe: dict[int, "np.ndarray"] = {}
             if bucketed:

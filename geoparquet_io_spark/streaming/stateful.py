@@ -57,6 +57,24 @@ def _emit(key, n, total, nv):
     })
 
 
+def _read_state(state: GroupState) -> tuple:
+    """Unpack state defensively: a checkpoint written under an older
+    STATE_SCHEMA (pre-``idle``, 3 fields) otherwise surfaces as an
+    opaque tuple-unpack/deserialization error deep inside the stream.
+    There is no in-place migration for applyInPandasWithState state —
+    tell the operator exactly what to do instead."""
+    vals = tuple(state.get)
+    if len(vals) != len(STATE_SCHEMA.fields):
+        raise RuntimeError(
+            "running_user_totals: checkpointed state has "
+            f"{len(vals)} fields but this code expects "
+            f"{len(STATE_SCHEMA.fields)} (the state schema gained the "
+            "'idle' field). Drain the old query to capture its final "
+            "totals, then restart with a FRESH checkpoint directory — "
+            "applyInPandasWithState state cannot be migrated in place.")
+    return vals
+
+
 def _make_update_fn(eviction_ttl_ms: int | None):
     def _update_user_totals(
         key: tuple,
@@ -64,7 +82,7 @@ def _make_update_fn(eviction_ttl_ms: int | None):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         if state.hasTimedOut:
-            n, total, nv, idle = state.get
+            n, total, nv, idle = _read_state(state)
             if idle and eviction_ttl_ms is not None:
                 # second consecutive timeout = eviction horizon reached
                 # with zero events since the flush: drop deliberately
@@ -83,7 +101,7 @@ def _make_update_fn(eviction_ttl_ms: int | None):
                     max(1, eviction_ttl_ms - FLUSH_IDLE_MS))
             yield _emit(key, n, total, nv)
             return
-        n, total, nv, _ = state.get if state.exists else (0, 0.0, 0, 0)
+        n, total, nv, _ = _read_state(state) if state.exists else (0, 0.0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
             nv += int(pdf["value"].notna().sum())

@@ -72,15 +72,27 @@ def test_ab_end_to_end_self_ratio():
         [sys.executable, os.path.join(REPO, "bench.py"), "--ab", "HEAD"],
         env=env, capture_output=True, text=True, timeout=360, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
-    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    line = out.stdout.strip().splitlines()[-1]
+    # the driver's tail capture holds ~2 KB — the final line must fit
+    assert len(line) < 1900
+    doc = json.loads(line)
     assert doc["calibration_sec"] > 0
+    # compact line: summary only (full per-query A/B lives in the sidecar)
     ab = doc["ab"]
-    assert ab["ref_commit"] == "HEAD" and ab["missing_in_ref"] == []
-    assert set(ab["queries"]) == {"tpch_q1_pricing_summary",
-                                  "geo_bbox_fast_path"}
-    for q in ab["queries"].values():
+    assert ab["ref_commit"] == "HEAD"
+    assert ab["ratio_total"] > 0
+    assert set(ab["worst"]) <= {"tpch_q1_pricing_summary",
+                                "geo_bbox_fast_path"}
+    assert abs(doc["value"] - sum(doc["queries"].values())) < 0.05
+    with open(os.path.join(REPO, doc["detail"])) as f:
+        full = json.load(f)
+    fab = full["ab"]
+    assert fab["missing_in_ref"] == []
+    assert set(fab["queries"]) == {"tpch_q1_pricing_summary",
+                                   "geo_bbox_fast_path"}
+    for q in fab["queries"].values():
         assert q["ref"] > 0 and q["head"] > 0 and q["ratio"] > 0
-    assert doc["value"] == round(sum(doc["queries"].values()), 3)
+    assert fab["ratio_total"] == ab["ratio_total"]
 
 
 def test_ab_flag_without_value_degrades(monkeypatch):

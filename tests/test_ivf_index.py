@@ -249,6 +249,29 @@ def test_brute_topk_kernel_edge_semantics(spark):
     assert max(r["rank"] for r in valid) < min(r["rank"] for r in fillers)
 
 
+def test_brute_topk_exact_on_degenerate_all_tied_corpus(spark):
+    """When every candidate in a task ties at the selection boundary
+    (constant embeddings — realistic for quantized / one-hot corpora),
+    the id-ascending tie-break must stay EXACT: the old fixed 2*cap
+    argpartition window kept an arbitrary positional subset of the
+    ties, silently returning wrong neighbor ids (r7 ADVICE).  Ids are
+    laid out in DESCENDING row order so a positional window provably
+    misses the winners."""
+    from geoparquet_io_spark.operators.similarity import (
+        _topk_tie_cap, brute_force_topk)
+
+    n, k = 400, 3
+    assert n > 2 * _topk_tie_cap(k)        # the old window cannot hold all ties
+    rows = [(i, [1.0, 0.0]) for i in range(n - 1, -1, -1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    out = sorted(brute_force_topk(df, df.filter("vec_id = 1"), k=k).collect(),
+                 key=lambda r: r["rank"])
+    # all cosines tie at 1.0 -> winners are the k smallest ids, self excluded
+    assert [r["neighbor_id"] for r in out] == [0, 2, 3]
+    assert all(r["cosine"] == 1.0 for r in out)
+
+
 def test_lsh_dim_mismatch_fails_loud(spark):
     import pytest as _p
 

@@ -295,6 +295,55 @@ def test_spatial_join_byte_gate_routes_fat_right(spark, monkeypatch):
     assert got == expected
 
 
+def test_spatial_join_reguards_grown_right_after_probe(spark, monkeypatch,
+                                                      tmp_path):
+    """The lengths-only probe and the payload collect are two separate
+    jobs; a right lineage that grows in between (non-deterministic
+    .sample()/rand(), a source appended to mid-query) must route to the
+    grid join, NOT proceed with a silently-truncated broadcast index
+    that drops join matches (r7 ADVICE)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.functions import wkb as _wkb
+    from geoparquet_io_spark.operators import joins as J
+
+    counter = str(tmp_path / "right_evals")
+    square = bytes(_wkb.encode_polygon([np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])]))
+
+    def grow(batches):
+        # every Spark job over this lineage re-runs the UDF; emit 3 rows
+        # on the first evaluation (the probe) and 50 on later ones (the
+        # payload collect) — the deterministic stand-in for a right side
+        # that changed between the two jobs
+        with open(counter, "a") as f:
+            f.write("x")
+        n = 3 if os.path.getsize(counter) <= 1 else 50
+        for _ in batches:
+            yield pd.DataFrame({"name": [f"p{i}" for i in range(n)],
+                                "geometry": [square] * n})
+
+    right = spark.range(1).coalesce(1).mapInPandas(
+        grow, "name string, geometry binary")
+    pts = spark.createDataFrame([(1, 5.0, 5.0)],
+                                "id long, x double, y double")
+    pts = pts.withColumn("geometry", G.st_point(F.col("x"), F.col("y"))) \
+             .select("id", "geometry")
+
+    sentinel = spark.createDataFrame([(0,)], "marker long")
+    calls = []
+    monkeypatch.setattr(
+        J, "_route_to_grid_join",
+        lambda *a, **kw: (calls.append(1), sentinel)[1])
+    out = J.spatial_join(pts, "geometry", None, right, "geometry", None,
+                         ["name"], how="left", broadcast_threshold=10)
+    assert calls == [1] and out is sentinel
+
+
 def test_connected_components_chains(spark):
     """a~b, b~c, and a separate d~e: two components, min-id labels."""
     from geoparquet_io_spark.operators.dedup import (

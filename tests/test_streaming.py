@@ -544,6 +544,41 @@ def test_stateful_totals_all_null_values_match_batch(spark):
     assert out2["sum_value"].iloc[0] == 2.5 and out2["n_events"].iloc[0] == 3
 
 
+def test_stateful_old_checkpoint_schema_raises_clear_error():
+    """State checkpointed under the pre-``idle`` 3-field schema must
+    fail with an actionable message (drain + fresh checkpoint dir), not
+    an opaque tuple-unpack error mid-stream (r7 ADVICE)."""
+    import pandas as pd
+    import pytest
+
+    from geoparquet_io_spark.streaming.stateful import _update_user_totals
+
+    class OldState:
+        exists = True
+        hasTimedOut = False
+
+        @property
+        def get(self):
+            return (3, 1.5, 2)        # old 3-field state
+
+        def update(self, v):
+            pass
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        list(_update_user_totals(
+            (7,), iter([pd.DataFrame({"value": [1.0]})]), OldState()))
+
+    class OldTimedOut(OldState):
+        exists = True
+        hasTimedOut = True
+
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        list(_update_user_totals((7,), iter([]), OldTimedOut()))
+
+
 def test_stateful_timeout_flush_keeps_running_totals():
     """An idle-timeout flush must EMIT but not RESET: removing state let
     the next event overwrite a user's true running total with 1."""
