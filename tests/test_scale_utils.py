@@ -631,8 +631,11 @@ def test_zorder_by_clusters_every_column(spark):
     from pyspark.sql import functions as F
 
     rng = random.Random(3)
+    # 20k rows: repartitionByRange samples partition boundaries, and at
+    # 4k rows a concurrently-loaded host could land a degenerate split
+    # that tripped the old absolute thresholds (r7 flake)
     rows = [(rng.randrange(10000), rng.randrange(10000))
-            for _ in range(4000)]
+            for _ in range(20000)]
     df = spark.createDataFrame(rows, ["x", "y"]).repartition(8)
 
     def mean_span(clustered, col):
@@ -653,10 +656,14 @@ def test_zorder_by_clusters_every_column(spark):
         .localCheckpoint(eager=True)
     plain = df.repartitionByRange(8, "x").sortWithinPartitions("x") \
         .localCheckpoint(eager=True)
-    # plain sort: y spans stay ~full width (~10000); zorder: both shrink
-    assert mean_span(plain, "y") > 7500
-    assert mean_span(z, "x") < 6000
-    assert mean_span(z, "y") < 6000
+    # plain sort: y spans stay ~full width (~10000); zorder: both shrink.
+    # Assert the zorder-vs-plain RATIO, not absolute spans — absolute
+    # thresholds sat too close to what sampled range boundaries give
+    # and flaked under host contention (r7 verdict #2).
+    plain_y = mean_span(plain, "y")
+    assert plain_y > 7000
+    assert mean_span(z, "x") < 0.75 * plain_y
+    assert mean_span(z, "y") < 0.75 * plain_y
 
 
 def test_zorder_by_range_method_handles_skew(spark):
