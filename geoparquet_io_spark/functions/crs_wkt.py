@@ -86,6 +86,9 @@ _GEOGCS: dict[str, tuple] = {
                   "Sphere", "Not_specified_based_on_Clarke_1866_Authalic"
                   "_Sphere", "Clarke 1866 Authalic Sphere",
                   (6370997.0, 0.0), 7052, 4052, None),
+    # --- round-8 additions ---
+    "GDA2020": ("GDA2020", "Geocentric_Datum_of_Australia_2020",
+                "GRS 1980", P.GRS80, 7019, 7844, _ZERO7),
 }
 
 # projected CRS names + geographic base for every EPSG_TABLE code
@@ -155,6 +158,27 @@ for _i, _belt in enumerate(["West", "Central", "East", "East Sea"]):
 for _i in range(9):
     _PROJCS_INFO.setdefault(
         3942 + _i, (f"RGF93 v1 / CC{42 + _i}", "RGF93"))
+# round-8 series (same arithmetic as projections._generated_epsg_rows)
+for _i in range(4):
+    _PROJCS_INFO.setdefault(
+        2176 + _i, (f"ETRS89 / Poland CS2000 zone {5 + _i}", "ETRS89"))
+for _z in range(5, 31):
+    _PROJCS_INFO.setdefault(5100 + _z, (f"ETRS89 / NTM zone {_z}", "ETRS89"))
+_SPCS83_NAMES = {
+    26941: "California zone 1", 26942: "California zone 2",
+    26943: "California zone 3", 26944: "California zone 4",
+    26945: "California zone 5", 26946: "California zone 6",
+    26948: "Arizona East", 26949: "Arizona Central", 26950: "Arizona West",
+    26958: "Florida East", 26959: "Florida West", 26960: "Florida North",
+    26971: "Illinois East", 26972: "Illinois West",
+    32115: "New York East", 32116: "New York Central",
+    32117: "New York West", 32119: "North Carolina",
+    32128: "Pennsylvania North", 32129: "Pennsylvania South",
+    32137: "Texas North", 32140: "Texas South Central", 32141: "Texas South",
+    32148: "Washington North", 32149: "Washington South",
+}
+for _c, _zn in _SPCS83_NAMES.items():
+    _PROJCS_INFO.setdefault(_c, (f"NAD83 / {_zn}", "NAD83"))
 
 
 def _num(v: float) -> str:
@@ -248,9 +272,13 @@ def wkt_for_epsg(code: int) -> str | None:
         utm = ("SIRGAS 2000", "SIRGAS2000", code - 31954, 0.0)
     elif 31977 <= code <= 31985:
         utm = ("SIRGAS 2000", "SIRGAS2000", code - 31960, 10000000.0)
-    elif 28348 <= code <= 28358:
-        name, zone = "GDA94 / MGA zone %d" % (code - 28300), code - 28300
-        return _projcs(name, "GDA94", "Transverse_Mercator",
+    elif 28348 <= code <= 28358 or 7846 <= code <= 7858:
+        if code >= 28348:
+            frame, zone = "GDA94", code - 28300
+        else:
+            frame, zone = "GDA2020", code - 7800
+        return _projcs(f"{frame} / MGA zone {zone}", frame,
+                       "Transverse_Mercator",
                        [("latitude_of_origin", 0.0),
                         ("central_meridian", 6.0 * zone - 183.0),
                         ("scale_factor", 0.9996),

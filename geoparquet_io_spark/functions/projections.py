@@ -646,6 +646,87 @@ def _generated_epsg_rows() -> dict[int, tuple]:
         rows[3942 + i] = ("lcc", GRS80, dict(
             lat1=lat0 - 0.75, lat2=lat0 + 0.75, lat0=lat0, lon0=3.0,
             fe=1700000.0, fn=1200000.0 + 1000000.0 * i))
+    # --- round-8 series ------------------------------------------------------
+    # ETRS89 / Poland CS2000 zones 5-8 = 2176..2179 (3-degree GK belts:
+    # CM 15/18/21/24E, k0 = 0.999923, easting prefixed with zone number)
+    for i in range(4):
+        rows[2176 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=15.0 + 3.0 * i, k0=0.999923,
+            fe=(5 + i) * 1_000_000.0 + 500_000.0, fn=0.0))
+    # ETRS89 / NTM zones 5-30 = 5105..5130 (Norway Transverse Mercator:
+    # 1-degree belts, CM = zone + 0.5 deg, k0 = 1, FE 100 km, FN 1000 km
+    # from 58N)
+    for z in range(5, 31):
+        rows[5100 + z] = ("tm", GRS80, dict(
+            lat0=58.0, lon0=z + 0.5, k0=1.0, fe=100000.0, fn=1000000.0))
+    rows.update(_spcs83_rows())
+    return rows
+
+
+def _spcs83_rows() -> dict[int, tuple]:
+    """NAD83 State Plane (meter codes).  Zone parameters are irreducible
+    data (each state legislates its own parallels), so unlike the belt
+    series above these come from a compact per-state spec table — but
+    shared constants (false origins, the SPCS k0 ladder 1 - 1/N) are
+    still factored, so a transposition can only hit a zone's parallels,
+    which the published-range sanity test brackets.  Parameters from the
+    public EPSG dataset; NAD83 is treated as WGS84-coincident like the
+    26901+ UTM range above.  ftUS-axis variants (the 22xx block) are
+    intentionally absent: this registry emits meters only."""
+    rows: dict[int, tuple] = {}
+
+    def lcc(code, lat1, lat2, lat0, lon0, fe, fn=0.0):
+        rows[code] = ("lcc", GRS80, dict(
+            lat1=lat1, lat2=lat2, lat0=lat0, lon0=lon0, fe=fe, fn=fn))
+
+    def tm(code, lat0, lon0, k0, fe, fn=0.0):
+        rows[code] = ("tm", GRS80, dict(
+            lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn))
+
+    mn = lambda d, m: math.copysign(abs(d) + m / 60.0, d)
+    # California zones 1-6 = 26941..26946 (LCC, FE 2,000 km / FN 500 km)
+    for i, (lat1, lat2, lat0, lon0) in enumerate([
+        (40.0, mn(41, 40), mn(39, 20), -122.0),
+        (mn(38, 20), mn(39, 50), mn(37, 40), -122.0),
+        (mn(37, 4), mn(38, 26), 36.5, -120.5),
+        (36.0, mn(37, 15), mn(35, 20), -119.0),
+        (mn(34, 2), mn(35, 28), 33.5, -118.0),
+        (mn(32, 47), mn(33, 53), mn(32, 10), -116.25),
+    ]):
+        lcc(26941 + i, lat1, lat2, lat0, lon0, 2000000.0, 500000.0)
+    # Arizona East/Central/West = 26948..26950 (TM, lat0 31N,
+    # FE 213,360 m = 700,000 international ft)
+    tm(26948, 31.0, -mn(110, 10), 0.9999, 213360.0)
+    tm(26949, 31.0, -mn(111, 55), 0.9999, 213360.0)
+    tm(26950, 31.0, -mn(113, 45), 1.0 - 1.0 / 15000.0, 213360.0)
+    # Florida East/West (TM) + North (LCC) = 26958..26960
+    tm(26958, mn(24, 20), -81.0, 1.0 - 1.0 / 17000.0, 200000.0)
+    tm(26959, mn(24, 20), -82.0, 1.0 - 1.0 / 17000.0, 200000.0)
+    lcc(26960, mn(29, 35), mn(30, 45), 29.0, -84.5, 600000.0)
+    # Illinois East/West = 26971/26972 (TM)
+    tm(26971, mn(36, 40), -mn(88, 20), 1.0 - 1.0 / 40000.0, 300000.0)
+    tm(26972, mn(36, 40), -mn(90, 10), 1.0 - 1.0 / 17000.0, 700000.0)
+    # New York East/Central/West = 32115..32117 (TM; Long Island 32118
+    # is a hand-keyed LCC row above)
+    tm(32115, mn(38, 50), -74.5, 0.9999, 150000.0)
+    tm(32116, 40.0, -mn(76, 35), 1.0 - 1.0 / 16000.0, 250000.0)
+    tm(32117, 40.0, -mn(78, 35), 1.0 - 1.0 / 16000.0, 350000.0)
+    # North Carolina = 32119 (LCC, FE 609,601.22 m = 2,000,000 ftUS)
+    lcc(32119, mn(34, 20), mn(36, 10), 33.75, -79.0, 609601.22)
+    # Pennsylvania North/South = 32128/32129 (LCC)
+    lcc(32128, mn(40, 53), mn(41, 57), mn(40, 10), -77.75, 600000.0)
+    lcc(32129, mn(39, 56), mn(40, 58), mn(39, 20), -77.75, 600000.0)
+    # Texas ladder = 32137..32141 (LCC; FE steps down 100 km per zone
+    # south of North, FN steps up 1,000 km; Central is the hand-keyed
+    # 32139 row above with the same ladder values)
+    lcc(32137, mn(34, 39), mn(36, 11), 34.0, -101.5, 200000.0, 1000000.0)
+    lcc(32140, mn(28, 23), mn(30, 17), mn(27, 50), -99.0, 600000.0,
+        4000000.0)
+    lcc(32141, mn(26, 10), mn(27, 50), mn(25, 40), -98.5, 300000.0,
+        5000000.0)
+    # Washington North/South = 32148/32149 (LCC)
+    lcc(32148, 47.5, mn(48, 44), 47.0, -mn(120, 50), 500000.0)
+    lcc(32149, mn(45, 50), mn(47, 20), mn(45, 20), -120.5, 500000.0)
     return rows
 
 
@@ -779,6 +860,15 @@ def _proj_for_epsg(code: int):
     # GDA94 / MGA zones 48-58 (GRS80 UTM south; GDA94 ~ WGS84)
     if 28348 <= code <= 28358:
         zone = code - 28300
+        c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=10000000.0)
+        return (lambda lo, la: tm_forward(lo, la, c),
+                lambda x, y: tm_inverse(x, y, c))
+    # GDA2020 / MGA zones 46-58 (same UTM-south recipe on GRS80; the
+    # GDA94->GDA2020 plate-motion shift is ~1.8 m, below this
+    # registry's WGS84-coincidence treatment of both frames)
+    if 7846 <= code <= 7858:
+        zone = code - 7800
         c = make_tm(*GRS80, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
                     fe=500000.0, fn=10000000.0)
         return (lambda lo, la: tm_forward(lo, la, c),

@@ -589,3 +589,43 @@ def q_reproject_params_datum(spark, sf_dir):
         (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
         (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
     )
+
+
+# --- r8: generated-series + SPCS83 registry rows driven end-to-end -----------
+
+_MGA55 = P.make_tm(*P.GRS80, lat0=0.0, lon0=147.0, k0=0.9996,
+                   fe=500000.0, fn=10000000.0)
+
+
+@register("geo_reproject_mga2020_55", _tm_registry_sql(_MGA55, 141.0, 153.0))
+def q_reproject_mga2020_55(spark, sf_dir):
+    """EPSG:7855 (GDA2020 / MGA zone 55) via the r8 MGA2020 range rule —
+    the first southern-hemisphere TM oracle (FN 10,000 km), so it also
+    pins the false-northing sign convention end-to-end."""
+    return _spark_reproject(spark, sf_dir, "EPSG:7855",
+                            lon_range=(141.0, 153.0))
+
+
+_NTM10 = P.make_tm(*P.GRS80, lat0=58.0, lon0=10.5, k0=1.0,
+                   fe=100000.0, fn=1000000.0)
+
+
+@register("geo_reproject_ntm10", _tm_registry_sql(_NTM10, 4.5, 16.5))
+def q_reproject_ntm10(spark, sf_dir):
+    """EPSG:5110 (ETRS89 / NTM zone 10) via the r8 generated Norway
+    series (1-degree belts, k0 = 1): narrowest TM belt in the registry
+    plus a nonzero lat0, exercising the k0*m0 offset at k0 exactly 1."""
+    return _spark_reproject(spark, sf_dir, "EPSG:5110",
+                            lon_range=(4.5, 16.5))
+
+
+_CA5 = P.make_lcc(*P.GRS80, lat1=34.0 + 2.0 / 60.0, lat2=35.0 + 28.0 / 60.0,
+                  lat0=33.5, lon0=-118.0, fe=2000000.0, fn=500000.0)
+
+
+@register("geo_reproject_spcs_ca5", _lcc_sql(_CA5))
+def q_reproject_spcs_ca5(spark, sf_dir):
+    """EPSG:26945 (NAD83 / California zone 5) via the r8 SPCS83 spec
+    table — validates the State Plane dispatch end-to-end against the
+    parameterized LCC formula oracle."""
+    return _spark_reproject(spark, sf_dir, "EPSG:26945")

@@ -86,6 +86,13 @@ def test_krovak_worked_example():
     (3082, (-106.0, -94.0), (26.0, 36.5)),
     (26910, (-126.0, -120.0), (32.0, 49.0)),
     (28355, (144.0, 150.0), (-43.0, -10.0)),
+    # round-8 tranche
+    (7855, (144.0, 150.0), (-43.0, -10.0)),   # GDA2020 / MGA zone 55
+    (2178, (19.5, 22.5), (49.0, 55.0)),       # ETRS89 / Poland CS2000 z7
+    (5110, (9.5, 11.5), (58.0, 65.0)),        # ETRS89 / NTM zone 10
+    (26945, (-120.0, -116.0), (32.5, 35.5)),  # NAD83 / California 5
+    (32137, (-103.0, -100.0), (34.0, 36.5)),  # NAD83 / Texas North
+    (26949, (-113.0, -110.5), (31.0, 37.0)),  # NAD83 / Arizona Central
 ])
 def test_roundtrip_new_codes(code, lon_range, lat_range):
     rng = np.random.default_rng(code)
@@ -100,6 +107,32 @@ def test_roundtrip_new_codes(code, lon_range, lat_range):
     # h-less Helmert pipeline; pure-projection codes are exact
     assert np.abs(lon2 - lon).max() < 2e-7
     assert np.abs(lat2 - lat).max() < 2e-7
+
+
+def test_round8_series_coarse_anchors():
+    """Coarse known-point anchors for the r8 series (±2-3 km): loose
+    enough to need no authority beyond well-known city grid refs, tight
+    enough that a wrong central meridian, false origin, or hemisphere
+    (the realistic mis-key modes) is hundreds of km off."""
+    # Melbourne GPO (144.9631E, 37.8136S) in MGA zone 55 (GDA2020):
+    # the famous ~E 320,700 / N 5,812,900 grid reference
+    fwd = C.get_transformer("EPSG:4326", "EPSG:7855")
+    x, y = fwd(np.array([144.9631]), np.array([-37.8136]))
+    assert abs(float(x[0]) - 320_700) < 2000
+    assert abs(float(y[0]) - 5_812_900) < 2000
+    # Oslo (10.75E, 59.91N) in NTM zone 10: CM 10.5 -> ~14 km east of
+    # FE 100 km; ~1.91 deg north of the 58N / FN 1,000 km origin
+    fwd = C.get_transformer("EPSG:4326", "EPSG:5110")
+    x, y = fwd(np.array([10.75]), np.array([59.91]))
+    assert abs(float(x[0]) - 114_000) < 3000
+    assert abs(float(y[0]) - 1_212_700) < 3000
+    # GDA2020 MGA and GDA94 MGA share the projection recipe exactly
+    # (both frames are WGS84-coincident in this registry)
+    f94 = C.get_transformer("EPSG:4326", "EPSG:28355")
+    f20 = C.get_transformer("EPSG:4326", "EPSG:7855")
+    lon = np.linspace(145.0, 149.0, 50)
+    lat = np.linspace(-42.0, -34.0, 50)
+    assert np.array_equal(np.c_[f94(lon, lat)], np.c_[f20(lon, lat)])
 
 
 @pytest.mark.parametrize("code,lat1,lat2,lon0", [
