@@ -128,9 +128,52 @@ def _select_disjoint(ranked, batch_size: int):
     return chosen
 
 
+#: vocab tables at or under this row count run the merge loop on the
+#: driver (see train_bpe) — sized so the collected state is a few MB,
+#: like collecting k-means centroids
+LOCAL_VOCAB_ROWS = 65_536
+
+
+def _train_local(vocab: list[tuple[str, int]], num_merges: int,
+                 min_pair_count: int, batch_size: int):
+    """Driver-side merge loop over a collected (sym, cnt) vocab —
+    byte-identical semantics to the Spark loop below: same weighted
+    adjacent-pair counts, same (count DESC, pair ASC) top pool taken
+    BEFORE the min-count filter, same _select_disjoint admission, and
+    str.replace shares F.replace's left-to-right non-overlapping scan
+    (the module docstring's engine-exactness argument)."""
+    syms = list(vocab)
+    merges: list[tuple] = []
+    pool_n = max(4 * batch_size, 8)
+    while len(merges) < num_merges:
+        pc: dict[str, int] = {}
+        for s, c in syms:
+            a = s.split(" ")
+            for i in range(len(a) - 1):
+                p = a[i] + " " + a[i + 1]
+                pc[p] = pc.get(p, 0) + c
+        pool = sorted(pc.items(), key=lambda t: (-t[1], t[0]))[:pool_n]
+        ranked = [(p, c) for p, c in pool if c >= min_pair_count]
+        chosen = _select_disjoint(
+            ranked, min(batch_size, num_merges - len(merges)))
+        if not chosen:
+            break
+        for pair, merged, c in chosen:
+            merges.append((len(merges) + 1, pair, merged, c))
+        new_syms = []
+        for s, c in syms:
+            t = " " + s + " "
+            for pair, merged, _c in chosen:
+                t = t.replace(f" {pair} ", f" {merged} ")
+            new_syms.append((t.strip(" "), c))
+        syms = new_syms
+    return merges
+
+
 def train_bpe(df: DataFrame, text_column: str = "text",
               num_merges: int = 16, min_pair_count: int = 2,
-              batch_size: int = 1) -> DataFrame:
+              batch_size: int = 1,
+              local_vocab_rows: int | None = LOCAL_VOCAB_ROWS) -> DataFrame:
     """Learn ``num_merges`` BPE merges from a corpus.  Returns a small
     DataFrame (rank, pair, merged, pair_count) in merge order.
 
@@ -147,12 +190,29 @@ def train_bpe(df: DataFrame, text_column: str = "text",
     batch 64 approaches ~500 rounds instead of 30k jobs.  The admission
     rule makes batched output IDENTICAL to strictly sequential training
     on every corpus — rounds adaptively shrink (down to 1 merge) when
-    top pairs chain into each other rather than ever deviating."""
+    top pairs chain into each other rather than ever deviating.
+
+    ``local_vocab_rows``: when the distinct-word table fits in this many
+    rows (a bounded LIMIT probe — never an unbounded collect), the merge
+    loop runs on the DRIVER over the collected vocab, identical
+    semantics, zero per-iteration Spark jobs — the k-means-centroids
+    pattern: the corpus-sized work (word_counts) stays distributed, the
+    vocabulary-sized iteration doesn't pay job-scheduling latency per
+    round.  Web-scale corpora blow past the cap and take the distributed
+    loop; pass ``None`` to force it."""
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     spark = df.sparkSession
     words = word_counts(df, text_column)
     sym = words.select(_char_split(F.col("word")).alias("sym"), "cnt")
+    schema = "rank long, pair string, merged string, pair_count long"
+    if local_vocab_rows:
+        head = sym.limit(local_vocab_rows + 1).collect()
+        if len(head) <= local_vocab_rows:
+            merges = _train_local(
+                [(r["sym"], int(r["cnt"])) for r in head],
+                num_merges, min_pair_count, batch_size)
+            return spark.createDataFrame(merges, schema)
     sym = sym.localCheckpoint(eager=True)
     merges = []
     while len(merges) < num_merges:
@@ -171,8 +231,7 @@ def train_bpe(df: DataFrame, text_column: str = "text",
             out = F.replace(out, F.lit(f" {pair} "), F.lit(f" {merged} "))
         sym = sym.select(F.trim(out).alias("sym"), "cnt")
         sym = sym.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank long, pair string, merged string, pair_count long")
+    return spark.createDataFrame(merges, schema)
 
 
 def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],

@@ -98,11 +98,15 @@ def q_bpe_merges(spark, sf_dir):
     """Distributed BPE trainer, strictly sequential (batch_size=1) —
     one pair-count aggregate over the DISTINCT-word table per merge,
     never rescanning the corpus (operators/bpe.py:train_bpe).  The
-    oracle unrolls the identical 8 argmax-and-rewrite steps in SQL."""
+    oracle unrolls the identical 8 argmax-and-rewrite steps in SQL.
+    local_vocab_rows=None pins the DISTRIBUTED iteration here (the
+    batched query below exercises the driver-local fast path), so both
+    routes stay driver-measured."""
     from geoparquet_io_spark.operators.bpe import train_bpe
 
     d = load_table(spark, sf_dir, "documents")
-    return train_bpe(d, "text", num_merges=8, batch_size=1)
+    return train_bpe(d, "text", num_merges=8, batch_size=1,
+                     local_vocab_rows=None)
 
 
 @register("text_bpe_merges_batched", _bpe_oracle_sql(8))
@@ -113,7 +117,9 @@ def q_bpe_merges_batched(spark, sf_dir):
     against the SEQUENTIAL oracle: disjoint admission keeps admitted
     pair counts sequential-exact, and on this corpus no freshly-formed
     pair outranks a batch member, so the outputs are identical (the
-    equality is what this gate checks)."""
+    equality is what this gate checks).  This corpus's vocab fits
+    LOCAL_VOCAB_ROWS, so this query also drives the r8 driver-local
+    iteration route end-to-end against the SQL oracle."""
     from geoparquet_io_spark.operators.bpe import train_bpe
 
     d = load_table(spark, sf_dir, "documents")

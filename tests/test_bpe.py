@@ -64,6 +64,30 @@ def test_select_disjoint_self_chaining_pair_batches_alone():
     assert [c[0] for c in chosen] == ["a a"]
 
 
+def test_local_route_equals_distributed_route(spark):
+    """The r8 driver-local merge loop (vocab fits LOCAL_VOCAB_ROWS) must
+    be row-identical to the distributed loop on a corpus exercising
+    ties, repeated-symbol runs (the documented replace deviation),
+    batching, and the min-count filter interacting with the pool
+    LIMIT — byte-parity across routes is the whole contract."""
+    rows = [("a a a a aaab",), ("the the the cat cat",),
+            ("xy xy yz yz zz",), ("solo",), ("",)]
+    df = spark.createDataFrame(rows, "text string")
+    for bs in (1, 3):
+        local = [tuple(r) for r in train_bpe(
+            df, num_merges=6, batch_size=bs).collect()]
+        dist = [tuple(r) for r in train_bpe(
+            df, num_merges=6, batch_size=bs,
+            local_vocab_rows=None).collect()]
+        assert local == dist, bs
+    # min_pair_count filter applies AFTER the pool limit on both routes
+    lo = [tuple(r) for r in train_bpe(df, num_merges=4,
+                                      min_pair_count=3).collect()]
+    di = [tuple(r) for r in train_bpe(df, num_merges=4, min_pair_count=3,
+                                      local_vocab_rows=None).collect()]
+    assert lo == di
+
+
 def test_batched_respects_num_merges_budget(spark):
     m = train_bpe(_corpus(spark), num_merges=2, batch_size=8).collect()
     assert len(m) == 2
