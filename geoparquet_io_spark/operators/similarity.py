@@ -64,6 +64,10 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 MAX_BRUTE_QUERIES = 131_072
 
+#: cap on the (rows x queries) float64 score matrix a task materializes
+#: at once inside the brute-force kernel (~32 MB per array at 4M cells)
+_SCORE_CELLS = 4_000_000
+
 
 def brute_force_topk(
     data: DataFrame,
@@ -199,20 +203,47 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
         #   (HOF parity: NULLs sink under the final desc ordering)
         val_store = [[] for _ in range(m)]   # (micro, id_key, id, sim)
         fill_store = [[] for _ in range(m)]  # (id_key, id)
+        # per-query prune threshold: the cap-th best micro key seen so
+        # far in this task — once a query holds `cap` candidates, later
+        # chunks skip anything strictly below it (a candidate with
+        # micro < thr loses to >= cap stored entries, so it can never
+        # reach the final top-cap; == thr must stay for the id
+        # tie-break).  Without this, chunking multiplied candidate
+        # appends by the chunk count (r8 boundary probe: 204 s at 16.7k
+        # queries, append-bound, compute was ~2 s).
+        thr = np.full(m, -np.inf)
+
+        def _trim_one(qi):
+            vs = val_store[qi]
+            if len(vs) >= cap:
+                vs.sort(key=lambda t: (-t[0], t[1]))
+                del vs[cap:]
+                thr[qi] = vs[-1][0]
 
         def _trim():
             for qi in range(m):
-                if len(val_store[qi]) > cap:
-                    val_store[qi].sort(key=lambda t: (-t[0], t[1]))
-                    del val_store[qi][cap:]
+                _trim_one(qi)
                 if len(fill_store[qi]) > k:
                     fill_store[qi].sort(key=lambda t: t[0])
                     del fill_store[qi][k:]
 
         def _score_group(rows, qmat, qidx, L, state):
             """Score data rows `rows` (length-L, valid) against query
-            group (qmat, qidx); record candidates + per-query scored
-            masks into state = (ids_py, excl_rows, per_q_scored, n)."""
+            group (qmat, qidx), chunked so the rows x queries score
+            matrix stays bounded: at the MAX_BRUTE_QUERIES boundary an
+            unchunked (arrow_batch x |q|) float64 dot matrix is ~8 GB
+            PER TASK (r8 boundary probe) — chunking bounds it to
+            ~_SCORE_CELLS cells regardless of |q|.  Appends accumulate
+            across chunks (the threshold prune only drops candidates
+            already beaten by cap stored ones), so results are
+            identical."""
+            step = max(64, _SCORE_CELLS // max(1, len(qidx)))
+            for s in range(0, len(rows), step):
+                _score_chunk(rows[s:s + step], qmat, qidx, L, state)
+
+        def _score_chunk(rows, qmat, qidx, L, state):
+            """One bounded chunk of _score_group; records candidates +
+            per-query scored masks into state."""
             ids_py, excl_rows, excl_count, per_q_scored, n, offs, flat = state
             dmat = flat[
                 (offs[rows].astype(np.int64)[:, None]
@@ -253,6 +284,18 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                 else:
                     micro = s.copy()
                 micro = np.where(nan_sim[cand, ci], np.inf, micro)
+                # running-threshold prune: once this query holds `cap`
+                # stored candidates, anything strictly below the cap-th
+                # micro key is already beaten and need not be appended
+                # (== stays for the id tie-break).  This is what keeps
+                # chunked scoring append-bound-free at large |q|.
+                if thr[qi] != -np.inf:
+                    keep_t = micro >= thr[qi]
+                    if not keep_t.all():
+                        cand, micro, s = cand[keep_t], micro[keep_t], \
+                            s[keep_t]
+                        if not len(cand):
+                            continue
                 if len(cand) > cap:
                     # exact selection: everything strictly above the
                     # cap-th micro key, plus the boundary ties resolved
@@ -280,6 +323,10 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                     val_store[qi].append(
                         (micro[pos], _id_key(ids_py[i]), ids_py[i],
                          float(s[pos])))
+                # amortized trim keeps the store (and the threshold)
+                # tight without sorting every chunk
+                if len(val_store[qi]) >= 2 * cap:
+                    _trim_one(qi)
 
         for batch in batches:
             ids_arr = batch.column(0)

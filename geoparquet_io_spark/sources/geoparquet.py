@@ -11,6 +11,7 @@ metadata stamped on every file (SURVEY.md section 7 milestone 2).
 from __future__ import annotations
 
 import glob as _glob
+import json
 import os
 import uuid
 from typing import Iterator
@@ -217,7 +218,38 @@ def read_partition(
         # treat dirs as plain file globs, no partition column synthesis
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.parquet(path)
+    if hive_partitioning:
+        df = _cast_null_partition_types(df, path)
     return GeoTable(df, read_footer_geo(path))
+
+
+def _cast_null_partition_types(df: DataFrame, path: str) -> DataFrame:
+    """Restore recorded partition-column types on an EMPTY partitioned
+    dataset: the zero-row write places its schema-only file under
+    ``c=__HIVE_DEFAULT_PARTITION__`` dirs, whose all-null values make
+    Spark infer StringType for every partition column.  The write
+    records the real types in that file's footer (PARTITION_TYPES_KEY);
+    cast any column whose inferred type differs.  The probe globs ONLY
+    default-partition dirs — on a dataset with real data those dirs
+    hold at most the original schema file, and once real dir values
+    exist inference is already correct (the cast becomes a no-op)."""
+    from pyspark.sql import functions as F
+
+    probe = _glob.glob(
+        os.path.join(path, "**", "*=__HIVE_DEFAULT_PARTITION__", "**",
+                     "*.parquet"),
+        recursive=True)
+    for f in sorted(probe)[:8]:
+        md = pq.read_schema(f).metadata or {}
+        raw = md.get(PARTITION_TYPES_KEY)
+        if raw is None:
+            continue
+        for col, ddl in json.loads(raw).items():
+            if col in df.columns and \
+                    df.schema[col].dataType.simpleString() != ddl:
+                df = df.withColumn(col, F.col(col).cast(ddl))
+        break
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +448,11 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
 #: beyond any plausible single-write stall, trading slower disk
 #: reclamation for never killing a slow job.  Override via
 #: SPARK_GRAFT_INPROGRESS_ORPHAN_AGE (seconds).
+# footer KV key on the zero-row schema-only file recording the written
+# partition-column Spark types (dir values are all-null in the empty
+# state, so readers would otherwise infer StringType for every one)
+PARTITION_TYPES_KEY = b"spark_graft.partition_types"
+
 INPROGRESS_ORPHAN_AGE_SEC = int(os.environ.get(
     "SPARK_GRAFT_INPROGRESS_ORPHAN_AGE", 7 * 24 * 3600))
 
@@ -684,7 +721,17 @@ def _write_distributed(
             d = os.path.join(
                 path, *[f"{c}=__HIVE_DEFAULT_PARTITION__" for c in part_cols])
             os.makedirs(d, exist_ok=True)
-            f_schema = data_schema
+            # dir values are all-null here, so a reader infers each
+            # partition column as StringType — record the WRITTEN types
+            # in this file's footer so read_partition can cast them back
+            # (they round-trip from real dir values once data exists)
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            ptypes = {c: from_arrow_type(
+                schema.field(c).type).simpleString() for c in part_cols}
+            md = dict(data_schema.metadata or {})
+            md[PARTITION_TYPES_KEY] = json.dumps(ptypes).encode()
+            f_schema = data_schema.with_metadata(md)
         f = os.path.join(d, f"part-00000-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(pa.Table.from_batches([], schema=f_schema), f,
                        compression=compression,

@@ -87,6 +87,34 @@ def test_distributed_write_empty_partitioned_appendable(points, spark, tmp_path)
     assert gps.read_partition(spark, out).count() == points.count()
 
 
+def test_empty_partitioned_write_roundtrips_partition_types(points, spark,
+                                                            tmp_path):
+    """A NON-STRING partition column must round-trip its type through
+    the empty state (r7 ADVICE): the all-null __HIVE_DEFAULT_PARTITION__
+    dirs make Spark infer StringType, so the write records the real
+    types in the schema file's footer and read_partition casts back."""
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "empty_int_part")
+    pts = GeoTable(
+        points.df.withColumn("bucket", (F.col("event_id") % 4).cast("int")),
+        points.geo)
+    empty = GeoTable(pts.df.filter(F.lit(False)), pts.geo)
+    empty.write(out, partition_by=["bucket", "event_type"],
+                single_file=False)
+    back = gps.read_partition(spark, out)
+    assert back.count() == 0
+    assert back.df.schema["bucket"].dataType.simpleString() == "int"
+    assert back.df.schema["event_type"].dataType.simpleString() == "string"
+    # appended real data: inference is correct on its own and the cast
+    # is a no-op, but the schema file's metadata must not break reads
+    pts.write(out, partition_by=["bucket", "event_type"], overwrite=False)
+    back2 = gps.read_partition(spark, out)
+    assert back2.count() == pts.count()
+    assert back2.df.schema["bucket"].dataType.simpleString() == "int"
+
+
 def test_inprogress_sweep_scoped_to_own_job(points, tmp_path):
     """The post-commit orphan sweep must delete only THIS job's
     in-flight files: a concurrent appender's .inprogress-<otherjob>-*
