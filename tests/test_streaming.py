@@ -463,6 +463,14 @@ def test_semantic_sink_soak_bounded_and_matches_batch(spark, tmp_path,
     N_EPOCHS, N_DIRS = 30, 24          # epochs 24.. repeat earlier angles
     all_rows = []
     for e in range(N_EPOCHS):
+        if e == 15:
+            # mid-soak RESTART (r7 verdict #6): a fresh sink fn must
+            # resume from the on-disk chain alone — any hidden
+            # in-memory state would desync the kept-set after a real
+            # stream restart
+            sink = EV.semantic_dedup_sink_fn(path, cents, threshold=0.99,
+                                             keep_versions=2,
+                                             compact_chain_length=CAP)
         # +3 deg offset keeps every pair clear of the 45/225 deg cluster
         # boundary: a pair straddling it is assigned to DIFFERENT
         # clusters and SemDeDup (by design) never dedups across clusters
@@ -677,6 +685,41 @@ def test_stateful_eviction_ttl_drops_idle_state():
     list(_update_user_totals((7,), iter([]), st2))
     list(_update_user_totals((7,), iter([]), st2))
     assert st2.exists and not st2.removed
+
+
+def test_stateful_ttl_query_restarts_from_own_checkpoint(spark, tmp_path):
+    """A TTL-enabled running_user_totals query must RESUME from its own
+    checkpoint (r7 verdict #6): stop after one availableNow pass, land
+    more files, restart with the same checkpoint dir — the second run's
+    emissions must carry CUMULATIVE totals (state restored under the
+    4-field schema), not restart from zero."""
+    from geoparquet_io_spark.streaming.events import read_events_stream
+    from geoparquet_io_spark.streaming.stateful import running_user_totals
+
+    d, ckpt = tmp_path / "tevents", str(tmp_path / "tckpt")
+    df1 = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (9, 5.0)], "user_id long, value double")
+    df1.write.parquet(str(d))
+    emitted: dict[int, tuple] = {}
+
+    def run_once():
+        stream = read_events_stream(spark, str(d), schema=df1.schema)
+        q = (running_user_totals(stream, eviction_ttl_sec=3600)
+             .writeStream.foreachBatch(
+                 lambda b, _e: emitted.update(
+                     {r["user_id"]: (r["n_events"], r["sum_value"])
+                      for r in b.collect()}))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert emitted[7] == (2, 3.0) and emitted[9] == (1, 5.0)
+    spark.createDataFrame([(7, 4.0)], "user_id long, value double") \
+        .write.mode("append").parquet(str(d))
+    run_once()
+    # cumulative, not reset: checkpointed state picked up and extended
+    assert emitted[7] == (3, 7.0)
 
 
 def test_stateful_totals_string_user_id(spark, tmp_path):
