@@ -506,9 +506,20 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_column: str,
     return df.join(losers, df[id_column] == losers["__node"], "left_anti")
 
 
+#: simhash hot-bucket cap: a 16-bit signature has only 16 nibble values
+#: per band, so bucket population grows LINEARLY with corpus size and
+#: the all-pairs band join grows quadratically — the r8 100x curve blew
+#: >79 GB of shuffle spill at 500k docs (every bucket ~31k members).
+#: 512 sits well above the sf0.01 oracle corpus's measured bucket
+#: maximum (178), so the capped path never triggers at oracle scale.
+SIMHASH_MAX_BUCKET_SIZE = 512
+
+
 def simhash_candidate_pairs(df: DataFrame, id_column: str,
                             text_column: str = "text", k: int = 5,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: int | None =
+                            SIMHASH_MAX_BUCKET_SIZE) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``
     over the 16-bit signature — bucketed by nibble bands so the pair space
     never goes all-pairs.
@@ -521,6 +532,19 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
     -> distinct -> exact bit_count(xor) filter.  Same banding scheme as
     minhash LSH; the signature table is persisted so the join's two
     sides don't recompute it.
+
+    ``max_bucket_size`` guards the quadratic the 16-bit signature makes
+    STRUCTURAL at scale (16 nibble values per band -> bucket size is
+    n/16, and with P(hamming<=3) ~ 1% between random 16-bit sigs the
+    literal pair OUTPUT is itself quadratic): buckets past the cap emit
+    a sorted-id predecessor chain (m-1 candidate edges, the
+    minhash_candidate_pairs pattern), each still hamming-verified.  In
+    a hot bucket of near-identical docs consecutive edges verify
+    identically, preserving connectivity; what's forgone is hamming
+    verification between FAR-APART members of a hot bucket.  Callers
+    needing the literal all-pairs contract pass
+    ``max_bucket_size=None`` — and at real scale should use a wider
+    signature (hamming_dedup_survivors takes bands/band_bits).
     """
     if not (0 <= max_hamming <= 3):
         raise ValueError(
@@ -538,12 +562,35 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
             for b in range(4)
         ])).alias("band"),
     ).select("id", "sh", F.col("band.b").alias("b"), F.col("band.nib").alias("nib"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # size every bucket once; the small-bucket self-join and the
+        # hot-bucket chain window reuse the (b, nib) partitioning
+        wc = Window.partitionBy("b", "nib")
+        sized = banded.withColumn("__n", F.count("*").over(wc))
+        banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
+        ws = Window.partitionBy("b", "nib").orderBy("id")
+        hot = sized.filter(F.col("__n") > max_bucket_size)
+        chain = (hot
+                 .withColumn("__pid", F.lag("id").over(ws))
+                 .withColumn("__psh", F.lag("sh").over(ws))
+                 .filter(F.col("__pid").isNotNull()
+                         & (F.col("__pid") < F.col("id")))
+                 .select(F.col("__pid").alias("id_a"),
+                         F.col("id").alias("id_b"),
+                         F.col("__psh").alias("sh_a"),
+                         F.col("sh").alias("sh_b")))
+    else:
+        chain = None
     a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "nib")
     bb = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "b", "nib")
     pairs = (a.join(bb, ["b", "nib"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sh_a", "sh_b")
-             .distinct())
+             .select("id_a", "id_b", "sh_a", "sh_b"))
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
+    pairs = pairs.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)

@@ -450,6 +450,42 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
         simhash_candidate_pairs(df, "doc_id", max_hamming=4)
 
 
+def test_simhash_hot_bucket_cap_bounds_pairs_keeps_connectivity(spark):
+    """A hot bucket (boilerplate mass of identical docs) past
+    max_bucket_size must emit a predecessor CHAIN, not m(m-1)/2 pairs
+    (the r8 100x curve blew >79 GB of shuffle at 500k docs without the
+    cap): output edges are O(m), every member stays connected, and the
+    literal all-pairs contract survives via max_bucket_size=None."""
+    from geoparquet_io_spark.operators.dedup import simhash_candidate_pairs
+
+    m = 40
+    rows = [(i, "identical boilerplate text repeated for every doc") for i
+            in range(m)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = simhash_candidate_pairs(df, "doc_id",
+                                     max_bucket_size=8).collect()
+    # identical docs -> identical sigs -> hamming 0 on every edge; chain
+    # emits m-1 edges per band, distinct() collapses bands -> m-1 total
+    assert len(capped) == m - 1
+    assert all(r["hamming"] == 0 for r in capped)
+    # connectivity: union-find over the chain reaches every doc
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    assert len({find(i) for i in range(m)}) == 1
+    # literal contract still available
+    full = simhash_candidate_pairs(df, "doc_id",
+                                   max_bucket_size=None).count()
+    assert full == m * (m - 1) // 2
+
+
 def test_dedup_against_index_drops_only_colliders(spark):
     from pyspark.sql import functions as F
 
