@@ -128,6 +128,27 @@ def test_minhash_shuffle_count(spark):
     assert s["python_evals"] == 0
 
 
+def test_simhash_capped_path_reuses_bucket_partitioning(spark):
+    """The r8 hot-bucket cap sizes every (band, nibble) bucket with one
+    window; the small-bucket self-join and the hot-bucket chain window
+    must REUSE that partitioning rather than adding a fresh Exchange
+    per branch, and the pair space must stay an equi-join (no
+    cartesian)."""
+    from geoparquet_io_spark.operators.dedup import simhash_candidate_pairs
+    from geoparquet_io_spark.plans import formatted_plan, plan_summary
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = simhash_candidate_pairs(d, "doc_id", max_bucket_size=8)
+    plan = formatted_plan(out)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    s = plan_summary(out)
+    # signature agg + bucket-key window + join + distinct; the chain
+    # branch rides the window partitioning (AQE may print nodes twice)
+    assert s["exchanges"] <= 10, s
+
+
 def test_roworder_topk_has_no_full_table_window(spark):
     """sort_column_roworder: top-500 must run as TakeOrderedAndProject
     (per-partition top-k + tiny merge); a ROW_NUMBER window over the whole
