@@ -20,14 +20,17 @@ for ((k=0; k<SHARDS; k++)); do
     > "/tmp/gpio_test_logs/oracle_$k.log" 2>&1 &
   pids+=($!)
 done
-# test_streaming.py is the single slowest file (real streaming queries,
-# checkpoint restarts, the semantic-sink soak) — isolate it in its own
-# process so it overlaps the whole run instead of serializing one shard
+# the streaming files are the slowest (real streaming queries,
+# checkpoint restarts, the semantic-sink soak) — each gets its own
+# process so they overlap the whole run instead of serializing a shard
 SPARK_GRAFT_CPUS="$CPUS" python -m pytest tests/test_streaming.py -q \
   > /tmp/gpio_test_logs/rest_streaming.log 2>&1 &
 pids+=($!)
+SPARK_GRAFT_CPUS="$CPUS" python -m pytest tests/test_streaming_stateful.py -q \
+  > /tmp/gpio_test_logs/rest_streaming_st.log 2>&1 &
+pids+=($!)
 mapfile -t files < <(ls tests/test_*.py \
-  | grep -v -e test_oracle_queries -e test_streaming)
+  | grep -v -e test_oracle_queries -e 'test_streaming')
 even=(); odd=()
 for i in "${!files[@]}"; do
   if (( i % 2 == 0 )); then even+=("${files[$i]}"); else odd+=("${files[$i]}"); fi
