@@ -145,6 +145,15 @@ for _i in range(21):
     _PROJCS_INFO.setdefault(
         4534 + _i,
         (f"CGCS2000 / 3-degree Gauss-Kruger CM {75 + 3 * _i}E", "CGCS2000"))
+    _PROJCS_INFO.setdefault(
+        4513 + _i,
+        (f"CGCS2000 / 3-degree Gauss-Kruger zone {25 + _i}", "CGCS2000"))
+for _i in range(11):
+    _PROJCS_INFO.setdefault(
+        4491 + _i, (f"CGCS2000 / Gauss-Kruger zone {13 + _i}", "CGCS2000"))
+    _PROJCS_INFO.setdefault(
+        4502 + _i,
+        (f"CGCS2000 / Gauss-Kruger CM {75 + 6 * _i}E", "CGCS2000"))
 for _i in range(19):
     _PROJCS_INFO.setdefault(
         2443 + _i,

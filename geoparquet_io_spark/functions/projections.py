@@ -628,6 +628,21 @@ def _generated_epsg_rows() -> dict[int, tuple]:
     for i in range(21):
         rows[4534 + i] = ("tm", GRS80, dict(
             lat0=0.0, lon0=75.0 + 3.0 * i, k0=1.0, fe=500000.0, fn=0.0))
+    # CGCS2000 / 3-degree GK zone-prefixed variants: zones 25-45 =
+    # 4513..4533 (same belts as above, easting prefixed with the zone)
+    for i in range(21):
+        rows[4513 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=75.0 + 3.0 * i, k0=1.0,
+            fe=(25 + i) * 1_000_000.0 + 500_000.0, fn=0.0))
+    # CGCS2000 / 6-degree Gauss-Kruger: zones 13-23 = 4491..4501
+    # (zone-prefixed easting), CM 75E..135E = 4502..4512 (plain 500 km)
+    for i in range(11):
+        lon0 = 75.0 + 6.0 * i
+        rows[4491 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=lon0, k0=1.0,
+            fe=(13 + i) * 1_000_000.0 + 500_000.0, fn=0.0))
+        rows[4502 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=lon0, k0=1.0, fe=500000.0, fn=0.0))
     # Japan Plane Rectangular CS I..XIX: JGD2000 = 2443.., JGD2011 = 6669..
     for i, (lat0, lond, lonm) in enumerate(_JP_ZONES):
         p = dict(lat0=float(lat0), lon0=lond + lonm / 60.0, k0=0.9999,
