@@ -205,6 +205,12 @@ def train_bpe(df: DataFrame, text_column: str = "text",
     spark = df.sparkSession
     words = word_counts(df, text_column)
     sym = words.select(_char_split(F.col("word")).alias("sym"), "cnt")
+    # checkpoint BEFORE the route probe: the probe's LIMIT would
+    # otherwise run the full word-count pass and throw it away whenever
+    # the vocab exceeds the cap, and the distributed loop would then
+    # recompute the identical lineage — one wasted corpus pass on every
+    # large training run
+    sym = sym.localCheckpoint(eager=True)
     schema = "rank long, pair string, merged string, pair_count long"
     if local_vocab_rows:
         head = sym.limit(local_vocab_rows + 1).collect()
@@ -213,7 +219,6 @@ def train_bpe(df: DataFrame, text_column: str = "text",
                 [(r["sym"], int(r["cnt"])) for r in head],
                 num_merges, min_pair_count, batch_size)
             return spark.createDataFrame(merges, schema)
-    sym = sym.localCheckpoint(eager=True)
     merges = []
     while len(merges) < num_merges:
         pool = (_pair_counts(sym)

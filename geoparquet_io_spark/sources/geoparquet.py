@@ -229,24 +229,35 @@ def _cast_null_partition_types(df: DataFrame, path: str) -> DataFrame:
     ``c=__HIVE_DEFAULT_PARTITION__`` dirs, whose all-null values make
     Spark infer StringType for every partition column.  The write
     records the real types in that file's footer (PARTITION_TYPES_KEY);
-    cast any column whose inferred type differs.  The probe globs ONLY
-    default-partition dirs — on a dataset with real data those dirs
-    hold at most the original schema file, and once real dir values
-    exist inference is already correct (the cast becomes a no-op)."""
+    cast a recorded column back ONLY while it is still all-null (the
+    pure empty state).  Once real dir values exist, inference owns the
+    type: casting then could CORRUPT values (dirs like month=01 infer
+    as int 1; casting back to the recorded 'string' would yield '1',
+    not '01').  The probe is depth-1 first — a dataset that never had
+    an empty write pays one cheap listdir, never a recursive walk."""
     from pyspark.sql import functions as F
 
-    probe = _glob.glob(
-        os.path.join(path, "**", "*=__HIVE_DEFAULT_PARTITION__", "**",
-                     "*.parquet"),
-        recursive=True)
-    for f in sorted(probe)[:8]:
+    # the empty-state file's FIRST partition dir sits directly under
+    # path; only recurse inside an actual __HIVE_DEFAULT_PARTITION__ hit
+    top = _glob.glob(os.path.join(path, "*=__HIVE_DEFAULT_PARTITION__"))
+    if not top:
+        return df
+    probe = []
+    for d in sorted(top):
+        probe += _glob.glob(os.path.join(d, "**", "*.parquet"),
+                            recursive=True)
+    for f in sorted(probe):
         md = pq.read_schema(f).metadata or {}
         raw = md.get(PARTITION_TYPES_KEY)
         if raw is None:
-            continue
+            continue   # pre-record schema file: keep scanning
         for col, ddl in json.loads(raw).items():
-            if col in df.columns and \
-                    df.schema[col].dataType.simpleString() != ddl:
+            if col not in df.columns or \
+                    df.schema[col].dataType.simpleString() == ddl:
+                continue
+            # all-null gate: a single non-null value means real data
+            # exists and inference already decided the type
+            if df.filter(F.col(col).isNotNull()).limit(1).count() == 0:
                 df = df.withColumn(col, F.col(col).cast(ddl))
         break
     return df

@@ -115,6 +115,41 @@ def test_empty_partitioned_write_roundtrips_partition_types(points, spark,
     assert back2.df.schema["bucket"].dataType.simpleString() == "int"
 
 
+def test_partition_type_restore_never_corrupts_inferred_values(
+        points, spark, tmp_path):
+    """The recorded-type cast applies ONLY in the all-null empty state:
+    once real dirs exist whose values Spark parses numerically (e.g.
+    month=01 -> int 1), casting back to the recorded 'string' would
+    turn '01' into '1' — silent value corruption.  Inference must own
+    the type as soon as any non-null value exists."""
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "zeropad_part")
+    pts = GeoTable(
+        points.df.withColumn(
+            "month", F.format_string("%02d", (F.col("event_id") % 3) + 1)),
+        points.geo)
+    # empty write records month as string
+    GeoTable(pts.df.filter(F.lit(False)), pts.geo).write(
+        out, partition_by=["month"], single_file=False)
+    empty = gps.read_partition(spark, out)
+    assert empty.df.schema["month"].dataType.simpleString() == "string"
+    # real data: dirs month=01/02/03 -> Spark infers int; the recorded
+    # 'string' must NOT be re-applied (it cannot recover the zero-pad)
+    pts.write(out, partition_by=["month"], overwrite=False)
+    back = gps.read_partition(spark, out)
+    assert back.count() == pts.count()
+    dt = back.df.schema["month"].dataType.simpleString()
+    vals = {r["month"] for r in back.df.select("month").distinct().collect()}
+    # either inference's ints stand untouched, or (if Spark kept
+    # strings) the original zero-padded values survive — never '1'
+    if dt == "string":
+        assert vals == {"01", "02", "03"}
+    else:
+        assert vals == {1, 2, 3}
+
+
 def test_inprogress_sweep_scoped_to_own_job(points, tmp_path):
     """The post-commit orphan sweep must delete only THIS job's
     in-flight files: a concurrent appender's .inprogress-<otherjob>-*
