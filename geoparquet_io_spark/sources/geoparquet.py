@@ -246,11 +246,15 @@ def _cast_null_partition_types(df: DataFrame, path: str) -> DataFrame:
     for d in sorted(top):
         probe += _glob.glob(os.path.join(d, "**", "*.parquet"),
                             recursive=True)
-    for f in sorted(probe):
+    # bound the footer scan: real data rows with NULL partition values
+    # also land under default-partition dirs, and reading every such
+    # footer on a big dataset is driver latency for nothing (the keyed
+    # schema file is among the first files of the empty state)
+    for f in sorted(probe)[:64]:
         md = pq.read_schema(f).metadata or {}
         raw = md.get(PARTITION_TYPES_KEY)
         if raw is None:
-            continue   # pre-record schema file: keep scanning
+            continue   # pre-record schema or null-partition data file
         for col, ddl in json.loads(raw).items():
             if col not in df.columns or \
                     df.schema[col].dataType.simpleString() == ddl:
