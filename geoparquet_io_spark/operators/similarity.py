@@ -78,6 +78,7 @@ def brute_force_topk(
     k: int = 10,
     round_digits: int | None = 6,
     dim: int | None = None,
+    score_cells: int = _SCORE_CELLS,
 ) -> DataFrame:
     """Exact top-k neighbours per query vector.
 
@@ -127,12 +128,13 @@ def brute_force_topk(
     )
     return _arrow_topk(d, queries.schema[qid].dataType, q_ids, q_vecs,
                        k=k, round_digits=round_digits,
-                       exclude_self=exclude_self)
+                       exclude_self=exclude_self, score_cells=score_cells)
 
 
 def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
                 *, k: int, round_digits: int | None, exclude_self: bool,
-                q_buckets: list | None = None) -> DataFrame:
+                q_buckets: list | None = None,
+                score_cells: int = _SCORE_CELLS) -> DataFrame:
     """Shared bounded-shuffle exact-top-k engine behind
     :func:`brute_force_topk` and :func:`search_ivf_index`.
 
@@ -237,7 +239,7 @@ def _arrow_topk(d: DataFrame, q_id_type, q_ids: list, q_vecs: list,
             across chunks (the threshold prune only drops candidates
             already beaten by cap stored ones), so results are
             identical."""
-            step = max(64, _SCORE_CELLS // max(1, len(qidx)))
+            step = max(64, score_cells // max(1, len(qidx)))
             for s in range(0, len(rows), step):
                 _score_chunk(rows[s:s + step], qmat, qidx, L, state)
 

@@ -272,6 +272,49 @@ def test_brute_topk_exact_on_degenerate_all_tied_corpus(spark):
     assert all(r["cosine"] == 1.0 for r in out)
 
 
+def test_brute_topk_chunked_prune_matches_reference(spark):
+    """Differential check of the r8 chunk + running-threshold-prune
+    machinery: _SCORE_CELLS forced tiny (many chunks per batch, prune
+    active from the first trim) on heavily-quantized random embeddings
+    (round_digits=1 -> dense ties at every boundary), multiple
+    partitions; the result must equal an independent numpy top-k with
+    the same (cosine desc, id asc) ordering."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators import similarity as S
+
+    rng = np.random.default_rng(42)
+    n, dim, k = 600, 4, 3
+    vecs = rng.integers(-2, 3, size=(n, dim)).astype(float)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    # 2 partitions x ~300 rows, 64-row chunks (score_cells floor): the
+    # amortized 2*cap trim fires mid-task (cap(k=3) = 88), so later
+    # chunks really exercise the threshold prune, not just chunking
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(2)
+    q = df.filter(F.col("vec_id") % 37 == 0)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.brute_force_topk(df, q, k=k, round_digits=1,
+                                    dim=dim, score_cells=64).collect())
+
+    # independent reference: full cosine matrix + stable (desc, id) sort
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    want = []
+    for qi in range(0, n, 37):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (vecs @ vecs[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(n) if i != qi and not np.isnan(sims[i])),
+            key=lambda i: (-round(sims[i], 1), i))
+        fill = [i for i in range(n) if i != qi and np.isnan(sims[i])]
+        top = order[:k] + fill[:max(0, k - len(order))]
+        for rank, i in enumerate(top[:k], start=1):
+            c = None if np.isnan(sims[i]) else round(float(sims[i]), 1)
+            want.append((qi, rank, i, c))
+    assert got == sorted(want)
+
+
 def test_lsh_dim_mismatch_fails_loud(spark):
     import pytest as _p
 
