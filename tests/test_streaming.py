@@ -294,7 +294,7 @@ def test_semantic_sink_soak_bounded_and_matches_batch(spark, tmp_path,
         a = math.radians(angle_deg + jitter)
         return [math.cos(a), math.sin(a)]
 
-    N_EPOCHS, N_DIRS = 30, 24          # epochs 24.. repeat earlier angles
+    N_EPOCHS, N_DIRS = 60, 24          # epochs 24.. repeat earlier angles
     all_rows = []
     for e in range(N_EPOCHS):
         if e == 15:

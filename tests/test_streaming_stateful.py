@@ -20,6 +20,31 @@ def events_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def _drain_stateful(q, done, timeout=120.0):
+    """applyInPandasWithState + ProcessingTimeTimeout never
+    self-terminates under availableNow (the timeout service keeps the
+    query alive past the last batch), so a blind awaitTermination(T)
+    burns the whole T.  Poll for the FINAL expected state, then stop —
+    `done()` must check the complete expected values, not mere
+    presence, so a mid-stream partial can never pass early."""
+    import time
+
+    end = time.time() + timeout
+    try:
+        while time.time() < end:
+            if q.awaitTermination(2):
+                return
+            try:
+                ok = done()
+            except Exception:   # memory table not registered yet
+                ok = False
+            if ok:
+                return
+        raise AssertionError("stream did not reach expected state in time")
+    finally:
+        q.stop()
+
+
 def test_windowed_counts_stream_equals_batch(spark, events_dir):
     from geoparquet_io_spark.streaming.events import (
         read_events_stream,
@@ -71,17 +96,21 @@ def test_stateful_running_totals(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    # last update per user wins
-    rows = spark.sql(
-        "SELECT user_id, n_events, sum_value FROM user_totals"
-    ).collect()
-    got = {}
-    for r in rows:  # memory sink appends updates in order; keep the max count
-        prev = got.get(r["user_id"])
-        if prev is None or r["n_events"] >= prev[0]:
-            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 4))
-    assert got == expected
+
+    def _totals():
+        # last update per user wins: memory sink appends updates in
+        # order; keep the max count per user
+        got = {}
+        for r in spark.sql(
+                "SELECT user_id, n_events, sum_value FROM user_totals"
+        ).collect():
+            prev = got.get(r["user_id"])
+            if prev is None or r["n_events"] >= prev[0]:
+                got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 4))
+        return got
+
+    _drain_stateful(q, lambda: _totals() == expected)
+    assert _totals() == expected
 
 
 def test_stream_stream_join_equals_batch(spark, events_dir):
@@ -387,7 +416,7 @@ def test_stateful_ttl_query_restarts_from_own_checkpoint(spark, tmp_path):
     df1.write.parquet(str(d))
     emitted: dict[int, tuple] = {}
 
-    def run_once():
+    def run_once(want):
         stream = read_events_stream(spark, str(d), schema=df1.schema)
         q = (running_user_totals(stream, eviction_ttl_sec=3600)
              .writeStream.foreachBatch(
@@ -396,14 +425,15 @@ def test_stateful_ttl_query_restarts_from_own_checkpoint(spark, tmp_path):
                       for r in b.collect()}))
              .option("checkpointLocation", ckpt)
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_stateful(
+            q, lambda: all(emitted.get(k) == v for k, v in want.items()))
 
-    run_once()
+    run_once({7: (2, 3.0), 9: (1, 5.0)})
     assert emitted[7] == (2, 3.0) and emitted[9] == (1, 5.0)
     spark.createDataFrame([(7, 4.0)], "user_id long, value double") \
         .write.mode("append").parquet(str(d))
-    run_once()
     # cumulative, not reset: checkpointed state picked up and extended
+    run_once({7: (3, 7.0)})
     assert emitted[7] == (3, 7.0)
 
 
@@ -421,10 +451,14 @@ def test_stateful_totals_string_user_id(spark, tmp_path):
     q = (running_user_totals(stream)
          .writeStream.format("memory").queryName("str_totals")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = {r["user_id"]: (r["n_events"], r["sum_value"])
-           for r in spark.sql("SELECT * FROM str_totals").collect()}
-    assert got == {"alice": (2, 3.0), "bob": (1, 5.0)}
+    want = {"alice": (2, 3.0), "bob": (1, 5.0)}
+
+    def _totals():
+        return {r["user_id"]: (r["n_events"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM str_totals").collect()}
+
+    _drain_stateful(q, lambda: _totals() == want)
+    assert _totals() == want
 
 
 def test_windowed_counts_batch_stream_type_parity(spark, events_dir):
