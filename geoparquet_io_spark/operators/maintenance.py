@@ -237,9 +237,22 @@ def _snapshot_file(path: str, version: int) -> str:
     return os.path.join(_snapshot_dir(path), f"v{version:06d}.json")
 
 
+# parse cache for snapshot version files: a committed v*.json is
+# immutable (commit writes a NEW version file, never edits one), so
+# (size, mtime) safely keys its parsed form.  The streaming sink reads
+# the history every micro-batch for its replay guards and
+# commit_snapshot re-reads it per optimistic attempt — without the
+# cache that is O(versions x member files) json parsing twice per tiny
+# batch, growing with the table's lifetime.  Listing stays fresh on
+# every call; only the per-file PARSE is cached.
+_SNAPSHOT_PARSE_CACHE: dict = {}
+
+
 def snapshot_history(path: str) -> list[dict]:
     """All committed snapshots of a dataset, oldest first (empty list if
-    none).  Each record: version, note, n_files, n_rows, n_bytes."""
+    none).  Each record: version, note, n_files, n_rows, n_bytes.
+    Records are SHARED with the parse cache — treat them as read-only
+    (every writer in this module builds fresh dicts)."""
     import json
 
     out = []
@@ -247,8 +260,21 @@ def snapshot_history(path: str) -> list[dict]:
     if not os.path.isdir(d):
         return out
     for f in sorted(_glob.glob(os.path.join(d, "v*.json"))):
+        try:
+            st = os.stat(f)
+            key = (f, st.st_size, st.st_mtime_ns)
+        except OSError:
+            key = None
+        if key is not None and key in _SNAPSHOT_PARSE_CACHE:
+            out.append(_SNAPSHOT_PARSE_CACHE[key])
+            continue
         with open(f) as fh:
-            out.append(json.load(fh))
+            rec = json.load(fh)
+        if key is not None:
+            if len(_SNAPSHOT_PARSE_CACHE) > 4096:
+                _SNAPSHOT_PARSE_CACHE.clear()   # bound driver memory
+            _SNAPSHOT_PARSE_CACHE[key] = rec
+        out.append(rec)
     return out
 
 

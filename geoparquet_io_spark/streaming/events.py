@@ -136,6 +136,17 @@ def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
     from geoparquet_io_spark.sources.geoparquet import write as _write
 
     snapshot = write_kwargs.pop("snapshot", False)
+    # reject kwargs the sink itself owns AT CONSTRUCTION, not as a
+    # TypeError on the first micro-batch: overwrite in particular is
+    # forced True per-epoch (idempotent epoch-dir replace) — passing
+    # overwrite=False to get "append semantics" would otherwise kill
+    # the query at batch 0 with a confusing multiple-values error
+    owned = {"overwrite", "path", "geo"} & set(write_kwargs)
+    if owned:
+        raise ValueError(
+            f"geoparquet stream sink owns {sorted(owned)}: epoch dirs "
+            "are always overwrite=True (idempotent replay); pass "
+            "snapshot/compression/etc. only")
 
     def sink(batch_df, epoch_id):
         prior = None
@@ -216,6 +227,21 @@ def stream_stream_join(
     the identical plan runs stateless, which is what the parity test and
     the batch oracle validate.
     """
+    # the output prefixes right payload columns with r_ and uses
+    # __k/__lts/__rts internally — collisions would either raise an
+    # AMBIGUOUS_REFERENCE deep in the final select or silently drop a
+    # user column; fail upfront with names (r8 review)
+    reserved = {"__k", "__lts", "__rts"}
+    bad = sorted(reserved.intersection(left.columns)
+                 | reserved.intersection(right.columns))
+    clash = sorted(
+        set(left.columns) & {f"r_{c}" for c in right.columns
+                             if c not in (key, right_ts)})
+    if bad or clash:
+        raise ValueError(
+            "stream_stream_join reserves __k/__lts/__rts and prefixes "
+            f"right payload columns with r_: rename {bad + clash} on "
+            "the input(s)")
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__lts"),
@@ -382,17 +408,46 @@ def _publish_version(df: DataFrame, path: str, epoch_id,
             pa.Table.from_batches([], schema=to_arrow_schema(df.schema)),
             os.path.join(out, "part-00000-empty.parquet"))
     referenced = list(base_dirs or []) + [vdir]
+    # dirs the OLD pointer referenced but the new one won't: their
+    # prune clock must start at DEREFERENCE time, not write time — a
+    # compaction dereferences arbitrarily old dirs, and an mtime-age
+    # gate alone would delete them out from under a reader that grabbed
+    # the previous pointer moments ago (r8 review)
+    try:
+        with open(ptr) as fh:
+            old_ref = {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        old_ref = set()
     tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
     try:
         with open(tmp, "w") as fh:
             fh.write("\n".join(referenced))
+            # rename-without-fsync can leave an EMPTY pointer after a
+            # power loss — which silently resets the persisted state
+            # (prior=None) on restart
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, ptr)
+        try:
+            dfd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
     finally:
         # crash between write and replace must not leak tmp pointers
         # (the pruner only considers v-* dirs, so they'd pile up forever)
         if os.path.exists(tmp):
             os.unlink(tmp)
     ref = set(referenced)
+    for gone in old_ref - ref:
+        full = os.path.join(path, gone)
+        try:
+            os.utime(full, None)     # restart the grace clock
+        except OSError:
+            pass
     vers = sorted(d for d in os.listdir(path)
                   if d.startswith("v-") and d not in ref)
     now = time.time()
@@ -475,7 +530,15 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
         import os
 
         spark = batch_df.sparkSession
-        src = batch_df.select(id_column, vector_column)
+        # at-least-once upstreams can deliver the same row twice in ONE
+        # micro-batch; duplicate ids corrupt the flags join both ways
+        # (equal ids are not each other's intra-batch witness under the
+        # strict id_a < id_b rule, so a doubled row fans out to 4
+        # published rows — or, on the banded hot-cluster path, the
+        # anti-join drops BOTH copies and a novel vector never enters
+        # the index).  One id = one candidate row per epoch.
+        src = batch_df.select(id_column, vector_column) \
+            .dropDuplicates([id_column])
         # read _LATEST exactly ONCE and derive the prior frame from the
         # same dir list the new pointer will extend — a second read was
         # a TOCTOU window where a concurrent pointer move made the dedup
@@ -488,8 +551,11 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
         flags = semantic_dedup_incremental(
             src, index, centroids, id_column, vector_column,
             threshold=threshold, max_cluster_size=max_cluster_size)
-        survivors = (src.join(flags.filter("kept"), id_column, "left_semi")
-                     .join(flags.select(id_column, "cluster"), id_column))
+        # one inner join on the kept-filtered flags: survivors + cluster
+        # (a left_semi on kept followed by a cluster join re-shuffled the
+        # same rows twice for the identical result)
+        survivors = src.join(
+            flags.filter("kept").select(id_column, "cluster"), id_column)
         if prior is not None:
             # an id re-sent with a changed, non-matching embedding must
             # not appear twice in the chain (the full-rewrite shape
@@ -497,8 +563,14 @@ def semantic_dedup_sink_fn(path: str, centroids, id_column: str = "vec_id",
             survivors = survivors.join(prior.select(id_column),
                                        id_column, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        if prior is not None and survivors.limit(1).count() == 0:
-            return  # kept-set unchanged (e.g. a replayed epoch): no-op
+        if survivors.limit(1).count() == 0:
+            # kept-set unchanged (replayed epoch, or an all-deduped /
+            # empty FIRST batch): publish nothing.  Publishing a
+            # schema-only delta here would ride in every later pointer
+            # forever; readers already handle the no-version-yet state
+            # (read_semantic_index raises FileNotFoundError exactly as
+            # before any batch ran).
+            return
         if prior is not None and len(base) + 1 > compact_chain_length:
             # LSM-style compaction: past the cap, publish the FULL union
             # as one dir instead of appending — otherwise the chain (and

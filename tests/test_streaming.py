@@ -417,3 +417,135 @@ def test_snapshot_sink_skips_epoch_swept_by_concurrent_committer(
     files_after = sorted(glob.glob(f"{path}/epoch=0/*.parquet"))
     assert files_after == files_before          # dir untouched
     assert read_snapshot(spark, path, v).count() == 5
+
+
+def test_semantic_sink_duplicate_ids_in_one_batch(spark, tmp_path):
+    """At-least-once upstreams can deliver the same row twice in ONE
+    micro-batch (r8 review): duplicate ids must neither fan out to
+    duplicated index rows nor be dropped entirely by the intra-batch
+    anti-join — one id, one index row."""
+    import os
+
+    from geoparquet_io_spark.streaming.events import (read_semantic_index,
+                                                      semantic_dedup_sink_fn)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "dupidx")
+    os.makedirs(path, exist_ok=True)
+    sink = semantic_dedup_sink_fn(path, cents, threshold=0.99)
+    b = spark.createDataFrame(
+        [(1, [1.0, 0.001]), (1, [1.0, 0.001]),       # exact duplicate row
+         (2, [0.0, 1.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    sink(b, 0)
+    rows = read_semantic_index(spark, path).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2]   # once each
+    # replay still converges
+    sink(b, 0)
+    rows2 = read_semantic_index(spark, path).collect()
+    assert sorted(r["vec_id"] for r in rows2) == [1, 2]
+
+
+def test_semantic_sink_empty_first_batch_publishes_nothing(spark, tmp_path):
+    """An empty (or all-deduped-away) FIRST batch must not publish a
+    junk schema-only delta that rides in every later pointer (r8
+    review): the index stays in the no-version-yet state until real
+    survivors exist."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.streaming.events import (read_semantic_index,
+                                                      semantic_dedup_sink_fn)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "emptyidx")
+    os.makedirs(path, exist_ok=True)
+    sink = semantic_dedup_sink_fn(path, cents, threshold=0.99)
+    empty = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["vec_id", "embedding"]).filter(F.lit(False))
+    sink(empty, 0)
+    assert not [d for d in os.listdir(path) if d.startswith("v-")]
+    with pytest.raises(FileNotFoundError):
+        read_semantic_index(spark, path)
+    sink(spark.createDataFrame([(5, [1.0, 0.0])], ["vec_id", "embedding"]), 1)
+    assert [r["vec_id"] for r in read_semantic_index(spark, path).collect()] \
+        == [5]
+
+
+def test_publish_version_grace_restarts_on_dereference(spark, tmp_path,
+                                                       monkeypatch):
+    """Compaction dereferences arbitrarily OLD delta dirs; their prune
+    clock must restart at DEREFERENCE time (r8 review) — an mtime-age
+    gate alone would delete them out from under a reader still scanning
+    the previous pointer's list."""
+    import os
+    import time
+
+    from geoparquet_io_spark.streaming import events as EV
+
+    monkeypatch.setattr(EV, "_PRUNE_MIN_AGE_SEC", 9999)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "graceidx")
+    os.makedirs(path, exist_ok=True)
+    sink = EV.semantic_dedup_sink_fn(path, cents, threshold=0.99,
+                                     keep_versions=0,
+                                     compact_chain_length=2)
+    import math
+
+    def ingest(e):
+        a = math.radians(3.0 + 20.0 * e)
+        sink(spark.createDataFrame(
+            [(e, [math.cos(a), math.sin(a)])], ["vec_id", "embedding"]), e)
+
+    ingest(0)
+    ingest(1)                          # chain now [v0, v1] (cap 2)
+    pre = EV._latest_version_dirs(path)
+    assert len(pre) == 2
+    # make both referenced dirs ancient: without the dereference-time
+    # grace restart, the compaction epoch would prune them instantly
+    for d in pre:
+        os.utime(os.path.join(path, d), (1.0, 1.0))
+    ingest(2)                          # 2+1 > cap -> compaction epoch
+    live = EV._latest_version_dirs(path)
+    assert len(live) == 1              # pointer now ONE compacted dir
+    on_disk = [d for d in os.listdir(path) if d.startswith("v-")]
+    # the dereferenced ancient dirs survive (grace restarted) ...
+    assert set(pre) <= set(on_disk)
+    now = time.time()
+    for d in pre:
+        age = now - os.path.getmtime(os.path.join(path, d))
+        assert age < 3600, (d, age)    # clock restarted at dereference
+
+
+def test_stream_stream_join_rejects_colliding_columns(spark):
+    """Reserved internals (__k/__lts/__rts) and r_-prefix collisions
+    must fail upfront with names, not AMBIGUOUS_REFERENCE mid-plan or a
+    silently dropped column (r8 review)."""
+    import pytest
+
+    from geoparquet_io_spark.streaming.events import stream_stream_join
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2.0)],
+        "user_id long, ts string, value double")
+    clash = base.withColumnRenamed("value", "r_other")
+    other = base.withColumnRenamed("value", "other")
+    with pytest.raises(ValueError, match="r_"):
+        stream_stream_join(clash, other, key="user_id")
+    resv = base.withColumnRenamed("value", "__k")
+    with pytest.raises(ValueError, match="__k"):
+        stream_stream_join(resv, other, key="user_id")
+
+
+def test_geoparquet_stream_sink_rejects_owned_kwargs(tmp_path):
+    """overwrite/path/geo in write_kwargs must be rejected at sink
+    CONSTRUCTION, not surface as a TypeError killing the query at its
+    first micro-batch (r8 review)."""
+    import pytest
+
+    from geoparquet_io_spark.streaming.events import geoparquet_stream_sink_fn
+
+    with pytest.raises(ValueError, match="overwrite"):
+        geoparquet_stream_sink_fn(str(tmp_path / "x"), None, overwrite=False)
