@@ -147,12 +147,19 @@ def read_pruned(spark: SparkSession, path: str,
     kept, skipped = prune_files(manifest, bbox)
     report = {"files_total": len(kept) + len(skipped),
               "files_scanned": len(kept), "files_skipped": len(skipped)}
-    gt = read(spark, path)  # footer geo metadata from the dataset root
     if not kept:
         # degenerate: nothing can match; keep the dataset schema with an
         # always-false filter so callers still get the right columns
+        gt = read(spark, path)
         return GeoTable(gt.df.filter(F.lit(False)), gt.geo), report
-    return GeoTable(spark.read.parquet(*kept), gt.geo), report
+    # geo metadata from the KEPT files' own footers: a full read(path)
+    # here re-listed the whole dataset root and swept every footer —
+    # minutes of driver latency on a million-file lake when pruning
+    # kept 3 files, defeating the point of skipping (r8 review)
+    from geoparquet_io_spark.sources.geoparquet import read_footer_geo
+
+    return GeoTable(spark.read.parquet(*kept),
+                    read_footer_geo(kept)), report
 
 
 def compact(spark: SparkSession, in_path: str, out_path: str,
@@ -271,10 +278,18 @@ def snapshot_history(path: str) -> list[dict]:
         with open(f) as fh:
             rec = json.load(fh)
         if key is not None:
-            if len(_SNAPSHOT_PARSE_CACHE) > 4096:
-                _SNAPSHOT_PARSE_CACHE.clear()   # bound driver memory
+            # FIFO-evict one entry at the bound: clearing wholesale
+            # would re-parse the entire history on the next call
+            # (thrash) the moment a table passes the cap
+            if len(_SNAPSHOT_PARSE_CACHE) >= 4096:
+                _SNAPSHOT_PARSE_CACHE.pop(
+                    next(iter(_SNAPSHOT_PARSE_CACHE)))
             _SNAPSHOT_PARSE_CACHE[key] = rec
         out.append(rec)
+    # order by the COMMITTED version, not the filename: v%06d overflows
+    # to 7 digits at version 1,000,000 and lexicographic order would put
+    # v1000000 before v999999, wedging version allocation forever
+    out.sort(key=lambda r: r["version"])
     return out
 
 
@@ -388,20 +403,28 @@ def commit_snapshot(spark: SparkSession, path: str,
                     return h
         prior = hist[-1] if hist else None
         if files is not None:
-            members = sorted(files)
+            # dedupe: a duplicated path would double-count n_rows and
+            # read back every one of its rows twice
+            members = sorted(set(files))
         elif prior is None:
             members = _list_parquet_files(path)  # bootstrap: all on disk
         else:
             # prior membership + never-before-referenced files (new
             # appends).  Files only OLDER snapshots reference were
             # logically replaced — sweeping them back in would
-            # resurrect deleted/rewritten rows.
+            # resurrect deleted/rewritten rows.  rewrite-* staging dirs
+            # are EXCLUDED: apply_deletes/merge_into write a full table
+            # copy there before their explicit REPLACE commit — a sweep
+            # landing in that window would absorb the copy as "new
+            # appends" and permanently duplicate every live row.
             ever = {os.path.abspath(os.path.join(path, r["file"]))
                     for h in hist for r in h["files"]}
             prior_files = [os.path.join(path, r["file"])
                            for r in prior["files"]]
-            new_files = [f for f in _list_parquet_files(path)
-                         if os.path.abspath(f) not in ever]
+            new_files = [
+                f for f in _list_parquet_files(path)
+                if os.path.abspath(f) not in ever
+                and not os.path.relpath(f, path).startswith("rewrite-")]
             members = sorted(set(prior_files) | set(new_files))
         dels, dkey = delete_files, delete_key
         if dels is None and prior is not None:
@@ -444,14 +467,30 @@ def commit_snapshot(spark: SparkSession, path: str,
             rec["delete_files"] = del_rel
             rec["delete_key"] = dkey
         target = _snapshot_file(path, version)
-        tmp = f"{target}.{os.getpid()}.tmp"
+        # pid alone collides for two THREADS of one driver committing
+        # concurrently (both would write the same tmp inode and publish
+        # a torn JSON) — a uuid makes every attempt's tmp private
+        import uuid as _uuid
+
+        tmp = f"{target}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump(rec, fh, indent=1)
         try:
             os.link(tmp, target)  # atomic publish + exclusive create
             return rec
         except FileExistsError:
-            continue  # lost the race — re-derive from fresh history
+            if files is not None:
+                # an EXPLICIT membership was computed against a history
+                # that just changed; retrying would publish it anyway
+                # and silently drop whatever the race winner added
+                # (lost update).  The caller must re-derive and re-run.
+                raise RuntimeError(
+                    "commit_snapshot: lost an optimistic-commit race "
+                    f"while committing an explicit file list to "
+                    f"{path!r}; re-run the operation against the new "
+                    "latest snapshot (explicit-files commits cannot be "
+                    "auto-merged)") from None
+            continue  # files=None: re-derive from fresh history
         finally:
             os.unlink(tmp)
     raise RuntimeError(
@@ -497,6 +536,22 @@ def read_snapshot(spark: SparkSession, path: str,
                 f"snapshot v{version} member rewritten on disk "
                 f"(same size, different mtime): {f}")
         members.append(f)
+    if not members:
+        # a legally-committed EMPTY version (e.g. a REPLACE after
+        # deleting every row): spark.read.parquet with zero paths
+        # raises UNABLE_TO_INFER_SCHEMA — take the schema from the
+        # nearest earlier version that still has files
+        for h in reversed(hist[:hist.index(rec) + 1]):
+            if h["files"]:
+                f0 = os.path.join(path, h["files"][0]["file"])
+                if os.path.isfile(f0):
+                    sch = spark.read.parquet(f0).schema
+                    return GeoTable(
+                        spark.createDataFrame([], sch),
+                        read_footer_geo([f0]))
+        raise RuntimeError(
+            f"snapshot v{version} is empty and no earlier version "
+            "carries a schema to read it with")
     # geo metadata from the members' own footers (driver-side, no job,
     # per-file bboxes unioned); members may live in nested rewrite dirs
     # the root reader can't see
@@ -898,8 +953,14 @@ def prune_files_where(manifest: DataFrame,
                     lo, hi = Decimal(st["vmin"]), Decimal(st["vmax"])
                     v = Decimal(str(val))
                 except (InvalidOperation, ValueError):
-                    lo, hi = float(st["vmin"]), float(st["vmax"])
-                    v = float(val)
+                    try:
+                        lo, hi = float(st["vmin"]), float(st["vmax"])
+                        v = float(val)
+                    except (TypeError, ValueError):
+                        # non-numeric predicate value against a numeric
+                        # stats column: cannot compare -> conservatively
+                        # KEEP the file (pruning must never lose rows)
+                        continue
             else:
                 lo, hi, v = st["vmin"], st["vmax"], str(val)
             if ((op == "=" and (v < lo or v > hi))

@@ -335,6 +335,20 @@ def test_prune_files_where_rejects_unknown_op(spark, tmp_path):
         prune_files_where(mf, [("id", "!=", 3)])
 
 
+def test_prune_files_where_non_numeric_value_keeps_file(spark, tmp_path):
+    """A non-numeric predicate value against a numeric stats column
+    cannot be compared — the file must be conservatively KEPT (pruning
+    must never lose rows), not crash the whole prune call (r8 review)."""
+    from geoparquet_io_spark.operators.maintenance import (
+        build_column_manifest, prune_files_where)
+
+    p = str(tmp_path / "nn")
+    spark.range(5).coalesce(1).write.parquet(p)
+    mf = build_column_manifest(spark, p, ["id"])
+    kept, skipped = prune_files_where(mf, [("id", "=", "alice")])
+    assert len(kept) == 1 and skipped == []
+
+
 def test_manifest_3d_bbox_reads_xy_planar(spark, tmp_path):
     """A 6-element GeoParquet bbox ([xmin,ymin,zmin,xmax,ymax,zmax])
     must map to the planar manifest columns positionally-correctly —

@@ -538,3 +538,90 @@ def test_commit_snapshot_lost_race_rederives_membership(spark, tmp_path,
     hist = snapshot_history(p)
     v2_members = {r["file"] for r in hist[1]["files"]}
     assert v2_members <= members
+
+
+def test_explicit_files_commit_race_raises_not_lost_update(
+        spark, tmp_path, monkeypatch):
+    """A commit with an EXPLICIT files= list that loses the version race
+    (another committer links the version between this one's history
+    read and its os.link) must raise — the membership was computed
+    against a stale history, and retrying would silently drop the
+    winner's files (r8 review)."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 5)
+    commit_snapshot(spark, p, note="v1")
+    files = _list_parquet_files(p)
+    real_link, raced = os.link, []
+
+    def lose_once(src, dst):
+        if not raced:
+            raced.append(1)
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", lose_once)
+    with pytest.raises(RuntimeError, match="explicit-files"):
+        commit_snapshot(spark, p, files=files, note="loser")
+    # files=None committers auto-retry through the same lost race
+    raced.clear()
+    rec = commit_snapshot(spark, p, note="sweep retries")
+    assert rec["version"] == 2
+
+
+def test_commit_snapshot_dedupes_explicit_files(spark, tmp_path):
+    """A duplicated path in files= must not double-count stats or read
+    back duplicated rows."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 7)
+    f = _list_parquet_files(p)
+    rec = commit_snapshot(spark, p, files=f + f, note="dup list")
+    assert rec["n_files"] == len(f)
+    assert read_snapshot(spark, p, rec["version"]).count() == 7
+
+
+def test_empty_replace_snapshot_is_readable(spark, tmp_path):
+    """files=[] (e.g. a REPLACE after deleting every row) must commit
+    AND read back as an empty frame with the prior version's schema —
+    not UNABLE_TO_INFER_SCHEMA."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 5)
+    commit_snapshot(spark, p, note="v1")
+    rec = commit_snapshot(spark, p, files=[], note="all rows deleted")
+    gt = read_snapshot(spark, p, rec["version"])
+    assert gt.count() == 0
+    assert set(gt.df.columns) == {"id", "v"}
+
+
+def test_sweep_never_absorbs_rewrite_staging(spark, tmp_path):
+    """A files=None sweep landing between a rewrite-* staging write and
+    its explicit REPLACE commit must NOT absorb the staged copy as new
+    appends — that would duplicate every live row forever (r8 review)."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 6)
+    commit_snapshot(spark, p, note="v1")
+    # simulate apply_deletes/merge_into mid-flight: full copy staged
+    stage = os.path.join(p, "rewrite-deadbeef0123")
+    spark.read.parquet(p).write.parquet(stage)
+    rec = commit_snapshot(spark, p, note="concurrent sweep")
+    assert rec["n_rows"] == 6                        # not 12
+    assert all(not r["file"].startswith("rewrite-") for r in rec["files"])
+    assert read_snapshot(spark, p, rec["version"]).count() == 6
+
+
+def test_snapshot_history_orders_by_version_not_filename(spark, tmp_path):
+    """v%06d overflows to 7 digits at version 1,000,000 where the
+    lexicographic filename order inverts — history must sort by the
+    committed version field (r8 review)."""
+    import json
+
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 3)
+    first = commit_snapshot(spark, p, note="v1")
+    d = os.path.join(p, "_snapshots")
+    for v in (999999, 1000000):
+        with open(os.path.join(d, f"v{v:06d}.json"), "w") as fh:
+            json.dump(dict(first, version=v, note=f"v{v}"), fh)
+    hist = snapshot_history(p)
+    assert [h["version"] for h in hist] == [1, 999999, 1000000]
+    rec = commit_snapshot(spark, p, note="next")
+    assert rec["version"] == 1000001
