@@ -114,7 +114,9 @@ def read_footer_geo(path: str | list[str]) -> GeoMeta | None:
     if not files:
         return None
     geo = GeoMeta.from_footer(pq.read_schema(files[0]).metadata)
-    if geo is None or len(files) == 1 or geo.primary is None:
+    # (GeoMeta.primary never returns None — a missing entry yields a
+    # detached default whose bbox is None, caught just below)
+    if geo is None or len(files) == 1:
         return geo
     max_union_files = 1024
     if geo.primary.bbox is None:
@@ -153,8 +155,6 @@ def _geo_from_arrow_extensions(schema: "pa.Schema") -> GeoMeta | None:
     Arrow layer: ``ARROW:extension:name`` in {geoarrow.wkb, geoarrow.*}
     with optional extension metadata ``{"crs": ...}``.  Synthesize the
     same GeoMeta either way so downstream operators see one data model."""
-    import json
-
     cols: dict[str, GeoColumnMeta] = {}
     for fld in schema:
         md = fld.metadata or {}
@@ -310,8 +310,6 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
     parquet-level GEOMETRY logical annotation.  Both writers
     ``cast(schema)`` their tables, and binary -> extension-over-binary
     is a storage cast."""
-    import json as _json
-
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = to_arrow_schema(df.schema)
@@ -323,9 +321,15 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
     for name, col in geo.columns.items():
         idx = schema.get_field_index(name)
         if idx < 0:
+            # geo entry names a column absent from the frame: it cannot
+            # be natively annotated, so parquet-geo-only must keep the
+            # footer fallback (skipping the reset dropped ALL geometry
+            # metadata on pyarrow >= 19 — r8 review)
+            all_native = False
             continue
         fld = schema.field(idx)
         if not (pa.types.is_binary(fld.type) or pa.types.is_large_binary(fld.type)):
+            all_native = False
             continue
         if native:
             gt = _make_native_geometry_type(col.crs)
@@ -339,7 +343,7 @@ def _arrow_schema_with_geo(df: DataFrame, geo: GeoMeta | None) -> pa.Schema:
         fld = fld.with_metadata({
             **(fld.metadata or {}),
             b"ARROW:extension:name": b"geoarrow.wkb",
-            b"ARROW:extension:metadata": _json.dumps(ext_meta).encode(),
+            b"ARROW:extension:metadata": json.dumps(ext_meta).encode(),
         })
         schema = schema.set(idx, fld)
     if geo.version == "parquet-geo-only" and all_native:
@@ -417,6 +421,21 @@ def write(
                 "2.0 footer metadata instead" % pa.__version__)
     if single_file is None:
         single_file = path.endswith(".parquet") and partition_by is None
+    elif single_file:
+        # silently ignoring these wrote one unpartitioned file while the
+        # caller believed the data was hive-partitioned / bounded / kept
+        bad = [n for n, v in [("partition_by", partition_by),
+                              ("max_rows_per_file", max_rows_per_file),
+                              ("per_file_bbox", per_file_bbox)]
+               if v is not None]
+        if bad:
+            raise ValueError(
+                f"single_file=True is incompatible with {bad}; use the "
+                "directory (distributed) write")
+        if not overwrite and os.path.exists(path):
+            raise FileExistsError(
+                f"{path!r} exists and overwrite=False (single-file mode "
+                "has no append)")
 
     if target_row_group_mb is not None:
         # size groups to the reference's 64-256 MB guidance from a bounded
@@ -440,8 +459,17 @@ def write(
 def _write_single_file(df, path, geo, compression, compression_level, row_group_rows):
     schema = _arrow_schema_with_geo(df, geo)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    # write to a dot-temp and publish with one rename: opening the
+    # ParquetWriter directly on the destination TRUNCATED any existing
+    # good file before the data materialized, and a mid-write failure
+    # left a valid-looking zero-row parquet where real data used to be
+    # (the distributed path always had this temp+rename protection)
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        f".inprogress-{uuid.uuid4().hex[:12]}-"
+        f"{os.path.basename(path)}")
     writer = pq.ParquetWriter(
-        path, schema, compression=compression, compression_level=compression_level
+        tmp, schema, compression=compression, compression_level=compression_level
     )
     try:
         # toArrow() materializes; for the huge case use directory mode.
@@ -450,8 +478,12 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
             writer.write_table(tbl)
         for batch_start in range(0, tbl.num_rows, row_group_rows):
             writer.write_table(tbl.slice(batch_start, row_group_rows))
-    finally:
         writer.close()
+        os.replace(tmp, path)
+    finally:
+        writer.close()   # idempotent; closes on the failure path
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return [path]
 
 
@@ -476,8 +508,24 @@ def _write_distributed(
     df, path, geo, partition_by, compression, compression_level, row_group_rows,
     max_rows_per_file, overwrite, per_file_bbox=None,
 ):
-    if per_file_bbox is not None and per_file_bbox not in df.columns:
-        raise ValueError(f"per_file_bbox column {per_file_bbox!r} not in schema")
+    if per_file_bbox is not None:
+        if per_file_bbox not in df.columns:
+            raise ValueError(
+                f"per_file_bbox column {per_file_bbox!r} not in schema")
+        # the struct SHAPE must be validated too: get_field_index
+        # returns -1 for a missing name and flatten()[-1] would then
+        # silently read the LAST child for every min/max — stamping
+        # wrong footer bboxes that mis-prune file skipping forever
+        from pyspark.sql import types as T
+
+        dt = df.schema[per_file_bbox].dataType
+        names = set(dt.names) if isinstance(dt, T.StructType) else set()
+        missing = {"xmin", "ymin", "xmax", "ymax"} - names
+        if missing:
+            raise ValueError(
+                f"per_file_bbox column {per_file_bbox!r} must be a "
+                f"struct with xmin/ymin/xmax/ymax fields; missing "
+                f"{sorted(missing)} (got {dt.simpleString()})")
     geo_json = geo.to_json() if geo is not None else None
     schema = _arrow_schema_with_geo(df, geo)
     schema_ser = schema.serialize().to_pybytes()
@@ -722,6 +770,14 @@ def _write_distributed(
             except OSError:
                 pass  # racing with its own writer/committer: leave it
     if not rows:
+        # an empty APPEND to a dataset that already has data is a
+        # complete no-op: writing the schema-only default-partition file
+        # here would add a phantom null partition plus per-read probe
+        # cost to a perfectly healthy dataset (r8 review)
+        existing = _glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True)
+        if any(not os.path.basename(f).startswith(".") for f in existing):
+            return []
         # zero input rows (a filter matching nothing is a normal pipeline
         # outcome): emit ONE schema-only file so the dataset stays
         # readable — spark.read.parquet on an empty directory raises
@@ -759,7 +815,16 @@ def _hive_escape(v) -> str:
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
     s = str(v)
-    return "".join(ch if ch.isalnum() or ch in "-_." else f"%{ord(ch):02X}" for ch in s)
+    # Spark's unescapePathName consumes exactly TWO hex digits per % —
+    # %{codepoint:02X} emitted 3-4 digits for ord > 0xFF, so 'a→b'
+    # round-tripped as 'a!92b' (r8 review).  Match Spark's own writer:
+    # non-ASCII characters are filesystem-legal and stay RAW in the dir
+    # name (the reader takes them literally); only ASCII specials get
+    # the %XX escape.
+    return "".join(
+        ch if ch.isalnum() or ch in "-_." or ord(ch) > 0x7F
+        else f"%{ord(ch):02X}"
+        for ch in s)
 
 
 def write_bloom(df: DataFrame, path: str, bloom_columns: list[str],

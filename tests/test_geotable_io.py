@@ -813,3 +813,102 @@ def test_parquet_geo_only_footer_version_is_semver(spark, tmp_path):
     if b"geo" in md:                   # fallback footer on old pyarrow
         ver = json.loads(md[b"geo"])["version"]
         assert ver == "2.0.0"          # never the mode sentinel string
+
+
+def test_single_file_write_failure_preserves_existing(points, spark,
+                                                      tmp_path):
+    """A failed single-file write must not destroy a pre-existing good
+    file: the old code opened ParquetWriter on the destination (truncating
+    it) before the data materialized, so a mid-write failure left a
+    valid-looking ZERO-ROW parquet where real data used to be (r8
+    review)."""
+    import pyarrow.parquet as pq
+
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    out = str(tmp_path / "good.parquet")
+    write(points.df.select("event_id"), out, None)
+    rows_before = pq.read_table(out).num_rows
+    assert rows_before > 0
+    # a df whose evaluation fails executor-side (ANSI divide by zero)
+    bad = points.df.select(
+        (F.col("event_id") / F.lit(0)).cast("double").alias("boom"))
+    with pytest.raises(Exception):
+        write(bad, out, None)
+    assert pq.read_table(out).num_rows == rows_before   # untouched
+    # and no .inprogress temp left behind
+    import os
+    leftovers = [f for f in os.listdir(tmp_path)
+                 if f.startswith(".inprogress")]
+    assert leftovers == []
+
+
+def test_single_file_write_rejects_incompatible_kwargs(points, tmp_path):
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    out = str(tmp_path / "sf.parquet")
+    with pytest.raises(ValueError, match="partition_by"):
+        write(points.df, out, None, partition_by=["event_type"],
+              single_file=True)
+    write(points.df.select("event_id"), out, None, single_file=True)
+    with pytest.raises(FileExistsError):
+        write(points.df.select("event_id"), out, None, single_file=True,
+              overwrite=False)
+
+
+def test_hive_escape_non_ascii_roundtrips(spark, points, tmp_path):
+    """Partition values with non-ASCII characters (ord > 0xFF) must
+    round-trip: the old %{codepoint:02X} escape emitted 3-4 hex digits
+    where Spark's unescape consumes exactly 2 ('a→b' came back as
+    'a!92b', r8 review).  Non-ASCII stays raw, like Spark's own writer."""
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.sources.geoparquet import _hive_escape
+
+    assert _hive_escape("a→b") == "a→b"
+    assert _hive_escape("a b") == "a%20b"           # ASCII specials escaped
+    assert _hive_escape("50%") == "50%25"
+    out = str(tmp_path / "uni_part")
+    pts = GeoTable(
+        points.df.withColumn(
+            "city", F.when(F.col("event_id") % 2 == 0, "São Paulo")
+            .otherwise("København → Øst")),
+        points.geo)
+    pts.write(out, partition_by=["city"], single_file=False)
+    back = spark.read.parquet(out)
+    vals = {r["city"] for r in back.select("city").distinct().collect()}
+    assert vals == {"São Paulo", "København → Øst"}
+
+
+def test_per_file_bbox_struct_shape_validated(points, tmp_path):
+    """A per_file_bbox struct missing xmin/ymin/xmax/ymax must fail
+    loudly: get_field_index(-1) silently read the LAST child for every
+    bound, stamping wrong footer bboxes (r8 review)."""
+    from geoparquet_io_spark.sources.geoparquet import write
+
+    df = points.df.withColumn(
+        "bb", F.struct(F.lit(0.0).alias("minx"), F.lit(0.0).alias("miny"),
+                       F.lit(1.0).alias("maxx"), F.lit(1.0).alias("maxy")))
+    with pytest.raises(ValueError, match="xmin"):
+        write(df, str(tmp_path / "bb"), points.geo, per_file_bbox="bb")
+
+
+def test_empty_append_to_populated_dataset_is_noop(points, spark, tmp_path):
+    """write() of ZERO rows with overwrite=False into a dataset that
+    already has data must be a no-op — not a phantom
+    __HIVE_DEFAULT_PARTITION__ schema file adding per-read probe cost to
+    a healthy dataset (r8 review)."""
+    import os
+
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "populated")
+    pts = points
+    pts.write(out, partition_by=["event_type"], single_file=False)
+    n = spark.read.parquet(out).count()
+    empty = GeoTable(pts.df.filter(F.lit(False)), pts.geo)
+    written = empty.write(out, partition_by=["event_type"],
+                          overwrite=False, single_file=False)
+    assert written == []
+    assert not [d for d in os.listdir(out)
+                if "__HIVE_DEFAULT_PARTITION__" in d]
+    assert spark.read.parquet(out).count() == n
