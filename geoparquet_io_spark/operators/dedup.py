@@ -24,7 +24,12 @@ def dedup_exact(df: DataFrame, columns: list[str] | None = None,
     # the key must not be part of the default grouping: a unique key in
     # the partition columns makes every row its own group and the call
     # silently deduplicates nothing
-    cols = columns or [c for c in df.columns if c != key_column]
+    if columns is not None and not columns:
+        raise ValueError(
+            "dedup_exact: columns=[] would silently compare ALL "
+            "columns; pass None for that, or a non-empty list")
+    cols = columns if columns is not None else \
+        [c for c in df.columns if c != key_column]
     if key_column is None:
         return df.dropDuplicates(cols)
     w_cols = [F.col(c) for c in cols]
@@ -61,8 +66,12 @@ def shingles(text: Column, k: int = 5) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-grams joined by single spaces."""
-    toks = F.split(F.trim(text), r"\s+")
+    """Word n-grams joined by single spaces.  Blank/whitespace-only
+    text yields an EMPTY array (F.split of '' returns [''], which at
+    n=1 made every blank doc jaccard-1.0 match every other blank doc —
+    r8 review)."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"),
+                    lambda t: F.length(t) > 0)
     cnt = F.size(toks) - F.lit(n - 1)
     seq = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
         F.array().cast("array<int>")
@@ -123,7 +132,17 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
     Rows whose text has no shingles (len < k) are dropped."""
     rows = _band_rows(num_hashes, bands)
     join_key = id_column or "__mh_rid"
-    work = df if id_column else df.withColumn(join_key, F.monotonically_increasing_id())
+    if id_column:
+        work = df
+    else:
+        # PIN the synthesized row ids: the signature branch and the
+        # join's left side would otherwise recompute
+        # monotonically_increasing_id independently, and on a
+        # nondeterministic upstream (shuffle fetch order, task retry)
+        # the two runs can disagree — attaching another row's signature
+        # or dropping rows from the inner join (r8 review)
+        work = df.withColumn(join_key, F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=False)
     sigs = minhash_signatures_agg(work, join_key, text_column, num_hashes, k)
     out = work.join(sigs.withColumnRenamed("id", join_key), join_key, "inner")
     out = out.withColumn(
@@ -335,7 +354,13 @@ def add_simhash(df: DataFrame, text_column: str = "text",
     from geoparquet_io_spark.operators.skew import spread
 
     join_key = id_column or "__sh_rid"
-    work = df if id_column else df.withColumn(join_key, F.monotonically_increasing_id())
+    if id_column:
+        work = df
+    else:
+        # pinned for the same two-branch consistency reason as
+        # minhash_bands (r8 review)
+        work = df.withColumn(join_key, F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=False)
     # md5-per-shingle dominates; gated scan-parallelism restore (no-op on
     # real multi-file lakes).  Runs AFTER the row-id assignment so ids
     # stay stable regardless of the repartition.
@@ -536,13 +561,18 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
     ``max_bucket_size`` guards the quadratic the 16-bit signature makes
     STRUCTURAL at scale (16 nibble values per band -> bucket size is
     n/16, and with P(hamming<=3) ~ 1% between random 16-bit sigs the
-    literal pair OUTPUT is itself quadratic): buckets past the cap emit
-    a sorted-id predecessor chain (m-1 candidate edges, the
-    minhash_candidate_pairs pattern), each still hamming-verified.  In
-    a hot bucket of near-identical docs consecutive edges verify
-    identically, preserving connectivity; what's forgone is hamming
-    verification between FAR-APART members of a hot bucket.  Callers
-    needing the literal all-pairs contract pass
+    literal pair OUTPUT is itself quadratic): buckets past the cap pair
+    at SIGNATURE granularity — same-signature members chain by
+    ascending id (hamming-0 edges, verification never breaks them) and
+    distinct signatures pair all-vs-all through min-id representatives
+    (<= 4096 distinct sigs per nibble regardless of corpus size).  The
+    signature-level pigeonhole guarantee therefore SURVIVES the cap:
+    every pair of near-dup groups meets through its representatives and
+    the hamming-0 chains carry the edge to every member.  What's
+    forgone vs the literal contract is only WHICH witness pair links
+    two groups (reps + chains instead of every cross pair) — identical
+    connectivity, survivors, and "collides with a smaller id" sets.
+    Callers needing every literal pair row pass
     ``max_bucket_size=None`` — and at real scale should use a wider
     signature (hamming_dedup_survivors takes bands/band_bits).
     """
@@ -566,21 +596,41 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
         from pyspark.sql import Window
 
         # size every bucket once; the small-bucket self-join and the
-        # hot-bucket chain window reuse the (b, nib) partitioning
+        # hot-bucket windows reuse the (b, nib) partitioning
         wc = Window.partitionBy("b", "nib")
         sized = banded.withColumn("__n", F.count("*").over(wc))
         banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
-        ws = Window.partitionBy("b", "nib").orderBy("id")
-        hot = sized.filter(F.col("__n") > max_bucket_size)
+        hot = sized.filter(F.col("__n") > max_bucket_size).drop("__n")
+        # hot buckets pair at SIGNATURE granularity, not id order:
+        # (1) same-signature members chain by ascending id — every edge
+        #     is hamming 0, so verification never breaks the chain and
+        #     a boilerplate mass stays one component (a plain id-chain
+        #     interleaved DIFFERENT signatures and lost far-apart
+        #     identical pairs when the in-between edge failed hamming);
+        # (2) DISTINCT signatures pair all-vs-all via their min-id
+        #     representatives — <= 4096 distinct sigs per nibble no
+        #     matter the corpus size, so the pair space is bounded and
+        #     the signature-level pigeonhole guarantee survives the
+        #     cap: two near-dup groups always meet through their reps,
+        #     and the hamming-0 chains carry that edge to every member.
+        ws_sig = Window.partitionBy("b", "nib", "sh").orderBy("id")
         chain = (hot
-                 .withColumn("__pid", F.lag("id").over(ws))
-                 .withColumn("__psh", F.lag("sh").over(ws))
+                 .withColumn("__pid", F.lag("id").over(ws_sig))
                  .filter(F.col("__pid").isNotNull()
                          & (F.col("__pid") < F.col("id")))
                  .select(F.col("__pid").alias("id_a"),
                          F.col("id").alias("id_b"),
-                         F.col("__psh").alias("sh_a"),
+                         F.col("sh").alias("sh_a"),
                          F.col("sh").alias("sh_b")))
+        reps = hot.groupBy("b", "nib", "sh").agg(F.min("id").alias("rid"))
+        ra = reps.select("b", "nib", F.col("sh").alias("sh_a"),
+                         F.col("rid").alias("id_a"))
+        rb = reps.select("b", "nib", F.col("sh").alias("sh_b"),
+                         F.col("rid").alias("id_b"))
+        rep_pairs = (ra.join(rb, ["b", "nib"])
+                     .filter(F.col("id_a") < F.col("id_b"))
+                     .select("id_a", "id_b", "sh_a", "sh_b"))
+        chain = chain.unionByName(rep_pairs)
     else:
         chain = None
     a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "nib")
@@ -670,7 +720,12 @@ def dedup_simhash(df: DataFrame, id_column: str, text_column: str = "text",
     keep = hamming_dedup_survivors(sigs, id_column, "simhash",
                                    max_hamming=max_hamming,
                                    bands=4, band_bits=4)
-    return df.join(keep, id_column, "left_semi")
+    # anti-join on the LOSERS: rows whose text has no shingles never
+    # enter the signature table and duplicate nothing — a left_semi on
+    # the keep set silently deleted every short/NULL document, unlike
+    # dedup_minhash (r8 review)
+    losers = sigs.select(id_column).join(keep, id_column, "left_anti")
+    return df.join(losers, id_column, "left_anti")
 
 
 def dedup_against_index(new_df: DataFrame, index_bands: DataFrame,

@@ -486,6 +486,55 @@ def test_simhash_hot_bucket_cap_bounds_pairs_keeps_connectivity(spark):
     assert full == m * (m - 1) // 2
 
 
+def test_simhash_hot_bucket_finds_far_apart_identical_pair(spark):
+    """In a hot bucket of DIVERSE signatures, two identical docs at
+    far-apart ids must still pair (r8 review): a plain id-ordered chain
+    interleaved different signatures between them and the in-between
+    edges failed hamming — the signature-granular hot path (hamming-0
+    chains + min-id representative pairs) keeps the guarantee."""
+    from geoparquet_io_spark.operators.dedup import (
+        add_simhash, simhash_candidate_pairs)
+
+    # diverse filler docs + one identical pair at ids 3 and 9000
+    rows = [(i, f"filler doc number {i} with words {i * 7} {i * 13} "
+                f"and tail {i % 17} {i % 23} {i % 29}")
+            for i in range(0, 60)]
+    dup = "the exact same duplicated document text appears here twice"
+    rows += [(3000, dup), (9000, dup)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_candidate_pairs(df, "doc_id",
+                                            max_bucket_size=4).collect()}
+    assert got.get((3000, 9000)) == 0
+    # and every hamming<=3 pair of the LITERAL contract stays reachable
+    # at the survivor level: brute-force the expected survivor set
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in add_simhash(df, id_column="doc_id")
+            .select("doc_id", "simhash").collect()}
+    ids = sorted(sigs)
+    expected_lost = {j for j in ids
+                     for i in ids if i < j
+                     and bin(sigs[i] ^ sigs[j]).count("1") <= 3}
+    # union-find over capped pairs: every expected-lost id must connect
+    # to some smaller id
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), _h in got.items():
+        parent[find(a)] = find(b)
+    comp_min = {}
+    for i in ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    lost_by_cap = {i for i in ids if comp_min[find(i)] < i}
+    assert expected_lost <= lost_by_cap
+
+
 def test_dedup_against_index_drops_only_colliders(spark):
     from pyspark.sql import functions as F
 
@@ -844,3 +893,42 @@ def test_extract_antimeridian_bbox_raises(spark):
         gt.extract(bbox=(170.0, -10.0, -170.0, 10.0))
     with _p.raises(ValueError, match="ymin"):
         gt.extract(bbox=(0.0, 10.0, 10.0, -10.0))
+
+
+def test_dedup_simhash_preserves_shingleless_rows(spark):
+    """Rows whose text has no shingles (len < k or NULL) duplicate
+    nothing and must SURVIVE dedup_simhash — the left_semi on the keep
+    set silently deleted every short document (r8 review), unlike
+    dedup_minhash's anti-join shape."""
+    from geoparquet_io_spark.operators.dedup import dedup_simhash
+
+    dup = "the very same document body appears in this corpus twice over"
+    rows = [(1, dup), (2, dup), (3, "abc"), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_simhash(df, "doc_id").collect()}
+    assert kept == {1, 3, 4, 5}        # only the later duplicate dropped
+
+
+def test_word_ngrams_blank_text_yields_empty(spark):
+    """Blank/whitespace-only text must give an EMPTY n-gram array at
+    every n — F.split('') returns [''], which at n=1 made every blank
+    doc a jaccard-1.0 match of every other blank doc (r8 review)."""
+    from geoparquet_io_spark.operators.dedup import word_ngrams
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one two",)], "text string")
+    for n in (1, 2):
+        out = [r["g"] for r in
+               df.select(word_ngrams(F.col("text"), n).alias("g")).collect()]
+        assert out[0] == [] and out[1] == []
+        assert len(out[2]) == (2 if n == 1 else 1)
+
+
+def test_dedup_exact_rejects_explicit_empty_columns(spark):
+    import pytest as _p
+
+    from geoparquet_io_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    with _p.raises(ValueError, match="columns"):
+        dedup_exact(df, columns=[])

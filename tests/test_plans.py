@@ -144,9 +144,11 @@ def test_simhash_capped_path_reuses_bucket_partitioning(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
     s = plan_summary(out)
-    # signature agg + bucket-key window + join + distinct; the chain
-    # branch rides the window partitioning (AQE may print nodes twice)
-    assert s["exchanges"] <= 10, s
+    # signature agg + bucket-key window + small-bucket join + hot-path
+    # rep aggregation/join + union + distinct (AQE can print nodes
+    # twice); the bound guards against a runaway re-plan, not an exact
+    # count
+    assert s["exchanges"] <= 18, s
 
 
 def test_roworder_topk_has_no_full_table_window(spark):
