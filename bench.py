@@ -380,6 +380,35 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
                         (errors if side == "head" else ref_errors)[name] = err
                     if sec is not None:
                         samples[name][side].append(sec)
+        def _ratio(s: dict[str, list[float]]):
+            if not (s["ref"] and s["head"]):
+                return None
+            rm = _median(s["ref"])
+            return (_median(s["head"]) / rm) if rm else None
+
+        # Scatter-vs-regression decidability (r8 verdict #2): any query
+        # whose first-pass ratio exceeds the rerun threshold gets extra
+        # interleaved rounds so the artifact carries a rounds>=3 median —
+        # a 1.2 ratio from one unlucky 2s sample stops being undecidable.
+        rerun_at = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_AB_RERUN_RATIO", "1.15"))
+        min_rounds = int(os.environ.get(
+            "SPARK_GRAFT_BENCH_AB_RERUN_ROUNDS", "3"))
+        reran: list[str] = []
+        for name in names:
+            s = samples[name]
+            r0 = _ratio(s)
+            if r0 is None or r0 <= rerun_at:
+                continue
+            reran.append(name)
+            for r in range(rounds, min_rounds):
+                pair = [("ref", ref_w), ("head", head_w)]
+                if r % 2:
+                    pair.reverse()
+                for side, w in pair:
+                    sec, err = w.run(name)
+                    if err is None and sec is not None:
+                        samples[name][side].append(sec)
         head_t: dict[str, float] = {}
         ab_q: dict[str, dict] = {}
         missing: list[str] = []
@@ -396,6 +425,9 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
                 ab_q[name] = {
                     "ref": round(rm, 3), "head": head_t[name],
                     "ratio": round(head_t[name] / rm, 3) if rm else None,
+                    "n": len(s["head"]),
+                    "ref_min": round(min(s["ref"]), 3),
+                    "head_min": round(min(s["head"]), 3),
                 }
         ref_total = round(sum(v["ref"] for v in ab_q.values()), 3)
         head_total = round(sum(v["head"] for v in ab_q.values()), 3)
@@ -407,6 +439,7 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
             "head_total": head_total,
             "ratio_total": round(head_total / ref_total, 3) if ref_total else None,
             "missing_in_ref": missing,
+            "reran_over_threshold": reran,
             "head_errors": errors,
             "ref_errors": ref_errors,
         }
@@ -494,12 +527,32 @@ def main() -> None:
     # a sidecar — the driver's tail capture holds ~2 KB, and the r7
     # final line carrying the whole A/B report outgrew it (BENCH_r07
     # parsed: null).  The ONE printed line stays compact by contract.
-    sidecar = os.path.join(_HEAD_DIR, "BENCH_AB.json")
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError as exc:
-        print(f"note: could not write {sidecar}: {exc}", file=sys.stderr)
+    #
+    # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar (tests point it at
+    # tmp_path — the r8 suite clobbered the round's official 41-query
+    # detail with a 2-query smoke run, and BENCH_AB.json is gitignored so
+    # the evidence was unrecoverable).  Official full runs additionally
+    # write a round-stamped, git-TRACKED copy (BENCH_AB_r{N}.json, N = 1 +
+    # the highest existing BENCH_r*.json) so each round's per-query A/B
+    # detail survives later runs and the suite alike.
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") \
+        or os.path.join(_HEAD_DIR, "BENCH_AB.json")
+    paths = [sidecar]
+    if "SPARK_GRAFT_BENCH_SIDECAR" not in os.environ \
+            and "SPARK_GRAFT_BENCH_QUERIES" not in os.environ:
+        import glob as _glob
+        import re as _re
+        rounds_seen = [int(m.group(1)) for p in
+                       _glob.glob(os.path.join(_HEAD_DIR, "BENCH_r*.json"))
+                       if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        rnd = (max(rounds_seen) + 1) if rounds_seen else 0
+        paths.append(os.path.join(_HEAD_DIR, f"BENCH_AB_r{rnd:02d}.json"))
+    for p in paths:
+        try:
+            with open(p, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError as exc:
+            print(f"note: could not write {p}: {exc}", file=sys.stderr)
 
     compact = {
         "metric": out["metric"],
@@ -520,7 +573,7 @@ def main() -> None:
             "worst": worst,
             "head_error_count": len(head_errors),
         }
-    compact["detail"] = "BENCH_AB.json"
+    compact["detail"] = os.path.basename(paths[-1])
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900 and "queries" in compact:
         # last-resort guard: never let the one-line contract break again
