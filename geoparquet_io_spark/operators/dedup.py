@@ -140,9 +140,15 @@ def minhash_bands(df: DataFrame, text_column: str = "text",
         # monotonically_increasing_id independently, and on a
         # nondeterministic upstream (shuffle fetch order, task retry)
         # the two runs can disagree — attaching another row's signature
-        # or dropping rows from the inner join (r8 review)
+        # or dropping rows from the inner join (r8 review).  EAGER: a
+        # lazy local checkpoint only caches on first computation, and
+        # the join's two branches are independent shuffle-map stages
+        # that can concurrently compute the same parent partition on
+        # different executors before any block is cached — the eager
+        # materialization is what actually closes the race (r8 ADVICE;
+        # train_bpe pays the same cost for the same reason)
         work = df.withColumn(join_key, F.monotonically_increasing_id()) \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
     sigs = minhash_signatures_agg(work, join_key, text_column, num_hashes, k)
     out = work.join(sigs.withColumnRenamed("id", join_key), join_key, "inner")
     out = out.withColumn(
@@ -358,9 +364,10 @@ def add_simhash(df: DataFrame, text_column: str = "text",
         work = df
     else:
         # pinned for the same two-branch consistency reason as
-        # minhash_bands (r8 review)
+        # minhash_bands (r8 review); eager, because a lazy checkpoint
+        # leaves a concurrent-first-computation race open (r8 ADVICE)
         work = df.withColumn(join_key, F.monotonically_increasing_id()) \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
     # md5-per-shingle dominates; gated scan-parallelism restore (no-op on
     # real multi-file lakes).  Runs AFTER the row-id assignment so ids
     # stay stable regardless of the repartition.
@@ -596,9 +603,15 @@ def simhash_candidate_pairs(df: DataFrame, id_column: str,
         from pyspark.sql import Window
 
         # size every bucket once; the small-bucket self-join and the
-        # hot-bucket windows reuse the (b, nib) partitioning
+        # hot-bucket windows reuse the (b, nib) partitioning.
+        # Checkpointed: four consumers fan out of `sized` (small-bucket
+        # join a/b sides, the hamming-0 chain window, the rep join) and
+        # would otherwise each recompute the banding+count lineage
+        # (r8 ADVICE — the docstring's "persisted" claim now holds on
+        # the capped path too)
         wc = Window.partitionBy("b", "nib")
-        sized = banded.withColumn("__n", F.count("*").over(wc))
+        sized = banded.withColumn("__n", F.count("*").over(wc)) \
+            .localCheckpoint(eager=False)
         banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
         hot = sized.filter(F.col("__n") > max_bucket_size).drop("__n")
         # hot buckets pair at SIGNATURE granularity, not id order:

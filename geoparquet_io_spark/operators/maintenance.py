@@ -258,8 +258,12 @@ _SNAPSHOT_PARSE_CACHE: dict = {}
 def snapshot_history(path: str) -> list[dict]:
     """All committed snapshots of a dataset, oldest first (empty list if
     none).  Each record: version, note, n_files, n_rows, n_bytes.
-    Records are SHARED with the parse cache — treat them as read-only
-    (every writer in this module builds fresh dicts)."""
+    Returned records are deep COPIES of the parse-cache entries — a
+    caller mutating a returned record (or one returned through
+    rollback_to/compact) must not silently corrupt every subsequent
+    history read in the process (r8 ADVICE; records are small relative
+    to the parse cost the cache exists to amortize)."""
+    import copy
     import json
 
     out = []
@@ -290,7 +294,7 @@ def snapshot_history(path: str) -> list[dict]:
     # to 7 digits at version 1,000,000 and lexicographic order would put
     # v1000000 before v999999, wedging version allocation forever
     out.sort(key=lambda r: r["version"])
-    return out
+    return [copy.deepcopy(r) for r in out]
 
 
 def commit_snapshot(spark: SparkSession, path: str,

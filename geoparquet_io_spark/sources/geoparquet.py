@@ -246,23 +246,33 @@ def _cast_null_partition_types(df: DataFrame, path: str) -> DataFrame:
     for d in sorted(top):
         probe += _glob.glob(os.path.join(d, "**", "*.parquet"),
                             recursive=True)
-    # bound the footer scan: real data rows with NULL partition values
-    # also land under default-partition dirs, and reading every such
-    # footer on a big dataset is driver latency for nothing (the keyed
-    # schema file is among the first files of the empty state)
-    for f in sorted(probe)[:64]:
+    # the schema-only file carries a filename MARKER so it is found by
+    # name, not by sort order (r8 ADVICE: data files share the
+    # part-NNNNN-{uuid} shape, and with >64 null-partition data files
+    # the uuid sort could push the keyed file past the scan bound,
+    # silently skipping the restore).  Datasets written before the
+    # marker fall back to the bounded sorted footer scan.
+    marked = [f for f in probe
+              if os.path.basename(f).endswith(_SCHEMA_FILE_SUFFIX)]
+    for f in (sorted(marked) or sorted(probe)[:64]):
         md = pq.read_schema(f).metadata or {}
         raw = md.get(PARTITION_TYPES_KEY)
         if raw is None:
             continue   # pre-record schema or null-partition data file
-        for col, ddl in json.loads(raw).items():
-            if col not in df.columns or \
-                    df.schema[col].dataType.simpleString() == ddl:
-                continue
-            # all-null gate: a single non-null value means real data
-            # exists and inference already decided the type
-            if df.filter(F.col(col).isNotNull()).limit(1).count() == 0:
-                df = df.withColumn(col, F.col(col).cast(ddl))
+        todo = [(col, ddl) for col, ddl in json.loads(raw).items()
+                if col in df.columns
+                and df.schema[col].dataType.simpleString() != ddl]
+        if todo:
+            # all-null gate, ONE aggregate job for every recorded column
+            # (was one Spark job per column on every read of such
+            # datasets — r8 ADVICE): count() counts non-nulls only
+            counts = df.agg(*[F.count(F.col(c)).alias(f"__nn{i}")
+                              for i, (c, _) in enumerate(todo)]).first()
+            for i, (col, ddl) in enumerate(todo):
+                # a single non-null value means real data exists and
+                # inference already decided the type
+                if counts[i] == 0:
+                    df = df.withColumn(col, F.col(col).cast(ddl))
         break
     return df
 
@@ -499,6 +509,9 @@ def _write_single_file(df, path, geo, compression, compression_level, row_group_
 # partition-column Spark types (dir values are all-null in the empty
 # state, so readers would otherwise infer StringType for every one)
 PARTITION_TYPES_KEY = b"spark_graft.partition_types"
+# filename suffix of the zero-row write's schema-only file; keeps the
+# part- prefix (Spark treats it as a data file) but is matchable by name
+_SCHEMA_FILE_SUFFIX = "-schema.parquet"
 
 INPROGRESS_ORPHAN_AGE_SEC = int(os.environ.get(
     "SPARK_GRAFT_INPROGRESS_ORPHAN_AGE", 7 * 24 * 3600))
@@ -803,7 +816,10 @@ def _write_distributed(
             md = dict(data_schema.metadata or {})
             md[PARTITION_TYPES_KEY] = json.dumps(ptypes).encode()
             f_schema = data_schema.with_metadata(md)
-        f = os.path.join(d, f"part-00000-{uuid.uuid4().hex[:8]}.parquet")
+        # marker suffix: read_partition finds this file by NAME among
+        # arbitrarily many null-partition data files (r8 ADVICE)
+        f = os.path.join(
+            d, f"part-00000-{uuid.uuid4().hex[:8]}{_SCHEMA_FILE_SUFFIX}")
         pq.write_table(pa.Table.from_batches([], schema=f_schema), f,
                        compression=compression,
                        compression_level=compression_level)

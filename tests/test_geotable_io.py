@@ -912,3 +912,39 @@ def test_empty_append_to_populated_dataset_is_noop(points, spark, tmp_path):
     assert not [d for d in os.listdir(out)
                 if "__HIVE_DEFAULT_PARTITION__" in d]
     assert spark.read.parquet(out).count() == n
+
+
+def test_partition_type_restore_survives_many_null_partition_files(
+        points, spark, tmp_path):
+    """The schema-only file is found by its filename MARKER, not by sort
+    order (r8 ADVICE): data files share the part-NNNNN-{uuid} naming, so
+    with >64 null-partition data files whose names sort first, the old
+    bounded footer scan silently skipped the recorded-type restore."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import geoparquet_io_spark as gps
+    from geoparquet_io_spark.geotable import GeoTable
+
+    out = str(tmp_path / "many_null_part")
+    pts = GeoTable(
+        points.df.withColumn("bucket", (F.col("event_id") % 4).cast("int")),
+        points.geo)
+    empty = GeoTable(pts.df.filter(F.lit(False)), pts.geo)
+    empty.write(out, partition_by=["bucket"], single_file=False)
+    schema_files = glob.glob(
+        os.path.join(out, "**", "*-schema.parquet"), recursive=True)
+    assert len(schema_files) == 1
+    d = os.path.dirname(schema_files[0])
+    # 70 schema-compatible zero-row data files WITHOUT the footer key,
+    # named to sort before the schema file
+    tmpl = pq.read_schema(schema_files[0]).remove_metadata()
+    for i in range(70):
+        pq.write_table(pa.Table.from_batches([], schema=tmpl),
+                       os.path.join(d, f"part-00000-{i:08d}.parquet"))
+    back = gps.read_partition(spark, out)
+    assert back.count() == 0
+    assert back.df.schema["bucket"].dataType.simpleString() == "int"

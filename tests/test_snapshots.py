@@ -625,3 +625,22 @@ def test_snapshot_history_orders_by_version_not_filename(spark, tmp_path):
     assert [h["version"] for h in hist] == [1, 999999, 1000000]
     rec = commit_snapshot(spark, p, note="next")
     assert rec["version"] == 1000001
+
+
+def test_snapshot_history_returns_copies(spark, tmp_path):
+    """Returned records are COPIES of the parse-cache entries: a caller
+    mutating one (incl. nested lists) must not corrupt every subsequent
+    history read in the process (r8 ADVICE — rollback_to/compact return
+    these records directly to users)."""
+    p = str(tmp_path / "ds")
+    _write_batch(spark, p, 0, 3)
+    commit_snapshot(spark, p, note="v1")
+    h1 = snapshot_history(p)[0]
+    clean_note, clean_files = h1["note"], [dict(f) for f in h1["files"]]
+    h1["note"] = "VANDALIZED"
+    h1["files"].append({"path": "phantom.parquet", "rows": 9})
+    if h1["files"][0:1]:
+        h1["files"][0]["rows"] = -1
+    h2 = snapshot_history(p)[0]
+    assert h2["note"] == clean_note
+    assert h2["files"] == clean_files
