@@ -604,6 +604,24 @@ EPSG_TABLE: dict[int, tuple] = {
     # WGS 84 / Arctic Polar Stereographic
     3976: ("ps", WGS84, dict(lat_ts=-70.0, lon0=0.0, fe=0.0, fn=0.0)),
     # WGS 84 / NSIDC Sea Ice Polar Stereographic South
+    # --- round-9 additions (ETRS89-family national grids + GDA2020) --------
+    3059: ("tm", GRS80, dict(lat0=0.0, lon0=24.0, k0=0.9996,
+                             fe=500000.0, fn=-6000000.0)),
+    # LKS-92 / Latvia TM (ETRS89 realization)
+    3301: ("lcc", GRS80, dict(lat1=59.0 + 20.0 / 60.0, lat2=58.0,
+                              lat0=57.0 + 31.0 / 60.0 + 3.19415 / 3600.0,
+                              lon0=24.0, fe=500000.0, fn=6375000.0)),
+    # Estonian Coordinate System of 1997 (ETRS89 LCC)
+    3812: ("lcc", GRS80, dict(lat1=49.0 + 50.0 / 60.0,
+                              lat2=51.0 + 10.0 / 60.0,
+                              lat0=50.0 + 47.0 / 60.0 + 52.134 / 3600.0,
+                              lon0=4.0 + 21.0 / 60.0 + 33.177 / 3600.0,
+                              fe=649328.0, fn=665262.0)),
+    # ETRS89 / Belgian Lambert 2008 (NOT the BD72 Lambert 72 — that one
+    # is datum-shifted and stays procedural at 31370)
+    7845: ("lcc", GRS80, dict(lat1=-18.0, lat2=-36.0, lat0=0.0, lon0=134.0,
+                              fe=0.0, fn=0.0)),
+    # GDA2020 / GA LCC (GDA2020 treated WGS84-coincident like the MGA range)
 }
 
 
@@ -674,6 +692,21 @@ def _generated_epsg_rows() -> dict[int, tuple]:
     for z in range(5, 31):
         rows[5100 + z] = ("tm", GRS80, dict(
             lat0=58.0, lon0=z + 0.5, k0=1.0, fe=100000.0, fn=1000000.0))
+    # --- round-9 series ------------------------------------------------------
+    # SWEREF99 local zones = 3007..3018 (k0 = 1, FE 150 km; the EPSG
+    # code order lists the 1.5-degree "dd mm" belts 12 00..18 00 first,
+    # then the in-between 14 15..23 15 belts)
+    for i, cm in enumerate([12.0, 13.5, 15.0, 16.5, 18.0,
+                            14.25, 15.75, 17.25, 18.75, 20.25,
+                            21.75, 23.25]):
+        rows[3007 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=cm, k0=1.0, fe=150000.0, fn=0.0))
+    # ETRS89 / DKTM1-4 = 4093..4096 (Denmark: k0 = 0.99998,
+    # FE = zone * 200 km, FN = -5,000 km)
+    for i, cm in enumerate([9.0, 10.0, 11.75, 15.0]):
+        rows[4093 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=cm, k0=0.99998,
+            fe=200000.0 * (i + 1), fn=-5000000.0))
     rows.update(_spcs83_rows())
     return rows
 
@@ -934,6 +967,18 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
                            lambda x, y: lcc_inverse(x, y, c),
                            INTL1924, _DATUM_BD72)
+    if code == 2039:  # Israel 1993 / Israeli TM Grid (GRS80 + Helmert)
+        # Israel 1993 is GPS-derived on GRS80 but offset from WGS84 by
+        # ~90 m (EPSG transformation 1073: geocentric translation
+        # -48, 55, 52) — too large for the coincidence treatment, so it
+        # composes the Helmert chain like OSGB/Swiss/BD72
+        c = make_tm(*GRS80,
+                    lat0=31.0 + 44.0 / 60.0 + 3.817 / 3600.0,
+                    lon0=35.0 + 12.0 / 60.0 + 16.261 / 3600.0,
+                    k0=1.0000067, fe=219529.584, fn=626907.39)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           GRS80, _DATUM_ISR93)
     if code == 5514:  # S-JTSK / Krovak East North (Bessel + Helmert)
         c = make_krovak(*BESSEL1841, latc=49.5,
                         lon0=24.0 + 50.0 / 60.0,
@@ -1037,6 +1082,7 @@ def _with_datum(proj_fwd, proj_inv, ell, to_wgs84):
 _DATUM_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
 _DATUM_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
 _DATUM_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+_DATUM_ISR93 = (-48.0, 55.0, 52.0, 0.0, 0.0, 0.0, 0.0)
 _DATUM_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
 
 

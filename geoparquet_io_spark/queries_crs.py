@@ -629,3 +629,44 @@ def q_reproject_spcs_ca5(spark, sf_dir):
     table — validates the State Plane dispatch end-to-end against the
     parameterized LCC formula oracle."""
     return _spark_reproject(spark, sf_dir, "EPSG:26945")
+
+
+# --- r9: SWEREF99 local / Estonia 1997 / DKTM series rows driven end-to-end --
+
+_SW1330 = P.make_tm(*P.GRS80, lat0=0.0, lon0=13.5, k0=1.0,
+                    fe=150000.0, fn=0.0)
+
+
+@register("geo_reproject_sweref1330", _tm_registry_sql(_SW1330, 7.5, 19.5))
+def q_reproject_sweref1330(spark, sf_dir):
+    """EPSG:3008 (SWEREF99 13 30) via the r9 generated Swedish local
+    series — the narrow-belt k0=1 / FE 150 km shape, and the first of
+    the irregular dd-mm central meridians (13.5 deg) in an oracle."""
+    return _spark_reproject(spark, sf_dir, "EPSG:3008",
+                            lon_range=(7.5, 19.5))
+
+
+_EST97 = P.make_lcc(*P.GRS80, lat1=59.0 + 20.0 / 60.0, lat2=58.0,
+                    lat0=57.0 + 31.0 / 60.0 + 3.19415 / 3600.0,
+                    lon0=24.0, fe=500000.0, fn=6375000.0)
+
+
+@register("geo_reproject_estonia97", _lcc_sql(_EST97))
+def q_reproject_estonia97(spark, sf_dir):
+    """EPSG:3301 (Estonian Coordinate System of 1997) via the r9 pinned
+    LCC row — north-first standard parallels (59 deg 20 min over 58)
+    with a 6,375 km false northing, the first Baltic conic oracle."""
+    return _spark_reproject(spark, sf_dir, "EPSG:3301")
+
+
+_DKTM3 = P.make_tm(*P.GRS80, lat0=0.0, lon0=11.75, k0=0.99998,
+                   fe=600000.0, fn=-5000000.0)
+
+
+@register("geo_reproject_dktm3", _tm_registry_sql(_DKTM3, 5.75, 17.75))
+def q_reproject_dktm3(spark, sf_dir):
+    """EPSG:4095 (ETRS89 / DKTM3) via the r9 generated Danish series —
+    fractional central meridian (11.75), sub-unity k0 (0.99998) and a
+    NEGATIVE 5,000 km false northing in one row."""
+    return _spark_reproject(spark, sf_dir, "EPSG:4095",
+                            lon_range=(5.75, 17.75))

@@ -64,14 +64,22 @@ def _build_scaled(spark, out_dir: str, factor: int,
                   scaled: dict, copied: list[str]) -> None:
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, "_BUILT")
-    if os.path.exists(marker):
-        return
+    # per-table skip (not one global marker): adding a table to the
+    # scaled set must not force a rebuild of the cached ones, and a
+    # cached build from a previous round must not hide the new table
+    def _have(t: str) -> bool:
+        return os.path.exists(os.path.join(out_dir, f"{t}.parquet",
+                                           "_SUCCESS"))
+
     os.makedirs(out_dir, exist_ok=True)
     for t in copied:
+        if _have(t):
+            continue
         spark.read.parquet(f"{BASE}/{t}.parquet").coalesce(1) \
             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     for t, (key, also) in scaled.items():
+        if _have(t):
+            continue
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
         parts = []
         for i in range(factor):
@@ -86,7 +94,6 @@ def _build_scaled(spark, out_dir: str, factor: int,
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-    open(marker, "w").write("ok\n")
 
 
 def build_sf1x(spark) -> None:
@@ -103,6 +110,10 @@ X100_SCALED = {
     "documents": ("doc_id", []),
     "embeddings": ("vec_id", []),
     "customer": ("c_custkey", []),
+    # r9: write paths (events = the 3-op pipeline's table) and graph
+    # operators (orders-derived link graph) join the curve
+    "events": ("event_id", ["user_id"]),
+    "orders": ("o_orderkey", ["o_custkey"]),
 }
 
 
@@ -130,6 +141,92 @@ def _grid_spatial_join_query(spark, sf_dir):
     ).select("c_custkey", F.col("n_name").alias("nation_name"))
 
 
+# --- r9: write-path + graph queries ------------------------------------------
+# Every prior receipt was a read/compute path; the partitioned GeoParquet
+# write with per-file bbox footer rewrite and the manifest footer sweep
+# are where a DRIVER-side bottleneck could hide (per-file rename loop,
+# preflight DISTINCT, footer stamping) — r8 verdict #3.  The graph
+# operators are the only iterative-shuffle paths without a point — #4.
+
+# sf_dir -> dataset written by the write query this process run; the
+# manifest query sweeps it (written once outside its timed region if the
+# write query didn't run first)
+_WRITE_OUT: dict = {}
+
+
+def _do_partitioned_write(spark, sf_dir: str) -> str:
+    """Quadkey-partitioned GeoParquet write of the events points with
+    per-file bbox footers.  max_rows_per_file bounds rows/file so the
+    FILE count scales with the data (~4 files at sf0.1, ~400 at 100x) —
+    that is what stresses the per-file footer stamp, the driver's
+    rename-and-sweep loop, and the preflight DISTINCT."""
+    import shutil
+    import tempfile
+
+    from geoparquet_io_spark.operators.partition import partition_by_quadkey
+    from geoparquet_io_spark.queries import _events_points
+
+    gt = _events_points(spark, sf_dir)
+    out = _WRITE_OUT.get(sf_dir)
+    if out and os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="x100_write_") + "/ds"
+    partition_by_quadkey(gt, out, partition_resolution=2,
+                         max_rows_per_file=25_000, force=True)
+    _WRITE_OUT[sf_dir] = out
+    return out
+
+
+def _write_partitioned_query(spark, sf_dir):
+    """Timed region = derive quadkey + preflight + hive write + per-file
+    bbox footers + driver rename/sweep; returns the written file list."""
+    import glob
+
+    out = _do_partitioned_write(spark, sf_dir)
+    files = [os.path.relpath(f, out) for f in
+             glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)]
+    return spark.createDataFrame([(f,) for f in sorted(files)], ["file"])
+
+
+def _manifest_sweep_query(spark, sf_dir):
+    """build_manifest over the just-written partitioned dataset — the
+    distributed footer sweep whose file list goes through the driver."""
+    from geoparquet_io_spark.operators.maintenance import build_manifest
+
+    out = _WRITE_OUT.get(sf_dir)
+    if not (out and os.path.isdir(out)):
+        out = _do_partitioned_write(spark, sf_dir)
+    return build_manifest(spark, out)
+
+
+def _scaled_edges(spark, sf_dir, per_node: int = 10):
+    """orders-derived link graph whose NODE count scales with the table
+    (the registry queries pin 40 nodes, so scaling orders only grows the
+    DISTINCT input).  Constant expected degree ~per_node keeps the wedge
+    count linear in nodes — the O(m^1.5) regime the operator claims."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n_nodes = max(40, o.count() // per_node)
+    return o.select((F.col("o_custkey") % n_nodes).alias("src"),
+                    (F.col("o_orderkey") % n_nodes).alias("dst")) \
+            .filter(F.col("src") != F.col("dst"))
+
+
+def _graph_pagerank_scaled(spark, sf_dir):
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    return pagerank(_scaled_edges(spark, sf_dir), damping=0.85, iterations=3)
+
+
+def _graph_triangles_scaled(spark, sf_dir):
+    from geoparquet_io_spark.operators.graph import triangle_count
+
+    return triangle_count(_scaled_edges(spark, sf_dir))
+
+
 # name -> (registry name or callable, row-count table)
 X100_QUERIES = {
     "dedup_minhash_survivors": ("dedup_minhash_survivors", "documents"),
@@ -148,6 +245,11 @@ X100_QUERIES = {
     "similarity_cosine_topk": ("similarity_cosine_topk", "embeddings"),
     "dedup_simhash_pairs": ("dedup_simhash_pairs", "documents"),
     "text_dup_spans": ("text_dup_spans", "documents"),
+    # r9 additions: write paths (r8 verdict #3) + graph operators (#4)
+    "write_partitioned_bbox": (_write_partitioned_query, "events"),
+    "manifest_footer_sweep": (_manifest_sweep_query, "events"),
+    "graph_pagerank_scaled": (_graph_pagerank_scaled, "orders"),
+    "graph_triangles_scaled": (_graph_triangles_scaled, "orders"),
 }
 
 
@@ -230,12 +332,19 @@ def write_x100_md(res: dict) -> None:
         text = text[:text.index(marker)]
     lines = [
         marker.rstrip("\n"), "",
-        "`scripts/scale_curve.py --x100 --md` — the five paths the r6",
-        "verdict flagged as scale-critical, at 100x the sf0.1 tables",
-        "(500k docs / 200k vectors / 1.5M customers; key-shifted copies",
-        "as above).  us/row flat-or-falling vs sf0.1 = no hidden",
-        "super-linear term (quadratic pair volume, driver-bounded",
-        "collect) survives two decades of growth.",
+        "`scripts/scale_curve.py --x100 --md` — every scale-critical",
+        "path (r6-r9 verdicts), at 100x the sf0.1 tables (500k docs /",
+        "200k vectors / 1.5M customers / 10M events / 15M orders;",
+        "key-shifted copies as above).  us/row flat-or-falling vs sf0.1",
+        "= no hidden super-linear term (quadratic pair volume,",
+        "driver-bounded collect, per-file driver loops) survives two",
+        "decades of growth.  r9 adds the WRITE paths — quadkey-",
+        "partitioned GeoParquet with per-file bbox footers (~4 files at",
+        "sf0.1 -> ~400 at 100x, so the per-file footer stamp + driver",
+        "rename/sweep loop scale in FILE count) and the manifest footer",
+        "sweep — plus the iterative-shuffle graph operators on an",
+        "orders-derived graph whose node count scales with the table",
+        "(constant expected degree ~10).",
         "",
         "| query | sf0.1 sec | sf100x sec | sf0.1 us/row | sf100x us/row |",
         "|---|---|---|---|---|",

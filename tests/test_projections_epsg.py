@@ -93,6 +93,14 @@ def test_krovak_worked_example():
     (26945, (-120.0, -116.0), (32.5, 35.5)),  # NAD83 / California 5
     (32137, (-103.0, -100.0), (34.0, 36.5)),  # NAD83 / Texas North
     (26949, (-113.0, -110.5), (31.0, 37.0)),  # NAD83 / Arizona Central
+    # round-9 tranche
+    (2039, (34.2, 35.9), (29.4, 33.4)),       # Israel 1993 / Israeli TM
+    (3008, (12.0, 15.0), (55.0, 69.0)),       # SWEREF99 13 30
+    (3301, (21.5, 28.2), (57.5, 59.7)),       # Estonian CS 1997
+    (3812, (2.5, 6.4), (49.5, 51.5)),         # ETRS89 / Belgian Lambert 2008
+    (3059, (20.9, 28.3), (55.6, 58.1)),       # LKS-92 / Latvia TM
+    (7845, (112.0, 154.0), (-44.0, -10.0)),   # GDA2020 / GA LCC
+    (4095, (10.5, 13.0), (54.5, 57.8)),       # ETRS89 / DKTM3
 ])
 def test_roundtrip_new_codes(code, lon_range, lat_range):
     rng = np.random.default_rng(code)
@@ -133,6 +141,55 @@ def test_round8_series_coarse_anchors():
     lon = np.linspace(145.0, 149.0, 50)
     lat = np.linspace(-42.0, -34.0, 50)
     assert np.array_equal(np.c_[f94(lon, lat)], np.c_[f20(lon, lat)])
+
+
+def test_round9_series_coarse_anchors():
+    """Coarse known-point anchors for the r9 tranche (±2 km) — same
+    rationale as the r8 test: loose enough to need no authority beyond
+    well-known city grid references, tight enough that a wrong central
+    meridian, false origin, hemisphere, or MISSING DATUM SHIFT (the ITM
+    case: Israel 1993 is ~90 m off WGS84) is caught."""
+    # Dome of the Rock, Jerusalem (35.2354E, 31.7780N): the classic
+    # Israeli TM Grid reference ~ E 222,286 / N 631,556
+    fwd = C.get_transformer("EPSG:4326", "EPSG:2039")
+    x, y = fwd(np.array([35.2354]), np.array([31.7780]))
+    assert abs(float(x[0]) - 222_286) < 2000
+    assert abs(float(y[0]) - 631_556) < 2000
+    # Malmo (13.0038E, 55.6050N) in SWEREF99 13 30: ~31 km west of the
+    # 13.5-deg CM at FE 150 km; meridian arc ~6,165 km
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3008")
+    x, y = fwd(np.array([13.0038]), np.array([55.6050]))
+    assert abs(float(x[0]) - 118_700) < 2000
+    assert abs(float(y[0]) - 6_164_700) < 2000
+    # Tallinn (24.7536E, 59.4370N) in Estonian CS 1997
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3301")
+    x, y = fwd(np.array([24.7536]), np.array([59.4370]))
+    assert abs(float(x[0]) - 542_700) < 2000
+    assert abs(float(y[0]) - 6_589_100) < 2000
+    # Brussels Grand Place (4.3525E, 50.8467N) in Belgian Lambert 2008:
+    # published ~ E 648,868 / N 670,690
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3812")
+    x, y = fwd(np.array([4.3525]), np.array([50.8467]))
+    assert abs(float(x[0]) - 648_868) < 2000
+    assert abs(float(y[0]) - 670_690) < 2000
+    # Riga (24.1052E, 56.9496N) in LKS-92: near FE 500 km (CM 24E),
+    # meridian arc ~6,311.8 km + FN -6,000 km
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3059")
+    x, y = fwd(np.array([24.1052]), np.array([56.9496]))
+    assert abs(float(x[0]) - 506_400) < 2000
+    assert abs(float(y[0]) - 311_800) < 2000
+    # GDA2020 / GA LCC shares the GDA94 / GA Lambert recipe exactly
+    f94 = C.get_transformer("EPSG:4326", "EPSG:3112")
+    f20 = C.get_transformer("EPSG:4326", "EPSG:7845")
+    lon = np.linspace(114.0, 152.0, 50)
+    lat = np.linspace(-42.0, -12.0, 50)
+    assert np.array_equal(np.c_[f94(lon, lat)], np.c_[f20(lon, lat)])
+    # Copenhagen (12.5683E, 55.6761N) in DKTM3: 0.818 deg east of the
+    # 11.75 CM at FE 600 km; arc ~6,172.6 km + FN -5,000 km
+    fwd = C.get_transformer("EPSG:4326", "EPSG:4095")
+    x, y = fwd(np.array([12.5683]), np.array([55.6761]))
+    assert abs(float(x[0]) - 651_400) < 2000
+    assert abs(float(y[0]) - 1_172_700) < 2000
 
 
 @pytest.mark.parametrize("code,lat1,lat2,lon0", [
