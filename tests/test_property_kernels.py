@@ -256,3 +256,118 @@ def test_with_hilbert_key_preserves_conflicting_columns(spark):
     row = out.first()
     assert row["__hb_x"] == "keepme"
     assert row["k"] is not None
+
+
+# --- r9: boundary properties for the r8 scale caps ---------------------------
+
+def _pair_components(pairs, all_ids):
+    """Union-find components over (id_a, id_b) rows -> frozenset of
+    frozensets (singletons included)."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    comps = {}
+    for i in all_ids:
+        comps.setdefault(find(i), set()).add(i)
+    return frozenset(frozenset(c) for c in comps.values())
+
+
+def test_simhash_cap_components_equal_literal_across_seeds(spark):
+    """Seeded adversarial-corpus property (r8 verdict #6): connected
+    components of the CAPPED candidate-pair graph must equal the
+    literal max_bucket_size=None graph's components — the guarantee the
+    signature-granular hot path (hamming-0 chains + min-id
+    representative pairs) claims.  Corpora mix identical boilerplate
+    masses (hot buckets), perturbed near-dups (cross-signature edges
+    inside hot buckets — the r8-review recall-collapse shape), and
+    diverse fillers, with ids assigned in an interleaved order so
+    same-signature members are never id-adjacent."""
+    import random
+
+    from geoparquet_io_spark.operators.dedup import simhash_candidate_pairs
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        texts = []
+        for t in range(rng.randint(2, 4)):           # boilerplate masses
+            base = f"mass {t} boilerplate body " + "lorem ipsum " * 4
+            for _ in range(rng.randint(8, 20)):
+                texts.append(base)
+            for _ in range(rng.randint(2, 5)):       # near-dup perturbations
+                texts.append(base + " tail" + str(rng.randint(0, 1)))
+        for i in range(rng.randint(20, 40)):         # diverse fillers
+            texts.append(f"filler {seed}-{i} " + " ".join(
+                str(rng.randint(0, 999)) for _ in range(8)))
+        rng.shuffle(texts)
+        # interleaved, gappy ids: chain order never matches mass order
+        rows = [(i * 37 + (i % 3) * 1000, s) for i, s in enumerate(texts)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        ids = [r[0] for r in rows]
+        literal = simhash_candidate_pairs(
+            df, "doc_id", max_bucket_size=None).collect()
+        capped = simhash_candidate_pairs(
+            df, "doc_id", max_bucket_size=4).collect()
+        assert _pair_components(capped, ids) == \
+            _pair_components(literal, ids), f"seed {seed}"
+        # and the capped pair count is never above the literal one
+        assert len(capped) <= len(literal)
+
+
+def test_simhash_default_cap_exact_boundary_512_513(spark):
+    """The default max_bucket_size=512 at its literal boundary: a
+    512-member identical mass stays on the small-bucket all-pairs path
+    (m(m-1)/2 pairs), 513 flips to the hot path (m-1 chain edges) —
+    off-by-one here either reopens the quadratic or drops a bucket."""
+    from geoparquet_io_spark.operators.dedup import simhash_candidate_pairs
+
+    text = "identical boilerplate mass body text for the cap boundary"
+    at_cap = spark.createDataFrame(
+        [(i, text) for i in range(512)], ["doc_id", "text"])
+    assert simhash_candidate_pairs(at_cap, "doc_id").count() \
+        == 512 * 511 // 2
+    past_cap = spark.createDataFrame(
+        [(i, text) for i in range(513)], ["doc_id", "text"])
+    assert simhash_candidate_pairs(past_cap, "doc_id").count() == 512
+
+
+def test_brute_topk_invariant_to_score_cells(spark):
+    """The r8 chunking knob must be a pure performance parameter: for a
+    fixed corpus the emitted top-k is IDENTICAL at every score_cells
+    value — including the 64-row floor, an off-boundary prime, a value
+    that makes chunks exactly divide the partition, and the default.
+    Quantized embeddings (round_digits=1) put ties on every chunk
+    boundary, the adversarial case for the running-threshold prune."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators import similarity as S
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 240, 3, 4
+    vecs = rng.integers(-2, 3, size=(n, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>").repartition(2)
+    q = df.filter(F.col("vec_id") % 31 == 0)
+    n_q = q.count()
+    results = []
+    # 64 = floor; 101 = prime (ragged chunks); n_q*120 = chunks divide
+    # the 120-row partitions exactly; default = one chunk per task
+    for cells in (64, 101, n_q * 120, S._SCORE_CELLS):
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in S.brute_force_topk(df, q, k=k, round_digits=1,
+                                        dim=dim,
+                                        score_cells=cells).collect())
+        results.append((cells, got))
+    base = results[0][1]
+    assert len(base) == n_q * k
+    for cells, got in results[1:]:
+        assert got == base, f"score_cells={cells} diverged"
