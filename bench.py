@@ -398,7 +398,10 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
         for name in names:
             s = samples[name]
             r0 = _ratio(s)
-            if r0 is None or r0 <= rerun_at:
+            if r0 is None or r0 <= rerun_at or rounds >= min_rounds:
+                # rounds >= min_rounds: every query already has that
+                # many samples — recording it as "reran" would claim a
+                # re-measurement that never happened
                 continue
             reran.append(name)
             for r in range(rounds, min_rounds):

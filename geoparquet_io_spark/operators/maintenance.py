@@ -261,9 +261,22 @@ def snapshot_history(path: str) -> list[dict]:
     Returned records are deep COPIES of the parse-cache entries — a
     caller mutating a returned record (or one returned through
     rollback_to/compact) must not silently corrupt every subsequent
-    history read in the process (r8 ADVICE; records are small relative
-    to the parse cost the cache exists to amortize)."""
+    history read in the process (r8 ADVICE).  Module-internal readers
+    that never mutate (commit_snapshot's membership derivation, the
+    streaming sink's per-micro-batch chain walk) use
+    :func:`_snapshot_history_shared` instead: records embed the full
+    per-file membership list, so copying every version each micro-batch
+    would re-introduce the O(versions x member-files) per-call cost the
+    parse cache exists to amortize."""
     import copy
+
+    return [copy.deepcopy(r) for r in _snapshot_history_shared(path)]
+
+
+def _snapshot_history_shared(path: str) -> list[dict]:
+    """Cache-backed history read returning SHARED records — read-only
+    by contract; every public surface goes through the copying
+    :func:`snapshot_history` wrapper."""
     import json
 
     out = []
@@ -294,7 +307,7 @@ def snapshot_history(path: str) -> list[dict]:
     # to 7 digits at version 1,000,000 and lexicographic order would put
     # v1000000 before v999999, wedging version allocation forever
     out.sort(key=lambda r: r["version"])
-    return [copy.deepcopy(r) for r in out]
+    return out
 
 
 def commit_snapshot(spark: SparkSession, path: str,
@@ -400,7 +413,7 @@ def commit_snapshot(spark: SparkSession, path: str,
         # and delete state must be honored, or the losing committer
         # would publish a version that silently drops them (lost
         # update / delete resurrection)
-        hist = snapshot_history(path)
+        hist = _snapshot_history_shared(path)
         if epoch_id is not None:
             for h in hist:
                 if h.get("epoch_id") == epoch_id:
@@ -514,7 +527,7 @@ def read_snapshot(spark: SparkSession, path: str,
     from geoparquet_io_spark.geotable import GeoTable
     from geoparquet_io_spark.sources.geoparquet import read_footer_geo
 
-    hist = snapshot_history(path)
+    hist = _snapshot_history_shared(path)
     if not hist:
         raise FileNotFoundError(f"no snapshots under {path!r}")
     by_v = {h["version"]: h for h in hist}
@@ -601,7 +614,7 @@ def delete_where(spark: SparkSession, path: str, condition,
     """
     import uuid
 
-    hist = snapshot_history(path)
+    hist = _snapshot_history_shared(path)
     if not hist:
         raise RuntimeError("delete_where needs a committed snapshot")
     prior = hist[-1]
@@ -666,7 +679,7 @@ def vacuum(path: str, keep_versions: list[int] | None = None,
     0 only when no writer can be active."""
     import time
 
-    hist = snapshot_history(path)
+    hist = _snapshot_history_shared(path)
     if not hist:
         raise RuntimeError("refusing to vacuum: no snapshots committed")
     keep = set(keep_versions) if keep_versions is not None \
@@ -806,7 +819,7 @@ def merge_into(spark: SparkSession, path: str, changes: DataFrame,
 
     from geoparquet_io_spark.operators.merge import merge_upsert
 
-    hist = snapshot_history(path)
+    hist = _snapshot_history_shared(path)
     if not hist:
         raise RuntimeError("merge_into needs a committed snapshot")
     from geoparquet_io_spark.sources.geoparquet import write as _gpq_write

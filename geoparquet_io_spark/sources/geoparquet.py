@@ -263,18 +263,39 @@ def _cast_null_partition_types(df: DataFrame, path: str) -> DataFrame:
                 if col in df.columns
                 and df.schema[col].dataType.simpleString() != ddl]
         if todo:
-            # all-null gate, ONE aggregate job for every recorded column
-            # (was one Spark job per column on every read of such
-            # datasets — r8 ADVICE): count() counts non-nulls only
-            counts = df.agg(*[F.count(F.col(c)).alias(f"__nn{i}")
-                              for i, (c, _) in enumerate(todo)]).first()
-            for i, (col, ddl) in enumerate(todo):
-                # a single non-null value means real data exists and
-                # inference already decided the type
-                if counts[i] == 0:
+            # all-null gate from the DIRECTORY LISTING, no Spark job at
+            # all (r9 review — the r8 one-aggregate version was still a
+            # full-dataset scan on every read once real data existed):
+            # partition-column values come only from dir names, so a
+            # column is all-null iff every `col=` dir is the hive
+            # default.  Early exit the walk once every recorded column
+            # has a real value.
+            cols = {c for c, _ in todo}
+            real = _cols_with_real_dir_values(path, cols)
+            for col, ddl in todo:
+                if col not in real:
                     df = df.withColumn(col, F.col(col).cast(ddl))
         break
     return df
+
+
+def _cols_with_real_dir_values(path: str, cols: set) -> set:
+    """Subset of ``cols`` that have at least one hive dir with a real
+    (non-``__HIVE_DEFAULT_PARTITION__``) value anywhere under ``path``.
+    Walks directories only; returns as soon as every column is found."""
+    found: set = set()
+    for _root, dirs, _files in os.walk(path):
+        dirs[:] = [d for d in dirs
+                   if not d.startswith((".", "_"))]
+        for d in dirs:
+            if "=" not in d:
+                continue
+            c, v = d.split("=", 1)
+            if c in cols and v != "__HIVE_DEFAULT_PARTITION__":
+                found.add(c)
+        if found == cols:
+            break
+    return found
 
 
 # ---------------------------------------------------------------------------

@@ -152,8 +152,8 @@ def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
         prior = None
         if snapshot:
             from geoparquet_io_spark.operators.maintenance import (
+                _snapshot_history_shared,
                 commit_snapshot,
-                snapshot_history,
             )
 
             # replay check BEFORE touching the epoch directory: if this
@@ -162,7 +162,11 @@ def geoparquet_stream_sink_fn(path: str, geo, **write_kwargs):
             # the exact uuid-named files the committed snapshot
             # references — permanently wedging the stream.  Already
             # committed -> the whole sink is a no-op.
-            hist = snapshot_history(path)
+            # shared (uncopied) read: this runs EVERY micro-batch and
+            # only inspects records — copying V versions x F files of
+            # membership per 2-row batch is the hot-path cost the parse
+            # cache exists to avoid (r9 review)
+            hist = _snapshot_history_shared(path)
             if any(h.get("epoch_id") == int(epoch_id) for h in hist):
                 return
             # second guard: a CONCURRENT committer (files=None membership

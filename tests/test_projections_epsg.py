@@ -155,6 +155,19 @@ def test_round9_series_coarse_anchors():
     x, y = fwd(np.array([35.2354]), np.array([31.7780]))
     assert abs(float(x[0]) - 222_286) < 2000
     assert abs(float(y[0]) - 631_556) < 2000
+    # the +/-2 km city anchor cannot see the ~87 m Israel 1993 datum
+    # shift (r9 review) — assert the Helmert chain DIRECTLY: against the
+    # same TM with no datum hop, the full 2039 pipeline must move the
+    # point ~(-73, -48) m (projected effect of dX -48 / dY 55 / dZ 52)
+    raw = P.proj_from_params(dict(
+        family="tm", ellps="GRS80",
+        lat0=31.0 + 44.0 / 60.0 + 3.817 / 3600.0,
+        lon0=35.0 + 12.0 / 60.0 + 16.261 / 3600.0,
+        k0=1.0000067, fe=219529.584, fn=626907.39))[0]
+    xr, yr = raw(np.array([35.2354]), np.array([31.7780]))
+    dx, dy = float(x[0] - xr[0]), float(y[0] - yr[0])
+    assert -110 < dx < -40, dx
+    assert -90 < dy < -20, dy
     # Malmo (13.0038E, 55.6050N) in SWEREF99 13 30: ~31 km west of the
     # 13.5-deg CM at FE 150 km; meridian arc ~6,165 km
     fwd = C.get_transformer("EPSG:4326", "EPSG:3008")
