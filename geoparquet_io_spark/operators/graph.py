@@ -39,7 +39,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # materialize once: every iteration joins e/outdeg and rebuilds pr
     # from nodes — without the checkpoint each iteration replays the
     # edge dedup + node-union shuffles from scratch
+    # NULL endpoints are dropped like triangle_count does: a null node
+    # would inflate n_nodes, emit a spurious null rank row, and its
+    # edges' rank mass would silently vanish anyway (null keys never
+    # match in the join) — r9 review
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
         .distinct().localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))

@@ -47,6 +47,19 @@ RASTER_META_T = T.StructType([
 ])
 
 
+def _guard_reserved(keep, reserved, what: str) -> None:
+    """Kept input columns may not collide with the operator's computed
+    output columns — `out[c] = keep_vals[c]` would silently overwrite
+    the computed pixel coordinates/values with per-file constants and
+    duplicate the schema field (r9 review)."""
+    clash = sorted(set(keep) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{what}: kept input column(s) {clash} collide with the "
+            f"computed output columns {sorted(reserved)}; rename them or "
+            "exclude them via keep_columns")
+
+
 def _select_band(arr, band: int):
     """Band selection that cannot silently lie: asking for band>0 on a
     single-band raster (or past the band count) errors instead of
@@ -125,6 +138,8 @@ def geotiff_to_points(
 
     keep = keep_columns if keep_columns is not None else [
         c for c in df.columns if c != data_column]
+    _guard_reserved(keep, ("col", "row", "x", "y", "value"),
+                    "geotiff_to_points")
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep]
         + [T.StructField("col", T.IntegerType()),
@@ -181,12 +196,18 @@ def rasterize_points(
     scale: tuple[float, float],
     epsg: int | None = None,
     agg: str = "mean",
+    nodata: float = 0.0,
 ) -> bytes:
     """Driver-side helper: grid-aggregate a COLLECTED point sample
     (pandas DataFrame with x/y/value) into a float32 GeoTIFF via the
     pure-python writer.  For full-table rasterization, first reduce with
     a distributed groupBy on (floor((x-ox)/pw), floor((oy-y)/ph)) and
-    collect only the (already tiny) cell aggregates."""
+    collect only the (already tiny) cell aggregates.
+
+    ``nodata``: value written to cells with NO points (default 0.0 —
+    note this makes an empty cell indistinguishable from an aggregate
+    of exactly 0; pass ``float('nan')`` to keep them apart, float32
+    GeoTIFF carries NaN fine)."""
     from geoparquet_io_spark.functions.tiff import build_geotiff
 
     ox, oy = origin
@@ -213,7 +234,9 @@ def rasterize_points(
         grid = cnt.astype("f8")
     else:
         raise ValueError(f"unknown agg {agg!r}")
-    return build_geotiff(np.nan_to_num(grid, nan=0.0).astype("f4"),
+    if not np.isnan(nodata):
+        grid = np.nan_to_num(grid, nan=nodata)
+    return build_geotiff(grid.astype("f4"),
                          epsg=epsg, origin=origin, scale=scale)
 
 
@@ -245,12 +268,33 @@ def sample_raster_at_points(
 
     from geoparquet_io_spark.functions.tiff import decode_tiff, geotiff_info
 
+    # output columns are APPENDED — a pre-existing column of either name
+    # silently overwrote the caller's data (value) or broke the groupBy
+    # (raster_id) with an ambiguous-column error deep in the plan
+    clash = [c for c in (raster_id_column, value_column)
+             if c in points.columns]
+    if clash:
+        raise ValueError(
+            f"points already has column(s) {clash}; pass different "
+            "raster_id_column/value_column names")
+
+    def _extent(rid, buf):
+        # explicit errors NAMING the raster: a None origin otherwise
+        # surfaced as 'NoneType + float' deep in an RDD stack trace
+        if buf is None:
+            raise ValueError(f"raster {rid!r}: NULL {data_column} payload")
+        info = geotiff_info(bytes(buf))
+        if info.origin_x is None:
+            raise ValueError(
+                f"raster {rid!r}: GeoTIFF lacks georeferencing "
+                "(no tiepoint/scale)")
+        return (rid, info.origin_x, info.origin_y,
+                info.origin_x + info.width * info.pixel_w,
+                info.origin_y - info.height * info.pixel_h)
+
     # tile extents: names + 4 doubles per FILE (manifest cardinality)
     ext_rows = rasters.select(raster_id_column, data_column).rdd.map(
-        lambda r: (r[0], geotiff_info(bytes(r[1])))).map(
-        lambda t: (t[0], t[1].origin_x, t[1].origin_y,
-                   t[1].origin_x + t[1].width * t[1].pixel_w,
-                   t[1].origin_y - t[1].height * t[1].pixel_h)).collect()
+        lambda r: _extent(r[0], r[1])).collect()
     spark = points.sparkSession
     # explicit schema: an EMPTY rasters table must yield all-NULL values
     # per the uncovered-point contract, not an infer-schema error
@@ -283,13 +327,16 @@ def sample_raster_at_points(
         return False
 
     overlapping = _extents_overlap(ext_rows)
-    # localCheckpoint pins the assigned ids: monotonically_increasing_id
-    # is NOT stable across recomputation, so a task retry between the id
-    # stamp and the window shuffle could regroup rows (dup/drop points).
-    # A data-derived hash can't serve as the key either — duplicate
-    # point rows would collapse into one window partition.
+    # EAGER localCheckpoint pins the assigned ids: monotonically_
+    # increasing_id is NOT stable across recomputation, so a task retry
+    # between the id stamp and the window shuffle could regroup rows
+    # (dup/drop points); a lazy checkpoint only caches on FIRST
+    # computation and leaves that race open (same fix as
+    # dedup.minhash_bands, r9 review).  A data-derived hash can't serve
+    # as the key either — duplicate point rows would collapse into one
+    # window partition.
     src = (points.withColumn("__pt", F.monotonically_increasing_id())
-           .localCheckpoint(eager=False)) if overlapping else points
+           .localCheckpoint(eager=True)) if overlapping else points
 
     px, py = F.col(x_column), F.col(y_column)
     assigned = src.join(
@@ -387,6 +434,7 @@ def rasterize_polygons(
     pw, ph = scale
     keep = keep_columns if keep_columns is not None else [
         c for c in df.columns if c != geometry_column]
+    _guard_reserved(keep, ("col", "row", "x", "y"), "rasterize_polygons")
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep]
         + [T.StructField("col", T.IntegerType()),

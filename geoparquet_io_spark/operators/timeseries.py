@@ -39,6 +39,11 @@ def _epoch_sec(ts_col):
 
 def _bucket_sec(ts_col, every_seconds: int):
     """Epoch-second bucket start (integer arithmetic, oracle-exact)."""
+    if every_seconds < 1:
+        # pmod(e, 0) is NULL in Spark: every row would silently collapse
+        # into one null bucket (and gapfill's sequence over null lo/hi
+        # explodes to ZERO rows) — r9 review
+        raise ValueError(f"every_seconds must be >= 1, got {every_seconds}")
     e = _epoch_sec(ts_col)
     return e - F.pmod(e, F.lit(every_seconds))
 
@@ -140,6 +145,8 @@ def ewma(df: DataFrame, key_column: str, ts_column: str, value_column: str,
     0.125...) and the recurrence is bit-identical to an engine-side
     recursive evaluation: each step is two exact products and one add of
     the same IEEE operands.  Result is rounded for cross-engine compare.
+    NULL values are skipped by the recurrence (the next non-null
+    continues from the previous non-null state) and emit NULL.
 
     Returns key, rn (1-based order), ewma."""
     import pandas as pd
@@ -150,10 +157,19 @@ def ewma(df: DataFrame, key_column: str, ts_column: str, value_column: str,
     cols = [key_column, ts_column, value_column] + tiebreak
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([ts_column] + tiebreak, kind="mergesort")
         # no pandas-side rounding: numpy rounds HALF_EVEN while Spark's
-        # ROUND is HALF_UP (matching DuckDB) — round in Spark below
-        s = pdf[value_column].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        # ROUND is HALF_UP (matching DuckDB) — round in Spark below.
+        # NULL values: the recurrence SKIPS them (ignore_na=True applies
+        # s=(1-a)s+a*x over non-null x only) and the null row itself
+        # emits null — pandas' default instead presented the carried
+        # previous mean as a real value AND re-weighted across the gap,
+        # breaking the documented recurrence (r9 review)
+        vals = pdf[value_column].astype("float64")
+        s = vals.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        s = s.where(~vals.isna(), np.nan)
         return pd.DataFrame({
             key_column: pdf[key_column].values,
             "rn": range(1, len(pdf) + 1),
@@ -198,8 +214,16 @@ def trip_segments(df: DataFrame, key_column: str, ts_column: str,
 
     Both windows share the (key) partitioning — one shuffle.  Step
     distances are rounded to integer metres and summed as BIGINT so the
-    per-trip total is order-independent (sum of doubles is not)."""
+    per-trip total is order-independent (sum of doubles is not).
+
+    Rows with a NULL coordinate are DROPPED first (a GPS fix with no
+    position): both legs touching such a row would otherwise be null
+    and F.sum would silently omit them, under-reporting every affected
+    trip's distance while still counting the point (r9 review) — with
+    the row gone, the adjacent real fixes bridge directly."""
     tiebreak = [order_tiebreak] if order_tiebreak else []
+    df = df.filter(F.col(lon_column).isNotNull()
+                   & F.col(lat_column).isNotNull())
     w = Window.partitionBy(key_column).orderBy(ts_column, *tiebreak)
     ts_sec = _epoch_sec(F.col(ts_column))
     prev_ts = F.lag(ts_sec).over(w)
@@ -245,6 +269,13 @@ def population_stability(df_a: DataFrame, df_b: DataFrame, column: str,
 
     Two scans, two tiny aggregates, one bin-aligned outer merge — no
     per-row join."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        # width 0 -> division by zero -> null bins -> greatest/least
+        # clamp every row into bin 0 and PSI silently reports ~0
+        # regardless of drift (r9 review)
+        raise ValueError(f"hi must be > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
 
     def binned(df, name):

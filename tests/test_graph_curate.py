@@ -371,3 +371,21 @@ def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"]) \
         .filter(F.lit(False))
     assert pagerank(edges).count() == 0  # empty result, not ZeroDivisionError
+
+
+def test_pagerank_drops_null_endpoint_edges(spark):
+    """NULL src/dst edges are excluded like triangle_count does: they
+    inflated n_nodes, emitted a spurious null rank row, and their rank
+    mass silently vanished in the joins anyway (r9 review)."""
+    from geoparquet_io_spark.operators.graph import pagerank
+
+    dirty = spark.createDataFrame(
+        [(None, "b"), ("a", "b"), ("b", None), ("b", "a")],
+        "src string, dst string")
+    clean = dirty.filter("src IS NOT NULL AND dst IS NOT NULL")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(dirty, iterations=3).collect()}
+    want = {r["node"]: r["pagerank"]
+            for r in pagerank(clean, iterations=3).collect()}
+    assert got == want
+    assert None not in got and set(got) == {"a", "b"}

@@ -250,3 +250,67 @@ def test_sample_raster_at_points_overlapping_tiles(spark):
     assert got[2] == ("A", 7.0)
     assert got[3] == ("B", 9.0)
     assert got[4][0] is None
+
+
+def test_raster_reserved_column_and_error_guards(spark):
+    """r9 review fixes: kept input columns colliding with computed
+    output columns raise upfront (they silently overwrote pixel
+    coordinates); sample_raster_at_points rejects pre-existing
+    value/raster_id columns and names the offending raster on a
+    georeferencing error."""
+    import numpy as np
+    import pytest
+
+    from geoparquet_io_spark.operators.raster import (
+        geotiff_to_points, rasterize_polygons, sample_raster_at_points)
+
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    t = write_tiff_ref(a, geo=dict(epsg=32633, origin=(0.0, 30.0),
+                                   scale=(10.0, 10.0)))
+    df = spark.createDataFrame([("f1", 7.0, bytearray(t))],
+                               ["rid", "x", "data"])
+    with pytest.raises(ValueError, match="collide"):
+        geotiff_to_points(df, keep_columns=["rid", "x"])
+    # default keep (everything but data) collides via 'x' too
+    with pytest.raises(ValueError, match="collide"):
+        geotiff_to_points(df)
+    with pytest.raises(ValueError, match="collide"):
+        rasterize_polygons(
+            spark.createDataFrame([("g", b"")], ["row", "geometry"]),
+            width=4, height=3, origin=(0.0, 30.0), scale=(10.0, 10.0))
+    pts = spark.createDataFrame([(1, 5.0, 25.0, 9.9)],
+                                ["pid", "x", "y", "value"])
+    rasters = spark.createDataFrame([("A", bytearray(t))],
+                                    ["raster_id", "data"])
+    with pytest.raises(ValueError, match="value"):
+        sample_raster_at_points(pts, rasters)
+    # ungeoreferenced tile: error NAMES the raster id
+    bare = write_tiff_ref(a)   # no geo kwargs -> no tiepoint/scale
+    bad = spark.createDataFrame([("broken", bytearray(bare))],
+                                ["raster_id", "data"])
+    good_pts = spark.createDataFrame([(1, 5.0, 25.0)], ["pid", "x", "y"])
+    with pytest.raises(Exception, match="broken"):
+        sample_raster_at_points(good_pts, bad)
+
+
+def test_rasterize_points_nodata_nan_distinguishes_empty_cells():
+    """nodata=NaN keeps no-observation cells apart from genuine 0.0
+    aggregates (default 0.0 preserved for compatibility) — r9 review."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from geoparquet_io_spark.functions.tiff import decode_tiff
+    from geoparquet_io_spark.operators.raster import rasterize_points
+
+    pts = pd.DataFrame({"x": [5.0], "y": [25.0], "value": [0.0]})
+    buf = rasterize_points(pts, width=2, height=1, origin=(0.0, 30.0),
+                           scale=(10.0, 10.0), nodata=float("nan"))
+    arr = np.asarray(decode_tiff(buf), dtype="f8").reshape(1, 2)
+    assert arr[0, 0] == 0.0            # observed aggregate of exactly 0
+    assert math.isnan(arr[0, 1])       # no observations -> NaN, not 0
+    buf0 = rasterize_points(pts, width=2, height=1, origin=(0.0, 30.0),
+                            scale=(10.0, 10.0))
+    arr0 = np.asarray(decode_tiff(buf0), dtype="f8").reshape(1, 2)
+    assert arr0[0, 1] == 0.0           # default unchanged

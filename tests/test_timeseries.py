@@ -313,3 +313,53 @@ def test_kmv_overlap_empty_sketches_zero(spark):
     row = kmv_overlap_estimate(sa, sb).first()
     assert (row["union_distinct_est"], row["intersect_est"],
             row["jaccard_micro"]) == (0, 0, 0)
+
+
+def test_r9_validation_and_null_semantics(spark):
+    """r9 review fixes: zero-width buckets and degenerate PSI ranges
+    raise instead of silently collapsing; ewma skips nulls per the
+    documented recurrence; trip distance bridges across null fixes."""
+    import pytest
+    from geoparquet_io_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="every_seconds"):
+        resample(df, "ts", "v", every_seconds=0)
+    with pytest.raises(ValueError, match="every_seconds"):
+        resample_gapfill(df, "ts", "v", every_seconds=0, key_column="k")
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        population_stability(df, df, "v", lo=5.0, hi=5.0, n_bins=10)
+    with pytest.raises(ValueError, match="n_bins"):
+        population_stability(df, df, "v", lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_ewma_null_rows_skip_recurrence(spark):
+    """NULL value: emits NULL and the recurrence continues from the
+    previous non-null state — [1, NULL, 3] at alpha .5 is [1, NULL, 2],
+    not the carried-and-reweighted 2.333 pandas default (r9 review)."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0, 0), (1, _ts(1), None, 1), (1, _ts(2), 3.0, 2)],
+        "k long, ts timestamp, v double, i long")
+    out = {r.rn: r.ewma for r in
+           ewma(df, "k", "ts", "v", alpha=0.5, order_tiebreak="i").collect()}
+    assert out[1] == 1.0
+    assert out[2] is None
+    assert out[3] == 2.0
+
+
+def test_trip_segments_null_coordinate_bridges(spark):
+    """A fix with NULL lon/lat is dropped and the adjacent real fixes
+    bridge: the trip's distance must equal the 2-point direct leg, not
+    silently omit both legs around the null (r9 review)."""
+    rows = [(1, _ts(0, 0), 0.0, 0.0),
+            (1, _ts(0, 1), None, None),
+            (1, _ts(0, 2), 1.0, 0.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, lon double, lat double")
+    got = trip_segments(df, "k", "ts", "lon", "lat",
+                        gap_seconds=3600).collect()
+    assert len(got) == 1
+    t = got[0]
+    assert t["n_points"] == 2
+    # 1 degree of longitude on the equator ~ 111.19 km
+    assert abs(t["distance_m"] - 111_195) < 500
