@@ -30,14 +30,23 @@ def as_double_array(col: Column, dim: int | None = None,
     """Cast to array<double>; with ``dim`` given, a LOUD error on any
     row whose vector length differs.  zip_with silently NULL-pads
     mismatched lengths, which cascaded to silently-empty IVF results
-    and single-bucket LSH instead of an error."""
+    and single-bucket LSH instead of an error.
+
+    A NULL vector passes through as NULL — one missing embedding must
+    not kill the job (the cosine()/kernel paths already treat NULL as
+    "no result", and before this guard ``F.size(NULL)`` made the when
+    condition NULL, routing NULL rows into raise_error with a NULL
+    message).  Only a PRESENT vector of the wrong length raises."""
     arr = F.transform(col, lambda v: v.cast("double"))
     if dim is None:
         return arr
-    return F.when(F.size(arr) == dim, arr).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"{where}: vector length "), F.size(arr).cast("string"),
-            F.lit(f" != dim={dim}"))).cast("array<double>"))
+    return (
+        F.when(col.isNull(), F.lit(None).cast("array<double>"))
+        .when(F.size(arr) == dim, arr)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{where}: vector length "),
+            F.coalesce(F.size(arr).cast("string"), F.lit("NULL")),
+            F.lit(f" != dim={dim}"))).cast("array<double>")))
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -94,9 +103,6 @@ def brute_force_topk(
     n * |q| scored pairs — the r6 bench's slowest-amortizing headline
     op was exactly that unbounded shuffle + per-pair interpreted HOF.
     """
-    import numpy as np
-    import pyarrow as pa
-
     qid = query_id_column or id_column
     exclude_self = query_id_column is None
     q_rows = (
@@ -111,7 +117,8 @@ def brute_force_topk(
     if len(q_rows) > MAX_BRUTE_QUERIES:
         raise ValueError(
             f"brute_force_topk: query set exceeds {MAX_BRUTE_QUERIES} rows; "
-            "use lsh_topk or the IVF index for large query sets")
+            "use lsh_topk(broadcast_queries=False) or the IVF paths "
+            "(same flag) for large query sets")
     q_ids: list = []
     q_vecs: list = []
     for r in q_rows:
@@ -557,11 +564,20 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     round_digits: int | None = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     At scale the bucket column becomes the shuffle/partition key; each
     bucket's cross product is tiny (2^n_planes buckets).
+
+    ``broadcast_queries=True`` (default) hints the query side into the
+    build side of a broadcast join — right for the common small-query
+    case (the data side never shuffles).  For query sets too large to
+    broadcast (this is the escape path brute_force_topk's size error
+    points at), pass ``False``: the join becomes a plain shuffle
+    equi-join on ``bucket`` and AQE still picks broadcast at runtime
+    when the query side turns out small.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     d = data.select(
@@ -578,7 +594,7 @@ def lsh_topk(
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
-        d.join(F.broadcast(q), "bucket")
+        d.join(F.broadcast(q) if broadcast_queries else q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
@@ -657,7 +673,7 @@ def ivf_assign(df: DataFrame, dim: int, n_centroids: int = 16,
     the partition key — `df.write.partitionBy(list_column)` gives physical
     locality so a probe reads only nprobe/n_centroids of the data."""
     cents = ivf_centroids(dim, n_centroids, seed)
-    v = as_double_array(F.col(vector_column))
+    v = as_double_array(F.col(vector_column), dim, "ivf_assign")
     return df.withColumn(list_column, _nearest_centroid(v, cents))
 
 
@@ -672,19 +688,34 @@ def ivf_topk(
     vector_column: str = "embedding",
     seed: int = 7,
     round_digits: int | None = 6,
+    centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: each query probes its ``nprobe`` nearest inverted
     lists; candidates meet only inside probed lists (bucket equi-join —
-    the cross product never materializes)."""
-    cents = ivf_centroids(dim, n_centroids, seed)
+    the cross product never materializes).
+
+    ``centroids`` overrides the deterministic LCG grid (this is how
+    :func:`ivf_topk_trained` shares this body — ONE copy of the
+    probe/score/window logic, so a tie-break or gate fix lands in both
+    paths).  Vector lengths are enforced on BOTH sides: a ragged data
+    vector previously NULL-ed every centroid distance and silently
+    vanished from the equi-join; a ragged query returned NULL-cosine
+    garbage from arbitrary lists.  ``broadcast_queries=False`` switches
+    to a shuffle equi-join for query sets too large to broadcast (see
+    :func:`lsh_topk`)."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_centroids, seed)
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "ivf_topk data")
+        .alias("__dv"),
     )
     d = d.withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
     q = queries.select(
         F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+        as_double_array(F.col(vector_column), dim, "ivf_topk queries")
+        .alias("__qv"),
     )
     # nprobe nearest lists per query: rank centroid distances natively
     dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
@@ -696,7 +727,7 @@ def ivf_topk(
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
-        d.join(F.broadcast(q), "ivf_list")
+        d.join(F.broadcast(q) if broadcast_queries else q, "ivf_list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
@@ -813,8 +844,11 @@ def kmeans_fit_distributed(
             "longer one silently drops clusters from the updates")
     cents = [[round(float(x), round_digits) for x in c]
              for c in (init or ivf_centroids(dim, n_centroids, seed))]
+    # NULL vectors contribute nothing to a mean — filtered, not crashed
     src = df.select(F.lit(0).alias("id"),
-                    as_double_array(F.col(vector_column)).alias("v"))
+                    as_double_array(F.col(vector_column), dim,
+                                    "kmeans_fit_distributed").alias("v")) \
+        .filter(F.col("v").isNotNull())
     for _ in range(iterations):
         assigned = _assign_clusters_arrow(src, cents)
         aggs = [F.count("*").alias("__cnt")] + [
@@ -846,7 +880,9 @@ def kmeans_model_table(
     cents = kmeans_fit_distributed(df, dim, n_centroids, iterations,
                                    vector_column, seed, round_digits)
     src = df.select(F.lit(0).alias("id"),
-                    as_double_array(F.col(vector_column)).alias("v"))
+                    as_double_array(F.col(vector_column), dim,
+                                    "kmeans_model_table").alias("v")) \
+        .filter(F.col("v").isNotNull())
     sizes = {int(r["cluster"]): r["cnt"]
              for r in _assign_clusters_arrow(src, cents)
              .groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
@@ -869,38 +905,21 @@ def ivf_topk_trained(
     vector_column: str = "embedding",
     round_digits: int | None = 6,
     centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ivf_topk with k-means-trained centroids (trains on ``data`` when
-    ``centroids`` not given)."""
+    ``centroids`` not given).  Delegates to :func:`ivf_topk` — the two
+    paths previously carried duplicate probe/score/window bodies that
+    had already drifted (only this one enforced data-side dim)."""
     if centroids is not None and not centroids:
         raise ValueError("centroids is empty — an invalid model; pass "
                          "None to train on the data")
     cents = (centroids if centroids is not None
              else ivf_train_centroids(data, dim, n_centroids, vector_column))
-    d = data.select(
-        F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column), dim, "ivf data")
-        .alias("__dv"),
-    ).withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
-    q = queries.select(
-        F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
-    )
-    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
-    probed = F.slice(F.array_sort(pairs), 1, nprobe)
-    q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
-    sim = cosine(F.col("__qv"), F.col("__dv"), dim)
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = (
-        d.join(F.broadcast(q), "ivf_list")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return ivf_topk(data, queries, dim, k=k, nprobe=nprobe,
+                    id_column=id_column, vector_column=vector_column,
+                    round_digits=round_digits, centroids=cents,
+                    broadcast_queries=broadcast_queries)
 
 
 # --- PQ (product quantization) ----------------------------------------------
@@ -927,7 +946,7 @@ def pq_encode(df: DataFrame, dim: int, m: int = 4, n_codes: int = 8,
     is a single scan writing a narrow codes column."""
     cbs = codebooks or pq_codebooks(dim, m, n_codes, seed)
     sub = dim // m
-    v = as_double_array(F.col(vector_column))
+    v = as_double_array(F.col(vector_column), dim, "pq_encode")
     codes = F.array(*[
         _nearest_centroid(F.slice(v, j * sub + 1, sub), cbs[j]) for j in range(m)
     ])
@@ -988,16 +1007,22 @@ def pq_topk_adc(data: DataFrame, queries: DataFrame, dim: int, m: int = 4,
     sub = dim // m
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "pq_topk_adc data")
+        .alias("__dv"),
     )
     codes = F.array(*[
         _nearest_centroid(F.slice(F.col("__dv"), j * sub + 1, sub), cbs[j])
         for j in range(m)
     ])
     d = d.select("neighbor_id", codes.alias("codes"))
+    # the crossJoin REQUIRES the broadcast (a shuffle cartesian is never
+    # right); ADC's query side is LUTs-only and small by contract — for
+    # huge query sets compose IVF first (ivf_pq_topk) so the join is an
+    # equi-join on the probed list instead of a cross product
     q = queries.select(
         F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+        as_double_array(F.col(vector_column), dim, "pq_topk_adc queries")
+        .alias("__qv"),
     )
     lut = F.array(*[
         F.array(*[
@@ -1029,7 +1054,8 @@ def ivf_pq_topk(data: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                 vector_column: str = "embedding", seed: int = 7,
                 pq_seed: int = 11, round_digits: int | None = 6,
                 centroids: list[list[float]] | None = None,
-                codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+                codebooks: list[list[list[float]]] | None = None,
+                broadcast_queries: bool = True) -> DataFrame:
     """IVF-PQ: the billion-vector ANN shape (Jegou et al. 2011) — each
     query probes its ``nprobe`` nearest inverted lists and ranks ONLY
     those lists' members, by ADC over PQ codes instead of full vectors.
@@ -1049,7 +1075,8 @@ def ivf_pq_topk(data: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     sub = dim // m
     d = data.select(
         F.col(id_column).alias("neighbor_id"),
-        as_double_array(F.col(vector_column)).alias("__dv"),
+        as_double_array(F.col(vector_column), dim, "ivf_pq_topk data")
+        .alias("__dv"),
     )
     codes = F.array(*[
         _nearest_centroid(F.slice(F.col("__dv"), j * sub + 1, sub), cbs[j])
@@ -1060,7 +1087,8 @@ def ivf_pq_topk(data: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                  codes.alias("codes"))
     q = queries.select(
         F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+        as_double_array(F.col(vector_column), dim, "ivf_pq_topk queries")
+        .alias("__qv"),
     )
     dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
@@ -1084,7 +1112,7 @@ def ivf_pq_topk(data: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     if round_digits is not None:
         adc = F.round(adc, round_digits)
     scored = (
-        d.join(F.broadcast(q), "ivf_list")
+        d.join(F.broadcast(q) if broadcast_queries else q, "ivf_list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc_dist"))
     )
@@ -1104,6 +1132,11 @@ def _assign_clusters_arrow(src: DataFrame,
     ``F.aggregate``), products/subtractions are the same float64 ops,
     and ``np.argmin`` takes the FIRST minimum exactly like
     ``array_position(d, array_min(d))``.  Assumes finite embeddings.
+
+    NULL vectors get cluster NULL / n NULL (``np.stack`` over a batch
+    containing ``None`` used to die with an opaque shape error deep in
+    an executor); callers route NULL-cluster rows around the scorers —
+    a row with no embedding can neither lose nor witness.
     """
     import pandas as pd
 
@@ -1126,22 +1159,29 @@ def _assign_clusters_arrow(src: DataFrame,
             m = len(pdf)
             if m == 0:
                 continue
-            V = np.stack(pdf["v"].to_numpy())           # (m, dim) float64
-            D = np.empty((m, len(C)), dtype=np.float64)
-            for k in range(len(C)):
-                acc = np.zeros(m, dtype=np.float64)
+            mask = pdf["v"].notna().to_numpy()
+            cluster = pd.array([None] * m, dtype="Int32")
+            nn = pd.array([None] * m, dtype="Float64")
+            if mask.any():
+                V = np.stack(pdf["v"][mask].to_numpy())  # (mv, dim) float64
+                mv = V.shape[0]
+                D = np.empty((mv, len(C)), dtype=np.float64)
+                for k in range(len(C)):
+                    acc = np.zeros(mv, dtype=np.float64)
+                    for d in range(dim):
+                        t = V[:, d] - C[k, d]
+                        acc += t * t
+                    D[:, k] = acc
+                acc = np.zeros(mv, dtype=np.float64)
                 for d in range(dim):
-                    t = V[:, d] - C[k, d]
-                    acc += t * t
-                D[:, k] = acc
-            acc = np.zeros(m, dtype=np.float64)
-            for d in range(dim):
-                acc += V[:, d] * V[:, d]
+                    acc += V[:, d] * V[:, d]
+                cluster[mask] = np.argmin(D, axis=1).astype("int32")
+                nn[mask] = np.sqrt(acc)
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "v": pdf["v"],
-                "cluster": np.argmin(D, axis=1).astype("int32"),
-                "n": np.sqrt(acc),
+                "cluster": cluster,
+                "n": nn,
             })
 
     return src.mapInPandas(assign, schema)
@@ -1216,8 +1256,13 @@ def _chain_band_pairs(rows: DataFrame, window: int) -> DataFrame:
 
     Input ``rows``: (id, v, n, cluster).  Output: (id_a, id_b) with
     id_a < id_b, rank distance <= window.
+
+    NULLS LAST, matching pandas ``sort_values`` in the all-pairs scorer
+    (Spark's default asc puts NULLs FIRST): a NULL-id row must get the
+    same survivor semantics — it loses to any witness — whichever path
+    its cluster size routes it through.
     """
-    wnd = Window.partitionBy("cluster").orderBy("id")
+    wnd = Window.partitionBy("cluster").orderBy(F.col("id").asc_nulls_last())
     r = rows.withColumn("__rk", F.row_number().over(wnd)) \
         .withColumn("__ck", ((F.col("__rk") - 1) / window).cast("long"))
     # predecessor side advertises itself to its own and the NEXT chunk
@@ -1286,7 +1331,8 @@ def semantic_dedup(
     dim = len(centroids[0])
     src = spread(df).select(
         F.col(id_column).alias("id"),
-        as_double_array(F.col(vector_column)).alias("v"))
+        as_double_array(F.col(vector_column), dim, "semantic_dedup")
+        .alias("v"))
     v = _assign_clusters_arrow(src, centroids)
     # the assigned table feeds the counts split, the scorer, and the
     # final join; without materialization the assignment would run 3x
@@ -1311,7 +1357,13 @@ def _intra_cluster_losers(v: DataFrame, dim: int, threshold: float,
     clusters at or under ``max_cluster_size`` run the Arrow all-pairs
     scorer; larger ones the banded predecessor chain.  Shared by
     :func:`semantic_dedup` and :func:`semantic_dedup_incremental`
-    (NOT distinct — callers dedup as they combine sources)."""
+    (NOT distinct — callers dedup as they combine sources).
+
+    NULL-embedding rows carry cluster NULL from the assign kernel; they
+    can neither lose nor witness, so they are excluded here BEFORE the
+    groupBy (Spark groups NULL keys together — the scorer's np.stack
+    would otherwise see a batch of None vectors)."""
+    v = v.filter(F.col("cluster").isNotNull())
     if max_cluster_size is None:
         return _cluster_losers_arrow(v, threshold)
     counts = v.groupBy("cluster").agg(F.count("*").alias("__cn"))
@@ -1443,12 +1495,14 @@ def semantic_dedup_incremental(
     dim = len(centroids[0])
     new_src = spread(new_df).select(
         F.col(id_column).alias("id"),
-        as_double_array(F.col(vector_column)).alias("v"))
+        as_double_array(F.col(vector_column), dim,
+                        "semantic_dedup_incremental new").alias("v"))
     v_new = _assign_clusters_arrow(new_src, centroids) \
         .localCheckpoint(eager=False)
     idx_src = spread(index_df).select(
         F.col(id_column).alias("id"),
-        as_double_array(F.col(vector_column)).alias("v"))
+        as_double_array(F.col(vector_column), dim,
+                        "semantic_dedup_incremental index").alias("v"))
     v_idx = _assign_clusters_arrow(idx_src, centroids)
 
     # intra-batch losers: identical routing to semantic_dedup
@@ -1461,10 +1515,18 @@ def semantic_dedup_incremental(
     # boilerplate mass collapses to its survivors before the cross
     # check.  max_group sub-blocks both cogroup sides so no task ever
     # materializes a hot cluster whole.
-    survivors = v_new.join(intra, "id", "left_anti")
+    # NULL-embedding rows (cluster NULL from the assign kernel) are
+    # kept unconditionally: they can neither lose nor witness, and the
+    # cross cogroup would group both sides' NULL clusters together
+    survivors = v_new.join(intra, "id", "left_anti") \
+        .filter(F.col("cluster").isNotNull())
+    # no outer .distinct(): intra is already distinct, the cross set is
+    # distinct by construction, and the anti-join makes them disjoint —
+    # the extra full shuffle bought nothing on every daily-ingest run
     losers = intra.unionByName(
-        _cross_losers_arrow(survivors, v_idx, threshold,
-                            max_group=max_cluster_size)).distinct()
+        _cross_losers_arrow(survivors, v_idx.filter(
+            F.col("cluster").isNotNull()), threshold,
+            max_group=max_cluster_size))
     return (
         v_new.join(losers.withColumn("__lost", F.lit(True)), "id", "left")
         .select(
@@ -1555,8 +1617,13 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
             "a local path and upload the directory")
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_centroids, seed)
+    # ragged vectors raise loudly; NULL vectors are unsearchable and
+    # excluded (they would land in __HIVE_DEFAULT_PARTITION__ and never
+    # be probed, silently inflating n_vectors)
     src = df.select(F.col(id_column).alias("id"),
-                    as_double_array(F.col(vector_column)).alias("v"))
+                    as_double_array(F.col(vector_column), dim,
+                                    "build_ivf_index").alias("v")) \
+        .filter(F.col("v").isNotNull())
     assigned = _assign_clusters_arrow(src, cents).select(
         F.col("id").alias("vec_id"), F.col("v").alias("vector"),
         F.col("cluster").alias("ivf_list"))
@@ -1632,7 +1699,8 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
     cents = meta["centroids"]
     q = queries.select(
         F.col(id_column).alias("query_id"),
-        as_double_array(F.col(vector_column)).alias("__qv"),
+        as_double_array(F.col(vector_column), int(meta["dim"]),
+                        "search_ivf_index queries").alias("__qv"),
     )
     # probed-list selection stays in Spark exprs (unchanged semantics:
     # sq-dist fold + (dist, idx) array_sort tie-break); the collect

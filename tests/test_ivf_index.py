@@ -406,3 +406,156 @@ def test_brute_topk_null_element_vector_is_filler(spark):
     assert [r["neighbor_id"] for r in out] == [3, 2]
     assert out[0]["cosine"] is not None       # real neighbor first
     assert out[1]["cosine"] is None           # null-element row: filler
+
+
+def test_null_vector_rows_do_not_kill_dim_checked_paths(spark):
+    """A NULL embedding must pass through as_double_array's dim gate as
+    NULL (r9 review: F.size(NULL) made the when-condition NULL, routing
+    the row into raise_error with a NULL message — one missing embedding
+    killed the whole job in every dim-enforcing path)."""
+    from geoparquet_io_spark.operators.similarity import lsh_topk
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1]), (4, [1.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk(df, df.filter("vec_id = 1"), dim=2, k=3, n_planes=2)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 2 not in got            # NULL row excluded, not crashed
+    assert got                     # and real neighbors still found
+
+
+def test_ivf_topk_ragged_data_vector_raises(spark):
+    """ivf_topk silently DROPPED wrong-length data vectors (NULL-padded
+    zip_with -> NULL centroid distances -> NULL ivf_list -> row vanishes
+    from the equi-join); the dim gate must instead raise loudly on both
+    sides (r9 review)."""
+    import pytest
+    from geoparquet_io_spark.operators.similarity import ivf_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.5]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="vector length"):
+        ivf_topk(df, df.filter("vec_id = 1"), dim=2, k=2,
+                 n_centroids=4).collect()
+    with pytest.raises(Exception, match="vector length"):
+        ivf_topk(df.filter("vec_id != 2"), df, dim=2, k=2,
+                 n_centroids=4).collect()
+
+
+def test_ivf_topk_trained_delegates_to_ivf_topk(spark):
+    """The trained path shares ivf_topk's body (r9 dedup of the drifted
+    copies): explicit centroids through either entry point must agree."""
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, ivf_topk, ivf_topk_trained)
+
+    e = _embeddings(spark).limit(200)
+    q = e.filter(F.col("vec_id") % 61 == 0)
+    cents = ivf_centroids(64, 8, seed=7)
+    a = sorted(tuple(r) for r in
+               ivf_topk(e, q, dim=64, k=3, n_centroids=8, nprobe=3,
+                        seed=7).collect())
+    b = sorted(tuple(r) for r in
+               ivf_topk_trained(e, q, dim=64, k=3, nprobe=3,
+                                centroids=cents).collect())
+    assert a == b and a
+
+
+def test_lsh_topk_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_queries=False (the escape path brute_force_topk's size
+    error points at) must return identical rows via the shuffle
+    equi-join."""
+    from geoparquet_io_spark.operators.similarity import lsh_topk
+
+    e = _embeddings(spark).limit(300)
+    q = e.filter(F.col("vec_id") % 61 == 0)
+    a = sorted(tuple(r) for r in
+               lsh_topk(e, q, dim=64, k=3).collect())
+    b = sorted(tuple(r) for r in
+               lsh_topk(e, q, dim=64, k=3,
+                        broadcast_queries=False).collect())
+    assert a == b and a
+
+
+def test_semantic_dedup_null_embedding_rows_kept(spark):
+    """NULL-embedding rows get cluster NULL and kept=True — the assign
+    kernel's np.stack previously died on the first batch containing a
+    None (opaque executor shape error); a row with no embedding can
+    neither lose nor witness (r9 review)."""
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup)
+
+    cents = ivf_centroids(4, 2, seed=7)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, None),
+            (3, [1.0, 0.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert len(out) == 4
+    assert out[2] == (None, True)          # null row: kept, no cluster
+    assert out[1][1] is True               # lowest-id duplicate survives
+    assert out[3][1] is False              # its twin loses
+    assert out[4][1] is True
+
+
+def test_semantic_dedup_incremental_null_embedding_rows_kept(spark):
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup_incremental)
+
+    cents = ivf_centroids(4, 2, seed=7)
+    idx = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup_incremental(
+               new, idx, cents, threshold=0.99).collect()}
+    assert out[1][1] is False              # killed by the index witness
+    assert out[2] == (None, True)          # null row: kept
+    assert out[3][1] is True
+
+
+def test_kmeans_fit_skips_null_vectors(spark):
+    """NULL vectors contribute nothing to a mean — previously the assign
+    kernel crashed (np.stack over None), then the NULL-cluster group's
+    int(None) would crash the driver loop."""
+    from geoparquet_io_spark.operators.similarity import (
+        kmeans_fit_distributed)
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 2.0]), (2, None), (3, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit_distributed(
+        df, dim=2, n_centroids=2, iterations=2,
+        init=[[0.0, 1.0], [9.0, 9.0]])
+    assert cents[0] == [0.0, 1.0] and cents[1] == [10.0, 10.0]
+
+
+def test_semantic_dedup_null_id_consistent_across_cluster_routing(spark):
+    """A NULL-id row must get the SAME survivor semantics whichever path
+    its cluster size routes it through (r9 review: pandas sort_values
+    puts None LAST in the all-pairs scorer while Spark's default asc
+    window put NULLs FIRST in the banded chain — so a null-id row
+    flipped from losing to killing when a cluster crossed
+    max_cluster_size).  Consistent rule: null-id rows never witness and
+    are always reported kept (the final equi-join on id cannot match a
+    NULL key)."""
+    from geoparquet_io_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup)
+
+    cents = ivf_centroids(4, 2, seed=7)
+    vec = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, vec), (2, vec), (None, vec)],
+        "vec_id long, embedding array<double>")
+
+    def kept(max_cluster_size):
+        rows = semantic_dedup(df, cents, threshold=0.9,
+                              max_cluster_size=max_cluster_size,
+                              window=64).collect()
+        return {r["vec_id"]: r["kept"] for r in rows}
+
+    all_pairs = kept(None)          # arrow all-pairs scorer
+    chained = kept(2)               # cluster of 3 > 2 -> banded chain
+    assert all_pairs == chained
+    assert all_pairs[1] is True     # lowest real id survives
+    assert all_pairs[2] is False    # loses to id 1
+    assert all_pairs[None] is True  # null id: never killed, never kills
