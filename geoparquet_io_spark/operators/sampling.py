@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 _BUCKETS = 1 << 32
 
 
+def _md5_u32(s: Column) -> Column:
+    """md5 hex -> uniform integer in [0, 2^32) (first 8 hex chars) —
+    the one hashing recipe every sampler here shares, so the draw scheme
+    can only change in one place."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def _hash_draw(key: Column, salt: str) -> Column:
     """Uniform integer in [0, 2^32) from (salt, key) — deterministic.
     NULL keys hash a sentinel rather than propagating NULL (a NULL draw
@@ -28,8 +35,34 @@ def _hash_draw(key: Column, salt: str) -> Column:
     into one split); all null-key rows share one draw, so they move as a
     block — deterministic, never silently lost."""
     k = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
-    h = F.md5(F.concat(F.lit(salt), F.lit(":"), k))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return _md5_u32(F.concat(F.lit(salt), F.lit(":"), k))
+
+
+def _check_hist(hist, score_column: str, token_column: str) -> None:
+    """Loud validation of the bucket histogram both budget selectors
+    collect: NULL/NaN scores corrupt the driver-side bucket ordering
+    (all comparisons against a float NaN are False, so Python's sorted()
+    places that bucket arbitrarily — possibly FIRST, spending budget on
+    garbage); NULL and negative token counts break the monotone
+    running-sum precondition the prefix-equivalence proof requires.
+    All four are upstream data errors, caught from the histogram pass at
+    zero extra scans."""
+    if any(r["__b"] is None for r in hist):
+        raise ValueError(
+            f"{score_column!r} contains NULLs — filter or impute before "
+            "budget selection")
+    if any(r["__b"] != r["__b"] for r in hist):
+        raise ValueError(
+            f"{score_column!r} contains NaNs — filter or impute before "
+            "budget selection")
+    if any(r["__nt"] for r in hist):
+        raise ValueError(
+            f"{token_column!r} contains NULLs — filter or impute before "
+            "budget selection")
+    if any(r["__mn"] is not None and r["__mn"] < 0 for r in hist):
+        raise ValueError(
+            f"{token_column!r} contains negative counts — the "
+            "running-sum selection requires non-negative tokens")
 
 
 def sample_by_hash(df: DataFrame, key_column: str, fraction: float,
@@ -69,6 +102,12 @@ def _split_expr(draw: Column, weights: dict) -> Column:
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
+    for name, w in weights.items():
+        # a negative weight offset by another still sums to 1 but makes
+        # its cumulative threshold negative — that split is silently
+        # empty and its mass is misassigned to the next split
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
     expr = None
     acc = 0.0
     items = sorted(weights.items())
@@ -198,20 +237,14 @@ def select_under_token_budget(df: DataFrame, budget: int,
     hist = (df.groupBy(b.alias("__b"))
             .agg(F.sum(token_column).alias("__t"),
                  F.count(F.when(F.col(token_column).isNull(), 1))
-                 .alias("__nt"))
+                 .alias("__nt"),
+                 F.min(token_column).alias("__mn"))
             .collect())
     # NULL scores would crash the driver sort; NULL token counts are
     # skipped by SUM and would ride along free, silently blowing the
     # budget — both are upstream data errors, fail loudly (checked from
     # the histogram pass: zero extra scans)
-    if any(r["__b"] is None for r in hist):
-        raise ValueError(
-            f"{score_column!r} contains NULLs — filter or impute before "
-            "budget selection")
-    if any(r["__nt"] for r in hist):
-        raise ValueError(
-            f"{token_column!r} contains NULLs — filter or impute before "
-            "budget selection")
+    _check_hist(hist, score_column, token_column)
     # NOTE: bucket-level ordering uses __b DESC; rows inside one bucket
     # order by (score DESC, id) — combined, this is exactly
     # (score rounded DESC, score DESC, id), the canonical order above
@@ -282,16 +315,10 @@ def mixture_under_token_budget(df: DataFrame, budgets: dict,
     hist = (df.groupBy(F.col(group_column).alias("__g"), b.alias("__b"))
             .agg(F.sum(token_column).alias("__t"),
                  F.count(F.when(F.col(token_column).isNull(), 1))
-                 .alias("__nt"))
+                 .alias("__nt"),
+                 F.min(token_column).alias("__mn"))
             .collect())
-    if any(r["__b"] is None for r in hist):
-        raise ValueError(
-            f"{score_column!r} contains NULLs — filter or impute before "
-            "budget selection")
-    if any(r["__nt"] for r in hist):
-        raise ValueError(
-            f"{token_column!r} contains NULLs — filter or impute before "
-            "budget selection")
+    _check_hist(hist, score_column, token_column)
     per_group: dict = {g: [] for g in groups}
     for r in hist:
         per_group[r["__g"]].append((r["__b"], r["__t"]))
@@ -412,8 +439,9 @@ def dsir_select(source_df: DataFrame, target_df: DataFrame, n: int,
         raise ValueError(f"n must be >= 1, got {n}")
 
     def bucket(tok):
-        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
-        return h % num_features
+        # unsalted on purpose (the SQL oracle embeds md5(token) without
+        # a salt prefix); the hex->u32 step is the shared _md5_u32
+        return _md5_u32(tok) % num_features
 
     def bucket_counts(df):
         toks = df.select(

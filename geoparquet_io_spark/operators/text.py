@@ -298,6 +298,11 @@ def unigram_logprob(df: DataFrame, id_column: str = "doc_id",
         F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    # pin the (doc, term) aggregation: the total-count collect below is
+    # an ACTION, and without this the scan + tokenize + aggregation
+    # would run again for the scored join query (bigram_logprob already
+    # checkpoints its count table for exactly this reason)
+    tf = tf.localCheckpoint(eager=False)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c")).collect()[0][0]
     if total is None:
@@ -377,7 +382,10 @@ def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
     from geoparquet_io_spark.operators.skew import spread
 
     df = spread(df)
-    n_docs = df.count()
+    # N rides the query as a broadcast 1-row aggregate (the bm25_scores
+    # pattern) instead of a separate df.count() ACTION — the eager count
+    # was a full extra corpus scan before the scoring query even started
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("__ndocs"))
     toks = df.select(
         F.col(id_column).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
@@ -386,9 +394,9 @@ def tf_idf_top_terms(df: DataFrame, id_column: str = "doc_id",
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # no forced broadcast: dfreq is vocabulary-sized, which grows with
     # the corpus (Heaps' law) — let AQE decide, like unigram_logprob
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
         "doc", "term",
-        F.round(F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")),
+        F.round(F.col("tf") * F.log(F.lit(1.0) + F.col("__ndocs") / F.col("df")),
                 round_digits).alias("tfidf"),
     )
     w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -436,7 +444,7 @@ def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
         exploded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
-    return (
+    agg = (
         kept.groupBy(id_column)
         .agg(
             F.array_join(
@@ -446,6 +454,20 @@ def chunk_dedup(df: DataFrame, id_column: str = "doc_id",
                     lambda s: s["__chunk"],
                 ), " ").alias(out_column),
             F.count("*").alias("n_kept_chunks"),
+        )
+    )
+    # every input document gets a row: a doc whose EVERY chunk is a
+    # duplicate (the function's core use case) and blank docs previously
+    # vanished from the output entirely — a pipeline joining clean_text
+    # back on doc_id lost those rows with no audit signal
+    return (
+        df.select(F.col(id_column))
+        .join(agg, id_column, "left")
+        .select(
+            F.col(id_column),
+            F.coalesce(F.col(out_column), F.lit("")).alias(out_column),
+            F.coalesce(F.col("n_kept_chunks"), F.lit(0)).cast("long")
+            .alias("n_kept_chunks"),
         )
     )
 
@@ -567,8 +589,11 @@ def normalize_text(df: DataFrame, text_column: str = "text",
     norm = F.translate(norm, NORMALIZE_PUNCT_FROM, NORMALIZE_PUNCT_TO)
     norm = F.regexp_replace(norm, r"[\x00-\x1F\x7F]", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    # NULL text: was_changed is FALSE, not NULL — (NULL != NULL) is NULL
+    # and silently fell out of avg(was_changed)-style audit aggregates
     return (df.withColumn(out_column, norm)
-            .withColumn("was_changed", norm != t))
+            .withColumn("was_changed",
+                        F.coalesce(norm != t, F.lit(False))))
 
 
 def chunk_passages(df: DataFrame, id_column: str = "doc_id",
@@ -588,6 +613,13 @@ def chunk_passages(df: DataFrame, id_column: str = "doc_id",
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # windows would skip words (33-40 uncovered at size=32,
+        # stride=40) AND the count formula would emit empty windows past
+        # the end — both violate the coverage contract above
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): larger strides "
+            "leave words uncovered by any passage")
     words = F.filter(F.split(F.col(text_column), r"\s+"),
                      lambda w: w != F.lit(""))
     n = F.size(words)

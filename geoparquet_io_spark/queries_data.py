@@ -1012,12 +1012,18 @@ def q_tfidf(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY chunk
                                 ORDER BY doc_id, chunk_no) AS rn
       FROM chunks
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
+             COUNT(*) AS n_kept_chunks
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
-           COUNT(*) AS n_kept_chunks
-    FROM ranked WHERE rn = 1
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_kept_chunks, 0) AS n_kept_chunks
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def q_chunk_dedup(spark, sf_dir):

@@ -477,3 +477,79 @@ def test_minhash_band_divisibility_all_entry_points(spark):
             fn(df, "id", num_hashes=10, bands=4)
     with _p.raises(ValueError, match="pair_mode"):
         dedup_minhash(df, "id", pair_mode="stars")
+
+
+# --- r9 review-fix regressions ------------------------------------------------
+
+def test_chunk_dedup_emits_fully_duplicated_docs(spark):
+    """A doc whose EVERY chunk is a duplicate (and a blank doc) must
+    still appear in the output with clean_text='' / n_kept_chunks=0 —
+    they previously vanished entirely (r9 review)."""
+    from geoparquet_io_spark.operators.text import chunk_dedup
+
+    body = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_kept_chunks"])
+           for r in chunk_dedup(df, chunk_words=10).collect()}
+    assert len(out) == 3
+    assert out[1] == (body, 1)        # first occurrence survives
+    assert out[2] == ("", 0)          # full duplicate: present, empty
+    assert out[3] == ("", 0)          # blank doc: present, empty
+
+
+def test_chunk_passages_rejects_stride_gt_size(spark):
+    """stride > size leaves words uncovered and emits empty windows —
+    both violate the coverage contract, so it must raise (r9 review)."""
+    import pytest
+    from geoparquet_io_spark.operators.text import chunk_passages
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_passages(df, size=32, stride=40)
+
+
+def test_normalize_text_null_text_was_changed_false(spark):
+    from geoparquet_io_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, None), (2, "A  B")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["was_changed"]
+           for r in normalize_text(df).collect()}
+    assert out[1] is False            # NULL text: flag is False, not NULL
+    assert out[2] is True
+
+
+def test_split_by_hash_rejects_negative_weight(spark):
+    """Weights {-0.02, 0.94, 0.08} sum to 1 but the negative split is
+    silently empty and its mass misassigned (r9 review)."""
+    import pytest
+    from geoparquet_io_spark.operators.sampling import split_by_hash
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    with pytest.raises(ValueError, match="must be >= 0"):
+        split_by_hash(df, "id", {"test": -0.02, "train": 0.94,
+                                 "valid": 0.08})
+
+
+def test_budget_selector_rejects_nan_scores_and_negative_tokens(spark):
+    import math
+
+    import pytest
+    from geoparquet_io_spark.operators.sampling import (
+        mixture_under_token_budget, select_under_token_budget)
+
+    nan_df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, math.nan, 10), (3, 0.5, 10)],
+        "doc_id long, score double, n_tokens long")
+    with pytest.raises(ValueError, match="NaN"):
+        select_under_token_budget(nan_df, budget=15)
+    neg_df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.8, -500), (3, 0.5, 10)],
+        "doc_id long, score double, n_tokens long")
+    with pytest.raises(ValueError, match="negative"):
+        select_under_token_budget(neg_df, budget=15)
+    neg_mix = neg_df.withColumn("source", F.lit("web"))
+    with pytest.raises(ValueError, match="negative"):
+        mixture_under_token_budget(neg_mix, {"web": 15})
