@@ -117,6 +117,13 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
+    # a malformed fmt chunk must be a diagnosable 'bad WAV' ValueError,
+    # not a ZeroDivisionError here (channels) or in the duration math of
+    # every caller (rate)
+    if channels < 1 or rate < 1:
+        raise ValueError(
+            f"WAV fmt chunk declares channels={channels}, rate={rate} — "
+            "both must be >= 1")
     if audio_fmt == 1:
         dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
     elif audio_fmt == 3:
@@ -298,10 +305,13 @@ def _decode_image_real(buf: bytes) -> np.ndarray:
 
 def _decode_image_fake(buf: bytes) -> np.ndarray:
     """Deterministic stand-in decoder: bytes -> pseudo-image whose shape and
-    pixels derive only from the payload (so tests are reproducible)."""
+    pixels derive only from the payload (so tests are reproducible).
+    An EMPTY (zero-length, non-NULL) payload yields an 8x8 black image —
+    b'' repeated is still empty and cannot fill any shape."""
     h = 8 + (len(buf) % 8)
     w = 8 + (buf[0] % 8 if buf else 0)
-    arr = np.frombuffer((buf * ((h * w * 3) // max(len(buf), 1) + 1))[: h * w * 3],
+    src = buf if buf else b"\x00"
+    arr = np.frombuffer((src * ((h * w * 3) // len(src) + 1))[: h * w * 3],
                         dtype=np.uint8)
     return arr.reshape(h, w, 3)
 
@@ -328,7 +338,19 @@ def extract_image_features(
                     feats.append(None)
                     continue
                 img = decode(bytes(buf))
-                luma = float(img.astype("f8").mean())
+                # luminance on the 8-bit scale regardless of depth (a
+                # 16-bit PNG otherwise reports 0-65535, ~257x the 8-bit
+                # value for the same photo) and over COLOR planes only
+                # (alpha is opacity, not light)
+                arr = (img >> 8) if img.dtype == np.uint16 else img
+                a = arr.astype("f8")
+                if a.ndim == 3:
+                    c = a.shape[2]
+                    if c == 2:
+                        a = a[:, :, 0]
+                    elif c >= 4:
+                        a = a[:, :, :3]
+                luma = float(a.mean())
                 feats.append({"width": int(img.shape[1]), "height": int(img.shape[0]),
                               "mean_luma": luma})
             pdf[feature_column] = feats
@@ -398,9 +420,10 @@ def sample_frames(
                 if buf is None:
                     out.append(None)
                     continue
-                info = parse_avi(bytes(buf))
+                raw = bytes(buf)   # one copy of the (large) payload
+                info = parse_avi(raw)
                 dt = 1.0 / info.fps if info.fps else 0.0
-                payloads = extract_frames(bytes(buf), info)
+                payloads = extract_frames(raw, info)
                 rows = [{"frame_index": i, "t_s": i * dt, "frame": p}
                         for i, p in enumerate(payloads)][::max(stride, 1)]
                 if max_frames is not None:
@@ -617,12 +640,30 @@ def extract_audio_metadata(
 
 
 def _gray_pool(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    """Grayscale + area-block average-pool to (rows, cols): channels are
-    averaged, then row/col index blocks (np.array_split) are averaged —
-    deterministic on any input size."""
+    """Grayscale + area-block average-pool to (rows, cols): COLOR
+    channels are averaged (alpha planes are opacity, not luminance —
+    the same image with and without an opaque alpha must pool alike),
+    then row/col index blocks (np.array_split) are averaged.
+
+    Images SMALLER than the grid are nearest-stretched first: an empty
+    index split's mean is NaN, and every NaN gradient comparison is
+    False — so every small image used to dhash to the same constant 0
+    and dedup_images silently deleted distinct small images."""
     g = img.astype("f8")
     if g.ndim == 3:
-        g = g.mean(axis=2)
+        c = g.shape[2]
+        if c == 2:          # gray + alpha: luminance is the gray plane
+            g = g[:, :, 0]
+        elif c >= 4:        # RGBA: drop alpha
+            g = g[:, :, :3].mean(axis=2)
+        else:
+            g = g.mean(axis=2)
+    if g.shape[0] == 0 or g.shape[1] == 0:
+        raise ValueError("cannot pool an empty (0-dimension) image")
+    if g.shape[0] < rows:
+        g = g[np.floor(np.arange(rows) * g.shape[0] / rows).astype(int)]
+    if g.shape[1] < cols:
+        g = g[:, np.floor(np.arange(cols) * g.shape[1] / cols).astype(int)]
     pooled = np.empty((rows, cols), dtype="f8")
     rsplit = np.array_split(np.arange(g.shape[0]), rows)
     csplit = np.array_split(np.arange(g.shape[1]), cols)
@@ -702,6 +743,12 @@ def image_near_duplicate_pairs(
             f"max_hamming must be < bands={bands} for pigeonhole "
             f"completeness, got {max_hamming}")
     width = hash_size * hash_size
+    if bands > width:
+        # bw = 0 would make every band value 0 and degrade the LSH
+        # equi-join to the all-pairs cross product it exists to avoid
+        raise ValueError(
+            f"bands ({bands}) must be <= hash_size^2 ({width}) so each "
+            "band carries at least one signature bit")
     bw = width // bands
     sigs = add_image_dhash(df, data_column, "dh", hash_size) \
         .select(F.col(id_column).alias("id"), F.col("dh")) \
@@ -745,6 +792,10 @@ def dedup_images(df: DataFrame, id_column: str, data_column: str = "data",
         raise ValueError(
             f"max_hamming must be < {bands} for pigeonhole completeness, "
             f"got {max_hamming}")
+    if hash_size * hash_size < bands:
+        raise ValueError(
+            f"hash_size^2 ({hash_size * hash_size}) must be >= {bands} "
+            "bands so each band carries at least one signature bit")
     sigs = add_image_dhash(df, data_column, "dh", hash_size) \
         .select(F.col(id_column), F.col("dh"))
     keep = hamming_dedup_survivors(
@@ -774,8 +825,15 @@ def _resample(img: np.ndarray, out_w: int, out_h: int,
     if method == "area":
         g = img.astype("f8")
         three = g.ndim == 3
-        rs = np.array_split(np.arange(in_h), out_h)
-        cs = np.array_split(np.arange(in_w), out_w)
+        # nearest-upscale BEFORE the block split when the output grid is
+        # larger than the input: empty np.array_split groups mean to NaN
+        # and floor/cast turned 3/4 of an upscaled image into black
+        if out_h > in_h:
+            g = g[np.floor(np.arange(out_h) * in_h / out_h).astype(int)]
+        if out_w > in_w:
+            g = g[:, np.floor(np.arange(out_w) * in_w / out_w).astype(int)]
+        rs = np.array_split(np.arange(g.shape[0]), out_h)
+        cs = np.array_split(np.arange(g.shape[1]), out_w)
         out = np.empty((out_h, out_w) + g.shape[2:], dtype="f8")
         for i, ri in enumerate(rs):
             for j, cj in enumerate(cs):
@@ -843,8 +901,18 @@ def resize_images(
                     img = (img >> 8).astype(np.uint8)
                 elif img.dtype != np.uint8:
                     img = np.clip(img, 0, 255).astype(np.uint8)
+                # normalize EVERY decode shape to 3-channel RGB — the
+                # declared output contract is row-major RGB with stride
+                # 3; gray+alpha (PNG color type 4) and RGBA (type 6)
+                # previously passed through as 2/4-channel tensors
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
+                elif img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                elif img.shape[2] == 2:    # gray+alpha: gray plane x3
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                elif img.shape[2] >= 4:    # RGBA: drop alpha
+                    img = img[:, :, :3]
                 small = _resample(img, width, height, method)
                 vals.append({"width": width, "height": height,
                              "channels": int(small.shape[2]),

@@ -62,10 +62,16 @@ def hll_distinct_check(df: DataFrame, group_column: str, value_column: str,
     joined = exact.join(est, group_column)
     err = F.abs(F.col("approx_distinct") - F.col("n_exact")) \
         / F.col("n_exact").cast("double")
+    # an all-NULL group has n_exact = 0: err is then NULL (0/0) and a
+    # self-verifying check must never emit a NULL verdict — the estimate
+    # is "ok" iff it is also zero/absent
+    ok = F.when(F.col("n_exact") == 0,
+                F.coalesce(F.col("approx_distinct"), F.lit(0)) == 0) \
+        .otherwise(err <= F.lit(rel_tol))
     return joined.select(
         group_column,
         F.col("n_exact"),
-        (err <= F.lit(rel_tol)).alias("est_ok"),
+        ok.alias("est_ok"),
     )
 
 
@@ -182,9 +188,18 @@ def heavy_hitter_candidates(df: DataFrame, column: str,
     def gen(batches):
         import pandas as pd
 
+        # one canonical NaN key: every batch's value_counts returns a
+        # DISTINCT NaN object, and since hash(nan) is id-based two NaNs
+        # never dict-match — a 50%-NULL float column used to fragment
+        # into one per-batch counter each, all evicted, and the heavy
+        # NULL/NaN key never became a candidate (a false negative the
+        # guarantee above rules out)
+        canon_nan = float("nan")
         counters: dict = {}
         for pdf in batches:
             for v, c in pdf[column].value_counts(dropna=False).items():
+                if isinstance(v, float) and v != v:
+                    v = canon_nan
                 if v in counters:
                     counters[v] += int(c)
                 else:
@@ -194,7 +209,16 @@ def heavy_hitter_candidates(df: DataFrame, column: str,
                         counters = {kk: cc - dmin
                                     for kk, cc in counters.items()
                                     if cc > dmin}
-        yield pd.DataFrame({column: list(counters.keys())})
+        keys = list(counters.keys())
+        # pandas conflates NULL and NaN for float columns, so a
+        # surviving NaN key may stand for either: emit BOTH so the CMS
+        # probe (which counts NULL under its sentinel and NaN as 'NaN')
+        # can keep whichever is genuinely heavy — candidates are a
+        # superset by contract, extras cost one probe row
+        if any(isinstance(k, float) and k != k for k in keys) \
+                and None not in keys:
+            keys.append(None)
+        yield pd.DataFrame({column: pd.Series(keys, dtype=object)})
 
     return df.select(column).mapInPandas(gen, schema=schema).distinct()
 

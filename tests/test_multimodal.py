@@ -713,3 +713,98 @@ def test_avi_32bpp_dib_decode_and_8bpp_gate():
     import pytest as _p
     with _p.raises(ValueError, match="bit depth"):
         decode_frame(b"\x00" * 64, AviInfo(2, 2, 10.0, 1, "DIB ", [], 0, 8))
+
+
+# --- r9 review-fix regressions ------------------------------------------------
+
+def test_dhash_small_images_are_not_constant(spark):
+    """Images smaller than the pool grid used to produce NaN pooled
+    cells -> every gradient False -> dhash 0 for EVERY small image, so
+    dedup_images silently deleted distinct small images (r9 review,
+    verified by execution).  Distinct small images must hash apart."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import dhash
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)          # gradient
+    b = np.array([[255, 0], [0, 255]], dtype=np.uint8)       # checker
+    ha, hb = dhash(a), dhash(b)
+    assert ha != hb
+    assert not (ha == 0 and hb == 0)
+
+
+def test_dhash_ignores_opaque_alpha_plane():
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import dhash
+
+    rgb = (np.arange(16 * 16 * 3, dtype=np.uint8)
+           .reshape(16, 16, 3))
+    rgba = np.concatenate(
+        [rgb, np.full((16, 16, 1), 255, dtype=np.uint8)], axis=2)
+    assert dhash(rgb) == dhash(rgba)
+
+
+def test_resample_area_upscale_has_no_nan_garbage():
+    """area upscaling used to mean empty index splits -> NaN -> floored
+    to black garbage pixels (r9 review, verified by execution)."""
+    import numpy as np
+
+    from geoparquet_io_spark.operators.multimodal import _resample
+
+    img = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    out = _resample(img, 4, 4, "area")
+    assert out.shape == (4, 4)
+    assert set(np.unique(out)) == {10, 20, 30, 40}   # nearest-stretched
+
+
+def test_resize_images_normalizes_alpha_channels(spark):
+    """Gray+alpha and RGBA decodes must emit the declared 3-channel
+    row-major RGB tensor, not 2/4-channel pass-through (r9 review)."""
+    from geoparquet_io_spark.operators.multimodal import resize_images
+
+    rgba = [[[200, 0, 0, 255] for _ in range(6)] for _ in range(6)]
+    buf = _make_png(rgba, ctype=6, filters=[0])
+    df = spark.createDataFrame([(1, bytearray(buf))],
+                               "id long, data binary")
+    row = resize_images(df, 4, 4).collect()[0]["resized"]
+    assert row["channels"] == 3
+    assert len(row["data"]) == 4 * 4 * 3
+
+
+def test_decode_wav_zero_channels_is_value_error():
+    import struct
+
+    import pytest
+
+    from geoparquet_io_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    buf = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav(buf)
+
+
+def test_fake_decoder_empty_payload(spark):
+    from geoparquet_io_spark.operators.multimodal import (
+        extract_image_features)
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "id long, data binary")
+    row = extract_image_features(df, deterministic_fake=True).collect()[0]
+    f = row["image_features"]
+    assert f["width"] == 8 and f["height"] == 8 and f["mean_luma"] == 0.0
+
+
+def test_near_dup_pairs_reject_zero_bit_bands(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.multimodal import (
+        dedup_images, image_near_duplicate_pairs)
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "id long, data binary")
+    with pytest.raises(ValueError, match="band"):
+        image_near_duplicate_pairs(df, "id", hash_size=2, bands=8)
+    with pytest.raises(ValueError, match="band"):
+        dedup_images(df, "id", hash_size=2)

@@ -229,3 +229,32 @@ def test_kmv_sketch_plan_take_ordered(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "x", k=1)
+
+
+# --- r9 review-fix regressions ------------------------------------------------
+
+def test_heavy_hitters_sketch_null_heavy_float_column(spark):
+    """A float column that is half NULL must surface the NULL key as a
+    heavy hitter: per-batch NaN objects used to fragment the Misra-Gries
+    dict (id-based NaN hashing), evicting the key every batch — a false
+    negative the no-false-negatives guarantee rules out (r9 review,
+    verified on pandas 2.2.2)."""
+    from geoparquet_io_spark.operators.sketches import (
+        heavy_hitter_candidates)
+
+    rows = [(float(i),) if i % 2 else (None,) for i in range(4000)]
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    cands = heavy_hitter_candidates(df, "v", min_fraction=0.3).collect()
+    assert any(r["v"] is None for r in cands), cands
+
+
+def test_hll_distinct_check_all_null_group_has_boolean_verdict(spark):
+    from geoparquet_io_spark.operators.sketches import hll_distinct_check
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), ("b", None)],
+        "g string, v string")
+    out = {r["g"]: r["est_ok"] for r in
+           hll_distinct_check(df, "g", "v").collect()}
+    assert out["a"] is True
+    assert out["b"] is True          # not NULL: all-null group verdict
