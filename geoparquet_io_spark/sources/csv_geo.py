@@ -93,8 +93,16 @@ def read_csv(
 
     header: list[str] = []
     if delimiter is None or (wkt_column is None and lat_column is None):
+        from geoparquet_io_spark.sources.remote import (
+            is_fetchable_url, localize_file)
+
         sniff_path = path
-        if not os.path.isfile(path):  # glob/dir: sniff the first file
+        if is_fetchable_url(path):
+            # remote CSV (s3/https/...): spark.read.csv handles the scan
+            # fine, but dialect/geometry sniffing needs a driver-local
+            # copy — same localization the shapefile/gpkg readers use
+            sniff_path, _ = localize_file(spark, path)
+        elif not os.path.isfile(path):  # glob/dir: sniff the first file
             import glob as _g
 
             hits = sorted(_g.glob(path) or _g.glob(os.path.join(path, "*")))
@@ -188,6 +196,10 @@ def write_csv(
         import shutil
 
         part = _g.glob(os.path.join(tmp, "part-*.csv"))[0]
+        if os.path.isdir(path):
+            # a prior multi-file write left a DIRECTORY here: moving the
+            # part would land it INSIDE as path/part-*.csv with no error
+            shutil.rmtree(path)
         shutil.move(part, path)
         shutil.rmtree(tmp)
     else:

@@ -42,9 +42,13 @@ def _geom_to_geojson_dict(g: "_wkb.Geom") -> dict:
             "coordinates": [[[float(x), float(y)] for x, y in r] for r in g.parts],
         }
     if t == _wkb.MULTIPOINT:
+        # drop NaN (POINT EMPTY) members: RFC 8259 has no NaN token and
+        # an empty member point is not representable inside MultiPoint
         return {"type": "MultiPoint",
                 "coordinates": [[float(c.parts[0][0, 0]), float(c.parts[0][0, 1])]
-                                for c in g.children]}
+                                for c in g.children
+                                if not (_math.isnan(c.parts[0][0, 0])
+                                        or _math.isnan(c.parts[0][0, 1]))]}
     if t == _wkb.MULTILINESTRING:
         return {"type": "MultiLineString",
                 "coordinates": [[[float(x), float(y)] for x, y in c.parts[0]]
@@ -75,7 +79,10 @@ def st_asgeojson(precision: int | None = None):
             d = _geom_to_geojson_dict(_wkb.parse(bytes(b)))
             if precision is not None:
                 _round_geom(d, precision)
-            return json.dumps(d, separators=(",", ":"))
+            # allow_nan=False: a NaN vertex anywhere (beyond the handled
+            # empty-point forms) must raise, not emit a literal NaN
+            # token that makes the whole output invalid JSON (RFC 8259)
+            return json.dumps(d, separators=(",", ":"), allow_nan=False)
 
         return col.map(conv)
 
@@ -315,7 +322,11 @@ def read_geojsonl(spark, path: str, geometry_column: str = "geometry",
             if not ln:
                 continue
             feats.append(dict(json.loads(ln).get("properties") or {}))
-        schema, _ = _infer_property_schema(feats, skip=set())
+        # skip a property named like the geometry column (read_geojson
+        # does the same): without this the inferred schema AND the
+        # appended binary field both claim the name, duplicating the
+        # column and corrupting the Arrow conversion
+        schema, _ = _infer_property_schema(feats, skip={geometry_column})
     out_schema = T.StructType(
         list(schema.fields)
         + [T.StructField(geometry_column, T.BinaryType(), True)])

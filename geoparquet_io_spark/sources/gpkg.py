@@ -42,9 +42,18 @@ _WGS84_WKT = (
 # ---------------------------------------------------------------------------
 
 def strip_gp_header(blob: bytes) -> bytes | None:
-    """GeoPackage geometry blob -> the WKB it wraps (None for NULL/empty)."""
-    if blob is None or len(blob) < 8 or blob[:2] != b"GP":
+    """GeoPackage geometry blob -> the WKB it wraps (None for NULL/empty).
+
+    A non-NULL blob WITHOUT the GP magic raises: some tools emit plain
+    WKB into geometry columns, and silently reading every such row as a
+    NULL geometry makes the whole layer's data vanish with no error —
+    the same loud-failure stance as the extended-binary check below."""
+    if blob is None:
         return None
+    if len(blob) < 8 or blob[:2] != b"GP":
+        raise ValueError(
+            "not a GeoPackage geometry blob (no GP header): corrupt "
+            "file, or a nonconforming layer storing plain WKB")
     flags = blob[3]
     if flags & 0x20:
         # ExtendedGeoPackageBinary: extension-defined payload follows the
@@ -70,6 +79,13 @@ def wrap_gp_header(wkb: bytes, srs_id: int,
     from geoparquet_io_spark.functions import wkb as W
 
     xmin, ymin, xmax, ymax = envelope or W.envelope(wkb)
+    if any(v != v for v in (xmin, ymin, xmax, ymax)):
+        # empty geometry (POINT EMPTY encodes NaN,NaN): the spec's empty
+        # flag (bit 4) with envelope indicator 0 — writing a NaN
+        # envelope is invalid and poisons reader-side extents
+        head = b"GP\x00" + bytes([0x11])   # version 0, LE + empty flag
+        head += struct.pack("<i", srs_id)
+        return head + wkb
     head = b"GP\x00" + bytes([0x03])    # version 0, LE + envelope [minx..]
     head += struct.pack("<i", srs_id)
     head += struct.pack("<4d", xmin, xmax, ymin, ymax)   # spec order
@@ -183,6 +199,11 @@ def read_gpkg(spark, path: str, layer: str | None = None,
             .repartition(len(ranges))
         cast = {f.name: ("f8" if isinstance(f.dataType, T.DoubleType)
                          else "Int64" if isinstance(f.dataType, T.LongType)
+                         # sqlite hands BOOLEAN back as 0/1 ints (+None):
+                         # without the nullable-boolean cast the Arrow
+                         # conversion dies on the int/bool mix
+                         else "boolean" if isinstance(f.dataType,
+                                                      T.BooleanType)
                          else None) for f in fields}
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -373,10 +394,12 @@ def write_gpkg(gt, path: str, layer: str | None = None,
                 env = W.envelope(wkb)           # parse once: header + bounds
                 blob = wrap_gp_header(wkb, srs_id, envelope=env)
                 x0, y0, x1, y1 = env
-                bounds[0] = x0 if bounds[0] is None else min(bounds[0], x0)
-                bounds[1] = y0 if bounds[1] is None else min(bounds[1], y0)
-                bounds[2] = x1 if bounds[2] is None else max(bounds[2], x1)
-                bounds[3] = y1 if bounds[3] is None else max(bounds[3], y1)
+                if x0 == x0:   # skip NaN (empty-geometry) envelopes —
+                    # min(NaN, x) keeps NaN and poisons gpkg_contents
+                    bounds[0] = x0 if bounds[0] is None else min(bounds[0], x0)
+                    bounds[1] = y0 if bounds[1] is None else min(bounds[1], y0)
+                    bounds[2] = x1 if bounds[2] is None else max(bounds[2], x1)
+                    bounds[3] = y1 if bounds[3] is None else max(bounds[3], y1)
                 gtypes.add(W.geometry_type(wkb))
             # NULL fid -> bind None: sqlite autoincrements it (crashing
             # the whole write on one null key helps nobody)

@@ -60,12 +60,17 @@ def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
     hole touching its shell at a vertex must not become a solid ring.
     Files that ignore orientation (all rings one direction) degrade to
     one polygon per ring."""
-    outers = [r for r in rings if _ring_signed_area(r) < 0]
-    holes = [r for r in rings if _ring_signed_area(r) >= 0]
+    # one shoelace pass per ring (this runs per RECORD in the executor
+    # hot path — the area was previously recomputed up to 3x per ring)
+    sa = [_ring_signed_area(r) for r in rings]
+    outers = [r for r, a in zip(rings, sa) if a < 0]
     if not outers:                      # orientation-ignorant writer
         outers, holes = rings, []
+        areas = [abs(a) for a in sa]
+    else:
+        holes = [r for r, a in zip(rings, sa) if a >= 0]
+        areas = [abs(a) for a in sa if a < 0]
     polys: list[list[np.ndarray]] = [[o] for o in outers]
-    areas = [abs(_ring_signed_area(o)) for o in outers]
     for h in holes:
         px, py = float(h[0, 0]), float(h[0, 1])
         best = None
@@ -239,6 +244,19 @@ def read_shapefile(spark, path: str, geometry_column: str = "geometry",
     offsets = read_shx_offsets(shx) if os.path.isfile(shx) else \
         _scan_shp_offsets(shp)
     dbf_meta = read_dbf_header(dbf) if os.path.isfile(dbf) else None
+    if dbf_meta:
+        # a DBF attribute legally named like the geometry column (or a
+        # duplicate DBF name) collides in both the Struct schema and the
+        # scan dict — the attribute silently overwrote the WKB column
+        # and every task failed with a column-count mismatch
+        taken = {geometry_column}
+        for f in dbf_meta["fields"]:
+            if f["name"] in taken:
+                base, k = f["name"], 1
+                while f"{base}_{k}" in taken:
+                    k += 1
+                f["name"] = f"{base}_{k}"
+            taken.add(f["name"])
     n = len(offsets)
     if dbf_meta and dbf_meta["n_records"] != n:
         raise ValueError(
@@ -460,7 +478,16 @@ def _format_dbf_value(v, f: dict) -> bytes:
         raise ValueError(
             f"value of length {len(s)} does not fit DBF field "
             f"{f['name']!r} (C{ln}, format maximum 254)")
-    return s.ljust(ln).encode("latin-1", errors="replace")
+    try:
+        return s.ljust(ln).encode("latin-1")
+    except UnicodeEncodeError:
+        # errors='replace' silently turned CJK/emoji text into '?' —
+        # character corruption gets the same loud failure as numeric
+        # overflow (this single-codepage writer cannot represent it)
+        raise ValueError(
+            f"value {s!r} for DBF field {f['name']!r} contains "
+            "characters outside latin-1 — DBF C fields here are "
+            "latin-1; transliterate or drop the column")
 
 
 def write_shapefile(gt, path: str) -> None:

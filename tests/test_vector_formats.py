@@ -14,6 +14,7 @@ import os
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from geoparquet_io_spark.functions import wkb as W
 from geoparquet_io_spark.geotable import GeoTable
@@ -655,7 +656,10 @@ def test_gp_blob_invalid_envelope_indicator():
     blob = b"GP\x00" + bytes([0x0A]) + b"\x00" * 40   # indicator 5
     with pytest.raises(ValueError, match="envelope indicator"):
         strip_gp_header(blob)
-    assert strip_gp_header(b"\x01\x02") is None        # not GP -> None
+    # r9: non-GP blobs raise (silently NULLing every row of a
+    # plain-WKB layer made the data vanish with no error)
+    with pytest.raises(ValueError, match="GP header"):
+        strip_gp_header(b"\x01\x02")
     assert strip_gp_header(None) is None
 
 
@@ -1022,3 +1026,118 @@ def test_sample_raster_empty_rasters_table(spark):
     out = sample_raster_at_points(pts, empty, raster_id_column="rid").collect()
     assert len(out) == 1 and out[0]["value"] is None or (
         out[0]["value"] != out[0]["value"])  # NULL or NaN
+
+
+# --- r9 review-fix regressions ------------------------------------------------
+
+def test_gpkg_bool_with_nulls_distributed_read(spark, tmp_path):
+    """BOOLEAN columns come back from sqlite as 0/1 ints plus None; the
+    distributed mapInPandas read previously had no pandas cast for them
+    and the Arrow conversion died on the int/bool mix (r9 review)."""
+    from geoparquet_io_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    rows = [Row(geometry=bytearray(W.encode_point(float(i), 0.0)),
+                flag=(None if i % 3 == 0 else i % 2 == 0))
+            for i in range(300)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "bools.gpkg")
+    write_gpkg(gt, out)
+    back = read_gpkg(spark, out, tasks=4)
+    got = back.df.groupBy("flag").count().collect()
+    by = {r["flag"]: r["count"] for r in got}
+    assert by[None] == 100 and by[True] == 100 and by[False] == 100
+
+
+def test_gpkg_empty_point_writes_empty_flag_and_clean_bounds(spark, tmp_path):
+    """POINT EMPTY (NaN,NaN WKB) must carry the spec empty flag instead
+    of a NaN envelope, and must not poison gpkg_contents bounds."""
+    import math
+    import sqlite3
+    import struct as _s
+
+    from geoparquet_io_spark.sources.gpkg import write_gpkg
+
+    nan_pt = _s.pack("<BIdd", 1, 1, math.nan, math.nan)
+    rows = [Row(geometry=bytearray(nan_pt), v=1),
+            Row(geometry=bytearray(W.encode_point(2.0, 3.0)), v=2)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "empty.gpkg")
+    write_gpkg(gt, out)
+    con = sqlite3.connect(out)
+    try:
+        (layer,) = [r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents")]
+        bounds = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents").fetchone()
+        blobs = [r[0] for r in con.execute(
+            f'SELECT "geometry" FROM "{layer}" ORDER BY "v"')]
+    finally:
+        con.close()
+    assert bounds == (2.0, 3.0, 2.0, 3.0)        # NaN never entered min/max
+    assert blobs[0][3] & 0x10                    # empty flag set
+    assert ((blobs[0][3] >> 1) & 0x07) == 0      # no envelope doubles
+
+
+def test_shapefile_dbf_field_named_geometry_is_renamed(spark, tmp_path):
+    """A DBF attribute legally named like the geometry column used to
+    overwrite the WKB column in the scan dict and fail every task."""
+    from geoparquet_io_spark.sources.shapefile import (
+        read_shapefile, write_shapefile)
+
+    rows = [Row(geometry=bytearray(W.encode_point(float(i), 1.0)), g2=i)
+            for i in range(5)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "clash.shp")
+    write_shapefile(gt, out)
+    dbf = out[:-4] + ".dbf"
+    with open(dbf, "r+b") as fh:     # rename field 'g2' -> 'geometry'
+        fh.seek(32)
+        fh.write(b"geometry\x00\x00\x00")
+    back = read_shapefile(spark, out)
+    assert set(back.df.columns) == {"geometry", "geometry_1"}
+    assert back.df.filter(F.col("geometry").isNotNull()).count() == 5
+    assert sorted(r["geometry_1"] for r in back.df.collect()) == list(range(5))
+
+
+def test_shapefile_non_latin1_text_raises(spark, tmp_path):
+    from geoparquet_io_spark.sources.shapefile import write_shapefile
+
+    rows = [Row(geometry=bytearray(W.encode_point(1.0, 1.0)), name="東京")]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    with pytest.raises(ValueError, match="latin-1"):
+        write_shapefile(gt, str(tmp_path / "cjk.shp"))
+
+
+def test_geojson_multipoint_with_empty_member_is_valid_json(spark):
+    import json as _json
+    import struct as _s
+
+    from geoparquet_io_spark.sources.geojson import st_asgeojson
+
+    nan_pt = _s.pack("<BIdd", 1, 1, float("nan"), float("nan"))
+    ok_pt = W.encode_point(1.0, 2.0)
+    mp = (_s.pack("<BII", 1, 4, 2) + nan_pt + ok_pt)
+    df = spark.createDataFrame([(bytearray(mp),)], "geometry binary")
+    s = df.select(st_asgeojson()(F.col("geometry")).alias("j")) \
+        .collect()[0]["j"]
+    d = _json.loads(s)                  # strict: NaN token would fail
+    assert d == {"type": "MultiPoint", "coordinates": [[1.0, 2.0]]}
+
+
+def test_write_csv_single_file_replaces_directory(spark, tmp_path):
+    from geoparquet_io_spark.sources.csv_geo import write_csv
+
+    gt = _mixed_table(spark)
+    out = str(tmp_path / "out.csv")
+    write_csv(gt, out, single_file=False)
+    assert os.path.isdir(out)
+    write_csv(gt, out, single_file=True)
+    assert os.path.isfile(out)          # not a part file inside the dir
