@@ -152,31 +152,52 @@ def st_y(g: pd.Series) -> pd.Series:
     return g.map(lambda b: None if b is None else _wkb.point_xy(bytes(b))[1])
 
 
+def _na_masked(vals: "np.ndarray", names: list) -> pd.DataFrame:
+    """NaN cells -> NULL fields.  A NULL (or empty) geometry must yield
+    NULL bounds/centroids, NOT NaN: Spark's max()/greatest() rank NaN
+    ABOVE every real value, so one NULL-geometry row used to poison
+    dataset bounds, Hilbert/Z-order extents, quadkeys (a real-looking
+    tile-0 key was fabricated), and spatial-order ratios (NaN avg) —
+    NULL is skipped by aggregates and comparisons instead."""
+    cols = {}
+    for j, name in enumerate(names):
+        arr = pd.array(vals[:, j], dtype="Float64")
+        arr[np.isnan(vals[:, j])] = pd.NA
+        cols[name] = arr
+    return pd.DataFrame(cols)
+
+
 @pandas_udf(_BBOX_T)
 def st_envelope_struct(g: pd.Series) -> pd.DataFrame:
-    """One parse -> all four bounds (vs four ST_XMin/... calls)."""
+    """One parse -> all four bounds (vs four ST_XMin/... calls).
+    NULL/empty geometry -> NULL fields (see _na_masked)."""
     fast = _try_bulk_point_decode(g)
     if fast is not None:
-        xs, ys, _ = fast
-        return pd.DataFrame({"xmin": xs, "ymin": ys, "xmax": xs, "ymax": ys})
+        xs, ys, nulls = fast
+        vals = np.column_stack([xs, ys, xs, ys])
+        vals[nulls] = np.nan
+        return _na_masked(vals, ["xmin", "ymin", "xmax", "ymax"])
     vals = np.full((len(g), 4), np.nan)
     for i, b in enumerate(g):
         if b is not None:
             vals[i] = _wkb.envelope(bytes(b))
-    return pd.DataFrame(vals, columns=["xmin", "ymin", "xmax", "ymax"])
+    return _na_masked(vals, ["xmin", "ymin", "xmax", "ymax"])
 
 
 @pandas_udf(_XY_T)
 def st_centroid_xy(g: pd.Series) -> pd.DataFrame:
+    """NULL/empty geometry -> NULL fields (see _na_masked)."""
     fast = _try_bulk_point_decode(g)
     if fast is not None:
-        xs, ys, _ = fast
-        return pd.DataFrame({"x": xs, "y": ys})
+        xs, ys, nulls = fast
+        vals = np.column_stack([xs, ys])
+        vals[nulls] = np.nan
+        return _na_masked(vals, ["x", "y"])
     vals = np.full((len(g), 2), np.nan)
     for i, b in enumerate(g):
         if b is not None:
             vals[i] = _wkb.centroid(bytes(b))
-    return pd.DataFrame(vals, columns=["x", "y"])
+    return _na_masked(vals, ["x", "y"])
 
 
 @pandas_udf(T.StringType())

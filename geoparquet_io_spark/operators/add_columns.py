@@ -188,7 +188,12 @@ def add_kdtree(
         sample = work.select("__kd_x", "__kd_y").sample(
             fraction=min(1.0, sample_rows / max(total, 1)), seed=42
         )
-    sample = sample.withColumn("__cell", F.lit(""))
+    # pin the (bounded, <= sample_rows) sample: each per-level median
+    # collect below is an ACTION, and without this every iteration
+    # re-scanned the full input and re-ran the centroid UDF just to
+    # regenerate the same sample — the dominant cost at scale
+    sample = sample.withColumn("__cell", F.lit("")) \
+        .localCheckpoint(eager=False)
     boundaries: dict[str, float] = {}
     for level in range(iterations):
         dim = "__kd_x" if level % 2 == 0 else "__kd_y"
@@ -295,7 +300,20 @@ def h3_polyfill(
 
     def fill_one(buf: bytes) -> list[int]:
         geom = _wkb.parse(buf)
-        polys = geom.children if geom.children else [geom]
+
+        # recurse to LEAF polygons: a GEOMETRYCOLLECTION child can
+        # itself be a MULTIPOLYGON whose .parts is empty (its polygons
+        # live one level deeper) — the flat children list made the
+        # point-in-polygon test all-False and the row silently got an
+        # empty cell array
+        def _leaf_polys(g):
+            if g.children:
+                for c in g.children:
+                    yield from _leaf_polys(c)
+            elif g.gtype == _wkb.POLYGON:
+                yield g
+
+        polys = list(_leaf_polys(geom)) or [geom]
         xmin, ymin, xmax, ymax = _wkb.envelope(buf)
         # 1) probe: measure local cell spacing empirically
         gx = np.linspace(xmin, xmax, 12)

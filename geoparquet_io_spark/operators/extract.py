@@ -23,10 +23,15 @@ from geoparquet_io_spark.functions import geom as G
 from geoparquet_io_spark.functions import wkb as _wkb
 from geoparquet_io_spark.functions import wkt as _wkt
 
-# Reference denylist (validate_where_clause, core/extract.py:49-101).
+# Reference denylist (validate_where_clause, core/extract.py:49-101),
+# extended with Spark's EXPRESSION-level escape hatches: reflect /
+# java_method invoke arbitrary JVM static methods from inside F.expr —
+# the statement keywords alone gave false security here because F.expr
+# cannot execute statements anyway.
 _FORBIDDEN_WHERE = re.compile(
     r"(?i)\b(DROP|DELETE|INSERT|UPDATE|ALTER|CREATE|TRUNCATE|EXEC|EXECUTE|"
-    r"ATTACH|DETACH|PRAGMA|INSTALL|LOAD|COPY|GRANT|REVOKE)\b|;|--|/\*"
+    r"ATTACH|DETACH|PRAGMA|INSTALL|LOAD|COPY|GRANT|REVOKE|"
+    r"REFLECT|JAVA_METHOD)\b|;|--|/\*"
 )
 
 

@@ -44,10 +44,13 @@ def sort_hilbert(
     if env is None:
         env = _bounds(df, geometry_column=geometry_column,
                       bbox_column=bbox_column)
-    if env is None or any(v is None for v in env):
+    if env is None or any(v is None or v != v for v in env):
         # empty / all-null-geometry input: no envelope exists, and any
         # ordering of zero meaningful keys is correct — return as-is
-        # (a supported case: empty writes are supported downstream)
+        # (a supported case: empty writes are supported downstream).
+        # NaN (a legacy bbox column built before NULL-geometry masking)
+        # is caught too: a NaN span clamps every key to one constant
+        # cell and the "sorted" output would be completely unclustered
         return df
     key = key_column or "__hilbert"
     out = G.with_hilbert_key(df, x, y, env, key)
@@ -66,6 +69,12 @@ def sort_column(df: DataFrame, columns: list[str] | str,
         descending = [False] * len(columns)
     if isinstance(descending, bool):
         descending = [descending] * len(columns)
+    if len(descending) != len(columns):
+        # zip would silently truncate: sort_column(df, ['a','b','c'],
+        # descending=[True]) sorted by 'a' alone with no error
+        raise ValueError(
+            f"descending has {len(descending)} entries for "
+            f"{len(columns)} columns")
     exprs = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(columns, descending)]
     return df.orderBy(*exprs)
 
@@ -109,8 +118,8 @@ def sort_zorder(
 
     x, y = _centroid_lonlat(df, geometry_column, bbox_column)
     env = _bounds(df, geometry_column=geometry_column, bbox_column=bbox_column)
-    if env is None or any(v is None for v in env):
-        return df              # empty / all-null input: nothing to order
+    if env is None or any(v is None or v != v for v in env):
+        return df              # empty / all-null / NaN-extent input
     key = key_column or "__zorder"
     out = df.withColumn(key, morton_key(x, y, env, order=order))
     out = out.orderBy(key)
@@ -260,8 +269,14 @@ def zorder_by(
     if method == "linear" and num_cols:
         aggs = []
         for c in num_cols:
-            aggs += [F.min(_as_double(c)).alias(f"__lo_{c}"),
-                     F.max(_as_double(c)).alias(f"__hi_{c}")]
+            # NaN excluded from the extent: Spark max() ranks NaN above
+            # every value, so one NaN row made hi NaN, the span NaN, and
+            # every bucket collapse to the constant n — that column
+            # silently vanished from the interleaved key
+            v = _as_double(c)
+            vn = F.when(~F.isnan(v), v)
+            aggs += [F.min(vn).alias(f"__lo_{c}"),
+                     F.max(vn).alias(f"__hi_{c}")]
         row = df.agg(*aggs).collect()[0]
         stats = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in num_cols}
     elif method == "range" and num_cols:
@@ -280,10 +295,15 @@ def zorder_by(
             if lo is None or hi is None or hi == lo:
                 ids.append(F.lit(0).cast("long"))
                 continue
-            g = F.floor((_as_double(c) - F.lit(lo))
-                        / F.lit(hi - lo) * F.lit(float(n)) + F.lit(0.5))
-            ids.append(F.least(F.lit(n), F.greatest(F.lit(0), g))
-                       .cast("long"))
+            # shared audited scaling (geokeys._grid_scale — same
+            # formula morton_key uses: floor((v-lo)/span*n + 0.5) with
+            # the clamp); NULL/NaN rows land deterministically in
+            # bucket 0 so the key stays non-null
+            from geoparquet_io_spark.functions.geokeys import _grid_scale
+
+            g = _grid_scale(_as_double(c), float(lo), float(hi), bits)
+            ids.append(F.coalesce(
+                F.when(~F.isnan(_as_double(c)), g), F.lit(0).cast("long")))
         else:
             bounds = F.array(*[F.lit(float(b)) for b in stats[c]])
             v = _as_double(c)

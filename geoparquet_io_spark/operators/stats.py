@@ -285,7 +285,12 @@ def histogram(df, column: str, lo: float, hi: float, n_bins: int):
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     width = (hi - lo) / n_bins
     x = F.col(column).cast("double")
-    b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
+    # clamp to n_bins-1: floor((x-lo)/width) can overshoot to n_bins in
+    # floating point for x just under hi (verified: the quotient rounds
+    # up to an exact integer), emitting a phantom bin whose bin_lo == hi
+    # and breaking the documented [lo, hi) contract
+    b = F.least(F.lit(n_bins - 1),
+                F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int"))
     return (df.filter((x >= lo) & (x < hi))
             .withColumn("bin", b)
             .groupBy("bin")

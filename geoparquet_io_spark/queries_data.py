@@ -1875,8 +1875,9 @@ def q_normalize(spark, sf_dir):
       SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
       WHERE o_totalprice >= 0.0 AND o_totalprice < 600000.0
     )
-    SELECT CAST(floor(x / 50000.0) AS INTEGER) AS bin,
-           0.0 + CAST(floor(x / 50000.0) AS INTEGER) * 50000.0 AS bin_lo,
+    SELECT LEAST(11, CAST(floor(x / 50000.0) AS INTEGER)) AS bin,
+           0.0 + LEAST(11, CAST(floor(x / 50000.0) AS INTEGER)) * 50000.0
+             AS bin_lo,
            COUNT(*) AS n,
            MIN(x) AS min_v, MAX(x) AS max_v
     FROM f GROUP BY 1

@@ -932,3 +932,125 @@ def test_dedup_exact_rejects_explicit_empty_columns(spark):
     df = spark.createDataFrame([(1, "a")], "id long, t string")
     with _p.raises(ValueError, match="columns"):
         dedup_exact(df, columns=[])
+
+
+# --- r9 review-fix regressions (NULL-geometry NaN poisoning + gates) ---------
+
+def _pts_with_null(spark):
+    from geoparquet_io_spark.functions import wkb as W
+
+    rows = [(1, bytearray(W.encode_point(0.0, 0.0))),
+            (2, bytearray(W.encode_point(10.0, 10.0))),
+            (3, None),
+            (4, bytearray(W.encode_point(5.0, 5.0)))]
+    return spark.createDataFrame(rows, "id long, geometry binary")
+
+
+def test_bounds_ignore_null_geometry(spark):
+    """One NULL geometry used to make xmax/ymax NaN (NaN ranks above
+    everything in Spark max) — bounds must come from real rows only."""
+    from geoparquet_io_spark.operators.stats import bounds
+
+    env = bounds(_pts_with_null(spark), geometry_column="geometry")
+    assert env == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_sort_hilbert_with_null_geometry_still_clusters(spark):
+    """The NaN extent previously clamped every Hilbert key to one cell:
+    the 'sorted' output was completely unclustered with no error."""
+    from geoparquet_io_spark.operators.sorts import sort_hilbert
+
+    out = sort_hilbert(_pts_with_null(spark), geometry_column="geometry",
+                       key_column="__h", keep_key=True)
+    rows = [r for r in out.collect() if r["__h"] is not None]
+    keys = {r["__h"] for r in rows}
+    assert len(keys) == 3          # three distinct real positions
+
+
+def test_add_quadkey_null_geometry_gives_null_key(spark):
+    """NULL geometry used to fabricate the real-looking tile-(0,0)
+    quadkey '000...0' via NaN centroids."""
+    from geoparquet_io_spark.operators.add_columns import add_quadkey
+
+    out = add_quadkey(_pts_with_null(spark), "geometry", None, 6)
+    got = {r["id"]: r["quadkey"] for r in out.collect()}
+    assert got[3] is None
+    assert all(v is not None for k, v in got.items() if k != 3)
+
+
+def test_check_spatial_order_with_null_geometry(spark):
+    """A single NULL geometry made both averages NaN -> ratio NaN ->
+    'unordered' verdict regardless of the actual layout."""
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.stats import check_spatial_order
+
+    rows = [(i, bytearray(W.encode_point(float(i) / 10.0, float(i) / 10.0)))
+            for i in range(200)] + [(200, None)]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    res = check_spatial_order(df, geometry_column="geometry")
+    ratio = res["ratio"] if isinstance(res, dict) else res
+    assert ratio == ratio          # not NaN
+
+
+def test_sort_column_rejects_mismatched_descending(spark):
+    from geoparquet_io_spark.operators.sorts import sort_column
+
+    df = spark.range(5).withColumn("b", F.col("id") * 2)
+    with pytest.raises(ValueError, match="descending"):
+        sort_column(df, ["id", "b"], descending=[True])
+
+
+def test_zorder_by_linear_survives_nan_values(spark):
+    """One NaN row used to poison min/max -> NaN span -> that column's
+    buckets all collapsed to the constant n (dimension silently lost)."""
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    rows = [(float(i),) for i in range(100)] + [(float("nan"),)]
+    df = spark.createDataFrame(rows, "price double")
+    out = zorder_by(df, ["price"], bits=4, key_column="__z",
+                    keep_key=True)
+    keys = {r["__z"] for r in out.select("__z").collect()}
+    assert len(keys) > 4           # real spread, not one constant bucket
+
+
+def test_histogram_no_phantom_bin(spark):
+    """floor((x-lo)/width) can overshoot to n_bins in floating point for
+    x just under hi — the phantom bin broke the [lo, hi) contract."""
+    import math
+
+    from geoparquet_io_spark.operators.stats import histogram
+
+    lo, hi, n_bins = 18.230687000260787, 120.547622394498, 21
+    x = math.nextafter(hi, -math.inf)
+    df = spark.createDataFrame([(x,)], "v double")
+    rows = histogram(df, "v", lo, hi, n_bins).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == n_bins - 1
+
+
+def test_where_clause_blocks_jvm_escape_hatches(spark):
+    from geoparquet_io_spark.operators.extract import validate_where_clause
+
+    for bad in ("java_method('java.lang.System','getProperty','x') != ''",
+                "reflect('java.lang.System','getProperty','x') != ''"):
+        with pytest.raises(ValueError):
+            validate_where_clause(bad)
+
+
+def test_h3_polyfill_nested_collection(spark):
+    """GEOMETRYCOLLECTION(MULTIPOLYGON(...)) used to return zero cells:
+    the flat children list handed a parts-less MULTIPOLYGON node to the
+    point-in-polygon test."""
+    import struct as _s
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.add_columns import h3_polyfill
+
+    ring = [(0.0, 0.0), (0.0, 8.0), (8.0, 8.0), (8.0, 0.0), (0.0, 0.0)]
+    poly = W.encode_polygon([ring])
+    mp = _s.pack("<BII", 1, 6, 1) + poly          # MULTIPOLYGON(1)
+    gc = _s.pack("<BII", 1, 7, 1) + mp            # GEOMETRYCOLLECTION(1)
+    direct = spark.createDataFrame([(bytearray(poly),)], "geometry binary")
+    nested = spark.createDataFrame([(bytearray(gc),)], "geometry binary")
+    a = h3_polyfill(direct, 3).collect()[0]["h3_cells"]
+    b = h3_polyfill(nested, 3).collect()[0]["h3_cells"]
+    assert a and a == b
