@@ -448,9 +448,24 @@ def _ps_t(phi: np.ndarray, e: float, pole: int) -> np.ndarray:
 
 
 def make_polar_stereo(a: float, f: float, lat_ts: float, lon0: float,
-                      fe: float, fn: float) -> _PSConsts:
+                      fe: float, fn: float,
+                      k0: float | None = None) -> _PSConsts:
+    """Variant B (lat_ts, the NSIDC/Antarctic grids) or — when lat_ts is
+    exactly the pole — variant A (k0 at the pole, EPSG method 9810: the
+    UPS grids).  Variant A bakes into the same (mc, tc) constants the
+    forward/inverse/SQL mirrors already use: rho = 2 a k0 t /
+    sqrt((1+e)^(1+e) (1-e)^(1-e))  ==  a * mc * t / tc  with tc = 1."""
     e = math.sqrt(f * (2 - f))
     pole = 1 if lat_ts >= 0 else -1
+    if abs(lat_ts) == 90.0:
+        if k0 is None:
+            raise ValueError(
+                "pole-tangent polar stereographic needs k0 (variant A); "
+                "pass lat_ts < 90 for variant B")
+        mc = 2.0 * k0 / math.sqrt((1.0 + e) ** (1.0 + e)
+                                  * (1.0 - e) ** (1.0 - e))
+        return _PSConsts(a=a, e=e, pole=pole, mc=mc, tc=1.0,
+                         lon0=lon0, fe=fe, fn=fn)
     ts = math.radians(lat_ts)
     mc = math.cos(ts) / math.sqrt(1.0 - e * e * math.sin(ts) ** 2)
     tc = float(_ps_t(np.array([ts]), e, pole)[0])
@@ -622,6 +637,28 @@ EPSG_TABLE: dict[int, tuple] = {
     7845: ("lcc", GRS80, dict(lat1=-18.0, lat2=-36.0, lat0=0.0, lon0=134.0,
                               fe=0.0, fn=0.0)),
     # GDA2020 / GA LCC (GDA2020 treated WGS84-coincident like the MGA range)
+    # --- round-9b additions (polar UPS, Americas nationals) -----------------
+    32661: ("ps", WGS84, dict(lat_ts=90.0, k0=0.994, lon0=0.0,
+                              fe=2000000.0, fn=2000000.0)),
+    # WGS 84 / UPS North — variant A, tangent at the pole
+    32761: ("ps", WGS84, dict(lat_ts=-90.0, k0=0.994, lon0=0.0,
+                              fe=2000000.0, fn=2000000.0)),
+    # WGS 84 / UPS South
+    5041: ("ps", WGS84, dict(lat_ts=90.0, k0=0.994, lon0=0.0,
+                             fe=2000000.0, fn=2000000.0)),
+    # WGS 84 / UPS North (E,N) — same projection, modern code
+    5042: ("ps", WGS84, dict(lat_ts=-90.0, k0=0.994, lon0=0.0,
+                             fe=2000000.0, fn=2000000.0)),
+    # WGS 84 / UPS South (E,N)
+    9311: ("laea", (6370997.0, 0.0), dict(lat0=45.0, lon0=-100.0,
+                                          fe=0.0, fn=0.0)),
+    # NAD27 / US National Atlas Equal Area — the non-deprecated
+    # successor to 2163 (identical authalic-sphere parameters)
+    3347: ("lcc", GRS80, dict(lat1=49.0, lat2=77.0,
+                              lat0=63.0 + 23.0 / 60.0 + 26.43 / 3600.0,
+                              lon0=-(91.0 + 52.0 / 60.0),
+                              fe=6200000.0, fn=3000000.0)),
+    # NAD83 / Statistics Canada Lambert
 }
 
 
@@ -707,6 +744,36 @@ def _generated_epsg_rows() -> dict[int, tuple]:
         rows[4093 + i] = ("tm", GRS80, dict(
             lat0=0.0, lon0=cm, k0=0.99998,
             fe=200000.0 * (i + 1), fn=-5000000.0))
+    # --- round-9b series -----------------------------------------------------
+    # SIRGAS 2000 / UTM (Brazil + neighbours; SIRGAS treated WGS84-
+    # coincident like ETRS89/NAD83): zones 11N-22N = 31965..31976,
+    # zones 17S-25S = 31977..31985
+    for i in range(12):
+        z = 11 + i
+        rows[31965 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=6.0 * z - 183.0, k0=0.9996,
+            fe=500000.0, fn=0.0))
+    for i in range(9):
+        z = 17 + i
+        rows[31977 + i] = ("tm", GRS80, dict(
+            lat0=0.0, lon0=6.0 * z - 183.0, k0=0.9996,
+            fe=500000.0, fn=10000000.0))
+    # POSGAR 2007 / Argentina fajas 1-7 = 5343..5349 (Gauss-Kruger from
+    # the SOUTH POLE: lat0 = -90, CM -72..-54 in 3-degree steps,
+    # FE = faja * 1,000 km + 500 km)
+    for i in range(7):
+        rows[5343 + i] = ("tm", GRS80, dict(
+            lat0=-90.0, lon0=-72.0 + 3.0 * i, k0=1.0,
+            fe=(i + 1) * 1_000_000.0 + 500_000.0, fn=0.0))
+    # MAGNA-SIRGAS / Colombia zones = 3114..3118 (TM from the Bogota
+    # origin 4deg35'46.3215"N, CMs in 3-degree steps around
+    # 74deg04'39.0285"W, FE = FN = 1,000 km)
+    _co_lat0 = 4.0 + 35.0 / 60.0 + 46.3215 / 3600.0
+    _co_bog = -(74.0 + 4.0 / 60.0 + 39.0285 / 3600.0)
+    for i in range(5):
+        rows[3114 + i] = ("tm", GRS80, dict(
+            lat0=_co_lat0, lon0=_co_bog + 3.0 * (i - 2), k0=1.0,
+            fe=1000000.0, fn=1000000.0))
     rows.update(_spcs83_rows())
     return rows
 

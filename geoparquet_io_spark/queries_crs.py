@@ -670,3 +670,89 @@ def q_reproject_dktm3(spark, sf_dir):
     NEGATIVE 5,000 km false northing in one row."""
     return _spark_reproject(spark, sf_dir, "EPSG:4095",
                             lon_range=(5.75, 17.75))
+
+
+# --- round-9b oracles: UPS (variant A), southern GK from the pole, ---------
+# --- SIRGAS UTM south ------------------------------------------------------
+
+_UPS_N = P.make_polar_stereo(*P.WGS84, lat_ts=90.0, lon0=0.0,
+                             fe=2000000.0, fn=2000000.0, k0=0.994)
+
+
+def _ups_north_sql() -> str:
+    """Polar stereographic VARIANT A (EPSG method 9810, pole-tangent
+    k0): same SQL shape as the 3413 variant-B oracle — the k0 form is
+    baked into the (mc, tc=1) constants by make_polar_stereo."""
+    e = _UPS_N.e
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, lon, radians(lat) AS phi,
+                 sin(radians(lat)) AS sp FROM pts WHERE lat >= 55.0),
+    t AS (SELECT event_id, lon,
+      tan(pi() / 4.0 - phi / 2.0)
+        * pow((1.0 + {e!r} * sp) / (1.0 - {e!r} * sp), {e / 2.0!r}) AS tv
+      FROM s),
+    r AS (SELECT event_id,
+      CAST({_UPS_N.a!r} AS DOUBLE) * {_UPS_N.mc!r} * tv / {_UPS_N.tc!r} AS rho,
+      radians(lon - {_UPS_N.lon0!r}) AS dlam
+      FROM t)
+    SELECT event_id,
+      ROUND({_UPS_N.fe!r} + rho * sin(dlam), 1) + 0.0 AS px,
+      ROUND({_UPS_N.fn!r} - rho * cos(dlam), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+@register("geo_reproject_ups_north", _ups_north_sql())
+def q_reproject_ups_north(spark, sf_dir):
+    """EPSG:32661 (WGS 84 / UPS North) — the military/polar grid, and
+    the registry's first VARIANT-A polar stereographic (k0 = 0.994 AT
+    the pole, where variant B's lat_ts constants divide 0/0).  Matches
+    the EPSG Guidance Note worked example to the cm (unit test).
+    Reference semantics: core/reproject.py:94-160."""
+    return _spark_reproject_lat(spark, sf_dir, "EPSG:32661", lat_min=55.0)
+
+
+def _spark_reproject_lat(spark, sf_dir, epsg: str, lat_min=None,
+                         lat_max=None):
+    gt = _events_points(spark, sf_dir)
+    df = gt.df
+    if lat_min is not None:
+        df = df.filter(F.col("lat") >= lat_min)
+    if lat_max is not None:
+        df = df.filter(F.col("lat") <= lat_max)
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject(epsg)
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_POSGAR5 = P.make_tm(*P.GRS80, lat0=-90.0, lon0=-60.0, k0=1.0,
+                     fe=5500000.0, fn=0.0)
+
+
+@register("geo_reproject_posgar5", _tm_registry_sql(_POSGAR5, -63.0, -57.0))
+def q_reproject_posgar5(spark, sf_dir):
+    """EPSG:5347 (POSGAR 2007 / Argentina faja 5) via the r9b generated
+    series — the first oracle whose latitude of origin is the SOUTH
+    POLE (lat0 = -90: the Krueger m0 term is a quarter-meridian), the
+    Argentine Gauss-Kruger convention."""
+    return _spark_reproject(spark, sf_dir, "EPSG:5347",
+                            lon_range=(-63.0, -57.0))
+
+
+_SIRGAS23S = P.make_tm(*P.GRS80, lat0=0.0, lon0=-45.0, k0=0.9996,
+                       fe=500000.0, fn=10000000.0)
+
+
+@register("geo_reproject_sirgas_utm23s",
+          _tm_registry_sql(_SIRGAS23S, -48.0, -42.0))
+def q_reproject_sirgas_utm23s(spark, sf_dir):
+    """EPSG:31983 (SIRGAS 2000 / UTM 23S — the Sao Paulo zone) via the
+    r9b generated Brazilian series: southern-hemisphere UTM (FN 10,000
+    km) under the SIRGAS frame."""
+    return _spark_reproject(spark, sf_dir, "EPSG:31983",
+                            lon_range=(-48.0, -42.0))

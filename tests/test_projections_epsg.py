@@ -101,6 +101,13 @@ def test_krovak_worked_example():
     (3059, (20.9, 28.3), (55.6, 58.1)),       # LKS-92 / Latvia TM
     (7845, (112.0, 154.0), (-44.0, -10.0)),   # GDA2020 / GA LCC
     (4095, (10.5, 13.0), (54.5, 57.8)),       # ETRS89 / DKTM3
+    # round-9b tranche
+    (32661, (-180.0, 180.0), (70.0, 88.0)),   # WGS 84 / UPS North
+    (32761, (-180.0, 180.0), (-88.0, -70.0)),  # WGS 84 / UPS South
+    (5347, (-61.5, -58.5), (-52.0, -23.0)),   # POSGAR 2007 / Argentina 5
+    (3116, (-75.6, -72.6), (-2.0, 11.5)),     # MAGNA-SIRGAS / Colombia Bogota
+    (31983, (-48.0, -42.0), (-25.0, -2.0)),   # SIRGAS 2000 / UTM 23S
+    (3347, (-140.0, -55.0), (42.0, 82.0)),    # NAD83 / StatCan Lambert
 ])
 def test_roundtrip_new_codes(code, lon_range, lat_range):
     rng = np.random.default_rng(code)
@@ -411,6 +418,13 @@ def test_epsg_table_equal_area_and_ps_scale(code, ent):
         for lat in (p["lat1"], p["lat2"]):
             km = _scale_at(fwd, p["lon0"] + 2.0, lat, *ell)
             assert abs(km - 1.0) < 1e-5, (code, lat)  # k=1 ON the parallels
+    elif abs(p["lat_ts"]) == 90.0:
+        # pole-tangent variant A (UPS): scale approaches the published
+        # k0 AT the pole; 0.01 deg off-pole the deviation is < 1e-7
+        pole = 90.0 if p["lat_ts"] > 0 else -90.0
+        k = _scale_at(fwd, p["lon0"] + 10.0, pole - 0.01 * (1 if pole > 0
+                                                            else -1), *ell)
+        assert abs(k - p["k0"]) < 1e-5, (code, k)
     else:
         # polar stereographic: unit scale at the published lat_ts
         k = _scale_at(fwd, p["lon0"] + 10.0, p["lat_ts"], *ell)
@@ -541,3 +555,56 @@ def test_wkt_params_match_executed_kernels():
             pk = wkt_keys.get(wk)
             if pk and pk in params:
                 assert abs(params[pk] - pv) < 1e-9, (code, wk, pv, params[pk])
+
+
+def test_round9b_series_coarse_anchors():
+    """Anchors for the r9b tranche: the UPS rows get the EXACT EPSG
+    worked example (Guidance Note 7-2, method 9810: 73N 44E ->
+    E 3,320,416.75 / N 632,668.43); the Americas nationals get +-2 km
+    city anchors, loose enough to need no authority beyond well-known
+    grid references but tight enough to catch a wrong CM, false origin,
+    hemisphere, or k0."""
+    fwd = C.get_transformer("EPSG:4326", "EPSG:32661")
+    x, y = fwd(np.array([44.0]), np.array([73.0]))
+    assert abs(float(x[0]) - 3320416.75) < 0.01
+    assert abs(float(y[0]) - 632668.43) < 0.01
+    # 5041 is the same projection under the modern (E,N) code
+    f2 = C.get_transformer("EPSG:4326", "EPSG:5041")
+    x2, y2 = f2(np.array([44.0]), np.array([73.0]))
+    assert float(x2[0]) == float(x[0]) and float(y2[0]) == float(y[0])
+    # UPS South mirrors the north: same point reflected across the
+    # equator must land at the same easting, mirrored northing offset
+    fs = C.get_transformer("EPSG:4326", "EPSG:32761")
+    xs, ys = fs(np.array([44.0]), np.array([-73.0]))
+    assert abs(float(xs[0]) - float(x[0])) < 1e-6
+    assert abs((float(ys[0]) - 2e6) + (float(y[0]) - 2e6)) < 1e-6
+    # Buenos Aires (58.38W, 34.60S) in POSGAR 2007 faja 5: FE 5,500 km
+    # + ~149 km east of the 60W CM; ~6,170 km of arc from the pole
+    fwd = C.get_transformer("EPSG:4326", "EPSG:5347")
+    x, y = fwd(np.array([-58.38]), np.array([-34.60]))
+    assert abs(float(x[0]) - 5_648_600) < 2000
+    assert abs(float(y[0]) - 6_170_500) < 2000
+    # MAGNA-SIRGAS Bogota zone: the projection origin IS the published
+    # false origin (1,000,000 / 1,000,000) — exact by construction
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3116")
+    x, y = fwd(np.array([-(74.0 + 4.0 / 60.0 + 39.0285 / 3600.0)]),
+               np.array([4.0 + 35.0 / 60.0 + 46.3215 / 3600.0]))
+    assert abs(float(x[0]) - 1_000_000) < 0.01
+    assert abs(float(y[0]) - 1_000_000) < 0.01
+    # Sao Paulo (46.63W, 23.55S) in SIRGAS 2000 / UTM 23S:
+    # ~E 333,600 / N 7,394,600
+    fwd = C.get_transformer("EPSG:4326", "EPSG:31983")
+    x, y = fwd(np.array([-46.63]), np.array([-23.55]))
+    assert abs(float(x[0]) - 333_600) < 2000
+    assert abs(float(y[0]) - 7_394_600) < 2000
+    # 9311 (US National Atlas, non-deprecated code) == 2163 exactly
+    f1 = C.get_transformer("EPSG:4326", "EPSG:2163")
+    f9 = C.get_transformer("EPSG:4326", "EPSG:9311")
+    lon = np.linspace(-120.0, -70.0, 40)
+    lat = np.linspace(25.0, 49.0, 40)
+    assert np.array_equal(np.c_[f1(lon, lat)], np.c_[f9(lon, lat)])
+    # Ottawa (75.70W, 45.42N) in NAD83 / Statistics Canada Lambert
+    fwd = C.get_transformer("EPSG:4326", "EPSG:3347")
+    x, y = fwd(np.array([-75.70]), np.array([45.42]))
+    assert abs(float(x[0]) - 7_471_100) < 2000
+    assert abs(float(y[0]) - 1_190_400) < 2000
