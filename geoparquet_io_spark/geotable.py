@@ -20,6 +20,11 @@ from geoparquet_io_spark.functions import crs as _crs
 from geoparquet_io_spark.functions import geom as G
 
 
+#: sentinel for GeoTable(bbox_column=...): "no covering, and do NOT fall
+#: back to a literal 'bbox' column" — "" can never name a real column
+NO_BBOX = ""
+
+
 class GeoTable:
     """Immutable fluent wrapper: every method returns a new GeoTable."""
 
@@ -37,6 +42,10 @@ class GeoTable:
                 bbox_column = xmin[0]
         if bbox_column is None and "bbox" in df.columns:
             bbox_column = "bbox"
+        # NO_BBOX ("") suppresses both fallbacks: reproject clears the
+        # covering on purpose, and the literal-'bbox' fallback would
+        # re-adopt a stale OLD-CRS column as the covering (degree-valued
+        # bounds against meter geometry — silent unit mixing)
         self._bbox_column = bbox_column if bbox_column in df.columns else None
 
     # -- plumbing -------------------------------------------------------------
@@ -119,6 +128,13 @@ class GeoTable:
             # metadata would make write() stamp a footer whose
             # primary_column doesn't exist in the file
             geo = None
+        if (geo is not None and self._bbox_column is not None
+                and self._bbox_column not in df.columns):
+            # the projection dropped the COVERING column: a footer whose
+            # covering references a nonexistent column is spec-invalid
+            # (validate() flags it; external covering-aware readers break)
+            geo = geo.copy()
+            geo.clear_covering()
         return GeoTable(df, geo, bbox_column=self._bbox_column)
 
     def head(self, n: int = 10) -> "GeoTable":
@@ -253,7 +269,7 @@ class GeoTable:
         else:
             geo.ensure_primary().crs = _crs.normalize_crs(dst)
         geo.ensure_primary().bbox = None  # stale after transform
-        return GeoTable(df, geo, bbox_column=None)
+        return GeoTable(df, geo, bbox_column=NO_BBOX)
 
     # -- sorts (SURVEY 2.7) --------------------------------------------------------
 

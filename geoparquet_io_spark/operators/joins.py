@@ -106,6 +106,7 @@ def spatial_join(
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size, left_id,
+            right_bbox=right_bbox,
         )
     # right side fits both gates: NOW collect the payload (the probe saw
     # every row, so this limit returns the complete set)
@@ -126,6 +127,7 @@ def spatial_join(
         return _route_to_grid_join(
             left, left_geometry, left_bbox, right, right_geometry,
             right_columns, how, grid_cell_size, left_id,
+            right_bbox=right_bbox,
         )
 
     # driver-side candidate index: right envelopes as numpy arrays.
@@ -144,6 +146,14 @@ def spatial_join(
         from geoparquet_io_spark.operators.stats import bounds as _bounds
 
         ext = _bounds(left, geometry_column=left_geometry, bbox_column=left_bbox)
+        if ext is None or any(v is None for v in ext):
+            # empty / all-NULL-geometry left: no extent exists (the
+            # None fields crashed the numpy comparisons below); nothing
+            # can match, so pruning is moot — keep the right side as-is
+            ext = None
+    else:
+        ext = None
+    if ext is not None:
         keep = [
             i for i in range(len(r_geoms))
             if not (r_envs[i, 0] > ext[2] or r_envs[i, 2] < ext[0]
@@ -252,6 +262,7 @@ def _route_to_grid_join(
     how: str,
     cell_size: float,
     left_id: str | None = None,
+    right_bbox: str | None = None,
 ) -> DataFrame:
     """Big right side: same join via grid partitioning.
 
@@ -265,14 +276,15 @@ def _route_to_grid_join(
     if how == "inner":
         return grid_spatial_join(
             left, left_geometry, right, right_geometry, right_columns,
-            how="inner", left_bbox=left_bbox, cell_size=cell_size,
+            how="inner", left_bbox=left_bbox, right_bbox=right_bbox,
+            cell_size=cell_size,
         )
     if left_id is not None:
         # natural unique key: no synthesized ids, no materialization
         return grid_spatial_join(
             left, left_geometry, right, right_geometry, right_columns,
             how="left", left_id=left_id, left_bbox=left_bbox,
-            cell_size=cell_size,
+            right_bbox=right_bbox, cell_size=cell_size,
         )
     tagged = left.withColumn(
         "__sj_id", F.monotonically_increasing_id()
@@ -280,7 +292,7 @@ def _route_to_grid_join(
     return grid_spatial_join(
         tagged, left_geometry, right, right_geometry, right_columns,
         how="left", left_id="__sj_id", left_bbox=left_bbox,
-        cell_size=cell_size,
+        right_bbox=right_bbox, cell_size=cell_size,
     ).drop("__sj_id")
 
 
@@ -341,8 +353,21 @@ def _pack_cell(cx: Column, cy: Column) -> Column:
     # inside int64) supports cell indices to ~1e9 — metric CRS
     # northings at metre-scale cells included.  The old 21-bit pack
     # silently COLLIDED past |index| ~1e6, emitting duplicate join rows
-    # through spurious reference-cell matches.
-    return (cx + F.lit(1 << 30)) * F.lit(1 << 31) + (cy + F.lit(1 << 30))
+    # through spurious reference-cell matches; indices past +-2^30 now
+    # raise (two comparisons per row) instead of re-admitting that bug
+    # — the message names the fix (a larger cell_size).
+    lim = F.lit(1 << 30)
+
+    def _ck(v: Column, axis: str) -> Column:
+        return F.when((v >= -lim) & (v < lim), v).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"grid cell {axis}-index "), v.cast("string"),
+                F.lit(" exceeds +-2^30 — raise cell_size (projected-"
+                      "CRS coordinates at this cell size overflow the "
+                      "62-bit cell pack)"))).cast("long"))
+
+    return ((_ck(cx, "x") + F.lit(1 << 30)) * F.lit(1 << 31)
+            + (_ck(cy, "y") + F.lit(1 << 30)))
 
 
 def grid_spatial_join(
@@ -409,6 +434,10 @@ def grid_spatial_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
+    # the left route consumes `matched` TWICE (union + anti-join): pin
+    # it so the double-explode + shuffle + st_intersects filter — the
+    # operator's dominant cost — evaluates once
+    matched = matched.localCheckpoint(eager=False)
     missing = left.join(matched.select(left_id), left_id, "left_anti")
     for col in right_columns:
         missing = missing.withColumn(col, F.lit(None))
@@ -438,10 +467,29 @@ def distance_join(
 
     Distance is ``sqrt(dx*dx + dy*dy)`` written out (not hypot) so a SQL
     oracle can mirror the identical IEEE ops.
+
+    Right-side columns whose names collide with the left (the defaults
+    themselves: lon/lat on both sides) appear in the OUTPUT as
+    ``right_<name>`` — previously the join emitted DUPLICATE column
+    names, so any select on them raised AMBIGUOUS_REFERENCE and a
+    parquet write failed outright.
     """
     if radius <= 0:
         raise ValueError(f"radius must be > 0, got {radius}")
     r = float(radius)
+    clash = [c for c in right.columns if c in left.columns]
+    if clash:
+        mapping = {c: f"right_{c}" for c in clash}
+        taken = set(left.columns) | set(right.columns)
+        bad = [v for v in mapping.values() if v in taken]
+        if bad:
+            raise ValueError(
+                f"cannot auto-rename colliding right columns: {bad} "
+                "already exist; rename the inputs explicitly")
+        right = right.select(*[
+            F.col(c).alias(mapping.get(c, c)) for c in right.columns])
+        right_x = mapping.get(right_x, right_x)
+        right_y = mapping.get(right_y, right_y)
     lcx = F.floor(F.col(left_x) / r).cast("long")
     lcy = F.floor(F.col(left_y) / r).cast("long")
     rcx = F.floor(F.col(right_x) / r).cast("long")
@@ -457,9 +505,8 @@ def distance_join(
     rt = right.withColumn("__cx", rcx).withColumn("__cy", rcy)
 
     joined = l.join(rt, ["__cx", "__cy"])
-    # qualify via the parent dataframes (names may collide across sides)
-    ldx = l[left_x] - rt[right_x]
-    ldy = l[left_y] - rt[right_y]
+    ldx = F.col(left_x) - F.col(right_x)
+    ldy = F.col(left_y) - F.col(right_y)
     dist = F.sqrt(ldx * ldx + ldy * ldy)
     return (joined.withColumn(distance_column, dist)
             .filter(F.col(distance_column) <= r)
@@ -497,8 +544,17 @@ def knn_join(
 
     Right-side columns whose names collide with the left (the defaults
     themselves: lon/lat both sides) appear in the OUTPUT as
-    ``right_<name>``; null-coordinate right rows are dropped (they can
-    never be a nearest neighbor).
+    ``right_<name>``; null-coordinate rows are dropped on BOTH sides —
+    a right one can never be a nearest neighbor, and a left one has no
+    position to search from (it previously fell through every grid
+    round into the brute fallback and emitted k arbitrary partners
+    with NULL distance).
+
+    ``left_id`` must be UNIQUE per left row (same contract as
+    grid_spatial_join): duplicate ids pool the per-point count and
+    ranking window, so both points resolve on their POOLED partner
+    count and split k ranks between them — short/wrong neighbor lists
+    with no error.
 
     Per-round cost: one cell-key equi-join over the unresolved subset.
     Pick ``initial_radius`` near the expected k-neighbor distance (e.g.
@@ -534,6 +590,8 @@ def knn_join(
     # null distance would rank FIRST (asc is nulls-first in Spark)
     right = right.filter(F.col(right_x).isNotNull()
                          & F.col(right_y).isNotNull())
+    left = left.filter(F.col(left_x).isNotNull()
+                       & F.col(left_y).isNotNull())
 
     ties = tie_columns if tie_columns is not None else [right_x, right_y]
     w = Window.partitionBy("__lid").orderBy(

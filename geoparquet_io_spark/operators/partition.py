@@ -77,8 +77,21 @@ def partition_by_quadkey(
     if "quadkey" not in work.df.columns:
         work = work.add_quadkey(zoom=column_resolution)
     key = f"quadkey_{partition_resolution}"
-    work = work._wrap(work.df.withColumn(
-        key, F.substring(F.col("quadkey"), 1, partition_resolution)))
+    # a PRE-EXISTING quadkey column built at a lower zoom than the
+    # requested prefix would silently yield coarser keys under a lying
+    # quadkey_N directory name — assert the length per row (map-side,
+    # free next to the substring); NULL keys pass through to the hive
+    # default partition as before
+    qk = F.col("quadkey")
+    prefix = F.when(qk.isNull(), F.lit(None).cast("string")) \
+        .when(F.length(qk) >= partition_resolution,
+              F.substring(qk, 1, partition_resolution)) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit("quadkey column is coarser than partition_resolution="
+                  f"{partition_resolution} (key "), qk,
+            F.lit(") — rebuild it with add_quadkey(zoom>="
+                  f"{partition_resolution})"))).cast("string"))
+    work = work._wrap(work.df.withColumn(key, prefix))
     return _checked_write(work, key, path, skip_analysis, force, **kw)
 
 

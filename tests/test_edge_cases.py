@@ -1054,3 +1054,132 @@ def test_h3_polyfill_nested_collection(spark):
     a = h3_polyfill(direct, 3).collect()[0]["h3_cells"]
     b = h3_polyfill(nested, 3).collect()[0]["h3_cells"]
     assert a and a == b
+
+
+# --- r9 review-fix regressions (joins / partition / geotable) ----------------
+
+def test_knn_join_drops_null_coordinate_left_rows(spark):
+    """Null-coord left points used to fall through every grid round into
+    the brute crossJoin and emit k arbitrary partners with NULL
+    distance (r9 review)."""
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, None)], "lid long, lon double, lat double")
+    right = spark.createDataFrame(
+        [(10, 0.1, 0.0), (11, 0.2, 0.0), (12, 5.0, 5.0)],
+        "rid long, lon double, lat double")
+    out = knn_join(left, right, k=2, initial_radius=1.0, left_id="lid",
+                   tie_columns=["rid"]).collect()
+    assert {r["lid"] for r in out} == {1}
+    assert sorted(r["rid"] for r in out) == [10, 11]
+
+
+def test_distance_join_default_names_no_duplicate_columns(spark):
+    """Both sides on the default lon/lat used to emit DUPLICATE column
+    names (AMBIGUOUS_REFERENCE on select, parquet write failure)."""
+    from geoparquet_io_spark.operators.joins import distance_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)],
+                                 "lid long, lon double, lat double")
+    right = spark.createDataFrame([(10, 0.5, 0.0)],
+                                  "rid long, lon double, lat double")
+    out = distance_join(left, right, 1.0)
+    assert len(out.columns) == len(set(out.columns))
+    row = out.select("lon", "right_lon", "distance").collect()[0]
+    assert row["lon"] == 0.0 and row["right_lon"] == 0.5
+
+
+def test_grid_join_cell_overflow_raises(spark):
+    """Cell indices past +-2^30 used to COLLIDE in the 62-bit pack,
+    silently emitting duplicate/spurious join rows (r9 review) — now a
+    loud error naming the remedy."""
+    import pytest
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import grid_spatial_join
+
+    big = 2.0e9  # metres; cell_size 1.0 -> index 2e9 > 2^30
+    left = spark.createDataFrame(
+        [(1, bytearray(W.encode_point(big, big)))], "id long, geometry binary")
+    right = spark.createDataFrame(
+        [(2, bytearray(W.encode_point(big, big)), "x")],
+        "rid long, geometry binary, name string")
+    with pytest.raises(Exception, match="cell_size"):
+        grid_spatial_join(left, "geometry", right, "geometry", ["name"],
+                          cell_size=1.0).collect()
+
+
+def test_partition_by_quadkey_coarser_column_raises(spark, tmp_path):
+    import pytest
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    rows = [(i, bytearray(W.encode_point(float(i), 1.0))) for i in range(4)]
+    gt = GeoTable(spark.createDataFrame(rows, "id long, geometry binary"),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    coarse = gt.add_quadkey(zoom=5)      # pre-existing res-5 column
+    with pytest.raises(Exception, match="add_quadkey"):
+        coarse.partition_by_quadkey(str(tmp_path / "p"),
+                                    partition_resolution=9,
+                                    skip_analysis=True)
+
+
+def test_extract_dropping_bbox_clears_covering(spark):
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    rows = [(i, bytearray(W.encode_point(float(i), 1.0))) for i in range(3)]
+    gt = GeoTable(spark.createDataFrame(rows, "id long, geometry binary"),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()})).add_bbox()
+    assert gt.geo.primary.covering            # covering registered
+    out = gt.extract(exclude_columns=["bbox"])
+    assert "bbox" not in out.df.columns
+    assert out.geo.primary.covering is None   # footer stays spec-valid
+    assert gt.geo.primary.covering            # original untouched
+
+
+def test_reproject_does_not_readopt_stale_literal_bbox(spark):
+    """A literal 'bbox' column that is NOT the covering must not be
+    re-adopted after reproject — it still holds old-CRS values."""
+    from pyspark.sql import functions as F2
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    rows = [(i, bytearray(W.encode_point(float(i), 45.0))) for i in range(3)]
+    stale = F2.struct(
+        F2.lit(0.0).alias("xmin"), F2.lit(0.0).alias("ymin"),
+        F2.lit(1.0).alias("xmax"), F2.lit(1.0).alias("ymax"))
+    df = spark.createDataFrame(rows, "id long, geometry binary") \
+        .withColumn("custom_bbox", stale).withColumn("bbox", stale)
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}),
+                  bbox_column="custom_bbox")
+    assert gt.bbox_column == "custom_bbox"
+    out = gt.reproject("EPSG:3857")
+    assert "custom_bbox" not in out.df.columns   # tracked covering dropped
+    assert "bbox" in out.df.columns              # user column untouched
+    assert out.bbox_column is None               # and NOT re-adopted
+
+
+def test_spatial_join_empty_left_with_big_right_prunes_safely(spark):
+    """stats.bounds on an empty left returns None fields; the extent
+    prune previously crashed comparing numpy floats to None."""
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import spatial_join
+
+    left = spark.createDataFrame([], "id long, geometry binary")
+    rows = [(i, bytearray(W.encode_point(float(i % 360 - 180),
+                                         float(i % 160 - 80))), f"n{i}")
+            for i in range(10_050)]
+    right = spark.createDataFrame(rows, "rid long, geometry binary, name string")
+    out = spatial_join(left, "geometry", None, right, "geometry", None,
+                       ["name"], how="left")
+    assert out.count() == 0
