@@ -447,11 +447,20 @@ def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
         from geoparquet_io_spark.sources.geoparquet import (
             patch_footer_metadata)
 
+        if hilbert:
+            # the metadata-only path never rewrites data pages, so it
+            # CANNOT re-sort — returning without the requested re-sort
+            # silently dropped it from the applied list
+            raise ValueError(
+                "hilbert=True cannot combine with bbox_metadata_only "
+                "(a footer patch never reorders data pages) — run the "
+                "full rewrite instead")
         gt2 = gt.add_bbox_metadata("bbox")
         geo_json = gt2.geo.to_json()
         outs = []
-        for f in _files(path):
-            dst = out_path if len(_files(path)) == 1 else os.path.join(
+        files = _files(path)   # once — re-globbing per file was O(n^2)
+        for f in files:
+            dst = out_path if len(files) == 1 else os.path.join(
                 out_path, os.path.relpath(f, path))
             os.makedirs(os.path.dirname(os.path.abspath(dst)) or ".",
                         exist_ok=True)
@@ -474,6 +483,10 @@ def check_fixes(spark, path: str, out_path: str, hilbert: bool = False,
 def inspect_summary(path: str) -> dict:
     """Footer-only summary (reference: core/inspect.py:64-247)."""
     files = _files(path)
+    if not files:
+        # same guard as every sibling check_* function — a typo'd path
+        # surfaced as a bare IndexError (opaquely, via STAC generation)
+        raise FileNotFoundError(path)
     md = pq.read_metadata(files[0])
     schema = pq.read_schema(files[0])
     geo = GeoMeta.from_footer(schema.metadata)

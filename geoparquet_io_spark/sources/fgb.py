@@ -158,6 +158,12 @@ def decode_properties(blob: bytes, columns: list[dict]) -> dict:
     while off + 2 <= len(blob):
         ci = struct.unpack_from("<H", blob, off)[0]
         off += 2
+        if ci >= len(columns):
+            # untrusted file bytes: a corrupt column index otherwise
+            # dies as a bare IndexError deep in an executor task
+            raise ValueError(
+                f"corrupt FlatGeobuf properties: column index {ci} out "
+                f"of range (header declares {len(columns)} columns)")
         col = columns[ci]
         ct = col["type"]
         if ct in _FIXED_FMT:
@@ -402,6 +408,15 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
             raise ValueError(f"{path!r} is not a FlatGeobuf file")
         hsize = struct.unpack("<I", fh.read(4))[0]
         header = _parse_header(fh.read(hsize))
+        if header.get("has_z") or header.get("has_m"):
+            # fail BEFORE the feature-section work (the Z/M stance
+            # matches the WKB parser): has_z/has_m is known from the
+            # header alone, and the unindexed path below would
+            # otherwise walk every size prefix of a multi-GB file first
+            raise ValueError(
+                f"{path!r} declares Z/M coordinates "
+                f"(hasZ={header['has_z']}, hasM={header['has_m']}) — "
+                "only 2-D FlatGeobuf is supported")
         isize = packed_rtree_size(header["features_count"],
                                   header["index_node_size"])
         index = fh.read(isize) if isize else b""
@@ -438,13 +453,6 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                 feat_spans.append((fh.tell(), ln))
                 fh.seek(ln, os.SEEK_CUR)
 
-    if header.get("has_z") or header.get("has_m"):
-        # the xy vector would still decode, but Z/M live in separate
-        # vectors this 2-D engine never reads — dropping them silently
-        # contradicts the WKB path, which raises for 3-D input
-        raise ValueError(
-            f"{path!r} declares Z/M coordinates (hasZ={header['has_z']}, "
-            f"hasM={header['has_m']}) — only 2-D FlatGeobuf is supported")
     cols = header["columns"]
     clash = [c["name"] for c in cols if c["name"] == geometry_column]
     if clash:
@@ -559,6 +567,11 @@ def write_fgb(gt, path: str, name: str | None = None,
     for r in rows:
         if r[gcol] is not None:
             x0, y0, x1, y1 = W.envelope(bytes(r[gcol]))
+            if x0 != x0:
+                # empty geometry: a NaN envelope seeded into min()/max()
+                # stays NaN forever — the header extent and the Hilbert
+                # sort grid would both be garbage
+                continue
             env[0] = x0 if env[0] is None else min(env[0], x0)
             env[1] = y0 if env[1] is None else min(env[1], y0)
             env[2] = x1 if env[2] is None else max(env[2], x1)
@@ -584,7 +597,11 @@ def write_fgb(gt, path: str, name: str | None = None,
             wkb = bytes(r[gcol])
             ffields[0] = ("offset",
                           _build_geom_table(fb, W.parse(wkb), declared))
-            feat_boxes.append(W.envelope(wkb))
+            bx = W.envelope(wkb)
+            # empty geometry: NaN boxes corrupt the packed R-tree node
+            # bounds — same (0,0,0,0) placeholder as NULL geometries
+            feat_boxes.append(bx if bx[0] == bx[0]
+                              else (0.0, 0.0, 0.0, 0.0))
         else:
             feat_boxes.append((0.0, 0.0, 0.0, 0.0))
         props = encode_properties(

@@ -81,13 +81,24 @@ def arcgis_count(url: str, where: str = "1=1", bbox=None,
 
 
 def _arcgis_layer_info(url: str, token: str | None = None) -> dict:
-    """Layer metadata (f=json on the layer root); {} when the server
-    doesn't answer it (minimal mocks, pre-10.x servers)."""
+    """Layer metadata (f=json on the layer ROOT — not /query); {} when
+    the server doesn't answer it (pre-10.x servers).
+
+    r9 review follow-up: this previously went through _arcgis_query,
+    which always appends '/query' — so it silently fetched a FEATURES
+    page instead of layer metadata, objectIdField/supportsPagination
+    were never seen, and both the pagination gate and the orderByFields
+    stability invariant were dead in practice."""
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
     try:
         params: dict = {"f": "json"}
         if token:
             params["token"] = token
-        return _arcgis_query(url, params)
+        with urlopen(f"{url}?{urlencode(params)}") as resp:
+            doc = json.load(resp)
+        return {} if "error" in doc else doc
     except Exception:
         return {}
 
@@ -158,6 +169,18 @@ def extract_arcgis(
             "pagination — distributed offset windows would duplicate or "
             "miss rows; extract sequentially instead")
     oid = info.get("objectIdField") or info.get("objectIdFieldName")
+    if not oid:
+        # the fetcher's stability invariant: resultOffset windows are
+        # only correct under an explicit total order.  Proceeding
+        # without one silently risks duplicated/missing rows across
+        # parallel windows — the same failure the
+        # supportsPagination=False gate above refuses loudly.
+        raise ValueError(
+            f"FeatureService layer {url!r} did not report an "
+            "objectIdField (layer-info call failed or field absent) — "
+            "distributed offset windows need an explicit total order; "
+            "pass the id field via out_fields and retry, or extract "
+            "sequentially")
     fetch = _default_arcgis_fetcher(url, where, out_fields, bbox, token,
                                     order_by=oid)
     total = arcgis_count(url, where, bbox, token)

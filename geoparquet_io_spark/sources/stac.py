@@ -107,6 +107,15 @@ def generate_stac_collection(items: list[dict], collection_id: str,
         for d in [it.get("properties", {}).get("datetime")
                   or it.get("properties", {}).get("start_datetime")]
         if d is not None)
+    # the interval UPPER bound must see end_datetime too: an open-ended
+    # item (datetime null, start 2020, end 2025) otherwise published a
+    # temporal extent ending years before the data does
+    ends = sorted(
+        d for it in items
+        for d in [it.get("properties", {}).get("end_datetime")
+                  or it.get("properties", {}).get("datetime")
+                  or it.get("properties", {}).get("start_datetime")]
+        if d is not None)
     return {
         "type": "Collection",
         "stac_version": "1.0.0",
@@ -116,7 +125,7 @@ def generate_stac_collection(items: list[dict], collection_id: str,
         "extent": {
             "spatial": {"bbox": [union]},
             "temporal": {"interval": [[dts[0] if dts else None,
-                                       dts[-1] if dts else None]]},
+                                       ends[-1] if ends else None]]},
         },
         "links": [],
     }
@@ -221,7 +230,11 @@ def _item_checks(d: dict, res: dict, stac_dir: str | None) -> None:
     code = props.get("proj:code") or props.get("proj:epsg")
     if code is not None:
         s = f"EPSG:{code}" if isinstance(code, int) else str(code)
-        if ":" not in s or not s.split(":", 1)[1].isdigit():
+        # the projection extension allows NON-numeric codes (OGC:CRS84 —
+        # which this library's own generator emits for the default CRS —
+        # IAU_2015:30100, ...): require authority:code shape only
+        parts = s.split(":", 1)
+        if len(parts) != 2 or not parts[0] or not parts[1]:
             res["errors"].append(f"malformed proj code: {code!r}")
 
 
@@ -235,6 +248,13 @@ def _collection_checks(d: dict, res: dict) -> None:
         res["errors"].append("extent.spatial.bbox missing or not a list")
     else:
         for b in sp:
+            # a FLAT list of floats (instead of a list of bboxes) is a
+            # common malformation — report it, don't crash on len(float)
+            if not isinstance(b, (list, tuple)):
+                res["errors"].append(
+                    "extent.spatial.bbox must be a LIST of bboxes "
+                    f"(got element {b!r})")
+                continue
             # west > east allowed (antimeridian); latitude must order
             if len(b) not in (4, 6) or _planar_bbox(b)[1] > _planar_bbox(b)[3]:
                 res["errors"].append(f"invalid collection bbox: {b}")
@@ -287,6 +307,11 @@ def validate_stac_file(path: str) -> dict:
                 "warnings": [], "info": {}}
     except FileNotFoundError:
         return {"valid": False, "errors": [f"file not found: {path}"],
+                "warnings": [], "info": {}}
+    except (OSError, UnicodeDecodeError) as e:
+        # directory / permission / encoding problems: the contract is a
+        # {'valid': False, errors} result, not an unhandled exception
+        return {"valid": False, "errors": [f"cannot read {path}: {e}"],
                 "warnings": [], "info": {}}
     return validate_stac_dict(d, stac_dir=os.path.dirname(path) or ".")
 

@@ -282,3 +282,92 @@ def test_stac_collection_null_datetimes(tmp_path):
     coll = generate_stac_collection(items, "c1")
     iv = coll["extent"]["temporal"]["interval"][0]
     assert iv == ["2026-01-01T00:00:00Z", "2026-03-01T00:00:00Z"]
+
+
+# --- r9 review-fix regressions ------------------------------------------------
+
+def test_stac_proj_code_accepts_non_numeric_authorities(tmp_path):
+    """proj:code may be non-numeric (OGC:CRS84 — which generate_stac_item
+    itself emits for the default CRS); the validator previously rejected
+    its own output (r9 review, verified by execution)."""
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    base = {
+        "type": "Feature", "stac_version": "1.0.0", "id": "x",
+        "geometry": {"type": "Polygon", "coordinates": [
+            [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]},
+        "bbox": [0, 0, 1, 1],
+        "properties": {"datetime": "2020-01-01T00:00:00Z",
+                       "proj:code": "OGC:CRS84"},
+        "assets": {}, "links": [{"rel": "self", "href": "x.json"}],
+    }
+    assert validate_stac_dict(dict(base))["errors"] == []
+    bad = dict(base); bad["properties"] = dict(base["properties"],
+                                               **{"proj:code": "nocolon"})
+    assert any("proj code" in e for e in validate_stac_dict(bad)["errors"])
+
+
+def test_stac_collection_flat_bbox_reported_not_crashed():
+    from geoparquet_io_spark.sources.stac import validate_stac_dict
+
+    col = {
+        "type": "Collection", "stac_version": "1.0.0", "id": "c",
+        "description": "d", "license": "proprietary",
+        "extent": {"spatial": {"bbox": [0.0, 0.0, 1.0, 1.0]},
+                   "temporal": {"interval": [[None, None]]}},
+        "links": [],
+    }
+    res = validate_stac_dict(col)
+    assert res["valid"] is False
+    assert any("LIST of bboxes" in e for e in res["errors"])
+
+
+def test_stac_collection_extent_sees_end_datetime():
+    from geoparquet_io_spark.sources.stac import generate_stac_collection
+
+    items = [{"bbox": [0, 0, 1, 1], "properties": {
+        "datetime": None,
+        "start_datetime": "2020-01-01T00:00:00Z",
+        "end_datetime": "2025-12-31T00:00:00Z"}}]
+    col = generate_stac_collection(items, "c")
+    iv = col["extent"]["temporal"]["interval"][0]
+    assert iv == ["2020-01-01T00:00:00Z", "2025-12-31T00:00:00Z"]
+
+
+def test_stac_validate_file_on_directory_returns_invalid(tmp_path):
+    from geoparquet_io_spark.sources.stac import validate_stac_file
+
+    res = validate_stac_file(str(tmp_path))
+    assert res["valid"] is False and res["errors"]
+
+
+def test_inspect_summary_missing_path_is_file_not_found():
+    import pytest
+
+    from geoparquet_io_spark.operators.inspect_check import inspect_summary
+
+    with pytest.raises(FileNotFoundError):
+        inspect_summary("/nonexistent/nowhere")
+
+
+def test_arcgis_layer_info_hits_layer_root(spark):
+    """_arcgis_layer_info previously went through _arcgis_query (which
+    appends /query) and fetched a FEATURES page instead of metadata —
+    objectIdField and supportsPagination were never actually read."""
+    import threading
+    from http.server import HTTPServer
+
+    from tests.test_arcgis_http import _Handler
+    from geoparquet_io_spark.sources.remote import _arcgis_layer_info
+
+    _Handler.require_token = False
+    _Handler.requests_seen = []
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        info = _arcgis_layer_info(
+            f"http://127.0.0.1:{srv.server_port}/FeatureServer/0")
+    finally:
+        srv.shutdown()
+    assert info.get("objectIdField") == "oid"
+    assert info["advancedQueryCapabilities"]["supportsPagination"] is True

@@ -1141,3 +1141,43 @@ def test_write_csv_single_file_replaces_directory(spark, tmp_path):
     assert os.path.isdir(out)
     write_csv(gt, out, single_file=True)
     assert os.path.isfile(out)          # not a part file inside the dir
+
+
+def test_fgb_empty_geometry_does_not_poison_header_envelope(spark, tmp_path):
+    """An empty geometry's NaN envelope used to seed min()/max() and
+    stay NaN forever — garbage header extent and a meaningless Hilbert
+    sort grid (r9 review, verified by execution)."""
+    import struct as _s
+
+    from geoparquet_io_spark.sources.fgb import read_fgb, write_fgb
+
+    empty_ls = _s.pack("<BII", 1, 2, 0)       # LINESTRING EMPTY
+    rows = [Row(geometry=bytearray(empty_ls), v=0),
+            Row(geometry=bytearray(W.encode_point(2.0, 3.0)), v=1),
+            Row(geometry=bytearray(W.encode_point(5.0, 7.0)), v=2)]
+    gt = GeoTable(spark.createDataFrame(rows),
+                  GeoMeta(primary_column="geometry",
+                          columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "empty.fgb")
+    write_fgb(gt, out)
+    from geoparquet_io_spark.sources.fgb import _parse_header
+    with open(out, "rb") as fh:
+        fh.read(8)
+        hsize = _s.unpack("<I", fh.read(4))[0]
+        hdr = _parse_header(fh.read(hsize))
+    env = hdr.get("envelope")
+    assert env and all(v == v for v in env), env
+    assert env == [2.0, 3.0, 5.0, 7.0]
+    assert read_fgb(spark, out).df.count() == 3
+
+
+def test_fgb_corrupt_column_index_is_value_error():
+    import pytest
+
+    from geoparquet_io_spark.sources.fgb import decode_properties
+
+    import struct as _s
+    cols = [{"name": "a", "type": 4}]         # one int column
+    blob = _s.pack("<H", 7) + b"\x00" * 8     # column index 7 of 1
+    with pytest.raises(ValueError, match="column index"):
+        decode_properties(blob, cols)
