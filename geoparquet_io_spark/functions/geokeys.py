@@ -35,11 +35,13 @@ def _spread_bits(v: Column) -> Column:
 
 def _grid_scale(v: Column, lo: float, hi: float, order: int) -> Column:
     """Same scaling as hilbert.scale_to_grid: floor((v-lo)/span*n + 0.5),
-    clamped to [0, 2^order - 1].  NULL coordinates PROPAGATE (Spark's
-    least/greatest skip NULL args, so the bare clamp fabricated cell 0);
-    a degenerate envelope yields one cell instead of an ANSI
-    DIVIDE_BY_ZERO job kill."""
+    clamped to [0, 2^order - 1].  NULL *and NaN* coordinates PROPAGATE
+    (Spark's least/greatest skip NULL args and floor(NaN) casts to 0 —
+    both bare forms fabricated a real-looking cell 0 for missing
+    coordinates); a degenerate envelope yields one cell instead of an
+    ANSI DIVIDE_BY_ZERO job kill."""
     n = (1 << order) - 1
+    v = F.when(~F.isnan(v), v)          # NaN -> NULL, then gated below
     if hi - lo <= 0:
         return F.when(v.isNotNull(), F.lit(0)).cast("long")
     g = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)) + F.lit(0.5))
@@ -94,6 +96,7 @@ def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
 
 def _clamped_cell(v: Column, lo: float, hi: float, nbits: int) -> Column:
     n = 1 << nbits
+    v = F.when(~F.isnan(v), v)          # NaN -> NULL (floor(NaN) is 0)
     g = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)))
     # NULL propagates: least/greatest skip NULL args, and the bare clamp
     # fabricated a real-looking cell 0 for missing coordinates

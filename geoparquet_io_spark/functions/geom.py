@@ -331,8 +331,10 @@ def with_hilbert_key(df, x: Column, y: Column,
     expression tree stays linear (a single nested Column expression
     multiplies ~4x per round and hangs analysis; a HOF-aggregate state
     loop was measured 3x slower than Python).  Verified bit-identical
-    to the numpy loop kernel across the grid (tests).  Nulls/NaN ->
-    cell 0, like st_hilbert."""
+    to the numpy loop kernel across the grid (tests).  Nulls/NaN take
+    COORDINATE 0.0 (like st_hilbert's nan_to_num) — i.e. the grid cell
+    containing 0.0 within the extent (mid-extent for symmetric bounds),
+    a deterministic placement, not cell 0."""
     xmin, ymin, xmax, ymax = (float(v) for v in bounds)
     n = (1 << _hilbert.ORDER) - 1
     M = F.lit(0xFFFF).cast("long")
@@ -350,9 +352,12 @@ def with_hilbert_key(df, x: Column, y: Column,
         return F.shiftright(c, k)
 
     t = "__hb_"
-    while any(cname.startswith(t) for cname in df.columns):
+    while any(cname.startswith(t) for cname in df.columns) \
+            or out.startswith(t):
         # never clobber pre-existing columns (user data or a prior
-        # failed run): the cleanup drop below is prefix-based
+        # failed run) — or the OUTPUT name itself: an out like
+        # '__hb_key' matched the prefix-based cleanup drop below and
+        # the just-added key column silently vanished
         t = "_" + t
     df = df.withColumns({t + "x": grid(x.cast("double"), xmin, xmax),
                          t + "y": grid(y.cast("double"), ymin, ymax)})

@@ -27,10 +27,13 @@ def _validate_zoom(zoom: int) -> None:
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """Web-Mercator tile (tx, ty) at ``zoom`` as long Columns.
 
-    NULL coordinates PROPAGATE to NULL tiles: Spark's least/greatest
-    skip NULL args, so the bare clamps silently filed missing
-    coordinates into the top-left tile (real-looking quadkey '000…')."""
+    NULL *and NaN* coordinates PROPAGATE to NULL tiles: Spark's
+    least/greatest skip NULL args and floor(NaN) is 0, so the bare
+    clamps silently filed missing coordinates into the top-left tile
+    (real-looking quadkey '000…') either way."""
     n = float(1 << zoom)
+    lon = F.when(~F.isnan(lon), lon)     # NaN -> NULL (gated below)
+    lat = F.when(~F.isnan(lat), lat)
     lat_c = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat))
     lat_c = F.when(lat.isNotNull(), lat_c)
     x = (lon + F.lit(180.0)) / F.lit(360.0)

@@ -191,14 +191,20 @@ def envelope(buf: bytes):
     g = parse(buf)
     xmin = ymin = math.inf
     xmax = ymax = -math.inf
+    has_points = False
     for arr in g.rings():
         if len(arr) == 0:
             continue
+        has_points = True
         xmin = min(xmin, float(arr[:, 0].min()))
         xmax = max(xmax, float(arr[:, 0].max()))
         ymin = min(ymin, float(arr[:, 1].min()))
         ymax = max(ymax, float(arr[:, 1].max()))
-    if xmin is math.inf:
+    if not has_points:
+        # explicit flag, NOT `xmin is math.inf`: a geometry whose x
+        # coordinates are literally +inf makes min() return the same
+        # math.inf singleton and the identity sentinel misfired,
+        # nulling the bounds of a real row
         return (math.nan, math.nan, math.nan, math.nan)
     return (xmin, ymin, xmax, ymax)
 
@@ -265,8 +271,12 @@ def centroid(buf: bytes):
         sx += (mids[:, 0] * lengths).sum()
         sy += (mids[:, 1] * lengths).sum()
     if tot_l == 0:
-        arrs = list(g.rings())
-        all_pts = np.vstack(arrs) if arrs else np.zeros((1, 2))
+        arrs = [a for a in g.rings() if len(a)]
+        if not arrs:
+            # EMPTY geometry: NaN (maskable to NULL downstream), not a
+            # fabricated real-looking Null-Island (0, 0) centroid
+            return (math.nan, math.nan)
+        all_pts = np.vstack(arrs)
         return float(all_pts[:, 0].mean()), float(all_pts[:, 1].mean())
     return float(sx / tot_l), float(sy / tot_l)
 
@@ -459,12 +469,20 @@ def _pts_to_polyline(pts: np.ndarray, line: np.ndarray) -> float:
     d = p1 - p0
     seg_len2 = (d * d).sum(axis=1)
     seg_len2 = np.where(seg_len2 == 0, 1e-300, seg_len2)
+    # one broadcast (P, S) pass per block instead of a per-point Python
+    # loop (the st_distance hot path ran n_points interpreted
+    # iterations per ring pair); identical elementwise float ops, block
+    # size caps the temporary at ~2M cells
     best = math.inf
-    for p in pts:
-        t = ((p - p0) * d).sum(axis=1) / seg_len2
+    step = max(1, 2_000_000 // max(len(p0), 1))
+    for i in range(0, len(pts), step):
+        blk = pts[i:i + step]                               # (P, 2)
+        diff = blk[:, None, :] - p0[None, :, :]             # (P, S, 2)
+        t = (diff * d[None, :, :]).sum(axis=2) / seg_len2[None, :]
         t = np.clip(t, 0.0, 1.0)
-        proj = p0 + t[:, None] * d
-        dist = np.hypot(proj[:, 0] - p[0], proj[:, 1] - p[1])
+        proj = p0[None, :, :] + t[..., None] * d[None, :, :]
+        dist = np.hypot(proj[..., 0] - blk[:, None, 0],
+                        proj[..., 1] - blk[:, None, 1])
         best = min(best, float(dist.min()))
     return best
 
@@ -599,14 +617,17 @@ def npoints(buf: bytes) -> int:
     return total
 
 
-def convex_hull(buf: bytes) -> bytes:
+def convex_hull(buf: bytes) -> bytes | None:
     """ST_ConvexHull via Andrew's monotone chain (public algorithm,
     O(n log n)).  Returns a POLYGON (CCW shell, closed), a LINESTRING
     for collinear inputs, or a POINT for degenerate ones."""
     g = parse(buf)
     arrs = [arr for arr in g.rings() if len(arr)]
     if not arrs:
-        raise ValueError("convex hull of empty geometry")
+        # EMPTY geometry: NULL result, matching every sibling function
+        # (envelope/centroid/area) — raising here killed whole Spark
+        # jobs through st_convexhull on one EMPTY row
+        return None
     return hull_of_points(np.vstack(arrs))
 
 
@@ -787,6 +808,16 @@ def clip_to_rect(buf: bytes, xmin: float, ymin: float,
                 hc = _clip_ring_rect(h, xmin, ymin, xmax, ymax)
                 if len(hc) >= 4:
                     rings.append(hc)
+            # a rect fully inside a HOLE clips shell and hole to the
+            # same ring: net area 0 — "nothing survives", not a
+            # spurious degenerate feature covering the whole tile
+            net = abs(_ring_area_centroid(np.asarray(rings[0],
+                                                     dtype="f8"))[0])
+            for hc in rings[1:]:
+                net -= abs(_ring_area_centroid(
+                    np.asarray(hc, dtype="f8"))[0])
+            if net <= 0.0:
+                continue
             out_polys.append(rings)
         if not out_polys:
             return None

@@ -1183,3 +1183,75 @@ def test_spatial_join_empty_left_with_big_right_prunes_safely(spark):
     out = spatial_join(left, "geometry", None, right, "geometry", None,
                        ["name"], how="left")
     assert out.count() == 0
+
+
+# --- r9 review-fix regressions (geometry kernels) -----------------------------
+
+def test_empty_geometry_kernels_null_not_fabricated(spark):
+    """EMPTY geometries: centroid is NULL (was Null-Island 0,0), convex
+    hull is NULL (was a job-killing ValueError), quadkey is NULL (r9
+    kernel review, all verified by execution)."""
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.functions.wkt import from_wkt
+    from geoparquet_io_spark.functions import wkb as W
+
+    empty = from_wkt("POLYGON EMPTY")
+    df = spark.createDataFrame(
+        [(1, bytearray(empty)), (2, bytearray(W.encode_point(1.0, 2.0)))],
+        "id long, geometry binary")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        G.st_centroid_xy(F.col("geometry")).alias("c"),
+        G.st_convexhull(F.col("geometry")).alias("h"),
+    ).collect()}
+    assert rows[1]["c"]["x"] is None and rows[1]["c"]["y"] is None
+    assert rows[1]["h"] is None
+    assert rows[2]["c"]["x"] == 1.0 and rows[2]["h"] is not None
+
+
+def test_nan_coordinates_yield_null_keys(spark):
+    """NaN (as opposed to NULL) coordinates fabricated quadkey '000..',
+    morton key 0 and geohash '00000' — floor(NaN) is 0 in Spark and the
+    clamps pass NaN through (r9 kernel review, verified by execution)."""
+    import math
+
+    from geoparquet_io_spark.functions.geokeys import geohash, morton_key
+    from geoparquet_io_spark.functions.quadkey import quadkey
+
+    df = spark.createDataFrame(
+        [(1, math.nan, math.nan), (2, 10.0, 20.0)],
+        "id long, lon double, lat double")
+    out = {r["id"]: (r["qk"], r["mk"], r["gh"]) for r in df.select(
+        "id",
+        quadkey(F.col("lon"), F.col("lat"), 5).alias("qk"),
+        morton_key(F.col("lon"), F.col("lat"),
+                   (-180.0, -90.0, 180.0, 90.0), 8).alias("mk"),
+        geohash(F.col("lon"), F.col("lat"), 5).alias("gh"),
+    ).collect()}
+    assert out[1] == (None, None, None)
+    assert all(v is not None for v in out[2])
+
+
+def test_with_hilbert_key_out_name_matching_temp_prefix(spark):
+    """An out name like '__hb_key' used to be swept away by the
+    prefix-based temp-column cleanup, returning a frame with NO key."""
+    from geoparquet_io_spark.functions import geom as G
+
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)],
+                               "lon double, lat double")
+    out = G.with_hilbert_key(df, F.col("lon"), F.col("lat"),
+                             (-180.0, -90.0, 180.0, 90.0), "__hb_key")
+    assert "__hb_key" in out.columns
+    assert out.filter(F.col("__hb_key").isNotNull()).count() == 2
+
+
+def test_clip_to_rect_inside_hole_is_none():
+    from geoparquet_io_spark.functions import wkb as W
+
+    outer = [(-100.0, -100.0), (100.0, -100.0), (100.0, 100.0),
+             (-100.0, 100.0), (-100.0, -100.0)]
+    hole = [(-50.0, -50.0), (-50.0, 50.0), (50.0, 50.0),
+            (50.0, -50.0), (-50.0, -50.0)]
+    poly = W.encode_polygon([outer, hole])
+    assert W.clip_to_rect(poly, -1, -1, 1, 1) is None          # in hole
+    assert W.clip_to_rect(poly, -200, -200, -90, -90) is not None
