@@ -118,13 +118,23 @@ def cmd_partition(args) -> int:
     gt = _read(spark, args.input)
     kw = dict(skip_analysis=args.skip_analysis, force=args.force)
     if args.how == "string":
+        if not args.column:
+            # friendly JSON error like cmd_sort's identical case — not
+            # a raw Py4J traceback from partition_by_string(None)
+            print(json.dumps(
+                {"error": "--column is required for string partitioning"}))
+            return 2
         files = gt.partition_by_string(args.column, args.output,
                                        chars=args.chars, **kw)
     elif args.how == "quadkey":
+        # `is None`, not `or`: an explicit --resolution 0 is a valid
+        # level and `or` silently replaced it with the default
+        res = 9 if args.resolution is None else args.resolution
         files = gt.partition_by_quadkey(args.output,
-                                        partition_resolution=args.resolution or 9, **kw)
+                                        partition_resolution=res, **kw)
     elif args.how == "h3":
-        files = gt.partition_by_h3(args.output, resolution=args.resolution or 8, **kw)
+        res = 8 if args.resolution is None else args.resolution
+        files = gt.partition_by_h3(args.output, resolution=res, **kw)
     elif args.how == "kdtree":
         files = gt.partition_by_kdtree(args.output, iterations=args.iterations, **kw)
     print(json.dumps({"files": len(files)}))
@@ -318,6 +328,10 @@ def cmd_benchmark(args) -> int:
             sys.argv = old
         return 0
     if action == "compare":
+        if not args.baseline or not args.candidate:
+            print(json.dumps({"error": "benchmark compare needs BASELINE "
+                              "and CANDIDATE result files"}))
+            return 2
         a = json.loads(open(args.baseline).read().strip().splitlines()[-1])
         b = json.loads(open(args.candidate).read().strip().splitlines()[-1])
         qa, qb = a.get("queries", {}), b.get("queries", {})
@@ -383,6 +397,10 @@ def cmd_benchmark(args) -> int:
         print(json.dumps({"sf_dir": sf_dir, "engines": rows}, indent=2))
         return 0 if all(r["rows_match"] for r in rows) else 1
     if action == "report":
+        if not args.baseline:
+            print(json.dumps({"error": "benchmark report needs a result "
+                              "file"}))
+            return 2
         doc = json.loads(open(args.baseline).read().strip().splitlines()[-1])
         qs = doc.get("queries", {})
         width = max((len(k) for k in qs), default=5)
@@ -745,10 +763,12 @@ def cmd_distance_join(args) -> int:
     left = _read(spark, args.left).df
     right = _read(spark, args.right).df
     if args.k:
-        radius = args.radius or estimate_knn_radius(right, args.k, rx, ry)
         if not args.left_id:
+            # validate BEFORE estimate_knn_radius — the radius estimate
+            # is a full Spark job, wasted on an invalid invocation
             print(json.dumps({"error": "--left-id is required with --k"}))
             return 2
+        radius = args.radius or estimate_knn_radius(right, args.k, rx, ry)
         df = knn_join(left, right, args.k, radius, left_id=args.left_id,
                       left_x=lx, left_y=ly, right_x=rx, right_y=ry,
                       tie_columns=[args.tie] if args.tie else None)

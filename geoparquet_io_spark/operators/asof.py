@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_prefix_clash(left_cols, rcols, prefix: str) -> None:
+    """Duplicate output names corrupt both variants: the union-window
+    select emits two identically-named columns (parquet write fails),
+    and the pandas batch assignment silently OVERWRITES the left data
+    while the declared schema still lists both fields."""
+    clash = [f"{prefix}{c}" for c in rcols if f"{prefix}{c}" in left_cols]
+    if clash:
+        raise ValueError(
+            f"as-of output column(s) {clash} already exist on the left "
+            "side — pick another prefix or rename the left columns")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -36,6 +48,7 @@ def asof_join(
     rcols = right_columns or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    _check_prefix_clash(left.columns, rcols, prefix)
     payload = F.struct(*[F.col(c) for c in rcols])
     # SQL semantics: a NULL key never equals anything and a NULL ts never
     # satisfies <=, so such right rows can never match — drop them, or the
@@ -113,15 +126,11 @@ def asof_join_broadcast(
     rcols = right_columns or [
         c for c in right.columns if c not in (key, right_ts)
     ]
-    r_local = right.select(key, right_ts, *rcols).limit(
-        max_broadcast_rows + 1).collect()
-    if len(r_local) > max_broadcast_rows:
-        raise ValueError(
-            f"right side exceeds {max_broadcast_rows} rows — use the "
-            "shuffle-based asof_join")
+    _check_prefix_clash(left.columns, rcols, prefix)
     import datetime as _dt
 
     _dt_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    _int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     ts_is_datetime = isinstance(right.schema[right_ts].dataType, _dt_types)
     left_is_datetime = isinstance(left.schema[left_ts].dataType, _dt_types)
     if ts_is_datetime != left_is_datetime:
@@ -131,13 +140,46 @@ def asof_join_broadcast(
             f"asof_join_broadcast: left ts {left.schema[left_ts].dataType}"
             f" and right ts {right.schema[right_ts].dataType} are not the"
             " same time family (datetime vs numeric)")
+    # instants (TimestampType) are keyed as unix MICROSECONDS computed
+    # IN SPARK on both sides: .collect() renders timestamps in the
+    # DRIVER OS timezone while Arrow batches use the session timezone,
+    # so comparing the two shifted every match on a non-UTC host (r9
+    # review).  NTZ/Date have no timezone and keep the ns path.
+    ts_is_instant = isinstance(right.schema[right_ts].dataType,
+                               T.TimestampType)
+    left_is_instant = isinstance(left.schema[left_ts].dataType,
+                                 T.TimestampType)
+    if ts_is_instant != left_is_instant:
+        # an instant (unix-us) on one side and a wall time (NTZ/Date,
+        # ns) on the other would compare different units/epoch notions
+        raise ValueError(
+            "asof_join_broadcast: TimestampType (an instant) on one "
+            "side and NTZ/Date (a wall time) on the other — cast them "
+            "to the same type first")
+    # integral numeric ts stay int64 end-to-end (when BOTH sides are
+    # integral): float64 loses ulps past 2^53 (epoch-ns scale),
+    # breaking the inclusive <= boundary
+    both_ts_integral = (
+        isinstance(right.schema[right_ts].dataType, _int_types)
+        and isinstance(left.schema[left_ts].dataType, _int_types))
+    key_integral = isinstance(left.schema[key].dataType, _int_types)
+
+    r_sel_ts = (F.unix_micros(F.col(right_ts)).alias(right_ts)
+                if ts_is_instant else F.col(right_ts))
+    r_local = right.select(F.col(key), r_sel_ts, *[F.col(c) for c in rcols]) \
+        .limit(max_broadcast_rows + 1).collect()
+    if len(r_local) > max_broadcast_rows:
+        raise ValueError(
+            f"right side exceeds {max_broadcast_rows} rows — use the "
+            "shuffle-based asof_join")
 
     def _ts_key(t):
-        """Comparable scalar: int64 nanoseconds for datetimes/dates (their
-        range exceeds float53), float otherwise (matches the float-domain
-        comparison the left side uses for numeric ts)."""
+        """Comparable scalar: int64 (unix-us instants, ns for NTZ/date,
+        raw integral); float otherwise."""
         if isinstance(t, (_dt.datetime, _dt.date)):
             return int(pd.Timestamp(t).value)
+        if ts_is_instant or both_ts_integral:
+            return int(t)
         return float(t)
 
     by_key: dict = {}
@@ -146,7 +188,8 @@ def asof_join_broadcast(
             continue  # NULL key/ts can never match (SQL semantics)
         by_key.setdefault(row[key], []).append(
             (_ts_key(row[right_ts]), tuple(row[c] for c in rcols)))
-    ts_dtype = "int64" if ts_is_datetime else "float64"
+    ts_dtype = ("int64" if (ts_is_datetime or both_ts_integral)
+                else "float64")
     lookup = {}
     for k, v in by_key.items():
         # sort on ts only: payload tuples may hold Nones, which are not
@@ -159,15 +202,56 @@ def asof_join_broadcast(
         + [T.StructField(f"{prefix}{c}", right.schema[c].dataType, True)
            for c in rcols]
     )
-    key_idx = left.columns.index(key)
-    ts_idx = left.columns.index(left_ts)
+
+    def _tmp(base: str) -> str:
+        while base in left.columns:
+            base = "_" + base
+        return base
+
+    # exact helper columns computed in Spark, sentinel-coalesced so the
+    # pandas conversion never degrades int64 to float64 (a batch with
+    # one NULL converts the whole column and 2^53+1 rounds): the
+    # original column's isna mask decides NULL routing, never the value
+    SENT = -(1 << 62)
+    work = left
+    helper_cols: list[str] = []
+    ts_name = left_ts
+    if left_is_instant:
+        ts_name = _tmp("__asof_us")
+        work = work.withColumn(ts_name, F.coalesce(
+            F.unix_micros(F.col(left_ts)), F.lit(SENT)))
+        helper_cols.append(ts_name)
+    elif both_ts_integral:
+        ts_name = _tmp("__asof_tsl")
+        work = work.withColumn(ts_name, F.coalesce(
+            F.col(left_ts).cast("long"), F.lit(SENT)))
+        helper_cols.append(ts_name)
+    key_name = key
+    if key_integral:
+        key_name = _tmp("__asof_k")
+        work = work.withColumn(key_name, F.coalesce(
+            F.col(key).cast("long"), F.lit(SENT)))
+        helper_cols.append(key_name)
+    key_idx = work.columns.index(key_name)
+    key_na_idx = work.columns.index(key)
+    ts_idx = work.columns.index(ts_name)
+    ts_na_idx = work.columns.index(left_ts)
+    exact_ts = left_is_instant or both_ts_integral
+    exact_key = key_integral
 
     def join_batches(batches):
         for pdf in batches:
-            keys = pdf.iloc[:, key_idx].to_numpy()
+            if exact_key:
+                keys = [int(v) for v in pdf.iloc[:, key_idx]]
+                key_na = pd.isna(pdf.iloc[:, key_na_idx]).to_numpy()
+            else:
+                keys = pdf.iloc[:, key_idx].to_numpy()
+                key_na = pd.isna(pdf.iloc[:, key_na_idx]).to_numpy()
             ts_series = pdf.iloc[:, ts_idx]
-            na = pd.isna(ts_series).to_numpy()
-            if left_is_datetime:
+            na = pd.isna(pdf.iloc[:, ts_na_idx]).to_numpy() | key_na
+            if exact_ts:
+                tss = ts_series.to_numpy(dtype="int64")
+            elif left_is_datetime:
                 # DateType arrives as OBJECT dtype of datetime.date (the
                 # Arrow serializer's date_as_object) — pd.to_datetime
                 # normalizes both that and datetime64 columns.  Keep
@@ -178,8 +262,8 @@ def asof_join_broadcast(
                 tss = ts_series.to_numpy(dtype="float64", na_value=np.nan)
             matches = []
             for kv, tv, bad in zip(keys, tss, na):
-                ent = lookup.get(kv)
-                if ent is None or bad:  # unknown/NULL key or NULL/NaN ts
+                ent = None if bad else lookup.get(kv)
+                if ent is None:  # unknown/NULL key or NULL/NaN ts
                     matches.append(None)
                     continue
                 ts_arr, payloads = ent
@@ -187,13 +271,15 @@ def asof_join_broadcast(
                 i = int(np.searchsorted(ts_arr, tv, side="right")) - 1
                 matches.append(payloads[i] if i >= 0 else None)
             out = pdf.copy()
+            if helper_cols:
+                out = out.drop(columns=helper_cols)
             for j, c in enumerate(rcols):
                 out[f"{prefix}{c}"] = pd.Series(
                     [None if m is None else m[j] for m in matches],
                     dtype="object")
             yield out
 
-    return left.mapInPandas(join_batches, schema=out_schema)
+    return work.mapInPandas(join_batches, schema=out_schema)
 
 
 def range_join(
@@ -231,6 +317,13 @@ def range_join(
         raise ValueError(
             f"interval columns {sorted(clash)} collide with point columns; "
             "rename one side or pass interval_columns explicitly")
+    reserved = {"__bucket", "__lo", "__hi"} & set(points.columns)
+    if reserved:
+        # __bucket would be silently OVERWRITTEN with internal bucket
+        # ids in the output (and __lo/__hi die as ambiguous references)
+        raise ValueError(
+            f"points has reserved column(s) {sorted(reserved)} — "
+            "range_join uses them internally; rename them first")
     iv = intervals.select(
         F.col(lo_column).alias("__lo"),
         F.col(hi_column).alias("__hi"),

@@ -49,6 +49,14 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     if "__salt" in big.columns or "__salt" in small.columns:
         raise ValueError("a '__salt' column already exists — rename it "
                          "before salted_join")
+    overlap = [c for c in small.columns
+               if c != key and c in big.columns]
+    if overlap:
+        # the list-form join merges only (key, __salt): other shared
+        # names come through twice — ambiguous on select, fatal on write
+        raise ValueError(
+            f"columns {overlap} exist on BOTH sides — rename or drop "
+            "them before salted_join (only the key merges)")
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(

@@ -1255,3 +1255,96 @@ def test_clip_to_rect_inside_hole_is_none():
     poly = W.encode_polygon([outer, hole])
     assert W.clip_to_rect(poly, -1, -1, 1, 1) is None          # in hole
     assert W.clip_to_rect(poly, -200, -200, -90, -90) is not None
+
+
+# --- r9 review-fix regressions (asof / skew / cli) ----------------------------
+
+def test_asof_prefix_clash_raises_both_variants(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.asof import (
+        asof_join, asof_join_broadcast)
+
+    left = spark.createDataFrame([(1, 10, 5)],
+                                 "k long, t long, asof_px long")
+    right = spark.createDataFrame([(1, 5, 50)], "k long, t long, px long")
+    for fn in (asof_join, asof_join_broadcast):
+        with pytest.raises(ValueError, match="asof_px"):
+            fn(left, right, key="k", left_ts="t", right_ts="t",
+               right_columns=["px"])
+
+
+def test_asof_broadcast_int64_ns_precision(spark):
+    """int64 epoch-ns timestamps must compare EXACTLY: the float64
+    coercion rounded distinct ns to equal values, so a left row 100 ns
+    BEFORE a right row wrongly matched it (r9 review)."""
+    from geoparquet_io_spark.operators.asof import (
+        asof_join, asof_join_broadcast)
+
+    base = 1_700_000_000_000_000_000        # epoch ns, ulp(float64)=256
+    left = spark.createDataFrame(
+        [(1, base - 100, "before"), (1, base + 100, "after")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame([(1, base, 42)], "k long, t long, px long")
+    for fn in (asof_join, asof_join_broadcast):
+        rows = {r["tag"]: r["asof_px"] for r in
+                fn(left, right, key="k", left_ts="t", right_ts="t",
+                   right_columns=["px"]).collect()}
+        assert rows == {"before": None, "after": 42}, (fn.__name__, rows)
+
+
+def test_asof_broadcast_large_int_keys_with_nulls(spark):
+    """A NULL key in the batch used to degrade the whole key column to
+    float64, so 2^53+1 collided with 2^53 (r9 review)."""
+    from geoparquet_io_spark.operators.asof import asof_join_broadcast
+
+    k1, k2 = (1 << 53), (1 << 53) + 1
+    left = spark.createDataFrame(
+        [(k1, 10, "a"), (k2, 10, "b"), (None, 10, "c")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(k1, 5, 111), (k2, 5, 222)], "k long, t long, px long")
+    rows = {r["tag"]: r["asof_px"] for r in
+            asof_join_broadcast(left, right, key="k", left_ts="t",
+                                right_ts="t",
+                                right_columns=["px"]).collect()}
+    assert rows == {"a": 111, "b": 222, "c": None}
+
+
+def test_asof_broadcast_instant_vs_ntz_mismatch_raises(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00")], "k long, t string") \
+        .selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+    right = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 5)], "k long, t string, px long") \
+        .selectExpr("k", "CAST(t AS TIMESTAMP_NTZ) AS t", "px")
+    with pytest.raises(ValueError, match="instant"):
+        asof_join_broadcast(left, right, key="k", left_ts="t",
+                            right_ts="t", right_columns=["px"])
+
+
+def test_range_join_reserved_point_columns_raise(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1.0, 7)], "v double, __bucket long")
+    iv = spark.createDataFrame([(0.0, 2.0, "x")],
+                               "lo double, hi double, name string")
+    with pytest.raises(ValueError, match="__bucket"):
+        range_join(pts, iv, "v", "lo", "hi")
+
+
+def test_salted_join_column_overlap_raises(spark):
+    import pytest
+
+    from geoparquet_io_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, value string")
+    small = spark.createDataFrame([(1, "b")], "k long, value string")
+    with pytest.raises(ValueError, match="value"):
+        salted_join(big, small, "k")
