@@ -195,11 +195,18 @@ def envelope(buf: bytes):
     for arr in g.rings():
         if len(arr) == 0:
             continue
+        x0, x1 = float(arr[:, 0].min()), float(arr[:, 0].max())
+        y0, y1 = float(arr[:, 1].min()), float(arr[:, 1].max())
+        if x0 != x0 or y0 != y0:
+            # ring contains a NaN vertex (e.g. POINT EMPTY's NaN,NaN
+            # encoding): contributes no bounds — previously min(inf,
+            # NaN) silently kept inf per component, same net effect
+            continue
         has_points = True
-        xmin = min(xmin, float(arr[:, 0].min()))
-        xmax = max(xmax, float(arr[:, 0].max()))
-        ymin = min(ymin, float(arr[:, 1].min()))
-        ymax = max(ymax, float(arr[:, 1].max()))
+        xmin = min(xmin, x0)
+        xmax = max(xmax, x1)
+        ymin = min(ymin, y0)
+        ymax = max(ymax, y1)
     if not has_points:
         # explicit flag, NOT `xmin is math.inf`: a geometry whose x
         # coordinates are literally +inf makes min() return the same
