@@ -141,11 +141,22 @@ def extract_frames(buf: bytes, info: AviInfo | None = None,
 def decode_frame(frame: bytes, info: AviInfo) -> np.ndarray:
     """Decode one frame payload to (h, w, 3) uint8 RGB.
 
-    MJPEG frames (``\\xff\\xd8`` magic) go through the pure-numpy T.81
-    decoder; bare payloads are uncompressed DIB — bottom-up BGR rows
-    with 4-byte row padding, exactly the BMP pixel-array layout.
+    MJPEG frames go through the pure-numpy T.81 decoder; bare payloads
+    are uncompressed DIB — bottom-up BGR rows with 4-byte row padding,
+    exactly the BMP pixel-array layout.
+
+    Routing: the container's declared CODEC decides (the header is
+    authoritative); payload magic is only the fallback for files whose
+    stream header omits the handler.  Magic alone misrouted a DIB
+    frame whose bottom-left pixel happens to be BGR(255, 216, *) into
+    the JPEG decoder, which then crashed on 'bad marker alignment'.
     """
-    if frame[:2] == b"\xff\xd8":
+    codec = (info.codec or "").upper().strip()
+    if codec:
+        is_jpeg = codec.startswith("MJPG") or codec.startswith("JPEG")
+    else:
+        is_jpeg = frame[:2] == b"\xff\xd8"
+    if is_jpeg:
         from geoparquet_io_spark.functions.jpeg import decode_jpeg
 
         arr = decode_jpeg(frame)
@@ -180,7 +191,10 @@ def build_avi(frames: list[bytes], width: int, height: int,
     """
     kind = b"db" if codec.startswith("DIB") else b"dc"
     us_per_frame = int(round(1e6 / fps)) if fps else 0
-    scale, rate = (1, int(round(fps))) if fps else (0, 0)
+    # (1000, fps*1000), not (1, round(fps)): dwScale/dwRate exist
+    # precisely to carry fractional rates — 29.97 previously round-
+    # tripped as 30.0 and every i/fps timestamp drifted ~0.1%
+    scale, rate = (1000, int(round(fps * 1000.0))) if fps else (0, 0)
 
     avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10, len(frames), 0,
                        1, 0, width, height, 0, 0, 0, 0)

@@ -69,6 +69,14 @@ def parse_streaminfo(data: bytes) -> dict:
     """STREAMINFO block of a FLAC stream -> dict of stream parameters."""
     if data[:4] != MAGIC:
         raise ValueError("not a FLAC stream (missing fLaC magic)")
+    try:
+        return _parse_streaminfo_inner(data)
+    except IndexError:
+        raise ValueError(
+            "truncated FLAC stream (metadata cut short)") from None
+
+
+def _parse_streaminfo_inner(data: bytes) -> dict:
     pos = 4
     info = None
     while True:
@@ -187,7 +195,19 @@ _BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
-    """FLAC bytes -> (samples[n, channels] int32, streaminfo dict)."""
+    """FLAC bytes -> (samples[n, channels] int32, streaminfo dict).
+
+    Truncated input raises ValueError like every other malformation —
+    the bit reader's bare IndexError escaped to callers that catch the
+    documented error contract."""
+    try:
+        return _decode_flac_inner(data)
+    except IndexError:
+        raise ValueError("truncated FLAC stream (ran out of bytes "
+                         "mid-frame)") from None
+
+
+def _decode_flac_inner(data: bytes) -> tuple[np.ndarray, dict]:
     info = parse_streaminfo(data)
     b = _Bits(data, info["frames_offset"])
     nch = info["channels"]
@@ -297,10 +317,12 @@ def _write_rice(w: _BitWriter, residuals: np.ndarray, param: int):
 
 
 def _best_rice_param(res: np.ndarray) -> int:
+    # zigzag once: it is independent of p (was recomputed 15x per
+    # subframe in the encoder's parameter search)
+    u = np.where(res >= 0, res.astype(np.int64) << 1,
+                 ((-res.astype(np.int64)) << 1) - 1)
     best, bestbits = 0, None
     for p in range(15):
-        u = np.where(res >= 0, res.astype(np.int64) << 1,
-                     ((-res.astype(np.int64)) << 1) - 1)
         bits = int(np.sum((u >> p) + 1 + p))
         if bestbits is None or bits < bestbits:
             best, bestbits = p, bits

@@ -151,12 +151,20 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         # real marker's bytes as a segment length
         while i + 1 < n and buf[i + 1] == 0xFF:
             i += 1
+        if i + 1 >= n:
+            # lone trailing 0xFF: a file cut mid-download must surface
+            # as the decoder's documented ValueError, not IndexError
+            raise ValueError("truncated JPEG: marker stream ends "
+                             f"mid-marker at byte {i}")
         m = buf[i + 1]
         i += 2
         if m == 0xD9:  # EOI
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue
+        if i + 2 > n:
+            raise ValueError("truncated JPEG: segment length cut off "
+                             f"at byte {i}")
         (seg_len,) = struct.unpack(">H", buf[i:i + 2])
         seg = buf[i + 2:i + seg_len]
         i += seg_len

@@ -155,7 +155,10 @@ def parse_mp3(buf: bytes, max_resync: int = 1 << 16) -> Mp3Info:
         fr = parse_frame_header(buf, pos)
         if fr is None or pos + fr.size > end:
             if fr is not None and pos + fr.size > end:
-                garbage = end - pos     # truncated final frame
+                # truncated final frame: ADD the remaining bytes — the
+                # bare assignment silently dropped resync garbage
+                # already counted before this header
+                garbage += end - pos
                 truncated = True
                 break
             pos += 1
@@ -199,12 +202,17 @@ def id3v2_tags(buf: bytes) -> dict:
     if not total or len(buf) < 10:
         return {}
     major = buf[3]
+    if major < 3:
+        # ID3v2.2 frames use 3-byte ids + 3-byte sizes: parsing them as
+        # 10-byte v2.3 headers read bogus frame sizes spanning into the
+        # audio data and returned raw MP3 bytes as "tag text"
+        return {}
     pos = 10
     if buf[5] & 0x40:       # extended header: skip by its own size
         ext = (struct.unpack_from(">I", buf, 10)[0]
                if major == 3 else _syncsafe(buf, 10))
-        pos += ext if major == 3 else ext
-        pos += 4 if major == 3 else 0
+        # v2.3's size EXCLUDES its own 4 size bytes; v2.4's includes it
+        pos += ext + (4 if major == 3 else 0)
     out: dict[str, str] = {}
     end = min(total, len(buf))
     while pos + 10 <= end:

@@ -272,6 +272,15 @@ def geotiff_info(buf: bytes) -> GeoTiffInfo:
         oy = float(tp[4]) + float(tp[1]) * ph
     elif 34264 in t:        # ModelTransformation 4x4
         m = t[34264]
+        if float(m[1]) != 0.0 or float(m[4]) != 0.0:
+            # rotation/shear terms: silently reading only m[0]/m[5]
+            # would misgeoreference EVERY pixel of a rotated raster —
+            # unsupported transforms are rejected loudly like the other
+            # gates in this module
+            raise ValueError(
+                "GeoTIFF ModelTransformation carries rotation/shear "
+                f"(m01={m[1]!r}, m10={m[4]!r}) — only axis-aligned "
+                "transforms are supported; warp the raster first")
         pw, ph = float(m[0]), float(-m[5])
         ox, oy = float(m[3]), float(m[7])
     return GeoTiffInfo(w, h, spp, str(np.dtype(dt.newbyteorder("="))),
@@ -320,6 +329,13 @@ def build_geotiff(img: np.ndarray, *, epsg: int | None = None,
         tags[33922] = (12, [0.0, 0.0, 0.0,
                             float(origin[0]), float(origin[1]), 0.0])
     if epsg is not None:
+        if not (0 < int(epsg) <= 65535):
+            # GeoKey values are 16-bit SHORTs by spec: an ESRI-style
+            # 6-digit code otherwise escaped as a struct.error from the
+            # generic tag loop, far from the cause
+            raise ValueError(
+                f"EPSG code {epsg} does not fit a 16-bit GeoKey SHORT "
+                "(valid range 1-65535)")
         model = 2 if geographic else 1
         key = 2048 if geographic else 3072
         tags[34735] = (3, [1, 1, 0, 2, 1024, 0, 1, model,
