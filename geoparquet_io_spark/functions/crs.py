@@ -36,6 +36,29 @@ GEOGRAPHIC_CRS = {
     "EPSG:4490",   # CGCS2000
     "EPSG:4759",   # NAD83(NSRS2007)
     "EPSG:4148",   # Hartebeesthoek94
+    # r9: the registry grew projected rows for these frames without
+    # their geographic codes — data tagged with the frame's own lon/lat
+    # CRS (e.g. EPSG:7844 GDA2020, Australia's CURRENT standard) was
+    # misclassified as projected and get_transformer raised
+    "EPSG:7844",   # GDA2020
+    "EPSG:4674",   # SIRGAS 2000
+    "EPSG:6318",   # NAD83(2011)
+    "EPSG:4617",   # NAD83(CSRS)
+    "EPSG:6668",   # JGD2011
+    "EPSG:3824",   # TWD97
+    "EPSG:4765",   # Slovenia 1996 (D96)
+    "EPSG:4669",   # LKS94 (Lithuania)
+    "EPSG:4661",   # LKS-92 (Latvia)
+    "EPSG:4761",   # HTRS96 (Croatia)
+    "EPSG:4173",   # IRENET95
+    "EPSG:4180",   # EST97 (Estonia)
+    "EPSG:4737",   # Korea 2000
+    "EPSG:4190",   # POSGAR 98
+    "EPSG:9075",   # POSGAR 2007 (geographic 2D)
+    "EPSG:4686",   # MAGNA-SIRGAS
+    # NOT listed on purpose: classical datums needing a Helmert shift
+    # (NTF 4275, OSGB36 4277, CH1903 4149, ...) — treating them
+    # coincident would silently offset data by ~100 m
 }
 DEFAULT_CRS = "OGC:CRS84"
 
@@ -56,6 +79,15 @@ def normalize_crs(crs) -> str:
 
 
 def is_geographic(crs) -> bool:
+    # PROJJSON's id is OPTIONAL: a spec-legal dict without one still
+    # carries its own discriminator — classify from "type" instead of
+    # crashing inspect/extract on a readable file
+    if isinstance(crs, dict) and not (crs.get("id") or {}).get("code"):
+        t = str(crs.get("type", ""))
+        if t in ("GeographicCRS", "Geographic2DCRS", "Geographic3DCRS"):
+            return True
+        if t in ("ProjectedCRS", "CompoundCRS", "EngineeringCRS"):
+            return False
     return normalize_crs(crs) in GEOGRAPHIC_CRS
 
 

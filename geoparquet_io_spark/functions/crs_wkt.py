@@ -89,6 +89,19 @@ _GEOGCS: dict[str, tuple] = {
     # --- round-8 additions ---
     "GDA2020": ("GDA2020", "Geocentric_Datum_of_Australia_2020",
                 "GRS 1980", P.GRS80, 7019, 7844, _ZERO7),
+    # --- round-9 additions ---
+    "LKS92": ("LKS92", "Latvia_1992", "GRS 1980", P.GRS80, 7019, 4661,
+              _ZERO7),
+    "EST97": ("EST97", "Estonia_1997", "GRS 1980", P.GRS80, 7019, 4180,
+              _ZERO7),
+    "POSGAR07": ("POSGAR 2007",
+                 "Posiciones_Geodesicas_Argentinas_2007",
+                 "GRS 1980", P.GRS80, 7019, 5340, _ZERO7),
+    "MAGNA": ("MAGNA-SIRGAS",
+              "Marco_Geocentrico_Nacional_de_Referencia",
+              "GRS 1980", P.GRS80, 7019, 4686, _ZERO7),
+    "ISR93": ("Israel 1993", "Israel_1993", "GRS 1980", P.GRS80, 7019,
+              4141, P._DATUM_ISR93),
 }
 
 # projected CRS names + geographic base for every EPSG_TABLE code
@@ -188,6 +201,35 @@ _SPCS83_NAMES = {
 }
 for _c, _zn in _SPCS83_NAMES.items():
     _PROJCS_INFO.setdefault(_c, (f"NAD83 / {_zn}", "NAD83"))
+# round-9 pinned rows + round-9b series (same arithmetic as
+# projections._generated_epsg_rows; SIRGAS UTM rides the generic UTM
+# recipe in wkt_for_epsg, so only the non-UTM rows need names)
+_PROJCS_INFO.update({
+    3059: ("LKS-92 / Latvia TM", "LKS92"),
+    3301: ("Estonian Coordinate System of 1997", "EST97"),
+    3812: ("ETRS89 / Belgian Lambert 2008", "ETRS89"),
+    3347: ("NAD83 / Statistics Canada Lambert", "NAD83"),
+    7845: ("GDA2020 / GA LCC", "GDA2020"),
+    9311: ("NAD27 / US National Atlas Equal Area", "SPHERE_US"),
+    32661: ("WGS 84 / UPS North (N,E)", "WGS84"),
+    32761: ("WGS 84 / UPS South (N,E)", "WGS84"),
+    5041: ("WGS 84 / UPS North (E,N)", "WGS84"),
+    5042: ("WGS 84 / UPS South (E,N)", "WGS84"),
+})
+for _i, _nm in enumerate(["12 00", "13 30", "15 00", "16 30", "18 00",
+                          "14 15", "15 45", "17 15", "18 45", "20 15",
+                          "21 45", "23 15"]):
+    _PROJCS_INFO.setdefault(3007 + _i, (f"SWEREF99 {_nm}", "SWEREF99"))
+for _i in range(4):
+    _PROJCS_INFO.setdefault(4093 + _i, (f"ETRS89 / DKTM{_i + 1}", "ETRS89"))
+for _i in range(7):
+    _PROJCS_INFO.setdefault(
+        5343 + _i, (f"POSGAR 2007 / Argentina {_i + 1}", "POSGAR07"))
+for _c, _zn in zip(range(3114, 3119),
+                   ["Colombia Far West zone", "Colombia West zone",
+                    "Colombia Bogota zone", "Colombia East Central zone",
+                    "Colombia East zone"]):
+    _PROJCS_INFO.setdefault(_c, (f"MAGNA-SIRGAS / {_zn}", "MAGNA"))
 
 
 def _num(v: float) -> str:
@@ -311,10 +353,25 @@ def wkt_for_epsg(code: int) -> str | None:
         name, geog_key = _PROJCS_INFO[code]
         plist = [(wkt_key, params[pkey]) for pkey, wkt_key in param_map]
         if fam == "ps":
-            # variant B carries a unity scale factor in WKT1
-            plist.insert(2, ("scale_factor", 1.0))
+            # variant B carries a unity scale factor in WKT1; the
+            # pole-tangent variant A (UPS) carries its k0 — writing 1.0
+            # there would disagree with the executed kernel by 0.6%
+            plist.insert(2, ("scale_factor", params.get("k0", 1.0)))
         return _projcs(name, geog_key, proj_name, plist, code)
 
+    if code == 2039:
+        # same constants as the procedural registry row (projections
+        # _proj_for_epsg code 2039); the ISR93 datum entry carries the
+        # EPSG:1073 translation in TOWGS84
+        return _projcs("Israel 1993 / Israeli TM Grid", "ISR93",
+                       "Transverse_Mercator",
+                       [("latitude_of_origin",
+                         31.0 + 44.0 / 60.0 + 3.817 / 3600.0),
+                        ("central_meridian",
+                         35.0 + 12.0 / 60.0 + 16.261 / 3600.0),
+                        ("scale_factor", 1.0000067),
+                        ("false_easting", 219529.584),
+                        ("false_northing", 626907.39)], 2039)
     if code == 27700:
         return _projcs("OSGB36 / British National Grid", "OSGB36",
                        "Transverse_Mercator",

@@ -67,6 +67,14 @@ class Table:
         if t is None:
             return None
         n = struct.unpack_from("<I", self.buf, t)[0]
+        # `size` validates the declared length against the buffer (it
+        # was previously accepted and IGNORED, implying size-dependent
+        # addressing that did not exist) — a corrupt count now raises a
+        # descriptive error instead of struct.error deep in a task
+        if t + 4 + n * size > len(self.buf):
+            raise ValueError(
+                f"corrupt FlatBuffers vector: {n} x {size}-byte elements "
+                f"overrun the buffer (offset {t})")
         return list(struct.unpack_from(f"<{n}{fmt}", self.buf, t + 4))
 
     def vector_bytes(self, field_id: int) -> bytes | None:

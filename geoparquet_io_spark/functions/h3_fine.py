@@ -508,8 +508,9 @@ def cell_to_latlng(idx) -> tuple[np.ndarray, np.ndarray]:
 
 def _calibrate_pentagon_slots() -> None:
     """Calibrate the 60 pentagon vertex-slot rotation counts against the
-    canonical inverse: every res-3 descendant of every pentagon (301
-    valid digit paths each) is rendered through the inverse, pushed back
+    canonical inverse: every res-3 descendant of every pentagon (286
+    valid digit paths each: 7^3 minus the 57 leading-k paths) is
+    rendered through the inverse, pushed back
     through the raw forward pipeline, and the unique rotation count that
     reproduces the canonical digits at each (face, slot) is stored.
     The pentagon rotation is a 5-cycle on the non-deleted subtrees, so
@@ -521,7 +522,7 @@ def _calibrate_pentagon_slots() -> None:
     digs_all = np.array(
         [d for d in itertools.product(range(7), repeat=3)
          if next((x for x in d if x), 0) != 1], dtype=np.int8)
-    n_per = len(digs_all)                       # 301
+    n_per = len(digs_all)                       # 286
     bc = np.repeat(pent_cells, n_per).astype(np.int64)
     digits = np.tile(digs_all, (len(pent_cells), 1))
     face, i, j, k = _h3_to_faceijk(bc, digits, 3)

@@ -1348,3 +1348,48 @@ def test_salted_join_column_overlap_raises(spark):
     small = spark.createDataFrame([(1, "b")], "k long, value string")
     with pytest.raises(ValueError, match="value"):
         salted_join(big, small, "k")
+
+
+# --- r9 review-fix regressions (CRS registry drift) ----------------------------
+
+def test_modern_datum_geographic_codes_classified(spark):
+    """EPSG:7844 (GDA2020 lon/lat — Australia's current standard), SIRGAS
+    2000, NAD83(2011), JGD2011 etc. were misclassified as projected and
+    get_transformer raised (r9 review, verified by execution)."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import crs as C
+
+    for code in ("EPSG:7844", "EPSG:4674", "EPSG:6318", "EPSG:6668",
+                 "EPSG:4686", "EPSG:4661"):
+        assert C.is_geographic(code), code
+        f = C.get_transformer(code, "EPSG:4326")
+        x, y = f(np.array([10.0]), np.array([20.0]))
+        assert (float(x[0]), float(y[0])) == (10.0, 20.0)
+    # classical datums needing a shift stay OUT (coincidence would
+    # silently offset data ~100 m)
+    assert not C.is_geographic("EPSG:4277")       # OSGB36
+    assert not C.is_geographic("EPSG:4275")       # NTF
+
+
+def test_projjson_without_id_classified_by_type():
+    from geoparquet_io_spark.functions import crs as C
+
+    assert C.is_geographic({"type": "GeographicCRS", "name": "x"})
+    assert not C.is_geographic({"type": "ProjectedCRS", "name": "x"})
+
+
+def test_wkt_covers_every_registry_code():
+    """wkt_for_epsg's contract says 'every EPSG_TABLE projection' — the
+    hand-maintained name table had drifted 38 codes behind the r9/r9b
+    registry growth, so shapefile .prj / GeoPackage definitions came
+    out as stubs (r9 review)."""
+    from geoparquet_io_spark.functions import projections as P
+    from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+
+    missing = [c for c in sorted(P.EPSG_TABLE) if wkt_for_epsg(c) is None]
+    assert missing == []
+    assert wkt_for_epsg(2039) is not None        # procedural ITM too
+    # variant-A polar rows carry their REAL k0, not the variant-B 1.0
+    w = wkt_for_epsg(32661)
+    assert 'PARAMETER["scale_factor",0.994]' in w.replace(" ", ""), w
