@@ -203,9 +203,17 @@ def _run_query(spark, name: str) -> float | None:
 
         t0 = time.perf_counter()
         gt = _events_points(spark, SF_DIR)
-        out_path = tempfile.mkdtemp(prefix="bench_3op_") + "/out.parquet"
-        gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert().write(out_path)
-        return round(time.perf_counter() - t0, 3)
+        tmp = tempfile.mkdtemp(prefix="bench_3op_")
+        try:
+            gt.extract(bbox=(-150, -75, 150, 75)).sort_hilbert() \
+                .write(tmp + "/out.parquet")
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            # the full written parquet leaked per A/B round and
+            # accumulated in /tmp across bench runs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     if name not in REGISTRY:
         return None
     fn = REGISTRY[name][0]

@@ -34,7 +34,9 @@ SQL_FUNCTIONS = (
 def _st_simplify_udf(g: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for b, t in zip(g, tol):
-        out.append(None if b is None
+        # NULL tolerance -> NULL result, like every other registered
+        # ST_* function's null handling (float(None) killed the task)
+        out.append(None if b is None or t is None or t != t
                    else _wkb.simplify(bytes(b), float(t)))
     return pd.Series(out)
 

@@ -44,15 +44,31 @@ def bbox_2d(b) -> tuple[float, float, float, float] | None:
 
 def bbox_union(a: list | None, b: list | None) -> list | None:
     """Union of two footer bboxes; mixed 2D/3D unions project to 2D
-    (dropping Z is the only spec-valid combination), 3D+3D keeps Z."""
+    (dropping Z is the only spec-valid combination), 3D+3D keeps Z.
+
+    Antimeridian-crossing inputs (spec-valid xmin > xmax) cannot be
+    min/max-unioned: the naive result EXCLUDED extent near +-180 and
+    downstream bbox pruning silently dropped matching geometries.  The
+    conservative correct union widens X to the full world range — a
+    valid superset that can never misprune."""
     if a is None or b is None:
         return None
+
+    def _crosses(bb):
+        return bb[0] > bb[len(bb) // 2]
+
     if len(a) == 6 and len(b) == 6:
-        return [min(a[0], b[0]), min(a[1], b[1]), min(a[2], b[2]),
-                max(a[3], b[3]), max(a[4], b[4]), max(a[5], b[5])]
+        out = [min(a[0], b[0]), min(a[1], b[1]), min(a[2], b[2]),
+               max(a[3], b[3]), max(a[4], b[4]), max(a[5], b[5])]
+        if _crosses(a) or _crosses(b):
+            out[0], out[3] = -180.0, 180.0
+        return out
     a2, b2 = bbox_2d(a), bbox_2d(b)
-    return [min(a2[0], b2[0]), min(a2[1], b2[1]),
-            max(a2[2], b2[2]), max(a2[3], b2[3])]
+    out = [min(a2[0], b2[0]), min(a2[1], b2[1]),
+           max(a2[2], b2[2]), max(a2[3], b2[3])]
+    if _crosses(a2) or _crosses(b2):
+        out[0], out[2] = -180.0, 180.0
+    return out
 
 
 @dataclass
@@ -160,8 +176,14 @@ class GeoMeta:
 
     def copy(self) -> "GeoMeta":
         """Deep copy via the JSON round trip (one idiom for the five
-        call sites that each hand-rolled it)."""
-        return GeoMeta.from_json(self.to_json())
+        call sites that each hand-rolled it).  The version is restored
+        explicitly: to_json serializes writer-mode values through
+        VERSION_STRINGS ('parquet-geo-only' -> '2.0.0'), so the round
+        trip silently rewrote the mode and the footer-suppression
+        branch it selects never fired after any transform."""
+        out = GeoMeta.from_json(self.to_json())
+        out.version = self.version
+        return out
 
     def with_primary_column(self, name: str) -> "GeoMeta":
         # deep-copy the column metas: a shallow dict copy aliased the

@@ -15,7 +15,10 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "geoparquet_io_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus)
+        # '*' is the idiomatic local[] value for "all cores" — int('*')
+        # crashed before the session was even built
+        shuffle_partitions = (os.cpu_count() or 8) if cpus == "*" \
+            else int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

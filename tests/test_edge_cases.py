@@ -1393,3 +1393,52 @@ def test_wkt_covers_every_registry_code():
     # variant-A polar rows carry their REAL k0, not the variant-B 1.0
     w = wkt_for_epsg(32661)
     assert 'PARAMETER["scale_factor",0.994]' in w.replace(" ", ""), w
+
+
+# --- r9 review-fix regressions (infra plumbing) --------------------------------
+
+def test_plan_helpers_parse_nested_filters_and_types(spark):
+    """The old comma-split/regex broke multi-arg filters and
+    parameterized types (phantom '2)' column, dropped filters)."""
+    from geoparquet_io_spark.plans import (
+        pushed_filters_from, read_schema_columns_from)
+
+    plan = ("Scan parquet [x] PushedFilters: [In(mode, [MAIL,SHIP]), "
+            "IsNotNull(x), GreaterThan(q,24)] more")
+    assert pushed_filters_from(plan) == [
+        "In(mode, [MAIL,SHIP])", "IsNotNull(x)", "GreaterThan(q,24)"]
+    plan2 = "ReadSchema: struct<q:decimal(12,2),a:struct<b:int,c:int>,d:int>"
+    assert read_schema_columns_from(plan2) == ["q", "a", "d"]
+
+
+def test_bbox_union_antimeridian_is_superset():
+    """A spec-valid antimeridian-crossing bbox (xmin > xmax) naive-
+    unioned to a result EXCLUDING extent near +-180 — downstream bbox
+    pruning silently dropped geometries there."""
+    from geoparquet_io_spark.meta import bbox_union
+
+    u = bbox_union([170.0, 0.0, -170.0, 10.0], [160.0, 0.0, 165.0, 10.0])
+    assert u == [-180.0, 0.0, 180.0, 10.0]
+    assert bbox_union([1, 2, 3, 4], [0, 1, 2, 3]) == [0, 1, 3, 4]
+
+
+def test_geometa_copy_preserves_writer_mode_version():
+    from geoparquet_io_spark.meta import GeoMeta
+
+    m = GeoMeta(primary_column="geometry", columns={},
+                version="parquet-geo-only")
+    assert m.copy().version == "parquet-geo-only"
+
+
+def test_st_simplify_null_tolerance(spark):
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.functions.sqlreg import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(bytearray(W.encode_point(1.0, 2.0)), None)],
+        "geometry binary, tol double")
+    df.createOrReplaceTempView("simp_v")
+    row = spark.sql(
+        "SELECT st_simplify(geometry, tol) AS g FROM simp_v").collect()[0]
+    assert row["g"] is None
