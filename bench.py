@@ -394,19 +394,29 @@ def run_ab(ref_commit: str, rounds: int) -> tuple[dict, dict] | None:
             rm = _median(s["ref"])
             return (_median(s["head"]) / rm) if rm else None
 
-        # Scatter-vs-regression decidability (r8 verdict #2): any query
-        # whose first-pass ratio exceeds the rerun threshold gets extra
-        # interleaved rounds so the artifact carries a rounds>=3 median —
-        # a 1.2 ratio from one unlucky 2s sample stops being undecidable.
+        # Scatter-vs-regression decidability (r8 verdict #2, tightened
+        # r10 per r9 verdict #1): any query whose first-pass ratio
+        # exceeds the rerun threshold gets extra interleaved rounds so
+        # the artifact carries a rounds>=3 median — a 1.2 ratio from one
+        # unlucky 2s sample stops being undecidable.  The r9 gap was the
+        # 1.10-1.15 band staying single-run, so the default threshold is
+        # now 1.10 AND the worst-5 first-pass ratios are reran
+        # unconditionally: every ratio anyone would argue about carries
+        # n>=3 with min/median in the artifact.
         rerun_at = float(os.environ.get(
-            "SPARK_GRAFT_BENCH_AB_RERUN_RATIO", "1.15"))
+            "SPARK_GRAFT_BENCH_AB_RERUN_RATIO", "1.10"))
         min_rounds = int(os.environ.get(
             "SPARK_GRAFT_BENCH_AB_RERUN_ROUNDS", "3"))
+        first_pass = {n: _ratio(samples[n]) for n in names}
+        worst5 = {n for n, r in sorted(
+            ((n, r) for n, r in first_pass.items() if r is not None),
+            key=lambda kv: -kv[1])[:5]}
         reran: list[str] = []
         for name in names:
             s = samples[name]
-            r0 = _ratio(s)
-            if r0 is None or r0 <= rerun_at or rounds >= min_rounds:
+            r0 = first_pass[name]
+            if r0 is None or rounds >= min_rounds or (
+                    r0 <= rerun_at and name not in worst5):
                 # rounds >= min_rounds: every query already has that
                 # many samples — recording it as "reran" would claim a
                 # re-measurement that never happened

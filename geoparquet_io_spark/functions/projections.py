@@ -1173,12 +1173,16 @@ class _SwissConsts:
 
 
 def make_swiss(a: float, f: float, lat0: float, lon0: float,
-               e0: float, n0: float) -> _SwissConsts:
+               e0: float, n0: float, k0: float = 1.0) -> _SwissConsts:
+    """``k0`` scales the Gauss sphere radius — PROJ's ``somerc`` scale
+    factor.  The Swiss grids use k0=1; HD72/EOV (EPSG:23700, projection
+    19931: Hotine Oblique Mercator variant B with azimuth = rectified
+    angle = 90°, which PROJ maps onto somerc) uses kc=0.99993."""
     e2 = 2.0 * f - f * f
     e = math.sqrt(e2)
     phi0 = math.radians(lat0)
     alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.cos(phi0) ** 4)
-    R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phi0) ** 2)
+    R = k0 * a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phi0) ** 2)
     b0 = math.asin(math.sin(phi0) / alpha)
     K = (math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
          - alpha * math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))

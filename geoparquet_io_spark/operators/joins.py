@@ -524,6 +524,8 @@ def knn_join(
     max_rounds: int = 4,
     distance_column: str = "distance",
     tie_columns: list[str] | None = None,
+    radius_tiers: bool = False,
+    oversample: float = 2.0,
 ) -> DataFrame:
     """Exact k-nearest-neighbor spatial join without a cross product.
 
@@ -536,6 +538,26 @@ def knn_join(
     the radius; after ``max_rounds`` the (by then few) stragglers
     broadcast against the full right side — bounded fallback, never a
     full cross product.
+
+    ``radius_tiers=True`` makes the expanding ring DENSITY-ADAPTIVE —
+    the clustered-data guard (r10).  With a single global start radius,
+    non-uniform data forces a dilemma: a radius sized for the dense
+    clump sends every sparse query through the full doubling ladder
+    (sequential Spark rounds, then a brute fallback whose pending set
+    is NOT tiny — ``|sparse| x |right|`` pairs), while an
+    average-density radius makes every clump query pull the whole clump
+    through the 9-cell explode (quadratic in clump size).  Tiered
+    entry breaks it: one coarse per-cell count of the right side (one
+    map-side-combined aggregate + one equi-join onto the left) gives
+    each query point a LOCAL density, hence a per-point entry tier
+    ``t`` with start radius ``initial_radius * 2**t``.  Every round
+    then runs each tier's pending points at its own radius — all tiers
+    in ONE union job, not one job per radius — so dense points never
+    see a clump-sized candidate list and sparse points never crawl the
+    ladder.  Tier assignment is an ESTIMATE and cannot affect the
+    answer: resolution still requires >= k partners inside the radius
+    actually searched, so a mis-estimated tier costs extra candidates
+    or an extra doubling round, never a wrong neighbor.
 
     Deterministic tie-break: ranking orders by (distance, *tie_columns)
     — pass a UNIQUE right-side column (its id) in ``tie_columns``;
@@ -604,22 +626,84 @@ def knn_join(
                 .withColumnRenamed("__rn", "knn_rank"))
 
     pending = left.withColumn("__lid", F.col(left_id))
+    r0 = float(initial_radius)
+    if radius_tiers:
+        import math
+
+        # coarse density map: cell side = the uniform-model radius (so
+        # an average cell holds ~oversample*k right points), floored at
+        # r0; per-point tier solves the same disc equation against the
+        # point's OWN cell count.  Empty cell -> nearest partners are
+        # beyond a cell away -> start at ~2 cells.  Tier capped at the
+        # domain diameter (beyond that the brute fallback is correct
+        # and cheaper).
+        row = right.agg(
+            F.count("*").alias("n"),
+            F.min(right_x).alias("x0"), F.max(right_x).alias("x1"),
+            F.min(right_y).alias("y0"), F.max(right_y).alias("y1"),
+        ).collect()[0]
+        n = row["n"] or 0
+        if n:
+            w_ = max(float(row["x1"] - row["x0"]), 1e-12)
+            h_ = max(float(row["y1"] - row["y0"]), 1e-12)
+            c = max(math.sqrt(oversample * k * w_ * h_ / (math.pi * n)), r0)
+            diam = math.hypot(w_, h_)
+            tier_cap = max(0, math.ceil(math.log2(max(diam / r0, 1.0))))
+            cmap = right.select(
+                F.floor(F.col(right_x) / c).cast("long").alias("__dcx"),
+                F.floor(F.col(right_y) / c).cast("long").alias("__dcy"),
+            ).groupBy("__dcx", "__dcy").count() \
+                .withColumnRenamed("count", "__dcnt")
+            pending = pending \
+                .withColumn("__dcx", F.floor(F.col(left_x) / c).cast("long")) \
+                .withColumn("__dcy", F.floor(F.col(left_y) / c).cast("long")) \
+                .join(cmap, ["__dcx", "__dcy"], "left")
+            r_i = F.when(
+                F.col("__dcnt").isNull() | (F.col("__dcnt") <= 0),
+                F.lit(2.0 * c),
+            ).otherwise(F.sqrt(
+                F.lit(oversample * k * c * c / math.pi) / F.col("__dcnt")))
+            tier = F.ceil(F.log2(F.greatest(r_i / F.lit(r0), F.lit(1.0)))) \
+                .cast("int")
+            pending = pending \
+                .withColumn("__tier", F.least(tier, F.lit(tier_cap))) \
+                .drop("__dcx", "__dcy", "__dcnt")
+        else:
+            pending = pending.withColumn("__tier", F.lit(0))
+    else:
+        pending = pending.withColumn("__tier", F.lit(0))
     resolved_parts = []
-    radius = float(initial_radius)
-    for _ in range(max_rounds):
-        # checkpoint: `pairs` feeds BOTH the resolution count and the
-        # top-k ranking — without it each round's grid join runs twice
-        pairs = distance_join(pending, right, radius,
-                              left_x, left_y, right_x, right_y,
-                              distance_column=distance_column) \
-            .localCheckpoint(eager=False)
+    for rnd in range(max_rounds):
+        if radius_tiers:
+            tiers = sorted(r["__tier"] for r in
+                           pending.select("__tier").distinct().collect())
+        else:
+            # non-tiered pending is all at tier == rnd by construction
+            # (every survivor's tier incremented once per round) — no
+            # extra collect on the classic path
+            tiers = [rnd]
+        # one UNION job across tiers, each tier gridded at its own
+        # radius; checkpoint: `pairs` feeds BOTH the resolution count
+        # and the top-k ranking — without it each grid join runs twice
+        parts = [
+            distance_join(pending.filter(F.col("__tier") == t)
+                          .drop("__tier"),
+                          right, r0 * (2.0 ** t),
+                          left_x, left_y, right_x, right_y,
+                          distance_column=distance_column)
+            for t in tiers
+        ]
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p)
+        pairs = pairs.localCheckpoint(eager=False)
         counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
         done_ids = counts.filter(F.col("__n") >= k).select("__lid")
         resolved_parts.append(
             topk(pairs.join(done_ids, "__lid")))
         pending = pending.join(done_ids, "__lid", "left_anti") \
+            .withColumn("__tier", F.col("__tier") + 1) \
             .localCheckpoint(eager=False)
-        radius *= 2.0
         if not pending.take(1):
             break
     else:
@@ -628,7 +712,7 @@ def knn_join(
         # never |left| * |right|); colliding names were renamed above
         ddx = F.col(left_x) - F.col(right_x)
         ddy = F.col(left_y) - F.col(right_y)
-        brute = (F.broadcast(pending).crossJoin(right)
+        brute = (F.broadcast(pending.drop("__tier")).crossJoin(right)
                  .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy)))
         resolved_parts.append(topk(brute))
 
@@ -640,13 +724,33 @@ def knn_join(
 
 def estimate_knn_radius(right: DataFrame, k: int,
                         right_x: str = "lon", right_y: str = "lat",
-                        oversample: float = 2.0) -> float:
+                        oversample: float = 2.0,
+                        density_quantile: float | None = None) -> float:
     """Pick ``initial_radius`` for :func:`knn_join` from the right side's
     density: a disc holding ``oversample * k`` expected points under a
     uniform model — ``r = sqrt(oversample * k * area / (pi * n))``.
     One bounded aggregate (count + bounds); clustered data resolves the
     dense regions in round one and the sparse tail in the doubling
-    rounds, which is exactly what the expanding search is for."""
+    rounds, which is exactly what the expanding search is for.
+
+    ``density_quantile`` (e.g. 0.99) sizes the radius from the DENSEST
+    populated region instead of the average: grid the right side at the
+    uniform-model radius and solve the same disc equation against the
+    local density at that quantile.  The quantile is POINT-weighted, not
+    cell-weighted — over the cells nearly all of a clustered dataset's
+    populated cells are sparse singletons, so a per-cell quantile puts
+    even p99 at occupancy ~1 and returns the uniform radius right back
+    (measured: a 90%-in-one-cell clump sat above p99.9 of CELLS while
+    holding p10..p100 of POINTS).  "The occupancy of the cell holding
+    the q-th point" is computed exactly from a tiny occupancy histogram
+    (groupBy cell -> count, groupBy count -> #cells, driver-side scan).
+    This is the clustered-data guard — an average-density radius makes
+    every clumped query point pull the whole clump through the 9-cell
+    candidate explode (candidate volume quadratic in clump size); the
+    dense-quantile radius keeps round-1 candidates near
+    ``oversample * k`` everywhere, and sparse-region queries just take
+    more doubling rounds (or, with ``knn_join(radius_tiers=True)``,
+    enter directly at their own density's radius)."""
     import math
 
     row = right.agg(
@@ -658,4 +762,31 @@ def estimate_knn_radius(right: DataFrame, k: int,
     if n == 0:
         raise ValueError("cannot estimate a radius from an empty right side")
     area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-12)
-    return math.sqrt(oversample * k * area / (math.pi * n))
+    r_uniform = math.sqrt(oversample * k * area / (math.pi * n))
+    if density_quantile is None:
+        return r_uniform
+    if not 0.0 < density_quantile <= 1.0:
+        raise ValueError(
+            f"density_quantile must be in (0, 1], got {density_quantile}")
+    cell = max(r_uniform, 1e-12)
+    hist = right.select(
+        F.floor(F.col(right_x) / cell).alias("__cx"),
+        F.floor(F.col(right_y) / cell).alias("__cy"),
+    ).groupBy("__cx", "__cy").count() \
+        .groupBy("count").agg(F.count("*").alias("cells")).collect()
+    occ = sorted((r["count"], r["cells"]) for r in hist)
+    total = sum(c * m for c, m in occ)
+    if total <= 0:
+        return r_uniform
+    target = density_quantile * total
+    acc, q = 0, occ[-1][0]
+    for c, m in occ:
+        acc += c * m
+        if acc >= target:
+            q = c
+            break
+    if q <= 0:
+        return r_uniform
+    dense = q / (cell * cell)           # points per unit area, quantile cell
+    return min(r_uniform,
+               math.sqrt(oversample * k / (math.pi * dense)))

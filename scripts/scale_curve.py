@@ -244,6 +244,57 @@ def _graph_triangles_scaled(spark, sf_dir):
     return triangle_count(_scaled_edges(spark, sf_dir))
 
 
+# --- r10: the join family (r9 verdict #1) -------------------------------------
+# asof (union+window single shuffle — does the per-user window hide a
+# hot bucket at 10M events?), range (interval-replication factor), and
+# the knn ring expansion on CLUSTERED points (the worst case for a grid
+# sized from AVERAGE density: one dense cell holds most of the right
+# side, so round-1 candidate volume goes quadratic unless the radius is
+# sized from the densest region).
+
+def _knn_clustered_query(spark, sf_dir):
+    """knn_join where 90% of the right side sits in a 1.5x1.5-degree
+    clump (key-derived, deterministic) and the left queries split
+    between the clump and the sparse remainder — the ring-expansion
+    worst case the uniform registry coordinates never exercise.  Radius
+    comes from estimate_knn_radius's dense-quantile mode so clump
+    queries resolve in round one at ~k candidates instead of pulling
+    the whole clump through the 9-cell explode."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.joins import (estimate_knn_radius,
+                                                     knn_join)
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    in_clump = (F.col("c_custkey") % 10) != 0          # 90% clumped
+    clump_x = ((F.col("c_custkey") * 131) % 1500) / 1000.0      # [0, 1.5)
+    clump_y = ((F.col("c_custkey") * 197) % 1500) / 1000.0
+    spread_x = ((F.col("c_custkey") * 131) % 3600) / 10.0 - 180.0
+    spread_y = ((F.col("c_custkey") * 197) % 1700) / 10.0 - 85.0
+    cu = cu.select(
+        "c_custkey",
+        F.when(in_clump, clump_x).otherwise(spread_x).alias("clon"),
+        F.when(in_clump, clump_y).otherwise(spread_y).alias("clat"))
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 31 == 0).select("event_id", "user_id")
+    ev_clump = (F.col("event_id") % 10) != 0
+    ex_c = ((F.col("user_id") * 37 + F.col("event_id")) % 1500) / 1000.0
+    ey_c = ((F.col("user_id") * 53 + F.col("event_id") * 7) % 1500) / 1000.0
+    ex_s = ((F.col("user_id") * 37 + F.col("event_id")) % 3400) / 10.0 - 170.0
+    ey_s = ((F.col("user_id") * 53 + F.col("event_id") * 7) % 1600) / 10.0 - 80.0
+    ev = ev.select(
+        "event_id",
+        F.when(ev_clump, ex_c).otherwise(ex_s).alias("elon"),
+        F.when(ev_clump, ey_c).otherwise(ey_s).alias("elat"))
+    r0 = estimate_knn_radius(cu, 3, "clon", "clat", density_quantile=0.99)
+    return knn_join(ev, cu, k=3, initial_radius=r0,
+                    left_id="event_id", left_x="elon", left_y="elat",
+                    right_x="clon", right_y="clat",
+                    tie_columns=["c_custkey"], max_rounds=8,
+                    radius_tiers=True)
+
+
 # name -> (registry name or callable, row-count table)
 X100_QUERIES = {
     "dedup_minhash_survivors": ("dedup_minhash_survivors", "documents"),
@@ -267,6 +318,13 @@ X100_QUERIES = {
     "manifest_footer_sweep": (_manifest_sweep_query, "events"),
     "graph_pagerank_scaled": (_graph_pagerank_scaled, "orders"),
     "graph_triangles_scaled": (_graph_triangles_scaled, "orders"),
+    # r10 additions: the join family (r9 verdict #1) — registry shapes
+    # at 10M events / 15M orders plus the clustered knn worst case
+    "events_asof_join": ("events_asof_join", "events"),
+    "range_join_price_bands": ("range_join_price_bands", "orders"),
+    "geo_distance_join": ("geo_distance_join", "events"),
+    "geo_knn_join": ("geo_knn_join", "events"),
+    "knn_join_clustered": (_knn_clustered_query, "events"),
 }
 
 

@@ -404,6 +404,79 @@ def test_grid_join_wide_cell_indices_no_collision(spark):
     assert got == [(1, "lo"), (2, "hi")]      # no cross-matches, no dups
 
 
+def test_knn_join_radius_tiers_identical_on_clustered(spark):
+    """radius_tiers=True is a PLAN change, not a semantics change: on a
+    clustered layout (90% of the right side in one clump + sparse
+    remainder — the shape where tier estimates actually differ per
+    point) the tiered output must match both the classic doubling
+    ladder and a brute-force mirror exactly, including tie-break
+    order."""
+    import math
+    import random
+
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    rnd = random.Random(10)
+    rpts = [(100 + j, rnd.uniform(0.0, 1.0), rnd.uniform(0.0, 1.0))
+            for j in range(90)]                       # dense clump
+    rpts += [(200 + j, rnd.uniform(-50.0, 50.0), rnd.uniform(-50.0, 50.0))
+             for j in range(10)]                      # sparse remainder
+    lpts = [(i, rnd.uniform(0.0, 1.0), rnd.uniform(0.0, 1.0))
+            for i in range(15)]
+    lpts += [(50 + i, rnd.uniform(-50.0, 50.0), rnd.uniform(-50.0, 50.0))
+             for i in range(5)]
+    left = spark.createDataFrame(lpts, ["lid", "lx", "ly"])
+    right = spark.createDataFrame(rpts, ["rid", "rx", "ry"])
+    kw = dict(k=3, initial_radius=0.05, left_id="lid",
+              left_x="lx", left_y="ly", right_x="rx", right_y="ry",
+              tie_columns=["rid"], max_rounds=6)
+    tiered = knn_join(left, right, radius_tiers=True, **kw)
+    classic = knn_join(left, right, **kw)
+
+    def key(df):
+        return sorted((r["lid"], r["knn_rank"], r["rid"],
+                       round(r["distance"], 12)) for r in df.collect())
+
+    got_t, got_c = key(tiered), key(classic)
+    assert got_t == got_c
+    want = []
+    for li, lx, ly in lpts:
+        exp = sorted((math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rid)
+                     for rid, rx, ry in rpts)[:3]
+        want += [(li, rank + 1, rid, round(d, 12))
+                 for rank, (d, rid) in enumerate(exp)]
+    assert got_t == sorted(want)
+
+
+def test_estimate_knn_radius_density_quantile_point_weighted(spark):
+    """The dense-quantile radius must reflect the density a typical
+    POINT sees, not a typical CELL: with 90% of points in one tiny
+    clump and singletons elsewhere, the p90 point lives in the clump,
+    so the radius must shrink far below the uniform-model radius (a
+    cell-weighted quantile returns the uniform radius right back — the
+    r10 regression this pins)."""
+    from geoparquet_io_spark.operators.joins import estimate_knn_radius
+
+    pts = [(i, (i * 131 % 100) / 1000.0, (i * 197 % 100) / 1000.0)
+           for i in range(900)]                       # clump in 0.1x0.1
+    pts += [(1000 + i, float(10 * (i % 10)) + 5.0, float(10 * (i // 10)) + 5.0)
+            for i in range(100)]                      # spread singletons
+    df = spark.createDataFrame(pts, ["rid", "rx", "ry"])
+    r_uni = estimate_knn_radius(df, k=3, right_x="rx", right_y="ry")
+    r_dense = estimate_knn_radius(df, k=3, right_x="rx", right_y="ry",
+                                  density_quantile=0.9)
+    assert r_dense < r_uni / 10.0
+    # quantile 1.0 = sparsest occupied cell -> never above uniform
+    r_all = estimate_knn_radius(df, k=3, right_x="rx", right_y="ry",
+                                density_quantile=1.0)
+    assert r_all <= r_uni + 1e-12
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        estimate_knn_radius(df, k=3, right_x="rx", right_y="ry",
+                            density_quantile=1.5)
+
+
 def test_estimate_knn_radius_uniform_density(spark):
     import math
 
