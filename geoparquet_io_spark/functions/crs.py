@@ -109,6 +109,17 @@ def _pipeline_step(crs: str):
         if pair is not None:
             fwd, inv = pair
             return inv, fwd
+    if crs.startswith("ESRI:"):
+        from geoparquet_io_spark.functions import projections as _proj
+
+        try:
+            code = int(crs.split(":", 1)[1])
+        except ValueError:
+            return None
+        pair = _proj._proj_for_esri(code)
+        if pair is not None:
+            fwd, inv = pair
+            return inv, fwd
     return None
 
 

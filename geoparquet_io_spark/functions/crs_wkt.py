@@ -102,6 +102,11 @@ _GEOGCS: dict[str, tuple] = {
               "GRS 1980", P.GRS80, 7019, 4686, _ZERO7),
     "ISR93": ("Israel 1993", "Israel_1993", "GRS 1980", P.GRS80, 7019,
               4141, P._DATUM_ISR93),
+    # --- round-10 additions ---
+    "AMERSFOORT": ("Amersfoort", "Amersfoort", "Bessel 1841",
+                   P.BESSEL1841, 7004, 4289, P._DATUM_AMERSFOORT),
+    "HD72": ("HD72", "Hungarian_Datum_1972", "GRS 1967",
+             P.GRS67, 7036, 4237, P._DATUM_HD72),
 }
 
 # projected CRS names + geographic base for every EPSG_TABLE code
@@ -405,6 +410,27 @@ def wkt_for_epsg(code: int) -> str | None:
                          + 2.952 / 3600.0),
                         ("false_easting", 150000.013),
                         ("false_northing", 5400088.438)], 31370)
+    if code == 28992:
+        return _projcs("Amersfoort / RD New", "AMERSFOORT",
+                       "Oblique_Stereographic",
+                       [("latitude_of_origin",
+                         52.0 + 9.0 / 60.0 + 22.178 / 3600.0),
+                        ("central_meridian",
+                         5.0 + 23.0 / 60.0 + 15.5 / 3600.0),
+                        ("scale_factor", 0.9999079),
+                        ("false_easting", 155000.0),
+                        ("false_northing", 463000.0)], 28992)
+    if code == 23700:
+        return _projcs("HD72 / EOV", "HD72",
+                       "Hotine_Oblique_Mercator_Azimuth_Center",
+                       [("latitude_of_center",
+                         47.0 + 8.0 / 60.0 + 39.8174 / 3600.0),
+                        ("longitude_of_center",
+                         19.0 + 2.0 / 60.0 + 54.8584 / 3600.0),
+                        ("azimuth", 90.0), ("rectified_grid_angle", 90.0),
+                        ("scale_factor", 0.99993),
+                        ("false_easting", 650000.0),
+                        ("false_northing", 200000.0)], 23700)
     if code == 5514:
         return _projcs("S-JTSK / Krovak East North", "S-JTSK", "Krovak",
                        [("latitude_of_center", 49.5),

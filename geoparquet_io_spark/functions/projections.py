@@ -880,7 +880,9 @@ def proj_from_params(spec: dict):
 
     Keys:
       family  — one of tm / lcc / albers / laea / ps / cea / swiss /
-                krovak (the same kernels the registry codes use);
+                krovak / obst (oblique stereographic, EPSG 9809) /
+                moll (Mollweide) — the same kernels the registry
+                codes use;
       ellps   — ellipsoid name (WGS84, GRS80, AIRY1830, BESSEL1841,
                 INTL1924) or {"a": ..., "rf": ...} (inverse flattening;
                 rf=0 for a sphere);
@@ -899,6 +901,9 @@ def proj_from_params(spec: dict):
     kernels = dict(_family_kernels())
     kernels["swiss"] = (make_swiss, swiss_forward, swiss_inverse)
     kernels["krovak"] = (make_krovak, krovak_forward, krovak_inverse)
+    kernels["obst"] = (make_oblique_stereo, oblique_stereo_forward,
+                       oblique_stereo_inverse)
+    kernels["moll"] = (make_mollweide, moll_forward, moll_inverse)
     if fam not in kernels:
         raise ValueError(
             f"unknown projection family {fam!r}; supported: "
@@ -1054,6 +1059,40 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: krovak_forward(lo, la, c),
                            lambda x, y: krovak_inverse(x, y, c),
                            BESSEL1841, _DATUM_SJTSK)
+    if code == 28992:  # Amersfoort / RD New (oblique stereographic, Bessel)
+        # EPSG projection 19914; method 9809 (double stereographic) —
+        # kernel validated against the GN7-2 worked example
+        c = make_oblique_stereo(*BESSEL1841,
+                                lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+                                lon0=5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+                                k0=0.9999079, fe=155000.0, fn=463000.0)
+        return _with_datum(lambda lo, la: oblique_stereo_forward(lo, la, c),
+                           lambda x, y: oblique_stereo_inverse(x, y, c),
+                           BESSEL1841, _DATUM_AMERSFOORT)
+    if code == 23700:  # HD72 / EOV Hungary (GRS67)
+        # EPSG projection 19931: Hotine Oblique Mercator variant B with
+        # azimuth = rectified angle = 90 degrees, which reduces to the
+        # Gauss-sphere oblique Mercator (PROJ maps it onto `somerc`)
+        # with kc = 0.99993 scaling the sphere radius
+        c = make_swiss(*GRS67,
+                       lat0=47.0 + 8.0 / 60.0 + 39.8174 / 3600.0,
+                       lon0=19.0 + 2.0 / 60.0 + 54.8584 / 3600.0,
+                       e0=650000.0, n0=200000.0, k0=0.99993)
+        return _with_datum(lambda lo, la: swiss_forward(lo, la, c),
+                           lambda x, y: swiss_inverse(x, y, c),
+                           GRS67, _DATUM_HD72)
+    return None
+
+
+def _proj_for_esri(code: int):
+    """(forward, inverse) for supported ESRI:xxxxx codes — the world
+    projections ESRI publishes for global zonal statistics (the
+    reference reaches them through PROJ's authority table; this
+    registry pins the ones users actually write)."""
+    if code == 54009:   # World Mollweide (spherical on WGS84 semi-major)
+        c = make_mollweide(WGS84[0])
+        return (lambda lo, la: moll_forward(lo, la, c),
+                lambda x, y: moll_inverse(x, y, c))
     return None
 
 
@@ -1064,10 +1103,11 @@ def _proj_for_epsg(code: int):
 AIRY1830 = (6377563.396, 1.0 / 299.3249646)
 BESSEL1841 = (6377397.155, 1.0 / 299.1528128)
 INTL1924 = (6378388.0, 1.0 / 297.0)
+GRS67 = (6378160.0, 1.0 / 298.247167427)
 
 ELLIPSOIDS.update({
     "WGS84": WGS84, "GRS80": GRS80, "AIRY1830": AIRY1830,
-    "BESSEL1841": BESSEL1841, "INTL1924": INTL1924,
+    "BESSEL1841": BESSEL1841, "INTL1924": INTL1924, "GRS67": GRS67,
 })
 
 _ARCSEC = math.pi / (180.0 * 3600.0)
@@ -1151,6 +1191,11 @@ _DATUM_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
 _DATUM_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
 _DATUM_ISR93 = (-48.0, 55.0, 52.0, 0.0, 0.0, 0.0, 0.0)
 _DATUM_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+# Amersfoort -> WGS 84: EPSG transformation 15934 (position vector, the
+# parameters PROJ ships for EPSG:28992); HD72 -> WGS 84: EPSG 1448
+_DATUM_AMERSFOORT = (565.417, 50.3319, 465.552,
+                     -0.398957, 0.343988, -1.8774, 4.0725)
+_DATUM_HD72 = (52.684, -71.194, -13.975, -0.312, -0.1063, -0.3729, 1.0191)
 
 
 # ---------------------------------------------------------------------------
@@ -1310,3 +1355,152 @@ def krovak_inverse(x, y, c: _KrovakConsts):
             * ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi)))
             ** (e / 2.0)) - np.pi / 4.0)
     return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Oblique ("double") Stereographic (EPSG method 9809) — RD New / Amersfoort
+# (EPSG:28992, all Dutch national data).  Public EPSG Guidance Note 7-2
+# formulas: conformal-sphere substitution then spherical oblique
+# stereographic; validated by the GN7-2 Amersfoort worked example
+# (53N 6E -> E 196105.283, N 557057.739) to < 2 cm in the tests.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _ObStConsts:
+    a: float
+    e: float
+    R: float        # conformal sphere radius
+    n: float
+    c: float
+    chi0: float     # conformal latitude of origin
+    lam0: float
+    k0: float
+    fe: float
+    fn: float
+
+
+def make_oblique_stereo(a: float, f: float, lat0: float, lon0: float,
+                        k0: float, fe: float, fn: float) -> _ObStConsts:
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + e2 * math.cos(phi0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sin_chi0)) / ((n - s0) * (1.0 + sin_chi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return _ObStConsts(a, e, R, n, c, chi0, math.radians(lon0), k0, fe, fn)
+
+
+def oblique_stereo_forward(lon, lat, c: _ObStConsts):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    e = c.e
+    sp = np.sin(phi)
+    # conformal longitude difference: Lambda - Lambda0 = n (lam - lam0)
+    dL = c.n * np.radians(_wrap_dlon(np.degrees(lam - c.lam0)))
+    Sa = (1.0 + sp) / (1.0 - sp)
+    Sb = (1.0 - e * sp) / (1.0 + e * sp)
+    w = c.c * (Sa * Sb ** e) ** c.n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    B = 1.0 + np.sin(chi) * math.sin(c.chi0) \
+        + np.cos(chi) * math.cos(c.chi0) * np.cos(dL)
+    E = c.fe + 2.0 * c.R * c.k0 * np.cos(chi) * np.sin(dL) / B
+    N = c.fn + 2.0 * c.R * c.k0 * (np.sin(chi) * math.cos(c.chi0)
+                                   - np.cos(chi) * math.sin(c.chi0)
+                                   * np.cos(dL)) / B
+    return E, N
+
+
+def oblique_stereo_inverse(x, y, c: _ObStConsts):
+    Ep = np.asarray(x, dtype=np.float64) - c.fe
+    Np = np.asarray(y, dtype=np.float64) - c.fn
+    e = c.e
+    g = 2.0 * c.R * c.k0 * math.tan(math.pi / 4.0 - c.chi0 / 2.0)
+    h = 4.0 * c.R * c.k0 * math.tan(c.chi0) + g
+    i_ = np.arctan2(Ep, h + Np)
+    j_ = np.arctan2(Ep, g - Np) - i_
+    chi = c.chi0 + 2.0 * np.arctan((Np - Ep * np.tan(j_ / 2.0))
+                                   / (2.0 * c.R * c.k0))
+    dL = j_ + 2.0 * i_                      # Lambda - Lambda0
+    lam = dL / c.n + c.lam0
+    # isometric latitude on the ellipsoid from the conformal latitude
+    psi = 0.5 * np.log((1.0 + np.sin(chi))
+                       / (c.c * (1.0 - np.sin(chi)))) / c.n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(6):
+        sp = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0)
+                       * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e * e * sp * sp) \
+            / (1.0 - e * e)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (pseudocylindrical equal-area, spherical — PROJ `moll`,
+# ESRI:54009 "World Mollweide" with R = WGS84 semi-major).  Snyder's
+# published formulas; theta by Newton iteration.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _MollConsts:
+    R: float
+    lam0: float
+    fe: float
+    fn: float
+
+
+def make_mollweide(a: float, f: float = 0.0, lon0: float = 0.0,
+                   fe: float = 0.0, fn: float = 0.0) -> _MollConsts:
+    # spherical projection: the ellipsoid's semi-major is the sphere
+    # radius (PROJ `moll` behaves the same — es is zeroed)
+    return _MollConsts(a, math.radians(lon0), fe, fn)
+
+
+_MOLL_SQRT2 = math.sqrt(2.0)
+_MOLL_CX = 2.0 * math.sqrt(2.0) / math.pi
+
+
+def _moll_theta(phi: np.ndarray) -> np.ndarray:
+    """Solve 2*theta + sin(2*theta) = pi * sin(phi) by Newton (exact at
+    the poles where the derivative vanishes)."""
+    target = np.pi * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(12):
+        f_ = 2.0 * theta + np.sin(2.0 * theta) - target
+        d = 2.0 + 2.0 * np.cos(2.0 * theta)
+        step = np.where(np.abs(d) > 1e-14, f_ / np.where(d == 0, 1.0, d), 0.0)
+        theta = theta - step
+    # poles: theta = +-pi/2 exactly
+    return np.where(np.abs(phi) >= np.pi / 2.0 - 1e-12,
+                    np.sign(phi) * np.pi / 2.0, theta)
+
+
+def moll_forward(lon, lat, c: _MollConsts):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(_wrap_dlon(np.asarray(lon, dtype=np.float64)
+                                 - math.degrees(c.lam0)))
+    theta = _moll_theta(phi)
+    x = c.fe + _MOLL_CX * c.R * dlam * np.cos(theta)
+    y = c.fn + _MOLL_SQRT2 * c.R * np.sin(theta)
+    return x, y
+
+
+def moll_inverse(x, y, c: _MollConsts):
+    xs = np.asarray(x, dtype=np.float64) - c.fe
+    ys = np.asarray(y, dtype=np.float64) - c.fn
+    st = np.clip(ys / (_MOLL_SQRT2 * c.R), -1.0, 1.0)
+    theta = np.arcsin(st)
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi,
+                            -1.0, 1.0))
+    ct = np.cos(theta)
+    dlam = np.where(ct > 1e-12, xs / (_MOLL_CX * c.R * np.where(ct == 0, 1.0, ct)), 0.0)
+    return np.degrees(dlam + c.lam0), np.degrees(phi)

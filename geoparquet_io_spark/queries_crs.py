@@ -756,3 +756,215 @@ def q_reproject_sirgas_utm23s(spark, sf_dir):
     km) under the SIRGAS frame."""
     return _spark_reproject(spark, sf_dir, "EPSG:31983",
                             lon_range=(-48.0, -42.0))
+
+
+# --- round-10 oracles: oblique stereographic (RD New), Gauss-sphere --------
+# --- oblique Mercator with scale (EOV), Mollweide (ESRI:54009) --------------
+
+def _helmert_ll_ctes(datum, local_ell, lon_lo, lon_hi, lat_lo, lat_hi) -> str:
+    """CTE prefix ``pts .. ll`` mirroring the kernel's WGS84 -> local
+    datum chain in SQL: geodetic -> ECEF on WGS84, inverse
+    position-vector Helmert (all 7 parameters negated, exactly like
+    projections._helmert_apply(inverse=True)), then 5 unrolled
+    geodetic-latitude iterations on the local ellipsoid — the same
+    blocks the OSGB oracle uses, parameterized for any pinned datum."""
+    wa, wf = P.WGS84
+    we2 = 2.0 * wf - wf * wf
+    aa, af = local_ell
+    ae2 = 2.0 * af - af * af
+    tx, ty, tz, rx, ry, rz, s = datum
+    arc = math.pi / (180.0 * 3600.0)
+    m = 1.0 - s * 1e-6
+    rxr, ryr, rzr = -rx * arc, -ry * arc, -rz * arc
+    lat_step = (
+        "atan2(Z, p * (1.0 - {ae2} * ({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i})))"
+        " / (({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i})))"
+        " + p / cos(la{i}) - ({aa} / sqrt(1.0 - {ae2} * sin(la{i}) * sin(la{i}))))))"
+    )
+    lat_ctes = ",\n    ".join(
+        f"it{i + 1} AS (SELECT event_id, Z, p, lon2, "
+        + lat_step.format(ae2=repr(ae2), aa=repr(aa), i=i)
+        + f" AS la{i + 1} FROM it{i})"
+        for i in range(5)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    win AS (SELECT * FROM pts WHERE lon BETWEEN {lon_lo!r} AND {lon_hi!r}
+                                AND lat BETWEEN {lat_lo!r} AND {lat_hi!r}),
+    g AS (SELECT event_id,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * cos(radians(lon)) AS X0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * cos(radians(lat)) * sin(radians(lon)) AS Y0,
+      ({wa!r} / sqrt(1.0 - {we2!r} * sin(radians(lat)) * sin(radians(lat))))
+        * (1.0 - {we2!r}) * sin(radians(lat)) AS Z0
+      FROM win),
+    h AS (SELECT event_id,
+      {m!r} * (X0 - ({rzr!r}) * Y0 + ({ryr!r}) * Z0) + ({-tx!r}) AS X,
+      {m!r} * (({rzr!r}) * X0 + Y0 - ({rxr!r}) * Z0) + ({-ty!r}) AS Y,
+      {m!r} * (-(({ryr!r})) * X0 + ({rxr!r}) * Y0 + Z0) + ({-tz!r}) AS Z
+      FROM g),
+    it0 AS (SELECT event_id, Z, sqrt(X * X + Y * Y) AS p,
+                   atan2(Y, X) AS lon2,
+                   atan2(Z, sqrt(X * X + Y * Y) * (1.0 - {ae2!r})) AS la0
+            FROM h),
+    {lat_ctes},
+    ll AS (SELECT event_id, degrees(lon2) AS lon, degrees(la5) AS lat
+           FROM it5)"""
+
+
+_RDNEW = P.make_oblique_stereo(*P.BESSEL1841,
+                               lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+                               lon0=5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+                               k0=0.9999079, fe=155000.0, fn=463000.0)
+
+
+def _rdnew_sql() -> str:
+    """Helmert (Amersfoort) chain + EPSG method 9809 closed-form forward:
+    conformal latitude chi from the w-substitution, then the spherical
+    oblique stereographic on the conformal sphere (R, n, c, chi0 from
+    the kernel constructor the GN7-2 worked example pins)."""
+    c = _RDNEW
+    e = c.e
+    two_rk = 2.0 * c.R * c.k0
+    return _helmert_ll_ctes(P._DATUM_AMERSFOORT, P.BESSEL1841,
+                            3.2, 7.3, 50.7, 53.6) + f""",
+    s1 AS (SELECT event_id, lon, sin(radians(lat)) AS sp FROM ll),
+    s2 AS (SELECT event_id,
+      {c.n!r} * radians({_wrap_dlon_sql(math.degrees(c.lam0))}) AS dL,
+      {c.c!r} * pow(((1.0 + sp) / (1.0 - sp))
+        * pow((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e!r}), {c.n!r}) AS w
+      FROM s1),
+    s3 AS (SELECT event_id, dL, asin((w - 1.0) / (w + 1.0)) AS chi FROM s2),
+    s4 AS (SELECT event_id, dL, chi,
+      1.0 + sin(chi) * {math.sin(c.chi0)!r}
+          + cos(chi) * {math.cos(c.chi0)!r} * cos(dL) AS B
+      FROM s3)
+    SELECT event_id,
+      ROUND({c.fe!r} + {two_rk!r} * cos(chi) * sin(dL) / B, 1) + 0.0 AS px,
+      ROUND({c.fn!r} + {two_rk!r} * (sin(chi) * {math.cos(c.chi0)!r}
+            - cos(chi) * {math.sin(c.chi0)!r} * cos(dL)) / B, 1) + 0.0 AS py
+    FROM s4
+    """
+
+
+@register("geo_reproject_rdnew", _rdnew_sql())
+def q_reproject_rdnew(spark, sf_dir):
+    """EPSG:28992 (Amersfoort / RD New) — the Dutch national grid and
+    the registry's first OBLIQUE ("double") STEREOGRAPHIC (EPSG method
+    9809: every other conformal row is conic/cylindric).  Kernel pinned
+    by the GN7-2 worked example (53N 6E -> 196105.283, 557057.739);
+    oracle mirrors the full Helmert + conformal-sphere chain in SQL.
+    Reference semantics: core/reproject.py:94-160."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(3.2, 7.3)
+                      & F.col("lat").between(50.7, 53.6))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:28992")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_EOV = P.make_swiss(*P.GRS67,
+                    lat0=47.0 + 8.0 / 60.0 + 39.8174 / 3600.0,
+                    lon0=19.0 + 2.0 / 60.0 + 54.8584 / 3600.0,
+                    e0=650000.0, n0=200000.0, k0=0.99993)
+
+
+def _eov_sql() -> str:
+    """Helmert (HD72) chain + Gauss-sphere oblique Mercator forward with
+    the kc=0.99993 sphere scale (EPSG 19931 / HOM variant B at azimuth
+    90, PROJ somerc) — alpha, R, b0, K from the kernel constructor."""
+    c = _EOV
+    e = c.e
+    return _helmert_ll_ctes(P._DATUM_HD72, P.GRS67,
+                            16.1, 22.9, 45.7, 48.6) + f""",
+    s1 AS (SELECT event_id, radians(lon) AS lam, radians(lat) AS phi,
+                  sin(radians(lat)) AS sp FROM ll),
+    s2 AS (SELECT event_id, lam,
+      {c.alpha!r} * ln(tan(pi() / 4.0 + phi / 2.0))
+        - {c.alpha * e / 2.0!r} * ln((1.0 + {e!r} * sp) / (1.0 - {e!r} * sp))
+        + {c.K!r} AS S
+      FROM s1),
+    s3 AS (SELECT event_id,
+      2.0 * (atan(exp(S)) - pi() / 4.0) AS b,
+      {c.alpha!r} * (lam - {c.lam0!r}) AS l
+      FROM s2),
+    s4 AS (SELECT event_id,
+      atan2(sin(l), {math.sin(c.b0)!r} * tan(b)
+                    + {math.cos(c.b0)!r} * cos(l)) AS lbar,
+      asin({math.cos(c.b0)!r} * sin(b)
+           - {math.sin(c.b0)!r} * cos(b) * cos(l)) AS bbar
+      FROM s3)
+    SELECT event_id,
+      ROUND({c.R!r} * lbar + {c.e0!r}, 1) + 0.0 AS px,
+      ROUND({c.R / 2.0!r} * ln((1.0 + sin(bbar)) / (1.0 - sin(bbar)))
+            + {c.n0!r}, 1) + 0.0 AS py
+    FROM s4
+    """
+
+
+@register("geo_reproject_eov", _eov_sql())
+def q_reproject_eov(spark, sf_dir):
+    """EPSG:23700 (HD72 / EOV) — Hungary's national grid: EPSG's HOM
+    variant B with azimuth = rectified angle = 90 degrees on GRS67,
+    which reduces to the Gauss-sphere oblique Mercator with a sphere
+    scale (the somerc family) — the registry's first SCALED
+    double-projection row (the Swiss rows run kc=1).  Centre->origin,
+    kc-at-centre, and Budapest-band invariants pinned in unit tests.
+    Reference semantics: core/reproject.py:94-160."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(16.1, 22.9)
+                      & F.col("lat").between(45.7, 48.6))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:23700")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_MOLL = P.make_mollweide(P.WGS84[0])
+
+
+def _mollweide_sql() -> str:
+    """Snyder Mollweide with 8 unrolled Newton iterations for theta
+    (2t + sin 2t = pi sin phi); the events window keeps |lat| <= 80 so
+    the Newton denominator 2 + 2cos(2t) stays far from its polar zero
+    (the kernel handles the poles; the oracle only needs the data's
+    domain)."""
+    c = _MOLL
+    cx = 2.0 * math.sqrt(2.0) / math.pi
+    sq2 = math.sqrt(2.0)
+    newton = ",\n    ".join(
+        f"n{i + 1} AS (SELECT event_id, dlam, target, "
+        f"t{i} - (2.0 * t{i} + sin(2.0 * t{i}) - target)"
+        f" / (2.0 + 2.0 * cos(2.0 * t{i})) AS t{i + 1} FROM n{i})"
+        for i in range(8)
+    )
+    return f"""
+    WITH pts AS ({_EVT}),
+    s AS (SELECT event_id, radians(lon) AS dlam, radians(lat) AS phi,
+                 pi() * sin(radians(lat)) AS target FROM pts),
+    n0 AS (SELECT event_id, dlam, target, phi AS t0 FROM s),
+    {newton}
+    SELECT event_id,
+      ROUND({cx * c.R!r} * dlam * cos(t8), 1) + 0.0 AS px,
+      ROUND({sq2 * c.R!r} * sin(t8), 1) + 0.0 AS py
+    FROM n8
+    """
+
+
+@register("geo_reproject_mollweide", _mollweide_sql())
+def q_reproject_mollweide(spark, sf_dir):
+    """ESRI:54009 (World Mollweide) — the equal-area world projection
+    global zonal statistics default, and the registry's first
+    PSEUDOCYLINDRIC row and first ESRI-authority code (the reference
+    reaches ESRI codes through PROJ's authority tables;
+    core/reproject.py:94-160).  Closed-form pole/equator identities and
+    the equal-area Jacobian pinned in unit tests."""
+    return _spark_reproject(spark, sf_dir, "ESRI:54009")

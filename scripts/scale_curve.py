@@ -333,8 +333,13 @@ def measure_x100(spark) -> dict:
 
     _build_scaled(spark, SF10X, X100_FACTOR, X100_SCALED,
                   ["region", "nation", "supplier", "part"])
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    todo = X100_QUERIES
+    if only:
+        wanted = set(only[0].split(","))
+        todo = {k: v for k, v in X100_QUERIES.items() if k in wanted}
     out = {}
-    for label, (q, table) in X100_QUERIES.items():
+    for label, (q, table) in todo.items():
         fn = REGISTRY[q][0] if isinstance(q, str) else q
         for sf_label, d in [("sf0.1", BASE), ("sf100x", SF10X)]:
             rows = spark.read.parquet(f"{d}/{table}.parquet").count()

@@ -64,6 +64,99 @@ def test_belgian_lambert72_worked_example():
     assert abs(cm - _dms(4, 22, 2.952)) < 1e-9
 
 
+def test_oblique_stereographic_worked_example():
+    """EPSG Guidance Note 7-2 Oblique Stereographic worked example
+    (Amersfoort / RD New, Bessel 1841): 53N 6E (Amersfoort geographic)
+    -> E 196105.283  N 557057.739 — pins the conformal-sphere constants
+    (R, n, c, chi0) and the double-stereographic forward to the mm; the
+    inverse is checked against the same point."""
+    c = P.make_oblique_stereo(*P.BESSEL1841,
+                              lat0=_dms(52, 9, 22.178),
+                              lon0=_dms(5, 23, 15.500),
+                              k0=0.9999079, fe=155000.0, fn=463000.0)
+    x, y = P.oblique_stereo_forward(np.array([6.0]), np.array([53.0]), c)
+    assert abs(float(x[0]) - 196105.283) < 0.002
+    assert abs(float(y[0]) - 557057.739) < 0.002
+    lo, la = P.oblique_stereo_inverse(np.array([196105.283]),
+                                      np.array([557057.739]), c)
+    assert abs(float(lo[0]) - 6.0) < 1e-9
+    assert abs(float(la[0]) - 53.0) < 1e-8
+    # registry + WKT wiring present (datum-shifted EPSG:28992)
+    assert P._proj_for_epsg(28992) is not None
+    from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+    assert 'Oblique_Stereographic' in wkt_for_epsg(28992)
+
+
+def test_eov_center_and_scale_invariants():
+    """HD72 / EOV (EPSG:23700, HOM variant B with azimuth = rectified
+    angle = 90 degrees = Gauss-sphere oblique Mercator with kc):
+    variant B's false easting/northing apply AT THE PROJECTION CENTRE,
+    so the centre must map exactly to (650000, 200000); the meridian
+    point-scale there must equal kc = 0.99993 (finite difference); and
+    a Budapest reference point must land in its known grid band —
+    a wrong kernel family or mis-keyed kc is hundreds of metres off."""
+    c = P.make_swiss(*P.GRS67, lat0=_dms(47, 8, 39.8174),
+                     lon0=_dms(19, 2, 54.8584),
+                     e0=650000.0, n0=200000.0, k0=0.99993)
+    lonc, latc = _dms(19, 2, 54.8584), _dms(47, 8, 39.8174)
+    x, y = P.swiss_forward(np.array([lonc]), np.array([latc]), c)
+    assert abs(float(x[0]) - 650000.0) < 1e-6
+    assert abs(float(y[0]) - 200000.0) < 1e-6
+    # meridian scale at centre == kc (finite difference vs rho)
+    d = 1e-5
+    _, y2 = P.swiss_forward(np.array([lonc]), np.array([latc + d]), c)
+    a, f = P.GRS67
+    e2 = 2.0 * f - f * f
+    phi0 = math.radians(latc)
+    rho = a * (1.0 - e2) / (1.0 - e2 * math.sin(phi0) ** 2) ** 1.5
+    scale = (float(y2[0]) - 200000.0) / (math.radians(d) * rho)
+    assert abs(scale - 0.99993) < 1e-6
+    # Budapest (19.040833E, 47.498333N in HD72): EOV ~ (649.4 km, 239.3 km)
+    x, y = P.swiss_forward(np.array([19.040833]), np.array([47.498333]), c)
+    assert 648000.0 < float(x[0]) < 651000.0
+    assert 235000.0 < float(y[0]) < 243000.0
+    assert P._proj_for_epsg(23700) is not None
+    from geoparquet_io_spark.functions.crs_wkt import wkt_for_epsg
+    assert 'Hotine_Oblique_Mercator_Azimuth_Center' in wkt_for_epsg(23700)
+
+
+def test_mollweide_closed_form_and_esri_transformer():
+    """Mollweide (ESRI:54009, spherical R = WGS84 semi-major) closed
+    forms: equator at lon 90 -> x = sqrt(2) R exactly; poles ->
+    y = +-sqrt(2) R, x = 0; global roundtrip through the ESRI:
+    transformer path to float precision; equal-area invariant via the
+    Jacobian at a sample of points."""
+    R = P.WGS84[0]
+    m = P.make_mollweide(R)
+    x, y = P.moll_forward(np.array([90.0, 0.0, 0.0]),
+                          np.array([0.0, 90.0, -90.0]), m)
+    s2R = math.sqrt(2.0) * R
+    assert abs(float(x[0]) - s2R) < 1e-6 and abs(float(y[0])) < 1e-6
+    assert abs(float(y[1]) - s2R) < 1e-6 and abs(float(x[1])) < 1e-6
+    assert abs(float(y[2]) + s2R) < 1e-6
+    fwd = C.get_transformer("EPSG:4326", "ESRI:54009")
+    inv = C.get_transformer("ESRI:54009", "EPSG:4326")
+    rng = np.random.default_rng(54009)
+    lon = rng.uniform(-179.5, 179.5, 500)
+    lat = rng.uniform(-89.5, 89.5, 500)
+    gx, gy = fwd(lon, lat)
+    lon2, lat2 = inv(gx, gy)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # equal-area: |J| == R^2 cos(phi) (the sphere's area element)
+    d = 1e-6
+    for lo, la in [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (10.0, 80.0)]:
+        x0, y0 = P.moll_forward(np.array([lo]), np.array([la]), m)
+        x1, y1 = P.moll_forward(np.array([lo + d]), np.array([la]), m)
+        x2, y2 = P.moll_forward(np.array([lo]), np.array([la + d]), m)
+        J = abs((float(x1[0]) - float(x0[0])) * (float(y2[0]) - float(y0[0]))
+                - (float(x2[0]) - float(x0[0]))
+                * (float(y1[0]) - float(y0[0])))
+        area_elem = (R ** 2) * math.cos(math.radians(la)) \
+            * math.radians(d) ** 2
+        assert abs(J / area_elem - 1.0) < 1e-4, (lo, la)
+
+
 def test_krovak_worked_example():
     """EPSG Guidance Note 7-2 Krovak worked example:
     50d12'32.4416\"N 16d50'59.1790\"E (Greenwich) ->
@@ -108,6 +201,9 @@ def test_krovak_worked_example():
     (3116, (-75.6, -72.6), (-2.0, 11.5)),     # MAGNA-SIRGAS / Colombia Bogota
     (31983, (-48.0, -42.0), (-25.0, -2.0)),   # SIRGAS 2000 / UTM 23S
     (3347, (-140.0, -55.0), (42.0, 82.0)),    # NAD83 / StatCan Lambert
+    # round-10 tranche
+    (28992, (3.2, 7.3), (50.7, 53.6)),        # Amersfoort / RD New
+    (23700, (16.1, 22.9), (45.7, 48.6)),      # HD72 / EOV Hungary
 ])
 def test_roundtrip_new_codes(code, lon_range, lat_range):
     rng = np.random.default_rng(code)
