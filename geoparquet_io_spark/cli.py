@@ -1057,6 +1057,19 @@ def _load_plugins(subparsers) -> None:
     adds its own ``add_parser(...)`` verbs (setting ``fn=`` like the
     built-ins).  A broken plugin warns on stderr and is skipped — it
     must not take down the core CLI."""
+    # bundled plugins first (same register() contract and the same
+    # fault isolation as an external entry point — a broken bundled
+    # plugin must not take down the core CLI either)
+    import importlib
+
+    from geoparquet_io_spark.plugins import BUNDLED
+
+    for mod_name in BUNDLED:
+        try:
+            importlib.import_module(mod_name).register(subparsers)
+        except Exception as exc:  # noqa: BLE001 — isolate plugin faults
+            print(f"warning: bundled plugin {mod_name!r} failed to load: "
+                  f"{exc}", file=sys.stderr)
     try:
         from importlib.metadata import entry_points
 

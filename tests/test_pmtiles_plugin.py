@@ -1,0 +1,157 @@
+"""PMTiles plugin (bundled): gate, command construction, and the full
+stream-into-tippecanoe pipeline against a FAKE tippecanoe (the real
+binary is not in this container — the fake records its argv and copies
+stdin, so the test asserts exactly what a real run would receive).
+Reference parity: plugins/gpio-pmtiles/gpio_pmtiles/core.py."""
+
+import json
+import os
+import stat
+
+import pytest
+
+from geoparquet_io_spark.plugins import pmtiles as PM
+
+
+def _fake_tippecanoe(tmp_path):
+    """A stand-in executable: writes its argv to <out>.args and copies
+    stdin to <out>.features, then creates the -o target."""
+    exe = tmp_path / "tippecanoe"
+    exe.write_text(
+        "#!/bin/sh\n"
+        'out=""\n'
+        'prev=""\n'
+        'for a in "$@"; do\n'
+        '  if [ "$prev" = "-o" ]; then out="$a"; fi\n'
+        '  prev="$a"\n'
+        "done\n"
+        'echo "$@" > "$out.args"\n'
+        'cat > "$out.features"\n'
+        'echo pmtiles > "$out"\n'
+    )
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    return str(exe)
+
+
+def _points_gt(spark, n=20):
+    from geoparquet_io_spark.functions import geom as G
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("fid"),
+        (F.col("id") * 3.0).alias("lon"),
+        (F.col("id") * 1.5 - 10.0).alias("lat"),
+    ).withColumn("geometry", G.st_point(F.col("lon"), F.col("lat")))
+    geo = GeoMeta(primary_column="geometry",
+                  columns={"geometry": GeoColumnMeta(crs="OGC:CRS84")})
+    return GeoTable(df.drop("lon", "lat"), geo)
+
+
+def test_tippecanoe_missing_raises_honest_gate(spark, tmp_path):
+    gt = _points_gt(spark)
+    with pytest.raises(PM.TippecanoeNotFoundError) as ei:
+        PM.create_pmtiles(gt, str(tmp_path / "out.pmtiles"),
+                          executable="definitely-not-a-real-binary")
+    assert "tippecanoe" in str(ei.value)
+    assert "brew install" in str(ei.value)
+
+
+def test_build_tippecanoe_command_zoom_and_layer_defaults():
+    # default layer = output stem, auto zoom
+    cmd = PM.build_tippecanoe_command("/x/y/roads.pmtiles")
+    assert cmd[:4] == ["tippecanoe", "-P", "-o", "/x/y/roads.pmtiles"]
+    assert cmd[cmd.index("-l") + 1] == "roads"
+    assert "-zg" in cmd and "--drop-densest-as-needed" in cmd
+    # explicit layer + both zooms -> -Z/-z, no -zg
+    cmd = PM.build_tippecanoe_command("o.pmtiles", layer="L",
+                                      min_zoom=2, max_zoom=9)
+    assert cmd[cmd.index("-l") + 1] == "L"
+    assert cmd[cmd.index("-Z") + 1] == "2"
+    assert cmd[cmd.index("-z") + 1] == "9"
+    assert "-zg" not in cmd
+    # max only -> -z only
+    cmd = PM.build_tippecanoe_command("o.pmtiles", max_zoom=7)
+    assert "-Z" not in cmd and cmd[cmd.index("-z") + 1] == "7"
+
+
+def test_create_pmtiles_streams_features_through_fake(spark, tmp_path):
+    exe = _fake_tippecanoe(tmp_path)
+    gt = _points_gt(spark, n=20)
+    out = str(tmp_path / "pts.pmtiles")
+    PM.create_pmtiles(gt, out, executable=exe, max_zoom=5, precision=3)
+    assert os.path.exists(out)
+    args = open(out + ".args").read().split()
+    assert args[args.index("-l") + 1] == "pts"
+    assert args[args.index("-z") + 1] == "5"
+    lines = [ln for ln in open(out + ".features").read().splitlines() if ln]
+    assert len(lines) == 20
+    feats = [json.loads(ln) for ln in lines]
+    assert all(f["type"] == "Feature" for f in feats)
+    assert sorted(f["properties"]["fid"] for f in feats) == list(range(20))
+    # precision honored
+    coords = feats[0]["geometry"]["coordinates"]
+    assert all(round(c, 3) == c for c in coords)
+
+
+def test_create_pmtiles_filters_before_tiling(spark, tmp_path):
+    exe = _fake_tippecanoe(tmp_path)
+    gt = _points_gt(spark, n=20)
+    out = str(tmp_path / "filtered.pmtiles")
+    PM.create_pmtiles(gt, out, executable=exe,
+                      bbox=(0.0, -10.0, 30.0, 20.0),   # fids 0..10 by lon/lat
+                      where="fid % 2 = 0",
+                      include_cols=["fid"])
+    lines = [ln for ln in open(out + ".features").read().splitlines() if ln]
+    feats = [json.loads(ln) for ln in lines]
+    got = sorted(f["properties"]["fid"] for f in feats)
+    assert got == [0, 2, 4, 6, 8, 10]
+
+
+def test_create_pmtiles_reprojects_projected_input(spark, tmp_path):
+    """A projected (meter-valued) GeoTable must arrive at tippecanoe in
+    lon/lat: the plugin reprojects to OGC:CRS84 first."""
+    exe = _fake_tippecanoe(tmp_path)
+    gt = _points_gt(spark, n=5).reproject("EPSG:3857")
+    out = str(tmp_path / "m.pmtiles")
+    PM.create_pmtiles(gt, out, executable=exe)
+    feats = [json.loads(ln) for ln in
+             open(out + ".features").read().splitlines() if ln]
+    for f in feats:
+        x, y = f["geometry"]["coordinates"]
+        assert -180.0 <= x <= 180.0 and -90.0 <= y <= 90.0
+
+
+def test_create_pmtiles_propagates_tippecanoe_failure(spark, tmp_path):
+    exe = tmp_path / "tippecanoe-fail"
+    exe.write_text("#!/bin/sh\ncat > /dev/null\nexit 3\n")
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    gt = _points_gt(spark, n=3)
+    with pytest.raises(RuntimeError, match="exit code 3"):
+        PM.create_pmtiles(gt, str(tmp_path / "x.pmtiles"),
+                          executable=str(exe))
+
+
+def test_cli_verb_registered_and_runs_end_to_end(spark, tmp_path,
+                                                 monkeypatch):
+    """The bundled plugin registers a `pmtiles` verb on the CLI parser,
+    and the verb drives the whole flow (read parquet -> stream -> fake
+    tippecanoe)."""
+    from geoparquet_io_spark import cli as CLI
+
+    parser = CLI.build_parser()
+    src = str(tmp_path / "pts.parquet")
+    _points_gt(spark, n=7).write(src)
+    exe = _fake_tippecanoe(tmp_path)
+    out = str(tmp_path / "cli.pmtiles")
+    args = parser.parse_args([
+        "pmtiles", src, out, "--max-zoom", "4", "--layer", "mylayer",
+        "--tippecanoe-path", exe,
+    ])
+    assert args.fn(args) == 0
+    assert os.path.exists(out)
+    argv = open(out + ".args").read().split()
+    assert argv[argv.index("-l") + 1] == "mylayer"
+    lines = [ln for ln in open(out + ".features").read().splitlines() if ln]
+    assert len(lines) == 7
