@@ -672,6 +672,18 @@ def knn_join(
             pending = pending.withColumn("__tier", F.lit(0))
     else:
         pending = pending.withColumn("__tier", F.lit(0))
+    # candidate volume is linear in the right side but its CONSTANT can
+    # be huge on clustered data (a query whose search disc covers a
+    # dense clump pulls the whole clump as candidates), so everything
+    # cached or windowed below is the NARROW projection (__lid,
+    # distance, right columns) — the left payload rejoins ONCE after
+    # the rank filter cut the volume to <= k * |left|.  The cache is
+    # serialized (PySpark MEMORY_AND_DISK) — a deserialized
+    # localCheckpoint of wide candidate rows measured 5-10x fatter and
+    # OOMed an 8 GB heap at the 100x clustered receipt.
+    from pyspark import StorageLevel
+
+    narrow_cols = ["__lid", *right.columns, distance_column]
     resolved_parts = []
     for rnd in range(max_rounds):
         if radius_tiers:
@@ -683,20 +695,21 @@ def knn_join(
             # extra collect on the classic path
             tiers = [rnd]
         # one UNION job across tiers, each tier gridded at its own
-        # radius; checkpoint: `pairs` feeds BOTH the resolution count
-        # and the top-k ranking — without it each grid join runs twice
+        # radius; persist: `pairs` feeds BOTH the resolution count and
+        # the top-k ranking — without it each grid join runs twice
         parts = [
             distance_join(pending.filter(F.col("__tier") == t)
-                          .drop("__tier"),
+                          .select("__lid", left_x, left_y),
                           right, r0 * (2.0 ** t),
                           left_x, left_y, right_x, right_y,
                           distance_column=distance_column)
+            .select(*narrow_cols)
             for t in tiers
         ]
         pairs = parts[0]
         for p in parts[1:]:
             pairs = pairs.unionByName(p)
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
         done_ids = counts.filter(F.col("__n") >= k).select("__lid")
         resolved_parts.append(
@@ -712,14 +725,21 @@ def knn_join(
         # never |left| * |right|); colliding names were renamed above
         ddx = F.col(left_x) - F.col(right_x)
         ddy = F.col(left_y) - F.col(right_y)
-        brute = (F.broadcast(pending.drop("__tier")).crossJoin(right)
-                 .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy)))
+        brute = (F.broadcast(pending.select("__lid", left_x, left_y))
+                 .crossJoin(right)
+                 .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy))
+                 .select(*narrow_cols))
         resolved_parts.append(topk(brute))
 
-    out = resolved_parts[0]
+    ranked = resolved_parts[0]
     for p in resolved_parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out.drop("__lid")
+        ranked = ranked.unionByName(p)
+    # left payload rejoins the (<= k * |left|)-row ranked set — column
+    # order preserved vs the pre-narrowing contract (left + right +
+    # distance + rank)
+    out = left.withColumn("__lid", F.col(left_id)).join(ranked, "__lid")
+    return out.select(*left.columns, *right.columns,
+                      distance_column, "knn_rank")
 
 
 def estimate_knn_radius(right: DataFrame, k: int,
