@@ -371,3 +371,109 @@ def test_brute_topk_invariant_to_score_cells(spark):
     assert len(base) == n_q * k
     for cells, got in results[1:]:
         assert got == base, f"score_cells={cells} diverged"
+
+
+# --- r10: generative NaN/NULL kernel-contract sweep ---------------------------
+# The r9 round's biggest theme — NaN cells -> NULL fields, NaN gates in
+# quadkey/morton/geohash, NaN-aware sort envelopes, footer bounds that
+# survive NULL geometries — was pinned by example-based regressions.
+# This sweep drives RANDOM mixes of NULL / NaN / half-NaN / EMPTY /
+# valid geometries through the full extract -> add_bbox -> add_quadkey
+# -> hilbert-sort -> write pipeline and asserts the contract globally:
+# no NaN ever reaches a key, a bound, a covering cell, or a footer.
+
+def _dirty_geometry_table(spark, seed: int, n: int = 120):
+    import math
+
+    from geoparquet_io_spark.functions import wkt as WT
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.geotable import GeoTable
+    from geoparquet_io_spark.meta import GeoColumnMeta, GeoMeta
+
+    rng = np.random.default_rng(seed)
+    rows, kinds = [], []
+    for i in range(n):
+        kind = int(rng.integers(0, 8))
+        lon = float(rng.uniform(-179.0, 179.0))
+        lat = float(rng.uniform(-85.0, 85.0))
+        if kind == 0:
+            g = None
+        elif kind == 1:
+            g = W.encode_point(math.nan, math.nan)
+        elif kind == 2:
+            g = W.encode_point(lon, math.nan)       # half-NaN
+        elif kind == 3:
+            g = W.encode_point(math.nan, lat)
+        elif kind == 4:
+            g = WT.from_wkt("POINT EMPTY")
+        elif kind == 5:
+            g = WT.from_wkt("POLYGON EMPTY")
+        else:
+            g = W.encode_point(lon, lat)            # valid (2 kinds' weight)
+        rows.append((i, g))
+        kinds.append(kind)
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    geo = GeoMeta(primary_column="geometry",
+                  columns={"geometry": GeoColumnMeta(crs="OGC:CRS84")})
+    valid_ids = {i for i, k in zip(range(n), kinds) if k >= 6}
+    return GeoTable(df, geo), valid_ids
+
+
+def test_dirty_geometry_pipeline_never_leaks_nan(spark, tmp_path):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.sources import geoparquet as GP
+
+    for seed in (0, 1, 2):
+        gt, valid_ids = _dirty_geometry_table(spark, seed)
+        total = gt.df.count()
+        # extract (bbox slow path over the dirty geometries) must keep
+        # every valid row and never crash on the dirty ones
+        ex = gt.extract(bbox=(-180.0, -90.0, 180.0, 90.0))
+        kept = {r["id"] for r in ex.df.select("id").collect()}
+        assert valid_ids <= kept
+        # add_bbox: covering struct fields are NULL-or-finite, never NaN
+        wb = gt.add_bbox()
+        bb = wb.df.select(
+            "id",
+            F.col("bbox.xmin").alias("x0"), F.col("bbox.ymin").alias("y0"),
+            F.col("bbox.xmax").alias("x1"), F.col("bbox.ymax").alias("y1"),
+        ).collect()
+        for r in bb:
+            for f in ("x0", "y0", "x1", "y1"):
+                v = r[f]
+                assert v is None or math.isfinite(v), (seed, r["id"], f, v)
+            if r["id"] in valid_ids:
+                assert r["x0"] is not None
+        # add_quadkey: NULL for every dirty row, non-NULL for every
+        # valid row, and never a NaN-fabricated constant key
+        qk = wb.add_quadkey(zoom=6)
+        for r in qk.df.select("id", "quadkey").collect():
+            if r["id"] in valid_ids:
+                assert r["quadkey"] is not None
+            else:
+                assert r["quadkey"] is None, (seed, r["id"], r["quadkey"])
+        # bounds: finite, never NaN, and exactly the valid rows' envelope
+        x0, y0, x1, y1 = qk.bounds()
+        for v in (x0, y0, x1, y1):
+            assert v is not None and math.isfinite(v), (seed, v)
+        # hilbert sort: row-preserving (dirty rows must not uncluster or
+        # vanish), and the key column is not leaked
+        hs = qk.sort_hilbert()
+        assert hs.df.count() == total
+        # write: footer bbox finite; roundtrip preserves the valid rows
+        out = str(tmp_path / f"dirty_{seed}.parquet")
+        hs.write(out)
+        geo = GP.read_footer_geo(out)
+        fb = geo.primary.bbox
+        assert fb is not None
+        assert all(math.isfinite(v) for v in fb), (seed, fb)
+        assert fb[0] <= x0 and fb[2] >= x1 and fb[1] <= y0 and fb[3] >= y1
+        back = GP.read(spark, out)
+        assert back.df.count() == total
+        got_valid = {r["id"] for r in back.df
+                     .filter(F.col("quadkey").isNotNull())
+                     .select("id").collect()}
+        assert got_valid == valid_ids
