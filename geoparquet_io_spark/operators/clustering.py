@@ -63,9 +63,21 @@ def grid_density_clusters(
     """
     from geoparquet_io_spark.operators.dedup import connected_components
 
-    cx = F.floor(F.col(lon_column) / F.lit(float(cell_size))).cast("long")
-    cy = F.floor(F.col(lat_column) / F.lit(float(cell_size))).cast("long")
-    pts = df.withColumn("__cx", cx).withColumn("__cy", cy)
+    # NaN -> NULL before floor: floor(NaN).cast(long) is 0 in Spark, so
+    # NaN-coordinate rows would fabricate density in cell (0, 0) and
+    # come back CLUSTERED at the origin instead of noise (the same
+    # fabricated-key class as the r9 quadkey/morton/geohash gates).
+    # NULL cells group together but their cell_id is NULL, which no
+    # equi-join matches — they fall out as noise, which is correct.
+    lon_ok = F.when(~F.isnan(F.col(lon_column)), F.col(lon_column))
+    lat_ok = F.when(~F.isnan(F.col(lat_column)), F.col(lat_column))
+    cx = F.floor(lon_ok / F.lit(float(cell_size))).cast("long")
+    cy = F.floor(lat_ok / F.lit(float(cell_size))).cast("long")
+    # either axis NaN/NULL poisons both (a half-NaN row must not land
+    # in a real cell row keyed by the finite axis)
+    both = lon_ok.isNotNull() & lat_ok.isNotNull()
+    pts = df.withColumn("__cx", F.when(both, cx)) \
+        .withColumn("__cy", F.when(both, cy))
     cells = pts.groupBy("__cx", "__cy").agg(F.count("*").alias("__n"))
     dense = cells.filter(F.col("__n") >= int(min_pts)).select(
         F.col("__cx").alias("cx"), F.col("__cy").alias("cy"),

@@ -215,16 +215,20 @@ def rasterize_points(
     colf = (pdf_points["x"].to_numpy(dtype="f8") - ox) / pw
     rowf = (oy - pdf_points["y"].to_numpy(dtype="f8")) / ph
     # DROP out-of-extent points: clipping them into border cells
-    # silently corrupted every edge-cell aggregate
-    inb = (colf >= 0) & (colf < width) & (rowf >= 0) & (rowf < height)
+    # silently corrupted every edge-cell aggregate.  DROP NaN values
+    # too (r10): one NaN point poisoned its whole cell's sum/mean and
+    # the nodata rewrite then masked the poisoned cell as "empty" —
+    # for count semantics a NaN value is still not an observation.
+    vals = pdf_points["value"].to_numpy(dtype="f8")
+    inb = (colf >= 0) & (colf < width) & (rowf >= 0) & (rowf < height) \
+        & np.isfinite(vals)
     cols = colf[inb].astype(int)
     rows = rowf[inb].astype(int)
     grid = np.full((height, width), np.nan, dtype="f8")
     cnt = np.zeros((height, width), dtype="i8")
     tot = np.zeros((height, width), dtype="f8")
     np.add.at(cnt, (rows, cols), 1)
-    np.add.at(tot, (rows, cols),
-              pdf_points["value"].to_numpy(dtype="f8")[inb])
+    np.add.at(tot, (rows, cols), vals[inb])
     mask = cnt > 0
     if agg == "mean":
         grid[mask] = tot[mask] / cnt[mask]

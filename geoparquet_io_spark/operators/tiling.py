@@ -34,6 +34,7 @@ def clip_to_grid(
     geometry_column: str = "geometry",
     keep_columns: list[str] | None = None,
     drop_empty: bool = True,
+    max_cells_per_geometry: int = 1_000_000,
 ) -> DataFrame:
     """One row per (input geometry, overlapped grid cell) with the
     geometry CLIPPED to that cell.
@@ -43,7 +44,15 @@ def clip_to_grid(
     ``origin``) + the clipped ``geometry_column``.  ``drop_empty``
     removes cells where the clip degenerates to nothing (envelope
     overlapped but the geometry itself didn't).
-    """
+
+    NULL geometries and geometries with no coordinates (EMPTY, or any
+    NaN-enveloped input) overlap no cell and emit nothing — previously
+    a single such row crashed every task (``math.floor(nan)``).
+    ``max_cells_per_geometry`` is a loud guard against the silent
+    worst case at scale: one globe-spanning geometry against a tiny
+    cell size would loop billions of clip calls inside one task — an
+    unkillable straggler, not a result.  Raise the cap deliberately if
+    a geometry legitimately overlaps that many cells."""
     import pandas as pd
 
     from geoparquet_io_spark.functions import wkb as W
@@ -70,10 +79,22 @@ def clip_to_grid(
                     continue
                 buf = bytes(buf)
                 x0, y0, x1, y1 = W.envelope(buf)
+                if not (math.isfinite(x0) and math.isfinite(y0)
+                        and math.isfinite(x1) and math.isfinite(y1)):
+                    continue    # EMPTY / NaN geometry: overlaps no cell
                 cx0 = math.floor((x0 - ox) / cs)
                 cx1 = max(cx0, math.floor((x1 - ox) / cs - 1e-12))
                 cy0 = math.floor((y0 - oy) / cs)
                 cy1 = max(cy0, math.floor((y1 - oy) / cs - 1e-12))
+                n_cells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+                if n_cells > max_cells_per_geometry:
+                    raise ValueError(
+                        f"clip_to_grid: a geometry with envelope "
+                        f"({x0}, {y0}, {x1}, {y1}) overlaps {n_cells} "
+                        f"cells at cell_size={cs} — over the "
+                        f"max_cells_per_geometry cap "
+                        f"({max_cells_per_geometry}).  Use a coarser "
+                        "cell_size or raise the cap deliberately.")
                 for cx in range(cx0, cx1 + 1):
                     for cy in range(cy0, cy1 + 1):
                         clipped = W.clip_to_rect(

@@ -1515,3 +1515,67 @@ def test_st_simplify_null_tolerance(spark):
     row = spark.sql(
         "SELECT st_simplify(geometry, tol) AS g FROM simp_v").collect()[0]
     assert row["g"] is None
+
+
+def test_grid_clusters_nan_coords_are_noise_not_origin(spark):
+    """Regression (r10 sweep): floor(NaN).cast(long) is 0 in Spark, so
+    NaN-coordinate rows fabricated density in cell (0, 0) — enough NaN
+    rows formed a phantom origin cluster and absorbed real points
+    there.  NaN/NULL/half-NaN rows must label as noise (NULL cluster)
+    and contribute no density."""
+    import math
+
+    from geoparquet_io_spark.operators.clustering import \
+        grid_density_clusters
+
+    rows = [(i, math.nan, math.nan) for i in range(10)]          # all-NaN
+    rows += [(100 + i, math.nan, 0.5) for i in range(10)]        # half-NaN
+    rows += [(200 + i, None, None) for i in range(10)]           # NULL
+    # two real points in the origin cell: below min_pts, so the origin
+    # must NOT be dense even with 20 NaN rows nominally landing there
+    rows += [(300, 0.2, 0.2), (301, 0.3, 0.3)]
+    # a genuine cluster far away
+    rows += [(400 + i, 50.0 + 0.01 * i, 50.0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "id long, lon double, lat double")
+    out = grid_density_clusters(df, cell_size=1.0, min_pts=5)
+    got = {r["id"]: r["cluster"] for r in out.select("id", "cluster").collect()}
+    for i in list(range(10)) + list(range(100, 110)) + list(range(200, 210)):
+        assert got[i] is None, (i, got[i])
+    assert got[300] is None and got[301] is None
+    real = {got[400 + i] for i in range(6)}
+    assert len(real) == 1 and None not in real
+
+
+def test_clip_to_grid_dirty_geometry_and_cell_cap(spark):
+    """Regression (r10 sweep): one NaN-point or EMPTY geometry crashed
+    EVERY clip_to_grid task (math.floor(nan) raises); they must emit
+    nothing instead.  And a globe-spanning geometry against a tiny
+    cell must fail LOUDLY at the cap, not loop billions of clips
+    inside one straggler task."""
+    import math
+
+    import pytest
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.functions import wkt as WT
+    from geoparquet_io_spark.operators.tiling import clip_to_grid
+
+    df = spark.createDataFrame(
+        [(1, W.encode_point(math.nan, math.nan)),
+         (2, WT.from_wkt("POLYGON EMPTY")),
+         (3, WT.from_wkt("POINT EMPTY")),
+         (4, None),
+         (5, W.encode_point(2.5, 3.5))],
+        "id long, geometry binary")
+    out = clip_to_grid(df, cell_size=1.0).collect()
+    assert [(r["id"], r["cell_x"], r["cell_y"]) for r in out] == [(5, 2, 3)]
+
+    big = spark.createDataFrame(
+        [(1, W.encode_box_polygon(-180.0, -90.0, 180.0, 90.0))],
+        "id long, geometry binary")
+    with pytest.raises(Exception, match="max_cells_per_geometry"):
+        clip_to_grid(big, cell_size=0.01).collect()
+    # raising the cap deliberately works
+    n = clip_to_grid(big, cell_size=30.0).count()
+    assert n == 12 * 6

@@ -314,3 +314,36 @@ def test_rasterize_points_nodata_nan_distinguishes_empty_cells():
                             scale=(10.0, 10.0))
     arr0 = np.asarray(decode_tiff(buf0), dtype="f8").reshape(1, 2)
     assert arr0[0, 1] == 0.0           # default unchanged
+
+
+def test_rasterize_points_nan_value_does_not_poison_cell():
+    """Regression (r10 sweep): a NaN value summed into its cell made the
+    whole cell's mean NaN, and the nodata rewrite then disguised the
+    poisoned cell as empty.  NaN-valued points are not observations —
+    the remaining finite points in the same cell must aggregate
+    normally."""
+    import math
+
+    import pandas as pd
+
+    from geoparquet_io_spark.functions.tiff import decode_tiff
+    from geoparquet_io_spark.operators.raster import rasterize_points
+
+    pts = pd.DataFrame({
+        "x": [0.5, 0.5, 1.5],
+        "y": [0.5, 0.5, 0.5],
+        "value": [4.0, math.nan, 7.0],
+    })
+    buf = rasterize_points(pts, width=2, height=1, origin=(0.0, 1.0),
+                           scale=(1.0, 1.0), agg="mean", nodata=0.0)
+    arr = decode_tiff(buf)
+    import numpy as np
+
+    a = np.asarray(arr, dtype="f8").reshape(1, 2)
+    assert a[0, 0] == 4.0       # NaN row excluded, finite row kept
+    assert a[0, 1] == 7.0
+    # count semantics: the NaN row is not an observation
+    buf = rasterize_points(pts, width=2, height=1, origin=(0.0, 1.0),
+                           scale=(1.0, 1.0), agg="count")
+    a = np.asarray(decode_tiff(buf), dtype="f8").reshape(1, 2)
+    assert a[0, 0] == 1.0 and a[0, 1] == 1.0
