@@ -298,12 +298,15 @@ def zorder_by(
             # shared audited scaling (geokeys._grid_scale — same
             # formula morton_key uses: floor((v-lo)/span*n + 0.5) with
             # the clamp); NULL/NaN rows land deterministically in
-            # bucket 0 so the key stays non-null
+            # bucket 0 so the key stays non-null.  _grid_scale already
+            # returns NULL for NaN, so coalesce alone suffices — the
+            # previous extra when(~isnan(v), ...) wrapper re-evaluated
+            # the cast+isnan per row for nothing (r10 A/B flagged the
+            # regression vs the pre-gate r8 code)
             from geoparquet_io_spark.functions.geokeys import _grid_scale
 
             g = _grid_scale(_as_double(c), float(lo), float(hi), bits)
-            ids.append(F.coalesce(
-                F.when(~F.isnan(_as_double(c)), g), F.lit(0).cast("long")))
+            ids.append(F.coalesce(g, F.lit(0).cast("long")))
         else:
             bounds = F.array(*[F.lit(float(b)) for b in stats[c]])
             v = _as_double(c)
