@@ -828,7 +828,7 @@ def _rdnew_sql() -> str:
     e = c.e
     two_rk = 2.0 * c.R * c.k0
     return _helmert_ll_ctes(P._DATUM_AMERSFOORT, P.BESSEL1841,
-                            3.2, 7.3, 50.7, 53.6) + f""",
+                            0.0, 14.0, 44.0, 60.0) + f""",
     s1 AS (SELECT event_id, lon, sin(radians(lat)) AS sp FROM ll),
     s2 AS (SELECT event_id,
       {c.n!r} * radians({_wrap_dlon_sql(math.degrees(c.lam0))}) AS dL,
@@ -857,8 +857,8 @@ def q_reproject_rdnew(spark, sf_dir):
     oracle mirrors the full Helmert + conformal-sphere chain in SQL.
     Reference semantics: core/reproject.py:94-160."""
     gt = _events_points(spark, sf_dir)
-    df = gt.df.filter(F.col("lon").between(3.2, 7.3)
-                      & F.col("lat").between(50.7, 53.6))
+    df = gt.df.filter(F.col("lon").between(0.0, 14.0)
+                      & F.col("lat").between(44.0, 60.0))
     gt = type(gt)(df, gt.geo)
     out = gt.reproject("EPSG:28992")
     return out.df.select(
@@ -881,7 +881,7 @@ def _eov_sql() -> str:
     c = _EOV
     e = c.e
     return _helmert_ll_ctes(P._DATUM_HD72, P.GRS67,
-                            16.1, 22.9, 45.7, 48.6) + f""",
+                            12.0, 27.0, 42.0, 52.0) + f""",
     s1 AS (SELECT event_id, radians(lon) AS lam, radians(lat) AS phi,
                   sin(radians(lat)) AS sp FROM ll),
     s2 AS (SELECT event_id, lam,
@@ -917,8 +917,8 @@ def q_reproject_eov(spark, sf_dir):
     kc-at-centre, and Budapest-band invariants pinned in unit tests.
     Reference semantics: core/reproject.py:94-160."""
     gt = _events_points(spark, sf_dir)
-    df = gt.df.filter(F.col("lon").between(16.1, 22.9)
-                      & F.col("lat").between(45.7, 48.6))
+    df = gt.df.filter(F.col("lon").between(12.0, 27.0)
+                      & F.col("lat").between(42.0, 52.0))
     gt = type(gt)(df, gt.geo)
     out = gt.reproject("EPSG:23700")
     return out.df.select(
