@@ -720,13 +720,32 @@ def knn_join(
         if not pending.take(1):
             break
     else:
-        # stragglers after max_rounds: tiny by construction -> broadcast
-        # them against the full right side (bounded: |stragglers| * |right|,
-        # never |left| * |right|); colliding names were renamed above
+        # stragglers after max_rounds: normally tiny -> broadcast them
+        # against the full right side (bounded: |stragglers| * |right|,
+        # never |left| * |right|); colliding names were renamed above.
+        # NOT always tiny though: with k >= |right| (or a hopeless
+        # radius ladder) NOBODY resolves and pending is the whole left
+        # side — force-broadcasting it would OOM the driver.  Bounded
+        # counts pick the orientation; when neither side fits, fail
+        # LOUDLY with the remedy instead of dying in the broadcast.
+        cap = 500_000
         ddx = F.col(left_x) - F.col(right_x)
         ddy = F.col(left_y) - F.col(right_y)
-        brute = (F.broadcast(pending.select("__lid", left_x, left_y))
-                 .crossJoin(right)
+        pn = pending.select("__lid", left_x, left_y)
+        if pn.limit(cap + 1).count() <= cap:
+            brute = F.broadcast(pn).crossJoin(right)
+        elif right.limit(cap + 1).count() <= cap:
+            brute = pn.crossJoin(F.broadcast(right))
+        else:
+            raise ValueError(
+                f"knn_join: more than {cap} left rows still unresolved "
+                f"after max_rounds={max_rounds} and the right side is "
+                f"over {cap} rows too — the brute fallback would be a "
+                "full cross product.  Raise max_rounds (doubling rounds "
+                "are cheap), pass a larger initial_radius, or use "
+                "radius_tiers=True so each point starts near its own "
+                "density's radius.")
+        brute = (brute
                  .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy))
                  .select(*narrow_cols))
         resolved_parts.append(topk(brute))
