@@ -1579,3 +1579,31 @@ def test_clip_to_grid_dirty_geometry_and_cell_cap(spark):
     # raising the cap deliberately works
     n = clip_to_grid(big, cell_size=30.0).count()
     assert n == 12 * 6
+
+
+def test_distance_join_nan_null_coords_emit_no_pairs(spark):
+    """Contract pin (r10 sweep): NaN coordinates land in a fabricated
+    grid cell (floor(NaN) casts to 0 in Spark) but the exact distance
+    filter must still exclude them (NaN <= r is false), and NULL cells
+    never equi-join — so dirty rows on EITHER side emit no pairs while
+    clean rows in the same frame pair normally (including in cell 0,
+    where a fabricated-key bug would collide)."""
+    import math
+
+    from geoparquet_io_spark.operators.joins import distance_join
+
+    left = spark.createDataFrame(
+        [(1, 0.1, 0.1),              # clean, in cell (0,0)
+         (2, math.nan, math.nan),
+         (3, None, None),
+         (4, 0.3, math.nan)],
+        "lid long, lx double, ly double")
+    right = spark.createDataFrame(
+        [(10, 0.2, 0.2),             # clean, in cell (0,0)
+         (11, math.nan, 0.0),
+         (12, None, 5.0)],
+        "rid long, rx double, ry double")
+    out = distance_join(left, right, 1.0, "lx", "ly", "rx", "ry").collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [(1, 10)]
+    d = out[0]["distance"]
+    assert abs(d - math.sqrt(0.02)) < 1e-12
