@@ -182,19 +182,35 @@ def asof_join_broadcast(
             return int(t)
         return float(t)
 
+    # NaN parity with the shuffle-based asof_join (r10): Spark (and
+    # DuckDB) treat NaN as EQUAL to NaN and GREATER than every other
+    # value, so a NaN float key is a real group and a NaN float ts
+    # matches the latest marker.  Python disagrees twice — nan != nan
+    # makes dict lookups miss (every NaN key got its own entry, never
+    # found again), and list.sort with NaN comparisons leaves the ts
+    # array in undefined order.  Canonicalize NaN keys to a sentinel,
+    # and sort NaN timestamps explicitly last (numpy's sort/searchsorted
+    # order, which also ranks a NaN query above everything — exactly
+    # the window semantics).
+    _NANKEY = object()
+
+    def _key_canon(v):
+        return _NANKEY if isinstance(v, float) and v != v else v
+
     by_key: dict = {}
     for row in r_local:
         if row[key] is None or row[right_ts] is None:
             continue  # NULL key/ts can never match (SQL semantics)
-        by_key.setdefault(row[key], []).append(
+        by_key.setdefault(_key_canon(row[key]), []).append(
             (_ts_key(row[right_ts]), tuple(row[c] for c in rcols)))
     ts_dtype = ("int64" if (ts_is_datetime or both_ts_integral)
                 else "float64")
     lookup = {}
     for k, v in by_key.items():
         # sort on ts only: payload tuples may hold Nones, which are not
-        # orderable (equal-ts duplicates keep no defined winner, as doc'd)
-        v.sort(key=lambda x: x[0])
+        # orderable (equal-ts duplicates keep no defined winner, as
+        # doc'd); (isnan, ts) puts NaN last deterministically
+        v.sort(key=lambda x: (x[0] != x[0], x[0]))
         lookup[k] = (np.array([t for t, _ in v], dtype=ts_dtype),
                      [p for _, p in v])
     out_schema = T.StructType(
@@ -232,23 +248,33 @@ def asof_join_broadcast(
         work = work.withColumn(key_name, F.coalesce(
             F.col(key).cast("long"), F.lit(SENT)))
         helper_cols.append(key_name)
+    # explicit Spark-side NULL flags: in a float64 pandas batch NULL and
+    # NaN are indistinguishable (both arrive as NaN), but their asof
+    # semantics differ — NULL never matches, NaN matches the LATEST
+    # marker (NaN ranks above every ts in Spark and DuckDB alike).
+    # pd.isna() was silently treating NaN keys/timestamps as NULL.
+    knull_name = _tmp("__asof_knull")
+    work = work.withColumn(knull_name, F.col(key).isNull())
+    helper_cols.append(knull_name)
+    tnull_name = _tmp("__asof_tnull")
+    work = work.withColumn(tnull_name, F.col(left_ts).isNull())
+    helper_cols.append(tnull_name)
     key_idx = work.columns.index(key_name)
-    key_na_idx = work.columns.index(key)
     ts_idx = work.columns.index(ts_name)
-    ts_na_idx = work.columns.index(left_ts)
+    knull_idx = work.columns.index(knull_name)
+    tnull_idx = work.columns.index(tnull_name)
     exact_ts = left_is_instant or both_ts_integral
     exact_key = key_integral
 
     def join_batches(batches):
         for pdf in batches:
+            key_na = pdf.iloc[:, knull_idx].to_numpy(dtype=bool)
             if exact_key:
                 keys = [int(v) for v in pdf.iloc[:, key_idx]]
-                key_na = pd.isna(pdf.iloc[:, key_na_idx]).to_numpy()
             else:
                 keys = pdf.iloc[:, key_idx].to_numpy()
-                key_na = pd.isna(pdf.iloc[:, key_na_idx]).to_numpy()
             ts_series = pdf.iloc[:, ts_idx]
-            na = pd.isna(pdf.iloc[:, ts_na_idx]).to_numpy() | key_na
+            na = pdf.iloc[:, tnull_idx].to_numpy(dtype=bool) | key_na
             if exact_ts:
                 tss = ts_series.to_numpy(dtype="int64")
             elif left_is_datetime:
@@ -262,7 +288,7 @@ def asof_join_broadcast(
                 tss = ts_series.to_numpy(dtype="float64", na_value=np.nan)
             matches = []
             for kv, tv, bad in zip(keys, tss, na):
-                ent = None if bad else lookup.get(kv)
+                ent = None if bad else lookup.get(_key_canon(kv))
                 if ent is None:  # unknown/NULL key or NULL/NaN ts
                     matches.append(None)
                     continue

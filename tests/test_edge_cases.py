@@ -1607,3 +1607,41 @@ def test_distance_join_nan_null_coords_emit_no_pairs(spark):
     assert [(r["lid"], r["rid"]) for r in out] == [(1, 10)]
     d = out[0]["distance"]
     assert abs(d - math.sqrt(0.02)) < 1e-12
+
+
+def test_asof_broadcast_nan_ts_and_key_parity_with_window(spark):
+    """Regression (r10 sweep): the broadcast asof treated NaN float
+    timestamps/keys as NULL (pd.isna conflates them; Python nan != nan
+    missed dict lookups; list.sort with NaN left the ts array in
+    undefined order).  Spark and DuckDB both rank NaN above every value
+    and treat NaN == NaN, so a NaN ts must match the LATEST marker and
+    NaN keys form a real group — exactly what the shuffle-based
+    asof_join already does.  Both operators must agree row for row."""
+    import math
+
+    from geoparquet_io_spark.operators.asof import (asof_join,
+                                                    asof_join_broadcast)
+
+    nan = math.nan
+    left = spark.createDataFrame(
+        [(1, 1.0, 10.0),     # plain match
+         (2, 1.0, nan),      # NaN ts -> latest marker of key 1.0
+         (3, nan, 5.0),      # NaN key -> NaN-key marker group
+         (4, nan, nan),      # NaN key + NaN ts -> latest NaN-key marker
+         (5, 1.0, None),     # NULL ts -> no match
+         (6, None, 10.0),    # NULL key -> no match
+         (7, 2.0, 10.0)],    # key with no markers -> no match
+        "lid long, k double, ts double")
+    right = spark.createDataFrame(
+        [(1.0, 8.0, 100), (1.0, 20.0, 200),
+         (nan, 3.0, 300), (nan, 7.0, 400)],
+        "k double, ts double, payload long")
+    kw = dict(key="k", left_ts="ts", right_ts="ts",
+              right_columns=["payload"])
+    win = {r["lid"]: r["asof_payload"]
+           for r in asof_join(left, right, **kw).collect()}
+    bc = {r["lid"]: r["asof_payload"]
+          for r in asof_join_broadcast(left, right, **kw).collect()}
+    assert bc == win
+    assert win == {1: 100, 2: 200, 3: 300, 4: 400,
+                   5: None, 6: None, 7: None}
