@@ -434,6 +434,13 @@ def test_dirty_geometry_pipeline_never_leaks_nan(spark, tmp_path):
         ex = gt.extract(bbox=(-180.0, -90.0, 180.0, 90.0))
         kept = {r["id"] for r in ex.df.select("id").collect()}
         assert valid_ids <= kept
+        # the exact WKT geometry filter must also survive dirty rows:
+        # every valid point is inside the global polygon, every dirty
+        # row is droppable but must never crash the predicate
+        gx = gt.extract(geometry="POLYGON((-180 -90, 180 -90, 180 90, "
+                                 "-180 90, -180 -90))")
+        kept_g = {r["id"] for r in gx.df.select("id").collect()}
+        assert valid_ids <= kept_g
         # add_bbox: covering struct fields are NULL-or-finite, never NaN
         wb = gt.add_bbox()
         bb = wb.df.select(
