@@ -28,7 +28,11 @@ __all__ = [
     "TippecanoeNotFoundError",
     "build_tippecanoe_command",
     "create_pmtiles",
+    "read_pmtiles",
     "register",
+    "tileid_to_zxy",
+    "write_pmtiles",
+    "zxy_to_tileid",
 ]
 
 
@@ -179,3 +183,296 @@ def register(subparsers) -> None:
                    help="tippecanoe executable (default: from PATH)")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=_cmd_pmtiles)
+
+
+# ---------------------------------------------------------------------------
+# PMTiles v3 container codec (beyond the reference plugin, which can
+# only shell out to tippecanoe): write a (z, x, y, data) tile table
+# into a .pmtiles archive and read one back as a DataFrame.  Public
+# spec: github.com/protomaps/PMTiles/blob/main/spec/v3 — 127-byte
+# header, varint-encoded clustered directories, Hilbert tile ids.
+# Directory parsing is driver-side (directories are KB-scale by
+# design); tile payload reads are DISTRIBUTED (mapInPandas over the
+# entry list, each task reading its byte ranges).
+# ---------------------------------------------------------------------------
+
+_PM_MAGIC = b"PMTiles"
+_PM_HEADER = 127
+_COMPRESSION_NONE = 1
+_COMPRESSION_GZIP = 2
+
+
+def zxy_to_tileid(z: int, x: int, y: int) -> int:
+    """Hilbert tile id (spec: cumulative 4^i base per zoom, then the
+    standard Hilbert d index of (x, y) on the 2^z grid)."""
+    if z < 0 or x < 0 or y < 0 or x >= (1 << z) or y >= (1 << z):
+        raise ValueError(f"tile out of range: z={z} x={x} y={y}")
+    acc = ((1 << (2 * z)) - 1) // 3
+    s = (1 << z) >> 1
+    d = 0
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:            # rotate quadrant
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return acc + d
+
+
+def tileid_to_zxy(tid: int) -> tuple[int, int, int]:
+    """Inverse of :func:`zxy_to_tileid`."""
+    if tid < 0:
+        raise ValueError(f"negative tile id {tid}")
+    z = 0
+    while tid >= (1 << (2 * z)):
+        tid -= 1 << (2 * z)
+        z += 1
+    n = 1 << z
+    x = y = 0
+    t = tid
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return z, x, y
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v, pos
+        shift += 7
+
+
+def _encode_directory(entries) -> bytes:
+    """entries: sorted [(tile_id, offset, length, run_length)] — spec
+    encoding: count, delta tile_ids, run_lengths, lengths, offsets
+    (offset 0 = previous offset + previous length, else value + 1)."""
+    out = bytearray(_varint(len(entries)))
+    last = 0
+    for tid, _, _, _ in entries:
+        out += _varint(tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        out += _varint(rl)
+    for _, _, ln, _ in entries:
+        out += _varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            out += _varint(0)
+        else:
+            out += _varint(off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(out)
+
+
+def _decode_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
+    n, pos = _read_varint(buf, 0)
+    tids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, pos = _read_varint(buf, pos)
+        last += d
+        tids.append(last)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        rls.append(v)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        lens.append(v)
+    for i in range(n):
+        v, pos = _read_varint(buf, pos)
+        if v == 0:
+            if i == 0:
+                raise ValueError("PMTiles directory: first offset is 0")
+            offs.append(offs[i - 1] + lens[i - 1])
+        else:
+            offs.append(v - 1)
+    return list(zip(tids, offs, lens, rls))
+
+
+def write_pmtiles(tiles, path: str, tile_type: int = 1,
+                  tile_compression: int = _COMPRESSION_NONE,
+                  metadata: dict | None = None,
+                  max_tiles: int = 2_000_000) -> dict:
+    """Pack a tile table into a PMTiles v3 archive.
+
+    ``tiles``: a Spark DataFrame with (z, x, y, data) columns or a list
+    of such tuples.  The archive is a single driver-side artifact (same
+    shape as the shapefile/GeoPackage writers): tiles are collected
+    (``max_tiles``-guarded), sorted by Hilbert tile id (clustered=1),
+    and identical payloads are deduplicated into one tile content (the
+    spec's content-addressing).  Directories are written uncompressed
+    (internal_compression=1) into the root — readers follow leaf
+    pointers only when present, and none are.  Returns a report dict.
+    """
+    import gzip as _gzip
+    import json as _json
+    import struct
+
+    if hasattr(tiles, "collect"):
+        rows = tiles.select("z", "x", "y", "data") \
+            .limit(max_tiles + 1).collect()
+        if len(rows) > max_tiles:
+            raise ValueError(
+                f"more than {max_tiles} tiles — raise max_tiles if the "
+                "archive is really meant to be that large")
+        items = [(int(r["z"]), int(r["x"]), int(r["y"]), bytes(r["data"]))
+                 for r in rows]
+    else:
+        items = [(int(z), int(x), int(y), bytes(d)) for z, x, y, d in tiles]
+    if not items:
+        raise ValueError("no tiles to write")
+    seen: dict[int, tuple] = {}
+    for z, x, y, d in items:
+        tid = zxy_to_tileid(z, x, y)
+        if tid in seen and seen[tid][3] != d:
+            raise ValueError(f"duplicate tile z={z} x={x} y={y} with "
+                             "different payloads")
+        seen[tid] = (z, x, y, d)
+    ordered = sorted(seen.items())
+    # content-address identical payloads
+    data_blob = bytearray()
+    content_off: dict[bytes, tuple[int, int]] = {}
+    entries = []
+    for tid, (z, x, y, d) in ordered:
+        if d not in content_off:
+            content_off[d] = (len(data_blob), len(d))
+            data_blob += d
+        off, ln = content_off[d]
+        entries.append((tid, off, ln, 1))
+    root = _encode_directory(entries)
+    meta = _json.dumps(metadata or {}).encode()
+    zs = [z for _, (z, _, _, _) in ordered]
+    xs = [(z, x, y) for _, (z, x, y, _) in ordered]
+    header = bytearray(_PM_HEADER)
+    header[0:7] = _PM_MAGIC
+    header[7] = 3
+    root_off = _PM_HEADER
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta)
+    data_off = leaf_off            # no leaf directories
+    struct.pack_into("<QQQQQQQQQQQ", header, 8,
+                     root_off, len(root), meta_off, len(meta),
+                     leaf_off, 0, data_off, len(data_blob),
+                     len(entries), len(entries), len(content_off))
+    header[96] = 1                                 # clustered
+    header[97] = _COMPRESSION_NONE                 # internal compression
+    header[98] = tile_compression
+    header[99] = tile_type
+    header[100] = min(zs)
+    header[101] = max(zs)
+    # bounds in E7 from tile extents on the web-mercator grid are a
+    # nicety; write the whole-world envelope (readers treat bounds as
+    # advisory; exact per-tile georeferencing lives in z/x/y)
+    struct.pack_into("<iiii", header, 102,
+                     -180 * 10**7, -85 * 10**7, 180 * 10**7, 85 * 10**7)
+    header[118] = min(zs)
+    struct.pack_into("<ii", header, 119, 0, 0)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(root)
+        f.write(meta)
+        f.write(bytes(data_blob))
+    return {"tiles": len(entries), "contents": len(content_off),
+            "bytes": _PM_HEADER + len(root) + len(meta) + len(data_blob)}
+
+
+def read_pmtiles(spark, path: str):
+    """PMTiles v3 archive -> DataFrame (z, x, y, data).
+
+    Header + directories parse on the driver (KB-scale by design; gzip
+    internal compression handled); tile PAYLOAD reads are distributed —
+    each task reads its entries' byte ranges from the file.  Run-length
+    entries expand to one row per addressed tile (sharing the payload,
+    exactly the spec's meaning)."""
+    import gzip as _gzip
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    with open(path, "rb") as f:
+        header = f.read(_PM_HEADER)
+        if len(header) < _PM_HEADER or header[0:7] != _PM_MAGIC:
+            raise ValueError(f"{path!r} is not a PMTiles archive")
+        if header[7] != 3:
+            raise ValueError(f"unsupported PMTiles version {header[7]}")
+        (root_off, root_len, _meta_off, _meta_len, leaf_off, _leaf_len,
+         data_off, _data_len, _n_addr, _n_entries, _n_contents) = \
+            struct.unpack_from("<QQQQQQQQQQQ", header, 8)
+        internal_comp = header[97]
+
+        def _load_dir(off: int, ln: int):
+            f.seek(off)
+            buf = f.read(ln)
+            if internal_comp == _COMPRESSION_GZIP:
+                buf = _gzip.decompress(buf)
+            elif internal_comp != _COMPRESSION_NONE:
+                raise ValueError(
+                    f"unsupported internal compression {internal_comp}")
+            return _decode_directory(buf)
+
+        tile_entries = []
+        for tid, off, ln, rl in _load_dir(root_off, root_len):
+            if rl == 0:        # leaf directory pointer
+                tile_entries.extend(_load_dir(leaf_off + off, ln))
+            else:
+                tile_entries.append((tid, off, ln, rl))
+    rows = []
+    for tid, off, ln, rl in tile_entries:
+        for i in range(rl):    # run-length: consecutive tile ids share
+            z, x, y = tileid_to_zxy(tid + i)
+            rows.append((z, x, y, int(data_off + off), int(ln)))
+    edf = spark.createDataFrame(
+        rows, "z int, x int, y int, __off long, __len long")
+    schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ])
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                data = []
+                for off, ln in zip(pdf["__off"], pdf["__len"]):
+                    fh.seek(int(off))
+                    data.append(fh.read(int(ln)))
+                out = pdf[["z", "x", "y"]].copy()
+                out["data"] = data
+                yield out
+
+    return edf.mapInPandas(fetch, schema=schema)

@@ -155,3 +155,89 @@ def test_cli_verb_registered_and_runs_end_to_end(spark, tmp_path,
     assert argv[argv.index("-l") + 1] == "mylayer"
     lines = [ln for ln in open(out + ".features").read().splitlines() if ln]
     assert len(lines) == 7
+
+
+def test_pmtiles_tileid_hilbert_roundtrip_and_anchors():
+    for z in range(0, 9):
+        step = max(1, (1 << z) // 3)
+        for x in range(0, 1 << z, step):
+            for y in range(0, 1 << z, step):
+                tid = PM.zxy_to_tileid(z, x, y)
+                assert PM.tileid_to_zxy(tid) == (z, x, y)
+    # spec: per-zoom bases are cumulative powers of 4
+    assert PM.zxy_to_tileid(0, 0, 0) == 0
+    assert PM.zxy_to_tileid(1, 0, 0) == 1
+    assert PM.zxy_to_tileid(2, 0, 0) == 5
+    assert PM.zxy_to_tileid(3, 0, 0) == 21
+    import pytest as _p
+    with _p.raises(ValueError):
+        PM.zxy_to_tileid(2, 4, 0)          # x >= 2^z
+
+
+def test_pmtiles_container_roundtrip(spark, tmp_path):
+    """write_pmtiles -> read_pmtiles roundtrip: tiles come back exactly,
+    identical payloads are content-deduplicated, and the reader output
+    is a distributed DataFrame."""
+    out = str(tmp_path / "t.pmtiles")
+    tiles = [(0, 0, 0, b"root-tile"),
+             (1, 0, 1, b"shared"), (1, 1, 1, b"shared"),
+             (2, 3, 2, b"deep" * 100)]
+    rep = PM.write_pmtiles(tiles, out, metadata={"name": "t"})
+    assert rep["tiles"] == 4
+    assert rep["contents"] == 3          # 'shared' stored once
+    got = {(r["z"], r["x"], r["y"]): bytes(r["data"])
+           for r in PM.read_pmtiles(spark, out).collect()}
+    assert got == {(z, x, y): d for z, x, y, d in tiles}
+    # DataFrame input path + duplicate-with-different-payload guard
+    df = spark.createDataFrame(tiles, "z int, x int, y int, data binary")
+    out2 = str(tmp_path / "t2.pmtiles")
+    PM.write_pmtiles(df, out2)
+    assert PM.read_pmtiles(spark, out2).count() == 4
+    import pytest as _p
+    with _p.raises(ValueError, match="duplicate tile"):
+        PM.write_pmtiles([(1, 0, 0, b"a"), (1, 0, 0, b"b")],
+                         str(tmp_path / "bad.pmtiles"))
+    with _p.raises(ValueError, match="not a PMTiles"):
+        p = tmp_path / "junk.pmtiles"
+        p.write_bytes(b"NOTPMTILES" + b"\x00" * 200)
+        PM.read_pmtiles(spark, str(p))
+
+
+def test_pmtiles_reader_handles_gzip_dirs_run_lengths_and_leaves(
+        spark, tmp_path):
+    """Spec features our writer never emits must still read: gzip
+    internal compression, run-length entries (consecutive Hilbert ids
+    sharing one payload), and leaf-directory pointers."""
+    import gzip
+    import struct
+
+    payload = b"RLTILE"
+    # three consecutive tile ids at z1: (1,0,0) id 1 .. id 3
+    leaf = PM._encode_directory([(1, 0, len(payload), 3)])
+    leaf_gz = gzip.compress(leaf)
+    # root holds ONE leaf pointer (run_length 0, offset into leaf section)
+    root = PM._encode_directory([(1, 0, len(leaf_gz), 0)])
+    root_gz = gzip.compress(root)
+    header = bytearray(PM._PM_HEADER)
+    header[0:7] = PM._PM_MAGIC
+    header[7] = 3
+    root_off = PM._PM_HEADER
+    meta_off = root_off + len(root_gz)
+    leaf_off = meta_off
+    data_off = leaf_off + len(leaf_gz)
+    struct.pack_into("<QQQQQQQQQQQ", header, 8,
+                     root_off, len(root_gz), meta_off, 0,
+                     leaf_off, len(leaf_gz), data_off, len(payload),
+                     3, 1, 1)
+    header[96] = 1
+    header[97] = PM._COMPRESSION_GZIP
+    header[98] = PM._COMPRESSION_NONE
+    header[99] = 1
+    header[100], header[101] = 1, 1
+    p = tmp_path / "rl.pmtiles"
+    p.write_bytes(bytes(header) + root_gz + leaf_gz + payload)
+    got = {(r["z"], r["x"], r["y"]): bytes(r["data"])
+           for r in PM.read_pmtiles(spark, str(p)).collect()}
+    want_keys = {PM.tileid_to_zxy(t) for t in (1, 2, 3)}
+    assert set(got) == want_keys
+    assert all(v == payload for v in got.values())
