@@ -49,6 +49,40 @@ def as_double_array(col: Column, dim: int | None = None,
             F.lit(f" != dim={dim}"))).cast("array<double>")))
 
 
+def is_valid_embedding(col: Column, dim: int | None = None) -> Column:
+    """Boolean: the vector is non-NULL, (optionally) exactly ``dim``
+    long, and every element is present and FINITE.
+
+    The hygiene predicate for ANN inputs (r10): Spark and DuckDB share
+    the IEEE total order where NaN ranks ABOVE every real number, so a
+    single NaN-component embedding scores cosine = NaN against every
+    query and hijacks rank 1 of every top-k list (the engines agree —
+    it is data poisoning, not an engine bug; measured: one NaN vector
+    displaced the true nearest neighbour of every query).  Filter (or
+    quarantine) with this BEFORE the topk/dedup/kmeans paths.  Native
+    expressions only — JVM-side, no UDF."""
+    inner_bad = F.exists(
+        col, lambda x: x.isNull() | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))))
+    ok = col.isNotNull() & ~inner_bad
+    if dim is not None:
+        ok = ok & (F.size(col) == dim)
+    return ok
+
+
+def filter_valid_embeddings(df: DataFrame, vector_column: str = "embedding",
+                            dim: int | None = None,
+                            flag_column: str | None = None) -> DataFrame:
+    """Drop rows whose ``vector_column`` fails :func:`is_valid_embedding`
+    (NULL vector, NULL element, NaN/Inf element, or wrong ``dim``).
+    With ``flag_column`` set, no rows are dropped — the verdict is
+    appended as a boolean column instead (the quarantine workflow)."""
+    ok = is_valid_embedding(F.col(vector_column), dim)
+    if flag_column is not None:
+        return df.withColumn(flag_column, ok)
+    return df.filter(ok)
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product (``dim`` accepted for API stability; the HOF fold is
     the fast form under codegen constraints — see module docstring)."""

@@ -608,3 +608,45 @@ def q_nearest_centroid(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return nearest_centroid_confusion(e, dim=_DIM, test_mod=5)
+
+
+@register(
+    "similarity_embedding_hygiene",
+    f"""
+    WITH checked AS (
+      SELECT vec_id,
+        (embedding IS NOT NULL
+         AND len(embedding) = {_DIM}
+         AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x)
+                         WHERE x IS NULL OR isnan(x) OR isinf(x))
+        ) AS ok
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(MIN(CASE WHEN ok THEN vec_id END) AS BIGINT) AS first_valid,
+           CAST(MIN(CASE WHEN NOT ok THEN vec_id END) AS BIGINT)
+             AS first_invalid
+    FROM checked
+    """,
+)
+def q_embedding_hygiene(spark, sf_dir):
+    """ANN input hygiene audit (operators/similarity.py:
+    is_valid_embedding / filter_valid_embeddings): Spark and DuckDB
+    share the IEEE total order where NaN outranks every real number, so
+    one NaN-component embedding hijacks rank 1 of every top-k list —
+    the audit counts vectors that are non-NULL, dim-length, and
+    all-finite, evaluated per element with native expressions on both
+    engines."""
+    from geoparquet_io_spark.operators.similarity import \
+        filter_valid_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flagged = filter_valid_embeddings(e, "embedding", dim=_DIM,
+                                      flag_column="ok")
+    return flagged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"),
+        F.min(F.when(F.col("ok"), F.col("vec_id"))).alias("first_valid"),
+        F.min(F.when(~F.col("ok"), F.col("vec_id"))).alias("first_invalid"),
+    )

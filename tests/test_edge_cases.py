@@ -1645,3 +1645,42 @@ def test_asof_broadcast_nan_ts_and_key_parity_with_window(spark):
     assert bc == win
     assert win == {1: 100, 2: 200, 3: 300, 4: 400,
                    5: None, 6: None, 7: None}
+
+
+def test_embedding_hygiene_filter_and_topk_poison_story(spark):
+    """is_valid_embedding / filter_valid_embeddings (r10): one
+    NaN-component vector scores cosine = NaN against every query and —
+    because Spark and DuckDB both rank NaN above every real number —
+    hijacks rank 1 of every top-k list (engine-parity semantics, so the
+    kernel must NOT silently drop it; hygiene is an explicit step).
+    The filter classifies NULL vector / NULL element / NaN / Inf /
+    wrong-dim, and filtering first restores the true neighbours."""
+    import math
+
+    from geoparquet_io_spark.operators.similarity import (
+        brute_force_topk, filter_valid_embeddings)
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+            (4, [math.nan, 0.5]),          # NaN component
+            (5, None),                     # NULL vector
+            (6, [1.0, None]),              # NULL element
+            (7, [math.inf, 0.0]),          # Inf component
+            (8, [1.0, 0.0, 0.0])]          # wrong dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flagged = filter_valid_embeddings(df, "embedding", dim=2,
+                                      flag_column="ok")
+    got = {r["vec_id"]: r["ok"] for r in flagged.collect()}
+    assert got == {1: True, 2: True, 3: True,
+                   4: False, 5: False, 6: False, 7: False, 8: False}
+    clean = filter_valid_embeddings(df, "embedding", dim=2)
+    assert sorted(r["vec_id"] for r in clean.select("vec_id").collect()) \
+        == [1, 2, 3]
+    # the poison story: unfiltered, the NaN vector outranks the true
+    # nearest neighbour of vector 1 (engine-parity NaN-first ordering)
+    dirty = df.filter("vec_id in (1, 2, 3, 4)")
+    poisoned = brute_force_topk(dirty, dirty, k=1)
+    top1 = {r[0]: r[1] for r in poisoned.collect()}
+    assert top1[1] == 4                    # NaN hijacked rank 1
+    healthy = brute_force_topk(clean, clean, k=1)
+    top1 = {r[0]: r[1] for r in healthy.collect()}
+    assert top1[1] == 2                    # true neighbour restored
