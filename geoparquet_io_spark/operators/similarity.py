@@ -878,11 +878,18 @@ def kmeans_fit_distributed(
             "longer one silently drops clusters from the updates")
     cents = [[round(float(x), round_digits) for x in c]
              for c in (init or ivf_centroids(dim, n_centroids, seed))]
-    # NULL vectors contribute nothing to a mean — filtered, not crashed
+    # NULL vectors contribute nothing to a mean — filtered, not
+    # crashed.  Non-FINITE vectors too (r10): one NaN element made its
+    # cluster's sum (hence centroid) NaN, and on the next assignment
+    # pass numpy's argmin returns the first all-NaN distance index —
+    # EVERY vector collapsed into that cluster.  Same rationale as
+    # NULL: a NaN/Inf coordinate has no defined mean contribution.
     src = df.select(F.lit(0).alias("id"),
                     as_double_array(F.col(vector_column), dim,
                                     "kmeans_fit_distributed").alias("v")) \
-        .filter(F.col("v").isNotNull())
+        .filter(F.col("v").isNotNull()
+                & ~F.exists("v", lambda x: x.isNull() | F.isnan(x)
+                            | (F.abs(x) == F.lit(float("inf")))))
     for _ in range(iterations):
         assigned = _assign_clusters_arrow(src, cents)
         aggs = [F.count("*").alias("__cnt")] + [

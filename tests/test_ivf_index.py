@@ -559,3 +559,30 @@ def test_semantic_dedup_null_id_consistent_across_cluster_routing(spark):
     assert all_pairs[1] is True     # lowest real id survives
     assert all_pairs[2] is False    # loses to id 1
     assert all_pairs[None] is True  # null id: never killed, never kills
+
+
+def test_kmeans_nan_vector_does_not_collapse_clusters(spark):
+    """Regression (r10 sweep): one NaN-element vector made its cluster's
+    centroid NaN; on the next assignment pass numpy argmin returns the
+    first all-NaN distance index, so EVERY vector collapsed into that
+    cluster.  Non-finite vectors must be excluded like NULLs — the
+    trained centroids must be finite and identical to training on the
+    clean subset alone."""
+    import math
+
+    from geoparquet_io_spark.operators.similarity import \
+        kmeans_fit_distributed
+
+    clean_rows = [(i, [float(i % 4), float((i * 7) % 5)])
+                  for i in range(40)]
+    dirty_rows = clean_rows + [
+        (100, [math.nan, 0.0]), (101, [0.0, math.inf]), (102, None),
+        (103, [1.0, None])]
+    clean = spark.createDataFrame(clean_rows,
+                                  "vec_id long, embedding array<double>")
+    dirty = spark.createDataFrame(dirty_rows,
+                                  "vec_id long, embedding array<double>")
+    c1 = kmeans_fit_distributed(clean, dim=2, n_centroids=4, iterations=3)
+    c2 = kmeans_fit_distributed(dirty, dim=2, n_centroids=4, iterations=3)
+    assert c1 == c2
+    assert all(math.isfinite(x) for c in c2 for x in c)
