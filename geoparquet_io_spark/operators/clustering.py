@@ -63,14 +63,18 @@ def grid_density_clusters(
     """
     from geoparquet_io_spark.operators.dedup import connected_components
 
-    # NaN -> NULL before floor: floor(NaN).cast(long) is 0 in Spark, so
-    # NaN-coordinate rows would fabricate density in cell (0, 0) and
-    # come back CLUSTERED at the origin instead of noise (the same
+    # Non-finite -> NULL before floor: floor(NaN).cast(long) is 0 in
+    # Spark, so NaN-coordinate rows would fabricate density in cell
+    # (0, 0); floor(±Inf).cast(long) saturates to Long.Min/MaxValue, so
+    # Inf rows would fabricate a shared saturated cell key (the same
     # fabricated-key class as the r9 quadkey/morton/geohash gates).
     # NULL cells group together but their cell_id is NULL, which no
     # equi-join matches — they fall out as noise, which is correct.
-    lon_ok = F.when(~F.isnan(F.col(lon_column)), F.col(lon_column))
-    lat_ok = F.when(~F.isnan(F.col(lat_column)), F.col(lat_column))
+    inf = F.lit(float("inf"))
+    lon_ok = F.when(~F.isnan(F.col(lon_column))
+                    & (F.abs(F.col(lon_column)) != inf), F.col(lon_column))
+    lat_ok = F.when(~F.isnan(F.col(lat_column))
+                    & (F.abs(F.col(lat_column)) != inf), F.col(lat_column))
     cx = F.floor(lon_ok / F.lit(float(cell_size))).cast("long")
     cy = F.floor(lat_ok / F.lit(float(cell_size))).cast("long")
     # either axis NaN/NULL poisons both (a half-NaN row must not land

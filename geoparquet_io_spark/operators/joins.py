@@ -566,11 +566,11 @@ def knn_join(
 
     Right-side columns whose names collide with the left (the defaults
     themselves: lon/lat both sides) appear in the OUTPUT as
-    ``right_<name>``; null-coordinate rows are dropped on BOTH sides —
-    a right one can never be a nearest neighbor, and a left one has no
-    position to search from (it previously fell through every grid
-    round into the brute fallback and emitted k arbitrary partners
-    with NULL distance).
+    ``right_<name>``; non-finite (NULL/NaN/±Inf) coordinate rows are
+    dropped on BOTH sides — a right one can never be a nearest
+    neighbor, and a left one has no position to search from (it
+    previously fell through every grid round into the brute fallback
+    and emitted k arbitrary partners with NULL/NaN distance).
 
     ``left_id`` must be UNIQUE per left row (same contract as
     grid_spatial_join): duplicate ids pool the per-point count and
@@ -607,13 +607,20 @@ def knn_join(
         right_y = mapping.get(right_y, right_y)
         if tie_columns is not None:
             tie_columns = [mapping.get(c, c) for c in tie_columns]
-    # null-coordinate right rows can never be a nearest neighbor; the
-    # grid rounds drop them (null cell key) but the brute fallback's
-    # null distance would rank FIRST (asc is nulls-first in Spark)
-    right = right.filter(F.col(right_x).isNotNull()
-                         & F.col(right_y).isNotNull())
-    left = left.filter(F.col(left_x).isNotNull()
-                       & F.col(left_y).isNotNull())
+    # non-finite-coordinate rows are dropped on BOTH sides: a NULL/NaN/
+    # Inf right row can never be a true nearest neighbor, and a left one
+    # has no position to search from.  The grid rounds already drop
+    # NULLs (null cell key), but NaN rows fell through every round into
+    # the brute fallback and emitted k arbitrary partners with NaN
+    # distance (NaN <= r is false in the grid filter, yet row_number
+    # still ranks NaN distances in the fallback window).
+    def _finite(name: str):
+        col = F.col(name)
+        return (col.isNotNull() & ~F.isnan(col)
+                & (F.abs(col) != F.lit(float("inf"))))
+
+    right = right.filter(_finite(right_x) & _finite(right_y))
+    left = left.filter(_finite(left_x) & _finite(left_y))
 
     ties = tie_columns if tie_columns is not None else [right_x, right_y]
     w = Window.partitionBy("__lid").orderBy(
@@ -698,6 +705,11 @@ def knn_join(
         if radius_tiers:
             tiers = sorted(r["__tier"] for r in
                            pending.select("__tier").distinct().collect())
+            if not tiers:
+                # empty pending (empty left side, or every coordinate
+                # NULL/NaN): nothing to search — return empty like the
+                # classic path instead of indexing into zero parts
+                break
         else:
             # non-tiered pending is all at tier == rnd by construction
             # (every survivor's tier incremented once per round) — no
@@ -724,12 +736,18 @@ def knn_join(
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
         done_ids = counts.filter(F.col("__n") >= k).select("__lid")
+        # eager checkpoint of the resolved part (<= k rows per resolved
+        # query) so the FAT candidate cache can be unpersisted at round
+        # end — without it every round's candidate set stayed pinned in
+        # executor storage for the application lifetime
         resolved_parts.append(
-            topk(pairs.join(done_ids, "__lid")))
+            topk(pairs.join(done_ids, "__lid")).localCheckpoint())
         pending = pending.join(done_ids, "__lid", "left_anti") \
             .withColumn("__tier", F.col("__tier") + 1) \
             .localCheckpoint(eager=False)
-        if not pending.take(1):
+        more = bool(pending.take(1))
+        pairs.unpersist()
+        if not more:
             break
     else:
         # stragglers after max_rounds: normally tiny -> broadcast them
@@ -764,6 +782,18 @@ def knn_join(
             brute = brute.select(*narrow_cols)
         resolved_parts.append(topk(brute))
 
+    if not resolved_parts:
+        # every round resolved nothing AND pending emptied (empty left /
+        # all-NULL coordinates in the tiered path): synthesize an empty
+        # result with the correct schema from a zero-row grid join
+        empty = distance_join(
+            pending.select("__lid", left_x, left_y) if narrow
+            else pending.drop("__tier"),
+            right, r0, left_x, left_y, right_x, right_y,
+            distance_column=distance_column)
+        if narrow:
+            empty = empty.select(*narrow_cols)
+        resolved_parts.append(topk(empty))
     ranked = resolved_parts[0]
     for p in resolved_parts[1:]:
         ranked = ranked.unionByName(p)

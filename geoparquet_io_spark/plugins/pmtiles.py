@@ -374,7 +374,6 @@ def write_pmtiles(tiles, path: str, tile_type: int = 1,
     root = _encode_directory(entries)
     meta = _json.dumps(metadata or {}).encode()
     zs = [z for _, (z, _, _, _) in ordered]
-    xs = [(z, x, y) for _, (z, x, y, _) in ordered]
     header = bytearray(_PM_HEADER)
     header[0:7] = _PM_MAGIC
     header[7] = 3
@@ -392,13 +391,29 @@ def write_pmtiles(tiles, path: str, tile_type: int = 1,
     header[99] = tile_type
     header[100] = min(zs)
     header[101] = max(zs)
-    # bounds in E7 from tile extents on the web-mercator grid are a
-    # nicety; write the whole-world envelope (readers treat bounds as
-    # advisory; exact per-tile georeferencing lives in z/x/y)
+    # bounds in E7 from the union of the written tiles' envelopes on
+    # the web-mercator grid (viewers and the pmtiles CLI use these for
+    # the initial extent/zoom, so a whole-world placeholder misleads)
+    import math as _math
+
+    def _merc_lat(ytile: float, z: int) -> float:
+        n = _math.pi * (1.0 - 2.0 * ytile / (1 << z))
+        return _math.degrees(_math.atan(_math.sinh(n)))
+
+    lon_min = min(x / (1 << z) * 360.0 - 180.0 for _, (z, x, y, _) in ordered)
+    lon_max = max((x + 1) / (1 << z) * 360.0 - 180.0
+                  for _, (z, x, y, _) in ordered)
+    lat_max = max(_merc_lat(y, z) for _, (z, x, y, _) in ordered)
+    lat_min = min(_merc_lat(y + 1, z) for _, (z, x, y, _) in ordered)
+    e7 = 10**7
     struct.pack_into("<iiii", header, 102,
-                     -180 * 10**7, -85 * 10**7, 180 * 10**7, 85 * 10**7)
+                     int(round(lon_min * e7)), int(round(lat_min * e7)),
+                     int(round(lon_max * e7)), int(round(lat_max * e7)))
     header[118] = min(zs)
-    struct.pack_into("<ii", header, 119, 0, 0)
+    # center = bounds midpoint at min zoom
+    struct.pack_into("<ii", header, 119,
+                     int(round((lon_min + lon_max) / 2.0 * e7)),
+                     int(round((lat_min + lat_max) / 2.0 * e7)))
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(root)

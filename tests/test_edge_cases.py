@@ -466,7 +466,9 @@ def test_estimate_knn_radius_density_quantile_point_weighted(spark):
     r_dense = estimate_knn_radius(df, k=3, right_x="rx", right_y="ry",
                                   density_quantile=0.9)
     assert r_dense < r_uni / 10.0
-    # quantile 1.0 = sparsest occupied cell -> never above uniform
+    # quantile 1.0 = the DENSEST cell's occupancy (the point-weighted
+    # histogram accumulates sparsest->densest); the result is still
+    # min'd with the uniform radius, so it can never exceed uniform
     r_all = estimate_knn_radius(df, k=3, right_x="rx", right_y="ry",
                                 density_quantile=1.0)
     assert r_all <= r_uni + 1e-12
@@ -1545,6 +1547,57 @@ def test_grid_clusters_nan_coords_are_noise_not_origin(spark):
     assert got[300] is None and got[301] is None
     real = {got[400 + i] for i in range(6)}
     assert len(real) == 1 and None not in real
+
+
+def test_grid_clusters_inf_coords_are_noise_not_saturated_cell(spark):
+    """Regression (r10 advice): isnan(Inf) is false, so the NaN gate let
+    ±Inf through — floor(Inf/cell).cast(long) saturates to
+    Long.MaxValue and every +Inf row shared one fabricated cell key
+    (same class as the NaN phantom cluster).  Inf rows must be noise
+    and contribute no density."""
+    import math
+
+    from geoparquet_io_spark.operators.clustering import \
+        grid_density_clusters
+
+    rows = [(i, math.inf, math.inf) for i in range(10)]
+    rows += [(100 + i, -math.inf, -math.inf) for i in range(10)]
+    rows += [(200 + i, math.inf, 0.5) for i in range(10)]        # half-Inf
+    rows += [(400 + i, 50.0 + 0.01 * i, 50.0) for i in range(6)]  # real
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = grid_density_clusters(df, cell_size=1.0, min_pts=5)
+    got = {r["id"]: r["cluster"]
+           for r in out.select("id", "cluster").collect()}
+    for i in (list(range(10)) + list(range(100, 110))
+              + list(range(200, 210))):
+        assert got[i] is None, (i, got[i])
+    real = {got[400 + i] for i in range(6)}
+    assert len(real) == 1 and None not in real
+
+
+def test_knn_join_radius_tiers_empty_left_returns_empty(spark):
+    """Regression (r10 advice): radius_tiers=True crashed with
+    IndexError (parts[0] over zero tiers) when the left side is empty
+    or every left coordinate is NULL/NaN — the classic path returns an
+    empty frame for the same input, and the tiered path must too."""
+    import math
+
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    right = spark.createDataFrame(
+        [(j, float(j), 0.0) for j in range(5)], ["rid", "rx", "ry"])
+    empty_left = spark.createDataFrame([], "lid long, lx double, ly double")
+    kw = dict(k=2, initial_radius=0.5, left_id="lid",
+              left_x="lx", left_y="ly", right_x="rx", right_y="ry",
+              max_rounds=4)
+    out = knn_join(empty_left, right, radius_tiers=True, **kw)
+    assert out.count() == 0
+    assert set(["lid", "rid", "distance", "knn_rank"]) <= set(out.columns)
+    # all-NULL / all-NaN coordinates: same contract
+    null_left = spark.createDataFrame(
+        [(1, None, None), (2, math.nan, math.nan)],
+        "lid long, lx double, ly double")
+    assert knn_join(null_left, right, radius_tiers=True, **kw).count() == 0
 
 
 def test_clip_to_grid_dirty_geometry_and_cell_cap(spark):

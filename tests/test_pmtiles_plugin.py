@@ -203,6 +203,41 @@ def test_pmtiles_container_roundtrip(spark, tmp_path):
         PM.read_pmtiles(spark, str(p))
 
 
+def test_pmtiles_header_bounds_derived_from_tiles(tmp_path):
+    """Regression (r10 advice): the header used to hardcode whole-world
+    E7 bounds and center (0,0); viewers use these for initial extent,
+    so they must derive from the written tiles' web-mercator
+    envelopes.  z1 tile (0,0) covers lon [-180,0], lat [0,85.05...];
+    adding z1 (1,1) (lon [0,180], lat [-85.05,0]) widens the union."""
+    import math
+    import struct
+
+    def hdr_bounds(path):
+        raw = open(path, "rb").read(PM._PM_HEADER)
+        w, s, e, n = struct.unpack_from("<iiii", raw, 102)
+        cz = raw[118]
+        clon, clat = struct.unpack_from("<ii", raw, 119)
+        return ([v / 1e7 for v in (w, s, e, n)], cz,
+                (clon / 1e7, clat / 1e7))
+
+    merc_top = math.degrees(math.atan(math.sinh(math.pi)))  # 85.0511...
+    p1 = str(tmp_path / "one.pmtiles")
+    PM.write_pmtiles([(1, 0, 0, b"nw")], p1)
+    (w, s, e, n), cz, (clon, clat) = hdr_bounds(p1)
+    assert (w, e) == (-180.0, 0.0)
+    assert abs(s) < 1e-6 and abs(n - merc_top) < 1e-6
+    assert cz == 1
+    assert abs(clon - -90.0) < 1e-6
+    assert abs(clat - merc_top / 2) < 1e-6
+
+    p2 = str(tmp_path / "two.pmtiles")
+    PM.write_pmtiles([(1, 0, 0, b"nw"), (1, 1, 1, b"se")], p2)
+    (w, s, e, n), _, (clon, clat) = hdr_bounds(p2)
+    assert (w, e) == (-180.0, 180.0)
+    assert abs(s + merc_top) < 1e-6 and abs(n - merc_top) < 1e-6
+    assert abs(clon) < 1e-6 and abs(clat) < 1e-6
+
+
 def test_pmtiles_reader_handles_gzip_dirs_run_lengths_and_leaves(
         spark, tmp_path):
     """Spec features our writer never emits must still read: gzip
