@@ -184,38 +184,100 @@ def add_kdtree(
         raise ValueError("iterations must be in [1,20]")
     if exact or total <= sample_rows:
         sample = work.select("__kd_x", "__kd_y")
+        bounded = total <= sample_rows
     else:
         sample = work.select("__kd_x", "__kd_y").sample(
             fraction=min(1.0, sample_rows / max(total, 1)), seed=42
         )
-    # pin the (bounded, <= sample_rows) sample: each per-level median
-    # collect below is an ACTION, and without this every iteration
-    # re-scanned the full input and re-ran the centroid UDF just to
-    # regenerate the same sample — the dominant cost at scale
-    sample = sample.withColumn("__cell", F.lit("")) \
-        .localCheckpoint(eager=False)
+        bounded = True
     boundaries: dict[str, float] = {}
-    for level in range(iterations):
-        dim = "__kd_x" if level % 2 == 0 else "__kd_y"
-        med = [r for r in (
-            sample.groupBy("__cell")
-            .agg(F.expr(f"percentile({dim}, 0.5)").alias("m"))
-            .collect()
-        ) if r["m"] is not None]   # all-null cells carry no median
-        if not med:
-            break                  # empty / all-null input: no tree
-        for r in med:
-            boundaries[r["__cell"]] = float(r["m"])
-        mcol = F.create_map(
-            *[x for r in med for x in (F.lit(r["__cell"]), F.lit(float(r["m"])))]
-        )
-        sample = sample.withColumn(
-            "__cell",
-            F.concat(
-                F.col("__cell"),
-                F.when(F.col(dim) < mcol[F.col("__cell")], F.lit("0")).otherwise(F.lit("1")),
-            ),
-        )
+    if bounded:
+        # the median input is bounded (<= ~sample_rows rows x 2 doubles):
+        # ONE collect, then the whole boundary recursion runs driver-side
+        # in numpy — phase 1 collapses from (1 + iterations) Spark jobs
+        # (each a groupBy-percentile action over the pinned sample) to a
+        # single bounded job.  At 100 TB the sample is still the same
+        # size, so this stays driver-safe.  Semantics replicate the
+        # distributed loop bit-for-bit: NULLs are excluded from the
+        # median and split to "1" (NULL < m is NULL -> otherwise branch),
+        # NaN sorts above every value (Spark's double ordering) so it
+        # participates in the median as the largest element and splits
+        # to "1" (NaN < m is false), and medians interpolate linearly
+        # like percentile(dim, 0.5).
+        import numpy as np
+
+        rows = sample.collect()
+        n_rows = len(rows)
+        vals = np.empty((n_rows, 2)); nulls = np.zeros((n_rows, 2), bool)
+        for i, r in enumerate(rows):
+            for j in (0, 1):
+                v = r[j]
+                if v is None:
+                    vals[i, j] = np.nan; nulls[i, j] = True
+                else:
+                    vals[i, j] = v
+
+        def _interp_median(a: "np.ndarray"):
+            if a.size == 0:
+                return None
+            a = np.sort(a)            # NaN sorts last, like Spark
+            pos = (a.size - 1) * 0.5
+            lo = int(pos)
+            if pos == lo:
+                return float(a[lo])
+            return float(a[lo] + (a[lo + 1] - a[lo]) * (pos - lo))
+
+        cells = {"": np.arange(n_rows)}
+        for level in range(iterations):
+            j = 0 if level % 2 == 0 else 1
+            meds = {}
+            for prefix, idx in cells.items():
+                m = _interp_median(vals[idx[~nulls[idx, j]], j])
+                if m is not None:     # all-null cells carry no median
+                    meds[prefix] = m
+            if not meds:
+                break                  # empty / all-null input: no tree
+            boundaries.update(meds)
+            nxt = {}
+            for prefix, idx in cells.items():
+                m = meds.get(prefix)
+                if m is None:          # no median: NULL lookup -> bit "1"
+                    nxt[prefix + "1"] = idx
+                    continue
+                is_left = vals[idx, j] < m      # NaN/NULL-coded: false
+                nxt[prefix + "0"] = idx[is_left]
+                nxt[prefix + "1"] = idx[~is_left]
+            cells = {p: ix for p, ix in nxt.items() if ix.size}
+    else:
+        # exact=True beyond the driver bound: per-level DISTRIBUTED exact
+        # medians.  Pin the input: each per-level median collect below is
+        # an ACTION, and without this every iteration re-scanned the full
+        # input and re-ran the centroid UDF — the dominant cost at scale.
+        sample = sample.withColumn("__cell", F.lit("")) \
+            .localCheckpoint(eager=False)
+        for level in range(iterations):
+            dim = "__kd_x" if level % 2 == 0 else "__kd_y"
+            med = [r for r in (
+                sample.groupBy("__cell")
+                .agg(F.expr(f"percentile({dim}, 0.5)").alias("m"))
+                .collect()
+            ) if r["m"] is not None]   # all-null cells carry no median
+            if not med:
+                break                  # empty / all-null input: no tree
+            for r in med:
+                boundaries[r["__cell"]] = float(r["m"])
+            mcol = F.create_map(
+                *[x for r in med
+                  for x in (F.lit(r["__cell"]), F.lit(float(r["m"])))]
+            )
+            sample = sample.withColumn(
+                "__cell",
+                F.concat(
+                    F.col("__cell"),
+                    F.when(F.col(dim) < mcol[F.col("__cell")],
+                           F.lit("0")).otherwise(F.lit("1")),
+                ),
+            )
 
     # phase 2: apply boundary tree as a chained native expression
     if not boundaries:

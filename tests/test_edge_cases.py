@@ -818,6 +818,34 @@ def test_kdtree_unseen_prefix_gets_cell(spark):
     assert all(len(r["kdtree_cell"]) == 4 for r in cells)
 
 
+def test_kdtree_driver_and_distributed_phase1_agree(spark):
+    """Phase 1 has two implementations (r11): a driver-side numpy
+    recursion when the median input is bounded, and the per-level
+    distributed percentile loop for exact=True beyond the driver bound.
+    Same data through both must produce identical cell assignments —
+    including NULL rows (median-excluded, split to '1') and NaN rows
+    (median-included as the largest value, split to '1')."""
+    import math
+
+    from geoparquet_io_spark.operators.add_columns import add_kdtree
+
+    rows = [(i, float((i * 37) % 101), float((i * 59) % 89))
+            for i in range(400)]
+    rows += [(1000, None, 5.0), (1001, 3.0, None),
+             (1002, math.nan, math.nan), (1003, math.nan, 7.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    kw = dict(x_column="x", y_column="y", iterations=3)
+    # exact + sample_rows below row count -> distributed loop;
+    # exact + default sample_rows -> bounded driver-side recursion
+    dist = add_kdtree(df, exact=True, sample_rows=10, **kw)
+    drv = add_kdtree(df, exact=True, **kw)
+    a = {r["id"]: r["kdtree_cell"] for r in dist.collect()}
+    b = {r["id"]: r["kdtree_cell"] for r in drv.collect()}
+    assert a == b
+    assert len({v for v in b.values()}) > 1        # tree actually split
+    assert all(len(v) == 3 for v in b.values())
+
+
 def test_zorder_by_date_and_timestamp_columns(spark):
     from geoparquet_io_spark.operators.sorts import zorder_by
 
