@@ -851,6 +851,80 @@ for _c, _ent in _generated_epsg_rows().items():
     EPSG_TABLE.setdefault(_c, _ent)
 
 
+#: EPSG 9003 US survey foot / EPSG 9002 international foot — the axis
+#: units of the SPCS83 foot-grid codes below
+FT_US = 1200.0 / 3937.0
+FT_INTL = 0.3048
+
+
+def _spcs83_ftus_rows() -> dict[int, tuple]:
+    """NAD83 State Plane FOOT-axis codes (r11): the grids US municipal
+    data actually ships in.  Entries are (family, ellipsoid, params,
+    to_meter) with ``fe``/``fn`` in the NATIVE unit exactly as EPSG
+    publishes them (e.g. California's 6,561,666.667 ftUS is the
+    published value, 0.1 mm off the meter twin's round 2,000,000 m —
+    the foot grid is its own CRS, not a rescaled meter grid).  The
+    projection math runs in meters; only the false origin and the axis
+    unit differ from the meter twins validated in _spcs83_rows.
+    Reference resolves these via PROJ (core/reproject.py:94-160)."""
+    rows: dict[int, tuple] = {}
+    mn = lambda d, m: math.copysign(abs(d) + m / 60.0, d)
+
+    def lcc(code, lat1, lat2, lat0, lon0, fe, fn=0.0, unit=FT_US):
+        rows[code] = ("lcc", GRS80, dict(
+            lat1=lat1, lat2=lat2, lat0=lat0, lon0=lon0, fe=fe, fn=fn), unit)
+
+    def tm(code, lat0, lon0, k0, fe, fn=0.0, unit=FT_US):
+        rows[code] = ("tm", GRS80, dict(
+            lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn), unit)
+
+    # California zones 1-6 = 2225..2230 (ftUS; FE 6,561,666.667 /
+    # FN 1,640,416.667 ftUS = 2,000,000 / 500,000 m nominal) — same
+    # parallels as the 26941..26946 meter rows
+    for i, (lat1, lat2, lat0, lon0) in enumerate([
+        (40.0, mn(41, 40), mn(39, 20), -122.0),
+        (mn(38, 20), mn(39, 50), mn(37, 40), -122.0),
+        (mn(37, 4), mn(38, 26), 36.5, -120.5),
+        (36.0, mn(37, 15), mn(35, 20), -119.0),
+        (mn(34, 2), mn(35, 28), 33.5, -118.0),
+        (mn(32, 47), mn(33, 53), mn(32, 10), -116.25),
+    ]):
+        lcc(2225 + i, lat1, lat2, lat0, lon0, 6561666.667, 1640416.667)
+    # Arizona East/Central/West = 2222..2224 (INTERNATIONAL feet:
+    # Arizona legislated ift, not ftUS; FE 700,000 ift = 213,360 m
+    # exactly) — parameters mirror the 26948..26950 meter rows
+    tm(2222, 31.0, -mn(110, 10), 0.9999, 700000.0, unit=FT_INTL)
+    tm(2223, 31.0, -mn(111, 55), 0.9999, 700000.0, unit=FT_INTL)
+    tm(2224, 31.0, -mn(113, 45), 1.0 - 1.0 / 15000.0, 700000.0,
+       unit=FT_INTL)
+    # Maryland = 2248 (ftUS; meter twin 26985): FE 1,312,333.333 ftUS
+    lcc(2248, 38.3, 39.45, mn(37, 40), -77.0, 1312333.333)
+    # New York Long Island = 2263, and its NAD83(2011) twin 6539
+    # (meter twin 32118): FE 984,250 ftUS = 300,000 m exactly
+    lcc(2263, mn(40, 40), mn(41, 2), mn(40, 10), -74.0, 984250.0)
+    lcc(6539, mn(40, 40), mn(41, 2), mn(40, 10), -74.0, 984250.0)
+    # Ohio North/South = 3734/3735 (ftUS; FE 1,968,500 ftUS = 600,000 m)
+    lcc(3734, mn(40, 26), mn(41, 42), mn(39, 40), -82.5, 1968500.0)
+    lcc(3735, mn(38, 44), mn(40, 2), 38.0, -82.5, 1968500.0)
+    # Texas ladder = 2275..2279 (ftUS; the same FE-down/FN-up ladder as
+    # the 32137..32141 meter rows, published in ftUS)
+    lcc(2275, mn(34, 39), mn(36, 11), 34.0, -101.5,
+        656166.667, 3280833.333)
+    lcc(2276, mn(32, 8), mn(33, 58), mn(31, 40), -98.5,
+        1968500.0, 6561666.667)
+    lcc(2277, mn(30, 7), mn(31, 53), mn(29, 40), -mn(100, 20),
+        2296666.667, 9842500.0)
+    lcc(2278, mn(28, 23), mn(30, 17), mn(27, 50), -99.0,
+        1968500.0, 13123333.333)
+    lcc(2279, mn(26, 10), mn(27, 50), mn(25, 40), -98.5,
+        984250.0, 16404166.667)
+    return rows
+
+
+#: code -> (family, ellipsoid, params-in-native-unit, to_meter)
+UNIT_EPSG_TABLE: dict[int, tuple] = _spcs83_ftus_rows()
+
+
 def _family_kernels():
     return {
         "tm": (make_tm, tm_forward, tm_inverse),
@@ -950,6 +1024,27 @@ def _proj_for_epsg(code: int):
         c = mk(*ell, **params)
         return (lambda lo, la: fwd(lo, la, c),
                 lambda x, y: inv(x, y, c))
+    uent = UNIT_EPSG_TABLE.get(code)
+    if uent is not None:
+        # foot-axis grid: run the meter kernel with the false origin
+        # scaled in, divide the outputs back to the native unit (the
+        # unit is a pure axis rescale — the conformal math is unitless)
+        fam, ell, params, u = uent
+        p = dict(params)
+        p["fe"] = p.get("fe", 0.0) * u
+        p["fn"] = p.get("fn", 0.0) * u
+        mk, fwd, inv = _family_kernels()[fam]
+        c = mk(*ell, **p)
+
+        def _ufwd(lo, la, _fwd=fwd, _c=c, _u=u):
+            x, y = _fwd(lo, la, _c)
+            return x / _u, y / _u
+
+        def _uinv(x, y, _inv=inv, _c=c, _u=u):
+            return _inv(np.asarray(x, dtype=np.float64) * _u,
+                        np.asarray(y, dtype=np.float64) * _u, _c)
+
+        return _ufwd, _uinv
     # WGS84 UTM: 32601-32660 north, 32701-32760 south
     if 32601 <= code <= 32660:
         zone = code - 32600

@@ -968,3 +968,61 @@ def q_reproject_mollweide(spark, sf_dir):
     core/reproject.py:94-160).  Closed-form pole/equator identities and
     the equal-area Jacobian pinned in unit tests."""
     return _spark_reproject(spark, sf_dir, "ESRI:54009")
+
+
+# --- r11: SPCS83 foot-axis grids (ftUS + international ft) ------------------
+# The oracle reuses the meter LCC/TM SQL with the ELLIPSOID scaled by the
+# axis unit: every length in the conformal forward (rho = a F t^n, the
+# Krueger kA and m0, the false origin) is linear in a, so a kernel built
+# on a/u with fe/fn in the native unit IS the foot-grid forward.
+
+_CA5_FT = P.make_lcc(P.GRS80[0] / P.FT_US, P.GRS80[1],
+                     lat1=34.0 + 2.0 / 60.0, lat2=35.0 + 28.0 / 60.0,
+                     lat0=33.5, lon0=-118.0,
+                     fe=6561666.667, fn=1640416.667)
+
+
+@register("geo_reproject_ca5_ftus", _lcc_sql(_CA5_FT))
+def q_reproject_ca5_ftus(spark, sf_dir):
+    """EPSG:2229 (NAD83 / California zone 5 ftUS) — the registry's
+    first FOOT-AXIS grid (EPSG unit 9003, US survey foot): same
+    parallels as the 26945 meter twin but the EPSG-published false
+    origin 6,561,666.667 / 1,640,416.667 ftUS (0.1 mm off the meter
+    twin's round 2,000,000 / 500,000 m — a distinct CRS, not a
+    rescale).  LA-basin anchor and twin-consistency pinned in unit
+    tests.  Reference resolves ftUS codes via PROJ
+    (core/reproject.py:94-160)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2229")
+
+
+_NYLI_FT = P.make_lcc(P.GRS80[0] / P.FT_US, P.GRS80[1],
+                      lat1=40.0 + 40.0 / 60.0, lat2=41.0 + 2.0 / 60.0,
+                      lat0=40.0 + 10.0 / 60.0, lon0=-74.0,
+                      fe=984250.0, fn=0.0)
+
+
+@register("geo_reproject_nyli_ftus", _lcc_sql(_NYLI_FT))
+def q_reproject_nyli_ftus(spark, sf_dir):
+    """EPSG:2263 (NAD83 / New York Long Island ftUS) — the grid NYC
+    open data ships in.  FE 984,250 ftUS = 300,000 m EXACTLY, so the
+    32118 meter twin must agree to float precision after the unit
+    rescale (pinned in unit tests along with an NYC-area anchor)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2263")
+
+
+_AZE_FT = P.make_tm(P.GRS80[0] / P.FT_INTL, P.GRS80[1],
+                    lat0=31.0, lon0=-(110.0 + 10.0 / 60.0), k0=0.9999,
+                    fe=700000.0, fn=0.0)
+
+
+@register("geo_reproject_az_east_ift",
+          _tm_registry_sql(_AZE_FT, -116.0, -104.0))
+def q_reproject_az_east_ift(spark, sf_dir):
+    """EPSG:2222 (NAD83 / Arizona East ft) — INTERNATIONAL feet (EPSG
+    unit 9002): Arizona legislated ift, not ftUS, so FE 700,000 ift =
+    213,360 m exactly and the 26948 meter twin must agree to float
+    precision after the rescale (pinned in unit tests).  Zone-banded
+    like every TM oracle (the Krueger series is a near-zone
+    expansion)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2222",
+                            lon_range=(-116.0, -104.0))

