@@ -179,15 +179,17 @@ def _wait_for_quiet(max_load1: float = 0.8,
                   file=sys.stderr)
         else:
             limit = max_load1
+        timeout_s = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT",
+                                       timeout_s))
         waited = 0
         while waited < timeout_s:
             if os.getloadavg()[0] <= limit:
                 break
             time.sleep(poll_s)
             waited += poll_s
-        return round(os.getloadavg()[0], 2), waited
+        return round(os.getloadavg()[0], 2), waited, limit
     except OSError:  # getloadavg unavailable (non-unix)
-        return None, 0
+        return None, 0, None
 
 
 def _run_query(spark, name: str) -> float | None:
@@ -498,7 +500,24 @@ def _pinned_ref_commit() -> str | None:
 
 
 def main() -> None:
-    load1, waited = _wait_for_quiet()
+    load1, waited, load_limit = _wait_for_quiet()
+    contended = load1 is not None and load_limit is not None \
+        and load1 > load_limit
+    if contended:
+        # r10 verdict #4: a poisoned run must not masquerade as a clean
+        # ratio.  Default: run anyway but BRAND the artifact (the flag
+        # rides the one-line JSON and both sidecars, so every reader of
+        # a ratio sees it).  SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 refuses
+        # outright — for unattended official runs where a missing
+        # number beats a noisy one.
+        msg = (f"host contended at bench start: load1={load1} > "
+               f"limit={load_limit} after waiting {waited}s")
+        if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET") == "1":
+            print(f"REFUSED: {msg} (SPARK_GRAFT_BENCH_REQUIRE_QUIET=1)",
+                  file=sys.stderr)
+            sys.exit(3)
+        print(f"WARNING: {msg}; artifact marked contended=true",
+              file=sys.stderr)
     calibration = calibrate()
 
     out: dict = {
@@ -508,6 +527,8 @@ def main() -> None:
         "waited_for_quiet_sec": waited,
         "calibration_sec": calibration,
     }
+    if contended:
+        out["contended"] = True
 
     timings: dict[str, float] | None = None
     ref_commit = _pinned_ref_commit()
@@ -594,6 +615,8 @@ def main() -> None:
             "worst": worst,
             "head_error_count": len(head_errors),
         }
+    if out.get("contended"):
+        compact["contended"] = True        # poisoned-run brand (r10 #4)
     compact["detail"] = os.path.basename(paths[-1])
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900 and "queries" in compact:

@@ -659,6 +659,11 @@ EPSG_TABLE: dict[int, tuple] = {
                               lon0=-(91.0 + 52.0 / 60.0),
                               fe=6200000.0, fn=3000000.0)),
     # NAD83 / Statistics Canada Lambert
+    # r11: ETRS89 / UTM zone 32N zE-N (German INSPIRE delivery variant:
+    # the zone number rides the false easting, 32,500,000 = "32" + the
+    # plain zone's 500,000, so x = x_25832 + 32,000,000 exactly)
+    4647: ("tm", GRS80, dict(lat0=0.0, lon0=9.0, k0=0.9996,
+                             fe=32500000.0, fn=0.0)),
 }
 
 
@@ -1164,6 +1169,35 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: oblique_stereo_forward(lo, la, c),
                            lambda x, y: oblique_stereo_inverse(x, y, c),
                            BESSEL1841, _DATUM_AMERSFOORT)
+    if code == 27572:  # NTF (Paris) / Lambert zone II (carto FN 2.2M)
+        # EPSG method 9801 LCC-1SP (lat0 52 grads, k0 0.99987742) via
+        # IGN's published exact 2SP equivalents ("Lambert II etendu":
+        # lat1 45deg53'56.108", lat2 47deg41'45.652"); the Paris prime
+        # meridian is folded into lon0 = 2deg20'14.025" Greenwich.
+        # The huge installed base of pre-RGF93 French data ships here.
+        c = make_lcc(*CLARKE1880IGN,
+                     lat1=45.0 + 53.0 / 60.0 + 56.108 / 3600.0,
+                     lat2=47.0 + 41.0 / 60.0 + 45.652 / 3600.0,
+                     lat0=46.8, lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+                     fe=600000.0, fn=2200000.0)
+        return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
+                           lambda x, y: lcc_inverse(x, y, c),
+                           CLARKE1880IGN, _DATUM_NTF)
+    if code == 29902:  # TM65 / Irish Grid (Airy Modified + 1975 Helmert)
+        c = make_tm(*AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
+                    fe=200000.0, fn=250000.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           AIRY_MOD, _DATUM_TM65)
+    # AGD66 / AMG zones 48-58 (Australian National Spheroid UTM south +
+    # the national 7-param Helmert): the legacy twin of the MGA ranges
+    if 20348 <= code <= 20358:
+        zone = code - 20300
+        c = make_tm(*ANS, lat0=0.0, lon0=6.0 * zone - 183.0, k0=0.9996,
+                    fe=500000.0, fn=10000000.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           ANS, _DATUM_AGD66)
     if code == 23700:  # HD72 / EOV Hungary (GRS67)
         # EPSG projection 19931: Hotine Oblique Mercator variant B with
         # azimuth = rectified angle = 90 degrees, which reduces to the
@@ -1196,13 +1230,18 @@ def _proj_for_esri(code: int):
 # ---------------------------------------------------------------------------
 
 AIRY1830 = (6377563.396, 1.0 / 299.3249646)
+AIRY_MOD = (6377340.189, 1.0 / 299.3249646)     # Airy Modified (Ireland)
 BESSEL1841 = (6377397.155, 1.0 / 299.1528128)
 INTL1924 = (6378388.0, 1.0 / 297.0)
 GRS67 = (6378160.0, 1.0 / 298.247167427)
+# Clarke 1880 (IGN): defined by a and b = 6356515.0 exactly
+CLARKE1880IGN = (6378249.2, (6378249.2 - 6356515.0) / 6378249.2)
+ANS = (6378160.0, 1.0 / 298.25)                 # Australian National Spheroid
 
 ELLIPSOIDS.update({
     "WGS84": WGS84, "GRS80": GRS80, "AIRY1830": AIRY1830,
-    "BESSEL1841": BESSEL1841, "INTL1924": INTL1924, "GRS67": GRS67,
+    "AIRY_MOD": AIRY_MOD, "BESSEL1841": BESSEL1841, "INTL1924": INTL1924,
+    "GRS67": GRS67, "CLARKE1880IGN": CLARKE1880IGN, "ANS": ANS,
 })
 
 _ARCSEC = math.pi / (180.0 * 3600.0)
@@ -1291,6 +1330,14 @@ _DATUM_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
 _DATUM_AMERSFOORT = (565.417, 50.3319, 465.552,
                      -0.398957, 0.343988, -1.8774, 4.0725)
 _DATUM_HD72 = (52.684, -71.194, -13.975, -0.312, -0.1063, -0.3729, 1.0191)
+# NTF -> WGS84 (EPSG tfm 1193: geocentric translation only)
+_DATUM_NTF = (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
+# TM65 -> WGS84 (OSi/OSNI 1975 adjustment, EPSG tfm 1641:
+# position-vector 7-param, rotations arcsec, scale ppm)
+_DATUM_TM65 = (482.5, -130.6, 564.557, -1.042, -0.214, -0.631, 8.15)
+# AGD66 -> GDA94 (national 7-param from the GDA technical manual, EPSG
+# tfm 15786; GDA94 treated WGS84-coincident like the MGA rows)
+_DATUM_AGD66 = (-117.808, -51.536, 137.784, 0.303, 0.446, 0.234, -0.29)
 
 
 # ---------------------------------------------------------------------------

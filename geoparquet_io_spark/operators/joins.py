@@ -637,13 +637,14 @@ def knn_join(
     if radius_tiers:
         import math
 
-        # coarse density map: cell side = the uniform-model radius (so
-        # an average cell holds ~oversample*k right points), floored at
-        # r0; per-point tier solves the same disc equation against the
-        # point's OWN cell count.  Empty cell -> nearest partners are
-        # beyond a cell away -> start at ~2 cells.  Tier capped at the
-        # domain diameter (beyond that the brute fallback is correct
-        # and cheaper).
+        # the tiered loop runs NARROW (see below): drop the left payload
+        # from pending up front so the ladder probe, every per-round
+        # anti-join, and the pre-loop checkpoint carry 3 columns, not
+        # the full row — the payload rejoins once after the rank cut
+        pending = pending.select("__lid", left_x, left_y)
+        # per-point entry tier from a density LADDER over the right
+        # side.  Tier capped at the domain diameter (beyond that the
+        # brute fallback is correct and cheaper).
         row = right.agg(
             F.count("*").alias("n"),
             F.min(right_x).alias("x0"), F.max(right_x).alias("x1"),
@@ -656,25 +657,77 @@ def knn_join(
             c = max(math.sqrt(oversample * k * w_ * h_ / (math.pi * n)), r0)
             diam = math.hypot(w_, h_)
             tier_cap = max(0, math.ceil(math.log2(max(diam / r0, 1.0))))
-            cmap = right.select(
-                F.floor(F.col(right_x) / c).cast("long").alias("__dcx"),
-                F.floor(F.col(right_y) / c).cast("long").alias("__dcy"),
-            ).groupBy("__dcx", "__dcy").count() \
-                .withColumnRenamed("count", "__dcnt")
-            pending = pending \
-                .withColumn("__dcx", F.floor(F.col(left_x) / c).cast("long")) \
-                .withColumn("__dcy", F.floor(F.col(left_y) / c).cast("long")) \
-                .join(cmap, ["__dcx", "__dcy"], "left")
-            r_i = F.when(
-                F.col("__dcnt").isNull() | (F.col("__dcnt") <= 0),
-                F.lit(2.0 * c),
-            ).otherwise(F.sqrt(
-                F.lit(oversample * k * c * c / math.pi) / F.col("__dcnt")))
+            need = float(oversample * k)
+            # DENSITY LADDER (r11): a single-level map gave every
+            # empty-cell query the same blind 2c entry radius, so the
+            # sparse tail still walked sequential doubling rounds (the
+            # r10 receipt's 28.7 us/row constant).  Levels l = 0..L-1
+            # grid the right side at cell side c * 2**l; each level
+            # aggregates the PREVIOUS level's cell table (4x smaller per
+            # step — never the data rows), so the whole ladder costs one
+            # row-level aggregate plus log-many cell-table aggregates.
+            n_levels = max(1, min(24,
+                                  math.ceil(math.log2(max(diam / c, 1.0)))
+                                  + 1))
+            levels_arr = F.array(*[F.lit(li) for li in range(n_levels)])
+            cells0 = right.select(
+                F.floor(F.col(right_x) / c).cast("long").alias("__cx0"),
+                F.floor(F.col(right_y) / c).cast("long").alias("__cy0"),
+            ).groupBy("__cx0", "__cy0").agg(F.count("*").alias("__n0"))
+            # all levels in ONE pass over the level-0 CELL table (an
+            # explode of cells, never rows): floor(cx0 / 2**l) coarsens
+            # exactly like iterated halving (floor-of-floor identity),
+            # so the whole ladder costs one row-level aggregate plus one
+            # cell-level aggregate — a per-level chain of groupBys
+            # re-evaluated each level's prefix and paid ~L^2/2 shuffle
+            # stages
+            scale2 = F.pow(F.lit(2.0), F.col("__lvl"))
+            ladder = cells0.withColumn("__lvl", F.explode(levels_arr)) \
+                .groupBy(
+                    "__lvl",
+                    F.floor(F.col("__cx0") / scale2).cast("long")
+                    .alias("__dcx"),
+                    F.floor(F.col("__cy0") / scale2).cast("long")
+                    .alias("__dcy"),
+                ).agg(F.sum("__n0").alias("__dcnt"))
+            # probe every level's key per query point (a log-factor
+            # explode of the narrow id+xy projection), join the ladder
+            # once, and pick per point: the FINEST level holding >= need
+            # points, else the COARSEST occupied level (its density
+            # still sizes the radius, now > cell scale), else tier_cap.
+            probe = pending.select(
+                "__lid", F.col(left_x).alias("__px"),
+                F.col(left_y).alias("__py")) \
+                .withColumn("__lvl", F.explode(levels_arr)) \
+                .withColumn("__s", F.lit(float(c))
+                            * F.pow(F.lit(2.0), F.col("__lvl"))) \
+                .withColumn("__dcx",
+                            F.floor(F.col("__px") / F.col("__s"))
+                            .cast("long")) \
+                .withColumn("__dcy",
+                            F.floor(F.col("__py") / F.col("__s"))
+                            .cast("long")) \
+                .join(ladder, ["__lvl", "__dcx", "__dcy"])
+            pick = F.when(F.col("__dcnt") >= F.lit(need), F.col("__lvl")) \
+                .otherwise(F.lit(2 * n_levels) - F.col("__lvl"))
+            best = probe.groupBy("__lid").agg(F.min(F.struct(
+                pick.alias("k"), F.col("__s").alias("s"),
+                F.col("__dcnt").alias("n"))).alias("__b"))
+            r_i = F.col("__b.s") * F.sqrt(
+                F.lit(need / math.pi) / F.col("__b.n"))
             tier = F.ceil(F.log2(F.greatest(r_i / F.lit(r0), F.lit(1.0)))) \
                 .cast("int")
-            pending = pending \
-                .withColumn("__tier", F.least(tier, F.lit(tier_cap))) \
-                .drop("__dcx", "__dcy", "__dcnt")
+            tiers_df = best.select(
+                "__lid", F.least(tier, F.lit(tier_cap)).alias("__tier"))
+            pending = pending.join(tiers_df, "__lid", "left") \
+                .withColumn("__tier",
+                            F.coalesce(F.col("__tier"), F.lit(tier_cap))) \
+                .localCheckpoint()
+            # eager checkpoint: the ladder-probe plan above would
+            # otherwise RE-EXECUTE for every action the round loop
+            # takes against pending (tier collect, per-tier filters,
+            # anti-join, emptiness probe) — measured 8x re-evaluation
+            # in round 0 alone
         else:
             pending = pending.withColumn("__tier", F.lit(0))
     else:
@@ -701,6 +754,8 @@ def knn_join(
     narrow = radius_tiers
     narrow_cols = ["__lid", *right.columns, distance_column]
     resolved_parts = []
+    persisted = []
+    leftover = False
     for rnd in range(max_rounds):
         if radius_tiers:
             tiers = sorted(r["__tier"] for r in
@@ -733,23 +788,49 @@ def knn_join(
         pairs = parts[0]
         for p in parts[1:]:
             pairs = pairs.unionByName(p)
+        # persist: `pairs` feeds BOTH the resolution count and the
+        # top-k ranking — without it each grid join runs twice and the
+        # final action re-plans every round's joins from scratch
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(pairs)
         counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
         done_ids = counts.filter(F.col("__n") >= k).select("__lid")
-        # eager checkpoint of the resolved part (<= k rows per resolved
-        # query) so the FAT candidate cache can be unpersisted at round
-        # end — without it every round's candidate set stayed pinned in
-        # executor storage for the application lifetime
-        resolved_parts.append(
-            topk(pairs.join(done_ids, "__lid")).localCheckpoint())
+        if narrow:
+            # ranking stays LAZY in-loop; the one eager materialization
+            # happens once at function exit (checkpoint of the narrow
+            # ranked union), after which every round's candidate cache
+            # is freed — a per-round eager checkpoint measured 2.5s of
+            # serialized latency per round at sf0.1
+            resolved_parts.append(topk(pairs.join(done_ids, "__lid")))
+        else:
+            # classic path: eagerly pin the <= k-per-query resolved part
+            # and FREE the fat candidate cache at round end — without
+            # the unpersist every round's candidate set stayed in
+            # executor storage for the application lifetime (r10 advice)
+            resolved_parts.append(
+                topk(pairs.join(done_ids, "__lid")).localCheckpoint())
         pending = pending.join(done_ids, "__lid", "left_anti") \
             .withColumn("__tier", F.col("__tier") + 1) \
             .localCheckpoint(eager=False)
-        more = bool(pending.take(1))
-        pairs.unpersist()
-        if not more:
+        # ONE bounded job answers both round-control questions: is
+        # pending empty, and is it small enough to early-brute
+        n_pending = pending.limit(2001).count()
+        if not narrow:
+            pairs.unpersist()
+        if n_pending == 0:
+            leftover = False
+            break
+        if radius_tiers and rnd >= 1 and n_pending <= 2000:
+            # with ladder entry tiers, anything still pending after two
+            # rounds is pathological (an isolated point whose true kNN
+            # disc spans density regimes); when the remainder is SMALL,
+            # one bounded brute beats more sequential global rounds —
+            # each of which re-grids the right side per active tier
+            leftover = True
             break
     else:
+        leftover = True
+    if leftover:
         # stragglers after max_rounds: normally tiny -> broadcast them
         # against the full right side (bounded: |stragglers| * |right|,
         # never |left| * |right|); colliding names were renamed above.
@@ -799,6 +880,14 @@ def knn_join(
         ranked = ranked.unionByName(p)
     if not narrow:
         return ranked.drop("__lid")
+    # ONE eager materialization of the narrow (<= k * |left|-row)
+    # ranked union — every round's window reads its cached candidates
+    # in parallel stages here — and then every candidate cache is
+    # freed: without the unpersist the caches stayed pinned in executor
+    # storage for the application lifetime (r10 advice)
+    ranked = ranked.localCheckpoint()
+    for p in persisted:
+        p.unpersist()
     # left payload rejoins the (<= k * |left|)-row ranked set — column
     # order preserved vs the pre-narrowing contract (left + right +
     # distance + rank)

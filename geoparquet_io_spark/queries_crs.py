@@ -1026,3 +1026,118 @@ def q_reproject_az_east_ift(spark, sf_dir):
     expansion)."""
     return _spark_reproject(spark, sf_dir, "EPSG:2222",
                             lon_range=(-116.0, -104.0))
+
+
+# --- r11: legacy national grids (NTF Lambert II, TM65 Irish Grid) ------------
+# Generic datum-chain composers over _helmert_ll_ctes: the CTE prefix
+# lands WGS84 points on the LOCAL ellipsoid as ll(lon, lat degrees);
+# the tails below are the same LCC / Krueger-TM SQL bodies as the
+# parameterized oracles, reading from ll instead of pts.
+
+
+def _lcc_ll_sql(c, datum, ell, lon_lo, lon_hi, lat_lo, lat_hi) -> str:
+    e = c.e
+    return _helmert_ll_ctes(datum, ell, lon_lo, lon_hi,
+                            lat_lo, lat_hi) + f""",
+    s AS (SELECT event_id, lon, radians(lat) AS phi,
+                 sin(radians(lat)) AS sp FROM ll),
+    t AS (SELECT event_id, lon,
+      tan({math.pi / 4.0!r} - phi / 2.0)
+        / pow((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e / 2.0!r}) AS tv
+      FROM s),
+    r AS (SELECT event_id,
+      {c.a * c.F!r} * pow(tv, {c.n!r}) AS rho,
+      {c.n!r} * radians({_wrap_dlon_sql(c.lon0)}) AS theta
+      FROM t)
+    SELECT event_id,
+      ROUND({c.fe!r} + rho * sin(theta), 1) + 0.0 AS px,
+      ROUND({c.fn!r} + {c.rho0!r} - rho * cos(theta), 1) + 0.0 AS py
+    FROM r
+    """
+
+
+def _tm_ll_sql(c, datum, ell, lon_lo, lon_hi, lat_lo, lat_hi) -> str:
+    e = c.e
+    kA = c.k0 * c.A
+    eta_terms = " + ".join(
+        f"{a!r} * cos({2 * j} * xip) * ((exp({2 * j} * etap) - exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(c.alpha, start=1))
+    xi_terms = " + ".join(
+        f"{a!r} * sin({2 * j} * xip) * ((exp({2 * j} * etap) + exp({-2 * j} * etap)) / 2.0)"
+        for j, a in enumerate(c.alpha, start=1))
+    return _helmert_ll_ctes(datum, ell, lon_lo, lon_hi,
+                            lat_lo, lat_hi) + f""",
+    a1 AS (SELECT event_id, lon, tan(radians(lat)) AS t FROM ll),
+    a2 AS (SELECT event_id, lon, t,
+      (exp({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                          / (1.0 - {e!r} * t / sqrt(1.0 + t * t))))
+       - exp(-({e!r} * 0.5 * ln((1.0 + {e!r} * t / sqrt(1.0 + t * t))
+                              / (1.0 - {e!r} * t / sqrt(1.0 + t * t)))))) / 2.0 AS sig
+      FROM a1),
+    a3 AS (SELECT event_id, t, sig,
+      t * sqrt(1.0 + sig * sig) - sig * sqrt(1.0 + t * t) AS tp,
+      radians(lon - {c.lon0!r}) AS dlon
+      FROM a2),
+    a4 AS (SELECT event_id,
+      atan2(tp, cos(dlon)) AS xip,
+      ln(sin(dlon) / sqrt(tp * tp + cos(dlon) * cos(dlon))
+         + sqrt(sin(dlon) * sin(dlon) / (tp * tp + cos(dlon) * cos(dlon)) + 1.0)) AS etap
+      FROM a3)
+    SELECT event_id,
+      ROUND({c.fe!r} + {kA!r} * (etap + {eta_terms}), 1) + 0.0 AS px,
+      ROUND({c.fn!r} - {c.k0 * c.m0!r} + {kA!r} * (xip + {xi_terms}), 1)
+        + 0.0 AS py
+    FROM a4
+    """
+
+
+_NTF2 = P.make_lcc(*P.CLARKE1880IGN,
+                   lat1=45.0 + 53.0 / 60.0 + 56.108 / 3600.0,
+                   lat2=47.0 + 41.0 / 60.0 + 45.652 / 3600.0,
+                   lat0=46.8, lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+                   fe=600000.0, fn=2200000.0)
+
+
+@register("geo_reproject_ntf_lambert2",
+          _lcc_ll_sql(_NTF2, P._DATUM_NTF, P.CLARKE1880IGN,
+                      -6.0, 10.0, 41.0, 52.0))
+def q_reproject_ntf_lambert2(spark, sf_dir):
+    """EPSG:27572 (NTF Paris / Lambert zone II carto) — the grid the
+    huge installed base of pre-RGF93 French data ships in: Clarke 1880
+    IGN LCC (1SP via IGN's exact 2SP equivalents, Paris meridian folded
+    into lon0) + the EPSG 1193 geocentric translation.  Paris anchor
+    ~(601,150, 2,428,700) pinned in unit tests."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(-6.0, 10.0)
+                      & F.col("lat").between(41.0, 52.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:27572")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_IRISH = P.make_tm(*P.AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
+                   fe=200000.0, fn=250000.0)
+
+
+@register("geo_reproject_irish_grid",
+          _tm_ll_sql(_IRISH, P._DATUM_TM65, P.AIRY_MOD,
+                     -11.0, -5.0, 51.0, 56.0))
+def q_reproject_irish_grid(spark, sf_dir):
+    """EPSG:29902 (TM65 / Irish Grid) — Airy Modified TM with the
+    k0 = 1.000035 national scale and the OSi/OSNI 1975 position-vector
+    Helmert (EPSG tfm 1641).  Dublin anchor ~(315,900, 234,600) pinned
+    in unit tests."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(-11.0, -5.0)
+                      & F.col("lat").between(51.0, 56.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:29902")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )

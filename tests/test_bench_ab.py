@@ -123,3 +123,60 @@ def test_ab_flag_without_value_degrades(monkeypatch):
     assert bench._pinned_ref_commit() is None
     monkeypatch.setattr(sys, "argv", ["bench.py", "--ab", "--check"])
     assert bench._pinned_ref_commit() is None
+
+
+def test_wait_for_quiet_returns_limit(monkeypatch):
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD1", "0.0000001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "0")
+    load1, waited, limit = bench._wait_for_quiet()
+    assert limit == 0.0000001
+    assert load1 is None or load1 > limit      # contended verdict
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD1", "1e9")
+    load1, waited, limit = bench._wait_for_quiet()
+    assert load1 is None or load1 <= limit
+
+
+def test_require_quiet_refuses_contended_host(tmp_path):
+    """r10 verdict #4: with SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 a
+    contended host must refuse (exit 3) BEFORE starting Spark, and
+    without it the run proceeds but the artifact carries
+    contended=true."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_MAX_LOAD1="0.0000001",   # always "contended"
+        SPARK_GRAFT_BENCH_QUIET_TIMEOUT="0",
+        SPARK_GRAFT_BENCH_REQUIRE_QUIET="1",
+        SPARK_GRAFT_BENCH_SIDECAR=str(tmp_path / "ab.json"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=60)
+    assert out.returncode == 3, (out.returncode, out.stderr[-500:])
+    assert "REFUSED" in out.stderr
+    # the refusal happens before any Spark work: no sidecar written
+    assert not (tmp_path / "ab.json").exists()
+
+
+def test_contended_run_is_branded_in_artifact(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_QUERIES="tpch_q1_pricing_summary",
+        SPARK_GRAFT_BENCH_MAX_LOAD1="0.0000001",
+        SPARK_GRAFT_BENCH_QUIET_TIMEOUT="0",
+        SPARK_GRAFT_BENCH_AB="0",
+        SPARK_GRAFT_BENCH_SIDECAR=str(tmp_path / "ab.json"),
+    )
+    env.pop("SPARK_GRAFT_BENCH_REQUIRE_QUIET", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line.get("contended") is True
+    side = json.loads((tmp_path / "ab.json").read_text())
+    assert side.get("contended") is True
+    assert "WARNING" in out.stderr and "contended" in out.stderr

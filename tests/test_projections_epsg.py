@@ -204,6 +204,11 @@ def test_krovak_worked_example():
     # round-10 tranche
     (28992, (3.2, 7.3), (50.7, 53.6)),        # Amersfoort / RD New
     (23700, (16.1, 22.9), (45.7, 48.6)),      # HD72 / EOV Hungary
+    # round-11 tranche (legacy national grids + zE-N)
+    (27572, (-4.8, 8.2), (42.3, 51.1)),       # NTF (Paris) / Lambert II
+    (29902, (-10.5, -5.4), (51.4, 55.4)),     # TM65 / Irish Grid
+    (20353, (132.0, 138.0), (-40.0, -10.0)),  # AGD66 / AMG zone 53
+    (4647, (6.0, 12.0), (47.3, 55.0)),        # ETRS89 / UTM 32N zE-N
 ])
 def test_roundtrip_new_codes(code, lon_range, lat_range):
     rng = np.random.default_rng(code)
@@ -806,3 +811,42 @@ def test_foot_grid_city_anchors_coarse():
     x, y = f2229(np.array([-118.2437]), np.array([34.0522]))
     assert 6_300_000 < float(x[0]) < 6_700_000, float(x[0])
     assert 1_700_000 < float(y[0]) < 1_950_000, float(y[0])
+
+
+def test_round11_legacy_grid_coarse_anchors():
+    """Coarse known-point anchors for the r11 legacy tranche (±2 km):
+    well-known city grid references, tight enough that a wrong central
+    meridian, false origin, hemisphere, or missing datum shift (NTF is
+    ~370 m off WGS84, TM65 ~0.8 km raw) is hundreds of km or km off."""
+    # Central Paris (2.3522E, 48.8566N) in NTF Lambert zone II (carto):
+    # the classic ~(601,100, 2,428,700) "Lambert II etendu" reference
+    fwd = C.get_transformer("EPSG:4326", "EPSG:27572")
+    x, y = fwd(np.array([2.3522]), np.array([48.8566]))
+    assert abs(float(x[0]) - 601_150) < 2000
+    assert abs(float(y[0]) - 2_428_700) < 2000
+    # O'Connell Bridge, Dublin (-6.2603E, 53.3498N) in the Irish Grid:
+    # grid reference O 1590 3460 -> ~(315,900, 234,600)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:29902")
+    x, y = fwd(np.array([-6.2603]), np.array([53.3498]))
+    assert abs(float(x[0]) - 315_900) < 2000
+    assert abs(float(y[0]) - 234_600) < 2000
+    # Alice Springs (133.8807E, 23.6980S) in AGD66 / AMG zone 53:
+    # ~(385,800 E, 7,378,600 N) on the old Australian Map Grid
+    fwd = C.get_transformer("EPSG:4326", "EPSG:20353")
+    x, y = fwd(np.array([133.8807]), np.array([-23.6980]))
+    assert abs(float(x[0]) - 385_800) < 2000
+    assert abs(float(y[0]) - 7_378_600) < 2000
+    # AGD66 vs GDA94/MGA53 (28353): the ~200 m AGD66 datum shift must
+    # be PRESENT (a missing Helmert would make the two grids equal)
+    f66 = C.get_transformer("EPSG:4326", "EPSG:20353")
+    f94 = C.get_transformer("EPSG:4326", "EPSG:28353")
+    d = np.hypot(*(np.array(f66(np.array([134.0]), np.array([-24.0])))
+                   - np.array(f94(np.array([134.0]), np.array([-24.0])))))
+    assert 80.0 < float(d) < 400.0, float(d)
+    # ETRS89 zE-N is EXACTLY the plain UTM 32N grid + 32,000,000 east
+    f47 = C.get_transformer("EPSG:4326", "EPSG:4647")
+    f32 = C.get_transformer("EPSG:4326", "EPSG:25832")
+    lon = np.linspace(6.0, 12.0, 30); lat = np.linspace(47.3, 55.0, 30)
+    x47, y47 = f47(lon, lat); x32, y32 = f32(lon, lat)
+    assert np.max(np.abs(x47 - x32 - 32_000_000)) == 0.0
+    assert np.max(np.abs(y47 - y32)) == 0.0
