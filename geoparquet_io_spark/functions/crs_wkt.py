@@ -112,6 +112,7 @@ _GEOGCS: dict[str, tuple] = {
 # projected CRS names + geographic base for every EPSG_TABLE code
 # (names as in the EPSG registry; base frame from the table comments)
 _PROJCS_INFO: dict[int, tuple[str, str]] = {
+    4647: ("ETRS89 / UTM zone 32N (zE-N)", "ETRS89"),
     3794: ("D96/TM", "D96"),
     2180: ("ETRS89 / Poland CS92", "ETRS89"),
     3006: ("SWEREF99 TM", "SWEREF99"),

@@ -513,6 +513,85 @@ def distance_join(
             .drop("__cx", "__cy"))
 
 
+def _knn_brute_pairs(rows, lid_type, right: DataFrame, k: int,
+                     right_x: str, right_y: str,
+                     distance_column: str) -> DataFrame:
+    """Vectorized bounded brute for kNN stragglers: the (collected,
+    driver-bounded) straggler positions broadcast in a closure, ONE
+    mapInPandas pass over the right side computes the distance matrix
+    in numpy chunks and emits each straggler's k best PER ARROW BATCH
+    (a superset of the true top-k, <= batches * |stragglers| * k rows);
+    the caller's ranking window finishes the job.
+
+    Replaces the JVM BroadcastNestedLoopJoin brute: at the 100x
+    clustered receipt, 2k stragglers x 1.5M right = 3G pairs took
+    minutes through the nested loop and seconds through numpy."""
+    import pandas as pd
+    from typing import Iterator
+
+    lids = [r[0] for r in rows]
+    sx = np.array([float(r[1]) for r in rows])
+    sy = np.array([float(r[2]) for r in rows])
+    n_s = len(rows)
+    out_fields = [T.StructField("__lid", lid_type)] + \
+        [right.schema[c] for c in right.columns] + \
+        [T.StructField(distance_column, T.DoubleType())]
+    schema = T.StructType(out_fields)
+    rcols = list(right.columns)
+
+    def fetch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        lid_arr = pd.Series(lids)
+
+        def _cut(cat: "pd.DataFrame") -> "pd.DataFrame":
+            # keep each straggler's k best INCLUDING every row tied at
+            # the k-th distance: the caller's window tie-breaks on right
+            # columns, so dropping an equal-distance candidate here
+            # could change the final deterministic ranking
+            rnk = cat.groupby("__lid", sort=False)[distance_column] \
+                .rank(method="min")
+            return cat[rnk <= k]
+
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rx = pdf[right_x].to_numpy(dtype=np.float64)
+            ry = pdf[right_y].to_numpy(dtype=np.float64)
+            kk = min(k, len(pdf))
+            outs = []
+            # straggler chunks bound the distance-matrix temp to
+            # ~len(batch) x 512 doubles (~40 MB at 10k-row batches)
+            for lo in range(0, n_s, 512):
+                hi = min(lo + 512, n_s)
+                dx = rx[None, :] - sx[lo:hi, None]
+                dy = ry[None, :] - sy[lo:hi, None]
+                d2 = dx * dx + dy * dy
+                if kk < d2.shape[1]:
+                    kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+                    s_idx, r_idx = np.nonzero(d2 <= kth[:, None])
+                else:
+                    s_idx = np.repeat(np.arange(hi - lo), d2.shape[1])
+                    r_idx = np.tile(np.arange(d2.shape[1]), hi - lo)
+                sel = pdf.iloc[r_idx].reset_index(drop=True)
+                out = pd.DataFrame({"__lid": lid_arr.iloc[lo + s_idx]
+                                    .reset_index(drop=True)})
+                for c in rcols:
+                    out[c] = sel[c]
+                out[distance_column] = np.sqrt(d2[s_idx, r_idx])
+                outs.append(out)
+            if not outs:
+                continue
+            batch_best = _cut(pd.concat(outs, ignore_index=True))
+            # running per-PARTITION reduce: memory and output stay
+            # ~|stragglers| * k rows instead of batches * |stragglers| * k
+            best = batch_best if best is None else _cut(
+                pd.concat([best, batch_best], ignore_index=True))
+        if best is not None and len(best):
+            yield best.reset_index(drop=True)
+
+    return right.mapInPandas(fetch, schema=schema)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -634,7 +713,24 @@ def knn_join(
 
     pending = left.withColumn("__lid", F.col(left_id))
     r0 = float(initial_radius)
+    right_count = None
     if radius_tiers:
+        # SITE PRUNING: right rows at the SAME exact position share the
+        # same distance to every query, so a site can only ever
+        # contribute its k first-by-tie-order points to any top-k —
+        # every later duplicate is dominated by k same-site rows in
+        # every comparison.  One window shuffle up front; on heavily
+        # duplicated data (snapped addresses, lattice-derived
+        # coordinates) this collapses the candidate volume — the 100x
+        # clustered receipt holds ~900 duplicates per clump site, and
+        # round 0 dragged all of them through the grid join per query
+        # (137s) before this cut.  Result-identical by dominance; for
+        # duplicate-free data it is a no-op (costing one narrow
+        # shuffle, amortized against the rounds' repeated right scans).
+        wsite = Window.partitionBy(right_x, right_y).orderBy(
+            *[F.col(c).asc() for c in ties])
+        right = right.withColumn("__srn", F.row_number().over(wsite)) \
+            .filter(F.col("__srn") <= k).drop("__srn")
         import math
 
         # the tiered loop runs NARROW (see below): drop the left payload
@@ -651,6 +747,7 @@ def knn_join(
             F.min(right_y).alias("y0"), F.max(right_y).alias("y1"),
         ).collect()[0]
         n = row["n"] or 0
+        right_count = n
         if n:
             w_ = max(float(row["x1"] - row["x0"]), 1e-12)
             h_ = max(float(row["y1"] - row["y0"]), 1e-12)
@@ -670,10 +767,22 @@ def knn_join(
                                   math.ceil(math.log2(max(diam / c, 1.0)))
                                   + 1))
             levels_arr = F.array(*[F.lit(li) for li in range(n_levels)])
+            # per-cell POINT count and DISTINCT-SITE count: heavily
+            # duplicated coordinates (snapped addresses, lattice-derived
+            # data) make point density meaningless — a cell can hold 54k
+            # points on 50 sites, and a disc sized for "6 points of
+            # uniform density" reaches no site at all (measured: 271 of
+            # 50k clump queries resolved in round 0 at the 100x receipt
+            # before this).  Sites are summable up the ladder (each site
+            # lives in exactly one cell per level).
             cells0 = right.select(
                 F.floor(F.col(right_x) / c).cast("long").alias("__cx0"),
                 F.floor(F.col(right_y) / c).cast("long").alias("__cy0"),
-            ).groupBy("__cx0", "__cy0").agg(F.count("*").alias("__n0"))
+                F.col(right_x).alias("__rx"), F.col(right_y).alias("__ry"),
+            ).groupBy("__cx0", "__cy0").agg(
+                F.count("*").alias("__n0"),
+                F.approx_count_distinct(
+                    F.struct(F.col("__rx"), F.col("__ry"))).alias("__t0"))
             # all levels in ONE pass over the level-0 CELL table (an
             # explode of cells, never rows): floor(cx0 / 2**l) coarsens
             # exactly like iterated halving (floor-of-floor identity),
@@ -689,7 +798,8 @@ def knn_join(
                     .alias("__dcx"),
                     F.floor(F.col("__cy0") / scale2).cast("long")
                     .alias("__dcy"),
-                ).agg(F.sum("__n0").alias("__dcnt"))
+                ).agg(F.sum("__n0").alias("__dcnt"),
+                      F.sum("__t0").alias("__dsit"))
             # probe every level's key per query point (a log-factor
             # explode of the narrow id+xy projection), join the ladder
             # once, and pick per point: the FINEST level holding >= need
@@ -712,9 +822,20 @@ def knn_join(
                 .otherwise(F.lit(2 * n_levels) - F.col("__lvl"))
             best = probe.groupBy("__lid").agg(F.min(F.struct(
                 pick.alias("k"), F.col("__s").alias("s"),
-                F.col("__dcnt").alias("n"))).alias("__b"))
+                F.col("__dcnt").alias("n"),
+                F.col("__dsit").alias("sn"))).alias("__b"))
+            # duplication-aware radius: to see `need` POINTS the disc
+            # must cover m = ceil(need / dup-per-site) occupied SITES of
+            # the cell's site density — for continuous data (dup ~ 1)
+            # this reduces exactly to the uniform point-density disc;
+            # for duplicated coordinates it reaches the nearest sites
+            # instead of a point-dense-but-siteless vacuum
+            sn = F.greatest(F.col("__b.sn").cast("double"), F.lit(1.0))
+            dbar = F.col("__b.n") / sn
+            m_sites = F.greatest(
+                F.lit(1.0), F.ceil(F.lit(need) / dbar).cast("double"))
             r_i = F.col("__b.s") * F.sqrt(
-                F.lit(need / math.pi) / F.col("__b.n"))
+                m_sites / (F.lit(math.pi) * sn))
             tier = F.ceil(F.log2(F.greatest(r_i / F.lit(r0), F.lit(1.0)))) \
                 .cast("int")
             tiers_df = best.select(
@@ -755,6 +876,13 @@ def knn_join(
     narrow_cols = ["__lid", *right.columns, distance_column]
     resolved_parts = []
     persisted = []
+    # early-brute gate: the vectorized brute costs ~|right| * |pending|
+    # numpy ops in one pass over the right side — a 5e10-pair budget is
+    # seconds on 32 cores, so the gate scales inversely with |right|
+    # (right_count is set by the tiered branch's bounds aggregate)
+    brute_cap = 2000
+    if radius_tiers and right_count:
+        brute_cap = int(min(500_000, max(2000, 4e11 // right_count)))
     leftover = False
     for rnd in range(max_rounds):
         if radius_tiers:
@@ -814,40 +942,55 @@ def knn_join(
             .localCheckpoint(eager=False)
         # ONE bounded job answers both round-control questions: is
         # pending empty, and is it small enough to early-brute
-        n_pending = pending.limit(2001).count()
+        n_pending = pending.limit(brute_cap + 1).count()
         if not narrow:
             pairs.unpersist()
         if n_pending == 0:
             leftover = False
             break
-        if radius_tiers and rnd >= 1 and n_pending <= 2000:
-            # with ladder entry tiers, anything still pending after two
-            # rounds is pathological (an isolated point whose true kNN
-            # disc spans density regimes); when the remainder is SMALL,
-            # one bounded brute beats more sequential global rounds —
-            # each of which re-grids the right side per active tier
+        if radius_tiers and n_pending <= brute_cap:
+            # anything still pending after the ladder-tiered round 0 is
+            # a straggler whose expanding disc is about to overlap a
+            # dense region — the grid join then degenerates into a
+            # shuffled near-cross-product (measured 82s/180s mid rounds
+            # at the 100x clustered receipt).  When |stragglers| x
+            # |right| fits the numpy budget, ONE vectorized brute pass
+            # beats any number of further rounds.
             leftover = True
             break
     else:
         leftover = True
     if leftover:
-        # stragglers after max_rounds: normally tiny -> broadcast them
-        # against the full right side (bounded: |stragglers| * |right|,
-        # never |left| * |right|); colliding names were renamed above.
-        # NOT always tiny though: with k >= |right| (or a hopeless
+        # stragglers after max_rounds (or the early-brute route above):
+        # positions collect driver-side (bounded), ONE vectorized
+        # mapInPandas pass over the right side emits each straggler's
+        # per-batch k best, and the ranking window finishes.  NOT
+        # always collectable though: with k >= |right| (or a hopeless
         # radius ladder) NOBODY resolves and pending is the whole left
-        # side — force-broadcasting it would OOM the driver.  Bounded
-        # counts pick the orientation; when neither side fits, fail
-        # LOUDLY with the remedy instead of dying in the broadcast.
+        # side — bounded probes pick the strategy; when nothing fits,
+        # fail LOUDLY with the remedy instead of dying in a broadcast.
         cap = 500_000
-        ddx = F.col(left_x) - F.col(right_x)
-        ddy = F.col(left_y) - F.col(right_y)
-        pn = pending.select("__lid", left_x, left_y) if narrow \
-            else pending.drop("__tier")
-        if pn.limit(cap + 1).count() <= cap:
-            brute = F.broadcast(pn).crossJoin(right)
+        rows = pending.select("__lid", left_x, left_y) \
+            .limit(cap + 1).collect()
+        if len(rows) <= cap:
+            pairs_b = _knn_brute_pairs(
+                rows, pending.schema["__lid"].dataType, right, k,
+                right_x, right_y, distance_column)
+            ranked_b = topk(pairs_b)
+            if rows:
+                resolved_parts.append(
+                    ranked_b if narrow
+                    else pending.drop("__tier").join(ranked_b, "__lid"))
         elif right.limit(cap + 1).count() <= cap:
-            brute = pn.crossJoin(F.broadcast(right))
+            ddx = F.col(left_x) - F.col(right_x)
+            ddy = F.col(left_y) - F.col(right_y)
+            pn = pending.select("__lid", left_x, left_y) if narrow \
+                else pending.drop("__tier")
+            brute = pn.crossJoin(F.broadcast(right)) \
+                .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy))
+            if narrow:
+                brute = brute.select(*narrow_cols)
+            resolved_parts.append(topk(brute))
         else:
             raise ValueError(
                 f"knn_join: more than {cap} left rows still unresolved "
@@ -857,11 +1000,6 @@ def knn_join(
                 "are cheap), pass a larger initial_radius, or use "
                 "radius_tiers=True so each point starts near its own "
                 "density's radius.")
-        brute = brute.withColumn(distance_column,
-                                 F.sqrt(ddx * ddx + ddy * ddy))
-        if narrow:
-            brute = brute.select(*narrow_cols)
-        resolved_parts.append(topk(brute))
 
     if not resolved_parts:
         # every round resolved nothing AND pending emptied (empty left /
