@@ -619,24 +619,39 @@ def knn_join(
     full cross product.
 
     ``radius_tiers=True`` makes the expanding ring DENSITY-ADAPTIVE —
-    the clustered-data guard (r10).  With a single global start radius,
-    non-uniform data forces a dilemma: a radius sized for the dense
-    clump sends every sparse query through the full doubling ladder
-    (sequential Spark rounds, then a brute fallback whose pending set
-    is NOT tiny — ``|sparse| x |right|`` pairs), while an
-    average-density radius makes every clump query pull the whole clump
-    through the 9-cell explode (quadratic in clump size).  Tiered
-    entry breaks it: one coarse per-cell count of the right side (one
-    map-side-combined aggregate + one equi-join onto the left) gives
-    each query point a LOCAL density, hence a per-point entry tier
-    ``t`` with start radius ``initial_radius * 2**t``.  Every round
-    then runs each tier's pending points at its own radius — all tiers
-    in ONE union job, not one job per radius — so dense points never
-    see a clump-sized candidate list and sparse points never crawl the
-    ladder.  Tier assignment is an ESTIMATE and cannot affect the
-    answer: resolution still requires >= k partners inside the radius
-    actually searched, so a mis-estimated tier costs extra candidates
-    or an extra doubling round, never a wrong neighbor.
+    the clustered-data guard (r10, rebuilt r11).  With a single global
+    start radius, non-uniform data forces a dilemma: a radius sized for
+    the dense clump sends every sparse query through the full doubling
+    ladder, while an average-density radius makes every clump query
+    pull the whole clump through the 9-cell explode (quadratic in
+    clump size).  The tiered path breaks it with four pieces:
+
+    1. SITE PRUNING: one window keeps each distinct right position's
+       k first-by-tie-order rows — later duplicates are dominated by k
+       same-site rows in every query's ranking, so the cut is
+       result-identical while collapsing candidate volume on snapped /
+       duplicated coordinates.
+    2. A DENSITY LADDER grids the right side at log-many resolutions
+       (one row-level aggregate + one cell-table aggregate) carrying
+       per-cell point AND distinct-site counts; each query point gets
+       an entry tier ``t`` (start radius ``initial_radius * 2**t``)
+       from a duplication-aware disc that reaches ``ceil(need/dup)``
+       occupied sites of its local site density — for continuous data
+       this reduces exactly to the uniform point-density disc.
+    3. Every round runs each tier's pending points at its own radius —
+       all tiers in ONE union job, not one job per radius.
+    4. Stragglers route to a VECTORIZED BRUTE (one mapInPandas numpy
+       pass over the right side, per-partition running top-k keeping
+       k-th-distance ties) as soon as ``|pending| x |right|`` fits a
+       4e11-pair budget — a straggler's expanding disc eventually
+       overlaps a dense region, where the grid join degenerates into a
+       shuffled near-cross-product.
+
+    Tier assignment is an ESTIMATE and cannot affect the answer:
+    resolution still requires >= k partners inside the radius actually
+    searched, and the brute is exact by construction — a mis-estimated
+    tier costs extra candidates or an extra round, never a wrong
+    neighbor.
 
     Deterministic tie-break: ranking orders by (distance, *tie_columns)
     — pass a UNIQUE right-side column (its id) in ``tie_columns``;

@@ -404,6 +404,61 @@ def test_grid_join_wide_cell_indices_no_collision(spark):
     assert got == [(1, "lo"), (2, "hi")]      # no cross-matches, no dups
 
 
+def test_knn_join_radius_tiers_duplicated_sites_exact(spark):
+    """r11 regression: heavily DUPLICATED right coordinates (snapped /
+    lattice data — the 100x receipt holds ~900 duplicates per site)
+    exercise all three r11 pieces at once: site pruning (k best-by-tie
+    rows per distinct position, result-identical by dominance), the
+    duplication-aware density ladder (a point-density disc reached no
+    site at all), and the vectorized straggler brute with k-th-distance
+    tie retention.  Output must match the classic path AND a numpy
+    brute mirror exactly, including rank order among same-site ties."""
+    import math
+
+    from geoparquet_io_spark.operators.joins import knn_join
+
+    # 12 distinct sites on a coarse lattice, 40 duplicate points each
+    # (distinct rid per duplicate -> tie-break must pick SMALLEST rid),
+    # plus a handful of far-away singleton sites
+    rpts = []
+    rid = 0
+    for sx in range(4):
+        for sy in range(3):
+            for _ in range(40):
+                rpts.append((rid, float(sx), float(sy)))
+                rid += 1
+    for j in range(5):
+        rpts.append((10_000 + j, 100.0 + 7.0 * j, -50.0))
+    lpts = [(1, 0.2, 0.1), (2, 3.9, 2.8), (3, 1.5, 1.5),
+            (4, 101.0, -49.5), (5, 0.0, 0.0)]   # 5 sits ON a site
+    left = spark.createDataFrame(lpts, ["lid", "lx", "ly"])
+    right = spark.createDataFrame(rpts, ["rid", "rx", "ry"])
+    kw = dict(k=4, initial_radius=0.05, left_id="lid",
+              left_x="lx", left_y="ly", right_x="rx", right_y="ry",
+              tie_columns=["rid"], max_rounds=6)
+    tiered = knn_join(left, right, radius_tiers=True, **kw)
+    classic = knn_join(left, right, **kw)
+
+    def key(df):
+        return sorted((r["lid"], r["knn_rank"], r["rid"],
+                       round(r["distance"], 12)) for r in df.collect())
+
+    got_t = key(tiered)
+    assert got_t == key(classic)
+    want = []
+    for li, lx, ly in lpts:
+        exp = sorted((math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rr)
+                     for rr, rx, ry in rpts)[:4]
+        want += [(li, rk + 1, rr, round(d, 12))
+                 for rk, (d, rr) in enumerate(exp)]
+    assert got_t == sorted(want)
+    # same-site ties resolved to the SMALLEST rids: query 5 sits on
+    # site (0,0) whose duplicates are rids 0..39 -> ranks 1-4 = 0,1,2,3
+    q5 = sorted((r["knn_rank"], r["rid"]) for r in
+                tiered.filter(F.col("lid") == 5).collect())
+    assert q5 == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+
 def test_knn_join_radius_tiers_identical_on_clustered(spark):
     """radius_tiers=True is a PLAN change, not a semantics change: on a
     clustered layout (90% of the right side in one clump + sparse
