@@ -490,7 +490,14 @@ def _pinned_ref_commit() -> str | None:
     if "--ab" in sys.argv:
         i = sys.argv.index("--ab") + 1
         if i >= len(sys.argv) or sys.argv[i].startswith("--"):
-            print("note: --ab requires a commit argument; A/B disabled",
+            # bare --ab means "A/B against the default pin", NOT
+            # "disable A/B" — the old behavior silently produced a
+            # ratio-less run that still claimed the round-stamped
+            # artifact slot (bitten in r11)
+            if os.path.exists(BASELINE_FILE):
+                return json.load(open(BASELINE_FILE)).get("commit")
+            print("note: --ab given but no pin exists "
+                  f"({os.path.basename(BASELINE_FILE)}); A/B disabled",
                   file=sys.stderr)
             return None
         return sys.argv[i]

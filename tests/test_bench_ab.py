@@ -115,13 +115,22 @@ def test_ab_end_to_end_self_ratio(tmp_path):
     assert _snapshot() == before
 
 
-def test_ab_flag_without_value_degrades(monkeypatch):
-    """`--ab` with the commit forgotten must disable A/B, not crash
-    with IndexError before the one-JSON-line fallback."""
+def test_ab_flag_without_value_uses_pin(monkeypatch):
+    """Bare `--ab` means "A/B against the default pin" (r11: the old
+    disable-silently behavior produced a ratio-less run that still
+    claimed the round-stamped artifact slot); with no pin on disk it
+    degrades to None without crashing."""
     monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "1")
+    pin = None
+    if os.path.exists(bench.BASELINE_FILE):
+        pin = json.load(open(bench.BASELINE_FILE)).get("commit")
     monkeypatch.setattr(sys, "argv", ["bench.py", "--ab"])
-    assert bench._pinned_ref_commit() is None
+    assert bench._pinned_ref_commit() == pin
     monkeypatch.setattr(sys, "argv", ["bench.py", "--ab", "--check"])
+    assert bench._pinned_ref_commit() == pin
+    # no pin file -> honest degrade, no crash
+    monkeypatch.setattr(bench, "BASELINE_FILE",
+                        bench.BASELINE_FILE + ".does-not-exist")
     assert bench._pinned_ref_commit() is None
 
 
