@@ -515,7 +515,8 @@ def distance_join(
 
 def _knn_brute_pairs(rows, lid_type, right: DataFrame, k: int,
                      right_x: str, right_y: str,
-                     distance_column: str) -> DataFrame:
+                     distance_column: str,
+                     left_xy_fields=None) -> DataFrame:
     """Vectorized bounded brute for kNN stragglers: the (collected,
     driver-bounded) straggler positions broadcast in a closure, ONE
     mapInPandas pass over the right side computes the distance matrix
@@ -533,7 +534,10 @@ def _knn_brute_pairs(rows, lid_type, right: DataFrame, k: int,
     sx = np.array([float(r[1]) for r in rows])
     sy = np.array([float(r[2]) for r in rows])
     n_s = len(rows)
+    # slim-left mode: the query coordinates ride along in the output
+    # (left_xy_fields = the pending schema's (x, y) StructFields)
     out_fields = [T.StructField("__lid", lid_type)] + \
+        (list(left_xy_fields) if left_xy_fields else []) + \
         [right.schema[c] for c in right.columns] + \
         [T.StructField(distance_column, T.DoubleType())]
     schema = T.StructType(out_fields)
@@ -575,6 +579,9 @@ def _knn_brute_pairs(rows, lid_type, right: DataFrame, k: int,
                 sel = pdf.iloc[r_idx].reset_index(drop=True)
                 out = pd.DataFrame({"__lid": lid_arr.iloc[lo + s_idx]
                                     .reset_index(drop=True)})
+                if left_xy_fields:
+                    out[left_xy_fields[0].name] = sx[lo + s_idx]
+                    out[left_xy_fields[1].name] = sy[lo + s_idx]
                 for c in rcols:
                     out[c] = sel[c]
                 out[distance_column] = np.sqrt(d2[s_idx, r_idx])
@@ -720,13 +727,36 @@ def knn_join(
     w = Window.partitionBy("__lid").orderBy(
         F.col(distance_column).asc_nulls_last(),
         *[F.col(c).asc() for c in ties])
+    wall = Window.partitionBy("__lid")
 
     def topk(pairs: DataFrame) -> DataFrame:
         return (pairs.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= k)
                 .withColumnRenamed("__rn", "knn_rank"))
 
-    pending = left.withColumn("__lid", F.col(left_id))
+    def resolved_topk(pairs: DataFrame) -> DataFrame:
+        """One window pass computes BOTH round answers: the per-query
+        candidate count (resolution test: >= k partners inside the
+        searched radius) and the rank — same partitioning, so Catalyst
+        fuses them into a single WindowExec on one shuffle.  Only the
+        RESOLVED queries' top-k rows survive."""
+        return (pairs
+                .withColumn("__cnt", F.count("*").over(wall))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__cnt") >= k) & (F.col("__rn") <= k))
+                .drop("__cnt")
+                .withColumnRenamed("__rn", "knn_rank"))
+
+    # BOTH paths run NARROW: drop the left payload from pending up
+    # front so every per-round grid join, anti-join, cache, and window
+    # carries 3 columns + right columns, not the full row — the payload
+    # rejoins ONCE after the rank filter cut the volume to <= k *
+    # |left|.  (r11: the classic path was wide with a per-round eager
+    # checkpoint to free its caches, which A/B-measured 1.305 vs the
+    # pin; narrow + one exit checkpoint is faster than either wide
+    # variant and frees the caches too.)
+    pending = left.withColumn("__lid", F.col(left_id)) \
+        .select("__lid", left_x, left_y)
     r0 = float(initial_radius)
     right_count = None
     if radius_tiers:
@@ -748,11 +778,6 @@ def knn_join(
             .filter(F.col("__srn") <= k).drop("__srn")
         import math
 
-        # the tiered loop runs NARROW (see below): drop the left payload
-        # from pending up front so the ladder probe, every per-round
-        # anti-join, and the pre-loop checkpoint carry 3 columns, not
-        # the full row — the payload rejoins once after the rank cut
-        pending = pending.select("__lid", left_x, left_y)
         # per-point entry tier from a density LADDER over the right
         # side.  Tier capped at the domain diameter (beyond that the
         # brute fallback is correct and cheaper).
@@ -871,26 +896,16 @@ def knn_join(
     # candidate volume is linear in the right side but its CONSTANT can
     # be huge on clustered data (a query whose search disc covers a
     # dense clump pulls the whole clump as candidates), so everything
-    # cached or windowed below is the NARROW projection (__lid,
-    # distance, right columns) — the left payload rejoins ONCE after
-    # the rank filter cut the volume to <= k * |left|.  The cache is
-    # serialized (PySpark MEMORY_AND_DISK) — a deserialized
-    # localCheckpoint of wide candidate rows measured 5-10x fatter and
+    # windowed below is the NARROW projection (__lid, distance, right
+    # columns) — a wide candidate checkpoint measured 5-10x fatter and
     # OOMed an 8 GB heap at the 100x clustered receipt.
-    from pyspark import StorageLevel
-
-    # NARROW mode rides with radius_tiers: the density-adaptive path
-    # exists precisely because candidate volume per query is unknown
-    # (a disc over a clump pulls the whole clump), so its cache and
-    # window must carry the minimal projection and rejoin the left
-    # payload after the rank cut.  The classic path's candidates are
-    # bounded by construction (~oversample*k per query at a sane
-    # radius), and its wide single-pass plan measured ~20% faster on
-    # the registry query — the rejoin shuffle buys nothing there.
-    narrow = radius_tiers
-    narrow_cols = ["__lid", *right.columns, distance_column]
+    # slim left (= exactly id + coordinates, the common spatial shape):
+    # the coordinates ride along in the candidates (+16 B/row) and the
+    # exit rejoin — a second full left scan — disappears entirely.
+    slim_left = set(left.columns) == {left_id, left_x, left_y}
+    narrow_cols = ["__lid", *([left_x, left_y] if slim_left else []),
+                   *right.columns, distance_column]
     resolved_parts = []
-    persisted = []
     # early-brute gate: the vectorized brute costs ~|right| * |pending|
     # numpy ops in one pass over the right side — a 5e10-pair budget is
     # seconds on 32 cores, so the gate scales inversely with |right|
@@ -918,59 +933,45 @@ def knn_join(
         # the top-k ranking — without it each grid join runs twice
         parts = [
             distance_join(pending.filter(F.col("__tier") == t)
-                          .select("__lid", left_x, left_y)
-                          if narrow else
-                          pending.filter(F.col("__tier") == t)
-                          .drop("__tier"),
+                          .select("__lid", left_x, left_y),
                           right, r0 * (2.0 ** t),
                           left_x, left_y, right_x, right_y,
                           distance_column=distance_column)
-            .select(*(narrow_cols if narrow else ["*"]))
+            .select(*narrow_cols)
             for t in tiers
         ]
         pairs = parts[0]
         for p in parts[1:]:
             pairs = pairs.unionByName(p)
-        # persist: `pairs` feeds BOTH the resolution count and the
-        # top-k ranking — without it each grid join runs twice and the
-        # final action re-plans every round's joins from scratch
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(pairs)
-        counts = pairs.groupBy("__lid").agg(F.count("*").alias("__n"))
-        done_ids = counts.filter(F.col("__n") >= k).select("__lid")
-        if narrow:
-            # ranking stays LAZY in-loop; the one eager materialization
-            # happens once at function exit (checkpoint of the narrow
-            # ranked union), after which every round's candidate cache
-            # is freed — a per-round eager checkpoint measured 2.5s of
-            # serialized latency per round at sf0.1
-            resolved_parts.append(topk(pairs.join(done_ids, "__lid")))
-        else:
-            # classic path: eagerly pin the <= k-per-query resolved part
-            # and FREE the fat candidate cache at round end — without
-            # the unpersist every round's candidate set stayed in
-            # executor storage for the application lifetime (r10 advice)
-            resolved_parts.append(
-                topk(pairs.join(done_ids, "__lid")).localCheckpoint())
-        pending = pending.join(done_ids, "__lid", "left_anti") \
+        # ONE evaluation of the round's grid joins: the fused
+        # count+rank window (resolved_topk) answers resolution AND
+        # ranking in a single pass, and the eager checkpoint pins only
+        # the OUTPUT-SIZED resolved rows (<= k per resolved query,
+        # narrow) — no candidate cache exists to leak or to OOM (the
+        # r10 receipt OOMed on exactly that cache when it was wide;
+        # its r10 fix still pinned candidates for the app lifetime)
+        resolved = resolved_topk(pairs).localCheckpoint()
+        resolved_parts.append(resolved)
+        pending = pending.join(
+            resolved.select("__lid").distinct(), "__lid", "left_anti") \
             .withColumn("__tier", F.col("__tier") + 1) \
             .localCheckpoint(eager=False)
         # ONE bounded job answers both round-control questions: is
-        # pending empty, and is it small enough to early-brute
+        # pending empty, and is it small enough to early-brute —
+        # cheap: it reads the round's checkpoint, not the grid joins
         n_pending = pending.limit(brute_cap + 1).count()
-        if not narrow:
-            pairs.unpersist()
         if n_pending == 0:
             leftover = False
             break
-        if radius_tiers and n_pending <= brute_cap:
-            # anything still pending after the ladder-tiered round 0 is
-            # a straggler whose expanding disc is about to overlap a
-            # dense region — the grid join then degenerates into a
-            # shuffled near-cross-product (measured 82s/180s mid rounds
-            # at the 100x clustered receipt).  When |stragglers| x
-            # |right| fits the numpy budget, ONE vectorized brute pass
-            # beats any number of further rounds.
+        if n_pending <= brute_cap:
+            # anything still pending after round 0 is a straggler: its
+            # expanding disc may overlap a dense region, where the grid
+            # join degenerates into a shuffled near-cross-product
+            # (measured 82s/180s mid rounds at the 100x clustered
+            # receipt) — and even on uniform data each further round is
+            # a sequential job cycle for a sub-percent tail.  When
+            # |stragglers| x |right| fits the numpy budget, ONE
+            # vectorized brute pass beats any number of further rounds.
             leftover = True
             break
     else:
@@ -987,24 +988,39 @@ def knn_join(
         cap = 500_000
         rows = pending.select("__lid", left_x, left_y) \
             .limit(cap + 1).collect()
-        if len(rows) <= cap:
+        if not rows:
+            pass
+        elif len(rows) <= 64:
+            # micro tail: a driver-built broadcast + JVM cross join
+            # beats the numpy pass here — mapInPandas pays Python-worker
+            # startup that dwarfs 64 x |right| JVM pairs
+            sch = T.StructType([pending.schema["__lid"],
+                                pending.schema[left_x],
+                                pending.schema[left_y]])
+            pn = F.broadcast(right.sparkSession.createDataFrame(rows, sch))
+            ddx = F.col(left_x) - F.col(right_x)
+            ddy = F.col(left_y) - F.col(right_y)
+            brute = pn.crossJoin(right) \
+                .withColumn(distance_column,
+                            F.sqrt(ddx * ddx + ddy * ddy)) \
+                .select(*narrow_cols)
+            resolved_parts.append(topk(brute))
+        elif len(rows) <= cap:
             pairs_b = _knn_brute_pairs(
                 rows, pending.schema["__lid"].dataType, right, k,
-                right_x, right_y, distance_column)
-            ranked_b = topk(pairs_b)
-            if rows:
-                resolved_parts.append(
-                    ranked_b if narrow
-                    else pending.drop("__tier").join(ranked_b, "__lid"))
+                right_x, right_y, distance_column,
+                left_xy_fields=(pending.schema[left_x],
+                                pending.schema[left_y])
+                if slim_left else None)
+            resolved_parts.append(topk(pairs_b))
         elif right.limit(cap + 1).count() <= cap:
             ddx = F.col(left_x) - F.col(right_x)
             ddy = F.col(left_y) - F.col(right_y)
-            pn = pending.select("__lid", left_x, left_y) if narrow \
-                else pending.drop("__tier")
+            pn = pending.select("__lid", left_x, left_y)
             brute = pn.crossJoin(F.broadcast(right)) \
-                .withColumn(distance_column, F.sqrt(ddx * ddx + ddy * ddy))
-            if narrow:
-                brute = brute.select(*narrow_cols)
+                .withColumn(distance_column,
+                            F.sqrt(ddx * ddx + ddy * ddy)) \
+                .select(*narrow_cols)
             resolved_parts.append(topk(brute))
         else:
             raise ValueError(
@@ -1021,29 +1037,25 @@ def knn_join(
         # all-NULL coordinates in the tiered path): synthesize an empty
         # result with the correct schema from a zero-row grid join
         empty = distance_join(
-            pending.select("__lid", left_x, left_y) if narrow
-            else pending.drop("__tier"),
+            pending.select("__lid", left_x, left_y),
             right, r0, left_x, left_y, right_x, right_y,
-            distance_column=distance_column)
-        if narrow:
-            empty = empty.select(*narrow_cols)
+            distance_column=distance_column).select(*narrow_cols)
         resolved_parts.append(topk(empty))
     ranked = resolved_parts[0]
     for p in resolved_parts[1:]:
         ranked = ranked.unionByName(p)
-    if not narrow:
-        return ranked.drop("__lid")
-    # ONE eager materialization of the narrow (<= k * |left|-row)
-    # ranked union — every round's window reads its cached candidates
-    # in parallel stages here — and then every candidate cache is
-    # freed: without the unpersist the caches stayed pinned in executor
-    # storage for the application lifetime (r10 advice)
-    ranked = ranked.localCheckpoint()
-    for p in persisted:
-        p.unpersist()
+    if slim_left:
+        # the coordinates rode along — reconstruct the left columns in
+        # their original order straight from ranked, no rejoin (and no
+        # second scan of the left side)
+        return ranked.select(
+            *[(F.col("__lid").alias(c) if c == left_id else F.col(c))
+              for c in left.columns],
+            *right.columns, distance_column, "knn_rank")
     # left payload rejoins the (<= k * |left|)-row ranked set — column
     # order preserved vs the pre-narrowing contract (left + right +
-    # distance + rank)
+    # distance + rank).  Round results are already checkpointed
+    # output-sized; only the (lazy) brute part, if any, computes here.
     out = left.withColumn("__lid", F.col(left_id)).join(ranked, "__lid")
     return out.select(*left.columns, *right.columns,
                       distance_column, "knn_rank")
