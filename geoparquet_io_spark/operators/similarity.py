@@ -878,20 +878,20 @@ def kmeans_fit_distributed(
             "longer one silently drops clusters from the updates")
     cents = [[round(float(x), round_digits) for x in c]
              for c in (init or ivf_centroids(dim, n_centroids, seed))]
-    # NULL vectors contribute nothing to a mean — filtered, not
-    # crashed.  Non-FINITE vectors too (r10): one NaN element made its
-    # cluster's sum (hence centroid) NaN, and on the next assignment
-    # pass numpy's argmin returns the first all-NaN distance index —
-    # EVERY vector collapsed into that cluster.  Same rationale as
-    # NULL: a NaN/Inf coordinate has no defined mean contribution.
+    # NULL and non-finite vectors contribute nothing to a mean (r10:
+    # one NaN element made its cluster's sum — hence centroid — NaN,
+    # and on the next assignment pass numpy's argmin returned the
+    # first all-NaN distance index, collapsing EVERY vector into that
+    # cluster).  r11: the exclusion moved INTO the Arrow kernel (a
+    # rowwise np.isfinite mask there is ~free; the JVM F.exists scan
+    # it replaces cost ~10% per iteration) — such rows come back with
+    # cluster NULL and are dropped before the sums.
     src = df.select(F.lit(0).alias("id"),
                     as_double_array(F.col(vector_column), dim,
-                                    "kmeans_fit_distributed").alias("v")) \
-        .filter(F.col("v").isNotNull()
-                & ~F.exists("v", lambda x: x.isNull() | F.isnan(x)
-                            | (F.abs(x) == F.lit(float("inf")))))
+                                    "kmeans_fit_distributed").alias("v"))
     for _ in range(iterations):
-        assigned = _assign_clusters_arrow(src, cents)
+        assigned = _assign_clusters_arrow(src, cents) \
+            .filter(F.col("cluster").isNotNull())
         aggs = [F.count("*").alias("__cnt")] + [
             F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
             for i in range(dim)]
@@ -926,6 +926,7 @@ def kmeans_model_table(
         .filter(F.col("v").isNotNull())
     sizes = {int(r["cluster"]): r["cnt"]
              for r in _assign_clusters_arrow(src, cents)
+             .filter(F.col("cluster").isNotNull())
              .groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
     # empty clusters appear explicitly with size=0 (the docstring's
     # one-row-per-(cluster, dim) contract): a registry diff should see
@@ -1172,12 +1173,15 @@ def _assign_clusters_arrow(src: DataFrame,
     dim order (``((0 + t0^2) + t1^2) + ...`` — the same left fold as
     ``F.aggregate``), products/subtractions are the same float64 ops,
     and ``np.argmin`` takes the FIRST minimum exactly like
-    ``array_position(d, array_min(d))``.  Assumes finite embeddings.
+    ``array_position(d, array_min(d))``.
 
     NULL vectors get cluster NULL / n NULL (``np.stack`` over a batch
     containing ``None`` used to die with an opaque shape error deep in
-    an executor); callers route NULL-cluster rows around the scorers —
-    a row with no embedding can neither lose nor witness.
+    an executor), and so do NON-FINITE vectors (r11: the rowwise
+    np.isfinite mask is ~free here, where a separate JVM
+    ``F.exists(... isnan ...)`` pre-filter cost kmeans ~10% per
+    iteration); callers route NULL-cluster rows around the scorers —
+    a row with no usable embedding can neither lose nor witness.
     """
     import pandas as pd
 
@@ -1204,7 +1208,14 @@ def _assign_clusters_arrow(src: DataFrame,
             cluster = pd.array([None] * m, dtype="Int32")
             nn = pd.array([None] * m, dtype="Float64")
             if mask.any():
-                V = np.stack(pdf["v"][mask].to_numpy())  # (mv, dim) float64
+                V0 = np.stack(pdf["v"][mask].to_numpy())  # (mv0, dim)
+                finite = np.isfinite(V0).all(axis=1)
+                mask[np.nonzero(mask)[0][~finite]] = False
+                if not mask.any():
+                    yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"],
+                                        "cluster": cluster, "n": nn})
+                    continue
+                V = V0[finite]
                 mv = V.shape[0]
                 D = np.empty((mv, len(C)), dtype=np.float64)
                 for k in range(len(C)):
