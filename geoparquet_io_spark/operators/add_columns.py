@@ -244,7 +244,15 @@ def add_kdtree(
                 if m is None:          # no median: NULL lookup -> bit "1"
                     nxt[prefix + "1"] = idx
                     continue
-                is_left = vals[idx, j] < m      # NaN/NULL-coded: false
+                if np.isnan(m):
+                    # Spark orders NaN above every double, so in phase 2
+                    # `x < lit(NaN)` is TRUE for every finite x (-> "0")
+                    # and false/NULL for NaN/NULL rows (-> "1").  Plain
+                    # numpy `vals < NaN` is all-False — the one place
+                    # IEEE and Spark comparison semantics diverge.
+                    is_left = ~np.isnan(vals[idx, j])
+                else:
+                    is_left = vals[idx, j] < m  # NaN/NULL-coded: false
                 nxt[prefix + "0"] = idx[is_left]
                 nxt[prefix + "1"] = idx[~is_left]
             cells = {p: ix for p, ix in nxt.items() if ix.size}

@@ -513,6 +513,21 @@ def distance_join(
             .drop("__cx", "__cy"))
 
 
+# per-brute-pass bound on the straggler reduce's pandas state, in CELLS
+# (rows x output columns): the knn straggler brute chunks its collected
+# queries so each mapInPandas pass's running per-partition best frame
+# stays ~this size regardless of how many stragglers the 500k collect
+# cap admitted.
+_BRUTE_STATE_CELLS = 8_000_000
+
+
+def _brute_chunk_size(k: int, n_out_cols: int) -> int:
+    """Stragglers per brute pass: state cells / (k best x output width),
+    floored so tiny tails never pay a second right-side scan.  Separate
+    function so tests can force multi-chunk."""
+    return max(2000, _BRUTE_STATE_CELLS // max(k * n_out_cols, 1))
+
+
 def _knn_brute_pairs(rows, lid_type, right: DataFrame, k: int,
                      right_x: str, right_y: str,
                      distance_column: str,
@@ -1006,13 +1021,23 @@ def knn_join(
                 .select(*narrow_cols)
             resolved_parts.append(topk(brute))
         elif len(rows) <= cap:
-            pairs_b = _knn_brute_pairs(
-                rows, pending.schema["__lid"].dataType, right, k,
-                right_x, right_y, distance_column,
-                left_xy_fields=(pending.schema[left_x],
-                                pending.schema[left_y])
-                if slim_left else None)
-            resolved_parts.append(topk(pairs_b))
+            # the brute's per-partition running reduce holds
+            # ~|stragglers| * k rows x |out cols| of pandas state (plus
+            # right payload); at the 500k cap that is a multi-GB Python
+            # worker.  Chunk stragglers so each pass's state stays
+            # bounded (~8M cells) — each extra chunk costs one more
+            # scan of the right side, which the early-brute gate
+            # already priced as cheaper than more grid rounds.  Chunks
+            # cover disjoint queries, so per-chunk top-k is exact.
+            chunk = _brute_chunk_size(k, len(narrow_cols))
+            for lo in range(0, len(rows), chunk):
+                pairs_b = _knn_brute_pairs(
+                    rows[lo:lo + chunk], pending.schema["__lid"].dataType,
+                    right, k, right_x, right_y, distance_column,
+                    left_xy_fields=(pending.schema[left_x],
+                                    pending.schema[left_y])
+                    if slim_left else None)
+                resolved_parts.append(topk(pairs_b))
         elif right.limit(cap + 1).count() <= cap:
             ddx = F.col(left_x) - F.col(right_x)
             ddy = F.col(left_y) - F.col(right_y)

@@ -1669,16 +1669,19 @@ def build_ivf_index(spark, df: DataFrame, path: str, dim: int,
             "a local path and upload the directory")
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_centroids, seed)
-    # ragged vectors raise loudly; NULL vectors are unsearchable and
-    # excluded (they would land in __HIVE_DEFAULT_PARTITION__ and never
-    # be probed, silently inflating n_vectors)
+    # ragged vectors raise loudly; NULL and NON-FINITE vectors are
+    # unsearchable and excluded — the assignment kernel gives both
+    # cluster NULL, and without the ivf_list filter below they would
+    # land in __HIVE_DEFAULT_PARTITION__ and never be probed, silently
+    # inflating n_vectors
     src = df.select(F.col(id_column).alias("id"),
                     as_double_array(F.col(vector_column), dim,
                                     "build_ivf_index").alias("v")) \
         .filter(F.col("v").isNotNull())
     assigned = _assign_clusters_arrow(src, cents).select(
         F.col("id").alias("vec_id"), F.col("v").alias("vector"),
-        F.col("cluster").alias("ivf_list"))
+        F.col("cluster").alias("ivf_list")) \
+        .filter(F.col("ivf_list").isNotNull())
     # row count rides the write job as an observed metric — no separate
     # count job re-reading what was just written
     obs = Observation()

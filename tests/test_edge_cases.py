@@ -297,6 +297,53 @@ def test_knn_join_exact_vs_bruteforce(spark):
             assert abs(d - ed) < 1e-12
 
 
+def test_knn_join_chunked_straggler_brute_exact(spark, monkeypatch):
+    """At the 500k straggler-collect cap the brute's per-partition
+    running reduce (~|stragglers| x k rows x |out cols| of pandas state)
+    is a worker memory cliff; stragglers are chunked into multiple brute
+    passes.  Force multi-chunk with a tiny state budget and verify the
+    result is still the exact top-k."""
+    import math
+    import random
+
+    from geoparquet_io_spark.operators import joins
+
+    # force chunk size 30: 70 stragglers -> 3 brute passes
+    monkeypatch.setattr(joins, "_brute_chunk_size", lambda k, n: 30)
+    calls = []
+    orig = joins._knn_brute_pairs
+
+    def spy(rows, *a, **kw):
+        calls.append(len(rows))
+        return orig(rows, *a, **kw)
+
+    monkeypatch.setattr(joins, "_knn_brute_pairs", spy)
+    rnd = random.Random(11)
+    lpts = [(i, rnd.uniform(0, 1), rnd.uniform(0, 1)) for i in range(70)]
+    rpts = [(100 + j, 500 + rnd.uniform(0, 1), 500 + rnd.uniform(0, 1))
+            for j in range(100)]
+    left = spark.createDataFrame(lpts, ["lid", "lx", "ly"])
+    right = spark.createDataFrame(rpts, ["rid", "rx", "ry"])
+    out = joins.knn_join(left, right, k=3, initial_radius=0.1,
+                         left_id="lid", left_x="lx", left_y="ly",
+                         right_x="rx", right_y="ry", tie_columns=["rid"],
+                         max_rounds=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lid"], []).append((r["knn_rank"], r["rid"], r["distance"]))
+    assert set(got) == {i for i, _, _ in lpts}
+    for li, lx, ly in lpts:
+        exp = sorted(
+            (math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rid)
+            for rid, rx, ry in rpts)[:3]
+        mine = sorted(got[li])
+        assert [m[1] for m in mine] == [e[1] for e in exp], li
+        for (rank, rid, d), (ed, erid) in zip(mine, exp):
+            assert abs(d - ed) < 1e-12
+    # 70 stragglers at chunk 30 -> 3 passes covering every query once
+    assert calls == [30, 30, 10]
+
+
 def test_knn_join_sparse_fallback_and_k_larger_than_right(spark):
     from geoparquet_io_spark.operators.joins import knn_join
 
@@ -899,6 +946,32 @@ def test_kdtree_driver_and_distributed_phase1_agree(spark):
     assert a == b
     assert len({v for v in b.values()}) > 1        # tree actually split
     assert all(len(v) == 3 for v in b.values())
+
+
+def test_kdtree_nan_median_parity(spark):
+    """When >= half a cell's sampled values on the split axis are NaN the
+    interpolated median itself is NaN.  Spark's `x < lit(NaN)` is TRUE
+    for every finite x (NaN is the largest double) while numpy `x < NaN`
+    is all-False — the driver-side phase 1 must replicate SPARK's split
+    (finite -> '0', NaN/NULL -> '1') or its learned deeper boundaries sit
+    under prefixes phase 2 never routes rows to."""
+    import math
+
+    from geoparquet_io_spark.operators.add_columns import add_kdtree
+
+    rows = [(i, math.nan, float(i)) for i in range(10)]          # NaN x
+    rows += [(100 + i, float(i * 7 % 13), float(50 + i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    kw = dict(x_column="x", y_column="y", iterations=2)
+    dist = add_kdtree(df, exact=True, sample_rows=5, **kw)   # distributed
+    drv = add_kdtree(df, exact=True, **kw)                   # driver numpy
+    a = {r["id"]: r["kdtree_cell"] for r in dist.collect()}
+    b = {r["id"]: r["kdtree_cell"] for r in drv.collect()}
+    assert a == b
+    # Spark semantics: finite x < NaN median -> left ('0...'), NaN -> '1...'
+    assert all(b[100 + i].startswith("0") for i in range(8))
+    assert all(b[i].startswith("1") for i in range(10))
+    assert all(len(v) == 2 for v in b.values())
 
 
 def test_zorder_by_date_and_timestamp_columns(spark):

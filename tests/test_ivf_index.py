@@ -364,6 +364,32 @@ def test_ivf_interrupted_build_detected(spark, tmp_path):
         build_ivf_index(spark, df, "s3a://bucket/idx", dim=2)
 
 
+def test_ivf_build_excludes_nonfinite_vectors(spark, tmp_path):
+    """A vector containing NaN/Inf gets cluster NULL from the assignment
+    kernel; the build must not write it to __HIVE_DEFAULT_PARTITION__
+    nor count it in n_vectors (the silent-inflation failure mode the
+    NULL-vector filter already guards)."""
+    import math
+    import os
+
+    from geoparquet_io_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    rows = [(i, [float(i % 4), float(i % 3)]) for i in range(20)]
+    rows += [(100, [math.nan, 1.0]), (101, [math.inf, 0.0]), (102, None)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "idx")
+    meta = build_ivf_index(spark, df, path, dim=2, n_centroids=2)
+    assert meta["n_vectors"] == 20
+    parts = os.listdir(os.path.join(path, "vectors"))
+    assert not any("HIVE_DEFAULT" in p for p in parts)
+    vectors, _ = load_ivf_index(spark, path)
+    ids = {r["vec_id"] for r in vectors.select("vec_id").collect()}
+    assert ids == set(range(20))
+
+
 def test_ivf_trained_rejects_empty_centroids(spark):
     import pytest as _p
 
