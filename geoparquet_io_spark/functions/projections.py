@@ -847,6 +847,25 @@ def _spcs83_rows() -> dict[int, tuple]:
     # Washington North/South = 32148/32149 (LCC)
     lcc(32148, 47.5, mn(48, 44), 47.0, -mn(120, 50), 500000.0)
     lcc(32149, mn(45, 50), mn(47, 20), mn(45, 20), -120.5, 500000.0)
+    # Colorado North/Central/South = 26953..26955 (LCC; the false
+    # origin is the ftUS-native 3,000,000 / 1,000,000 ftUS expressed
+    # in meters — Colorado legislated the foot grid, the meter twin
+    # carries the conversion)
+    lcc(26953, mn(39, 43), mn(40, 47), mn(39, 20), -105.5,
+        914401.8289, 304800.6096)
+    lcc(26954, mn(38, 27), mn(39, 45), mn(37, 50), -105.5,
+        914401.8289, 304800.6096)
+    lcc(26955, mn(37, 14), mn(38, 26), mn(36, 40), -105.5,
+        914401.8289, 304800.6096)
+    # Georgia East/West = 26966/26967 (TM)
+    tm(26966, 30.0, -mn(82, 10), 0.9999, 200000.0)
+    tm(26967, 30.0, -mn(84, 10), 0.9999, 700000.0)
+    # Michigan North/Central/South = 26981..26983 (LCC; FE 8/6/4
+    # MILLION meters — Michigan's grids are deliberately huge so the
+    # international-foot twins stay positive statewide)
+    lcc(26981, mn(45, 29), mn(47, 5), mn(44, 47), -87.0, 8000000.0)
+    lcc(26982, mn(44, 11), mn(45, 42), mn(43, 19), -mn(84, 22), 6000000.0)
+    lcc(26983, mn(42, 6), mn(43, 40), 41.5, -mn(84, 22), 4000000.0)
     return rows
 
 
@@ -923,6 +942,46 @@ def _spcs83_ftus_rows() -> dict[int, tuple]:
         1968500.0, 13123333.333)
     lcc(2279, mn(26, 10), mn(27, 50), mn(25, 40), -98.5,
         984250.0, 16404166.667)
+    # --- r12 tranche: the remaining high-traffic state foot grids ---
+    # Pennsylvania North/South = 2271/2272 (ftUS; meter twins
+    # 32128/32129): FE 1,968,500 ftUS = 600,000 m EXACTLY
+    lcc(2271, mn(40, 53), mn(41, 57), mn(40, 10), -77.75, 1968500.0)
+    lcc(2272, mn(39, 56), mn(40, 58), mn(39, 20), -77.75, 1968500.0)
+    # Illinois East/West = 3435/3436 (ftUS; meter twins 26971/26972):
+    # East FE 984,250 ftUS = 300,000 m exactly; West FE 2,296,583.333
+    # ftUS is the published mm-rounding of 700,000 m
+    tm(3435, mn(36, 40), -mn(88, 20), 1.0 - 1.0 / 40000.0, 984250.0)
+    tm(3436, mn(36, 40), -mn(90, 10), 1.0 - 1.0 / 17000.0, 2296583.333)
+    # Florida East/West (TM) + North (LCC) = 2236..2238 (ftUS; meter
+    # twins 26958..26960): TM FE 656,166.667 ftUS ~ 200,000 m (mm-
+    # rounded); North FE 1,968,500 ftUS = 600,000 m exactly
+    tm(2236, mn(24, 20), -81.0, 1.0 - 1.0 / 17000.0, 656166.667)
+    tm(2237, mn(24, 20), -82.0, 1.0 - 1.0 / 17000.0, 656166.667)
+    lcc(2238, mn(29, 35), mn(30, 45), 29.0, -84.5, 1968500.0)
+    # Washington North/South = 2285/2286 (ftUS; meter twins
+    # 32148/32149): FE 1,640,416.667 ftUS ~ 500,000 m (mm-rounded)
+    lcc(2285, 47.5, mn(48, 44), 47.0, -mn(120, 50), 1640416.667)
+    lcc(2286, mn(45, 50), mn(47, 20), mn(45, 20), -120.5, 1640416.667)
+    # Colorado North/Central/South = 2231..2233 (ftUS; meter twins
+    # 26953..26955): Colorado's native FE/FN 3,000,000 / 1,000,000 ftUS
+    lcc(2231, mn(39, 43), mn(40, 47), mn(39, 20), -105.5,
+        3000000.0, 1000000.0)
+    lcc(2232, mn(38, 27), mn(39, 45), mn(37, 50), -105.5,
+        3000000.0, 1000000.0)
+    lcc(2233, mn(37, 14), mn(38, 26), mn(36, 40), -105.5,
+        3000000.0, 1000000.0)
+    # Georgia East/West = 2239/2240 (ftUS; meter twins 26966/26967)
+    tm(2239, 30.0, -mn(82, 10), 0.9999, 656166.667)
+    tm(2240, 30.0, -mn(84, 10), 0.9999, 2296583.333)
+    # Michigan North/Central/South = 2251..2253 (INTERNATIONAL feet,
+    # like Arizona; meter twins 26981..26983): FE 8/6/4 million meters
+    # published as 26,246,719.16 / 19,685,039.37 / 13,123,359.58 ift
+    lcc(2251, mn(45, 29), mn(47, 5), mn(44, 47), -87.0,
+        26246719.16, unit=FT_INTL)
+    lcc(2252, mn(44, 11), mn(45, 42), mn(43, 19), -mn(84, 22),
+        19685039.37, unit=FT_INTL)
+    lcc(2253, mn(42, 6), mn(43, 40), 41.5, -mn(84, 22),
+        13123359.58, unit=FT_INTL)
     return rows
 
 

@@ -1123,6 +1123,42 @@ _IRISH = P.make_tm(*P.AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
                    fe=200000.0, fn=250000.0)
 
 
+# --- r12: remaining high-traffic SPCS foot grids --------------------------
+
+_PAS_FT = P.make_lcc(P.GRS80[0] / P.FT_US, P.GRS80[1],
+                     lat1=39.0 + 56.0 / 60.0, lat2=40.0 + 58.0 / 60.0,
+                     lat0=39.0 + 20.0 / 60.0, lon0=-77.75,
+                     fe=1968500.0, fn=0.0)
+
+
+@register("geo_reproject_pa_south_ftus", _lcc_sql(_PAS_FT))
+def q_reproject_pa_south_ftus(spark, sf_dir):
+    """EPSG:2272 (NAD83 / Pennsylvania South ftUS) — the grid
+    Philadelphia/Pittsburgh municipal data ships in.  FE 1,968,500
+    ftUS = 600,000 m EXACTLY, so the 32129 meter twin agrees to float
+    precision after the unit rescale (pinned in unit tests with a
+    Philadelphia anchor).  Reference resolves ftUS codes via PROJ
+    (core/reproject.py:94-160)."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2272")
+
+
+_MIS_FT = P.make_lcc(P.GRS80[0] / P.FT_INTL, P.GRS80[1],
+                     lat1=42.0 + 6.0 / 60.0, lat2=43.0 + 40.0 / 60.0,
+                     lat0=41.5, lon0=-(84.0 + 22.0 / 60.0),
+                     fe=13123359.58, fn=0.0)
+
+
+@register("geo_reproject_mi_south_ift", _lcc_sql(_MIS_FT))
+def q_reproject_mi_south_ift(spark, sf_dir):
+    """EPSG:2253 (NAD83 / Michigan South ft) — INTERNATIONAL feet like
+    Arizona (Michigan legislated ift): FE 13,123,359.58 ift is the
+    published cm-rounding of the 26983 meter twin's 4,000,000 m
+    (twin consistency + a Detroit anchor pinned in unit tests).  The
+    13.1M-ift false easting makes a ftUS/ift or meter mixup
+    unmistakable in any downstream join."""
+    return _spark_reproject(spark, sf_dir, "EPSG:2253")
+
+
 @register("geo_reproject_irish_grid",
           _tm_ll_sql(_IRISH, P._DATUM_TM65, P.AIRY_MOD,
                      -11.0, -5.0, 51.0, 56.0))

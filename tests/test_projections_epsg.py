@@ -780,6 +780,26 @@ def test_unit_table_roundtrip(code, ent):
     (2275, 32137, 5e-4),
     (2278, 32140, 5e-4),
     (2279, 32141, 5e-4),
+    # r12 tranche — exact conversions first (1,968,500 ftUS = 600,000 m
+    # and 984,250 ftUS = 300,000 m are exact; 26,246,719.16 ift etc.
+    # are published cm-roundings)
+    (2271, 32128, 1e-6),
+    (2272, 32129, 1e-6),
+    (3435, 26971, 1e-6),
+    (2238, 26960, 1e-6),
+    (3436, 26972, 5e-4),
+    (2236, 26958, 5e-4),
+    (2237, 26959, 5e-4),
+    (2285, 32148, 5e-4),
+    (2286, 32149, 5e-4),
+    (2231, 26953, 5e-4),
+    (2232, 26954, 5e-4),
+    (2233, 26955, 5e-4),
+    (2239, 26966, 5e-4),
+    (2240, 26967, 5e-4),
+    (2251, 26981, 5e-4),
+    (2252, 26982, 5e-4),
+    (2253, 26983, 5e-4),
 ])
 def test_foot_grids_match_meter_twins(ft_code, m_code, tol_m):
     fam, ell, p, u = P.UNIT_EPSG_TABLE[ft_code]
@@ -811,6 +831,28 @@ def test_foot_grid_city_anchors_coarse():
     x, y = f2229(np.array([-118.2437]), np.array([34.0522]))
     assert 6_300_000 < float(x[0]) < 6_700_000, float(x[0])
     assert 1_700_000 < float(y[0]) < 1_950_000, float(y[0])
+    # r12 tranche: Philadelphia on PA South ftUS — ~2.59 deg east of
+    # the -77.75 meridian and ~0.62 deg north of lat0 39deg20'
+    f2272, _ = P._proj_for_epsg(2272)
+    x, y = f2272(np.array([-75.1652]), np.array([39.9526]))
+    assert 2_600_000 < float(x[0]) < 2_780_000, float(x[0])
+    assert 180_000 < float(y[0]) < 280_000, float(y[0])
+    # Detroit on Michigan South INTERNATIONAL ft — the 13.1M-ift false
+    # easting is unmistakable (a ftUS or meter mixup misses by miles)
+    f2253, _ = P._proj_for_epsg(2253)
+    x, y = f2253(np.array([-83.0458]), np.array([42.3314]))
+    assert 13_380_000 < float(x[0]) < 13_580_000, float(x[0])
+    assert 250_000 < float(y[0]) < 360_000, float(y[0])
+    # Denver on Colorado Central ftUS (FN 1,000,000 ftUS offset)
+    f2232, _ = P._proj_for_epsg(2232)
+    x, y = f2232(np.array([-104.9903]), np.array([39.7392]))
+    assert 3_050_000 < float(x[0]) < 3_250_000, float(x[0])
+    assert 1_600_000 < float(y[0]) < 1_800_000, float(y[0])
+    # Chicago on Illinois East ftUS (FE 984,250 ftUS = 300 km exactly)
+    f3435, _ = P._proj_for_epsg(3435)
+    x, y = f3435(np.array([-87.6298]), np.array([41.8781]))
+    assert 1_100_000 < float(x[0]) < 1_250_000, float(x[0])
+    assert 1_850_000 < float(y[0]) < 1_950_000, float(y[0])
 
 
 def test_round11_legacy_grid_coarse_anchors():
