@@ -1257,6 +1257,50 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: tm_forward(lo, la, c),
                            lambda x, y: tm_inverse(x, y, c),
                            ANS, _DATUM_AGD66)
+    if 31466 <= code <= 31469:  # DHDN / 3-degree Gauss-Krueger zones 2-5
+        # The German legacy installed base (cadastre, utilities): Bessel
+        # 1841 TM with k0 = 1, FE = zone * 1e6 + 500 km, central
+        # meridian 3 * zone; datum via the national EPSG 1777 Helmert.
+        zone = code - 31464
+        c = make_tm(*BESSEL1841, lat0=0.0, lon0=3.0 * zone, k0=1.0,
+                    fe=zone * 1_000_000.0 + 500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           BESSEL1841, _DATUM_DHDN)
+    if 28402 <= code <= 28432:  # Pulkovo 1942 / 6-degree GK zones 2-32
+        # Krassowsky 1940 TM, k0 = 1, FE = zone * 1e6 + 500 km, central
+        # meridian 6 * zone - 3 (zone 7 = 39E covers Moscow); datum via
+        # the EPSG 1254 geocentric translation.
+        zone = code - 28400
+        c = make_tm(*KRASSOWSKY, lat0=0.0, lon0=6.0 * zone - 3.0, k0=1.0,
+                    fe=zone * 1_000_000.0 + 500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           KRASSOWSKY, _DATUM_PULKOVO42)
+    if 21896 <= code <= 21899:  # Bogota 1975 / Colombia zones W..E
+        # International 1924 TM, k0 = 1, FE = FN = 1,000,000 m; zone
+        # meridians step 3 degrees off the Bogota observatory meridian
+        # 74deg04'51.30"W; lat0 = 4deg35'56.57"N for every zone.
+        lon0 = -(74.0 + 4.0 / 60.0 + 51.30 / 3600.0) \
+            + 3.0 * (code - 21897)
+        c = make_tm(*INTL1924,
+                    lat0=4.0 + 35.0 / 60.0 + 56.57 / 3600.0,
+                    lon0=lon0, k0=1.0, fe=1_000_000.0, fn=1_000_000.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           INTL1924, _DATUM_BOGOTA)
+    if code == 4267:  # NAD27 geographic (datum shift only)
+        # The pre-NAD83 family: lon/lat on Clarke 1866 via the grid-free
+        # EPSG 1173 Helmert (~10 m CONUS; see _DATUM_NAD27's bound note).
+        ident = lambda lo, la: (lo, la)      # noqa: E731
+        return _with_datum(ident, ident, CLARKE1866, _DATUM_NAD27)
+    if 26703 <= code <= 26722:  # NAD27 / UTM zones 3N-22N
+        zone = code - 26700
+        c = make_tm(*CLARKE1866, lat0=0.0, lon0=6.0 * zone - 183.0,
+                    k0=0.9996, fe=500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           CLARKE1866, _DATUM_NAD27)
     if code == 23700:  # HD72 / EOV Hungary (GRS67)
         # EPSG projection 19931: Hotine Oblique Mercator variant B with
         # azimuth = rectified angle = 90 degrees, which reduces to the
@@ -1296,11 +1340,15 @@ GRS67 = (6378160.0, 1.0 / 298.247167427)
 # Clarke 1880 (IGN): defined by a and b = 6356515.0 exactly
 CLARKE1880IGN = (6378249.2, (6378249.2 - 6356515.0) / 6378249.2)
 ANS = (6378160.0, 1.0 / 298.25)                 # Australian National Spheroid
+KRASSOWSKY = (6378245.0, 1.0 / 298.3)           # Krassowsky 1940 (Pulkovo)
+# Clarke 1866: defined by a and b = 6356583.8 exactly (NAD27)
+CLARKE1866 = (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
 
 ELLIPSOIDS.update({
     "WGS84": WGS84, "GRS80": GRS80, "AIRY1830": AIRY1830,
     "AIRY_MOD": AIRY_MOD, "BESSEL1841": BESSEL1841, "INTL1924": INTL1924,
     "GRS67": GRS67, "CLARKE1880IGN": CLARKE1880IGN, "ANS": ANS,
+    "KRASSOWSKY": KRASSOWSKY, "CLARKE1866": CLARKE1866,
 })
 
 _ARCSEC = math.pi / (180.0 * 3600.0)
@@ -1397,6 +1445,21 @@ _DATUM_TM65 = (482.5, -130.6, 564.557, -1.042, -0.214, -0.631, 8.15)
 # AGD66 -> GDA94 (national 7-param from the GDA technical manual, EPSG
 # tfm 15786; GDA94 treated WGS84-coincident like the MGA rows)
 _DATUM_AGD66 = (-117.808, -51.536, 137.784, 0.303, 0.446, 0.234, -0.29)
+# DHDN -> WGS84 (EPSG tfm 1777: the national position-vector set for
+# all of West Germany, ~3 m; the authoritative path is the BeTA2007
+# NTv2 grid — same approximation class as the other national sets here)
+_DATUM_DHDN = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+# Pulkovo 1942 -> WGS84 (EPSG tfm 1254: geocentric translation, USSR)
+_DATUM_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
+# Bogota 1975 -> WGS84 (EPSG tfm 1125: geocentric translation)
+_DATUM_BOGOTA = (307.0, 304.0, -318.0, 0.0, 0.0, 0.0, 0.0)
+# NAD27 -> WGS84 (EPSG tfm 1173: the CONUS geocentric translation).
+# DOCUMENTED BOUND: the authoritative NAD27 path is the NADCON grid;
+# this grid-free Helmert is EPSG-stated at ~10 m accuracy in CONUS
+# (worse in Alaska) — right for analytics joins/aggregations over
+# legacy data, NOT for survey-grade work.  Pinned by a unit test that
+# brackets the NAD27-vs-NAD83 shift magnitude.
+_DATUM_NAD27 = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
 
 
 # ---------------------------------------------------------------------------

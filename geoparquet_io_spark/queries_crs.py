@@ -1123,6 +1123,84 @@ _IRISH = P.make_tm(*P.AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
                    fe=200000.0, fn=250000.0)
 
 
+# --- r12: legacy datum-chain grids (DHDN GK, Pulkovo GK, NAD27) ------------
+
+_GK4 = P.make_tm(*P.BESSEL1841, lat0=0.0, lon0=12.0, k0=1.0,
+                 fe=4_500_000.0, fn=0.0)
+
+
+@register("geo_reproject_dhdn_gk4",
+          _tm_ll_sql(_GK4, P._DATUM_DHDN, P.BESSEL1841,
+                     9.0, 15.0, 47.0, 55.5))
+def q_reproject_dhdn_gk4(spark, sf_dir):
+    """EPSG:31468 (DHDN / 3-degree Gauss-Krueger zone 4) — the German
+    legacy cadastre/utility grid (Bessel 1841, k0 = 1, FE 4.5M) with
+    the national EPSG 1777 position-vector Helmert.  Berlin anchor
+    ~(4,595,500, 5,821,700) and a DHDN-vs-ETRS89 shift-presence check
+    pinned in unit tests.  Reference resolves the family via PROJ
+    (core/reproject.py:94-160)."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(9.0, 15.0)
+                      & F.col("lat").between(47.0, 55.5))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:31468")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_PGK7 = P.make_tm(*P.KRASSOWSKY, lat0=0.0, lon0=39.0, k0=1.0,
+                  fe=7_500_000.0, fn=0.0)
+
+
+@register("geo_reproject_pulkovo_gk7",
+          _tm_ll_sql(_PGK7, P._DATUM_PULKOVO42, P.KRASSOWSKY,
+                     36.0, 42.0, 40.0, 70.0))
+def q_reproject_pulkovo_gk7(spark, sf_dir):
+    """EPSG:28407 (Pulkovo 1942 / Gauss-Krueger zone 7, Krassowsky
+    1940) — the Soviet-era national series whose zone number prefixes
+    the false easting (7.5M covers Moscow at 39E); datum via the EPSG
+    1254 geocentric translation.  Moscow anchor ~(7,413,300, 6,182,300)
+    pinned in unit tests."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(36.0, 42.0)
+                      & F.col("lat").between(40.0, 70.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:28407")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
+_N27Z14 = P.make_tm(*P.CLARKE1866, lat0=0.0, lon0=-99.0, k0=0.9996,
+                    fe=500_000.0, fn=0.0)
+
+
+@register("geo_reproject_nad27_utm14",
+          _tm_ll_sql(_N27Z14, P._DATUM_NAD27, P.CLARKE1866,
+                     -102.0, -96.0, 25.0, 50.0))
+def q_reproject_nad27_utm14(spark, sf_dir):
+    """EPSG:26714 (NAD27 / UTM zone 14N, Clarke 1866) — the pre-NAD83
+    family, shipped as the grid-free EPSG 1173 Helmert with a
+    DOCUMENTED ~10 m bound vs the authoritative NADCON grid (see
+    projections._DATUM_NAD27); unit tests pin the exact roundtrip and
+    the classic ~200 m NAD27-vs-NAD83 UTM offset."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(-102.0, -96.0)
+                      & F.col("lat").between(25.0, 50.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:26714")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
 # --- r12: remaining high-traffic SPCS foot grids --------------------------
 
 _PAS_FT = P.make_lcc(P.GRS80[0] / P.FT_US, P.GRS80[1],

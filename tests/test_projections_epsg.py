@@ -892,3 +892,77 @@ def test_round11_legacy_grid_coarse_anchors():
     x47, y47 = f47(lon, lat); x32, y32 = f32(lon, lat)
     assert np.max(np.abs(x47 - x32 - 32_000_000)) == 0.0
     assert np.max(np.abs(y47 - y32)) == 0.0
+
+
+def test_round12_legacy_grid_anchors():
+    """r12 tranche: DHDN Gauss-Krueger, Pulkovo 1942 GK, Bogota 1975,
+    NAD27.  Coarse city anchors (±2 km) catch a wrong meridian, zone
+    numbering, false easting prefix, or missing datum shift."""
+    # Cologne cathedral (6.9603E, 50.9375N) in DHDN GK zone 2 (31466):
+    # the classic Rechtswert/Hochwert ~(2,567,500, 5,645,100)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:31466")
+    x, y = fwd(np.array([6.9603]), np.array([50.9375]))
+    assert abs(float(x[0]) - 2_567_500) < 2000
+    assert abs(float(y[0]) - 5_645_100) < 2000
+    # Berlin (13.4050E, 52.52N) in GK zone 4 (31468): ~(4,595,500, 5,821,700)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:31468")
+    x, y = fwd(np.array([13.4050]), np.array([52.52]))
+    assert abs(float(x[0]) - 4_595_500) < 2000
+    assert abs(float(y[0]) - 5_821_700) < 2000
+    # DHDN vs ETRS89/UTM: the datum shift must be PRESENT.  Compare GK3
+    # (lon0 9) against UTM 32N (lon0 9) after stripping false eastings:
+    # same meridian, so the grids differ mainly by the ~100-200 m datum
+    # shift plus the k0 difference (1.0 vs 0.9996; <=160 m within 2 deg)
+    f3 = C.get_transformer("EPSG:4326", "EPSG:31467")
+    fu = C.get_transformer("EPSG:4326", "EPSG:25832")
+    x3, y3 = f3(np.array([9.5]), np.array([50.0]))
+    xu, yu = fu(np.array([9.5]), np.array([50.0]))
+    d = math.hypot(float(x3[0]) - 3_500_000 - (float(xu[0]) - 500_000),
+                   float(y3[0]) - float(yu[0]))
+    assert 50.0 < d < 2500.0, d
+    # Moscow (37.6173E, 55.7558N) in Pulkovo 1942 / GK zone 7 (28407):
+    # ~(7,413,300, 6,182,300) — the 7-prefix false easting is the zone
+    fwd = C.get_transformer("EPSG:4326", "EPSG:28407")
+    x, y = fwd(np.array([37.6173]), np.array([55.7558]))
+    assert abs(float(x[0]) - 7_413_300) < 2000
+    assert abs(float(y[0]) - 6_182_300) < 2000
+    # Bogota city (-74.0721, 4.7110) in Bogota 1975 / Colombia Bogota
+    # zone (21897): near the (1,000,000, 1,000,000) false origin (the
+    # observatory meridian runs through the city)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:21897")
+    x, y = fwd(np.array([-74.0721]), np.array([4.7110]))
+    assert abs(float(x[0]) - 1_000_500) < 2000
+    assert abs(float(y[0]) - 1_013_000) < 2000
+
+
+def test_nad27_helmert_documented_bound():
+    """NAD27 ships as the grid-free EPSG 1173 Helmert, documented at
+    ~10 m vs the authoritative NADCON grid.  Structural checks: exact
+    roundtrip, the famous ~200 m NAD27-vs-NAD83 UTM northing offset
+    PRESENT and in its published CONUS range, and the geographic shift
+    magnitude in the published 10-120 m CONUS band."""
+    # roundtrip through the datum chain is float-exact
+    fwd, inv = C.get_transformer("EPSG:4326", "EPSG:4267"), None
+    lon = np.linspace(-120.0, -75.0, 20); lat = np.linspace(30.0, 47.0, 20)
+    f = C.get_transformer("EPSG:4326", "EPSG:4267")
+    g = C.get_transformer("EPSG:4267", "EPSG:4326")
+    lo27, la27 = f(lon, lat)
+    lo2, la2 = g(lo27, la27)
+    assert float(np.max(np.abs(lo2 - lon))) < 1e-8
+    assert float(np.max(np.abs(la2 - lat))) < 1e-8
+    # the geographic NAD27 shift across CONUS: tens of meters typical,
+    # under 150 m everywhere (the 3-param shift's HORIZONTAL component
+    # can legitimately dip near zero along one line, so bound the mean)
+    dm = np.hypot((lo27 - lon) * 111_320 * np.cos(np.radians(lat)),
+                  (la27 - lat) * 110_574)
+    assert 10.0 < float(dm.mean()) < 120.0, float(dm.mean())
+    assert float(dm.max()) < 150.0, float(dm.max())
+    # UTM zone 14N: NAD27 grid vs NAD83 grid at Wichita differs by the
+    # classic ~200 m (mostly northing: Clarke 1866 vs GRS80 meridian
+    # arc + datum shift) — the offset printed on USGS quad corners
+    f27 = C.get_transformer("EPSG:4326", "EPSG:26714")
+    f83 = C.get_transformer("EPSG:4326", "EPSG:26914")
+    x1, y1 = f27(np.array([-97.3301]), np.array([37.6872]))
+    x2, y2 = f83(np.array([-97.3301]), np.array([37.6872]))
+    d = math.hypot(float(x1[0] - x2[0]), float(y1[0] - y2[0]))
+    assert 120.0 < d < 320.0, d
