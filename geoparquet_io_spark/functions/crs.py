@@ -132,6 +132,27 @@ def _params_step(spec: dict):
     return inv, fwd
 
 
+def _family_hint(crs: str) -> str:
+    """Name the CRS FAMILY in the unsupported-code error when the code
+    falls in a recognizable legacy block — a user holding NAD27 State
+    Plane data should learn the datum decision (grid-free Helmert,
+    ~10 m) and the exact escape-hatch spec, not just 'unsupported'."""
+    try:
+        code = int(crs.split(":", 1)[1]) if crs.startswith("EPSG:") else -1
+    except ValueError:
+        return ""
+    if 26729 <= code <= 26798 or 32001 <= code <= 32060:
+        return (
+            ".  This code is NAD27 State Plane (SPCS27): the engine "
+            "ships NAD27 via the grid-free EPSG 1173 Helmert (~10 m in "
+            "CONUS; see projections._DATUM_NAD27) for EPSG:4267 and the "
+            "UTM zones 26703-26722 — for an SPCS27 zone pass its "
+            "published parameters, e.g. {'family': 'lcc', 'ellps': "
+            "'CLARKE1866', 'towgs84': (-8, 160, 176), ...}"
+        )
+    return ""
+
+
 def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]:
     """Vectorized (x, y) -> (x', y') for a supported CRS pair.
 
@@ -166,7 +187,7 @@ def get_transformer(src, dst) -> Callable[[np.ndarray, np.ndarray], tuple[np.nda
             "pass its published parameters as a dict "
             "({'family': 'lcc', 'ellps': 'GRS80', ...} — see "
             "projections.proj_from_params) or a custom transformer to "
-            "reproject(transformer=...)"
+            "reproject(transformer=...)" + _family_hint(missing)
         )
     to_4326, _ = step_s
     _, from_4326 = step_d

@@ -1210,12 +1210,15 @@ def _assign_clusters_arrow(src: DataFrame,
             if mask.any():
                 V0 = np.stack(pdf["v"][mask].to_numpy())  # (mv0, dim)
                 finite = np.isfinite(V0).all(axis=1)
-                mask[np.nonzero(mask)[0][~finite]] = False
-                if not mask.any():
-                    yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"],
-                                        "cluster": cluster, "n": nn})
-                    continue
-                V = V0[finite]
+                if finite.all():
+                    V = V0        # no copy on the all-finite fast path
+                else:
+                    mask[np.nonzero(mask)[0][~finite]] = False
+                    if not mask.any():
+                        yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"],
+                                            "cluster": cluster, "n": nn})
+                        continue
+                    V = V0[finite]
                 mv = V.shape[0]
                 D = np.empty((mv, len(C)), dtype=np.float64)
                 for k in range(len(C)):

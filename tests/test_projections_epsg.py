@@ -935,6 +935,23 @@ def test_round12_legacy_grid_anchors():
     assert abs(float(y[0]) - 1_013_000) < 2000
 
 
+def test_spcs27_error_names_family_and_remedy():
+    """An unsupported SPCS27 code must say WHAT it is and the exact
+    escape-hatch spec (Clarke 1866 + the EPSG 1173 towgs84), not just
+    'unsupported'."""
+    with pytest.raises(ValueError, match="SPCS27.*CLARKE1866"):
+        C.get_transformer("EPSG:4326", "EPSG:26730")
+    # the named remedy actually works: CLARKE1866 + towgs84 compose
+    f, i = P.proj_from_params(
+        {"family": "lcc", "ellps": "CLARKE1866", "towgs84": (-8, 160, 176),
+         "lat1": 33.0, "lat2": 34.0, "lat0": 32.0, "lon0": -86.0,
+         "fe": 152400.3, "fn": 0.0})
+    x, y = f(np.array([-86.0]), np.array([33.5]))
+    lo, la = i(x, y)
+    assert abs(float(lo[0]) + 86.0) < 1e-8
+    assert abs(float(la[0]) - 33.5) < 1e-8
+
+
 def test_nad27_helmert_documented_bound():
     """NAD27 ships as the grid-free EPSG 1173 Helmert, documented at
     ~10 m vs the authoritative NADCON grid.  Structural checks: exact
