@@ -589,6 +589,10 @@ EPSG_TABLE: dict[int, tuple] = {
     5186: ("tm", GRS80, dict(lat0=38.0, lon0=127.0, k0=1.0,
                              fe=200000.0, fn=600000.0)),
     # KGD2002 (Korea 2000)/Central Belt 2010
+    5179: ("tm", GRS80, dict(lat0=38.0, lon0=127.5, k0=0.9996,
+                             fe=1000000.0, fn=2000000.0)),
+    # Korea 2000/Unified CS (the nationwide single-zone grid Korean
+    # web services ship)
     3763: ("tm", GRS80, dict(lat0=39.0 + 40.0 / 60.0 + 5.73 / 3600.0,
                              lon0=-(8.0 + 7.0 / 60.0 + 59.19 / 3600.0),
                              k0=1.0, fe=0.0, fn=0.0)),
@@ -1289,6 +1293,55 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: tm_forward(lo, la, c),
                            lambda x, y: tm_inverse(x, y, c),
                            INTL1924, _DATUM_BOGOTA)
+    if 23028 <= code <= 23038:  # ED50 / UTM zones 28N-38N
+        # The pre-ETRS89 European installed base (North Sea energy,
+        # legacy national maps): International 1924 UTM + the EPSG 1133
+        # mean translation (~5 m; pass a national set via the params
+        # escape hatch for survey-grade work).
+        zone = code - 23000
+        c = make_tm(*INTL1924, lat0=0.0, lon0=6.0 * zone - 183.0,
+                    k0=0.9996, fe=500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           INTL1924, _DATUM_ED50)
+    if code == 2100:  # GGRS87 / Greek Grid
+        # GRS80 TM (lon0 24E, k0 0.9996) but the GGRS87 datum sits
+        # ~200 m off WGS84 (EPSG 1272) — NOT coincidence-treatable.
+        c = make_tm(*GRS80, lat0=0.0, lon0=24.0, k0=0.9996,
+                    fe=500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           GRS80, _DATUM_GGRS87)
+    if code == 31700:  # Dealul Piscului 1970 / Stereo 70 (Romania)
+        # Krassowsky double stereographic (EPSG method 9809, same
+        # kernel as RD New), k0 0.99975 at (46N, 25E); Pulkovo-derived
+        # datum via EPSG 15861.
+        c = make_oblique_stereo(*KRASSOWSKY, lat0=46.0, lon0=25.0,
+                                k0=0.99975, fe=500_000.0, fn=500_000.0)
+        return _with_datum(lambda lo, la: oblique_stereo_forward(lo, la, c),
+                           lambda x, y: oblique_stereo_inverse(x, y, c),
+                           KRASSOWSKY, _DATUM_DEALUL70)
+    if 20934 <= code <= 20936:  # Arc 1950 / UTM zones 34S-36S
+        # Southern-Africa legacy (Clarke 1880 Arc): UTM south
+        # (FN 10,000,000) + the EPSG 1130 mean translation.
+        zone = code - 20900
+        c = make_tm(*CLARKE1880ARC, lat0=0.0, lon0=6.0 * zone - 183.0,
+                    k0=0.9996, fe=500_000.0, fn=10_000_000.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           CLARKE1880ARC, _DATUM_ARC1950)
+    if 22181 <= code <= 22187:  # Campo Inchauspe / Argentina fajas 1-7
+        # The legacy Argentine Gauss-Krueger ladder: International
+        # 1924, k0 = 1, NORTHING FROM THE SOUTH POLE (lat0 -90), FE =
+        # faja * 1e6 + 500 km, meridians -72 to -54 stepping 3 degrees;
+        # datum via EPSG 1127.  (POSGAR successors are the 22171+ /
+        # 5343+ coincident rows.)
+        faja = code - 22180
+        c = make_tm(*INTL1924, lat0=-90.0, lon0=-75.0 + 3.0 * faja,
+                    k0=1.0, fe=faja * 1_000_000.0 + 500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           INTL1924, _DATUM_CAMPO)
     if code == 4267:  # NAD27 geographic (datum shift only)
         # The pre-NAD83 family: lon/lat on Clarke 1866 via the grid-free
         # EPSG 1173 Helmert (~10 m CONUS; see _DATUM_NAD27's bound note).
@@ -1343,12 +1396,14 @@ ANS = (6378160.0, 1.0 / 298.25)                 # Australian National Spheroid
 KRASSOWSKY = (6378245.0, 1.0 / 298.3)           # Krassowsky 1940 (Pulkovo)
 # Clarke 1866: defined by a and b = 6356583.8 exactly (NAD27)
 CLARKE1866 = (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
+CLARKE1880ARC = (6378249.145, 1.0 / 293.4663077)  # Clarke 1880 (Arc)
 
 ELLIPSOIDS.update({
     "WGS84": WGS84, "GRS80": GRS80, "AIRY1830": AIRY1830,
     "AIRY_MOD": AIRY_MOD, "BESSEL1841": BESSEL1841, "INTL1924": INTL1924,
     "GRS67": GRS67, "CLARKE1880IGN": CLARKE1880IGN, "ANS": ANS,
     "KRASSOWSKY": KRASSOWSKY, "CLARKE1866": CLARKE1866,
+    "CLARKE1880ARC": CLARKE1880ARC,
 })
 
 _ARCSEC = math.pi / (180.0 * 3600.0)
@@ -1453,6 +1508,17 @@ _DATUM_DHDN = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
 _DATUM_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
 # Bogota 1975 -> WGS84 (EPSG tfm 1125: geocentric translation)
 _DATUM_BOGOTA = (307.0, 304.0, -318.0, 0.0, 0.0, 0.0, 0.0)
+# ED50 -> WGS84 (EPSG tfm 1133: the European mean translation, ~5 m;
+# national sets refine it — the escape hatch takes those)
+_DATUM_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+# GGRS87 -> WGS84 (EPSG tfm 1272)
+_DATUM_GGRS87 = (-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)
+# Dealul Piscului 1970 (Romania, Pulkovo-derived) -> WGS84 (EPSG 15861)
+_DATUM_DEALUL70 = (28.0, -121.0, -77.0, 0.0, 0.0, 0.0, 0.0)
+# Arc 1950 (southern Africa) -> WGS84 (EPSG tfm 1130, mean)
+_DATUM_ARC1950 = (-143.0, -90.0, -294.0, 0.0, 0.0, 0.0, 0.0)
+# Campo Inchauspe (Argentina) -> WGS84 (EPSG tfm 1127)
+_DATUM_CAMPO = (-148.0, 136.0, 90.0, 0.0, 0.0, 0.0, 0.0)
 # NAD27 -> WGS84 (EPSG tfm 1173: the CONUS geocentric translation).
 # DOCUMENTED BOUND: the authoritative NAD27 path is the NADCON grid;
 # this grid-free Helmert is EPSG-stated at ~10 m accuracy in CONUS

@@ -1201,6 +1201,32 @@ def q_reproject_nad27_utm14(spark, sf_dir):
     )
 
 
+_ED50_32 = P.make_tm(*P.INTL1924, lat0=0.0, lon0=9.0, k0=0.9996,
+                     fe=500_000.0, fn=0.0)
+
+
+@register("geo_reproject_ed50_utm32",
+          _tm_ll_sql(_ED50_32, P._DATUM_ED50, P.INTL1924,
+                     6.0, 12.0, 36.0, 62.0))
+def q_reproject_ed50_utm32(spark, sf_dir):
+    """EPSG:23032 (ED50 / UTM zone 32N, International 1924) — the
+    pre-ETRS89 European installed base (North Sea energy grids, legacy
+    national maps); datum via the EPSG 1133 mean translation (~5 m,
+    national refinements through the params escape hatch).  Oslo
+    anchor and an ED50-vs-ETRS89 shift-presence check pinned in unit
+    tests."""
+    gt = _events_points(spark, sf_dir)
+    df = gt.df.filter(F.col("lon").between(6.0, 12.0)
+                      & F.col("lat").between(36.0, 62.0))
+    gt = type(gt)(df, gt.geo)
+    out = gt.reproject("EPSG:23032")
+    return out.df.select(
+        "event_id",
+        (F.round(G.st_x(F.col("geometry")), 1) + F.lit(0.0)).alias("px"),
+        (F.round(G.st_y(F.col("geometry")), 1) + F.lit(0.0)).alias("py"),
+    )
+
+
 # --- r12: remaining high-traffic SPCS foot grids --------------------------
 
 _PAS_FT = P.make_lcc(P.GRS80[0] / P.FT_US, P.GRS80[1],

@@ -935,6 +935,61 @@ def test_round12_legacy_grid_anchors():
     assert abs(float(y[0]) - 1_013_000) < 2000
 
 
+def test_round12_tranche2_anchors():
+    """ED50/UTM, GGRS87 Greek Grid, Stereo 70, Arc 1950, Campo
+    Inchauspe, Korea Unified — coarse city anchors (±2-3 km) catch a
+    wrong meridian, false origin, axis unit, or missing datum shift;
+    datum-chain roundtrips are mm-exact (the ~1 mm residual is the
+    h=0 surface discard through a geocentric translation)."""
+    # Athens (23.7275E, 37.9838N) in GGRS87 / Greek Grid: the
+    # well-known ~(476,000, 4,203,700) city reference
+    fwd = C.get_transformer("EPSG:4326", "EPSG:2100")
+    x, y = fwd(np.array([23.7275]), np.array([37.9838]))
+    assert abs(float(x[0]) - 476_000) < 2000
+    assert abs(float(y[0]) - 4_203_700) < 2000
+    # GGRS87 must NOT be WGS84-coincident (~200 m shift present)
+    fu = C.get_transformer("EPSG:4326", "EPSG:32634")  # WGS84 UTM 34N
+    xu, yu = fu(np.array([23.7275]), np.array([37.9838]))
+    cw = C.get_transformer("EPSG:2100", "EPSG:4326")
+    lo, la = cw(x, y)
+    d = math.hypot(float(lo[0] - 23.7275) * 88_000,
+                   float(la[0] - 37.9838) * 111_000)
+    assert d < 0.01, d          # chain roundtrip stays sub-cm
+    # Oslo (10.75E, 59.91N) in ED50 / UTM 32N ~ (597,950, 6,642,900)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:23032")
+    x, y = fwd(np.array([10.75]), np.array([59.91]))
+    assert abs(float(x[0]) - 597_950) < 2000
+    assert abs(float(y[0]) - 6_642_900) < 2000
+    # ED50 vs ETRS89 UTM 32N: the ~100-200 m European shift present
+    fe = C.get_transformer("EPSG:4326", "EPSG:25832")
+    xe, ye = fe(np.array([10.75]), np.array([59.91]))
+    d = math.hypot(float(x[0] - xe[0]), float(y[0] - ye[0]))
+    assert 80.0 < d < 400.0, d
+    # Bucharest (26.1025E, 44.4268N) in Stereo 70: ~(587,900, 325,800)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:31700")
+    x, y = fwd(np.array([26.1025]), np.array([44.4268]))
+    assert abs(float(x[0]) - 587_900) < 3000
+    assert abs(float(y[0]) - 325_800) < 3000
+    # Harare (31.05E, 17.83S) in Arc 1950 / UTM 36S: southern-hemisphere
+    # FN 10M and the Clarke 1880 Arc ellipsoid ~(293,300, 8,027,800)
+    fwd = C.get_transformer("EPSG:4326", "EPSG:20936")
+    x, y = fwd(np.array([31.05]), np.array([-17.83]))
+    assert abs(float(x[0]) - 293_300) < 2000
+    assert abs(float(y[0]) - 8_027_800) < 2000
+    # Buenos Aires (-58.3816, -34.6037) in Campo Inchauspe faja 5:
+    # northing counts from the SOUTH POLE (lat0 -90), FE 5.5M
+    fwd = C.get_transformer("EPSG:4326", "EPSG:22185")
+    x, y = fwd(np.array([-58.3816]), np.array([-34.6037]))
+    assert abs(float(x[0]) - 5_648_500) < 3000
+    assert abs(float(y[0]) - 6_170_400) < 3000
+    # Seoul City Hall (126.978E, 37.5665N) in Korea 2000 Unified CS
+    # (5179): the well-known ~(953,900, 1,952,000) reference
+    fwd = C.get_transformer("EPSG:4326", "EPSG:5179")
+    x, y = fwd(np.array([126.9780]), np.array([37.5665]))
+    assert abs(float(x[0]) - 953_900) < 1500
+    assert abs(float(y[0]) - 1_952_000) < 1500
+
+
 def test_spcs27_error_names_family_and_remedy():
     """An unsupported SPCS27 code must say WHAT it is and the exact
     escape-hatch spec (Clarke 1866 + the EPSG 1173 towgs84), not just
