@@ -367,6 +367,101 @@ def cea_inverse(x: np.ndarray, y: np.ndarray, c: _CEAConsts):
 # Lambert Azimuthal Equal Area, oblique (Snyder pp. 187-190)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# American Polyconic (Snyder pp. 124-126) — Brazil's legacy national
+# projection (SAD69 29101, SIRGAS 2000 5880)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _PolyConsts:
+    a: float
+    e: float
+    lon0: float
+    fe: float
+    fn: float
+    m0: float
+
+
+def _merid_arc(phi: np.ndarray, a: float, e: float) -> np.ndarray:
+    """Meridian distance from the equator, Snyder eq. 3-21 (vectorized;
+    the TM kernel's arc is tied to its series constants, this one is
+    standalone for non-conformal families)."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return a * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+                - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0
+                   + 45.0 * e6 / 1024.0) * np.sin(2.0 * phi)
+                + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * np.sin(4.0 * phi)
+                - (35.0 * e6 / 3072.0) * np.sin(6.0 * phi))
+
+
+def make_polyconic(a: float, f: float, lat0: float, lon0: float,
+                   fe: float, fn: float) -> _PolyConsts:
+    e = math.sqrt(f * (2 - f))
+    m0 = float(_merid_arc(np.array([math.radians(lat0)]), a, e)[0])
+    return _PolyConsts(a=a, e=e, lon0=lon0, fe=fe, fn=fn, m0=m0)
+
+
+def _poly_forward_rad(dlam: np.ndarray, phi: np.ndarray, c: _PolyConsts):
+    """Origin-stripped forward in radians (shared by forward + the
+    inverse's Newton loop).  The phi -> 0 limit (x = a*dlam, y = -m0)
+    is taken through a safe substitute: with |phi| floored at 1e-10,
+    cot(phi)*sin(dlam*sin(phi)) -> N*dlam and cot(phi)*(1-cos(E)) -> 0
+    to double precision, so the expression is continuous through the
+    equator (Brazil's domain crosses it)."""
+    small = np.abs(phi) < 1e-10
+    ph = np.where(small, 1e-10, phi)
+    sp = np.sin(ph)
+    N = c.a / np.sqrt(1.0 - c.e * c.e * sp * sp)
+    E = dlam * sp
+    cot = np.cos(ph) / sp
+    x = N * cot * np.sin(E)
+    y = _merid_arc(ph, c.a, c.e) - c.m0 + N * cot * (1.0 - np.cos(E))
+    # exact equator limit (the substitute is continuous but carries the
+    # floored phi's ~0.6 mm of meridian arc): x = a*dlam, y = -m0
+    x = np.where(small, c.a * dlam, x)
+    y = np.where(small, -c.m0, y)
+    return x, y
+
+
+def poly_forward(lon: np.ndarray, lat: np.ndarray, c: _PolyConsts):
+    dlam = np.radians(_wrap_dlon(np.asarray(lon, np.float64) - c.lon0))
+    phi = np.radians(np.asarray(lat, np.float64))
+    x, y = _poly_forward_rad(dlam, phi, c)
+    return c.fe + x, c.fn + y
+
+
+def poly_inverse(x: np.ndarray, y: np.ndarray, c: _PolyConsts):
+    """Vectorized damped-free 2D Newton on the forward with a
+    finite-difference Jacobian — the polyconic has no closed inverse
+    and Snyder's scalar iteration is singular on the equator, which
+    Brazil's domain crosses; Newton on the smooth forward converges
+    everywhere in the working zone (|dlam| < ~60 deg) and the fixed
+    point is exact regardless of the Jacobian's FD error."""
+    X = np.asarray(x, np.float64) - c.fe
+    Y = np.asarray(y, np.float64) - c.fn
+    A = (c.m0 + Y) / c.a
+    phi = np.clip(A, -1.55, 1.55)
+    lam = X / (c.a * np.maximum(np.cos(phi), 0.3))
+    h = 1e-7
+    for _ in range(30):
+        fx, fy = _poly_forward_rad(lam, phi, c)
+        rx = fx - X
+        ry = fy - Y
+        fx1, fy1 = _poly_forward_rad(lam + h, phi, c)
+        fx2, fy2 = _poly_forward_rad(lam, phi + h, c)
+        j11 = (fx1 - fx) / h
+        j12 = (fx2 - fx) / h
+        j21 = (fy1 - fy) / h
+        j22 = (fy2 - fy) / h
+        det = j11 * j22 - j12 * j21
+        det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+        lam = lam - (j22 * rx - j12 * ry) / det
+        phi = phi - (-j21 * rx + j11 * ry) / det
+    return (_wrap_dlon(c.lon0 + np.degrees(lam)), np.degrees(phi))
+
+
 @dataclass(frozen=True)
 class _LAEAConsts:
     a: float
@@ -593,6 +688,10 @@ EPSG_TABLE: dict[int, tuple] = {
                              fe=1000000.0, fn=2000000.0)),
     # Korea 2000/Unified CS (the nationwide single-zone grid Korean
     # web services ship)
+    5880: ("poly", GRS80, dict(lat0=0.0, lon0=-54.0,
+                               fe=5000000.0, fn=10000000.0)),
+    # SIRGAS 2000/Brazil Polyconic (the national small-scale grid;
+    # SAD69 twin 29101 is the datum-shifted legacy row)
     3763: ("tm", GRS80, dict(lat0=39.0 + 40.0 / 60.0 + 5.73 / 3600.0,
                              lon0=-(8.0 + 7.0 / 60.0 + 59.19 / 3600.0),
                              k0=1.0, fe=0.0, fn=0.0)),
@@ -1001,6 +1100,7 @@ def _family_kernels():
         "laea": (make_laea, laea_forward, laea_inverse),
         "ps": (make_polar_stereo, ps_forward, ps_inverse),
         "cea": (make_cea, cea_forward, cea_inverse),
+        "poly": (make_polyconic, poly_forward, poly_inverse),
     }
 
 
@@ -1342,6 +1442,16 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: tm_forward(lo, la, c),
                            lambda x, y: tm_inverse(x, y, c),
                            INTL1924, _DATUM_CAMPO)
+    if code == 29101:  # SAD69 / Brazil Polyconic
+        # The legacy Brazilian national grid (IBGE small-scale series):
+        # American Polyconic on the GRS67(SAD69) ellipsoid (same a/f
+        # as the ANS tuple) + the EPSG 1864 Brazil-mean translation;
+        # the modern SIRGAS twin is the coincident 5880 registry row.
+        c = make_polyconic(*ANS, lat0=0.0, lon0=-54.0,
+                           fe=5_000_000.0, fn=10_000_000.0)
+        return _with_datum(lambda lo, la: poly_forward(lo, la, c),
+                           lambda x, y: poly_inverse(x, y, c),
+                           ANS, _DATUM_SAD69)
     if code == 4267:  # NAD27 geographic (datum shift only)
         # The pre-NAD83 family: lon/lat on Clarke 1866 via the grid-free
         # EPSG 1173 Helmert (~10 m CONUS; see _DATUM_NAD27's bound note).
@@ -1519,6 +1629,8 @@ _DATUM_DEALUL70 = (28.0, -121.0, -77.0, 0.0, 0.0, 0.0, 0.0)
 _DATUM_ARC1950 = (-143.0, -90.0, -294.0, 0.0, 0.0, 0.0, 0.0)
 # Campo Inchauspe (Argentina) -> WGS84 (EPSG tfm 1127)
 _DATUM_CAMPO = (-148.0, 136.0, 90.0, 0.0, 0.0, 0.0, 0.0)
+# SAD69 (South America) -> WGS84 (EPSG tfm 1864, Brazil mean)
+_DATUM_SAD69 = (-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)
 # NAD27 -> WGS84 (EPSG tfm 1173: the CONUS geocentric translation).
 # DOCUMENTED BOUND: the authoritative NAD27 path is the NADCON grid;
 # this grid-free Helmert is EPSG-stated at ~10 m accuracy in CONUS

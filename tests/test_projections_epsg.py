@@ -990,6 +990,47 @@ def test_round12_tranche2_anchors():
     assert abs(float(y[0]) - 1_952_000) < 1500
 
 
+def test_polyconic_brazil():
+    """American Polyconic (new r12 family): SIRGAS 2000 / Brazil
+    Polyconic 5880 + the SAD69 legacy twin 29101.  Properties: the
+    central meridian maps to x = FE with y = the meridian arc (the
+    polyconic is distortion-free along lon0), the domain crosses the
+    equator without a singularity, the Newton inverse roundtrips to
+    1e-9 deg across Brazil, and the ~60 m SAD69 shift is present."""
+    f, inv = P._proj_for_epsg(5880)
+    # Brasilia ~ (5,655,300, 8,243,600) on the IBGE national grid
+    x, y = f(np.array([-47.8828]), np.array([-15.7939]))
+    assert abs(float(x[0]) - 5_655_300) < 2000
+    assert abs(float(y[0]) - 8_243_600) < 2000
+    # central meridian: x = FE exactly, equator origin = (FE, FN)
+    x, y = f(np.array([-54.0, -54.0]), np.array([10.0, 0.0]))
+    assert float(np.max(np.abs(x - 5_000_000.0))) < 1e-6
+    assert abs(float(y[1]) - 10_000_000.0) < 1e-6
+    # roundtrip grid over Brazil (equator-crossing)
+    rng = np.random.default_rng(5880)
+    lons = -54.0 + rng.uniform(-20, 20, 200)
+    lats = rng.uniform(-33, 5, 200)
+    xs, ys = f(lons, lats)
+    lo, la = inv(xs, ys)
+    assert float(np.max(np.abs(lo - lons))) < 1e-9
+    assert float(np.max(np.abs(la - lats))) < 1e-9
+    # SAD69 twin: datum shift present (~60 m in Brazil), roundtrips
+    f69, inv69 = P._proj_for_epsg(29101)
+    x69, y69 = f69(np.array([-47.8828]), np.array([-15.7939]))
+    x00, y00 = f(np.array([-47.8828]), np.array([-15.7939]))
+    d = math.hypot(float(x69[0] - x00[0]), float(y69[0] - y00[0]))
+    assert 20.0 < d < 150.0, d
+    lo, la = inv69(*f69(lons, lats))
+    assert float(np.max(np.abs(lo - lons))) < 1e-7
+    assert float(np.max(np.abs(la - lats))) < 1e-7
+    # params escape hatch exposes the family
+    fwd, _ = P.proj_from_params(
+        {"family": "poly", "ellps": "GRS80", "lat0": 0.0, "lon0": -54.0,
+         "fe": 5_000_000.0, "fn": 10_000_000.0})
+    xh, yh = fwd(np.array([-47.8828]), np.array([-15.7939]))
+    assert float(xh[0]) == float(x00[0]) and float(yh[0]) == float(y00[0])
+
+
 def test_spcs27_error_names_family_and_remedy():
     """An unsupported SPCS27 code must say WHAT it is and the exact
     escape-hatch spec (Clarke 1866 + the EPSG 1173 towgs84), not just
