@@ -204,6 +204,12 @@ _SPCS83_NAMES = {
     32128: "Pennsylvania North", 32129: "Pennsylvania South",
     32137: "Texas North", 32140: "Texas South Central", 32141: "Texas South",
     32148: "Washington North", 32149: "Washington South",
+    # r12 meter twins of the new ftUS/ift foot grids
+    26953: "Colorado North", 26954: "Colorado Central",
+    26955: "Colorado South",
+    26966: "Georgia East", 26967: "Georgia West",
+    26981: "Michigan North", 26982: "Michigan Central",
+    26983: "Michigan South",
 }
 for _c, _zn in _SPCS83_NAMES.items():
     _PROJCS_INFO.setdefault(_c, (f"NAD83 / {_zn}", "NAD83"))
@@ -217,6 +223,9 @@ _PROJCS_INFO.update({
     3347: ("NAD83 / Statistics Canada Lambert", "NAD83"),
     7845: ("GDA2020 / GA LCC", "GDA2020"),
     9311: ("NAD27 / US National Atlas Equal Area", "SPHERE_US"),
+    # r12 rows
+    5179: ("Korea 2000 / Unified CS", "KGD2002"),
+    5880: ("SIRGAS 2000 / Brazil Polyconic", "SIRGAS2000"),
     32661: ("WGS 84 / UPS North (N,E)", "WGS84"),
     32761: ("WGS 84 / UPS South (N,E)", "WGS84"),
     5041: ("WGS 84 / UPS North (E,N)", "WGS84"),
@@ -295,6 +304,9 @@ _FAMILY_WKT = {
     "cea": ("Cylindrical_Equal_Area",
             [("lat_ts", "standard_parallel_1"), ("lon0", "central_meridian"),
              ("fe", "false_easting"), ("fn", "false_northing")]),
+    "poly": ("Polyconic",
+             [("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+              ("fe", "false_easting"), ("fn", "false_northing")]),
 }
 
 

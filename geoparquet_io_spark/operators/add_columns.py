@@ -322,6 +322,11 @@ def reproject(df: DataFrame, geometry_column: str, src, dst,
               transformer=None) -> DataFrame:
     """ST_Transform the geometry column (reference: core/reproject.py:94-160).
     CRS metadata update happens in the GeoTable wrapper."""
+    if geometry_column is None:
+        raise ValueError(
+            "reproject requires a geometry column; this table has none "
+            "(read a GeoParquet file, or build one with st_point / st_box)"
+        )
     return df.withColumn(
         geometry_column, G.st_transform(F.col(geometry_column), src, dst, transformer)
     )

@@ -1893,3 +1893,17 @@ def test_embedding_hygiene_filter_and_topk_poison_story(spark):
     healthy = brute_force_topk(clean, clean, k=1)
     top1 = {r[0]: r[1] for r in healthy.collect()}
     assert top1[1] == 2                    # true neighbour restored
+
+
+def test_reproject_without_geometry_column_is_a_clear_error(spark):
+    """reproject on a table with no geometry column used to reach
+    F.col(None) and die with an opaque JVM NullPointerException
+    (r12 verify drive); it must raise a ValueError naming the remedy."""
+    import pytest
+
+    from geoparquet_io_spark import read
+
+    gt = read(spark, "/root/testdata/sf0.001/events.parquet")
+    assert gt.geometry_column is None
+    with pytest.raises(ValueError, match="requires a geometry column"):
+        gt.reproject("EPSG:3857")
