@@ -20,6 +20,11 @@ from geoparquet_io_spark.functions import quadkey as _qk
 def add_bbox(df: DataFrame, geometry_column: str, bbox_column: str = "bbox",
              force: bool = False) -> DataFrame:
     """Per-row bbox struct (reference: core/add_bbox_column.py:24-31,122-139)."""
+    if geometry_column is None:
+        raise ValueError(
+            "add_bbox requires a geometry column; this table has none "
+            "(read a GeoParquet file, or build one with st_point / st_box)"
+        )
     if bbox_column in df.columns:
         if not force:
             raise ValueError(

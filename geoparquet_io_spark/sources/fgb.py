@@ -541,6 +541,10 @@ def write_fgb(gt, path: str, name: str | None = None,
     (see :func:`read_fgb` ``bbox=``) and the driver derives feature
     spans from the leaf offsets without walking size prefixes.
     ``index_node_size=0`` writes a plain stream (spec-legal)."""
+    if gt.geometry_column is None:
+        raise ValueError(
+            "write_fgb requires a geometry column; this table has none"
+        )
     df = gt.df
     gcol = gt.geometry_column
     nested = [f.name for f in df.schema.fields

@@ -108,6 +108,10 @@ def _round_geom(d: dict, p: int) -> None:
 def feature_lines(df: DataFrame, geometry_column: str,
                   precision: int | None = 7) -> DataFrame:
     """One GeoJSON Feature string per row (distributed)."""
+    if geometry_column is None:
+        raise ValueError(
+            "GeoJSON output requires a geometry column; this table has none"
+        )
     props = [c for c in df.columns if c != geometry_column]
     gj = st_asgeojson(precision)(F.col(geometry_column))
     feature = F.concat(

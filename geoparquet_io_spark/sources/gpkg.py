@@ -278,6 +278,10 @@ def write_gpkg(gt, path: str, layer: str | None = None,
     ``append=True`` adds ``layer`` as an ADDITIONAL feature layer to an
     existing GeoPackage (the container is multi-layer by design);
     the layer name must not already exist."""
+    if gt.geometry_column is None:
+        raise ValueError(
+            "write_gpkg requires a geometry column; this table has none"
+        )
     from pyspark.sql import types as T
 
     from geoparquet_io_spark.functions import wkb as W

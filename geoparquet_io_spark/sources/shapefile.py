@@ -496,6 +496,10 @@ def write_shapefile(gt, path: str) -> None:
     must share one shapefile shape class (point / line / polygon /
     multipoint); nested attribute columns are dropped like the
     reference does."""
+    if gt.geometry_column is None:
+        raise ValueError(
+            "write_shapefile requires a geometry column; this table has none"
+        )
     base = os.path.splitext(path)[0]
     gcol = gt.geometry_column
     df = gt.df

@@ -1907,3 +1907,43 @@ def test_reproject_without_geometry_column_is_a_clear_error(spark):
     assert gt.geometry_column is None
     with pytest.raises(ValueError, match="requires a geometry column"):
         gt.reproject("EPSG:3857")
+
+
+def test_every_geometry_consumer_rejects_geometryless_table(spark):
+    """r12 probe sweep: every geometry-consuming surface must fail a
+    table with no geometry column with a clear ValueError, never an
+    opaque JVM NullPointerException / NoneType AttributeError
+    (add_bbox, the GeoJSON writers, and the three vector-format
+    writers all did)."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from geoparquet_io_spark import read
+    from geoparquet_io_spark.sources.fgb import write_fgb
+    from geoparquet_io_spark.sources.geojson import (
+        write_geojson, write_geojsonl)
+    from geoparquet_io_spark.sources.gpkg import write_gpkg
+    from geoparquet_io_spark.sources.shapefile import write_shapefile
+
+    gt = read(spark, "/root/testdata/sf0.001/events.parquet")
+    assert gt.geometry_column is None
+    d = tempfile.mkdtemp()
+    surfaces = [
+        ("add_bbox", lambda: gt.add_bbox()),
+        ("reproject", lambda: gt.reproject("EPSG:3857")),
+        ("write_geojson",
+         lambda: write_geojson(gt.head(2), os.path.join(d, "p.geojson"))),
+        ("write_geojsonl",
+         lambda: write_geojsonl(gt.head(2), os.path.join(d, "p.geojsonl"))),
+        ("write_shapefile",
+         lambda: write_shapefile(gt.head(2), os.path.join(d, "p.shp"))),
+        ("write_gpkg",
+         lambda: write_gpkg(gt.head(2), os.path.join(d, "p.gpkg"))),
+        ("write_fgb",
+         lambda: write_fgb(gt.head(2), os.path.join(d, "p.fgb"))),
+    ]
+    for name, fn in surfaces:
+        with pytest.raises(ValueError, match="geometry column"):
+            fn()
