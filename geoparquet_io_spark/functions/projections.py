@@ -449,6 +449,13 @@ def poly_inverse(x: np.ndarray, y: np.ndarray, c: _PolyConsts):
         fx, fy = _poly_forward_rad(lam, phi, c)
         rx = fx - X
         ry = fy - Y
+        # all points converged (sub-micrometre) -> stop; Newton needs
+        # ~5 rounds here, so the cap of 30 is a stall guard, not the
+        # typical cost (each round is 3 vectorized forward evals)
+        with np.errstate(invalid="ignore"):
+            live = (np.abs(rx) > 1e-6) | (np.abs(ry) > 1e-6)
+        if not np.any(live):
+            break
         fx1, fy1 = _poly_forward_rad(lam + h, phi, c)
         fx2, fy2 = _poly_forward_rad(lam, phi + h, c)
         j11 = (fx1 - fx) / h
@@ -456,9 +463,20 @@ def poly_inverse(x: np.ndarray, y: np.ndarray, c: _PolyConsts):
         j21 = (fy1 - fy) / h
         j22 = (fy2 - fy) / h
         det = j11 * j22 - j12 * j21
-        det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+        # sign-preserving floor: overwriting a small NEGATIVE det with
+        # +1e-12 would flip the step direction
+        det = np.where(np.abs(det) < 1e-12,
+                       np.where(det < 0, -1e-12, 1e-12), det)
         lam = lam - (j22 * rx - j12 * ry) / det
         phi = phi - (-j21 * rx + j11 * ry) / det
+    # a non-finite input coordinate poisons BOTH outputs (a NaN x with a
+    # finite y would otherwise return the finite footpoint latitude of
+    # the never-updated initial guess — closed-form kernels mix x and y
+    # so both naturally go NaN; match that contract here)
+    bad = ~(np.isfinite(X) & np.isfinite(Y))
+    if np.any(bad):
+        lam = np.where(bad, np.nan, lam)
+        phi = np.where(bad, np.nan, phi)
     return (_wrap_dlon(c.lon0 + np.degrees(lam)), np.degrees(phi))
 
 

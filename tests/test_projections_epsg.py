@@ -1079,3 +1079,33 @@ def test_nad27_helmert_documented_bound():
     x2, y2 = f83(np.array([-97.3301]), np.array([37.6872]))
     d = math.hypot(float(x1[0] - x2[0]), float(y1[0] - y2[0]))
     assert 120.0 < d < 320.0, d
+
+
+def test_polyconic_inverse_early_exit_and_nan_contract():
+    """r12 review: the 2D-Newton inverse (a) early-exits once every
+    point is sub-micrometre converged (was 30 unconditional rounds x 3
+    forward evals), (b) floors a tiny determinant WITHOUT flipping its
+    sign, and (c) NaN-poisons BOTH output coordinates when either input
+    is non-finite (a NaN x with finite y used to leak the finite
+    footpoint latitude of the never-updated initial guess)."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions.projections import (
+        GRS80, make_polyconic, poly_forward, poly_inverse)
+
+    c = make_polyconic(*GRS80, lat0=0.0, lon0=-54.0,
+                       fe=5000000.0, fn=10000000.0)
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-74.0, -34.0, 4000)
+    lat = rng.uniform(-34.0, 6.0, 4000)
+    lat[:10] = 0.0                       # exact-equator rows
+    x, y = poly_forward(lon, lat, c)
+    lo, la = poly_inverse(x, y, c)
+    assert np.max(np.abs(lo - lon)) < 1e-9
+    assert np.max(np.abs(la - lat)) < 1e-9
+
+    xn = np.array([np.nan, x[0], np.inf, x[1]])
+    yn = np.array([y[0], np.nan, y[2], y[1]])
+    lo2, la2 = poly_inverse(xn, yn, c)
+    assert np.isnan(lo2[:3]).all() and np.isnan(la2[:3]).all()
+    assert abs(lo2[3] - lon[1]) < 1e-9 and abs(la2[3] - lat[1]) < 1e-9
