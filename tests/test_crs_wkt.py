@@ -110,6 +110,8 @@ def test_projection_parameters_match_kernel_table(code):
                "false_easting": "fe", "false_northing": "fn"},
         "cea": {"standard_parallel_1": "lat_ts", "central_meridian": "lon0",
                 "false_easting": "fe", "false_northing": "fn"},
+        "poly": {"latitude_of_origin": "lat0", "central_meridian": "lon0",
+                 "false_easting": "fe", "false_northing": "fn"},
     }[fam]
     for wkt_key, table_key in expect.items():
         assert abs(got[wkt_key] - params[table_key]) < 1e-9, (code, wkt_key)
