@@ -208,8 +208,10 @@ _SPCS83_NAMES = {
     26953: "Colorado North", 26954: "Colorado Central",
     26955: "Colorado South",
     26966: "Georgia East", 26967: "Georgia West",
-    26981: "Michigan North", 26982: "Michigan Central",
-    26983: "Michigan South",
+    26981: "Louisiana North", 26982: "Louisiana South",
+    26983: "Maine East", 26984: "Maine West",
+    26988: "Michigan North", 26989: "Michigan Central",
+    26990: "Michigan South",
 }
 for _c, _zn in _SPCS83_NAMES.items():
     _PROJCS_INFO.setdefault(_c, (f"NAD83 / {_zn}", "NAD83"))

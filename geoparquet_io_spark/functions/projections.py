@@ -981,12 +981,23 @@ def _spcs83_rows() -> dict[int, tuple]:
     # Georgia East/West = 26966/26967 (TM)
     tm(26966, 30.0, -mn(82, 10), 0.9999, 200000.0)
     tm(26967, 30.0, -mn(84, 10), 0.9999, 700000.0)
-    # Michigan North/Central/South = 26981..26983 (LCC; FE 8/6/4
+    # Michigan North/Central/South = 26988..26990 (LCC; FE 8/6/4
     # MILLION meters — Michigan's grids are deliberately huge so the
-    # international-foot twins stay positive statewide)
-    lcc(26981, mn(45, 29), mn(47, 5), mn(44, 47), -87.0, 8000000.0)
-    lcc(26982, mn(44, 11), mn(45, 42), mn(43, 19), -mn(84, 22), 6000000.0)
-    lcc(26983, mn(42, 6), mn(43, 40), 41.5, -mn(84, 22), 4000000.0)
+    # international-foot twins stay positive statewide).  NOT
+    # 26981..26983: the 269xx block runs ...Kansas 26977/8, Kentucky
+    # N/S 26979/80, LOUISIANA N/S 26981/2, MAINE E/W 26983/4, Maryland
+    # 26985, Massachusetts 26986/7, THEN Michigan (r12 review fix —
+    # the first r12 tranche housed Michigan's parameters at
+    # Louisiana/Maine's codes).
+    lcc(26988, mn(45, 29), mn(47, 5), mn(44, 47), -87.0, 8000000.0)
+    lcc(26989, mn(44, 11), mn(45, 42), mn(43, 19), -mn(84, 22), 6000000.0)
+    lcc(26990, mn(42, 6), mn(43, 40), 41.5, -mn(84, 22), 4000000.0)
+    # Louisiana North/South = 26981/26982 (LCC, FE 1,000 km)
+    lcc(26981, mn(31, 10), mn(32, 40), 30.5, -92.5, 1000000.0)
+    lcc(26982, mn(29, 18), mn(30, 42), 28.5, -mn(91, 20), 1000000.0)
+    # Maine East/West = 26983/26984 (TM)
+    tm(26983, mn(43, 40), -68.5, 0.9999, 300000.0)
+    tm(26984, mn(42, 50), -mn(70, 10), 1.0 - 1.0 / 30000.0, 900000.0)
     return rows
 
 
@@ -1095,7 +1106,7 @@ def _spcs83_ftus_rows() -> dict[int, tuple]:
     tm(2239, 30.0, -mn(82, 10), 0.9999, 656166.667)
     tm(2240, 30.0, -mn(84, 10), 0.9999, 2296583.333)
     # Michigan North/Central/South = 2251..2253 (INTERNATIONAL feet,
-    # like Arizona; meter twins 26981..26983): FE 8/6/4 million meters
+    # like Arizona; meter twins 26988..26990): FE 8/6/4 million meters
     # published as 26,246,719.16 / 19,685,039.37 / 13,123,359.58 ift
     lcc(2251, mn(45, 29), mn(47, 5), mn(44, 47), -87.0,
         26246719.16, unit=FT_INTL)

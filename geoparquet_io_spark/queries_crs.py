@@ -1256,7 +1256,7 @@ _MIS_FT = P.make_lcc(P.GRS80[0] / P.FT_INTL, P.GRS80[1],
 def q_reproject_mi_south_ift(spark, sf_dir):
     """EPSG:2253 (NAD83 / Michigan South ft) — INTERNATIONAL feet like
     Arizona (Michigan legislated ift): FE 13,123,359.58 ift is the
-    published cm-rounding of the 26983 meter twin's 4,000,000 m
+    published cm-rounding of the 26990 meter twin's 4,000,000 m
     (twin consistency + a Detroit anchor pinned in unit tests).  The
     13.1M-ift false easting makes a ftUS/ift or meter mixup
     unmistakable in any downstream join."""

@@ -797,9 +797,9 @@ def test_unit_table_roundtrip(code, ent):
     (2233, 26955, 5e-4),
     (2239, 26966, 5e-4),
     (2240, 26967, 5e-4),
-    (2251, 26981, 5e-4),
-    (2252, 26982, 5e-4),
-    (2253, 26983, 5e-4),
+    (2251, 26988, 5e-4),
+    (2252, 26989, 5e-4),
+    (2253, 26990, 5e-4),
 ])
 def test_foot_grids_match_meter_twins(ft_code, m_code, tol_m):
     fam, ell, p, u = P.UNIT_EPSG_TABLE[ft_code]
@@ -1109,3 +1109,40 @@ def test_polyconic_inverse_early_exit_and_nan_contract():
     lo2, la2 = poly_inverse(xn, yn, c)
     assert np.isnan(lo2[:3]).all() and np.isnan(la2[:3]).all()
     assert abs(lo2[3] - lon[1]) < 1e-9 and abs(la2[3] - lat[1]) < 1e-9
+
+
+def test_michigan_codes_are_26988_26990_not_louisiana_maine():
+    """r12 review fix: the first r12 tranche housed Michigan N/C/S at
+    26981..26983 — but the EPSG 269xx block runs Kentucky 26979/80,
+    LOUISIANA N/S 26981/2, MAINE E/W 26983/4, Maryland 26985,
+    Massachusetts 26986/7, and only THEN Michigan 26988..26990.  Pin
+    each family by its distinguishing false easting and a city anchor."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import projections as P
+
+    # Michigan South (Detroit): the deliberate 4,000,000 m FE
+    f, inv = P._proj_for_epsg(26990)
+    x, y = f(np.array([-83.0458]), np.array([42.3314]))
+    assert 3.9e6 < x[0] < 4.4e6 and y[0] > 0
+    lo, la = inv(x, y)
+    assert abs(lo[0] + 83.0458) < 1e-7 and abs(la[0] - 42.3314) < 1e-7
+
+    # Louisiana South (New Orleans): FE 1,000,000 m, lon0 91d20'W
+    f, inv = P._proj_for_epsg(26982)
+    x, y = f(np.array([-90.0715]), np.array([29.9511]))
+    assert 1.0e6 < x[0] < 1.25e6 and 1.5e5 < y[0] < 2.5e5
+    lo, la = inv(x, y)
+    assert abs(lo[0] + 90.0715) < 1e-7 and abs(la[0] - 29.9511) < 1e-7
+
+    # Maine East (Bangor): TM k0 0.9999 about 68.5W, FE 300 km
+    f, inv = P._proj_for_epsg(26983)
+    x, y = f(np.array([-68.7712]), np.array([44.8012]))
+    assert 2.2e5 < x[0] < 3.0e5 and y[0] > 1.0e5
+    lo, la = inv(x, y)
+    assert abs(lo[0] + 68.7712) < 1e-7 and abs(la[0] - 44.8012) < 1e-7
+
+    # Maine West (Portland): FE 900 km
+    f, inv = P._proj_for_epsg(26984)
+    x, y = f(np.array([-70.2553]), np.array([43.6591]))
+    assert 8.5e5 < x[0] < 9.5e5
