@@ -212,7 +212,47 @@ _SPCS83_NAMES = {
     26983: "Maine East", 26984: "Maine West",
     26988: "Michigan North", 26989: "Michigan Central",
     26990: "Michigan South",
+    # r12b tranche: the remaining states
+    26929: "Alabama East", 26930: "Alabama West",
+    26940: "Alaska zone 10",
+    26951: "Arkansas North", 26952: "Arkansas South",
+    26956: "Connecticut", 26957: "Delaware",
+    26968: "Idaho East", 26969: "Idaho Central", 26970: "Idaho West",
+    26973: "Indiana East", 26974: "Indiana West",
+    26975: "Iowa North", 26976: "Iowa South",
+    26977: "Kansas North", 26978: "Kansas South",
+    26979: "Kentucky North", 26980: "Kentucky South",
+    3088: "Kentucky Single Zone",
+    26991: "Minnesota North", 26992: "Minnesota Central",
+    26993: "Minnesota South",
+    26994: "Mississippi East", 26995: "Mississippi West",
+    26996: "Missouri East", 26997: "Missouri Central",
+    26998: "Missouri West",
+    32100: "Montana", 32104: "Nebraska",
+    32107: "Nevada East", 32108: "Nevada Central", 32109: "Nevada West",
+    32110: "New Hampshire", 32111: "New Jersey",
+    32112: "New Mexico East", 32113: "New Mexico Central",
+    32114: "New Mexico West",
+    32120: "North Dakota North", 32121: "North Dakota South",
+    32122: "Ohio North", 32123: "Ohio South",
+    32124: "Oklahoma North", 32125: "Oklahoma South",
+    32126: "Oregon North", 32127: "Oregon South",
+    32130: "Rhode Island", 32133: "South Carolina",
+    32134: "South Dakota North", 32135: "South Dakota South",
+    32136: "Tennessee", 32138: "Texas North Central",
+    32142: "Utah North", 32143: "Utah Central", 32144: "Utah South",
+    32145: "Vermont",
+    32146: "Virginia North", 32147: "Virginia South",
+    32150: "West Virginia North", 32151: "West Virginia South",
+    32152: "Wisconsin North", 32153: "Wisconsin Central",
+    32154: "Wisconsin South",
+    32155: "Wyoming East", 32156: "Wyoming East Central",
+    32157: "Wyoming West Central", 32158: "Wyoming West",
 }
+for _z in range(2, 10):
+    _SPCS83_NAMES[26930 + _z] = f"Alaska zone {_z}"
+for _z in range(1, 6):
+    _SPCS83_NAMES[26960 + _z] = f"Hawaii zone {_z}"
 for _c, _zn in _SPCS83_NAMES.items():
     _PROJCS_INFO.setdefault(_c, (f"NAD83 / {_zn}", "NAD83"))
 # round-9 pinned rows + round-9b series (same arithmetic as

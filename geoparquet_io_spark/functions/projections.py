@@ -998,6 +998,140 @@ def _spcs83_rows() -> dict[int, tuple]:
     # Maine East/West = 26983/26984 (TM)
     tm(26983, mn(43, 40), -68.5, 0.9999, 300000.0)
     tm(26984, mn(42, 50), -mn(70, 10), 1.0 - 1.0 / 30000.0, 900000.0)
+    # --- r12b tranche: every remaining state (the 269xx/321xx blocks
+    # are now complete except Alaska zone 1, whose rotated Hotine
+    # oblique Mercator variant is params-escape-hatch-only) ------------
+    # Alabama East/West = 26929/26930 (TM)
+    tm(26929, 30.5, -mn(85, 50), 1.0 - 1.0 / 25000.0, 200000.0)
+    tm(26930, 30.0, -87.5, 1.0 - 1.0 / 15000.0, 600000.0)
+    # Alaska zones 2-9 = 26932..26939 (TM ladder: CM -142 .. -170
+    # stepping 4 degrees west, lat0 54, k0 0.9999, FE 500 km)
+    for z in range(2, 10):
+        tm(26930 + z, 54.0, -142.0 - 4.0 * (z - 2), 0.9999, 500000.0)
+    # Alaska zone 10 = 26940 (Aleutians LCC, FE 1,000 km)
+    lcc(26940, mn(51, 50), mn(53, 50), 51.0, -176.0, 1000000.0)
+    # Arkansas North/South = 26951/26952
+    lcc(26951, mn(34, 56), mn(36, 14), mn(34, 20), -92.0, 400000.0)
+    lcc(26952, mn(33, 18), mn(34, 46), mn(32, 40), -92.0,
+        400000.0, 400000.0)
+    # Connecticut = 26956 (the meter expression of the ftUS-native
+    # 1,000,000 / 500,000 ftUS false origin)
+    lcc(26956, mn(41, 12), mn(41, 52), mn(40, 50), -72.75,
+        304800.6096, 152400.3048)
+    # Delaware = 26957 (the loosest SPCS TM: k0 1 - 1/200,000)
+    tm(26957, 38.0, -mn(75, 25), 1.0 - 1.0 / 200000.0, 200000.0)
+    # Hawaii zones 1-5 = 26961..26965 (TM; zone 5 is exactly k0 = 1)
+    tm(26961, mn(18, 50), -155.5, 1.0 - 1.0 / 30000.0, 500000.0)
+    tm(26962, mn(20, 20), -mn(156, 40), 1.0 - 1.0 / 30000.0, 500000.0)
+    tm(26963, mn(21, 10), -158.0, 1.0 - 1.0 / 100000.0, 500000.0)
+    tm(26964, mn(21, 50), -159.5, 1.0 - 1.0 / 100000.0, 500000.0)
+    tm(26965, mn(21, 40), -mn(160, 10), 1.0, 500000.0)
+    # Idaho East/Central/West = 26968..26970
+    tm(26968, mn(41, 40), -mn(112, 10), 1.0 - 1.0 / 19000.0, 200000.0)
+    tm(26969, mn(41, 40), -114.0, 1.0 - 1.0 / 19000.0, 500000.0)
+    tm(26970, mn(41, 40), -mn(115, 45), 1.0 - 1.0 / 15000.0, 800000.0)
+    # Indiana East/West = 26973/26974 (the only TM states with FN 250 km)
+    tm(26973, 37.5, -mn(85, 40), 1.0 - 1.0 / 30000.0, 100000.0, 250000.0)
+    tm(26974, 37.5, -mn(87, 5), 1.0 - 1.0 / 30000.0, 900000.0, 250000.0)
+    # Iowa North/South = 26975/26976
+    lcc(26975, mn(42, 4), mn(43, 16), 41.5, -93.5, 1500000.0, 1000000.0)
+    lcc(26976, mn(40, 37), mn(41, 47), 40.0, -93.5, 500000.0)
+    # Kansas North/South = 26977/26978
+    lcc(26977, mn(38, 43), mn(39, 47), mn(38, 20), -98.0, 400000.0)
+    lcc(26978, mn(37, 16), mn(38, 34), mn(36, 40), -98.5,
+        400000.0, 400000.0)
+    # Kentucky North/South = 26979/26980 (two-zone system; the
+    # statewide Single Zone is 3088)
+    lcc(26979, mn(37, 58), mn(38, 58), 37.5, -84.25, 500000.0)
+    lcc(26980, mn(36, 44), mn(37, 56), mn(36, 20), -85.75,
+        500000.0, 500000.0)
+    lcc(3088, mn(37, 5), mn(38, 40), mn(36, 20), -85.75,
+        1500000.0, 1000000.0)
+    # Minnesota North/Central/South = 26991..26993 (FE 800 / FN 100 km)
+    lcc(26991, mn(47, 2), mn(48, 38), 46.5, -mn(93, 6),
+        800000.0, 100000.0)
+    lcc(26992, mn(45, 37), mn(47, 3), 45.0, -mn(94, 15),
+        800000.0, 100000.0)
+    lcc(26993, mn(43, 47), mn(45, 13), 43.0, -94.0, 800000.0, 100000.0)
+    # Mississippi East/West = 26994/26995
+    tm(26994, 29.5, -mn(88, 50), 1.0 - 1.0 / 20000.0, 300000.0)
+    tm(26995, 29.5, -mn(90, 20), 1.0 - 1.0 / 20000.0, 700000.0)
+    # Missouri East/Central/West = 26996..26998
+    tm(26996, mn(35, 50), -90.5, 1.0 - 1.0 / 15000.0, 250000.0)
+    tm(26997, mn(35, 50), -92.5, 1.0 - 1.0 / 15000.0, 500000.0)
+    tm(26998, mn(36, 10), -94.5, 1.0 - 1.0 / 17000.0, 850000.0)
+    # Montana = 32100 and Nebraska = 32104 (statewide LCC)
+    lcc(32100, 45.0, 49.0, 44.25, -109.5, 600000.0)
+    lcc(32104, 40.0, 43.0, mn(39, 50), -100.0, 500000.0)
+    # Nevada East/Central/West = 32107..32109 (the 8/6/4-million-m FN
+    # ladder keeps northings positive and zone-distinct statewide)
+    tm(32107, 34.75, -mn(115, 35), 0.9999, 200000.0, 8000000.0)
+    tm(32108, 34.75, -mn(116, 40), 0.9999, 500000.0, 6000000.0)
+    tm(32109, 34.75, -mn(118, 35), 0.9999, 800000.0, 4000000.0)
+    # New Hampshire = 32110, New Jersey = 32111
+    tm(32110, 42.5, -mn(71, 40), 1.0 - 1.0 / 30000.0, 300000.0)
+    tm(32111, mn(38, 50), -74.5, 0.9999, 150000.0)
+    # New Mexico East/Central/West = 32112..32114
+    tm(32112, 31.0, -mn(104, 20), 1.0 - 1.0 / 11000.0, 165000.0)
+    tm(32113, 31.0, -106.25, 0.9999, 500000.0)
+    tm(32114, 31.0, -mn(107, 50), 1.0 - 1.0 / 12000.0, 830000.0)
+    # North Dakota North/South = 32120/32121
+    lcc(32120, mn(47, 26), mn(48, 44), 47.0, -100.5, 600000.0)
+    lcc(32121, mn(46, 11), mn(47, 29), mn(45, 40), -100.5, 600000.0)
+    # Ohio North/South = 32122/32123 (meter twins of the r11 3734/3735
+    # ftUS rows)
+    lcc(32122, mn(40, 26), mn(41, 42), mn(39, 40), -82.5, 600000.0)
+    lcc(32123, mn(38, 44), mn(40, 2), 38.0, -82.5, 600000.0)
+    # Oklahoma North/South = 32124/32125
+    lcc(32124, mn(35, 34), mn(36, 46), 35.0, -98.0, 600000.0)
+    lcc(32125, mn(33, 56), mn(35, 14), mn(33, 20), -98.0, 600000.0)
+    # Oregon North/South = 32126/32127 (FE 2,500 / 1,500 km — an
+    # international-foot state, twins 2269/2270)
+    lcc(32126, mn(44, 20), 46.0, mn(43, 40), -120.5, 2500000.0)
+    lcc(32127, mn(42, 20), 44.0, mn(41, 40), -120.5, 1500000.0)
+    # Rhode Island = 32130 (the tightest SPCS k0: 1 - 1/160,000)
+    tm(32130, mn(41, 5), -71.5, 1.0 - 1.0 / 160000.0, 100000.0)
+    # South Carolina = 32133 (single zone; FE 609,600 m = 2,000,000
+    # INTERNATIONAL feet exactly, twin 2273)
+    lcc(32133, 32.5, mn(34, 50), mn(31, 50), -81.0, 609600.0)
+    # South Dakota North/South = 32134/32135
+    lcc(32134, mn(44, 25), mn(45, 41), mn(43, 50), -100.0, 600000.0)
+    lcc(32135, mn(42, 50), mn(44, 24), mn(42, 20), -mn(100, 20),
+        600000.0)
+    # Tennessee = 32136 (single zone)
+    lcc(32136, mn(35, 15), mn(36, 25), mn(34, 20), -86.0, 600000.0)
+    # Texas North Central = 32138 (completes the 32137..32141 ladder)
+    lcc(32138, mn(32, 8), mn(33, 58), mn(31, 40), -98.5,
+        600000.0, 2000000.0)
+    # Utah North/Central/South = 32142..32144 (FN 1/2/3 million m)
+    lcc(32142, mn(40, 43), mn(41, 47), mn(40, 20), -111.5,
+        500000.0, 1000000.0)
+    lcc(32143, mn(39, 1), mn(40, 39), mn(38, 20), -111.5,
+        500000.0, 2000000.0)
+    lcc(32144, mn(37, 13), mn(38, 21), mn(36, 40), -111.5,
+        500000.0, 3000000.0)
+    # Vermont = 32145
+    tm(32145, 42.5, -72.5, 1.0 - 1.0 / 28000.0, 500000.0)
+    # Virginia North/South = 32146/32147 (FE 3,500 km)
+    lcc(32146, mn(38, 2), mn(39, 12), mn(37, 40), -78.5,
+        3500000.0, 2000000.0)
+    lcc(32147, mn(36, 46), mn(37, 58), mn(36, 20), -78.5,
+        3500000.0, 1000000.0)
+    # West Virginia North/South = 32150/32151
+    lcc(32150, 39.0, mn(40, 15), 38.5, -79.5, 600000.0)
+    lcc(32151, mn(37, 29), mn(38, 53), 37.0, -81.0, 600000.0)
+    # Wisconsin North/Central/South = 32152..32154
+    lcc(32152, mn(45, 34), mn(46, 46), mn(45, 10), -90.0, 600000.0)
+    lcc(32153, mn(44, 15), mn(45, 30), mn(43, 50), -90.0, 600000.0)
+    lcc(32154, mn(42, 44), mn(44, 4), 42.0, -90.0, 600000.0)
+    # Wyoming East/East Central/West Central/West = 32155..32158
+    # (k0 1 - 1/16,000 for all four; EC and W carry FN 100 km)
+    tm(32155, 40.5, -mn(105, 10), 1.0 - 1.0 / 16000.0, 200000.0)
+    tm(32156, 40.5, -mn(107, 20), 1.0 - 1.0 / 16000.0,
+       400000.0, 100000.0)
+    tm(32157, 40.5, -108.75, 1.0 - 1.0 / 16000.0, 600000.0)
+    tm(32158, 40.5, -mn(110, 5), 1.0 - 1.0 / 16000.0,
+       800000.0, 100000.0)
     return rows
 
 
@@ -1114,6 +1248,54 @@ def _spcs83_ftus_rows() -> dict[int, tuple]:
         19685039.37, unit=FT_INTL)
     lcc(2253, mn(42, 6), mn(43, 40), 41.5, -mn(84, 22),
         13123359.58, unit=FT_INTL)
+    # --- r12b tranche: foot twins for the remaining-state meter rows --
+    # Connecticut = 2234 (ftUS-NATIVE grid: FE/FN 1,000,000 / 500,000
+    # ftUS are the legislated values; the meter twin carries the
+    # conversion)
+    lcc(2234, mn(41, 12), mn(41, 52), mn(40, 50), -72.75,
+        1000000.0, 500000.0)
+    # Delaware = 2235 (ftUS; 656,166.667 ftUS ~ 200,000 m mm-rounded)
+    tm(2235, 38.0, -mn(75, 25), 1.0 - 1.0 / 200000.0, 656166.667)
+    # Kentucky North/South = 2246/2247 + statewide Single Zone = 3089
+    lcc(2246, mn(37, 58), mn(38, 58), 37.5, -84.25, 1640416.667)
+    lcc(2247, mn(36, 44), mn(37, 56), mn(36, 20), -85.75,
+        1640416.667, 1640416.667)
+    lcc(3089, mn(37, 5), mn(38, 40), mn(36, 20), -85.75,
+        4921250.0, 3280833.333)
+    # Mississippi East/West = 2254/2255 (ftUS)
+    tm(2254, 29.5, -mn(88, 50), 1.0 - 1.0 / 20000.0, 984250.0)
+    tm(2255, 29.5, -mn(90, 20), 1.0 - 1.0 / 20000.0, 2296583.333)
+    # Oregon North/South = 2269/2270 (INTERNATIONAL feet — Oregon
+    # legislated ift like Arizona/Michigan; FE 8,202,099.738 /
+    # 4,921,259.843 ift are the published mm-roundings of 2,500,000 /
+    # 1,500,000 m)
+    lcc(2269, mn(44, 20), 46.0, mn(43, 40), -120.5,
+        8202099.738, unit=FT_INTL)
+    lcc(2270, mn(42, 20), 44.0, mn(41, 40), -120.5,
+        4921259.843, unit=FT_INTL)
+    # South Carolina = 2273 (INTERNATIONAL feet; FE 2,000,000 ift =
+    # 609,600 m EXACTLY)
+    lcc(2273, 32.5, mn(34, 50), mn(31, 50), -81.0,
+        2000000.0, unit=FT_INTL)
+    # Tennessee = 2274 (ftUS; 1,968,500 ftUS = 600,000 m exactly)
+    lcc(2274, mn(35, 15), mn(36, 25), mn(34, 20), -86.0, 1968500.0)
+    # Virginia North/South = 2283/2284 (ftUS; FE 11,482,916.667 ftUS
+    # ~ 3,500,000 m)
+    lcc(2283, mn(38, 2), mn(39, 12), mn(37, 40), -78.5,
+        11482916.667, 6561666.667)
+    lcc(2284, mn(36, 46), mn(37, 58), mn(36, 20), -78.5,
+        11482916.667, 3280833.333)
+    # Wisconsin North/Central/South = 2287..2289 (ftUS; 600 km exact)
+    lcc(2287, mn(45, 34), mn(46, 46), mn(45, 10), -90.0, 1968500.0)
+    lcc(2288, mn(44, 15), mn(45, 30), mn(43, 50), -90.0, 1968500.0)
+    lcc(2289, mn(42, 44), mn(44, 4), 42.0, -90.0, 1968500.0)
+    # New Jersey = 3424 (ftUS; 492,125 ftUS = 150,000 m exactly)
+    tm(3424, mn(38, 50), -74.5, 0.9999, 492125.0)
+    # Indiana East/West = 2965/2966 (ftUS; FN 820,208.333 ~ 250,000 m)
+    tm(2965, 37.5, -mn(85, 40), 1.0 - 1.0 / 30000.0,
+       328083.333, 820208.333)
+    tm(2966, 37.5, -mn(87, 5), 1.0 - 1.0 / 30000.0,
+       2952750.0, 820208.333)
     return rows
 
 

@@ -800,6 +800,31 @@ def test_unit_table_roundtrip(code, ent):
     (2251, 26988, 5e-4),
     (2252, 26989, 5e-4),
     (2253, 26990, 5e-4),
+    # r12b tranche — exact-conversion twins first (1,968,500 ftUS =
+    # 600,000 m, 2,000,000 ift = 609,600 m, 492,125 ftUS = 150,000 m,
+    # 984,250 ftUS = 300,000 m are all exact)
+    (2274, 32136, 1e-6),
+    (2273, 32133, 1e-6),
+    (3424, 32111, 1e-6),
+    (2287, 32152, 1e-6),
+    (2288, 32153, 1e-6),
+    (2289, 32154, 1e-6),
+    (2254, 26994, 1e-6),
+    # mm-rounded published foot origins
+    (2234, 26956, 5e-4),
+    (2235, 26957, 5e-4),
+    (2246, 26979, 5e-4),
+    (2247, 26980, 5e-4),
+    (3089, 3088, 5e-4),
+    (2255, 26995, 5e-4),
+    (2269, 32126, 5e-4),
+    (2270, 32127, 5e-4),
+    (2283, 32146, 5e-4),
+    (2284, 32147, 5e-4),
+    (2965, 26973, 5e-4),
+    (2966, 26974, 5e-4),
+    (3734, 32122, 1e-6),
+    (3735, 32123, 1e-6),
 ])
 def test_foot_grids_match_meter_twins(ft_code, m_code, tol_m):
     fam, ell, p, u = P.UNIT_EPSG_TABLE[ft_code]
@@ -1146,3 +1171,46 @@ def test_michigan_codes_are_26988_26990_not_louisiana_maine():
     f, inv = P._proj_for_epsg(26984)
     x, y = f(np.array([-70.2553]), np.array([43.6591]))
     assert 8.5e5 < x[0] < 9.5e5
+
+
+def test_r12b_state_plane_city_anchors():
+    """One anchor per new-family grid: the projected point must land in
+    the zone's plausible coordinate band (false-origin offset + the
+    city's real position) and invert exactly.  Catches wrong false
+    origins, swapped zones, and degree/minute transposition."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import projections as P
+
+    cases = [
+        # (code, lon, lat, x_lo, x_hi, y_lo, y_hi)
+        (26991, -92.10, 46.79, 850000, 1000000, 100000, 200000),   # Duluth, MN North
+        (26993, -93.265, 44.978, 850000, 900000, 300000, 340000),  # Minneapolis, MN South
+        (32154, -87.906, 43.038, 750000, 800000, 110000, 130000),  # Milwaukee, WI South
+        (32111, -74.172, 40.735, 170000, 200000, 200000, 230000),  # Newark, NJ
+        (32136, -86.781, 36.162, 510000, 550000, 190000, 230000),  # Nashville, TN (west of CM)
+        (32133, -81.035, 34.000, 600000, 620000, 230000, 250000),  # Columbia, SC
+        (32146, -77.436, 37.541, 3580000, 3700000, 1980000, 2020000),  # Richmond, VA North
+        (32122, -83.0007, 39.9612, 550000, 610000, 20000, 50000),  # Columbus, OH North
+        (32107, -115.14, 36.17, 180000, 250000, 8100000, 8200000), # Las Vegas, NV East
+        (32142, -111.891, 40.761, 420000, 480000, 1040000, 1060000),  # Salt Lake City, UT North
+        (26996, -90.05, 38.63, 280000, 320000, 300000, 320000),    # St. Louis, MO East
+        (26982, -90.0715, 29.9511, 1000000, 1250000, 150000, 250000),  # New Orleans (re-pin)
+        (32126, -122.676, 45.523, 2280000, 2350000, 200000, 230000),   # Portland, OR North
+        (26975, -93.62, 41.59, 1480000, 1520000, 1000000, 1020000),    # Des Moines, IA North
+        (26978, -97.336, 37.687, 490000, 520000, 510000, 530000),      # Wichita, KS South
+        (32124, -97.516, 35.468, 630000, 660000, 50000, 70000),        # OKC, OK North
+        (26979, -84.50, 38.05, 470000, 500000, 55000, 75000),          # Lexington, KY North
+        (3088, -85.76, 38.25, 1480000, 1520000, 1200000, 1230000),     # Louisville, KY Single
+        (26929, -86.30, 32.38, 155000, 175000, 205000, 215000),        # Montgomery, AL East
+        (26994, -88.70, 32.36, 305000, 320000, 310000, 325000),        # Meridian, MS East
+        (26934, -149.90, 61.22, 490000, 510000, 790000, 820000),       # Anchorage, AK zone 4
+        (26961, -155.09, 19.73, 540000, 560000, 90000, 110000),        # Hilo, HI zone 1
+    ]
+    for code, lon, lat, xlo, xhi, ylo, yhi in cases:
+        fwd, inv = P._proj_for_epsg(code)
+        x, y = fwd(np.array([lon]), np.array([lat]))
+        assert xlo < x[0] < xhi, (code, x[0])
+        assert ylo < y[0] < yhi, (code, y[0])
+        lo, la = inv(x, y)
+        assert abs(lo[0] - lon) < 1e-7 and abs(la[0] - lat) < 1e-7, code
