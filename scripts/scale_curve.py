@@ -408,7 +408,16 @@ def write_x100_md(res: dict) -> None:
         os.path.abspath(__file__))), "SCALING.md")
     text = open(md).read()
     marker = "\n## 100x points (scale-critical paths)\n"
+    # preserve everything AFTER the generated table: the r7+ narrative
+    # sections are hand-written history (this function used to truncate
+    # the file at the marker and re-emit only the boilerplate, which
+    # silently deleted the r9-r12 sections on every --md run)
+    tail_marker = "\n### Finding acted on (r7)"
+    tail = ""
     if marker in text:
+        kept = text[text.index(marker):]
+        if tail_marker in kept:
+            tail = kept[kept.index(tail_marker):]
         text = text[:text.index(marker)]
     lines = [
         marker.rstrip("\n"), "",
@@ -424,7 +433,11 @@ def write_x100_md(res: dict) -> None:
         "rename/sweep loop scale in FILE count) and the manifest footer",
         "sweep — plus the iterative-shuffle graph operators on an",
         "orders-derived graph whose node count scales with the table",
-        "(constant expected degree ~10).",
+        "(constant expected degree ~10).  r10 folded the join family",
+        "(asof/range/distance/knn/clustered-knn) into the standing",
+        "table; r12 re-measured the WHOLE table on the endpoint tree",
+        "(clean-batch fast path, chunked straggler brute, kdtree NaN",
+        "parity) — every path still falls across the two decades.",
         "",
         "| query | sf0.1 sec | sf100x sec | sf0.1 us/row | sf100x us/row |",
         "|---|---|---|---|---|",
@@ -433,24 +446,26 @@ def write_x100_md(res: dict) -> None:
         a, b = pts["sf0.1"], pts["sf100x"]
         lines.append(f"| {q} | {a['sec']} | {b['sec']} | "
                      f"{a['us_per_row']} | {b['us_per_row']} |")
-    lines += [
-        "",
-        "### Finding acted on (r7)",
-        "",
-        "The FIRST 100x run caught `similarity_ivf_index_search` going",
-        "super-linear: 813 -> 1594 us/row (318 s at 200k vectors).  The",
-        "probed-list equi-join + full row_number window shuffled every",
-        "scored pair (n_list x |q| rows, |q| growing with the corpus)",
-        "and priced each pair at ~192 interpreted HOF ops.  Fix: the",
-        "search now runs through the shared Arrow top-k kernel",
-        "(similarity._arrow_topk) with the probed-list sets as pair",
-        "gates — bit-identical values, per-task bounded emission.",
-        "Re-measured: 8.7 s / 44 us/row at 100x (36x faster), now",
-        "falling across the curve like every other path.",
-        "",
-    ]
+    if not tail:
+        tail = "\n".join([
+            "",
+            "### Finding acted on (r7)",
+            "",
+            "The FIRST 100x run caught `similarity_ivf_index_search` going",
+            "super-linear: 813 -> 1594 us/row (318 s at 200k vectors).  The",
+            "probed-list equi-join + full row_number window shuffled every",
+            "scored pair (n_list x |q| rows, |q| growing with the corpus)",
+            "and priced each pair at ~192 interpreted HOF ops.  Fix: the",
+            "search now runs through the shared Arrow top-k kernel",
+            "(similarity._arrow_topk) with the probed-list sets as pair",
+            "gates — bit-identical values, per-task bounded emission.",
+            "Re-measured: 8.7 s / 44 us/row at 100x (36x faster), now",
+            "falling across the curve like every other path.",
+            "",
+        ])
     with open(md, "w") as fh:
-        fh.write(text.rstrip("\n") + "\n" + "\n".join(lines))
+        fh.write(text.rstrip("\n") + "\n" + "\n".join(lines)
+                 + "\n" + tail.lstrip("\n"))
 
 
 def write_md(results: dict) -> None:
