@@ -1675,6 +1675,39 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: tm_forward(lo, la, c),
                            lambda x, y: tm_inverse(x, y, c),
                            CLARKE1866, _DATUM_NAD27)
+    if code == 31287 or 31284 <= code <= 31286 or 31254 <= code <= 31256:
+        # MGI (Austria): Bessel 1841 + the EPSG 1618 position-vector
+        # Helmert (the same constants the 31287 params-path oracle
+        # validates against DuckDB).  Three grid conventions share the
+        # datum: the national Lambert (31287, FE/FN 400 km), the M28/
+        # M31/M34 meridian strips (31284-31286: TM k0 = 1, FE 150/450/
+        # 750 km, FN 0), and GK West/Central/East (31254-31256: same
+        # meridians, FE 0, FN -5,000,000 m).
+        if code == 31287:
+            c = make_lcc(*BESSEL1841, lat1=49.0, lat2=46.0, lat0=47.5,
+                         lon0=13.0 + 20.0 / 60.0, fe=400000.0, fn=400000.0)
+            return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
+                               lambda x, y: lcc_inverse(x, y, c),
+                               BESSEL1841, _DATUM_MGI)
+        i = (code - 31284) if code >= 31284 else (code - 31254)
+        lon0 = 10.0 + 20.0 / 60.0 + 3.0 * i
+        fe = (150000.0 + 300000.0 * i) if code >= 31284 else 0.0
+        fn = 0.0 if code >= 31284 else -5_000_000.0
+        c = make_tm(*BESSEL1841, lat0=0.0, lon0=lon0, k0=1.0, fe=fe, fn=fn)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           BESSEL1841, _DATUM_MGI)
+    if code in (3003, 3004):  # Monte Mario / Italy zones 1-2 (Gauss-Boaga)
+        # International 1924 TM, k0 0.9996, FE 1,500,000 (west) /
+        # 2,520,000 (east); datum via the published national
+        # position-vector set (continental Italy).
+        zone = code - 3002
+        c = make_tm(*INTL1924, lat0=0.0, lon0=9.0 + 6.0 * (zone - 1),
+                    k0=0.9996,
+                    fe=1_500_000.0 if zone == 1 else 2_520_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           INTL1924, _DATUM_MONTEMARIO)
     if code == 23700:  # HD72 / EOV Hungary (GRS67)
         # EPSG projection 19931: Hotine Oblique Mercator variant B with
         # azimuth = rectified angle = 90 degrees, which reduces to the
@@ -1825,6 +1858,12 @@ _DATUM_AGD66 = (-117.808, -51.536, 137.784, 0.303, 0.446, 0.234, -0.29)
 # all of West Germany, ~3 m; the authoritative path is the BeTA2007
 # NTv2 grid — same approximation class as the other national sets here)
 _DATUM_DHDN = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+# MGI (Austria) -> WGS84 (EPSG tfm 1618 position-vector; the same
+# constants queries_crs validates via the 31287 params-path oracle)
+_DATUM_MGI = (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+# Monte Mario -> WGS84 (the published national position-vector set for
+# continental Italy, ~4 m)
+_DATUM_MONTEMARIO = (-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
 # Pulkovo 1942 -> WGS84 (EPSG tfm 1254: geocentric translation, USSR)
 _DATUM_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
 # Bogota 1975 -> WGS84 (EPSG tfm 1125: geocentric translation)

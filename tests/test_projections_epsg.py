@@ -1214,3 +1214,58 @@ def test_r12b_state_plane_city_anchors():
         assert ylo < y[0] < yhi, (code, y[0])
         lo, la = inv(x, y)
         assert abs(lo[0] - lon) < 1e-7 and abs(la[0] - lat) < 1e-7, code
+
+
+def test_austria_mgi_grids_and_italy_gauss_boaga():
+    """r12b: MGI Austria (Lambert 31287 + M28/M31/M34 31284-31286 +
+    GK West/Central/East 31254-31256, all Bessel + EPSG 1618 Helmert)
+    and Monte Mario / Gauss-Boaga (3003/3004).  The M-vs-GK identity
+    is exact BY CONSTRUCTION (same TM, FE differs by 150/450/750 km,
+    FN by 5,000,000): x_GK = x_M - FE_M, y_GK = y_M - 5e6.  Rome's
+    Gauss-Boaga zone-1 easting ~1790 km is the classic published
+    value."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import projections as P
+
+    vienna = (np.array([16.3738]), np.array([48.2082]))
+    for m_code, gk_code, fe_m in ((31284, 31254, 150000.0),
+                                  (31285, 31255, 450000.0),
+                                  (31286, 31256, 750000.0)):
+        fm, im = P._proj_for_epsg(m_code)
+        fg, ig = P._proj_for_epsg(gk_code)
+        xm, ym = fm(*vienna)
+        xg, yg = fg(*vienna)
+        assert abs((xm[0] - fe_m) - xg[0]) < 1e-9
+        assert abs((ym[0] - 5_000_000.0) - yg[0]) < 1e-9
+        lo, la = im(xm, ym)
+        assert abs(lo[0] - 16.3738) < 1e-7 and abs(la[0] - 48.2082) < 1e-7
+
+    f, inv = P._proj_for_epsg(31287)
+    x, y = f(*vienna)
+    assert 6.0e5 < x[0] < 6.5e5 and 4.6e5 < y[0] < 5.0e5
+    lo, la = inv(x, y)
+    assert abs(lo[0] - 16.3738) < 1e-7 and abs(la[0] - 48.2082) < 1e-7
+
+    # Monte Mario / Italy zone 1: Rome ~1,790 km east, Milan ~1,515 km
+    f1, i1 = P._proj_for_epsg(3003)
+    x, y = f1(np.array([12.4964, 9.19]), np.array([41.9028, 45.4642]))
+    assert 1.785e6 < x[0] < 1.795e6 and 4.63e6 < y[0] < 4.66e6
+    assert 1.510e6 < x[1] < 1.520e6
+    lo, la = i1(x, y)
+    assert np.max(np.abs(lo - [12.4964, 9.19])) < 1e-7
+    # zone 2 (Bari): FE 2,520,000
+    f2, i2 = P._proj_for_epsg(3004)
+    x2, y2 = f2(np.array([16.8719]), np.array([41.1171]))
+    assert 2.66e6 < x2[0] < 2.69e6
+
+    # datum shift is PRESENT (MGI and Monte Mario are not WGS84):
+    # projecting the same point with and without the Helmert must
+    # differ by tens of meters
+    c = P.make_tm(*P.BESSEL1841, lat0=0.0, lon0=16.0 + 20.0 / 60.0,
+                  k0=1.0, fe=750000.0, fn=0.0)
+    xb, yb = P.tm_forward(*vienna, c)
+    fm, _ = P._proj_for_epsg(31286)
+    xs, ys = fm(*vienna)
+    shift = float(np.hypot(xs[0] - xb[0], ys[0] - yb[0]))
+    assert 20.0 < shift < 600.0, shift
