@@ -206,6 +206,18 @@ def _snyder_t(phi, e):
             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
 
 
+def make_lcc1sp(a: float, f: float, lat0: float, k0: float,
+                lon0: float, fe: float, fn: float) -> _LCCConsts:
+    """EPSG method 9801 (Lambert Conic Conformal 1SP): the cone is
+    tangent at lat0 and k0 scales every radius, which in the Snyder
+    constants is exactly F -> k0 * F (rho0 follows).  Exact by
+    construction — no 2SP-equivalent parallels needed."""
+    c = make_lcc(a, f, lat1=lat0, lat2=lat0, lat0=lat0,
+                 lon0=lon0, fe=fe, fn=fn)
+    return _LCCConsts(a=c.a, e=c.e, n=c.n, F=c.F * k0, rho0=c.rho0 * k0,
+                      lon0=c.lon0, fe=c.fe, fn=c.fn)
+
+
 def make_lcc(a: float, f: float, lat1: float, lat2: float, lat0: float,
              lon0: float, fe: float, fn: float) -> _LCCConsts:
     e = math.sqrt(f * (2 - f))
@@ -1543,17 +1555,26 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: oblique_stereo_forward(lo, la, c),
                            lambda x, y: oblique_stereo_inverse(x, y, c),
                            BESSEL1841, _DATUM_AMERSFOORT)
-    if code == 27572:  # NTF (Paris) / Lambert zone II (carto FN 2.2M)
-        # EPSG method 9801 LCC-1SP (lat0 52 grads, k0 0.99987742) via
-        # IGN's published exact 2SP equivalents ("Lambert II etendu":
-        # lat1 45deg53'56.108", lat2 47deg41'45.652"); the Paris prime
-        # meridian is folded into lon0 = 2deg20'14.025" Greenwich.
-        # The huge installed base of pre-RGF93 French data ships here.
-        c = make_lcc(*CLARKE1880IGN,
-                     lat1=45.0 + 53.0 / 60.0 + 56.108 / 3600.0,
-                     lat2=47.0 + 41.0 / 60.0 + 45.652 / 3600.0,
-                     lat0=46.8, lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
-                     fe=600000.0, fn=2200000.0)
+    if code in (27571, 27572, 27573, 27574):
+        # NTF (Paris) / Lambert zones I-IV (carto FN = zone MILLION +
+        # the 200 km zone FN; zone IV Corsica has its famous FE
+        # 234.358 m).  True EPSG method 9801 LCC-1SP from the published
+        # (lat0 in grads -> degrees, k0) pairs — exact by construction
+        # (r12b replaced the r11 2SP-equivalent-parallel table, whose
+        # zone I upper parallel was 0.45 arcsec off = ~3.5 mm of scale
+        # drift).  The Paris prime meridian is folded into lon0 =
+        # 2deg20'14.025" Greenwich.  The huge installed base of
+        # pre-RGF93 French data ships in zone II.
+        zone = code - 27570
+        lat0, k0, fe, fn = {
+            1: (49.5, 0.999877341, 600000.0, 1_200_000.0),
+            2: (46.8, 0.99987742, 600000.0, 2_200_000.0),
+            3: (44.1, 0.999877499, 600000.0, 3_200_000.0),
+            4: (42.165, 0.99994471, 234.358, 4_185_861.369),
+        }[zone]
+        c = make_lcc1sp(*CLARKE1880IGN, lat0=lat0, k0=k0,
+                        lon0=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+                        fe=fe, fn=fn)
         return _with_datum(lambda lo, la: lcc_forward(lo, la, c),
                            lambda x, y: lcc_inverse(x, y, c),
                            CLARKE1880IGN, _DATUM_NTF)

@@ -1269,3 +1269,48 @@ def test_austria_mgi_grids_and_italy_gauss_boaga():
     xs, ys = fm(*vienna)
     shift = float(np.hypot(xs[0] - xb[0], ys[0] - yb[0]))
     assert 20.0 < shift < 600.0, shift
+
+
+def test_ntf_lambert_zones_1sp_exact():
+    """r12b: NTF Lambert zones I-IV now run the true EPSG 9801 1SP
+    construction (make_lcc1sp: F -> k0*F on the tangent cone) — the
+    analytic meridian scale at lat0 must reproduce the published k0 to
+    1e-12, and the carto false northings step 1M per zone.  Coarse city
+    anchors (±2 km) catch zone/meridian/origin mixups."""
+    import math
+
+    import numpy as np
+
+    from geoparquet_io_spark.functions import projections as P
+    from geoparquet_io_spark.functions.projections import (
+        _snyder_m, _snyder_t, make_lcc1sp)
+
+    a, f = P.CLARKE1880IGN
+    e = math.sqrt(f * (2 - f))
+    pub = {27571: (49.5, 0.999877341), 27572: (46.8, 0.99987742),
+           27573: (44.1, 0.999877499), 27574: (42.165, 0.99994471)}
+    for code, (lat0, k0) in pub.items():
+        c = make_lcc1sp(a, f, lat0=lat0, k0=k0, lon0=0.0, fe=0.0, fn=0.0)
+        p0 = math.radians(lat0)
+        m0 = float(_snyder_m(np.array([p0]), e)[0])
+        t0 = float(_snyder_t(np.array([p0]), e)[0])
+        assert abs(c.n * c.F * t0 ** c.n / m0 - k0) < 1e-12, code
+
+    # Paris in zone I carto: same easting as zone II (~601.1 km), FN
+    # 1.2M with lat0 49.5 -> y ~ 1,128,xxx
+    fwd, inv = P._proj_for_epsg(27571)
+    x, y = fwd(np.array([2.3522]), np.array([48.8566]))
+    assert abs(float(x[0]) - 601_150) < 2000
+    assert abs(float(y[0]) - 1_128_500) < 2000
+    lo, la = inv(x, y)
+    assert abs(lo[0] - 2.3522) < 1e-7 and abs(la[0] - 48.8566) < 1e-7
+    # Marseille in zone III carto
+    fwd, _ = P._proj_for_epsg(27573)
+    x, y = fwd(np.array([5.3698]), np.array([43.2965]))
+    assert abs(float(x[0]) - 846_000) < 2500
+    assert abs(float(y[0]) - 3_115_300) < 2500
+    # Ajaccio in zone IV (Corsica): FE 234.358, FN 4,185,861.369
+    fwd, _ = P._proj_for_epsg(27574)
+    x, y = fwd(np.array([8.7389]), np.array([41.9192]))
+    assert abs(float(x[0]) - 530_800) < 2500
+    assert abs(float(y[0]) - 4_178_500) < 2500
