@@ -32,8 +32,10 @@ def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     clamps silently filed missing coordinates into the top-left tile
     (real-looking quadkey '000…') either way."""
     n = float(1 << zoom)
-    lon = F.when(~F.isnan(lon), lon)     # NaN -> NULL (gated below)
-    lat = F.when(~F.isnan(lat), lat)
+    # nanvl(v, NULL): same NaN -> NULL contract as when(~isnan(v), v)
+    # in one intrinsic (r12)
+    lon = F.nanvl(lon, F.lit(None).cast("double"))
+    lat = F.nanvl(lat, F.lit(None).cast("double"))
     lat_c = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat))
     lat_c = F.when(lat.isNotNull(), lat_c)
     x = (lon + F.lit(180.0)) / F.lit(360.0)

@@ -1947,3 +1947,33 @@ def test_every_geometry_consumer_rejects_geometryless_table(spark):
     for name, fn in surfaces:
         with pytest.raises(ValueError, match="geometry column"):
             fn()
+
+
+def test_zorder_nanvl_fast_path_nan_null_parity(spark):
+    """r12 focused A/B found the shared _grid_scale NaN stack cost +20%
+    on sort_zorder_multicolumn; zorder_by's linear path now uses a
+    nanvl-based form.  Contract unchanged: NaN and NULL rows land in
+    bucket 0 (key non-null), finite rows keep their exact buckets."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoparquet_io_spark.operators.sorts import zorder_by
+
+    rows = [(1, 10.0, 100.0), (2, 20.0, 200.0), (3, math.nan, 150.0),
+            (4, None, 120.0), (5, 15.0, None), (6, 30.0, 300.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    z = zorder_by(df, ["a", "b"], bits=4, key_column="zk", keep_key=True)
+    got = {r["id"]: r["zk"] for r in z.collect()}
+    assert all(v is not None for v in got.values())
+    # NaN/NULL coordinate -> that column's bucket is 0: id 3 and 4
+    # (a missing) must share a's bucket with the a == lo row (id 1)
+    def a_bits(key):
+        return sum(((key >> (2 * j)) & 1) << j for j in range(4))
+    def b_bits(key):
+        return sum(((key >> (2 * j + 1)) & 1) << j for j in range(4))
+    assert a_bits(got[3]) == a_bits(got[4]) == a_bits(got[1]) == 0
+    assert b_bits(got[5]) == 0
+    # finite rows: exact uniform-grid buckets (lo 10 / hi 30, n 15)
+    assert a_bits(got[6]) == 15 and b_bits(got[6]) == 15
+    assert a_bits(got[2]) == round((20.0 - 10.0) / 20.0 * 15)
