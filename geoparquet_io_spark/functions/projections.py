@@ -1718,6 +1718,18 @@ def _proj_for_epsg(code: int):
         return _with_datum(lambda lo, la: tm_forward(lo, la, c),
                            lambda x, y: tm_inverse(x, y, c),
                            BESSEL1841, _DATUM_MGI)
+    if 2391 <= code <= 2394:  # KKJ / Finland zones 1-4
+        # The pre-EUREF-FIN Finnish installed base: International 1924
+        # Gauss-Krueger strips (k0 = 1, CM 21/24/27/30E, FE = zone
+        # MILLION + 500 km; zone 3 = 2393 is the nationwide "Uniform
+        # Coordinate System" most legacy data ships in) + the published
+        # national position-vector set.
+        zone = code - 2390
+        c = make_tm(*INTL1924, lat0=0.0, lon0=18.0 + 3.0 * zone, k0=1.0,
+                    fe=zone * 1_000_000.0 + 500_000.0, fn=0.0)
+        return _with_datum(lambda lo, la: tm_forward(lo, la, c),
+                           lambda x, y: tm_inverse(x, y, c),
+                           INTL1924, _DATUM_KKJ)
     if code in (3003, 3004):  # Monte Mario / Italy zones 1-2 (Gauss-Boaga)
         # International 1924 TM, k0 0.9996, FE 1,500,000 (west) /
         # 2,520,000 (east); datum via the published national
@@ -1885,6 +1897,8 @@ _DATUM_MGI = (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
 # Monte Mario -> WGS84 (the published national position-vector set for
 # continental Italy, ~4 m)
 _DATUM_MONTEMARIO = (-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
+# KKJ -> WGS84 (the published Finnish national position-vector set)
+_DATUM_KKJ = (-96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496)
 # Pulkovo 1942 -> WGS84 (EPSG tfm 1254: geocentric translation, USSR)
 _DATUM_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
 # Bogota 1975 -> WGS84 (EPSG tfm 1125: geocentric translation)

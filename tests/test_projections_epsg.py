@@ -1314,3 +1314,33 @@ def test_ntf_lambert_zones_1sp_exact():
     x, y = fwd(np.array([8.7389]), np.array([41.9192]))
     assert abs(float(x[0]) - 530_800) < 2500
     assert abs(float(y[0]) - 4_178_500) < 2500
+
+
+def test_kkj_finland_zones():
+    """r12b: KKJ zones 1-4 (2391-2394; 2393 is the nationwide Uniform
+    system legacy Finnish data ships in).  Helsinki's classic KKJ
+    coordinates (~3,385.7 km / 6,674.9 km) pin the zone-3 grid; the
+    zone ladder FE steps 1M per zone; the national Helmert is present
+    (~175 m vs the bare ellipsoid at Helsinki)."""
+    import numpy as np
+
+    from geoparquet_io_spark.functions import projections as P
+
+    f3, i3 = P._proj_for_epsg(2393)
+    x, y = f3(np.array([24.9384]), np.array([60.1699]))
+    assert abs(float(x[0]) - 3_385_700) < 2000
+    assert abs(float(y[0]) - 6_674_900) < 2000
+    lo, la = i3(x, y)
+    assert abs(lo[0] - 24.9384) < 1e-6 and abs(la[0] - 60.1699) < 1e-6
+
+    # Turku in zone 1: FE 1.5M, CM 21E
+    f1, _ = P._proj_for_epsg(2391)
+    x1, y1 = f1(np.array([22.2666]), np.array([60.4518]))
+    assert 1.55e6 < float(x1[0]) < 1.60e6 and 6.69e6 < float(y1[0]) < 6.72e6
+
+    # datum shift presence: KKJ is ~100-250 m off WGS84 here
+    c = P.make_tm(*P.INTL1924, lat0=0.0, lon0=27.0, k0=1.0,
+                  fe=3_500_000.0, fn=0.0)
+    xb, yb = P.tm_forward(np.array([24.9384]), np.array([60.1699]), c)
+    shift = float(np.hypot(x[0] - xb[0], y[0] - yb[0]))
+    assert 100.0 < shift < 300.0, shift
