@@ -321,6 +321,60 @@ def _point_in_polygon(px: float, py: float, poly: Geom) -> bool:
     return True
 
 
+def _points_in_ring_bulk(px: np.ndarray, py: np.ndarray,
+                         ring: np.ndarray) -> np.ndarray:
+    """:func:`_point_in_ring` over ARRAYS of points at once (one
+    points x segments broadcast instead of a python call per point).
+    Same arithmetic per element, so the result is bit-identical to the
+    scalar loop — pinned by test_wkb bulk-parity tests."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    dx, dy = x1 - x, y1 - y
+    seg_len2 = dx * dx + dy * dy
+    PX, PY = px[:, None], py[:, None]
+    cross = (PX - x) * dy - (PY - y) * dx
+    dot = (PX - x) * dx + (PY - y) * dy
+    on = ((seg_len2 > 0) & (np.abs(cross) < 1e-12)
+          & (dot >= 0) & (dot <= seg_len2)).any(axis=1)
+    on |= (((PX - x) ** 2 + (PY - y) ** 2) == 0).any(axis=1)
+    cond = (y > PY) != (y1 > PY)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = (PY - y) * (x1 - x) / np.where(y1 - y == 0, 1, y1 - y) + x
+    inside = ((cond & (PX < xints)).sum(axis=1) % 2) == 1
+    return on | inside
+
+
+def _on_ring_boundary_bulk(px: np.ndarray, py: np.ndarray,
+                           ring: np.ndarray) -> np.ndarray:
+    """:func:`_on_ring_boundary` over arrays of points (bit-identical)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    dx, dy = x1 - x, y1 - y
+    PX, PY = px[:, None], py[:, None]
+    cross = (PX - x) * dy - (PY - y) * dx
+    dot = (PX - x) * dx + (PY - y) * dy
+    seg_len2 = dx * dx + dy * dy
+    on_vertex = (((PX - x) ** 2 + (PY - y) ** 2) == 0).any(axis=1)
+    on_seg = ((seg_len2 > 0) & (np.abs(cross) < 1e-12)
+              & (dot >= 0) & (dot <= seg_len2)).any(axis=1)
+    return on_vertex | on_seg
+
+
+def _points_in_polygon_bulk(px: np.ndarray, py: np.ndarray,
+                            poly: Geom) -> np.ndarray:
+    """:func:`_point_in_polygon` over arrays of points (bit-identical)."""
+    if not poly.parts:
+        return np.zeros(len(px), dtype=bool)
+    res = _points_in_ring_bulk(px, py, poly.parts[0])
+    for hole in poly.parts[1:]:
+        if not res.any():
+            break
+        in_hole = _points_in_ring_bulk(px, py, hole) \
+            & ~_on_ring_boundary_bulk(px, py, hole)
+        res &= ~in_hole
+    return res
+
+
 def _on_ring_boundary(px: float, py: float, ring: np.ndarray) -> bool:
     x, y = ring[:, 0], ring[:, 1]
     x1, y1 = np.roll(x, -1), np.roll(y, -1)

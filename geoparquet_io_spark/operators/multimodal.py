@@ -664,6 +664,13 @@ def _gray_pool(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
         g = g[np.floor(np.arange(rows) * g.shape[0] / rows).astype(int)]
     if g.shape[1] < cols:
         g = g[:, np.floor(np.arange(cols) * g.shape[1] / cols).astype(int)]
+    if g.shape == (rows, cols):
+        # every pool block is exactly one pixel: pooling is the identity
+        # (mean of a single element).  Skipping the rows x cols python
+        # loop here is EXACT, and it is the common thumbnail-hash case
+        # (r12 measurement: the block loop was ~0.5 ms per image, 100x
+        # the decode cost).
+        return g
     pooled = np.empty((rows, cols), dtype="f8")
     rsplit = np.array_split(np.arange(g.shape[0]), rows)
     csplit = np.array_split(np.arange(g.shape[1]), cols)
@@ -685,10 +692,11 @@ def dhash(img: np.ndarray, hash_size: int = 8) -> int:
             f"hash_size must be in [1, 8] (hash_size^2 bits must fit a "
             f"64-bit long), got {hash_size}")
     pooled = _gray_pool(img, hash_size, hash_size + 1)
-    bits = pooled[:, :-1] > pooled[:, 1:]
-    v = 0
-    for b in bits.ravel():
-        v = (v << 1) | int(b)
+    bits = (pooled[:, :-1] > pooled[:, 1:]).ravel()
+    # MSB-first pack (identical to the former (v << 1) | bit loop):
+    # packbits pads the LAST byte's low bits, so shift them back out
+    pb = np.packbits(bits)
+    v = int.from_bytes(pb.tobytes(), "big") >> (8 * len(pb) - bits.size)
     if v >= 1 << 63:        # two's-complement into a signed 64-bit long
         v -= 1 << 64
     return v

@@ -151,8 +151,14 @@ def geotiff_to_points(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
-            keep_vals = {c: pdf[c].tolist() for c in keep}
+            # accumulate per-raster numpy arrays and build ONE DataFrame
+            # per batch: the former one-frame-per-raster + concat spent
+            # ~0.5 ms of pandas overhead per raster — 25x the decode
+            # cost for small tiles (r12 measurement: 2.54 s frame-build
+            # vs 0.09 s decode for 5000 8x6 tiles)
+            col_a, row_a, x_a, y_a, val_a = [], [], [], [], []
+            src_rows: list[int] = []   # pdf row index per raster
+            counts: list[int] = []     # pixels per raster
             for ri, buf in enumerate(pdf[data_column].tolist()):
                 if buf is None:
                     continue
@@ -172,18 +178,31 @@ def geotiff_to_points(
                     raise ValueError(
                         f"raster explodes to {len(vals)} pixels > "
                         f"max_pixels={max_pixels}; raise the cap or stride")
-                out = pd.DataFrame({
-                    "col": cols.astype("i4"), "row": rows.astype("i4"),
-                    "x": info.origin_x + (cols + 0.5) * info.pixel_w,
-                    "y": info.origin_y - (rows + 0.5) * info.pixel_h,
-                    "value": vals,
-                })
+                col_a.append(cols.astype("i4"))
+                row_a.append(rows.astype("i4"))
+                x_a.append(info.origin_x + (cols + 0.5) * info.pixel_w)
+                y_a.append(info.origin_y - (rows + 0.5) * info.pixel_h)
+                val_a.append(vals)
+                src_rows.append(ri)
+                counts.append(len(vals))
+            if not col_a:
+                yield pd.DataFrame(columns=keep
+                                   + ["col", "row", "x", "y", "value"])
+                continue
+            out = pd.DataFrame({
+                "col": np.concatenate(col_a), "row": np.concatenate(row_a),
+                "x": np.concatenate(x_a), "y": np.concatenate(y_a),
+                "value": np.concatenate(val_a),
+            })
+            if keep:
+                # replicate the kept source columns by repeated iloc —
+                # vectorized and dtype-preserving
+                rep = np.repeat(np.asarray(src_rows, dtype=np.int64),
+                                counts)
+                kept = pdf[keep].iloc[rep].reset_index(drop=True)
                 for c in keep:
-                    out[c] = keep_vals[c][ri]
-                outs.append(out[keep + ["col", "row", "x", "y", "value"]])
-            yield (pd.concat(outs) if outs
-                   else pd.DataFrame(columns=keep
-                                     + ["col", "row", "x", "y", "value"]))
+                    out[c] = kept[c]
+            yield out[keep + ["col", "row", "x", "y", "value"]]
 
     return df.mapInPandas(run, schema=out_schema)
 

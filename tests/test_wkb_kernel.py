@@ -397,3 +397,59 @@ def test_wkt_geometrycollection_and_empty_roundtrip():
     assert wkb.length(wkt.from_wkt("LINESTRING EMPTY")) == 0.0
     assert math.isnan(wkb.envelope(wkt.from_wkt("GEOMETRYCOLLECTION EMPTY"))[0])
     assert wkb.geometry_type(wkt.from_wkt("MULTIPOLYGON EMPTY")) == "MULTIPOLYGON"
+
+
+# --- r12 optimization: bulk point-in-polygon parity -------------------------
+
+def _pip_poly(wkt_str):
+    return wkb.parse(wkt.from_wkt(wkt_str))
+
+
+def test_points_in_polygon_bulk_matches_scalar_adversarial():
+    """The vectorized spatial-join kernel must agree with the scalar
+    kernel bit-for-bit on every boundary case: on-edge, on-vertex,
+    strictly-inside, in-hole, ON the hole boundary, outside, and far
+    away.  (The r12 spatial_join fast path routes through the bulk
+    form; a drift here silently changes join results.)"""
+    poly = _pip_poly(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    pts = [
+        (5, 1),      # inside shell
+        (5, 5),      # inside hole -> outside
+        (4, 5),      # on hole boundary -> inside
+        (4, 4),      # hole vertex -> inside
+        (0, 0),      # shell vertex
+        (5, 0),      # on shell edge
+        (10, 10),    # shell corner
+        (-1, 5),     # outside
+        (11, 11),    # outside
+        (5, 10),     # top edge
+        (4.5, 4),    # on hole edge
+        (5.000001, 5.000001),  # just inside hole
+        (3.999999, 5),         # just outside hole
+    ]
+    px = np.array([p[0] for p in pts], dtype=np.float64)
+    py = np.array([p[1] for p in pts], dtype=np.float64)
+    bulk = wkb._points_in_polygon_bulk(px, py, poly)
+    scalar = np.array([
+        wkb._point_in_polygon(float(x), float(y), poly) for x, y in pts])
+    assert (bulk == scalar).all()
+
+
+@given(st.lists(st.tuples(st.floats(min_value=-12, max_value=12,
+                                    allow_nan=False),
+                          st.floats(min_value=-12, max_value=12,
+                                    allow_nan=False)),
+                min_size=1, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_points_in_ring_bulk_property(pts):
+    poly = _pip_poly(
+        "POLYGON ((0 0, 10 0, 12 5, 10 10, 0 10, -2 5, 0 0),"
+        " (3 3, 7 3, 7 7, 3 7, 3 3))")
+    px = np.array([p[0] for p in pts], dtype=np.float64)
+    py = np.array([p[1] for p in pts], dtype=np.float64)
+    bulk = wkb._points_in_polygon_bulk(px, py, poly)
+    scalar = np.array([
+        wkb._point_in_polygon(float(x), float(y), poly) for x, y in pts])
+    assert (bulk == scalar).all()
