@@ -1417,12 +1417,21 @@ def _intra_cluster_losers(v: DataFrame, dim: int, threshold: float,
     NULL-embedding rows carry cluster NULL from the assign kernel; they
     can neither lose nor witness, so they are excluded here BEFORE the
     groupBy (Spark groups NULL keys together — the scorer's np.stack
-    would otherwise see a batch of None vectors)."""
+    would otherwise see a batch of None vectors).
+
+    r12: cluster sizes come from a WINDOW count over the cluster key
+    instead of the former agg + broadcast join — the window's single
+    exchange establishes exactly the clustering every downstream
+    consumer needs (the Arrow scorer's groupBy and the chain's window
+    reuse it with no further shuffle), so the count is free where the
+    agg + broadcast cost one extra shuffle + one broadcast build.  No
+    new skew cliff: both branches already required a whole cluster in
+    one task (applyInPandas group / row_number window)."""
     v = v.filter(F.col("cluster").isNotNull())
     if max_cluster_size is None:
         return _cluster_losers_arrow(v, threshold)
-    counts = v.groupBy("cluster").agg(F.count("*").alias("__cn"))
-    vv = v.join(F.broadcast(counts), "cluster")
+    wc = Window.partitionBy("cluster")
+    vv = v.withColumn("__cn", F.count(F.lit(1)).over(wc))
     pool = vv.filter(F.col("__cn") <= max_cluster_size).drop("__cn")
     big = vv.filter(F.col("__cn") > max_cluster_size).drop("__cn")
     # NULL (never an ANSI DIVIDE_BY_ZERO) for zero-norm members, like

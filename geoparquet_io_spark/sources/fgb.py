@@ -473,9 +473,14 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
     if n == 0:
         df = spark.createDataFrame([], schema)
     else:
+        # >= 512 features per task: the per-feature python decode is
+        # ~0.1-0.2 ms, so a 512-feature task does ~50-100 ms of work —
+        # comparable to task overhead; the old 2000 floor left a
+        # 5000-feature file on 2 cores (r12).  The shuffle-partitions
+        # cap still bounds task count on big files.
         n_tasks = tasks or min(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            max(1, n // 2000) or 1)
+            max(1, n // 512) or 1)
         step = (n + n_tasks - 1) // n_tasks
         # each range row CARRIES its own span slice: capturing the whole
         # feat_spans list in the scan closure would serialize the full
@@ -494,7 +499,12 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
             fgb_t = task_local_path(path, fetch_name)
             for pdf in batches:
                 for offs, lens in zip(pdf["offs"], pdf["lens"]):
-                    recs = []
+                    # column lists, one DataFrame per range: the former
+                    # list-of-dicts DataFrame constructor re-inferred
+                    # the schema per row (r12)
+                    geo_col: list = []
+                    prop_cols: dict[str, list] = {
+                        c["name"]: [] for c in cols}
                     with open(fgb_t, "rb") as fh:
                         for off, ln in zip(offs, lens):
                             off, ln = int(off), int(ln)
@@ -502,16 +512,18 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                             buf = fh.read(ln)
                             f = FB.root(buf)
                             gt_tab = f.table(0)
-                            wkb = None if gt_tab is None else \
-                                _geom_table_to_wkb(gt_tab, gdecl)
+                            geo_col.append(
+                                None if gt_tab is None else
+                                _geom_table_to_wkb(gt_tab, gdecl))
                             props = decode_properties(
                                 f.vector_bytes(1) or b"", cols)
-                            recs.append(
-                                {geometry_column: wkb,
-                                 **{c["name"]: props.get(c["name"])
-                                    for c in cols}})
-                    out = pd.DataFrame(
-                        recs, columns=[f.name for f in fields])
+                            for c in cols:
+                                prop_cols[c["name"]].append(
+                                    props.get(c["name"]))
+                    data = {geometry_column: geo_col}
+                    data.update(prop_cols)
+                    out = pd.DataFrame(data,
+                                       columns=[f.name for f in fields])
                     for c, sf in zip(cols, fields[1:]):
                         if isinstance(sf.dataType, T.LongType):
                             out[c["name"]] = out[c["name"]].astype("Int64")
@@ -568,19 +580,6 @@ def write_fgb(gt, path: str, name: str | None = None,
         declared = _WKT_TO_CODE.get(next(iter(gtypes)), GEOM_UNKNOWN)
 
     env = [None] * 4
-    for r in rows:
-        if r[gcol] is not None:
-            x0, y0, x1, y1 = W.envelope(bytes(r[gcol]))
-            if x0 != x0:
-                # empty geometry: a NaN envelope seeded into min()/max()
-                # stays NaN forever — the header extent and the Hilbert
-                # sort grid would both be garbage
-                continue
-            env[0] = x0 if env[0] is None else min(env[0], x0)
-            env[1] = y0 if env[1] is None else min(env[1], y0)
-            env[2] = x1 if env[2] is None else max(env[2], x1)
-            env[3] = y1 if env[3] is None else max(env[3], y1)
-
     srs_code = 0
     crs = gt.crs
     if isinstance(crs, str) and crs.upper().startswith("EPSG:"):
@@ -602,10 +601,20 @@ def write_fgb(gt, path: str, name: str | None = None,
             ffields[0] = ("offset",
                           _build_geom_table(fb, W.parse(wkb), declared))
             bx = W.envelope(wkb)
-            # empty geometry: NaN boxes corrupt the packed R-tree node
-            # bounds — same (0,0,0,0) placeholder as NULL geometries
-            feat_boxes.append(bx if bx[0] == bx[0]
-                              else (0.0, 0.0, 0.0, 0.0))
+            if bx[0] == bx[0]:
+                feat_boxes.append(bx)
+                # dataset extent folded into the SAME pass (the former
+                # separate envelope loop re-parsed every geometry, r12);
+                # empty geometries' NaN envelopes are skipped so the
+                # header extent / Hilbert grid stay finite
+                env[0] = bx[0] if env[0] is None else min(env[0], bx[0])
+                env[1] = bx[1] if env[1] is None else min(env[1], bx[1])
+                env[2] = bx[2] if env[2] is None else max(env[2], bx[2])
+                env[3] = bx[3] if env[3] is None else max(env[3], bx[3])
+            else:
+                # empty geometry: NaN boxes corrupt the packed R-tree
+                # node bounds — same (0,0,0,0) placeholder as NULLs
+                feat_boxes.append((0.0, 0.0, 0.0, 0.0))
         else:
             feat_boxes.append((0.0, 0.0, 0.0, 0.0))
         props = encode_properties(
