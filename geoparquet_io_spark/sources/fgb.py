@@ -542,6 +542,212 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
 # Write
 # ---------------------------------------------------------------------------
 
+def _serialize_feature(wkb: bytes | None, prop_row: dict, cols: list[dict],
+                       declared: int) -> bytes:
+    """One feature buffer (no size prefix) — the single source of
+    feature bytes for BOTH write paths.  The fast path below builds its
+    byte templates THROUGH this function, which is what makes template
+    patching byte-identical by construction."""
+    fb = FB.Builder()
+    ffields: dict = {}
+    if wkb is not None:
+        ffields[0] = ("offset",
+                      _build_geom_table(fb, W.parse(wkb), declared))
+    props = encode_properties(prop_row, cols)
+    if props:
+        ffields[1] = ("offset", fb.vector_bytes(props))
+    return fb.finish(fb.table(ffields))
+
+
+# fast-path property types: fixed width, numpy-exact conversion from the
+# python values struct.pack would accept (strings/binary/datetime vary
+# per row and fall back to the generic per-feature builder)
+_FAST_PROP = {COL_BOOL, COL_SHORT, COL_INT, COL_LONG, COL_FLOAT, COL_DOUBLE}
+_INT_BOUNDS = {COL_SHORT: (-1 << 15, (1 << 15) - 1),
+               COL_INT: (-1 << 31, (1 << 31) - 1),
+               COL_LONG: (-1 << 63, (1 << 63) - 1),
+               COL_BOOL: (0, 255)}
+_PT_PREFIX = b"\x01\x01\x00\x00\x00"        # little-endian WKB point
+
+
+def _sentinel_bytes(width: int, which: int) -> bytes:
+    """``width`` bytes, every byte differing between which=0 and
+    which=1, high byte < 0x80 (finite positive when read as LE
+    int/float, so struct round-trips are bit-exact)."""
+    base = 0x21 if which == 0 else 0x51
+    return bytes((base + i) for i in range(width))
+
+
+def _fast_point_features(rows, gcol: str, cols: list[dict], declared: int):
+    """Vectorized template-patch serialization for all-POINT features
+    with fixed-size-only properties (guide §4.2 — replace the per-row
+    python Builder with one numpy byte-patch per null-mask group).
+
+    For a fixed null-mask the Builder's output layout depends only on
+    STRUCTURE (field ids, widths, vector lengths), never on payload
+    values — so one template built through :func:`_serialize_feature`
+    with sentinel payloads, plus per-slot sentinel DIFFS to locate the
+    payload byte ranges, reproduces every feature by patching coord /
+    property bytes into a tiled copy of the template.  Any surprise
+    (diff not contiguous, probe row mismatch, non-LE/non-21-byte WKB,
+    value outside the column's struct range) falls back to the generic
+    path for bit-identical behavior including its error behavior.
+
+    Returns ``(feat_bufs, feat_boxes, env)`` or ``None``.
+    """
+    if declared != GEOM_POINT or not rows:
+        return None
+    if any(c["type"] not in _FAST_PROP for c in cols):
+        return None
+    names = [c["name"] for c in cols]
+    n = len(rows)
+
+    wkbs: list[bytes | None] = []
+    for r in rows:
+        g = r[gcol]
+        if g is not None:
+            g = bytes(g)
+            if len(g) != 21 or not g.startswith(_PT_PREFIX):
+                return None
+        wkbs.append(g)
+    colvals: dict[str, list] = {}
+    for c in cols:
+        vals = [r[c["name"]] for r in rows]
+        bounds = _INT_BOUNDS.get(c["type"])
+        for v in vals:
+            if v is None:
+                continue
+            if not isinstance(v, (int, float)):
+                return None          # Decimal/str/...: generic decides
+            if bounds is not None and (isinstance(v, float)
+                                       or not bounds[0] <= v <= bounds[1]):
+                return None          # keep struct.pack's error behavior
+        colvals[c["name"]] = vals
+
+    # boxes + extent: mirrors the generic loop's fold exactly —
+    # W.envelope of a point is (x, y, x, y), NaN in either coordinate
+    # propagates to all four, and NaN envelopes are skipped
+    feat_boxes: list[tuple] = [None] * n
+    env: list = [None] * 4
+    fx: list[float] = []
+    fy: list[float] = []
+    for i, g in enumerate(wkbs):
+        if g is None:
+            feat_boxes[i] = (0.0, 0.0, 0.0, 0.0)
+            continue
+        x, y = struct.unpack_from("<2d", g, 5)
+        if x == x and y == y:
+            feat_boxes[i] = (x, y, x, y)
+            fx.append(x)
+            fy.append(y)
+        else:
+            feat_boxes[i] = (0.0, 0.0, 0.0, 0.0)
+    if fx:
+        env = [min(fx), min(fy), max(fx), max(fy)]
+
+    groups: dict[tuple, list[int]] = {}
+    for i in range(n):
+        key = (wkbs[i] is None,) + tuple(
+            colvals[nm][i] is None for nm in names)
+        groups.setdefault(key, []).append(i)
+
+    def generic(i: int) -> bytes:
+        return _serialize_feature(
+            wkbs[i], {nm: colvals[nm][i] for nm in names}, cols, declared)
+
+    feat_bufs: list[bytes | None] = [None] * n
+    for key, idxs in groups.items():
+        geom_null = key[0]
+        present = [c for c, isnull in zip(cols, key[1:]) if not isnull]
+        slots = ([] if geom_null else [("xy", 16)]) + \
+            [(c["name"], _FIXED_FMT[c["type"]][1]) for c in present]
+        if len(idxs) < len(slots) + 4:
+            for i in idxs:
+                feat_bufs[i] = generic(i)
+            continue
+
+        def build(sel: dict) -> bytes:
+            if geom_null:
+                wk = None
+            else:
+                x = struct.unpack(
+                    "<d", _sentinel_bytes(8, sel.get("xy", 0)))[0]
+                wk = W.encode_point(x, x)
+            prow = {}
+            for c in present:
+                fmt, wd = _FIXED_FMT[c["type"]]
+                sb = _sentinel_bytes(wd, sel.get(c["name"], 0))
+                if c["type"] in (COL_FLOAT, COL_DOUBLE):
+                    prow[c["name"]] = struct.unpack("<" + fmt, sb)[0]
+                else:
+                    prow[c["name"]] = int.from_bytes(
+                        sb, "little", signed=fmt.islower())
+            return _serialize_feature(wk, prow, cols, declared)
+
+        base = build({})
+        offs: dict[str, int] = {}
+        ok = True
+        for sname, wd in slots:
+            var = build({sname: 1})
+            if len(var) != len(base):
+                ok = False
+                break
+            d = [p for p in range(len(base)) if base[p] != var[p]]
+            if len(d) != wd or d[-1] - d[0] != wd - 1:
+                ok = False
+                break
+            offs[sname] = d[0]
+        spans = sorted((offs[s], offs[s] + wd) for s, wd in slots) if ok \
+            else []
+        if any(a1 > a0 for (_, a1), (a0, _) in zip(spans, spans[1:])):
+            ok = False
+        if not ok:
+            for i in idxs:
+                feat_bufs[i] = generic(i)
+            continue
+
+        tmpl = np.frombuffer(base, dtype=np.uint8)
+        L = len(base)
+        for lo in range(0, len(idxs), 65536):     # bound transient memory
+            chunk = idxs[lo:lo + 65536]
+            k = len(chunk)
+            M = np.tile(tmpl, (k, 1))
+            if not geom_null:
+                A = np.frombuffer(b"".join(wkbs[i] for i in chunk),
+                                  np.uint8).reshape(k, 21)
+                o = offs["xy"]
+                M[:, o:o + 16] = A[:, 5:]   # WKB payload IS the LE doubles
+            for c in present:
+                _, wd = _FIXED_FMT[c["type"]]
+                vals = [colvals[c["name"]][i] for i in chunk]
+                ct = c["type"]
+                if ct == COL_DOUBLE:
+                    arr = np.asarray(vals, dtype="<f8")
+                elif ct == COL_FLOAT:
+                    arr = np.asarray(vals, dtype="<f8").astype("<f4")
+                elif ct == COL_BOOL:
+                    arr = np.asarray([int(v) for v in vals], dtype="u1")
+                else:
+                    arr = np.asarray([int(v) for v in vals],
+                                     dtype="<i8").astype(
+                        {2: "<i2", 4: "<i4", 8: "<i8"}[wd])
+                o = offs[c["name"]]
+                M[:, o:o + wd] = np.ascontiguousarray(arr) \
+                    .view(np.uint8).reshape(k, wd)
+            blob = M.tobytes()
+            for j, i in enumerate(chunk):
+                feat_bufs[i] = blob[j * L:(j + 1) * L]
+        # probe: first and last row of the group must equal the
+        # per-feature builder's bytes (cheap end-to-end self-check; a
+        # mismatch demotes the whole group to the generic path)
+        for probe in {idxs[0], idxs[-1]}:
+            if feat_bufs[probe] != generic(probe):
+                for i in idxs:
+                    feat_bufs[i] = generic(i)
+                break
+    return feat_bufs, feat_boxes, env
+
+
 def write_fgb(gt, path: str, name: str | None = None,
               index_node_size: int = 16) -> None:
     """GeoTable -> FlatGeobuf file (driver-side single-file sink).
@@ -572,9 +778,16 @@ def write_fgb(gt, path: str, name: str | None = None,
 
     cols = [{"name": f.name, "type": _spark_to_coltype(f.dataType)}
             for f in df.schema.fields if f.name != gcol]
-    # declared geometry type: single type -> its code, else Unknown
-    gtypes = {W.geometry_type(bytes(r[gcol])) for r in rows
-              if r[gcol] is not None}
+    # declared geometry type: single type -> its code, else Unknown.
+    # A 21-byte buffer with the LE point prefix can only parse to POINT
+    # — skipping the full parse for that shape keeps this pass O(1) per
+    # point feature (the write-side dominator after the fast path).
+    gtypes = set()
+    for r in rows:
+        if r[gcol] is not None:
+            g = bytes(r[gcol])
+            gtypes.add("POINT" if len(g) == 21 and g.startswith(_PT_PREFIX)
+                       else W.geometry_type(g))
     declared = GEOM_UNKNOWN
     if len(gtypes) == 1:
         declared = _WKT_TO_CODE.get(next(iter(gtypes)), GEOM_UNKNOWN)
@@ -591,37 +804,37 @@ def write_fgb(gt, path: str, name: str | None = None,
 
     # serialize every feature first (needed for offsets/boxes when
     # indexing; also keeps the no-index path identical)
-    feat_bufs: list[bytes] = []
-    feat_boxes: list[tuple] = []
-    for r in rows:
-        fb = FB.Builder()
-        ffields: dict = {}
-        if r[gcol] is not None:
-            wkb = bytes(r[gcol])
-            ffields[0] = ("offset",
-                          _build_geom_table(fb, W.parse(wkb), declared))
-            bx = W.envelope(wkb)
-            if bx[0] == bx[0]:
-                feat_boxes.append(bx)
-                # dataset extent folded into the SAME pass (the former
-                # separate envelope loop re-parsed every geometry, r12);
-                # empty geometries' NaN envelopes are skipped so the
-                # header extent / Hilbert grid stay finite
-                env[0] = bx[0] if env[0] is None else min(env[0], bx[0])
-                env[1] = bx[1] if env[1] is None else min(env[1], bx[1])
-                env[2] = bx[2] if env[2] is None else max(env[2], bx[2])
-                env[3] = bx[3] if env[3] is None else max(env[3], bx[3])
+    fast = _fast_point_features(rows, gcol, cols, declared)
+    if fast is not None:
+        feat_bufs, feat_boxes, env = fast
+    else:
+        feat_bufs = []
+        feat_boxes = []
+        for r in rows:
+            wkb = bytes(r[gcol]) if r[gcol] is not None else None
+            if wkb is not None:
+                bx = W.envelope(wkb)
+                if bx[0] == bx[0]:
+                    feat_boxes.append(bx)
+                    # dataset extent folded into the SAME pass (the
+                    # former separate envelope loop re-parsed every
+                    # geometry, r12); empty geometries' NaN envelopes
+                    # are skipped so the header extent / Hilbert grid
+                    # stay finite
+                    env[0] = bx[0] if env[0] is None else min(env[0], bx[0])
+                    env[1] = bx[1] if env[1] is None else min(env[1], bx[1])
+                    env[2] = bx[2] if env[2] is None else max(env[2], bx[2])
+                    env[3] = bx[3] if env[3] is None else max(env[3], bx[3])
+                else:
+                    # empty geometry: NaN boxes corrupt the packed
+                    # R-tree node bounds — same (0,0,0,0) placeholder
+                    # as NULLs
+                    feat_boxes.append((0.0, 0.0, 0.0, 0.0))
             else:
-                # empty geometry: NaN boxes corrupt the packed R-tree
-                # node bounds — same (0,0,0,0) placeholder as NULLs
                 feat_boxes.append((0.0, 0.0, 0.0, 0.0))
-        else:
-            feat_boxes.append((0.0, 0.0, 0.0, 0.0))
-        props = encode_properties(
-            {c["name"]: r[c["name"]] for c in cols}, cols)
-        if props:
-            ffields[1] = ("offset", fb.vector_bytes(props))
-        feat_bufs.append(fb.finish(fb.table(ffields)))
+            feat_bufs.append(_serialize_feature(
+                wkb, {c["name"]: r[c["name"]] for c in cols}, cols,
+                declared))
 
     index_bytes = b""
     node_size = index_node_size if len(rows) else 0

@@ -1181,3 +1181,96 @@ def test_fgb_corrupt_column_index_is_value_error():
     blob = _s.pack("<H", 7) + b"\x00" * 8     # column index 7 of 1
     with pytest.raises(ValueError, match="column index"):
         decode_properties(blob, cols)
+
+
+def test_fgb_fast_point_write_bitexact_vs_generic(spark, tmp_path,
+                                                 monkeypatch):
+    """The vectorized template-patch point writer (r12) must produce a
+    file BYTE-IDENTICAL to the per-feature builder across every
+    null-mask / coordinate edge case: null geometries, NaN coords,
+    null properties, all fixed-width property types."""
+    import random
+
+    from geoparquet_io_spark.sources import fgb
+
+    random.seed(42)
+    rows = []
+    for i in range(300):
+        if i % 31 == 0:
+            g = None
+        elif i == 50:
+            g = bytearray(W.encode_point(float("nan"), 1.0))
+        elif i == 51:
+            g = bytearray(W.encode_point(1.0, float("nan")))
+        else:
+            g = bytearray(W.encode_point(random.uniform(-180, 180),
+                                         random.uniform(-90, 90)))
+        rows.append(Row(
+            geometry=g,
+            a=None if i % 11 == 0 else random.randint(-2**62, 2**62),
+            b=None if i % 13 == 0 else random.uniform(-1e300, 1e300),
+            c=None if i % 7 == 0 else bool(i % 2),
+            d=None if i % 17 == 0 else random.randint(-2**31, 2**31 - 1),
+            e=None if i % 19 == 0 else random.uniform(-1e38, 1e38),
+            f=None if i % 23 == 0 else random.randint(-2**15, 2**15 - 1)))
+    df = spark.createDataFrame(
+        rows, "geometry binary, a long, b double, c boolean, d int, "
+              "e float, f short")
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}))
+
+    p_fast = str(tmp_path / "t1" )
+    p_gen = str(tmp_path / "t2")
+    os.makedirs(p_fast), os.makedirs(p_gen)
+    p_fast = os.path.join(p_fast, "pts.fgb")
+    p_gen = os.path.join(p_gen, "pts.fgb")
+
+    engaged = {"n": 0}
+    orig = fgb._fast_point_features
+
+    def counting(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            engaged["n"] += 1
+        return out
+
+    monkeypatch.setattr(fgb, "_fast_point_features", counting)
+    fgb.write_fgb(gt, p_fast)
+    assert engaged["n"] == 1, "fast path did not engage"
+    monkeypatch.setattr(fgb, "_fast_point_features",
+                        lambda *a, **k: None)
+    fgb.write_fgb(gt, p_gen)
+    with open(p_fast, "rb") as f1, open(p_gen, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_fgb_fast_point_write_fallbacks():
+    """Applicability guards: anything the numpy patcher cannot
+    reproduce with struct.pack semantics must return None (generic
+    path, including its error behavior)."""
+    from geoparquet_io_spark.sources import fgb
+
+    cols = [{"name": "a", "type": fgb.COL_LONG}]
+    pt = {"geometry": W.encode_point(1.0, 2.0), "a": 1}
+    rows = [dict(pt) for _ in range(40)]
+
+    def run(rows, cols=cols, declared=fgb.GEOM_POINT):
+        return fgb._fast_point_features(rows, "geometry", cols, declared)
+
+    assert run(rows) is not None
+    # declared type not POINT
+    assert run(rows, declared=fgb.GEOM_UNKNOWN) is None
+    # var-len property type
+    assert run(rows, cols=[{"name": "a", "type": fgb.COL_STRING}]) is None
+    # float value in an int column (struct.pack would raise)
+    bad = [dict(pt) for _ in range(40)]
+    bad[7]["a"] = 1.5
+    assert run(bad) is None
+    # out-of-range int (struct.error in the generic path)
+    bad = [dict(pt) for _ in range(40)]
+    bad[3]["a"] = 1 << 63
+    assert run(bad) is None
+    # non-LE / non-point WKB
+    bad = [dict(pt) for _ in range(40)]
+    bad[5]["geometry"] = b"\x00" + bytes(W.encode_point(1, 2))[1:]
+    assert run(bad) is None
