@@ -375,6 +375,116 @@ def _coltype_to_spark(ct: int):
 # Read
 # ---------------------------------------------------------------------------
 
+def _decode_feature(buf: bytes, cols: list[dict], gdecl: int):
+    """Scalar decode of one feature buffer — the single source of
+    decoded values for both read paths."""
+    f = FB.root(buf)
+    gt_tab = f.table(0)
+    wkb = None if gt_tab is None else _geom_table_to_wkb(gt_tab, gdecl)
+    props = decode_properties(f.vector_bytes(1) or b"", cols)
+    return wkb, props
+
+
+def _fast_point_decode(bufs: list[bytes], cols: list[dict], gdecl: int):
+    """Vectorized template-verify decode for a span of point features —
+    the read-side mirror of :func:`_fast_point_features` (guide §4.2).
+
+    Features are grouped by buffer length; for each large-enough group
+    the first feature is decoded scalar, re-serialized through
+    :func:`_serialize_feature`, and accepted as OUR writer's layout
+    only if the bytes reproduce exactly.  The sentinel template for
+    that null-mask then gives the payload slots, and an explicit numpy
+    check that every OTHER byte is identical across the whole group
+    proves all its features share the layout — after which coord /
+    property bytes are sliced out vectorized.  Any deviation falls
+    back to the scalar decoder per feature (external writers, mixed
+    layouts, per-feature type overrides), so results are identical by
+    construction.
+
+    Returns ``(geo_col, prop_cols)`` or ``None`` (caller streams the
+    scalar loop)."""
+    if gdecl != GEOM_POINT or not bufs:
+        return None
+    if any(c["type"] not in _FAST_PROP for c in cols):
+        return None
+    n = len(bufs)
+    names = [c["name"] for c in cols]
+    geo_col: list = [None] * n
+    prop_cols: dict[str, list] = {nm: [None] * n for nm in names}
+
+    def scalar(i: int) -> None:
+        wkb, props = _decode_feature(bufs[i], cols, gdecl)
+        geo_col[i] = wkb
+        for nm in names:
+            prop_cols[nm][i] = props.get(nm)
+
+    groups: dict[int, list[int]] = {}
+    for i, b in enumerate(bufs):
+        groups.setdefault(len(b), []).append(i)
+
+    for length, idxs in groups.items():
+        if len(idxs) < len(cols) + 8:
+            for i in idxs:
+                scalar(i)
+            continue
+        i0 = idxs[0]
+        wkb0, props0 = _decode_feature(bufs[i0], cols, gdecl)
+        if wkb0 is not None and (len(wkb0) != 21
+                                 or not wkb0.startswith(_PT_PREFIX)):
+            for i in idxs:
+                scalar(i)
+            continue
+        if _serialize_feature(wkb0, dict(props0), cols, gdecl) != bufs[i0]:
+            for i in idxs:
+                scalar(i)
+            continue
+        present = [c for c in cols if c["name"] in props0]
+        tpl = _point_template(wkb0 is None, present, cols, gdecl)
+        if tpl is None or len(tpl[0]) != length:
+            for i in idxs:
+                scalar(i)
+            continue
+        base, offs, slots = tpl
+        M = np.frombuffer(b"".join(bufs[i] for i in idxs),
+                          np.uint8).reshape(len(idxs), length)
+        smask = np.ones(length, dtype=bool)
+        for s, w in slots:
+            smask[offs[s]:offs[s] + w] = False
+        if not (M[:, smask]
+                == np.frombuffer(bufs[i0], np.uint8)[smask]).all():
+            for i in idxs:
+                scalar(i)
+            continue
+        k = len(idxs)
+        if wkb0 is not None:
+            o = offs["xy"]
+            out = np.empty((k, 21), np.uint8)
+            out[:, :5] = np.frombuffer(_PT_PREFIX, np.uint8)
+            out[:, 5:] = M[:, o:o + 16]    # LE doubles ARE the payload
+            blob = out.tobytes()
+            for j, i in enumerate(idxs):
+                geo_col[i] = blob[j * 21:(j + 1) * 21]
+        for c in present:
+            _, wd = _FIXED_FMT[c["type"]]
+            o = offs[c["name"]]
+            raw = np.ascontiguousarray(M[:, o:o + wd])
+            ct = c["type"]
+            if ct == COL_DOUBLE:
+                vals = raw.view("<f8").ravel().tolist()
+            elif ct == COL_FLOAT:
+                # np.float32 -> python float widens exactly, matching
+                # struct.unpack("<f")
+                vals = raw.view("<f4").ravel().tolist()
+            elif ct == COL_BOOL:
+                vals = [bool(v) for v in raw.ravel().tolist()]
+            else:
+                vals = raw.view(
+                    {2: "<i2", 4: "<i4", 8: "<i8"}[wd]).ravel().tolist()
+            col_list = prop_cols[c["name"]]
+            for j, i in enumerate(idxs):
+                col_list[i] = vals[j]
+    return geo_col, prop_cols
+
 def read_fgb(spark, path: str, geometry_column: str = "geometry",
              tasks: int | None = None,
              bbox: tuple[float, float, float, float] | None = None):
@@ -495,6 +605,13 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
             ranges, "offs array<bigint>, lens array<bigint>") \
             .repartition(len(ranges))
 
+        # point-declared files with fixed-width-only properties are
+        # candidates for the vectorized template-verify decode; the
+        # gate ALSO bounds memory (point feature buffers are small, so
+        # materializing a range of them is safe)
+        use_fast = gdecl == GEOM_POINT and \
+            all(c["type"] in _FAST_PROP for c in cols)
+
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             fgb_t = task_local_path(path, fetch_name)
             for pdf in batches:
@@ -505,21 +622,31 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                     geo_col: list = []
                     prop_cols: dict[str, list] = {
                         c["name"]: [] for c in cols}
+                    fast = None
                     with open(fgb_t, "rb") as fh:
-                        for off, ln in zip(offs, lens):
-                            off, ln = int(off), int(ln)
-                            fh.seek(off)
-                            buf = fh.read(ln)
-                            f = FB.root(buf)
-                            gt_tab = f.table(0)
-                            geo_col.append(
-                                None if gt_tab is None else
-                                _geom_table_to_wkb(gt_tab, gdecl))
-                            props = decode_properties(
-                                f.vector_bytes(1) or b"", cols)
-                            for c in cols:
-                                prop_cols[c["name"]].append(
-                                    props.get(c["name"]))
+                        if use_fast:
+                            bufs = []
+                            for off, ln in zip(offs, lens):
+                                fh.seek(int(off))
+                                bufs.append(fh.read(int(ln)))
+                            fast = _fast_point_decode(bufs, cols, gdecl)
+                        if fast is not None:
+                            geo_col, prop_cols = fast
+                        else:
+                            for off, ln in zip(offs, lens):
+                                off, ln = int(off), int(ln)
+                                fh.seek(off)
+                                buf = fh.read(ln)
+                                f = FB.root(buf)
+                                gt_tab = f.table(0)
+                                geo_col.append(
+                                    None if gt_tab is None else
+                                    _geom_table_to_wkb(gt_tab, gdecl))
+                                props = decode_properties(
+                                    f.vector_bytes(1) or b"", cols)
+                                for c in cols:
+                                    prop_cols[c["name"]].append(
+                                        props.get(c["name"]))
                     data = {geometry_column: geo_col}
                     data.update(prop_cols)
                     out = pd.DataFrame(data,
@@ -576,6 +703,51 @@ def _sentinel_bytes(width: int, which: int) -> bytes:
     int/float, so struct round-trips are bit-exact)."""
     base = 0x21 if which == 0 else 0x51
     return bytes((base + i) for i in range(width))
+
+
+def _point_template(geom_null: bool, present: list[dict],
+                    cols: list[dict], declared: int):
+    """Template buffer + payload slot offsets for a point-feature
+    layout (one null-mask): built THROUGH :func:`_serialize_feature`
+    with sentinel payloads, slots located by per-slot sentinel diffs.
+    Returns ``(base, offs, slots)`` — ``slots`` is ``[(name, width)]``
+    with ``"xy"`` for the 16 coordinate bytes — or ``None`` when any
+    diff is non-contiguous / slots overlap (never expected; the guard
+    keeps fallback behavior airtight)."""
+    slots = ([] if geom_null else [("xy", 16)]) + \
+        [(c["name"], _FIXED_FMT[c["type"]][1]) for c in present]
+
+    def build(sel: dict) -> bytes:
+        if geom_null:
+            wk = None
+        else:
+            x = struct.unpack("<d", _sentinel_bytes(8, sel.get("xy", 0)))[0]
+            wk = W.encode_point(x, x)
+        prow = {}
+        for c in present:
+            fmt, wd = _FIXED_FMT[c["type"]]
+            sb = _sentinel_bytes(wd, sel.get(c["name"], 0))
+            if c["type"] in (COL_FLOAT, COL_DOUBLE):
+                prow[c["name"]] = struct.unpack("<" + fmt, sb)[0]
+            else:
+                prow[c["name"]] = int.from_bytes(
+                    sb, "little", signed=fmt.islower())
+        return _serialize_feature(wk, prow, cols, declared)
+
+    base = build({})
+    offs: dict[str, int] = {}
+    for sname, wd in slots:
+        var = build({sname: 1})
+        if len(var) != len(base):
+            return None
+        d = [p for p in range(len(base)) if base[p] != var[p]]
+        if len(d) != wd or d[-1] - d[0] != wd - 1:
+            return None
+        offs[sname] = d[0]
+    spans = sorted((offs[s], offs[s] + wd) for s, wd in slots)
+    if any(a1 > a0 for (_, a1), (a0, _) in zip(spans, spans[1:])):
+        return None
+    return base, offs, slots
 
 
 def _fast_point_features(rows, gcol: str, cols: list[dict], declared: int):
@@ -659,52 +831,16 @@ def _fast_point_features(rows, gcol: str, cols: list[dict], declared: int):
     for key, idxs in groups.items():
         geom_null = key[0]
         present = [c for c, isnull in zip(cols, key[1:]) if not isnull]
-        slots = ([] if geom_null else [("xy", 16)]) + \
-            [(c["name"], _FIXED_FMT[c["type"]][1]) for c in present]
-        if len(idxs) < len(slots) + 4:
+        if len(idxs) < len(present) + 6:
             for i in idxs:
                 feat_bufs[i] = generic(i)
             continue
-
-        def build(sel: dict) -> bytes:
-            if geom_null:
-                wk = None
-            else:
-                x = struct.unpack(
-                    "<d", _sentinel_bytes(8, sel.get("xy", 0)))[0]
-                wk = W.encode_point(x, x)
-            prow = {}
-            for c in present:
-                fmt, wd = _FIXED_FMT[c["type"]]
-                sb = _sentinel_bytes(wd, sel.get(c["name"], 0))
-                if c["type"] in (COL_FLOAT, COL_DOUBLE):
-                    prow[c["name"]] = struct.unpack("<" + fmt, sb)[0]
-                else:
-                    prow[c["name"]] = int.from_bytes(
-                        sb, "little", signed=fmt.islower())
-            return _serialize_feature(wk, prow, cols, declared)
-
-        base = build({})
-        offs: dict[str, int] = {}
-        ok = True
-        for sname, wd in slots:
-            var = build({sname: 1})
-            if len(var) != len(base):
-                ok = False
-                break
-            d = [p for p in range(len(base)) if base[p] != var[p]]
-            if len(d) != wd or d[-1] - d[0] != wd - 1:
-                ok = False
-                break
-            offs[sname] = d[0]
-        spans = sorted((offs[s], offs[s] + wd) for s, wd in slots) if ok \
-            else []
-        if any(a1 > a0 for (_, a1), (a0, _) in zip(spans, spans[1:])):
-            ok = False
-        if not ok:
+        tpl = _point_template(geom_null, present, cols, declared)
+        if tpl is None:
             for i in idxs:
                 feat_bufs[i] = generic(i)
             continue
+        base, offs, _slots = tpl
 
         tmpl = np.frombuffer(base, dtype=np.uint8)
         L = len(base)

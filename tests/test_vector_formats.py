@@ -1274,3 +1274,64 @@ def test_fgb_fast_point_write_fallbacks():
     bad = [dict(pt) for _ in range(40)]
     bad[5]["geometry"] = b"\x00" + bytes(W.encode_point(1, 2))[1:]
     assert run(bad) is None
+
+
+def test_fgb_fast_point_decode_matches_scalar(spark, tmp_path,
+                                              monkeypatch):
+    """The vectorized template-verify reader (r12) must produce rows
+    identical to the scalar decoder — values AND python types — and
+    individual deviant features (per-feature geometry type overrides)
+    must fall back per feature, not poison the group."""
+    import random
+
+    from geoparquet_io_spark.sources import fgb
+
+    random.seed(9)
+    rows = []
+    for i in range(400):
+        g = None if i % 41 == 0 else bytearray(
+            W.encode_point(random.uniform(-180, 180),
+                           random.uniform(-90, 90)))
+        rows.append(Row(
+            geometry=g,
+            a=None if i % 11 == 0 else random.randint(-2**62, 2**62),
+            b=None if i % 13 == 0 else random.uniform(-1e300, 1e300),
+            c=None if i % 7 == 0 else bool(i % 2)))
+    df = spark.createDataFrame(
+        rows, "geometry binary, a long, b double, c boolean")
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "pts.fgb")
+    fgb.write_fgb(gt, out)
+
+    back_fast = fgb.read_fgb(spark, out).df.collect()
+    monkeypatch.setattr(fgb, "_fast_point_decode", lambda *a, **k: None)
+    back_scalar = fgb.read_fgb(spark, out).df.collect()
+    monkeypatch.undo()
+
+    def nn(v):
+        return (v is None, 0 if v is None else v)
+
+    def key(rows):
+        return sorted(
+            (nn(None if r["geometry"] is None else bytes(r["geometry"])),
+             nn(r["a"]), nn(r["b"]), nn(r["c"])) for r in rows)
+
+    assert key(back_fast) == key(back_scalar)
+    assert len(back_fast) == 400
+
+    # direct kernel equivalence incl. a non-point override feature
+    cols = [{"name": "a", "type": fgb.COL_LONG}]
+    bufs = [fgb._serialize_feature(W.encode_point(float(i), -float(i)),
+                                   {"a": i}, cols, fgb.GEOM_POINT)
+            for i in range(100)]
+    line = W.encode_linestring(np.array([[0., 0.], [1., 1.]]))
+    bufs[40] = fgb._serialize_feature(line, {"a": 40}, cols,
+                                      fgb.GEOM_POINT)
+    geo, props = fgb._fast_point_decode(bufs, cols, fgb.GEOM_POINT)
+    for i, b in enumerate(bufs):
+        wkb_s, props_s = fgb._decode_feature(b, cols, fgb.GEOM_POINT)
+        assert geo[i] == wkb_s, i
+        assert props["a"][i] == props_s.get("a"), i
+        assert type(props["a"][i]) is type(props_s.get("a")), i
+    assert geo[40] == line
