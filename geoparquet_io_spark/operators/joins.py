@@ -1005,12 +1005,18 @@ def knn_join(
             pairs = pairs.unionByName(p)
         # ONE evaluation of the round's grid joins: the fused
         # count+rank window (resolved_topk) answers resolution AND
-        # ranking in a single pass, and the eager checkpoint pins only
-        # the OUTPUT-SIZED resolved rows (<= k per resolved query,
+        # ranking in a single pass, and the checkpoint pins only the
+        # OUTPUT-SIZED resolved rows (<= k per resolved query,
         # narrow) — no candidate cache exists to leak or to OOM (the
         # r10 receipt OOMed on exactly that cache when it was wide;
-        # its r10 fix still pinned candidates for the app lifetime)
-        resolved = resolved_topk(pairs).localCheckpoint()
+        # its r10 fix still pinned candidates for the app lifetime).
+        # LAZY (r12): the round-control count below forces full
+        # materialization anyway — its anti-join build side is
+        # resolved.distinct(), an all-partitions aggregate that no
+        # limit can short-circuit — so eager's separate job cycle
+        # (schedule + a second full read of the checkpoint) bought
+        # nothing; one-evaluation still holds, now inside that job
+        resolved = resolved_topk(pairs).localCheckpoint(eager=False)
         resolved_parts.append(resolved)
         pending = pending.join(
             resolved.select("__lid").distinct(), "__lid", "left_anti") \
