@@ -43,12 +43,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # would inflate n_nodes, emit a spurious null rank row, and its
     # edges' rank mass would silently vanish anyway (null keys never
     # match in the join) — r9 review
+    # LAZY checkpoints: the nodes.count() two lines down is a full
+    # all-partitions aggregate that materializes both (nodes' plan runs
+    # through e), so eager would pay two extra job cycles for state the
+    # count forces anyway; e's expensive dedup sits behind its own
+    # shuffle, so the union's two branches share one map pass even
+    # before the checkpoint blocks exist
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
-        .distinct().localCheckpoint(eager=True)
+        .distinct().localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     n_nodes = float(nodes.count())   # scalar agg (same pattern as tf-idf's N)
     if n_nodes == 0:
         # empty edge set: an empty rank table, not a ZeroDivisionError

@@ -802,8 +802,11 @@ def perplexity_buckets(df: DataFrame, id_column: str = "doc_id",
     from geoparquet_io_spark.operators.sorts import global_rank
 
     # localCheckpoint (not persist): blocks auto-release when the plan
-    # is GC'd — no CacheManager entry leaks across a long session
-    scored = unigram_logprob(df, id_column, text_column).localCheckpoint()
+    # is GC'd — no CacheManager entry leaks across a long session.
+    # LAZY: the full count on the next line materializes it anyway;
+    # eager would pay one extra job cycle for the same pinned state
+    scored = unigram_logprob(df, id_column, text_column) \
+        .localCheckpoint(eager=False)
     n = scored.count()
     ranked = global_rank(
         scored,
