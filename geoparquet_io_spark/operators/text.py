@@ -486,43 +486,72 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
         score(d) = sum_t idf(t) * tf(t,d)*(k1+1) /
                           (tf(t,d) + k1*(1 - b + b*dl(d)/avgdl))
 
-    Scale shape: explode tokens once -> filter to the (small, literal)
-    query-term set BEFORE the (doc, term) aggregation, so the shuffle
-    carries only matching tokens; N/avgdl are one scalar aggregate
-    broadcast via a 1-row cross join; document frequencies are a second
-    tiny aggregate broadcast back.  No python, no driver loops.  Returns
-    the top-``k`` docs (score desc, id asc tie-break).
+    Scale shape: the query-term bag is a small literal, so per-document
+    term frequencies are plain array expressions over the token array —
+    no explode, no (doc, term) shuffle, no per-doc aggregation shuffle
+    at all.  One scalar aggregate computes corpus stats AND the
+    per-term document frequencies together (count/avg/sum indicators,
+    map-side combined to a single row) and broadcasts back; every
+    document's score is then a per-row expression and the global top-k
+    is a TakeOrderedAndProject.  Zero document-keyed exchanges, no
+    python, no driver loops.  Returns the top-``k`` docs (score desc,
+    id asc tie-break).
     """
     from geoparquet_io_spark.operators.skew import spread
 
     df = spread(df)
     terms = sorted(set(t.lower() for t in query_terms))
-    term_arr = F.array(*[F.lit(t) for t in terms])
 
     docs = df.filter(F.length(F.trim(F.col(text_column))) > 0).select(
         F.col(id_column).alias("doc"),
         tokens(F.lower(F.col(text_column))).alias("__toks"),
     ).withColumn("dl", F.size("__toks").cast("double"))
 
-    # one scalar agg for corpus stats, broadcast as a 1-row dimension
-    stats = docs.agg(F.count("*").cast("double").alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
+    # per-doc tf of each literal term: one array traversal per term,
+    # computed in the scan projection (tf == the old explode+count).
+    # NB: the lambda must take exactly ONE argument — a second parameter
+    # (even a defaulted one) makes pyspark pass the element INDEX to it.
+    def _tf(term: str) -> Column:
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
 
-    hits = (docs.select("doc", "dl", F.explode("__toks").alias("term"))
-            .filter(F.array_contains(term_arr, F.col("term"))))
-    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").cast("double").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    tfs = docs.select(
+        "doc", "dl",
+        *[_tf(t).cast("double").alias(f"__tf{i}")
+          for i, t in enumerate(terms)])
 
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .crossJoin(F.broadcast(stats)))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    score_t = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
-    per_doc = (scored.select("doc", score_t.alias("__s"))
-               .groupBy("doc")
-               .agg(F.round(F.sum("__s"), round_digits).alias("bm25"),
-                    F.count("*").cast("int").alias("n_terms_hit")))
+    # ONE scalar agg: corpus stats + per-term document frequencies
+    # (df(t) == number of docs with tf(t) >= 1, exactly the old
+    # explode->filter->groupBy count) broadcast as a 1-row dimension
+    stats = tfs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
+          .alias(f"__df{i}") for i in range(len(terms))])
+
+    scored = tfs.crossJoin(F.broadcast(stats))
+
+    def _score(i: int) -> Column:
+        tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfq + F.lit(0.5))
+                    / (dfq + F.lit(0.5)))
+        return idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl") / F.col("avgdl")))
+
+    # sum only over hit terms (tf=0 contributes exactly +0.0, but the
+    # old shape had no row at all — keep the guard for -0.0/NaN safety)
+    total = None
+    for i in range(len(terms)):
+        s = F.when(F.col(f"__tf{i}") > 0, _score(i)).otherwise(F.lit(0.0))
+        total = s if total is None else total + s
+    n_hit = None
+    for i in range(len(terms)):
+        h = (F.col(f"__tf{i}") > 0).cast("int")
+        n_hit = h if n_hit is None else n_hit + h
+    per_doc = (scored
+               .select("doc", F.round(total, round_digits).alias("bm25"),
+                       n_hit.cast("int").alias("n_terms_hit"))
+               .filter(F.col("n_terms_hit") > 0))
     # global top-k as TakeOrderedAndProject (never a one-partition window
     # over the full corpus); the rank window then runs over only k rows
     topk = per_doc.orderBy(F.desc("bm25"), F.asc("doc")).limit(k)
