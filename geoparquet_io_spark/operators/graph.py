@@ -36,9 +36,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    # materialize once: every iteration joins e/outdeg and rebuilds pr
-    # from nodes — without the checkpoint each iteration replays the
-    # edge dedup + node-union shuffles from scratch
+    # materialize once: every iteration joins e and rebuilds pr from
+    # nodes — without the checkpoint each iteration replays the edge
+    # dedup + degree-join + node-union shuffles from scratch
     # NULL endpoints are dropped like triangle_count does: a null node
     # would inflate n_nodes, emit a spurious null rank row, and its
     # edges' rank mass would silently vanish anyway (null keys never
@@ -49,9 +49,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # count forces anyway; e's expensive dedup sits behind its own
     # shuffle, so the union's two branches share one map pass even
     # before the checkpoint blocks exist
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
-        .distinct().localCheckpoint(eager=False)
+        .distinct()
+    # fold the out-degree INTO the checkpointed edge table: the inner
+    # join keeps exactly e0's rows (every src is in its own groupBy), so
+    # each power iteration probes ONE table instead of re-joining outdeg
+    # against every edge per iteration (one edge-scale hash probe pass
+    # per iteration saved; the per-edge payload grows by one double).
+    # AQE stage reuse computes e0's dedup exchange once inside this job.
+    outdeg = e0.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    e = e0.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=False))
@@ -60,14 +68,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # empty edge set: an empty rank table, not a ZeroDivisionError
         return nodes.select(F.col("node"),
                             F.lit(None).cast("double").alias("pagerank"))
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg")) \
-        .localCheckpoint(eager=False)
     base = (1.0 - damping) / n_nodes
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         contrib = (e.join(pr, e.src == pr.node)
-                   .join(outdeg, "src")
                    .select(F.col("dst").alias("node"),
                            (F.col("pr") / F.col("deg")).alias("c")))
         sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
