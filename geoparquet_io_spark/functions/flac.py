@@ -40,13 +40,20 @@ class _Bits:
         self.pos = pos_bytes * 8
 
     def read(self, n: int) -> int:
-        out = 0
-        pos, data = self.pos, self.data
-        for _ in range(n):
-            out = (out << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        # bulk read: one int.from_bytes over the covered byte span
+        # instead of n single-bit loop iterations (headers are ~50 bits
+        # per frame; the per-bit loop dominated small-frame decode)
+        if n == 0:
+            return 0
+        pos = self.pos
+        end = pos + n
+        last = (end + 7) >> 3
+        data = self.data
+        if last > len(data):
+            raise IndexError("bit read past end of data")
+        chunk = int.from_bytes(data[pos >> 3:last], "big")
+        self.pos = end
+        return (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
@@ -158,8 +165,23 @@ def _subframe(b: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if stype == 0:                       # CONSTANT
         out = np.full(blocksize, b.read_signed(eff), dtype=np.int64)
     elif stype == 1:                     # VERBATIM
-        out = np.array([b.read_signed(eff) for _ in range(blocksize)],
-                       dtype=np.int64)
+        nbytes = eff >> 3
+        end = (b.pos >> 3) + nbytes * blocksize
+        if (b.pos & 7) == 0 and eff in (8, 16, 32) and end <= len(b.data):
+            # byte-aligned whole-byte samples ARE a big-endian signed
+            # integer array: one numpy frombuffer replaces blocksize x
+            # eff single-bit reads (the per-sample python loop was the
+            # whole decode cost for verbatim streams).  Arithmetic is
+            # identical: read_signed(n) == big-endian two's complement.
+            out = np.frombuffer(b.data, dtype=f">i{nbytes}",
+                                count=blocksize,
+                                offset=b.pos >> 3).astype(np.int64)
+            b.pos += (eff * blocksize)
+        else:
+            # unaligned / odd widths / truncated tail: bit-exact scalar
+            # path (truncation then raises through the usual contract)
+            out = np.array([b.read_signed(eff) for _ in range(blocksize)],
+                           dtype=np.int64)
     elif 8 <= stype <= 12:               # FIXED order 0-4
         order = stype - 8
         warm = [b.read_signed(eff) for _ in range(order)]

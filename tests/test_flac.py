@@ -295,3 +295,43 @@ def test_coded_number_roundtrip_and_overflow():
     with pytest.raises(ValueError, match="too large for FLAC coded"):
         w = _BitWriter()
         _write_coded_number(w, 1 << 36)
+
+
+def test_verbatim_fast_path_matches_scalar_bit_reads():
+    """The byte-aligned verbatim frombuffer fast path (r13) must equal
+    per-bit scalar reads exactly — including negative samples, extreme
+    values, and an UNALIGNED start that must take the scalar path."""
+    from geoparquet_io_spark.functions.flac import _Bits, _subframe
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.randint(-32768, 32768, 61),
+        np.array([-32768, 32767, -1, 0, 1])]).astype(np.int64)
+
+    def sub_bytes(pad_bits: int):
+        w = _BitWriter()
+        if pad_bits:
+            w.write(0, pad_bits)
+        w.write(0, 1)        # padding bit
+        w.write(1, 6)        # VERBATIM
+        w.write(0, 1)        # no wasted bits
+        for v in vals:
+            w.write(int(v) & 0xFFFF, 16)
+        w.align()
+        return w.bytes()
+
+    # aligned: subframe starts at bit 0 -> sample data at bit 8 -> the
+    # fast path fires (pos % 8 == 0 after the 8-bit subframe header)
+    data = sub_bytes(0)
+    b = _Bits(data, 0)
+    fast = _subframe(b, len(vals), 16)
+    assert np.array_equal(fast, vals)
+    assert b.pos == 8 + 16 * len(vals)
+
+    # unaligned start (3 pad bits): sample data begins mid-byte -> the
+    # scalar path must produce the identical samples
+    data3 = sub_bytes(3)
+    b3 = _Bits(data3, 0)
+    b3.read(3)
+    scalar = _subframe(b3, len(vals), 16)
+    assert np.array_equal(scalar, vals)
