@@ -117,6 +117,16 @@ def extract_raster_metadata(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# per-yielded-frame pixel-row cap for geotiff_to_points: one Arrow
+# batch of large rasters would otherwise explode into a single
+# unbounded pandas frame (batch_rows x megapixels rows at once);
+# flushing at a fixed row budget bounds worker memory to O(chunk)
+# regardless of raster size while keeping the per-raster pandas
+# overhead amortized (r12: one frame per raster cost 25x the decode
+# for small tiles)
+_POINTS_CHUNK_ROWS = 1 << 18
+
+
 def geotiff_to_points(
     df: DataFrame,
     data_column: str = "data",
@@ -149,16 +159,31 @@ def geotiff_to_points(
            T.StructField("value", T.DoubleType())]
     )
 
+    chunk_rows = _POINTS_CHUNK_ROWS
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _flush(pdf, col_a, row_a, x_a, y_a, val_a, src_rows, counts):
+            out = pd.DataFrame({
+                "col": np.concatenate(col_a), "row": np.concatenate(row_a),
+                "x": np.concatenate(x_a), "y": np.concatenate(y_a),
+                "value": np.concatenate(val_a),
+            })
+            if keep:
+                # replicate the kept source columns by repeated iloc —
+                # vectorized and dtype-preserving
+                rep = np.repeat(np.asarray(src_rows, dtype=np.int64),
+                                counts)
+                kept = pdf[keep].iloc[rep].reset_index(drop=True)
+                for c in keep:
+                    out[c] = kept[c]
+            return out[keep + ["col", "row", "x", "y", "value"]]
+
         for pdf in batches:
-            # accumulate per-raster numpy arrays and build ONE DataFrame
-            # per batch: the former one-frame-per-raster + concat spent
-            # ~0.5 ms of pandas overhead per raster — 25x the decode
-            # cost for small tiles (r12 measurement: 2.54 s frame-build
-            # vs 0.09 s decode for 5000 8x6 tiles)
             col_a, row_a, x_a, y_a, val_a = [], [], [], [], []
             src_rows: list[int] = []   # pdf row index per raster
             counts: list[int] = []     # pixels per raster
+            pending = 0                # pixel rows accumulated
+            empty = True
             for ri, buf in enumerate(pdf[data_column].tolist()):
                 if buf is None:
                     continue
@@ -185,24 +210,21 @@ def geotiff_to_points(
                 val_a.append(vals)
                 src_rows.append(ri)
                 counts.append(len(vals))
-            if not col_a:
+                pending += len(vals)
+                if pending >= chunk_rows:
+                    # same rows in the same order, just flushed early
+                    yield _flush(pdf, col_a, row_a, x_a, y_a, val_a,
+                                 src_rows, counts)
+                    col_a, row_a, x_a, y_a, val_a = [], [], [], [], []
+                    src_rows, counts = [], []
+                    pending = 0
+                    empty = False
+            if col_a:
+                yield _flush(pdf, col_a, row_a, x_a, y_a, val_a,
+                             src_rows, counts)
+            elif empty:
                 yield pd.DataFrame(columns=keep
                                    + ["col", "row", "x", "y", "value"])
-                continue
-            out = pd.DataFrame({
-                "col": np.concatenate(col_a), "row": np.concatenate(row_a),
-                "x": np.concatenate(x_a), "y": np.concatenate(y_a),
-                "value": np.concatenate(val_a),
-            })
-            if keep:
-                # replicate the kept source columns by repeated iloc —
-                # vectorized and dtype-preserving
-                rep = np.repeat(np.asarray(src_rows, dtype=np.int64),
-                                counts)
-                kept = pdf[keep].iloc[rep].reset_index(drop=True)
-                for c in keep:
-                    out[c] = kept[c]
-            yield out[keep + ["col", "row", "x", "y", "value"]]
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -89,6 +89,35 @@ def test_geotiff_to_points_guards(spark):
         geotiff_to_points(df2).collect()
 
 
+def test_geotiff_to_points_chunked_flush_identical(spark, monkeypatch):
+    """The bounded sub-chunk frame flush (r13 memory cap) must produce
+    exactly the rows of the single-frame build — including kept-column
+    replication across a flush boundary that splits mid-batch."""
+    from geoparquet_io_spark.operators import raster as raster_mod
+
+    geo = dict(epsg=32633, origin=(1000.0, 2000.0), scale=(10.0, 5.0))
+    rows_in = []
+    for i in range(5):
+        img = (np.arange(12, dtype=np.uint8).reshape(3, 4) + i)
+        rows_in.append((i, f"r{i}", bytearray(write_tiff_ref(img, geo=geo))))
+    df = spark.createDataFrame(rows_in, ["img_id", "tag", "data"]) \
+        .coalesce(1)   # one batch so the cap splits INSIDE it
+
+    def _collect():
+        out = raster_mod.geotiff_to_points(df)
+        return [tuple(r) for r in
+                out.orderBy("img_id", "row", "col").collect()]
+
+    baseline = _collect()
+    # cap of 7 < the 12 px per raster: every raster flushes alone
+    monkeypatch.setattr(raster_mod, "_POINTS_CHUNK_ROWS", 7)
+    assert _collect() == baseline
+    # cap of 25 splits after every 3rd raster
+    monkeypatch.setattr(raster_mod, "_POINTS_CHUNK_ROWS", 25)
+    assert _collect() == baseline
+    assert len(baseline) == 60
+
+
 def test_rasterize_points_roundtrip():
     """points -> raster -> points recovers the per-cell means."""
     import pandas as pd
