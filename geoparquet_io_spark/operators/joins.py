@@ -256,11 +256,18 @@ def spatial_join(
                 else:
                     all_i, all_j = ii, jj
                 match_rows = all_i.tolist()
-                attr_np = [
-                    np.array([a[kk] for a in r_attrs], dtype=object)
-                    for kk in range(n_right_cols)
-                ] if len(r_attrs) else [np.empty(0, dtype=object)
-                                        for _ in range(n_right_cols)]
+                # guaranteed-1-D object arrays: np.array(list, object)
+                # builds a 2-D array when a right column holds
+                # equal-length sequences (ArrayType lists, StructType
+                # Rows), and the masked assignment below then raises
+                def _obj_1d(kk: int) -> np.ndarray:
+                    arr = np.empty(len(r_attrs), dtype=object)
+                    arr[:] = [a[kk] for a in r_attrs]
+                    return arr
+
+                attr_np = [_obj_1d(kk) for kk in range(n_right_cols)] \
+                    if len(r_attrs) else [np.empty(0, dtype=object)
+                                          for _ in range(n_right_cols)]
                 out = pdf.iloc[match_rows].reset_index(drop=True)
                 jmask = all_j >= 0
                 for k, c in enumerate(right_columns):

@@ -1977,3 +1977,30 @@ def test_zorder_nanvl_fast_path_nan_null_parity(spark):
     # finite rows: exact uniform-grid buckets (lo 10 / hi 30, n 15)
     assert a_bits(got[6]) == 15 and b_bits(got[6]) == 15
     assert a_bits(got[2]) == round((20.0 - 10.0) / 20.0 * 15)
+
+
+def test_spatial_join_point_fast_path_list_valued_right_column(spark):
+    """Regression (r13 advice): the point fast path built right-attr
+    columns with np.array(list_of_rows, dtype=object); equal-length
+    sequence values (ArrayType lists) made numpy produce a 2-D object
+    array and the masked assignment crashed.  Lists, Rows and scalars
+    must all come through intact."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from geoparquet_io_spark.functions import wkb as W
+    from geoparquet_io_spark.operators.joins import spatial_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, geometry=bytearray(W.encode_point(0.5, 0.5))),
+         Row(id=2, geometry=bytearray(W.encode_point(5.0, 5.0)))])
+    box = W.encode_polygon([np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])])
+    right = spark.createDataFrame(
+        [Row(zone="a", tags=["x", "y"], geometry=bytearray(box)),
+         Row(zone="b", tags=["p", "q"], geometry=None)])
+    out = {r["id"]: r for r in spatial_join(
+        left, "geometry", None, right, "geometry", None,
+        ["zone", "tags"], how="left").collect()}
+    assert out[1]["zone"] == "a" and list(out[1]["tags"]) == ["x", "y"]
+    assert out[2]["zone"] is None and out[2]["tags"] is None
