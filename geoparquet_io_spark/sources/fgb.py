@@ -624,6 +624,7 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                         c["name"]: [] for c in cols}
                     fast = None
                     with open(fgb_t, "rb") as fh:
+                        bufs = None
                         if use_fast:
                             bufs = []
                             for off, ln in zip(offs, lens):
@@ -633,10 +634,19 @@ def read_fgb(spark, path: str, geometry_column: str = "geometry",
                         if fast is not None:
                             geo_col, prop_cols = fast
                         else:
-                            for off, ln in zip(offs, lens):
-                                off, ln = int(off), int(ln)
-                                fh.seek(off)
-                                buf = fh.read(ln)
+                            # scalar path over the bytes already in hand
+                            # when the fast gate read them (a declined
+                            # fast decode must not re-read every
+                            # feature); lazy per-feature reads otherwise
+                            if bufs is None:
+                                def _iter_bufs():
+                                    for off, ln in zip(offs, lens):
+                                        fh.seek(int(off))
+                                        yield fh.read(int(ln))
+                                feature_bufs = _iter_bufs()
+                            else:
+                                feature_bufs = iter(bufs)
+                            for buf in feature_bufs:
                                 f = FB.root(buf)
                                 gt_tab = f.table(0)
                                 geo_col.append(

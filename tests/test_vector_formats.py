@@ -1335,3 +1335,92 @@ def test_fgb_fast_point_decode_matches_scalar(spark, tmp_path,
         assert props["a"][i] == props_s.get("a"), i
         assert type(props["a"][i]) is type(props_s.get("a")), i
     assert geo[40] == line
+
+
+def test_fgb_fast_decode_external_layout_fuzz(spark, tmp_path):
+    """r13: adversarial externally-shaped feature buffers — permuted
+    property entry order (valid FlatGeobuf, same length, different
+    layout), trailing padding (new length group), and an alien FIRST
+    feature of a length group — must all demote to the scalar decoder
+    and decode to exactly the same values, at every group boundary."""
+    import random
+    import struct
+
+    from geoparquet_io_spark.sources import fgb
+
+    random.seed(13)
+    rows = [Row(geometry=bytearray(W.encode_point(i * 1.5, -i * 0.25)),
+                a=random.randint(-2**40, 2**40),
+                b=random.uniform(-1e6, 1e6))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "geometry binary, a long, b double")
+    gt = GeoTable(df, GeoMeta(primary_column="geometry",
+                              columns={"geometry": GeoColumnMeta()}))
+    out = str(tmp_path / "pts.fgb")
+    fgb.write_fgb(gt, out)
+    raw = open(out, "rb").read()
+    hlen = struct.unpack_from("<I", raw, 8)[0]
+    hdr = fgb._parse_header(raw[12:12 + hlen])
+    isize = fgb.packed_rtree_size(hdr["features_count"],
+                                  hdr["index_node_size"])
+    feat_start = 12 + hlen + isize
+    body, pos, feats = bytearray(raw[:feat_start]), feat_start, []
+    while pos < len(raw):
+        ln = struct.unpack_from("<I", raw, pos)[0]
+        feats.append(raw[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    assert len(feats) == 120
+
+    def permute_props(buf: bytes) -> bytes:
+        # swap the two (uint16 col idx + 8-byte value) entries: a VALID
+        # properties encoding our writer never produces
+        props = fgb.FB.root(buf).vector_bytes(1)
+        assert props is not None and len(props) == 20
+        start = buf.rindex(props)
+        return buf[:start] + props[10:] + props[:10] + buf[start + 20:]
+
+    def rebuild(path, fuzzed):
+        # the packed R-tree's leaf nodes carry each feature's offset
+        # (relative to the feature section, pointing at its size
+        # prefix): re-stamp them so padded features keep valid spans
+        new_body = bytearray(body)
+        leaf_off = feat_start - isize \
+            + (isize - hdr["features_count"] * 40)
+        off = 0
+        for i, f in enumerate(fuzzed):
+            struct.pack_into("<Q", new_body, leaf_off + i * 40 + 32, off)
+            off += 4 + len(f)
+        with open(path, "wb") as fh:
+            fh.write(new_body)
+            for f in fuzzed:
+                fh.write(struct.pack("<I", len(f)))
+                fh.write(f)
+
+    def key(rs):
+        return sorted((bytes(r["geometry"]), r["a"], round(r["b"], 9))
+                      for r in rs)
+
+    base = key(fgb.read_fgb(spark, out).df.collect())
+
+    # (a) alien FIRST feature + every 3rd alien + padded stragglers
+    fz_a = [permute_props(f) if i % 3 == 0
+            else (f + b"\x00" * 4 if i % 7 == 0 else f)
+            for i, f in enumerate(feats)]
+    # (b) our-layout first, aliens later in the same length group
+    fz_b = [permute_props(f) if (i > 20 and i % 5 == 0) else f
+            for i, f in enumerate(feats)]
+    for tag, fz in (("first-alien", fz_a), ("late-alien", fz_b)):
+        p = str(tmp_path / f"fuzz_{tag}.fgb")
+        rebuild(p, fz)
+        assert key(fgb.read_fgb(spark, p).df.collect()) == base, tag
+        # kernel level: fast-decode of the mutated span == scalar
+        cols = [{"name": "a", "type": fgb.COL_LONG},
+                {"name": "b", "type": fgb.COL_DOUBLE}]
+        got = fgb._fast_point_decode(list(fz), cols, fgb.GEOM_POINT)
+        assert got is not None
+        geo_col, prop_cols = got
+        for i, f in enumerate(fz):
+            wkb, props = fgb._decode_feature(f, cols, fgb.GEOM_POINT)
+            assert geo_col[i] == wkb, (tag, i)
+            assert prop_cols["a"][i] == props.get("a"), (tag, i)
+            assert prop_cols["b"][i] == props.get("b"), (tag, i)
