@@ -700,6 +700,138 @@ def _sq_dist(vector: Column, centroid: list[float]) -> Column:
     )
 
 
+def _ivf_list_arrow(df: DataFrame, vector_column: str,
+                    centroids: list[list[float]],
+                    list_column: str) -> DataFrame:
+    """Arrow-batched nearest-centroid list id appended to ``df`` — the
+    kernel form of :func:`_nearest_centroid` (guide §4.2): centroids
+    ride the task closure instead of embedding k x dim literals in the
+    plan (32x64 doubles made every IVF plan a compile-heavy blob), and
+    the per-row interpreted HOF folds become one numpy broadcast per
+    batch.
+
+    Bit-identical to the expression: squared distances accumulate in
+    dim order (the same ``((0 + t0^2) + t1^2) + ...`` left fold),
+    ``np.argmin`` takes the FIRST minimum like ``array_position(d,
+    array_min(d))`` — including all-NaN rows, where numpy's first-index
+    and Spark's NaN-equals-NaN position both yield index 0 — and a
+    NULL vector or a vector containing NULL elements yields a NULL
+    list id exactly as the NULL-propagating fold did."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(list_column, T.IntegerType())])
+    vidx = df.columns.index(vector_column)
+
+    def run(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)       # (k, dim)
+        dim = C.shape[1]
+        for pdf in batches:
+            m = len(pdf)
+            cl = pd.array([None] * m, dtype="Int32")
+            if m:
+                vcol = pdf.iloc[:, vidx]
+                mask = vcol.notna().to_numpy()
+                if mask.any():
+                    rowsv = vcol[mask].tolist()
+                    try:
+                        V = np.array(rowsv, dtype=np.float64)
+                        ok = np.ones(len(rowsv), dtype=bool)
+                    except (TypeError, ValueError):
+                        # NULL elements inside a vector: that row's
+                        # distances are all NULL under the fold
+                        ok = np.array(
+                            [all(e is not None for e in r)
+                             for r in rowsv], dtype=bool)
+                        V = np.array(
+                            [r for r, o in zip(rowsv, ok) if o],
+                            dtype=np.float64)
+                    if len(V):
+                        D = np.empty((len(V), len(C)), dtype=np.float64)
+                        for k in range(len(C)):
+                            acc = np.zeros(len(V), dtype=np.float64)
+                            for d in range(dim):
+                                t = V[:, d] - C[k, d]
+                                acc += t * t
+                            D[:, k] = acc
+                        tgt = np.nonzero(mask)[0][ok]
+                        cl[tgt] = np.argmin(D, axis=1).astype("int32")
+            pdf[list_column] = cl
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _probe_lists_arrow(df: DataFrame, vector_column: str,
+                       centroids: list[list[float]], nprobe: int,
+                       probes_column: str) -> DataFrame:
+    """Arrow-batched nprobe-nearest-list ids (ascending (distance,
+    index)) appended as an int array — the kernel form of the
+    ``array_sort(arrays_zip(dists, idx))`` probe expression, with the
+    same tie-breaks: a stable argsort over the same left-fold
+    distances reproduces (d asc, i asc), ranks NaN above every real
+    (numpy sorts NaN last) and, for NULL vectors / NULL elements
+    (all-NULL distances sort null-first tied on i), emits lists
+    0..nprobe-1 exactly like the expression did."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(probes_column, T.ArrayType(T.IntegerType()))])
+    vidx = df.columns.index(vector_column)
+
+    def run(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)
+        dim = C.shape[1]
+        null_probes = list(range(min(nprobe, len(cents))))
+        for pdf in batches:
+            m = len(pdf)
+            probes = [list(null_probes)] * m
+            if m:
+                vcol = pdf.iloc[:, vidx]
+                mask = vcol.notna().to_numpy()
+                if mask.any():
+                    rowsv = vcol[mask].tolist()
+                    try:
+                        V = np.array(rowsv, dtype=np.float64)
+                        ok = np.ones(len(rowsv), dtype=bool)
+                    except (TypeError, ValueError):
+                        ok = np.array(
+                            [all(e is not None for e in r)
+                             for r in rowsv], dtype=bool)
+                        V = np.array(
+                            [r for r, o in zip(rowsv, ok) if o],
+                            dtype=np.float64)
+                    if len(V):
+                        D = np.empty((len(V), len(C)), dtype=np.float64)
+                        for k in range(len(C)):
+                            acc = np.zeros(len(V), dtype=np.float64)
+                            for d in range(dim):
+                                t = V[:, d] - C[k, d]
+                                acc += t * t
+                            D[:, k] = acc
+                        order = np.argsort(D, axis=1, kind="stable")
+                        tgt = np.nonzero(mask)[0][ok]
+                        for j, i in enumerate(tgt):
+                            probes[i] = [int(x)
+                                         for x in order[j, :nprobe]]
+            pdf[probes_column] = pd.Series(probes, dtype="object")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def ivf_assign(df: DataFrame, dim: int, n_centroids: int = 16,
                id_column: str = "vec_id", vector_column: str = "embedding",
                seed: int = 7, list_column: str = "ivf_list") -> DataFrame:
@@ -708,7 +840,9 @@ def ivf_assign(df: DataFrame, dim: int, n_centroids: int = 16,
     locality so a probe reads only nprobe/n_centroids of the data."""
     cents = ivf_centroids(dim, n_centroids, seed)
     v = as_double_array(F.col(vector_column), dim, "ivf_assign")
-    return df.withColumn(list_column, _nearest_centroid(v, cents))
+    src = df.withColumn("__ivf_v", v)
+    return _ivf_list_arrow(src, "__ivf_v", cents, list_column) \
+        .drop("__ivf_v")
 
 
 def ivf_topk(
@@ -745,18 +879,19 @@ def ivf_topk(
         as_double_array(F.col(vector_column), dim, "ivf_topk data")
         .alias("__dv"),
     )
-    d = d.withColumn("ivf_list", _nearest_centroid(F.col("__dv"), cents))
+    # Arrow kernels for the assignment and the probe ranking: centroids
+    # travel in the closure, not as k x dim plan literals (§4.2 — the
+    # literal blob made these plans compile-heavy and the HOF folds ran
+    # interpreted per row)
+    d = _ivf_list_arrow(d, "__dv", cents, "ivf_list")
     q = queries.select(
         F.col(id_column).alias("query_id"),
         as_double_array(F.col(vector_column), dim, "ivf_topk queries")
         .alias("__qv"),
     )
-    # nprobe nearest lists per query: rank centroid distances natively
-    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
-    probed = F.slice(F.array_sort(pairs), 1, nprobe)
-    q = q.withColumn("ivf_list", F.explode(F.transform(probed, lambda s: s["i"])))
+    # nprobe nearest lists per query, ascending (distance, index)
+    q = _probe_lists_arrow(q, "__qv", cents, nprobe, "__probes") \
+        .withColumn("ivf_list", F.explode("__probes")).drop("__probes")
     sim = cosine(F.col("__qv"), F.col("__dv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -1769,31 +1904,51 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
         as_double_array(F.col(vector_column), int(meta["dim"]),
                         "search_ivf_index queries").alias("__qv"),
     )
-    # probed-list selection stays in Spark exprs (unchanged semantics:
-    # sq-dist fold + (dist, idx) array_sort tie-break); the collect
-    # carries the probed ARRAY per instance, so duplicate query rows
-    # remain distinct instances exactly as the old explode+join did
-    dists = F.array(*[_sq_dist(F.col("__qv"), c) for c in cents])
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
-    probed = F.slice(F.array_sort(pairs), 1, nprobe)
-    rows = (q.withColumn("__probed", F.transform(probed, lambda s: s["i"]))
-            .limit(MAX_BRUTE_QUERIES + 1).collect())
+    # the queries are collected to the driver anyway (they parameterize
+    # the Arrow top-k kernel), so the probed-list ranking runs in
+    # driver-side numpy on the collected vectors instead of embedding
+    # k x dim centroid literals in the plan (r12's "huge-literal plans"
+    # item: the blob dominated first-run analysis+codegen).  Arithmetic
+    # is the expression's exactly: same per-dim left fold, stable
+    # argsort == (dist asc, index asc) with NaN ranked above every
+    # real; NULL vectors / NULL elements probe lists 0..nprobe-1 like
+    # the all-NULL-distance sort did.  Duplicate query rows remain
+    # distinct instances exactly as the old explode+join did.
+    rows = q.limit(MAX_BRUTE_QUERIES + 1).collect()
     if len(rows) > MAX_BRUTE_QUERIES:
         raise ValueError(
             f"search_ivf_index: query set exceeds {MAX_BRUTE_QUERIES} rows; "
             "split the query batch")
+    import numpy as np
+
+    C = np.asarray([[float(x) for x in c] for c in cents],
+                   dtype=np.float64)
+    null_probes = list(range(min(nprobe, len(cents))))
+
+    def _probe(v) -> list:
+        if v is None or any(e is None for e in v):
+            return list(null_probes)
+        x = np.asarray(v, dtype=np.float64)
+        dists = np.empty(len(C), dtype=np.float64)
+        for kk in range(len(C)):
+            acc = 0.0
+            for dd in range(C.shape[1]):
+                t = x[dd] - C[kk, dd]
+                acc += t * t
+            dists[kk] = acc
+        return [int(i) for i in
+                np.argsort(dists, kind="stable")[:nprobe]]
+
     q_ids: list = []
     q_vecs: list = []
     q_buckets: list = []
     for r in rows:
-        if r["query_id"] is None or r["__probed"] is None:
-            # NULL id: the self-exclusion filter drops every pair;
-            # NULL vector: explode(NULL probed) produced no pairs
+        if r["query_id"] is None:
+            # NULL id: the self-exclusion filter drops every pair
             continue
         q_ids.append(r["query_id"])
         q_vecs.append(r["__qv"])
-        q_buckets.append(frozenset(r["__probed"]))
+        q_buckets.append(frozenset(_probe(r["__qv"])))
     lists = sorted({b for bs in q_buckets for b in bs if b is not None})
     # partition pruning: only the probed hive partitions' files are read
     pruned = data.filter(F.col("ivf_list").isin(lists))
