@@ -38,11 +38,23 @@ def _cosine_sql(a: str, b: str) -> str:
     return (f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))")
 
 
+def _cents_cte(cents: list[list[float]]) -> str:
+    """1-row CTE binding the centroid list-of-lists ONCE as a value:
+    referencing ``cs[k][i]`` instead of inlining the full literal at
+    every ``[i]`` access keeps DuckDB from re-evaluating the list
+    literal per element per row (the semantic_dedup oracle lost ~80 s
+    to that).  Identical doubles, identical fold order — verified
+    EQUAL row-for-row at sf0.001/sf0.01 against the inline form."""
+    return ("cents AS (SELECT ["
+            + ", ".join(_centroid_sql_literal(c) for c in cents)
+            + "] AS cs)")
+
+
 def _ivf_oracle() -> str:
     from geoparquet_io_spark.operators.similarity import ivf_centroids
 
     cents = ivf_centroids(_DIM, _NCENT, seed=7)
-    lits = [_centroid_sql_literal(c) for c in cents]
+    lits = [f"cs[{k + 1}]" for k in range(len(cents))]
     d_exprs_v = [_sqdist_sql("v", l) for l in lits]
     d_exprs_q = [_sqdist_sql("qv", l) for l in lits]
     dv_cols = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d_exprs_v))
@@ -54,13 +66,14 @@ def _ivf_oracle() -> str:
     ) + " END"
     case_d = "CASE ci " + " ".join(f"WHEN {i} THEN d{i}" for i in range(_NCENT)) + " END"
     return f"""
-    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+    WITH {_cents_cte(cents)},
+    e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
                FROM embeddings),
-    dv AS (SELECT vec_id, v, {dv_cols} FROM e),
+    dv AS (SELECT vec_id, v, {dv_cols} FROM e, cents),
     assigned AS (SELECT vec_id, v, {argmin} AS ivf_list
                  FROM (SELECT *, least({dlist}) AS m FROM dv)),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
-    dq AS (SELECT query_id, qv, {dq_cols} FROM q),
+    dq AS (SELECT query_id, qv, {dq_cols} FROM q, cents),
     probe AS (
       SELECT query_id, qv, ci, {case_d} AS d
       FROM dq CROSS JOIN (SELECT unnest(range({_NCENT})) AS ci)
@@ -369,7 +382,7 @@ def _ivf_recall_oracle(nprobe: int = 1) -> str:
     from geoparquet_io_spark.operators.similarity import ivf_centroids
 
     cents = ivf_centroids(_DIM, _NCENT, seed=7)
-    lits = [_centroid_sql_literal(c) for c in cents]
+    lits = [f"cs[{k + 1}]" for k in range(len(cents))]
     dv_cols = ", ".join(f"{_sqdist_sql('v', l)} AS d{i}"
                         for i, l in enumerate(lits))
     dq_cols = ", ".join(f"{_sqdist_sql('qv', l)} AS d{i}"
@@ -380,13 +393,14 @@ def _ivf_recall_oracle(nprobe: int = 1) -> str:
     case_d = "CASE ci " + " ".join(
         f"WHEN {i} THEN d{i}" for i in range(_NCENT)) + " END"
     return f"""
-    WITH e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
+    WITH {_cents_cte(cents)},
+    e AS (SELECT vec_id, [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM + 1})] AS v
                FROM embeddings),
-    dv AS (SELECT vec_id, v, {dv_cols} FROM e),
+    dv AS (SELECT vec_id, v, {dv_cols} FROM e, cents),
     assigned AS (SELECT vec_id, v, {argmin} AS ivf_list
                  FROM (SELECT *, least({dlist}) AS m FROM dv)),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
-    dq AS (SELECT query_id, qv, {dq_cols} FROM q),
+    dq AS (SELECT query_id, qv, {dq_cols} FROM q, cents),
     probe AS (
       SELECT query_id, qv, ci, {case_d} AS d
       FROM dq CROSS JOIN (SELECT unnest(range({_NCENT})) AS ci)
