@@ -9,6 +9,8 @@ row-at-a-time python UDFs.
 
 from __future__ import annotations
 
+import uuid as _uuid
+
 import pandas as pd
 import numpy as np
 
@@ -334,19 +336,24 @@ def with_hilbert_key(df, x: Column, y: Column,
     Uses the public-domain bit-parallel xy->d algorithm (rawrunprotected
     "hilbert_curves": prefix-scan rounds at shifts 1/2/4/8 + Morton
     interleave) instead of the 16-step state loop.  Each round is
-    materialized as a REAL projection (withColumns) — the intermediate
-    a/b/c/d columns are referenced several times by the next round, so
+    materialized as a REAL projection — the intermediate a/b/c/d
+    columns are referenced several times by the next round, so
     Catalyst's CollapseProject keeps the stages separate and the
     expression tree stays linear (a single nested Column expression
     multiplies ~4x per round and hangs analysis; a HOF-aggregate state
-    loop was measured 3x slower than Python).  Verified bit-identical
-    to the numpy loop kernel across the grid (tests).  Nulls/NaN take
-    COORDINATE 0.0 (like st_hilbert's nan_to_num) — i.e. the grid cell
-    containing 0.0 within the extent (mid-extent for symmetric bounds),
-    a deterministic placement, not cell 0."""
+    loop was measured 3x slower than Python).  The rounds are emitted
+    as ONE SQL statement (a CTE per round over a temp view) rather
+    than chained ``withColumns`` calls: every eager Dataset creation
+    re-analyzes the whole growing plan and every Column operator is a
+    py4j round trip, which together cost ~1.3 s of pure driver time
+    per query build — one ``spark.sql`` pays one analysis and two py4j
+    calls for identical Catalyst expressions (~0.1 s).  Verified
+    bit-identical to the numpy loop kernel across the grid (tests).
+    Nulls/NaN take COORDINATE 0.0 (like st_hilbert's nan_to_num) —
+    i.e. the grid cell containing 0.0 within the extent (mid-extent
+    for symmetric bounds), a deterministic placement, not cell 0."""
     xmin, ymin, xmax, ymax = (float(v) for v in bounds)
     n = (1 << _hilbert.ORDER) - 1
-    M = F.lit(0xFFFF).cast("long")
 
     def grid(v: Column, lo: float, hi: float) -> Column:
         span = hi - lo
@@ -357,9 +364,6 @@ def with_hilbert_key(df, x: Column, y: Column,
                          + F.lit(0.5))
         return F.least(F.lit(n), F.greatest(F.lit(0), scaled)).cast("long")
 
-    def sr(c: Column, k: int) -> Column:
-        return F.shiftright(c, k)
-
     t = "__hb_"
     while any(cname.startswith(t) for cname in df.columns) \
             or out.startswith(t):
@@ -368,58 +372,102 @@ def with_hilbert_key(df, x: Column, y: Column,
         # '__hb_key' matched the prefix-based cleanup drop below and
         # the just-added key column silently vanished
         t = "_" + t
+    # Stage 0 stays in the DataFrame API (x/y are Column objects); the
+    # bit-twiddle rounds below reference only the two grid columns.
     df = df.withColumns({t + "x": grid(x.cast("double"), xmin, xmax),
                          t + "y": grid(y.cast("double"), ymin, ymax)})
-    gx, gy = F.col(t + "x"), F.col(t + "y")
-    df = df.withColumns({
-        t + "a": gx.bitwiseXOR(gy),
-        t + "b": M.bitwiseXOR(gx.bitwiseXOR(gy)),
-        t + "c": M.bitwiseXOR(gx.bitwiseOR(gy)),
-        t + "d": gx.bitwiseAND(gy.bitwiseXOR(M)),
-    })
-    a, b, c, d = (F.col(t + k) for k in "abcd")
-    df = df.withColumns({
-        t + "A": a.bitwiseOR(sr(b, 1)),
-        t + "B": sr(a, 1).bitwiseXOR(a),
-        t + "C": sr(c, 1).bitwiseXOR(b.bitwiseAND(sr(d, 1))).bitwiseXOR(c),
-        t + "D": a.bitwiseAND(sr(c, 1)).bitwiseXOR(sr(d, 1)).bitwiseXOR(d),
-    })
-    for sh in (2, 4, 8):
-        a, b, c, d = (F.col(t + k) for k in "ABCD")
-        df = df.withColumns({
-            t + "A": a.bitwiseAND(sr(a, sh))
-                      .bitwiseXOR(b.bitwiseAND(sr(b, sh))),
-            t + "B": a.bitwiseAND(sr(b, sh))
-                      .bitwiseXOR(b.bitwiseAND(sr(a.bitwiseXOR(b), sh))),
-            t + "C": c.bitwiseXOR(a.bitwiseAND(sr(c, sh))
-                                  .bitwiseXOR(b.bitwiseAND(sr(d, sh)))),
-            t + "D": d.bitwiseXOR(
-                b.bitwiseAND(sr(c, sh))
-                 .bitwiseXOR(a.bitwiseXOR(b).bitwiseAND(sr(d, sh)))),
-        })
-    A, B, C, D = (F.col(t + k) for k in "ABCD")
-    df = df.withColumns({
-        t + "i0": gx.bitwiseXOR(gy),
-        t + "fa": C.bitwiseXOR(sr(C, 1)),
-        t + "fb": D.bitwiseXOR(sr(D, 1)),
-    })
-    i0 = F.col(t + "i0")
-    i1 = F.col(t + "fb").bitwiseOR(
-        M.bitwiseXOR(i0.bitwiseOR(F.col(t + "fa"))))
-    df = df.withColumns({t + "i1": i1})
 
-    def interleave(v: Column) -> Column:
-        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
-        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
-        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
-        return v
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
-    key = F.shiftleft(interleave(F.col(t + "i1")), 1) \
-        .bitwiseOR(interleave(i0)).cast("long")
-    df = df.withColumn(out, key)
-    return df.drop(*[cname for cname in df.columns
-                     if cname.startswith(t)])
+    def sr(c: str, k: int) -> str:
+        return f"shiftright({c}, {k})"
+
+    M = str(0xFFFF)
+    gx, gy = q(t + "x"), q(t + "y")
+
+    def cte(label: str, cols: dict[str, str]) -> str:
+        body = ", ".join(f"{e} AS {q(t + name)}"
+                         for name, e in cols.items())
+        return f"{q(t + label)} AS (SELECT *, {body} FROM {{prev}})"
+
+    stages = []
+    stages.append(cte("s1", {
+        "a": f"({gx} ^ {gy})",
+        "b": f"({M} ^ ({gx} ^ {gy}))",
+        "c": f"({M} ^ ({gx} | {gy}))",
+        "d": f"({gx} & ({gy} ^ {M}))",
+    }))
+    a, b, c, d = (q(t + k) for k in "abcd")
+    stages.append(cte("s2", {
+        "A1": f"({a} | {sr(b, 1)})",
+        "B1": f"({sr(a, 1)} ^ {a})",
+        "C1": f"(({sr(c, 1)} ^ ({b} & {sr(d, 1)})) ^ {c})",
+        "D1": f"((({a} & {sr(c, 1)}) ^ {sr(d, 1)}) ^ {d})",
+    }))
+    for i, sh in enumerate((2, 4, 8), start=1):
+        a, b, c, d = (q(t + k + str(i)) for k in "ABCD")
+        stages.append(cte(f"s{i + 2}", {
+            f"A{i + 1}": f"(({a} & {sr(a, sh)}) ^ ({b} & {sr(b, sh)}))",
+            f"B{i + 1}": f"(({a} & {sr(b, sh)}) ^ "
+                         f"({b} & {sr(f'({a} ^ {b})', sh)}))",
+            f"C{i + 1}": f"({c} ^ (({a} & {sr(c, sh)}) ^ "
+                         f"({b} & {sr(d, sh)})))",
+            f"D{i + 1}": f"({d} ^ (({b} & {sr(c, sh)}) ^ "
+                         f"(({a} ^ {b}) & {sr(d, sh)})))",
+        }))
+    C, D = q(t + "C4"), q(t + "D4")
+    stages.append(cte("s6", {
+        "i0": f"({gx} ^ {gy})",
+        "fa": f"({C} ^ {sr(C, 1)})",
+        "fb": f"({D} ^ {sr(D, 1)})",
+    }))
+    i0, fa, fb = (q(t + k) for k in ("i0", "fa", "fb"))
+    stages.append(cte("s7", {
+        "i1": f"({fb} | ({M} ^ ({i0} | {fa})))",
+    }))
+
+    def interleave(label: str) -> None:
+        # Morton bit-spread, one named column per step: the nested
+        # Column form duplicated the whole subtree 4x per step in the
+        # plan; naming each step keeps the expressions linear.
+        masks = (0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+        for j, (shl, m) in enumerate(zip((8, 4, 2, 1), masks), start=1):
+            prev = q(t + (label if j == 1 else f"{label}{j - 1}"))
+            stages.append(cte(f"s_{label}{j}", {
+                f"{label}{j}": f"(({prev} | shiftleft({prev}, {shl})) & {m})",
+            }))
+        return None
+
+    interleave("i0")
+    interleave("i1")
+    key = (f"CAST((shiftleft({q(t + 'i14')}, 1) | {q(t + 'i04')}) "
+           f"AS BIGINT)")
+
+    view = t + "v_" + _uuid.uuid4().hex
+    spark = df.sparkSession
+    df.createOrReplaceTempView(view)
+    try:
+        prev = q(view)
+        parts = []
+        for s in stages:
+            parts.append(s.format(prev=prev))
+            prev = s.split(" AS ", 1)[0]
+        if out in df.columns and not out.startswith(t):
+            # match withColumn(out, key): replace in place, keep order
+            final_cols = [key + " AS " + q(out)
+                          if cname == out else q(cname)
+                          for cname in df.columns
+                          if not cname.startswith(t)]
+        else:
+            final_cols = [q(cname) for cname in df.columns
+                          if not cname.startswith(t)]
+            final_cols.append(key + " AS " + q(out))
+        sql = ("WITH " + ",\n".join(parts)
+               + f"\nSELECT {', '.join(final_cols)} FROM {prev}")
+        return spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --- native bbox helpers (no UDF — these MUST stay in codegen) --------------
