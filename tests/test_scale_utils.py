@@ -754,3 +754,43 @@ def test_leakage_safe_split_rejects_pair_list(spark):
     got = leakage_safe_split(ids, "doc_id", dup_ok,
                              {"train": 0.5, "test": 0.5}, salt="t")
     assert got.count() == 9
+
+
+def test_spread_skips_already_shuffled_plans(spark):
+    """spread() must pass a plan that already contains a shuffle
+    exchange through UNTOUCHED (identity, no extra repartition): the
+    post-shuffle partitioning is data-sized by AQE, and the .rdd
+    partition probe on such a plan executes every upstream stage as a
+    throwaway job.  A shuffle-free single-file scan must still be
+    repartitioned to defaultParallelism, and a BROADCAST exchange must
+    not trip the gate (it never re-spreads the streamed side)."""
+    from geoparquet_io_spark.operators.skew import spread
+    from geoparquet_io_spark.testsupport.tables import load_table
+
+    target = spark.sparkContext.defaultParallelism
+
+    # shuffled plans: identity pass-through, probe never runs
+    agg = load_table(spark, SF_SMOKE, "customer") \
+        .groupBy("c_nationkey").count()
+    assert spread(agg) is agg
+    dd = load_table(spark, SF_SMOKE, "customer") \
+        .dropDuplicates(["c_nationkey"])
+    assert spread(dd) is dd
+    # results are unchanged by the gate (partitioning-only decision)
+    assert spread(agg).count() == agg.count()
+
+    # shuffle-free single-file scan: still spread to defaultParallelism
+    scan = load_table(spark, SF_SMOKE, "customer")
+    if scan.rdd.getNumPartitions() < target:
+        assert spread(scan).rdd.getNumPartitions() == target
+
+    # broadcast-only exchange does NOT count as a shuffle: the streamed
+    # single-file side still gets the probe + repartition
+    small = spark.range(30).select(
+        F.col("id").cast("int").alias("c_nationkey"))
+    bj = load_table(spark, SF_SMOKE, "customer") \
+        .join(F.broadcast(small), "c_nationkey")
+    plan = bj._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastExchange" in plan and spread(bj) is bj:
+        raise AssertionError(
+            "broadcast-only plan must not be treated as shuffled")
